@@ -1,0 +1,217 @@
+"""RaQuet reader/writer on Spark DataFrames.
+
+Data model per spec (/root/reference/format-specs/raquet.md:20-127):
+``block BIGINT`` quadbin cell (0 = reserved metadata row), band columns
+``BINARY``, ``metadata STRING`` JSON populated only at block=0, optional
+``time_cf``/``time_ts`` and per-tile statistics columns.
+
+Reader splits data rows from metadata row(s) declaratively, so the
+``block != 0`` filter and any block-range predicates push down to the
+parquet scan. Writer sorts by quadbin id (spec §Row Ordering — Morton
+order ⇒ row-group pruning for spatial queries) and appends the metadata
+row with matching schema.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raquet_spark.core.metadata import metadata_to_json, parse_metadata
+from raquet_spark.functions import quadbin as qb
+
+METADATA_BLOCK = 0
+
+
+def read_raquet(spark: SparkSession, path: str) -> DataFrame:
+    """Tile rows of a RaQuet dataset (metadata row(s) excluded)."""
+    return spark.read.parquet(path).where(F.col("block") != METADATA_BLOCK)
+
+
+def read_raquet_metadata(spark: SparkSession, path: str) -> dict:
+    """Parse the JSON metadata row. Partitioned datasets contribute one
+    metadata row per file (spec §Partitioned Datasets rule 5) — they are
+    identical except ``tiling.num_blocks``, which we sum."""
+    rows = (
+        spark.read.parquet(path)
+        .where(F.col("block") == METADATA_BLOCK)
+        .select("metadata")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no metadata row (block=0) in {path}")
+    meta = parse_metadata(rows[0][0])
+    if len(rows) > 1:
+        meta["tiling"]["num_blocks"] = sum(
+            parse_metadata(r[0])["tiling"]["num_blocks"] for r in rows
+        )
+    return meta
+
+
+def write_raquet(
+    df: DataFrame,
+    path: str,
+    metadata: dict,
+    mode: str = "overwrite",
+    target_row_group_bytes: int | None = None,
+) -> None:
+    """Write tiles + metadata row as a RaQuet parquet dataset.
+
+    Tiles are range-partitioned and sorted by ``block`` within files so
+    Morton-adjacent tiles share row groups (spec §Row Ordering
+    Recommendation). ``metadata.tiling.num_blocks`` is refreshed from the
+    actual tile count.
+    """
+    spark = df.sparkSession
+    num_blocks = df.count()
+    metadata = dict(metadata)
+    metadata.setdefault("tiling", {})
+    metadata["tiling"]["num_blocks"] = num_blocks
+
+    meta_row = _metadata_row(spark, df, metadata)
+    out = df.repartitionByRange("block").sortWithinPartitions("block").unionByName(meta_row)
+
+    writer = out.write.mode(mode)
+    if target_row_group_bytes:
+        writer = writer.option("parquet.block.size", str(target_row_group_bytes))
+    writer.parquet(path)
+
+
+def _metadata_row(spark: SparkSession, df: DataFrame, metadata: dict) -> DataFrame:
+    cols = [F.lit(METADATA_BLOCK).cast("bigint").alias("block")]
+    for f_ in df.schema.fields:
+        if f_.name == "block":
+            continue
+        if f_.name == "metadata":
+            cols.append(F.lit(metadata_to_json(metadata)).alias("metadata"))
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    if "metadata" not in df.columns:
+        cols.append(F.lit(metadata_to_json(metadata)).alias("metadata"))
+    return spark.range(1).select(*cols)
+
+
+def ensure_metadata_column(df: DataFrame) -> DataFrame:
+    if "metadata" in df.columns:
+        return df
+    return df.withColumn("metadata", F.lit(None).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# Spatial partitioning (spec §Partitioned Datasets) and split-by-zoom
+# ---------------------------------------------------------------------------
+
+def auto_partition_zoom(
+    native_zoom: int, target_file_bytes: int = 150 * 1024 * 1024, avg_tile_bytes: int = 60_000
+) -> int:
+    """spec formula: partition_zoom = native_zoom - round(log4(target/avg))."""
+    return max(0, native_zoom - round(math.log(target_file_bytes / avg_tile_bytes, 4)))
+
+
+def write_raquet_partitioned(
+    df: DataFrame,
+    path: str,
+    metadata: dict,
+    partition_zoom: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partition tiles by quadbin ancestor cell at ``partition_zoom``.
+
+    One hive-style directory per ancestor (`part_cell=...`); within each
+    partition, rows stay Morton-sorted. Every partition gets its own
+    metadata row so each directory is a valid standalone RaQuet dataset
+    (spec §Partitioned Datasets rules 1-3). At 100 TB this is the layout
+    that makes spatial joins co-located and bbox scans touch only a few
+    directories.
+    """
+    spark = df.sparkSession
+    native_zoom = metadata["tiling"]["max_zoom"]
+    if partition_zoom is None:
+        partition_zoom = auto_partition_zoom(native_zoom)
+
+    metadata = dict(metadata)
+    metadata["tiling"]["num_blocks"] = df.count()
+
+    part = df.withColumn(
+        "part_cell", F.expr(qb.cell_to_parent_sql("block", partition_zoom, "spark"))
+    )
+    parents = [r[0] for r in part.select("part_cell").distinct().collect()]
+    meta_rows = None
+    for p in parents:
+        row = _metadata_row(spark, df, metadata).withColumn("part_cell", F.lit(p))
+        meta_rows = row if meta_rows is None else meta_rows.unionByName(row)
+    out = part.unionByName(meta_rows) if meta_rows is not None else part
+    (
+        out.repartition("part_cell")
+        .sortWithinPartitions("block")
+        .write.mode(mode)
+        .partitionBy("part_cell")
+        .parquet(path)
+    )
+
+
+def split_zoom(df: DataFrame, path: str, metadata: dict, mode: str = "overwrite") -> None:
+    """Write one partition directory per zoom level (reference CLI
+    ``split-zoom``, /root/reference/raquet/cli.py:942)."""
+    out = ensure_metadata_column(df).withColumn(
+        "zoom", F.expr(qb.cell_to_zoom_sql("block", "spark"))
+    )
+    meta_df = None
+    spark = df.sparkSession
+    zooms = [r[0] for r in out.select("zoom").distinct().collect()]
+    for z in zooms:
+        m = dict(metadata)
+        m["tiling"] = dict(metadata["tiling"], min_zoom=z, max_zoom=z)
+        row = _metadata_row(spark, ensure_metadata_column(df), m).withColumn("zoom", F.lit(z))
+        meta_df = row if meta_df is None else meta_df.unionByName(row)
+    if meta_df is not None:
+        out = out.unionByName(meta_df)
+    (
+        out.repartition("zoom")
+        .sortWithinPartitions("block")
+        .write.mode(mode)
+        .partitionBy("zoom")
+        .parquet(path)
+    )
+
+
+def filter_blocks_bbox(
+    df: DataFrame, west: float, south: float, east: float, north: float, zoom: int
+) -> DataFrame:
+    """Filter tiles intersecting a WGS84 bbox at ``zoom``.
+
+    Uses driver-side Morton range computation: the bbox cover is grouped
+    into contiguous cell-id ranges so the predicate is a small OR of
+    BETWEENs — this pushes down to parquet row-group pruning (min/max on
+    the sorted ``block`` column), rather than decoding or scanning
+    everything.
+    """
+    cells = sorted(qb.py_bbox_to_cells(west, south, east, north, zoom))
+    if not cells:
+        return df.where(F.lit(False))
+    ranges: list[tuple[int, int]] = []
+    for c in cells:
+        if ranges and c == ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], c)
+        else:
+            ranges.append((c, c))
+    cond = None
+    for lo, hi in ranges:
+        clause = F.col("block").between(lo, hi)
+        cond = clause if cond is None else cond | clause
+    return df.where(cond)
+
+
+def add_version_hint(local_parquet_file: str, version: str = "0.5.0") -> None:
+    """Stamp ``raquet:version`` into parquet file key-value metadata
+    (spec §File Identification). Driver-side pyarrow rewrite — intended
+    for single-file exports, not distributed datasets."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(local_parquet_file)
+    existing = table.schema.metadata or {}
+    meta = {**existing, b"raquet:version": json.dumps(version).encode()}
+    pq.write_table(table.replace_schema_metadata(meta), local_parquet_file)
