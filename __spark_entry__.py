@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial pipeline; ``queries()`` /
+``oracle_sql()`` expose every oracle-checkable operator from
+SURVEY.md §2 (implemented in raquet_spark/queries.py as dual-dialect
+SQL templates plus Spark binary-pipeline queries with relational
+oracles).
 """
 
 from __future__ import annotations
@@ -15,24 +15,52 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: quadbin heatmap pyramid over sf0.001.
+
+    Maps customers to synthetic lon/lat points, indexes them at zoom 8
+    (pure Catalyst quadbin expressions), rolls the heatmap up to zoom 4
+    ancestors, and attaches WGS84 tile bounds — the core RaQuet-style
+    spatial aggregation path end to end.
+    """
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions import quadbin as qb
+
+    sf_dir = "/root/testdata/sf0.001"
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    lon = "(CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75)"
+    lat = "(CAST((c_custkey * 7) % 340 AS DOUBLE) / 2.0 - 84.75)"
+    pts = customer.withColumn("cell", qb.qb_point_to_cell(lon, lat, 8))
+
+    rollup = (
+        pts.withColumn("parent", qb.qb_cell_to_parent("cell", 4))
+        .groupBy("parent")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("cell").alias("n_cells"),
+            F.sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+    rollup = qb.with_tile(rollup, "parent")
+    return rollup.select(
+        "parent",
+        "n_customers",
+        "n_cells",
+        "total_acctbal",
+        F.expr(
+            qb.bounds_from_tile_sql("qb_x", "qb_y", "qb_z", "spark")
+        ).alias("bounds"),
+    ).orderBy("parent")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from raquet_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raquet_spark import queries as q
+
+    return q.oracle_sql()

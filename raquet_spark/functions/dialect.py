@@ -1,0 +1,124 @@
+"""Tiny Spark-SQL / DuckDB-SQL dialect shim.
+
+Every driver-checked query in this engine is authored ONCE as a
+dialect-parameterized SQL template; the Spark rendering is executed by
+``spark.sql`` (full Catalyst optimization) and the DuckDB rendering is
+the oracle. This file holds the handful of spellings the two dialects
+disagree on. Determinism rules used throughout the query registry:
+
+- money/metric SUMs aggregate DECIMAL (exact, order-independent), then
+  cast to DOUBLE — identical bits on both engines;
+- transcendental-derived values are ``round(x, 6..9)``;
+- every ranking uses a deterministic tiebreak key.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+
+def seq(lo, hi, d: str) -> str:
+    """Inclusive integer sequence [lo, hi] as an array."""
+    if d == SPARK:
+        return f"sequence({lo}, {hi})"
+    return f"range({lo}, ({hi}) + 1)"
+
+
+def arr_size(a: str, d: str) -> str:
+    return f"size({a})" if d == SPARK else f"len({a})"
+
+
+def arr_el(a: str, i, d: str) -> str:
+    """1-based element access."""
+    return f"element_at({a}, {i})" if d == SPARK else f"({a})[{i}]"
+
+
+def arr_transform(a: str, var: str, body: str, d: str) -> str:
+    fn = "transform" if d == SPARK else "list_transform"
+    return f"{fn}({a}, {var} -> {body})"
+
+
+def arr_filter(a: str, var: str, body: str, d: str) -> str:
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({a}, {var} -> {body})"
+
+
+def arr_min(a: str, d: str) -> str:
+    return f"array_min({a})" if d == SPARK else f"list_min({a})"
+
+
+def arr_distinct(a: str, d: str) -> str:
+    return f"array_distinct({a})" if d == SPARK else f"list_distinct({a})"
+
+
+def arr_intersect(a: str, b: str, d: str) -> str:
+    return f"array_intersect({a}, {b})" if d == SPARK else f"list_intersect({a}, {b})"
+
+
+def arr_slice(a: str, start, length, d: str) -> str:
+    """1-based slice of ``length`` elements."""
+    if d == SPARK:
+        return f"slice({a}, {start}, {length})"
+    return f"list_slice({a}, {start}, ({start}) + ({length}) - 1)"
+
+
+def explode(a: str, alias: str, d: str) -> str:
+    """SELECT-position explode/unnest of an array."""
+    fn = "explode" if d == SPARK else "unnest"
+    return f"{fn}({a}) AS {alias}"
+
+
+def md5_int(expr: str, d: str, hex_chars: int = 7) -> str:
+    """Deterministic non-negative integer hash (< 16^hex_chars) shared by
+    both engines: leading hex of md5."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({expr}), 1, {hex_chars}), 16, 10) AS BIGINT)"
+    return f"(('0x' || substr(md5({expr}), 1, {hex_chars}))::BIGINT)"
+
+
+def shl(a: str, n, d: str) -> str:
+    """Left shift (operands masked by caller to stay below bit 63)."""
+    return f"shiftleft({a}, {n})" if d == SPARK else f"(({a}) << ({n}))"
+
+
+def shr(a: str, n, d: str) -> str:
+    """Right shift of a non-negative value."""
+    return f"shiftright({a}, {n})" if d == SPARK else f"(({a}) >> ({n}))"
+
+
+def epoch_seconds(ts: str, d: str) -> str:
+    """Epoch seconds with sub-second fraction as DOUBLE (identical on
+    both engines: exact microsecond int / 1e6)."""
+    return f"CAST({ts} AS DOUBLE)" if d == SPARK else f"epoch({ts})"
+
+
+def bxor(a: str, b: str, d: str) -> str:
+    return f"({a} ^ {b})" if d == SPARK else f"xor({a}, {b})"
+
+
+def bit_count(a: str, d: str) -> str:
+    return f"bit_count({a})"
+
+
+def dot64(a: str, b: str, d: str, dim: int = 64) -> str:
+    """Dot product of two fixed-dim float arrays, accumulated in DOUBLE
+    in strict element order (identical IEEE op sequence on both engines)."""
+    if d == SPARK:
+        prods = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        return f"aggregate({prods}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    body = f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+    return f"list_sum(list_transform(range(1, {dim} + 1), i -> {body}))"
+
+
+def dsum(expr: str, d: str, scale: int = 6) -> str:
+    """Order-independent SUM: aggregate exact DECIMAL, return DOUBLE."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28, {scale}))) AS DOUBLE)"
+
+
+def davg(expr: str, d: str, scale: int = 6) -> str:
+    """Order-independent AVG via exact decimal sum / count."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28, {scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )

@@ -1,0 +1,126 @@
+"""Overview pyramid construction (spec §Overview Availability;
+reference builds overviews by GDAL re-warping per zoom,
+/root/reference/raquet/raster2raquet.py:1959+ — single-node).
+
+Spark-first reformulation: level z-1 is an aggregation of level z —
+``groupBy(cell_to_parent(block))`` then ``applyInPandas`` assembles the
+up-to-4 children into a 2×(block) mosaic and downsamples by 2. Each
+level is ¼ the rows of the previous, the shuffle key is the parent cell
+(Morton-local ⇒ AQE-friendly), and levels are built in a short driver
+loop over zooms — O(max_zoom - min_zoom) stages, fully parallel within a
+stage. This is how the operation scales to 100 TB where the reference's
+warp cannot.
+
+Resampling kernels: ``near`` (top-left of each 2×2, GDAL-style),
+``average`` (nodata-aware mean), ``mode`` (most common valid value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raquet_spark.core.metadata import parse_nodata
+from raquet_spark.functions import quadbin as qb
+from raquet_spark.functions.bands import DTYPES, decode_block, encode_block
+
+
+def _downsample(block: np.ndarray, method: str, nodata) -> np.ndarray:
+    """2× downsample a (h, w) array to (h/2, w/2)."""
+    h, w = block.shape
+    q = block.reshape(h // 2, 2, w // 2, 2).swapaxes(1, 2).reshape(h // 2, w // 2, 4)
+    if method == "near":
+        return q[:, :, 0]
+    if method == "average":
+        qf = q.astype("f8")
+        if nodata is not None and not (isinstance(nodata, float) and np.isnan(nodata)):
+            good = q != nodata
+        else:
+            good = np.isfinite(qf) if block.dtype.kind == "f" else np.ones(q.shape, bool)
+        cnt = good.sum(axis=2)
+        s = np.where(good, qf, 0.0).sum(axis=2)
+        out = np.divide(s, cnt, out=np.full(cnt.shape, np.nan), where=cnt > 0)
+        if nodata is not None:
+            out = np.where(cnt > 0, out, nodata)
+        return out.astype(block.dtype)
+    if method == "mode":
+        # vectorized 4-way mode: count occurrences of each candidate
+        counts = (q[:, :, :, None] == q[:, :, None, :]).sum(axis=3)
+        idx = counts.argmax(axis=2)
+        return np.take_along_axis(q, idx[:, :, None], axis=2)[:, :, 0]
+    raise ValueError(f"unknown resampling {method!r}")
+
+
+def build_level(
+    df: DataFrame,
+    metadata: dict,
+    child_zoom: int,
+    resampling: str = "average",
+) -> DataFrame:
+    """Tiles at ``child_zoom - 1`` from tiles at ``child_zoom``."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    bands = [(b["name"], b["type"], parse_nodata(b.get("nodata"))) for b in metadata["bands"]]
+    bw = metadata["tiling"]["block_width"]
+    bh = metadata["tiling"]["block_height"]
+    compression = metadata.get("compression", "gzip")
+    parent_zoom = child_zoom - 1
+
+    children = (
+        df.where(F.expr(qb.cell_to_zoom_sql("block", "spark")) == child_zoom)
+        .withColumn("parent", F.expr(qb.cell_to_parent_sql("block", parent_zoom, "spark")))
+        .withColumn("cx", F.expr(qb.cell_to_x_sql("block", "spark")))
+        .withColumn("cy", F.expr(qb.cell_to_y_sql("block", "spark")))
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = key[0]
+        out = {"block": [parent]}
+        for name, btype, nodata in bands:
+            dt = np.dtype(DTYPES[btype])
+            fill = nodata if nodata is not None else (np.nan if dt.kind == "f" else 0)
+            mosaic = np.full((bh * 2, bw * 2), fill, dtype=dt)
+            for _, row in pdf.iterrows():
+                if row[name] is None:
+                    continue
+                tile = decode_block(row[name], btype).reshape(bh, bw)
+                dx, dy = int(row["cx"]) & 1, int(row["cy"]) & 1
+                mosaic[dy * bh : (dy + 1) * bh, dx * bw : (dx + 1) * bw] = tile
+            down = _downsample(mosaic, resampling, nodata)
+            out[name] = [encode_block(down.reshape(-1), btype, compression)]
+        return pd.DataFrame(out)
+
+    schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
+    return children.groupBy("parent").applyInPandas(assemble, schema=schema)
+
+
+def build_pyramid(
+    df: DataFrame,
+    metadata: dict,
+    min_zoom: int,
+    resampling: str = "average",
+) -> tuple[DataFrame, dict]:
+    """Full overview pyramid from native tiles down to ``min_zoom``.
+
+    Returns (tiles ∪ overviews, updated metadata). Each level is
+    checkpointed via localCheckpoint? No — levels stay lazy; callers
+    writing multiple levels should persist intermediate levels
+    themselves if re-use matters.
+    """
+    native_zoom = metadata["tiling"]["max_zoom"]
+    levels = [df]
+    current = df
+    for z in range(native_zoom, min_zoom, -1):
+        current = build_level(current, metadata, z, resampling)
+        levels.append(current)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    meta = dict(metadata)
+    meta["tiling"] = dict(metadata["tiling"], min_zoom=min_zoom)
+    return out, meta

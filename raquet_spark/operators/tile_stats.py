@@ -52,6 +52,9 @@ def tile_stats_arrays(values: np.ndarray, nodata) -> dict[str, float] | None:
 
 def with_tile_stats(df: DataFrame, metadata: dict) -> DataFrame:
     """Append ``{band}_{stat}`` columns for every band (sequential layout)."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     bands = [(b["name"], b["type"], parse_nodata(b.get("nodata"))) for b in metadata["bands"]]
     in_schema = df.schema
 

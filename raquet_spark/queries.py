@@ -1,0 +1,725 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 that is
+oracle-checkable is declared here ONCE as a dialect-parameterized SQL
+template (Spark rendering executed via ``spark.sql`` → full Catalyst
+plan; DuckDB rendering returned by ``oracle_sql()``).
+
+Determinism contract (see functions/dialect.py): decimal-exact sums,
+rounded transcendentals, deterministic ranking tiebreaks — so the
+driver's order-insensitive value-hash matches bit-for-bit.
+
+Raster queries run the real binary pipeline on the Spark side
+(synthetic raster → encode → stats) while the oracle regenerates the
+same pixels in pure SQL — this cross-checks the whole binary path
+against an independent relational formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from raquet_spark.functions import dialect as dl
+from raquet_spark.functions import quadbin as qb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, normalizing nanosecond timestamps.
+
+    The driver testdata stores some columns as parquet TIMESTAMP(NANOS),
+    which Spark refuses by default. We read nanos as BIGINT
+    (``nanosAsLong``) and truncate to microseconds — exactly what DuckDB
+    does when it coerces TIMESTAMP_NS to TIMESTAMP, keeping the oracle
+    comparison bit-identical."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    schema = pq.read_schema(path)
+    for field in schema:
+        if str(field.type) == "timestamp[ns]":
+            df = df.withColumn(
+                field.name,
+                F.expr(f"timestamp_micros(CAST({field.name} DIV 1000 AS BIGINT))"),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _sql_query(sql_fn: Callable[[str], str]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql_fn("spark"))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# D. Analytics core (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(d: str) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {dl.dsum('l_quantity', d)} AS sum_qty,
+       {dl.dsum('l_extendedprice', d)} AS sum_base_price,
+       {dl.dsum('l_extendedprice * (1 - l_discount)', d)} AS sum_disc_price,
+       {dl.dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', d)} AS sum_charge,
+       {dl.davg('l_quantity', d)} AS avg_qty,
+       {dl.davg('l_extendedprice', d)} AS avg_price,
+       {dl.davg('l_discount', d)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(d: str) -> str:
+    return f"""
+SELECT o_orderkey,
+       {dl.dsum('l_extendedprice * (1 - l_discount)', d)} AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_supplier_volume(d: str) -> str:
+    return f"""
+SELECT n_name,
+       {dl.dsum('l_extendedprice * (1 - l_discount)', d)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q6_forecast(d: str) -> str:
+    return f"""
+SELECT {dl.dsum('l_extendedprice * l_discount', d)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def topk_parts_per_brand(d: str) -> str:
+    return """
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) t
+WHERE rn <= 3
+"""
+
+
+def events_daily(d: str) -> str:
+    return f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {dl.dsum('value', d)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(d: str) -> str:
+    """Session = gap > 30 min per user; classic streaming-shaped windowed
+    op expressed relationally (lag + cumulative sum over event time)."""
+    ep = dl.epoch_seconds("ts", d)
+    ep_lag = dl.epoch_seconds(
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)", d
+    )
+    return f"""
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS session_start
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1
+                WHEN {ep} - {ep_lag} > 1800
+                     THEN 1 ELSE 0 END AS is_new
+    FROM events
+  ) a
+) b
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A. Quadbin queries (synthetic lon/lat derived from integer keys — exact)
+# ---------------------------------------------------------------------------
+
+_LON = "(CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75)"
+_LAT = "(CAST((c_custkey * 7) % 340 AS DOUBLE) / 2.0 - 84.75)"
+
+
+def qb_point_cells(d: str) -> str:
+    cell = qb.point_to_cell_sql(_LON, _LAT, 8, d)
+    return f"""
+SELECT cell, COUNT(*) AS n_customers, {dl.dsum('c_acctbal', d)} AS total_bal
+FROM (SELECT {cell} AS cell, c_acctbal FROM customer) t
+GROUP BY cell
+"""
+
+
+def qb_parent_rollup(d: str) -> str:
+    lon = "(CAST(user_id % 3600 AS DOUBLE) / 10.0 - 179.95)"
+    lat = "(CAST((user_id * 13) % 1600 AS DOUBLE) / 10.0 - 79.95)"
+    cell = qb.point_to_cell_sql(lon, lat, 10, d)
+    parent = qb.cell_to_parent_sql("cell", 4, d)
+    return f"""
+SELECT parent, COUNT(*) AS n_events, COUNT(DISTINCT cell) AS n_cells
+FROM (SELECT {parent} AS parent, cell
+      FROM (SELECT {cell} AS cell FROM events) c) p
+GROUP BY parent
+"""
+
+
+def qb_tile_roundtrip(d: str) -> str:
+    cell = qb.tile_to_cell_sql("x", "y", 10, d)
+    return f"""
+SELECT p_partkey, cell,
+       {qb.cell_to_x_sql('cell', d)} AS rx,
+       {qb.cell_to_y_sql('cell', d)} AS ry,
+       {qb.cell_to_zoom_sql('cell', d)} AS rz,
+       CAST({qb.is_valid_cell_sql('cell', d)} AS INT) AS ok
+FROM (SELECT p_partkey, {cell} AS cell, x, y
+      FROM (SELECT p_partkey, p_partkey % 1024 AS x, (p_partkey * 7) % 1024 AS y
+            FROM part) t0) t1
+"""
+
+
+def qb_cell_bounds(d: str) -> str:
+    x, y, z = "(n_nationkey * 13) % 32", "(n_nationkey * 5) % 32", "5"
+    b = qb.bounds_from_tile_sql("x", "y", "z", d)
+    c = qb.center_from_tile_sql("x", "y", "z", d)
+    return f"""
+SELECT n_nationkey, cell,
+       round(b.west, 9) AS west, round(b.south, 9) AS south,
+       round(b.east, 9) AS east, round(b.north, 9) AS north,
+       round(c.lon, 9) AS clon, round(c.lat, 9) AS clat
+FROM (SELECT n_nationkey, {qb.tile_to_cell_sql('x', 'y', 'z', d)} AS cell,
+             {b} AS b, {c} AS c
+      FROM (SELECT n_nationkey, {x} AS x, {y} AS y, {z} AS z FROM nation) t0) t1
+"""
+
+
+def qb_children(d: str) -> str:
+    ch = qb.children_from_tile_sql("x", "y", "z", d)
+    return f"""
+SELECT s_suppkey, {dl.explode('children', 'child', d)}
+FROM (SELECT s_suppkey, {ch} AS children
+      FROM (SELECT s_suppkey, (s_suppkey * 3) % 64 AS x, (s_suppkey * 11) % 64 AS y,
+                   6 AS z FROM supplier) t0) t1
+"""
+
+
+def qb_kring(d: str) -> str:
+    kr = qb.kring_from_tile_sql("x", "y", "z", 1, d)
+    return f"""
+SELECT s_suppkey, {dl.arr_size('kr', d)} AS ring_size,
+       {dl.explode('kr', 'neighbor', d)}
+FROM (SELECT s_suppkey, {kr} AS kr
+      FROM (SELECT s_suppkey, (s_suppkey * 3) % 64 AS x, s_suppkey % 3 AS y,
+                   6 AS z FROM supplier) t0) t1
+"""
+
+
+def qb_validity(d: str) -> str:
+    cell = qb.tile_to_cell_sql("o_orderkey % 256", "(o_orderkey * 3) % 256", 8, d)
+    return f"""
+SELECT o_orderkey % 10 AS grp,
+       SUM(CAST({qb.is_valid_cell_sql('cell', d)} AS INT)) AS n_valid,
+       SUM(CAST({qb.is_valid_cell_sql('(cell - 1)', d)} AS INT)) AS n_corrupt_valid
+FROM (SELECT o_orderkey, {cell} AS cell FROM orders) t
+GROUP BY o_orderkey % 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. Raster queries — Spark runs the real binary pipeline; DuckDB oracle
+# regenerates the same pixels relationally (see testing.synthetic_tile_array)
+# ---------------------------------------------------------------------------
+
+_R = dict(zoom=6, tx=16, ty=20, nx=4, ny=4, bs=32, seed=42, modulo=251,
+          nodata=-1.0, nodata_every=7)
+
+
+def _duck_pixels() -> str:
+    """DuckDB CTE producing (block, val) for every valid pixel of the
+    synthetic raster used by the Spark side."""
+    r = _R
+    cell = qb.tile_to_cell_sql("tx", "ty", r["zoom"], "duckdb")
+    return f"""
+WITH grid AS (
+  SELECT {r['tx']} + i % {r['nx']} AS tx, {r['ty']} + i // {r['nx']} AS ty
+  FROM (SELECT unnest(range(0, {r['nx'] * r['ny']})) AS i)
+), px AS (
+  SELECT tx, ty, tx * {r['bs']} + x AS gx, ty * {r['bs']} + y AS gy
+  FROM grid,
+       (SELECT unnest(range(0, {r['bs']})) AS x),
+       (SELECT unnest(range(0, {r['bs']})) AS y)
+), vals AS (
+  SELECT {cell} AS block,
+         CASE WHEN (gx + gy) % {r['nodata_every']} = 0 THEN NULL
+              ELSE CAST((gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} AS DOUBLE)
+         END AS val
+  FROM px
+)
+"""
+
+
+def _raster_stats_select(where: str = "") -> str:
+    return f"""
+SELECT block,
+       COUNT(val) AS band_1_count,
+       CAST(MIN(val) AS DOUBLE) AS band_1_min,
+       CAST(MAX(val) AS DOUBLE) AS band_1_max,
+       CAST(SUM(val) AS DOUBLE) AS band_1_sum,
+       round(AVG(val), 6) AS band_1_mean,
+       round(stddev_pop(val), 6) AS band_1_stddev
+FROM vals {where}
+GROUP BY block
+"""
+
+
+def tile_stats_agg_oracle() -> str:
+    return _duck_pixels() + _raster_stats_select()
+
+
+def _make_raster(spark: SparkSession):
+    from raquet_spark.testing import make_synthetic_raster
+
+    r = _R
+    return make_synthetic_raster(
+        spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"], origin_x=r["tx"],
+        origin_y=r["ty"], block_size=r["bs"], num_bands=1, dtype="float32",
+        seed=r["seed"], nodata=r["nodata"], nodata_every=r["nodata_every"],
+    )
+
+
+def tile_stats_agg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    stats = with_tile_stats(tiles, meta)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def _region_cells() -> list[int]:
+    r = _R
+    return sorted(
+        qb.py_tile_to_cell(r["tx"] + dx, r["ty"] + dy, r["zoom"])
+        for dx in range(2) for dy in range(2)
+    )
+
+
+def region_stats_oracle() -> str:
+    cells = ", ".join(str(c) for c in _region_cells())
+    return _duck_pixels() + f"""
+SELECT COUNT(val) AS count,
+       CAST(MIN(val) AS DOUBLE) AS min, CAST(MAX(val) AS DOUBLE) AS max,
+       CAST(SUM(val) AS DOUBLE) AS sum,
+       round(AVG(val), 6) AS mean, round(stddev_pop(val), 6) AS stddev
+FROM vals WHERE block IN ({cells})
+"""
+
+
+def region_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.region_stats import region_stats as rs
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    stats = with_tile_stats(tiles, meta)
+    r = _R
+    w, s, _, _ = qb.py_cell_to_bounds(qb.py_tile_to_cell(r["tx"], r["ty"] + 1, r["zoom"]))
+    _, _, e, n = qb.py_cell_to_bounds(qb.py_tile_to_cell(r["tx"] + 1, r["ty"], r["zoom"]))
+    pad_x, pad_y = (e - w) * 0.05, (n - s) * 0.05
+    bbox = (w + pad_x, s + pad_y, e - pad_x, n - pad_y)
+    out = rs(stats, meta, bbox, band="band_1", resolution="max")
+    return out.select(
+        "count", "min", "max", "sum",
+        F.round("mean", 6).alias("mean"), F.round("stddev", 6).alias("stddev"),
+    )
+
+
+def raster_histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-bucket global histogram — rows-only check (binary decode path)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+
+    tiles, meta = _make_raster(spark)
+    decoded = tiles.select(band_decode("band_1", "float32").alias("vals"))
+    exploded = decoded.select(F.explode("vals").alias("v")).where(F.col("v") != -1.0)
+    lo, hi, buckets = 0.0, 251.0, 256
+    return (
+        exploded.withColumn(
+            "bucket",
+            F.least(F.floor((F.col("v") - lo) / (hi - lo) * buckets).cast("int"), F.lit(buckets - 1)),
+        )
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def raster_point_value_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point query over tile centers — rows-only check."""
+    from raquet_spark.operators.point_query import raster_value
+
+    tiles, meta = _make_raster(spark)
+    r = _R
+    pts = []
+    for i in range(r["nx"]):
+        for j in range(r["ny"]):
+            w, s, e, n = qb.py_cell_to_bounds(qb.py_tile_to_cell(r["tx"] + i, r["ty"] + j, r["zoom"]))
+            pts.append((i * r["ny"] + j, (w + e) / 2, (s + n) / 2))
+    points = spark.createDataFrame(pts, "id long, lon double, lat double")
+    return raster_value(tiles, points, meta)
+
+
+def raquet_read_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write→read round trip through the RaQuet parquet layout — rows-only."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.raquet import read_raquet, write_raquet
+
+    tiles, meta = _make_raster(spark)
+    path = tempfile.mkdtemp(prefix="raquet_rt_") + "/raster.parquet"
+    write_raquet(tiles, path, meta)
+    back = read_raquet(spark, path)
+    return back.select("block", F.length("band_1").alias("blob_bytes")).orderBy("block")
+
+
+# ---------------------------------------------------------------------------
+# E. LLM-pipeline queries over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def _tokens(d: str, text: str = "text") -> str:
+    if d == "spark":
+        return f"regexp_extract_all(lower({text}), '[a-z0-9]+', 0)"
+    return f"regexp_extract_all(lower({text}), '[a-z0-9]+')"
+
+
+def dedup_exact(d: str) -> str:
+    return """
+SELECT md5(text) AS content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) >= 1
+"""
+
+
+_MINHASH_PARAMS = [
+    (1664525, 1013904223), (22695477, 1), (1103515245, 12345), (214013, 2531011),
+    (134775813, 1), (69069, 0), (1103515245, 54321), (22695477, 7777),
+]
+
+
+def _minhash_mins(d: str) -> str:
+    cols = []
+    for i, (a, b) in enumerate(_MINHASH_PARAMS):
+        cols.append(f"MIN(({a} * h + {b}) % 2147483647) AS m{i}")
+    return ", ".join(cols)
+
+
+def dedup_minhash(d: str) -> str:
+    """MinHash (unigram shingles) + 4-band × 2-row LSH candidate pairs."""
+    h = dl.md5_int("tok", d)
+    bands = [f"concat(CAST(m{2 * i} AS STRING), ':', CAST(m{2 * i + 1} AS STRING)) AS band{i}"
+             if d == "spark" else
+             f"concat(CAST(m{2 * i} AS VARCHAR), ':', CAST(m{2 * i + 1} AS VARCHAR)) AS band{i}"
+             for i in range(4)]
+    pair_selects = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b "
+        f"ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id"
+        for i in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {dl.explode(_tokens(d), 'tok', d)} FROM documents
+), hashes AS (
+  SELECT doc_id, {h} AS h FROM tok
+), mins AS (
+  SELECT doc_id, {_minhash_mins(d)} FROM hashes GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {', '.join(bands)} FROM mins
+)
+SELECT doc_a, doc_b FROM ({pair_selects}) p
+"""
+
+
+def dedup_simhash(d: str) -> str:
+    """32-bit SimHash over token hashes; near-dup pairs at hamming <= 6."""
+    h = dl.md5_int("tok", d, hex_chars=8)
+    xor = dl.bxor("a.simhash", "b.simhash", d)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {dl.explode(_tokens(d), 'tok', d)} FROM documents
+), hashes AS (
+  SELECT doc_id, {h} AS h FROM tok
+), bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ({dl.shr('h', 'j', d)} & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashes, (SELECT {dl.explode(dl.seq(0, 31, d), 'j', d)}) js
+  GROUP BY doc_id, j
+), sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN {dl.shl('CAST(1 AS BIGINT)', 'j', d)} ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {dl.bit_count(xor, d)} AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE {dl.bit_count(xor, d)} <= 6
+"""
+
+
+def ngram_jaccard(d: str) -> str:
+    """Character-3-gram Jaccard within the same source bucket."""
+    n = "length(lower(text)) - 2"
+    grams = dl.arr_distinct(
+        dl.arr_transform(dl.seq(1, n, d), "i", "substr(lower(text), i, 3)", d), d
+    )
+    inter = dl.arr_size(dl.arr_intersect("a.grams", "b.grams", d), d)
+    return f"""
+WITH g AS (
+  SELECT doc_id, source, {grams} AS grams FROM documents WHERE length(text) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST({inter} AS DOUBLE) /
+             ({dl.arr_size('a.grams', d)} + {dl.arr_size('b.grams', d)} - {inter}), 6) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST({inter} AS DOUBLE) /
+      ({dl.arr_size('a.grams', d)} + {dl.arr_size('b.grams', d)} - {inter}) >= 0.2
+"""
+
+
+def dedup_embedding(d: str) -> str:
+    """Embedding-cosine near-dup pairs within the same label."""
+    dot = dl.dot64("a.embedding", "b.embedding", d)
+    na = dl.dot64("a.embedding", "a.embedding", d)
+    nb = dl.dot64("b.embedding", "b.embedding", d)
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({dot} / sqrt({na}) / sqrt({nb}), 5) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({dot} / sqrt({na}) / sqrt({nb}), 5) >= 0.8
+"""
+
+
+def ann_topk(d: str) -> str:
+    """Brute-force cosine top-5 for every 25th vector (deterministic
+    tiebreak on rounded score then id)."""
+    dot = dl.dot64("q.embedding", "c.embedding", d)
+    nq = dl.dot64("q.embedding", "q.embedding", d)
+    nc = dl.dot64("c.embedding", "c.embedding", d)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({dot} / sqrt({nq}) / sqrt({nc}), 5) AS score
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 25 = 0
+)
+SELECT query_id, cand_id, score, rn FROM (
+  SELECT query_id, cand_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cand_id) AS rn
+  FROM scored
+) t WHERE rn <= 5
+"""
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+
+def lang_id(d: str) -> str:
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"{dl.arr_size(dl.arr_filter('toks', 't', f't IN ({lst})', d), d)} AS score_{lang}"
+        )
+    pred = """CASE
+      WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+      WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+      WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+      WHEN score_fr > 0 THEN 'fr'
+      ELSE 'unknown' END"""
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_tokens(d)} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(scores)} FROM t)
+SELECT doc_id, lang AS actual_lang, {pred} AS pred_lang,
+       score_en, score_es, score_de, score_fr
+FROM s
+"""
+
+
+def doc_quality(d: str) -> str:
+    toks = _tokens(d)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    n_stop = dl.arr_size(dl.arr_filter("toks", "t", f"t IN ({stop_list})", d), d)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, {toks} AS toks FROM documents
+)
+SELECT doc_id,
+       {dl.arr_size('toks', d)} AS n_words,
+       round(CAST(n_chars AS DOUBLE) / greatest({dl.arr_size('toks', d)}, 1), 6) AS avg_word_len,
+       round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST({n_stop} AS DOUBLE) / greatest({dl.arr_size('toks', d)}, 1), 6) AS stopword_ratio
+FROM t
+"""
+
+
+def token_counts(d: str) -> str:
+    if d == "spark":
+        bpe = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
+        ws = "regexp_extract_all(text, '[^ ]+', 0)"
+    else:
+        bpe = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')"
+        ws = "regexp_extract_all(text, '[^ ]+')"
+    return f"""
+SELECT doc_id,
+       {dl.arr_size(ws, d)} AS ws_tokens,
+       {dl.arr_size(bpe, d)} AS bpe_tokens,
+       n_chars
+FROM documents
+"""
+
+
+def doc_fingerprint(d: str) -> str:
+    """Winnowing: 8-gram rolling hashes, min per 4-window, distinct count."""
+    n = "length(text) - 7"
+    hashes = dl.arr_transform(dl.seq(1, n, d), "i", dl.md5_int("substr(text, i, 8)", d), d)
+    wins = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('h', d)} - 3", d), "j",
+        dl.arr_min(dl.arr_slice("h", "j", 4, d), d), d
+    )
+    return f"""
+WITH hg AS (
+  SELECT doc_id, {hashes} AS h FROM documents WHERE length(text) >= 11
+)
+SELECT doc_id,
+       {dl.arr_size(dl.arr_distinct('w', d), d)} AS n_fingerprints,
+       {dl.arr_min('w', d)} AS min_fingerprint
+FROM (SELECT doc_id, {wins} AS w FROM hg) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_SQL_QUERIES: dict[str, Callable[[str], str]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_volume": q5_supplier_volume,
+    "q6_forecast": q6_forecast,
+    "topk_parts_per_brand": topk_parts_per_brand,
+    "events_daily": events_daily,
+    "events_sessionize": events_sessionize,
+    "qb_point_cells": qb_point_cells,
+    "qb_parent_rollup": qb_parent_rollup,
+    "qb_tile_roundtrip": qb_tile_roundtrip,
+    "qb_cell_bounds": qb_cell_bounds,
+    "qb_children": qb_children,
+    "qb_kring": qb_kring,
+    "qb_validity": qb_validity,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "ngram_jaccard": ngram_jaccard,
+    "dedup_embedding": dedup_embedding,
+    "ann_topk": ann_topk,
+    "lang_id": lang_id,
+    "doc_quality": doc_quality,
+    "token_counts": token_counts,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+# Spark-pipeline queries with hand-written DuckDB oracles
+_PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
+    "tile_stats_agg": (tile_stats_agg_spark, tile_stats_agg_oracle),
+    "region_stats": (region_stats_spark, region_stats_oracle),
+    "raster_histogram": (raster_histogram_spark, None),
+    "raster_point_value": (raster_point_value_spark, None),
+    "raquet_read_tiles": (raquet_read_tiles_spark, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, fn in _SQL_QUERIES.items():
+        out[name] = _sql_query(fn)
+    for name, (spark_fn, _) in _PIPELINE_QUERIES.items():
+        out[name] = spark_fn
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {name: fn("duckdb") for name, fn in _SQL_QUERIES.items()}
+    for name, (_, oracle_fn) in _PIPELINE_QUERIES.items():
+        if oracle_fn is not None:
+            out[name] = oracle_fn()
+    return out

@@ -8,8 +8,36 @@ Arrow batch size for pixel codecs, sane shuffle partitioning).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``raquet_spark`` importable on executors regardless of the
+    consumer's working directory or PYTHONPATH, by shipping the package
+    as a zip via ``addPyFile`` — the same mechanism used to deploy to a
+    real cluster. Idempotent per application."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    import raquet_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(raquet_spark.__file__))
+    zpath = os.path.join(tempfile.mkdtemp(prefix="raquet_spark_pkg_"), "raquet_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join("raquet_spark", os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app)
 
 
 def get_spark(

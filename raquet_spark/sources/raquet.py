@@ -71,6 +71,7 @@ def write_raquet(
     metadata.setdefault("tiling", {})
     metadata["tiling"]["num_blocks"] = num_blocks
 
+    df = ensure_metadata_column(df)
     meta_row = _metadata_row(spark, df, metadata)
     out = df.repartitionByRange("block").sortWithinPartitions("block").unionByName(meta_row)
 

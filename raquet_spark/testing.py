@@ -71,6 +71,9 @@ def make_synthetic_raster(
 ) -> tuple[DataFrame, dict]:
     """Generate a (tiles_x × tiles_y) tile grid at ``zoom`` with
     ``num_bands`` band columns, plus matching RaQuet metadata."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     band_names = [f"band_{i + 1}" for i in range(num_bands)]
 
     grid = (
