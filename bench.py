@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Benchmark headline raquet_spark queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from raquet_spark.session import get_spark
+
+    spark = get_spark("raquet_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_supplier_volume",
+        "topk_parts_per_brand",
+        "events_daily",
+        "events_sessionize",
+        "qb_point_cells",
+        "qb_parent_rollup",
+        "qb_tile_roundtrip",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_topk",
+        "token_counts",
+        "doc_quality",
+        "tile_stats_agg",
+        "region_stats",
+    ]
+
+    timings: dict[str, float] = {}
+    # warm up session, views, and the Python UDF worker pool once so
+    # per-query numbers measure the query, not process spawn
+    import pandas as pd
+
+    from raquet_spark.queries import register_views
+
+    register_views(spark, sf_dir)
+    spark.range(spark.sparkContext.defaultParallelism * 2).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+    _ = pd
+
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    # raster pipeline bench: 8x8 tiles x 256px native + full pyramid
+    from raquet_spark.operators.pyramid import build_pyramid
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.testing import make_synthetic_raster
+
+    t0 = time.perf_counter()
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=8, tiles_x=8, tiles_y=8, origin_x=64, origin_y=80,
+        block_size=256, num_bands=1, dtype="float32", nodata=-1.0, nodata_every=11,
+    )
+    stats = with_tile_stats(tiles, meta)
+    stats.count()
+    timings["raster_tile_stats_4mpx"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pyr, _ = build_pyramid(tiles, meta, min_zoom=5, resampling="average")
+    pyr.count()
+    timings["raster_pyramid_4mpx"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

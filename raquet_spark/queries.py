@@ -52,9 +52,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_REGISTERED: set[tuple[str, str]] = set()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _REGISTERED:
+        return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _REGISTERED.add(key)
 
 
 def _sql_query(sql_fn: Callable[[str], str]):
@@ -477,12 +484,21 @@ def _minhash_mins(d: str) -> str:
 
 
 def dedup_minhash(d: str) -> str:
-    """MinHash (unigram shingles) + 4-band × 2-row LSH candidate pairs."""
-    h = dl.md5_int("tok", d)
-    bands = [f"concat(CAST(m{2 * i} AS STRING), ':', CAST(m{2 * i + 1} AS STRING)) AS band{i}"
-             if d == "spark" else
-             f"concat(CAST(m{2 * i} AS VARCHAR), ':', CAST(m{2 * i + 1} AS VARCHAR)) AS band{i}"
-             for i in range(4)]
+    """MinHash over word 3-gram shingles + 4-band × 2-row LSH pairs.
+
+    Banded shape is the scale path: candidates come from equi-joins on
+    the band key (shuffle-partitionable), never an all-pairs compare."""
+    el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
+    shingle = f"concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')})"
+    shingles = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('toks', d)} - 2", d), "i", shingle, d
+    )
+    h = dl.md5_int("shingle", d)
+    cast_s = "STRING" if d == "spark" else "VARCHAR"
+    bands = [
+        f"concat(CAST(m{2 * i} AS {cast_s}), ':', CAST(m{2 * i + 1} AS {cast_s})) AS band{i}"
+        for i in range(4)
+    ]
     pair_selects = " UNION ".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b "
         f"ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id"
@@ -490,9 +506,12 @@ def dedup_minhash(d: str) -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, {dl.explode(_tokens(d), 'tok', d)} FROM documents
+  SELECT doc_id, {_tokens(d)} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {dl.explode(shingles, 'shingle', d)}
+  FROM tok WHERE {dl.arr_size('toks', d)} >= 3
 ), hashes AS (
-  SELECT doc_id, {h} AS h FROM tok
+  SELECT doc_id, {h} AS h FROM sh
 ), mins AS (
   SELECT doc_id, {_minhash_mins(d)} FROM hashes GROUP BY doc_id
 ), sigs AS (
@@ -503,9 +522,24 @@ SELECT doc_a, doc_b FROM ({pair_selects}) p
 
 
 def dedup_simhash(d: str) -> str:
-    """32-bit SimHash over token hashes; near-dup pairs at hamming <= 6."""
-    h = dl.md5_int("tok", d, hex_chars=8)
+    """48-bit SimHash over token hashes; near-dup pairs at hamming <= 3.
+
+    Scale path: hamming <= 3 with 4 chunks of 12 bits ⇒ by pigeonhole at
+    least one chunk is identical, so candidates come from 4 equi-joins
+    on chunk value (shuffle-partitionable), then the exact hamming
+    filter — never an all-pairs compare."""
+    h = dl.md5_int("tok", d, hex_chars=12)
     xor = dl.bxor("a.simhash", "b.simhash", d)
+    chunks = ", ".join(
+        f"({dl.shr('simhash', 12 * i, d)} & 4095) AS c{i}" for i in range(4)
+    )
+    pair_selects = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"{dl.bit_count(xor, d)} AS hamming "
+        f"FROM chunks a JOIN chunks b ON a.c{i} = b.c{i} AND a.doc_id < b.doc_id "
+        f"WHERE {dl.bit_count(xor, d)} <= 3"
+        for i in range(4)
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, {dl.explode(_tokens(d), 'tok', d)} FROM documents
@@ -514,17 +548,16 @@ WITH tok AS (
 ), bits AS (
   SELECT doc_id, j,
          SUM(CASE WHEN ({dl.shr('h', 'j', d)} & 1) = 1 THEN 1 ELSE -1 END) AS s
-  FROM hashes, (SELECT {dl.explode(dl.seq(0, 31, d), 'j', d)}) js
+  FROM hashes, (SELECT {dl.explode(dl.seq(0, 47, d), 'j', d)}) js
   GROUP BY doc_id, j
 ), sims AS (
   SELECT doc_id,
          SUM(CASE WHEN s > 0 THEN {dl.shl('CAST(1 AS BIGINT)', 'j', d)} ELSE 0 END) AS simhash
   FROM bits GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash, {chunks} FROM sims
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       {dl.bit_count(xor, d)} AS hamming
-FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE {dl.bit_count(xor, d)} <= 6
+SELECT doc_a, doc_b, hamming FROM ({pair_selects}) p
 """
 
 

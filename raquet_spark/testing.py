@@ -76,8 +76,10 @@ def make_synthetic_raster(
     ensure_package_shipped(spark)
     band_names = [f"band_{i + 1}" for i in range(num_bands)]
 
+    n_tiles = tiles_x * tiles_y
+    n_parts = max(1, min(n_tiles, spark.sparkContext.defaultParallelism))
     grid = (
-        spark.range(tiles_x * tiles_y)
+        spark.range(n_tiles, numPartitions=n_parts)
         .select(
             (F.lit(origin_x) + F.col("id") % tiles_x).alias("tx"),
             (F.lit(origin_y) + (F.col("id") / tiles_x).cast("long")).alias("ty"),
