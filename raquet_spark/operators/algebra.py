@@ -1,0 +1,113 @@
+"""Raster algebra: per-pixel map operations over band blobs.
+
+The reference applies scale/offset at read time (DN → physical:
+``physical = DN * scale + offset``, format-specs/raquet.md:344-345) and
+leaves band math to the warehouse. Here both are first-class operators:
+an arbitrary numpy expression over one or more bands of the same tile,
+vectorized per tile inside one Arrow batch pass. Used for NDVI-style
+two-band indices, clipping, and DN→physical conversion.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from raquet_spark.core.metadata import parse_nodata
+from raquet_spark.functions.bands import decode_block, encode_block
+
+
+def map_bands(
+    df: DataFrame,
+    metadata: dict,
+    fn: Callable[[dict[str, np.ndarray]], np.ndarray],
+    out_band: str = "band_out",
+    out_type: str = "float64",
+    out_nodata: float | None = None,
+    keep_bands: bool = False,
+) -> DataFrame:
+    """Apply ``fn({band_name: values}) -> values`` per tile.
+
+    nodata pixels of any input band propagate to ``out_nodata`` (or NaN
+    for float outputs when unset). Output is an encoded RaQuet blob
+    column, so results compose with every other operator (stats,
+    pyramid, write).
+    """
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    bands = [(b["name"], b["type"], parse_nodata(b.get("nodata"))) for b in metadata["bands"]]
+    compression = metadata.get("compression", "gzip")
+    fill = out_nodata if out_nodata is not None else np.nan
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_col = []
+            for _, row in pdf.iterrows():
+                arrs: dict[str, np.ndarray] = {}
+                bad = None
+                for name, btype, nodata in bands:
+                    v = decode_block(row[name], btype).astype("f8")
+                    mask = ~np.isfinite(v)
+                    if nodata is not None and not (
+                        isinstance(nodata, float) and np.isnan(nodata)
+                    ):
+                        mask |= v == nodata
+                    bad = mask if bad is None else (bad | mask)
+                    arrs[name] = v
+                res = fn(arrs).astype("f8")
+                if bad is not None and bad.any():
+                    res = np.where(bad, fill, res)
+                out_col.append(encode_block(res, out_type, compression))
+            cols = {"block": pdf["block"]}
+            if keep_bands:
+                for name, _, _ in bands:
+                    cols[name] = pdf[name]
+            cols[out_band] = out_col
+            yield pd.DataFrame(cols)
+
+    fields = ["block bigint"]
+    if keep_bands:
+        fields += [f"{name} binary" for name, _, _ in bands]
+    fields.append(f"{out_band} binary")
+    return df.mapInPandas(compute, schema=", ".join(fields))
+
+
+def apply_scale_offset(df: DataFrame, metadata: dict, band: str) -> DataFrame:
+    """DN → physical values for one band using metadata scale/offset."""
+    bm = next(b for b in metadata["bands"] if b["name"] == band)
+    scale = bm.get("scale") or 1.0
+    offset = bm.get("offset") or 0.0
+    meta_one = dict(metadata, bands=[bm])
+    return map_bands(
+        df.select("block", band), meta_one,
+        lambda a: a[band] * scale + offset,
+        out_band=f"{band}_physical",
+    )
+
+
+def clip_values(df: DataFrame, metadata: dict, band: str, lo: float, hi: float) -> DataFrame:
+    bm = next(b for b in metadata["bands"] if b["name"] == band)
+    meta_one = dict(metadata, bands=[bm])
+    return map_bands(
+        df.select("block", band), meta_one,
+        lambda a: np.clip(a[band], lo, hi),
+        out_band=f"{band}_clipped",
+    )
+
+
+def normalized_difference(df: DataFrame, metadata: dict, band_a: str, band_b: str) -> DataFrame:
+    """(a - b) / (a + b) — the NDVI shape; zero-sum pixels → NaN."""
+    bms = [b for b in metadata["bands"] if b["name"] in (band_a, band_b)]
+    meta_two = dict(metadata, bands=bms)
+
+    def nd(a: dict[str, np.ndarray]) -> np.ndarray:
+        s = a[band_a] + a[band_b]
+        return np.divide(
+            a[band_a] - a[band_b], s, out=np.full(s.shape, np.nan), where=s != 0
+        )
+
+    return map_bands(df.select("block", band_a, band_b), meta_two, nd, out_band="ndiff")

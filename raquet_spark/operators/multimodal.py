@@ -1,0 +1,160 @@
+"""Multimodal binary columns: images/audio/video as opaque ``binary``
+plus typed metadata, with Arrow-batched decode / feature-extract /
+resize / frame-sample plumbing.
+
+The container has no image/audio libraries, so the *codec* step is
+deterministic-fake or NotImplementedError behind ``CODECS`` — but the
+Spark-side contract (schema, partitioning, UDF signatures, batch
+shapes) is real and tested: swap a codec entry for a PIL/ffmpeg
+implementation and nothing else changes.
+
+Fake codec format (deterministic, self-describing, used by tests and
+the data generator): ``b"FAKEIMG1" + uint16 width + uint16 height +
+uint8 channels + payload`` where payload[i] = (i * 37 + seed) % 251.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"FAKEIMG1"
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, width int, height int, "
+    "channels int, duration_ms int"
+)
+
+
+def encode_fake_image(width: int, height: int, channels: int, seed: int = 0) -> bytes:
+    n = width * height * channels
+    payload = ((np.arange(n, dtype=np.int64) * 37 + seed) % 251).astype("u1").tobytes()
+    return MAGIC + struct.pack("<HHB", width, height, channels) + payload
+
+
+def decode_fake_image(buf: bytes) -> np.ndarray:
+    if buf[:8] != MAGIC:
+        raise ValueError("not a FAKEIMG1 payload")
+    w, h, c = struct.unpack("<HHB", buf[8:13])
+    arr = np.frombuffer(buf[13 : 13 + w * h * c], dtype="u1")
+    return arr.reshape(h, w, c)
+
+
+def _real_codec_stub(name: str) -> Callable:
+    def stub(*_a, **_k):
+        raise NotImplementedError(
+            f"{name} codec requires an image/audio library not present in this "
+            "container; register one in multimodal.CODECS"
+        )
+
+    return stub
+
+
+CODECS: dict[str, dict[str, Callable]] = {
+    "fake": {"decode": decode_fake_image, "encode": encode_fake_image},
+    "jpeg": {"decode": _real_codec_stub("jpeg"), "encode": _real_codec_stub("jpeg")},
+    "png": {"decode": _real_codec_stub("png"), "encode": _real_codec_stub("png")},
+    "wav": {"decode": _real_codec_stub("wav"), "encode": _real_codec_stub("wav")},
+}
+
+
+def make_media_table(spark, n: int = 64, kind: str = "image", codec: str = "fake") -> DataFrame:
+    """Deterministic media table for tests/benchmarks."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = CODECS[codec]["encode"]
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            w = 32 + (ids % 4) * 16
+            h = 32 + ((ids * 3) % 4) * 16
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": kind,
+                "payload": [
+                    enc(int(wi), int(hi), 3, seed=int(i)) for i, wi, hi in zip(ids, w, h)
+                ],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "channels": 3,
+                "duration_ms": 0,
+            })
+
+    n_parts = max(1, min(n // 16, spark.sparkContext.defaultParallelism))
+    return spark.range(n, numPartitions=n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode each payload and emit simple per-channel statistics —
+    the shape of any real feature extractor (CLIP embedding, mel
+    spectrogram): binary in, fixed-width vector out, one Arrow batch at
+    a time."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    dec = CODECS[codec]["decode"]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = dec(bytes(payload))
+                rows.append({
+                    "media_id": mid,
+                    "mean_rgb": [float(img[:, :, c].mean()) for c in range(img.shape[2])],
+                    "std_rgb": [float(img[:, :, c].std()) for c in range(img.shape[2])],
+                    "aspect": float(img.shape[1] / img.shape[0]),
+                })
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        feats,
+        schema="media_id bigint, mean_rgb array<double>, std_rgb array<double>, aspect double",
+    )
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") -> DataFrame:
+    """Nearest-neighbor resize, payload→payload (plumbing for thumbnail
+    generation; swap the kernel for PIL when available)."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    dec, enc_magic = CODECS[codec]["decode"], MAGIC
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                img = dec(bytes(payload))
+                h, w, c = img.shape
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                small = img[np.ix_(yi, xi)]
+                out.append(
+                    enc_magic + struct.pack("<HHB", out_w, out_h, c) + small.tobytes()
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": out,
+                "width": out_w,
+                "height": out_h,
+            })
+
+    return df.mapInPandas(
+        resize, schema="media_id bigint, payload binary, width int, height int"
+    )
+
+
+def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame-sampling contract for video: one row in, N frame rows out
+    (here: synthetic frame indices, since no video codec exists in the
+    container — the explode shape is what matters)."""
+    frames = F.expr(f"sequence(0, greatest(CAST(duration_ms / 1000 AS INT), 1) - 1, {every_nth})")
+    return df.select("media_id", F.explode(frames).alias("frame_idx"))

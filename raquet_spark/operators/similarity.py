@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a training-data pipeline needs at 100 TB:
+
+- ``cosine_topk``: brute-force exact top-k — a crossJoin shaped as
+  broadcast(queries) × candidates so the big side streams; correct
+  baseline and fine when |queries| is small.
+- ``ann_lsh``: random-hyperplane LSH — candidates only meet inside a
+  bucket (equi-join on the signature), turning O(N·Q) into
+  O(sum of bucket products). Multi-probe via ``n_tables`` independent
+  tables. Recall is tested against the brute-force baseline.
+
+All scoring is JVM-side Column math (zip_with/aggregate) — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query row (broadcast the queries)."""
+    from pyspark.sql.window import Window
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        , "_qv"
+    ).withColumnRenamed("_norm", "_qnorm")
+    c = with_norm(
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm")
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("score", _dot("_qv", "_cv") / F.col("_qnorm") / F.col("_cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "cand_id", "score", "rn")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _signature(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Bit signature: sign of the projection on each hyperplane."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        arr = f"array({', '.join(f'CAST({v} AS DOUBLE)' for v in plane)})"
+        proj = _dot(vec_col, arr)
+        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+def ann_lsh(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching LSH buckets.
+
+    Output schema matches ``cosine_topk`` (query_id, cand_id, score, rn)
+    so recall can be measured by joining the two."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    tables = _hyperplanes(dim, n_bits, n_tables, seed)
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv"
+    ).withColumnRenamed("_norm", "_qnorm")
+    c = with_norm(
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")), "_cv"
+    ).withColumnRenamed("_norm", "_cnorm")
+
+    matches = None
+    for t, planes in enumerate(tables):
+        qb_ = q.withColumn("_sig", _signature("_qv", planes)).withColumn("_t", F.lit(t))
+        cb = c.withColumn("_sig", _signature("_cv", planes)).withColumn("_t", F.lit(t))
+        m = cb.join(qb_, ["_t", "_sig"]).where(F.col("query_id") != F.col("cand_id"))
+        matches = m if matches is None else matches.unionByName(m)
+
+    pairs = matches.select("query_id", "cand_id", "_qv", "_cv", "_qnorm", "_cnorm").distinct()
+    scored = pairs.withColumn("score", _dot("_qv", "_cv") / F.col("_qnorm") / F.col("_cnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "cand_id", "score", "rn")
+    )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
+    """|approx ∩ exact| / |exact| over (query_id, cand_id) pairs."""
+    e = exact.select("query_id", "cand_id")
+    hits = e.join(approx.select("query_id", "cand_id"), ["query_id", "cand_id"]).count()
+    total = e.count()
+    return hits / total if total else math.nan

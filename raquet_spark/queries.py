@@ -731,6 +731,17 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "doc_fingerprint": doc_fingerprint,
 }
 
+def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors — rows-only check
+    (approximate by construction; recall vs brute force is pytest-gated,
+    see tests/test_similarity_multimodal_streaming.py)."""
+    from raquet_spark.operators.similarity import ann_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id % 25 = 0")
+    return ann_lsh(emb, queries_df, k=5, n_bits=4, n_tables=12)
+
+
 # Spark-pipeline queries with hand-written DuckDB oracles
 _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "tile_stats_agg": (tile_stats_agg_spark, tile_stats_agg_oracle),
@@ -738,6 +749,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "raster_histogram": (raster_histogram_spark, None),
     "raster_point_value": (raster_point_value_spark, None),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
+    "ann_lsh": (ann_lsh_spark, None),
 }
 
 

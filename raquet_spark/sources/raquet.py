@@ -68,8 +68,7 @@ def write_raquet(
     spark = df.sparkSession
     num_blocks = df.count()
     metadata = dict(metadata)
-    metadata.setdefault("tiling", {})
-    metadata["tiling"]["num_blocks"] = num_blocks
+    metadata["tiling"] = dict(metadata.get("tiling", {}), num_blocks=num_blocks)
 
     df = ensure_metadata_column(df)
     meta_row = _metadata_row(spark, df, metadata)
@@ -134,8 +133,9 @@ def write_raquet_partitioned(
         partition_zoom = auto_partition_zoom(native_zoom)
 
     metadata = dict(metadata)
-    metadata["tiling"]["num_blocks"] = df.count()
+    metadata["tiling"] = dict(metadata.get("tiling", {}), num_blocks=df.count())
 
+    df = ensure_metadata_column(df)
     part = df.withColumn(
         "part_cell", F.expr(qb.cell_to_parent_sql("block", partition_zoom, "spark"))
     )

@@ -1,0 +1,200 @@
+"""Algebra, layout conversion, export, time dimension, validation,
+partitioned writes."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raquet_spark.functions import quadbin as qb
+from raquet_spark.functions.bands import decode_block
+from raquet_spark.operators.algebra import (
+    apply_scale_offset,
+    clip_values,
+    map_bands,
+    normalized_difference,
+)
+from raquet_spark.operators.layout import to_interleaved, to_sequential
+from raquet_spark.operators.export import (
+    pixel_table_with_lonlat,
+    to_numpy_mosaic,
+    to_pixel_table,
+)
+from raquet_spark.operators.pyramid import build_pyramid
+from raquet_spark.operators.time_dim import (
+    CFTime,
+    parse_cf_units,
+    per_step_stats,
+    temporal_slice,
+    with_time_ts,
+)
+from raquet_spark.operators.tile_stats import with_tile_stats
+from raquet_spark.sources.raquet import (
+    read_raquet,
+    read_raquet_metadata,
+    split_zoom,
+    write_raquet,
+    write_raquet_partitioned,
+)
+from raquet_spark.sources.validate import validate_raquet
+from raquet_spark.testing import make_synthetic_raster, synthetic_tile_array
+
+Z, TX, TY, BS = 6, 16, 20, 32
+
+
+@pytest.fixture(scope="module")
+def raster2(spark):
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=Z, tiles_x=2, tiles_y=2, origin_x=TX, origin_y=TY,
+        block_size=BS, num_bands=2, dtype="float32", nodata=-1.0, nodata_every=9,
+    )
+    return tiles.cache(), meta
+
+
+def _tile(i=0, band=0):
+    return synthetic_tile_array(TX, TY, Z, BS, band, 42, "float32",
+                                nodata=-1.0, nodata_every=9)
+
+
+def test_map_bands_and_ndiff(spark, raster2):
+    tiles, meta = raster2
+    out = map_bands(tiles, meta, lambda a: a["band_1"] * 2 + a["band_2"],
+                    out_band="combo")
+    row = out.where(F.col("block") == qb.py_tile_to_cell(TX, TY, Z)).collect()[0]
+    got = decode_block(row["combo"], "float64")
+    b1, b2 = _tile(band=0).astype("f8"), _tile(band=1).astype("f8")
+    bad = (b1 == -1.0) | (b2 == -1.0)
+    want = np.where(bad, np.nan, b1 * 2 + b2)
+    np.testing.assert_allclose(got, want, equal_nan=True)
+
+    nd = normalized_difference(tiles, meta, "band_1", "band_2")
+    ndrow = nd.where(F.col("block") == qb.py_tile_to_cell(TX, TY, Z)).collect()[0]
+    ndgot = decode_block(ndrow["ndiff"], "float64")
+    s = b1 + b2
+    ndwant = np.where(bad | (s == 0), np.nan, (b1 - b2) / np.where(s == 0, 1, s))
+    np.testing.assert_allclose(ndgot, ndwant, equal_nan=True, rtol=1e-12)
+
+
+def test_scale_offset_clip(spark, raster2):
+    tiles, meta = raster2
+    meta_s = dict(meta)
+    meta_s["bands"] = [dict(meta["bands"][0], scale=0.5, offset=10.0), meta["bands"][1]]
+    out = apply_scale_offset(tiles, meta_s, "band_1")
+    row = out.where(F.col("block") == qb.py_tile_to_cell(TX, TY, Z)).collect()[0]
+    got = decode_block(row["band_1_physical"], "float64")
+    b1 = _tile().astype("f8")
+    want = np.where(b1 == -1.0, np.nan, b1 * 0.5 + 10.0)
+    np.testing.assert_allclose(got, want, equal_nan=True)
+
+    cl = clip_values(tiles, meta, "band_1", 10.0, 100.0)
+    crow = cl.where(F.col("block") == qb.py_tile_to_cell(TX, TY, Z)).collect()[0]
+    cgot = decode_block(crow["band_1_clipped"], "float64")
+    assert np.nanmin(cgot) >= 10.0 and np.nanmax(cgot) <= 100.0
+
+
+def test_layout_roundtrip(spark, raster2):
+    tiles, meta = raster2
+    inter, meta_i = to_interleaved(tiles, meta)
+    assert meta_i["band_layout"] == "interleaved"
+    assert inter.columns == ["block", "pixels"]
+    back, meta_s = to_sequential(inter, meta_i)
+    row = back.where(F.col("block") == qb.py_tile_to_cell(TX, TY, Z)).collect()[0]
+    np.testing.assert_array_equal(decode_block(row["band_1"], "float32"), _tile(band=0))
+    np.testing.assert_array_equal(decode_block(row["band_2"], "float32"), _tile(band=1))
+
+
+def test_lossy_stub(spark, raster2):
+    tiles, meta = raster2
+    with pytest.raises((NotImplementedError, ValueError)):
+        to_interleaved(tiles, meta, compression="webp")
+
+
+def test_pixel_table_and_mosaic(spark, raster2):
+    tiles, meta = raster2
+    px = to_pixel_table(tiles, meta, bands=["band_1"])
+    assert px.count() == 4 * BS * BS
+    one = px.where((F.col("gx") == TX * BS) & (F.col("gy") == TY * BS)).collect()[0]
+    assert one["band_1"] == float(_tile()[0])
+
+    with_ll = pixel_table_with_lonlat(px.limit(10), meta)
+    r = with_ll.collect()[0]
+    assert -180 <= r["lon"] <= 180 and -90 <= r["lat"] <= 90
+
+    mosaic, (gx0, gy0) = to_numpy_mosaic(tiles, meta, "band_1")
+    assert mosaic.shape == (2 * BS, 2 * BS)
+    assert (gx0, gy0) == (TX * BS, TY * BS)
+    np.testing.assert_array_equal(mosaic[:BS, :BS], _tile().reshape(BS, BS).astype("f8"))
+
+
+def test_time_dimension(spark, raster2):
+    tiles, meta = raster2
+    cf = parse_cf_units("minutes since 1980-01-01 00:00:00")
+    assert cf.units == "minutes" and cf.reference == datetime.datetime(1980, 1, 1)
+
+    with_t = tiles.crossJoin(
+        spark.createDataFrame([(0.0,), (44640.0,)], "time_cf double")
+    )
+    out = with_time_ts(with_t, cf)
+    ts = sorted({r["time_ts"] for r in out.select("time_ts").distinct().collect()})
+    assert ts[0] == datetime.datetime(1980, 1, 1, 0, 0)
+    assert ts[1] == datetime.datetime(1980, 2, 1, 0, 0)
+
+    # non-Gregorian → NULL
+    cf360 = CFTime(units="days", reference=datetime.datetime(1980, 1, 1), calendar="360_day")
+    nulls = with_time_ts(with_t, cf360).where(F.col("time_ts").isNotNull()).count()
+    assert nulls == 0
+
+    assert temporal_slice(out, 0.0, 100.0).count() == 4
+
+    stats = with_tile_stats(out, meta)
+    per_step = per_step_stats(stats, "band_1").collect()
+    assert len(per_step) == 2
+    b1 = np.concatenate([
+        synthetic_tile_array(TX + i, TY + j, Z, BS, 0, 42, "float32",
+                             nodata=-1.0, nodata_every=9)
+        for i in range(2) for j in range(2)
+    ])
+    valid = b1[b1 != -1.0].astype("f8")
+    for r in per_step:
+        assert r["count"] == valid.size
+        assert r["mean"] == pytest.approx(valid.mean())
+
+
+def test_validate_good_and_bad(spark, raster2, tmp_path):
+    tiles, meta = raster2
+    pyr, meta_p = build_pyramid(tiles, meta, min_zoom=Z - 1)
+    path = str(tmp_path / "good.parquet")
+    write_raquet(pyr, path, meta_p)
+    res = validate_raquet(spark, path, check_band_data=True)
+    assert res.is_valid, res.errors
+    assert res.info["num_blocks"] == 5
+
+    # corrupt: drop native tiles → overview orphans
+    bad = read_raquet(spark, path).where(
+        F.expr(qb.cell_to_zoom_sql("block", "spark")) == Z - 1
+    )
+    bad_path = str(tmp_path / "bad.parquet")
+    write_raquet(bad, bad_path, meta_p)
+    res2 = validate_raquet(spark, bad_path)
+    assert any("native-resolution" in e for e in res2.errors), res2.errors
+
+
+def test_partitioned_write_and_split_zoom(spark, raster2, tmp_path):
+    tiles, meta = raster2
+    p1 = str(tmp_path / "part.parquet")
+    write_raquet_partitioned(tiles, p1, meta, partition_zoom=5)
+    back = read_raquet(spark, p1)
+    assert back.where(F.col("block") != 0).count() == 4
+    m = read_raquet_metadata(spark, p1)
+    assert m["tiling"]["num_blocks"] == 4  # summed across partition metadata rows
+
+    pyr, meta_p = build_pyramid(tiles, meta, min_zoom=Z - 1)
+    p2 = str(tmp_path / "zoom.parquet")
+    split_zoom(pyr, p2, meta_p)
+    z_native = spark.read.parquet(f"{p2}/zoom={Z}")
+    assert z_native.where(F.col("block") != 0).count() == 4
+    z_over = spark.read.parquet(f"{p2}/zoom={Z - 1}")
+    assert z_over.where(F.col("block") != 0).count() == 1
