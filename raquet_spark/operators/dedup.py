@@ -1,0 +1,225 @@
+"""Deduplication operators — DataFrame API.
+
+Same algorithms as the oracle-checked SQL templates in
+raquet_spark/queries.py (single logic source: the Spark-dialect
+expression builders), exposed programmatically over arbitrary
+DataFrames/columns. All candidate generation is equi-join shaped
+(band/bucket keys), never all-pairs — the property that matters at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raquet_spark.functions import dialect as dl
+
+MINHASH_PARAMS = [
+    (1664525, 1013904223), (22695477, 1), (1103515245, 12345), (214013, 2531011),
+    (134775813, 1), (69069, 0), (1103515245, 54321), (22695477, 7777),
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct content hash."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "toks") -> DataFrame:
+    return df.withColumn(
+        out_col, F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    params: list[tuple[int, int]] = MINHASH_PARAMS,
+) -> DataFrame:
+    """(id, m0..m{k-1}) MinHash signature over word n-gram shingles."""
+    d = "spark"
+    tok = tokenize(df.select(id_col, text_col), text_col)
+    el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
+    parts = " , ' ', ".join(el(f"i + {k}") for k in range(shingle)).split(" , ")
+    sh_expr = f"concat({', '.join(parts)})"
+    shingles = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('toks', d)} - {shingle - 1}", d), "i", sh_expr, d
+    )
+    sh = tok.where(F.expr(f"{dl.arr_size('toks', d)} >= {shingle}")).select(
+        id_col, F.explode(F.expr(shingles)).alias("shingle")
+    )
+    hashed = sh.select(id_col, F.expr(dl.md5_int("shingle", d)).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % 2147483647).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded signatures via per-band
+    group joins (explode to (band, key) then self-join on the key)."""
+    sig_cols = [c for c in signatures.columns if c != id_col]
+    n_bands = len(sig_cols) // rows_per_band
+    bands = F.array(*[
+        F.concat_ws(":", *[F.col(sig_cols[b * rows_per_band + r]).cast("string")
+                           for r in range(rows_per_band)])
+        for b in range(n_bands)
+    ])
+    banded = signatures.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return lsh_candidate_pairs(minhash_signatures(df, text_col, id_col), id_col)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 48
+) -> DataFrame:
+    """(id, simhash) where simhash is the ``bits``-wide sign-sum hash of
+    the token hash set — computed in one codegen'd projection (array
+    aggregation), no token explode."""
+    d = "spark"
+    tok = tokenize(df.select(id_col, text_col), text_col)
+    hashes = dl.arr_transform("toks", "t", dl.md5_int("t", d, hex_chars=12), d)
+    bit_sums = (
+        f"transform(sequence(0, {bits - 1}), j -> "
+        f"aggregate(hs, 0, (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 "
+        f"THEN 1 ELSE -1 END))"
+    )
+    sim = (
+        "aggregate(zip_with(bsums, sequence(0, {b}), (s, j) -> "
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    ).format(b=bits - 1)
+    return (
+        tok.withColumn("hs", F.expr(hashes))
+        .withColumn("bsums", F.expr(bit_sums))
+        .select(id_col, F.expr(sim).alias("simhash"))
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs at hamming <= ``max_hamming`` via pigeonhole chunk blocking:
+    with (max_hamming + 1) chunks, any qualifying pair shares at least
+    one exact chunk — candidates come from chunk equi-joins."""
+    n_chunks = max_hamming + 1
+    cw = bits // n_chunks
+    sigs = simhash_signatures(df, text_col, id_col, bits)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.expr(f"shiftright(simhash, {cw * i}) & {(1 << cw) - 1}")
+            for i in range(n_chunks)
+        ])).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Character n-gram Jaccard over pairs sharing ``bucket_col``
+    (blocking key; None = single bucket — only for small inputs)."""
+    d = "spark"
+    grams = dl.arr_distinct(
+        dl.arr_transform(
+            dl.seq(1, f"length(lower({text_col})) - {n - 1}", d), "i",
+            f"substr(lower({text_col}), i, {n})", d,
+        ),
+        d,
+    )
+    cols = [id_col, F.expr(grams).alias("grams")]
+    if bucket_col:
+        cols.insert(1, F.col(bucket_col).alias("_bucket"))
+    g = df.where(F.length(text_col) >= n).select(*cols)
+    a, b = g.alias("a"), g.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col:
+        cond = (F.col("a._bucket") == F.col("b._bucket")) & cond
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within a blocking bucket."""
+    from raquet_spark.operators.similarity import _dot, with_norm
+
+    cols = [F.col(id_col), F.col(vec_col).alias("_v")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("_bucket"))
+    g = with_norm(df.select(*cols), "_v")
+    a, b = g.alias("a"), g.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_col:
+        cond = (F.col("a._bucket") == F.col("b._bucket")) & cond
+    return (
+        a.join(b, cond)
+        .withColumn("cos_sim", _dot("a._v", "b._v") / F.col("a._norm") / F.col("b._norm"))
+        .where(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_sim",
+        )
+    )

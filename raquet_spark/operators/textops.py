@@ -1,0 +1,127 @@
+"""Text analysis operators — DataFrame API (language-ID, quality
+scoring, token counting, fingerprinting). All pure Column expressions
+(JVM-side regex + higher-order functions); same logic as the
+oracle-checked SQL templates in raquet_spark/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raquet_spark.functions import dialect as dl
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+
+def _toks(text_col: str) -> str:
+    return f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish (letters / digits / symbol)
+    sub-token count."""
+    ws = f"size(regexp_extract_all({text_col}, '[^ ]+', 0))"
+    bpe = f"size(regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))"
+    return df.withColumn("ws_tokens", F.expr(ws)).withColumn("bpe_tokens", F.expr(bpe))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic; adds ``pred_lang``."""
+    d = "spark"
+    out = df.withColumn("_toks", F.expr(_toks(text_col)))
+    score_cols = []
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        c = F.expr(dl.arr_size(dl.arr_filter("_toks", "t", f"t IN ({lst})", d), d))
+        out = out.withColumn(f"_score_{lang}", c)
+        score_cols.append(f"_score_{lang}")
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(F.col(f"_score_{lang}") == best, F.lit(lang))
+    return out.withColumn("pred_lang", pred).drop("_toks", *score_cols)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a combined
+    [0, 1] quality score (heuristic: enough words, sane word length,
+    moderate punctuation, some stopwords)."""
+    d = "spark"
+    out = df.withColumn("_toks", F.expr(_toks(text_col)))
+    n_words = F.size("_toks")
+    n_chars = F.length(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_stop = F.expr(dl.arr_size(dl.arr_filter("_toks", "t", f"t IN ({stop_list})", d), d))
+    punct = (n_chars - F.length(F.regexp_replace(text_col, r"[.,;:!?]", ""))) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    awl = n_chars.cast("double") / F.greatest(n_words, F.lit(1))
+    out = (
+        out.withColumn("n_words", n_words)
+        .withColumn("avg_word_len", awl)
+        .withColumn("punct_ratio", punct)
+        .withColumn("stopword_ratio", n_stop / F.greatest(n_words, F.lit(1)))
+    )
+    score = (
+        F.when(F.col("n_words") >= 10, 0.25).otherwise(F.col("n_words") / 40.0)
+        + F.when(F.col("avg_word_len").between(3.0, 12.0), 0.25).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.least(F.col("stopword_ratio") * 2.5, F.lit(0.25))
+    )
+    return out.withColumn("quality_score", score).drop("_toks")
+
+
+def with_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints: k-gram rolling hashes, min per
+    window; adds ``fingerprints`` (distinct array) for containment/
+    near-dup detection."""
+    d = "spark"
+    hashes = dl.arr_transform(
+        dl.seq(1, f"length({text_col}) - {k - 1}", d), "i",
+        dl.md5_int(f"substr({text_col}, i, {k})", d), d,
+    )
+    wins = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('_h', d)} - {window - 1}", d), "j",
+        dl.arr_min(dl.arr_slice("_h", "j", window, d), d), d,
+    )
+    return (
+        df.where(F.length(text_col) >= k + window - 1)
+        .withColumn("_h", F.expr(hashes))
+        .withColumn("fingerprints", F.expr(f"array_distinct({wins})"))
+        .drop("_h")
+    )
+
+
+def fingerprint_containment(
+    df: DataFrame, id_col: str = "doc_id", fp_col: str = "fingerprints",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairs whose fingerprint overlap / min-size >= threshold, via an
+    inverted index (explode → group by fingerprint → pair counts) — the
+    scalable shape for containment search."""
+    inv = df.select(id_col, F.explode(fp_col).alias("fp"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pair_counts = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("overlap"))
+    )
+    sizes = df.select(F.col(id_col), F.size(fp_col).alias("n_fp"))
+    return (
+        pair_counts.join(sizes.withColumnRenamed(id_col, "id_a")
+                         .withColumnRenamed("n_fp", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_fp", "n_b"), "id_b")
+        .withColumn("containment", F.col("overlap") / F.least("n_a", "n_b"))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "overlap", "containment")
+    )

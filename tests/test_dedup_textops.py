@@ -1,0 +1,124 @@
+"""DataFrame-API dedup/text operators; cross-checked against the
+oracle-checked SQL templates where both exist."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from raquet_spark.operators.dedup import (
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+    simhash_signatures,
+)
+from raquet_spark.operators.textops import (
+    fingerprint_containment,
+    with_fingerprints,
+    with_language_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from raquet_spark.queries import load_table
+
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_exact_dedup(spark, docs):
+    dup = docs.union(docs.limit(10))  # inject 10 duplicates
+    out = exact_dedup(dup)
+    assert out.count() == docs.count()
+
+
+def test_minhash_pairs_match_sql_registry(spark, docs):
+    """DataFrame API == oracle-checked SQL template output."""
+    import __spark_entry__ as m
+
+    api = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(docs).collect()
+    }
+    sql = {
+        (r["doc_a"], r["doc_b"])
+        for r in m.queries()["dedup_minhash"](spark, SF_DIR).collect()
+    }
+    assert api == sql
+
+
+def test_simhash_pairs_match_sql_registry(spark, docs):
+    import __spark_entry__ as m
+
+    api = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dedup_pairs(docs).collect()
+    }
+    sql = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in m.queries()["dedup_simhash"](spark, SF_DIR).collect()
+    }
+    assert api == sql
+
+
+def test_minhash_identical_texts_collide(spark, docs):
+    sigs = minhash_signatures(docs.union(docs.limit(1)))
+    first_id = docs.limit(1).collect()[0]["doc_id"]
+    rows = sigs.where(F.col("doc_id") == first_id).collect()
+    assert len(rows) == 1  # grouped
+
+    # two different docs with same text → identical signature
+    a = docs.limit(1).select(F.lit(1).alias("doc_id"), "text")
+    b = docs.limit(1).select(F.lit(2).alias("doc_id"), "text")
+    two = minhash_signatures(a.union(b)).collect()
+    s1 = [r for r in two if r["doc_id"] == 1][0]
+    s2 = [r for r in two if r["doc_id"] == 2][0]
+    assert [s1[f"m{i}"] for i in range(8)] == [s2[f"m{i}"] for i in range(8)]
+
+
+def test_ngram_and_embedding_pairs(spark, docs):
+    nj = ngram_jaccard_pairs(docs, bucket_col="source", threshold=0.2)
+    assert nj.count() > 0
+    r = nj.collect()[0]
+    assert 0.2 <= r["jaccard"] <= 1.0
+
+    from raquet_spark.queries import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    ep = embedding_dedup_pairs(emb, bucket_col="label", threshold=0.5)
+    for row in ep.limit(5).collect():
+        assert row["cos_sim"] >= 0.5
+
+
+def test_text_features(spark, docs):
+    out = with_token_counts(docs)
+    r = out.where(F.col("doc_id") == docs.first()["doc_id"]).collect()[0]
+    assert r["ws_tokens"] == len(r["text"].split())
+
+    lang = with_language_id(docs)
+    assert set(r["pred_lang"] for r in lang.select("pred_lang").distinct().collect()) <= {
+        "en", "es", "de", "fr", "unknown"
+    }
+
+    q = with_quality_score(docs)
+    vals = [r["quality_score"] for r in q.select("quality_score").collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprints(spark, docs):
+    fp = with_fingerprints(docs)
+    assert fp.count() == docs.where(F.length("text") >= 11).count()
+    # identical docs → containment 1.0
+    a = docs.limit(1).select(F.lit(101).alias("doc_id"), "text")
+    b = docs.limit(1).select(F.lit(102).alias("doc_id"), "text")
+    pairs = fingerprint_containment(with_fingerprints(a.union(b)))
+    row = pairs.collect()[0]
+    assert (row["id_a"], row["id_b"]) == (101, 102)
+    assert row["containment"] == pytest.approx(1.0)
