@@ -111,6 +111,14 @@ def dot64(a: str, b: str, d: str, dim: int = 64) -> str:
     return f"list_sum(list_transform(range(1, {dim} + 1), i -> {body}))"
 
 
+def arr_sum_over(a: str, var: str, body: str, d: str) -> str:
+    """Sum of ``body(var)`` over array elements (0 for empty on Spark;
+    guard empty arrays on the caller side for DuckDB NULL parity)."""
+    if d == SPARK:
+        return f"aggregate({a}, CAST(0 AS BIGINT), (acc, {var}) -> acc + CAST({body} AS BIGINT))"
+    return f"coalesce(list_sum(list_transform({a}, {var} -> CAST({body} AS BIGINT))), 0)"
+
+
 def dsum(expr: str, d: str, scale: int = 6) -> str:
     """Order-independent SUM: aggregate exact DECIMAL, return DOUBLE."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28, {scale}))) AS DOUBLE)"

@@ -266,6 +266,77 @@ def kring_from_tile_sql(x: str, y: str, z: str, k: int, dialect: str = "spark") 
 
 
 # ---------------------------------------------------------------------------
+# Staged query builders — linear-size plans for hot paths
+# ---------------------------------------------------------------------------
+# The single-expression generators above duplicate their operand at each
+# Morton stage (2^5 textual copies), which is fine for short column names
+# but costs seconds of Catalyst/codegen compile when the operand is a
+# long expression. These builders emit nested SELECT stages with named
+# intermediates instead: each stage's outputs are referenced twice by the
+# next stage, so CollapseProject keeps the projections separate and the
+# tree stays linear. Works identically in DuckDB.
+
+_SPREAD_STAGES = [(16, _M16), (8, _M8), (4, _M4), (2, _M2), (1, _M1)]
+
+
+def staged_tile_to_cell_query(
+    x_expr: str,
+    y_expr: str,
+    z: int,
+    from_sql: str,
+    carry: list[str],
+    dialect: str = "spark",
+    cell_name: str = "cell",
+) -> str:
+    """Subquery string computing ``cell_name`` = tile_to_cell(x, y, z)
+    via staged projections. ``from_sql`` is a FROM-able source (table or
+    parenthesized subquery) providing the inputs and carried columns."""
+    d = dialect
+    carry_str = (", " + ", ".join(carry)) if carry else ""
+    cur = (
+        f"SELECT CAST({_shl(f'CAST({x_expr} AS BIGINT)', 32 - z, d)} AS BIGINT) AS _qx, "
+        f"CAST({_shl(f'CAST({y_expr} AS BIGINT)', 32 - z, d)} AS BIGINT) AS _qy"
+        f"{carry_str} FROM {from_sql}"
+    )
+    for shift, mask in _SPREAD_STAGES:
+        sel = ", ".join(
+            f"((({n}) | {_shl(n, shift, d)}) & {mask}) AS {n}" for n in ("_qx", "_qy")
+        )
+        cur = f"SELECT {sel}{carry_str} FROM ({cur})"
+    cell = (
+        f"({HEADER} | {z << 52} | {_shr('_qx', 12, d)} | {_shr('_qy', 11, d)}"
+        f" | {FOOTER_MAX >> (z * 2)})"
+    )
+    return f"(SELECT {cell} AS {cell_name}{carry_str} FROM ({cur}))"
+
+
+def staged_point_to_cell_query(
+    lon_expr: str,
+    lat_expr: str,
+    z: int,
+    from_sql: str,
+    carry: list[str],
+    dialect: str = "spark",
+    cell_name: str = "cell",
+) -> str:
+    """Subquery string computing the quadbin cell of a lon/lat point via
+    staged projections (see staged_tile_to_cell_query)."""
+    d = dialect
+    carry_str = (", " + ", ".join(carry)) if carry else ""
+    m = 1 << z
+    clat = f"greatest(least(CAST({lat_expr} AS DOUBLE), {MAX_LAT}), {-MAX_LAT})"
+    sinlat = f"sin({clat} * pi() / 180.0)"
+    xf = f"(CAST({lon_expr} AS DOUBLE) / 360.0 + 0.5)"
+    yf = f"(0.5 - 0.25 * ln((1.0 + {sinlat}) / (1.0 - {sinlat})) / pi())"
+    stage0 = (
+        f"(SELECT least(greatest(CAST(floor({xf} * {m}) AS BIGINT), 0), {m - 1}) AS _xt, "
+        f"least(greatest(CAST(floor({yf} * {m}) AS BIGINT), 0), {m - 1}) AS _yt"
+        f"{carry_str} FROM {from_sql})"
+    )
+    return staged_tile_to_cell_query("_xt", "_yt", z, stage0, carry, d, cell_name)
+
+
+# ---------------------------------------------------------------------------
 # Spark Column convenience wrappers
 # ---------------------------------------------------------------------------
 

@@ -200,10 +200,12 @@ _LAT = "(CAST((c_custkey * 7) % 340 AS DOUBLE) / 2.0 - 84.75)"
 
 
 def qb_point_cells(d: str) -> str:
-    cell = qb.point_to_cell_sql(_LON, _LAT, 8, d)
+    src = qb.staged_point_to_cell_query(
+        _LON, _LAT, 8, "customer", carry=["c_acctbal"], dialect=d
+    )
     return f"""
 SELECT cell, COUNT(*) AS n_customers, {dl.dsum('c_acctbal', d)} AS total_bal
-FROM (SELECT {cell} AS cell, c_acctbal FROM customer) t
+FROM {src} t
 GROUP BY cell
 """
 
@@ -211,12 +213,11 @@ GROUP BY cell
 def qb_parent_rollup(d: str) -> str:
     lon = "(CAST(user_id % 3600 AS DOUBLE) / 10.0 - 179.95)"
     lat = "(CAST((user_id * 13) % 1600 AS DOUBLE) / 10.0 - 79.95)"
-    cell = qb.point_to_cell_sql(lon, lat, 10, d)
+    src = qb.staged_point_to_cell_query(lon, lat, 10, "events", carry=[], dialect=d)
     parent = qb.cell_to_parent_sql("cell", 4, d)
     return f"""
 SELECT parent, COUNT(*) AS n_events, COUNT(DISTINCT cell) AS n_cells
-FROM (SELECT {parent} AS parent, cell
-      FROM (SELECT {cell} AS cell FROM events) c) p
+FROM (SELECT {parent} AS parent, cell FROM {src} c) p
 GROUP BY parent
 """
 
@@ -540,20 +541,25 @@ def dedup_simhash(d: str) -> str:
         f"WHERE {dl.bit_count(xor, d)} <= 3"
         for i in range(4)
     )
+    # md5 computed once per token (explode), then all 48 bit-sums in a
+    # single groupBy pass — one shuffle, no per-bit cross join
+    bit_aggs = ", ".join(
+        f"SUM(CASE WHEN ({dl.shr('h', j, d)} & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(48)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {dl.shl('CAST(1 AS BIGINT)', j, d)} ELSE 0 END)"
+        for j in range(48)
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, {dl.explode(_tokens(d), 'tok', d)} FROM documents
 ), hashes AS (
   SELECT doc_id, {h} AS h FROM tok
 ), bits AS (
-  SELECT doc_id, j,
-         SUM(CASE WHEN ({dl.shr('h', 'j', d)} & 1) = 1 THEN 1 ELSE -1 END) AS s
-  FROM hashes, (SELECT {dl.explode(dl.seq(0, 47, d), 'j', d)}) js
-  GROUP BY doc_id, j
+  SELECT doc_id, {bit_aggs} FROM hashes GROUP BY doc_id
 ), sims AS (
-  SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN {dl.shl('CAST(1 AS BIGINT)', 'j', d)} ELSE 0 END) AS simhash
-  FROM bits GROUP BY doc_id
+  SELECT doc_id, {sim} AS simhash FROM bits
 ), chunks AS (
   SELECT doc_id, simhash, {chunks} FROM sims
 )
