@@ -63,6 +63,12 @@ def arr_slice(a: str, start, length, d: str) -> str:
     return f"list_slice({a}, {start}, ({start}) + ({length}) - 1)"
 
 
+def arr_lit(items: list[str], d: str) -> str:
+    """Array literal from element expressions."""
+    body = ", ".join(items)
+    return f"array({body})" if d == SPARK else f"[{body}]"
+
+
 def explode(a: str, alias: str, d: str) -> str:
     """SELECT-position explode/unnest of an array."""
     fn = "explode" if d == SPARK else "unnest"

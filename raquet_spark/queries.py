@@ -496,14 +496,17 @@ def dedup_minhash(d: str) -> str:
     )
     h = dl.md5_int("shingle", d)
     cast_s = "STRING" if d == "spark" else "VARCHAR"
-    bands = [
-        f"concat(CAST(m{2 * i} AS {cast_s}), ':', CAST(m{2 * i + 1} AS {cast_s})) AS band{i}"
-        for i in range(4)
-    ]
-    pair_selects = " UNION ".join(
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a JOIN sigs b "
-        f"ON a.band{i} = b.band{i} AND a.doc_id < b.doc_id"
-        for i in range(4)
+    # all 4 band keys as prefixed strings in ONE array → explode to rows →
+    # a single self-equi-join on the band key. One pass over the expensive
+    # shingle/hash/min pipeline per join side (vs one per band), one
+    # shuffle keyed by band value — the banded-LSH scale shape.
+    band_arr = dl.arr_lit(
+        [
+            f"concat('{i}:', CAST(m{2 * i} AS {cast_s}), ':', "
+            f"CAST(m{2 * i + 1} AS {cast_s}))"
+            for i in range(4)
+        ],
+        d,
     )
     return f"""
 WITH tok AS (
@@ -515,10 +518,11 @@ WITH tok AS (
   SELECT doc_id, {h} AS h FROM sh
 ), mins AS (
   SELECT doc_id, {_minhash_mins(d)} FROM hashes GROUP BY doc_id
-), sigs AS (
-  SELECT doc_id, {', '.join(bands)} FROM mins
+), bands AS (
+  SELECT doc_id, {dl.explode(band_arr, 'bk', d)} FROM mins
 )
-SELECT doc_a, doc_b FROM ({pair_selects}) p
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 """
 
 
@@ -531,15 +535,17 @@ def dedup_simhash(d: str) -> str:
     filter — never an all-pairs compare."""
     h = dl.md5_int("tok", d, hex_chars=12)
     xor = dl.bxor("a.simhash", "b.simhash", d)
-    chunks = ", ".join(
-        f"({dl.shr('simhash', 12 * i, d)} & 4095) AS c{i}" for i in range(4)
-    )
-    pair_selects = " UNION ".join(
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        f"{dl.bit_count(xor, d)} AS hamming "
-        f"FROM chunks a JOIN chunks b ON a.c{i} = b.c{i} AND a.doc_id < b.doc_id "
-        f"WHERE {dl.bit_count(xor, d)} <= 3"
-        for i in range(4)
+    cast_s = "STRING" if d == "spark" else "VARCHAR"
+    # all 4 12-bit chunks as prefixed strings in ONE array → explode →
+    # single self-equi-join on chunk key (vs one join per chunk), then
+    # the exact hamming filter; DISTINCT collapses multi-chunk collisions
+    chunk_arr = dl.arr_lit(
+        [
+            f"concat('{i}:', CAST(({dl.shr('simhash', 12 * i, d)} & 4095)"
+            f" AS {cast_s}))"
+            for i in range(4)
+        ],
+        d,
     )
     # md5 computed once per token (explode), then all 48 bit-sums in a
     # single groupBy pass — one shuffle, no per-bit cross join
@@ -561,9 +567,12 @@ WITH tok AS (
 ), sims AS (
   SELECT doc_id, {sim} AS simhash FROM bits
 ), chunks AS (
-  SELECT doc_id, simhash, {chunks} FROM sims
+  SELECT doc_id, simhash, {dl.explode(chunk_arr, 'ck', d)} FROM sims
 )
-SELECT doc_a, doc_b, hamming FROM ({pair_selects}) p
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {dl.bit_count(xor, d)} AS hamming
+FROM chunks a JOIN chunks b ON a.ck = b.ck AND a.doc_id < b.doc_id
+WHERE {dl.bit_count(xor, d)} <= 3
 """
 
 
@@ -588,30 +597,38 @@ WHERE CAST({inter} AS DOUBLE) /
 
 
 def dedup_embedding(d: str) -> str:
-    """Embedding-cosine near-dup pairs within the same label."""
+    """Embedding-cosine near-dup pairs within the same label.
+
+    Norms are computed once per vector (not per pair) and the score once
+    per pair; ``/ a.nrm / b.nrm`` keeps the exact IEEE op order of
+    ``/ sqrt(na) / sqrt(nb)`` so both engines agree bit-for-bit."""
     dot = dl.dot64("a.embedding", "b.embedding", d)
-    na = dl.dot64("a.embedding", "a.embedding", d)
-    nb = dl.dot64("b.embedding", "b.embedding", d)
+    nrm = dl.dot64("embedding", "embedding", d)
     return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({dot} / sqrt({na}) / sqrt({nb}), 5) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({dot} / sqrt({na}) / sqrt({nb}), 5) >= 0.8
+WITH v AS (
+  SELECT vec_id, label, embedding, sqrt({nrm}) AS nrm FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({dot} / a.nrm / b.nrm, 5) AS cos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.8
 """
 
 
 def ann_topk(d: str) -> str:
     """Brute-force cosine top-5 for every 25th vector (deterministic
-    tiebreak on rounded score then id)."""
+    tiebreak on rounded score then id). Norms precomputed per vector;
+    op order matches ``/ sqrt(nq) / sqrt(nc)`` for cross-engine parity."""
     dot = dl.dot64("q.embedding", "c.embedding", d)
-    nq = dl.dot64("q.embedding", "q.embedding", d)
-    nc = dl.dot64("c.embedding", "c.embedding", d)
+    nrm = dl.dot64("embedding", "embedding", d)
     return f"""
-WITH scored AS (
+WITH v AS (
+  SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM embeddings
+), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         round({dot} / sqrt({nq}) / sqrt({nc}), 5) AS score
-  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         round({dot} / q.nrm / c.nrm, 5) AS score
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % 25 = 0
 )
 SELECT query_id, cand_id, score, rn FROM (
