@@ -47,6 +47,9 @@ def main() -> None:
         "doc_quality",
         "tile_stats_agg",
         "region_stats",
+        "region_stats_polygon",
+        "suitable_cells",
+        "dedup_components",
     ]
 
     timings: dict[str, float] = {}

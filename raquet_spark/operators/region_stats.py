@@ -51,3 +51,182 @@ def region_stats(
     west, south, east, north = bbox
     sel = filter_blocks_bbox(tiles_with_stats, west, south, east, north, z)
     return aggregate_band_stats(sel, band)
+
+
+def region_stats_polygon(
+    tiles_with_stats: DataFrame,
+    metadata: dict,
+    polygon_lonlat: list[tuple[float, float]],
+    band: str = "band_1",
+    resolution: int | str = "max",
+) -> DataFrame:
+    """Exact pixel-masked statistics within an arbitrary polygon —
+    reference benchmark Query A semantics (ST_RegionStats over
+    read_raquet(file, polygon, zoom), scripts/benchmark.py:114-131).
+
+    Three-tier plan, cheapest tier first:
+    1. **Prune**: polygon bbox → contiguous Morton block ranges pushed
+       to the parquet scan (row-group pruning) — at 100 TB only the
+       tiles near the polygon are ever read.
+    2. **Classify in Catalyst**: per tile, test its 4 corners against
+       the polygon with a codegen'd even-odd expression (pure
+       arithmetic on driver-computed Mercator-fraction constants).
+       Fully-interior tiles contribute their precomputed stats columns
+       — zero pixel decode.
+    3. **Mask the boundary**: only boundary tiles are decoded
+       (Arrow-batched); pixel centers are tested vectorized in numpy
+       with the same formula, masked stats computed per tile.
+    The two stat-row sets union into one pooled aggregation.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import parse_nodata
+    from raquet_spark.functions import geom
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.operators.tile_stats import tile_stats_arrays
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(tiles_with_stats.sparkSession)
+
+    z = resolve_resolution(resolution, metadata, None)
+    bbox = geom.poly_bbox_lonlat(polygon_lonlat)
+    verts = geom.poly_to_fractions(polygon_lonlat)
+    m = float(1 << z)
+    bs = metadata["tiling"]["block_width"]
+    n_px = float((1 << z) * bs)
+
+    cand = filter_blocks_bbox(tiles_with_stats, *bbox, z)
+    tx = qb.cell_to_x_sql("block", "spark")
+    ty = qb.cell_to_y_sql("block", "spark")
+    cand = cand.withColumn("_tx", F.expr(tx)).withColumn("_ty", F.expr(ty))
+
+    corners_inside = " AND ".join(
+        geom.point_in_poly_sql(
+            f"((CAST(_tx AS DOUBLE) + {dx}) / {m!r})",
+            f"((CAST(_ty AS DOUBLE) + {dy}) / {m!r})",
+            verts,
+        )
+        for dx in (0.0, 1.0)
+        for dy in (0.0, 1.0)
+    )
+    vert_in_tile = " OR ".join(
+        f"({vx!r} >= CAST(_tx AS DOUBLE) / {m!r}"
+        f" AND {vx!r} <= (CAST(_tx AS DOUBLE) + 1.0) / {m!r}"
+        f" AND {vy!r} >= CAST(_ty AS DOUBLE) / {m!r}"
+        f" AND {vy!r} <= (CAST(_ty AS DOUBLE) + 1.0) / {m!r})"
+        for vx, vy in verts
+    )
+    cand = cand.withColumn(
+        "_interior", F.expr(f"({corners_inside}) AND NOT ({vert_in_tile})")
+    )
+
+    stat_names = ("count", "min", "max", "sum", "mean", "stddev")
+    stat_cols = [f"{band}_{s}" for s in stat_names]
+    interior = cand.where("_interior").select(*stat_cols)
+
+    btype = next(b["type"] for b in metadata["bands"] if b["name"] == band)
+    nodata = parse_nodata(
+        next(b.get("nodata") for b in metadata["bands"] if b["name"] == band)
+    )
+
+    def mask_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {s: [] for s in stat_names}
+            for blob, txv, tyv in zip(pdf[band], pdf["_tx"], pdf["_ty"]):
+                st = None
+                if blob is not None:
+                    vals = decode_block(blob, btype).reshape(bs, bs)
+                    gx = np.arange(txv * bs, (txv + 1) * bs, dtype=np.float64)
+                    gy = np.arange(tyv * bs, (tyv + 1) * bs, dtype=np.float64)
+                    px, py = np.meshgrid((gx + 0.5) / n_px, (gy + 0.5) / n_px)
+                    mask = geom.point_in_poly_np(px, py, verts)
+                    if mask.any():
+                        st = tile_stats_arrays(vals[mask], nodata)
+                for s in stat_names:
+                    rows[s].append(None if st is None else st[s])
+            out = pd.DataFrame({f"{band}_{s}": rows[s] for s in stat_names})
+            out[f"{band}_count"] = out[f"{band}_count"].astype("Int64")
+            yield out
+
+    schema = ", ".join(
+        f"{band}_{s} {'bigint' if s == 'count' else 'double'}" for s in stat_names
+    )
+    boundary = (
+        cand.where(~F.col("_interior"))
+        .select(band, "_tx", "_ty")
+        .mapInPandas(mask_stats, schema=schema)
+    )
+
+    return aggregate_band_stats(interior.unionByName(boundary), band)
+
+
+def suitable_cells(
+    tiles_with_stats: DataFrame,
+    metadata: dict,
+    bbox: tuple[float, float, float, float],
+    band: str = "band_1",
+    threshold: float = 3.0,
+    resolution: int | str = "max",
+) -> DataFrame:
+    """Site-suitability count: cells in ``bbox`` whose per-tile mean is
+    below ``threshold`` (reference benchmark Query B,
+    scripts/benchmark.py:158-199 — `count(*) FILTER (mean < t)` over
+    `read_raquet(file, area, zoom)`).
+
+    Pure stats-column aggregation: the bbox becomes Morton block ranges
+    (parquet row-group pruning) and no pixel is decoded, so at 100 TB
+    this scans six DOUBLE columns of the pruned tiles only."""
+    from pyspark.sql import functions as F
+
+    z = resolve_resolution(resolution, metadata, bbox)
+    west, south, east, north = bbox
+    sel = filter_blocks_bbox(tiles_with_stats, west, south, east, north, z)
+    mean = F.col(f"{band}_mean")
+    agg = sel.agg(
+        F.count(F.lit(1)).alias("total_cells"),
+        F.count(F.when(mean < threshold, 1)).alias("suitable_cells"),
+    )
+    return agg.select(
+        "total_cells",
+        "suitable_cells",
+        F.round(F.col("suitable_cells") * 100.0 / F.col("total_cells"), 1).alias(
+            "pct_suitable"
+        ),
+    )
+
+
+def suitable_cells_detail(
+    tiles_with_stats: DataFrame,
+    metadata: dict,
+    bbox: tuple[float, float, float, float],
+    band: str = "band_1",
+    threshold: float = 3.0,
+    limit: int = 20,
+    resolution: int | str = "max",
+) -> DataFrame:
+    """Top-N most suitable cells with their stats (reference benchmark
+    Query B detail, scripts/benchmark.py:205-253). Deterministic order:
+    mean ascending, then block."""
+    from pyspark.sql import functions as F
+
+    z = resolve_resolution(resolution, metadata, bbox)
+    west, south, east, north = bbox
+    sel = filter_blocks_bbox(tiles_with_stats, west, south, east, north, z)
+    mean = F.col(f"{band}_mean")
+    cnt = F.col(f"{band}_count")
+    return (
+        sel.where((mean < threshold) & (cnt > 0))
+        .select(
+            "block",
+            F.round(mean, 6).alias("mean_val"),
+            F.col(f"{band}_max").alias("max_val"),
+            cnt.alias("pixel_count"),
+        )
+        .orderBy(F.col("mean_val").asc(), F.col("block").asc())
+        .limit(limit)
+    )

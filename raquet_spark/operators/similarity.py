@@ -129,6 +129,114 @@ def ann_lsh(
     )
 
 
+def _kmeans_centroids(
+    candidates: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    n_iter: int,
+    seed: int,
+    sample_size: int,
+) -> list[list[float]]:
+    """Centroids from a bounded driver-side sample + numpy Lloyd
+    iterations. The sample is capped (``limit``) so driver memory is
+    O(sample), never O(N) — at 100 TB the index is trained on a sample
+    while assignment stays fully distributed."""
+    import numpy as np
+
+    sample = (
+        candidates.select(vec_col)
+        .limit(sample_size)
+        .toPandas()[vec_col]
+        .tolist()
+    )
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iter):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                mu = members.mean(axis=0)
+                cent[j] = mu / max(float(np.linalg.norm(mu)), 1e-12)
+    return cent.tolist()
+
+
+def ann_ivf(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    n_iter: int = 5,
+    seed: int = 7,
+    sample_size: int = 100_000,
+) -> DataFrame:
+    """IVF approximate top-k: spherical k-means coarse quantizer, then
+    each query scans only its ``n_probe`` nearest inverted lists.
+
+    Scale shape: centroid training is sample-bounded on the driver;
+    cluster assignment is a codegen'd argmax over broadcast centroid
+    literals (no Python, no shuffle); the probe is an equi-join on
+    cluster id — O(N·n_probe/n_clusters) comparisons instead of O(N·Q).
+    Output schema matches ``cosine_topk`` for recall measurement."""
+    from pyspark.sql.window import Window
+
+    cent = _kmeans_centroids(
+        candidates, vec_col, n_clusters, n_iter, seed, sample_size
+    )
+
+    def best_clusters(prefix: str, vec: str, norm_col: str, n: int) -> F.Column:
+        """Array of the n cluster ids with highest cosine to ``vec``."""
+        sims = F.array(*[
+            F.struct(
+                (_dot(vec, f"array({', '.join(f'CAST({v} AS DOUBLE)' for v in c)})")
+                 / F.col(norm_col)).alias("sim"),
+                F.lit(j).alias("cid"),
+            )
+            for j, c in enumerate(cent)
+        ])
+        return F.expr(
+            f"transform(slice(reverse(array_sort({prefix}_sims)), 1, {n}), s -> s.cid)"
+        ), sims
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv"
+    ).withColumnRenamed("_norm", "_qnorm")
+    c = with_norm(
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")), "_cv"
+    ).withColumnRenamed("_norm", "_cnorm")
+
+    top1_expr, c_sims = best_clusters("_c", "_cv", "_cnorm", 1)
+    c = (
+        c.withColumn("_c_sims", c_sims)
+        .withColumn("_cid", top1_expr[0])
+        .drop("_c_sims")
+    )
+    probe_expr, q_sims = best_clusters("_q", "_qv", "_qnorm", n_probe)
+    q = (
+        q.withColumn("_q_sims", q_sims)
+        .withColumn("_cid", F.explode(probe_expr))
+        .drop("_q_sims")
+    )
+
+    scored = (
+        c.join(q, "_cid")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("score", _dot("_qv", "_cv") / F.col("_qnorm") / F.col("_cnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "cand_id", "score", "rn")
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     """|approx ∩ exact| / |exact| over (query_id, cand_id) pairs."""
     e = exact.select("query_id", "cand_id")

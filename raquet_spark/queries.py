@@ -402,6 +402,149 @@ def region_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _full_raster_bbox() -> tuple[float, float, float, float]:
+    """Bbox covering every tile of the synthetic raster, padded inward
+    5% of a tile so edge-touching neighbors are excluded."""
+    r = _R
+    w, s, _, _ = qb.py_cell_to_bounds(
+        qb.py_tile_to_cell(r["tx"], r["ty"] + r["ny"] - 1, r["zoom"])
+    )
+    _, _, e, n = qb.py_cell_to_bounds(
+        qb.py_tile_to_cell(r["tx"] + r["nx"] - 1, r["ty"], r["zoom"])
+    )
+    pad_x = (e - w) / r["nx"] * 0.05
+    pad_y = (n - s) / r["ny"] * 0.05
+    return (w + pad_x, s + pad_y, e - pad_x, n - pad_y)
+
+
+_SUIT_THRESHOLD = 125.0
+
+
+def _query_polygon() -> list[tuple[float, float]]:
+    """Irregular pentagon inside the synthetic raster (vertices at
+    non-grid-aligned offsets so no pixel center sits on an edge)."""
+    w, s, e, n = _full_raster_bbox()
+    dw, dh = e - w, n - s
+    return [
+        (w + 0.13 * dw, s + 0.21 * dh),
+        (w + 0.83 * dw, s + 0.17 * dh),
+        (w + 0.91 * dw, s + 0.63 * dh),
+        (w + 0.47 * dw, s + 0.89 * dh),
+        (w + 0.08 * dw, s + 0.55 * dh),
+    ]
+
+
+def region_stats_polygon_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference benchmark Query A: exact pixel-masked stats within a
+    polygon (scripts/benchmark.py:114-131)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.region_stats import region_stats_polygon
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    stats = with_tile_stats(tiles, meta)
+    out = region_stats_polygon(
+        stats, meta, _query_polygon(), band="band_1", resolution="max"
+    )
+    return out.select(
+        "count", "min", "max", "sum",
+        F.round("mean", 6).alias("mean"), F.round("stddev", 6).alias("stddev"),
+    )
+
+
+def region_stats_polygon_oracle() -> str:
+    from raquet_spark.functions import geom
+
+    r = _R
+    n_px = float((1 << r["zoom"]) * r["bs"])
+    verts = geom.poly_to_fractions(_query_polygon())
+    inside = geom.point_in_poly_sql(
+        f"((gx + 0.5) / {n_px!r})", f"((gy + 0.5) / {n_px!r})", verts
+    )
+    cell = qb.tile_to_cell_sql("tx", "ty", r["zoom"], "duckdb")
+    return f"""
+WITH grid AS (
+  SELECT {r['tx']} + i % {r['nx']} AS tx, {r['ty']} + i // {r['nx']} AS ty
+  FROM (SELECT unnest(range(0, {r['nx'] * r['ny']})) AS i)
+), px AS (
+  SELECT tx, ty, tx * {r['bs']} + x AS gx, ty * {r['bs']} + y AS gy
+  FROM grid,
+       (SELECT unnest(range(0, {r['bs']})) AS x),
+       (SELECT unnest(range(0, {r['bs']})) AS y)
+), vals AS (
+  SELECT {cell} AS block,
+         CASE WHEN (gx + gy) % {r['nodata_every']} = 0 THEN NULL
+              ELSE CAST((gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} AS DOUBLE)
+         END AS val
+  FROM px WHERE {inside}
+)
+SELECT COUNT(val) AS count,
+       CAST(MIN(val) AS DOUBLE) AS min, CAST(MAX(val) AS DOUBLE) AS max,
+       CAST(SUM(val) AS DOUBLE) AS sum,
+       round(AVG(val), 6) AS mean, round(stddev_pop(val), 6) AS stddev
+FROM vals
+"""
+
+
+def suitable_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference benchmark Query B: count cells whose per-tile mean is
+    below a threshold within a search area (scripts/benchmark.py:158)."""
+    from raquet_spark.operators.region_stats import suitable_cells
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    stats = with_tile_stats(tiles, meta)
+    return suitable_cells(
+        stats, meta, _full_raster_bbox(), band="band_1",
+        threshold=_SUIT_THRESHOLD, resolution="max",
+    )
+
+
+def suitable_cells_oracle() -> str:
+    return _duck_pixels() + f"""
+, per_tile AS (
+  SELECT block, AVG(val) AS mean_val FROM vals GROUP BY block
+)
+SELECT COUNT(*) AS total_cells,
+       COUNT(*) FILTER (WHERE mean_val < {_SUIT_THRESHOLD}) AS suitable_cells,
+       round(COUNT(*) FILTER (WHERE mean_val < {_SUIT_THRESHOLD}) * 100.0
+             / COUNT(*), 1) AS pct_suitable
+FROM per_tile
+"""
+
+
+def suitable_cells_detail_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference benchmark Query B detail: top-N most suitable cells
+    with stats (scripts/benchmark.py:205)."""
+    from raquet_spark.operators.region_stats import suitable_cells_detail
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    stats = with_tile_stats(tiles, meta)
+    return suitable_cells_detail(
+        stats, meta, _full_raster_bbox(), band="band_1",
+        threshold=_SUIT_THRESHOLD, limit=5, resolution="max",
+    )
+
+
+def suitable_cells_detail_oracle() -> str:
+    return _duck_pixels() + f"""
+, per_tile AS (
+  SELECT block,
+         round(AVG(val), 6) AS mean_val,
+         CAST(MAX(val) AS DOUBLE) AS max_val,
+         COUNT(val) AS pixel_count
+  FROM vals GROUP BY block
+)
+SELECT block, mean_val, max_val, pixel_count
+FROM per_tile
+WHERE mean_val < {_SUIT_THRESHOLD} AND pixel_count > 0
+ORDER BY mean_val ASC, block ASC
+LIMIT 5
+"""
+
+
 def raster_histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """256-bucket global histogram — rows-only check (binary decode path)."""
     from pyspark.sql import functions as F
@@ -723,6 +866,38 @@ FROM (SELECT doc_id, {wins} AS w FROM hg) t
 """
 
 
+def dataset_split(d: str) -> str:
+    """Deterministic 80/10/10 train/val/test split by content-stable
+    hash of doc_id — reproducible across engines, runs, and cluster
+    sizes (no rand(), no row ordering dependence), the standard shape
+    for training-data splits at 100 TB."""
+    cast_s = "STRING" if d == "spark" else "VARCHAR"
+    b = f"({dl.md5_int(f'CAST(doc_id AS {cast_s})', d, hex_chars=8)} % 100)"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < 80 THEN 'train'
+            WHEN {b} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def stratified_sample(d: str) -> str:
+    """~10% deterministic hash sample per source stratum with per-stratum
+    accounting. Hash-threshold sampling is exact-reproducible and
+    partition-local (no shuffle beyond the final small agg)."""
+    cast_s = "STRING" if d == "spark" else "VARCHAR"
+    h = f"({dl.md5_int(f'CAST(doc_id AS {cast_s})', d, hex_chars=8)} % 1000)"
+    return f"""
+WITH sampled AS (
+  SELECT source, doc_id FROM documents WHERE {h} < 100
+)
+SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM sampled GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -752,7 +927,54 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "doc_quality": doc_quality,
     "token_counts": token_counts,
     "doc_fingerprint": doc_fingerprint,
+    "dataset_split": dataset_split,
+    "stratified_sample": stratified_sample,
 }
+
+def ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors — rows-only check (approximate
+    by construction; recall vs brute force is pytest-gated)."""
+    from raquet_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id % 25 = 0")
+    return ann_ivf(emb, queries_df, k=5, n_clusters=16, n_probe=4)
+
+
+def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH pair
+    graph (iterative min-label propagation; non-SQL-expressible on the
+    Spark side, recursive-CTE oracle on DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(dedup_minhash("spark"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component")
+    )
+
+
+def dedup_components_oracle() -> str:
+    minhash = dedup_minhash("duckdb")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({minhash}) q
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(label) AS component
+FROM reach GROUP BY node
+"""
+
 
 def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors — rows-only check
@@ -769,10 +991,21 @@ def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "tile_stats_agg": (tile_stats_agg_spark, tile_stats_agg_oracle),
     "region_stats": (region_stats_spark, region_stats_oracle),
+    "suitable_cells": (suitable_cells_spark, suitable_cells_oracle),
+    "suitable_cells_detail": (
+        suitable_cells_detail_spark,
+        suitable_cells_detail_oracle,
+    ),
+    "dedup_components": (dedup_components_spark, dedup_components_oracle),
+    "region_stats_polygon": (
+        region_stats_polygon_spark,
+        region_stats_polygon_oracle,
+    ),
     "raster_histogram": (raster_histogram_spark, None),
     "raster_point_value": (raster_point_value_spark, None),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "ann_lsh": (ann_lsh_spark, None),
+    "ann_ivf": (ann_ivf_spark, None),
 }
 
 

@@ -122,3 +122,18 @@ def test_fingerprints(spark, docs):
     row = pairs.collect()[0]
     assert (row["id_a"], row["id_b"]) == (101, 102)
     assert row["containment"] == pytest.approx(1.0)
+
+
+def test_connected_components(spark):
+    from raquet_spark.operators.dedup import connected_components
+
+    # two chains and one isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
