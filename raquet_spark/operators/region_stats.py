@@ -64,30 +64,33 @@ def region_stats_polygon(
     reference benchmark Query A semantics (ST_RegionStats over
     read_raquet(file, polygon, zoom), scripts/benchmark.py:114-131).
 
-    Three-tier plan, cheapest tier first:
+    Plan, cheapest tier first:
     1. **Prune**: polygon bbox → contiguous Morton block ranges pushed
        to the parquet scan (row-group pruning) — at 100 TB only the
        tiles near the polygon are ever read.
-    2. **Classify in Catalyst**: per tile, test its 4 corners against
-       the polygon with a codegen'd even-odd expression (pure
-       arithmetic on driver-computed Mercator-fraction constants).
-       Fully-interior tiles contribute their precomputed stats columns
-       — zero pixel decode.
-    3. **Mask the boundary**: only boundary tiles are decoded
-       (Arrow-batched); pixel centers are tested vectorized in numpy
-       with the same formula, masked stats computed per tile.
-    The two stat-row sets union into one pooled aggregation.
+    2. **Classify + mask in ONE Arrow pass**: per tile (numpy,
+       vectorized over the batch): Morton-decode block → (tx, ty), test
+       the 4 tile corners against the polygon (driver-computed
+       Mercator-fraction vertex constants). Fully-interior tiles emit
+       their precomputed stats columns — zero pixel decode; only
+       boundary tiles are decoded and pixel-center-masked. Per-tile
+       work, embarrassingly parallel, no shuffle until the final
+       six-column pooled aggregation.
+
+    (Classification is deliberately NOT a Catalyst expression: the
+    Morton squash would be re-inlined into every corner-test reference,
+    exploding codegen; per-tile numpy in the already-required Arrow
+    pass is strictly cheaper.)
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import parse_nodata
     from raquet_spark.functions import geom
-    from raquet_spark.functions import quadbin as qb
     from raquet_spark.functions.bands import decode_block
+    from raquet_spark.functions.quadbin import py_cell_to_tile
     from raquet_spark.operators.tile_stats import tile_stats_arrays
     from raquet_spark.session import ensure_package_shipped
 
@@ -100,46 +103,40 @@ def region_stats_polygon(
     bs = metadata["tiling"]["block_width"]
     n_px = float((1 << z) * bs)
 
-    cand = filter_blocks_bbox(tiles_with_stats, *bbox, z)
-    tx = qb.cell_to_x_sql("block", "spark")
-    ty = qb.cell_to_y_sql("block", "spark")
-    cand = cand.withColumn("_tx", F.expr(tx)).withColumn("_ty", F.expr(ty))
-
-    corners_inside = " AND ".join(
-        geom.point_in_poly_sql(
-            f"((CAST(_tx AS DOUBLE) + {dx}) / {m!r})",
-            f"((CAST(_ty AS DOUBLE) + {dy}) / {m!r})",
-            verts,
-        )
-        for dx in (0.0, 1.0)
-        for dy in (0.0, 1.0)
-    )
-    vert_in_tile = " OR ".join(
-        f"({vx!r} >= CAST(_tx AS DOUBLE) / {m!r}"
-        f" AND {vx!r} <= (CAST(_tx AS DOUBLE) + 1.0) / {m!r}"
-        f" AND {vy!r} >= CAST(_ty AS DOUBLE) / {m!r}"
-        f" AND {vy!r} <= (CAST(_ty AS DOUBLE) + 1.0) / {m!r})"
-        for vx, vy in verts
-    )
-    cand = cand.withColumn(
-        "_interior", F.expr(f"({corners_inside}) AND NOT ({vert_in_tile})")
-    )
-
     stat_names = ("count", "min", "max", "sum", "mean", "stddev")
     stat_cols = [f"{band}_{s}" for s in stat_names]
-    interior = cand.where("_interior").select(*stat_cols)
+    cand = filter_blocks_bbox(tiles_with_stats, *bbox, z).select(
+        "block", band, *stat_cols
+    )
 
     btype = next(b["type"] for b in metadata["bands"] if b["name"] == band)
     nodata = parse_nodata(
         next(b.get("nodata") for b in metadata["bands"] if b["name"] == band)
     )
 
-    def mask_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def classify_and_mask(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {s: [] for s in stat_names}
-            for blob, txv, tyv in zip(pdf[band], pdf["_tx"], pdf["_ty"]):
+            for i, (blob, block) in enumerate(zip(pdf[band], pdf["block"])):
+                txv, tyv, _ = py_cell_to_tile(int(block))
+                cx = [(txv + dx) / m for dx in (0.0, 1.0)]
+                cy = [(tyv + dy) / m for dy in (0.0, 1.0)]
+                corners = geom.point_in_poly_np(
+                    np.array([cx[0], cx[0], cx[1], cx[1]]),
+                    np.array([cy[0], cy[1], cy[0], cy[1]]),
+                    verts,
+                )
+                vert_in_tile = any(
+                    cx[0] <= vx <= cx[1] and cy[0] <= vy <= cy[1]
+                    for vx, vy in verts
+                )
                 st = None
-                if blob is not None:
+                if corners.all() and not vert_in_tile:
+                    # interior: stats columns verbatim, no decode
+                    st = {s: pdf[f"{band}_{s}"].iloc[i] for s in stat_names}
+                    if pd.isna(st["count"]):
+                        st = None
+                elif blob is not None:
                     vals = decode_block(blob, btype).reshape(bs, bs)
                     gx = np.arange(txv * bs, (txv + 1) * bs, dtype=np.float64)
                     gy = np.arange(tyv * bs, (tyv + 1) * bs, dtype=np.float64)
@@ -156,13 +153,8 @@ def region_stats_polygon(
     schema = ", ".join(
         f"{band}_{s} {'bigint' if s == 'count' else 'double'}" for s in stat_names
     )
-    boundary = (
-        cand.where(~F.col("_interior"))
-        .select(band, "_tx", "_ty")
-        .mapInPandas(mask_stats, schema=schema)
-    )
-
-    return aggregate_band_stats(interior.unionByName(boundary), band)
+    per_tile = cand.mapInPandas(classify_and_mask, schema=schema)
+    return aggregate_band_stats(per_tile, band)
 
 
 def suitable_cells(
