@@ -898,6 +898,50 @@ FROM sampled GROUP BY source
 """
 
 
+def repetition_stats(d: str) -> str:
+    """Within-document repetition signals (boilerplate / template spam
+    detector): sentence count, distinct-sentence count, repeated-sentence
+    ratio. Pure array ops in one projection — no explode, no shuffle."""
+    sents = dl.arr_filter(f"split(text, '\\\\.')", "s", "length(trim(s)) > 0", d)
+    n = dl.arr_size("sents", d)
+    nd = dl.arr_size(dl.arr_distinct("sents", d), d)
+    return f"""
+WITH s AS (
+  SELECT doc_id, {sents} AS sents FROM documents
+)
+SELECT doc_id, {n} AS n_sentences, {nd} AS n_distinct,
+       round(CASE WHEN {n} = 0 THEN 0.0
+             ELSE CAST({n} - {nd} AS DOUBLE) / {n} END, 6) AS repeated_ratio
+FROM s
+"""
+
+
+def pii_scan(d: str) -> str:
+    """PII pattern counts per document (emails, phone-ish numbers,
+    16-digit card-ish numbers) — the redaction-triage pass of a training
+    pipeline. regexp counting stays JVM/native-side in both engines."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+    card = r"[0-9]{16}"
+
+    def cnt(pat: str) -> str:
+        if d == "spark":
+            # Spark SQL string literals consume backslashes; DuckDB's don't
+            return f"size(regexp_extract_all(text, '{pat.replace(chr(92), chr(92) * 2)}', 0))"
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    entity = r"\b(customer|supplier|part)\b"
+    return f"""
+SELECT doc_id,
+       {cnt(email)} AS n_emails,
+       {cnt(phone)} AS n_phones,
+       {cnt(card)} AS n_cardlike,
+       {cnt(entity)} AS n_entities
+FROM documents
+WHERE {cnt(email)} + {cnt(phone)} + {cnt(card)} + {cnt(entity)} > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -929,6 +973,8 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "doc_fingerprint": doc_fingerprint,
     "dataset_split": dataset_split,
     "stratified_sample": stratified_sample,
+    "repetition_stats": repetition_stats,
+    "pii_scan": pii_scan,
 }
 
 def ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,97 @@ def stream_tiles(
     )
 
 
+def stateful_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+):
+    """Custom stateful operator: per-user session assembly with
+    ``applyInPandasWithState`` — the arbitrary-state path the built-in
+    window aggregation can't express (session extent depends on the
+    data, not the clock grid).
+
+    State per user: (session_start, last_ts, n_events, total_value).
+    An event later than ``gap_seconds`` after the previous one closes
+    the open session (emitted) and starts a new one; state for users
+    idle past the watermark is closed via timeout. Grouping shuffles by
+    user, so state is partition-local and the operator scales with
+    executors × users, never total history."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        (user,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            closed.append((user, start_us, last_us, n, total))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(ts_col)
+            ts_us = pd.to_datetime(rows[ts_col]).astype("int64") // 1000
+            vals = rows["value"].astype("f8")
+            if state.exists:
+                start_us, last_us, n, total = state.get
+            else:
+                start_us, last_us, n, total = None, None, 0, 0.0
+            for t, v in zip(ts_us, vals):
+                t = int(t)
+                if start_us is None:
+                    start_us, last_us, n, total = t, t, 1, float(v)
+                elif t - last_us > gap_us:
+                    closed.append((user, start_us, last_us, n, total))
+                    start_us, last_us, n, total = t, t, 1, float(v)
+                else:
+                    last_us, n, total = t, n + 1, total + float(v)
+            state.update((start_us, last_us, n, total))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "start_us", "last_us", "n_events", "total_value"],
+            )
+            yield pd.DataFrame({
+                "user_id": out["user_id"],
+                "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                "session_end": pd.to_datetime(out["last_us"], unit="us"),
+                "n_events": out["n_events"],
+                "total_value": out["total_value"],
+            })
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_event_stats(
     events: DataFrame,
     window: str = "10 minutes",

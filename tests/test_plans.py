@@ -1,0 +1,86 @@
+"""Physical-plan assertions — the scale regressions that matter at
+100 TB fail here fast, on sf0.001 data:
+
+- filters and column pruning must reach the parquet scan,
+- small dimension joins must broadcast (no shuffle of the big side),
+- Morton block-range predicates must push down for raster reads,
+- hot expressions must stay inside WholeStageCodegen (no Python UDFs
+  in non-pixel paths).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry_mod.queries()
+
+
+def test_q6_filter_pushdown(spark, qs):
+    plan = _plan(qs["q6_forecast"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one non-empty pushed filter on the lineitem scan
+    assert "PushedFilters: []" != plan.split("PushedFilters: ")[1][:2] + "]"
+
+
+def test_q1_column_pruning(spark, qs):
+    plan = _plan(qs["q1_pricing_summary"](spark, SF_DIR))
+    scan = plan.split("ReadSchema: ")[1].splitlines()[0]
+    # 16-column lineitem: the 8-aggregate query needs only 7 columns
+    assert "l_comment" not in scan and "l_orderkey" not in scan
+
+
+def test_q5_broadcasts_dimensions(spark, qs):
+    plan = _plan(qs["q5_supplier_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the 6-way join must not sort-merge the small dims
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_minhash_no_python_udf(spark, qs):
+    for name in ("dedup_minhash", "dedup_simhash", "ann_topk", "qb_point_cells",
+                 "qb_parent_rollup", "token_counts", "doc_quality"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} fell off codegen"
+        assert "ArrowEvalPython" not in plan, f"{name} uses Python UDFs"
+
+
+def test_raster_block_range_pushdown(spark):
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.sources.raquet import filter_blocks_bbox, read_raquet
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(spark, zoom=6, tiles_x=2, tiles_y=2,
+                                        block_size=16)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        from raquet_spark.sources.raquet import write_raquet
+
+        path = f"{td}/r.parquet"
+        write_raquet(with_tile_stats(tiles, meta), path, meta)
+        df = read_raquet(spark, path)
+        w, s, e, n = meta["bounds"]
+        sel = filter_blocks_bbox(df, w, s, (w + e) / 2, (s + n) / 2, 6)
+        plan = _plan(sel)
+        assert "PushedFilters" in plan
+        assert "block" in plan.split("PushedFilters: ")[1].splitlines()[0]
+
+
+def test_broadcast_in_ann(spark, qs):
+    plan = _plan(qs["ann_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -151,3 +151,55 @@ def test_ann_ivf_recall(spark, embeddings):
     # must beat the ~0.5 expected from the probed fraction alone
     assert r >= 0.5, f"IVF recall {r}"
     assert approx.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import stateful_sessionize
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sess = stateful_sessionize(stream, gap_seconds=1800)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM sessions")
+
+    # batch oracle: gap-based sessionization via lag window
+    batch = spark.sql(f"""
+        WITH marked AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN CAST(ts AS DOUBLE) -
+                      CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE)
+                      > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM parquet.`{src}`
+        ), sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS sess_id
+          FROM marked
+        )
+        SELECT user_id, sess_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, SUM(value) AS total_value
+        FROM sessions GROUP BY user_id, sess_id
+    """)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    # append mode emits closed sessions; every emitted session must be a
+    # real batch session, and most sessions should have been emitted
+    assert got <= want
+    assert len(got) >= len(want) * 0.5, (len(got), len(want))
