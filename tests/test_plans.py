@@ -84,3 +84,42 @@ def test_raster_block_range_pushdown(spark):
 def test_broadcast_in_ann(spark, qs):
     plan = _plan(qs["ann_topk"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_join_matches_plain(spark):
+    from raquet_spark.operators.joins import salted_join
+    from raquet_spark.queries import load_table
+
+    o = load_table(spark, SF_DIR, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = load_table(spark, SF_DIR, "customer").withColumnRenamed("c_custkey", "custkey")
+    got = salted_join(o, c, "custkey", n_salts=8).count()
+    want = o.join(c, "custkey").count()
+    assert got == want
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from raquet_spark.operators.joins import bucketed_join, write_bucketed
+    from raquet_spark.queries import load_table
+
+    orders = load_table(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    write_bucketed(orders, "orders_b", "custkey", n_buckets=8,
+                   path=str(tmp_path / "orders_b"))
+    write_bucketed(customer, "customer_b", "custkey", n_buckets=8,
+                   path=str(tmp_path / "customer_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "orders_b", "customer_b", "custkey")
+        plan = _plan(joined)
+        # co-located bucketed scan: sort-merge join with NO shuffle
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == orders.join(customer, "custkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
