@@ -565,18 +565,73 @@ def raster_histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def raster_point_value_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point query over tile centers — rows-only check."""
-    from raquet_spark.operators.point_query import raster_value
+def raster_histogram_oracle() -> str:
+    return _duck_pixels() + """
+SELECT CAST(least(floor((val - 0.0) / 251.0 * 256), 255) AS INT) AS bucket,
+       COUNT(*) AS n
+FROM vals WHERE val IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
 
-    tiles, meta = _make_raster(spark)
+
+def _point_query_points() -> list[tuple[int, float, float]]:
+    """(id, lon, lat) at every tile center of the synthetic raster."""
     r = _R
     pts = []
     for i in range(r["nx"]):
         for j in range(r["ny"]):
-            w, s, e, n = qb.py_cell_to_bounds(qb.py_tile_to_cell(r["tx"] + i, r["ty"] + j, r["zoom"]))
+            w, s, e, n = qb.py_cell_to_bounds(
+                qb.py_tile_to_cell(r["tx"] + i, r["ty"] + j, r["zoom"])
+            )
             pts.append((i * r["ny"] + j, (w + e) / 2, (s + n) / 2))
-    points = spark.createDataFrame(pts, "id long, lon double, lat double")
+    return pts
+
+
+def raster_point_value_oracle() -> str:
+    """Expected pixel per point computed with the same Mercator math the
+    operator uses; the lookup itself is relational on the pixel CTE."""
+    import math as _math
+
+    r = _R
+    n_px = (1 << r["zoom"]) * r["bs"]
+    rows = []
+    for pid, lon, lat in _point_query_points():
+        xf = lon / 360.0 + 0.5
+        s = _math.sin(_math.radians(lat))
+        yf = 0.5 - 0.25 * _math.log((1.0 + s) / (1.0 - s)) / _math.pi
+        gx = int(_math.floor(xf * n_px))
+        gy = int(_math.floor(yf * n_px))
+        rows.append(f"({pid}, {lon!r}, {lat!r}, {gx}, {gy})")
+    values = ", ".join(rows)
+    return f"""
+WITH pts(id, lon, lat, want_gx, want_gy) AS (VALUES {values}),
+px AS (
+  SELECT tx * {r['bs']} + x AS gx, ty * {r['bs']} + y AS gy
+  FROM (SELECT {r['tx']} + i % {r['nx']} AS tx, {r['ty']} + i // {r['nx']} AS ty
+        FROM (SELECT unnest(range(0, {r['nx'] * r['ny']})) AS i)) grid,
+       (SELECT unnest(range(0, {r['bs']})) AS x),
+       (SELECT unnest(range(0, {r['bs']})) AS y)
+), pxv AS (
+  SELECT gx, gy,
+         CASE WHEN (gx + gy) % {r['nodata_every']} = 0 THEN NULL
+              ELSE CAST((gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} AS DOUBLE)
+         END AS val
+  FROM px
+)
+SELECT p.id, CAST(p.lon AS DOUBLE) AS lon, CAST(p.lat AS DOUBLE) AS lat,
+       v.val AS value
+FROM pts p LEFT JOIN pxv v ON v.gx = p.want_gx AND v.gy = p.want_gy
+"""
+
+
+def raster_point_value_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point query at tile centers (reference ST_RasterValue)."""
+    from raquet_spark.operators.point_query import raster_value
+
+    tiles, meta = _make_raster(spark)
+    points = spark.createDataFrame(
+        _point_query_points(), "id long, lon double, lat double"
+    )
     return raster_value(tiles, points, meta)
 
 
@@ -1047,8 +1102,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
         region_stats_polygon_spark,
         region_stats_polygon_oracle,
     ),
-    "raster_histogram": (raster_histogram_spark, None),
-    "raster_point_value": (raster_point_value_spark, None),
+    "raster_histogram": (raster_histogram_spark, raster_histogram_oracle),
+    "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
