@@ -283,6 +283,36 @@ GROUP BY o_orderkey % 10
 """
 
 
+def qb_bbox_polyfill(d: str) -> str:
+    """Bbox → covering cells at zoom 9 (quadbin polyfill for rectangular
+    extents): the tile x/y ranges come from driver-side Mercator math,
+    the cell enumeration is a relational cross-unnest — the generator
+    side of every spatial prune in the engine."""
+    import math as _math
+
+    west, south, east, north = -10.3, 35.2, 4.7, 44.9
+    z = 9
+    m = 1 << z
+
+    def _tx(lon: float) -> int:
+        return min(max(int((lon / 360.0 + 0.5) * m), 0), m - 1)
+
+    def _ty(lat: float) -> int:
+        s = _math.sin(_math.radians(lat))
+        yf = 0.5 - 0.25 * _math.log((1.0 + s) / (1.0 - s)) / _math.pi
+        return min(max(int(yf * m), 0), m - 1)
+
+    x0, x1 = _tx(west), _tx(east)
+    y0, y1 = _ty(north), _ty(south)
+    cell = qb.tile_to_cell_sql("x", "y", z, d)
+    return f"""
+WITH xs AS (SELECT {dl.explode(dl.seq(x0, x1, d), 'x', d)}),
+     ys AS (SELECT {dl.explode(dl.seq(y0, y1, d), 'y', d)})
+SELECT {cell} AS cell, x AS tile_x, y AS tile_y
+FROM xs CROSS JOIN ys
+"""
+
+
 # ---------------------------------------------------------------------------
 # C. Raster queries — Spark runs the real binary pipeline; DuckDB oracle
 # regenerates the same pixels relationally (see testing.synthetic_tile_array)
@@ -563,6 +593,46 @@ def raster_histogram_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket").agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+def pyramid_stats_rollup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style stats pyramid: per-tile stats rolled up to the
+    zoom-5 ancestor with pure columnar aggregation — the decode-free way
+    overview statistics are maintained at 100 TB (pixels are only
+    touched by the separate mosaic path, operators/pyramid.py)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    stats = with_tile_stats(tiles, meta)
+    parent = qb.cell_to_parent_sql("block", 5, "spark")
+    return (
+        stats.withColumn("parent", F.expr(parent))
+        .groupBy("parent")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("band_1_count").alias("n_pixels"),
+            F.min("band_1_min").alias("min_val"),
+            F.max("band_1_max").alias("max_val"),
+            F.sum("band_1_sum").alias("sum_val"),
+        )
+    )
+
+
+def pyramid_stats_rollup_oracle() -> str:
+    parent = qb.cell_to_parent_sql("block", 5, "duckdb")
+    return _duck_pixels() + f"""
+, per_tile AS (
+  SELECT block, COUNT(val) AS cnt, MIN(val) AS mn, MAX(val) AS mx,
+         SUM(val) AS sm
+  FROM vals GROUP BY block
+)
+SELECT {parent} AS parent, COUNT(*) AS n_tiles, SUM(cnt) AS n_pixels,
+       CAST(MIN(mn) AS DOUBLE) AS min_val, CAST(MAX(mx) AS DOUBLE) AS max_val,
+       CAST(SUM(sm) AS DOUBLE) AS sum_val
+FROM per_tile GROUP BY parent
+"""
 
 
 def raster_histogram_oracle() -> str:
@@ -1016,6 +1086,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "qb_children": qb_children,
     "qb_kring": qb_kring,
     "qb_validity": qb_validity,
+    "qb_bbox_polyfill": qb_bbox_polyfill,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
@@ -1101,6 +1172,10 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "region_stats_polygon": (
         region_stats_polygon_spark,
         region_stats_polygon_oracle,
+    ),
+    "pyramid_stats_rollup": (
+        pyramid_stats_rollup_spark,
+        pyramid_stats_rollup_oracle,
     ),
     "raster_histogram": (raster_histogram_spark, raster_histogram_oracle),
     "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
