@@ -635,6 +635,68 @@ FROM per_tile GROUP BY parent
 """
 
 
+def timeseries_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal raster: two CF time steps (hours since 2020-01-01), per-
+    step pooled stats — the spec's (block, time_cf) keyed table
+    (format-specs/raquet.md:67-88) driven end-to-end: CF parse →
+    time_ts derivation → per-tile stats → per-step columnar rollup."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.operators.time_dim import parse_cf_units, with_time_ts
+    from raquet_spark.testing import make_synthetic_raster
+
+    r = _R
+    steps = []
+    for i, hours in enumerate((0.0, 24.0)):
+        tiles, meta = make_synthetic_raster(
+            spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
+            origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
+            num_bands=1, dtype="float32", seed=r["seed"] + i,
+            nodata=r["nodata"], nodata_every=r["nodata_every"],
+        )
+        steps.append(tiles.withColumn("time_cf", F.lit(hours)))
+    cf = parse_cf_units("hours since 2020-01-01", "standard")
+    df = with_time_ts(steps[0].unionByName(steps[1]), cf)
+    stats = with_tile_stats(df, meta)
+    return (
+        stats.groupBy("time_cf", "time_ts")
+        .agg(
+            F.sum("band_1_count").alias("n_pixels"),
+            F.min("band_1_min").alias("min_val"),
+            F.max("band_1_max").alias("max_val"),
+            F.sum("band_1_sum").alias("sum_val"),
+        )
+        .select(
+            "time_cf", "time_ts", "n_pixels", "min_val", "max_val",
+            F.round(F.col("sum_val") / F.col("n_pixels"), 6).alias("mean_val"),
+        )
+    )
+
+
+def timeseries_stats_oracle() -> str:
+    r = _R
+    parts = []
+    for i, (hours, day) in enumerate(((0.0, "2020-01-01"), (24.0, "2020-01-02"))):
+        parts.append(f"""
+SELECT CAST({hours} AS DOUBLE) AS time_cf,
+       TIMESTAMP '{day} 00:00:00' AS time_ts,
+       COUNT(val) AS n_pixels,
+       CAST(MIN(val) AS DOUBLE) AS min_val, CAST(MAX(val) AS DOUBLE) AS max_val,
+       round(CAST(SUM(val) AS DOUBLE) / COUNT(val), 6) AS mean_val
+FROM (
+  SELECT CASE WHEN (gx + gy) % {r['nodata_every']} = 0 THEN NULL
+              ELSE CAST((gx * 31 + gy * 17 + {r['seed'] + i}) % {r['modulo']} AS DOUBLE)
+         END AS val
+  FROM (SELECT tx * {r['bs']} + x AS gx, ty * {r['bs']} + y AS gy
+        FROM (SELECT {r['tx']} + j % {r['nx']} AS tx, {r['ty']} + j // {r['nx']} AS ty
+              FROM (SELECT unnest(range(0, {r['nx'] * r['ny']})) AS j)) g,
+             (SELECT unnest(range(0, {r['bs']})) AS x),
+             (SELECT unnest(range(0, {r['bs']})) AS y)) px
+) v{i}""")
+    return " UNION ALL ".join(parts)
+
+
 def raster_histogram_oracle() -> str:
     return _duck_pixels() + """
 SELECT CAST(least(floor((val - 0.0) / 251.0 * 256), 255) AS INT) AS bucket,
@@ -1177,6 +1239,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
         pyramid_stats_rollup_spark,
         pyramid_stats_rollup_oracle,
     ),
+    "timeseries_stats": (timeseries_stats_spark, timeseries_stats_oracle),
     "raster_histogram": (raster_histogram_spark, raster_histogram_oracle),
     "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
