@@ -105,9 +105,10 @@ def normalized_difference(df: DataFrame, metadata: dict, band_a: str, band_b: st
     meta_two = dict(metadata, bands=bms)
 
     def nd(a: dict[str, np.ndarray]) -> np.ndarray:
-        s = a[band_a] + a[band_b]
-        return np.divide(
-            a[band_a] - a[band_b], s, out=np.full(s.shape, np.nan), where=s != 0
-        )
+        # upcast before arithmetic: the index must be computed in f8 even
+        # for narrow storage dtypes (f4 division would differ in the ulps)
+        va, vb = a[band_a].astype("f8"), a[band_b].astype("f8")
+        s = va + vb
+        return np.divide(va - vb, s, out=np.full(s.shape, np.nan), where=s != 0)
 
     return map_bands(df.select("block", band_a, band_b), meta_two, nd, out_band="ndiff")

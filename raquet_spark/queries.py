@@ -635,6 +635,59 @@ FROM per_tile GROUP BY parent
 """
 
 
+def band_algebra_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDVI-shaped two-band index: per-pixel (b1 - b2)/(b1 + b2) over a
+    2-band raster, then global stats of the derived band — decode →
+    vectorized numpy → encode in one Arrow pass (operators/algebra.py),
+    stats via the usual columnar path."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.algebra import normalized_difference
+    from raquet_spark.testing import make_synthetic_raster
+
+    r = _R
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
+        origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
+        num_bands=2, dtype="float32", seed=r["seed"],
+    )
+    nd = normalized_difference(tiles, meta, "band_1", "band_2")
+    vals = nd.select(F.explode(band_decode("ndiff", "float64")).alias("v"))
+    ok = vals.where(~F.isnan("v"))
+    return ok.agg(
+        F.count("v").alias("n_pixels"),
+        F.round(F.min("v"), 6).alias("min_nd"),
+        F.round(F.max("v"), 6).alias("max_nd"),
+        F.round(F.avg("v"), 6).alias("mean_nd"),
+    )
+
+
+def band_algebra_oracle() -> str:
+    r = _R
+    cellfree_px = f"""
+  SELECT tx * {r['bs']} + x AS gx, ty * {r['bs']} + y AS gy
+  FROM (SELECT {r['tx']} + j % {r['nx']} AS tx, {r['ty']} + j // {r['nx']} AS ty
+        FROM (SELECT unnest(range(0, {r['nx'] * r['ny']})) AS j)) g,
+       (SELECT unnest(range(0, {r['bs']})) AS x),
+       (SELECT unnest(range(0, {r['bs']})) AS y)
+"""
+    # band pixel = (gx*31 + gy*17 + seed + band_index*7) % modulo
+    b1 = f"CAST((gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} AS DOUBLE)"
+    b2 = f"CAST((gx * 31 + gy * 17 + {r['seed']} + 7) % {r['modulo']} AS DOUBLE)"
+    return f"""
+WITH px AS ({cellfree_px}),
+nd AS (
+  SELECT ({b1} - {b2}) / ({b1} + {b2}) AS v
+  FROM px WHERE ({b1} + {b2}) <> 0
+)
+SELECT COUNT(v) AS n_pixels,
+       round(MIN(v), 6) AS min_nd, round(MAX(v), 6) AS max_nd,
+       round(AVG(v), 6) AS mean_nd
+FROM nd
+"""
+
+
 def timeseries_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal raster: two CF time steps (hours since 2020-01-01), per-
     step pooled stats — the spec's (block, time_cf) keyed table
@@ -1053,6 +1106,26 @@ FROM (SELECT doc_id, {wins} AS w FROM hg) t
 """
 
 
+def length_percentiles(d: str) -> str:
+    """Per-source document-length distribution (exact interpolated
+    percentiles — the curation dashboard query of a training pipeline).
+    Spark `percentile` and DuckDB `quantile_cont` share linear
+    interpolation semantics."""
+    n = dl.arr_size(_tokens(d), d)
+    pct = "percentile" if d == "spark" else "quantile_cont"
+    return f"""
+WITH lens AS (
+  SELECT source, CAST({n} AS DOUBLE) AS n_toks FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       round(CAST({pct}(n_toks, 0.5) AS DOUBLE), 6) AS p50,
+       round(CAST({pct}(n_toks, 0.9) AS DOUBLE), 6) AS p90,
+       round(CAST({pct}(n_toks, 0.99) AS DOUBLE), 6) AS p99,
+       CAST(MAX(n_toks) AS DOUBLE) AS max_toks
+FROM lens GROUP BY source
+"""
+
+
 def dataset_split(d: str) -> str:
     """Deterministic 80/10/10 train/val/test split by content-stable
     hash of doc_id — reproducible across engines, runs, and cluster
@@ -1163,6 +1236,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "stratified_sample": stratified_sample,
     "repetition_stats": repetition_stats,
     "pii_scan": pii_scan,
+    "length_percentiles": length_percentiles,
 }
 
 def ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,6 +1314,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
         pyramid_stats_rollup_oracle,
     ),
     "timeseries_stats": (timeseries_stats_spark, timeseries_stats_oracle),
+    "band_algebra_nd": (band_algebra_spark, band_algebra_oracle),
     "raster_histogram": (raster_histogram_spark, raster_histogram_oracle),
     "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
