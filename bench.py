@@ -50,6 +50,10 @@ def main() -> None:
         "region_stats_polygon",
         "suitable_cells",
         "dedup_components",
+        "ngram_jaccard",
+        "ann_ivf",
+        "pyramid_stats_rollup",
+        "timeseries_stats",
     ]
 
     timings: dict[str, float] = {}
