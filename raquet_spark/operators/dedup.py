@@ -231,7 +231,10 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        # one pass carries both the new label and a changed flag, so the
+        # convergence check is a count on the checkpointed result — no
+        # extra join against the previous labels
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
@@ -239,17 +242,15 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_component"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where("_changed").limit(1).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return labels

@@ -112,12 +112,21 @@ def ann_lsh(
         candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")), "_cv"
     ).withColumnRenamed("_norm", "_cnorm")
 
-    matches = None
-    for t, planes in enumerate(tables):
-        qb_ = q.withColumn("_sig", _signature("_qv", planes)).withColumn("_t", F.lit(t))
-        cb = c.withColumn("_sig", _signature("_cv", planes)).withColumn("_t", F.lit(t))
-        m = cb.join(qb_, ["_t", "_sig"]).where(F.col("query_id") != F.col("cand_id"))
-        matches = m if matches is None else matches.unionByName(m)
+    # all table signatures in ONE projection per side, exploded to
+    # (_t, _sig) rows → a single equi-join on the bucket key. One scan
+    # per side instead of one per table — the same banded-LSH plan shape
+    # as MinHash dedup.
+    def with_buckets(df: DataFrame, vec: str) -> DataFrame:
+        sigs = F.array(*[_signature(vec, planes) for planes in tables])
+        return df.withColumn("_sigs", sigs).select(
+            "*", F.posexplode("_sigs").alias("_t", "_sig")
+        ).drop("_sigs")
+
+    qb_ = with_buckets(q, "_qv")
+    cb = with_buckets(c, "_cv")
+    matches = cb.join(qb_, ["_t", "_sig"]).where(
+        F.col("query_id") != F.col("cand_id")
+    )
 
     pairs = matches.select("query_id", "cand_id", "_qv", "_cv", "_qnorm", "_cnorm").distinct()
     scored = pairs.withColumn("score", _dot("_qv", "_cv") / F.col("_qnorm") / F.col("_cnorm"))
