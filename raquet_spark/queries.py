@@ -1117,6 +1117,24 @@ FROM (SELECT doc_id, {wins} AS w FROM hg) t
 """
 
 
+def events_json_rollup(d: str) -> str:
+    """Semi-structured extraction: parse the JSON `props` payload and
+    aggregate by a derived attribute bucket — JSON stays engine-native
+    on both sides (get_json_object / json_extract_string), no Python."""
+    if d == "spark":
+        k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    return f"""
+WITH parsed AS (
+  SELECT event_type, {k} AS k, value FROM events
+)
+SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
+       MIN(k) AS min_k, MAX(k) AS max_k, {dl.dsum('value', d)} AS total_value
+FROM parsed GROUP BY event_type, k % 10
+"""
+
+
 def length_percentiles(d: str) -> str:
     """Per-source document-length distribution (exact interpolated
     percentiles — the curation dashboard query of a training pipeline).
@@ -1248,6 +1266,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "repetition_stats": repetition_stats,
     "pii_scan": pii_scan,
     "length_percentiles": length_percentiles,
+    "events_json_rollup": events_json_rollup,
 }
 
 def ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -155,3 +155,74 @@ def test_bbox_cover():
     for c in cells:
         w, s, e, n = qb.py_cell_to_bounds(c)
         assert e > -10.0 and w < 5.0 and n > 35.0 and s < 45.0
+
+
+# ---------------------------------------------------------------------------
+# geom: polygon containment property tests
+# ---------------------------------------------------------------------------
+
+def _winding_inside(px: float, py: float, verts) -> bool:
+    """Independent oracle: nonzero winding number (angle sum)."""
+    import math
+
+    total = 0.0
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i][0] - px, verts[i][1] - py
+        x2, y2 = verts[(i + 1) % n][0] - px, verts[(i + 1) % n][1] - py
+        total += math.atan2(x1 * y2 - y1 * x2, x1 * x2 + y1 * y2)
+    return abs(total) > math.pi  # ~2π inside, ~0 outside
+
+
+@given(
+    cx=st.floats(0.2, 0.8), cy=st.floats(0.2, 0.8),
+    r=st.floats(0.05, 0.15),
+    nv=st.integers(3, 8),
+    px=st.floats(0.01, 0.99), py=st.floats(0.01, 0.99),
+    phase=st.floats(0.0, 6.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_point_in_poly_matches_winding(cx, cy, r, nv, px, py, phase):
+    import math
+
+    from raquet_spark.functions import geom
+
+    verts = [
+        (cx + r * math.cos(phase + 2 * math.pi * k / nv),
+         cy + r * math.sin(phase + 2 * math.pi * k / nv))
+        for k in range(nv)
+    ]
+    import numpy as np
+
+    # skip degenerate cases where the point is within an ulp of an edge
+    d_edge = min(
+        abs((x2 - x1) * (y1 - py) - (x1 - px) * (y2 - y1))
+        / max(math.hypot(x2 - x1, y2 - y1), 1e-12)
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1])
+    )
+    if d_edge < 1e-9:
+        return
+    got = bool(geom.point_in_poly_np(np.array([px]), np.array([py]), verts)[0])
+    assert got == _winding_inside(px, py, verts)
+
+
+def test_point_in_poly_sql_matches_np():
+    import numpy as np
+
+    from raquet_spark.functions import geom
+
+    verts = geom.poly_to_fractions(
+        [(-10.3, 35.2), (4.7, 36.1), (6.2, 44.9), (-2.5, 47.3), (-11.0, 41.0)]
+    )
+    rng = np.random.RandomState(3)
+    px, py = rng.uniform(0.4, 0.6, 200), rng.uniform(0.3, 0.5, 200)
+    want = geom.point_in_poly_np(px, py, verts)
+    expr = geom.point_in_poly_sql("px", "py", verts)
+    rows = ", ".join(f"({x!r}, {y!r})" for x, y in zip(px, py))
+    got = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {expr} FROM (VALUES {rows}) t(px, py)"
+        ).fetchall()
+    ]
+    assert got == list(want)
