@@ -635,6 +635,86 @@ FROM per_tile GROUP BY parent
 """
 
 
+def tile_stats_interleaved_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile stats routed through the interleaved (BIP `pixels`)
+    layout: sequential → interleaved → sequential → stats. The oracle is
+    the plain stats oracle, so any byte-shuffling bug in the layout
+    codecs (spec §Band Interleaved by Pixel) breaks the value hash."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.layout import to_interleaved, to_sequential
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    inter, imeta = to_interleaved(tiles, meta)
+    seq, smeta = to_sequential(inter, imeta)
+    stats = with_tile_stats(seq, smeta)
+    return stats.select(
+        "block",
+        "band_1_count", "band_1_min", "band_1_max", "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+_R8 = dict(_R, seed=99, modulo=199)
+
+
+def tile_stats_uint8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats over a uint8 raster with an integer nodata (spec: integer
+    band types use exact nodata matching, no NaN semantics)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.testing import make_synthetic_raster
+
+    r = _R8
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
+        origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
+        num_bands=1, dtype="uint8", seed=r["seed"], modulo=r["modulo"],
+        nodata=7.0, nodata_every=r["nodata_every"],
+    )
+    stats = with_tile_stats(tiles, meta)
+    return stats.select(
+        "block",
+        "band_1_count", "band_1_min", "band_1_max", "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def tile_stats_uint8_oracle() -> str:
+    r = _R8
+    cell = qb.tile_to_cell_sql("tx", "ty", r["zoom"], "duckdb")
+    return f"""
+WITH grid AS (
+  SELECT {r['tx']} + i % {r['nx']} AS tx, {r['ty']} + i // {r['nx']} AS ty
+  FROM (SELECT unnest(range(0, {r['nx'] * r['ny']})) AS i)
+), px AS (
+  SELECT tx, ty, tx * {r['bs']} + x AS gx, ty * {r['bs']} + y AS gy
+  FROM grid,
+       (SELECT unnest(range(0, {r['bs']})) AS x),
+       (SELECT unnest(range(0, {r['bs']})) AS y)
+), vals AS (
+  SELECT {cell} AS block,
+         CASE WHEN (gx + gy) % {r['nodata_every']} = 0 THEN NULL
+              WHEN (gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} = 7 THEN NULL
+              ELSE CAST((gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} AS DOUBLE)
+         END AS val
+  FROM px
+)
+SELECT block,
+       COUNT(val) AS band_1_count,
+       CAST(MIN(val) AS DOUBLE) AS band_1_min,
+       CAST(MAX(val) AS DOUBLE) AS band_1_max,
+       CAST(SUM(val) AS DOUBLE) AS band_1_sum,
+       round(AVG(val), 6) AS band_1_mean,
+       round(stddev_pop(val), 6) AS band_1_stddev
+FROM vals GROUP BY block
+"""
+
+
 def band_algebra_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDVI-shaped two-band index: per-pixel (b1 - b2)/(b1 + b2) over a
     2-band raster, then global stats of the derived band — decode →
@@ -1345,6 +1425,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     ),
     "timeseries_stats": (timeseries_stats_spark, timeseries_stats_oracle),
     "band_algebra_nd": (band_algebra_spark, band_algebra_oracle),
+    "tile_stats_interleaved": (tile_stats_interleaved_spark, tile_stats_agg_oracle),
+    "tile_stats_uint8": (tile_stats_uint8_spark, tile_stats_uint8_oracle),
     "raster_histogram": (raster_histogram_spark, raster_histogram_oracle),
     "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),

@@ -65,6 +65,7 @@ def make_synthetic_raster(
     num_bands: int = 1,
     dtype: str = "float32",
     seed: int = 42,
+    modulo: int = 251,
     nodata: float | None = None,
     nodata_every: int = 0,
     compression: str | None = "gzip",
@@ -95,7 +96,8 @@ def make_synthetic_raster(
                     encode_block(
                         synthetic_tile_array(
                             tx, ty, zoom, block_size, bi, seed, dtype,
-                            nodata=nodata, nodata_every=nodata_every,
+                            modulo=modulo, nodata=nodata,
+                            nodata_every=nodata_every,
                         ),
                         dtype,
                         compression,
