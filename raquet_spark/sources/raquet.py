@@ -206,6 +206,59 @@ def filter_blocks_bbox(
     return df.where(cond)
 
 
+def merge_tiles(
+    spark: SparkSession,
+    path: str,
+    new_tiles: DataFrame,
+    out_path: str | None = None,
+) -> dict:
+    """Upsert new/updated tiles into a RaQuet dataset: rows in
+    ``new_tiles`` replace existing rows with the same ``block``; the
+    metadata row's num_blocks and bounds are refreshed.
+
+    Plan: anti-join existing against the (typically small, broadcast)
+    new-tile keys, union, re-sort, rewrite. At 100 TB pair this with the
+    partitioned layout so only the ancestor partitions touched by
+    ``new_tiles`` are rewritten — the unioned write is range-partitioned
+    by ``block`` either way. Returns the refreshed metadata."""
+    from raquet_spark.core.metadata import parse_metadata  # noqa: F401
+
+    meta = read_raquet_metadata(spark, path)
+    existing = read_raquet(spark, path)
+    keys = new_tiles.select("block").distinct()
+    kept = existing.join(F.broadcast(keys), "block", "left_anti")
+    merged = kept.unionByName(
+        ensure_metadata_column(new_tiles).select(*[c for c in kept.columns]),
+        allowMissingColumns=False,
+    )
+    target = out_path or path
+    # overwrite of the source requires materializing first
+    if target == path:
+        merged = merged.localCheckpoint(eager=True)
+    write_raquet(merged.drop("metadata"), target, meta)
+    return read_raquet_metadata(spark, target)
+
+
+def compact_raquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str | None = None,
+    target_row_group_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Rewrite a dataset Morton-sorted with a target row-group size —
+    the periodic maintenance pass after many streaming/merge appends
+    (small row groups destroy block-range pruning selectivity)."""
+    meta = read_raquet_metadata(spark, path)
+    tiles = read_raquet(spark, path)
+    target = out_path or path
+    if target == path:
+        tiles = tiles.localCheckpoint(eager=True)
+    write_raquet(
+        tiles.drop("metadata"), target, meta,
+        target_row_group_bytes=target_row_group_bytes,
+    )
+
+
 def add_version_hint(local_parquet_file: str, version: str = "0.5.0") -> None:
     """Stamp ``raquet:version`` into parquet file key-value metadata
     (spec §File Identification). Driver-side pyarrow rewrite — intended

@@ -198,3 +198,39 @@ def test_partitioned_write_and_split_zoom(spark, raster2, tmp_path):
     assert z_native.where(F.col("block") != 0).count() == 4
     z_over = spark.read.parquet(f"{p2}/zoom={Z - 1}")
     assert z_over.where(F.col("block") != 0).count() == 1
+
+
+def test_merge_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.sources.raquet import (
+        compact_raquet, merge_tiles, read_raquet, write_raquet,
+    )
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(spark, zoom=6, tiles_x=2, tiles_y=2,
+                                        block_size=16)
+    path = str(tmp_path / "m.parquet")
+    write_raquet(tiles, path, meta)
+
+    # updated version of one existing tile + one brand-new tile
+    upd, _ = make_synthetic_raster(spark, zoom=6, tiles_x=1, tiles_y=1,
+                                   block_size=16, seed=123)
+    new_block = qb.py_tile_to_cell(18, 20, 6)
+    extra, _ = make_synthetic_raster(spark, zoom=6, tiles_x=1, tiles_y=1,
+                                     origin_x=18, origin_y=20, block_size=16)
+    out = str(tmp_path / "merged.parquet")
+    new_meta = merge_tiles(spark, path, upd.unionByName(extra), out_path=out)
+    assert new_meta["tiling"]["num_blocks"] == 5
+
+    back = read_raquet(spark, out)
+    assert back.count() == 5
+    assert back.where(F.col("block") == new_block).count() == 1
+    # the updated tile's bytes must come from the new version
+    updated_blob = upd.collect()[0]["band_1"]
+    got_blob = back.where(F.col("block") == upd.collect()[0]["block"]).collect()[0]["band_1"]
+    assert bytes(got_blob) == bytes(updated_blob)
+
+    compact_raquet(spark, out)
+    assert read_raquet(spark, out).count() == 5
