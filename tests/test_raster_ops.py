@@ -234,3 +234,24 @@ def test_merge_and_compact(spark, tmp_path):
 
     compact_raquet(spark, out)
     assert read_raquet(spark, out).count() == 5
+
+
+def test_pixel_table_tiling_roundtrip(spark):
+    """export → re-tile → byte-identical tiles (raster2raquet core as a
+    distributed groupBy)."""
+    from raquet_spark.operators.export import to_pixel_table
+    from raquet_spark.operators.tiling import from_pixel_table
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(spark, zoom=6, tiles_x=2, tiles_y=2,
+                                        block_size=16, nodata=-1.0,
+                                        nodata_every=5)
+    px = to_pixel_table(tiles, meta)
+    back = from_pixel_table(px, meta)
+
+    want = {r["block"]: bytes(r["band_1"]) for r in tiles.collect()}
+    got = {r["block"]: bytes(r["band_1"]) for r in back.collect()}
+    assert set(got) == set(want)
+    # decoded float64 pixel values in the pixel table round-trip exactly
+    # through the float32 band dtype, so blobs must match byte-for-byte
+    assert got == want
