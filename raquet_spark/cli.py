@@ -69,6 +69,58 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Pixel-table parquet (gx, gy, band columns) → RaQuet dataset —
+    the distributed counterpart of the reference `convert raster`
+    (GDAL inputs are not available in this environment; any raster
+    readable as a pixel table converts through this path)."""
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.operators.tiling import from_pixel_table
+    from raquet_spark.sources.raquet import write_raquet
+
+    spark = _spark()
+    px = spark.read.parquet(args.input)
+    band_cols = [c for c in px.columns if c not in ("gx", "gy")]
+    if not band_cols:
+        print("ERROR: input needs gx, gy plus at least one band column")
+        return 1
+    gmax = px.selectExpr(
+        "max(gx) AS x", "max(gy) AS y", "min(gx) AS x0", "min(gy) AS y0"
+    ).collect()[0]
+    bs = args.block_size
+    z = args.zoom
+    from raquet_spark.functions import quadbin as qb
+
+    w, s, _, _ = qb.py_cell_to_bounds(
+        qb.py_tile_to_cell(gmax["x0"] // bs, gmax["y"] // bs, z)
+    )
+    _, _, e, n = qb.py_cell_to_bounds(
+        qb.py_tile_to_cell(gmax["x"] // bs, gmax["y0"] // bs, z)
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name=b, type=args.dtype, nodata=args.nodata)
+               for b in band_cols],
+        bounds=(w, s, e, n),
+        width=int(gmax["x"] - gmax["x0"] + 1),
+        height=int(gmax["y"] - gmax["y0"] + 1),
+        block_width=bs,
+        block_height=bs,
+        min_zoom=z,
+        max_zoom=z,
+        num_blocks=0,
+        compression="gzip",
+        tile_statistics=False,
+    )
+    tiles = from_pixel_table(px, meta)
+    if args.stats:
+        from raquet_spark.operators.tile_stats import with_tile_stats
+
+        tiles = with_tile_stats(tiles, meta)
+    write_raquet(tiles, args.output, meta)
+    print(f"converted {args.input} -> {args.output}")
+    return 0
+
+
 def cmd_export(args) -> int:
     from raquet_spark.operators.export import pixel_table_with_lonlat, to_pixel_table
     from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
@@ -131,6 +183,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--stats", action="store_true")
     s.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("convert", help="pixel-table parquet → raquet")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--zoom", type=int, required=True)
+    s.add_argument("--block-size", type=int, default=256)
+    s.add_argument("--dtype", default="float32")
+    s.add_argument("--nodata", type=float, default=None)
+    s.add_argument("--stats", action="store_true")
+    s.set_defaults(fn=cmd_convert)
 
     s = sub.add_parser("export", help="raquet → dense pixel parquet")
     s.add_argument("file")
