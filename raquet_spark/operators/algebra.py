@@ -15,6 +15,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from raquet_spark.core.metadata import parse_nodata
 from raquet_spark.functions.bands import decode_block, encode_block
@@ -74,6 +75,49 @@ def map_bands(
         fields += [f"{name} binary" for name, _, _ in bands]
     fields.append(f"{out_band} binary")
     return df.mapInPandas(compute, schema=", ".join(fields))
+
+
+def join_rasters(
+    a: DataFrame,
+    b: DataFrame,
+    metadata_a: dict,
+    metadata_b: dict,
+    fn: Callable[[dict[str, np.ndarray]], np.ndarray],
+    band_a: str = "band_1",
+    band_b: str = "band_1",
+    out_band: str = "band_out",
+    out_type: str = "float64",
+) -> DataFrame:
+    """Cross-dataset raster algebra: equi-join two RaQuet tables on
+    ``block`` and apply ``fn`` to the co-located tile pair — the
+    warehouse join the RaQuet layout exists for (e.g. slope × landcover
+    suitability). Both sides share the quadbin key, so with the
+    partitioned/bucketed layout the join is co-located (zero or one
+    shuffle); decode happens once per matched tile inside an Arrow pass.
+    ``fn`` receives {"a": pixels_a, "b": pixels_b}."""
+    from collections.abc import Iterator as _Iter
+
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(a.sparkSession)
+    ta = next(x["type"] for x in metadata_a["bands"] if x["name"] == band_a)
+    tb = next(x["type"] for x in metadata_b["bands"] if x["name"] == band_b)
+
+    joined = (
+        a.select("block", F.col(band_a).alias("_ba"))
+        .join(b.select("block", F.col(band_b).alias("_bb")), "block")
+    )
+
+    def compute(batches: _Iter[pd.DataFrame]) -> _Iter[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for ba, bb in zip(pdf["_ba"], pdf["_bb"]):
+                va = decode_block(ba, ta).astype("f8")
+                vb = decode_block(bb, tb).astype("f8")
+                blobs.append(encode_block(fn({"a": va, "b": vb}), out_type, "gzip"))
+            yield pd.DataFrame({"block": pdf["block"], out_band: blobs})
+
+    return joined.mapInPandas(compute, schema=f"block bigint, {out_band} binary")
 
 
 def apply_scale_offset(df: DataFrame, metadata: dict, band: str) -> DataFrame:

@@ -768,6 +768,54 @@ FROM nd
 """
 
 
+def raster_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset raster join: two rasters equi-joined on the quadbin
+    block, per-pixel difference, global stats — the co-located warehouse
+    join the RaQuet layout exists for."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.algebra import join_rasters
+    from raquet_spark.testing import make_synthetic_raster
+
+    r = _R
+    kw = dict(
+        zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"], origin_x=r["tx"],
+        origin_y=r["ty"], block_size=r["bs"], num_bands=1, dtype="float32",
+    )
+    a, meta_a = make_synthetic_raster(spark, seed=r["seed"], **kw)
+    b, meta_b = make_synthetic_raster(spark, seed=r["seed"] + 5, **kw)
+    diff = join_rasters(a, b, meta_a, meta_b, lambda x: x["a"] - x["b"],
+                        out_band="diff")
+    vals = diff.select(F.explode(band_decode("diff", "float64")).alias("v"))
+    return vals.agg(
+        F.count("v").alias("n_pixels"),
+        F.min("v").alias("min_diff"),
+        F.max("v").alias("max_diff"),
+        F.round(F.avg("v"), 6).alias("mean_diff"),
+    )
+
+
+def raster_join_oracle() -> str:
+    r = _R
+    va = f"CAST((gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} AS DOUBLE)"
+    vb = f"CAST((gx * 31 + gy * 17 + {r['seed'] + 5}) % {r['modulo']} AS DOUBLE)"
+    return f"""
+WITH px AS (
+  SELECT tx * {r['bs']} + x AS gx, ty * {r['bs']} + y AS gy
+  FROM (SELECT {r['tx']} + j % {r['nx']} AS tx, {r['ty']} + j // {r['nx']} AS ty
+        FROM (SELECT unnest(range(0, {r['nx'] * r['ny']})) AS j)) g,
+       (SELECT unnest(range(0, {r['bs']})) AS x),
+       (SELECT unnest(range(0, {r['bs']})) AS y)
+), d AS (
+  SELECT ({va} - {vb}) AS v FROM px
+)
+SELECT COUNT(v) AS n_pixels, MIN(v) AS min_diff, MAX(v) AS max_diff,
+       round(AVG(v), 6) AS mean_diff
+FROM d
+"""
+
+
 def timeseries_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal raster: two CF time steps (hours since 2020-01-01), per-
     step pooled stats — the spec's (block, time_cf) keyed table
@@ -1427,6 +1475,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "band_algebra_nd": (band_algebra_spark, band_algebra_oracle),
     "tile_stats_interleaved": (tile_stats_interleaved_spark, tile_stats_agg_oracle),
     "tile_stats_uint8": (tile_stats_uint8_spark, tile_stats_uint8_oracle),
+    "raster_join_diff": (raster_join_spark, raster_join_oracle),
     "raster_histogram": (raster_histogram_spark, raster_histogram_oracle),
     "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
