@@ -47,6 +47,20 @@ def stream_tiles(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop repeats of ``keys`` arriving within
+    the watermark window (``dropDuplicatesWithinWatermark``) — the
+    ingest-time guard of a training-data pipeline. State is bounded by
+    the watermark horizon; keys older than it are forgotten, so the
+    operator runs forever at constant memory per key-partition."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,

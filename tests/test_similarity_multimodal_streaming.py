@@ -203,3 +203,27 @@ def test_stateful_sessionize(spark, tmp_path):
     # real batch session, and most sessions should have been emitted
     assert got <= want
     assert len(got) >= len(want) * 0.5, (len(got), len(want))
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import streaming_dedup
+
+    events = load_table(spark, SF_DIR, "events")
+    # duplicate every event once
+    doubled = events.union(events)
+    src = str(tmp_path / "dups_src")
+    doubled.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    deduped = streaming_dedup(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+    assert out["n"] == out["d"] == events.count()
