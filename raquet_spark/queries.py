@@ -1407,6 +1407,24 @@ def ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(emb, queries_df, k=5, n_clusters=16, n_probe=4)
 
 
+def sketch_user_reach_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct users per event type (approx_count_distinct,
+    rsd=2%) — the constant-memory cardinality path for 100 TB streams;
+    rows-only check (approximate by construction), accuracy gated in
+    pytest against the exact count."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the MinHash-LSH pair
     graph (iterative min-label propagation; non-SQL-expressible on the
@@ -1481,6 +1499,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
+    "sketch_user_reach": (sketch_user_reach_spark, None),
 }
 
 

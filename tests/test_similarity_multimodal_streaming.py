@@ -227,3 +227,39 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(180)
     out = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
     assert out["n"] == out["d"] == events.count()
+
+
+def test_sketch_accuracy(spark):
+    from raquet_spark.queries import load_table, sketch_user_reach_spark
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in sketch_user_reach_spark(spark, SF_DIR).collect()
+    }
+    events = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 0.08 * v), (k, approx[k], v)
+
+
+def test_multimodal_to_ann_pipeline(spark):
+    """End-to-end multimodal path: fake-decode image bytes → feature
+    vectors → brute-force ANN over the derived embedding column."""
+    from raquet_spark.operators.multimodal import extract_features, make_media_table
+    from raquet_spark.operators.similarity import cosine_topk
+
+    media = make_media_table(spark, n=60, kind="image")
+    feats = extract_features(media)
+    emb = feats.select(
+        F.col("media_id").alias("vec_id"),
+        F.concat("mean_rgb", "std_rgb", F.array("aspect")).alias("embedding"),
+    )
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    out = cosine_topk(emb, queries, k=3)
+    assert out.groupBy("query_id").count().count() == queries.count()
+    assert out.where(F.col("score") > 1.0 + 1e-9).count() == 0
