@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from raquet_spark.functions.bands import DTYPES, decode_block, encode_block
+from raquet_spark.functions.bands import decode_block, encode_block
 
 LOSSY = ("jpeg", "webp")
 

@@ -12,9 +12,7 @@ outside [min_zoom, max_zoom] clamp to the nearest available level.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -17,7 +17,6 @@ Resampling kernels: ``near`` (top-left of each 2×2, GDAL-style),
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,6 @@ Missing pixels of a partially-covered tile become nodata.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
