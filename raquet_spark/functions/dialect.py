@@ -44,6 +44,14 @@ def arr_filter(a: str, var: str, body: str, d: str) -> str:
     return f"{fn}({a}, {var} -> {body})"
 
 
+def split_re(s: str, pattern: str, d: str) -> str:
+    """Split on a regex in BOTH dialects. Spark's ``split`` is always
+    regex; DuckDB's ``split``/``string_split`` is literal, so the regex
+    variant must be named explicitly there."""
+    fn = "split" if d == SPARK else "string_split_regex"
+    return f"{fn}({s}, '{pattern}')"
+
+
 def arr_min(a: str, d: str) -> str:
     return f"array_min({a})" if d == SPARK else f"list_min({a})"
 

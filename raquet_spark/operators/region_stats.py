@@ -157,6 +157,77 @@ def region_stats_polygon(
     return aggregate_band_stats(per_tile, band)
 
 
+def zonal_stats(
+    tiles_with_stats: DataFrame,
+    metadata: dict,
+    zones: list[tuple[str, tuple[float, float, float, float]]],
+    band: str = "band_1",
+    resolution: int | str = "max",
+) -> DataFrame:
+    """Per-zone statistics for many regions in ONE pass (the multi-AOI
+    generalization of ``region_stats`` — reference ST_RegionStats runs
+    once per region, format-specs/raquet.md:310-316; here N zones cost
+    one scan + one tiny shuffle).
+
+    Plan: each zone's bbox cover is enumerated driver-side into quadbin
+    cells (cheap — covers are small at the query zoom), the (zone, block)
+    mapping becomes a broadcast dimension table, and the fact scan joins
+    it on ``block`` — so tiles prune via the overall Morton block ranges,
+    the join is broadcast (no fact shuffle), and the only shuffle is the
+    final per-zone six-column aggregation, O(zones) rows. A tile spanning
+    two zones contributes to both (bbox-intersection semantics, matching
+    region_stats per zone)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions import quadbin as qb_fns
+
+    spark = tiles_with_stats.sparkSession
+    rows = []
+    all_cells: set[int] = set()
+    for zone_id, (west, south, east, north) in zones:
+        z = resolve_resolution(resolution, metadata, (west, south, east, north))
+        cells = qb_fns.py_bbox_to_cells(west, south, east, north, z)
+        all_cells.update(cells)
+        rows.extend((zone_id, c) for c in cells)
+    zone_map = spark.createDataFrame(rows, "zone_id string, block bigint")
+
+    # prune the fact scan to the union cover before the broadcast join
+    lo, hi = (min(all_cells), max(all_cells)) if all_cells else (0, -1)
+    sel = tiles_with_stats.where(F.col("block").between(lo, hi))
+    joined = sel.join(F.broadcast(zone_map), "block")
+
+    cnt, mn, mx, sm, mean, sd = (
+        F.col(f"{band}_{s}") for s in ("count", "min", "max", "sum", "mean", "stddev")
+    )
+    # pooled stddev from per-tile moments: E[x^2] via stddev & mean
+    sumsq = (sd * sd + mean * mean) * cnt
+    return (
+        joined.groupBy("zone_id")
+        .agg(
+            F.sum(cnt).alias("count"),
+            F.min(mn).alias("min"),
+            F.max(mx).alias("max"),
+            F.sum(sm).alias("sum"),
+            F.sum(sumsq).alias("_sumsq"),
+        )
+        .select(
+            "zone_id",
+            "count",
+            "min",
+            "max",
+            "sum",
+            (F.col("sum") / F.col("count")).alias("mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("_sumsq") / F.col("count")
+                    - (F.col("sum") / F.col("count")) ** 2,
+                    F.lit(0.0),
+                )
+            ).alias("stddev"),
+        )
+    )
+
+
 def suitable_cells(
     tiles_with_stats: DataFrame,
     metadata: dict,

@@ -432,6 +432,61 @@ def region_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tile_rect_bbox(dx: int, dy: int, w: int, h: int) -> tuple[float, float, float, float]:
+    """WGS84 bbox covering the w×h tile rectangle at offset (dx, dy)
+    inside the synthetic raster, padded inward 5% of a tile so
+    edge-touching neighbor tiles are excluded from the cover."""
+    r = _R
+    ww, s, _, _ = qb.py_cell_to_bounds(
+        qb.py_tile_to_cell(r["tx"] + dx, r["ty"] + dy + h - 1, r["zoom"])
+    )
+    _, _, e, n = qb.py_cell_to_bounds(
+        qb.py_tile_to_cell(r["tx"] + dx + w - 1, r["ty"] + dy, r["zoom"])
+    )
+    pad_x, pad_y = (e - ww) / w * 0.05, (n - s) / h * 0.05
+    return (ww + pad_x, s + pad_y, e - pad_x, n - pad_y)
+
+
+_ZONES = [("nw", (0, 0)), ("ne", (2, 0)), ("sw", (0, 2)), ("se", (2, 2))]
+
+
+def zonal_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.region_stats import zonal_stats
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    stats = with_tile_stats(tiles, meta)
+    zones = [(zid, _tile_rect_bbox(dx, dy, 2, 2)) for zid, (dx, dy) in _ZONES]
+    out = zonal_stats(stats, meta, zones, band="band_1", resolution="max")
+    return out.select(
+        "zone_id", "count", "min", "max", "sum",
+        F.round("mean", 6).alias("mean"), F.round("stddev", 6).alias("stddev"),
+    )
+
+
+def zonal_stats_oracle() -> str:
+    r = _R
+    cases = []
+    for zid, (dx, dy) in _ZONES:
+        cells = sorted(
+            qb.py_tile_to_cell(r["tx"] + dx + i, r["ty"] + dy + j, r["zoom"])
+            for i in range(2) for j in range(2)
+        )
+        cases.append(f"WHEN block IN ({', '.join(str(c) for c in cells)}) THEN '{zid}'")
+    zone = "CASE " + " ".join(cases) + " END"
+    return _duck_pixels() + f"""
+SELECT zone_id, COUNT(val) AS count,
+       CAST(MIN(val) AS DOUBLE) AS min, CAST(MAX(val) AS DOUBLE) AS max,
+       CAST(SUM(val) AS DOUBLE) AS sum,
+       round(AVG(val), 6) AS mean, round(stddev_pop(val), 6) AS stddev
+FROM (SELECT {zone} AS zone_id, val FROM vals) z
+WHERE zone_id IS NOT NULL
+GROUP BY zone_id
+"""
+
+
 def _full_raster_bbox() -> tuple[float, float, float, float]:
     """Bbox covering every tile of the synthetic raster, padded inward
     5% of a tile so edge-touching neighbors are excluded."""
@@ -1317,19 +1372,140 @@ FROM sampled GROUP BY source
 
 def repetition_stats(d: str) -> str:
     """Within-document repetition signals (boilerplate / template spam
-    detector): sentence count, distinct-sentence count, repeated-sentence
-    ratio. Pure array ops in one projection — no explode, no shuffle."""
-    sents = dl.arr_filter(f"split(text, '\\\\.')", "s", "length(trim(s)) > 0", d)
-    n = dl.arr_size("sents", d)
-    nd = dl.arr_size(dl.arr_distinct("sents", d), d)
+    detector, the Gopher-style repetition rules): distinct-word ratio
+    and repeated word-3-gram ratio. Pure array ops in one projection —
+    no explode, no shuffle; sentence-splitting deliberately avoided
+    because Spark ``split`` is regex and DuckDB's is literal
+    (dialect.split_re exists for when sentences matter)."""
+    el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
+    gram = f"concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')})"
+    grams = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('toks', d)} - 2", d), "i", gram, d
+    )
+    nw = dl.arr_size("toks", d)
+    ndw = dl.arr_size(dl.arr_distinct("toks", d), d)
+    ng = dl.arr_size("grams", d)
+    ndg = dl.arr_size(dl.arr_distinct("grams", d), d)
     return f"""
-WITH s AS (
-  SELECT doc_id, {sents} AS sents FROM documents
+WITH t AS (
+  SELECT doc_id, {_tokens(d)} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks, {grams} AS grams FROM t
 )
-SELECT doc_id, {n} AS n_sentences, {nd} AS n_distinct,
-       round(CASE WHEN {n} = 0 THEN 0.0
-             ELSE CAST({n} - {nd} AS DOUBLE) / {n} END, 6) AS repeated_ratio
-FROM s
+SELECT doc_id, {nw} AS n_words, {ndw} AS n_distinct_words,
+       round(CASE WHEN {nw} = 0 THEN 0.0
+             ELSE CAST({ndw} AS DOUBLE) / {nw} END, 6) AS distinct_word_ratio,
+       round(CASE WHEN {ng} <= 0 THEN 0.0
+             ELSE CAST({ng} - {ndg} AS DOUBLE) / {ng} END, 6) AS repeated_3gram_ratio
+FROM g
+"""
+
+
+def decontaminate(d: str) -> str:
+    """Benchmark decontamination: flag training documents sharing word
+    3-gram shingles with a held-out eval set (every 50th doc here; in a
+    real pipeline, the benchmark suite). The scale shape: shingles are
+    exploded on both sides and matched by equi-join — the eval side is
+    tiny and broadcastable, the train side streams, so contamination
+    checking at 100 TB is one broadcast hash join, never a cross
+    product. (The n-gram-overlap method follows the public GPT-3 /
+    FineWeb decontamination recipes.)"""
+    el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
+    shingle = f"concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')})"
+    shingles = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('toks', d)} - 2", d), "i", shingle, d
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tokens(d)} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {dl.explode(dl.arr_distinct(shingles, d), 'shingle', d)}
+  FROM tok WHERE {dl.arr_size('toks', d)} >= 3
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+), train AS (
+  SELECT doc_id, COUNT(*) AS n_shingles
+  FROM sh WHERE doc_id % 50 <> 0 GROUP BY doc_id
+), hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_contaminated
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       round(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6)
+         AS contaminated_ratio,
+       CASE WHEN COALESCE(h.n_contaminated, 0) * 2 >= t.n_shingles
+            THEN 1 ELSE 0 END AS flagged
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+def gopher_quality(d: str) -> str:
+    """Gopher-rule quality filter (public Rae et al. 2021 heuristics
+    adapted to this corpus): word-count bounds, mean word length bounds,
+    alphabetic-word fraction, stopword presence, repetition cap. One
+    projection + filterable flag — no shuffle, no UDF; at 100 TB this is
+    a map-only pass that Catalyst pipelines into the scan."""
+    toks = _tokens(d)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    n_stop = dl.arr_size(dl.arr_filter("toks", "t", f"t IN ({stop_list})", d), d)
+    n_alpha = dl.arr_size(
+        dl.arr_filter("toks", "t", "regexp_matches(t, '[a-z]')" if d != "spark"
+                      else "t rlike '[a-z]'", d), d
+    )
+    nw = dl.arr_size("toks", d)
+    ndw = dl.arr_size(dl.arr_distinct("toks", d), d)
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {toks} AS toks FROM documents
+), sig AS (
+  SELECT doc_id,
+         {nw} AS n_words,
+         round(CAST(n_chars AS DOUBLE) / greatest({nw}, 1), 6) AS mean_word_len,
+         round(CAST({n_alpha} AS DOUBLE) / greatest({nw}, 1), 6) AS alpha_word_ratio,
+         {n_stop} AS n_stopwords,
+         round(CAST({ndw} AS DOUBLE) / greatest({nw}, 1), 6) AS distinct_ratio
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_stopwords,
+       distinct_ratio,
+       CASE WHEN n_words >= 10 AND n_words <= 100000
+             AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+             AND alpha_word_ratio >= 0.8
+             AND n_stopwords >= 1
+             AND distinct_ratio >= 0.1
+            THEN 1 ELSE 0 END AS passes
+FROM sig
+"""
+
+
+def tfidf_top_terms(d: str) -> str:
+    """Per-source top-5 terms by TF-IDF — the corpus-characterization
+    query of a curation dashboard. Two aggs (term freq per source,
+    doc freq per term) + a broadcastable doc-count scalar + a window
+    top-k; all shuffles are keyed by token or source (uniform keys).
+    Deterministic: score rounded before ranking, token tiebreak."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {dl.explode(_tokens(d), 'tok', d)} FROM documents
+), tf AS (
+  SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY source, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.source, tf.tok,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT source, tok, tfidf, rn FROM (
+  SELECT source, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+) t WHERE rn <= 5
 """
 
 
@@ -1392,6 +1568,9 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dataset_split": dataset_split,
     "stratified_sample": stratified_sample,
     "repetition_stats": repetition_stats,
+    "decontaminate": decontaminate,
+    "gopher_quality": gopher_quality,
+    "tfidf_top_terms": tfidf_top_terms,
     "pii_scan": pii_scan,
     "length_percentiles": length_percentiles,
     "events_json_rollup": events_json_rollup,
@@ -1475,6 +1654,7 @@ def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "tile_stats_agg": (tile_stats_agg_spark, tile_stats_agg_oracle),
     "region_stats": (region_stats_spark, region_stats_oracle),
+    "zonal_stats": (zonal_stats_spark, zonal_stats_oracle),
     "suitable_cells": (suitable_cells_spark, suitable_cells_oracle),
     "suitable_cells_detail": (
         suitable_cells_detail_spark,
