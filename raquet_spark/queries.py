@@ -1620,6 +1620,54 @@ def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_prune_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup OUTPUT: documents surviving near-dup pruning (keep the
+    min-id doc per MinHash-LSH connected component, drop the rest).
+    Scale shape: the drop-list is |duplicates| rows — tiny relative to
+    the corpus — so the final filter is a broadcast anti-join against
+    the full table; the corpus itself is never shuffled."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(dedup_minhash("spark"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = spark.table("documents")
+    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def dedup_prune_oracle() -> str:
+    minhash = dedup_minhash("duckdb")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({minhash}) q
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), dropped AS (
+  SELECT node AS doc_id FROM comp WHERE node <> component
+)
+SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+GROUP BY source
+"""
+
+
 def dedup_components_oracle() -> str:
     minhash = dedup_minhash("duckdb")
     return f"""
@@ -1661,6 +1709,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
         suitable_cells_detail_oracle,
     ),
     "dedup_components": (dedup_components_spark, dedup_components_oracle),
+    "dedup_prune": (dedup_prune_spark, dedup_prune_oracle),
     "region_stats_polygon": (
         region_stats_polygon_spark,
         region_stats_polygon_oracle,
