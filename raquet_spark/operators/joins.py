@@ -64,6 +64,93 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: str = "asof",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the right row with
+    the largest ``right_time`` <= ``left_time`` for the same key
+    (left-join semantics — unmatched left rows get NULL ``payload``).
+
+    Spark has no ASOF JOIN; the naive formulation is an inequality join
+    (BroadcastNestedLoop — quadratic). This is the scale shape instead:
+    tag and UNION both sides, ONE shuffle keyed by ``on``, sort within
+    partition by (time, side), and carry the last right payload forward
+    with a running ``last(ignorenulls)`` window — O(n log n) per key
+    group, no cross product anywhere. At 100 TB pair hot keys with
+    ``salted_join``-style pre-splitting or AQE skew handling.
+
+    ``right`` should be unique per (key, time) — pre-aggregate if not,
+    otherwise which duplicate wins is tie-ordering-dependent. The right
+    payload (every non-key, non-time column plus ``right_time``) lands
+    in a single struct column named ``payload``.
+    """
+    from pyspark.sql.window import Window
+
+    rcols = [c for c in right.columns if c not in (on, right_time)]
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.struct(F.col(right_time), *[F.col(c) for c in rcols]).alias(payload),
+        F.lit(0).alias("_side"),
+    )
+    l = (
+        left.withColumn("_k", F.col(on))
+        .withColumn("_t", F.col(left_time))
+        .withColumn("_side", F.lit(1))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    return matched.where(F.col("_side") == 1).select(*left.columns, payload)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Inner join of point rows to interval rows with
+    ``lo <= point <= hi`` — WITHOUT the BroadcastNestedLoop plan Spark
+    produces for inequality joins (quadratic; falls over when neither
+    side broadcasts).
+
+    Scale shape: every interval is exploded to the coarse buckets of
+    width ``bucket_width`` it overlaps; every point maps to its single
+    bucket; the join becomes an EQUI-join on the bucket id (shuffle
+    hash/SMJ — AQE-skew-handled) followed by the exact range refine.
+    Cost is |intervals| × avg-buckets-per-interval replication, so pick
+    ``bucket_width`` near the median interval length. Both inputs pass
+    through unchanged otherwise; output has all point columns + all
+    interval columns."""
+    b = F.lit(float(bucket_width))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b).cast("long"),
+                F.floor(F.col(hi_col) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", F.floor(F.col(point_col) / b).cast("long"))
+    out = pt.join(iv, "_bucket").where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return out.drop("_bucket")
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

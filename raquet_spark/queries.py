@@ -1620,6 +1620,82 @@ def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark-missing operator): each event gets the most
+    recent order at-or-before its timestamp for the same user. Oracle is
+    DuckDB's native ASOF LEFT JOIN; the Spark side is the union+window
+    shape in operators/joins.asof_join (one shuffle, no cross product).
+    Orders are pre-aggregated to one row per (user, date) so the match
+    is deterministic under ties."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.joins import asof_join
+
+    register_views(spark, sf_dir)
+    orders = (
+        spark.table("orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("o_total"))
+    )
+    events = spark.table("events")
+    out = asof_join(
+        events, orders, on="user_id", left_time="ts", right_time="o_orderdate"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof.o_orderdate").alias("order_date"),
+        F.col("asof.o_total").alias("o_total"),
+    )
+
+
+def asof_join_oracle() -> str:
+    return """
+WITH oa AS (
+  SELECT o_custkey AS user_id, o_orderdate, MAX(o_totalprice) AS o_total
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, oa.o_orderdate AS order_date, oa.o_total
+FROM events e ASOF LEFT JOIN oa
+  ON e.user_id = oa.user_id AND e.ts >= oa.o_orderdate
+"""
+
+
+def range_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (Spark-missing operator): classify every event into
+    each event-type's observed [min, max] value band. Spark's native
+    plan for the inequality join is BroadcastNestedLoop (quadratic);
+    operators/joins.range_join rewrites it as bucket-explode +
+    equi-join + refine. Oracle is the plain theta join on DuckDB."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.joins import range_join
+
+    register_views(spark, sf_dir)
+    events = spark.table("events")
+    bands = events.groupBy(F.col("event_type").alias("band_type")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    joined = range_join(events, bands, "value", "lo", "hi", bucket_width=25.0)
+    return joined.groupBy("band_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_source_types"),
+    )
+
+
+def range_join_oracle() -> str:
+    return """
+WITH bands AS (
+  SELECT event_type AS band_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT b.band_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.event_type) AS n_source_types
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+GROUP BY b.band_type
+"""
+
+
 def dedup_prune_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup OUTPUT: documents surviving near-dup pruning (keep the
     min-id doc per MinHash-LSH connected component, drop the rest).
@@ -1710,6 +1786,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     ),
     "dedup_components": (dedup_components_spark, dedup_components_oracle),
     "dedup_prune": (dedup_prune_spark, dedup_prune_oracle),
+    "asof_join_events_orders": (asof_join_spark, asof_join_oracle),
+    "range_join_value_bands": (range_join_spark, range_join_oracle),
     "region_stats_polygon": (
         region_stats_polygon_spark,
         region_stats_polygon_oracle,

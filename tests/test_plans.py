@@ -123,3 +123,57 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         assert joined.count() == orders.join(customer, "custkey").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_asof_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.joins import asof_join
+    from raquet_spark.queries import load_table
+
+    orders = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("o_total"))
+    )
+    events = load_table(spark, SF_DIR, "events")
+    got = (
+        asof_join(events, orders, "user_id", "ts", "o_orderdate")
+        .select("event_id", F.col("asof.o_orderdate").alias("d"),
+                F.col("asof.o_total").alias("t"))
+    )
+    # naive oracle: inequality join + keep the max matching date
+    naive = (
+        events.join(orders, ["user_id"], "left")
+        .where(F.col("o_orderdate") <= F.col("ts"))
+        .groupBy("event_id")
+        .agg(F.max(F.struct("o_orderdate", "o_total")).alias("m"))
+        .select("event_id", F.col("m.o_orderdate").alias("d"),
+                F.col("m.o_total").alias("t"))
+    )
+    n_matched = naive.count()
+    assert sorted(map(tuple, got.where("d IS NOT NULL").collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    assert got.count() == events.count()  # left semantics
+    assert n_matched > 0
+
+
+def test_range_join_matches_naive_and_avoids_bnlj(spark):
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.joins import range_join
+    from raquet_spark.queries import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    bands = events.groupBy(F.col("event_type").alias("band_type")).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    got = range_join(events, bands, "value", "lo", "hi", bucket_width=10.0)
+    want = events.join(
+        bands, (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    assert got.count() == want.count()
+    # the whole point: an equi-join plan, not BroadcastNestedLoop
+    plan = _plan(got)
+    assert "BroadcastNestedLoop" not in plan, plan
