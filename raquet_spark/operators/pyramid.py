@@ -11,8 +11,13 @@ loop over zooms — O(max_zoom - min_zoom) stages, fully parallel within a
 stage. This is how the operation scales to 100 TB where the reference's
 warp cannot.
 
-Resampling kernels: ``near`` (top-left of each 2×2, GDAL-style),
-``average`` (nodata-aware mean), ``mode`` (most common valid value).
+Resampling kernels (reference exposes the GDAL set,
+raster2raquet.py:933-946): ``near`` (top-left of each 2×2, GDAL-style),
+``average`` (nodata-aware mean), ``mode`` (most common valid value),
+``max`` / ``min`` / ``med`` / ``q1`` / ``q3`` (nodata-masked window
+reductions), ``bilinear`` (≡ 2×2 box average at an exact 2× step).
+``cubic`` / ``cubicspline`` / ``lanczos`` need a >2px kernel crossing
+tile borders (halo exchange) and are not implemented.
 """
 
 from __future__ import annotations
@@ -51,6 +56,40 @@ def _downsample(block: np.ndarray, method: str, nodata) -> np.ndarray:
         counts = (q[:, :, :, None] == q[:, :, None, :]).sum(axis=3)
         idx = counts.argmax(axis=2)
         return np.take_along_axis(q, idx[:, :, None], axis=2)[:, :, 0]
+    if method in ("max", "min", "med", "q1", "q3", "bilinear"):
+        # nodata-masked reductions over each 2x2 window. At an exact 2x
+        # power-of-two downsample the bilinear kernel degenerates to the
+        # 2x2 box average, so it shares the masked-mean path. Quantiles
+        # use linear interpolation; integer dtypes round half away from
+        # zero via rint (documented semantics — GDAL is not available
+        # here to mirror bit-for-bit).
+        qf = q.astype("f8")
+        if nodata is not None and not (isinstance(nodata, float) and np.isnan(nodata)):
+            qf[q == nodata] = np.nan
+        elif block.dtype.kind == "f":
+            qf[~np.isfinite(qf)] = np.nan
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            if method == "max":
+                out = np.nanmax(qf, axis=2)
+            elif method == "min":
+                out = np.nanmin(qf, axis=2)
+            elif method == "med":
+                out = np.nanmedian(qf, axis=2)
+            elif method == "q1":
+                out = np.nanquantile(qf, 0.25, axis=2)
+            elif method == "q3":
+                out = np.nanquantile(qf, 0.75, axis=2)
+            else:  # bilinear
+                out = np.nanmean(qf, axis=2)
+        empty = np.isnan(out)
+        if nodata is not None:
+            out = np.where(empty, nodata, out)
+        if block.dtype.kind != "f":
+            out = np.rint(out)
+        return out.astype(block.dtype)
     raise ValueError(f"unknown resampling {method!r}")
 
 

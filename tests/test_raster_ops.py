@@ -255,3 +255,73 @@ def test_pixel_table_tiling_roundtrip(spark):
     # decoded float64 pixel values in the pixel table round-trip exactly
     # through the float32 band dtype, so blobs must match byte-for-byte
     assert got == want
+
+
+def test_downsample_kernels_nodata_masked():
+    import numpy as np
+
+    from raquet_spark.operators.pyramid import _downsample
+
+    nd = -1.0
+    block = np.array(
+        [[1.0, 2.0, nd, nd],
+         [3.0, 8.0, nd, 4.0],
+         [5.0, 5.0, 0.0, 10.0],
+         [5.0, 7.0, 20.0, 30.0]], dtype="f4")
+    # windows: [1,2,3,8], [nd,nd,nd,4], [5,5,5,7], [0,10,20,30]
+    assert np.allclose(_downsample(block, "max", nd),
+                       [[8.0, 4.0], [7.0, 30.0]])
+    assert np.allclose(_downsample(block, "min", nd),
+                       [[1.0, 4.0], [5.0, 0.0]])
+    assert np.allclose(_downsample(block, "med", nd),
+                       [[2.5, 4.0], [5.0, 15.0]])
+    assert np.allclose(_downsample(block, "q1", nd),
+                       [[1.75, 4.0], [5.0, 7.5]])
+    assert np.allclose(_downsample(block, "q3", nd),
+                       [[4.25, 4.0], [5.5, 22.5]])
+    assert np.allclose(_downsample(block, "bilinear", nd),
+                       [[3.5, 4.0], [5.5, 15.0]])
+    # all-nodata window stays nodata
+    allnd = np.full((2, 2), nd, dtype="f4")
+    for m in ("max", "min", "med", "q1", "q3", "bilinear"):
+        assert _downsample(allnd, m, nd)[0, 0] == nd
+    # integer dtype rounds via rint
+    iblock = np.array([[1, 2], [3, 5]], dtype="u1")
+    assert _downsample(iblock, "med", None)[0, 0] == 2  # rint(2.5) -> 2
+    assert _downsample(iblock, "bilinear", None)[0, 0] == 3  # rint(2.75)
+
+
+def test_build_level_max_kernel(spark):
+    import numpy as np
+
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.operators.pyramid import build_level
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=5, tiles_x=2, tiles_y=2, origin_x=10, origin_y=12,
+        block_size=16, num_bands=1, dtype="float32", nodata=-1.0,
+        nodata_every=7,
+    )
+    rows = {r["block"]: r["band_1"] for r in tiles.collect()}
+    parent = build_level(tiles, meta, child_zoom=5, resampling="max").collect()
+    assert len(parent) == 1
+    got = decode_block(parent[0]["band_1"], "float32").reshape(16, 16)
+    # oracle: assemble the 32x32 mosaic from children, nanmax each 2x2
+    from raquet_spark.functions.quadbin import py_cell_to_tile
+
+    mosaic = np.full((32, 32), np.nan)
+    for blk, blob in rows.items():
+        tx, ty, _ = py_cell_to_tile(blk)
+        t = decode_block(blob, "float32").reshape(16, 16).astype("f8")
+        t[t == -1.0] = np.nan
+        mosaic[(ty & 1) * 16:(ty & 1) * 16 + 16,
+               (tx & 1) * 16:(tx & 1) * 16 + 16] = t
+    q = mosaic.reshape(16, 2, 16, 2).swapaxes(1, 2).reshape(16, 16, 4)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        want = np.nanmax(q, axis=2)
+    want = np.where(np.isnan(want), -1.0, want).astype("f4")
+    assert np.array_equal(got, want)
