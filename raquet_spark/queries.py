@@ -364,15 +364,45 @@ def tile_stats_agg_oracle() -> str:
     return _duck_pixels() + _raster_stats_select()
 
 
+_RASTER_CACHE: dict[tuple, tuple] = {}
+
+
+def _cached_raquet(spark: SparkSession, tag: str, build):
+    """Synthetic-raster fixtures are written ONCE per Spark app as real
+    RaQuet parquet files and re-read from disk thereafter — so every
+    raster query below runs against a parquet scan (Morton block-range
+    predicate pushdown, column pruning), the same plan shape it would
+    have at 100 TB, instead of re-encoding the raster per query."""
+    key = (spark.sparkContext.applicationId, tag)
+    hit = _RASTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    from raquet_spark.sources.raquet import read_raquet, write_raquet
+
+    tiles, meta = build()
+    path = tempfile.mkdtemp(prefix=f"raquet_q_{tag}_") + "/raster.parquet"
+    write_raquet(tiles, path, meta)
+    out = (read_raquet(spark, path), meta)
+    _RASTER_CACHE[key] = out
+    return out
+
+
 def _make_raster(spark: SparkSession):
     from raquet_spark.testing import make_synthetic_raster
 
     r = _R
-    return make_synthetic_raster(
-        spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"], origin_x=r["tx"],
-        origin_y=r["ty"], block_size=r["bs"], num_bands=1, dtype="float32",
-        seed=r["seed"], nodata=r["nodata"], nodata_every=r["nodata_every"],
-    )
+
+    def build():
+        return make_synthetic_raster(
+            spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
+            origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
+            num_bands=1, dtype="float32", seed=r["seed"], nodata=r["nodata"],
+            nodata_every=r["nodata_every"],
+        )
+
+    return _cached_raquet(spark, "main", build)
 
 
 def tile_stats_agg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,11 +754,14 @@ def tile_stats_uint8_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raquet_spark.testing import make_synthetic_raster
 
     r = _R8
-    tiles, meta = make_synthetic_raster(
-        spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
-        origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
-        num_bands=1, dtype="uint8", seed=r["seed"], modulo=r["modulo"],
-        nodata=7.0, nodata_every=r["nodata_every"],
+    tiles, meta = _cached_raquet(
+        spark, "u8",
+        lambda: make_synthetic_raster(
+            spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
+            origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
+            num_bands=1, dtype="uint8", seed=r["seed"], modulo=r["modulo"],
+            nodata=7.0, nodata_every=r["nodata_every"],
+        ),
     )
     stats = with_tile_stats(tiles, meta)
     return stats.select(
@@ -782,10 +815,13 @@ def band_algebra_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raquet_spark.testing import make_synthetic_raster
 
     r = _R
-    tiles, meta = make_synthetic_raster(
-        spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
-        origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
-        num_bands=2, dtype="float32", seed=r["seed"],
+    tiles, meta = _cached_raquet(
+        spark, "2band",
+        lambda: make_synthetic_raster(
+            spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
+            origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
+            num_bands=2, dtype="float32", seed=r["seed"],
+        ),
     )
     nd = normalized_difference(tiles, meta, "band_1", "band_2")
     vals = nd.select(F.explode(band_decode("ndiff", "float64")).alias("v"))
@@ -838,8 +874,13 @@ def raster_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"], origin_x=r["tx"],
         origin_y=r["ty"], block_size=r["bs"], num_bands=1, dtype="float32",
     )
-    a, meta_a = make_synthetic_raster(spark, seed=r["seed"], **kw)
-    b, meta_b = make_synthetic_raster(spark, seed=r["seed"] + 5, **kw)
+    a, meta_a = _cached_raquet(
+        spark, "join_a", lambda: make_synthetic_raster(spark, seed=r["seed"], **kw)
+    )
+    b, meta_b = _cached_raquet(
+        spark, "join_b",
+        lambda: make_synthetic_raster(spark, seed=r["seed"] + 5, **kw),
+    )
     diff = join_rasters(a, b, meta_a, meta_b, lambda x: x["a"] - x["b"],
                         out_band="diff")
     vals = diff.select(F.explode(band_decode("diff", "float64")).alias("v"))
@@ -883,17 +924,23 @@ def timeseries_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raquet_spark.testing import make_synthetic_raster
 
     r = _R
-    steps = []
-    for i, hours in enumerate((0.0, 24.0)):
-        tiles, meta = make_synthetic_raster(
-            spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
-            origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
-            num_bands=1, dtype="float32", seed=r["seed"] + i,
-            nodata=r["nodata"], nodata_every=r["nodata_every"],
-        )
-        steps.append(tiles.withColumn("time_cf", F.lit(hours)))
+
+    def build():
+        steps = []
+        meta = None
+        for i, hours in enumerate((0.0, 24.0)):
+            tiles, meta = make_synthetic_raster(
+                spark, zoom=r["zoom"], tiles_x=r["nx"], tiles_y=r["ny"],
+                origin_x=r["tx"], origin_y=r["ty"], block_size=r["bs"],
+                num_bands=1, dtype="float32", seed=r["seed"] + i,
+                nodata=r["nodata"], nodata_every=r["nodata_every"],
+            )
+            steps.append(tiles.withColumn("time_cf", F.lit(hours)))
+        return steps[0].unionByName(steps[1]), meta
+
+    df, meta = _cached_raquet(spark, "time", build)
     cf = parse_cf_units("hours since 2020-01-01", "standard")
-    df = with_time_ts(steps[0].unionByName(steps[1]), cf)
+    df = with_time_ts(df, cf)
     stats = with_tile_stats(df, meta)
     return (
         stats.groupBy("time_cf", "time_ts")

@@ -177,3 +177,27 @@ def test_range_join_matches_naive_and_avoids_bnlj(spark):
     # the whole point: an equi-join plan, not BroadcastNestedLoop
     plan = _plan(got)
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_zonal_stats_broadcasts_zone_map(spark, qs):
+    plan = _plan(qs["zonal_stats"](spark, SF_DIR))
+    # the zone-cell dimension map must broadcast; the tile scan must not
+    # shuffle before the final per-zone agg
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle_no_bnlj(spark, qs):
+    plan = _plan(qs["asof_join_events_orders"](spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in plan, plan
+    # union+window shape: the merged stream shuffles ONCE on the key
+    # (plus the right side's pre-aggregation exchange)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_raster_scan_prunes_blocks(spark, qs):
+    # region_stats now reads the written raquet parquet: the Morton
+    # range predicate must reach the scan as pushed filters on block
+    df = qs["region_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    assert "block" in plan.split("PushedFilters: ")[1].splitlines()[0], plan
