@@ -81,9 +81,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    # raster pipeline bench: 8x8 tiles x 256px native + full pyramid
+    # raster pipeline bench: 8x8 tiles x 256px native. The write metric
+    # times the conversion pipeline (generate + encode + block-sorted
+    # parquet write, the raster2raquet-equivalent); stats and pyramid
+    # then run against the written file — the parquet-scan plan shape a
+    # deployment has, not a recomputed in-memory lineage.
+    import tempfile
+
     from raquet_spark.operators.pyramid import build_pyramid
     from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.sources.raquet import read_raquet, write_raquet
     from raquet_spark.testing import make_synthetic_raster
 
     t0 = time.perf_counter()
@@ -91,12 +98,20 @@ def main() -> None:
         spark, zoom=8, tiles_x=8, tiles_y=8, origin_x=64, origin_y=80,
         block_size=256, num_bands=1, dtype="float32", nodata=-1.0, nodata_every=11,
     )
-    stats = with_tile_stats(tiles, meta)
-    stats.count()
-    timings["raster_tile_stats_4mpx"] = round(time.perf_counter() - t0, 3)
+    raster_path = tempfile.mkdtemp(prefix="bench_raster_") + "/raster.parquet"
+    write_raquet(tiles, raster_path, meta)
+    timings["raster_write_4mpx"] = round(time.perf_counter() - t0, 3)
+
+    scan = read_raquet(spark, raster_path)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with_tile_stats(scan, meta).count()
+        dt = time.perf_counter() - t0
+        timings["raster_tile_stats_4mpx"] = round(
+            min(dt, timings.get("raster_tile_stats_4mpx", dt)), 3)
 
     t0 = time.perf_counter()
-    pyr, _ = build_pyramid(tiles, meta, min_zoom=5, resampling="average")
+    pyr, _ = build_pyramid(scan, meta, min_zoom=5, resampling="average")
     pyr.count()
     timings["raster_pyramid_4mpx"] = round(time.perf_counter() - t0, 3)
 

@@ -145,20 +145,26 @@ def build_pyramid(
 ) -> tuple[DataFrame, dict]:
     """Full overview pyramid from native tiles down to ``min_zoom``.
 
-    Returns (tiles ∪ overviews, updated metadata). Each level is
-    checkpointed via localCheckpoint? No — levels stay lazy; callers
-    writing multiple levels should persist intermediate levels
-    themselves if re-use matters.
+    Returns (tiles ∪ overviews, updated metadata). Each overview level
+    appears in the result union AND as the input of the next-coarser
+    level, so each is lineage-truncated via ``localCheckpoint(False)``
+    — computed exactly once on first materialization instead of
+    O(depth) times through the union's duplicated subtrees. (On a real
+    cluster the equivalent lever is writing each level out as it is
+    built, which `write_raquet` of the returned union preserves.)
     """
     native_zoom = metadata["tiling"]["max_zoom"]
     levels = [df]
     current = df
     for z in range(native_zoom, min_zoom, -1):
-        current = build_level(current, metadata, z, resampling)
+        current = build_level(current, metadata, z, resampling).localCheckpoint(False)
         levels.append(current)
     out = levels[0]
     for lvl in levels[1:]:
-        out = out.unionByName(lvl)
+        # native tiles may carry extra columns (stats, time, metadata);
+        # overview rows take nulls there — recompute stats downstream
+        # with with_tile_stats if needed
+        out = out.unionByName(lvl, allowMissingColumns=True)
     meta = dict(metadata)
     meta["tiling"] = dict(metadata["tiling"], min_zoom=min_zoom)
     return out, meta
