@@ -204,15 +204,18 @@ def connected_components(
     """Cluster near-duplicate pairs: (node, component) where component
     is the minimum node id reachable through the pair graph.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels. Rounds are pure
-    join+groupBy (shuffle keyed by node id, map-side combinable);
-    lineage is truncated per round with localCheckpoint so plans stay
-    O(1). Near-dup graphs have tiny diameters (a dup cluster is near-
-    clique), so this converges in a handful of rounds; the early-exit
-    check stops as soon as a round changes nothing.
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own label and its neighbors' labels, then
+    follows its new label one more hop (label-of-label), so label
+    distance to the component minimum halves per round — O(log
+    diameter) rounds, not O(diameter). Rounds are pure join+groupBy
+    (shuffle keyed by node id, map-side combinable); lineage is
+    truncated per round with localCheckpoint so plans stay O(1).
+    Near-dup graphs have tiny diameters (a dup cluster is near-clique),
+    so this typically converges in one working round plus one
+    verification round; the early-exit check stops as soon as a round
+    changes nothing.
     """
-    spark = edges.sparkSession
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -223,7 +226,7 @@ def connected_components(
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -231,26 +234,35 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        # one pass carries both the new label and a changed flag, so the
-        # convergence check is a count on the checkpointed result — no
-        # extra join against the previous labels
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+        stepped = labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("c1"),
+            F.col("component").alias("c0"),
+        )
+        # pointer jump: a node's new label is itself a node — adopt that
+        # node's label too, halving the remaining hop distance. One pass
+        # carries a changed flag, so the convergence check is a count on
+        # the checkpointed result — no extra join against old labels.
+        hop = stepped.select(F.col("node").alias("p"), F.col("c1").alias("pc"))
+        jumped = (
+            stepped.join(hop, stepped["c1"] == hop["p"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1"))).alias(
+                    "component"
+                ),
                 (
-                    F.coalesce(F.col("nbr_component"), F.col("component"))
-                    < F.col("component")
+                    F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1")))
+                    < F.col("c0")
                 ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.where("_changed").limit(1).count()
-        labels = stepped.drop("_changed")
+        changed = jumped.where("_changed").limit(1).count()
+        labels = jumped.drop("_changed")
         if changed == 0:
             break
     return labels

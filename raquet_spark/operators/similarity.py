@@ -184,6 +184,7 @@ def ann_ivf(
     n_iter: int = 5,
     seed: int = 7,
     sample_size: int = 100_000,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: spherical k-means coarse quantizer, then
     each query scans only its ``n_probe`` nearest inverted lists.
@@ -192,10 +193,14 @@ def ann_ivf(
     cluster assignment is a codegen'd argmax over broadcast centroid
     literals (no Python, no shuffle); the probe is an equi-join on
     cluster id — O(N·n_probe/n_clusters) comparisons instead of O(N·Q).
-    Output schema matches ``cosine_topk`` for recall measurement."""
+    Output schema matches ``cosine_topk`` for recall measurement.
+
+    Pass ``centroids`` (from :func:`_kmeans_centroids`) to reuse a
+    trained quantizer across queries — index build is a once-per-corpus
+    offline step at scale, not a per-query cost."""
     from pyspark.sql.window import Window
 
-    cent = _kmeans_centroids(
+    cent = centroids if centroids is not None else _kmeans_centroids(
         candidates, vec_col, n_clusters, n_iter, seed, sample_size
     )
 
