@@ -139,6 +139,240 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q4_order_priority(d: str) -> str:
+    """EXISTS semi-join: orders with at least one line shipped after the
+    order date, counted per priority (Catalyst plans a LeftSemi hash
+    join — no duplication of the probe side)."""
+    return """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_nation_volume(d: str) -> str:
+    """Two-nation shipping flows: supplier nation → customer nation per
+    year. Both nation joins broadcast; the fact-side join is the only
+    shuffle."""
+    return f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dl.dsum('volume', d)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+    AND n2.n_name IN ('NATION_3', 'NATION_7')
+    AND n1.n_name <> n2.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_profit_by_nation(d: str) -> str:
+    """Product-type profit by supplier nation and year (no partsupp in
+    the reduced schema, so cost = retail price scaled)."""
+    return f"""
+SELECT nation, o_year, {dl.dsum('amount', d)} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.4 * p_retailprice * l_quantity
+           AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+"""
+
+
+def q10_returned_items(d: str) -> str:
+    """Top 20 customers by revenue lost to returns in a quarter."""
+    return f"""
+SELECT c_custkey, c_name,
+       {dl.dsum('l_extendedprice * (1 - l_discount)', d)} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_order_count_distribution(d: str) -> str:
+    """Distribution of orders-per-customer including zero-order
+    customers (left outer join + double aggregation)."""
+    return """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_share(d: str) -> str:
+    """Promo revenue share in a month — conditional aggregation; the
+    ratio is exact-decimal on both engines before the final round."""
+    num = dl.dsum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+        " ELSE 0 END", d)
+    den = dl.dsum("l_extendedprice * (1 - l_discount)", d)
+    return f"""
+SELECT ROUND(100.0 * ({num}) / ({den}), 6) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+def q15_top_supplier(d: str) -> str:
+    """Supplier(s) with the maximum quarterly revenue — CTE reused by
+    the aggregate and the scalar-max subquery. Revenue stays exact
+    DECIMAL through the equality comparison."""
+    return """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 6)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_qty_revenue(d: str) -> str:
+    """Average yearly revenue from small-quantity orders of one brand:
+    correlated scalar subquery, decorrelated by Catalyst into an
+    aggregate-then-join (no per-row subquery execution)."""
+    return f"""
+SELECT CAST({dl.dsum('l_extendedprice', d)} / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem li2
+    WHERE li2.l_partkey = p_partkey
+  )
+"""
+
+
+def q18_large_orders(d: str) -> str:
+    """Orders whose total quantity exceeds a threshold (GROUP BY +
+    HAVING semi-filter, then enrich with customer)."""
+    return f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+       {dl.dsum('l_quantity', d)} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 230
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive(d: str) -> str:
+    """Disjunction of conjunctive brand/size/quantity predicates — the
+    equi-join key stays `p_partkey` so Catalyst keeps a hash join and
+    pushes the OR into the join filter (no nested-loop)."""
+    return f"""
+SELECT {dl.dsum('l_extendedprice * (1 - l_discount)', d)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q22_idle_customers(d: str) -> str:
+    """Above-average-balance customers with no recent orders:
+    scalar-subquery filter + anti-join (Catalyst LeftAnti), grouped by
+    nation. (Every customer in the synthetic data has *some* order, so
+    the idle test is scoped to the trailing year to stay non-vacuous.)"""
+    return f"""
+SELECT n_name,
+       COUNT(*) AS numcust,
+       {dl.dsum('c_acctbal', d)} AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def orders_priority_rollup(d: str) -> str:
+    """ROLLUP grouping-set aggregation: per (status, priority), per
+    status, and grand total in one pass (partial aggregation reused
+    across grouping sets)."""
+    return f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dl.dsum('o_totalprice', d)} AS total_price,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
 def topk_parts_per_brand(d: str) -> str:
     return """
 SELECT p_brand, p_partkey, p_retailprice, rn
@@ -1591,6 +1825,18 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
     "q6_forecast": q6_forecast,
+    "q4_order_priority": q4_order_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_profit_by_nation": q9_profit_by_nation,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
+    "q22_idle_customers": q22_idle_customers,
+    "orders_priority_rollup": orders_priority_rollup,
     "topk_parts_per_brand": topk_parts_per_brand,
     "events_daily": events_daily,
     "events_sessionize": events_sessionize,
