@@ -201,3 +201,27 @@ def test_raster_scan_prunes_blocks(spark, qs):
     plan = _plan(df)
     assert "PushedFilters: [" in plan, plan
     assert "block" in plan.split("PushedFilters: ")[1].splitlines()[0], plan
+
+
+def test_semi_anti_join_plans(spark, qs):
+    # EXISTS compiles to a semi join, NOT EXISTS to an anti join —
+    # never a duplicating inner join or a nested loop over the probe
+    semi = _plan(qs["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in semi, semi
+    anti = _plan(qs["q22_idle_customers"](spark, SF_DIR))
+    assert "LeftAnti" in anti, anti
+
+
+def test_disjunctive_join_stays_hash(spark, qs):
+    # OR-of-conjuncts with a shared equi-key must keep a hash join
+    plan = _plan(qs["q19_disjunctive"](spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_correlated_subquery_decorrelated(spark, qs):
+    # the per-part avg subquery must become an aggregate + join, not a
+    # re-executed subquery (no nested loop / cartesian anywhere)
+    plan = _plan(qs["q17_small_qty_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
