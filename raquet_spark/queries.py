@@ -556,11 +556,12 @@ _R = dict(zoom=6, tx=16, ty=20, nx=4, ny=4, bs=32, seed=42, modulo=251,
           nodata=-1.0, nodata_every=7)
 
 
-def _duck_pixels() -> str:
+def _duck_pixels(cell_sql: str | None = None) -> str:
     """DuckDB CTE producing (block, val) for every valid pixel of the
-    synthetic raster used by the Spark side."""
+    synthetic raster used by the Spark side. ``cell_sql`` overrides the
+    pixel→block mapping (e.g. child tiles for re-gridding oracles)."""
     r = _R
-    cell = qb.tile_to_cell_sql("tx", "ty", r["zoom"], "duckdb")
+    cell = cell_sql or qb.tile_to_cell_sql("tx", "ty", r["zoom"], "duckdb")
     return f"""
 WITH grid AS (
   SELECT {r['tx']} + i % {r['nx']} AS tx, {r['ty']} + i // {r['nx']} AS ty
@@ -2077,8 +2078,57 @@ def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, queries_df, k=5, n_bits=4, n_tables=12)
 
 
+def raster_upsample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-zoom alignment: upsample the native raster one zoom level
+    (map-only pixel replication, no shuffle) and compute per-child-tile
+    stats — cross-checks the whole re-gridding path numerically."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.align import align_to_zoom
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    up, up_meta = align_to_zoom(tiles, meta, _R["zoom"] + 1)
+    stats = with_tile_stats(up, up_meta)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def raster_upsample_stats_oracle() -> str:
+    """Each source pixel lands in exactly one child tile, replicated
+    2×2 — so child-tile stats are the source-window stats with count
+    and sum scaled by 4 (mean/extrema/population stddev unchanged)."""
+    r = _R
+    half = r["bs"] // 2
+    child = qb.tile_to_cell_sql(
+        f"(gx // {half})", f"(gy // {half})", r["zoom"] + 1, "duckdb"
+    )
+    return _duck_pixels(child) + """
+SELECT block,
+       COUNT(val) * 4 AS band_1_count,
+       CAST(MIN(val) AS DOUBLE) AS band_1_min,
+       CAST(MAX(val) AS DOUBLE) AS band_1_max,
+       CAST(SUM(val) * 4 AS DOUBLE) AS band_1_sum,
+       round(AVG(val), 6) AS band_1_mean,
+       round(stddev_pop(val), 6) AS band_1_stddev
+FROM vals
+GROUP BY block
+"""
+
+
 # Spark-pipeline queries with hand-written DuckDB oracles
 _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
+    "raster_upsample_stats": (
+        raster_upsample_stats_spark,
+        raster_upsample_stats_oracle,
+    ),
     "tile_stats_agg": (tile_stats_agg_spark, tile_stats_agg_oracle),
     "region_stats": (region_stats_spark, region_stats_oracle),
     "zonal_stats": (zonal_stats_spark, zonal_stats_oracle),

@@ -325,3 +325,34 @@ def test_build_level_max_kernel(spark):
         want = np.nanmax(q, axis=2)
     want = np.where(np.isnan(want), -1.0, want).astype("f4")
     assert np.array_equal(got, want)
+
+
+def test_align_upsample_roundtrip(spark):
+    """up 2 zooms (replicate) then down 2 zooms (average of equal
+    values) restores the original raster byte-for-byte; no shuffle on
+    the way up."""
+    from raquet_spark.operators.align import align_to_zoom
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=5, tiles_x=2, tiles_y=2, origin_x=10, origin_y=12,
+        block_size=16, num_bands=1, dtype="float32", nodata=-1.0,
+        nodata_every=7,
+    )
+    up, up_meta = align_to_zoom(tiles, meta, 7)
+    assert up_meta["tiling"]["max_zoom"] == 7
+    # map-only: no Exchange in the upsample plan
+    plan = up._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    up_rows = up.collect()
+    assert len(up_rows) == 4 * 16  # 4 tiles x 4^2 children
+    zooms = {qb.py_cell_to_tile(r["block"])[2] for r in up_rows}
+    assert zooms == {7}
+
+    down, down_meta = align_to_zoom(up, up_meta, 5, resampling="average")
+    got = {r["block"]: decode_block(r["band_1"], "float32")
+           for r in down.collect()}
+    want = {r["block"]: decode_block(r["band_1"], "float32")
+            for r in tiles.collect()}
+    assert got.keys() == want.keys()
+    for blk in want:
+        assert np.array_equal(got[blk], want[blk]), blk
