@@ -19,6 +19,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -204,19 +205,27 @@ def ann_ivf(
         candidates, vec_col, n_clusters, n_iter, seed, sample_size
     )
 
-    def best_clusters(prefix: str, vec: str, norm_col: str, n: int) -> F.Column:
-        """Array of the n cluster ids with highest cosine to ``vec``."""
-        sims = F.array(*[
-            F.struct(
-                (_dot(vec, f"array({', '.join(f'CAST({v} AS DOUBLE)' for v in c)})")
-                 / F.col(norm_col)).alias("sim"),
-                F.lit(j).alias("cid"),
-            )
-            for j, c in enumerate(cent)
-        ])
-        return F.expr(
-            f"transform(slice(reverse(array_sort({prefix}_sims)), 1, {n}), s -> s.cid)"
-        ), sims
+    def nearest_clusters_udf(n: int):
+        """Arrow-batched matmul against the (tiny, closure-captured)
+        centroid matrix: ids of the ``n`` clusters nearest to each
+        vector. Map-only and vectorized — a Catalyst-literal
+        formulation of K×D centroid constants costs more to plan/codegen
+        than the whole batch costs to execute, so this is the fast path
+        at every scale, not a fallback. Centroids are unit vectors, so
+        argmax of the raw dot products IS the cosine ranking (the
+        vector's own norm scales all similarities equally)."""
+        import numpy as np
+
+        C = np.asarray(cent, dtype=np.float64)
+
+        @F.pandas_udf("array<int>")
+        def topn(v: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            sims = X @ C.T
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(idx))
+
+        return topn
 
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv"
@@ -225,18 +234,8 @@ def ann_ivf(
         candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")), "_cv"
     ).withColumnRenamed("_norm", "_cnorm")
 
-    top1_expr, c_sims = best_clusters("_c", "_cv", "_cnorm", 1)
-    c = (
-        c.withColumn("_c_sims", c_sims)
-        .withColumn("_cid", top1_expr[0])
-        .drop("_c_sims")
-    )
-    probe_expr, q_sims = best_clusters("_q", "_qv", "_qnorm", n_probe)
-    q = (
-        q.withColumn("_q_sims", q_sims)
-        .withColumn("_cid", F.explode(probe_expr))
-        .drop("_q_sims")
-    )
+    c = c.withColumn("_cid", nearest_clusters_udf(1)("_cv")[0])
+    q = q.withColumn("_cid", F.explode(nearest_clusters_udf(n_probe)("_qv")))
 
     scored = (
         c.join(q, "_cid")
