@@ -10,8 +10,11 @@ Two paths, as a training-data pipeline needs at 100 TB:
   O(sum of bucket products). Multi-probe via ``n_tables`` independent
   tables. Recall is tested against the brute-force baseline.
 
-All scoring is JVM-side Column math (zip_with/aggregate) — no Python in
-the hot path.
+Pair scoring is JVM-side Column math (zip_with/aggregate). IVF centroid
+assignment is the one deliberate exception: an Arrow-batched numpy
+matmul against the broadcast centroid matrix (see
+``nearest_clusters_udf``) — K×D centroid constants as Catalyst literals
+cost more to plan than the batches cost to execute.
 """
 
 from __future__ import annotations

@@ -433,6 +433,64 @@ _LON = "(CAST(c_custkey % 720 AS DOUBLE) / 2.0 - 179.75)"
 _LAT = "(CAST((c_custkey * 7) % 340 AS DOUBLE) / 2.0 - 84.75)"
 
 
+def events_moving_avg(d: str) -> str:
+    """Per-user 7-row moving average and running total over event time —
+    frame-based windows (ROWS BETWEEN), the time-series smoothing shape.
+    Window partitioned by user: shuffles once on user_id, then both
+    windows share the same sort."""
+    return """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg_7,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_total,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+FROM events
+WHERE user_id % 100 = 0
+"""
+
+
+def customer_balance_deciles(d: str) -> str:
+    """NTILE decile assignment + per-decile aggregates (two-level:
+    window then groupBy — the distribution-analysis shape)."""
+    return f"""
+SELECT decile,
+       COUNT(*) AS n_customers,
+       {dl.dsum('c_acctbal', d)} AS total_balance,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_balance,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_balance
+FROM (
+  SELECT c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+) t
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+def nation_revenue_share(d: str) -> str:
+    """Each nation's share of total revenue and rank — window over an
+    aggregate (the post-agg window is driver-cheap: 25 rows)."""
+    rev = dl.dsum("l_extendedprice * (1 - l_discount)", d)
+    return f"""
+WITH nat_rev AS (
+  SELECT n_name, {rev} AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue,
+       ROUND(revenue / SUM(revenue) OVER (), 9) AS revenue_share,
+       RANK() OVER (ORDER BY revenue DESC) AS revenue_rank
+FROM nat_rev
+ORDER BY revenue_rank, n_name
+"""
+
+
 def qb_point_cells(d: str) -> str:
     src = qb.staged_point_to_cell_query(
         _LON, _LAT, 8, "customer", carry=["c_acctbal"], dialect=d
@@ -1838,6 +1896,9 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q19_disjunctive": q19_disjunctive,
     "q22_idle_customers": q22_idle_customers,
     "orders_priority_rollup": orders_priority_rollup,
+    "events_moving_avg": events_moving_avg,
+    "customer_balance_deciles": customer_balance_deciles,
+    "nation_revenue_share": nation_revenue_share,
     "topk_parts_per_brand": topk_parts_per_brand,
     "events_daily": events_daily,
     "events_sessionize": events_sessionize,

@@ -179,3 +179,31 @@ def windowed_event_stats(
             "approx_users",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event matches
+    right events with the same ``key`` arriving within ``[left_ts,
+    left_ts + max_delay]`` (the click→conversion attribution shape).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can evict join state once a row's
+    match window passes the watermark — constant state per key-rate,
+    which is what lets the join run indefinitely at scale. Column names
+    (``left_ts`` vs ``right_ts``) must differ between the sides."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond).drop(r[key])

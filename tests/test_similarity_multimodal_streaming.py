@@ -263,3 +263,46 @@ def test_multimodal_to_ann_pipeline(spark):
     out = cosine_topk(emb, queries, k=3)
     assert out.groupBy("query_id").count().count() == queries.count()
     assert out.where(F.col("score") > 1.0 + 1e-9).count() == 0
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Click→conversion attribution: view events joined to action
+    events of the same user within 30 min, checked against the
+    identical batch join."""
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import stream_stream_join
+
+    events = load_table(spark, SF_DIR, "events")
+    views = events.where("event_type = 'view'").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    actions = events.where("event_type IN ('click', 'purchase')").select(
+        F.col("user_id"), F.col("event_id").alias("action_id"),
+        F.col("ts").alias("action_ts"), F.col("event_type"))
+    vsrc, asrc = str(tmp_path / "views"), str(tmp_path / "actions")
+    views.write.parquet(vsrc)
+    actions.write.parquet(asrc)
+
+    vstream = spark.readStream.schema(views.schema).parquet(vsrc)
+    astream = spark.readStream.schema(actions.schema).parquet(asrc)
+    joined = stream_stream_join(
+        vstream, astream, key="user_id",
+        left_ts="view_ts", right_ts="action_ts",
+        watermark="1 hour", max_delay="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT view_id, action_id FROM ssj")
+
+    want = views.join(
+        actions,
+        (views["user_id"] == actions["user_id"])
+        & (actions["action_ts"] >= views["view_ts"])
+        & (actions["action_ts"] <= views["view_ts"] + F.expr("INTERVAL 30 minutes")),
+    ).select("view_id", "action_id")
+    assert want.count() > 0
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
