@@ -1390,11 +1390,11 @@ def _minhash_mins(d: str) -> str:
     return ", ".join(cols)
 
 
-def dedup_minhash(d: str) -> str:
-    """MinHash over word 3-gram shingles + 4-band × 2-row LSH pairs.
-
-    Banded shape is the scale path: candidates come from equi-joins on
-    the band key (shuffle-partitionable), never an all-pairs compare."""
+def _minhash_bands_sql(d: str) -> str:
+    """(doc_id, bk) band keys — the expensive shingle/hash/min pipeline,
+    factored out so the Spark side can compute it ONCE (checkpointed)
+    before the self-join; the oracle inlines it per side (DuckDB
+    materializes CTEs, so it pays no double-compute)."""
     el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
     shingle = f"concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')})"
     shingles = dl.arr_transform(
@@ -1424,23 +1424,55 @@ WITH tok AS (
   SELECT doc_id, {h} AS h FROM sh
 ), mins AS (
   SELECT doc_id, {_minhash_mins(d)} FROM hashes GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, {dl.explode(band_arr, 'bk', d)} FROM mins
+)
+SELECT doc_id, {dl.explode(band_arr, 'bk', d)} FROM mins
+"""
+
+
+def dedup_minhash(d: str) -> str:
+    """MinHash over word 3-gram shingles + 4-band × 2-row LSH pairs.
+
+    Banded shape is the scale path: candidates come from equi-joins on
+    the band key (shuffle-partitionable), never an all-pairs compare."""
+    return f"""
+WITH bands AS (
+{_minhash_bands_sql(d)}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 """
 
 
-def dedup_simhash(d: str) -> str:
-    """48-bit SimHash over token hashes; near-dup pairs at hamming <= 3.
+def dedup_minhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark execution of :func:`dedup_minhash` with the band keys
+    computed exactly once: Spark inlines CTEs (no ReuseExchange fires
+    for the self-join sides), so the SQL rendering runs the
+    shingle/hash/min pipeline twice. Checkpointing the band table
+    halves that work — the 100 TB entry point, where pipeline compute
+    dominates. (At bench scale the SQL path measures faster: the
+    checkpoint's materialization cost exceeds the saved recompute, so
+    ``queries()`` registers the SQL rendering and this stays the
+    large-scale alternative.)"""
+    from pyspark.sql import functions as F
 
-    Scale path: hamming <= 3 with 4 chunks of 12 bits ⇒ by pigeonhole at
-    least one chunk is identical, so candidates come from 4 equi-joins
-    on chunk value (shuffle-partitionable), then the exact hamming
-    filter — never an all-pairs compare."""
+    register_views(spark, sf_dir)
+    bands = spark.sql(_minhash_bands_sql("spark")).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_chunks_sql(d: str) -> str:
+    """(doc_id, simhash, ck) chunk keys — factored out like
+    :func:`_minhash_bands_sql` so the Spark side checkpoints it once."""
     h = dl.md5_int("tok", d, hex_chars=12)
-    xor = dl.bxor("a.simhash", "b.simhash", d)
     cast_s = "STRING" if d == "spark" else "VARCHAR"
     # all 4 12-bit chunks as prefixed strings in ONE array → explode →
     # single self-equi-join on chunk key (vs one join per chunk), then
@@ -1472,14 +1504,56 @@ WITH tok AS (
   SELECT doc_id, {bit_aggs} FROM hashes GROUP BY doc_id
 ), sims AS (
   SELECT doc_id, {sim} AS simhash FROM bits
-), chunks AS (
-  SELECT doc_id, simhash, {dl.explode(chunk_arr, 'ck', d)} FROM sims
+)
+SELECT doc_id, simhash, {dl.explode(chunk_arr, 'ck', d)} FROM sims
+"""
+
+
+def dedup_simhash(d: str) -> str:
+    """48-bit SimHash over token hashes; near-dup pairs at hamming <= 3.
+
+    Scale path: hamming <= 3 with 4 chunks of 12 bits ⇒ by pigeonhole at
+    least one chunk is identical, so candidates come from 4 equi-joins
+    on chunk value (shuffle-partitionable), then the exact hamming
+    filter — never an all-pairs compare."""
+    xor = dl.bxor("a.simhash", "b.simhash", d)
+    return f"""
+WITH chunks AS (
+{_simhash_chunks_sql(d)}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        {dl.bit_count(xor, d)} AS hamming
 FROM chunks a JOIN chunks b ON a.ck = b.ck AND a.doc_id < b.doc_id
 WHERE {dl.bit_count(xor, d)} <= 3
 """
+
+
+def dedup_simhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark execution of :func:`dedup_simhash` with the chunk table
+    checkpointed so the token-hash/bit-sum pipeline runs once, not once
+    per self-join side."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    chunks = spark.sql(_simhash_chunks_sql("spark")).localCheckpoint(eager=False)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.expr(
+        dl.bit_count(dl.bxor("a.simhash", "b.simhash", "spark"), "spark")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def ngram_jaccard(d: str) -> str:
@@ -1493,24 +1567,57 @@ def ngram_jaccard(d: str) -> str:
     this one verifies the same near-dup notion in well under a second.)
     """
     minhash = dedup_minhash(d)
-    n = "length(lower(text)) - 2"
-    grams = dl.arr_distinct(
-        dl.arr_transform(dl.seq(1, n, d), "i", "substr(lower(text), i, 3)", d), d
-    )
-    inter = dl.arr_size(dl.arr_intersect("ga.grams", "gb.grams", d), d)
     return f"""
 WITH cand AS (
   SELECT * FROM ({minhash}) mh
 ), g AS (
-  SELECT doc_id, {grams} AS grams FROM documents WHERE length(text) >= 3
+{_grams_sql(d)}
 )
 SELECT c.doc_a, c.doc_b,
-       round(CAST({inter} AS DOUBLE) /
-             ({dl.arr_size('ga.grams', d)} + {dl.arr_size('gb.grams', d)} - {inter}), 6) AS jaccard
+       {_jaccard_expr(d)} AS jaccard
 FROM cand c
 JOIN g ga ON ga.doc_id = c.doc_a
 JOIN g gb ON gb.doc_id = c.doc_b
 """
+
+
+def _grams_sql(d: str) -> str:
+    n = "length(lower(text)) - 2"
+    grams = dl.arr_distinct(
+        dl.arr_transform(dl.seq(1, n, d), "i", "substr(lower(text), i, 3)", d), d
+    )
+    return f"SELECT doc_id, {grams} AS grams FROM documents WHERE length(text) >= 3"
+
+
+def _jaccard_expr(d: str) -> str:
+    inter = dl.arr_size(dl.arr_intersect("ga.grams", "gb.grams", d), d)
+    return (
+        f"round(CAST({inter} AS DOUBLE) /\n"
+        f"             ({dl.arr_size('ga.grams', d)} + "
+        f"{dl.arr_size('gb.grams', d)} - {inter}), 6)"
+    )
+
+
+def ngram_jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark execution of :func:`ngram_jaccard`: candidates come from
+    the checkpointed-band MinHash path and the gram arrays are
+    checkpointed once, reused by both join sides (the SQL rendering
+    would compute the gram projection twice and the LSH pipeline
+    thrice)."""
+    from pyspark.sql import functions as F
+
+    cand = dedup_minhash_pairs_df(spark, sf_dir).alias("c")
+    g = spark.sql(_grams_sql("spark")).localCheckpoint(eager=False)
+    ga, gb = g.alias("ga"), g.alias("gb")
+    return (
+        cand.join(ga, F.col("ga.doc_id") == F.col("c.doc_a"))
+        .join(gb, F.col("gb.doc_id") == F.col("c.doc_b"))
+        .select(
+            F.col("c.doc_a").alias("doc_a"),
+            F.col("c.doc_b").alias("doc_b"),
+            F.expr(_jaccard_expr("spark")).alias("jaccard"),
+        )
+    )
 
 
 def dedup_embedding(d: str) -> str:
