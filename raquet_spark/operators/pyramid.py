@@ -137,28 +137,122 @@ def build_level(
     return children.groupBy("parent").applyInPandas(assemble, schema=schema)
 
 
+def build_levels_blocked(
+    df: DataFrame,
+    metadata: dict,
+    child_zoom: int,
+    target_zoom: int,
+    resampling: str = "average",
+) -> DataFrame:
+    """All levels ``child_zoom - 1 .. target_zoom`` in ONE shuffle.
+
+    Tiles group by their ``target_zoom`` ancestor; inside each group a
+    single numpy pass assembles the (bh·2^k × bw·2^k) mosaic and
+    downsamples it k times, emitting every intermediate level —
+    byte-identical to k sequential :func:`build_level` calls (each step
+    casts back to the band dtype before the next, matching the
+    level-at-a-time semantics). Intermediate levels are never shuffled:
+    vs per-level passes this is 1 shuffle instead of k, on the same
+    total input. Group memory is bounded by 4^k child tiles, so callers
+    cap k (see :func:`build_pyramid`'s ``levels_per_pass``)."""
+    from raquet_spark.functions.quadbin import py_cell_to_tile, py_tile_to_cell
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    bands = [(b["name"], b["type"], parse_nodata(b.get("nodata"))) for b in metadata["bands"]]
+    bw = metadata["tiling"]["block_width"]
+    bh = metadata["tiling"]["block_height"]
+    compression = metadata.get("compression", "gzip")
+    k = child_zoom - target_zoom
+    n = 1 << k
+
+    children = df.where(
+        F.expr(qb.cell_to_zoom_sql("block", "spark")) == child_zoom
+    ).withColumn("anc", F.expr(qb.cell_to_parent_sql("block", target_zoom, "spark")))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ax, ay, _ = py_cell_to_tile(int(key[0]))
+        out: dict[str, list] = {"block": []}
+        for name, _, _ in bands:
+            out[name] = []
+        # coverage mask: a level-j tile exists only if some source child
+        # lies in its footprint — matches the per-level path, which never
+        # manufactures tiles out of pure fill
+        present = np.zeros((n, n), dtype=bool)
+        per_band: dict[str, np.ndarray] = {}
+        for name, btype, nodata in bands:
+            dt = np.dtype(DTYPES[btype])
+            fill = nodata if nodata is not None else (np.nan if dt.kind == "f" else 0)
+            mosaic = np.full((bh * n, bw * n), fill, dtype=dt)
+            for blob, blk in zip(pdf[name], pdf["block"]):
+                if blob is None:
+                    continue
+                cx, cy, _ = py_cell_to_tile(int(blk))
+                dx, dy = cx - ax * n, cy - ay * n
+                present[dy, dx] = True
+                mosaic[dy * bh : (dy + 1) * bh, dx * bw : (dx + 1) * bw] = (
+                    decode_block(blob, btype).reshape(bh, bw)
+                )
+            per_band[name] = mosaic
+        for j in range(1, k + 1):
+            m = 1 << (k - j)  # tiles per side at zoom child_zoom - j
+            present = present.reshape(m, 2, m, 2).any(axis=(1, 3))
+            for name, btype, nodata in bands:
+                per_band[name] = _downsample(per_band[name], resampling, nodata)
+            for dy in range(m):
+                for dx in range(m):
+                    if not present[dy, dx]:
+                        continue
+                    out["block"].append(
+                        py_tile_to_cell(ax * m + dx, ay * m + dy, child_zoom - j)
+                    )
+                    for name, btype, _ in bands:
+                        tile = per_band[name][
+                            dy * bh : (dy + 1) * bh, dx * bw : (dx + 1) * bw
+                        ]
+                        out[name].append(
+                            encode_block(tile.reshape(-1), btype, compression)
+                        )
+        return pd.DataFrame(out)
+
+    schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
+    return children.groupBy("anc").applyInPandas(assemble, schema=schema)
+
+
 def build_pyramid(
     df: DataFrame,
     metadata: dict,
     min_zoom: int,
     resampling: str = "average",
+    levels_per_pass: int = 3,
 ) -> tuple[DataFrame, dict]:
     """Full overview pyramid from native tiles down to ``min_zoom``.
 
-    Returns (tiles ∪ overviews, updated metadata). Each overview level
-    appears in the result union AND as the input of the next-coarser
-    level, so each is lineage-truncated via ``localCheckpoint(False)``
-    — computed exactly once on first materialization instead of
-    O(depth) times through the union's duplicated subtrees. (On a real
-    cluster the equivalent lever is writing each level out as it is
-    built, which `write_raquet` of the returned union preserves.)
+    Returns (tiles ∪ overviews, updated metadata). Levels are built
+    ``levels_per_pass`` at a time by :func:`build_levels_blocked` — one
+    shuffle per pass instead of per level, with per-group memory
+    bounded by 4^levels_per_pass child tiles (default 3 ⇒ ≤64 tiles,
+    ≤64 MB mosaic for 256px float64 bands). Each pass's coarsest level
+    feeds the next pass and appears in the result union, so it is
+    lineage-truncated via ``localCheckpoint(False)`` — computed once,
+    not once per duplicated subtree. (On a real cluster the equivalent
+    lever is writing each level out as it is built, which
+    `write_raquet` of the returned union preserves.)
     """
     native_zoom = metadata["tiling"]["max_zoom"]
     levels = [df]
     current = df
-    for z in range(native_zoom, min_zoom, -1):
-        current = build_level(current, metadata, z, resampling).localCheckpoint(False)
-        levels.append(current)
+    z = native_zoom
+    while z > min_zoom:
+        target = max(z - levels_per_pass, min_zoom)
+        pass_levels = build_levels_blocked(
+            current, metadata, z, target, resampling
+        ).localCheckpoint(False)
+        current = pass_levels.where(
+            F.expr(qb.cell_to_zoom_sql("block", "spark")) == target
+        )
+        levels.append(pass_levels)
+        z = target
     out = levels[0]
     for lvl in levels[1:]:
         # native tiles may carry extra columns (stats, time, metadata);

@@ -356,3 +356,27 @@ def test_align_upsample_roundtrip(spark):
     assert got.keys() == want.keys()
     for blk in want:
         assert np.array_equal(got[blk], want[blk]), blk
+
+
+def test_blocked_pyramid_matches_per_level(spark):
+    """build_pyramid's k-levels-per-shuffle pass must be byte-identical
+    to sequential per-level builds."""
+    from raquet_spark.operators.pyramid import build_level
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=8, tiles_x=4, tiles_y=4, origin_x=64, origin_y=80,
+        block_size=32, num_bands=1, dtype="float32", nodata=-1.0,
+        nodata_every=11,
+    )
+    tiles = tiles.localCheckpoint(True)
+    cur, want = tiles, {}
+    for z in range(8, 5, -1):
+        cur = build_level(cur, meta, z, "average").localCheckpoint(True)
+        for r in cur.collect():
+            want[r["block"]] = bytes(r["band_1"])
+    pyr, _ = build_pyramid(tiles, meta, min_zoom=5, resampling="average",
+                           levels_per_pass=3)
+    got = {r["block"]: bytes(r["band_1"])
+           for r in pyr.select("block", "band_1").collect()
+           if qb.py_cell_to_tile(r["block"])[2] < 8}
+    assert got == want
