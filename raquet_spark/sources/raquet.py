@@ -180,29 +180,67 @@ def split_zoom(df: DataFrame, path: str, metadata: dict, mode: str = "overwrite"
 
 
 def filter_blocks_bbox(
-    df: DataFrame, west: float, south: float, east: float, north: float, zoom: int
+    df: DataFrame,
+    west: float,
+    south: float,
+    east: float,
+    north: float,
+    zoom: int,
+    max_cover_cells: int = 4096,
 ) -> DataFrame:
     """Filter tiles intersecting a WGS84 bbox at ``zoom``.
 
-    Uses driver-side Morton range computation: the bbox cover is grouped
-    into contiguous cell-id ranges so the predicate is a small OR of
-    BETWEENs — this pushes down to parquet row-group pruning (min/max on
-    the sorted ``block`` column), rather than decoding or scanning
-    everything.
+    Small covers: driver-side Morton enumeration grouped into contiguous
+    cell-id ranges, so the predicate is a small OR of BETWEENs — pushed
+    to parquet row-group pruning (min/max on the sorted ``block``
+    column) rather than decoding or scanning everything.
+
+    Large covers (continent-scale bbox at high zoom): enumerating the
+    exact cover is O(cells) on the driver, so instead the Morton ranges
+    are built at a coarser ancestor zoom (every coarse cell's zoom-z
+    descendants share its Morton prefix ⇒ one contiguous block range
+    each, still pushdown-compatible) and the exact bbox test becomes a
+    codegen'd tile-coordinate BETWEEN applied after the pruned scan —
+    driver work bounded by ``max_cover_cells`` at EVERY query scale.
     """
-    cells = sorted(qb.py_bbox_to_cells(west, south, east, north, zoom))
-    if not cells:
-        return df.where(F.lit(False))
+    x0, y0, _ = qb.py_cell_to_tile(qb.py_point_to_cell(west, north, zoom))
+    x1, y1, _ = qb.py_cell_to_tile(qb.py_point_to_cell(east, south, zoom))
+    x0, x1 = min(x0, x1), max(x0, x1)
+    y0, y1 = min(y0, y1), max(y0, y1)
+    dz = 0
+    while ((x1 >> dz) - (x0 >> dz) + 1) * ((y1 >> dz) - (y0 >> dz) + 1) > max_cover_cells:
+        dz += 1
+    spans = sorted(
+        (
+            qb.py_tile_to_cell(cx << dz, cy << dz, zoom),
+            qb.py_tile_to_cell(((cx + 1) << dz) - 1, ((cy + 1) << dz) - 1, zoom),
+        )
+        for cy in range(y0 >> dz, (y1 >> dz) + 1)
+        for cx in range(x0 >> dz, (x1 >> dz) + 1)
+    )
     ranges: list[tuple[int, int]] = []
-    for c in cells:
-        if ranges and c == ranges[-1][1] + 1:
-            ranges[-1] = (ranges[-1][0], c)
+    for lo, hi in spans:
+        if ranges and lo == ranges[-1][1] + 1:
+            ranges[-1] = (ranges[-1][0], hi)
         else:
-            ranges.append((c, c))
-    cond = None
-    for lo, hi in ranges:
-        clause = F.col("block").between(lo, hi)
-        cond = clause if cond is None else cond | clause
+            ranges.append((lo, hi))
+    clauses = [F.col("block").between(lo, hi) for lo, hi in ranges]
+    if not clauses:
+        return df.where(F.lit(False))
+    # balanced OR tree: a left-nested chain of thousands of ranges
+    # overflows the Catalyst converter's stack
+    while len(clauses) > 1:
+        clauses = [
+            clauses[i] | clauses[i + 1] if i + 1 < len(clauses) else clauses[i]
+            for i in range(0, len(clauses), 2)
+        ]
+    cond = clauses[0]
+    if dz:
+        # coarse ranges over-cover: exact rectangle refine on the
+        # decoded tile coords, fully inside WholeStageCodegen
+        tx = F.expr(qb.cell_to_x_sql("block", "spark"))
+        ty = F.expr(qb.cell_to_y_sql("block", "spark"))
+        cond = cond & tx.between(x0, x1) & ty.between(y0, y1)
     return df.where(cond)
 
 

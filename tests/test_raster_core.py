@@ -173,3 +173,39 @@ def test_metadata_json_shape(raster):
     assert again["tiling"]["block_width"] == BS
     assert again["bands"][0]["nodata"] == -1.0
     assert again["crs"] == "EPSG:3857"
+
+
+def test_filter_blocks_bbox_coarse_refine(spark):
+    """The bounded-driver-work path (coarse Morton ranges + codegen'd
+    tile-coord refine) must select exactly the cells the exhaustive
+    enumeration selects — at any max_cover_cells."""
+    import pandas as pd
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.sources.raquet import filter_blocks_bbox
+
+    z = 10
+    cells = [
+        qb.py_tile_to_cell(x, y, z)
+        for x in range(250, 300) for y in range(300, 340)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"block": cells}))
+    # bbox spanning the interior of the tile patch (derived from tile
+    # coords: lon is linear in x; lat is inverse-Mercator in y)
+    import math
+
+    def lon(x):
+        return x / (1 << z) * 360.0 - 180.0
+
+    def lat(y):
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / (1 << z)))))
+
+    bbox = (lon(255.5), lat(334.5), lon(294.5), lat(305.5))
+    want = set(qb.py_bbox_to_cells(*bbox, z)) & set(cells)
+    assert len(want) > 100
+    for cap in (1, 16, 256, 10**6):
+        got = {
+            r["block"]
+            for r in filter_blocks_bbox(df, *bbox, z, max_cover_cells=cap).collect()
+        }
+        assert got == want, cap
