@@ -630,7 +630,7 @@ WITH grid AS (
        (SELECT unnest(range(0, {r['bs']})) AS x),
        (SELECT unnest(range(0, {r['bs']})) AS y)
 ), vals AS (
-  SELECT {cell} AS block,
+  SELECT {cell} AS block, gx, gy,
          CASE WHEN (gx + gy) % {r['nodata_every']} = 0 THEN NULL
               ELSE CAST((gx * 31 + gy * 17 + {r['seed']}) % {r['modulo']} AS DOUBLE)
          END AS val
@@ -2246,6 +2246,56 @@ def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, queries_df, k=5, n_bits=4, n_tables=12)
 
 
+def pyramid_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pyramid level (nodata-aware 2×2 average, blocked builder)
+    then per-parent-tile stats — oracle-checks the actual downsampled
+    PIXELS, not just the stats rollup."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.pyramid import build_levels_blocked
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = _make_raster(spark)
+    parent = build_levels_blocked(tiles, meta, _R["zoom"], _R["zoom"] - 1, "average")
+    stats = with_tile_stats(parent, meta)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        F.round("band_1_sum", 4).alias("band_1_sum"),
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def pyramid_pixel_stats_oracle() -> str:
+    """Parent pixel (X, Y) = float32-cast mean of the valid source
+    pixels in window (2X..2X+1, 2Y..2Y+1); all-nodata windows are
+    nodata (excluded). Stats group windows by parent tile."""
+    r = _R
+    bs = r["bs"]
+    parent = qb.tile_to_cell_sql(
+        f"((gx // 2) // {bs})", f"((gy // 2) // {bs})", r["zoom"] - 1, "duckdb"
+    )
+    return _duck_pixels() + f""", win AS (
+  SELECT {parent} AS block, gx // 2 AS wx, gy // 2 AS wy,
+         CAST(AVG(val) AS FLOAT) AS pval
+  FROM vals
+  GROUP BY 1, 2, 3
+)
+SELECT block,
+       COUNT(pval) AS band_1_count,
+       CAST(MIN(pval) AS DOUBLE) AS band_1_min,
+       CAST(MAX(pval) AS DOUBLE) AS band_1_max,
+       round(CAST(SUM(CAST(pval AS DOUBLE)) AS DOUBLE), 4) AS band_1_sum,
+       round(AVG(CAST(pval AS DOUBLE)), 6) AS band_1_mean,
+       round(stddev_pop(CAST(pval AS DOUBLE)), 6) AS band_1_stddev
+FROM win
+GROUP BY block
+"""
+
+
 def raster_upsample_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-zoom alignment: upsample the native raster one zoom level
     (map-only pixel replication, no shuffle) and compute per-child-tile
@@ -2293,6 +2343,7 @@ GROUP BY block
 
 # Spark-pipeline queries with hand-written DuckDB oracles
 _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
+    "pyramid_pixel_stats": (pyramid_pixel_stats_spark, pyramid_pixel_stats_oracle),
     "raster_upsample_stats": (
         raster_upsample_stats_spark,
         raster_upsample_stats_oracle,
