@@ -26,9 +26,38 @@ from raquet_spark.functions import quadbin as qb
 METADATA_BLOCK = 0
 
 
-def read_raquet(spark: SparkSession, path: str) -> DataFrame:
-    """Tile rows of a RaQuet dataset (metadata row(s) excluded)."""
-    return spark.read.parquet(path).where(F.col("block") != METADATA_BLOCK)
+def read_raquet(
+    spark: SparkSession,
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    polygon: list[tuple[float, float]] | None = None,
+    point: tuple[float, float] | None = None,
+    zoom: int | None = None,
+) -> DataFrame:
+    """Tile rows of a RaQuet dataset (metadata row(s) excluded).
+
+    Spatial-filter conveniences mirroring the reference's DuckDB surface
+    (`read_raquet(file, polygon)` / `read_raquet_at(file, lon, lat)`,
+    docs/engines.md): ``bbox``/``polygon`` prune to tiles intersecting
+    the region's bbox via Morton block ranges (conservative tile-level
+    superset — exact pixel masking is ``clip_to_polygon`` /
+    ``region_stats_polygon``); ``point`` selects the single covering
+    tile. ``zoom`` defaults to the dataset's native zoom (one metadata
+    read)."""
+    df = spark.read.parquet(path).where(F.col("block") != METADATA_BLOCK)
+    if bbox is None and polygon is None and point is None:
+        return df
+    z = zoom if zoom is not None else (
+        read_raquet_metadata(spark, path)["tiling"]["max_zoom"]
+    )
+    if point is not None:
+        cell = qb.py_point_to_cell(point[0], point[1], z)
+        return df.where(F.col("block") == cell)
+    if polygon is not None:
+        from raquet_spark.functions.geom import poly_bbox_lonlat
+
+        bbox = poly_bbox_lonlat(polygon)
+    return filter_blocks_bbox(df, *bbox, z)
 
 
 def read_raquet_metadata(spark: SparkSession, path: str) -> dict:

@@ -209,3 +209,31 @@ def test_filter_blocks_bbox_coarse_refine(spark):
             for r in filter_blocks_bbox(df, *bbox, z, max_cover_cells=cap).collect()
         }
         assert got == want, cap
+
+
+def test_read_raquet_spatial_filters(spark, tmp_path):
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.sources.raquet import read_raquet, write_raquet
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=6, tiles_x=4, tiles_y=4, origin_x=16, origin_y=20,
+        block_size=8,
+    )
+    path = str(tmp_path / "spatial.parquet")
+    write_raquet(tiles, path, meta)
+
+    blocks = {r["block"] for r in tiles.select("block").collect()}
+    # point: exactly the covering tile
+    w, s, e, n = qb.py_cell_to_bounds(qb.py_tile_to_cell(17, 21, 6))
+    lon, lat = (w + e) / 2, (s + n) / 2
+    got = read_raquet(spark, path, point=(lon, lat)).select("block").collect()
+    assert {r["block"] for r in got} == {qb.py_tile_to_cell(17, 21, 6)}
+    # bbox covering everything: all tiles
+    got = read_raquet(spark, path, bbox=(-180, -80, 180, 80)).count()
+    assert got == len(blocks)
+    # polygon: subset via its bbox prune
+    poly = [(lon, lat), (lon + 1e-6, lat), (lon, lat + 1e-6)]
+    got = {r["block"] for r in
+           read_raquet(spark, path, polygon=poly).select("block").collect()}
+    assert qb.py_tile_to_cell(17, 21, 6) in got and got <= blocks

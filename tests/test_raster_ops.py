@@ -380,3 +380,34 @@ def test_blocked_pyramid_matches_per_level(spark):
            for r in pyr.select("block", "band_1").collect()
            if qb.py_cell_to_tile(r["block"])[2] < 8}
     assert got == want
+
+
+def test_clip_to_polygon_matches_region_stats(spark):
+    """ST_Clip parity: stats over the clipped raster equal the masked
+    region stats (same polygon, same pixels)."""
+    from raquet_spark.operators.region_stats import (
+        clip_to_polygon, region_stats_polygon,
+    )
+    from raquet_spark.queries import _make_raster, _query_polygon
+
+    tiles, meta = _make_raster(spark)
+    poly = _query_polygon()
+    stats = with_tile_stats(tiles, meta)
+    want = region_stats_polygon(stats, meta, poly).collect()[0]
+
+    clipped = clip_to_polygon(tiles, meta, poly)
+    cs = with_tile_stats(clipped, meta)
+    from raquet_spark.operators.region_stats import aggregate_band_stats
+
+    got = aggregate_band_stats(cs, "band_1").collect()[0]
+    assert got["count"] == want["count"]
+    assert got["min"] == want["min"] and got["max"] == want["max"]
+    assert abs(got["sum"] - want["sum"]) < 1e-6
+    assert abs(got["mean"] - want["mean"]) < 1e-9
+    assert abs(got["stddev"] - want["stddev"]) < 1e-9
+    # interior tiles must be byte-identical pass-throughs
+    src = {r["block"]: bytes(r["band_1"]) for r in tiles.collect()}
+    n_same = sum(
+        1 for r in clipped.collect() if bytes(r["band_1"]) == src[r["block"]]
+    )
+    assert n_same >= 1
