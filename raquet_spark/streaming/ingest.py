@@ -207,3 +207,46 @@ def stream_stream_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond).drop(r[key])
+
+
+def streaming_topk_trending(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    k: int = 3,
+):
+    """Per-window top-k keys by event count — the trending-items shape.
+
+    Streaming aggregation emits (window, key, n) in append mode once the
+    watermark closes a window; ranking *within* a closed window is not a
+    streaming-expressible op (it needs the window complete), so this
+    returns the windowed counts stream plus a ``rank_topk`` helper the
+    sink applies per closed window (foreachBatch / downstream batch) —
+    the standard split between unbounded agg state and per-window
+    finalization."""
+    w = F.window(F.col(ts_col), window)
+    counts = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n"),
+        )
+    )
+
+    def rank_topk(batch: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window as W
+
+        rw = W.partitionBy("window_start").orderBy(
+            F.desc("n"), F.asc(key_col)
+        )
+        return (
+            batch.withColumn("rnk", F.row_number().over(rw))
+            .where(F.col("rnk") <= k)
+        )
+
+    return counts, rank_topk

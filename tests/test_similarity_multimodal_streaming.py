@@ -306,3 +306,36 @@ def test_stream_stream_join(spark, tmp_path):
     assert want.count() > 0
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_topk_trending(spark, tmp_path):
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import streaming_topk_trending
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "trend_stream")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    counts, rank_topk = streaming_topk_trending(
+        stream, window="1 hour", watermark="2 hours", k=2)
+    q = (
+        counts.writeStream.format("memory").queryName("trend")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = rank_topk(spark.sql("SELECT * FROM trend"))
+    # batch oracle on the windows the stream closed
+    from pyspark.sql.window import Window as W
+
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    rw = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    want = batch.withColumn("rnk", F.row_number().over(rw)).where(F.col("rnk") <= 2)
+    emitted = {r["window_start"] for r in got.select("window_start").distinct().collect()}
+    assert emitted, "stream emitted no closed windows"
+    want_sub = [tuple(r) for r in want.where(F.col("window_start").isin(list(emitted))).collect()]
+    got_rows = [tuple(r) for r in got.collect()]
+    assert sorted(got_rows) == sorted(want_sub)
