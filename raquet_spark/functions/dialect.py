@@ -144,3 +144,10 @@ def davg(expr: str, d: str, scale: int = 6) -> str:
         f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28, {scale}))) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
     )
+
+
+def struct2(k1: str, v1: str, k2: str, v2: str, d: str) -> str:
+    """Two-field struct literal."""
+    if d == SPARK:
+        return f"named_struct('{k1}', {v1}, '{k2}', {v2})"
+    return f"{{'{k1}': {v1}, '{k2}': {v2}}}"

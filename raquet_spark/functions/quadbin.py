@@ -497,3 +497,37 @@ def py_bbox_to_cells(west: float, south: float, east: float, north: float, z: in
         for y in range(min(y0, y1), max(y0, y1) + 1)
         for x in range(min(x0, x1), max(x0, x1) + 1)
     ]
+
+
+def distance_sql(a: str, b: str, dialect: str = "spark") -> str:
+    """Chebyshev (king-move) distance between two cells at the same
+    zoom (CARTO QUADBIN_DISTANCE parity; no antimeridian wrap, like the
+    reference toolbox)."""
+    ax, ay = cell_to_x_sql(a, dialect), cell_to_y_sql(a, dialect)
+    bx, by = cell_to_x_sql(b, dialect), cell_to_y_sql(b, dialect)
+    return f"greatest(abs(({ax}) - ({bx})), abs(({ay}) - ({by})))"
+
+
+def kring_distances_from_tile_sql(
+    x: str, y: str, z: str, k: int, dialect: str = "spark"
+) -> str:
+    """Array of (cell, dist) structs within Chebyshev distance k —
+    CARTO QUADBIN_KRING_DISTANCES parity (x wraps, y clamps; each
+    offset's distance is a compile-time constant)."""
+    from raquet_spark.functions import dialect as dl
+
+    d = dialect
+    m = f"CAST({_shl('CAST(1 AS BIGINT)', f'({z})', d)} AS BIGINT)"
+    items = []
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            nx = f"(((({x}) + {dx}) % {m} + {m}) % {m})"
+            ny = f"(({y}) + {dy})"
+            c = tile_to_cell_sql(nx, ny, f"({z})", d)
+            s = dl.struct2("cell", c, "dist", str(max(abs(dx), abs(dy))), d)
+            items.append(
+                f"(CASE WHEN {ny} >= 0 AND {ny} < {m} THEN {s} ELSE NULL END)"
+            )
+    arr = f"array({', '.join(items)})" if d == "spark" else f"[{', '.join(items)}]"
+    fn = "filter" if d == "spark" else "list_filter"
+    return f"{fn}({arr}, _c -> _c IS NOT NULL)"

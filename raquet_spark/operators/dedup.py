@@ -216,9 +216,18 @@ def connected_components(
     verification round; the early-exit check stops as soon as a round
     changes nothing.
     """
+    # both orientations from ONE pass over the (possibly expensive) edge
+    # plan — a union of two selects would execute that plan twice
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -564,6 +564,29 @@ FROM (SELECT s_suppkey, {kr} AS kr
 """
 
 
+def qb_kring_distances(d: str) -> str:
+    """CARTO QUADBIN_KRING_DISTANCES parity: neighbors annotated with
+    Chebyshev distance, exploded to rows."""
+    kr = qb.kring_distances_from_tile_sql("x", "y", "z", 2, d)
+    return f"""
+SELECT s_suppkey, p.cell AS neighbor, p.dist AS dist
+FROM (SELECT s_suppkey, {dl.explode(kr, 'p', d)}
+      FROM (SELECT s_suppkey, (s_suppkey * 3) % 64 AS x, s_suppkey % 3 AS y,
+                   6 AS z FROM supplier) t0) t1
+"""
+
+
+def qb_distance(d: str) -> str:
+    """CARTO QUADBIN_DISTANCE parity: Chebyshev distance between cell
+    pairs derived from adjacent supplier keys."""
+    ca = qb.tile_to_cell_sql("(s_suppkey * 3) % 64", "s_suppkey % 48", 6, d)
+    cb = qb.tile_to_cell_sql("(s_suppkey * 7) % 64", "(s_suppkey + 11) % 48", 6, d)
+    return f"""
+SELECT s_suppkey, {qb.distance_sql('cell_a', 'cell_b', d)} AS dist
+FROM (SELECT s_suppkey, {ca} AS cell_a, {cb} AS cell_b FROM supplier) t
+"""
+
+
 def qb_validity(d: str) -> str:
     cell = qb.tile_to_cell_sql("o_orderkey % 256", "(o_orderkey * 3) % 256", 8, d)
     return f"""
@@ -2015,6 +2038,8 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "qb_cell_bounds": qb_cell_bounds,
     "qb_children": qb_children,
     "qb_kring": qb_kring,
+    "qb_kring_distances": qb_kring_distances,
+    "qb_distance": qb_distance,
     "qb_validity": qb_validity,
     "qb_bbox_polyfill": qb_bbox_polyfill,
     "dedup_exact": dedup_exact,
