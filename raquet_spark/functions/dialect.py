@@ -133,6 +133,16 @@ def arr_sum_over(a: str, var: str, body: str, d: str) -> str:
     return f"coalesce(list_sum(list_transform({a}, {var} -> CAST({body} AS BIGINT))), 0)"
 
 
+def days_between(end_ts: str, start_ts: str, d: str) -> str:
+    """Whole-day difference ``date(end) - date(start)`` for timestamps.
+    Spark's two-arg ``datediff`` truncates to DATE first; DuckDB's
+    ``date_diff('day', ...)`` counts day-boundary crossings — identical
+    results for any timestamp inputs."""
+    if d == SPARK:
+        return f"datediff({end_ts}, {start_ts})"
+    return f"date_diff('day', {start_ts}, {end_ts})"
+
+
 def dsum(expr: str, d: str, scale: int = 6) -> str:
     """Order-independent SUM: aggregate exact DECIMAL, return DOUBLE."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28, {scale}))) AS DOUBLE)"

@@ -357,6 +357,191 @@ ORDER BY n_name
 """
 
 
+def q2_min_cost_supplier(d: str) -> str:
+    """q2 shape (ref has no partsupp table in the driver schema, so the
+    offer list is derived from lineitem): for each qualifying part, the
+    supplier(s) offering the minimum average unit price in the target
+    region. The correlated MIN subquery is decorrelated by Catalyst into
+    an aggregate + join — no per-row re-execution. Unit price is a ratio
+    of two exact-decimal sums (volume-weighted), so the double equality
+    compare is bit-identical on both engines."""
+    return f"""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         {dl.dsum('l_extendedprice', d)} / {dl.dsum('l_quantity', d)} AS unit_price
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+       o.unit_price AS unit_price
+FROM part
+JOIN offers o ON p_partkey = o.l_partkey
+JOIN supplier ON s_suppkey = o.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND o.unit_price = (
+    SELECT MIN(o2.unit_price)
+    FROM offers o2
+    JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE o2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q8_market_share(d: str) -> str:
+    """q8 shape: one nation's share of regional import volume per year —
+    conditional aggregation over a 6-way join, exact-decimal numerator
+    and denominator so the double ratio is bit-identical."""
+    num = dl.dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END", d)
+    den = dl.dsum("volume", d)
+    return f"""
+WITH volumes AS (
+  SELECT YEAR(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT o_year,
+       ROUND({num} / {den}, 9) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM volumes
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q11_important_parts(d: str) -> str:
+    """q11 shape: per-part inventory value for one nation's suppliers,
+    kept only where it exceeds a fraction of the global total — a
+    HAVING-style filter against an uncorrelated scalar subquery over the
+    same CTE (computed once, broadcast as a literal by both engines)."""
+    return f"""
+WITH part_value AS (
+  SELECT l_partkey,
+         {dl.dsum('l_extendedprice * (1 - l_discount)', d)} AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM part_value
+WHERE value > (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE) * 2.0 / COUNT(*)
+  FROM part_value
+)
+ORDER BY value DESC, l_partkey
+"""
+
+
+def q12_ship_delay(d: str) -> str:
+    """q12 shape (driver schema has no shipmode/commitdate, so the class
+    key is the order→ship delay bucket): per delay bucket, how many
+    lines belong to urgent/high- vs lower-priority orders — CASE
+    aggregation over a fact join."""
+    delay = dl.days_between("l_shipdate", "o_orderdate", d)
+    return f"""
+SELECT CASE WHEN {delay} <= 30 THEN 'FAST'
+            WHEN {delay} <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS delay_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY 1
+ORDER BY delay_bucket
+"""
+
+
+def q16_supplier_part_counts(d: str) -> str:
+    """q16 shape: distinct supplier count per (brand, size) over the
+    observed part-supplier pairs, excluding one brand and the suppliers
+    in a NOT-IN blocklist subquery (null-safe: acctbal is never NULL).
+    Catalyst plans the blocklist as a LeftAnti join; the pair dedup is a
+    pre-aggregation before the count-distinct."""
+    return """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q20_part_suppliers(d: str) -> str:
+    """q20 shape: suppliers in one region who moved a significant volume
+    of a name-matched part family — nested IN subqueries (part filter
+    feeding a grouped HAVING on shipped quantity), both planned as
+    semi-joins."""
+    return f"""
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AFRICA'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING {dl.dsum('l_quantity', d)} > 50.0
+  )
+ORDER BY s_name
+"""
+
+
+def q21_exclusive_returns(d: str) -> str:
+    """q21 shape (driver schema has no commit/receipt dates, so 'late'
+    is proxied by l_returnflag = 'R'): suppliers who were the ONLY
+    supplier with a returned line in a finished multi-supplier order —
+    correlated EXISTS + NOT EXISTS, planned as LeftSemi + LeftAnti hash
+    joins on l_orderkey."""
+    return """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+"""
+
+
 def orders_priority_rollup(d: str) -> str:
     """ROLLUP grouping-set aggregation: per (status, priority), per
     status, and grand total in one pass (partial aggregation reused
@@ -2025,6 +2210,13 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive": q19_disjunctive,
     "q22_idle_customers": q22_idle_customers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q8_market_share": q8_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q12_ship_delay": q12_ship_delay,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_part_suppliers": q20_part_suppliers,
+    "q21_exclusive_returns": q21_exclusive_returns,
     "orders_priority_rollup": orders_priority_rollup,
     "events_moving_avg": events_moving_avg,
     "customer_balance_deciles": customer_balance_deciles,
