@@ -2190,6 +2190,113 @@ WHERE {cnt(email)} + {cnt(phone)} + {cnt(card)} + {cnt(entity)} > 0
 """
 
 
+def chunk_dedup(d: str) -> str:
+    """Sub-document (CCNet-style 'paragraph') exact dedup: split each
+    doc into fixed 20-token windows, hash each window, and report
+    windows appearing in more than one document. One explode + one
+    groupBy(hash) — the hash key is uniform so the shuffle has no skew,
+    and map-side combine collapses within-partition repeats before the
+    exchange. At 100 TB this is the standard pre-pass that removes
+    boilerplate paragraphs exact-dup docs share without whole-doc
+    matching."""
+    toks = _tokens(d)
+    n_chunks = f"CAST(ceil({dl.arr_size('toks', d)} / 20.0) AS INT)"
+    chunk = dl.arr_join(dl.arr_slice("toks", "(i - 1) * 20 + 1", 20, d), " ", d)
+    return f"""
+WITH t AS (SELECT doc_id, {_tokens(d)} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, {dl.explode(dl.seq(1, n_chunks, d), 'i', d)} FROM t
+),
+hashed AS (
+  SELECT c.doc_id, md5({chunk}) AS chunk_hash
+  FROM chunks c JOIN t ON c.doc_id = t.doc_id
+)
+SELECT chunk_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS keeper_doc
+FROM hashed
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, chunk_hash
+"""
+
+
+def doc_chunking(d: str) -> str:
+    """Context-window chunking: split token streams into non-overlapping
+    50-token chunks (last chunk ragged) — the fan-out step that turns
+    documents into training samples. Map-only explode, no shuffle; chunk
+    count and boundaries derived from the token array, not a second
+    tokenization."""
+    n_chunks = f"CAST(ceil({dl.arr_size('toks', d)} / 50.0) AS INT)"
+    piece = dl.arr_slice("toks", "(i - 1) * 50 + 1", 50, d)
+    return f"""
+WITH t AS (SELECT doc_id, {_tokens(d)} AS toks FROM documents),
+c AS (SELECT doc_id, toks, {dl.explode(dl.seq(1, n_chunks, d), 'i', d)} FROM t)
+SELECT doc_id, i AS chunk_idx,
+       {dl.arr_size(piece, d)} AS n_tokens,
+       md5({dl.arr_join(piece, ' ', d)}) AS chunk_hash
+FROM c
+"""
+
+
+def source_quota(d: str) -> str:
+    """Per-source document quota: keep at most 15 docs per source,
+    preferring longer docs (deterministic tiebreak on doc_id) — the
+    domain-balancing cap every web-scale corpus applies. Windowed
+    row_number partitioned by source: one shuffle on the source key;
+    skewed mega-sources would use a pre-aggregated count + salted
+    two-stage top-k at 100 TB."""
+    return """
+SELECT source, doc_id, n_chars, rn
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) t
+WHERE rn <= 15
+"""
+
+
+def text_normalize(d: str) -> str:
+    """Normalization pre-pass: lowercase, strip non-alphanumeric
+    punctuation, collapse whitespace runs, trim — then fingerprint the
+    canonical form. Map-only (no shuffle); the canonical md5 is the join
+    key later dedup stages use, so it must be bit-identical across
+    engines (dialect-checked global regex replace)."""
+    canon = dl.re_replace(
+        dl.re_replace("lower(text)", "[^a-z0-9 ]", " ", d), " +", " ", d
+    )
+    return f"""
+SELECT doc_id,
+       md5(trim({canon})) AS canon_hash,
+       length(trim({canon})) AS canon_len,
+       length(text) AS raw_len
+FROM documents
+"""
+
+
+def dataset_shuffle(d: str) -> str:
+    """Deterministic global shuffle for training-order assignment:
+    bucket = leading md5 bits of doc_id (1024 buckets), position within
+    bucket = row_number ordered by the full hash. Fully parallel — the
+    window partitions by bucket so no single-partition global sort
+    exists anywhere in the plan; global order is (bucket, pos). Re-runs
+    reproduce the identical permutation on any cluster size."""
+    h = dl.md5_int("CAST(doc_id AS STRING)" if d == "spark" else "doc_id::VARCHAR", d, 12)
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {h} AS shuffle_key FROM documents
+)
+SELECT doc_id,
+       shuffle_key % 1024 AS bucket,
+       ROW_NUMBER() OVER (PARTITION BY shuffle_key % 1024
+                          ORDER BY shuffle_key, doc_id) AS pos_in_bucket
+FROM keyed
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2251,6 +2358,11 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "gopher_quality": gopher_quality,
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scan": pii_scan,
+    "chunk_dedup": chunk_dedup,
+    "doc_chunking": doc_chunking,
+    "source_quota": source_quota,
+    "text_normalize": text_normalize,
+    "dataset_shuffle": dataset_shuffle,
     "length_percentiles": length_percentiles,
     "events_json_rollup": events_json_rollup,
 }
