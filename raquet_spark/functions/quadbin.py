@@ -155,16 +155,49 @@ def children_from_tile_sql(x: str, y: str, z: str, dialect: str = "spark") -> st
     return f"[{', '.join(out)}]"
 
 
-def point_to_cell_sql(lon: str, lat: str, z, dialect: str = "spark") -> str:
-    """Cell containing a WGS84 lon/lat point at zoom ``z``."""
+def cell_to_children_sql(cell: str, dialect: str = "spark") -> str:
+    """Array of the 4 child cells at zoom+1 via the direct bit formula
+    (public quadbin-py ``cell_to_children`` shape): bump the zoom field,
+    clear the two new Morton bits, enumerate 00/01/10/11. O(1)-size
+    expression — no tile round-trip, so safe to inline on any operand
+    (unlike ``children_from_tile_sql`` which needs pre-computed coords).
+    """
+    d = dialect
+    z1 = f"({cell_to_zoom_sql(cell, d)} + 1)"
+    shift = f"(52 - ({z1}) * 2)"
+    base = (
+        f"((((({cell}) & {ZOOM_MASK_CLEAR}) | {_shl(f'CAST({z1} AS BIGINT)', 52, d)})"
+        f" & ~{_shl('CAST(3 AS BIGINT)', shift, d)}))"
+    )
+    kids = [f"({base} | {_shl(f'CAST({i} AS BIGINT)', shift, d)})" for i in range(4)]
+    if d == "spark":
+        return f"array({', '.join(kids)})"
+    return f"[{', '.join(kids)}]"
+
+
+def point_to_tile_x_sql(lon: str, z, dialect: str = "spark") -> str:
+    """Web-Mercator tile x (clamped) of a WGS84 longitude at zoom ``z``."""
+    d = dialect
+    xf = f"(CAST({lon} AS DOUBLE) / 360.0 + 0.5)"
+    m = f"CAST({_shl('CAST(1 AS BIGINT)', z, d)} AS BIGINT)"
+    return f"least(greatest(CAST(floor({xf} * {m}) AS BIGINT), 0), {m} - 1)"
+
+
+def point_to_tile_y_sql(lat: str, z, dialect: str = "spark") -> str:
+    """Web-Mercator tile y (clamped) of a WGS84 latitude at zoom ``z``."""
     d = dialect
     clat = f"greatest(least(CAST({lat} AS DOUBLE), {MAX_LAT}), {-MAX_LAT})"
     sinlat = f"sin({clat} * pi() / 180.0)"
-    xf = f"(CAST({lon} AS DOUBLE) / 360.0 + 0.5)"
     yf = f"(0.5 - 0.25 * ln((1.0 + {sinlat}) / (1.0 - {sinlat})) / pi())"
     m = f"CAST({_shl('CAST(1 AS BIGINT)', z, d)} AS BIGINT)"
-    xt = f"least(greatest(CAST(floor({xf} * {m}) AS BIGINT), 0), {m} - 1)"
-    yt = f"least(greatest(CAST(floor({yf} * {m}) AS BIGINT), 0), {m} - 1)"
+    return f"least(greatest(CAST(floor({yf} * {m}) AS BIGINT), 0), {m} - 1)"
+
+
+def point_to_cell_sql(lon: str, lat: str, z, dialect: str = "spark") -> str:
+    """Cell containing a WGS84 lon/lat point at zoom ``z``."""
+    d = dialect
+    xt = point_to_tile_x_sql(lon, z, d)
+    yt = point_to_tile_y_sql(lat, z, d)
     return tile_to_cell_sql(xt, yt, z, d)
 
 
@@ -448,6 +481,15 @@ def py_cell_to_parent(cell: int, parent_zoom: int) -> int:
     return (cell & ZOOM_MASK_CLEAR & ((1 << 64) - 1)) | (parent_zoom << 52) | (
         FOOTER_MAX >> (parent_zoom * 2)
     )
+
+
+def py_cell_to_children(cell: int) -> list[int]:
+    """Direct bit-formula children (mirror of ``cell_to_children_sql``)."""
+    z1 = py_cell_to_zoom(cell) + 1
+    shift = 52 - z1 * 2
+    base = (cell & ZOOM_MASK_CLEAR & ((1 << 64) - 1)) | (z1 << 52)
+    base &= ~(3 << shift) & ((1 << 64) - 1)
+    return [base | (i << shift) for i in range(4)]
 
 
 def py_point_to_cell(lon: float, lat: float, z: int) -> int:

@@ -116,7 +116,7 @@ def build_level(
         .withColumn("cy", F.expr(qb.cell_to_y_sql("block", "spark")))
     )
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         parent = key[0]
         out = {"block": [parent]}
         for name, btype, nodata in bands:
@@ -170,7 +170,7 @@ def build_levels_blocked(
         F.expr(qb.cell_to_zoom_sql("block", "spark")) == child_zoom
     ).withColumn("anc", F.expr(qb.cell_to_parent_sql("block", target_zoom, "spark")))
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ax, ay, _ = py_cell_to_tile(int(key[0]))
         out: dict[str, list] = {"block": []}
         for name, _, _ in bands:

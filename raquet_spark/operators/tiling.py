@@ -50,7 +50,7 @@ def from_pixel_table(
     ty = f"CAST(gy DIV {bh} AS BIGINT)"
     keyed = pixels.withColumn("block", F.expr(qb.tile_to_cell_sql(tx, ty, z, "spark")))
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (block,) = key
         x0 = int(pdf["gx"].min()) // bw * bw
         y0 = int(pdf["gy"].min()) // bh * bh
