@@ -119,8 +119,15 @@ def shr(a: str, n, d: str) -> str:
 
 def epoch_seconds(ts: str, d: str) -> str:
     """Epoch seconds with sub-second fraction as DOUBLE (identical on
-    both engines: exact microsecond int / 1e6)."""
-    return f"CAST({ts} AS DOUBLE)" if d == SPARK else f"epoch({ts})"
+    both engines: exact microsecond int / 1e6). The Spark spelling
+    casts through TIMESTAMP first because parquet files written without
+    timezone metadata are read as TIMESTAMP_NTZ (Spark 4 default
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=true``) and NTZ has
+    no direct cast to DOUBLE; differences between two such values are
+    timezone-invariant."""
+    if d == SPARK:
+        return f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
+    return f"epoch({ts})"
 
 
 def bxor(a: str, b: str, d: str) -> str:

@@ -592,7 +592,7 @@ def events_sessionize(d: str) -> str:
     return f"""
 SELECT user_id, session_id,
        COUNT(*) AS n_events,
-       CAST(min(ts) AS TIMESTAMP) AS session_start
+       MIN(ts) AS session_start
 FROM (
   SELECT user_id, ts,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
