@@ -123,8 +123,13 @@ def epoch_seconds(ts: str, d: str) -> str:
     casts through TIMESTAMP first because parquet files written without
     timezone metadata are read as TIMESTAMP_NTZ (Spark 4 default
     ``spark.sql.parquet.inferTimestampNTZ.enabled=true``) and NTZ has
-    no direct cast to DOUBLE; differences between two such values are
-    timezone-invariant."""
+    no direct cast to DOUBLE. The NTZ→TIMESTAMP cast interprets the
+    wall clock in the *session* timezone, so absolute values (and
+    differences spanning a DST transition in a non-UTC session zone)
+    can skew vs DuckDB ``epoch()``; sessions built by this engine pin
+    ``spark.sql.session.timeZone=UTC`` (session.py), which makes the
+    mapping exact. Under a foreign non-UTC session, differences remain
+    correct away from DST boundaries."""
     if d == SPARK:
         return f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE)"
     return f"epoch({ts})"
@@ -169,6 +174,15 @@ def days_between(end_ts: str, start_ts: str, d: str) -> str:
     if d == SPARK:
         return f"datediff({end_ts}, {start_ts})"
     return f"date_diff('day', {start_ts}, {end_ts})"
+
+
+def isum(expr: str, d: str) -> str:
+    """Integer SUM with a pinned 64-bit result type. DuckDB's bare
+    ``SUM(INTEGER)`` returns HUGEINT (int128) while Spark returns
+    BIGINT; the driver's value hash is type-sensitive, so every integer
+    SUM that reaches a result column must be cast. Values are identical
+    — only the physical type differs."""
+    return f"CAST(SUM({expr}) AS BIGINT)"
 
 
 def dsum(expr: str, d: str, scale: int = 6) -> str:

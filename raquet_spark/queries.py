@@ -460,10 +460,10 @@ def q12_ship_delay(d: str) -> str:
 SELECT CASE WHEN {delay} <= 30 THEN 'FAST'
             WHEN {delay} <= 90 THEN 'MEDIUM'
             ELSE 'SLOW' END AS delay_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= o_orderdate
@@ -595,8 +595,8 @@ SELECT user_id, session_id,
        MIN(ts) AS session_start
 FROM (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -776,8 +776,8 @@ def qb_validity(d: str) -> str:
     cell = qb.tile_to_cell_sql("o_orderkey % 256", "(o_orderkey * 3) % 256", 8, d)
     return f"""
 SELECT o_orderkey % 10 AS grp,
-       SUM(CAST({qb.is_valid_cell_sql('cell', d)} AS INT)) AS n_valid,
-       SUM(CAST({qb.is_valid_cell_sql('(cell - 1)', d)} AS INT)) AS n_corrupt_valid
+       CAST(SUM(CAST({qb.is_valid_cell_sql('cell', d)} AS INT)) AS BIGINT) AS n_valid,
+       CAST(SUM(CAST({qb.is_valid_cell_sql('(cell - 1)', d)} AS INT)) AS BIGINT) AS n_corrupt_valid
 FROM (SELECT o_orderkey, {cell} AS cell FROM orders) t
 GROUP BY o_orderkey % 10
 """
@@ -1214,7 +1214,7 @@ def pyramid_stats_rollup_oracle() -> str:
          SUM(val) AS sm
   FROM vals GROUP BY block
 )
-SELECT {parent} AS parent, COUNT(*) AS n_tiles, SUM(cnt) AS n_pixels,
+SELECT {parent} AS parent, COUNT(*) AS n_tiles, CAST(SUM(cnt) AS BIGINT) AS n_pixels,
        CAST(MIN(mn) AS DOUBLE) AS min_val, CAST(MAX(mx) AS DOUBLE) AS max_val,
        CAST(SUM(sm) AS DOUBLE) AS sum_val
 FROM per_tile GROUP BY parent
@@ -1452,7 +1452,13 @@ def timeseries_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("band_1_sum").alias("sum_val"),
         )
         .select(
-            "time_cf", "time_ts", "n_pixels", "min_val", "max_val",
+            "time_cf",
+            # timestamp_micros() yields TIMESTAMP (instant); surface as
+            # NTZ wall clock (UTC session) to match the oracle's TIMESTAMP
+            F.col("time_ts").cast("timestamp_ntz").alias("time_ts"),
+            "n_pixels",
+            "min_val",
+            "max_val",
             F.round(F.col("sum_val") / F.col("n_pixels"), 6).alias("mean_val"),
         )
     )
@@ -2711,12 +2717,72 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
 }
 
 
+# Registration order exposed to the driver. The driver oracle-checks the
+# FIRST 50 registered queries each round, so never-yet-checked queries are
+# listed first, then queries whose fix needs driver confirmation, then the
+# long tail of queries already green on record (CORRECTNESS_r01/r02).
+_DRIVER_PRIORITY: list[str] = [
+    # -- never driver-checked through round 2: raster core ----------------
+    "tile_stats_agg",
+    "region_stats",
+    "region_stats_polygon",
+    "zonal_stats",
+    "suitable_cells",
+    "suitable_cells_detail",
+    "pyramid_pixel_stats",
+    "pyramid_stats_rollup",
+    "raster_upsample_stats",
+    "timeseries_stats",
+    "band_algebra_nd",
+    "tile_stats_interleaved",
+    "tile_stats_uint8",
+    "raster_join_diff",
+    "raster_histogram",
+    "raster_point_value",
+    "raquet_read_tiles",
+    # -- never driver-checked: joins / graph / ANN ------------------------
+    "dedup_components",
+    "dedup_prune",
+    "asof_join_events_orders",
+    "range_join_value_bands",
+    "ann_lsh",
+    "ann_ivf",
+    "sketch_user_reach",
+    # -- never driver-checked: LLM-pipeline text ops ----------------------
+    "stratified_sample",
+    "repetition_stats",
+    "decontaminate",
+    "gopher_quality",
+    "tfidf_top_terms",
+    "pii_scan",
+    "chunk_dedup",
+    "doc_chunking",
+    "source_quota",
+    "text_normalize",
+    "dataset_shuffle",
+    "length_percentiles",
+    "events_json_rollup",
+    # -- fixed this round (integer-SUM BIGINT casts); need re-check -------
+    "q12_ship_delay",
+    "events_sessionize",
+    "qb_validity",
+]
+
+
+def _registration_order() -> list[str]:
+    all_names = list(_SQL_QUERIES) + list(_PIPELINE_QUERIES)
+    prioritized = [n for n in _DRIVER_PRIORITY if n in set(all_names)]
+    rest = [n for n in all_names if n not in set(prioritized)]
+    return prioritized + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, fn in _SQL_QUERIES.items():
-        out[name] = _sql_query(fn)
-    for name, (spark_fn, _) in _PIPELINE_QUERIES.items():
-        out[name] = spark_fn
+    for name in _registration_order():
+        if name in _SQL_QUERIES:
+            out[name] = _sql_query(_SQL_QUERIES[name])
+        else:
+            out[name] = _PIPELINE_QUERIES[name][0]
     return out
 
 

@@ -16,7 +16,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructType, TimestampNTZType
+
+
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (instant semantics); parquet written
+    without timezone metadata reads as TIMESTAMP_NTZ under Spark 4's
+    ``inferTimestampNTZ`` default and ``withWatermark`` rejects it
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Cast once at the operator
+    boundary — sessions are pinned to UTC (session.py) so the wall
+    clock maps to the same instant everywhere."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def stream_tiles(
@@ -58,6 +70,7 @@ def streaming_dedup(
     ingest-time guard of a training-data pipeline. State is bounded by
     the watermark horizon; keys older than it are forgotten, so the
     operator runs forever at constant memory per key-partition."""
+    df = _as_event_time(df, ts_col)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
@@ -140,7 +153,8 @@ def stateful_sessionize(
             })
 
     return (
-        events.withWatermark(ts_col, watermark)
+        _as_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             update,
@@ -162,6 +176,7 @@ def windowed_event_stats(
 ):
     """Watermarked windowed aggregation (streaming DataFrame in/out)."""
     w = F.window(F.col(ts_col), window, slide or window)
+    events = _as_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(w.alias("win"), F.col(key_col))
@@ -199,8 +214,8 @@ def stream_stream_join(
     match window passes the watermark — constant state per key-rate,
     which is what lets the join run indefinitely at scale. Column names
     (``left_ts`` vs ``right_ts``) must differ between the sides."""
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    l = _as_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = _as_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = (
         (l[key] == r[key])
         & (r[right_ts] >= l[left_ts])
@@ -227,6 +242,7 @@ def streaming_topk_trending(
     the standard split between unbounded agg state and per-window
     finalization."""
     w = F.window(F.col(ts_col), window)
+    events = _as_event_time(events, ts_col)
     counts = (
         events.withWatermark(ts_col, watermark)
         .groupBy(w.alias("win"), F.col(key_col))

@@ -177,8 +177,8 @@ def test_stateful_sessionize(spark, tmp_path):
     batch = spark.sql(f"""
         WITH marked AS (
           SELECT user_id, ts, value,
-                 CASE WHEN CAST(ts AS DOUBLE) -
-                      CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE)
+                 CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DOUBLE) -
+                      CAST(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS TIMESTAMP) AS DOUBLE)
                       > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                  THEN 1 ELSE 0 END AS new_sess
           FROM parquet.`{src}`
