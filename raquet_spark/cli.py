@@ -127,7 +127,17 @@ def cmd_export(args) -> int:
 
     spark = _spark()
     meta = read_raquet_metadata(spark, args.file)
-    px = to_pixel_table(read_raquet(spark, args.file), meta)
+    tiles = read_raquet(spark, args.file)
+    if args.output.endswith((".tif", ".tiff")):
+        from raquet_spark.sources.geotiff import write_geotiff
+
+        info = write_geotiff(tiles, meta, args.output)
+        print(
+            f"exported GeoTIFF {args.output} "
+            f"({info['width']}x{info['height']}, {info['nbands']} band(s))"
+        )
+        return 0
+    px = to_pixel_table(tiles, meta)
     if args.lonlat:
         px = pixel_table_with_lonlat(px, meta)
     px.write.mode("overwrite").parquet(args.output)
@@ -194,7 +204,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--stats", action="store_true")
     s.set_defaults(fn=cmd_convert)
 
-    s = sub.add_parser("export", help="raquet → dense pixel parquet")
+    s = sub.add_parser("export", help="raquet → pixel parquet, or GeoTIFF if output ends in .tif")
     s.add_argument("file")
     s.add_argument("output")
     s.add_argument("--lonlat", action="store_true")

@@ -1,0 +1,114 @@
+"""GeoTIFF export round trip: tiles → .tif → parse → compare against the
+independent numpy mosaic, and re-import through the pixel-table → tiler
+path to confirm byte-identical tiles."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from raquet_spark.functions.bands import decode_block
+from raquet_spark.operators.export import to_numpy_mosaic, to_pixel_table
+from raquet_spark.operators.tiling import from_pixel_table
+from raquet_spark.sources.geotiff import read_geotiff, write_geotiff
+from raquet_spark.testing import make_synthetic_raster
+
+_EARTH_R = 6378137.0
+_ORIGIN_SHIFT = math.pi * _EARTH_R
+
+
+@pytest.fixture(scope="module")
+def raster(spark):
+    return make_synthetic_raster(
+        spark, zoom=6, tiles_x=3, tiles_y=2, origin_x=16, origin_y=20,
+        block_size=16, dtype="float32", nodata=-1.0, nodata_every=7,
+    )
+
+
+def test_geotiff_matches_mosaic(spark, raster, tmp_path):
+    tiles, meta = raster
+    path = str(tmp_path / "out.tif")
+    info = write_geotiff(tiles, meta, path)
+
+    arr, geo = read_geotiff(path)
+    assert arr.shape == (info["height"], info["width"], 1)
+    assert arr.dtype == np.dtype("<f4")
+
+    mosaic, _ = to_numpy_mosaic(tiles, meta, "band_1")
+    np.testing.assert_array_equal(arr[:, :, 0].astype("f8"), mosaic)
+
+    # georeferencing: tile-grid mercator placement, EPSG:3857 geokey
+    tile_m = 2.0 * _ORIGIN_SHIFT / (1 << 6)
+    assert geo["pixel_scale"][0] == pytest.approx(tile_m / 16)
+    assert geo["tiepoint"][3] == pytest.approx(-_ORIGIN_SHIFT + 16 * tile_m)
+    assert geo["tiepoint"][4] == pytest.approx(_ORIGIN_SHIFT - 20 * tile_m)
+    keys = geo["geokeys"]
+    assert 3857 in keys and 1024 in keys
+    assert float(geo["nodata"]) == -1.0
+
+
+def test_geotiff_missing_tile_rows_filled(spark, raster, tmp_path):
+    tiles, meta = raster
+    # drop the whole middle tile column and one full tile row
+    from raquet_spark.functions import quadbin as qb
+    src = qb.with_tile(tiles, "block")
+    kept = src.where("qb_x != 17 AND qb_y != 21").drop("qb_x", "qb_y", "qb_z")
+    path = str(tmp_path / "sparse.tif")
+    info = write_geotiff(kept, meta, path, bands=["band_1"])
+    arr, _ = read_geotiff(path)
+    # dropped row collapses the extent: qb_y 21 dropped entirely → only
+    # row 20 remains; dropped column 17 is interior → nodata-filled
+    assert info["n_strips"] == 1
+    assert np.all(arr[:, 16:32, 0] == -1.0)
+    assert not np.all(arr[:, 0:16, 0] == -1.0)
+
+
+def test_geotiff_reimport_byte_identical(spark, raster, tmp_path):
+    tiles, meta = raster
+    path = str(tmp_path / "rt.tif")
+    write_geotiff(tiles, meta, path)
+    arr, geo = read_geotiff(path)
+
+    # rebuild a pixel table from the parsed TIFF (gx/gy from the tile
+    # origin used by the synthetic raster) and re-tile it
+    bw = meta["tiling"]["block_width"]
+    h, w, _ = arr.shape
+    gys, gxs = np.mgrid[0:h, 0:w]
+    pdf = spark.createDataFrame(
+        [
+            (int(gx + 16 * bw), int(gy + 20 * bw), float(v))
+            for gx, gy, v in zip(gxs.ravel(), gys.ravel(), arr[:, :, 0].ravel())
+        ],
+        "gx bigint, gy bigint, band_1 double",
+    )
+    retiled = from_pixel_table(pdf, meta, compression=None)
+
+    orig = {
+        r["block"]: decode_block(r["band_1"], "float32")
+        for r in tiles.where("block != 0").collect()
+    }
+    new = {
+        r["block"]: decode_block(r["band_1"], "float32")
+        for r in retiled.collect()
+    }
+    assert orig.keys() == new.keys()
+    for k in orig:
+        np.testing.assert_array_equal(orig[k], new[k])
+
+
+def test_geotiff_multiband_interleave(spark, tmp_path):
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=5, tiles_x=2, tiles_y=2, origin_x=4, origin_y=6,
+        block_size=8, num_bands=3, dtype="int16",
+    )
+    path = str(tmp_path / "mb.tif")
+    info = write_geotiff(tiles, meta, path)
+    assert info["nbands"] == 3
+    arr, _ = read_geotiff(path)
+    assert arr.shape == (16, 16, 3)
+    assert arr.dtype == np.dtype("<i2")
+    for bi, band in enumerate(["band_1", "band_2", "band_3"]):
+        mosaic, _ = to_numpy_mosaic(tiles, meta, band)
+        np.testing.assert_array_equal(arr[:, :, bi].astype("f8"), mosaic)
