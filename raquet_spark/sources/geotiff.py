@@ -240,6 +240,14 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     GeoTIFF placement."""
     with open(path, "rb") as f:
         raw = f.read()
+    return parse_tiff(raw)
+
+
+def parse_tiff(raw: bytes) -> tuple[np.ndarray, dict]:
+    """Parse classic little-endian striped TIFF bytes (uncompressed) —
+    also the decoder for remote tile responses in ``sources/remote.py``
+    (the reference fetches ImageServer tiles as TIFF,
+    imageserver.py:399-420, and reads them with rasterio)."""
     order, magic, ifd_off = raw[:2], struct.unpack("<H", raw[2:4])[0], struct.unpack("<I", raw[4:8])[0]
     if order != b"II" or magic != 42:
         raise ValueError("not a little-endian classic TIFF")

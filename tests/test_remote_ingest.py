@@ -1,0 +1,182 @@
+"""Remote tile ingestion: fake-transport fetch, retry/backoff, partial
+coverage, request builders, and the TIFF response decoder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raquet_spark.core.metadata import BandMeta, build_metadata
+from raquet_spark.functions.bands import decode_block
+from raquet_spark.sources.remote import (
+    cells_for_bounds,
+    fetch_tiles,
+    imageserver_request,
+    raw_decoder,
+    tiff_decoder,
+    tile_bounds_3857,
+    xyz_request,
+)
+
+SIZE = 8
+ZOOM = 4
+
+
+def _meta():
+    return build_metadata(
+        bands=[BandMeta(name="band_1", type="float32")],
+        bounds=(-180.0, -85.0, 180.0, 85.0),
+        width=SIZE * 4,
+        height=SIZE * 4,
+        block_width=SIZE,
+        block_height=SIZE,
+        max_zoom=ZOOM,
+    )
+
+
+def _expected(x: int, y: int, z: int) -> np.ndarray:
+    return (np.arange(SIZE * SIZE, dtype="<f4") % 7 + x * 100 + y * 10 + z).astype("<f4")
+
+
+def _make_fake_transport():
+    size = SIZE
+
+    def fake_transport(url: str, params: dict) -> bytes:
+        # url is "fake://{z}/{x}/{y}"
+        z, x, y = (int(p) for p in url.split("://")[1].split("/"))
+        if x == 5 and y == 6:
+            raise IOError("permanently down tile")
+        return (
+            (np.arange(size * size, dtype="<f4") % 7 + x * 100 + y * 10 + z)
+            .astype("<f4")
+            .tobytes()
+        )
+
+    return fake_transport
+
+
+def _make_flaky_transport():
+    fake = _make_fake_transport()
+    calls: dict[str, int] = {}
+
+    def flaky_transport(url: str, params: dict) -> bytes:
+        n = calls.get(url, 0) + 1
+        calls[url] = n
+        if n < 3:
+            raise IOError(f"transient failure {n}")
+        return fake(url, params)
+
+    return flaky_transport
+
+
+def test_fetch_tiles_fake_transport(spark):
+    meta = _meta()
+    cells = cells_for_bounds(spark, (-90.0, 0.0, 0.0, 60.0), ZOOM)
+    out = fetch_tiles(
+        cells,
+        meta,
+        xyz_request("fake://{z}/{x}/{y}"),
+        transport=_make_fake_transport(),
+        decoder=raw_decoder("float32", 1, SIZE),
+        max_retries=2,
+        retry_delay=0.0,
+    ).collect()
+
+    n_cells = cells.count()
+    from raquet_spark.functions import quadbin as qb
+
+    tiles = {
+        (r["qb_x"], r["qb_y"]): r
+        for r in qb.with_tile(
+            spark.createDataFrame([(r["block"], r["band_1"]) for r in out],
+                                  "block bigint, band_1 binary"),
+            "block",
+        ).collect()
+    }
+    # the permanently-failing tile is dropped, everything else present
+    assert (5, 6) not in tiles
+    assert len(tiles) == n_cells - 1
+    for (x, y), r in tiles.items():
+        np.testing.assert_array_equal(
+            decode_block(r["band_1"], "float32"), _expected(x, y, ZOOM)
+        )
+
+
+def test_fetch_tiles_retries_transients(spark):
+    meta = _meta()
+    cells = cells_for_bounds(spark, (-90.0, 45.0, -46.0, 60.0), ZOOM)
+    n_cells = cells.count()
+    out = fetch_tiles(
+        cells.coalesce(1),  # single python worker so the per-process call
+        meta,               # counter sees every retry of a given url
+        xyz_request("fake://{z}/{x}/{y}"),
+        transport=_make_flaky_transport(),
+        decoder=raw_decoder("float32", 1, SIZE),
+        max_retries=4,
+        retry_delay=0.0,
+    ).collect()
+    # every transient failure is retried to success inside the task
+    assert len(out) == n_cells
+
+
+def test_imageserver_request_params():
+    build = imageserver_request("https://example/ImageServer", 256, bands=[1, 3], token="T")
+    url, params = build(2, 1, 2)
+    assert url.endswith("/exportImage")
+    assert params["bboxSR"] == params["imageSR"] == "3857"
+    assert params["size"] == "256,256"
+    assert params["format"] == "tiff"
+    assert params["bandIds"] == "1,3"
+    assert params["token"] == "T"
+    xmin, ymin, xmax, ymax = (float(v) for v in params["bbox"].split(","))
+    assert xmax > xmin and ymax > ymin
+    b = tile_bounds_3857(2, 1, 2)
+    assert (xmin, ymin, xmax, ymax) == pytest.approx(b)
+
+
+def test_tile_bounds_quadrants():
+    # z=1: tile (0,0) is the north-west quadrant
+    xmin, ymin, xmax, ymax = tile_bounds_3857(0, 0, 1)
+    assert xmin == pytest.approx(-20037508.342789244)
+    assert xmax == pytest.approx(0.0)
+    assert ymin == pytest.approx(0.0)
+    assert ymax == pytest.approx(20037508.342789244)
+
+
+def test_cells_for_bounds_count(spark):
+    df = cells_for_bounds(spark, (-10.0, 35.0, 5.0, 45.0), 6)
+    rows = df.count()
+    # x and y spans derived independently
+    import math as m
+
+    def tx(lon):
+        return min(max(int((lon / 360.0 + 0.5) * 64), 0), 63)
+
+    def ty(lat):
+        s = m.sin(m.radians(lat))
+        yf = 0.5 - 0.25 * m.log((1.0 + s) / (1.0 - s)) / m.pi
+        return min(max(int(yf * 64), 0), 63)
+
+    assert rows == (tx(5.0) - tx(-10.0) + 1) * (ty(35.0) - ty(45.0) + 1)
+
+
+def test_tiff_decoder_roundtrip(spark, tmp_path):
+    from raquet_spark.sources.geotiff import write_geotiff
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=5, tiles_x=1, tiles_y=1, origin_x=4, origin_y=6,
+        block_size=8, num_bands=2, dtype="int32",
+    )
+    path = str(tmp_path / "tile.tif")
+    write_geotiff(tiles, meta, path)
+    with open(path, "rb") as f:
+        raw = f.read()
+    arr = tiff_decoder(raw)
+    assert arr.shape == (2, 8, 8)
+    row = tiles.where("block != 0").first()
+    for bi, band in enumerate(["band_1", "band_2"]):
+        np.testing.assert_array_equal(
+            arr[bi].ravel().astype("f8"),
+            decode_block(row[band], "int32").astype("f8"),
+        )
