@@ -1,15 +1,18 @@
 """Band layout conversion: sequential (one column per band) <->
 interleaved (single BIP ``pixels`` column), per spec
-/root/reference/format-specs/raquet.md:40-57 and :265-268.
+/root/reference/format-specs/raquet.md:40-57 and :265-275.
 
-Lossy JPEG/WebP codecs for the interleaved layout require an image
-library (PIL) that is not present in this container — the codec hook is
-stubbed with NotImplementedError while all Spark-side plumbing (schema,
-metadata, batching) is real and tested with gzip/none compression.
+Lossy JPEG/WebP codecs for the interleaved layout are probed at use:
+when PIL is importable the real codec runs (quality from metadata
+``compression_quality``, default 85 per spec); in this container PIL is
+absent, so the codec raises a typed NotImplementedError while all
+Spark-side plumbing (schema, metadata, batching, spec constraint
+checks) is real and tested with gzip/none compression.
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import numpy as np
@@ -19,16 +22,73 @@ from pyspark.sql import DataFrame
 from raquet_spark.functions.bands import decode_block, encode_block
 
 LOSSY = ("jpeg", "webp")
+# spec raquet.md:274-275: jpeg = grayscale or RGB; webp adds LA/RGBA
+_PIL_MODES = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}
 
 
-def _check_compression(compression: str | None, band_types: list[str]) -> None:
-    if compression in LOSSY:
-        if any(t != "uint8" for t in band_types):
-            raise ValueError(f"{compression} requires uint8 bands (spec raquet.md:274)")
+def _pil_image():
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def check_lossy_constraints(compression: str, band_types: list[str]) -> None:
+    """Spec constraints for lossy compression (raquet.md:272-275):
+    interleaved-only is enforced by the callers (the sequential writer
+    never passes lossy); this checks dtype and band count."""
+    if any(t != "uint8" for t in band_types):
+        raise ValueError(f"{compression} requires uint8 bands (spec raquet.md:274)")
+    n = len(band_types)
+    if compression == "jpeg" and n not in (1, 3):
+        raise ValueError(f"jpeg supports 1 or 3 bands, got {n} (spec raquet.md:274)")
+    if compression == "webp" and not 1 <= n <= 4:
+        raise ValueError(f"webp supports 1-4 bands, got {n} (spec raquet.md:275)")
+
+
+def encode_lossy(
+    inter: np.ndarray,
+    n_bands: int,
+    width: int,
+    height: int,
+    compression: str,
+    quality: int = 85,
+) -> bytes:
+    """Pixel-interleaved uint8 array -> JPEG/WebP bytes (PIL-probed)."""
+    Image = _pil_image()
+    if Image is None:
         raise NotImplementedError(
             f"{compression} codec needs PIL, not available in this container; "
             "use 'gzip' or None"
         )
+    arr = np.asarray(inter, dtype=np.uint8).reshape(height, width, n_bands)
+    img = Image.fromarray(arr.squeeze(), mode=_PIL_MODES[n_bands])
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG" if compression == "jpeg" else "WEBP", quality=quality)
+    return buf.getvalue()
+
+
+def decode_lossy(raw: bytes, compression: str) -> np.ndarray:
+    """JPEG/WebP bytes -> flat pixel-interleaved uint8 array (PIL-probed)."""
+    Image = _pil_image()
+    if Image is None:
+        raise NotImplementedError(
+            f"{compression} codec needs PIL, not available in this container"
+        )
+    img = Image.open(io.BytesIO(raw))
+    return np.asarray(img, dtype=np.uint8).reshape(-1)
+
+
+def _check_compression(compression: str | None, band_types: list[str]) -> None:
+    if compression in LOSSY:
+        check_lossy_constraints(compression, band_types)
+        if _pil_image() is None:
+            raise NotImplementedError(
+                f"{compression} codec needs PIL, not available in this container; "
+                "use 'gzip' or None"
+            )
 
 
 def to_interleaved(df: DataFrame, metadata: dict, compression: str | None = "gzip") -> tuple[DataFrame, dict]:
@@ -41,6 +101,10 @@ def to_interleaved(df: DataFrame, metadata: dict, compression: str | None = "gzi
     btype = bands[0][1]
     if any(t != btype for _, t in bands):
         raise ValueError("interleaved layout requires uniform band type")
+    bw = metadata["tiling"]["block_width"]
+    bh = metadata["tiling"]["block_height"]
+    quality = int(metadata.get("compression_quality", 85))
+    n_bands = len(bands)
 
     def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -49,7 +113,12 @@ def to_interleaved(df: DataFrame, metadata: dict, compression: str | None = "gzi
                 arrs = [decode_block(row[name], t) for name, t in bands]
                 # BIP: [b1_0, b2_0, ..., b1_1, b2_1, ...]
                 inter = np.stack(arrs, axis=1).reshape(-1)
-                pixels.append(encode_block(inter, btype, compression))
+                if compression in LOSSY:
+                    pixels.append(
+                        encode_lossy(inter, n_bands, bw, bh, compression, quality)
+                    )
+                else:
+                    pixels.append(encode_block(inter, btype, compression))
             yield pd.DataFrame({"block": pdf["block"], "pixels": pixels})
 
     out = df.mapInPandas(conv, schema="block bigint, pixels binary")
@@ -62,7 +131,8 @@ def to_sequential(df: DataFrame, metadata: dict, compression: str | None = "gzip
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
-    if metadata.get("compression") in LOSSY:
+    src_comp = metadata.get("compression")
+    if src_comp in LOSSY and _pil_image() is None:
         raise NotImplementedError("lossy decode needs PIL; see module docstring")
     bands = [(b["name"], b["type"]) for b in metadata["bands"]]
     btype = bands[0][1]
@@ -72,7 +142,10 @@ def to_sequential(df: DataFrame, metadata: dict, compression: str | None = "gzip
         for pdf in batches:
             cols: dict[str, list] = {name: [] for name, _ in bands}
             for _, row in pdf.iterrows():
-                inter = decode_block(row["pixels"], btype).reshape(-1, n)
+                if src_comp in LOSSY:
+                    inter = decode_lossy(bytes(row["pixels"]), src_comp).reshape(-1, n)
+                else:
+                    inter = decode_block(row["pixels"], btype).reshape(-1, n)
                 for i, (name, _) in enumerate(bands):
                     cols[name].append(encode_block(inter[:, i], btype, compression))
             out = {"block": pdf["block"]}

@@ -82,6 +82,31 @@ def validate_raquet(spark: SparkSession, path: str, check_band_data: bool = Fals
     elif "pixels" not in band_cols:
         res.errors.append("interleaved layout requires a 'pixels' column")
 
+    # --- compression rules (spec raquet.md:272-275)
+    comp = meta.get("compression")
+    if comp not in (None, "gzip", "jpeg", "webp"):
+        res.errors.append(f"unknown compression {comp!r} (spec: gzip/jpeg/webp/null)")
+    band_types = [b.get("type") for b in meta.get("bands", [])]
+    if comp in ("jpeg", "webp"):
+        if layout != "interleaved":
+            res.errors.append(
+                f"{comp} compression requires band_layout 'interleaved', got {layout!r}"
+            )
+        bad_types = sorted({t for t in band_types if t != "uint8"})
+        if bad_types:
+            res.errors.append(f"{comp} compression requires uint8 bands, got {bad_types}")
+        nb = len(band_types)
+        if comp == "jpeg" and nb not in (1, 3):
+            res.errors.append(f"jpeg supports 1 (gray) or 3 (RGB) bands, got {nb}")
+        if comp == "webp" and not 1 <= nb <= 4:
+            res.errors.append(f"webp supports 1-4 bands, got {nb}")
+    quality = meta.get("compression_quality")
+    if quality is not None:
+        if not isinstance(quality, int) or not 1 <= quality <= 100:
+            res.errors.append(f"compression_quality must be an int in [1,100], got {quality!r}")
+        elif comp not in ("jpeg", "webp"):
+            res.warnings.append("compression_quality is ignored for gzip/null compression")
+
     data = raw.where(F.col("block") != 0)
 
     # metadata must be NULL outside block=0; stats columns NULL at block=0
