@@ -52,8 +52,17 @@ def main() -> None:
         "dedup_components",
         "ngram_jaccard",
         "ann_ivf",
+        "ann_lsh",
         "pyramid_stats_rollup",
         "timeseries_stats",
+        "zonal_stats",
+        "band_algebra_nd",
+        "raster_histogram",
+        "asof_join_events_orders",
+        "range_join_value_bands",
+        "events_json_rollup",
+        "gopher_quality",
+        "dataset_shuffle",
     ]
 
     timings: dict[str, float] = {}
@@ -123,6 +132,17 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings["raster_pyramid_4mpx"] = round(
             min(dt, timings.get("raster_pyramid_4mpx", dt)), 3)
+
+    # halo-exchange kernel (4x child replication + masked convolution):
+    # the wide-kernel overview path, one level
+    from raquet_spark.operators.pyramid import build_level
+
+    for _ in range(2):
+        t0 = time.perf_counter()
+        build_level(scan, meta, 8, "lanczos").count()
+        dt = time.perf_counter() - t0
+        timings["raster_lanczos_level_4mpx"] = round(
+            min(dt, timings.get("raster_lanczos_level_4mpx", dt)), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

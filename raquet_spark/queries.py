@@ -2578,7 +2578,7 @@ def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id % 25 = 0")
-    return ann_lsh(emb, queries_df, k=5, n_bits=4, n_tables=12)
+    return ann_lsh(emb, queries_df, k=5, n_bits=4, n_tables=12, dim=64)
 
 
 def pyramid_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

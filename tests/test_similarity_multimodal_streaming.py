@@ -54,7 +54,7 @@ def test_ann_lsh_recall(spark, embeddings):
     exact = cosine_topk(embeddings, queries, k=5).cache()
     # random 64-dim embeddings: best-neighbor cos ~0.4 → per-bit collision
     # ~0.63; 4 bits x 12 tables gives expected recall ~0.85
-    approx = ann_lsh(embeddings, queries, k=5, n_bits=4, n_tables=12)
+    approx = ann_lsh(embeddings, queries, k=5, n_bits=4, n_tables=12, dim=64)
     r = recall_at_k(exact, approx)
     assert r >= 0.6, f"LSH recall too low: {r}"
 
