@@ -924,6 +924,114 @@ def tile_stats_agg_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fake_remote_transport(url: str, params: dict) -> bytes:
+    """Deterministic tile server for the remote-ingest oracle query:
+    serves raw float32 blobs whose pixels follow the SAME function the
+    synthetic-raster oracle regenerates relationally (_duck_pixels), so
+    a driver CORRECTNESS row covers the full fetch→decode→encode→stats
+    path."""
+    import numpy as np
+
+    r = _R
+    z, x, y = (int(p) for p in url.split("://")[1].split("/"))
+    bs = r["bs"]
+    gx = x * bs + np.arange(bs, dtype=np.int64)[None, :]
+    gy = y * bs + np.arange(bs, dtype=np.int64)[:, None]
+    vals = ((gx * 31 + gy * 17 + r["seed"]) % r["modulo"]).astype("<f4")
+    vals[(gx + gy) % r["nodata_every"] == 0] = r["nodata"]
+    return vals.tobytes()
+
+
+def remote_fetch_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote tile ingestion end-to-end: a cell work queue is fetched
+    through sources.remote.fetch_tiles (mapInPandas HTTP with retries,
+    faked transport), decoded, re-encoded as RaQuet blobs, and reduced
+    to per-tile stats — oracle is the relational pixel regeneration."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.sources.remote import fetch_tiles, raw_decoder, xyz_request
+
+    r = _R
+    _, meta = _make_raster(spark)
+    cells = spark.sql(
+        f"""
+        SELECT {qb.tile_to_cell_sql(f"{r['tx']} + id % {r['nx']}",
+                                    f"{r['ty']} + id DIV {r['nx']}",
+                                    r['zoom'], 'spark')} AS block
+        FROM range({r['nx'] * r['ny']})
+        """
+    )
+    fetched = fetch_tiles(
+        cells,
+        meta,
+        xyz_request("fake://{z}/{x}/{y}"),
+        transport=_fake_remote_transport,
+        decoder=raw_decoder("float32", 1, r["bs"]),
+        retry_delay=0.0,
+    )
+    stats = with_tile_stats(fetched, meta)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def geotiff_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF export round trip as a driver-checked query: tiles →
+    distributed strip assembly → .tif on disk → independent IFD parse →
+    pixel table → re-tile (from_pixel_table) → per-tile stats. Any byte
+    defect in the TIFF writer/parser or the re-tiling shuffle breaks
+    the value hash against the relational pixel oracle."""
+    import os
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.operators.tiling import from_pixel_table
+    from raquet_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    r = _R
+    tiles, meta = _make_raster(spark)
+    key = (spark.sparkContext.applicationId, "geotiff_rt")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="raquet_q_gtiff_"), "rt.tif")
+        write_geotiff(tiles, meta, path)
+        _RASTER_CACHE[key] = path
+    arr, _ = read_geotiff(path)
+    h, w, _n = arr.shape
+    gys, gxs = np.mgrid[0:h, 0:w]
+    import pandas as pd
+
+    x0, y0 = r["tx"] * r["bs"], r["ty"] * r["bs"]
+    pix = spark.createDataFrame(
+        pd.DataFrame({
+            "gx": gxs.ravel() + x0,
+            "gy": gys.ravel() + y0,
+            "band_1": arr[:, :, 0].ravel().astype("f8"),
+        })
+    )
+    retiled = from_pixel_table(pix, meta)
+    stats = with_tile_stats(retiled, meta)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
 def _region_cells() -> list[int]:
     r = _R
     return sorted(
@@ -2710,6 +2818,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "raster_join_diff": (raster_join_spark, raster_join_oracle),
     "raster_histogram": (raster_histogram_spark, raster_histogram_oracle),
     "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
+    "remote_fetch_stats": (remote_fetch_stats_spark, tile_stats_agg_oracle),
+    "geotiff_roundtrip_stats": (geotiff_roundtrip_stats_spark, tile_stats_agg_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
@@ -2762,6 +2872,9 @@ _DRIVER_PRIORITY: list[str] = [
     "dataset_shuffle",
     "length_percentiles",
     "events_json_rollup",
+    # -- new this round: remote ingest + GeoTIFF round trip ---------------
+    "remote_fetch_stats",
+    "geotiff_roundtrip_stats",
     # -- fixed this round (integer-SUM BIGINT casts); need re-check -------
     "q12_ship_delay",
     "events_sessionize",
