@@ -23,18 +23,50 @@ def _spark():
 
 
 def cmd_inspect(args) -> int:
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions import quadbin as qb
     from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
 
     spark = _spark()
     meta = read_raquet_metadata(spark, args.file)
     tiles = read_raquet(spark, args.file)
-    print(json.dumps({
+    out = {
         "version": meta.get("version"),
         "bands": meta.get("bands"),
         "tiling": meta.get("tiling"),
         "bounds": meta.get("bounds"),
+        "compression": meta.get("compression"),
+        "band_layout": meta.get("band_layout", "sequential"),
         "num_tiles": tiles.count(),
-    }, indent=2, default=str))
+    }
+    # per-zoom tile counts (reference inspect shows overview structure)
+    out["tiles_per_zoom"] = {
+        str(r["z"]): r["n"]
+        for r in tiles.groupBy(
+            F.expr(qb.cell_to_zoom_sql("block", "spark")).alias("z")
+        ).agg(F.count("*").alias("n")).orderBy("z").collect()
+    }
+    if args.stats:
+        stat_cols = [
+            c for c in tiles.columns
+            if any(c.endswith(s) for s in ("_min", "_max", "_count", "_sum"))
+        ]
+        if stat_cols:
+            aggs = []
+            for b in meta.get("bands", []):
+                n = b["name"]
+                if f"{n}_min" in tiles.columns:
+                    aggs += [
+                        F.min(f"{n}_min").alias(f"{n}_min"),
+                        F.max(f"{n}_max").alias(f"{n}_max"),
+                        F.sum(f"{n}_count").alias(f"{n}_count"),
+                    ]
+            if aggs:
+                out["global_stats"] = tiles.agg(*aggs).collect()[0].asDict()
+        else:
+            out["global_stats"] = "no per-tile stats columns (write with --stats)"
+    print(json.dumps(out, indent=2, default=str))
     if args.verbose:
         tiles.select("block").orderBy("block").show(20, truncate=False)
     return 0
@@ -44,6 +76,14 @@ def cmd_validate(args) -> int:
     from raquet_spark.sources.validate import validate_raquet
 
     result = validate_raquet(_spark(), args.file, check_band_data=args.bands)
+    if args.json:
+        print(json.dumps({
+            "valid": result.is_valid,
+            "errors": result.errors,
+            "warnings": result.warnings,
+            "num_blocks": result.info.get("num_blocks"),
+        }, indent=2, default=str))
+        return 0 if result.is_valid else 1
     for issue in result.errors:
         print(f"ERROR: {issue}")
     for issue in result.warnings:
@@ -61,11 +101,76 @@ def cmd_generate(args) -> int:
     tiles, meta = make_synthetic_raster(
         spark, zoom=args.zoom, tiles_x=args.tiles, tiles_y=args.tiles,
         block_size=args.block_size, num_bands=args.bands, seed=args.seed,
+        dtype=args.dtype, nodata=args.nodata,
     )
+    if args.min_zoom is not None and args.min_zoom < args.zoom:
+        from raquet_spark.operators.pyramid import build_pyramid
+
+        tiles, meta = build_pyramid(
+            tiles, meta, args.min_zoom, resampling=args.resampling
+        )
     if args.stats:
         tiles = with_tile_stats(tiles, meta)
     write_raquet(tiles, args.output, meta)
     print(f"wrote {args.tiles * args.tiles} tiles to {args.output}")
+    return 0
+
+
+def cmd_pyramid(args) -> int:
+    """Add overview levels to an existing dataset (the reference's
+    overview control on convert, as a standalone step)."""
+    from raquet_spark.operators.pyramid import build_pyramid
+    from raquet_spark.sources.raquet import (
+        read_raquet, read_raquet_metadata, write_raquet,
+    )
+
+    spark = _spark()
+    meta = read_raquet_metadata(spark, args.file)
+    tiles = read_raquet(spark, args.file)
+    pyr, meta_p = build_pyramid(
+        tiles, meta, args.min_zoom, resampling=args.resampling
+    )
+    write_raquet(pyr, args.output, meta_p)
+    print(
+        f"built overviews z{args.min_zoom}..z{meta['tiling']['max_zoom']} "
+        f"({args.resampling}) -> {args.output}"
+    )
+    return 0
+
+
+def cmd_fetch(args) -> int:
+    """Remote tile ingestion: bbox → cell queue → distributed HTTP fetch
+    → raquet (reference imageserver.py/earthengine.py flows)."""
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.sources.remote import (
+        cells_for_bounds, fetch_tiles, imageserver_request, raw_decoder,
+        tiff_decoder, xyz_request,
+    )
+    from raquet_spark.sources.raquet import write_raquet
+
+    spark = _spark()
+    bounds = tuple(float(v) for v in args.bbox.split(","))
+    meta = build_metadata(
+        bands=[BandMeta(name=f"band_{i + 1}", type=args.dtype, nodata=args.nodata)
+               for i in range(args.bands)],
+        bounds=bounds,
+        width=0, height=0,
+        block_width=args.block_size, block_height=args.block_size,
+        min_zoom=args.zoom, max_zoom=args.zoom,
+    )
+    if args.service == "imageserver":
+        builder = imageserver_request(args.url, args.block_size, token=args.token)
+        decoder = tiff_decoder
+    else:
+        builder = xyz_request(args.url)
+        decoder = raw_decoder(args.dtype, args.bands, args.block_size)
+    cells = cells_for_bounds(spark, bounds, args.zoom)
+    tiles = fetch_tiles(
+        cells, meta, builder, decoder=decoder,
+        requests_per_second=args.rps,
+    )
+    write_raquet(tiles, args.output, meta)
+    print(f"fetched {args.url} -> {args.output}")
     return 0
 
 
@@ -125,19 +230,28 @@ def cmd_export(args) -> int:
     from raquet_spark.operators.export import pixel_table_with_lonlat, to_pixel_table
     from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
 
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions import quadbin as qb
+
     spark = _spark()
     meta = read_raquet_metadata(spark, args.file)
     tiles = read_raquet(spark, args.file)
+    bands = args.select_bands.split(",") if args.select_bands else None
+    zoom = args.zoom if args.zoom is not None else meta["tiling"]["max_zoom"]
+    tiles = tiles.where(F.expr(qb.cell_to_zoom_sql("block", "spark")) == zoom)
+    if zoom != meta["tiling"]["max_zoom"]:
+        meta = dict(meta, tiling=dict(meta["tiling"], max_zoom=zoom))
     if args.output.endswith((".tif", ".tiff")):
         from raquet_spark.sources.geotiff import write_geotiff
 
-        info = write_geotiff(tiles, meta, args.output)
+        info = write_geotiff(tiles, meta, args.output, bands=bands)
         print(
             f"exported GeoTIFF {args.output} "
             f"({info['width']}x{info['height']}, {info['nbands']} band(s))"
         )
         return 0
-    px = to_pixel_table(tiles, meta)
+    px = to_pixel_table(tiles, meta, bands=bands)
     if args.lonlat:
         px = pixel_table_with_lonlat(px, meta)
     px.write.mode("overwrite").parquet(args.output)
@@ -174,14 +288,17 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="raquet_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    s = sub.add_parser("inspect", help="print metadata + tile count")
+    s = sub.add_parser("inspect", help="print metadata + tile counts as JSON")
     s.add_argument("file")
     s.add_argument("-v", "--verbose", action="store_true")
+    s.add_argument("--stats", action="store_true",
+                   help="include global per-band stats from tile-stats columns")
     s.set_defaults(fn=cmd_inspect)
 
     s = sub.add_parser("validate", help="spec validation checks")
     s.add_argument("file")
     s.add_argument("--bands", action="store_true", help="also decode band data")
+    s.add_argument("--json", action="store_true", help="machine-readable output")
     s.set_defaults(fn=cmd_validate)
 
     s = sub.add_parser("generate", help="synthetic raster → raquet")
@@ -191,8 +308,37 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--block-size", type=int, default=64)
     s.add_argument("--bands", type=int, default=1)
     s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--dtype", default="float32")
+    s.add_argument("--nodata", type=float, default=None)
+    s.add_argument("--min-zoom", type=int, default=None,
+                   help="also build overview levels down to this zoom")
+    s.add_argument("--resampling", default="average")
     s.add_argument("--stats", action="store_true")
     s.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("pyramid", help="add overview levels to a dataset")
+    s.add_argument("file")
+    s.add_argument("output")
+    s.add_argument("--min-zoom", type=int, required=True)
+    s.add_argument("--resampling", default="average",
+                   help="near/average/mode/max/min/med/q1/q3/bilinear/"
+                        "cubic/cubicspline/lanczos")
+    s.set_defaults(fn=cmd_pyramid)
+
+    s = sub.add_parser("fetch", help="remote tiles (xyz/imageserver) → raquet")
+    s.add_argument("url", help="{z}/{x}/{y} template or ImageServer base URL")
+    s.add_argument("output")
+    s.add_argument("--bbox", required=True, help="west,south,east,north (WGS84)")
+    s.add_argument("--zoom", type=int, required=True)
+    s.add_argument("--service", choices=["xyz", "imageserver"], default="xyz")
+    s.add_argument("--block-size", type=int, default=256)
+    s.add_argument("--bands", type=int, default=1)
+    s.add_argument("--dtype", default="float32")
+    s.add_argument("--nodata", type=float, default=None)
+    s.add_argument("--token", default=None)
+    s.add_argument("--rps", type=float, default=None,
+                   help="per-partition requests-per-second cap")
+    s.set_defaults(fn=cmd_fetch)
 
     s = sub.add_parser("convert", help="pixel-table parquet → raquet")
     s.add_argument("input")
@@ -208,6 +354,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("file")
     s.add_argument("output")
     s.add_argument("--lonlat", action="store_true")
+    s.add_argument("--select-bands", default=None,
+                   help="comma-separated band names (default: all)")
+    s.add_argument("--zoom", type=int, default=None,
+                   help="export this zoom level (default: native max_zoom)")
     s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("split-zoom", help="one directory per zoom level")

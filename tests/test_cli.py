@@ -42,3 +42,71 @@ def test_cli_convert(spark, tmp_path, capsys):
     back = read_raquet(spark, out)
     assert back.count() == 4
     assert "band_1_mean" in back.columns
+
+
+def test_cli_pyramid_and_inspect_stats(spark, tmp_path, capsys):
+    import json
+
+    raq = str(tmp_path / "base.parquet")
+    assert main(["generate", raq, "--tiles", "4", "--block-size", "16",
+                 "--zoom", "6", "--stats"]) == 0
+    pyr = str(tmp_path / "pyr.parquet")
+    assert main(["pyramid", raq, pyr, "--min-zoom", "4",
+                 "--resampling", "cubic"]) == 0
+    capsys.readouterr()
+    assert main(["inspect", pyr]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["tiles_per_zoom"] == {"4": 1, "5": 4, "6": 16}
+
+    assert main(["inspect", raq, "--stats"]) == 0
+    out2 = json.loads(capsys.readouterr().out)
+    assert "band_1_min" in out2["global_stats"]
+
+    assert main(["validate", pyr, "--json"]) == 0
+    v = json.loads(capsys.readouterr().out)
+    assert v["valid"] is True and v["num_blocks"] == 21
+
+
+def test_cli_export_zoom_and_bands(spark, tmp_path, capsys):
+    raq = str(tmp_path / "mb.parquet")
+    assert main(["generate", raq, "--tiles", "2", "--block-size", "16",
+                 "--zoom", "6", "--bands", "2", "--min-zoom", "5"]) == 0
+    px_dir = str(tmp_path / "px")
+    assert main(["export", raq, px_dir, "--zoom", "5",
+                 "--select-bands", "band_2"]) == 0
+    capsys.readouterr()
+    px = spark.read.parquet(px_dir)
+    assert px.count() == 16 * 16  # one overview tile
+    assert set(px.columns) == {"gx", "gy", "band_2"}
+
+    tif = str(tmp_path / "b2.tif")
+    assert main(["export", raq, tif, "--select-bands", "band_2"]) == 0
+    from raquet_spark.sources.geotiff import read_geotiff
+
+    arr, _ = read_geotiff(tif)
+    assert arr.shape == (32, 32, 1)
+
+
+def test_cli_fetch_xyz(monkeypatch, spark, tmp_path, capsys):
+    import numpy as np
+
+    import raquet_spark.sources.remote as remote
+
+    size = 8
+
+    def fake_http(timeout=30.0):
+        def get(url, params):
+            z, x, y = (int(p) for p in url.split("://")[1].split("/"))
+            return (np.full(size * size, x + y, dtype="<f4")).tobytes()
+
+        return get
+
+    monkeypatch.setattr(remote, "http_transport", fake_http)
+    out = str(tmp_path / "fetched.parquet")
+    assert main(["fetch", "fake://{z}/{x}/{y}", out,
+                 "--bbox=-90,45,-46,60", "--zoom", "4",
+                 "--block-size", str(size)]) == 0
+    capsys.readouterr()
+    from raquet_spark.sources.raquet import read_raquet
+
+    assert read_raquet(spark, out).count() == 4
