@@ -217,3 +217,55 @@ def test_correlated_subquery_decorrelated(spark, qs):
     # the per-part avg subquery must become an aggregate + join, not a
     # re-executed subquery (no nested loop / cartesian anywhere)
     assert no_nested_loops(qs["q17_small_qty_revenue"](spark, SF_DIR))
+
+
+def test_geotiff_strip_assembly_single_shuffle(spark):
+    """Strip assembly is one groupBy(qb_y) shuffle — nothing else."""
+    from raquet_spark.plans.inspect import count_exchanges
+    from raquet_spark.sources.geotiff import strip_table
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=5, tiles_x=2, tiles_y=2, origin_x=4, origin_y=6,
+        block_size=8,
+    )
+    strips, _ = strip_table(tiles, meta, extent=(4, 6, 5, 7))
+    assert count_exchanges(strips) == 1
+
+
+def test_remote_fetch_map_only(spark):
+    """fetch_tiles is map-only over the cell queue: zero shuffles; the
+    only Python stage is the fetch/decode mapInPandas itself."""
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.plans.inspect import count_exchanges
+    from raquet_spark.sources.remote import (
+        cells_for_bounds, fetch_tiles, raw_decoder, xyz_request,
+    )
+
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float32")],
+        bounds=(-90.0, 0.0, 0.0, 60.0), width=0, height=0,
+        block_width=8, block_height=8, max_zoom=4,
+    )
+    cells = cells_for_bounds(spark, (-90.0, 0.0, 0.0, 60.0), 4)
+    fetched = fetch_tiles(
+        cells, meta, xyz_request("fake://{z}/{x}/{y}"),
+        transport=lambda u, p: b"\x00" * (8 * 8 * 4),
+        decoder=raw_decoder("float32", 1, 8),
+    )
+    assert count_exchanges(fetched) == 0
+
+
+def test_halo_level_single_shuffle(spark):
+    """The halo exchange is folded into the ONE parent groupBy: the 4x
+    corner replication is a map-side explode, not an extra shuffle."""
+    from raquet_spark.operators.pyramid import build_level_halo
+    from raquet_spark.plans.inspect import count_exchanges
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=5, tiles_x=2, tiles_y=2, origin_x=4, origin_y=6,
+        block_size=8,
+    )
+    parents = build_level_halo(tiles, meta, 5, "lanczos")
+    assert count_exchanges(parents) == 1
