@@ -226,6 +226,32 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_import_geotiff(args) -> int:
+    """Real GeoTIFF → raquet (the reference `convert raster` path):
+    distributed segment decode, forward-map nearest warp to the
+    mercator grid, tile assembly, optional stats."""
+    from raquet_spark.sources.raquet import write_raquet
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    spark = _spark()
+    tiles, meta = geotiff_to_raquet(
+        spark, args.input, zoom=args.zoom, block_size=args.block_size,
+        stats=args.stats,
+    )
+    if args.min_zoom is not None and args.min_zoom < meta["tiling"]["max_zoom"]:
+        from raquet_spark.operators.pyramid import build_pyramid
+
+        tiles, meta = build_pyramid(
+            tiles, meta, args.min_zoom, resampling=args.resampling
+        )
+    write_raquet(tiles, args.output, meta)
+    print(
+        f"imported {args.input} -> {args.output} "
+        f"(z{meta['tiling']['max_zoom']}, {len(meta['bands'])} band(s))"
+    )
+    return 0
+
+
 def cmd_export(args) -> int:
     from raquet_spark.operators.export import pixel_table_with_lonlat, to_pixel_table
     from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
@@ -339,6 +365,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--rps", type=float, default=None,
                    help="per-partition requests-per-second cap")
     s.set_defaults(fn=cmd_fetch)
+
+    s = sub.add_parser("import-geotiff", help="real GeoTIFF → raquet (no GDAL)")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--zoom", type=int, default=None, help="target zoom (default: auto from resolution)")
+    s.add_argument("--block-size", type=int, default=256)
+    s.add_argument("--min-zoom", type=int, default=None, help="also build overviews")
+    s.add_argument("--resampling", default="average")
+    s.add_argument("--stats", action="store_true", default=True)
+    s.set_defaults(fn=cmd_import_geotiff)
 
     s = sub.add_parser("convert", help="pixel-table parquet → raquet")
     s.add_argument("input")

@@ -243,29 +243,50 @@ def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
     return parse_tiff(raw)
 
 
-def parse_tiff(raw: bytes) -> tuple[np.ndarray, dict]:
-    """Parse classic little-endian striped TIFF bytes (uncompressed) —
-    also the decoder for remote tile responses in ``sources/remote.py``
-    (the reference fetches ImageServer tiles as TIFF,
-    imageserver.py:399-420, and reads them with rasterio)."""
-    order, magic, ifd_off = raw[:2], struct.unpack("<H", raw[2:4])[0], struct.unpack("<I", raw[4:8])[0]
-    if order != b"II" or magic != 42:
+def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
+    """Parse one IFD of a classic little-endian TIFF into {tag: values}.
+    Handles inline and external values for BYTE/ASCII/SHORT/LONG/
+    RATIONAL/SBYTE/SSHORT/SLONG/FLOAT/DOUBLE. Shared by the round-trip
+    reader here and the real-file reader in ``sources/tiff_reader.py``."""
+    if raw[:2] != b"II" or struct.unpack("<H", raw[2:4])[0] != 42:
         raise ValueError("not a little-endian classic TIFF")
+    if ifd_off is None:
+        ifd_off = struct.unpack("<I", raw[4:8])[0]
     (n_entries,) = struct.unpack_from("<H", raw, ifd_off)
-    type_size = {1: 1, _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, 5: 8, _T_DOUBLE: 8}
-    type_fmt = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+    type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
     tags: dict[int, tuple] = {}
     for i in range(n_entries):
         tag, typ, count, val_off = struct.unpack_from("<HHII", raw, ifd_off + 2 + i * 12)
+        if typ not in type_size:
+            continue
         nbytes = type_size[typ] * count
         if nbytes <= 4:
             buf = raw[ifd_off + 2 + i * 12 + 8 : ifd_off + 2 + i * 12 + 8 + nbytes]
         else:
             buf = raw[val_off : val_off + nbytes]
-        if typ == _T_ASCII:
-            tags[tag] = (buf.rstrip(b"\x00").decode(),)
+        if typ == 2:  # ASCII
+            tags[tag] = (buf.rstrip(b"\x00").decode(errors="replace"),)
+        elif typ in (5, 10):  # (S)RATIONAL pairs
+            fmt = "I" if typ == 5 else "i"
+            flat = struct.unpack(f"<{2 * count}{fmt}", buf)
+            tags[tag] = tuple(
+                flat[j] / flat[j + 1] if flat[j + 1] else 0.0
+                for j in range(0, len(flat), 2)
+            )
         else:
             tags[tag] = struct.unpack(f"<{count}{type_fmt[typ]}", buf)
+    return tags
+
+
+def parse_tiff(raw: bytes) -> tuple[np.ndarray, dict]:
+    """Parse classic little-endian striped TIFF bytes (uncompressed) —
+    also the decoder for remote tile responses in ``sources/remote.py``
+    (the reference fetches ImageServer tiles as TIFF,
+    imageserver.py:399-420, and reads them with rasterio). For
+    real-world files (deflate, tiled, palette) use
+    ``sources/tiff_reader.py``."""
+    tags = read_ifd(raw)
     width, height = tags[256][0], tags[257][0]
     nbands = tags[277][0]
     bits, fmt = tags[258][0], tags.get(339, (1,))[0]
