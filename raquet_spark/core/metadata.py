@@ -118,6 +118,37 @@ def build_metadata(
     return meta
 
 
+def find_minzoom(
+    bounds: tuple[float, float, float, float],
+    native_zoom: int,
+    block_size: int = 256,
+    target_min_size: int = 128,
+) -> int:
+    """Minimum overview zoom for a ~``target_min_size``px rendering of
+    the whole raster — parity with the reference's ``find_minzoom``
+    (/root/reference/raquet/raster2raquet.py:689-697, golden-tested in
+    its test_find_minzoom): measure the raster's diagonal in z32 tile
+    units, then back off to the zoom where that diagonal is about
+    ``hypot(target, target)`` pixels."""
+    west, south, east, north = bounds
+    big_zoom = 32
+    m = 1 << big_zoom
+
+    def tx(lon: float) -> int:
+        return min(max(int((lon / 360.0 + 0.5) * m), 0), m - 1)
+
+    def ty(lat: float) -> int:
+        s = math.sin(math.radians(min(max(lat, -85.051128779806), 85.051128779806)))
+        yf = 0.5 - 0.25 * math.log((1.0 + s) / (1.0 - s)) / math.pi
+        return min(max(int(yf * m), 0), m - 1)
+
+    high_hypot = math.hypot(tx(east) - tx(west), ty(south) - ty(north))
+    target_hypot = math.hypot(target_min_size, target_min_size)
+    block_zoom = int(math.log2(block_size))
+    min_zoom = big_zoom - math.log2(high_hypot / target_hypot) - block_zoom
+    return max(0, min(native_zoom, int(round(min_zoom))))
+
+
 def metadata_to_json(meta: dict) -> str:
     return json.dumps(meta, separators=(",", ":"), sort_keys=False)
 

@@ -237,3 +237,57 @@ def test_read_raquet_spatial_filters(spark, tmp_path):
     got = {r["block"] for r in
            read_raquet(spark, path, polygon=poly).select("block").collect()}
     assert qb.py_tile_to_cell(17, 21, 6) in got and got <= blocks
+
+
+def test_golden_stats_vectors_reference_parity(spark):
+    """Mirror of the reference's statistics golden vectors
+    (/root/reference/tests/test_geotiff2raquet.py:23-66): pixels
+    0..99 with nodata=0 -> count 99, min 1, max 99, mean 50, sum 4950,
+    population stddev 28.577380332; NaNs excluded the same way."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions.bands import encode_block
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float64", nodata=0.0)],
+        bounds=(0.0, 0.0, 1.0, 1.0), width=10, height=10,
+        block_width=10, block_height=10, max_zoom=5,
+    )
+    vals = np.arange(100, dtype="f8")
+    df = spark.createDataFrame(
+        pd.DataFrame({"block": [33], "band_1": [encode_block(vals, "float64")]})
+    )
+    r = with_tile_stats(df, meta).collect()[0]
+    assert r["band_1_count"] == 99
+    assert r["band_1_min"] == 1 and r["band_1_max"] == 99
+    assert r["band_1_mean"] == 50 and r["band_1_sum"] == 4950
+    assert abs(r["band_1_stddev"] - 28.577380332) < 1e-6
+
+    # NaN joins nodata in the excluded set (reference nan vector)
+    vals2 = vals.copy()
+    vals2[42] = math.nan
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"block": [34], "band_1": [encode_block(vals2, "float64")]})
+    )
+    r2 = with_tile_stats(df2, meta).collect()[0]
+    keep = vals2[(vals2 != 0) & np.isfinite(vals2)]
+    assert r2["band_1_count"] == len(keep) == 98
+    assert r2["band_1_mean"] == keep.mean()
+    assert abs(r2["band_1_stddev"] - keep.std()) < 1e-9
+
+
+def test_find_minzoom_reference_parity():
+    """Golden vectors from the reference's test_find_minzoom
+    (/root/reference/tests/test_geotiff2raquet.py:15-21): whole-world
+    bounds at native zoom 8 with block zoom 6/7/8 -> 1/0/0."""
+    from raquet_spark.core.metadata import find_minzoom
+
+    world = (-180.0, -85.0511287798066, 180.0, 85.0511287798066)
+    assert find_minzoom(world, 8, block_size=64) == 1
+    assert find_minzoom(world, 8, block_size=128) == 0
+    assert find_minzoom(world, 8, block_size=256) == 0
