@@ -52,17 +52,47 @@ _ORIGIN_SHIFT = math.pi * _EARTH_R
 _KIND = {1: "u", 2: "i", 3: "f"}
 
 
-def _geokeys(tags: dict[int, tuple]) -> dict[int, int]:
-    """GeoKeyDirectory (34735) → {key_id: inline_value}."""
+def _geokeys(tags: dict[int, tuple]) -> dict[int, int | float | str]:
+    """GeoKeyDirectory (34735) → {key_id: value}, dereferencing values
+    stored in GeoDoubleParams (34736) / GeoAsciiParams (34737)."""
     raw = tags.get(34735)
     if not raw:
         return {}
-    out = {}
+    doubles = tags.get(34736, ())
+    ascii_params = tags.get(34737, ("",))[0]
+    out: dict[int, int | float | str] = {}
     for i in range(4, len(raw) - 3, 4):
-        key_id, loc, _cnt, val = raw[i : i + 4]
+        key_id, loc, cnt, val = raw[i : i + 4]
         if loc == 0:
             out[key_id] = val
+        elif loc == 34736 and val < len(doubles):
+            out[key_id] = doubles[val]
+        elif loc == 34737:
+            out[key_id] = ascii_params[val : val + cnt].rstrip("|")
     return out
+
+
+# GeoKey ids for projection parameters (GeoTIFF spec §2.7)
+_CT_ALBERS = 11
+
+
+def _projection(keys: dict) -> dict | None:
+    """User-defined projected CRS → closed-form projection params.
+    Albers Equal Area (the reference's NLCD raster) is supported; the
+    ellipsoid comes from GeogSemiMajorAxis/GeogInvFlattening."""
+    if keys.get(3075) != _CT_ALBERS:
+        return None
+    return {
+        "type": "aea",
+        "sp1": float(keys.get(3078, 29.5)),
+        "sp2": float(keys.get(3079, 45.5)),
+        "lon0": float(keys.get(3080, 0.0)),
+        "lat0": float(keys.get(3081, 0.0)),
+        "fe": float(keys.get(3082, 0.0)),
+        "fn": float(keys.get(3083, 0.0)),
+        "a": float(keys.get(2057, 6378137.0)),
+        "inv_f": float(keys.get(2059, 298.257223563)),
+    }
 
 
 def read_tiff_structure(path: str) -> dict:
@@ -116,10 +146,13 @@ def read_tiff_structure(path: str) -> dict:
     keys = _geokeys(tags)
     model = keys.get(1024)  # 1 projected, 2 geographic
     epsg = None
+    projection = None
     if model == 2:
         epsg = keys.get(2048)
     elif model == 1:
         epsg = keys.get(3072)
+        if epsg == 32767:  # user-defined: read the projection params
+            projection = _projection(keys)
     nodata = tags.get(42113)
     palette = None
     if 320 in tags:
@@ -146,6 +179,7 @@ def read_tiff_structure(path: str) -> dict:
         "segments": list(zip(offsets, counts)),
         "transform": transform,
         "epsg": epsg,
+        "projection": projection,
         "nodata": float(nodata[0]) if nodata else None,
         "palette": palette,
     }
@@ -219,47 +253,158 @@ def tiff_pixel_table(
     return seg_df.mapInPandas(decode, schema=schema)
 
 
+def _model_corners(info: dict) -> list[tuple[float, float]]:
+    ox, sx, rx, oy, ry, sy = info["transform"]
+    w, h = info["width"], info["height"]
+    return [
+        (ox + c * sx + r * rx, oy + c * ry + r * sy)
+        for c, r in ((0, 0), (w, 0), (0, h), (w, h))
+    ]
+
+
+def _lonlat_corners(info: dict) -> list[tuple[float, float]]:
+    corners = _model_corners(info)
+    if info["epsg"] == 4326:
+        return corners
+    if info["epsg"] == 3857:
+        return [
+            (
+                mx / _ORIGIN_SHIFT * 180.0,
+                math.degrees(2.0 * math.atan(math.exp(my / _EARTH_R)) - math.pi / 2.0),
+            )
+            for mx, my in corners
+        ]
+    proj = info.get("projection")
+    if proj and proj["type"] == "aea":
+        return [aea_inverse(proj, mx, my) for mx, my in corners]
+    raise NotImplementedError(f"CRS EPSG:{info['epsg']}")
+
+
 def _pick_zoom(info: dict, block_size: int) -> int:
     """Smallest zoom whose mercator pixel size (at the raster's center
     latitude) is <= the source pixel size — target at least as fine as
     the source, so the forward-mapped nearest-neighbor warp has no
     holes. Mirrors the resolution-driven zoom pick of raster2raquet."""
-    ox, sx, _, oy, _, nsy = info["transform"]
-    if info["epsg"] == 4326:
-        # degrees → meters at center latitude
-        lat_c = oy + nsy * info["height"] / 2.0
-        src_m = abs(sx) * math.pi / 180.0 * _EARTH_R * math.cos(math.radians(lat_c))
-        # compare against mercator resolution scaled to the same latitude
-        for z in range(0, 25):
-            res = 2.0 * _ORIGIN_SHIFT / ((1 << z) * block_size)
-            if res * math.cos(math.radians(lat_c)) <= src_m:
-                return z
-        return 24
-    src_m = abs(sx)
+    _, sx, _, _, _, _ = info["transform"]
+    if info["epsg"] == 3857:
+        src_merc = abs(sx)
+    else:
+        lls = _lonlat_corners(info)
+        lat_c = sum(lat for _, lat in lls) / len(lls)
+        cos_c = max(math.cos(math.radians(lat_c)), 1e-6)
+        if info["epsg"] == 4326:
+            ground = abs(sx) * math.pi / 180.0 * _EARTH_R * cos_c
+        else:  # projected ground meters (AEA is equal-area: ~true scale)
+            ground = abs(sx)
+        src_merc = ground / cos_c
     for z in range(0, 25):
         res = 2.0 * _ORIGIN_SHIFT / ((1 << z) * block_size)
-        if res <= src_m:
+        if res <= src_merc:
             return z
     return 24
 
 
+def _aea_constants(p: dict) -> dict:
+    """Precomputed Snyder constants for ellipsoidal Albers Equal Area."""
+    f = 1.0 / p["inv_f"]
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+
+    def m(phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+    def q(phi: float) -> float:
+        s = math.sin(phi)
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    p1, p2 = math.radians(p["sp1"]), math.radians(p["sp2"])
+    phi0 = math.radians(p["lat0"])
+    m1, m2 = m(p1), m(p2)
+    q1, q2 = q(p1), q(p2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    a = p["a"]
+    rho0 = a * math.sqrt(C - n * q(phi0)) / n
+    q_pole = q(math.pi / 2.0)
+    # authalic-latitude → geodetic series coefficients (Snyder 3-18)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return {
+        "a": a, "n": n, "C": C, "rho0": rho0, "q_pole": q_pole,
+        "lon0": math.radians(p["lon0"]), "fe": p["fe"], "fn": p["fn"],
+        "c2": e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        "c4": 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        "c6": 761.0 * e6 / 45360.0,
+    }
+
+
+def aea_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
+    """Python reference inverse (projected meters → lon/lat degrees),
+    the same formulas the SQL mirror executes — used for metadata
+    bounds and round-trip accuracy tests."""
+    k = _aea_constants(p)
+    x, y = x - k["fe"], y - k["fn"]
+    rho = math.hypot(x, k["rho0"] - y)
+    theta = math.atan2(x, k["rho0"] - y)
+    lon = k["lon0"] + theta / k["n"]
+    qv = (k["C"] - (rho * k["n"] / k["a"]) ** 2) / k["n"]
+    beta = math.asin(max(-1.0, min(1.0, qv / k["q_pole"])))
+    phi = (
+        beta
+        + k["c2"] * math.sin(2.0 * beta)
+        + k["c4"] * math.sin(4.0 * beta)
+        + k["c6"] * math.sin(6.0 * beta)
+    )
+    return math.degrees(lon), math.degrees(phi)
+
+
+def _lonlat_sql(info: dict) -> tuple[str, str]:
+    """SQL (lon, lat) in degrees from source pixel-center (sx, sy)."""
+    ox, sx, rx, oy, ry, sy = info["transform"]
+    px = f"({ox} + (sx + 0.5) * {sx} + (sy + 0.5) * {rx})"
+    py = f"({oy} + (sx + 0.5) * {ry} + (sy + 0.5) * {sy})"
+    if info["epsg"] == 4326:
+        return px, py
+    proj = info.get("projection")
+    if proj and proj["type"] == "aea":
+        # Snyder ellipsoidal Albers inverse as pure Column math — the
+        # warp stays JVM-side even for the projected NLCD raster
+        k = _aea_constants(proj)
+        x = f"({px} - {k['fe']})"
+        ydiff = f"({k['rho0']} - ({py} - {k['fn']}))"
+        rho = f"sqrt({x} * {x} + {ydiff} * {ydiff})"
+        theta = f"atan2({x}, {ydiff})"
+        lon = f"degrees({k['lon0']} + {theta} / {k['n']})"
+        qv = f"(({k['C']} - pow({rho} * {k['n']} / {k['a']}, 2)) / {k['n']})"
+        beta = f"asin(greatest(-1.0D, least(1.0D, {qv} / {k['q_pole']})))"
+        lat = (
+            f"degrees({beta} + {k['c2']} * sin(2 * {beta})"
+            f" + {k['c4']} * sin(4 * {beta})"
+            f" + {k['c6']} * sin(6 * {beta}))"
+        )
+        return lon, lat
+    raise NotImplementedError(
+        f"CRS EPSG:{info['epsg']} (closed-form 4326/3857/AlbersEqualArea "
+        "only; no proj db here)"
+    )
+
+
 def _merc_cols(info: dict) -> tuple[str, str]:
     """SQL expressions mapping source pixel-center (sx, sy) to
-    EPSG:3857 meters, via the affine geotransform and (for geographic
-    sources) the closed-form 4326→3857 projection."""
-    ox, sx, rx, oy, ry, sy = info["transform"]
-    mx = f"({ox} + (sx + 0.5) * {sx} + (sy + 0.5) * {rx})"
-    my = f"({oy} + (sx + 0.5) * {ry} + (sy + 0.5) * {sy})"
+    EPSG:3857 meters, via the affine geotransform and the closed-form
+    source-CRS → WGS84 → mercator chain."""
     if info["epsg"] == 3857:
+        ox, sx, rx, oy, ry, sy = info["transform"]
+        mx = f"({ox} + (sx + 0.5) * {sx} + (sy + 0.5) * {rx})"
+        my = f"({oy} + (sx + 0.5) * {ry} + (sy + 0.5) * {sy})"
         return mx, my
-    if info["epsg"] == 4326:
-        lon, lat = mx, my
-        x = f"({lon} * {math.pi / 180.0 * _EARTH_R})"
-        y = f"({_EARTH_R} * ln(tan({math.pi / 4.0} + radians({lat}) / 2.0)))"
-        return x, y
-    raise NotImplementedError(
-        f"CRS EPSG:{info['epsg']} (closed-form 4326/3857 only; no proj db here)"
-    )
+    lon, lat = _lonlat_sql(info)
+    x = f"({lon} * {math.pi / 180.0 * _EARTH_R})"
+    y = f"({_EARTH_R} * ln(tan({math.pi / 4.0} + radians({lat}) / 2.0)))"
+    return x, y
 
 
 def geotiff_to_raquet(
@@ -311,24 +456,12 @@ def geotiff_to_raquet(
         "gx", "gy", *[F.col(f"_best.{b}").alias(b) for b in band_cols]
     )
 
-    # bounds from the warped extent (WGS84), like the reference metadata
-    def _lon(mv: float) -> float:
-        return mv / _ORIGIN_SHIFT * 180.0
-
-    def _lat(mv: float) -> float:
-        return math.degrees(2.0 * math.atan(math.exp(mv / _EARTH_R)) - math.pi / 2.0)
-
-    ox, sxr, _, oy, _, syr = info["transform"]
-    # corner extremes — handles bottom-up files (positive y step, e.g.
-    # the reference's n37_w123 ModelTransformation) and negative x steps
-    xs = (ox, ox + sxr * info["width"])
-    ys = (oy, oy + syr * info["height"])
-    if info["epsg"] == 4326:
-        w, e = min(xs), max(xs)
-        s, n = min(ys), max(ys)
-    else:
-        w, e = _lon(min(xs)), _lon(max(xs))
-        s, n = _lat(min(ys)), _lat(max(ys))
+    # bounds from the corner lon/lats — min/max handles bottom-up files
+    # (positive y step, e.g. n37_w123's ModelTransformation), negative
+    # x steps, and rotated projected corners (AEA)
+    lls = _lonlat_corners(info)
+    w, e = min(lon for lon, _ in lls), max(lon for lon, _ in lls)
+    s, n = min(lat for _, lat in lls), max(lat for _, lat in lls)
 
     bands = [
         BandMeta(

@@ -74,12 +74,65 @@ def test_decode_multiband_and_float64(spark):
     assert tiff_pixel_table(spark, info2).count() == 118 * 75
 
 
-def test_unsupported_crs_raises(spark):
-    # NLCD is Albers (user-defined EPSG) — decode works, warp refuses
+def test_aea_inverse_roundtrip_accuracy():
+    """The closed-form Albers inverse (SQL-mirrored) must invert the
+    textbook forward projection to sub-centimeter over CONUS."""
+    import math
+
+    from raquet_spark.sources.tiff_reader import _aea_constants, aea_inverse
+
+    info = read_tiff_structure(f"{REF}/Annual_NLCD_LndCov_2023_CU_C1V0.tif")
+    proj = info["projection"]
+    assert proj and proj["type"] == "aea"
+    assert proj["sp1"] == 29.5 and proj["sp2"] == 45.5
+    k = _aea_constants(proj)
+    f = 1.0 / proj["inv_f"]
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+
+    def forward(lon, lat):  # Snyder 14-1..14-4
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = math.sin(phi)
+        q = (1 - e2) * (
+            s / (1 - e2 * s * s) - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+        rho = k["a"] * math.sqrt(k["C"] - k["n"] * q) / k["n"]
+        theta = k["n"] * (lam - k["lon0"])
+        return rho * math.sin(theta), k["rho0"] - rho * math.cos(theta)
+
+    for lon, lat in [(-96.0, 23.0), (-122.5, 37.6), (-70.0, 45.0), (-110.3, 31.9)]:
+        x, y = forward(lon, lat)
+        lon2, lat2 = aea_inverse(proj, x, y)
+        # series truncation leaves ~1e-8 deg (~1.5 mm) residual
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7
+
+
+def test_warp_nlcd_albers(spark):
+    """The projected (Albers CONUS) NLCD raster through the full warp —
+    the inverse projection runs as pure Column math."""
     info = read_tiff_structure(f"{REF}/Annual_NLCD_LndCov_2023_CU_C1V0.tif")
     assert tiff_pixel_table(spark, info).count() == 470 * 672
-    with pytest.raises(NotImplementedError, match="CRS"):
-        geotiff_to_raquet(spark, f"{REF}/Annual_NLCD_LndCov_2023_CU_C1V0.tif")
+    tiles, meta = geotiff_to_raquet(
+        spark, f"{REF}/Annual_NLCD_LndCov_2023_CU_C1V0.tif", block_size=256
+    )
+    assert tiles.where("block != 0").count() > 0
+    # land-cover classes are uint8 codes; palette preserved
+    assert meta["bands"][0]["type"] == "uint8"
+    assert meta["bands"][0].get("colortable")
+    w, s, e, n = meta["bounds"]
+    # the excerpt sits inside CONUS
+    assert -130 < w < e < -60 and 20 < s < n < 50
+
+    import pytest as _pytest
+
+    g = tiles.agg(
+        F.min("band_1_min"), F.max("band_1_max"), F.sum("band_1_count")
+    ).first()
+    src = tiff_pixel_table(spark, info).where(f"band_1 != {info['nodata']}")
+    s_cnt = src.count()
+    assert g[2] == _pytest.approx(s_cnt, rel=0.15)  # near-1:1 resolution match
+    s_mm = src.agg(F.min("band_1"), F.max("band_1")).first()
+    assert g[0] >= s_mm[0] and g[1] <= s_mm[1]
 
 
 def test_warp_n37_dem_to_raquet(spark, tmp_path):
