@@ -280,28 +280,73 @@ def _lonlat_corners(info: dict) -> list[tuple[float, float]]:
     raise NotImplementedError(f"CRS EPSG:{info['epsg']}")
 
 
-def _pick_zoom(info: dict, block_size: int) -> int:
-    """Smallest zoom whose mercator pixel size (at the raster's center
-    latitude) is <= the source pixel size — target at least as fine as
-    the source, so the forward-mapped nearest-neighbor warp has no
-    holes. Mirrors the resolution-driven zoom pick of raster2raquet."""
+def _src_merc_resolution(info: dict) -> float:
+    """Source pixel size expressed in web-mercator meters (the
+    reference's get_resolution measures the same via a 3857 transform,
+    raster2raquet.py:684-686)."""
     _, sx, _, _, _, _ = info["transform"]
     if info["epsg"] == 3857:
-        src_merc = abs(sx)
+        return abs(sx)
+    lls = _lonlat_corners(info)
+    lat_c = sum(lat for _, lat in lls) / len(lls)
+    cos_c = max(math.cos(math.radians(lat_c)), 1e-6)
+    if info["epsg"] == 4326:
+        ground = abs(sx) * math.pi / 180.0 * _EARTH_R * cos_c
+    else:  # projected ground meters (AEA is equal-area: ~true scale)
+        ground = abs(sx)
+    return ground / cos_c
+
+
+def _pick_zoom(info: dict, block_size: int, strategy: str = "upper") -> int:
+    """Web-mercator zoom from the source resolution — the reference's
+    find_zoom (raster2raquet.py:700-710): ``raw = log2(CE / tile_dim /
+    resolution)`` then ceil (upper) / floor (lower) / round. ``upper``
+    (the default) makes the target at least as fine as the source, so
+    the forward-mapped nearest-neighbor warp has no holes; ``lower``
+    downsamples ~2x (multiple source samples per target pixel, argmin
+    keeps the nearest — still hole-free)."""
+    raw = math.log2(2.0 * _ORIGIN_SHIFT / block_size / _src_merc_resolution(info))
+    if strategy == "upper":
+        z = math.ceil(raw)
+    elif strategy == "lower":
+        z = math.floor(raw)
+    elif strategy == "round":
+        z = round(raw)
     else:
-        lls = _lonlat_corners(info)
-        lat_c = sum(lat for _, lat in lls) / len(lls)
-        cos_c = max(math.cos(math.radians(lat_c)), 1e-6)
-        if info["epsg"] == 4326:
-            ground = abs(sx) * math.pi / 180.0 * _EARTH_R * cos_c
-        else:  # projected ground meters (AEA is equal-area: ~true scale)
-            ground = abs(sx)
-        src_merc = ground / cos_c
-    for z in range(0, 25):
-        res = 2.0 * _ORIGIN_SHIFT / ((1 << z) * block_size)
-        if res <= src_merc:
-            return z
-    return 24
+        raise ValueError(f"unknown zoom strategy {strategy!r}")
+    return max(0, min(24, int(z)))
+
+
+def _tile_aligned_bounds(
+    lls: list[tuple[float, float]], z: int
+) -> tuple[float, float, float, float]:
+    """Expand the corner extent to the covering zoom-``z`` tile grid —
+    the reference records the union of occupied tile bounds as metadata
+    ``bounds``, so tile alignment makes the values match exactly."""
+    w = min(lon for lon, _ in lls)
+    e = max(lon for lon, _ in lls)
+    s = min(lat for _, lat in lls)
+    n = max(lat for _, lat in lls)
+    m = 1 << z
+
+    def tx(lon: float) -> int:
+        return min(max(int((lon / 360.0 + 0.5) * m), 0), m - 1)
+
+    def ty(lat: float) -> int:
+        sv = math.sin(math.radians(min(max(lat, -85.051128779806), 85.051128779806)))
+        yf = 0.5 - 0.25 * math.log((1.0 + sv) / (1.0 - sv)) / math.pi
+        return min(max(int(yf * m), 0), m - 1)
+
+    def lon_of(x: int) -> float:
+        return x / m * 360.0 - 180.0
+
+    def lat_of(y: int) -> float:
+        t = math.pi * (1.0 - 2.0 * y / m)
+        return math.degrees(math.atan(math.sinh(t)))
+
+    x0, x1 = tx(w), tx(e)
+    y0, y1 = ty(n), ty(s)
+    return (lon_of(x0), lat_of(y1 + 1), lon_of(x1 + 1), lat_of(y0)), (x0, y0, x1, y1)
 
 
 def _aea_constants(p: dict) -> dict:
@@ -414,6 +459,7 @@ def geotiff_to_raquet(
     block_size: int = 256,
     compression: str | None = "gzip",
     stats: bool = True,
+    zoom_strategy: str = "upper",
 ) -> tuple[DataFrame, dict]:
     """Read a real GeoTIFF and produce (tiles, metadata) on the
     web-mercator RaQuet grid — raster2raquet's convert path, one
@@ -421,7 +467,7 @@ def geotiff_to_raquet(
     (one shuffle keyed by target pixel) → tile assembly (one shuffle
     keyed by block) → optional per-tile stats."""
     info = read_tiff_structure(path)
-    z = zoom if zoom is not None else _pick_zoom(info, block_size)
+    z = zoom if zoom is not None else _pick_zoom(info, block_size, zoom_strategy)
     px = tiff_pixel_table(spark, info)
     mx, my = _merc_cols(info)
 
@@ -456,12 +502,13 @@ def geotiff_to_raquet(
         "gx", "gy", *[F.col(f"_best.{b}").alias(b) for b in band_cols]
     )
 
-    # bounds from the corner lon/lats — min/max handles bottom-up files
-    # (positive y step, e.g. n37_w123's ModelTransformation), negative
-    # x steps, and rotated projected corners (AEA)
-    lls = _lonlat_corners(info)
-    w, e = min(lon for lon, _ in lls), max(lon for lon, _ in lls)
-    s, n = min(lat for _, lat in lls), max(lat for _, lat in lls)
+    # bounds = covering-tile extent at the target zoom (tile-aligned,
+    # like the reference's union of mercantile tile bounds); the corner
+    # min/max handles bottom-up files (positive y step, e.g. n37_w123's
+    # ModelTransformation) and rotated projected corners (AEA)
+    (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
+        _lonlat_corners(info), z
+    )
 
     bands = [
         BandMeta(
@@ -476,8 +523,9 @@ def geotiff_to_raquet(
     meta = build_metadata(
         bands=bands,
         bounds=(w, s, e, n),
-        width=info["width"],
-        height=info["height"],
+        # tile-aligned output raster dims, like the reference metadata
+        width=(tx1 - tx0 + 1) * block_size,
+        height=(ty1 - ty0 + 1) * block_size,
         block_width=block_size,
         block_height=block_size,
         min_zoom=z,

@@ -182,3 +182,46 @@ def test_warp_discreteloss_uint8(spark):
     g = tiles.agg(F.min("band_1_min"), F.max("band_1_max")).first()
     assert 0 <= g[0] <= g[1] <= 255
     assert meta["bands"][0]["type"] == "uint8"
+
+
+def test_n37_conversion_metadata_parity(spark, tmp_path):
+    """Mirror of the reference's test_n37_w123_1arc_v2_tif expectations
+    (/root/reference/tests/test_geotiff2raquet.py:120-156): ZoomStrategy
+    LOWER + 256px blocks -> max_zoom 11, 4 native blocks, 512x512
+    tile-aligned raster, bounds [-122.695, 37.579, -122.344, 37.858],
+    band mean ~38.1 / stddev ~54.6 (ours is a nearest warp vs their
+    cubicspline, so moments carry a small tolerance)."""
+    from raquet_spark.core.metadata import find_minzoom
+    from raquet_spark.sources.raquet import write_raquet, read_raquet_metadata
+
+    tiles, meta = geotiff_to_raquet(
+        spark, f"{REF}/n37_w123_1arc_v2.tif", zoom_strategy="lower"
+    )
+    assert meta["tiling"]["max_zoom"] == 11
+    assert (meta["width"], meta["height"]) == (512, 512)
+    assert [round(b, 3) for b in meta["bounds"]] == [
+        -122.695, 37.579, -122.344, 37.858,
+    ]
+    assert meta["bands"][0]["nodata"] == -32767.0
+    assert meta["bands"][0]["type"] == "int16"
+    assert tiles.where("block != 0").count() == 4
+    # reference min_zoom = 10: find_minzoom over the SOURCE extent (the
+    # reference feeds its RasterGeometry bounds, not tile-aligned ones)
+    from raquet_spark.sources.tiff_reader import _lonlat_corners, read_tiff_structure
+
+    lls = _lonlat_corners(read_tiff_structure(f"{REF}/n37_w123_1arc_v2.tif"))
+    src_bounds = (
+        min(lon for lon, _ in lls), min(lat for _, lat in lls),
+        max(lon for lon, _ in lls), max(lat for _, lat in lls),
+    )
+    assert find_minzoom(src_bounds, 11, block_size=256) == 10
+
+    out = str(tmp_path / "n37_lower.parquet")
+    write_raquet(tiles, out, meta)
+    m2 = read_raquet_metadata(spark, out)
+    assert m2["tiling"]["num_blocks"] == 4
+
+    g = tiles.agg(
+        (F.sum("band_1_sum") / F.sum("band_1_count")).alias("mean"),
+    ).first()
+    assert abs(g["mean"] - 38.1) < 2.0
