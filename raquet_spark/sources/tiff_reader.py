@@ -158,8 +158,16 @@ def read_tiff_structure(path: str) -> dict:
     if 320 in tags:
         cm = tags[320]
         n = len(cm) // 3
+        nd_idx = int(float(nodata[0])) if nodata else None
         palette = {
-            str(i): [cm[i] // 257, cm[n + i] // 257, cm[2 * n + i] // 257, 255]
+            str(i): [
+                cm[i] // 257,
+                cm[n + i] // 257,
+                cm[2 * n + i] // 257,
+                # the nodata index renders transparent (GDAL colortable
+                # convention the reference metadata records)
+                0 if i == nd_idx else 255,
+            ]
             for i in range(n)
         }
 
@@ -510,15 +518,26 @@ def geotiff_to_raquet(
         _lonlat_corners(info), z
     )
 
+    # GDAL-style color interpretation, as the reference records it:
+    # palette > gray (single band) > RGB(A)
+    n_bands = info["n_bands"]
+    if info["palette"]:
+        interp = ["palette"] + ["undefined"] * (n_bands - 1)
+    elif n_bands == 1:
+        interp = ["gray"]
+    elif n_bands in (3, 4):
+        interp = ["red", "green", "blue", "alpha"][:n_bands]
+    else:
+        interp = ["undefined"] * n_bands
     bands = [
         BandMeta(
             name=f"band_{b + 1}",
             type=info["dtype"].lstrip("<"),
             nodata=info["nodata"],
             colortable=info["palette"] if b == 0 else None,
-            colorinterp="palette" if (b == 0 and info["palette"]) else "undefined",
+            colorinterp=interp[b],
         )
-        for b in range(info["n_bands"])
+        for b in range(n_bands)
     ]
     meta = build_metadata(
         bands=bands,

@@ -225,3 +225,65 @@ def test_n37_conversion_metadata_parity(spark, tmp_path):
         (F.sum("band_1_sum") / F.sum("band_1_count")).alias("mean"),
     ).first()
     assert abs(g["mean"] - 38.1) < 2.0
+
+
+def test_colored_palette_parity(spark):
+    """Mirror of the reference's test_colored_tif (test_geotiff2raquet.py
+    :333-363): palette colorinterp and the first six colortable entries,
+    with the nodata index transparent."""
+    tiles, meta = geotiff_to_raquet(spark, f"{REF}/colored.tif")
+    assert meta["bands"][0]["colorinterp"] == "palette"
+    ct = meta["bands"][0]["colortable"]
+    assert {k: list(ct[k]) for k in ["0", "1", "2", "3", "4", "5"]} == {
+        "0": [0, 0, 0, 0],
+        "1": [0, 255, 0, 255],
+        "2": [0, 0, 255, 255],
+        "3": [255, 255, 0, 255],
+        "4": [255, 165, 0, 255],
+        "5": [255, 0, 0, 255],
+    }
+
+
+def test_civ_bounds_parity(spark):
+    """Mirror of test_civ (test_geotiff2raquet.py:419-443): gray
+    colorinterp, world-covering tile-aligned bounds at the auto zoom."""
+    tiles, meta = geotiff_to_raquet(spark, f"{REF}/civ.tif", zoom_strategy="round")
+    assert meta["bands"][0]["colorinterp"] == "gray"
+    b = meta["bounds"]
+    assert f"{b[0]:.3g}" == "-180" and f"{b[2]:.3g}" == "180"
+    assert f"{b[1]:.3g}" == "-85.1" and f"{b[3]:.3g}" == "85.1"
+
+
+def test_big_world_parity(spark):
+    """Mirror of test_big_world (test_geotiff2raquet.py:365-389):
+    1024x1024 at auto zoom 2, 16 blocks, RGBA colorinterp."""
+    tiles, meta = geotiff_to_raquet(
+        spark, f"{REF}/big-world.tif", zoom_strategy="round"
+    )
+    assert meta["tiling"]["max_zoom"] == 2
+    assert (meta["width"], meta["height"]) == (1024, 1024)
+    assert {b["name"]: b["colorinterp"] for b in meta["bands"]} == {
+        "band_1": "red", "band_2": "green", "band_3": "blue", "band_4": "alpha",
+    }
+    assert meta["bands"][0]["nodata"] is None
+    assert tiles.where("block != 0").count() == 16
+
+
+def test_milton_stats_parity(spark):
+    """Mirror of test_milton_2024 (test_geotiff2raquet.py:391-417):
+    gray band, bounds to 3 sig figs, warped stats ~(58.6, 70.5, 63.6)
+    (both engines resample nearest here)."""
+    tiles, meta = geotiff_to_raquet(
+        spark, f"{REF}/Milton_2024-excerpt.tiff", zoom_strategy="round"
+    )
+    assert meta["bands"][0]["colorinterp"] == "gray"
+    b = meta["bounds"]
+    assert f"{b[0]:.3g}" == "-78.8" and f"{b[2]:.3g}" == "-75.9"
+    assert f"{b[1]:.3g}" == "21.9" and f"{b[3]:.3g}" == "24.5"
+    g = tiles.agg(
+        F.min("band_1_min"), F.max("band_1_max"),
+        (F.sum("band_1_sum") / F.sum("band_1_count")).alias("mean"),
+    ).first()
+    assert abs(g[0] - 58.6) < 1.0
+    assert abs(g[1] - 70.5) < 1.0
+    assert abs(g[2] - 63.6) < 1.0
