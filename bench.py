@@ -144,6 +144,30 @@ def main() -> None:
         timings["raster_lanczos_level_4mpx"] = round(
             min(dt, timings.get("raster_lanczos_level_4mpx", dt)), 3)
 
+    # GeoTIFF export (distributed strip assembly + streamed write)
+    from raquet_spark.sources.geotiff import write_geotiff
+
+    for _ in range(2):
+        t0 = time.perf_counter()
+        write_geotiff(scan, meta, tempfile.mktemp(suffix=".tif"))
+        dt = time.perf_counter() - t0
+        timings["geotiff_export_4mpx"] = round(
+            min(dt, timings.get("geotiff_export_4mpx", dt)), 3)
+
+    # real GeoTIFF ingestion (distributed decode + relational warp),
+    # when the reference rasters are present
+    n37 = "/root/reference/tests/n37_w123_1arc_v2.tif"
+    if os.path.exists(n37):
+        from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tiles_in, _m = geotiff_to_raquet(spark, n37, block_size=128)
+            tiles_in.count()
+            dt = time.perf_counter() - t0
+            timings["geotiff_import_n37"] = round(
+                min(dt, timings.get("geotiff_import_n37", dt)), 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_time",
