@@ -282,10 +282,7 @@ def _lonlat_corners(info: dict) -> list[tuple[float, float]]:
             )
             for mx, my in corners
         ]
-    proj = info.get("projection")
-    if proj and proj["type"] == "aea":
-        return [aea_inverse(proj, mx, my) for mx, my in corners]
-    raise NotImplementedError(f"CRS EPSG:{info['epsg']}")
+    return [_inverse_lonlat(info, mx, my) for mx, my in corners]
 
 
 def _src_merc_resolution(info: dict) -> float:
@@ -414,50 +411,159 @@ def aea_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
     return math.degrees(lon), math.degrees(phi)
 
 
-def _lonlat_sql(info: dict) -> tuple[str, str]:
-    """SQL (lon, lat) in degrees from source pixel-center (sx, sy)."""
+def _utm_params(epsg: int) -> dict | None:
+    """UTM zone parameters from the EPSG code (326xx north / 327xx
+    south, WGS84 ellipsoid)."""
+    if not (32601 <= epsg <= 32660 or 32701 <= epsg <= 32760):
+        return None
+    zone = epsg % 100
+    return {
+        "type": "tm",
+        "lon0": -183.0 + 6.0 * zone,
+        "lat0": 0.0,
+        "k0": 0.9996,
+        "fe": 500000.0,
+        "fn": 10000000.0 if epsg >= 32701 else 0.0,
+        "a": 6378137.0,
+        "inv_f": 298.257223563,
+    }
+
+
+def _tm_constants(p: dict) -> dict:
+    """Precomputed Snyder constants for ellipsoidal Transverse
+    Mercator (the UTM projection)."""
+    f = 1.0 / p["inv_f"]
+    e2 = 2.0 * f - f * f
+    ep2 = e2 / (1.0 - e2)
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    return {
+        "a": p["a"], "e2": e2, "ep2": ep2, "k0": p["k0"],
+        "lon0": math.radians(p["lon0"]), "fe": p["fe"], "fn": p["fn"],
+        "mu_div": p["a"] * (1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0),
+        "j2": 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0,
+        "j4": 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0,
+        "j6": 151.0 * e1**3 / 96.0,
+        "j8": 1097.0 * e1**4 / 512.0,
+    }
+
+
+def tm_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
+    """Python reference UTM inverse (Snyder 8-17..8-25) — the same
+    formulas the SQL mirror executes; used for bounds and tests."""
+    k = _tm_constants(p)
+    e2, ep2 = k["e2"], k["ep2"]
+    mu = (y - k["fn"]) / k["k0"] / k["mu_div"]
+    phi1 = (
+        mu
+        + k["j2"] * math.sin(2 * mu)
+        + k["j4"] * math.sin(4 * mu)
+        + k["j6"] * math.sin(6 * mu)
+        + k["j8"] * math.sin(8 * mu)
+    )
+    s, c, t = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    c1 = ep2 * c * c
+    t1 = t * t
+    n1 = k["a"] / math.sqrt(1.0 - e2 * s * s)
+    r1 = k["a"] * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+    d = (x - k["fe"]) / (n1 * k["k0"])
+    phi = phi1 - (n1 * t / r1) * (
+        d * d / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * ep2) * d**4 / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * ep2 - 3.0 * c1 * c1)
+        * d**6 / 720.0
+    )
+    lam = k["lon0"] + (
+        d
+        - (1.0 + 2.0 * t1 + c1) * d**3 / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * ep2 + 24.0 * t1 * t1)
+        * d**5 / 120.0
+    ) / c
+    return math.degrees(lam), math.degrees(phi)
+
+
+def _source_projection(info: dict) -> dict | None:
+    """Closed-form projection params for the source CRS, or None for
+    geographic/mercator sources."""
+    if info.get("projection"):
+        return info["projection"]
+    if info["epsg"] not in (None, 4326, 3857):
+        utm = _utm_params(info["epsg"])
+        if utm:
+            return utm
+        raise NotImplementedError(
+            f"CRS EPSG:{info['epsg']} (closed-form 4326/3857/UTM/"
+            "AlbersEqualArea only; no proj db here)"
+        )
+    return None
+
+
+def _inverse_lonlat(info: dict, x: float, y: float) -> tuple[float, float]:
+    proj = _source_projection(info)
+    if proj is None:
+        raise ValueError("geographic/mercator source has no projection inverse")
+    if proj["type"] == "aea":
+        return aea_inverse(proj, x, y)
+    return tm_inverse(proj, x, y)
+
+
+def _lonlat_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
+    """(column bindings, lon_expr, lat_expr): the source-CRS inverse as
+    staged Column expressions over (sx, sy). Binding intermediates as
+    named columns keeps the Catalyst tree small even for the Snyder
+    series projections — everything stays JVM-side."""
     ox, sx, rx, oy, ry, sy = info["transform"]
     px = f"({ox} + (sx + 0.5) * {sx} + (sy + 0.5) * {rx})"
     py = f"({oy} + (sx + 0.5) * {ry} + (sy + 0.5) * {sy})"
     if info["epsg"] == 4326:
-        return px, py
-    proj = info.get("projection")
+        return [], px, py
+    proj = _source_projection(info)
     if proj and proj["type"] == "aea":
-        # Snyder ellipsoidal Albers inverse as pure Column math — the
-        # warp stays JVM-side even for the projected NLCD raster
         k = _aea_constants(proj)
-        x = f"({px} - {k['fe']})"
-        ydiff = f"({k['rho0']} - ({py} - {k['fn']}))"
-        rho = f"sqrt({x} * {x} + {ydiff} * {ydiff})"
-        theta = f"atan2({x}, {ydiff})"
-        lon = f"degrees({k['lon0']} + {theta} / {k['n']})"
-        qv = f"(({k['C']} - pow({rho} * {k['n']} / {k['a']}, 2)) / {k['n']})"
-        beta = f"asin(greatest(-1.0D, least(1.0D, {qv} / {k['q_pole']})))"
+        steps = [
+            ("_x", f"{px} - {k['fe']}"),
+            ("_yd", f"{k['rho0']} - ({py} - {k['fn']})"),
+            ("_rho", "sqrt(_x * _x + _yd * _yd)"),
+            ("_qv", f"({k['C']} - pow(_rho * {k['n']} / {k['a']}, 2)) / {k['n']}"),
+            ("_beta", f"asin(greatest(-1.0D, least(1.0D, _qv / {k['q_pole']})))"),
+        ]
+        lon = f"degrees({k['lon0']} + atan2(_x, _yd) / {k['n']})"
         lat = (
-            f"degrees({beta} + {k['c2']} * sin(2 * {beta})"
-            f" + {k['c4']} * sin(4 * {beta})"
-            f" + {k['c6']} * sin(6 * {beta}))"
+            f"degrees(_beta + {k['c2']} * sin(2 * _beta)"
+            f" + {k['c4']} * sin(4 * _beta)"
+            f" + {k['c6']} * sin(6 * _beta))"
         )
-        return lon, lat
-    raise NotImplementedError(
-        f"CRS EPSG:{info['epsg']} (closed-form 4326/3857/AlbersEqualArea "
-        "only; no proj db here)"
-    )
-
-
-def _merc_cols(info: dict) -> tuple[str, str]:
-    """SQL expressions mapping source pixel-center (sx, sy) to
-    EPSG:3857 meters, via the affine geotransform and the closed-form
-    source-CRS → WGS84 → mercator chain."""
-    if info["epsg"] == 3857:
-        ox, sx, rx, oy, ry, sy = info["transform"]
-        mx = f"({ox} + (sx + 0.5) * {sx} + (sy + 0.5) * {rx})"
-        my = f"({oy} + (sx + 0.5) * {ry} + (sy + 0.5) * {sy})"
-        return mx, my
-    lon, lat = _lonlat_sql(info)
-    x = f"({lon} * {math.pi / 180.0 * _EARTH_R})"
-    y = f"({_EARTH_R} * ln(tan({math.pi / 4.0} + radians({lat}) / 2.0)))"
-    return x, y
+        return steps, lon, lat
+    if proj and proj["type"] == "tm":
+        k = _tm_constants(proj)
+        e2, ep2 = k["e2"], k["ep2"]
+        steps = [
+            ("_mu", f"(({py}) - {k['fn']}) / {k['k0']} / {k['mu_div']}"),
+            (
+                "_phi1",
+                f"_mu + {k['j2']} * sin(2 * _mu) + {k['j4']} * sin(4 * _mu)"
+                f" + {k['j6']} * sin(6 * _mu) + {k['j8']} * sin(8 * _mu)",
+            ),
+            ("_c1", f"{ep2} * pow(cos(_phi1), 2)"),
+            ("_t1", "pow(tan(_phi1), 2)"),
+            ("_n1", f"{k['a']} / sqrt(1 - {e2} * pow(sin(_phi1), 2))"),
+            ("_r1", f"{k['a']} * {1 - e2} / pow(1 - {e2} * pow(sin(_phi1), 2), 1.5)"),
+            ("_dd", f"(({px}) - {k['fe']}) / (_n1 * {k['k0']})"),
+        ]
+        lat = (
+            "degrees(_phi1 - (_n1 * tan(_phi1) / _r1) * ("
+            "pow(_dd, 2) / 2"
+            f" - (5 + 3 * _t1 + 10 * _c1 - 4 * _c1 * _c1 - {9 * ep2})"
+            " * pow(_dd, 4) / 24"
+            f" + (61 + 90 * _t1 + 298 * _c1 + 45 * _t1 * _t1 - {252 * ep2}"
+            " - 3 * _c1 * _c1) * pow(_dd, 6) / 720))"
+        )
+        lon = (
+            f"degrees({k['lon0']} + (_dd - (1 + 2 * _t1 + _c1) * pow(_dd, 3) / 6"
+            f" + (5 - 2 * _c1 + 28 * _t1 - 3 * _c1 * _c1 + {8 * ep2}"
+            " + 24 * _t1 * _t1) * pow(_dd, 5) / 120) / cos(_phi1))"
+        )
+        return steps, lon, lat
+    raise NotImplementedError(f"CRS EPSG:{info['epsg']}")
 
 
 def geotiff_to_raquet(
@@ -477,7 +583,29 @@ def geotiff_to_raquet(
     info = read_tiff_structure(path)
     z = zoom if zoom is not None else _pick_zoom(info, block_size, zoom_strategy)
     px = tiff_pixel_table(spark, info)
-    mx, my = _merc_cols(info)
+    if info["epsg"] == 3857:
+        ox, sxr, rxr, oy, ryr, syr = info["transform"]
+        px = px.withColumn(
+            "_mx", F.expr(f"{ox} + (sx + 0.5) * {sxr} + (sy + 0.5) * {rxr}")
+        ).withColumn(
+            "_my", F.expr(f"{oy} + (sx + 0.5) * {ryr} + (sy + 0.5) * {syr}")
+        )
+    else:
+        steps, lon_e, lat_e = _lonlat_steps(info)
+        for name, expr in steps:
+            px = px.withColumn(name, F.expr(expr))
+        px = (
+            px.withColumn("_lon", F.expr(lon_e))
+            .withColumn("_lat", F.expr(lat_e))
+            .withColumn("_mx", F.expr(f"_lon * {math.pi / 180.0 * _EARTH_R}"))
+            .withColumn(
+                "_my",
+                F.expr(
+                    f"{_EARTH_R} * ln(tan({math.pi / 4.0} + radians(_lat) / 2.0))"
+                ),
+            )
+        )
+    mx, my = "_mx", "_my"
 
     world = float((1 << z) * block_size)
     # target global pixel coordinates (gx, gy) at zoom z

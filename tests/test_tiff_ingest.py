@@ -287,3 +287,137 @@ def test_milton_stats_parity(spark):
     assert abs(g[0] - 58.6) < 1.0
     assert abs(g[1] - 70.5) < 1.0
     assert abs(g[2] - 63.6) < 1.0
+
+
+def test_utm_inverse_roundtrip_accuracy():
+    """UTM (Snyder Transverse Mercator series) inverse vs the textbook
+    forward projection, zone 10N (the n37 area) and 33S."""
+    import math
+
+    from raquet_spark.sources.tiff_reader import (
+        _tm_constants, _utm_params, tm_inverse,
+    )
+
+    for epsg, pts in [
+        (32610, [(-123.0, 37.7), (-121.5, 38.5), (-123.4, 36.9)]),
+        (32733, [(15.0, -22.5), (16.4, -17.9)]),
+    ]:
+        p = _utm_params(epsg)
+        k = _tm_constants(p)
+        e2, ep2 = k["e2"], k["ep2"]
+
+        def forward(lon, lat):  # Snyder 8-9..8-13
+            phi, lam = math.radians(lat), math.radians(lon)
+            s, c, t = math.sin(phi), math.cos(phi), math.tan(phi)
+            n = k["a"] / math.sqrt(1 - e2 * s * s)
+            T = t * t
+            C = ep2 * c * c
+            A = (lam - k["lon0"]) * c
+            M = k["a"] * (
+                (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+                + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+                - (35 * e2**3 / 3072) * math.sin(6 * phi)
+            )
+            x = k["k0"] * n * (
+                A + (1 - T + C) * A**3 / 6
+                + (5 - 18 * T + T * T + 72 * C - 58 * ep2) * A**5 / 120
+            ) + k["fe"]
+            y = k["k0"] * (
+                M + n * t * (
+                    A * A / 2 + (5 - T + 9 * C + 4 * C * C) * A**4 / 24
+                    + (61 - 58 * T + T * T + 600 * C - 330 * ep2) * A**6 / 720
+                )
+            ) + k["fn"]
+            return x, y
+
+        for lon, lat in pts:
+            x, y = forward(lon, lat)
+            lon2, lat2 = tm_inverse(p, x, y)
+            # series agreement ~1e-9 deg within a UTM zone
+            assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7, (epsg, lon, lat)
+
+
+def _make_utm_tiff(path, width=64, height=64, epsg=32610,
+                   origin=(550000.0, 4180000.0), res=30.0):
+    """Minimal uncompressed striped TIFF with UTM geokeys."""
+    import struct
+
+    import numpy as np
+
+    vals = (np.arange(width * height, dtype="<u2") % 1000).reshape(height, width)
+    data = vals.tobytes()
+    geokeys = [
+        (1, 1, 0, 3),
+        (1024, 0, 1, 1),   # projected
+        (1025, 0, 1, 1),
+        (3072, 0, 1, epsg),
+    ]
+    gk = b"".join(struct.pack("<H", v) for row in geokeys for v in row)
+    scale = struct.pack("<3d", res, res, 0.0)
+    tie = struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0)
+    entries = [
+        (256, 4, 1, struct.pack("<I", width)),
+        (257, 4, 1, struct.pack("<I", height)),
+        (258, 3, 1, struct.pack("<H", 16)),
+        (259, 3, 1, struct.pack("<H", 1)),
+        (262, 3, 1, struct.pack("<H", 1)),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<H", 1)),
+        (278, 4, 1, struct.pack("<I", height)),
+        (279, 4, 1, struct.pack("<I", len(data))),
+        (339, 3, 1, struct.pack("<H", 1)),
+        (33550, 12, 3, scale),
+        (33922, 12, 6, tie),
+        (34735, 3, len(gk) // 2, gk),
+    ]
+    ifd_off = 8 + len(data)
+    ext_off = ifd_off + 2 + len(entries) * 12 + 4
+    body, ext = b"", b""
+    for tag, typ, cnt, val in entries:
+        if len(val) <= 4:
+            body += struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHII", tag, typ, cnt, ext_off + len(ext))
+            ext += val
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        f.write(data)
+        f.write(struct.pack("<H", len(entries)) + body + struct.pack("<I", 0) + ext)
+
+
+def test_warp_utm_end_to_end(spark, tmp_path):
+    """The UTM SQL inverse drives the full warp; block assignment of a
+    probe pixel must agree with the python tm_inverse reference."""
+    import math
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.sources.tiff_reader import _utm_params, tm_inverse
+
+    path = str(tmp_path / "utm.tif")
+    _make_utm_tiff(path)
+    info = read_tiff_structure(path)
+    assert info["epsg"] == 32610
+
+    tiles, meta = geotiff_to_raquet(spark, path, block_size=64)
+    n = tiles.where("block != 0").count()
+    assert n > 0
+    z = meta["tiling"]["max_zoom"]
+
+    # probe: source pixel (0, 0) center → expected target tile
+    p = _utm_params(32610)
+    lon, lat = tm_inverse(p, 550000.0 + 15.0, 4180000.0 - 15.0)
+    assert -124 < lon < -122 and 37 < lat < 39
+    m = 1 << z
+    tx = int((lon / 360.0 + 0.5) * m)
+    s = math.sin(math.radians(lat))
+    ty = int((0.5 - 0.25 * math.log((1 + s) / (1 - s)) / math.pi) * m)
+    blocks = {
+        (r["qb_x"], r["qb_y"])
+        for r in qb.with_tile(tiles.where("block != 0"), "block").collect()
+    }
+    assert (tx, ty) in blocks
+
+    # every source value is carried through unchanged (nearest copy)
+    g = tiles.agg(F.min("band_1_min"), F.max("band_1_max")).first()
+    assert g[0] >= 0 and g[1] <= 999
