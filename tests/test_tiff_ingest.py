@@ -421,3 +421,24 @@ def test_warp_utm_end_to_end(spark, tmp_path):
     # every source value is carried through unchanged (nearest copy)
     g = tiles.agg(F.min("band_1_min"), F.max("band_1_max")).first()
     assert g[0] >= 0 and g[1] <= 999
+
+
+def test_n37_import_export_chain(spark, tmp_path):
+    """Real raster through the whole engine: GeoTIFF in (warp) →
+    raquet → GeoTIFF out (strip writer) → independent parse — the
+    reference's geotiff2raquet + raquet2geotiff round trip without
+    GDAL. Exported pixels must equal the warped tile mosaic."""
+    from raquet_spark.operators.export import to_numpy_mosaic
+    from raquet_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    tiles, meta = geotiff_to_raquet(
+        spark, f"{REF}/n37_w123_1arc_v2.tif", zoom_strategy="lower"
+    )
+    out = str(tmp_path / "n37_rt.tif")
+    info = write_geotiff(tiles, meta, out)
+    arr, geo = read_geotiff(out)
+    assert arr.shape == (info["height"], info["width"], 1)
+    assert float(geo["nodata"]) == -32767.0
+
+    mosaic, _ = to_numpy_mosaic(tiles, meta, "band_1")
+    np.testing.assert_array_equal(arr[:, :, 0].astype("f8"), mosaic)
