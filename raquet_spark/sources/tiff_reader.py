@@ -574,6 +574,7 @@ def geotiff_to_raquet(
     compression: str | None = "gzip",
     stats: bool = True,
     zoom_strategy: str = "upper",
+    dense: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Read a real GeoTIFF and produce (tiles, metadata) on the
     web-mercator RaQuet grid — raster2raquet's convert path, one
@@ -683,6 +684,36 @@ def geotiff_to_raquet(
     from raquet_spark.operators.tiling import from_pixel_table
 
     tiles = from_pixel_table(pixels, meta, compression=compression)
+    if dense:
+        # the reference warps the full covering grid, so all-nodata
+        # tiles exist too (e.g. the corners of a rotated Albers
+        # footprint's bounding box). One nodata blob is encoded once on
+        # the driver and attached as a literal to the anti-joined
+        # missing cells — no per-tile encode work. Pass dense=False for
+        # sparse output on mostly-empty extents at scale.
+        import numpy as np
+
+        from raquet_spark.functions import quadbin as qbf
+        from raquet_spark.functions.bands import DTYPES, encode_block
+
+        cell = qbf.tile_to_cell_sql("x", "y", z, "spark")
+        full = spark.sql(
+            f"""
+            SELECT {cell} AS block
+            FROM (SELECT explode(sequence({tx0}, {tx1})) AS x)
+            CROSS JOIN (SELECT explode(sequence({ty0}, {ty1})) AS y)
+            """
+        )
+        missing = full.join(tiles.select("block"), "block", "left_anti")
+        fill_cols = []
+        for b in bands:
+            dt = np.dtype(DTYPES[b.type])
+            fill = b.nodata if b.nodata is not None else 0
+            blob = encode_block(
+                np.full(block_size * block_size, fill, dtype=dt), b.type, compression
+            )
+            fill_cols.append(F.lit(bytearray(blob)).alias(b.name))
+        tiles = tiles.unionByName(missing.select("block", *fill_cols))
     if stats:
         from raquet_spark.operators.tile_stats import with_tile_stats
 

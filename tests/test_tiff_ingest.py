@@ -442,3 +442,38 @@ def test_n37_import_export_chain(spark, tmp_path):
 
     mosaic, _ = to_numpy_mosaic(tiles, meta, "band_1")
     np.testing.assert_array_equal(arr[:, :, 0].astype("f8"), mosaic)
+
+
+def test_nlcd_tile_size_variants_parity(spark):
+    """Mirror of the reference's small/med/bigtile NLCD tests
+    (test_geotiff2raquet.py:158-260): with the UPPER zoom strategy and
+    block sizes 256/512/1024, the projected (Albers) raster lands at
+    zoom 13/12/11, raster dims 1536x1792 / 1536x2048 / 2048x3072,
+    native block counts 42/12/6, min_zoom 10/9/8, warped mean ~75.8."""
+    from raquet_spark.core.metadata import find_minzoom
+    from raquet_spark.sources.tiff_reader import _lonlat_corners
+
+    path = f"{REF}/Annual_NLCD_LndCov_2023_CU_C1V0.tif"
+    lls = _lonlat_corners(read_tiff_structure(path))
+    src_bounds = (
+        min(lon for lon, _ in lls), min(lat for _, lat in lls),
+        max(lon for lon, _ in lls), max(lat for _, lat in lls),
+    )
+    expect = {
+        256: (13, (1536, 1792), 42, 10),
+        512: (12, (1536, 2048), 12, 9),
+        1024: (11, (2048, 3072), 6, 8),
+    }
+    for bs, (zoom, dims, n_blocks, minz) in expect.items():
+        tiles, meta = geotiff_to_raquet(
+            spark, path, block_size=bs, zoom_strategy="upper"
+        )
+        assert meta["tiling"]["max_zoom"] == zoom, bs
+        assert (meta["width"], meta["height"]) == dims, bs
+        assert meta["bands"][0]["nodata"] == 250.0
+        assert tiles.where("block != 0").count() == n_blocks, bs
+        assert find_minzoom(src_bounds, zoom, block_size=bs) == minz, bs
+        g = tiles.agg(
+            (F.sum("band_1_sum") / F.sum("band_1_count")).alias("mean")
+        ).first()
+        assert abs(g["mean"] - 75.8) < 1.5, bs
