@@ -173,15 +173,34 @@ def test_warp_n37_dem_to_raquet(spark, tmp_path):
 
 
 def test_warp_discreteloss_uint8(spark):
-    tiles, meta = geotiff_to_raquet(
-        spark, f"{REF}/geotiff-discreteloss_2023.tif", block_size=256
-    )
-    n_tiles = tiles.where("block != 0").count()
-    assert n_tiles > 0
-    # uint8 with nodata 0: every stored pixel in range
-    g = tiles.agg(F.min("band_1_min"), F.max("band_1_max")).first()
-    assert 0 <= g[0] <= g[1] <= 255
+    """Mirror of test_geotiff_discreteloss_2023_tif (test_geotiff2raquet
+    .py:300-331): UPPER strategy + 256px blocks -> zoom 13, 1280x1280,
+    25 native blocks, min_zoom 10; the forest-loss mask is binary so the
+    valid-pixel stats are exactly min=max=mean=1, stddev=0."""
+    from raquet_spark.core.metadata import find_minzoom
+    from raquet_spark.sources.tiff_reader import _lonlat_corners
+
+    path = f"{REF}/geotiff-discreteloss_2023.tif"
+    tiles, meta = geotiff_to_raquet(spark, path, block_size=256,
+                                    zoom_strategy="upper")
+    assert meta["tiling"]["max_zoom"] == 13
+    assert (meta["width"], meta["height"]) == (1280, 1280)
+    assert tiles.where("block != 0").count() == 25
+    assert meta["bands"][0]["nodata"] == 0.0
     assert meta["bands"][0]["type"] == "uint8"
+
+    lls = _lonlat_corners(read_tiff_structure(path))
+    src_bounds = (
+        min(lon for lon, _ in lls), min(lat for _, lat in lls),
+        max(lon for lon, _ in lls), max(lat for _, lat in lls),
+    )
+    assert find_minzoom(src_bounds, 13, block_size=256) == 10
+
+    g = tiles.agg(
+        F.min("band_1_min"), F.max("band_1_max"),
+        (F.sum("band_1_sum") / F.sum("band_1_count")).alias("mean"),
+    ).first()
+    assert g[0] == 1.0 and g[1] == 1.0 and g["mean"] == 1.0
 
 
 def test_n37_conversion_metadata_parity(spark, tmp_path):
