@@ -178,12 +178,29 @@ def write_geotiff(
     pixel_scale = (info["xres"], info["yres"], 0.0)
     tiepoint = (0.0, 0.0, 0.0, info["ulx"], info["uly"], 0.0)
 
+    # palette datasets export as PhotometricInterpretation=3 + ColorMap
+    # (8-bit indices; TIFF colormap stores 16-bit channels, value*257)
+    colortable = None
+    if nbands == 1 and dt.itemsize == 1:
+        colortable = (metadata.get("bands") or [{}])[0].get("colortable")
+    colormap = b""
+    if colortable:
+        chans: list[list[int]] = [[0] * 256, [0] * 256, [0] * 256]
+        for idx, rgba in colortable.items():
+            i = int(idx)
+            if 0 <= i < 256:
+                for c in range(3):
+                    chans[c][i] = int(rgba[c]) * 257
+        colormap = b"".join(
+            struct.pack("<H", v) for chan in chans for v in chan
+        )
+
     entries: list[tuple[int, int, int, bytes | int]] = [
         (256, _T_LONG, 1, info["width"]),
         (257, _T_LONG, 1, info["height"]),
         (258, _T_SHORT, nbands, b"".join(struct.pack("<H", bits) for _ in range(nbands))),
         (259, _T_SHORT, 1, 1),  # no compression
-        (262, _T_SHORT, 1, 1),  # BlackIsZero
+        (262, _T_SHORT, 1, 3 if colormap else 1),  # palette / BlackIsZero
         (273, _T_LONG, n_strips, b"".join(struct.pack("<I", o) for o in offsets)),
         (277, _T_SHORT, 1, nbands),
         (278, _T_LONG, 1, info["rows_per_strip"]),
@@ -194,6 +211,8 @@ def write_geotiff(
         (33922, _T_DOUBLE, 6, struct.pack("<6d", *tiepoint)),
         (34735, _T_SHORT, len(geokey_shorts), b"".join(struct.pack("<H", v) for v in geokey_shorts)),
     ]
+    if colormap:
+        entries.append((320, _T_SHORT, 768, colormap))
     if nodata_ascii:
         entries.append((42113, _T_ASCII, len(nodata_ascii), nodata_ascii))
 
@@ -302,6 +321,8 @@ def parse_tiff(raw: bytes) -> tuple[np.ndarray, dict]:
         "pixel_scale": tags.get(33550),
         "tiepoint": tags.get(33922),
         "geokeys": tags.get(34735),
+        "colormap": tags.get(320),
+        "photometric": tags.get(262, (1,))[0],
         "nodata": tags.get(42113, (None,))[0],
         "rows_per_strip": rows_per_strip,
     }

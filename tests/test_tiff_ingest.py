@@ -496,3 +496,30 @@ def test_nlcd_tile_size_variants_parity(spark):
             (F.sum("band_1_sum") / F.sum("band_1_count")).alias("mean")
         ).first()
         assert abs(g["mean"] - 75.8) < 1.5, bs
+
+
+def test_colored_palette_export_chain(spark, tmp_path):
+    """Mirror of the reference's test_colored_parquet export
+    expectations (test_raquet2geotiff.py:33-52) through our own chain:
+    colored.tif -> raquet -> GeoTIFF export -> parse; the exported file
+    carries Palette photometric and the reference's exact first six
+    colortable entries."""
+    from raquet_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    tiles, meta = geotiff_to_raquet(spark, f"{REF}/colored.tif")
+    out = str(tmp_path / "colored_rt.tif")
+    write_geotiff(tiles, meta, out)
+    arr, geo = read_geotiff(out)
+    assert geo["photometric"] == 3  # Palette
+    cm = geo["colormap"]
+    assert cm is not None and len(cm) == 768
+    first6 = [
+        [cm[i] // 257, cm[256 + i] // 257, cm[512 + i] // 257]
+        for i in range(6)
+    ]
+    assert first6 == [
+        [0, 0, 0], [0, 255, 0], [0, 0, 255],
+        [255, 255, 0], [255, 165, 0], [255, 0, 0],
+    ]
+    # indices survive the chain untouched
+    assert arr.dtype == np.dtype("u1")
