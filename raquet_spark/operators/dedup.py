@@ -277,6 +277,74 @@ def connected_components(
     return labels
 
 
+def embedding_dedup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine near-duplicate pairs at scale: LSH-bucketed candidates,
+    exact cosine verify — the 100 TB replacement for the all-pairs
+    :func:`embedding_dedup_pairs` (which is safe only while a blocking
+    bucket stays O(10^4)).
+
+    Plan: one Arrow-matmul signature pass (shared with ann_lsh), one
+    posexplode, one self equi-join on (table, signature) bucket — so
+    candidate volume is bounded by bucket sizes (2^n_bits buckets per
+    table), never N². Signed-random-projection LSH collides vectors
+    with high cosine with probability (1 - θ/π)^n_bits per table, so at
+    θ ≈ 0.95-cosine recall stays high with a handful of tables
+    (recall-gated vs the exact all-pairs in pytest). Approximate by
+    construction: an escaped pair is one that matched in NO table."""
+    from raquet_spark.operators.similarity import _all_signatures, _dot, with_norm
+
+    sigs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            _all_signatures(vec_col, n_bits, n_tables, seed, dim)
+        ).alias("_t", "_sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    # candidate ids FIRST, deduped on narrow (id, id) rows: clustered
+    # corpora collide the same pair in many tables, and the exact
+    # cosine must run once per unique pair, not once per collision
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    v = with_norm(df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v")
+    va = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", _dot("_va", "_vb") / F.col("_na") / F.col("_nb"))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -284,7 +352,11 @@ def embedding_dedup_pairs(
     bucket_col: str | None = None,
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Cosine near-duplicate pairs within a blocking bucket."""
+    """Cosine near-duplicate pairs within a blocking bucket.
+
+    Scale note: all-pairs within a bucket — safe only while a bucket
+    stays O(10^4); :func:`embedding_dedup_pairs_lsh` is the unbounded-
+    scale path."""
     from raquet_spark.operators.similarity import _dot, with_norm
 
     cols = [F.col(id_col), F.col(vec_col).alias("_v")]

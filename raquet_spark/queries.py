@@ -2678,6 +2678,26 @@ FROM reach GROUP BY node
 """
 
 
+def dedup_embedding_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucketed candidates +
+    exact cosine verify over the WHOLE corpus (no label blocking) —
+    rows-only check (approximate by construction; recall vs the exact
+    all-pairs is pytest-gated)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import embedding_dedup_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dedup_pairs_lsh(
+        emb, threshold=0.8, n_bits=6, n_tables=16, dim=64
+    )
+    return pairs.select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round("cos_sim", 5).alias("cos_sim"),
+    )
+
+
 def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors — rows-only check
     (approximate by construction; recall vs brute force is pytest-gated,
@@ -2821,6 +2841,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "remote_fetch_stats": (remote_fetch_stats_spark, tile_stats_agg_oracle),
     "geotiff_roundtrip_stats": (geotiff_roundtrip_stats_spark, tile_stats_agg_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
+    "dedup_embedding_lsh": (dedup_embedding_lsh_spark, None),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
     "sketch_user_reach": (sketch_user_reach_spark, None),
@@ -2872,9 +2893,10 @@ _DRIVER_PRIORITY: list[str] = [
     "dataset_shuffle",
     "length_percentiles",
     "events_json_rollup",
-    # -- new this round: remote ingest + GeoTIFF round trip ---------------
+    # -- new this round: remote ingest + GeoTIFF round trip + LSH dedup ---
     "remote_fetch_stats",
     "geotiff_roundtrip_stats",
+    "dedup_embedding_lsh",
     # -- fixed this round (integer-SUM BIGINT casts); need re-check -------
     "q12_ship_delay",
     "events_sessionize",

@@ -156,3 +156,32 @@ def test_checkpointed_pair_builders_match_sql(spark):
         assert got.columns == want.columns, sql_fn.__name__
         assert got.exceptAll(want).count() == 0, sql_fn.__name__
         assert want.exceptAll(got).count() == 0, sql_fn.__name__
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The LSH-bucketed embedding dedup (the 100 TB path) must recover
+    nearly all of the exact all-pairs result at the query threshold."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import (
+        embedding_dedup_pairs,
+        embedding_dedup_pairs_lsh,
+    )
+    from raquet_spark.queries import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs(emb, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs_lsh(
+            emb, threshold=0.8, n_bits=6, n_tables=16, dim=64
+        ).collect()
+    }
+    # no false positives (every LSH pair passes the exact cosine filter)
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} pairs"
