@@ -73,17 +73,20 @@ def _geokeys(tags: dict[int, tuple]) -> dict[int, int | float | str]:
 
 
 # GeoKey ids for projection parameters (GeoTIFF spec §2.7)
+_CT_LCC_2SP = 8
 _CT_ALBERS = 11
 
 
 def _projection(keys: dict) -> dict | None:
     """User-defined projected CRS → closed-form projection params.
-    Albers Equal Area (the reference's NLCD raster) is supported; the
-    ellipsoid comes from GeogSemiMajorAxis/GeogInvFlattening."""
-    if keys.get(3075) != _CT_ALBERS:
+    Albers Equal Area (the reference's NLCD raster) and Lambert
+    Conformal Conic 2SP are supported; the ellipsoid comes from
+    GeogSemiMajorAxis/GeogInvFlattening."""
+    ct = keys.get(3075)
+    if ct not in (_CT_ALBERS, _CT_LCC_2SP):
         return None
     return {
-        "type": "aea",
+        "type": "aea" if ct == _CT_ALBERS else "lcc",
         "sp1": float(keys.get(3078, 29.5)),
         "sp2": float(keys.get(3079, 45.5)),
         "lon0": float(keys.get(3080, 0.0)),
@@ -481,6 +484,60 @@ def tm_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
     return math.degrees(lam), math.degrees(phi)
 
 
+def _lcc_constants(p: dict) -> dict:
+    """Precomputed Snyder constants for ellipsoidal Lambert Conformal
+    Conic (two standard parallels)."""
+    f = 1.0 / p["inv_f"]
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+
+    def m(phi: float) -> float:
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+    def t(phi: float) -> float:
+        s = math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    p1, p2 = math.radians(p["sp1"]), math.radians(p["sp2"])
+    phi0 = math.radians(p["lat0"])
+    n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    Fc = m(p1) / (n * t(p1) ** n)
+    rho0 = p["a"] * Fc * t(phi0) ** n
+    # conformal -> geodetic latitude series (Snyder 3-5)
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    return {
+        "a": p["a"], "n": n, "F": Fc, "rho0": rho0,
+        "lon0": math.radians(p["lon0"]), "fe": p["fe"], "fn": p["fn"],
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def lcc_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
+    """Python reference LCC inverse (Snyder 15-1 inverse + 3-5 series)."""
+    k = _lcc_constants(p)
+    x, y = x - k["fe"], y - k["fn"]
+    sgn = 1.0 if k["n"] >= 0 else -1.0
+    rho = sgn * math.hypot(x, k["rho0"] - y)
+    theta = math.atan2(sgn * x, sgn * (k["rho0"] - y))
+    lon = k["lon0"] + theta / k["n"]
+    tv = (rho / (k["a"] * k["F"])) ** (1.0 / k["n"])
+    chi = math.pi / 2.0 - 2.0 * math.atan(tv)
+    phi = (
+        chi
+        + k["c2"] * math.sin(2.0 * chi)
+        + k["c4"] * math.sin(4.0 * chi)
+        + k["c6"] * math.sin(6.0 * chi)
+        + k["c8"] * math.sin(8.0 * chi)
+    )
+    return math.degrees(lon), math.degrees(phi)
+
+
 def _source_projection(info: dict) -> dict | None:
     """Closed-form projection params for the source CRS, or None for
     geographic/mercator sources."""
@@ -503,6 +560,8 @@ def _inverse_lonlat(info: dict, x: float, y: float) -> tuple[float, float]:
         raise ValueError("geographic/mercator source has no projection inverse")
     if proj["type"] == "aea":
         return aea_inverse(proj, x, y)
+    if proj["type"] == "lcc":
+        return lcc_inverse(proj, x, y)
     return tm_inverse(proj, x, y)
 
 
@@ -531,6 +590,24 @@ def _lonlat_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
             f"degrees(_beta + {k['c2']} * sin(2 * _beta)"
             f" + {k['c4']} * sin(4 * _beta)"
             f" + {k['c6']} * sin(6 * _beta))"
+        )
+        return steps, lon, lat
+    if proj and proj["type"] == "lcc":
+        k = _lcc_constants(proj)
+        sgn = 1.0 if k["n"] >= 0 else -1.0
+        steps = [
+            ("_x", f"{px} - {k['fe']}"),
+            ("_yd", f"{k['rho0']} - ({py} - {k['fn']})"),
+            ("_rho", f"{sgn} * sqrt(_x * _x + _yd * _yd)"),
+            ("_tv", f"pow(_rho / {k['a'] * k['F']}, {1.0 / k['n']})"),
+            ("_chi", f"{math.pi / 2.0} - 2 * atan(_tv)"),
+        ]
+        lon = f"degrees({k['lon0']} + atan2({sgn} * _x, {sgn} * _yd) / {k['n']})"
+        lat = (
+            f"degrees(_chi + {k['c2']} * sin(2 * _chi)"
+            f" + {k['c4']} * sin(4 * _chi)"
+            f" + {k['c6']} * sin(6 * _chi)"
+            f" + {k['c8']} * sin(8 * _chi))"
         )
         return steps, lon, lat
     if proj and proj["type"] == "tm":

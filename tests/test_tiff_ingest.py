@@ -523,3 +523,127 @@ def test_colored_palette_export_chain(spark, tmp_path):
     ]
     # indices survive the chain untouched
     assert arr.dtype == np.dtype("u1")
+
+
+def test_lcc_inverse_roundtrip_accuracy():
+    """Lambert Conformal Conic (2SP) inverse vs the textbook forward,
+    CONUS-style parallels 33/45 (the US national-grid family)."""
+    import math
+
+    from raquet_spark.sources.tiff_reader import _lcc_constants, lcc_inverse
+
+    p = {
+        "type": "lcc", "sp1": 33.0, "sp2": 45.0, "lat0": 39.0,
+        "lon0": -96.0, "fe": 0.0, "fn": 0.0,
+        "a": 6378137.0, "inv_f": 298.257223563,
+    }
+    k = _lcc_constants(p)
+    f = 1.0 / p["inv_f"]
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+
+    def forward(lon, lat):  # Snyder 15-1..15-4
+        phi, lam = math.radians(lat), math.radians(lon)
+        s = math.sin(phi)
+        t = math.tan(math.pi / 4 - phi / 2) / (
+            (1 - e * s) / (1 + e * s)
+        ) ** (e / 2)
+        rho = k["a"] * k["F"] * t ** k["n"]
+        theta = k["n"] * (lam - k["lon0"])
+        return rho * math.sin(theta), k["rho0"] - rho * math.cos(theta)
+
+    for lon, lat in [(-96.0, 39.0), (-122.4, 37.8), (-71.1, 42.3), (-87.6, 41.9)]:
+        x, y = forward(lon, lat)
+        lon2, lat2 = lcc_inverse(p, x, y)
+        assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7, (lon, lat)
+
+
+def _make_lcc_tiff(path, width=48, height=48,
+                   origin=(500000.0, 1000000.0), res=500.0):
+    """Minimal TIFF with user-defined LCC-2SP geokeys + double params."""
+    import struct
+
+    import numpy as np
+
+    vals = (np.arange(width * height, dtype="<u2") % 777).reshape(height, width)
+    data = vals.tobytes()
+    doubles = (33.0, 45.0, -96.0, 39.0, 0.0, 0.0, 6378137.0, 298.257223563)
+    geokeys = [
+        (1, 1, 0, 10),
+        (1024, 0, 1, 1),       # projected
+        (1025, 0, 1, 1),
+        (2057, 34736, 1, 6),   # semi-major
+        (2059, 34736, 1, 7),   # inv flattening
+        (3072, 0, 1, 32767),   # user-defined
+        (3075, 0, 1, 8),       # CT_LambertConfConic_2SP
+        (3078, 34736, 1, 0),   # std parallel 1
+        (3079, 34736, 1, 1),   # std parallel 2
+        (3080, 34736, 1, 2),   # nat origin lon
+        (3081, 34736, 1, 3),   # nat origin lat
+        (3082, 34736, 1, 4),   # false easting
+        (3083, 34736, 1, 5),   # false northing
+    ]
+    gk = b"".join(struct.pack("<H", v) for row in geokeys for v in row)
+    dbl = struct.pack(f"<{len(doubles)}d", *doubles)
+    scale = struct.pack("<3d", res, res, 0.0)
+    tie = struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0)
+    entries = [
+        (256, 4, 1, struct.pack("<I", width)),
+        (257, 4, 1, struct.pack("<I", height)),
+        (258, 3, 1, struct.pack("<H", 16)),
+        (259, 3, 1, struct.pack("<H", 1)),
+        (262, 3, 1, struct.pack("<H", 1)),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<H", 1)),
+        (278, 4, 1, struct.pack("<I", height)),
+        (279, 4, 1, struct.pack("<I", len(data))),
+        (339, 3, 1, struct.pack("<H", 1)),
+        (33550, 12, 3, scale),
+        (33922, 12, 6, tie),
+        (34735, 3, len(gk) // 2, gk),
+        (34736, 12, len(doubles), dbl),
+    ]
+    ifd_off = 8 + len(data)
+    ext_off = ifd_off + 2 + len(entries) * 12 + 4
+    body, ext = b"", b""
+    for tag, typ, cnt, val in entries:
+        if len(val) <= 4:
+            body += struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHII", tag, typ, cnt, ext_off + len(ext))
+            ext += val
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        f.write(data)
+        f.write(struct.pack("<H", len(entries)) + body + struct.pack("<I", 0) + ext)
+
+
+def test_warp_lcc_end_to_end(spark, tmp_path):
+    """User-defined LCC-2SP geokeys drive the full warp; the probe
+    pixel's tile matches the python lcc_inverse reference."""
+    import math
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.sources.tiff_reader import lcc_inverse
+
+    path = str(tmp_path / "lcc.tif")
+    _make_lcc_tiff(path)
+    info = read_tiff_structure(path)
+    assert info["projection"]["type"] == "lcc"
+    assert info["projection"]["sp1"] == 33.0 and info["projection"]["sp2"] == 45.0
+
+    tiles, meta = geotiff_to_raquet(spark, path, block_size=64)
+    assert tiles.where("block != 0").count() > 0
+    z = meta["tiling"]["max_zoom"]
+
+    lon, lat = lcc_inverse(info["projection"], 500000.0 + 250.0, 1000000.0 - 250.0)
+    assert -100 < lon < -85 and 40 < lat < 52
+    m = 1 << z
+    tx = int((lon / 360.0 + 0.5) * m)
+    s = math.sin(math.radians(lat))
+    ty = int((0.5 - 0.25 * math.log((1 + s) / (1 - s)) / math.pi) * m)
+    blocks = {
+        (r["qb_x"], r["qb_y"])
+        for r in qb.with_tile(tiles.where("block != 0"), "block").collect()
+    }
+    assert (tx, ty) in blocks
