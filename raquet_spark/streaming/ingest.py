@@ -59,6 +59,52 @@ def stream_tiles(
     )
 
 
+def stream_fetch_tiles(
+    spark: SparkSession,
+    cells_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    metadata: dict,
+    request_builder,
+    transport=None,
+    decoder=None,
+    available_now: bool = True,
+    **fetch_kwargs,
+):
+    """Continuous remote tile ingestion: a stream of cell work-queue
+    files (``block BIGINT`` parquet dropped into ``cells_dir``) is
+    fetched through ``sources.remote.fetch_tiles`` per micro-batch and
+    appended Morton-sorted to a RaQuet dataset — the reference's
+    imageserver/earthengine poll-and-write loops
+    (/root/reference/raquet/imageserver.py) as a restartable
+    (checkpointed) Structured Streaming flow. Retries and rate limits
+    apply inside each batch's tasks; a crashed run resumes from the
+    checkpoint without re-fetching completed batches."""
+    from raquet_spark.sources.remote import fetch_tiles
+
+    stream = spark.readStream.schema("block bigint").parquet(cells_dir)
+
+    def fetch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fetched = fetch_tiles(
+            batch_df, metadata, request_builder,
+            transport=transport, decoder=decoder, **fetch_kwargs,
+        )
+        (
+            fetched.repartitionByRange("block")
+            .sortWithinPartitions("block")
+            .write.mode("append")
+            .parquet(target_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fetch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str],

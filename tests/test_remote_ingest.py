@@ -180,3 +180,51 @@ def test_tiff_decoder_roundtrip(spark, tmp_path):
             arr[bi].ravel().astype("f8"),
             decode_block(row[band], "int32").astype("f8"),
         )
+
+
+def test_stream_fetch_tiles(spark, tmp_path):
+    """Streaming remote ingestion: cell work-queue files arriving in a
+    directory are fetched per micro-batch (fake transport) and appended
+    Morton-sorted; a second drop of cells extends the dataset without
+    re-fetching the first batch."""
+    import os
+
+    from raquet_spark.streaming.ingest import stream_fetch_tiles
+
+    meta = _meta()
+    cells_dir = str(tmp_path / "cells")
+    target = str(tmp_path / "out.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(cells_dir)
+
+    all_cells = cells_for_bounds(spark, (-90.0, 45.0, -46.0, 60.0), ZOOM)
+    ids = [r["block"] for r in all_cells.collect()]
+    first, second = ids[: len(ids) // 2], ids[len(ids) // 2 :]
+
+    def run(batch_ids):
+        spark.createDataFrame([(b,) for b in batch_ids], "block bigint") \
+            .write.mode("append").parquet(cells_dir)
+        q = stream_fetch_tiles(
+            spark, cells_dir, target, ckpt, meta,
+            xyz_request("fake://{z}/{x}/{y}"),
+            transport=_make_fake_transport(),
+            decoder=raw_decoder("float32", 1, SIZE),
+            retry_delay=0.0,
+        )
+        q.awaitTermination(120)
+
+    run(first)
+    n1 = spark.read.parquet(target).count()
+    assert n1 == len(first)
+    run(second)
+    out = spark.read.parquet(target)
+    assert out.count() == len(ids)
+    # all fetched tiles decode to the deterministic payloads
+    from raquet_spark.functions import quadbin as qb
+
+    rows = qb.with_tile(out, "block").collect()
+    for r in rows:
+        np.testing.assert_array_equal(
+            decode_block(r["band_1"], "float32"),
+            _expected(r["qb_x"], r["qb_y"], ZOOM),
+        )
