@@ -2659,6 +2659,49 @@ GROUP BY source
 """
 
 
+def dedup_cluster_sizes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster quality report: distribution of component sizes
+    (how many clusters of 2, of 3, ...) — the curation dashboard number
+    a dedup pipeline is tuned by. Singletons (docs with no near-dup)
+    are excluded: the pair graph only contains matched docs."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import connected_components
+
+    register_views(spark, sf_dir)
+    pairs = spark.sql(dedup_minhash("spark"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def dedup_cluster_sizes_oracle() -> str:
+    minhash = dedup_minhash("duckdb")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({minhash}) q
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, label) AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+), sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 def dedup_components_oracle() -> str:
     minhash = dedup_minhash("duckdb")
     return f"""
@@ -2820,6 +2863,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
         suitable_cells_detail_oracle,
     ),
     "dedup_components": (dedup_components_spark, dedup_components_oracle),
+    "dedup_cluster_sizes": (dedup_cluster_sizes_spark, dedup_cluster_sizes_oracle),
     "dedup_prune": (dedup_prune_spark, dedup_prune_oracle),
     "asof_join_events_orders": (asof_join_spark, asof_join_oracle),
     "range_join_value_bands": (range_join_spark, range_join_oracle),
@@ -2873,6 +2917,7 @@ _DRIVER_PRIORITY: list[str] = [
     "raquet_read_tiles",
     # -- never driver-checked: joins / graph / ANN ------------------------
     "dedup_components",
+    "dedup_cluster_sizes",
     "dedup_prune",
     "asof_join_events_orders",
     "range_join_value_bands",

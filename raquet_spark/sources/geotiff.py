@@ -150,6 +150,11 @@ def write_geotiff(
     strips so offsets stay uniform. Parity target:
     /root/reference/raquet/raquet2geotiff.py:84-277 (minus overviews —
     RaQuet pyramid levels already are the overview pyramid)."""
+    if metadata.get("band_layout") == "interleaved":
+        # BIP pixels column → per-band columns first (map-only)
+        from raquet_spark.operators.layout import to_sequential
+
+        df, metadata = to_sequential(df, metadata, compression=None)
     strips_df, info = strip_table(df, metadata, bands)
     dt = np.dtype(DTYPES[info["band_type"]])
     strip_size = info["rows_per_strip"] * info["width"] * info["nbands"] * dt.itemsize

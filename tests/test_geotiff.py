@@ -112,3 +112,22 @@ def test_geotiff_multiband_interleave(spark, tmp_path):
     for bi, band in enumerate(["band_1", "band_2", "band_3"]):
         mosaic, _ = to_numpy_mosaic(tiles, meta, band)
         np.testing.assert_array_equal(arr[:, :, bi].astype("f8"), mosaic)
+
+
+def test_geotiff_from_interleaved_layout(spark, tmp_path):
+    """Interleaved (BIP pixels column) datasets export transparently —
+    the writer bridges through to_sequential."""
+    from raquet_spark.operators.layout import to_interleaved
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=5, tiles_x=2, tiles_y=2, origin_x=4, origin_y=6,
+        block_size=8, num_bands=3, dtype="uint8",
+    )
+    inter, meta_i = to_interleaved(tiles, meta, compression="gzip")
+    path = str(tmp_path / "bip.tif")
+    info = write_geotiff(inter, meta_i, path)
+    assert info["nbands"] == 3
+    arr, _ = read_geotiff(path)
+    for bi, band in enumerate(["band_1", "band_2", "band_3"]):
+        mosaic, _ = to_numpy_mosaic(tiles, meta, band)
+        np.testing.assert_array_equal(arr[:, :, bi].astype("f8"), mosaic)
