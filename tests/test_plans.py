@@ -269,3 +269,23 @@ def test_halo_level_single_shuffle(spark):
     )
     parents = build_level_halo(tiles, meta, 5, "lanczos")
     assert count_exchanges(parents) == 1
+
+
+def test_geotiff_import_two_shuffles(spark):
+    """The real-GeoTIFF import is exactly two exchanges: the warp
+    groupBy(target pixel) and the tiling groupBy(block). Projection
+    math and segment decode are map-side."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/reference/tests/n37_w123_1arc_v2.tif"
+    if not os.path.exists(path):
+        _pytest.skip("reference raster not available")
+    from raquet_spark.plans.inspect import count_exchanges
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    tiles, _ = geotiff_to_raquet(
+        spark, path, block_size=128, dense=False, stats=False
+    )
+    assert count_exchanges(tiles) == 2
