@@ -226,3 +226,26 @@ def test_point_in_poly_sql_matches_np():
         ).fetchall()
     ]
     assert got == list(want)
+
+
+def test_quadbin_doc_worked_examples():
+    """The reference's worked examples (docs/quadbin.md:152-185).
+
+    Example 1 (whole world) matches exactly. Example 2's printed
+    decimal (5196930832277643263) contradicts the doc's OWN hex
+    annotation (0x48039FFFFFFFFFFF = 5189561497543507967) — a doc bug
+    in the reference; the layout validated by the authoritative
+    quadbin-py vector (9,8,4) → 5209574053332910079 (header 0x4,
+    5-bit resolution at bits 52-56, Morton index left-aligned below,
+    unused bits ones) yields 0x48327FFFFFFFFFFF for tile (1,2,3)."""
+    assert qb.py_tile_to_cell(0, 0, 0) == 5192650370358181887
+    # authoritative layout check: known vector decomposes as documented
+    v = qb.py_tile_to_cell(9, 8, 4)
+    assert v == 5209574053332910079 and hex(v) == "0x484c1fffffffffff"
+    assert (v >> 52) & 0x1F == 4  # resolution field
+    # tile (1,2,3) under the SAME layout: morton(1,2) = 0b001001,
+    # left-aligned in the 52-bit index, low bits ones
+    v123 = qb.py_tile_to_cell(1, 2, 3)
+    expected = (0x4 << 60) | (1 << 59) | (3 << 52) | (0b001001 << 46) | ((1 << 46) - 1)
+    assert v123 == expected == 0x48327FFFFFFFFFFF
+    assert qb.py_cell_to_tile(v123) == (1, 2, 3)
