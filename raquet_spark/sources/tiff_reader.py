@@ -75,14 +75,24 @@ def _geokeys(tags: dict[int, tuple]) -> dict[int, int | float | str]:
 # GeoKey ids for projection parameters (GeoTIFF spec §2.7)
 _CT_LCC_2SP = 8
 _CT_ALBERS = 11
+_CT_SINUSOIDAL = 24
 
 
 def _projection(keys: dict) -> dict | None:
     """User-defined projected CRS → closed-form projection params.
-    Albers Equal Area (the reference's NLCD raster) and Lambert
-    Conformal Conic 2SP are supported; the ellipsoid comes from
-    GeogSemiMajorAxis/GeogInvFlattening."""
+    Albers Equal Area (the reference's NLCD raster), Lambert Conformal
+    Conic 2SP, and spherical Sinusoidal (the MODIS grid) are supported;
+    the ellipsoid comes from GeogSemiMajorAxis/GeogInvFlattening."""
     ct = keys.get(3075)
+    if ct == _CT_SINUSOIDAL:
+        return {
+            "type": "sinu",
+            "lon0": float(keys.get(3080, 0.0)),
+            "fe": float(keys.get(3082, 0.0)),
+            "fn": float(keys.get(3083, 0.0)),
+            # MODIS uses the authalic sphere; no inverse flattening
+            "a": float(keys.get(2057, 6371007.181)),
+        }
     if ct not in (_CT_ALBERS, _CT_LCC_2SP):
         return None
     return {
@@ -156,6 +166,10 @@ def read_tiff_structure(path: str) -> dict:
         epsg = keys.get(3072)
         if epsg == 32767:  # user-defined: read the projection params
             projection = _projection(keys)
+    if epsg is None and projection is None:
+        # no CRS keys → WGS84, the reference's default
+        # (imageserver.py test_default_to_wgs84)
+        epsg = 4326
     nodata = tags.get(42113)
     palette = None
     if 320 in tags:
@@ -562,6 +576,12 @@ def _inverse_lonlat(info: dict, x: float, y: float) -> tuple[float, float]:
         return aea_inverse(proj, x, y)
     if proj["type"] == "lcc":
         return lcc_inverse(proj, x, y)
+    if proj["type"] == "sinu":
+        phi = (y - proj["fn"]) / proj["a"]
+        lam = math.radians(proj["lon0"]) + (x - proj["fe"]) / (
+            proj["a"] * math.cos(phi)
+        )
+        return math.degrees(lam), math.degrees(phi)
     return tm_inverse(proj, x, y)
 
 
@@ -591,6 +611,15 @@ def _lonlat_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
             f" + {k['c4']} * sin(4 * _beta)"
             f" + {k['c6']} * sin(6 * _beta))"
         )
+        return steps, lon, lat
+    if proj and proj["type"] == "sinu":
+        # spherical sinusoidal (MODIS): phi = y/a, lam = lon0 + x/(a cos phi)
+        steps = [("_phi", f"(({py}) - {proj['fn']}) / {proj['a']}")]
+        lon = (
+            f"degrees({math.radians(proj['lon0'])}"
+            f" + (({px}) - {proj['fe']}) / ({proj['a']} * cos(_phi)))"
+        )
+        lat = "degrees(_phi)"
         return steps, lon, lat
     if proj and proj["type"] == "lcc":
         k = _lcc_constants(proj)

@@ -647,3 +647,91 @@ def test_warp_lcc_end_to_end(spark, tmp_path):
         for r in qb.with_tile(tiles.where("block != 0"), "block").collect()
     }
     assert (tx, ty) in blocks
+
+
+def _make_sinu_tiff(path, width=48, height=48,
+                    origin=(-6671703.118, 1111950.52), res=926.625433):
+    """Minimal TIFF with MODIS-style sinusoidal geokeys (the MODIS
+    h11v08-ish grid: 500m-class pixels on the authalic sphere)."""
+    import struct
+
+    import numpy as np
+
+    vals = (np.arange(width * height, dtype="<u2") % 555).reshape(height, width)
+    data = vals.tobytes()
+    doubles = (0.0, 6371007.181)
+    geokeys = [
+        (1, 1, 0, 6),
+        (1024, 0, 1, 1),
+        (1025, 0, 1, 1),
+        (2057, 34736, 1, 1),   # sphere radius
+        (3072, 0, 1, 32767),
+        (3075, 0, 1, 24),      # CT_Sinusoidal
+        (3080, 34736, 1, 0),   # lon0
+    ]
+    gk = b"".join(struct.pack("<H", v) for row in geokeys for v in row)
+    dbl = struct.pack(f"<{len(doubles)}d", *doubles)
+    scale = struct.pack("<3d", res, res, 0.0)
+    tie = struct.pack("<6d", 0, 0, 0, origin[0], origin[1], 0)
+    entries = [
+        (256, 4, 1, struct.pack("<I", width)),
+        (257, 4, 1, struct.pack("<I", height)),
+        (258, 3, 1, struct.pack("<H", 16)),
+        (259, 3, 1, struct.pack("<H", 1)),
+        (262, 3, 1, struct.pack("<H", 1)),
+        (273, 4, 1, struct.pack("<I", 8)),
+        (277, 3, 1, struct.pack("<H", 1)),
+        (278, 4, 1, struct.pack("<I", height)),
+        (279, 4, 1, struct.pack("<I", len(data))),
+        (339, 3, 1, struct.pack("<H", 1)),
+        (33550, 12, 3, scale),
+        (33922, 12, 6, tie),
+        (34735, 3, len(gk) // 2, gk),
+        (34736, 12, len(doubles), dbl),
+    ]
+    ifd_off = 8 + len(data)
+    ext_off = ifd_off + 2 + len(entries) * 12 + 4
+    body, ext = b"", b""
+    for tag, typ, cnt, val in entries:
+        if len(val) <= 4:
+            body += struct.pack("<HHI", tag, typ, cnt) + val.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHII", tag, typ, cnt, ext_off + len(ext))
+            ext += val
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", ifd_off))
+        f.write(data)
+        f.write(struct.pack("<H", len(entries)) + body + struct.pack("<I", 0) + ext)
+
+
+def test_warp_sinusoidal_end_to_end(spark, tmp_path):
+    """MODIS-style sinusoidal geokeys drive the warp; the probe pixel's
+    tile matches the closed-form inverse (lat = y/a, lon scaled by
+    1/cos(lat))."""
+    import math
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.sources.tiff_reader import _inverse_lonlat
+
+    path = str(tmp_path / "sinu.tif")
+    _make_sinu_tiff(path)
+    info = read_tiff_structure(path)
+    assert info["projection"]["type"] == "sinu"
+    assert info["projection"]["a"] == 6371007.181
+
+    tiles, meta = geotiff_to_raquet(spark, path, block_size=64)
+    assert tiles.where("block != 0").count() > 0
+    z = meta["tiling"]["max_zoom"]
+
+    lon, lat = _inverse_lonlat(info, -6671703.118 + 463.3, 1111950.52 - 463.3)
+    # MODIS tile h11 area: South America, ~10N
+    assert -75 < lon < -55 and 5 < lat < 15
+    m = 1 << z
+    tx = int((lon / 360.0 + 0.5) * m)
+    s = math.sin(math.radians(lat))
+    ty = int((0.5 - 0.25 * math.log((1 + s) / (1 - s)) / math.pi) * m)
+    blocks = {
+        (r["qb_x"], r["qb_y"])
+        for r in qb.with_tile(tiles.where("block != 0"), "block").collect()
+    }
+    assert (tx, ty) in blocks
