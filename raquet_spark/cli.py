@@ -236,7 +236,7 @@ def cmd_import_geotiff(args) -> int:
     spark = _spark()
     tiles, meta = geotiff_to_raquet(
         spark, args.input, zoom=args.zoom, block_size=args.block_size,
-        stats=args.stats,
+        stats=args.stats, resampling=getattr(args, "warp_resampling", "near"),
     )
     if args.min_zoom is not None and args.min_zoom < meta["tiling"]["max_zoom"]:
         from raquet_spark.operators.pyramid import build_pyramid
@@ -271,7 +271,17 @@ def cmd_export(args) -> int:
     if args.output.endswith((".tif", ".tiff")):
         from raquet_spark.sources.geotiff import write_geotiff
 
-        info = write_geotiff(tiles, meta, args.output, bands=bands)
+        if getattr(args, "overviews", False):
+            # overview levels come from the stored pyramid: keep every
+            # zoom <= the export zoom in the frame
+            tiles = read_raquet(spark, args.file).where(
+                F.expr(qb.cell_to_zoom_sql("block", "spark")) <= zoom
+            )
+        info = write_geotiff(
+            tiles, meta, args.output, bands=bands,
+            compression=getattr(args, "compression", None),
+            include_overviews=getattr(args, "overviews", False),
+        )
         print(
             f"exported GeoTIFF {args.output} "
             f"({info['width']}x{info['height']}, {info['nbands']} band(s))"
@@ -372,7 +382,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--zoom", type=int, default=None, help="target zoom (default: auto from resolution)")
     s.add_argument("--block-size", type=int, default=256)
     s.add_argument("--min-zoom", type=int, default=None, help="also build overviews")
-    s.add_argument("--resampling", default="average")
+    s.add_argument("--resampling", default="average",
+                   help="overview build kernel (average/mode/...)")
+    s.add_argument("--warp-resampling", default="near",
+                   choices=["near", "bilinear", "cubic"],
+                   help="import warp kernel (reference --resampling)")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_geotiff)
 
@@ -394,6 +408,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated band names (default: all)")
     s.add_argument("--zoom", type=int, default=None,
                    help="export this zoom level (default: native max_zoom)")
+    s.add_argument("--compression", default=None, choices=["lzw", "deflate"],
+                   help="GeoTIFF strip compression (default: none)")
+    s.add_argument("--overviews", action="store_true",
+                   help="write lower zooms as GeoTIFF overview IFDs")
     s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("split-zoom", help="one directory per zoom level")

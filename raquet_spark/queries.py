@@ -460,10 +460,8 @@ def q12_ship_delay(d: str) -> str:
 SELECT CASE WHEN {delay} <= 30 THEN 'FAST'
             WHEN {delay} <= 90 THEN 'MEDIUM'
             ELSE 'SLOW' END AS delay_bucket,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       {dl.isum("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END", d)} AS high_line_count,
+       {dl.isum("CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END", d)} AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= o_orderdate
@@ -776,8 +774,8 @@ def qb_validity(d: str) -> str:
     cell = qb.tile_to_cell_sql("o_orderkey % 256", "(o_orderkey * 3) % 256", 8, d)
     return f"""
 SELECT o_orderkey % 10 AS grp,
-       CAST(SUM(CAST({qb.is_valid_cell_sql('cell', d)} AS INT)) AS BIGINT) AS n_valid,
-       CAST(SUM(CAST({qb.is_valid_cell_sql('(cell - 1)', d)} AS INT)) AS BIGINT) AS n_corrupt_valid
+       {dl.isum(f"CAST({qb.is_valid_cell_sql('cell', d)} AS INT)", d)} AS n_valid,
+       {dl.isum(f"CAST({qb.is_valid_cell_sql('(cell - 1)', d)} AS INT)", d)} AS n_corrupt_valid
 FROM (SELECT o_orderkey, {cell} AS cell FROM orders) t
 GROUP BY o_orderkey % 10
 """
@@ -982,6 +980,27 @@ def remote_fetch_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_export_tif(spark: SparkSession, compression: str | None = None) -> str:
+    """The synthetic raster exported once per Spark app as a striped
+    GeoTIFF (optionally LZW/deflate-compressed) — shared fixture for the
+    export-roundtrip / LZW-import / resampled-warp driver queries."""
+    import os
+    import tempfile
+
+    from raquet_spark.sources.geotiff import write_geotiff
+
+    key = (spark.sparkContext.applicationId, f"geotiff_rt_{compression}")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        tiles, meta = _make_raster(spark)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_gtiff_"), f"rt_{compression}.tif"
+        )
+        write_geotiff(tiles, meta, path, compression=compression)
+        _RASTER_CACHE[key] = path
+    return path
+
+
 def geotiff_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTIFF export round trip as a driver-checked query: tiles →
     distributed strip assembly → .tif on disk → independent IFD parse →
@@ -1000,12 +1019,7 @@ def geotiff_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame
 
     r = _R
     tiles, meta = _make_raster(spark)
-    key = (spark.sparkContext.applicationId, "geotiff_rt")
-    path = _RASTER_CACHE.get(key)
-    if path is None:
-        path = os.path.join(tempfile.mkdtemp(prefix="raquet_q_gtiff_"), "rt.tif")
-        write_geotiff(tiles, meta, path)
-        _RASTER_CACHE[key] = path
+    path = _cached_export_tif(spark)
     arr, _ = read_geotiff(path)
     h, w, _n = arr.shape
     gys, gxs = np.mgrid[0:h, 0:w]
@@ -1030,6 +1044,100 @@ def geotiff_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("band_1_mean", 6).alias("band_1_mean"),
         F.round("band_1_stddev", 6).alias("band_1_stddev"),
     )
+
+
+def geotiff_import_lzw_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZW GeoTIFF ingest end-to-end: synthetic tiles → LZW-compressed
+    striped GeoTIFF on disk (strip payloads lzw_encode'd executor-side)
+    → the full distributed import (tiff_reader segment decode with
+    lzw_decode, identity EPSG:3857 warp, re-tiling shuffle) → per-tile
+    stats. The import zoom/grid matches the export grid exactly, so the
+    oracle is the same closed-form pixel regeneration as
+    tile_stats_agg. Reference reads LZW via GDAL
+    (raster2raquet.py:872)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    r = _R
+    path = _cached_export_tif(spark, compression="lzw")
+    tiles, meta = geotiff_to_raquet(
+        spark, path, zoom=r["zoom"], block_size=r["bs"], dense=False, stats=False
+    )
+    stats = with_tile_stats(tiles, meta)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def warp_bilinear_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear import warp (reference: --resampling, cli.py:457) made
+    hash-exact: the synthetic z tiles are exported to GeoTIFF, then
+    re-imported one zoom DOWN with resampling='bilinear'. On an aligned
+    3857 grid every target center sits exactly between a 2×2 source
+    window (offsets ±0.5 → equal 0.25 weights), so the nodata-
+    renormalized bilinear blend equals the plain average of the valid
+    window pixels — which the oracle computes in closed form. Per-pixel
+    round(…, 3) absorbs the ~1e-9 fp noise of the generic inverse-
+    mapping math; sums aggregate as exact DECIMAL."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    r = _R
+    path = _cached_export_tif(spark)
+    tiles, _meta = geotiff_to_raquet(
+        spark,
+        path,
+        zoom=r["zoom"] - 1,
+        block_size=r["bs"],
+        resampling="bilinear",
+        dense=False,
+        stats=False,
+        compression=None,
+    )
+    px = tiles.select(
+        "block", F.explode(band_decode("band_1", "float32")).alias("v")
+    ).selectExpr("block", "round(v, 3) AS v")
+    return px.groupBy("block").agg(
+        F.expr("COUNT(v)").alias("band_1_count"),
+        F.expr("CAST(MIN(v) AS DOUBLE)").alias("band_1_min"),
+        F.expr("CAST(MAX(v) AS DOUBLE)").alias("band_1_max"),
+        F.expr("CAST(SUM(CAST(v AS DECIMAL(28, 6))) AS DOUBLE)").alias("band_1_sum"),
+        F.expr(
+            "round(CAST(SUM(CAST(v AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(v), 6)"
+        ).alias("band_1_mean"),
+    )
+
+
+def warp_bilinear_stats_oracle() -> str:
+    r = _R
+    cell = qb.tile_to_cell_sql(
+        f"g2x // {r['bs']}", f"g2y // {r['bs']}", r["zoom"] - 1, "duckdb"
+    )
+    return _duck_pixels() + f"""
+, tgt AS (
+  -- AVG ignores NULL: equal-weight bilinear with nodata renormalization
+  SELECT gx // 2 AS g2x, gy // 2 AS g2y, round(AVG(val), 3) AS v
+  FROM vals GROUP BY 1, 2
+)
+SELECT {cell} AS block,
+       COUNT(v) AS band_1_count,
+       CAST(MIN(v) AS DOUBLE) AS band_1_min,
+       CAST(MAX(v) AS DOUBLE) AS band_1_max,
+       CAST(SUM(CAST(v AS DECIMAL(28, 6))) AS DOUBLE) AS band_1_sum,
+       round(CAST(SUM(CAST(v AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(v), 6) AS band_1_mean
+FROM tgt
+GROUP BY 1
+"""
 
 
 def _region_cells() -> list[int]:
@@ -2721,24 +2829,48 @@ FROM reach GROUP BY node
 """
 
 
+_LSH_PLANT_OFFSET = 1_000_000
+
+
 def dedup_embedding_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: LSH-bucketed candidates +
-    exact cosine verify over the WHOLE corpus (no label blocking) —
-    rows-only check (approximate by construction; recall vs the exact
-    all-pairs is pytest-gated)."""
+    exact cosine verify over the WHOLE corpus (no label blocking).
+
+    Driver check: the corpus is the embeddings table plus an exact copy
+    of every 10th vector under ``vec_id + 1_000_000``. Identical vectors
+    collide in EVERY LSH table, so the planted pairs (id, id+1e6,
+    cos=1.0) are found deterministically — the oracle enumerates them in
+    closed form, making this a hash-exact recall gate (an escaped
+    planted pair would drop a row). Non-planted near-dup recall stays
+    pytest-gated (approximate by construction)."""
     from pyspark.sql import functions as F
 
     from raquet_spark.operators.dedup import embedding_dedup_pairs_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_dedup_pairs_lsh(
-        emb, threshold=0.8, n_bits=6, n_tables=16, dim=64
+    planted = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_LSH_PLANT_OFFSET)
     )
-    return pairs.select(
+    pairs = embedding_dedup_pairs_lsh(
+        emb.unionByName(planted), threshold=0.95, n_bits=6, n_tables=16, dim=64
+    )
+    return pairs.where(
+        F.col("id_b") == F.col("id_a") + F.lit(_LSH_PLANT_OFFSET)
+    ).select(
         F.col("id_a").alias("vec_a"),
         F.col("id_b").alias("vec_b"),
         F.round("cos_sim", 5).alias("cos_sim"),
     )
+
+
+def dedup_embedding_lsh_oracle() -> str:
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_a,
+       CAST(vec_id + {_LSH_PLANT_OFFSET} AS BIGINT) AS vec_b,
+       CAST(1.0 AS DOUBLE) AS cos_sim
+FROM embeddings
+WHERE vec_id % 10 = 0
+"""
 
 
 def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2884,8 +3016,10 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "raster_point_value": (raster_point_value_spark, raster_point_value_oracle),
     "remote_fetch_stats": (remote_fetch_stats_spark, tile_stats_agg_oracle),
     "geotiff_roundtrip_stats": (geotiff_roundtrip_stats_spark, tile_stats_agg_oracle),
+    "geotiff_import_lzw_stats": (geotiff_import_lzw_stats_spark, tile_stats_agg_oracle),
+    "warp_bilinear_stats": (warp_bilinear_stats_spark, warp_bilinear_stats_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
-    "dedup_embedding_lsh": (dedup_embedding_lsh_spark, None),
+    "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
     "sketch_user_reach": (sketch_user_reach_spark, None),
@@ -2893,59 +3027,67 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
 
 
 # Registration order exposed to the driver. The driver oracle-checks the
-# FIRST 50 registered queries each round, so never-yet-checked queries are
-# listed first, then queries whose fix needs driver confirmation, then the
-# long tail of queries already green on record (CORRECTNESS_r01/r02).
+# FIRST 50 registered queries each round. Round-4 policy (VERDICT r03
+# item 1): the 41 queries last driver-checked in r02 rotate to the front
+# so no query is ever more than one round stale, then this round's fixed
+# + new entries fill the window; the r03-green set takes the tail.
 _DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked through round 2: raster core ----------------
-    "tile_stats_agg",
-    "region_stats",
-    "region_stats_polygon",
-    "zonal_stats",
-    "suitable_cells",
-    "suitable_cells_detail",
-    "pyramid_pixel_stats",
-    "pyramid_stats_rollup",
-    "raster_upsample_stats",
-    "timeseries_stats",
-    "band_algebra_nd",
-    "tile_stats_interleaved",
-    "tile_stats_uint8",
-    "raster_join_diff",
-    "raster_histogram",
-    "raster_point_value",
-    "raquet_read_tiles",
-    # -- never driver-checked: joins / graph / ANN ------------------------
-    "dedup_components",
-    "dedup_cluster_sizes",
-    "dedup_prune",
-    "asof_join_events_orders",
-    "range_join_value_bands",
-    "ann_lsh",
-    "ann_ivf",
-    "sketch_user_reach",
-    # -- never driver-checked: LLM-pipeline text ops ----------------------
-    "stratified_sample",
-    "repetition_stats",
-    "decontaminate",
-    "gopher_quality",
-    "tfidf_top_terms",
-    "pii_scan",
-    "chunk_dedup",
-    "doc_chunking",
-    "source_quota",
-    "text_normalize",
-    "dataset_shuffle",
-    "length_percentiles",
-    "events_json_rollup",
-    # -- new this round: remote ingest + GeoTIFF round trip + LSH dedup ---
-    "remote_fetch_stats",
-    "geotiff_roundtrip_stats",
+    # -- stale since r02: quadbin --------------------------------------
+    "qb_tile_roundtrip",
+    "qb_parent_rollup",
+    "qb_point_cells",
+    "qb_cell_bounds",
+    "qb_children",
+    "qb_kring",
+    "qb_bbox_polyfill",
+    "qb_distance",
+    "qb_kring_distances",
+    # -- stale since r02: analytics core (D-series) ---------------------
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_part_suppliers",
+    "q21_exclusive_returns",
+    "q22_idle_customers",
+    "nation_revenue_share",
+    "customer_balance_deciles",
+    "orders_priority_rollup",
+    "topk_parts_per_brand",
+    "events_daily",
+    "events_moving_avg",
+    # -- stale since r02: LLM-pipeline ops ------------------------------
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "dedup_embedding",
+    "ann_topk",
+    "lang_id",
+    "doc_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "dataset_split",
+    # -- fixed this round: planted-dup LSH entry (was 0 rows at driver) -
     "dedup_embedding_lsh",
-    # -- fixed this round (integer-SUM BIGINT casts); need re-check -------
+    # -- routed through isum() this round; re-confirm -------------------
     "q12_ship_delay",
-    "events_sessionize",
     "qb_validity",
+    # -- new this round (registered as they land) -----------------------
+    "geotiff_import_lzw_stats",
+    "warp_bilinear_stats",
+    "netcdf_ingest_stats",
+    "geotiff_overview_roundtrip",
+    "geotiff_sharded_roundtrip",
+    "imageserver_auto_stats",
 ]
 
 

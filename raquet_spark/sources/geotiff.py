@@ -43,11 +43,26 @@ _T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII = 3, 4, 12, 2
 _SAMPLE_FORMAT = {"u": 1, "i": 2, "f": 3}
 
 
+def _compress_strip(data: bytes, tiff_compression: str | None) -> bytes:
+    if tiff_compression is None:
+        return data
+    if tiff_compression == "deflate":
+        import zlib
+
+        return zlib.compress(data, 6)
+    if tiff_compression == "lzw":
+        from raquet_spark.sources.lzw import lzw_encode
+
+        return lzw_encode(data)
+    raise ValueError(f"unsupported TIFF compression {tiff_compression!r}")
+
+
 def strip_table(
     df: DataFrame,
     metadata: dict,
     bands: list[str] | None = None,
     extent: tuple[int, int, int, int] | None = None,
+    tiff_compression: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Distributed strip assembly.
 
@@ -102,8 +117,12 @@ def strip_table(
             for bi, (name, bt, _) in enumerate(binfo):
                 tile = decode_block(row[name], bt).reshape(bh, bw)
                 arr[:, ox : ox + bw, bi] = tile
-        # little-endian on disk regardless of host order
-        data = arr.astype(dt.newbyteorder("<"), copy=False).tobytes()
+        # little-endian on disk regardless of host order; strip payloads
+        # are compressed HERE, executor-side — the driver only streams
+        # ready bytes, same funnel shape as the uncompressed path
+        data = _compress_strip(
+            arr.astype(dt.newbyteorder("<"), copy=False).tobytes(), tiff_compression
+        )
         return pd.DataFrame({"strip": [int(qy) - y0], "data": [data]})
 
     strips = (
@@ -136,39 +155,21 @@ def _ifd_entry(tag: int, typ: int, count: int, value_or_offset: int) -> bytes:
     return struct.pack("<HHII", tag, typ, count, value_or_offset)
 
 
-def write_geotiff(
-    df: DataFrame,
+_COMP_TAG = {None: 1, "lzw": 5, "deflate": 8}
+
+
+def _level_entries(
+    info: dict,
     metadata: dict,
-    path: str,
-    bands: list[str] | None = None,
-) -> dict:
-    """Write RaQuet tiles (at ``metadata``'s max zoom) to ``path`` as an
-    uncompressed striped GeoTIFF. Returns the geometry info dict.
-
-    Strip payloads arrive from executors via ``toLocalIterator`` in
-    strip order; tile rows absent from the data are emitted as nodata
-    strips so offsets stay uniform. Parity target:
-    /root/reference/raquet/raquet2geotiff.py:84-277 (minus overviews —
-    RaQuet pyramid levels already are the overview pyramid)."""
-    if metadata.get("band_layout") == "interleaved":
-        # BIP pixels column → per-band columns first (map-only)
-        from raquet_spark.operators.layout import to_sequential
-
-        df, metadata = to_sequential(df, metadata, compression=None)
-    strips_df, info = strip_table(df, metadata, bands)
+    comp_tag: int,
+    offsets: list[int],
+    counts: list[int],
+    is_overview: bool,
+) -> list[tuple[int, int, int, bytes | int]]:
+    """IFD entries for one resolution level (primary or overview)."""
     dt = np.dtype(DTYPES[info["band_type"]])
-    strip_size = info["rows_per_strip"] * info["width"] * info["nbands"] * dt.itemsize
-    n_strips = info["n_strips"]
-    data_start = 8
-    offsets = [data_start + i * strip_size for i in range(n_strips)]
-    ifd_offset = data_start + n_strips * strip_size
-
-    nodata_ascii = (
-        b"" if info["nodata"] is None else (repr(info["nodata"]).encode() + b"\x00")
-    )
-
-    # --- build IFD + external arrays (placed after the IFD entries) ----
     nbands = info["nbands"]
+    n_strips = info["n_strips"]
     bits = dt.itemsize * 8
     sample_fmt = _SAMPLE_FORMAT[dt.kind]
 
@@ -199,28 +200,43 @@ def write_geotiff(
         colormap = b"".join(
             struct.pack("<H", v) for chan in chans for v in chan
         )
+    nodata_ascii = (
+        b"" if info["nodata"] is None else (repr(info["nodata"]).encode() + b"\x00")
+    )
 
     entries: list[tuple[int, int, int, bytes | int]] = [
         (256, _T_LONG, 1, info["width"]),
         (257, _T_LONG, 1, info["height"]),
         (258, _T_SHORT, nbands, b"".join(struct.pack("<H", bits) for _ in range(nbands))),
-        (259, _T_SHORT, 1, 1),  # no compression
+        (259, _T_SHORT, 1, comp_tag),
         (262, _T_SHORT, 1, 3 if colormap else 1),  # palette / BlackIsZero
         (273, _T_LONG, n_strips, b"".join(struct.pack("<I", o) for o in offsets)),
         (277, _T_SHORT, 1, nbands),
         (278, _T_LONG, 1, info["rows_per_strip"]),
-        (279, _T_LONG, n_strips, b"".join(struct.pack("<I", strip_size) for _ in range(n_strips))),
+        (279, _T_LONG, n_strips, b"".join(struct.pack("<I", c) for c in counts)),
         (284, _T_SHORT, 1, 1),  # contiguous (pixel-interleaved)
         (339, _T_SHORT, nbands, b"".join(struct.pack("<H", sample_fmt) for _ in range(nbands))),
         (33550, _T_DOUBLE, 3, struct.pack("<3d", *pixel_scale)),
         (33922, _T_DOUBLE, 6, struct.pack("<6d", *tiepoint)),
         (34735, _T_SHORT, len(geokey_shorts), b"".join(struct.pack("<H", v) for v in geokey_shorts)),
     ]
+    if is_overview:
+        # NewSubfileType = reduced-resolution image (TIFF overview IFD)
+        entries.append((254, _T_LONG, 1, 1))
     if colormap:
         entries.append((320, _T_SHORT, 768, colormap))
     if nodata_ascii:
         entries.append((42113, _T_ASCII, len(nodata_ascii), nodata_ascii))
+    return entries
 
+
+def _pack_ifd(
+    entries: list[tuple[int, int, int, bytes | int]],
+    ifd_offset: int,
+    next_ifd: int,
+) -> bytes:
+    """Serialize one IFD at ``ifd_offset`` with its external values
+    placed immediately after the entry table."""
     ifd_head = struct.pack("<H", len(entries))
     ifd_body = b""
     external = b""
@@ -233,38 +249,190 @@ def write_geotiff(
         else:
             ifd_body += _ifd_entry(tag, typ, count, ext_offset + len(external))
             external += val
-    ifd = ifd_head + ifd_body + struct.pack("<I", 0) + external
+    return ifd_head + ifd_body + struct.pack("<I", next_ifd) + external
 
-    fill_strip = np.full(
-        info["rows_per_strip"] * info["width"] * nbands, info["fill"], dtype=dt
-    ).astype(dt.newbyteorder("<"), copy=False).tobytes()
+
+def _ifd_size(entries: list[tuple[int, int, int, bytes | int]]) -> int:
+    size = 2 + len(entries) * 12 + 4
+    for _, typ, count, val in entries:
+        if isinstance(val, bytes) and len(val) > 4:
+            size += len(val)
+    return size
+
+
+def write_geotiff(
+    df: DataFrame,
+    metadata: dict,
+    path: str,
+    bands: list[str] | None = None,
+    compression: str | None = None,
+    include_overviews: bool = False,
+) -> dict:
+    """Write RaQuet tiles (at ``metadata``'s max zoom) to ``path`` as a
+    striped GeoTIFF; ``compression`` is None, "lzw" or "deflate"
+    (compressed executor-side in the strip assembly). Returns the
+    geometry info dict.
+
+    ``include_overviews=True`` additionally writes every lower zoom
+    level present in ``df`` as a chained reduced-resolution overview IFD
+    (RaQuet pyramid levels ARE the overview pyramid), mirroring the
+    reference's ``include_overviews``
+    (/root/reference/raquet/raquet2geotiff.py:363).
+
+    Strip payloads arrive from executors via ``toLocalIterator`` in
+    strip order; tile rows absent from the data are emitted as nodata
+    strips. The IFD chain is written after the pixel data, so strip
+    sizes may vary (compression) without driver buffering. Parity
+    target: /root/reference/raquet/raquet2geotiff.py:84-277."""
+    import copy
+
+    if metadata.get("band_layout") == "interleaved":
+        # BIP pixels column → per-band columns first (map-only)
+        from raquet_spark.operators.layout import to_sequential
+
+        df, metadata = to_sequential(df, metadata, compression=None)
+    comp_tag = _COMP_TAG[compression]
+    z = metadata["tiling"]["max_zoom"]
+    zoom_col = F.expr(qb.cell_to_zoom_sql("block", "spark"))
+    base = df.where(F.col("block") != 0).withColumn("_z", zoom_col)
+
+    levels = [z]
+    if include_overviews:
+        # one tiny distinct over tile keys; RaQuet stores the pyramid in
+        # the same table, so lower zooms are the overview levels
+        avail = sorted(
+            {int(r["_z"]) for r in base.select("_z").distinct().collect()},
+            reverse=True,
+        )
+        levels += [lv for lv in avail if lv < z]
+
+    # main-level tile extent anchors every overview level (>> shift), so
+    # all levels cover the same geographic window
+    main = base.where(F.col("_z") == z).drop("_z")
+    ext_row = qb.with_tile(main, "block").agg(
+        F.min("qb_x"), F.min("qb_y"), F.max("qb_x"), F.max("qb_y")
+    ).first()
+    if ext_row is None or ext_row[0] is None:
+        raise ValueError("no tiles at max zoom to export")
+    x0, y0, x1, y1 = (int(v) for v in ext_row)
+
+    per_level: list[dict] = []
+    for lv in levels:
+        dz = z - lv
+        meta_lv = copy.deepcopy(metadata)
+        meta_lv["tiling"]["max_zoom"] = lv
+        lv_df = base.where(F.col("_z") == lv).drop("_z")
+        strips_df, info = strip_table(
+            lv_df,
+            meta_lv,
+            bands,
+            extent=(x0 >> dz, y0 >> dz, x1 >> dz, y1 >> dz),
+            tiff_compression=compression,
+        )
+        per_level.append({"level": lv, "strips": strips_df, "info": info})
+
+    if compression is None:
+        total = 8
+        for pl in per_level:
+            i = pl["info"]
+            dt = np.dtype(DTYPES[i["band_type"]])
+            total += i["n_strips"] * i["rows_per_strip"] * i["width"] * i["nbands"] * dt.itemsize
+        if total > 0xFFFFFFFF:
+            # classic TIFF stores 32-bit offsets; fail fast BEFORE
+            # streaming strips, not with a struct.error over a
+            # half-written file
+            raise ValueError(
+                f"raster payload {total} bytes exceeds the classic-TIFF "
+                "4GB offset limit; export a lower zoom or a band subset"
+            )
 
     with open(path, "wb") as f:
-        f.write(b"II*\x00" + struct.pack("<I", ifd_offset))
-        expected = 0
-        for row in strips_df.orderBy("strip").toLocalIterator():
-            while expected < row["strip"]:  # tile rows with no tiles
-                f.write(fill_strip)
+        f.write(b"II*\x00" + struct.pack("<I", 0))  # IFD offset patched below
+        pos = 8
+
+        for pl in per_level:
+            info = pl["info"]
+            dt = np.dtype(DTYPES[info["band_type"]])
+            strip_size = (
+                info["rows_per_strip"] * info["width"] * info["nbands"] * dt.itemsize
+            )
+            fill_strip = _compress_strip(
+                np.full(
+                    info["rows_per_strip"] * info["width"] * info["nbands"],
+                    info["fill"],
+                    dtype=dt,
+                )
+                .astype(dt.newbyteorder("<"), copy=False)
+                .tobytes(),
+                compression,
+            )
+            offsets: list[int] = []
+            counts: list[int] = []
+
+            def put(data: bytes) -> None:
+                nonlocal pos
+                if pos + len(data) > 0xFFFFFFFF:
+                    raise ValueError(
+                        "compressed raster payload exceeds the classic-TIFF "
+                        "4GB offset limit; export a lower zoom or band subset"
+                    )
+                offsets.append(pos)
+                counts.append(len(data))
+                f.write(data)
+                pos += len(data)
+
+            expected = 0
+            n_strips = info["n_strips"]
+            for row in pl["strips"].orderBy("strip").toLocalIterator():
+                while expected < row["strip"]:  # tile rows with no tiles
+                    put(fill_strip)
+                    expected += 1
+                data = bytes(row["data"])
+                if compression is None:
+                    assert len(data) == strip_size
+                put(data)
                 expected += 1
-            data = bytes(row["data"])
-            assert len(data) == strip_size
-            f.write(data)
-            expected += 1
-        while expected < n_strips:
-            f.write(fill_strip)
-            expected += 1
-        f.write(ifd)
+            while expected < n_strips:
+                put(fill_strip)
+                expected += 1
+            pl["offsets"], pl["counts"] = offsets, counts
+
+        # --- chained IFDs (primary, then one per overview level) -------
+        first_ifd = pos
+        all_entries = [
+            _level_entries(
+                pl["info"], metadata, comp_tag, pl["offsets"], pl["counts"],
+                is_overview=(k > 0),
+            )
+            for k, pl in enumerate(per_level)
+        ]
+        for k, entries in enumerate(all_entries):
+            next_ifd = (
+                pos + _ifd_size(entries) if k + 1 < len(all_entries) else 0
+            )
+            ifd = _pack_ifd(entries, pos, next_ifd)
+            f.write(ifd)
+            pos += len(ifd)
+        f.seek(4)
+        f.write(struct.pack("<I", first_ifd))
+
+    info = per_level[0]["info"]
+    if include_overviews:
+        info["overviews"] = [
+            {"level": pl["level"], **pl["info"]} for pl in per_level[1:]
+        ]
     return info
 
 
-def read_geotiff(path: str) -> tuple[np.ndarray, dict]:
+def read_geotiff(path: str, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     """Minimal TIFF reader for round-trip verification (independent of
-    the writer's buffers — parses the IFD from disk). Returns
+    the writer's buffers — parses the IFD from disk). ``ifd_index``
+    selects an overview level (0 = full resolution). Returns
     ``(array[h, w, nbands], tags)`` where ``tags`` includes the decoded
     GeoTIFF placement."""
     with open(path, "rb") as f:
         raw = f.read()
-    return parse_tiff(raw)
+    return parse_tiff(raw, ifd_index)
 
 
 def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
@@ -303,22 +471,51 @@ def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
     return tags
 
 
-def parse_tiff(raw: bytes) -> tuple[np.ndarray, dict]:
-    """Parse classic little-endian striped TIFF bytes (uncompressed) —
-    also the decoder for remote tile responses in ``sources/remote.py``
-    (the reference fetches ImageServer tiles as TIFF,
-    imageserver.py:399-420, and reads them with rasterio). For
-    real-world files (deflate, tiled, palette) use
+def ifd_offsets(raw: bytes) -> list[int]:
+    """Offsets of every IFD in the chain (primary + overview levels)."""
+    if raw[:2] != b"II" or struct.unpack("<H", raw[2:4])[0] != 42:
+        raise ValueError("not a little-endian classic TIFF")
+    out = []
+    off = struct.unpack("<I", raw[4:8])[0]
+    while off:
+        out.append(off)
+        (n_entries,) = struct.unpack_from("<H", raw, off)
+        (off,) = struct.unpack_from("<I", raw, off + 2 + n_entries * 12)
+    return out
+
+
+def parse_tiff(raw: bytes, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
+    """Parse classic little-endian striped TIFF bytes (none/LZW/deflate
+    strips) — also the decoder for remote tile responses in
+    ``sources/remote.py`` (the reference fetches ImageServer tiles as
+    TIFF, imageserver.py:399-420, and reads them with rasterio).
+    ``ifd_index`` selects an overview level (0 = full resolution). For
+    real-world files (tiled layout, predictors) use
     ``sources/tiff_reader.py``."""
-    tags = read_ifd(raw)
+    offs = ifd_offsets(raw)
+    tags = read_ifd(raw, offs[ifd_index])
     width, height = tags[256][0], tags[257][0]
     nbands = tags[277][0]
     bits, fmt = tags[258][0], tags.get(339, (1,))[0]
     kind = {1: "u", 2: "i", 3: "f"}[fmt]
     dt = np.dtype(f"<{kind}{bits // 8}")
     rows_per_strip = tags[278][0]
+    compression = tags.get(259, (1,))[0]
+
+    def strip_bytes(off: int, cnt: int) -> bytes:
+        buf = raw[off : off + cnt]
+        if compression in (8, 32946):
+            import zlib
+
+            return zlib.decompress(buf)
+        if compression == 5:
+            from raquet_spark.sources.lzw import lzw_decode
+
+            return lzw_decode(buf)
+        return buf
+
     parts = [
-        np.frombuffer(raw, dtype=dt, count=cnt // dt.itemsize, offset=off)
+        np.frombuffer(strip_bytes(off, cnt), dtype=dt)
         for off, cnt in zip(tags[273], tags[279])
     ]
     arr = np.concatenate(parts).reshape(height, width, nbands)

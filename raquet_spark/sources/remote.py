@@ -52,6 +52,9 @@ def cells_for_bounds(
         return min(max(int((lon / 360.0 + 0.5) * m), 0), m - 1)
 
     def ty(lat: float) -> int:
+        # Mercator is undefined at the poles; clamp like mercantile and
+        # find_minzoom (core/metadata.py) so bboxes touching ±90 work.
+        lat = min(max(lat, -85.051128779806), 85.051128779806)
         s = math.sin(math.radians(lat))
         yf = 0.5 - 0.25 * math.log((1.0 + s) / (1.0 - s)) / math.pi
         return min(max(int(yf * m), 0), m - 1)
@@ -211,7 +214,13 @@ def fetch_tiles(
                             time.sleep(retry_delay * attempt)
                 if not raw or len(raw) < 8:
                     continue  # unfetchable/empty tile -> partial coverage
-                pixels = decoder(raw)
+                try:
+                    pixels = decoder(raw)
+                except Exception:
+                    # Truncated body or an HTTP-200 HTML/JSON error page
+                    # (common for ImageServer): drop the one tile, keep
+                    # the documented partial-coverage contract.
+                    continue
                 out["block"].append(int(row["block"]))
                 for bi, (name, btype) in enumerate(band_meta):
                     out[name].append(encode_block(pixels[bi].ravel(), btype, compression))

@@ -43,6 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from raquet_spark.sources.lzw import lzw_decode
+
 from raquet_spark.core.metadata import BandMeta, build_metadata
 from raquet_spark.sources.geotiff import read_ifd
 
@@ -95,12 +97,22 @@ def _projection(keys: dict) -> dict | None:
         }
     if ct not in (_CT_ALBERS, _CT_LCC_2SP):
         return None
+    # A user-defined AEA/LCC without its standard parallels / origin
+    # would silently warp to wrong coordinates under any default — fail
+    # fast instead of guessing.
+    missing = [k for k in (3078, 3079, 3081) if k not in keys]
+    if missing:
+        raise ValueError(
+            f"user-defined projected CRS is missing GeoKeys {missing} "
+            "(ProjStdParallel1/2, ProjNatOriginLat); cannot derive the "
+            "projection parameters"
+        )
     return {
         "type": "aea" if ct == _CT_ALBERS else "lcc",
-        "sp1": float(keys.get(3078, 29.5)),
-        "sp2": float(keys.get(3079, 45.5)),
+        "sp1": float(keys[3078]),
+        "sp2": float(keys[3079]),
         "lon0": float(keys.get(3080, 0.0)),
-        "lat0": float(keys.get(3081, 0.0)),
+        "lat0": float(keys[3081]),
         "fe": float(keys.get(3082, 0.0)),
         "fn": float(keys.get(3083, 0.0)),
         "a": float(keys.get(2057, 6378137.0)),
@@ -123,9 +135,9 @@ def read_tiff_structure(path: str) -> dict:
     fmt = tags.get(339, (1,) * spp)[0]
     dtype = np.dtype(f"<{_KIND[fmt]}{bits[0] // 8}")
     compression = tags.get(259, (1,))[0]
-    if compression not in (1, 8, 32946):
+    if compression not in (1, 5, 8, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} (only none/deflate supported)"
+            f"TIFF compression {compression} (only none/LZW/deflate supported)"
         )
     planar = tags.get(284, (1,))[0]
     if planar != 1 and spp > 1:
@@ -243,6 +255,8 @@ def tiff_pixel_table(
                     buf = f.read(cnt)
                     if compression in (8, 32946):
                         buf = zlib.decompress(buf)
+                    elif compression == 5:
+                        buf = lzw_decode(buf)
                     arr = np.frombuffer(buf, dtype=dtype)
                     # segment pixel origin and true extent
                     if tiled:
@@ -672,6 +686,137 @@ def _lonlat_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
     raise NotImplementedError(f"CRS EPSG:{info['epsg']}")
 
 
+_CUBIC_A = -0.5  # Catmull-Rom, GDAL's cubic kernel
+
+
+def _kernel_sql(d: str, resampling: str) -> str:
+    """Separable resampling kernel weight as a SQL expression of the
+    signed source-grid offset ``d``."""
+    t = f"abs({d})"
+    if resampling == "bilinear":
+        return f"(1.0D - {t})"
+    if resampling == "cubic":
+        # a=-0.5: |t|<=1 -> 1.5t^3 - 2.5t^2 + 1 ; 1<|t|<2 -> -0.5t^3 + 2.5t^2 - 4t + 2
+        return (
+            f"(CASE WHEN {t} <= 1.0D THEN ((1.5D * {t} - 2.5D) * {t} * {t} + 1.0D)"
+            f" ELSE ((((-0.5D) * {t} + 2.5D) * {t} - 4.0D) * {t} + 2.0D) END)"
+        )
+    raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def _resampled_pixels(
+    spark: SparkSession,
+    px: DataFrame,
+    info: dict,
+    z: int,
+    block_size: int,
+    resampling: str,
+    tile_ext: tuple[int, int, int, int],
+) -> DataFrame:
+    """Target-driven warp for ``bilinear``/``cubic`` import resampling
+    (reference: --resampling, /root/reference/raquet/cli.py:457).
+
+    The covering target pixel grid is generated distributed
+    (``spark.range`` over the tile-aligned extent), each target center
+    is inverse-mapped to fractional SOURCE sample coordinates in
+    closed form, the 2×2 (bilinear) / 4×4 (cubic) neighborhood indices
+    are exploded, and one equi-join on (sx, sy) gathers the samples —
+    candidate volume is 4×/16× the OUTPUT size, never source×target.
+    Nodata samples drop out of the blend and the kernel renormalizes
+    (GDAL's masked-resampling behavior). Requires an analytic
+    mercator→source inverse, i.e. EPSG:4326 or EPSG:3857 sources."""
+    if info["epsg"] not in (4326, 3857):
+        raise NotImplementedError(
+            f"resampling={resampling!r} needs an analytic inverse transform; "
+            f"EPSG:{info['epsg']} imports support resampling='near' only"
+        )
+    ox, a, b, oy, c, d = info["transform"]
+    det = a * d - b * c
+    if det == 0:
+        raise ValueError("singular geotransform")
+    tx0, ty0, tx1, ty1 = tile_ext
+    bs = block_size
+    gx0, gy0 = tx0 * bs, ty0 * bs
+    npx, npy = (tx1 - tx0 + 1) * bs, (ty1 - ty0 + 1) * bs
+    world = float((1 << z) * bs)
+
+    tgt = spark.range(npx * npy).selectExpr(
+        f"{gx0} + id % {npx} AS gx", f"{gy0} + id DIV {npx} AS gy"
+    )
+    # target pixel center -> web-mercator meters
+    cmx = f"((gx + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT} - {_ORIGIN_SHIFT})"
+    cmy = f"({_ORIGIN_SHIFT} - (gy + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT})"
+    if info["epsg"] == 4326:
+        mox = f"({cmx} / {_ORIGIN_SHIFT} * 180.0D)"
+        moy = f"degrees(2.0D * atan(exp({cmy} / {_EARTH_R})) - {math.pi / 2.0})"
+    else:
+        mox, moy = cmx, cmy
+    # fractional source sample coords (sample i's center sits at i + 0.5)
+    u, v = f"({mox} - {ox})", f"({moy} - {oy})"
+    tgt = tgt.selectExpr(
+        "gx",
+        "gy",
+        f"({d} * {u} - {b} * {v}) / {det} AS fsx",
+        f"({-c} * {u} + {a} * {v}) / {det} AS fsy",
+    )
+    lo, hi = (0, 1) if resampling == "bilinear" else (-1, 2)
+    contrib = (
+        tgt.selectExpr(
+            "gx", "gy", "fsx", "fsy",
+            f"CAST(floor(fsx - 0.5D) AS BIGINT) AS ibx",
+            f"explode(sequence({lo}, {hi})) AS kx",
+        )
+        .selectExpr(
+            "gx", "gy", "fsx", "fsy", "ibx + kx AS sxn",
+            f"explode(sequence({lo}, {hi})) AS ky",
+        )
+        .selectExpr(
+            "gx", "gy", "fsx", "fsy", "sxn",
+            "CAST(floor(fsy - 0.5D) AS BIGINT) + ky AS syn",
+        )
+        .where(
+            f"sxn >= 0 AND sxn < {info['width']} AND syn >= 0 AND syn < {info['height']}"
+        )
+        .selectExpr(
+            "gx", "gy", "sxn", "syn",
+            f"{_kernel_sql('fsx - (sxn + 0.5D)', resampling)}"
+            f" * {_kernel_sql('fsy - (syn + 0.5D)', resampling)} AS w",
+        )
+    )
+    n_bands = info["n_bands"]
+    band_cols = [f"band_{i + 1}" for i in range(n_bands)]
+    src = px.selectExpr("sx AS sxn", "sy AS syn", *band_cols)
+    joined = contrib.join(src, ["sxn", "syn"])
+    nodata = info["nodata"]
+    aggs = []
+    int_out = np.dtype(info["dtype"]).kind in "iu"
+    for bcol in band_cols:
+        valid = "TRUE" if nodata is None else f"NOT ({bcol} <=> CAST({nodata} AS DOUBLE))"
+        num = f"SUM(CASE WHEN {valid} THEN w * {bcol} END)"
+        den = f"SUM(CASE WHEN {valid} THEN w END)"
+        blend = f"CASE WHEN {den} <> 0.0D THEN {num} / {den} END"
+        if int_out:
+            blend = f"round({blend})"  # GDAL rounds for integer bands
+        aggs.append(F.expr(blend).alias(bcol))
+    blended = joined.groupBy("gx", "gy").agg(*aggs)
+    # a target pixel every band of which saw only nodata has no source
+    # information — drop it (matching the near path's sparse output);
+    # partially-valid pixels keep per-band nodata fills
+    blended = blended.where(
+        " OR ".join(f"{b} IS NOT NULL" for b in band_cols)
+    )
+    if nodata is not None:
+        blended = blended.select(
+            "gx",
+            "gy",
+            *[
+                F.coalesce(F.col(b), F.lit(float(nodata))).alias(b)
+                for b in band_cols
+            ],
+        )
+    return blended
+
+
 def geotiff_to_raquet(
     spark: SparkSession,
     path: str,
@@ -681,6 +826,7 @@ def geotiff_to_raquet(
     stats: bool = True,
     zoom_strategy: str = "upper",
     dense: bool = True,
+    resampling: str = "near",
 ) -> tuple[DataFrame, dict]:
     """Read a real GeoTIFF and produce (tiles, metadata) on the
     web-mercator RaQuet grid — raster2raquet's convert path, one
@@ -690,6 +836,24 @@ def geotiff_to_raquet(
     info = read_tiff_structure(path)
     z = zoom if zoom is not None else _pick_zoom(info, block_size, zoom_strategy)
     px = tiff_pixel_table(spark, info)
+
+    # bounds = covering-tile extent at the target zoom (tile-aligned,
+    # like the reference's union of mercantile tile bounds); the corner
+    # min/max handles bottom-up files (positive y step, e.g. n37_w123's
+    # ModelTransformation) and rotated projected corners (AEA)
+    (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
+        _lonlat_corners(info), z
+    )
+
+    if resampling != "near":
+        pixels = _resampled_pixels(
+            spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1)
+        )
+        return _assemble_tiles(
+            spark, pixels, info, z, block_size, compression, stats, dense,
+            (w, s, e, n), (tx0, ty0, tx1, ty1),
+        )
+
     if info["epsg"] == 3857:
         ox, sxr, rxr, oy, ryr, syr = info["transform"]
         px = px.withColumn(
@@ -744,14 +908,28 @@ def geotiff_to_raquet(
     pixels = agg.select(
         "gx", "gy", *[F.col(f"_best.{b}").alias(b) for b in band_cols]
     )
-
-    # bounds = covering-tile extent at the target zoom (tile-aligned,
-    # like the reference's union of mercantile tile bounds); the corner
-    # min/max handles bottom-up files (positive y step, e.g. n37_w123's
-    # ModelTransformation) and rotated projected corners (AEA)
-    (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
-        _lonlat_corners(info), z
+    return _assemble_tiles(
+        spark, pixels, info, z, block_size, compression, stats, dense,
+        (w, s, e, n), (tx0, ty0, tx1, ty1),
     )
+
+
+def _assemble_tiles(
+    spark: SparkSession,
+    pixels: DataFrame,
+    info: dict,
+    z: int,
+    block_size: int,
+    compression: str | None,
+    stats: bool,
+    dense: bool,
+    bounds: tuple[float, float, float, float],
+    tile_ext: tuple[int, int, int, int],
+) -> tuple[DataFrame, dict]:
+    """Warped (gx, gy, band_*) pixels → (tiles, metadata): shared tail
+    of the nearest and bilinear/cubic import paths."""
+    w, s, e, n = bounds
+    tx0, ty0, tx1, ty1 = tile_ext
 
     # GDAL-style color interpretation, as the reference records it:
     # palette > gray (single band) > RGB(A)

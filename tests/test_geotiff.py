@@ -131,3 +131,84 @@ def test_geotiff_from_interleaved_layout(spark, tmp_path):
     for bi, band in enumerate(["band_1", "band_2", "band_3"]):
         mosaic, _ = to_numpy_mosaic(tiles, meta, band)
         np.testing.assert_array_equal(arr[:, :, bi].astype("f8"), mosaic)
+
+
+@pytest.mark.parametrize("compression", ["lzw", "deflate"])
+def test_geotiff_export_compressed(spark, raster, tmp_path, compression):
+    """LZW/deflate strip compression (executor-side) decodes back to the
+    exact uncompressed pixels; tag 259 records the codec."""
+    from raquet_spark.sources.geotiff import read_ifd
+
+    tiles, meta = raster
+    plain = str(tmp_path / "plain.tif")
+    comp = str(tmp_path / f"{compression}.tif")
+    write_geotiff(tiles, meta, plain)
+    write_geotiff(tiles, meta, comp, compression=compression)
+
+    a0, _ = read_geotiff(plain)
+    a1, _ = read_geotiff(comp)
+    np.testing.assert_array_equal(a0, a1)
+    raw = open(comp, "rb").read()
+    assert read_ifd(raw)[259][0] == {"lzw": 5, "deflate": 8}[compression]
+    # the point of compressing: the file actually shrank
+    import os
+    assert os.path.getsize(comp) < os.path.getsize(plain)
+
+
+def test_geotiff_overview_ifds(spark, tmp_path):
+    """include_overviews chains the RaQuet pyramid levels as
+    reduced-resolution IFDs (reference: raquet2geotiff.py:363); each
+    level parses back to the same pixels as the pyramid tiles."""
+    from raquet_spark.operators.pyramid import build_levels_blocked
+    from raquet_spark.sources.geotiff import ifd_offsets, read_ifd
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=6, tiles_x=4, tiles_y=2, origin_x=16, origin_y=20,
+        block_size=16, dtype="float32", nodata=-1.0, nodata_every=7,
+    )
+    levels = build_levels_blocked(tiles, meta, 6, 4, "average")
+    full = tiles.unionByName(levels)
+    path = str(tmp_path / "ovr.tif")
+    info = write_geotiff(full, meta, path, include_overviews=True)
+    assert [o["level"] for o in info["overviews"]] == [5, 4]
+
+    raw = open(path, "rb").read()
+    offs = ifd_offsets(raw)
+    assert len(offs) == 3
+    # overview IFDs carry NewSubfileType=1; the primary does not
+    assert 254 not in read_ifd(raw, offs[0])
+    assert read_ifd(raw, offs[1])[254][0] == 1
+
+    import copy
+
+    from raquet_spark.functions import quadbin as qb
+
+    for idx, z in enumerate([6, 5, 4]):
+        arr, geo = read_geotiff(path, ifd_index=idx)
+        meta_z = copy.deepcopy(meta)
+        meta_z["tiling"]["max_zoom"] = z
+        zdf = qb.with_tile(full, "block").where(f"qb_z = {z}").drop(
+            "qb_x", "qb_y", "qb_z"
+        )
+        mosaic, _ = to_numpy_mosaic(zdf, meta_z, "band_1")
+        assert arr.shape[0] == mosaic.shape[0] and arr.shape[1] == mosaic.shape[1]
+        np.testing.assert_array_equal(arr[:, :, 0].astype("f8"), mosaic)
+        # georeferencing: pixel scale doubles per level, same UL corner
+        tile_m = 2.0 * _ORIGIN_SHIFT / (1 << z)
+        assert geo["pixel_scale"][0] == pytest.approx(tile_m / 16)
+        assert geo["tiepoint"][3] == pytest.approx(
+            -_ORIGIN_SHIFT + (16 >> (6 - z)) * tile_m
+        )
+
+
+def test_geotiff_4gb_guard(spark, raster):
+    """Payloads past the classic-TIFF 32-bit offset range fail fast with
+    a clear error, before any bytes stream."""
+    tiles, meta = raster
+    import copy
+    big = copy.deepcopy(meta)
+    # pretend tiles are 2^16 px wide: 3 tiles x 64k x 32 rows x f4 ≈ 24 GB
+    big["tiling"]["block_width"] = 1 << 16
+    big["tiling"]["block_height"] = 1 << 15
+    with pytest.raises(ValueError, match="4GB"):
+        write_geotiff(tiles, big, "/tmp/never_written.tif")

@@ -735,3 +735,211 @@ def test_warp_sinusoidal_end_to_end(spark, tmp_path):
         for r in qb.with_tile(tiles.where("block != 0"), "block").collect()
     }
     assert (tx, ty) in blocks
+
+
+# ---------------------------------------------------------------- LZW --
+
+
+def test_lzw_golden_vector():
+    """TIFF 6.0 spec section-13 worked example: 7 7 7 8 8 7 7 6 6
+    compresses to the 9-bit code stream 256,7,258,8,8,258,6,6,257."""
+    from raquet_spark.sources.lzw import lzw_decode, lzw_encode
+
+    raw = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    expected = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert lzw_encode(raw) == expected
+    assert lzw_decode(expected) == raw
+
+
+def test_lzw_roundtrip_width_boundaries():
+    """Roundtrips across the 9→10→11→12-bit width bumps and the 4094
+    table reset (incompressible random data resets many times)."""
+    from raquet_spark.sources.lzw import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(7)
+    for data in [
+        rng.integers(0, 256, 150_000, dtype=np.uint8).tobytes(),  # resets
+        (np.arange(300_000) % 251).astype("<i2").tobytes(),  # raster-like
+        b"",
+        b"\x00" * 70_000,  # max-compressible long runs
+    ]:
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def _recompress_tiff_lzw(raw: bytes) -> bytes:
+    """Rewrite an uncompressed striped classic TIFF as LZW: append the
+    compressed strips + new offset/count arrays, patch tags 259/273/279
+    in place. Test-only fixture builder (no LZW-compressed file ships
+    with the reference; GDAL would produce one)."""
+    import struct
+
+    from raquet_spark.sources.lzw import lzw_encode
+
+    out = bytearray(raw)
+    ifd_off = struct.unpack("<I", raw[4:8])[0]
+    (n_entries,) = struct.unpack_from("<H", raw, ifd_off)
+    entries = {}
+    for i in range(n_entries):
+        pos = ifd_off + 2 + i * 12
+        tag, typ, count, val = struct.unpack_from("<HHII", raw, pos)
+        entries[tag] = (pos, typ, count, val)
+
+    def read_longs(tag):
+        pos, typ, count, val = entries[tag]
+        if count == 1:
+            return [val]
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        return list(struct.unpack_from(f"<{count}{fmt}", raw, val))
+
+    assert entries[259][3] == 1, "fixture must start uncompressed"
+    offs, cnts = read_longs(273), read_longs(279)
+    new_offs, new_cnts = [], []
+    for off, cnt in zip(offs, cnts):
+        enc = lzw_encode(raw[off : off + cnt])
+        if len(out) % 2:
+            out += b"\x00"
+        new_offs.append(len(out))
+        new_cnts.append(len(enc))
+        out += enc
+    # patch compression = 5
+    struct.pack_into("<H", out, entries[259][0] + 8, 5)
+    for tag, vals in ((273, new_offs), (279, new_cnts)):
+        pos, typ, count, _ = entries[tag]
+        if count == 1:
+            struct.pack_into("<HHII", out, pos, tag, 4, 1, vals[0])
+        else:
+            if len(out) % 2:
+                out += b"\x00"
+            struct.pack_into("<HHII", out, pos, tag, 4, count, len(out))
+            out += struct.pack(f"<{count}I", *vals)
+    return bytes(out)
+
+
+def test_lzw_recompressed_n37_parity(spark, tmp_path):
+    """An LZW variant of the reference DEM ingests pixel-identical to
+    the uncompressed original through the distributed decode path."""
+    src = f"{REF}/n37_w123_1arc_v2.tif"
+    lzw_path = str(tmp_path / "n37_lzw.tif")
+    with open(src, "rb") as f:
+        raw = f.read()
+    with open(lzw_path, "wb") as f:
+        f.write(_recompress_tiff_lzw(raw))
+
+    i0 = read_tiff_structure(src)
+    i1 = read_tiff_structure(lzw_path)
+    assert i1["compression"] == 5
+    assert (i1["width"], i1["height"], i1["epsg"]) == (
+        i0["width"], i0["height"], i0["epsg"],
+    )
+
+    p0 = tiff_pixel_table(spark, i0).toPandas().sort_values(["sy", "sx"])
+    p1 = tiff_pixel_table(spark, i1).toPandas().sort_values(["sy", "sx"])
+    np.testing.assert_array_equal(
+        p0["band_1"].to_numpy(), p1["band_1"].to_numpy()
+    )
+
+
+# --------------------------------------------------- import resampling --
+
+
+def _aligned_tif(spark, tmp_path, **kw):
+    from raquet_spark.sources.geotiff import write_geotiff
+    from raquet_spark.testing import make_synthetic_raster
+
+    defaults = dict(
+        zoom=6, tiles_x=4, tiles_y=4, origin_x=16, origin_y=20,
+        block_size=32, dtype="float32", seed=42, nodata=-1.0,
+        nodata_every=13,
+    )
+    defaults.update(kw)
+    tiles, meta = make_synthetic_raster(spark, **defaults)
+    path = str(tmp_path / "aligned.tif")
+    write_geotiff(tiles, meta, path)
+    return tiles, meta, path
+
+
+def test_bilinear_downsample_is_masked_2x2_mean(spark, tmp_path):
+    """Aligned 3857 grid, zoom z→z-1: every target center sits at ±0.5
+    source offsets, so bilinear with nodata renormalization must equal
+    the nodata-aware 2×2 plain average — computed independently in
+    numpy from the synthetic closed form."""
+    from raquet_spark.operators.export import to_numpy_mosaic
+    from raquet_spark.testing import synthetic_tile_array
+
+    _tiles, _meta, path = _aligned_tif(spark, tmp_path)
+    tiles5, meta5 = geotiff_to_raquet(
+        spark, path, zoom=5, block_size=32, resampling="bilinear",
+        dense=False, stats=False, compression=None,
+    )
+    arr, _ = to_numpy_mosaic(tiles5, meta5, "band_1")
+
+    # closed-form source mosaic (128×128) and its masked 2×2 mean
+    src = np.zeros((128, 128))
+    for ty in range(4):
+        for tx in range(4):
+            src[ty * 32 : (ty + 1) * 32, tx * 32 : (tx + 1) * 32] = (
+                synthetic_tile_array(
+                    16 + tx, 20 + ty, 6, 32, 0, 42, "float32",
+                    nodata=-1.0, nodata_every=13,
+                ).reshape(32, 32)
+            )
+    m = np.ma.masked_equal(src, -1.0)
+    want = np.ma.stack(
+        [m[0::2, 0::2], m[0::2, 1::2], m[1::2, 0::2], m[1::2, 1::2]]
+    ).mean(axis=0)
+    # float32 storage in tiles
+    want32 = want.filled(np.nan).astype("f4").astype("f8")
+    got = np.where(arr == -1.0, np.nan, arr)
+    np.testing.assert_allclose(got, want32, rtol=1e-6, equal_nan=True)
+
+
+def test_cubic_upsample_reproduces_linear_ramp(spark, tmp_path):
+    """Catmull-Rom cubic preserves linear functions: importing a ramp
+    raster (value = 2·sx + 3·sy) at zoom z+1 must reproduce the ramp
+    exactly in the interior (full 4×4 neighborhoods)."""
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.operators.export import to_numpy_mosaic
+    from raquet_spark.operators.tiling import from_pixel_table
+    from raquet_spark.sources.geotiff import write_geotiff
+
+    bs, z = 32, 6
+    n = 2 * bs  # 2×2 tiles
+    gx0, gy0 = 16 * bs, 20 * bs
+    ramp = spark.range(n * n).selectExpr(
+        f"{gx0} + id % {n} AS gx",
+        f"{gy0} + id DIV {n} AS gy",
+        f"CAST(2 * (id % {n}) + 3 * (id DIV {n}) AS DOUBLE) AS band_1",
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float64")],
+        bounds=(0, 0, 0, 0), width=n, height=n,
+        block_width=bs, block_height=bs, min_zoom=z, max_zoom=z,
+        compression=None,
+    )
+    tiles = from_pixel_table(ramp, meta, compression=None)
+    path = str(tmp_path / "ramp.tif")
+    write_geotiff(tiles, meta, path)
+
+    tiles7, meta7 = geotiff_to_raquet(
+        spark, path, zoom=z + 1, block_size=bs, resampling="cubic",
+        dense=False, stats=False, compression=None,
+    )
+    arr, (mx0, my0) = to_numpy_mosaic(tiles7, meta7, "band_1")
+    # target (z+1) global pixel g maps to source-local fractional coord
+    # (g - 2*gx0 + 0.5)/2 - 0.5 in sample-center units; expected ramp
+    # value = 2*fx + 3*fy. Compare the interior (full 4×4 neighborhoods)
+    # only: border pixels renormalize a clipped neighborhood, and the
+    # mosaic may carry extra partial border tiles.
+    h, w = arr.shape
+    fx = ((np.arange(w) + mx0 * bs - 2 * gx0) + 0.5) / 2.0 - 0.5
+    fy = ((np.arange(h) + my0 * bs - 2 * gy0) + 0.5) / 2.0 - 0.5
+    want = 2.0 * fx[None, :] + 3.0 * fy[:, None]
+    core = (fx >= 1.5) & (fx <= n - 2.5)
+    corey = (fy >= 1.5) & (fy <= n - 2.5)
+    np.testing.assert_allclose(
+        arr[np.ix_(corey, core)], want[np.ix_(corey, core)], atol=1e-9
+    )
