@@ -252,6 +252,26 @@ def cmd_import_geotiff(args) -> int:
     return 0
 
 
+def cmd_import_netcdf(args) -> int:
+    """Classic NetCDF → raquet (reference `convert file.nc`, cli.py:92):
+    distributed slab decode, CF time → (block, time_cf) tiles."""
+    from raquet_spark.sources.netcdf import netcdf_to_raquet
+    from raquet_spark.sources.raquet import write_raquet
+
+    spark = _spark()
+    tiles, meta = netcdf_to_raquet(
+        spark, args.input, var=args.var, zoom=args.zoom,
+        block_size=args.block_size, stats=args.stats,
+    )
+    write_raquet(tiles, args.output, meta)
+    steps = meta.get("time", {}).get("count", 0)
+    print(
+        f"imported {args.input} -> {args.output} "
+        f"(z{meta['tiling']['max_zoom']}, {steps or 'no'} time step(s))"
+    )
+    return 0
+
+
 def cmd_export(args) -> int:
     from raquet_spark.operators.export import pixel_table_with_lonlat, to_pixel_table
     from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
@@ -389,6 +409,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="import warp kernel (reference --resampling)")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_geotiff)
+
+    s = sub.add_parser("import-netcdf", help="classic NetCDF (.nc) → raquet, CF time preserved")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--var", default=None, help="data variable (default: auto-detect)")
+    s.add_argument("--zoom", type=int, default=None)
+    s.add_argument("--block-size", type=int, default=256)
+    s.add_argument("--stats", action="store_true", default=True)
+    s.set_defaults(fn=cmd_import_netcdf)
 
     s = sub.add_parser("convert", help="pixel-table parquet → raquet")
     s.add_argument("input")

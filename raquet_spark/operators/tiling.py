@@ -30,12 +30,17 @@ def from_pixel_table(
     pixels: DataFrame,
     metadata: dict,
     compression: str | None = "gzip",
+    extra_keys: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
     """(gx, gy, band...) rows → (block, band...) tile rows.
 
     The block key is computed as a pure Column expression (gx / block
     size → tile x/y → Morton cell), so the single shuffle is an ordinary
-    hash partition on ``block`` with map-side batching."""
+    hash partition on ``block`` with map-side batching.
+
+    ``extra_keys`` — extra ``(column, sql_type)`` group keys carried
+    through (e.g. ``(("time_cf", "double"),)`` for time-dimension
+    rasters): ONE shuffle assembles every (tile, step) pair."""
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(pixels.sparkSession)
@@ -50,13 +55,17 @@ def from_pixel_table(
     ty = f"CAST(gy DIV {bh} AS BIGINT)"
     keyed = pixels.withColumn("block", F.expr(qb.tile_to_cell_sql(tx, ty, z, "spark")))
 
+    extra_names = [n for n, _ in extra_keys]
+
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        (block,) = key
+        block = key[0]
         x0 = int(pdf["gx"].min()) // bw * bw
         y0 = int(pdf["gy"].min()) // bh * bh
         ix = pdf["gx"].to_numpy(dtype=np.int64) - x0
         iy = pdf["gy"].to_numpy(dtype=np.int64) - y0
         out = {"block": [block]}
+        for name, kv in zip(extra_names, key[1:]):
+            out[name] = [kv]
         for name, btype, nodata in bands:
             fill = 0 if nodata is None else nodata
             arr = np.full(bh * bw, fill, dtype=DTYPES[btype])
@@ -65,5 +74,8 @@ def from_pixel_table(
             out[name] = [encode_block(arr, btype, compression)]
         return pd.DataFrame(out)
 
-    schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
-    return keyed.groupBy("block").applyInPandas(assemble, schema=schema)
+    schema = "block bigint, " + ", ".join(
+        [f"{n} {t}" for n, t in extra_keys]
+        + [f"{name} binary" for name, _, _ in bands]
+    )
+    return keyed.groupBy("block", *extra_names).applyInPandas(assemble, schema=schema)

@@ -1001,6 +1001,71 @@ def _cached_export_tif(spark: SparkSession, compression: str | None = None) -> s
     return path
 
 
+def _fake_imageserver_service(url: str, params: dict) -> bytes:
+    """Transport faking an ArcGIS ImageServer whose raster is the
+    synthetic oracle raster: `f=json` serves service metadata (extent =
+    _R's tile grid, web-mercator wkid 102100), exportImage serves raw
+    float32 blobs following the oracle pixel function."""
+    import json
+    import math
+
+    r = _R
+    O = math.pi * 6378137.0
+    tile_m = 2 * O / (1 << r["zoom"])
+    if params.get("f") == "json":
+        xmin = -O + r["tx"] * tile_m
+        ymax = O - r["ty"] * tile_m
+        return json.dumps({
+            "name": "oracle_raster",
+            "extent": {
+                "xmin": xmin, "ymin": ymax - r["ny"] * tile_m,
+                "xmax": xmin + r["nx"] * tile_m, "ymax": ymax,
+            },
+            "spatialReference": {"wkid": 102100},
+            "pixelType": "F32",
+            "bandCount": 1,
+            "noDataValues": [r["nodata"]],
+            "pixelSizeX": tile_m / r["bs"], "pixelSizeY": tile_m / r["bs"],
+            "rows": r["ny"] * r["bs"], "columns": r["nx"] * r["bs"],
+        }).encode()
+    bx = [float(v) for v in params["bbox"].split(",")]
+    x = round((bx[0] + O) / tile_m)
+    y = round((O - bx[3]) / tile_m)
+    return _fake_remote_transport(f"fake://{r['zoom']}/{x}/{y}", {})
+
+
+def imageserver_auto_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ImageServer ingestion with FULL metadata negotiation — no
+    caller-supplied zoom, bounds, dtype or nodata: the service JSON
+    (faked transport) drives everything (reference
+    imageserver.py:131 get_imageserver_metadata, :268 auto resolution).
+    The negotiated zoom must come out at the oracle grid's zoom for the
+    per-tile stats to hash-match the closed-form pixel regeneration."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.remote import imageserver_to_raquet, raw_decoder
+
+    r = _R
+    tiles, _meta = imageserver_to_raquet(
+        spark,
+        "fake://svc/ImageServer",
+        block_size=r["bs"],
+        transport=_fake_imageserver_service,
+        decoder=raw_decoder("float32", 1, r["bs"]),
+        retry_delay=0.0,
+        compression=None,
+    )
+    return tiles.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
 def geotiff_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoTIFF export round trip as a driver-checked query: tiles →
     distributed strip assembly → .tif on disk → independent IFD parse →
@@ -1137,6 +1202,96 @@ SELECT {cell} AS block,
        round(CAST(SUM(CAST(v AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(v), 6) AS band_1_mean
 FROM tgt
 GROUP BY 1
+"""
+
+
+_NC = dict(nlat=40, nlon=60, nt=3, modulo=199, fill=-999, scale=0.5, offset=100.0)
+
+
+def _cached_netcdf(spark: SparkSession) -> str:
+    """Synthetic classic-format NetCDF fixture (record time dim, CF
+    units, int16 + scale/offset + _FillValue) written once per app."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing import write_netcdf_classic
+
+    key = (spark.sparkContext.applicationId, "netcdf_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _NC
+        nlat, nlon, nt = c["nlat"], c["nlon"], c["nt"]
+        lats = 37.9875 - 0.025 * np.arange(nlat)
+        lons = -122.9875 + 0.025 * np.arange(nlon)
+        gy, gx = np.mgrid[0:nlat, 0:nlon]
+        data = np.stack(
+            [((gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50) for t in range(nt)]
+        ).astype("<i2")
+        mask = (gx[None] + gy[None] + np.arange(nt)[:, None, None]) % 17 == 0
+        data[mask] = c["fill"]
+        path = os.path.join(tempfile.mkdtemp(prefix="raquet_q_nc_"), "fix.nc")
+        write_netcdf_classic(
+            path, lats, lons, data,
+            times=np.arange(nt, dtype="f8"),
+            time_units="days since 2020-01-01 00:00:00",
+            nc_type=3, scale_factor=c["scale"], add_offset=c["offset"],
+            fill_value=c["fill"], record_time=True,
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def netcdf_ingest_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-NetCDF ingestion (reference: cli.py:92 converts .nc via
+    GDAL + CF time, raster2raquet.py:267): the driver check covers the
+    DISTRIBUTED decode path — classic header parse, record-interleaved
+    byte-range reads, scale/offset application, raw-space fill masking —
+    aggregated per CF time step; the oracle regenerates the pixel
+    function relationally. The warp/tiling/time_ts path is pytest-gated
+    (tests/test_netcdf.py)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.netcdf import netcdf_pixel_table, read_netcdf_structure
+
+    c = _NC
+    nodata = c["fill"] * c["scale"] + c["offset"]
+    nc = read_netcdf_structure(_cached_netcdf(spark))
+    px = netcdf_pixel_table(spark, nc, "value")
+    return (
+        px.where(F.col("band_1") != nodata)
+        .groupBy("time_cf")
+        .agg(
+            F.expr("COUNT(band_1)").alias("n_px"),
+            F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+            F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+            F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+            F.expr("round(AVG(band_1), 6)").alias("vmean"),
+        )
+    )
+
+
+def netcdf_ingest_stats_oracle() -> str:
+    c = _NC
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 17 = 0 THEN NULL
+              ELSE ((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50)
+                   * {c['scale']} + {c['offset']} END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nlat']})) AS gy),
+       (SELECT unnest(range(0, {c['nlon']})) AS gx)
+)
+SELECT CAST(t AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
 """
 
 
@@ -3018,6 +3173,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "geotiff_roundtrip_stats": (geotiff_roundtrip_stats_spark, tile_stats_agg_oracle),
     "geotiff_import_lzw_stats": (geotiff_import_lzw_stats_spark, tile_stats_agg_oracle),
     "warp_bilinear_stats": (warp_bilinear_stats_spark, warp_bilinear_stats_oracle),
+    "imageserver_auto_stats": (imageserver_auto_stats_spark, tile_stats_agg_oracle),
+    "netcdf_ingest_stats": (netcdf_ingest_stats_spark, netcdf_ingest_stats_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),

@@ -59,8 +59,12 @@ def cells_for_bounds(
         yf = 0.5 - 0.25 * math.log((1.0 + s) / (1.0 - s)) / math.pi
         return min(max(int(yf * m), 0), m - 1)
 
-    x0, x1 = tx(west), tx(east)
-    y0, y1 = ty(north), ty(south)
+    # east/south shrink by mercantile's LL_EPSILON so a bbox whose edge
+    # sits exactly on a tile boundary doesn't pull in an empty row/column
+    # (mercantile.tiles() behavior, which the reference iterates)
+    eps = 1e-11
+    x0, x1 = tx(west), max(tx(east - eps), tx(west))
+    y0, y1 = ty(north), max(ty(south + eps), ty(north))
     cell = qb.tile_to_cell_sql("x", "y", zoom, "spark")
     return spark.sql(
         f"""
@@ -108,6 +112,193 @@ def imageserver_request(
         return f"{service_url}/exportImage", params
 
     return build
+
+
+# ArcGIS pixelType → numpy dtype (imageserver.py:163-176)
+_PIXEL_TYPES = {
+    "U1": "uint8", "U2": "uint8", "U4": "uint8", "U8": "uint8",
+    "S8": "int8", "U16": "uint16", "S16": "int16",
+    "U32": "uint32", "S32": "int32", "F32": "float32", "F64": "float64",
+}
+# ESRI web-mercator wkid variants (imageserver.py:259)
+_WKID_TO_EPSG = {102100: 3857, 102113: 3785}
+
+
+def get_imageserver_metadata(
+    service_url: str,
+    transport: Callable[[str, dict], bytes] | None = None,
+    token: str | None = None,
+) -> dict:
+    """Fetch and parse an ArcGIS ImageServer's service JSON — extent,
+    CRS, pixel type, band count, nodata, pixel size, dimensions — so
+    conversion needs no caller-supplied zoom/bounds. Mirrors the
+    reference's ``get_imageserver_metadata``
+    (/root/reference/raquet/imageserver.py:131-226)."""
+    import json
+
+    transport = transport or http_transport()
+    service_url = service_url.rstrip("/")
+    params = {"f": "json"}
+    if token:
+        params["token"] = token
+    data = json.loads(transport(service_url, params).decode("utf-8"))
+    if "error" in data:
+        err = data["error"]
+        raise ValueError(f"ImageServer error: {err.get('message', 'unknown')}")
+
+    extent = data.get("extent", {})
+    spatial_ref = data.get("spatialReference", extent.get("spatialReference", {}))
+    wkid = spatial_ref.get("wkid") or spatial_ref.get("latestWkid")
+    epsg = _WKID_TO_EPSG.get(wkid, wkid) if wkid else 4326
+
+    px_x = float(data.get("pixelSizeX", 1.0))
+    px_y = float(data.get("pixelSizeY", 1.0))
+    rows, columns = data.get("rows"), data.get("columns")
+    if not rows or not columns:
+        # derive from extent and pixel size, like the reference
+        if px_x > 0 and px_y > 0:
+            columns = int((extent.get("xmax", 0) - extent.get("xmin", 0)) / px_x)
+            rows = int((extent.get("ymax", 0) - extent.get("ymin", 0)) / px_y)
+        else:
+            rows = columns = 0
+    nodata_values = data.get("noDataValues") or []
+    return {
+        "name": data.get("name", "Unknown"),
+        "extent": extent,
+        "epsg": epsg,
+        "pixel_type": _PIXEL_TYPES.get(data.get("pixelType", "U8"), "float32"),
+        "band_count": int(data.get("bandCount", 1)),
+        "nodata": nodata_values[0] if nodata_values else None,
+        "pixel_size_x": px_x,
+        "pixel_size_y": px_y,
+        "rows": int(rows),
+        "columns": int(columns),
+    }
+
+
+def _extent_to_mercator(svc: dict) -> tuple[float, float, float, float]:
+    """Service extent → (xmin, ymin, xmax, ymax) EPSG:3857 meters.
+    Closed-form for geographic / web-mercator services (no proj
+    database in this environment; the reference reaches for pyproj,
+    imageserver.py:240)."""
+    e = svc["extent"]
+    xmin, ymin = e["xmin"], e["ymin"]
+    xmax, ymax = e["xmax"], e["ymax"]
+    if svc["epsg"] in (3857, 3785, 900913):
+        return (xmin, ymin, xmax, ymax)
+    if svc["epsg"] == 4326:
+        def mx(lon: float) -> float:
+            return lon / 180.0 * _ORIGIN_SHIFT
+
+        def my(lat: float) -> float:
+            lat = min(max(lat, -85.051128779806), 85.051128779806)
+            return _EARTH_R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+
+        return (mx(xmin), my(ymin), mx(xmax), my(ymax))
+    raise NotImplementedError(
+        f"ImageServer CRS EPSG:{svc['epsg']} (closed-form 4326/3857 only)"
+    )
+
+
+def imageserver_zoom(svc: dict, block_size: int = 256) -> int:
+    """Auto tile zoom from the service's native resolution — the
+    reference's ``_calculate_target_resolution``
+    (imageserver.py:268-303): mean mercator meters/pixel → the zoom
+    whose ``block_size`` tiles match it, clamped to quadbin range."""
+    xmin, ymin, xmax, ymax = _extent_to_mercator(svc)
+    if svc["columns"] <= 0 or svc["rows"] <= 0:
+        raise ValueError("service reports no raster dimensions")
+    res_m = ((xmax - xmin) / svc["columns"] + (ymax - ymin) / svc["rows"]) / 2.0
+    block_zoom = int(math.log2(block_size))
+    raw_zoom = math.log2(2.0 * _ORIGIN_SHIFT / (res_m * block_size))
+    return max(0, min(26 - block_zoom, round(raw_zoom)))
+
+
+def imageserver_to_raquet(
+    spark: SparkSession,
+    service_url: str,
+    block_size: int = 256,
+    zoom: int | None = None,
+    bands: list[int] | None = None,
+    token: str | None = None,
+    transport: Callable[[str, dict], bytes] | None = None,
+    compression: str | None = "gzip",
+    stats: bool = True,
+    **fetch_kwargs,
+) -> tuple[DataFrame, dict]:
+    """ImageServer → RaQuet with metadata negotiation: one service-JSON
+    request derives CRS, extent, dtype, nodata and the target zoom; the
+    covering cells become the distributed fetch queue. Parity:
+    reference ``convert_imageserver_to_raquet`` (imageserver.py:438+,
+    cli.py) — but the tile loop is the executors', not one node's."""
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+
+    svc = get_imageserver_metadata(service_url, transport=transport, token=token)
+    z = zoom if zoom is not None else imageserver_zoom(svc, block_size)
+    xmin, ymin, xmax, ymax = _extent_to_mercator(svc)
+
+    def lon(x: float) -> float:
+        return x / _ORIGIN_SHIFT * 180.0
+
+    def lat(y: float) -> float:
+        return math.degrees(2.0 * math.atan(math.exp(y / _EARTH_R)) - math.pi / 2)
+
+    wgs = (lon(xmin), lat(ymin), lon(xmax), lat(ymax))
+    cells = cells_for_bounds(spark, wgs, z)
+
+    n_bands = len(bands) if bands else svc["band_count"]
+    band_meta = [
+        BandMeta(
+            name=f"band_{i + 1}",
+            type=svc["pixel_type"],
+            nodata=svc["nodata"],
+            colorinterp="gray" if n_bands == 1 else "undefined",
+        )
+        for i in range(n_bands)
+    ]
+    # tile-aligned covering extent drives the recorded dims/bounds
+    m = 1 << z
+
+    def txi(x: float) -> int:
+        return min(max(int((x + _ORIGIN_SHIFT) / (2 * _ORIGIN_SHIFT) * m), 0), m - 1)
+
+    def tyi(y: float) -> int:
+        return min(max(int((_ORIGIN_SHIFT - y) / (2 * _ORIGIN_SHIFT) * m), 0), m - 1)
+
+    # same boundary-exclusive epsilon as cells_for_bounds (here in meters)
+    tx0, tx1 = txi(xmin), max(txi(xmax - 1e-6), txi(xmin))
+    ty0, ty1 = tyi(ymax), max(tyi(ymin + 1e-6), tyi(ymax))
+    tile_m = 2.0 * _ORIGIN_SHIFT / m
+    meta = build_metadata(
+        bands=band_meta,
+        bounds=(
+            lon(-_ORIGIN_SHIFT + tx0 * tile_m),
+            lat(_ORIGIN_SHIFT - (ty1 + 1) * tile_m),
+            lon(-_ORIGIN_SHIFT + (tx1 + 1) * tile_m),
+            lat(_ORIGIN_SHIFT - ty0 * tile_m),
+        ),
+        width=(tx1 - tx0 + 1) * block_size,
+        height=(ty1 - ty0 + 1) * block_size,
+        block_width=block_size,
+        block_height=block_size,
+        min_zoom=z,
+        max_zoom=z,
+        compression=compression,
+        tile_statistics=stats,
+    )
+    tiles = fetch_tiles(
+        cells,
+        meta,
+        imageserver_request(service_url, block_size, bands=bands, token=token),
+        transport=transport,
+        compression=compression,
+        **fetch_kwargs,
+    )
+    if stats:
+        from raquet_spark.operators.tile_stats import with_tile_stats
+
+        tiles = with_tile_stats(tiles, meta)
+    return tiles, meta
 
 
 def xyz_request(url_template: str) -> Callable[[int, int, int], tuple[str, dict]]:

@@ -126,3 +126,155 @@ def make_synthetic_raster(
     )
     meta["tiling"]["pixel_zoom"] = zoom + int(math.log2(block_size))
     return tiles, meta
+
+
+def write_netcdf_classic(
+    path: str,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    data: np.ndarray,
+    *,
+    times: np.ndarray | None = None,
+    time_units: str = "days since 2020-01-01 00:00:00",
+    calendar: str = "standard",
+    var_name: str = "value",
+    nc_type: int = 3,
+    scale_factor: float | None = None,
+    add_offset: float | None = None,
+    fill_value=None,
+    record_time: bool = True,
+) -> str:
+    """Write a classic-format (CDF-1) NetCDF file — the fixture builder
+    for sources/netcdf.py (no netCDF4 in this environment; format per
+    the public NetCDF classic spec). ``data`` is (time, lat, lon) or
+    (lat, lon) RAW values matching ``nc_type`` (3=short, 4=int,
+    5=float, 6=double). ``record_time=True`` writes time as the
+    unlimited dimension (record layout); False writes a fixed time dim."""
+    import struct
+
+    dt_map = {1: "i1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
+    dt = np.dtype(dt_map[nc_type])
+    has_time = times is not None
+    if has_time:
+        assert data.ndim == 3 and data.shape[0] == len(times)
+    else:
+        assert data.ndim == 2
+
+    def pad4(b: bytes) -> bytes:
+        return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+    def name(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack(">I", len(b)) + pad4(b)
+
+    def raw_attr(aname: str, value, atype: int) -> bytes:
+        arr = np.asarray([value], dtype=dt_map[atype])
+        return name(aname) + struct.pack(">II", atype, 1) + pad4(arr.tobytes())
+
+    nlat, nlon = len(lats), len(lons)
+    ntime = len(times) if has_time else 0
+
+    # dims: optionally time (0 = unlimited if record), lat, lon
+    dims = []
+    if has_time:
+        dims.append(("time", 0 if record_time else ntime))
+    dims.append(("lat", nlat))
+    dims.append(("lon", nlon))
+    dim_index = {d[0]: i for i, d in enumerate(dims)}
+
+    dim_list = struct.pack(">II", 0x0A, len(dims)) + b"".join(
+        name(n) + struct.pack(">I", sz) for n, sz in dims
+    )
+    gatts = struct.pack(">II", 0, 0)  # no global attributes
+
+    # variables: lat, lon, [time], data
+    def var_header(vname, dimids, vatts, vtype, vsize, begin):
+        va = (
+            struct.pack(">II", 0x0C, len(vatts)) + b"".join(vatts)
+            if vatts else struct.pack(">II", 0, 0)
+        )
+        return (
+            name(vname)
+            + struct.pack(">I", len(dimids))
+            + b"".join(struct.pack(">I", d) for d in dimids)
+            + va
+            + struct.pack(">III", vtype, vsize, begin)
+        )
+
+    lat_b = lats.astype(">f8").tobytes()
+    lon_b = lons.astype(">f8").tobytes()
+    time_item = np.dtype(">f8").itemsize
+    data_slab = nlat * nlon * dt.itemsize
+    data_slab_p = (data_slab + 3) // 4 * 4
+
+    datts = []
+    if scale_factor is not None:
+        datts.append(raw_attr("scale_factor", scale_factor, 6))
+    if add_offset is not None:
+        datts.append(raw_attr("add_offset", add_offset, 6))
+    if fill_value is not None:
+        datts.append(raw_attr("_FillValue", fill_value, nc_type))
+
+    tatts = [
+        name("units") + struct.pack(">II", 2, len(time_units.encode())) + pad4(time_units.encode()),
+        name("calendar") + struct.pack(">II", 2, len(calendar.encode())) + pad4(calendar.encode()),
+    ]
+    latts = [name("units") + struct.pack(">II", 2, len(b"degrees_north")) + pad4(b"degrees_north")]
+    lonatts = [name("units") + struct.pack(">II", 2, len(b"degrees_east")) + pad4(b"degrees_east")]
+
+    # layout: header, lat, lon, then (record vars: time+data interleaved)
+    # or (fixed: time, data contiguous)
+    n_vars = 3 + (1 if has_time else 0)
+    # compute header size by building with dummy offsets, then rebuild
+    def build(off_lat, off_lon, off_time, off_data):
+        vars_b = [
+            var_header("lat", [dim_index["lat"]], latts, 6, len(lat_b), off_lat),
+            var_header("lon", [dim_index["lon"]], lonatts, 6, len(lon_b), off_lon),
+        ]
+        if has_time:
+            vars_b.append(var_header(
+                "time", [dim_index["time"]], tatts, 6,
+                time_item if record_time else ntime * time_item, off_time,
+            ))
+        vars_b.append(var_header(
+            var_name,
+            ([dim_index["time"]] if has_time else []) + [dim_index["lat"], dim_index["lon"]],
+            datts, nc_type,
+            data_slab_p if (has_time and record_time) else
+            (ntime if has_time else 1) * data_slab,
+            off_data,
+        ))
+        numrecs = ntime if (has_time and record_time) else 0
+        return (
+            b"CDF\x01" + struct.pack(">I", numrecs) + dim_list + gatts
+            + struct.pack(">II", 0x0B, len(vars_b)) + b"".join(vars_b)
+        )
+
+    header_len = len(build(0, 0, 0, 0))
+    off_lat = header_len
+    off_lon = off_lat + len(lat_b)
+    if has_time and record_time:
+        off_time = off_lon + len(lon_b)          # record start
+        off_data = off_time + time_item          # data follows time in each record
+    elif has_time:
+        off_time = off_lon + len(lon_b)
+        off_data = off_time + ntime * time_item
+    else:
+        off_time = 0
+        off_data = off_lon + len(lon_b)
+
+    with open(path, "wb") as f:
+        f.write(build(off_lat, off_lon, off_time, off_data))
+        f.write(lat_b)
+        f.write(lon_b)
+        raw = np.ascontiguousarray(data, dtype=dt)
+        if has_time and record_time:
+            for i in range(ntime):
+                f.write(np.asarray([times[i]], dtype=">f8").tobytes())
+                f.write(raw[i].tobytes().ljust(data_slab_p, b"\x00"))
+        elif has_time:
+            f.write(np.asarray(times, dtype=">f8").tobytes())
+            f.write(raw.tobytes())
+        else:
+            f.write(raw.tobytes())
+    return path

@@ -228,3 +228,87 @@ def test_stream_fetch_tiles(spark, tmp_path):
             decode_block(r["band_1"], "float32"),
             _expected(r["qb_x"], r["qb_y"], ZOOM),
         )
+
+
+# ------------------------------------------- ImageServer negotiation --
+
+
+def _fake_imageserver(bs=16, zoom=6):
+    """Transport faking an ArcGIS ImageServer: `f=json` serves service
+    metadata (wkid 102100 web-mercator, 2×2 tiles at `zoom`), and
+    exportImage serves raw float32 blobs derived from the request bbox."""
+    import json
+    import math
+
+    O = math.pi * 6378137.0
+    tile_m = 2 * O / (1 << zoom)
+    tx0, ty0, nx, ny = 16, 20, 2, 2
+    xmin = -O + tx0 * tile_m
+    ymax = O - ty0 * tile_m
+    res = tile_m / bs
+
+    def transport(url, params):
+        if params.get("f") == "json":
+            return json.dumps({
+                "name": "fake_service",
+                "extent": {
+                    "xmin": xmin, "ymin": ymax - ny * tile_m,
+                    "xmax": xmin + nx * tile_m, "ymax": ymax,
+                },
+                "spatialReference": {"wkid": 102100},
+                "pixelType": "F32",
+                "bandCount": 1,
+                "noDataValues": [-9.0],
+                "pixelSizeX": res, "pixelSizeY": res,
+                "rows": ny * bs, "columns": nx * bs,
+            }).encode()
+        # exportImage: recover the tile from the bbox
+        bx = [float(v) for v in params["bbox"].split(",")]
+        x = round((bx[0] + O) / tile_m)
+        y = round((O - bx[3]) / tile_m)
+        return (
+            (np.arange(bs * bs, dtype="<f4") % 5 + x * 100 + y * 10)
+            .astype("<f4").tobytes()
+        )
+
+    return transport
+
+
+def test_imageserver_metadata_negotiation(spark):
+    """End-to-end ImageServer conversion with NO caller-supplied zoom or
+    bounds: the service JSON drives CRS, dtype, nodata, extent and the
+    auto-derived zoom (reference imageserver.py:131,268)."""
+    from raquet_spark.sources.remote import (
+        get_imageserver_metadata,
+        imageserver_to_raquet,
+        imageserver_zoom,
+        raw_decoder,
+    )
+
+    bs, zoom = 16, 6
+    t = _fake_imageserver(bs=bs, zoom=zoom)
+    svc = get_imageserver_metadata("fake://svc/ImageServer", transport=t)
+    assert svc["epsg"] == 3857
+    assert svc["pixel_type"] == "float32"
+    assert svc["nodata"] == -9.0
+    assert imageserver_zoom(svc, block_size=bs) == zoom
+
+    tiles, meta = imageserver_to_raquet(
+        spark, "fake://svc/ImageServer", block_size=bs,
+        transport=t, decoder=raw_decoder("float32", 1, bs),
+        retry_delay=0.0, compression=None,
+    )
+    assert meta["tiling"]["max_zoom"] == zoom
+    assert meta["bands"][0]["nodata"] == -9.0
+    rows = {r["block"]: r for r in tiles.collect()}
+    assert len(rows) == 4  # 2×2 covering tiles
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.functions.bands import decode_block
+
+    cell = qb.py_tile_to_cell(16, 20, zoom)
+    got = decode_block(rows[cell]["band_1"], "float32")
+    want = (np.arange(bs * bs, dtype="<f4") % 5 + 16 * 100 + 20 * 10)
+    np.testing.assert_array_equal(got, want.astype("f8"))
+    # negotiated stats came along
+    assert rows[cell]["band_1_count"] == bs * bs
