@@ -154,6 +154,48 @@ def main() -> None:
         timings["geotiff_export_4mpx"] = round(
             min(dt, timings.get("geotiff_export_4mpx", dt)), 3)
 
+    # sharded GeoTIFF export: executor-written parts, zero driver pixel
+    # IO — the scale path for the single-file funnel above
+    from raquet_spark.sources.geotiff import write_geotiff_sharded
+
+    for _ in range(2):
+        t0 = time.perf_counter()
+        write_geotiff_sharded(
+            scan, meta, tempfile.mkdtemp(prefix="bench_shards_"),
+            rows_per_shard=2,
+        )
+        dt = time.perf_counter() - t0
+        timings["geotiff_export_sharded_4mpx"] = round(
+            min(dt, timings.get("geotiff_export_sharded_4mpx", dt)), 3)
+
+    # classic-NetCDF ingestion: distributed slab decode + CF-time warp
+    import numpy as np
+
+    from raquet_spark.sources.netcdf import netcdf_to_raquet
+    from raquet_spark.testing import write_netcdf_classic
+
+    nc_path = tempfile.mktemp(suffix=".nc")
+    nlat, nlon, nt = 600, 800, 3
+    gy, gx = np.mgrid[0:nlat, 0:nlon]
+    nc_data = np.stack(
+        [((gx * 7 + gy * 11 + t * 13) % 199 - 50) for t in range(nt)]
+    ).astype("<i2")
+    write_netcdf_classic(
+        nc_path,
+        37.9875 - 0.0025 * np.arange(nlat),
+        -123.0 + 0.0025 * np.arange(nlon),
+        nc_data,
+        times=np.arange(nt, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+    )
+    for _ in range(2):
+        t0 = time.perf_counter()
+        nc_tiles, _ncm = netcdf_to_raquet(spark, nc_path, block_size=128, stats=False)
+        nc_tiles.count()
+        dt = time.perf_counter() - t0
+        timings["netcdf_import_3step"] = round(
+            min(dt, timings.get("netcdf_import_3step", dt)), 3)
+
     # real GeoTIFF ingestion (distributed decode + relational warp),
     # when the reference rasters are present
     n37 = "/root/reference/tests/n37_w123_1arc_v2.tif"
@@ -167,6 +209,17 @@ def main() -> None:
             dt = time.perf_counter() - t0
             timings["geotiff_import_n37"] = round(
                 min(dt, timings.get("geotiff_import_n37", dt)), 3)
+
+        # bilinear warp variant: inverse-mapped 2x2 gather join
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tiles_bl, _m = geotiff_to_raquet(
+                spark, n37, block_size=128, resampling="bilinear"
+            )
+            tiles_bl.count()
+            dt = time.perf_counter() - t0
+            timings["geotiff_import_n37_bilinear"] = round(
+                min(dt, timings.get("geotiff_import_n37_bilinear", dt)), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

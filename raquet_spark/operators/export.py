@@ -40,17 +40,25 @@ def to_pixel_table(df: DataFrame, metadata: dict, bands: list[str] | None = None
     src = qb.with_tile(df, "block")
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one concatenated frame per Arrow batch (not per tile): the
+        # per-tile work is pure numpy; python touches each TILE once
+        px = np.tile(np.arange(bw, dtype=np.int64), bh)
+        py = np.repeat(np.arange(bh, dtype=np.int64), bw)
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                px = np.tile(np.arange(bw, dtype=np.int64), bh)
-                py = np.repeat(np.arange(bh, dtype=np.int64), bw)
-                out = {
-                    "gx": int(row["qb_x"]) * bw + px,
-                    "gy": int(row["qb_y"]) * bh + py,
-                }
-                for name, btype, _ in binfo:
-                    out[name] = decode_block(row[name], btype).astype("f8")
-                yield pd.DataFrame(out)
+            n = len(pdf)
+            if n == 0:
+                continue
+            qx = pdf["qb_x"].to_numpy(dtype=np.int64)
+            qy = pdf["qb_y"].to_numpy(dtype=np.int64)
+            out = {
+                "gx": (qx[:, None] * bw + px[None, :]).ravel(),
+                "gy": (qy[:, None] * bh + py[None, :]).ravel(),
+            }
+            for name, btype, _ in binfo:
+                out[name] = np.concatenate(
+                    [decode_block(b, btype).astype("f8") for b in pdf[name]]
+                )
+            yield pd.DataFrame(out)
 
     fields = "gx bigint, gy bigint, " + ", ".join(f"{n} double" for n, _, _ in binfo)
     return src.mapInPandas(expand, schema=fields)

@@ -1205,6 +1205,115 @@ GROUP BY 1
 """
 
 
+def geotiff_sharded_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded GeoTIFF export round trip: synthetic tiles → one
+    deflate-compressed GeoTIFF per pair of tile rows, written
+    EXECUTOR-side (driver does zero pixel IO — the scale fix for the
+    single-file export funnel flagged in round 3) → every shard
+    re-ingested through the full distributed import → per-tile stats vs
+    the closed-form pixel oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.sources.geotiff import write_geotiff_sharded
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    r = _R
+    key = (spark.sparkContext.applicationId, "geotiff_shards")
+    shards = _RASTER_CACHE.get(key)
+    if shards is None:
+        tiles, meta = _make_raster(spark)
+        out = os.path.join(tempfile.mkdtemp(prefix="raquet_q_shard_"), "parts")
+        info = write_geotiff_sharded(
+            tiles, meta, out, compression="deflate", rows_per_shard=2
+        )
+        shards = [s["path"] for s in info["shards"]]
+        _RASTER_CACHE[key] = shards
+    parts = [
+        geotiff_to_raquet(
+            spark, p, zoom=r["zoom"], block_size=r["bs"], dense=False, stats=False
+        )
+        for p in shards
+    ]
+    tiles_all = parts[0][0]
+    for t, _m in parts[1:]:
+        tiles_all = tiles_all.unionByName(t)
+    stats = with_tile_stats(tiles_all, parts[0][1])
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def geotiff_overview_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF overview export round trip: pyramid level z-1 is written
+    as a chained reduced-resolution IFD (include_overviews, reference
+    raquet2geotiff.py:363), read back through the independent IFD-chain
+    parser, re-tiled, and stats-checked against the closed-form 2×2
+    nodata-aware float32 mean — the same oracle as pyramid_pixel_stats,
+    so any defect in overview IFD layout, strip placement, or level
+    georeferencing breaks the hash."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.pyramid import build_levels_blocked
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.operators.tiling import from_pixel_table
+    from raquet_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    r = _R
+    key = (spark.sparkContext.applicationId, "geotiff_ovr")
+    path = _RASTER_CACHE.get(key)
+    tiles, meta = _make_raster(spark)
+    if path is None:
+        base = tiles.select("block", "band_1")  # drop the raquet metadata row cols
+        levels = build_levels_blocked(base, meta, r["zoom"], r["zoom"] - 1, "average")
+        path = os.path.join(tempfile.mkdtemp(prefix="raquet_q_ovr_"), "ovr.tif")
+        write_geotiff(
+            base.unionByName(levels), meta, path,
+            compression="lzw", include_overviews=True,
+        )
+        _RASTER_CACHE[key] = path
+    arr, _geo = read_geotiff(path, ifd_index=1)  # the z-1 overview level
+    h, w, _n = arr.shape
+    gys, gxs = np.mgrid[0:h, 0:w]
+    x0, y0 = (r["tx"] >> 1) * r["bs"], (r["ty"] >> 1) * r["bs"]
+    pix = spark.createDataFrame(
+        pd.DataFrame({
+            "gx": gxs.ravel() + x0,
+            "gy": gys.ravel() + y0,
+            "band_1": arr[:, :, 0].ravel().astype("f8"),
+        })
+    )
+    import copy
+
+    meta1 = copy.deepcopy(meta)
+    meta1["tiling"]["max_zoom"] = r["zoom"] - 1
+    retiled = from_pixel_table(pix, meta1)
+    stats = with_tile_stats(retiled, meta1)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        F.round("band_1_sum", 4).alias("band_1_sum"),
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
 _NC = dict(nlat=40, nlon=60, nt=3, modulo=199, fill=-999, scale=0.5, offset=100.0)
 
 
@@ -3175,6 +3284,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "warp_bilinear_stats": (warp_bilinear_stats_spark, warp_bilinear_stats_oracle),
     "imageserver_auto_stats": (imageserver_auto_stats_spark, tile_stats_agg_oracle),
     "netcdf_ingest_stats": (netcdf_ingest_stats_spark, netcdf_ingest_stats_oracle),
+    "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
+    "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),

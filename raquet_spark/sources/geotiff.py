@@ -424,6 +424,109 @@ def write_geotiff(
     return info
 
 
+def write_geotiff_sharded(
+    df: DataFrame,
+    metadata: dict,
+    out_dir: str,
+    bands: list[str] | None = None,
+    compression: str | None = None,
+    rows_per_shard: int = 4,
+) -> dict:
+    """Sharded GeoTIFF export: one complete, georeferenced GeoTIFF per
+    group of ``rows_per_shard`` tile rows, written EXECUTOR-side.
+
+    This is the scale path the single-file :func:`write_geotiff` cannot
+    be: that writer must stream every strip through the driver because
+    one .tif is one byte stream; here each shard task assembles its tile
+    rows and writes ``shard-<row0>-<row1>.tif`` directly, so the driver
+    does ZERO pixel IO — it only collects the tiny shard index (path +
+    placement per shard, like a GDAL VRT's source list). Every shard is
+    a valid standalone GeoTIFF with its own ModelTiepoint, so standard
+    tools (or :func:`raquet_spark.sources.tiff_reader.geotiff_to_raquet`)
+    can mosaic or re-ingest the parts.
+
+    At 100 TB: one output file is a driver funnel no matter how the
+    strips are produced; N_shards files writes in parallel with
+    N_shards tasks and bounded task memory (rows_per_shard × raster
+    width × dtype). Tile rows with no tiles inside a covered shard are
+    nodata-filled; shard groups with no tiles at all are skipped
+    entirely (sparse output — the index records what exists)."""
+    import os
+
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    if metadata.get("band_layout") == "interleaved":
+        from raquet_spark.operators.layout import to_sequential
+
+        df, metadata = to_sequential(df, metadata, compression=None)
+    os.makedirs(out_dir, exist_ok=True)
+    comp_tag = _COMP_TAG[compression]
+    # strip payloads (already executor-compressed) keyed by tile row
+    strips_df, info = strip_table(df, metadata, bands, tiff_compression=compression)
+    dt = np.dtype(DTYPES[info["band_type"]])
+    bh = info["rows_per_strip"]
+    fill_strip = _compress_strip(
+        np.full(bh * info["width"] * info["nbands"], info["fill"], dtype=dt)
+        .astype(dt.newbyteorder("<"), copy=False)
+        .tobytes(),
+        compression,
+    )
+    n_strips = info["n_strips"]
+    meta_bands = metadata
+    base_info = dict(info)
+
+    def write_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        row0 = int(shard) * rows_per_shard
+        rows = min(rows_per_shard, n_strips - row0)
+        by_strip = {int(r["strip"]): bytes(r["data"]) for _, r in pdf.iterrows()}
+        path = os.path.join(out_dir, f"shard-{row0:05d}-{row0 + rows - 1:05d}.tif")
+        sinfo = dict(base_info)
+        sinfo["height"] = rows * bh
+        sinfo["n_strips"] = rows
+        sinfo["uly"] = base_info["uly"] - row0 * bh * base_info["yres"]
+        offsets: list[int] = []
+        counts: list[int] = []
+        with open(path, "wb") as f:
+            f.write(b"II*\x00" + struct.pack("<I", 0))
+            pos = 8
+            for i in range(rows):
+                data = by_strip.get(row0 + i, fill_strip)
+                offsets.append(pos)
+                counts.append(len(data))
+                f.write(data)
+                pos += len(data)
+            entries = _level_entries(
+                sinfo, meta_bands, comp_tag, offsets, counts, is_overview=False
+            )
+            f.write(_pack_ifd(entries, pos, 0))
+            f.seek(4)
+            f.write(struct.pack("<I", pos))
+        return pd.DataFrame({
+            "shard": [int(shard)],
+            "path": [path],
+            "row0": [row0],
+            "n_rows": [rows],
+            "uly": [sinfo["uly"]],
+        })
+
+    index = (
+        strips_df.withColumn("shard", F.expr(f"strip DIV {rows_per_shard}"))
+        .groupBy("shard")
+        .applyInPandas(
+            write_shard,
+            schema="shard bigint, path string, row0 bigint, n_rows bigint, uly double",
+        )
+        .collect()
+    )
+    shards = sorted(
+        ({k: r[k] for k in ("shard", "path", "row0", "n_rows", "uly")} for r in index),
+        key=lambda s: s["row0"],
+    )
+    return {**info, "shards": shards, "out_dir": out_dir}
+
+
 def read_geotiff(path: str, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
     """Minimal TIFF reader for round-trip verification (independent of
     the writer's buffers — parses the IFD from disk). ``ifd_index``

@@ -26,7 +26,7 @@ Three layers:
    The result feeds ``operators/tiling.from_pixel_table`` → RaQuet.
 
 Supported: classic little-endian TIFF, strip or tile layout,
-compression none/deflate (+ horizontal predictor), 1..N samples
+compression none/LZW/deflate (+ horizontal predictor), 1..N samples
 (pixel-interleaved), uint8..float64, palette (kept as indices with the
 colortable in metadata, like the reference's colored.tif handling),
 CRS = EPSG:4326 or EPSG:3857 (others raise — closed-form math only,

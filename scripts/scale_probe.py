@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Scale probe: run the heaviest operators at ~8-10x the bench input to
+confirm runtime grows with shuffle volume (near-linearly), not with some
+driver-side bottleneck — the round-4 "would the plan survive a scale-up"
+check (VERDICT r03 item 10). No sf>0.1 testdata exists, so inputs are
+scaled synthetically:
+
+- documents: the sf0.1 table unioned 8x with re-keyed doc ids
+- embeddings: the sf0.1 table unioned 8x with re-keyed vec ids
+- raster: 16x16 tiles x 256px (16 Mpx, 4x the bench raster)
+
+Prints one JSON line {"probe": {...}, "ratios_vs_bench": {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from raquet_spark.session import get_spark
+
+    spark = get_spark("raquet_spark_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from raquet_spark.queries import load_table
+
+    mult = 8
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    big_docs = docs
+    for i in range(1, mult):
+        big_docs = big_docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    big_docs = big_docs.localCheckpoint(eager=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    big_emb = emb
+    for i in range(1, mult):
+        big_emb = big_emb.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    big_emb = big_emb.localCheckpoint(eager=True)
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    from raquet_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+    from raquet_spark.operators.similarity import ann_lsh
+
+    bench(f"dedup_minhash_x{mult}", lambda: minhash_dedup_pairs(big_docs).count())
+    bench(
+        f"dedup_components_x{mult}",
+        lambda: connected_components(
+            minhash_dedup_pairs(big_docs), "id_a", "id_b"
+        ).count(),
+    )
+    queries_df = big_emb.where("vec_id % 25 = 0")
+    # bench settings (n_bits=4 → 16 buckets/table): per-bucket work grows
+    # quadratically when corpus AND query side both scale — the knob a
+    # user turns at scale is n_bits, which bounds bucket size
+    bench(
+        f"ann_lsh_x{mult}",
+        lambda: ann_lsh(big_emb, queries_df, k=5, n_bits=4, n_tables=12, dim=64).count(),
+    )
+    bench(
+        f"ann_lsh_x{mult}_nbits7",
+        lambda: ann_lsh(big_emb, queries_df, k=5, n_bits=7, n_tables=12, dim=64).count(),
+    )
+
+    # raster: 16 Mpx (4x bench's 4 Mpx)
+    import tempfile
+
+    from raquet_spark.operators.pyramid import build_pyramid
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.sources.geotiff import write_geotiff_sharded
+    from raquet_spark.sources.raquet import read_raquet, write_raquet
+    from raquet_spark.testing import make_synthetic_raster
+
+    t0 = time.perf_counter()
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=9, tiles_x=16, tiles_y=16, origin_x=128, origin_y=160,
+        block_size=256, num_bands=1, dtype="float32", nodata=-1.0,
+        nodata_every=11,
+    )
+    raster_path = tempfile.mkdtemp(prefix="probe_raster_") + "/raster.parquet"
+    write_raquet(tiles, raster_path, meta)
+    timings["raster_write_16mpx"] = round(time.perf_counter() - t0, 3)
+
+    scan = read_raquet(spark, raster_path)
+    bench("raster_tile_stats_16mpx", lambda: with_tile_stats(scan, meta).count())
+    bench(
+        "raster_pyramid_16mpx",
+        lambda: build_pyramid(scan, meta, min_zoom=6, resampling="average")[0].count(),
+    )
+    bench(
+        "geotiff_export_sharded_16mpx",
+        lambda: write_geotiff_sharded(
+            scan, meta, tempfile.mkdtemp(prefix="probe_shards_"), rows_per_shard=2
+        ),
+    )
+
+    out = {"probe": timings, "n_docs_base": n_docs, "multiplier": mult}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

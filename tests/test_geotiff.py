@@ -212,3 +212,27 @@ def test_geotiff_4gb_guard(spark, raster):
     big["tiling"]["block_height"] = 1 << 15
     with pytest.raises(ValueError, match="4GB"):
         write_geotiff(tiles, big, "/tmp/never_written.tif")
+
+
+def test_geotiff_sharded_matches_single_file(spark, raster, tmp_path):
+    """Executor-written shards concatenate to the same pixels as the
+    single-file export; each shard is a valid standalone GeoTIFF with
+    row-shifted georeferencing."""
+    from raquet_spark.sources.geotiff import write_geotiff_sharded
+
+    tiles, meta = raster
+    single = str(tmp_path / "single.tif")
+    write_geotiff(tiles, meta, single)
+    a_single, _ = read_geotiff(single)
+
+    out = str(tmp_path / "shards")
+    info = write_geotiff_sharded(
+        tiles, meta, out, compression="deflate", rows_per_shard=1
+    )
+    assert len(info["shards"]) == 2  # raster fixture has 2 tile rows
+    parts = []
+    for sh in info["shards"]:
+        arr, geo = read_geotiff(sh["path"])
+        assert geo["tiepoint"][4] == pytest.approx(sh["uly"])
+        parts.append(arr)
+    np.testing.assert_array_equal(np.concatenate(parts, axis=0), a_single)
