@@ -1,4 +1,4 @@
-"""TIFF-variant LZW codec (compression code 5), pure Python.
+"""TIFF codecs, pure Python: LZW (compression 5) and PackBits (32773).
 
 LZW is the most common GeoTIFF codec in the wild; the reference reads it
 through GDAL (/root/reference/raquet/raster2raquet.py:872 ``read_raster``).
@@ -122,4 +122,55 @@ def lzw_encode(data: bytes) -> bytes:
     emit(_EOI, nbits)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773): byte-wise RLE per the TIFF 6.0
+    spec — n in 0..127 copies n+1 literals, n in -127..-1 repeats the
+    next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    end = len(data)
+    while pos < end:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            out += data[pos : pos + 1] * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (runs ≥3 become repeats; used for fixtures and
+    the export path's smallest-common-denominator codec)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal stretch until the next >=3 run (or 128 cap)
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
     return bytes(out)

@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from raquet_spark.sources.lzw import lzw_decode
+from raquet_spark.sources.lzw import lzw_decode, packbits_decode
 
 from raquet_spark.core.metadata import BandMeta, build_metadata
 from raquet_spark.sources.geotiff import read_ifd
@@ -121,11 +121,15 @@ def _projection(keys: dict) -> dict | None:
 
 
 def read_tiff_structure(path: str) -> dict:
-    """Parse header/IFD only. Returns geometry, dtype, CRS, geotransform
-    and the segment (strip or tile) layout."""
+    """Parse header/IFD only (classic or BigTIFF). Returns geometry,
+    dtype, CRS, geotransform and the segment (strip or tile) layout.
+    The file is mmap'd, not read: a multi-GB BigTIFF costs only the IFD
+    pages here — pixel bytes are fetched per-segment by the executors."""
+    import mmap
+
     with open(path, "rb") as f:
-        raw = f.read()
-    tags = read_ifd(raw)
+        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as raw:
+            tags = read_ifd(raw)
 
     width, height = tags[256][0], tags[257][0]
     spp = tags.get(277, (1,))[0]
@@ -135,9 +139,10 @@ def read_tiff_structure(path: str) -> dict:
     fmt = tags.get(339, (1,) * spp)[0]
     dtype = np.dtype(f"<{_KIND[fmt]}{bits[0] // 8}")
     compression = tags.get(259, (1,))[0]
-    if compression not in (1, 5, 8, 32946):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} (only none/LZW/deflate supported)"
+            f"TIFF compression {compression} "
+            "(only none/LZW/deflate/PackBits supported)"
         )
     planar = tags.get(284, (1,))[0]
     if planar != 1 and spp > 1:
@@ -257,6 +262,8 @@ def tiff_pixel_table(
                         buf = zlib.decompress(buf)
                     elif compression == 5:
                         buf = lzw_decode(buf)
+                    elif compression == 32773:
+                        buf = packbits_decode(buf)
                     arr = np.frombuffer(buf, dtype=dtype)
                     # segment pixel origin and true extent
                     if tiled:

@@ -289,3 +289,75 @@ def test_geotiff_import_two_shuffles(spark):
         spark, path, block_size=128, dense=False, stats=False
     )
     assert count_exchanges(tiles) == 2
+
+
+def test_bilinear_import_three_shuffles_no_bnlj(spark):
+    """The resampled import is exactly three exchanges — the (sx, sy)
+    neighborhood gather join, the blend groupBy(target pixel), and the
+    tiling groupBy(block) — with NO nested-loop join anywhere (the
+    4x-contribution explode is map-side) and no Python row UDFs."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/reference/tests/n37_w123_1arc_v2.tif"
+    if not os.path.exists(path):
+        _pytest.skip("reference raster not available")
+    from raquet_spark.plans.inspect import (
+        count_exchanges,
+        no_nested_loops,
+        no_python_udfs,
+    )
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    tiles, _ = geotiff_to_raquet(
+        spark, path, block_size=128, dense=False, stats=False,
+        resampling="bilinear",
+    )
+    assert no_nested_loops(tiles)
+    assert no_python_udfs(tiles)
+    assert count_exchanges(tiles) <= 3
+
+
+def test_netcdf_import_two_shuffles(spark, tmp_path):
+    """NetCDF conversion keeps the GeoTIFF import's plan shape — warp
+    argmin + tiling, two exchanges — with ALL time steps riding the
+    same shuffles (time_cf is a group key, not a driver loop)."""
+    import numpy as np
+
+    from raquet_spark.plans.inspect import count_exchanges, no_nested_loops
+    from raquet_spark.sources.netcdf import netcdf_to_raquet
+    from raquet_spark.testing import write_netcdf_classic
+
+    nlat, nlon, nt = 40, 60, 3
+    gy, gx = np.mgrid[0:nlat, 0:nlon]
+    data = np.stack(
+        [((gx * 7 + gy * 11 + t * 13) % 199 - 50) for t in range(nt)]
+    ).astype("<i2")
+    path = str(tmp_path / "p.nc")
+    write_netcdf_classic(
+        path, 37.9875 - 0.025 * np.arange(nlat),
+        -122.9875 + 0.025 * np.arange(nlon), data,
+        times=np.arange(nt, dtype="f8"), nc_type=3,
+        scale_factor=0.5, add_offset=100.0, fill_value=-999,
+    )
+    tiles, _ = netcdf_to_raquet(spark, path, block_size=64, stats=False)
+    assert no_nested_loops(tiles)
+    assert count_exchanges(tiles) == 2
+
+
+def test_sharded_export_strip_plan_single_shuffle(spark):
+    """The sharded export's pixel plan is one exchange (strip assembly)
+    followed by the shard groupBy — the file writes happen inside the
+    shard tasks, so there is no driver-side pixel collection at all."""
+    from raquet_spark.operators.tiling import from_pixel_table  # noqa: F401
+    from raquet_spark.plans.inspect import count_exchanges
+    from raquet_spark.sources.geotiff import strip_table
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=6, tiles_x=2, tiles_y=2, origin_x=16, origin_y=20,
+        block_size=16, dtype="float32",
+    )
+    strips, _ = strip_table(tiles, meta, tiff_compression="deflate")
+    assert count_exchanges(strips) == 1

@@ -769,15 +769,17 @@ def test_lzw_roundtrip_width_boundaries():
         assert lzw_decode(lzw_encode(data)) == data
 
 
-def _recompress_tiff_lzw(raw: bytes) -> bytes:
-    """Rewrite an uncompressed striped classic TIFF as LZW: append the
-    compressed strips + new offset/count arrays, patch tags 259/273/279
-    in place. Test-only fixture builder (no LZW-compressed file ships
-    with the reference; GDAL would produce one)."""
+def _recompress_tiff_lzw(raw: bytes, code: int = 5) -> bytes:
+    """Rewrite an uncompressed striped classic TIFF as LZW (code 5) or
+    PackBits (32773): append the compressed strips + new offset/count
+    arrays, patch tags 259/273/279 in place. Test-only fixture builder
+    (no compressed file ships with the reference; GDAL would produce
+    one)."""
     import struct
 
-    from raquet_spark.sources.lzw import lzw_encode
+    from raquet_spark.sources.lzw import lzw_encode, packbits_encode
 
+    enc_fn = lzw_encode if code == 5 else packbits_encode
     out = bytearray(raw)
     ifd_off = struct.unpack("<I", raw[4:8])[0]
     (n_entries,) = struct.unpack_from("<H", raw, ifd_off)
@@ -799,14 +801,14 @@ def _recompress_tiff_lzw(raw: bytes) -> bytes:
     offs, cnts = read_longs(273), read_longs(279)
     new_offs, new_cnts = [], []
     for off, cnt in zip(offs, cnts):
-        enc = lzw_encode(raw[off : off + cnt])
+        enc = enc_fn(raw[off : off + cnt])
         if len(out) % 2:
             out += b"\x00"
         new_offs.append(len(out))
         new_cnts.append(len(enc))
         out += enc
     # patch compression = 5
-    struct.pack_into("<H", out, entries[259][0] + 8, 5)
+    struct.pack_into("<H", out, entries[259][0] + 8, code)
     for tag, vals in ((273, new_offs), (279, new_cnts)):
         pos, typ, count, _ = entries[tag]
         if count == 1:
@@ -943,3 +945,93 @@ def test_cubic_upsample_reproduces_linear_ramp(spark, tmp_path):
     np.testing.assert_allclose(
         arr[np.ix_(corey, core)], want[np.ix_(corey, core)], atol=1e-9
     )
+
+
+def test_packbits_recompressed_n37_parity(spark, tmp_path):
+    """A PackBits variant of the reference DEM ingests pixel-identical
+    to the uncompressed original (compression 32773, byte-wise RLE)."""
+    src = f"{REF}/n37_w123_1arc_v2.tif"
+    pb_path = str(tmp_path / "n37_pb.tif")
+    with open(src, "rb") as f:
+        raw = f.read()
+    with open(pb_path, "wb") as f:
+        f.write(_recompress_tiff_lzw(raw, code=32773))
+
+    i0 = read_tiff_structure(src)
+    i1 = read_tiff_structure(pb_path)
+    assert i1["compression"] == 32773
+    p0 = tiff_pixel_table(spark, i0).toPandas().sort_values(["sy", "sx"])
+    p1 = tiff_pixel_table(spark, i1).toPandas().sort_values(["sy", "sx"])
+    np.testing.assert_array_equal(p0["band_1"].to_numpy(), p1["band_1"].to_numpy())
+
+
+def _classic_to_bigtiff(raw: bytes) -> bytes:
+    """Rewrite a classic little-endian TIFF as BigTIFF (magic 43,
+    8-byte offsets, 20-byte IFD entries): the original file is embedded
+    verbatim after the 16-byte BigTIFF header (so pixel bytes shift by
+    16) and a fresh BigTIFF IFD is appended with strip/tile offsets
+    rebased. Test fixture for the BigTIFF header parser."""
+    import struct
+
+    shift = 16  # BigTIFF header size; original raw follows verbatim
+    ifd_off = struct.unpack("<I", raw[4:8])[0]
+    (n_entries,) = struct.unpack_from("<H", raw, ifd_off)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+    type_fmt = {3: "H", 4: "I"}
+    entries = []
+    for i in range(n_entries):
+        tag, typ, count, val_off = struct.unpack_from(
+            "<HHII", raw, ifd_off + 2 + i * 12
+        )
+        if typ not in type_size:
+            continue
+        nbytes = type_size[typ] * count
+        if nbytes <= 4:
+            buf = raw[ifd_off + 2 + i * 12 + 8 : ifd_off + 2 + i * 12 + 8 + nbytes]
+        else:
+            buf = raw[val_off : val_off + nbytes]
+        if tag in (273, 324):  # segment offsets move by the header delta
+            vals = struct.unpack(f"<{count}{type_fmt[typ]}", buf)
+            typ = 16  # LONG8
+            buf = struct.pack(f"<{count}Q", *(v + shift for v in vals))
+        entries.append((tag, typ, count, buf))
+
+    out = bytearray(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))  # offset patched below
+    out += raw
+    if len(out) % 2:
+        out += b"\x00"
+    big_ifd = len(out)
+    ext = bytearray()
+    ext_base = big_ifd + 8 + len(entries) * 20 + 8
+    body = b""
+    for tag, typ, count, buf in entries:
+        if len(buf) <= 8:
+            body += struct.pack("<HHQ", tag, typ, count) + buf.ljust(8, b"\x00")
+        else:
+            body += struct.pack("<HHQQ", tag, typ, count, ext_base + len(ext))
+            ext += buf
+    out += struct.pack("<Q", len(entries)) + body + struct.pack("<Q", 0) + ext
+    struct.pack_into("<Q", out, 8, big_ifd)
+    return bytes(out)
+
+
+def test_bigtiff_n37_parity(spark, tmp_path):
+    """The DEM rewritten as BigTIFF (magic 43) parses to the same
+    structure and decodes pixel-identical — the format GDAL writes for
+    >4GB rasters."""
+    src = f"{REF}/n37_w123_1arc_v2.tif"
+    with open(src, "rb") as f:
+        raw = f.read()
+    big = _classic_to_bigtiff(raw)
+    bt_path = str(tmp_path / "n37_big.tif")
+    with open(bt_path, "wb") as f:
+        f.write(big)
+
+    i0 = read_tiff_structure(src)
+    i1 = read_tiff_structure(bt_path)
+    assert (i1["width"], i1["height"], i1["epsg"], i1["dtype"]) == (
+        i0["width"], i0["height"], i0["epsg"], i0["dtype"],
+    )
+    p0 = tiff_pixel_table(spark, i0).toPandas().sort_values(["sy", "sx"])
+    p1 = tiff_pixel_table(spark, i1).toPandas().sort_values(["sy", "sx"])
+    np.testing.assert_array_equal(p0["band_1"].to_numpy(), p1["band_1"].to_numpy())
