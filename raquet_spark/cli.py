@@ -252,6 +252,30 @@ def cmd_import_geotiff(args) -> int:
     return 0
 
 
+def cmd_import_earthengine(args) -> int:
+    """Earth Engine asset → raquet (reference cli.py:723
+    convert_earthengine): submit GeoTIFF export, poll, convert
+    distributed. Needs the `ee` SDK + credentials (auth-gated)."""
+    from raquet_spark.sources.earthengine import (
+        EarthEngineConfig,
+        earthengine_to_raquet,
+    )
+    from raquet_spark.sources.raquet import write_raquet
+
+    spark = _spark()
+    config = EarthEngineConfig(
+        image_spec=args.image, gcs_bucket=args.gcs_bucket,
+        output_path=args.output, bands=args.bands.split(",") if args.bands else None,
+        scale=args.scale, tile_zoom=args.tile_zoom,
+        block_size=args.block_size, resampling=args.resampling,
+        project=args.project,
+    )
+    tiles, meta = earthengine_to_raquet(spark, config)
+    write_raquet(tiles, args.output, meta)
+    print(f"imported {args.image} -> {args.output}")
+    return 0
+
+
 def cmd_import_netcdf(args) -> int:
     """Classic NetCDF → raquet (reference `convert file.nc`, cli.py:92):
     distributed slab decode, CF time → (block, time_cf) tiles."""
@@ -409,6 +433,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="import warp kernel (reference --resampling)")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_geotiff)
+
+    s = sub.add_parser("import-earthengine",
+                       help="Earth Engine asset → raquet (needs ee SDK + credentials)")
+    s.add_argument("image", help="asset ID or expr:... expression")
+    s.add_argument("output")
+    s.add_argument("--gcs-bucket", required=True)
+    s.add_argument("--bands", default=None)
+    s.add_argument("--scale", type=float, default=10.0)
+    s.add_argument("--tile-zoom", type=int, default=None)
+    s.add_argument("--block-size", type=int, default=256)
+    s.add_argument("--resampling", default="near",
+                   choices=["near", "bilinear", "cubic"])
+    s.add_argument("--project", default=None)
+    s.set_defaults(fn=cmd_import_earthengine)
 
     s = sub.add_parser("import-netcdf", help="classic NetCDF (.nc) → raquet, CF time preserved")
     s.add_argument("input")
