@@ -1,0 +1,441 @@
+"""Baseline JFIF/JPEG codec, pure numpy — the lossy tile codec.
+
+The reference compresses interleaved uint8 tiles with Pillow
+(/root/reference/raquet/raster2raquet.py:816 raises without it). This
+container has no PIL, so the codec is implemented from the public
+ITU-T T.81 (JPEG) and JFIF specifications: baseline sequential DCT,
+8-bit, grayscale or YCbCr 4:4:4, Annex-K quantization and Huffman
+tables with IJG quality scaling. ``operators/layout.py`` prefers PIL
+when importable and falls back here, so lossy RaQuet datasets
+round-trip in either environment (files are standard JFIF either way).
+
+Scale note: encode/decode run executor-side per tile inside the layout
+converters' ``mapInPandas``; the DCT is a batched numpy matmul over all
+8×8 blocks of a tile at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# zigzag scan order (T.81 figure A.6)
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+_UNZZ = np.argsort(_ZZ)
+
+# Annex K.1 quantization tables (luminance, chrominance)
+_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# Annex K.3 Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+# orthonormal 8-point DCT-II basis
+_T = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _T[_u, _x] = np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+_T[0, :] *= np.sqrt(1.0 / 8.0)
+_T[1:, :] *= 0.5
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """{symbol: (code, length)} from BITS/HUFFVAL (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (libjpeg jpeg_quality_scaling)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(n_blocks, 8, 8) float blocks (edge-replicated padding), plus the
+    padded block grid dims."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    by, bx = ph // 8, pw // 8
+    blocks = (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    return blocks.astype(np.float64) - 128.0, by, bx
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    y, cb, cr = arr[..., 0], arr[..., 1] - 128.0, arr[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes
+    (4:4:4, Annex-K Huffman tables)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(a.astype(np.float64))
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise ValueError(f"jpeg_encode expects (h,w) or (h,w,3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    ncomp = len(planes)
+    ql, qc = _quant_tables(quality)
+    qtabs = [ql] + ([qc] if ncomp == 3 else [])
+
+    # quantized zigzag coefficients per component
+    comp_coef = []
+    for ci, plane in enumerate(planes):
+        blocks, _by, _bx = _blocks(plane)
+        f = np.einsum("ux,nxy,vy->nuv", _T, blocks, _T)
+        q = qtabs[min(ci, 1)].reshape(8, 8)
+        coef = np.round(f / q).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        comp_coef.append(coef)
+
+    dc_tabs = [_canonical_codes(*_DC_L), _canonical_codes(*_DC_C)]
+    ac_tabs = [_canonical_codes(*_AC_L), _canonical_codes(*_AC_C)]
+
+    bw = _BitWriter()
+    prev_dc = [0] * ncomp
+    nblocks = comp_coef[0].shape[0]
+    for n in range(nblocks):
+        for ci in range(ncomp):
+            t = min(ci, 1)
+            zz = comp_coef[ci][n]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, length = dc_tabs[t][size]
+            bw.put(code, length)
+            if size:
+                bw.put(bits, size)
+            run = 0
+            last_nz = np.nonzero(zz[1:])[0]
+            end = last_nz[-1] + 1 if len(last_nz) else 0
+            for k in range(1, end + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tabs[t][0xF0]  # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = ac_tabs[t][(run << 4) | size]
+                bw.put(code, length)
+                bw.put(bits, size)
+                run = 0
+            if end < 63:
+                code, length = ac_tabs[t][0x00]  # EOB
+                bw.put(code, length)
+    bw.flush()
+
+    # ---------------- markers ----------------
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, qt in enumerate(qtabs):
+        # DQT stores entries in ZIGZAG order (T.81 B.2.4.1)
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + bytes(
+            int(qt[_ZZ[k]]) for k in range(64)
+        )
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, min(ci, 1))  # 1x1 sampling
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_L), (1, 0, _AC_L), (0, 1, _DC_C), (1, 1, _AC_C)
+    )[: 2 * min(ncomp, 2)]:
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        out += struct.pack("BB", ci + 1, (t << 4) | t)
+    out += b"\x00\x3F\x00"  # Ss, Se, Ah/Al
+    out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """{(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, tree: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = tree.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → uint8 (h, w) or (h, w, 3). Supports what
+    this codec (and PIL at 4:4:4) emits: baseline sequential, 8-bit,
+    1x1 sampling, no restart markers or progressive scans."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htrees: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    h = w = 0
+    scan_comps: list[tuple[int, int, int]] = []
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                n = 64 * (2 if prec else 1)
+                vals = (
+                    np.frombuffer(seg[p : p + n], dtype=">u2" if prec else "u1")
+                    .astype(np.int32)
+                )
+                qtabs[tid] = vals
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                htrees[(cls, tid)] = _decode_tree(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            p = 6
+            for _ in range(nc):
+                cid, samp, qid = seg[p], seg[p + 1], seg[p + 2]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        f"subsampling {samp:#x} (this codec reads 4:4:4/gray)"
+                    )
+                comps.append((cid, samp, qid))
+                p += 3
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            nc = seg[0]
+            p = 1
+            for _ in range(nc):
+                cid, tabs = seg[p], seg[p + 1]
+                scan_comps.append((cid, tabs >> 4, tabs & 0xF))
+                p += 2
+            pos += seglen
+            break
+        pos += seglen
+    if not comps or not scan_comps:
+        raise ValueError("missing SOF0/SOS")
+
+    ncomp = len(comps)
+    by, bx = -(-h // 8), -(-w // 8)
+    br = _BitReader(data[pos:])
+    planes = [np.zeros((by * 8, bx * 8)) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    for n in range(by * bx):
+        yy, xx = divmod(n, bx)
+        for ci in range(ncomp):
+            _cid, dtab, atab = scan_comps[ci]
+            dct = htrees[(0, dtab)]
+            act = htrees[(1, atab)]
+            zz = np.zeros(64, dtype=np.int32)
+            size = _read_symbol(br, dct)
+            diff = _extend(br.read(size), size) if size else 0
+            prev_dc[ci] += diff
+            zz[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = _read_symbol(br, act)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.read(size), size)
+                k += 1
+            q = qtabs[comps[ci][2]]
+            f = (zz * q)[_UNZZ].reshape(8, 8).astype(np.float64)
+            block = _T.T @ f @ _T + 128.0
+            planes[ci][yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = block
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if ncomp == 3:
+        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"{ncomp}-component JPEG")

@@ -2,12 +2,13 @@
 interleaved (single BIP ``pixels`` column), per spec
 /root/reference/format-specs/raquet.md:40-57 and :265-275.
 
-Lossy JPEG/WebP codecs for the interleaved layout are probed at use:
-when PIL is importable the real codec runs (quality from metadata
-``compression_quality``, default 85 per spec); in this container PIL is
-absent, so the codec raises a typed NotImplementedError while all
-Spark-side plumbing (schema, metadata, batching, spec constraint
-checks) is real and tested with gzip/none compression.
+Lossy codecs for the interleaved layout: JPEG uses PIL when importable
+and otherwise falls back to the pure-numpy baseline codec in
+``functions/jpeg.py`` (standard JFIF bytes either way; quality from
+metadata ``compression_quality``, default 85 per spec). WebP has no
+pure-python implementation, so without PIL it raises a typed
+NotImplementedError — the same environment gate as the reference,
+which requires Pillow (raster2raquet.py:816).
 """
 
 from __future__ import annotations
@@ -56,38 +57,50 @@ def encode_lossy(
     compression: str,
     quality: int = 85,
 ) -> bytes:
-    """Pixel-interleaved uint8 array -> JPEG/WebP bytes (PIL-probed)."""
-    Image = _pil_image()
-    if Image is None:
-        raise NotImplementedError(
-            f"{compression} codec needs PIL, not available in this container; "
-            "use 'gzip' or None"
-        )
+    """Pixel-interleaved uint8 array -> JPEG/WebP bytes. JPEG: PIL when
+    available, else the pure-numpy baseline codec (functions/jpeg.py).
+    WebP: PIL-gated."""
     arr = np.asarray(inter, dtype=np.uint8).reshape(height, width, n_bands)
-    img = Image.fromarray(arr.squeeze(), mode=_PIL_MODES[n_bands])
-    buf = io.BytesIO()
-    img.save(buf, format="JPEG" if compression == "jpeg" else "WEBP", quality=quality)
-    return buf.getvalue()
+    Image = _pil_image()
+    if Image is not None:
+        img = Image.fromarray(arr.squeeze(), mode=_PIL_MODES[n_bands])
+        buf = io.BytesIO()
+        img.save(
+            buf, format="JPEG" if compression == "jpeg" else "WEBP", quality=quality
+        )
+        return buf.getvalue()
+    if compression == "jpeg":
+        from raquet_spark.functions.jpeg import jpeg_encode
+
+        return jpeg_encode(arr.squeeze(), quality=quality)
+    raise NotImplementedError(
+        "webp codec needs PIL, not available in this container; "
+        "use 'jpeg', 'gzip' or None"
+    )
 
 
 def decode_lossy(raw: bytes, compression: str) -> np.ndarray:
-    """JPEG/WebP bytes -> flat pixel-interleaved uint8 array (PIL-probed)."""
+    """JPEG/WebP bytes -> flat pixel-interleaved uint8 array."""
     Image = _pil_image()
-    if Image is None:
-        raise NotImplementedError(
-            f"{compression} codec needs PIL, not available in this container"
-        )
-    img = Image.open(io.BytesIO(raw))
-    return np.asarray(img, dtype=np.uint8).reshape(-1)
+    if Image is not None:
+        img = Image.open(io.BytesIO(raw))
+        return np.asarray(img, dtype=np.uint8).reshape(-1)
+    if compression == "jpeg":
+        from raquet_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(raw).reshape(-1)
+    raise NotImplementedError(
+        "webp codec needs PIL, not available in this container"
+    )
 
 
 def _check_compression(compression: str | None, band_types: list[str]) -> None:
     if compression in LOSSY:
         check_lossy_constraints(compression, band_types)
-        if _pil_image() is None:
+        if compression == "webp" and _pil_image() is None:
             raise NotImplementedError(
-                f"{compression} codec needs PIL, not available in this container; "
-                "use 'gzip' or None"
+                "webp codec needs PIL, not available in this container; "
+                "use 'jpeg', 'gzip' or None"
             )
 
 
@@ -132,8 +145,8 @@ def to_sequential(df: DataFrame, metadata: dict, compression: str | None = "gzip
 
     ensure_package_shipped(df.sparkSession)
     src_comp = metadata.get("compression")
-    if src_comp in LOSSY and _pil_image() is None:
-        raise NotImplementedError("lossy decode needs PIL; see module docstring")
+    if src_comp == "webp" and _pil_image() is None:
+        raise NotImplementedError("webp decode needs PIL; see module docstring")
     bands = [(b["name"], b["type"]) for b in metadata["bands"]]
     btype = bands[0][1]
     n = len(bands)

@@ -109,3 +109,96 @@ def test_codec_stub_and_constraints(spark, rgb):
         check_lossy_constraints("jpeg", ["uint8", "uint8"])
     with pytest.raises(ValueError, match="1-4"):
         check_lossy_constraints("webp", ["uint8"] * 5)
+
+
+# -------------------------------------------- pure-numpy JPEG codec --
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_codec_roundtrip_quality():
+    """Baseline JFIF roundtrip: PSNR rises with quality, q100 is
+    lossless on this smooth input, odd dims and RGB both work."""
+    import numpy as np
+
+    from raquet_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    gy, gx = np.mgrid[0:96, 0:112]
+    img = (
+        128 + 60 * np.sin(gx / 9.0) * np.cos(gy / 13.0)
+        + 20 * np.sin((gx + gy) / 3.0)
+    ).clip(0, 255).astype(np.uint8)
+    prev = 0.0
+    for q in (30, 50, 70, 85, 95, 100):
+        p = _psnr(img, jpeg_decode(jpeg_encode(img, q)))
+        assert p >= prev - 0.01, (q, p, prev)
+        prev = p
+    assert prev > 55  # q100 near-lossless
+    assert _psnr(img, jpeg_decode(jpeg_encode(img, 85))) > 40
+
+    odd = img[:37, :53]
+    assert jpeg_decode(jpeg_encode(odd, 85)).shape == (37, 53)
+
+    rgb = np.stack([img, img[::-1], np.roll(img, 17, axis=1)], axis=-1)
+    drgb = jpeg_decode(jpeg_encode(rgb, 85))
+    assert drgb.shape == rgb.shape and _psnr(rgb, drgb) > 38
+
+    u = np.full((24, 24), 200, np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode(u, 85)), u)
+
+
+def test_jpeg_codec_bitstream_structure():
+    """Emitted bytes are standard JFIF: SOI/APP0/DQT/SOF0/DHT/SOS/EOI
+    markers in order, zigzag DQT, 0xFF bytes stuffed in the scan."""
+    import numpy as np
+
+    from raquet_spark.functions.jpeg import jpeg_encode
+
+    img = (np.arange(64 * 64).reshape(64, 64) % 251).astype(np.uint8)
+    b = jpeg_encode(img, 85)
+    assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+    assert b[2:4] == b"\xff\xe0" and b[6:11] == b"JFIF\x00"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in b
+    # inside the entropy segment every 0xFF is followed by 0x00
+    scan_start = b.index(b"\xff\xda")
+    seg_len = int.from_bytes(b[scan_start + 2 : scan_start + 4], "big")
+    scan = b[scan_start + 2 + seg_len : -2]
+    i = 0
+    while i < len(scan):
+        if scan[i] == 0xFF:
+            assert scan[i + 1] == 0x00, f"unstuffed 0xFF at {i}"
+            i += 2
+        else:
+            i += 1
+
+
+def test_jpeg_interleaved_roundtrip_spark(spark, rgb):
+    """End-to-end lossy layout: sequential → interleaved JPEG tiles →
+    back to sequential; per-band PSNR is bounded and metadata records
+    the codec (PIL absent → the numpy fallback produced the bytes)."""
+    import numpy as np
+
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.operators.layout import to_sequential
+
+    tiles, meta = rgb
+    inter, meta_i = to_interleaved(tiles, meta, compression="jpeg")
+    assert meta_i["compression"] == "jpeg"
+    row = inter.where("block != 0").first()
+    assert bytes(row["pixels"])[:2] == b"\xff\xd8"  # real JFIF payload
+
+    back, meta_s = to_sequential(inter, meta_i, compression=None)
+    orig = {r["block"]: r for r in tiles.where("block != 0").collect()}
+    got = {r["block"]: r for r in back.collect()}
+    assert orig.keys() == got.keys()
+    for k in orig:
+        for band in ("band_1", "band_2", "band_3"):
+            a = decode_block(orig[k][band], "uint8")
+            b = decode_block(got[k][band], "uint8")
+            assert _psnr(a, b) > 20, (k, band)  # mod-251 sawtooth is worst-case for DCT
