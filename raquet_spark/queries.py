@@ -1314,6 +1314,84 @@ def geotiff_overview_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+_JP = dict(zoom=6, tx=16, ty=20, n=2, bs=32, modulo=251)
+
+
+def lossy_jpeg_blocky_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy JPEG layout round trip made hash-exact: a raster whose
+    every 8×8 block is constant has DC-only DCT coefficients, which the
+    baseline JPEG codec (functions/jpeg.py; PIL when present) encodes
+    and decodes EXACTLY at quality 100 — so sequential → interleaved
+    JPEG tiles → sequential → per-tile stats matches the closed-form
+    oracle bit-for-bit, covering the whole lossy pipeline (encode,
+    JFIF bitstream, decode, layout shuffles) with a hard hash."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.layout import to_interleaved, to_sequential
+    from raquet_spark.operators.tiling import from_pixel_table
+
+    c = _JP
+    npx = c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    pix = spark.range(npx * npx).selectExpr(
+        f"{gx0} + id % {npx} AS gx",
+        f"{gy0} + id DIV {npx} AS gy",
+        f"CAST(((id % {npx}) DIV 8 * 7 + (id DIV {npx}) DIV 8 * 13"
+        f" + (id % {npx}) DIV 8 * ((id DIV {npx}) DIV 8)) % {c['modulo']}"
+        " AS DOUBLE) AS band_1",
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="uint8")],
+        bounds=(0, 0, 0, 0), width=npx, height=npx,
+        block_width=c["bs"], block_height=c["bs"],
+        min_zoom=c["zoom"], max_zoom=c["zoom"], compression=None,
+    )
+    tiles = from_pixel_table(pix, meta, compression=None)
+    meta_q = dict(meta, compression_quality=100)
+    inter, meta_i = to_interleaved(tiles, meta_q, compression="jpeg")
+    back, _meta_s = to_sequential(inter, meta_i, compression=None)
+    px = back.select(
+        "block", F.explode(band_decode("band_1", "uint8")).alias("v")
+    )
+    return px.groupBy("block").agg(
+        F.expr("COUNT(v)").alias("band_1_count"),
+        F.expr("CAST(MIN(v) AS DOUBLE)").alias("band_1_min"),
+        F.expr("CAST(MAX(v) AS DOUBLE)").alias("band_1_max"),
+        F.expr("CAST(SUM(v) AS DOUBLE)").alias("band_1_sum"),
+        F.expr("round(AVG(v), 6)").alias("band_1_mean"),
+    )
+
+
+def lossy_jpeg_blocky_stats_oracle() -> str:
+    c = _JP
+    npx = c["n"] * c["bs"]
+    cell = qb.tile_to_cell_sql(
+        f"{c['tx']} + (gx - {c['tx'] * c['bs']}) // {c['bs']}",
+        f"{c['ty']} + (gy - {c['ty'] * c['bs']}) // {c['bs']}",
+        c["zoom"], "duckdb",
+    )
+    return f"""
+WITH px AS (
+  SELECT {c['tx'] * c['bs']} + i % {npx} AS gx,
+         {c['ty'] * c['bs']} + i // {npx} AS gy,
+         CAST(((i % {npx}) // 8 * 7 + (i // {npx}) // 8 * 13
+               + (i % {npx}) // 8 * ((i // {npx}) // 8)) % {c['modulo']}
+              AS DOUBLE) AS v
+  FROM (SELECT unnest(range(0, {npx * npx})) AS i)
+)
+SELECT {cell} AS block,
+       COUNT(v) AS band_1_count,
+       CAST(MIN(v) AS DOUBLE) AS band_1_min,
+       CAST(MAX(v) AS DOUBLE) AS band_1_max,
+       CAST(SUM(v) AS DOUBLE) AS band_1_sum,
+       round(AVG(v), 6) AS band_1_mean
+FROM px
+GROUP BY 1
+"""
+
+
 _NC = dict(nlat=40, nlon=60, nt=3, modulo=199, fill=-999, scale=0.5, offset=100.0)
 
 
@@ -3286,6 +3364,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "netcdf_ingest_stats": (netcdf_ingest_stats_spark, netcdf_ingest_stats_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
+    "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),
