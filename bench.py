@@ -154,6 +154,20 @@ def main() -> None:
         timings["geotiff_export_4mpx"] = round(
             min(dt, timings.get("geotiff_export_4mpx", dt)), 3)
 
+    # COG export: map-only tile payload encode (blocks ARE the TIFF
+    # tiles), IFDs at the head; vs the strip path's assembly shuffle
+    from raquet_spark.sources.geotiff import write_geotiff_cog
+
+    for _ in range(2):
+        t0 = time.perf_counter()
+        write_geotiff_cog(
+            scan, meta, tempfile.mktemp(suffix=".tif"),
+            compression="deflate", include_overviews=False,
+        )
+        dt = time.perf_counter() - t0
+        timings["geotiff_export_cog_4mpx"] = round(
+            min(dt, timings.get("geotiff_export_cog_4mpx", dt)), 3)
+
     # sharded GeoTIFF export: executor-written parts, zero driver pixel
     # IO — the scale path for the single-file funnel above
     from raquet_spark.sources.geotiff import write_geotiff_sharded

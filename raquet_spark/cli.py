@@ -313,8 +313,21 @@ def cmd_export(args) -> int:
     if zoom != meta["tiling"]["max_zoom"]:
         meta = dict(meta, tiling=dict(meta["tiling"], max_zoom=zoom))
     if args.output.endswith((".tif", ".tiff")):
-        from raquet_spark.sources.geotiff import write_geotiff
+        from raquet_spark.sources.geotiff import write_geotiff, write_geotiff_cog
 
+        if getattr(args, "cog", False):
+            tiles_all = read_raquet(spark, args.file).where(
+                F.expr(qb.cell_to_zoom_sql("block", "spark")) <= zoom
+            )
+            info = write_geotiff_cog(
+                tiles_all, meta, args.output, bands=bands,
+                compression=getattr(args, "compression", None) or "deflate",
+            )
+            print(
+                f"exported COG {args.output} ({info['width']}x{info['height']}, "
+                f"levels {info['levels']})"
+            )
+            return 0
         if getattr(args, "overviews", False):
             # overview levels come from the stored pyramid: keep every
             # zoom <= the export zoom in the frame
@@ -479,6 +492,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="GeoTIFF strip compression (default: none)")
     s.add_argument("--overviews", action="store_true",
                    help="write lower zooms as GeoTIFF overview IFDs")
+    s.add_argument("--cog", action="store_true",
+                   help="Cloud-Optimized GeoTIFF: tiled layout, IFDs at "
+                        "the head, pyramid levels as overviews")
     s.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("split-zoom", help="one directory per zoom level")

@@ -165,11 +165,13 @@ def _level_entries(
     offsets: list[int],
     counts: list[int],
     is_overview: bool,
+    tiled: bool = False,
 ) -> list[tuple[int, int, int, bytes | int]]:
-    """IFD entries for one resolution level (primary or overview)."""
+    """IFD entries for one resolution level (primary or overview);
+    ``tiled`` swaps the strip tags (273/278/279) for tile tags
+    (322/323/324/325) — the COG layout."""
     dt = np.dtype(DTYPES[info["band_type"]])
     nbands = info["nbands"]
-    n_strips = info["n_strips"]
     bits = dt.itemsize * 8
     sample_fmt = _SAMPLE_FORMAT[dt.kind]
 
@@ -210,16 +212,27 @@ def _level_entries(
         (258, _T_SHORT, nbands, b"".join(struct.pack("<H", bits) for _ in range(nbands))),
         (259, _T_SHORT, 1, comp_tag),
         (262, _T_SHORT, 1, 3 if colormap else 1),  # palette / BlackIsZero
-        (273, _T_LONG, n_strips, b"".join(struct.pack("<I", o) for o in offsets)),
         (277, _T_SHORT, 1, nbands),
-        (278, _T_LONG, 1, info["rows_per_strip"]),
-        (279, _T_LONG, n_strips, b"".join(struct.pack("<I", c) for c in counts)),
         (284, _T_SHORT, 1, 1),  # contiguous (pixel-interleaved)
         (339, _T_SHORT, nbands, b"".join(struct.pack("<H", sample_fmt) for _ in range(nbands))),
         (33550, _T_DOUBLE, 3, struct.pack("<3d", *pixel_scale)),
         (33922, _T_DOUBLE, 6, struct.pack("<6d", *tiepoint)),
         (34735, _T_SHORT, len(geokey_shorts), b"".join(struct.pack("<H", v) for v in geokey_shorts)),
     ]
+    n_seg = len(offsets)
+    if tiled:
+        entries += [
+            (322, _T_LONG, 1, info["tile_width"]),
+            (323, _T_LONG, 1, info["tile_height"]),
+            (324, _T_LONG, n_seg, b"".join(struct.pack("<I", o) for o in offsets)),
+            (325, _T_LONG, n_seg, b"".join(struct.pack("<I", c) for c in counts)),
+        ]
+    else:
+        entries += [
+            (273, _T_LONG, n_seg, b"".join(struct.pack("<I", o) for o in offsets)),
+            (278, _T_LONG, 1, info["rows_per_strip"]),
+            (279, _T_LONG, n_seg, b"".join(struct.pack("<I", c) for c in counts)),
+        ]
     if is_overview:
         # NewSubfileType = reduced-resolution image (TIFF overview IFD)
         entries.append((254, _T_LONG, 1, 1))
@@ -421,6 +434,239 @@ def write_geotiff(
         info["overviews"] = [
             {"level": pl["level"], **pl["info"]} for pl in per_level[1:]
         ]
+    return info
+
+
+def _tile_payload_table(
+    df: DataFrame,
+    metadata: dict,
+    bands: list[str] | None,
+    extent: tuple[int, int, int, int],
+    tiff_compression: str | None,
+) -> tuple[DataFrame, dict]:
+    """One row per present tile: (idx, data) where idx is the row-major
+    position in the covering tile grid and data is the compressed
+    pixel-interleaved TIFF tile payload. MAP-ONLY: RaQuet blocks map
+    1:1 to TIFF tiles, so unlike the strip path there is no assembly
+    shuffle at all."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    t = metadata["tiling"]
+    bw, bh = t["block_width"], t["block_height"]
+    binfo = [
+        (b["name"], b["type"], parse_nodata(b.get("nodata")))
+        for b in metadata["bands"]
+        if bands is None or b["name"] in bands
+    ]
+    btypes = {bt for _, bt, _ in binfo}
+    if len(btypes) > 1:
+        raise ValueError(f"mixed band types not supported in one TIFF: {btypes}")
+    btype = binfo[0][1]
+    dt = np.dtype(DTYPES[btype])
+    x0, y0, x1, y1 = extent
+    ntx = x1 - x0 + 1
+
+    src = qb.with_tile(df.where(F.col("block") != 0), "block").where(
+        (F.col("qb_x").between(x0, x1)) & (F.col("qb_y").between(y0, y1))
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            idxs, blobs = [], []
+            for _, row in pdf.iterrows():
+                arr = np.empty((bh * bw, len(binfo)), dtype=dt)
+                for bi, (name, bt, _) in enumerate(binfo):
+                    arr[:, bi] = decode_block(row[name], bt)
+                data = _compress_strip(
+                    arr.astype(dt.newbyteorder("<"), copy=False).tobytes(),
+                    tiff_compression,
+                )
+                idxs.append(
+                    (int(row["qb_y"]) - y0) * ntx + (int(row["qb_x"]) - x0)
+                )
+                blobs.append(data)
+            yield pd.DataFrame({"idx": idxs, "data": blobs})
+
+    payloads = src.mapInPandas(encode, schema="idx bigint, data binary")
+    nodata = binfo[0][2]
+    fill = 0 if nodata is None else nodata
+    info = {
+        "width": ntx * bw,
+        "height": (y1 - y0 + 1) * bh,
+        "tile_width": bw,
+        "tile_height": bh,
+        "n_tiles": ntx * (y1 - y0 + 1),
+        "nbands": len(binfo),
+        "band_type": btype,
+        "nodata": nodata,
+        "fill": fill,
+    }
+    return payloads, info
+
+
+def write_geotiff_cog(
+    df: DataFrame,
+    metadata: dict,
+    path: str,
+    bands: list[str] | None = None,
+    compression: str | None = "deflate",
+    include_overviews: bool = True,
+) -> dict:
+    """Cloud-Optimized GeoTIFF export: TILED layout (tags 322-325) whose
+    tiles ARE the RaQuet blocks, IFD chain at the head of the file
+    (range-read friendly), overview pyramid levels as reduced-resolution
+    IFDs with their tile data before the full-resolution data — the
+    layout the reference's Earth Engine flow requests from GDAL
+    (earthengine.py:90 ``cloud_optimized``).
+
+    Scale shape: per-tile payload encode is MAP-ONLY (blocks map 1:1 to
+    TIFF tiles — the strip path's assembly shuffle disappears), staged
+    once to a temp parquet so payload sizes are known before the
+    header/IFDs are written; the driver then streams ready bytes in
+    order. Single-file output is still a driver IO funnel — use
+    :func:`write_geotiff_sharded` when even that is too much."""
+    import copy
+    import os
+    import shutil
+    import tempfile
+
+    if metadata.get("band_layout") == "interleaved":
+        from raquet_spark.operators.layout import to_sequential
+
+        df, metadata = to_sequential(df, metadata, compression=None)
+    comp_tag = _COMP_TAG[compression]
+    z = metadata["tiling"]["max_zoom"]
+    zoom_col = F.expr(qb.cell_to_zoom_sql("block", "spark"))
+    base = df.where(F.col("block") != 0).withColumn("_z", zoom_col)
+
+    levels = [z]
+    if include_overviews:
+        avail = sorted(
+            {int(r["_z"]) for r in base.select("_z").distinct().collect()},
+            reverse=True,
+        )
+        levels += [lv for lv in avail if lv < z]
+
+    main = base.where(F.col("_z") == z).drop("_z")
+    ext_row = qb.with_tile(main, "block").agg(
+        F.min("qb_x"), F.min("qb_y"), F.max("qb_x"), F.max("qb_y")
+    ).first()
+    if ext_row is None or ext_row[0] is None:
+        raise ValueError("no tiles at max zoom to export")
+    x0, y0, x1, y1 = (int(v) for v in ext_row)
+
+    stage = tempfile.mkdtemp(prefix="cog_stage_")
+    try:
+        per_level = []
+        for lv in levels:
+            dz = z - lv
+            meta_lv = copy.deepcopy(metadata)
+            meta_lv["tiling"]["max_zoom"] = lv
+            payloads, info = _tile_payload_table(
+                base.where(F.col("_z") == lv).drop("_z"),
+                meta_lv,
+                bands,
+                (x0 >> dz, y0 >> dz, x1 >> dz, y1 >> dz),
+                compression,
+            )
+            lv_dir = os.path.join(stage, f"z{lv}")
+            # distributed encode happens ONCE, into the stage files
+            payloads.write.parquet(lv_dir)
+            spark = df.sparkSession
+            staged = spark.read.parquet(lv_dir)
+            sizes = {
+                int(r["idx"]): int(r["n"])
+                for r in staged.select("idx", F.length("data").alias("n")).collect()
+            }
+            dt = np.dtype(DTYPES[info["band_type"]])
+            fill_payload = _compress_strip(
+                np.full(
+                    info["tile_width"] * info["tile_height"] * info["nbands"],
+                    info["fill"],
+                    dtype=dt,
+                )
+                .astype(dt.newbyteorder("<"), copy=False)
+                .tobytes(),
+                compression,
+            )
+            tile_m = 2.0 * _ORIGIN_SHIFT / (1 << lv)
+            info["ulx"] = -_ORIGIN_SHIFT + (x0 >> dz) * tile_m
+            info["uly"] = _ORIGIN_SHIFT - (y0 >> dz) * tile_m
+            info["xres"] = tile_m / info["tile_width"]
+            info["yres"] = tile_m / info["tile_height"]
+            per_level.append({
+                "level": lv,
+                "dir": lv_dir,
+                "info": info,
+                "sizes": sizes,
+                "fill": fill_payload,
+                "counts": [
+                    sizes.get(i, len(fill_payload)) for i in range(info["n_tiles"])
+                ],
+            })
+
+        # ---- compute layout: header, IFD chain, then data (overviews
+        # lowest-resolution first, full resolution last — COG order) ----
+        data_order = list(reversed(per_level))  # smallest zoom first
+        all_entries = []
+        # provisional entries to size the IFD chain (offsets patched after)
+        for k, pl in enumerate(per_level):
+            zeros = [0] * pl["info"]["n_tiles"]
+            all_entries.append(_level_entries(
+                pl["info"], metadata, comp_tag, zeros, pl["counts"],
+                is_overview=(k > 0), tiled=True,
+            ))
+        ifd_start = 8
+        ifd_sizes = [_ifd_size(e) for e in all_entries]
+        data_start = ifd_start + sum(ifd_sizes)
+        pos = data_start
+        for pl in data_order:
+            offs = []
+            for n in pl["counts"]:
+                offs.append(pos)
+                pos += n
+            pl["offsets"] = offs
+        if pos > 0xFFFFFFFF:
+            raise ValueError(
+                "COG payload exceeds the classic-TIFF 4GB offset limit; "
+                "export a lower zoom, band subset, or sharded output"
+            )
+
+        with open(path, "wb") as f:
+            f.write(b"II*\x00" + struct.pack("<I", ifd_start))
+            ifd_pos = ifd_start
+            for k, pl in enumerate(per_level):
+                entries = _level_entries(
+                    pl["info"], metadata, comp_tag, pl["offsets"], pl["counts"],
+                    is_overview=(k > 0), tiled=True,
+                )
+                next_ifd = (
+                    ifd_pos + ifd_sizes[k] if k + 1 < len(per_level) else 0
+                )
+                ifd = _pack_ifd(entries, ifd_pos, next_ifd)
+                assert len(ifd) == ifd_sizes[k]
+                f.write(ifd)
+                ifd_pos += len(ifd)
+            for pl in data_order:
+                spark = df.sparkSession
+                staged = spark.read.parquet(pl["dir"])
+                expected = 0
+                for row in staged.orderBy("idx").toLocalIterator():
+                    while expected < row["idx"]:
+                        f.write(pl["fill"])
+                        expected += 1
+                    f.write(bytes(row["data"]))
+                    expected += 1
+                while expected < pl["info"]["n_tiles"]:
+                    f.write(pl["fill"])
+                    expected += 1
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    info = dict(per_level[0]["info"])
+    info["cog"] = True
+    info["levels"] = [pl["level"] for pl in per_level]
     return info
 
 

@@ -236,3 +236,65 @@ def test_geotiff_sharded_matches_single_file(spark, raster, tmp_path):
         assert geo["tiepoint"][4] == pytest.approx(sh["uly"])
         parts.append(arr)
     np.testing.assert_array_equal(np.concatenate(parts, axis=0), a_single)
+
+
+def test_geotiff_cog_layout_and_roundtrip(spark, tmp_path):
+    """COG export: tiled IFDs at the file head, overview data before
+    full-res data, blocks map 1:1 to TIFF tiles; re-ingest through the
+    tiled reader is byte-identical."""
+    import zlib
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.operators.pyramid import build_levels_blocked
+    from raquet_spark.sources.geotiff import ifd_offsets, read_ifd, write_geotiff_cog
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet, read_tiff_structure
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=6, tiles_x=4, tiles_y=2, origin_x=16, origin_y=20,
+        block_size=16, dtype="float32", nodata=-1.0, nodata_every=7,
+    )
+    levels = build_levels_blocked(tiles, meta, 6, 5, "average")
+    full = tiles.unionByName(levels)
+    path = str(tmp_path / "cog.tif")
+    info = write_geotiff_cog(full, meta, path, compression="deflate")
+    assert info["cog"] and info["levels"] == [6, 5]
+
+    raw = open(path, "rb").read()
+    offs = ifd_offsets(raw)
+    assert len(offs) == 2
+    t0 = read_ifd(raw, offs[0])
+    t1 = read_ifd(raw, offs[1])
+    # tiled tags present, no strip tags
+    assert 322 in t0 and 324 in t0 and 273 not in t0
+    assert t0[322][0] == 16 and t0[256][0] == 64
+    assert t1[254][0] == 1 and t1[256][0] == 32
+    # COG order: every IFD byte precedes every tile byte, and the
+    # overview's data precedes the full-res data
+    assert max(offs) < min(t0[324]) and max(t1[324]) < min(t0[324])
+
+    # full-res tile payloads decode to the original blocks 1:1
+    from raquet_spark.functions.bands import decode_block
+
+    src = {
+        r["block"]: decode_block(r["band_1"], "float32")
+        for r in tiles.where("block != 0").collect()
+    }
+    s = read_tiff_structure(path)
+    assert s["tiled"]
+    got_tiles, _m = geotiff_to_raquet(
+        spark, path, zoom=6, block_size=16, dense=False, stats=False,
+        compression=None,
+    )
+    got = {
+        r["block"]: decode_block(r["band_1"], "float32")
+        for r in got_tiles.collect()
+        if r["block"] in src
+    }
+    assert set(got) == set(src)
+    for k in src:
+        np.testing.assert_array_equal(got[k], src[k])
+
+    # spot-check one raw tile payload equals the re-encoded block bytes
+    cell = qb.py_tile_to_cell(16, 20, 6)
+    want = src[cell].astype("<f4").tobytes()
+    assert zlib.decompress(raw[t0[324][0] : t0[324][0] + t0[325][0]]) == want
