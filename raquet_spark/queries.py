@@ -1314,6 +1314,45 @@ def geotiff_overview_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def geotiff_cog_roundtrip_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-Optimized GeoTIFF round trip: tiles → COG export (map-only
+    per-tile payload encode, IFD chain at the file head) → full
+    distributed re-ingest through the tiled reader path → per-tile
+    stats vs the closed-form pixel oracle."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.sources.geotiff import write_geotiff_cog
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    r = _R
+    key = (spark.sparkContext.applicationId, "geotiff_cog")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        tiles, meta = _make_raster(spark)
+        path = os.path.join(tempfile.mkdtemp(prefix="raquet_q_cog_"), "c.tif")
+        write_geotiff_cog(
+            tiles, meta, path, compression="deflate", include_overviews=False
+        )
+        _RASTER_CACHE[key] = path
+    tiles2, meta2 = geotiff_to_raquet(
+        spark, path, zoom=r["zoom"], block_size=r["bs"], dense=False, stats=False
+    )
+    stats = with_tile_stats(tiles2, meta2)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
 _JP = dict(zoom=6, tx=16, ty=20, n=2, bs=32, modulo=251)
 
 
@@ -2620,6 +2659,52 @@ FROM g
 """
 
 
+def ngram_lm_score(d: str) -> str:
+    """CCNet-style statistical LM quality scoring (the public Wenzek et
+    al. recipe, simplified to a corpus-self-trained bigram model): per
+    document, the mean log P(w2 | w1) under add-k smoothing. The scale
+    shape is three equi-joins over exploded bigrams — train counts are
+    groupBys with map-side combine, scoring streams the same exploded
+    rows back through hash joins on the n-gram keys; nothing is
+    all-pairs and the model "training" IS the aggregation."""
+    el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
+    pair = f"concat({el('i')}, ' ', {el('i + 1')})"
+    pairs = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('toks', d)} - 1", d), "i", pair, d
+    )
+    w1 = (
+        "split(pair, ' ')[0]" if d == "spark" else "split_part(pair, ' ', 1)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tokens(d)} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, {dl.explode(pairs, 'pair', d)} FROM tok
+), bgw AS (
+  SELECT doc_id, pair, {w1} AS w1 FROM bg
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM bgw GROUP BY w1
+), bic AS (
+  SELECT pair, COUNT(*) AS c2 FROM bgw GROUP BY pair
+), v AS (
+  SELECT COUNT(*) AS vocab FROM uni
+), scored AS (
+  SELECT doc_id,
+         round(ln((c2 + 0.5) / (c1 + 0.5 * vocab)), 6) AS logp
+  FROM bgw
+  JOIN bic USING (pair)
+  JOIN uni USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(SUM(CAST(logp AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_logp
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def decontaminate(d: str) -> str:
     """Benchmark decontamination: flag training documents sharing word
     3-gram shingles with a held-out eval set (every 50th doc here; in a
@@ -2920,6 +3005,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "repetition_stats": repetition_stats,
     "decontaminate": decontaminate,
     "gopher_quality": gopher_quality,
+    "ngram_lm_score": ngram_lm_score,
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scan": pii_scan,
     "chunk_dedup": chunk_dedup,
@@ -3205,6 +3291,45 @@ def dedup_embedding_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_keep_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning end-to-end: embedding LSH
+    candidate pairs → connected components → keep the minimum id per
+    near-duplicate cluster. The driver corpus plants an exact copy of
+    every 10th vector (ids + 1e6); restricting to the planted edges
+    makes the kept set closed-form (exactly the original ids — every
+    planted copy must be clustered with, and pruned in favor of, its
+    original), so the whole LSH → graph → prune chain gets a hard hash.
+    Free-threshold semantic dedup over arbitrary corpora is the same
+    code path minus the planted filter (pytest recall-gated)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import (
+        connected_components,
+        embedding_dedup_pairs_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_LSH_PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(planted)
+    pairs = embedding_dedup_pairs_lsh(
+        corpus, threshold=0.95, n_bits=6, n_tables=16, dim=64
+    ).where(F.col("id_b") == F.col("id_a") + F.lit(_LSH_PLANT_OFFSET))
+    comp = connected_components(pairs, "id_a", "id_b")
+    pruned = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    kept = corpus.select("vec_id").join(pruned, "vec_id", "left_anti")
+    return kept.select(F.col("vec_id").alias("kept_id"))
+
+
+def semantic_dedup_keep_oracle() -> str:
+    return """
+SELECT CAST(vec_id AS BIGINT) AS kept_id FROM embeddings
+"""
+
+
 def dedup_embedding_lsh_oracle() -> str:
     return f"""
 SELECT CAST(vec_id AS BIGINT) AS vec_a,
@@ -3365,6 +3490,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
+    "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
+    "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, None),
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),
