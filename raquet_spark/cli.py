@@ -234,17 +234,34 @@ def cmd_import_geotiff(args) -> int:
     from raquet_spark.sources.tiff_reader import geotiff_to_raquet
 
     spark = _spark()
+    strategy = {"auto": "round"}.get(
+        getattr(args, "zoom_strategy", "auto"), getattr(args, "zoom_strategy", "auto")
+    )
     tiles, meta = geotiff_to_raquet(
         spark, args.input, zoom=args.zoom, block_size=args.block_size,
         stats=args.stats, resampling=getattr(args, "warp_resampling", "near"),
+        zoom_strategy=strategy,
     )
-    if args.min_zoom is not None and args.min_zoom < meta["tiling"]["max_zoom"]:
+    min_zoom = args.min_zoom
+    if getattr(args, "overviews", "none") == "auto" and min_zoom is None:
+        from raquet_spark.core.metadata import find_minzoom
+
+        min_zoom = find_minzoom(
+            tuple(meta["bounds"]),
+            meta["tiling"]["max_zoom"],
+            meta["tiling"]["block_width"],
+        )
+    if min_zoom is not None and min_zoom < meta["tiling"]["max_zoom"]:
         from raquet_spark.operators.pyramid import build_pyramid
 
         tiles, meta = build_pyramid(
-            tiles, meta, args.min_zoom, resampling=args.resampling
+            tiles, meta, min_zoom, resampling=args.resampling
         )
-    write_raquet(tiles, args.output, meta)
+    rg = getattr(args, "row_group_mb", None)
+    write_raquet(
+        tiles, args.output, meta,
+        target_row_group_bytes=rg * 1024 * 1024 if rg else None,
+    )
     print(
         f"imported {args.input} -> {args.output} "
         f"(z{meta['tiling']['max_zoom']}, {len(meta['bands'])} band(s))"
@@ -438,12 +455,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("output")
     s.add_argument("--zoom", type=int, default=None, help="target zoom (default: auto from resolution)")
     s.add_argument("--block-size", type=int, default=256)
-    s.add_argument("--min-zoom", type=int, default=None, help="also build overviews")
+    s.add_argument("--min-zoom", type=int, default=None,
+                   help="minimum overview zoom (with --overviews auto, overrides the derived value)")
+    s.add_argument("--overviews", default="none", choices=["auto", "none"],
+                   help="auto = build the full pyramid down to the derived (or --min-zoom) level")
     s.add_argument("--resampling", default="average",
                    help="overview build kernel (average/mode/...)")
     s.add_argument("--warp-resampling", default="near",
-                   choices=["near", "bilinear", "cubic"],
+                   choices=["near", "bilinear", "cubic", "average", "mode",
+                            "max", "min", "med", "q1", "q3"],
                    help="import warp kernel (reference --resampling)")
+    s.add_argument("--zoom-strategy", default="auto",
+                   choices=["auto", "lower", "upper"],
+                   help="zoom pick from source resolution (auto = round)")
+    s.add_argument("--row-group-mb", type=int, default=None,
+                   help="parquet row-group size in MB (smaller = better remote pruning)")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_geotiff)
 

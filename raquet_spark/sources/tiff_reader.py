@@ -740,6 +740,87 @@ def nearest_warp(
     )
 
 
+_AGG_KERNELS = ("average", "mode", "max", "min", "med", "q1", "q3")
+
+
+def aggregate_warp(
+    px: DataFrame,
+    z: int,
+    block_size: int,
+    band_cols: list[str],
+    resampling: str,
+    nodata: float | None,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Forward-map aggregate warp for the reducing kernels (reference
+    --resampling average/mode/max/min/med/q1/q3, GDAL's warp reducers):
+    every source sample lands in the target pixel containing its
+    mercator center, then ONE groupBy(target pixel) reduces the group —
+    nodata samples drop out per band, an all-nodata group keeps the
+    nodata value (matching the nearest path, which would copy one).
+    ``mode`` breaks count ties on the smallest value and ``med``/``q1``/
+    ``q3`` are exact interpolated percentiles — deterministic where
+    GDAL leaves ties unspecified. ``mode`` costs one extra shuffle per
+    band (count-then-argmax); the other kernels are single-shuffle."""
+    if resampling not in _AGG_KERNELS:
+        raise ValueError(f"unknown aggregate kernel {resampling!r}")
+    world = float((1 << z) * block_size)
+    gx = f"CAST(floor((_mx + {_ORIGIN_SHIFT}) / {2.0 * _ORIGIN_SHIFT} * {world}) AS BIGINT)"
+    gy = f"CAST(floor(({_ORIGIN_SHIFT} - _my) / {2.0 * _ORIGIN_SHIFT} * {world}) AS BIGINT)"
+    mapped = px.selectExpr(
+        f"{gx} AS gx", f"{gy} AS gy", *extra_keys, *band_cols
+    ).where(f"gx >= 0 AND gx < {int(world)} AND gy >= 0 AND gy < {int(world)}")
+
+    def valid(b: str) -> str:
+        if nodata is None:
+            return b
+        return f"CASE WHEN {b} <=> CAST({nodata} AS DOUBLE) THEN NULL ELSE {b} END"
+
+    def finish(expr: str) -> str:
+        if nodata is None:
+            return expr
+        return f"coalesce({expr}, CAST({nodata} AS DOUBLE))"
+
+    keys = ["gx", "gy", *extra_keys]
+    if resampling == "mode":
+        outs = None
+        for b in band_cols:
+            counts = (
+                mapped.selectExpr(*keys, f"{valid(b)} AS _v")
+                .where("_v IS NOT NULL")
+                .groupBy(*keys, "_v")
+                .agg(F.count("*").alias("_c"))
+            )
+            best = (
+                counts.groupBy(*keys)
+                .agg(
+                    F.max(
+                        F.struct(F.col("_c").alias("c"), (-F.col("_v")).alias("nv"))
+                    ).alias("_m")
+                )
+                .selectExpr(*keys, f"(-_m.nv) AS {b}")
+            )
+            outs = best if outs is None else outs.join(best, keys, "outer")
+        if nodata is not None:
+            outs = outs.selectExpr(
+                *keys, *[f"coalesce({b}, CAST({nodata} AS DOUBLE)) AS {b}"
+                         for b in band_cols]
+            )
+        return outs
+    agg_fn = {
+        "average": "avg({v})",
+        "max": "max({v})",
+        "min": "min({v})",
+        "med": "percentile({v}, 0.5D)",
+        "q1": "percentile({v}, 0.25D)",
+        "q3": "percentile({v}, 0.75D)",
+    }[resampling]
+    aggs = [
+        F.expr(finish(agg_fn.format(v=valid(b)))).alias(b) for b in band_cols
+    ]
+    return mapped.groupBy(*keys).agg(*aggs)
+
+
 _CUBIC_A = -0.5  # Catmull-Rom, GDAL's cubic kernel
 
 
@@ -899,7 +980,7 @@ def geotiff_to_raquet(
         _lonlat_corners(info), z
     )
 
-    if resampling != "near":
+    if resampling in ("bilinear", "cubic"):
         pixels = _resampled_pixels(
             spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1)
         )
@@ -907,6 +988,8 @@ def geotiff_to_raquet(
             spark, pixels, info, z, block_size, compression, stats, dense,
             (w, s, e, n), (tx0, ty0, tx1, ty1),
         )
+    if resampling != "near" and resampling not in _AGG_KERNELS:
+        raise ValueError(f"unknown resampling {resampling!r}")
 
     if info["epsg"] == 3857:
         ox, sxr, rxr, oy, ryr, syr = info["transform"]
@@ -931,7 +1014,12 @@ def geotiff_to_raquet(
             )
         )
     band_cols = [f"band_{b + 1}" for b in range(info["n_bands"])]
-    pixels = nearest_warp(px, z, block_size, band_cols)
+    if resampling == "near":
+        pixels = nearest_warp(px, z, block_size, band_cols)
+    else:
+        pixels = aggregate_warp(
+            px, z, block_size, band_cols, resampling, info["nodata"]
+        )
     return _assemble_tiles(
         spark, pixels, info, z, block_size, compression, stats, dense,
         (w, s, e, n), (tx0, ty0, tx1, ty1),

@@ -1035,3 +1035,54 @@ def test_bigtiff_n37_parity(spark, tmp_path):
     p0 = tiff_pixel_table(spark, i0).toPandas().sort_values(["sy", "sx"])
     p1 = tiff_pixel_table(spark, i1).toPandas().sort_values(["sy", "sx"])
     np.testing.assert_array_equal(p0["band_1"].to_numpy(), p1["band_1"].to_numpy())
+
+
+@pytest.mark.parametrize("kernel", ["average", "min", "max", "med", "mode"])
+def test_aggregate_warp_downsample_exact(spark, tmp_path, kernel):
+    """Aggregate warp kernels (GDAL's reducing --resampling set): on an
+    aligned 3857 grid, zoom z→z-1 groups exactly the 2×2 source window
+    per target pixel, so every kernel must equal its numpy counterpart
+    over the valid (non-nodata) window values."""
+    from raquet_spark.operators.export import to_numpy_mosaic
+    from raquet_spark.testing import synthetic_tile_array
+
+    _tiles, _meta, path = _aligned_tif(spark, tmp_path)
+    tiles5, meta5 = geotiff_to_raquet(
+        spark, path, zoom=5, block_size=32, resampling=kernel,
+        dense=False, stats=False, compression=None,
+    )
+    arr, _ = to_numpy_mosaic(tiles5, meta5, "band_1")
+
+    src = np.zeros((128, 128))
+    for ty in range(4):
+        for tx in range(4):
+            src[ty * 32 : (ty + 1) * 32, tx * 32 : (tx + 1) * 32] = (
+                synthetic_tile_array(
+                    16 + tx, 20 + ty, 6, 32, 0, 42, "float32",
+                    nodata=-1.0, nodata_every=13,
+                ).reshape(32, 32)
+            )
+    m = np.ma.masked_equal(src, -1.0)
+    win = np.ma.stack(
+        [m[0::2, 0::2], m[0::2, 1::2], m[1::2, 0::2], m[1::2, 1::2]]
+    )
+    if kernel == "average":
+        want = win.mean(axis=0)
+    elif kernel == "min":
+        want = win.min(axis=0)
+    elif kernel == "max":
+        want = win.max(axis=0)
+    elif kernel == "med":
+        want = np.ma.median(win, axis=0)
+    else:  # mode: most frequent, ties -> smallest
+        h, w = win.shape[1:]
+        want = np.ma.masked_all((h, w))
+        for i in range(h):
+            for j in range(w):
+                vals = win[:, i, j].compressed()
+                if len(vals):
+                    uv, cnt = np.unique(vals, return_counts=True)
+                    want[i, j] = uv[np.argmax(cnt)]  # unique is sorted: tie -> smallest
+    want32 = want.filled(np.nan).astype("f4").astype("f8")
+    got = np.where(arr == -1.0, np.nan, arr)
+    np.testing.assert_allclose(got, want32, rtol=1e-6, equal_nan=True)
