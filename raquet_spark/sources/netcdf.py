@@ -304,11 +304,10 @@ def netcdf_to_raquet(
     from raquet_spark.operators.tiling import from_pixel_table
     from raquet_spark.operators.time_dim import parse_cf_units, with_time_ts
     from raquet_spark.sources.tiff_reader import (
-        _lonlat_steps,
-        _pick_zoom,
-        _tile_aligned_bounds,
         _lonlat_corners,
-        nearest_warp,
+        _pick_zoom,
+        _resampled_pixels,
+        _tile_aligned_bounds,
     )
 
     nc = read_netcdf_structure(path)
@@ -353,28 +352,19 @@ def netcdf_to_raquet(
     z = zoom if zoom is not None else _pick_zoom(info, block_size, zoom_strategy)
 
     px = netcdf_pixel_table(spark, nc, var)
-    steps, lon_e, lat_e = _lonlat_steps(info)
-    for name, expr in steps:
-        px = px.withColumn(name, F.expr(expr))
-    import math as _m
-
-    px = (
-        px.withColumn("_lon", F.expr(lon_e))
-        .withColumn("_lat", F.expr(lat_e))
-        .withColumn("_mx", F.expr(f"_lon * {_m.pi / 180.0 * 6378137.0}"))
-        .withColumn(
-            "_my",
-            F.expr(f"{6378137.0} * ln(tan({_m.pi / 4.0} + radians(_lat) / 2.0))"),
-        )
-    )
     has_time = time_name is not None and (
         v["record"] or (v["dims"] and v["dims"][0] == time_name)
     )
     extra = ("time_cf",) if has_time else ()
-    pixels = nearest_warp(px, z, block_size, ["band_1"], extra_keys=extra)
-
     (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
         _lonlat_corners(info), z
+    )
+    # target-driven inverse-mapped nearest (GDAL warp semantics, dense
+    # output); every time step rides the same (sx, sy) gather join —
+    # each source cell matches all its steps' rows
+    pixels = _resampled_pixels(
+        spark, px, info, z, block_size, "near", (tx0, ty0, tx1, ty1),
+        extra_cols=extra,
     )
     meta = build_metadata(
         bands=[BandMeta(name="band_1", type=info["dtype"], nodata=nodata,

@@ -847,6 +847,7 @@ def _resampled_pixels(
     block_size: int,
     resampling: str,
     tile_ext: tuple[int, int, int, int],
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Target-driven warp for ``bilinear``/``cubic`` import resampling
     (reference: --resampling, /root/reference/raquet/cli.py:457).
@@ -894,6 +895,30 @@ def _resampled_pixels(
         f"({d} * {u} - {b} * {v}) / {det} AS fsx",
         f"({-c} * {u} + {a} * {v}) / {det} AS fsy",
     )
+    n_bands = info["n_bands"]
+    band_cols = [f"band_{i + 1}" for i in range(n_bands)]
+    if resampling == "near":
+        # GDAL's nearest semantics: the source CELL CONTAINING each
+        # target center (inverse mapping) — DENSE output even when the
+        # target out-resolves the source, unlike the forward argmin
+        # which leaves holes wherever no source center lands. One
+        # equi-join, ≤1 source row per target pixel, values copied
+        # verbatim (nodata included).
+        cells = tgt.selectExpr(
+            "gx", "gy",
+            "CAST(floor(fsx) AS BIGINT) AS sxn",
+            "CAST(floor(fsy) AS BIGINT) AS syn",
+        ).where(
+            f"sxn >= 0 AND sxn < {info['width']} "
+            f"AND syn >= 0 AND syn < {info['height']}"
+        )
+        src = px.selectExpr(
+            "sx AS sxn", "sy AS syn", *extra_cols, *band_cols
+        )
+        return cells.join(src, ["sxn", "syn"]).select(
+            "gx", "gy", *extra_cols, *band_cols
+        )
+
     lo, hi = (0, 1) if resampling == "bilinear" else (-1, 2)
     contrib = (
         tgt.selectExpr(
@@ -918,8 +943,6 @@ def _resampled_pixels(
             f" * {_kernel_sql('fsy - (syn + 0.5D)', resampling)} AS w",
         )
     )
-    n_bands = info["n_bands"]
-    band_cols = [f"band_{i + 1}" for i in range(n_bands)]
     src = px.selectExpr("sx AS sxn", "sy AS syn", *band_cols)
     joined = contrib.join(src, ["sxn", "syn"])
     nodata = info["nodata"]
@@ -980,7 +1003,14 @@ def geotiff_to_raquet(
         _lonlat_corners(info), z
     )
 
-    if resampling in ("bilinear", "cubic"):
+    if resampling in ("bilinear", "cubic") or (
+        resampling == "near" and info["epsg"] in (4326, 3857)
+    ):
+        # target-driven inverse mapping: GDAL's warp semantics — every
+        # covered target pixel gets a value (dense even when the target
+        # out-resolves the source). Projected CRS fall through to the
+        # forward-map argmin below (only the projection INVERSE exists
+        # as closed-form SQL; its output is sparse under upsampling).
         pixels = _resampled_pixels(
             spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1)
         )

@@ -271,10 +271,13 @@ def test_halo_level_single_shuffle(spark):
     assert count_exchanges(parents) == 1
 
 
-def test_geotiff_import_two_shuffles(spark):
-    """The real-GeoTIFF import is exactly two exchanges: the warp
-    groupBy(target pixel) and the tiling groupBy(block). Projection
-    math and segment decode are map-side."""
+def test_geotiff_import_shuffle_budget(spark):
+    """The real-GeoTIFF import (target-driven dense nearest for
+    4326/3857 sources) is the (sx, sy) gather join plus the tiling
+    groupBy(block): 1 exchange when the source side broadcasts (as
+    here), at most 3 when it degrades to a sort-merge join at scale.
+    Projection math and segment decode stay map-side; never a
+    nested-loop join."""
     import os
 
     import pytest as _pytest
@@ -282,13 +285,22 @@ def test_geotiff_import_two_shuffles(spark):
     path = "/root/reference/tests/n37_w123_1arc_v2.tif"
     if not os.path.exists(path):
         _pytest.skip("reference raster not available")
-    from raquet_spark.plans.inspect import count_exchanges
+    from raquet_spark.plans.inspect import count_exchanges, no_nested_loops
     from raquet_spark.sources.tiff_reader import geotiff_to_raquet
 
     tiles, _ = geotiff_to_raquet(
         spark, path, block_size=128, dense=False, stats=False
     )
-    assert count_exchanges(tiles) == 2
+    assert no_nested_loops(tiles)
+    assert 1 <= count_exchanges(tiles) <= 3
+
+    # the projected-CRS fallback (forward argmin) keeps its exact
+    # two-exchange shape: warp groupBy(target px) + tiling
+    nlcd = "/root/reference/tests/Annual_NLCD_LndCov_2023_CU_C1V0.tif"
+    tiles2, _ = geotiff_to_raquet(
+        spark, nlcd, block_size=256, dense=False, stats=False
+    )
+    assert count_exchanges(tiles2) == 2
 
 
 def test_bilinear_import_three_shuffles_no_bnlj(spark):
@@ -343,7 +355,7 @@ def test_netcdf_import_two_shuffles(spark, tmp_path):
     )
     tiles, _ = netcdf_to_raquet(spark, path, block_size=64, stats=False)
     assert no_nested_loops(tiles)
-    assert count_exchanges(tiles) == 2
+    assert 1 <= count_exchanges(tiles) <= 3
 
 
 def test_sharded_export_strip_plan_single_shuffle(spark):
