@@ -9,7 +9,7 @@ small coordinate variables (lat/lon/time) on the driver, and decodes
 the data variable DISTRIBUTED: row-range chunk tasks fan out through
 ``mapInPandas``, each task seeking its byte range — the same shape as
 the GeoTIFF segment decode (tiff_reader.tiff_pixel_table). The warp to
-the RaQuet mercator grid reuses ``nearest_warp``; all time steps move
+the RaQuet mercator grid reuses the target-driven warp; all time steps move
 through ONE warp shuffle and ONE tiling shuffle (``time_cf`` rides as
 an extra group key).
 

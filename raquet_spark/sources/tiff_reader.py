@@ -740,6 +740,102 @@ def nearest_warp(
     )
 
 
+def _forward_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
+    """(column bindings, x_expr, y_expr): the source-CRS FORWARD
+    projection (lon/lat degrees in ``_lon``/``_lat`` columns → projected
+    model coordinates) as staged Column expressions — the Snyder forward
+    formulas mirroring the inverses in ``_lonlat_steps``. This is what
+    lets the target-driven (dense / bilinear / cubic) warp run on
+    projected sources: each target pixel's mercator center → lon/lat
+    (closed form) → projected coords → fractional source index."""
+    proj = _source_projection(info)
+    if proj is None:
+        raise NotImplementedError("forward projection undefined for 4326/3857")
+    phi, lam = "radians(_lat)", "radians(_lon)"
+    if proj["type"] == "sinu":
+        steps = [("_phi", phi)]
+        x = f"({proj['a']} * ({lam} - {math.radians(proj['lon0'])}) * cos(_phi) + {proj['fe']})"
+        y = f"({proj['a']} * _phi + {proj['fn']})"
+        return steps, x, y
+    if proj["type"] == "aea":
+        k = _aea_constants(proj)
+        f = 1.0 / proj["inv_f"]
+        e2 = 2.0 * f - f * f
+        e = math.sqrt(e2)
+        steps = [
+            ("_s", f"sin({phi})"),
+            (
+                "_q",
+                f"{1.0 - e2} * (_s / (1 - {e2} * _s * _s)"
+                f" - {1.0 / (2.0 * e)} * ln((1 - {e} * _s) / (1 + {e} * _s)))",
+            ),
+            ("_rho", f"{k['a']} * sqrt({k['C']} - {k['n']} * _q) / {k['n']}"),
+            ("_th", f"{k['n']} * ({lam} - {k['lon0']})"),
+        ]
+        x = f"(_rho * sin(_th) + {k['fe']})"
+        y = f"({k['rho0']} - _rho * cos(_th) + {k['fn']})"
+        return steps, x, y
+    if proj["type"] == "lcc":
+        k = _lcc_constants(proj)
+        f = 1.0 / proj["inv_f"]
+        e2 = 2.0 * f - f * f
+        e = math.sqrt(e2)
+        steps = [
+            ("_s", f"sin({phi})"),
+            (
+                "_t",
+                f"tan({math.pi / 4.0} - {phi} / 2)"
+                f" / pow((1 - {e} * _s) / (1 + {e} * _s), {e / 2.0})",
+            ),
+            ("_rho", f"{k['a'] * k['F']} * pow(_t, {k['n']})"),
+            ("_th", f"{k['n']} * ({lam} - {k['lon0']})"),
+        ]
+        x = f"(_rho * sin(_th) + {k['fe']})"
+        y = f"({k['rho0']} - _rho * cos(_th) + {k['fn']})"
+        return steps, x, y
+    if proj["type"] == "tm":
+        k = _tm_constants(proj)
+        e2, ep2 = k["e2"], k["ep2"]
+        # meridian arc series coefficients (Snyder 3-21)
+        m1 = 1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0
+        m2 = 3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0
+        m3 = 15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0
+        m4 = 35.0 * e2**3 / 3072.0
+        lat0 = math.radians(proj.get("lat0", 0.0))
+        m0 = k["a"] * (
+            m1 * lat0 - m2 * math.sin(2 * lat0) + m3 * math.sin(4 * lat0)
+            - m4 * math.sin(6 * lat0)
+        )
+        steps = [
+            ("_p", phi),
+            ("_s2", "pow(sin(_p), 2)"),
+            ("_nn", f"{k['a']} / sqrt(1 - {e2} * _s2)"),
+            ("_tt", "pow(tan(_p), 2)"),
+            ("_cc", f"{ep2} * pow(cos(_p), 2)"),
+            ("_aa", f"({lam} - {k['lon0']}) * cos(_p)"),
+            (
+                "_mm",
+                f"{k['a']} * ({m1} * _p - {m2} * sin(2 * _p)"
+                f" + {m3} * sin(4 * _p) - {m4} * sin(6 * _p))",
+            ),
+        ]
+        x = (
+            f"({k['fe']} + {k['k0']} * _nn * (_aa"
+            " + (1 - _tt + _cc) * pow(_aa, 3) / 6"
+            f" + (5 - 18 * _tt + _tt * _tt + 72 * _cc - {58.0 * ep2})"
+            " * pow(_aa, 5) / 120))"
+        )
+        y = (
+            f"({k['fn']} + {k['k0']} * (_mm - {m0} + _nn * tan(_p) * ("
+            "pow(_aa, 2) / 2"
+            " + (5 - _tt + 9 * _cc + 4 * _cc * _cc) * pow(_aa, 4) / 24"
+            f" + (61 - 58 * _tt + _tt * _tt + 600 * _cc - {330.0 * ep2})"
+            " * pow(_aa, 6) / 720)))"
+        )
+        return steps, x, y
+    raise NotImplementedError(f"forward projection for {proj['type']!r}")
+
+
 _AGG_KERNELS = ("average", "mode", "max", "min", "med", "q1", "q3")
 
 
@@ -859,13 +955,9 @@ def _resampled_pixels(
     are exploded, and one equi-join on (sx, sy) gathers the samples —
     candidate volume is 4×/16× the OUTPUT size, never source×target.
     Nodata samples drop out of the blend and the kernel renormalizes
-    (GDAL's masked-resampling behavior). Requires an analytic
-    mercator→source inverse, i.e. EPSG:4326 or EPSG:3857 sources."""
-    if info["epsg"] not in (4326, 3857):
-        raise NotImplementedError(
-            f"resampling={resampling!r} needs an analytic inverse transform; "
-            f"EPSG:{info['epsg']} imports support resampling='near' only"
-        )
+    (GDAL's masked-resampling behavior). Projected sources go through
+    the closed-form Snyder FORWARD projections (:func:`_forward_steps`),
+    so every supported CRS warps target-driven."""
     ox, a, b, oy, c, d = info["transform"]
     det = a * d - b * c
     if det == 0:
@@ -885,14 +977,26 @@ def _resampled_pixels(
     if info["epsg"] == 4326:
         mox = f"({cmx} / {_ORIGIN_SHIFT} * 180.0D)"
         moy = f"degrees(2.0D * atan(exp({cmy} / {_EARTH_R})) - {math.pi / 2.0})"
-    else:
+    elif info["epsg"] == 3857:
         mox, moy = cmx, cmy
+    else:
+        # projected source: mercator -> lon/lat -> Snyder forward
+        tgt = tgt.withColumn(
+            "_lon", F.expr(f"{cmx} / {_ORIGIN_SHIFT} * 180.0D")
+        ).withColumn(
+            "_lat",
+            F.expr(f"degrees(2.0D * atan(exp({cmy} / {_EARTH_R})) - {math.pi / 2.0})"),
+        )
+        fsteps, x_e, y_e = _forward_steps(info)
+        for name, expr in fsteps:
+            tgt = tgt.withColumn(name, F.expr(expr))
+        mox, moy = x_e, y_e
     # fractional source sample coords (sample i's center sits at i + 0.5)
     u, v = f"({mox} - {ox})", f"({moy} - {oy})"
     tgt = tgt.selectExpr(
         "gx",
         "gy",
-        f"({d} * {u} - {b} * {v}) / {det} AS fsx",
+        f"({u} * {d} - {b} * {v}) / {det} AS fsx",
         f"({-c} * {u} + {a} * {v}) / {det} AS fsy",
     )
     n_bands = info["n_bands"]
@@ -1003,14 +1107,12 @@ def geotiff_to_raquet(
         _lonlat_corners(info), z
     )
 
-    if resampling in ("bilinear", "cubic") or (
-        resampling == "near" and info["epsg"] in (4326, 3857)
-    ):
+    if resampling in ("near", "bilinear", "cubic"):
         # target-driven inverse mapping: GDAL's warp semantics — every
         # covered target pixel gets a value (dense even when the target
-        # out-resolves the source). Projected CRS fall through to the
-        # forward-map argmin below (only the projection INVERSE exists
-        # as closed-form SQL; its output is sparse under upsampling).
+        # out-resolves the source). Projected CRS go through the Snyder
+        # FORWARD projections (_forward_steps); geographic/mercator are
+        # direct closed forms.
         pixels = _resampled_pixels(
             spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1)
         )
@@ -1018,7 +1120,7 @@ def geotiff_to_raquet(
             spark, pixels, info, z, block_size, compression, stats, dense,
             (w, s, e, n), (tx0, ty0, tx1, ty1),
         )
-    if resampling != "near" and resampling not in _AGG_KERNELS:
+    if resampling not in _AGG_KERNELS:
         raise ValueError(f"unknown resampling {resampling!r}")
 
     if info["epsg"] == 3857:
@@ -1044,12 +1146,9 @@ def geotiff_to_raquet(
             )
         )
     band_cols = [f"band_{b + 1}" for b in range(info["n_bands"])]
-    if resampling == "near":
-        pixels = nearest_warp(px, z, block_size, band_cols)
-    else:
-        pixels = aggregate_warp(
-            px, z, block_size, band_cols, resampling, info["nodata"]
-        )
+    pixels = aggregate_warp(
+        px, z, block_size, band_cols, resampling, info["nodata"]
+    )
     return _assemble_tiles(
         spark, pixels, info, z, block_size, compression, stats, dense,
         (w, s, e, n), (tx0, ty0, tx1, ty1),

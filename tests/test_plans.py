@@ -294,13 +294,22 @@ def test_geotiff_import_shuffle_budget(spark):
     assert no_nested_loops(tiles)
     assert 1 <= count_exchanges(tiles) <= 3
 
-    # the projected-CRS fallback (forward argmin) keeps its exact
-    # two-exchange shape: warp groupBy(target px) + tiling
+    # projected CRS route through the Snyder forward projections into
+    # the same target-driven join — same shuffle budget, no BNLJ
     nlcd = "/root/reference/tests/Annual_NLCD_LndCov_2023_CU_C1V0.tif"
     tiles2, _ = geotiff_to_raquet(
         spark, nlcd, block_size=256, dense=False, stats=False
     )
-    assert count_exchanges(tiles2) == 2
+    assert no_nested_loops(tiles2)
+    assert 1 <= count_exchanges(tiles2) <= 3
+
+    # the reducing kernels keep the forward-map shape: ONE aggregation
+    # exchange + tiling
+    tiles3, _ = geotiff_to_raquet(
+        spark, path, block_size=128, dense=False, stats=False,
+        resampling="average",
+    )
+    assert count_exchanges(tiles3) == 2
 
 
 def test_bilinear_import_three_shuffles_no_bnlj(spark):
