@@ -303,6 +303,7 @@ def cmd_import_netcdf(args) -> int:
     tiles, meta = netcdf_to_raquet(
         spark, args.input, var=args.var, zoom=args.zoom,
         block_size=args.block_size, stats=args.stats,
+        resampling=getattr(args, "resampling", "near"),
     )
     write_raquet(tiles, args.output, meta)
     steps = meta.get("time", {}).get("count", 0)
@@ -493,6 +494,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--var", default=None, help="data variable (default: auto-detect)")
     s.add_argument("--zoom", type=int, default=None)
     s.add_argument("--block-size", type=int, default=256)
+    s.add_argument("--resampling", default="near",
+                   choices=["near", "bilinear", "cubic"])
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_netcdf)
 

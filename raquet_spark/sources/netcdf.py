@@ -293,6 +293,7 @@ def netcdf_to_raquet(
     compression: str | None = "gzip",
     stats: bool = True,
     zoom_strategy: str = "upper",
+    resampling: str = "near",
 ) -> tuple[DataFrame, dict]:
     """Classic NetCDF → RaQuet tiles on the mercator grid, CF time
     preserved: rows keyed ``(block, time_cf)`` with a derived
@@ -359,11 +360,16 @@ def netcdf_to_raquet(
     (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
         _lonlat_corners(info), z
     )
-    # target-driven inverse-mapped nearest (GDAL warp semantics, dense
-    # output); every time step rides the same (sx, sy) gather join —
-    # each source cell matches all its steps' rows
+    # target-driven inverse-mapped warp (GDAL semantics, dense output);
+    # every time step rides the same (sx, sy) gather join — each source
+    # cell matches all its steps' rows. bilinear/cubic blend per step
+    # because time_cf is part of the join row.
+    if resampling not in ("near", "bilinear", "cubic"):
+        raise ValueError(
+            f"netcdf resampling {resampling!r} (near/bilinear/cubic)"
+        )
     pixels = _resampled_pixels(
-        spark, px, info, z, block_size, "near", (tx0, ty0, tx1, ty1),
+        spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
         extra_cols=extra,
     )
     meta = build_metadata(

@@ -1047,7 +1047,7 @@ def _resampled_pixels(
             f" * {_kernel_sql('fsy - (syn + 0.5D)', resampling)} AS w",
         )
     )
-    src = px.selectExpr("sx AS sxn", "sy AS syn", *band_cols)
+    src = px.selectExpr("sx AS sxn", "sy AS syn", *extra_cols, *band_cols)
     joined = contrib.join(src, ["sxn", "syn"])
     nodata = info["nodata"]
     aggs = []
@@ -1060,7 +1060,7 @@ def _resampled_pixels(
         if int_out:
             blend = f"round({blend})"  # GDAL rounds for integer bands
         aggs.append(F.expr(blend).alias(bcol))
-    blended = joined.groupBy("gx", "gy").agg(*aggs)
+    blended = joined.groupBy("gx", "gy", *extra_cols).agg(*aggs)
     # a target pixel every band of which saw only nodata has no source
     # information — drop it (matching the near path's sparse output);
     # partially-valid pixels keep per-band nodata fills
@@ -1071,6 +1071,7 @@ def _resampled_pixels(
         blended = blended.select(
             "gx",
             "gy",
+            *extra_cols,
             *[
                 F.coalesce(F.col(b), F.lit(float(nodata))).alias(b)
                 for b in band_cols

@@ -128,3 +128,29 @@ def test_netcdf_float_var_no_scaling(spark, tmp_path):
     np.testing.assert_allclose(got, data.astype("f8"), rtol=1e-6)
     _, meta = netcdf_to_raquet(spark, path, block_size=64, stats=False)
     assert meta["bands"][0]["type"] == "float32"
+
+
+def test_netcdf_bilinear_time(spark, tmp_path):
+    """Bilinear NetCDF import with a time dimension: every step blends
+    through the same gather join (time_cf is a blend group key), and
+    per-step means track the source per-step means."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.time_dim import per_step_stats
+
+    lats, lons, data = _grid()
+    path = str(tmp_path / "bl.nc")
+    write_netcdf_classic(
+        path, lats, lons, data, times=np.arange(3, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+    )
+    tiles, meta = netcdf_to_raquet(
+        spark, path, block_size=64, resampling="bilinear"
+    )
+    g = {r["time_cf"]: r for r in per_step_stats(tiles, "band_1").collect()}
+    assert set(g) == {0.0, 1.0, 2.0}
+    for t in range(3):
+        vals = np.where(data[t] == -999, np.nan, data[t] * 0.5 + 100.0)
+        src_mean = float(np.nanmean(vals))
+        assert g[float(t)]["count"] > 0
+        assert abs(g[float(t)]["mean"] - src_mean) / src_mean < 0.02

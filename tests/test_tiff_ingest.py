@@ -1175,3 +1175,25 @@ def test_dense_near_projected_matches_forward_argmin(spark):
     merged = dense.merge(sparse, on=["gx", "gy"], suffixes=("_d", "_s"))
     agree = (merged["band_1_d"] == merged["band_1_s"]).mean()
     assert agree > 0.9, agree
+
+
+def test_bilinear_projected_nlcd(spark):
+    """Bilinear on the Albers NLCD (through the Snyder forward
+    projection): runs target-driven, output dense, distribution tracks
+    the source (a categorical raster blurs, so only range/coverage are
+    asserted)."""
+    path = f"{REF}/Annual_NLCD_LndCov_2023_CU_C1V0.tif"
+    info = read_tiff_structure(path)
+    tiles, meta = geotiff_to_raquet(
+        spark, path, block_size=256, resampling="bilinear",
+        dense=False, stats=True,
+    )
+    g = tiles.agg(
+        F.min("band_1_min"), F.max("band_1_max"), F.sum("band_1_count")
+    ).first()
+    src = tiff_pixel_table(spark, info).where(f"band_1 != {info['nodata']}")
+    s_cnt = src.count()
+    s_mm = src.agg(F.min("band_1"), F.max("band_1")).first()
+    assert s_cnt <= g[2] <= 8 * s_cnt  # dense coverage
+    # blended values stay inside the source range
+    assert g[0] >= s_mm[0] - 1e-6 and g[1] <= s_mm[1] + 1e-6
