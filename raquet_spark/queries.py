@@ -2155,18 +2155,50 @@ def raster_point_value_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def raquet_read_tiles_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write→read round trip through the RaQuet parquet layout — rows-only."""
+    """Write→read round trip through the RaQuet parquet layout WITH the
+    bbox spatial filter (Morton block-range pruning on the parquet
+    scan), decoded to per-tile stats — hash-checked against the pixel
+    oracle restricted to the same 2×2-tile region, so the reader, the
+    spatial pushdown, and the stored bytes all gate the hash."""
     import tempfile
 
     from pyspark.sql import functions as F
 
+    from raquet_spark.operators.tile_stats import with_tile_stats
     from raquet_spark.sources.raquet import read_raquet, write_raquet
 
+    r = _R
     tiles, meta = _make_raster(spark)
-    path = tempfile.mkdtemp(prefix="raquet_rt_") + "/raster.parquet"
-    write_raquet(tiles, path, meta)
-    back = read_raquet(spark, path)
-    return back.select("block", F.length("band_1").alias("blob_bytes")).orderBy("block")
+    key = (spark.sparkContext.applicationId, "raquet_rt_path")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="raquet_rt_") + "/raster.parquet"
+        write_raquet(tiles, path, meta)
+        _RASTER_CACHE[key] = path
+    cells = _region_cells()
+    bounds = [qb.py_cell_to_bounds(c) for c in cells]
+    bbox = (
+        min(b[0] for b in bounds) + 1e-9,
+        min(b[1] for b in bounds) + 1e-9,
+        max(b[2] for b in bounds) - 1e-9,
+        max(b[3] for b in bounds) - 1e-9,
+    )
+    back = read_raquet(spark, path, bbox=bbox)
+    stats = with_tile_stats(back.select("block", "band_1"), meta)
+    return stats.select(
+        "block",
+        "band_1_count",
+        "band_1_min",
+        "band_1_max",
+        "band_1_sum",
+        F.round("band_1_mean", 6).alias("band_1_mean"),
+        F.round("band_1_stddev", 6).alias("band_1_stddev"),
+    )
+
+
+def raquet_read_tiles_oracle() -> str:
+    cells = ", ".join(str(c) for c in _region_cells())
+    return _duck_pixels() + _raster_stats_select(f"WHERE block IN ({cells})")
 
 
 # ---------------------------------------------------------------------------
@@ -3492,7 +3524,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),
-    "raquet_read_tiles": (raquet_read_tiles_spark, None),
+    "raquet_read_tiles": (raquet_read_tiles_spark, raquet_read_tiles_oracle),
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
