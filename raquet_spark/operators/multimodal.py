@@ -158,3 +158,122 @@ def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
     container — the explode shape is what matters)."""
     frames = F.expr(f"sequence(0, greatest(CAST(duration_ms / 1000 AS INT), 1) - 1, {every_nth})")
     return df.select("media_id", F.explode(frames).alias("frame_idx"))
+
+
+def encode_jpeg_image(width: int, height: int, channels: int, seed: int = 0) -> bytes:
+    """Deterministic test image compressed with the real baseline JPEG
+    codec (functions/jpeg.py — PIL-free), 1 or 3 channels."""
+    from raquet_spark.functions.jpeg import jpeg_encode
+
+    n = width * height * channels
+    arr = ((np.arange(n, dtype=np.int64) * 37 + seed) % 251).astype("u1")
+    arr = arr.reshape(height, width, channels)
+    return jpeg_encode(arr[:, :, 0] if channels == 1 else arr[:, :, :3], 90)
+
+
+def decode_jpeg_image(buf: bytes) -> np.ndarray:
+    from raquet_spark.functions.jpeg import jpeg_decode
+
+    arr = jpeg_decode(bytes(buf))
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+CODECS["jpeg"] = {"decode": decode_jpeg_image, "encode": encode_jpeg_image}
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        t = np.zeros((32, 32))
+        for u in range(32):
+            for x in range(32):
+                t[u, x] = np.cos((2 * x + 1) * u * np.pi / 64.0)
+        t[0, :] *= np.sqrt(1.0 / 32.0)
+        t[1:, :] *= np.sqrt(2.0 / 32.0)
+        _DCT32 = t
+    return _DCT32
+
+
+def phash_table(df: DataFrame, codec: str = "fake", hash_size: int = 8) -> DataFrame:
+    """Perceptual hash per image (the classic pHash recipe, public):
+    grayscale → area-resample to 32×32 → 2-D DCT → sign-vs-median of
+    the top-left ``hash_size``² low-frequency block, packed row-major
+    into one BIGINT. Arrow-batched; the DCT is one matmul per image."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    dec = CODECS[codec]["decode"]
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = _dct32()
+        weights = 1 << np.arange(hash_size * hash_size, dtype=np.uint64)
+        for pdf in batches:
+            ids, out = [], []
+            for _, row in pdf.iterrows():
+                img = dec(bytes(row["payload"])).astype("f8").mean(axis=2)
+                h, w = img.shape
+                # area resample to 32x32 (pad to a multiple, then mean)
+                ph, pw = -(-h // 32) * 32, -(-w // 32) * 32
+                img = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+                img = img.reshape(32, ph // 32, 32, pw // 32).mean(axis=(1, 3))
+                d = t @ img @ t.T
+                low = d[:hash_size, :hash_size].ravel()
+                bits = (low > np.median(low)).astype(np.uint64)
+                ids.append(int(row["media_id"]))
+                out.append(int((bits * weights).sum().astype(np.int64)))
+            yield pd.DataFrame({"media_id": ids, "phash": out})
+
+    return df.select("media_id", "payload").mapInPandas(
+        hashes, schema="media_id bigint, phash bigint"
+    )
+
+
+def phash_dedup_pairs(
+    hashes: DataFrame,
+    max_distance: int = 3,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by pHash hamming distance: the 64-bit
+    hash splits into ``n_bands`` 16-bit segments — two hashes within
+    hamming ``n_bands - 1`` MUST share at least one exact segment
+    (pigeonhole, the SimHash trick) — so candidates come from one
+    banded self equi-join and the exact ``bit_count(xor)`` check runs
+    only on candidates. Never all-pairs."""
+    seg_bits = 64 // n_bands
+    mask = (1 << seg_bits) - 1
+    segs = hashes.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.expr(f"(phash >> {i * seg_bits}) & {mask}").alias("seg"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "phash", "b.band", "b.seg")
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "distance", F.expr("bit_count(ph_a ^ ph_b)")
+    ).where(F.col("distance") <= max_distance).select("id_a", "id_b", "distance")

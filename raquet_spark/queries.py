@@ -3356,6 +3356,42 @@ def semantic_dedup_keep_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(F.col("vec_id").alias("kept_id"))
 
 
+def phash_dedup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end (pHash DCT signature →
+    banded hamming equi-join): the corpus is the deterministic media
+    table plus byte-identical copies of every 5th image under
+    ``media_id + 10000`` — identical payloads hash identically, so the
+    planted pairs surface at distance 0 deterministically and the
+    oracle enumerates them in closed form. Near-dup (distance > 0)
+    behavior is pytest-gated (perturbation tests)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.multimodal import (
+        make_media_table,
+        phash_dedup_pairs,
+        phash_table,
+    )
+
+    media = make_media_table(spark, n=40).select("media_id", "payload")
+    copies = media.where(F.col("media_id") % 5 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000)
+    )
+    hashes = phash_table(media.unionByName(copies))
+    pairs = phash_dedup_pairs(hashes, max_distance=0)
+    return pairs.where(
+        F.col("id_b") == F.col("id_a") + F.lit(10_000)
+    ).select("id_a", "id_b", "distance")
+
+
+def phash_dedup_oracle() -> str:
+    return """
+SELECT CAST(i AS BIGINT) AS id_a,
+       CAST(i + 10000 AS BIGINT) AS id_b,
+       CAST(0 AS INT) AS distance
+FROM (SELECT unnest(range(0, 40, 5)) AS i)
+"""
+
+
 def semantic_dedup_keep_oracle() -> str:
     return """
 SELECT CAST(vec_id AS BIGINT) AS kept_id FROM embeddings
@@ -3523,6 +3559,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
+    "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),
     "raquet_read_tiles": (raquet_read_tiles_spark, raquet_read_tiles_oracle),
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),

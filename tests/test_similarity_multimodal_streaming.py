@@ -339,3 +339,78 @@ def test_streaming_topk_trending(spark, tmp_path):
     want_sub = [tuple(r) for r in want.where(F.col("window_start").isin(list(emitted))).collect()]
     got_rows = [tuple(r) for r in got.collect()]
     assert sorted(got_rows) == sorted(want_sub)
+
+
+def test_jpeg_codec_registered_in_multimodal(spark):
+    """The multimodal 'jpeg' codec is now the real PIL-free baseline
+    codec: media payloads are standard JFIF and decode to the expected
+    dims through the feature extractor."""
+    from raquet_spark.operators.multimodal import extract_features, make_media_table
+
+    media = make_media_table(spark, n=8, codec="jpeg")
+    row = media.first()
+    assert bytes(row["payload"])[:2] == b"\xff\xd8"
+    feats = extract_features(media, codec="jpeg").collect()
+    assert len(feats) == 8
+
+
+def test_phash_dedup_finds_planted_near_dups(spark):
+    """pHash: identical images hash identically; slightly-perturbed
+    copies stay within a small hamming distance and the banded join
+    finds them; unrelated images don't pair."""
+    import numpy as np
+    import pandas as pd
+
+    from raquet_spark.operators.multimodal import (
+        decode_fake_image,
+        encode_fake_image,
+        phash_dedup_pairs,
+        phash_table,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    gy, gx = np.mgrid[0:48, 0:48]
+    for i in range(20):
+        # smooth low-frequency content (two gaussian blobs whose centers
+        # move with i) — the regime pHash is designed for; periodic
+        # patterns can alias to zero low-freq energy and hash unstably
+        cx1, cy1 = 8 + (i * 5) % 32, 8 + (i * 11) % 32
+        cx2, cy2 = 40 - (i * 7) % 32, 40 - (i * 3) % 32
+        img = (
+            60
+            + 120 * np.exp(-((gx - cx1) ** 2 + (gy - cy1) ** 2) / 150.0)
+            + 75 * np.exp(-((gx - cx2) ** 2 + (gy - cy2) ** 2) / 80.0)
+        ).clip(0, 255).astype("u1")
+        buf = (
+            b"FAKEIMG1" + np.array([48, 48], dtype="<u2").tobytes() + b"\x01"
+            + img.tobytes()
+        )
+        rows.append((i, buf))
+        if i < 5:
+            pert = img.copy()
+            idx = rng.integers(0, 48, (2, 8))
+            pert[idx[0], idx[1]] = rng.integers(0, 256, 8)
+            rows.append((
+                1000 + i,
+                b"FAKEIMG1" + np.array([48, 48], dtype="<u2").tobytes() + b"\x01"
+                + pert.tobytes(),
+            ))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"])
+    )
+    hashes = phash_table(df, codec="fake")
+    hmap = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    # light perturbation keeps the hash close (a few near-median bits
+    # may flip); unrelated images sit far apart. Mask to 64 bits: the
+    # packed hash is a SIGNED bigint, python xor would sign-extend.
+    for i in range(5):
+        d = bin((hmap[i] ^ hmap[1000 + i]) & ((1 << 64) - 1)).count("1")
+        assert d <= 8, (i, d)
+
+    pairs = phash_dedup_pairs(hashes, max_distance=8, n_bands=16).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    for i in range(5):
+        assert (i, 1000 + i) in found, (i, sorted(found))
+    # distances recorded and bounded
+    assert all(0 <= p["distance"] <= 8 for p in pairs)
