@@ -277,3 +277,68 @@ def phash_dedup_pairs(
     return cand.withColumn(
         "distance", F.expr("bit_count(ph_a ^ ph_b)")
     ).where(F.col("distance") <= max_distance).select("id_a", "id_b", "distance")
+
+
+def encode_wav_audio(width: int, height: int, channels: int, seed: int = 0) -> bytes:
+    """Deterministic PCM16 WAV payload via the stdlib ``wave`` module —
+    the media-table generator signature reuses (width*height) as the
+    sample count so audio rows flow through the same plumbing."""
+    import io
+    import wave
+
+    n = max(1, width * height)
+    t = np.arange(n, dtype=np.float64)
+    freq = 220.0 * (1 + (seed % 12) / 12.0)
+    sig = (np.sin(2 * np.pi * freq * t / 16000.0) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(max(1, channels))
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.repeat(sig, max(1, channels)).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_audio(buf: bytes) -> np.ndarray:
+    """WAV bytes → (n_frames, channels, 1) int-PCM array (shaped like an
+    image so the shared feature extractor works unchanged)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    dt = {1: "u1", 2: "<i2", 4: "<i4"}[sw]
+    arr = np.frombuffer(frames, dtype=dt).astype("f8")
+    return arr.reshape(-1, nch)[:, :, None].transpose(0, 2, 1)
+
+
+CODECS["wav"] = {"decode": decode_wav_audio, "encode": encode_wav_audio}
+
+
+def audio_features(df: DataFrame, codec: str = "wav") -> DataFrame:
+    """Per-clip audio descriptors: duration, RMS level, zero-crossing
+    rate — the audio analogue of extract_features, Arrow-batched."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    dec = CODECS[codec]["decode"]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "rms": [], "zcr": []}
+            for _, row in pdf.iterrows():
+                a = dec(bytes(row["payload"]))[:, 0, 0]
+                out["media_id"].append(int(row["media_id"]))
+                out["n_samples"].append(len(a))
+                out["rms"].append(float(np.sqrt(np.mean(a**2))) if len(a) else 0.0)
+                out["zcr"].append(
+                    float(np.mean(np.signbit(a[:-1]) != np.signbit(a[1:])))
+                    if len(a) > 1 else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        feats, schema="media_id bigint, n_samples bigint, rms double, zcr double"
+    )

@@ -414,3 +414,30 @@ def test_phash_dedup_finds_planted_near_dups(spark):
         assert (i, 1000 + i) in found, (i, sorted(found))
     # distances recorded and bounded
     assert all(0 <= p["distance"] <= 8 for p in pairs)
+
+
+def test_wav_codec_and_audio_features(spark):
+    """The stdlib-backed WAV codec round-trips PCM16 and the audio
+    feature extractor recovers the expected tone properties."""
+    import numpy as np
+
+    from raquet_spark.operators.multimodal import (
+        audio_features,
+        decode_wav_audio,
+        encode_wav_audio,
+        make_media_table,
+    )
+
+    buf = encode_wav_audio(40, 40, 1, seed=3)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    arr = decode_wav_audio(buf)
+    assert arr.shape == (1600, 1, 1)
+    # a pure sine at ~12000 amplitude: rms ≈ 12000/sqrt(2)
+    rms = float(np.sqrt(np.mean(arr[:, 0, 0] ** 2)))
+    assert abs(rms - 12000 / np.sqrt(2)) / rms < 0.05
+
+    media = make_media_table(spark, n=8, kind="audio", codec="wav")
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(feats) == 8
+    for r in feats.values():
+        assert r["n_samples"] > 0 and r["rms"] > 0 and 0 < r["zcr"] < 0.5
