@@ -63,6 +63,13 @@ def main() -> None:
         "events_json_rollup",
         "gopher_quality",
         "dataset_shuffle",
+        "ngram_lm_score",
+        "phash_dedup",
+        "semantic_dedup_keep",
+        "lossy_jpeg_blocky_stats",
+        "geotiff_cog_roundtrip",
+        "netcdf_ingest_stats",
+        "dedup_embedding_lsh",
     ]
 
     timings: dict[str, float] = {}
