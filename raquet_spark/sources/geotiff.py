@@ -785,44 +785,51 @@ def read_geotiff(path: str, ifd_index: int = 0) -> tuple[np.ndarray, dict]:
 
 
 def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
-    """Parse one IFD of a little-endian TIFF into {tag: values} —
-    classic (magic 42, 12-byte entries, 32-bit offsets) AND BigTIFF
-    (magic 43, 20-byte entries, 64-bit offsets; the format GDAL emits
-    for >4GB rasters like full NLCD). Handles inline and external
-    values for BYTE/ASCII/SHORT/LONG/RATIONAL/SBYTE/SSHORT/SLONG/
-    FLOAT/DOUBLE/LONG8/SLONG8. Shared by the round-trip reader here and
-    the real-file reader in ``sources/tiff_reader.py``."""
-    if raw[:2] != b"II":
-        raise ValueError("not a little-endian TIFF")
-    magic = struct.unpack("<H", raw[2:4])[0]
+    """Parse one IFD of a TIFF into {tag: values} — little- ("II") and
+    big-endian ("MM"), classic (magic 42, 12-byte entries, 32-bit
+    offsets) AND BigTIFF (magic 43, 20-byte entries, 64-bit offsets;
+    the format GDAL emits for >4GB rasters like full NLCD). Handles
+    inline and external values for BYTE/ASCII/SHORT/LONG/RATIONAL/
+    SBYTE/SSHORT/SLONG/FLOAT/DOUBLE/LONG8/SLONG8. Shared by the
+    round-trip reader here and the real-file reader in
+    ``sources/tiff_reader.py``. Endianness is recorded under the
+    pseudo-tag -1 as ("<",) or (">",) for the pixel decoder."""
+    if raw[:2] == b"II":
+        en = "<"
+    elif raw[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic = struct.unpack(f"{en}H", raw[2:4])[0]
     if magic == 42:
         big = False
         if ifd_off is None:
-            ifd_off = struct.unpack("<I", raw[4:8])[0]
-        (n_entries,) = struct.unpack_from("<H", raw, ifd_off)
+            ifd_off = struct.unpack(f"{en}I", raw[4:8])[0]
+        (n_entries,) = struct.unpack_from(f"{en}H", raw, ifd_off)
         entry0, entry_sz, inline = ifd_off + 2, 12, 4
     elif magic == 43:
         big = True
-        if struct.unpack("<H", raw[4:6])[0] != 8:
+        if struct.unpack(f"{en}H", raw[4:6])[0] != 8:
             raise ValueError("unsupported BigTIFF offset size")
         if ifd_off is None:
-            ifd_off = struct.unpack("<Q", raw[8:16])[0]
-        (n_entries,) = struct.unpack_from("<Q", raw, ifd_off)
+            ifd_off = struct.unpack(f"{en}Q", raw[8:16])[0]
+        (n_entries,) = struct.unpack_from(f"{en}Q", raw, ifd_off)
         entry0, entry_sz, inline = ifd_off + 8, 20, 8
     else:
-        raise ValueError("not a little-endian TIFF (bad magic)")
+        raise ValueError("not a TIFF (bad magic)")
     type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 10: 8,
                  11: 4, 12: 8, 16: 8, 17: 8}
     type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
                 12: "d", 16: "Q", 17: "q"}
     tags: dict[int, tuple] = {}
+    tags[-1] = (en,)
     for i in range(n_entries):
         pos = entry0 + i * entry_sz
         if big:
-            tag, typ, count = struct.unpack_from("<HHQ", raw, pos)
-            (val_off,) = struct.unpack_from("<Q", raw, pos + 12)
+            tag, typ, count = struct.unpack_from(f"{en}HHQ", raw, pos)
+            (val_off,) = struct.unpack_from(f"{en}Q", raw, pos + 12)
         else:
-            tag, typ, count, val_off = struct.unpack_from("<HHII", raw, pos)
+            tag, typ, count, val_off = struct.unpack_from(f"{en}HHII", raw, pos)
         if typ not in type_size:
             continue
         nbytes = type_size[typ] * count
@@ -834,13 +841,13 @@ def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
             tags[tag] = (buf.rstrip(b"\x00").decode(errors="replace"),)
         elif typ in (5, 10):  # (S)RATIONAL pairs
             fmt = "I" if typ == 5 else "i"
-            flat = struct.unpack(f"<{2 * count}{fmt}", buf)
+            flat = struct.unpack(f"{en}{2 * count}{fmt}", buf)
             tags[tag] = tuple(
                 flat[j] / flat[j + 1] if flat[j + 1] else 0.0
                 for j in range(0, len(flat), 2)
             )
         else:
-            tags[tag] = struct.unpack(f"<{count}{type_fmt[typ]}", buf)
+            tags[tag] = struct.unpack(f"{en}{count}{type_fmt[typ]}", buf)
     return tags
 
 

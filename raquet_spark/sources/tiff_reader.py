@@ -25,12 +25,14 @@ Three layers:
    reference's zoom autoselect intent (raster2raquet.py find_zoom).
    The result feeds ``operators/tiling.from_pixel_table`` → RaQuet.
 
-Supported: classic little-endian TIFF, strip or tile layout,
-compression none/LZW/deflate (+ horizontal predictor), 1..N samples
-(pixel-interleaved), uint8..float64, palette (kept as indices with the
-colortable in metadata, like the reference's colored.tif handling),
-CRS = EPSG:4326 or EPSG:3857 (others raise — closed-form math only,
-no proj database in this environment).
+Supported: classic AND BigTIFF, little- ("II") and big-endian ("MM"),
+strip or tile layout, compression none/LZW/deflate/PackBits
+(+ horizontal predictor), 1..N samples (pixel-interleaved),
+uint8..float64, palette (kept as indices with the colortable in
+metadata, like the reference's colored.tif handling), CRS = EPSG:4326,
+EPSG:3857, UTM zones, and user-defined Albers/LCC-2SP/sinusoidal from
+GeoKeys (closed-form Snyder math both directions — no proj database in
+this environment).
 """
 
 from __future__ import annotations
@@ -137,7 +139,8 @@ def read_tiff_structure(path: str) -> dict:
     if len(set(bits)) != 1:
         raise ValueError(f"mixed bits-per-sample {bits}")
     fmt = tags.get(339, (1,) * spp)[0]
-    dtype = np.dtype(f"<{_KIND[fmt]}{bits[0] // 8}")
+    en = tags.get(-1, ("<",))[0]  # byte order recorded by read_ifd
+    dtype = np.dtype(f"{en}{_KIND[fmt]}{bits[0] // 8}")
     compression = tags.get(259, (1,))[0]
     if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
@@ -1187,7 +1190,9 @@ def _assemble_tiles(
     bands = [
         BandMeta(
             name=f"band_{b + 1}",
-            type=info["dtype"].lstrip("<"),
+            # normalize '<i2'/'>i2' → 'int16' (RaQuet band types are
+            # endian-free; blobs re-encode little-endian)
+            type=str(np.dtype(info["dtype"]).newbyteorder("=")),
             nodata=info["nodata"],
             colortable=info["palette"] if b == 0 else None,
             colorinterp=interp[b],
@@ -1217,7 +1222,6 @@ def _assemble_tiles(
         # the driver and attached as a literal to the anti-joined
         # missing cells — no per-tile encode work. Pass dense=False for
         # sparse output on mostly-empty extents at scale.
-        import numpy as np
 
         from raquet_spark.functions import quadbin as qbf
         from raquet_spark.functions.bands import DTYPES, encode_block

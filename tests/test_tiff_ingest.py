@@ -1197,3 +1197,122 @@ def test_bilinear_projected_nlcd(spark):
     assert s_cnt <= g[2] <= 8 * s_cnt  # dense coverage
     # blended values stay inside the source range
     assert g[0] >= s_mm[0] - 1e-6 and g[1] <= s_mm[1] + 1e-6
+
+
+def _classic_to_bigendian(raw: bytes) -> bytes:
+    """Rewrite an uncompressed striped little-endian classic TIFF as
+    big-endian ("MM"): header, IFD entries, external values, and the
+    pixel strips are all byte-swapped. Test fixture for the MM parser."""
+    import struct
+
+    ifd_off = struct.unpack("<I", raw[4:8])[0]
+    (n_entries,) = struct.unpack_from("<H", raw, ifd_off)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+    entries = []
+    for i in range(n_entries):
+        tag, typ, count, val_off = struct.unpack_from(
+            "<HHII", raw, ifd_off + 2 + i * 12
+        )
+        if typ not in type_size:
+            continue
+        nbytes = type_size[typ] * count
+        if nbytes <= 4:
+            buf = raw[ifd_off + 2 + i * 12 + 8 : ifd_off + 2 + i * 12 + 8 + nbytes]
+        else:
+            buf = raw[val_off : val_off + nbytes]
+        entries.append((tag, typ, count, buf))
+    tagmap = {t: (typ, cnt, buf) for t, typ, cnt, buf in entries}
+    assert tagmap[259][2] == b"\x01\x00", "fixture must be uncompressed"
+
+    def swab(buf: bytes, typ: int, count: int) -> bytes:
+        unit = type_size[typ]
+        if typ in (2,) or unit == 1:
+            return buf
+        if typ in (5, 10):  # rational = two 4-byte ints
+            return b"".join(
+                buf[i : i + 4][::-1] for i in range(0, len(buf), 4)
+            )
+        return b"".join(buf[i : i + unit][::-1] for i in range(0, len(buf), unit))
+
+    # layout: 8-byte MM header, IFD, external values, pixel data
+    out = bytearray(struct.pack(">2sHI", b"MM", 42, 8))
+    ifd_body = b""
+    ext = bytearray()
+    ext_base = 8 + 2 + len(entries) * 12 + 4
+
+    # sizes of externals first (to place pixel data after)
+    ext_total = sum(
+        type_size[t[1]] * t[2]
+        for t in entries
+        if type_size[t[1]] * t[2] > 4
+    )
+    data_base = ext_base + ext_total
+    # rebuild strips: byte-swapped pixel payloads
+    w = struct.unpack("<" + {3: "H", 4: "I"}[tagmap[256][0]],
+                      tagmap[256][2][: type_size[tagmap[256][0]]])[0]
+    bits = struct.unpack("<H", tagmap[258][2][:2])[0]
+    offs_t, offs_c, offs_buf = tagmap[273]
+    cnts_t, cnts_c, cnts_buf = tagmap[279]
+    fmt_o = {3: "H", 4: "I"}[offs_t]
+    fmt_c = {3: "H", 4: "I"}[cnts_t]
+    offs = struct.unpack(f"<{offs_c}{fmt_o}", offs_buf)
+    cnts = struct.unpack(f"<{cnts_c}{fmt_c}", cnts_buf)
+    unit = bits // 8
+    strips = []
+    new_offs = []
+    pos = data_base
+    for off, cnt in zip(offs, cnts):
+        seg = raw[off : off + cnt]
+        if unit > 1:
+            seg = b"".join(seg[i : i + unit][::-1] for i in range(0, len(seg), unit))
+        strips.append(seg)
+        new_offs.append(pos)
+        pos += len(seg)
+
+    new_entries = []
+    for tag, typ, count, buf in entries:
+        if tag == 273:
+            buf = struct.pack(f"<{offs_c}I", *new_offs)
+            typ = 4
+        new_entries.append((tag, typ, count, buf))
+
+    for tag, typ, count, buf in new_entries:
+        nbytes = type_size[typ] * count
+        sw = swab(buf, typ, count)
+        if nbytes <= 4:
+            ifd_body += struct.pack(">HHI", tag, typ, count) + sw.ljust(4, b"\x00")
+        else:
+            ifd_body += struct.pack(">HHII", tag, typ, count, ext_base + len(ext))
+            ext += sw
+    out += struct.pack(">H", len(new_entries)) + ifd_body + struct.pack(">I", 0)
+    out += ext
+    for seg in strips:
+        out += seg
+    return bytes(out)
+
+
+def test_bigendian_n37_parity(spark, tmp_path):
+    """The DEM rewritten big-endian ("MM") parses to the same structure
+    and decodes pixel-identical — scanners and older tools still emit
+    MM files."""
+    src = f"{REF}/n37_w123_1arc_v2.tif"
+    with open(src, "rb") as f:
+        raw = f.read()
+    mm_path = str(tmp_path / "n37_mm.tif")
+    with open(mm_path, "wb") as f:
+        f.write(_classic_to_bigendian(raw))
+
+    i0 = read_tiff_structure(src)
+    i1 = read_tiff_structure(mm_path)
+    assert np.dtype(i1["dtype"]).byteorder == ">"
+    assert (i1["width"], i1["height"], i1["epsg"]) == (
+        i0["width"], i0["height"], i0["epsg"],
+    )
+    p0 = tiff_pixel_table(spark, i0).toPandas().sort_values(["sy", "sx"])
+    p1 = tiff_pixel_table(spark, i1).toPandas().sort_values(["sy", "sx"])
+    np.testing.assert_array_equal(p0["band_1"].to_numpy(), p1["band_1"].to_numpy())
+
+    # and the full warp path normalizes the band type
+    tiles, meta = geotiff_to_raquet(spark, mm_path, block_size=128, stats=False)
+    assert meta["bands"][0]["type"] == "int16"
+    assert tiles.count() > 0
