@@ -147,9 +147,7 @@ def read_tiff_structure(path: str) -> dict:
             f"TIFF compression {compression} "
             "(only none/LZW/deflate/PackBits supported)"
         )
-    planar = tags.get(284, (1,))[0]
-    if planar != 1 and spp > 1:
-        raise NotImplementedError("planar (band-separate) TIFF not supported")
+    planar = tags.get(284, (1,))[0]  # 1 = chunky (BIP), 2 = band-separate
 
     tiled = 322 in tags
     if tiled:
@@ -218,6 +216,7 @@ def read_tiff_structure(path: str) -> dict:
         "compression": compression,
         "predictor": tags.get(317, (1,))[0],
         "tiled": tiled,
+        "planar": planar,
         "seg_width": seg_w,
         "seg_height": seg_h,
         "segs_across": segs_across,
@@ -245,6 +244,7 @@ def tiff_pixel_table(
     n_bands, dtype = info["n_bands"], np.dtype(info["dtype"])
     compression, predictor = info["compression"], info["predictor"]
     tiled = info["tiled"]
+    planar = info.get("planar", 1) == 2 and n_bands > 1
 
     segs = [
         (i, off, cnt) for i, (off, cnt) in enumerate(info["segments"]) if cnt > 0
@@ -253,6 +253,63 @@ def tiff_pixel_table(
     seg_df = spark.createDataFrame(
         pd.DataFrame(segs, columns=["seg", "off", "cnt"])
     ).repartition(n_part)
+
+    if planar:
+        # band-separate layout (PlanarConfiguration=2): segments are
+        # band-major (all of band 1's strips/tiles, then band 2's, ...),
+        # each carrying ONE band's samples. Decode emits narrow
+        # (sx, sy, band, val) rows; one pivot groupBy(sx, sy) reassembles
+        # the per-band columns — the only extra shuffle planar costs.
+        segs_per_band = len(info["segments"]) // n_bands
+
+        def decode_planar(batches):
+            with open(path, "rb") as f:
+                for pdf in batches:
+                    for _, row in pdf.iterrows():
+                        seg, off, cnt = int(row["seg"]), int(row["off"]), int(row["cnt"])
+                        f.seek(off)
+                        buf = f.read(cnt)
+                        if compression in (8, 32946):
+                            buf = zlib.decompress(buf)
+                        elif compression == 5:
+                            buf = lzw_decode(buf)
+                        elif compression == 32773:
+                            buf = packbits_decode(buf)
+                        band, bseg = divmod(seg, segs_per_band)
+                        arr = np.frombuffer(buf, dtype=dtype)
+                        if tiled:
+                            ty, tx = divmod(bseg, segs_across)
+                            x0, y0 = tx * seg_w, ty * seg_h
+                            arr = arr.reshape(seg_h, seg_w)
+                        else:
+                            x0, y0 = 0, bseg * seg_h
+                            rows = min(seg_h, height - y0)
+                            arr = arr[: rows * seg_w].reshape(rows, seg_w)
+                        if predictor == 2:
+                            arr = np.cumsum(arr, axis=1, dtype=dtype).astype(dtype)
+                        h, w = arr.shape
+                        w_eff = min(w, width - x0)
+                        h_eff = min(h, height - y0)
+                        arr = arr[:h_eff, :w_eff]
+                        sy, sx = np.mgrid[0:h_eff, 0:w_eff]
+                        yield pd.DataFrame({
+                            "sx": (sx + x0).ravel().astype("int64"),
+                            "sy": (sy + y0).ravel().astype("int64"),
+                            "band": np.full(h_eff * w_eff, band, dtype="int64"),
+                            "val": arr.ravel().astype("f8"),
+                        })
+
+        narrow = seg_df.mapInPandas(
+            decode_planar, schema="sx bigint, sy bigint, band bigint, val double"
+        )
+        return narrow.groupBy("sx", "sy").agg(
+            *[
+                F.max(F.when(F.col("band") == b, F.col("val"))).alias(
+                    f"{band_prefix}{b + 1}"
+                )
+                for b in range(n_bands)
+            ]
+        )
 
     def decode(batches):
         with open(path, "rb") as f:

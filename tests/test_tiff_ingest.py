@@ -1316,3 +1316,95 @@ def test_bigendian_n37_parity(spark, tmp_path):
     tiles, meta = geotiff_to_raquet(spark, mm_path, block_size=128, stats=False)
     assert meta["bands"][0]["type"] == "int16"
     assert tiles.count() > 0
+
+
+def _chunky_to_planar(info, spark) -> tuple[bytes, "np.ndarray"]:
+    """Build an uncompressed PlanarConfiguration=2 TIFF from the decoded
+    pixels of a chunky source file — fixture for the planar reader.
+    Returns (tiff_bytes, reference_pixels[h, w, bands])."""
+    import struct
+
+    pdf = (
+        tiff_pixel_table(spark, info)
+        .toPandas()
+        .sort_values(["sy", "sx"])
+    )
+    h, w, nb = info["height"], info["width"], info["n_bands"]
+    dt = np.dtype(info["dtype"]).newbyteorder("<")
+    ref = np.stack(
+        [pdf[f"band_{b + 1}"].to_numpy().reshape(h, w) for b in range(nb)],
+        axis=-1,
+    )
+    planes = [ref[:, :, b].astype(dt).tobytes() for b in range(nb)]
+
+    kind_fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h),
+        (258, 3, nb, None), (259, 3, 1, 1), (262, 3, 1, 1),
+        (273, 4, nb, None), (277, 3, 1, nb), (278, 4, 1, h),
+        (279, 4, nb, None), (284, 3, 1, 2),
+        (339, 3, nb, None),
+    ]
+    n = len(entries)
+    ifd_off = 8
+    ext_base = ifd_off + 2 + n * 12 + 4
+    ext = bytearray()
+
+    def ext_put(b: bytes) -> int:
+        off = ext_base + len(ext)
+        ext.extend(b)
+        return off
+
+    bits_buf = b"".join(struct.pack("<H", dt.itemsize * 8) for _ in range(nb))
+    fmt_buf = b"".join(struct.pack("<H", kind_fmt) for _ in range(nb))
+    # plane data lives after the externals; offsets known once ext is sized
+    ext_sizes = sum(len(b) for b in (bits_buf, fmt_buf) if len(b) > 4)
+    ext_sizes += 4 * nb * 2 if nb > 1 else 0  # offsets+counts arrays
+    data_base = ext_base + ext_sizes
+    plane_offsets = []
+    pos = data_base
+    for p in planes:
+        plane_offsets.append(pos)
+        pos += len(p)
+
+    body = b""
+    for tag, typ, count, val in entries:
+        if tag == 258:
+            buf = bits_buf
+        elif tag == 339:
+            buf = fmt_buf
+        elif tag == 273:
+            buf = b"".join(struct.pack("<I", o) for o in plane_offsets)
+        elif tag == 279:
+            buf = b"".join(struct.pack("<I", len(p)) for p in planes)
+        else:
+            buf = struct.pack("<H" if typ == 3 else "<I", val)
+        if len(buf) <= 4:
+            body += struct.pack("<HHI", tag, typ, count) + buf.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHII", tag, typ, count, ext_put(buf))
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", n) + body + struct.pack("<I", 0)
+    out += ext
+    assert len(out) == data_base, (len(out), data_base)
+    for p in planes:
+        out += p
+    return bytes(out), ref
+
+
+def test_planar_tiff_decode(spark, tmp_path):
+    """PlanarConfiguration=2 (band-separate) files decode to the same
+    pixels as the chunky original — the narrow decode + pivot path."""
+    src = read_tiff_structure(f"{REF}/big-world.tif")
+    planar_bytes, ref = _chunky_to_planar(src, spark)
+    path = str(tmp_path / "planar.tif")
+    with open(path, "wb") as f:
+        f.write(planar_bytes)
+    info = read_tiff_structure(path)
+    assert info["planar"] == 2 and info["n_bands"] == 4
+    pdf = tiff_pixel_table(spark, info).toPandas().sort_values(["sy", "sx"])
+    assert len(pdf) == src["width"] * src["height"]
+    for b in range(4):
+        np.testing.assert_array_equal(
+            pdf[f"band_{b + 1}"].to_numpy().reshape(ref.shape[:2]), ref[:, :, b]
+        )
