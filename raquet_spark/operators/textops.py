@@ -125,3 +125,91 @@ def fingerprint_containment(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "overlap", "containment")
     )
+
+
+def bpe_word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the input BPE training actually
+    needs (pair statistics are weighted by word frequency, so the huge
+    token stream collapses to the small distinct-word table first; one
+    explode + one groupBy)."""
+    return (
+        df.select(F.explode(F.expr(_toks(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Distributed BPE vocabulary training (the public Sennrich et al.
+    recipe): words split into symbol sequences, then ``n_merges``
+    iterations of (count adjacent symbol pairs weighted by word freq →
+    merge the most frequent pair everywhere).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD table up
+    front (one shuffle) — afterwards every iteration is one explode +
+    one groupBy over that small table plus a map-only Arrow pass
+    applying the merge; lineage is truncated with localCheckpoint every
+    ``checkpoint_every`` merges. Ties break lexicographically so the
+    result is deterministic and matches the pure-python reference
+    implementation in tests."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    words = bpe_word_table(df, text_col)
+    # split keeps trailing empties under Spark's limit=-1 default — drop
+    seqs = words.select(
+        F.expr("filter(split(word, '(?!^)'), x -> x != '')").alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = (
+            seqs.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(s, i) -> struct(s AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").first()
+        if top is None or top["n"] < 2:
+            break
+        a, b = top["a"], top["b"]
+        merges.append((a, b))
+
+        def apply_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    i = 0
+                    merged = []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(s[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+        seqs = seqs.mapInPandas(apply_merge, schema="syms array<string>, freq bigint")
+        if (it + 1) % checkpoint_every == 0:
+            seqs = seqs.localCheckpoint(eager=True)
+    return merges

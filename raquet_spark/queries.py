@@ -2737,6 +2737,29 @@ GROUP BY doc_id
 """
 
 
+def bpe_pair_counts(d: str) -> str:
+    """The first iteration of BPE vocabulary training (Sennrich et al.,
+    public) as one relational pass: corpus → distinct-word frequency
+    table → adjacent character pairs weighted by word frequency. The
+    iterative trainer (operators/textops.bpe_train) repeats exactly this
+    aggregation over merged symbols; this query hash-gates its counting
+    core. Two groupBys, both map-side combinable."""
+    return f"""
+WITH tok AS (
+  SELECT {dl.explode(_tokens(d), 'w', d)} FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+), pos AS (
+  SELECT w, c, {dl.explode(dl.seq(1, 'length(w) - 1', d), 'i', d)}
+  FROM wc WHERE length(w) >= 2
+)
+SELECT concat(substr(w, i, 1), ' ', substr(w, i + 1, 1)) AS pair,
+       {dl.isum('c', d)} AS n
+FROM pos
+GROUP BY 1
+"""
+
+
 def decontaminate(d: str) -> str:
     """Benchmark decontamination: flag training documents sharing word
     3-gram shingles with a held-out eval set (every 50th doc here; in a
@@ -3038,6 +3061,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "decontaminate": decontaminate,
     "gopher_quality": gopher_quality,
     "ngram_lm_score": ngram_lm_score,
+    "bpe_pair_counts": bpe_pair_counts,
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scan": pii_scan,
     "chunk_dedup": chunk_dedup,

@@ -185,3 +185,59 @@ def test_embedding_lsh_recall_vs_exact(spark):
     if exact:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} pairs"
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE merges equal a pure-python Sennrich-style
+    reference on the same corpus (deterministic lexicographic ties)."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low new wide lower newer",
+    ] * 3
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = bpe_train(df, n_merges=12)
+
+    # pure-python reference
+    from collections import Counter
+
+    import re
+
+    words = Counter(re.findall(r"[a-z0-9]+", " ".join(texts).lower()))
+    vocab = {tuple(w): c for w, c in words.items()}
+    want = []
+    for _ in range(12):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in "\x00".join(kv[0])]))
+        # deterministic tie-break: highest count, then lexicographically
+        top_n = max(pc.values())
+        cands = sorted([p for p, n in pc.items() if n == top_n])
+        best = cands[0]
+        if pc[best] < 2:
+            break
+        want.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, c in vocab.items():
+            s = list(syms)
+            i, merged = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + c
+        vocab = new_vocab
+    assert got == [(a, b) for a, b in want], (got, want)
