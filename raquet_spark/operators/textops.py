@@ -213,3 +213,41 @@ def bpe_train(
         if (it + 1) % checkpoint_every == 0:
             seqs = seqs.localCheckpoint(eager=True)
     return merges
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed document vectors (the public hashing-trick /
+    Weinberger et al. recipe): token → md5 bucket in [0, dim), weight =
+    term frequency, L2-normalized — a cheap deterministic embedding that
+    feeds the ANN / embedding-dedup operators without any model. One
+    explode + one groupBy; the dense array assembles map-side from the
+    collected (bucket, weight) pairs."""
+    bucket = dl.md5_int("tok", "spark") + f" % {dim}"
+    longf = (
+        df.select(F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok"))
+        .selectExpr(id_col, f"{bucket} AS bucket")
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("w"))
+    )
+    pairs = longf.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", F.col("w").cast("double")))
+        ).alias("m")
+    )
+    vec = (
+        f"transform(sequence(0, {dim - 1}), "
+        "i -> coalesce(m[CAST(i AS BIGINT)], 0.0D))"
+    )
+    norm = "sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"
+    return (
+        pairs.selectExpr(id_col, f"{vec} AS v")
+        .selectExpr(
+            id_col,
+            f"transform(v, x -> CAST(x / greatest({norm}, 1e-12) AS FLOAT)) AS embedding",
+        )
+    )

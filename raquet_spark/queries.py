@@ -2737,6 +2737,27 @@ GROUP BY doc_id
 """
 
 
+def doc_feature_hash(d: str) -> str:
+    """Feature-hashed document vectors in long form (the hashing trick,
+    public Weinberger et al. recipe): token → md5 bucket in [0, 64),
+    weight = L2-normalized term frequency. The dense-array variant
+    (operators/textops.hashed_embeddings) feeds ANN/embedding dedup;
+    this long-form rendering is hash-exact in both dialects."""
+    bucket = f"({dl.md5_int('tok', d)}) % 64"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {dl.explode(_tokens(d), 'tok', d)} FROM documents
+), w AS (
+  SELECT doc_id, {bucket} AS bucket, COUNT(*) AS c
+  FROM tok GROUP BY doc_id, {bucket}
+), n AS (
+  SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm FROM w GROUP BY doc_id
+)
+SELECT w.doc_id, bucket, round(CAST(c AS DOUBLE) / nrm, 6) AS weight
+FROM w JOIN n ON w.doc_id = n.doc_id
+"""
+
+
 def bpe_pair_counts(d: str) -> str:
     """The first iteration of BPE vocabulary training (Sennrich et al.,
     public) as one relational pass: corpus → distinct-word frequency
@@ -3062,6 +3083,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "gopher_quality": gopher_quality,
     "ngram_lm_score": ngram_lm_score,
     "bpe_pair_counts": bpe_pair_counts,
+    "doc_feature_hash": doc_feature_hash,
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scan": pii_scan,
     "chunk_dedup": chunk_dedup,

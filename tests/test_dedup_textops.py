@@ -241,3 +241,30 @@ def test_bpe_train_matches_reference_implementation(spark):
             new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + c
         vocab = new_vocab
     assert got == [(a, b) for a, b in want], (got, want)
+
+
+def test_hashed_embeddings_feed_ann(spark):
+    """Feature-hashed doc vectors are unit-norm, deterministic, and
+    chain into the ANN operators: duplicate texts land at cosine 1."""
+    import numpy as np
+    import pandas as pd
+
+    from raquet_spark.operators.similarity import cosine_topk
+    from raquet_spark.operators.textops import hashed_embeddings
+
+    texts = [f"alpha beta gamma doc {i} with shared words" for i in range(10)]
+    texts.append(texts[0])  # exact duplicate of doc 0 under id 10
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    emb = hashed_embeddings(df, dim=32)
+    rows = {r["doc_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    assert len(rows) == 11
+    for v in rows.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    np.testing.assert_allclose(rows[0], rows[10], rtol=1e-6)
+
+    q = emb.where("doc_id = 10").selectExpr("doc_id AS vec_id", "embedding")
+    c = emb.where("doc_id < 10").selectExpr("doc_id AS vec_id", "embedding")
+    top = cosine_topk(c, q, k=1).first()
+    assert top["cand_id"] == 0 and abs(top["score"] - 1.0) < 1e-6
