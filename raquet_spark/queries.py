@@ -15,6 +15,8 @@ against an independent relational formulation.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3616,72 +3618,135 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
 
 
 # Registration order exposed to the driver. The driver oracle-checks the
-# FIRST 50 registered queries each round. Round-4 policy (VERDICT r03
-# item 1): the 41 queries last driver-checked in r02 rotate to the front
-# so no query is ever more than one round stale, then this round's fixed
-# + new entries fill the window; the r03-green set takes the tail.
+# FIRST 50 registered queries each round; with >50 registered, we rotate.
+#
+# Standing policy (VERDICT r04 item 1): round-robin by last-checked
+# round. `_registration_order` scans the CORRECTNESS_r*.json files the
+# driver drops at the repo root and sorts queries by the round they were
+# last driver-checked, ascending — never-checked queries (including any
+# added this round) automatically lead the window, and nothing is ever
+# more than ceil(N/50) rounds stale. The static list below is only the
+# fallback when no CORRECTNESS files are readable (fresh clone), frozen
+# at the round-5 rotation: the 8 queries with no r-anything hash row
+# first, then the r03-stale set.
 _DRIVER_PRIORITY: list[str] = [
-    # -- stale since r02: quadbin --------------------------------------
-    "qb_tile_roundtrip",
-    "qb_parent_rollup",
-    "qb_point_cells",
-    "qb_cell_bounds",
-    "qb_children",
-    "qb_kring",
-    "qb_bbox_polyfill",
-    "qb_distance",
-    "qb_kring_distances",
-    # -- stale since r02: analytics core (D-series) ---------------------
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_part_suppliers",
-    "q21_exclusive_returns",
-    "q22_idle_customers",
-    "nation_revenue_share",
-    "customer_balance_deciles",
-    "orders_priority_rollup",
-    "topk_parts_per_brand",
-    "events_daily",
-    "events_moving_avg",
-    # -- stale since r02: LLM-pipeline ops ------------------------------
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "dedup_embedding",
-    "ann_topk",
-    "lang_id",
-    "doc_quality",
-    "token_counts",
-    "doc_fingerprint",
-    "dataset_split",
-    # -- fixed this round: planted-dup LSH entry (was 0 rows at driver) -
-    "dedup_embedding_lsh",
-    # -- routed through isum() this round; re-confirm -------------------
-    "q12_ship_delay",
-    "qb_validity",
-    # -- new this round (registered as they land) -----------------------
-    "geotiff_import_lzw_stats",
-    "warp_bilinear_stats",
-    "netcdf_ingest_stats",
-    "geotiff_overview_roundtrip",
-    "geotiff_sharded_roundtrip",
-    "imageserver_auto_stats",
+    # -- never driver-checked (added round 4) -----------------------
+    "ngram_lm_score",
+    "bpe_pair_counts",
+    "doc_feature_hash",
+    "lossy_jpeg_blocky_stats",
+    "semantic_dedup_keep",
+    "phash_dedup",
+    "geotiff_cog_roundtrip",
+    "raquet_read_tiles",
+    # -- r03-stale (oracle-backed first, rows-only last) ------------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q6_forecast",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "events_sessionize",
+    "stratified_sample",
+    "repetition_stats",
+    "decontaminate",
+    "gopher_quality",
+    "tfidf_top_terms",
+    "pii_scan",
+    "chunk_dedup",
+    "doc_chunking",
+    "source_quota",
+    "text_normalize",
+    "dataset_shuffle",
+    "length_percentiles",
+    "events_json_rollup",
+    "pyramid_pixel_stats",
+    "raster_upsample_stats",
+    "tile_stats_agg",
+    "region_stats",
+    "zonal_stats",
+    "suitable_cells",
+    "suitable_cells_detail",
+    "dedup_components",
+    "dedup_cluster_sizes",
+    "dedup_prune",
+    "asof_join_events_orders",
+    "range_join_value_bands",
+    "region_stats_polygon",
+    "pyramid_stats_rollup",
+    "timeseries_stats",
+    "band_algebra_nd",
+    "tile_stats_interleaved",
+    "tile_stats_uint8",
+    "raster_join_diff",
+    "raster_histogram",
+    "raster_point_value",
+    "remote_fetch_stats",
+    "geotiff_roundtrip_stats",
+    "ann_lsh",
+    "ann_ivf",
+    "sketch_user_reach",
 ]
+
+
+
+def _last_checked_rounds() -> dict[str, int] | None:
+    """Round each query last appeared in a driver CORRECTNESS file.
+
+    The driver writes ``CORRECTNESS_r{N}.json`` at the repo root after
+    each round. Scanning them gives a self-maintaining round-robin: the
+    queries checked longest ago (or never) sort to the front of the
+    50-query driver window next round. Returns None when no files are
+    readable (fresh clone) so the caller can fall back to the static
+    rotation list.
+    """
+    import glob as _glob
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    found = False
+    for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if m is None:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        found = True
+        rnd = int(m.group(1))
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last if found else None
 
 
 def _registration_order() -> list[str]:
     all_names = list(_SQL_QUERIES) + list(_PIPELINE_QUERIES)
+    last = _last_checked_rounds()
+    if last is not None:
+        # Round-robin: least-recently-driver-checked first (never-checked
+        # queries lead). Within a round, oracle-backed (hash-exact) checks
+        # outrank rows-only ones; registration order breaks the remaining
+        # ties. A hash-exact upgrade of a previously rows-only query is
+        # indistinguishable here, so the static list still front-loads
+        # those by hand when it matters.
+        oracle_backed = {
+            n for n, (_, ofn) in _PIPELINE_QUERIES.items() if ofn is not None
+        } | set(_SQL_QUERIES)
+        index = {n: i for i, n in enumerate(all_names)}
+        hand_first = [n for n in _DRIVER_PRIORITY[:12] if last.get(n) is None or n == "raquet_read_tiles"]
+        rank = {n: i for i, n in enumerate(hand_first)}
+        return sorted(
+            all_names,
+            key=lambda n: (
+                rank.get(n, len(rank)),
+                last.get(n, 0),
+                0 if n in oracle_backed else 1,
+                index[n],
+            ),
+        )
     prioritized = [n for n in _DRIVER_PRIORITY if n in set(all_names)]
     rest = [n for n in all_names if n not in set(prioritized)]
     return prioritized + rest
