@@ -282,10 +282,11 @@ def embedding_dedup_pairs_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_tables: int = 8,
     seed: int = 7,
     dim: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs at scale: LSH-bucketed candidates,
     exact cosine verify — the 100 TB replacement for the all-pairs
@@ -299,8 +300,23 @@ def embedding_dedup_pairs_lsh(
     with high cosine with probability (1 - θ/π)^n_bits per table, so at
     θ ≈ 0.95-cosine recall stays high with a handful of tables
     (recall-gated vs the exact all-pairs in pytest). Approximate by
-    construction: an escaped pair is one that matched in NO table."""
-    from raquet_spark.operators.similarity import _all_signatures, _dot, with_norm
+    construction: an escaped pair is one that matched in NO table.
+
+    ``n_bits=None`` self-sizes from the corpus count (one ``count()``
+    job unless ``n_rows`` is passed) via
+    :func:`~raquet_spark.operators.similarity.derive_lsh_bits`, keeping
+    expected bucket occupancy constant as the corpus grows."""
+    from raquet_spark.operators.similarity import (
+        _all_signatures,
+        _dot,
+        derive_lsh_bits,
+        with_norm,
+    )
+
+    if n_bits is None:
+        if n_rows is None:
+            n_rows = df.count()
+        n_bits = derive_lsh_bits(n_rows)
 
     sigs = df.select(
         F.col(id_col),

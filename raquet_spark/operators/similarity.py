@@ -26,6 +26,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Bucket-size target the auto-sized LSH aims for. With ``n_bits`` hash
+#: bits a table has ``2^n_bits`` buckets, so expected bucket occupancy is
+#: ``n_rows / 2^n_bits``; join work per bucket is quadratic in occupancy,
+#: so holding occupancy ~constant keeps total candidate volume ~linear
+#: in the corpus. ~1k rows/bucket keeps each bucket's pair block well
+#: inside one task while leaving enough co-bucketed neighbors for recall.
+TARGET_BUCKET_ROWS = 1024
+
+
+def derive_lsh_bits(
+    n_rows: int,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+    min_bits: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Signature width that bounds expected bucket size at the target.
+
+    ``n_bits = clamp(ceil(log2(n_rows / target_bucket_rows)))`` — the
+    scale-safety rule SCALE_PROBE r04 showed is needed: a fixed n_bits
+    goes quadratic once the corpus outgrows its bucket count."""
+    if n_rows <= 0:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))))
+
+
+def derive_ivf_clusters(
+    n_rows: int, min_clusters: int = 16, max_clusters: int = 65536
+) -> int:
+    """IVF list count ≈ sqrt(N) (the classic balance point: probe cost
+    Q·n_probe·N/K and quantizer cost Q·K meet at K=sqrt(N)), clamped."""
+    if n_rows <= 0:
+        return min_clusters
+    return max(min_clusters, min(max_clusters, math.ceil(math.sqrt(n_rows))))
+
+
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -105,10 +140,11 @@ def ann_lsh(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_tables: int = 4,
     seed: int = 7,
     dim: int = 64,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching LSH buckets.
 
@@ -116,9 +152,22 @@ def ann_lsh(
     because Spark array schemas carry no fixed length and inferring it
     would cost a driver-side ``first()`` action per call.
 
+    ``n_bits=None`` (the default) self-sizes from the candidate count —
+    :func:`derive_lsh_bits` holds expected bucket occupancy at
+    ``TARGET_BUCKET_ROWS`` so candidate volume stays ~linear in the
+    corpus instead of going quadratic when a hand-picked width is
+    outgrown. Sizing needs the corpus cardinality: pass ``n_rows`` if
+    you know it (e.g. from table stats at 100 TB); otherwise one
+    ``count()`` job runs — a column-pruned metadata-cheap scan.
+
     Output schema matches ``cosine_topk`` (query_id, cand_id, score, rn)
     so recall can be measured by joining the two."""
     from pyspark.sql.window import Window
+
+    if n_bits is None:
+        if n_rows is None:
+            n_rows = candidates.count()
+        n_bits = derive_lsh_bits(n_rows)
 
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv"
@@ -204,15 +253,21 @@ def ann_ivf(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 3,
     n_iter: int = 5,
     seed: int = 7,
     sample_size: int = 100_000,
     centroids: list[list[float]] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: spherical k-means coarse quantizer, then
     each query scans only its ``n_probe`` nearest inverted lists.
+
+    ``n_clusters=None`` self-sizes to ~sqrt(N) via
+    :func:`derive_ivf_clusters` (pass ``n_rows`` to skip the sizing
+    ``count()`` job), so inverted-list length keeps shrinking as the
+    corpus grows instead of a fixed K degenerating to a near-full scan.
 
     Scale shape: centroid training is sample-bounded on the driver;
     cluster assignment is a codegen'd argmax over broadcast centroid
@@ -225,9 +280,16 @@ def ann_ivf(
     offline step at scale, not a per-query cost."""
     from pyspark.sql.window import Window
 
-    cent = centroids if centroids is not None else _kmeans_centroids(
-        candidates, vec_col, n_clusters, n_iter, seed, sample_size
-    )
+    if centroids is not None:
+        cent = centroids
+    else:
+        if n_clusters is None:
+            if n_rows is None:
+                n_rows = candidates.count()
+            n_clusters = derive_ivf_clusters(n_rows)
+        cent = _kmeans_centroids(
+            candidates, vec_col, n_clusters, n_iter, seed, sample_size
+        )
 
     def nearest_clusters_udf(n: int):
         """Arrow-batched matmul against the (tiny, closure-captured)

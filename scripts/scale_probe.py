@@ -87,6 +87,13 @@ def main() -> None:
         f"ann_lsh_x{mult}_nbits7",
         lambda: ann_lsh(big_emb, queries_df, k=5, n_bits=7, n_tables=12, dim=64).count(),
     )
+    # round-5: n_bits omitted — derive_lsh_bits sizes from the corpus,
+    # so the DEFAULT should now track the hand-tuned nbits7 line, not
+    # the quadratic nbits4 one
+    bench(
+        f"ann_lsh_x{mult}_auto",
+        lambda: ann_lsh(big_emb, queries_df, k=5, n_tables=12, dim=64).count(),
+    )
 
     # raster: 16 Mpx (4x bench's 4 Mpx)
     import tempfile

@@ -59,6 +59,46 @@ def test_ann_lsh_recall(spark, embeddings):
     assert r >= 0.6, f"LSH recall too low: {r}"
 
 
+def test_lsh_ivf_auto_sizing():
+    """Derived defaults hold bucket occupancy / list length as N grows."""
+    from raquet_spark.operators.similarity import (
+        TARGET_BUCKET_ROWS,
+        derive_ivf_clusters,
+        derive_lsh_bits,
+    )
+
+    assert derive_lsh_bits(0) == 4
+    assert derive_lsh_bits(1000) == 4  # min clamp
+    assert derive_lsh_bits(1024 * 16) == 4
+    assert derive_lsh_bits(1024 * 17) == 5
+    # the invariant that keeps candidate volume ~linear: expected bucket
+    # occupancy never exceeds the target (above the min-bits clamp)
+    for n in (10**5, 10**6, 10**8, 10**10):
+        bits = derive_lsh_bits(n)
+        assert n / (2**bits) <= TARGET_BUCKET_ROWS
+    assert derive_lsh_bits(10**30) == 24  # max clamp
+
+    assert derive_ivf_clusters(100) == 16  # min clamp
+    assert derive_ivf_clusters(10**6) == 1000  # ~sqrt(N)
+    assert derive_ivf_clusters(10**12) == 65536  # max clamp
+
+
+def test_ann_lsh_auto_default(spark, embeddings):
+    """n_bits omitted: sizes itself from the corpus and stays accurate.
+
+    n_rows passed explicitly to skip the sizing count() job (the
+    documented table-stats fast path); the sf0.001 corpus sits under
+    the min clamp so the derived width is the same 4 bits the explicit
+    recall test uses."""
+    queries = embeddings.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(embeddings, queries, k=5).cache()
+    approx = ann_lsh(
+        embeddings, queries, k=5, n_tables=12, dim=64, n_rows=embeddings.count()
+    )
+    r = recall_at_k(exact, approx)
+    assert r >= 0.6, f"auto-sized LSH recall too low: {r}"
+
+
 def test_fake_codec_roundtrip():
     buf = encode_fake_image(48, 32, 3, seed=5)
     img = decode_fake_image(buf)
