@@ -104,11 +104,35 @@ def with_fingerprints(
 def fingerprint_containment(
     df: DataFrame, id_col: str = "doc_id", fp_col: str = "fingerprints",
     threshold: float = 0.5,
+    max_docs_per_fingerprint: int | None = 256,
 ) -> DataFrame:
     """Pairs whose fingerprint overlap / min-size >= threshold, via an
     inverted index (explode → group by fingerprint → pair counts) — the
-    scalable shape for containment search."""
+    scalable shape for containment search.
+
+    A fingerprint shared by k docs contributes k² candidate rows to the
+    self-join, and boilerplate shingles (headers, license blurbs) are
+    exactly the skewed case — so fingerprints on more than
+    ``max_docs_per_fingerprint`` docs are dropped from the index before
+    the join (the CCNet-style common-shingle suppression). A ubiquitous
+    shingle carries no dedup signal anyway; overlap counts are computed
+    over the surviving shingles, so containment for pairs glued ONLY by
+    boilerplate drops toward 0 instead of the join going quadratic.
+    Pass ``None`` to disable the cutoff."""
     inv = df.select(id_col, F.explode(fp_col).alias("fp"))
+    if max_docs_per_fingerprint is not None:
+        from pyspark.sql.window import Window
+
+        # one extra shuffle on fp (same key as the join) — the count
+        # rides a window over the already-partitioned index, no second
+        # scan of the documents
+        inv = (
+            inv.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("fp"))
+            )
+            .where(F.col("_df") <= max_docs_per_fingerprint)
+            .drop("_df")
+        )
     a, b = inv.alias("a"), inv.alias("b")
     pair_counts = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
@@ -144,19 +168,41 @@ def bpe_train(
     n_merges: int = 50,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    batch_size: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed BPE vocabulary training (the public Sennrich et al.
-    recipe): words split into symbol sequences, then ``n_merges``
-    iterations of (count adjacent symbol pairs weighted by word freq →
-    merge the most frequent pair everywhere).
+    recipe): words split into symbol sequences, then iterations of
+    (count adjacent symbol pairs weighted by word freq → merge the most
+    frequent pair everywhere) until ``n_merges`` merges are learned.
 
     Scale shape: the corpus collapses to the DISTINCT-WORD table up
     front (one shuffle) — afterwards every iteration is one explode +
     one groupBy over that small table plus a map-only Arrow pass
-    applying the merge; lineage is truncated with localCheckpoint every
+    applying the merges; lineage is truncated with localCheckpoint every
     ``checkpoint_every`` merges. Ties break lexicographically so the
     result is deterministic and matches the pure-python reference
-    implementation in tests."""
+    implementation in tests.
+
+    ``batch_size`` is a *sequential-exact* batched acceleration: each
+    Spark round counts adjacent pairs AND adjacent triples in one job,
+    then the driver accepts candidates down the sorted pair list while
+    it can PROVE sequential BPE would pick them next. The proof uses two
+    facts: (1) merging a pair never changes the count of a pair sharing
+    no symbol with it, and (2) any pair a merge of (a,b) creates — (x,
+    a+b), (a+b, y), or chains through other accepted merges — occurs at
+    most as often as some adjacent triple containing (a,b), so the
+    collected triple counts upper-bound every not-yet-countable
+    newcomer. Acceptance stops (conservatively, correctness never
+    depends on it) when the next candidate shares a symbol with an
+    accepted merge, when a projected newcomer's bound reaches the
+    candidate's count, or when uncollected grams (below the collected
+    cutoff) could. The accepted prefix therefore equals what ``
+    batch_size=1`` — one driver action per merge, the Sennrich loop —
+    would produce, on ANY corpus; with distinct counts (real corpora)
+    a round typically accepts many merges, cutting the driver's
+    critical path toward ~batch_size×. ``stats`` (optional dict)
+    records ``rounds`` so tests can assert batching actually engaged."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -172,46 +218,95 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
-    for it in range(n_merges):
-        pairs = (
+    next_checkpoint = checkpoint_every
+    rounds = 0
+    limit = max(64, batch_size * 16)
+    while len(merges) < n_merges:
+        rounds += 1
+        # pairs as (a, b, NULL), triples as (a, b, c) — one explode, one
+        # groupBy, one top-`limit` collect: a single action per round
+        grams = (
             seqs.select(
                 F.explode(
                     F.expr(
-                        "transform(slice(syms, 1, size(syms) - 1), "
-                        "(s, i) -> struct(s AS a, syms[i + 1] AS b))"
+                        "concat("
+                        " transform(slice(syms, 1, size(syms) - 1),"
+                        "  (s, i) -> struct(s AS a, syms[i + 1] AS b,"
+                        "              CAST(NULL AS STRING) AS c)),"
+                        " transform(slice(syms, 1, greatest(size(syms) - 2, 0)),"
+                        "  (s, i) -> struct(s AS a, syms[i + 1] AS b,"
+                        "              syms[i + 2] AS c)))"
                     )
-                ).alias("p"),
+                ).alias("g"),
                 "freq",
             )
-            .groupBy("p.a", "p.b")
+            .groupBy("g.a", "g.b", "g.c")
             .agg(F.sum("freq").alias("n"))
+            .where(F.col("n") >= 2)
         )
-        top = pairs.orderBy(F.desc("n"), "a", "b").first()
-        if top is None or top["n"] < 2:
+        rows = (
+            grams.orderBy(F.desc("n"), "a", "b", F.col("c").asc_nulls_first())
+            .limit(limit)
+            .collect()
+        )
+        pair_rows = [r for r in rows if r["c"] is None]
+        triple_rows = [r for r in rows if r["c"] is not None]
+        if not pair_rows:
             break
-        a, b = top["a"], top["b"]
-        merges.append((a, b))
+        # grams below the collected cutoff are invisible; a candidate at
+        # or under the cutoff can't rule out a hidden triple bound
+        cutoff = rows[-1]["n"] if len(rows) == limit else 0
+        used: set[str] = set()
+        batch: list[tuple[str, str]] = []
+        bounds: list[int] = []
+        room = min(batch_size, n_merges - len(merges))
+        for row in pair_rows:
+            a, b, nq = row["a"], row["b"], row["n"]
+            if batch:
+                if (
+                    a in used
+                    or b in used  # count may have decreased — order unproven
+                    or cutoff >= nq  # hidden triple could bound-tie
+                    or any(bn >= nq for bn in bounds)  # projected newcomer
+                ):
+                    break
+            batch.append((a, b))
+            used.update((a, b, a + b))
+            for t in triple_rows:
+                if (t["a"] == a and t["b"] == b) or (t["b"] == a and t["c"] == b):
+                    bounds.append(t["n"])
+            if len(batch) >= room:
+                break
+        merges.extend(batch)
+        batch_now = list(batch)
 
-        def apply_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def apply_merges(
+            batches: Iterator[pd.DataFrame], _merges=batch_now
+        ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out = []
                 for syms in pdf["syms"]:
                     s = list(syms)
-                    i = 0
-                    merged = []
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                            merged.append(a + b)
-                            i += 2
-                        else:
-                            merged.append(s[i])
-                            i += 1
-                    out.append(merged)
+                    for a, b in _merges:
+                        i = 0
+                        merged = []
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                                merged.append(a + b)
+                                i += 2
+                            else:
+                                merged.append(s[i])
+                                i += 1
+                        s = merged
+                    out.append(s)
                 yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
 
-        seqs = seqs.mapInPandas(apply_merge, schema="syms array<string>, freq bigint")
-        if (it + 1) % checkpoint_every == 0:
+        seqs = seqs.mapInPandas(apply_merges, schema="syms array<string>, freq bigint")
+        if len(merges) >= next_checkpoint:
             seqs = seqs.localCheckpoint(eager=True)
+            next_checkpoint = len(merges) + checkpoint_every
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

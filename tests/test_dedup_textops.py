@@ -124,6 +124,39 @@ def test_fingerprints(spark, docs):
     assert row["containment"] == pytest.approx(1.0)
 
 
+def test_fingerprint_boilerplate_cutoff(spark):
+    """A shingle shared by every doc (planted boilerplate) would glue
+    O(N²) candidate pairs; the per-fingerprint doc cutoff drops it
+    before the self-join, leaving only genuinely overlapping pairs —
+    and a corpus under the cutoff is returned unchanged."""
+    import pandas as pd
+
+    common = 999_999
+    rows = [
+        # 40 unrelated docs glued only by the boilerplate shingle
+        {"doc_id": i, "fingerprints": [common, 1000 + i]} for i in range(40)
+    ]
+    # one real near-dup pair sharing 3 private shingles
+    rows.append({"doc_id": 100, "fingerprints": [common, 1, 2, 3]})
+    rows.append({"doc_id": 101, "fingerprints": [common, 1, 2, 3, 4]})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    capped = fingerprint_containment(df, max_docs_per_fingerprint=10)
+    got = {(r["id_a"], r["id_b"]): r for r in capped.collect()}
+    assert set(got) == {(100, 101)}  # boilerplate-only pairs gone
+    # overlap counts only surviving shingles: {1,2,3} of min(4,5)
+    assert got[(100, 101)]["overlap"] == 3
+    assert got[(100, 101)]["containment"] == pytest.approx(3 / 4)
+
+    uncapped = fingerprint_containment(df, max_docs_per_fingerprint=None)
+    assert uncapped.count() == 42 * 41 // 2  # quadratic without the cap
+
+    small = df.where(F.col("doc_id") >= 100)
+    a = fingerprint_containment(small, max_docs_per_fingerprint=256).collect()
+    b = fingerprint_containment(small, max_docs_per_fingerprint=None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_connected_components(spark):
     from raquet_spark.operators.dedup import connected_components
 
@@ -241,6 +274,33 @@ def test_bpe_train_matches_reference_implementation(spark):
             new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + c
         vocab = new_vocab
     assert got == [(a, b) for a, b in want], (got, want)
+
+
+def test_bpe_batched_rounds_collapse_without_diverging(spark):
+    """On a corpus with distinct pair counts and no cross-pair triples,
+    one Spark round safely accepts the whole merge budget — the driver
+    critical path shrinks ~batch_size× — and the result still equals
+    the strictly sequential (batch_size=1) trainer."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import bpe_train
+
+    words = [
+        ("ab", 50), ("cd", 41), ("ef", 33), ("gh", 27),
+        ("ij", 22), ("kl", 18), ("mn", 15), ("op", 13),
+    ]
+    texts = [" ".join([w] * c) for w, c in words]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+
+    stats: dict = {}
+    got = bpe_train(df, n_merges=8, batch_size=8, stats=stats)
+    assert got == [tuple(w) for w, _ in words]
+    assert stats["rounds"] == 1, stats  # batched: one round, not eight
+
+    seq_stats: dict = {}
+    seq = bpe_train(df, n_merges=8, batch_size=1, stats=seq_stats)
+    assert seq == got
+    assert seq_stats["rounds"] == 8
 
 
 def test_hashed_embeddings_feed_ann(spark):
