@@ -65,9 +65,14 @@ def encode_lossy(
     if Image is not None:
         img = Image.fromarray(arr.squeeze(), mode=_PIL_MODES[n_bands])
         buf = io.BytesIO()
-        img.save(
-            buf, format="JPEG" if compression == "jpeg" else "WEBP", quality=quality
-        )
+        if compression == "jpeg":
+            # subsampling=0 (4:4:4): Pillow defaults to 4:2:0 chroma for
+            # RGB below quality 95, which the pure-numpy fallback decoder
+            # (functions/jpeg.py) doesn't accept — tiles written on a
+            # PIL machine must stay readable on a PIL-less cluster
+            img.save(buf, format="JPEG", quality=quality, subsampling=0)
+        else:
+            img.save(buf, format="WEBP", quality=quality)
         return buf.getvalue()
     if compression == "jpeg":
         from raquet_spark.functions.jpeg import jpeg_encode

@@ -311,6 +311,11 @@ def decode_wav_audio(buf: bytes) -> np.ndarray:
         frames = w.readframes(w.getnframes())
     dt = {1: "u1", 2: "<i2", 4: "<i4"}[sw]
     arr = np.frombuffer(frames, dtype=dt).astype("f8")
+    if sw == 1:
+        # 8-bit WAV PCM is unsigned with a 128 midpoint; recenter so
+        # rms/zcr (signbit-based) see a zero-mean signal like the
+        # signed widths do
+        arr = arr - 128.0
     return arr.reshape(-1, nch)[:, :, None].transpose(0, 2, 1)
 
 

@@ -21,7 +21,9 @@ tile grid (web-mercator tile math), matching the reference's
 
 from __future__ import annotations
 
+import contextlib
 import math
+import os
 import struct
 
 import numpy as np
@@ -359,6 +361,32 @@ def write_geotiff(
                 "4GB offset limit; export a lower zoom or a band subset"
             )
 
+    try:
+        _write_singlefile_body(
+            path, per_level, metadata, comp_tag, compression
+        )
+    except BaseException:
+        # the compressed path can only discover the 4GB classic-TIFF
+        # limit mid-stream (inside put()); don't leave a truncated .tif
+        with contextlib.suppress(OSError):
+            os.unlink(path)
+        raise
+
+    info = per_level[0]["info"]
+    if include_overviews:
+        info["overviews"] = [
+            {"level": pl["level"], **pl["info"]} for pl in per_level[1:]
+        ]
+    return info
+
+
+def _write_singlefile_body(
+    path: str,
+    per_level: list[dict],
+    metadata: dict,
+    comp_tag: int,
+    compression: str | None,
+) -> None:
     with open(path, "wb") as f:
         f.write(b"II*\x00" + struct.pack("<I", 0))  # IFD offset patched below
         pos = 8
@@ -428,13 +456,6 @@ def write_geotiff(
             pos += len(ifd)
         f.seek(4)
         f.write(struct.pack("<I", first_ifd))
-
-    info = per_level[0]["info"]
-    if include_overviews:
-        info["overviews"] = [
-            {"level": pl["level"], **pl["info"]} for pl in per_level[1:]
-        ]
-    return info
 
 
 def _tile_payload_table(

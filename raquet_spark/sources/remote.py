@@ -381,6 +381,8 @@ def fetch_tiles(
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         last_req = 0.0
+        decode_tried = 0
+        decode_failed = 0
         for pdf in batches:
             out: dict[str, list] = {"block": []}
             for name, _ in band_meta:
@@ -405,17 +407,29 @@ def fetch_tiles(
                             time.sleep(retry_delay * attempt)
                 if not raw or len(raw) < 8:
                     continue  # unfetchable/empty tile -> partial coverage
+                decode_tried += 1
                 try:
                     pixels = decoder(raw)
                 except Exception:
                     # Truncated body or an HTTP-200 HTML/JSON error page
                     # (common for ImageServer): drop the one tile, keep
                     # the documented partial-coverage contract.
+                    decode_failed += 1
                     continue
                 out["block"].append(int(row["block"]))
                 for bi, (name, btype) in enumerate(band_meta):
                     out[name].append(encode_block(pixels[bi].ravel(), btype, compression))
             yield pd.DataFrame(out)
+        # a stray bad tile is partial coverage, but EVERY fetched tile
+        # failing to decode is a systematic misconfiguration (wrong
+        # dtype/block size/band count in the decoder) — surface it
+        # instead of yielding a silently empty dataset
+        if decode_tried >= 4 and decode_failed == decode_tried:
+            raise RuntimeError(
+                f"all {decode_tried} fetched tiles in this partition failed to "
+                "decode — decoder configuration (dtype/block size/bands) "
+                "likely does not match the service response"
+            )
 
     schema = "block bigint, " + ", ".join(f"{n} binary" for n, _ in band_meta)
     return src.mapInPandas(fetch, schema=schema)

@@ -65,6 +65,27 @@ def test_geotiff_missing_tile_rows_filled(spark, raster, tmp_path):
     assert not np.all(arr[:, 0:16, 0] == -1.0)
 
 
+def test_geotiff_partial_file_removed_on_failure(spark, raster, tmp_path, monkeypatch):
+    """The compressed path can only hit the classic-TIFF 4GB limit
+    mid-stream; a failure inside the strip writer must not leave a
+    truncated .tif behind."""
+    import os
+
+    import raquet_spark.sources.geotiff as gt
+
+    def exploding_body(path, *a, **k):
+        with open(path, "wb") as f:
+            f.write(b"II*\x00partial")
+        raise ValueError("payload exceeds the classic-TIFF 4GB offset limit")
+
+    monkeypatch.setattr(gt, "_write_singlefile_body", exploding_body)
+    tiles, meta = raster
+    path = str(tmp_path / "truncated.tif")
+    with pytest.raises(ValueError, match="4GB"):
+        gt.write_geotiff(tiles, meta, path)
+    assert not os.path.exists(path)
+
+
 def test_geotiff_reimport_byte_identical(spark, raster, tmp_path):
     tiles, meta = raster
     path = str(tmp_path / "rt.tif")

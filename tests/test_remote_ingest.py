@@ -119,6 +119,29 @@ def test_fetch_tiles_retries_transients(spark):
     assert len(out) == n_cells
 
 
+def test_fetch_tiles_all_decode_failures_raise(spark):
+    """One undecodable tile is partial coverage; EVERY tile failing to
+    decode (wrong dtype/size config) must surface, not yield an empty
+    dataset."""
+    meta = _meta()
+    cells = cells_for_bounds(spark, (-90.0, 0.0, 0.0, 60.0), ZOOM)
+    assert cells.count() >= 4
+
+    def bad_decoder(raw: bytes):
+        raise ValueError("decoder misconfigured")
+
+    with pytest.raises(Exception, match="failed to decode"):
+        fetch_tiles(
+            cells.coalesce(1),  # one partition so the rate check sees all
+            meta,
+            xyz_request("fake://{z}/{x}/{y}"),
+            transport=_make_fake_transport(),
+            decoder=bad_decoder,
+            max_retries=2,
+            retry_delay=0.0,
+        ).collect()
+
+
 def test_imageserver_request_params():
     build = imageserver_request("https://example/ImageServer", 256, bands=[1, 3], token="T")
     url, params = build(2, 1, 2)

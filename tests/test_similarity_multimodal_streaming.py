@@ -481,3 +481,32 @@ def test_wav_codec_and_audio_features(spark):
     assert len(feats) == 8
     for r in feats.values():
         assert r["n_samples"] > 0 and r["rms"] > 0 and 0 < r["zcr"] < 0.5
+
+
+def test_wav_8bit_pcm_recentered():
+    """8-bit WAV PCM is unsigned around a 128 midpoint; the decoder must
+    recenter so signbit-based zcr sees crossings and rms matches the
+    true amplitude (a raw-u1 decode gives zcr == 0 and rms ~ 128)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from raquet_spark.operators.multimodal import decode_wav_audio
+
+    t = np.arange(1600)
+    sine = np.round(100 * np.sin(2 * np.pi * 440 * t / 16000))
+    samples = (sine + 128).clip(0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+
+    a = decode_wav_audio(buf.getvalue())[:, 0, 0]
+    assert abs(float(a.mean())) < 2.0  # recentered around zero
+    rms = float(np.sqrt(np.mean(a**2)))
+    assert abs(rms - 100 / np.sqrt(2)) / rms < 0.05
+    zcr = float(np.mean(np.signbit(a[:-1]) != np.signbit(a[1:])))
+    assert zcr > 0.01
