@@ -5,10 +5,14 @@ interleaved (single BIP ``pixels`` column), per spec
 Lossy codecs for the interleaved layout: JPEG uses PIL when importable
 and otherwise falls back to the pure-numpy baseline codec in
 ``functions/jpeg.py`` (standard JFIF bytes either way; quality from
-metadata ``compression_quality``, default 85 per spec). WebP has no
-pure-python implementation, so without PIL it raises a typed
-NotImplementedError — the same environment gate as the reference,
-which requires Pillow (raster2raquet.py:816).
+metadata ``compression_quality``, default 85 per spec). WebP is encoded
+LOSSLESS (VP8L): the from-scratch codec in ``functions/webp.py`` when
+PIL is absent, ``lossless=True`` through Pillow when present — both
+produce standard VP8L bitstreams so tiles written in either environment
+decode in the other. Lossy VP8 webp (what the reference's Pillow path
+emits at a given quality, raster2raquet.py:816) needs a full video
+intra-frame codec and is the one deliberate gap: decoding such a file
+without PIL raises a typed NotImplementedError naming the split.
 """
 
 from __future__ import annotations
@@ -72,41 +76,48 @@ def encode_lossy(
             # PIL machine must stay readable on a PIL-less cluster
             img.save(buf, format="JPEG", quality=quality, subsampling=0)
         else:
-            img.save(buf, format="WEBP", quality=quality)
+            # lossless VP8L for the same cross-environment reason: the
+            # fallback codec (functions/webp.py) reads VP8L, not VP8
+            img.save(buf, format="WEBP", lossless=True)
         return buf.getvalue()
     if compression == "jpeg":
         from raquet_spark.functions.jpeg import jpeg_encode
 
         return jpeg_encode(arr.squeeze(), quality=quality)
-    raise NotImplementedError(
-        "webp codec needs PIL, not available in this container; "
-        "use 'jpeg', 'gzip' or None"
-    )
+    from raquet_spark.functions.webp import vp8l_encode
+
+    return vp8l_encode(arr)
 
 
-def decode_lossy(raw: bytes, compression: str) -> np.ndarray:
-    """JPEG/WebP bytes -> flat pixel-interleaved uint8 array."""
+def decode_lossy(raw: bytes, compression: str, n_bands: int | None = None) -> np.ndarray:
+    """JPEG/WebP bytes -> flat pixel-interleaved uint8 array.
+
+    ``n_bands`` is required for webp: the VP8L stream always carries
+    ARGB, so the original band layout (gray / gray+alpha / RGB / RGBA)
+    must be re-sliced on decode."""
     Image = _pil_image()
     if Image is not None:
         img = Image.open(io.BytesIO(raw))
+        if compression == "webp" and n_bands is not None:
+            rgba = np.asarray(img.convert("RGBA"), dtype=np.uint8)
+            if n_bands == 1:
+                return rgba[..., 0].reshape(-1)
+            if n_bands == 2:
+                return rgba[..., [0, 3]].reshape(-1)
+            return rgba[..., :n_bands].reshape(-1)
         return np.asarray(img, dtype=np.uint8).reshape(-1)
     if compression == "jpeg":
         from raquet_spark.functions.jpeg import jpeg_decode
 
         return jpeg_decode(raw).reshape(-1)
-    raise NotImplementedError(
-        "webp codec needs PIL, not available in this container"
-    )
+    from raquet_spark.functions.webp import webp_decode_bands
+
+    return webp_decode_bands(raw, n_bands if n_bands else 4).reshape(-1)
 
 
 def _check_compression(compression: str | None, band_types: list[str]) -> None:
     if compression in LOSSY:
         check_lossy_constraints(compression, band_types)
-        if compression == "webp" and _pil_image() is None:
-            raise NotImplementedError(
-                "webp codec needs PIL, not available in this container; "
-                "use 'jpeg', 'gzip' or None"
-            )
 
 
 def to_interleaved(df: DataFrame, metadata: dict, compression: str | None = "gzip") -> tuple[DataFrame, dict]:
@@ -150,8 +161,6 @@ def to_sequential(df: DataFrame, metadata: dict, compression: str | None = "gzip
 
     ensure_package_shipped(df.sparkSession)
     src_comp = metadata.get("compression")
-    if src_comp == "webp" and _pil_image() is None:
-        raise NotImplementedError("webp decode needs PIL; see module docstring")
     bands = [(b["name"], b["type"]) for b in metadata["bands"]]
     btype = bands[0][1]
     n = len(bands)
@@ -161,7 +170,7 @@ def to_sequential(df: DataFrame, metadata: dict, compression: str | None = "gzip
             cols: dict[str, list] = {name: [] for name, _ in bands}
             for _, row in pdf.iterrows():
                 if src_comp in LOSSY:
-                    inter = decode_lossy(bytes(row["pixels"]), src_comp).reshape(-1, n)
+                    inter = decode_lossy(bytes(row["pixels"]), src_comp, n).reshape(-1, n)
                 else:
                     inter = decode_block(row["pixels"], btype).reshape(-1, n)
                 for i, (name, _) in enumerate(bands):

@@ -1433,6 +1433,79 @@ GROUP BY 1
 """
 
 
+def lossy_webp_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP layout round trip, hash-exact by construction: webp tiles
+    ride the VP8L LOSSLESS codec (functions/webp.py — pure-python here,
+    Pillow lossless=True when PIL exists), so ANY uint8 content — this
+    uses a per-pixel mix, not the 8×8-constant JPEG trick — survives
+    sequential → interleaved webp → sequential bit-for-bit and the
+    per-tile stats match the closed-form oracle. Covers the RIFF/VP8L
+    bitstream, subtract-green transform, LZ77 runs and the huffman
+    serialization end to end at the driver."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.layout import to_interleaved, to_sequential
+    from raquet_spark.operators.tiling import from_pixel_table
+
+    c = _JP
+    npx = c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    pix = spark.range(npx * npx).selectExpr(
+        f"{gx0} + id % {npx} AS gx",
+        f"{gy0} + id DIV {npx} AS gy",
+        f"CAST((id % {npx} * 3 + id DIV {npx} * 5"
+        f" + (id % {npx}) * (id DIV {npx})) % 256 AS DOUBLE) AS band_1",
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="uint8")],
+        bounds=(0, 0, 0, 0), width=npx, height=npx,
+        block_width=c["bs"], block_height=c["bs"],
+        min_zoom=c["zoom"], max_zoom=c["zoom"], compression=None,
+    )
+    tiles = from_pixel_table(pix, meta, compression=None)
+    inter, meta_i = to_interleaved(tiles, meta, compression="webp")
+    back, _meta_s = to_sequential(inter, meta_i, compression=None)
+    px = back.select(
+        "block", F.explode(band_decode("band_1", "uint8")).alias("v")
+    )
+    return px.groupBy("block").agg(
+        F.expr("COUNT(v)").alias("band_1_count"),
+        F.expr("CAST(MIN(v) AS DOUBLE)").alias("band_1_min"),
+        F.expr("CAST(MAX(v) AS DOUBLE)").alias("band_1_max"),
+        F.expr("CAST(SUM(v) AS DOUBLE)").alias("band_1_sum"),
+        F.expr("round(AVG(v), 6)").alias("band_1_mean"),
+    )
+
+
+def lossy_webp_roundtrip_stats_oracle() -> str:
+    c = _JP
+    npx = c["n"] * c["bs"]
+    cell = qb.tile_to_cell_sql(
+        f"{c['tx']} + (gx - {c['tx'] * c['bs']}) // {c['bs']}",
+        f"{c['ty']} + (gy - {c['ty'] * c['bs']}) // {c['bs']}",
+        c["zoom"], "duckdb",
+    )
+    return f"""
+WITH px AS (
+  SELECT {c['tx'] * c['bs']} + i % {npx} AS gx,
+         {c['ty'] * c['bs']} + i // {npx} AS gy,
+         CAST((i % {npx} * 3 + i // {npx} * 5
+               + (i % {npx}) * (i // {npx})) % 256 AS DOUBLE) AS v
+  FROM (SELECT unnest(range(0, {npx * npx})) AS i)
+)
+SELECT {cell} AS block,
+       COUNT(v) AS band_1_count,
+       CAST(MIN(v) AS DOUBLE) AS band_1_min,
+       CAST(MAX(v) AS DOUBLE) AS band_1_max,
+       CAST(SUM(v) AS DOUBLE) AS band_1_sum,
+       round(AVG(v), 6) AS band_1_mean
+FROM px
+GROUP BY 1
+"""
+
+
 _NC = dict(nlat=40, nlon=60, nt=3, modulo=199, fill=-999, scale=0.5, offset=100.0)
 
 
@@ -3606,6 +3679,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
+    "lossy_webp_roundtrip_stats": (lossy_webp_roundtrip_stats_spark, lossy_webp_roundtrip_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),

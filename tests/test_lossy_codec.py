@@ -1,7 +1,7 @@
 """Lossy-compression spec rules (format-specs/raquet.md:272-275):
-metadata validation accepts/rejects correctly, and the PIL-probed codec
-stubs raise typed errors in this PIL-less container while constraint
-checks still fire."""
+metadata validation accepts/rejects correctly, webp round-trips through
+the pure-python VP8L codec without PIL, and constraint checks fire
+before any codec work."""
 
 from __future__ import annotations
 
@@ -96,13 +96,32 @@ def test_unknown_compression_rejected(spark, rgb, tmp_path):
     assert any("unknown compression" in e for e in res.errors), res.errors
 
 
-def test_codec_stub_and_constraints(spark, rgb):
+def test_webp_interleaved_roundtrip_exact(spark, rgb):
+    """WebP rides the pure-python VP8L (lossless) codec when PIL is
+    absent, so interleave → de-interleave round-trips bit-exact."""
+    import numpy as np
+
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.operators.layout import to_sequential
+
     tiles, meta = rgb
-    # PIL absent in this container → typed NotImplementedError after the
-    # spec constraint checks pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        to_interleaved(tiles, meta, compression="webp")
-    # constraint failures fire before the PIL probe
+    inter, meta_w = to_interleaved(tiles, meta, compression="webp")
+    rows = inter.collect()
+    assert all(bytes(r["pixels"])[:4] == b"RIFF" for r in rows)
+
+    back, _meta_s = to_sequential(
+        spark.createDataFrame(rows), meta_w, compression=None
+    )
+    orig = {r["block"]: r for r in tiles.collect()}
+    for r in back.collect():
+        for band in ("band_1", "band_2", "band_3"):
+            np.testing.assert_array_equal(
+                decode_block(r[band], "uint8"),
+                decode_block(orig[r["block"]][band], "uint8"),
+            )
+
+
+def test_lossy_constraints(spark):
     with pytest.raises(ValueError, match="uint8"):
         check_lossy_constraints("jpeg", ["float32"])
     with pytest.raises(ValueError, match="1 or 3"):

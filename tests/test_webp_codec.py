@@ -1,0 +1,175 @@
+"""VP8L (WebP lossless) codec: exact round-trips across band counts,
+every encoder transform/option path, edge geometries, and the typed
+gates for the unimplemented spec corners (VP8 lossy, meta-huffman,
+short plane codes). All pure-numpy — no Spark session needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raquet_spark.functions.webp import (
+    BitReader,
+    BitWriter,
+    _canonical_codes,
+    _limited_huffman_lengths,
+    _prefix_decode,
+    _prefix_encode,
+    vp8l_decode,
+    vp8l_encode,
+    webp_decode_bands,
+)
+
+
+def _rt(arr, **kw):
+    buf = vp8l_encode(arr, **kw)
+    out = webp_decode_bands(buf, arr.shape[2])
+    np.testing.assert_array_equal(out, arr)
+    return buf
+
+
+def test_bitio_roundtrip():
+    bw = BitWriter()
+    fields = [(0x2F, 8), (5, 3), (1, 1), (12345, 14), (0, 2), (7, 3)]
+    for v, n in fields:
+        bw.write(v, n)
+    br = BitReader(bw.bytes())
+    assert [(br.read(n)) for _, n in fields] == [v for v, _ in fields]
+
+
+def test_prefix_code_bijection():
+    bw = BitWriter()
+    values = [1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 16, 121, 1000, 4096, 100000]
+    for v in values:
+        sym, extra, ebits = _prefix_encode(v)
+        assert 0 <= sym < 40
+        bw.write(extra, ebits)
+    br = BitReader(bw.bytes())
+    for v in values:
+        sym, _, _ = _prefix_encode(v)
+        assert _prefix_decode(sym, br) == v
+
+
+def test_huffman_lengths_kraft_and_limit():
+    rng = np.random.RandomState(0)
+    # skewed frequencies that would exceed 15 bits unlimited
+    freqs = [int(2**i) for i in range(20)] + [0] * 236
+    lens = _limited_huffman_lengths(freqs, 15)
+    used = [ln for ln in lens if ln]
+    assert max(used) <= 15
+    assert sum(2.0 ** -ln for ln in used) <= 1.0 + 1e-12
+    codes = _canonical_codes(lens)
+    seen = {(lens[s], codes[s]) for s in range(len(lens)) if lens[s]}
+    assert len(seen) == len(used)  # prefix-free by construction
+
+    flat = list(rng.randint(1, 100, size=256))
+    lens = _limited_huffman_lengths(flat, 15)
+    assert sum(2.0 ** -ln for ln in lens) <= 1.0 + 1e-12
+
+
+@pytest.mark.parametrize("bands", [1, 2, 3, 4])
+def test_roundtrip_random(bands):
+    rng = np.random.RandomState(bands)
+    _rt(rng.randint(0, 256, (16, 13, bands), dtype=np.uint8))
+
+
+def test_roundtrip_edge_geometries():
+    rng = np.random.RandomState(9)
+    _rt(np.array([[[7]]], dtype=np.uint8))
+    _rt(np.array([[[1, 2, 3, 4]]], dtype=np.uint8))
+    _rt(rng.randint(0, 256, (1, 37, 3), dtype=np.uint8))
+    _rt(rng.randint(0, 256, (41, 1, 2), dtype=np.uint8))
+
+
+def test_constant_tile_compresses_via_lz77():
+    a = np.full((64, 64, 3), 123, dtype=np.uint8)
+    buf = _rt(a)
+    assert len(buf) < 64  # 12 KiB of pixels → a few dozen bytes of runs
+    # without LZ77 the huffman tables alone stay tiny for one symbol
+    _rt(a, use_lz77=False)
+
+
+def test_transform_paths_roundtrip():
+    rng = np.random.RandomState(1)
+    base = (
+        rng.randint(0, 50, (24, 24, 3), dtype=np.uint8)
+        .cumsum(axis=1)
+        .astype(np.uint8)
+    )
+    _rt(base, subtract_green=False)
+    _rt(base, subtract_green=True)
+    _rt(base, predictor_mode=1)
+    _rt(base, predictor_mode=2)
+    _rt(base, color_elements=(16, 8, 4))
+    _rt(base, color_elements=(250, 3, 130))  # negative int8 multipliers
+    _rt(base, cache_bits=4)
+    _rt(base, cache_bits=8)
+    _rt(
+        base,
+        subtract_green=True,
+        color_elements=(250, 3, 130),
+        predictor_mode=1,
+        cache_bits=5,
+    )
+
+
+def test_palette_paths_roundtrip():
+    rng = np.random.RandomState(2)
+    # 4 colors → 2-px bundling; odd width exercises the partial byte
+    four = rng.choice([3, 77, 130, 200], size=(20, 33)).astype(np.uint8)
+    buf = _rt(np.repeat(four[:, :, None], 3, axis=2), palette=True)
+    # 2 colors → 8-px bundling
+    two = ((rng.rand(17, 19) > 0.5).astype(np.uint8) * 255)[:, :, None]
+    _rt(two, palette=True)
+    # 16 colors → 2-px bundling boundary
+    c16 = (rng.randint(0, 16, (15, 21), dtype=np.uint8) * 16)[:, :, None]
+    _rt(c16, palette=True)
+    # >16 colors → plain 8-bit indices
+    many = rng.randint(0, 100, (16, 16, 1), dtype=np.uint8)
+    _rt(many, palette=True)
+    # 4-band palette entries
+    rgba = np.stack([four] * 4, axis=2)
+    _rt(rgba, palette=True)
+    with pytest.raises(ValueError, match="256 distinct"):
+        grad = np.arange(512, dtype=np.uint16).reshape(16, 32)
+        vp8l_encode(
+            np.stack([grad & 0xFF, grad >> 1, grad >> 2], axis=2).astype(
+                np.uint8
+            ),
+            palette=True,
+        )
+
+
+def test_palette_beats_literals_on_flag_like_tiles():
+    rng = np.random.RandomState(3)
+    flag = rng.choice([0, 128, 255], size=(32, 32)).astype(np.uint8)
+    tile = np.repeat(flag[:, :, None], 3, axis=2)
+    assert len(vp8l_encode(tile, palette=True)) < len(
+        vp8l_encode(tile, subtract_green=False, use_lz77=False)
+    )
+
+
+def test_container_and_gates():
+    a = np.full((4, 4, 1), 9, np.uint8)
+    buf = vp8l_encode(a)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WEBP" and buf[12:16] == b"VP8L"
+    # raw VP8L payload (no RIFF) decodes too
+    payload = buf[20 : 20 + int.from_bytes(buf[16:20], "little")]
+    np.testing.assert_array_equal(
+        webp_decode_bands(payload, 1), a
+    )
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        vp8l_decode(
+            b"RIFF"
+            + b"\x10\x00\x00\x00"
+            + b"WEBP"
+            + b"VP8 "
+            + b"\x04\x00\x00\x00abcd"
+        )
+    with pytest.raises(ValueError, match="1-4"):
+        vp8l_encode(np.zeros((4, 4, 5), dtype=np.uint8))
+
+
+def test_dimension_limit():
+    with pytest.raises(ValueError, match="16384"):
+        vp8l_encode(np.zeros((1, 20000, 1), dtype=np.uint8))
