@@ -47,7 +47,7 @@ def map_bands(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_col = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 arrs: dict[str, np.ndarray] = {}
                 bad = None
                 for name, btype, nodata in bands:

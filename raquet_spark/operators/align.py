@@ -86,7 +86,7 @@ def _upsample(
             out: dict[str, list] = {"block": []}
             for name, _ in bands:
                 out[name] = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 px, py, _ = py_cell_to_tile(int(row["block"]))
                 arrs = {
                     name: decode_block(row[name], btype).reshape(bh, bw)

@@ -138,7 +138,7 @@ def to_interleaved(df: DataFrame, metadata: dict, compression: str | None = "gzi
     def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pixels = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 arrs = [decode_block(row[name], t) for name, t in bands]
                 # BIP: [b1_0, b2_0, ..., b1_1, b2_1, ...]
                 inter = np.stack(arrs, axis=1).reshape(-1)
@@ -168,7 +168,7 @@ def to_sequential(df: DataFrame, metadata: dict, compression: str | None = "gzip
     def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols: dict[str, list] = {name: [] for name, _ in bands}
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 if src_comp in LOSSY:
                     inter = decode_lossy(bytes(row["pixels"]), src_comp, n).reshape(-1, n)
                 else:

@@ -212,7 +212,7 @@ def phash_table(df: DataFrame, codec: str = "fake", hash_size: int = 8) -> DataF
         weights = 1 << np.arange(hash_size * hash_size, dtype=np.uint64)
         for pdf in batches:
             ids, out = [], []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 img = dec(bytes(row["payload"])).astype("f8").mean(axis=2)
                 h, w = img.shape
                 # area resample to 32x32 (pad to a multiple, then mean)
@@ -333,7 +333,7 @@ def audio_features(df: DataFrame, codec: str = "wav") -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "n_samples": [], "rms": [], "zcr": []}
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 a = dec(bytes(row["payload"]))[:, 0, 0]
                 out["media_id"].append(int(row["media_id"]))
                 out["n_samples"].append(len(a))

@@ -321,7 +321,7 @@ def build_level(
             dt = np.dtype(DTYPES[btype])
             fill = nodata if nodata is not None else (np.nan if dt.kind == "f" else 0)
             mosaic = np.full((bh * 2, bw * 2), fill, dtype=dt)
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 if row[name] is None:
                     continue
                 tile = decode_block(row[name], btype).reshape(bh, bw)

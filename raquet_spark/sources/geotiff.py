@@ -114,7 +114,7 @@ def strip_table(
         (qy,) = key
         # (bh, width, nbands) pixel-interleaved strip
         arr = np.full((bh, width, nbands), fill, dtype=dt)
-        for _, row in pdf.iterrows():
+        for row in pdf.to_dict("records"):
             ox = (int(row["qb_x"]) - x0) * bw
             for bi, (name, bt, _) in enumerate(binfo):
                 tile = decode_block(row[name], bt).reshape(bh, bw)
@@ -495,7 +495,7 @@ def _tile_payload_table(
     def encode(batches):
         for pdf in batches:
             idxs, blobs = [], []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 arr = np.empty((bh * bw, len(binfo)), dtype=dt)
                 for bi, (name, bt, _) in enumerate(binfo):
                     arr[:, bi] = decode_block(row[name], bt)
@@ -747,7 +747,7 @@ def write_geotiff_sharded(
         (shard,) = key
         row0 = int(shard) * rows_per_shard
         rows = min(rows_per_shard, n_strips - row0)
-        by_strip = {int(r["strip"]): bytes(r["data"]) for _, r in pdf.iterrows()}
+        by_strip = {int(r["strip"]): bytes(r["data"]) for r in pdf.to_dict("records")}
         path = os.path.join(out_dir, f"shard-{row0:05d}-{row0 + rows - 1:05d}.tif")
         sinfo = dict(base_info)
         sinfo["height"] = rows * bh

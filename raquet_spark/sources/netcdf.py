@@ -257,7 +257,7 @@ def netcdf_pixel_table(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with open(path, "rb") as f:
             for pdf in batches:
-                for _, row in pdf.iterrows():
+                for row in pdf.to_dict("records"):
                     f.seek(int(row["off"]))
                     nrows = int(row["nrows"])
                     raw = np.frombuffer(

@@ -387,7 +387,7 @@ def fetch_tiles(
             out: dict[str, list] = {"block": []}
             for name, _ in band_meta:
                 out[name] = []
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 x, y, z = int(row["qb_x"]), int(row["qb_y"]), int(row["qb_z"])
                 url, params = request_builder(x, y, z)
                 raw = None

@@ -265,7 +265,7 @@ def tiff_pixel_table(
         def decode_planar(batches):
             with open(path, "rb") as f:
                 for pdf in batches:
-                    for _, row in pdf.iterrows():
+                    for row in pdf.to_dict("records"):
                         seg, off, cnt = int(row["seg"]), int(row["off"]), int(row["cnt"])
                         f.seek(off)
                         buf = f.read(cnt)
@@ -314,7 +314,7 @@ def tiff_pixel_table(
     def decode(batches):
         with open(path, "rb") as f:
             for pdf in batches:
-                for _, row in pdf.iterrows():
+                for row in pdf.to_dict("records"):
                     seg, off, cnt = int(row["seg"]), int(row["off"]), int(row["cnt"])
                     f.seek(off)
                     buf = f.read(cnt)
