@@ -70,6 +70,7 @@ def main() -> None:
         "geotiff_cog_roundtrip",
         "netcdf_ingest_stats",
         "dedup_embedding_lsh",
+        "lossy_webp_roundtrip_stats",
     ]
 
     timings: dict[str, float] = {}
@@ -223,7 +224,10 @@ def main() -> None:
     if os.path.exists(n37):
         from raquet_spark.sources.tiff_reader import geotiff_to_raquet
 
-        for _ in range(2):
+        # 3 iterations: the first import pays one-time JIT/codepath warmup
+        # (~12s cold, ~2.6s second, ~1.8s steady); min-of-2 was reporting
+        # the warmup tail as a regression
+        for _ in range(3):
             t0 = time.perf_counter()
             tiles_in, _m = geotiff_to_raquet(spark, n37, block_size=128)
             tiles_in.count()
@@ -232,7 +236,7 @@ def main() -> None:
                 min(dt, timings.get("geotiff_import_n37", dt)), 3)
 
         # bilinear warp variant: inverse-mapped 2x2 gather join
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             tiles_bl, _m = geotiff_to_raquet(
                 spark, n37, block_size=128, resampling="bilinear"
