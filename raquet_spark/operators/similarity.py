@@ -28,11 +28,15 @@ from pyspark.sql import functions as F
 
 #: Bucket-size target the auto-sized LSH aims for. With ``n_bits`` hash
 #: bits a table has ``2^n_bits`` buckets, so expected bucket occupancy is
-#: ``n_rows / 2^n_bits``; join work per bucket is quadratic in occupancy,
-#: so holding occupancy ~constant keeps total candidate volume ~linear
-#: in the corpus. ~1k rows/bucket keeps each bucket's pair block well
-#: inside one task while leaving enough co-bucketed neighbors for recall.
-TARGET_BUCKET_ROWS = 1024
+#: ``n_rows / 2^n_bits``; candidate volume is (query rows x occupancy)
+#: per table — holding occupancy ~constant keeps it ~linear in the
+#: query side and bounded per bucket. 128 rows/bucket reproduces the
+#: width the r04 probe had to hand-tune (n_bits=7 at the 8x corpus) and
+#: measured fastest at that scale, while 12-16 tables keep recall
+#: pytest-green; a growing corpus trades per-table recall for bounded
+#: work — raise ``n_tables`` (cost linear) to buy recall back, never
+#: ``n_bits`` down.
+TARGET_BUCKET_ROWS = 128
 
 
 def derive_lsh_bits(

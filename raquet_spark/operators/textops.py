@@ -310,6 +310,56 @@ def bpe_train(
     return merges
 
 
+def bpe_segment(
+    df: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Apply a trained BPE merge list: ``(word, ...)`` → adds ``tokens
+    array<string>`` (the Sennrich apply step).
+
+    One in-order pass over the merge list per word is exact: a merge can
+    only create adjacencies involving its own new symbol, and any merge
+    referencing that symbol was necessarily learned later, so rank-
+    priority application and in-order application coincide. Scale shape:
+    run this on the DISTINCT-WORD table (see :func:`bpe_word_table`) and
+    join token counts back to occurrences — cost is O(vocab × merges)
+    in a map-only Arrow pass, never O(corpus × merges)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    merge_list = [tuple(m) for m in merges]
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = []
+            for word in pdf[word_col]:
+                s = [ch for ch in word]
+                for a, b in merge_list:
+                    if a not in s or b not in s:
+                        continue
+                    i, m = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            m.append(a + b)
+                            i += 2
+                        else:
+                            m.append(s[i])
+                            i += 1
+                    s = m
+                toks.append(s)
+            pdf = pdf.copy()
+            pdf["tokens"] = toks
+            yield pdf
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(apply, schema=f"{fields}, tokens array<string>")
+
+
 def hashed_embeddings(
     df: DataFrame,
     dim: int = 64,

@@ -1433,6 +1433,55 @@ GROUP BY 1
 """
 
 
+def bpe_segment_words_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train → apply, end to end: learn 12 merges from a fixed
+    corpus with the batched distributed trainer, then segment a fixed
+    word list (seen suffixes, unseen compounds, out-of-vocab letters)
+    with the in-order apply pass. Corpus and words are literals, so the
+    expected segmentation is closed-form — the oracle VALUES were
+    computed with an independent pure-python Sennrich implementation
+    (same one the pytest pins the trainer to), giving the whole
+    train→segment chain a hard hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.textops import bpe_segment, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low new wide lower newer",
+    ] * 3
+    corpus = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    merges = bpe_train(corpus, n_merges=12)
+    words = spark.createDataFrame(
+        pd.DataFrame(
+            {"word": ["lowest", "newest", "widest", "lowers", "newlow", "slow", "zq"]}
+        )
+    )
+    return bpe_segment(words, merges).select(
+        "word", F.array_join("tokens", " ").alias("tokens_str")
+    )
+
+
+def bpe_segment_words_oracle() -> str:
+    # expected tokens from the independent pure-python reference
+    # implementation (merges: ew, lo, low, new, er, id, wid, wide,
+    # newer, st, est, lower)
+    return """
+SELECT * FROM (VALUES
+  ('lowest', 'low est'),
+  ('newest', 'new est'),
+  ('widest', 'wide st'),
+  ('lowers', 'lower s'),
+  ('newlow', 'new low'),
+  ('slow', 's low'),
+  ('zq', 'z q')
+) AS t(word, tokens_str)
+"""
+
+
 def lossy_webp_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebP layout round trip, hash-exact by construction: webp tiles
     ride the VP8L LOSSLESS codec (functions/webp.py — pure-python here,
@@ -3680,6 +3729,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
     "lossy_webp_roundtrip_stats": (lossy_webp_roundtrip_stats_spark, lossy_webp_roundtrip_stats_oracle),
+    "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),

@@ -95,6 +95,58 @@ def main() -> None:
         lambda: ann_lsh(big_emb, queries_df, k=5, n_tables=12, dim=64).count(),
     )
 
+    # round-5 additions: the newest operator families carry a measured
+    # scale story too (VERDICT r04 item 9)
+
+    # semantic dedup at 8x: auto-sized LSH (n_bits derived from corpus),
+    # planted copies of every 10th vector, full LSH → components → keep
+    from raquet_spark.operators.dedup import embedding_dedup_pairs_lsh
+
+    def semantic_keep() -> int:
+        planted = big_emb.where("vec_id % 10 = 0").withColumn(
+            "vec_id", F.col("vec_id") + F.lit(100_000_000)
+        )
+        corpus = big_emb.unionByName(planted).localCheckpoint(eager=True)
+        pairs = embedding_dedup_pairs_lsh(
+            corpus, threshold=0.95, n_tables=16, dim=64
+        ).where(F.col("id_b") == F.col("id_a") + F.lit(100_000_000))
+        comp = connected_components(pairs, "id_a", "id_b")
+        pruned = comp.where("node != component").selectExpr("node AS vec_id")
+        return corpus.select("vec_id").join(pruned, "vec_id", "left_anti").count()
+
+    bench(f"semantic_dedup_x{mult}", semantic_keep)
+
+    # pHash dedup on an 8x media table (960 images + copies): DCT
+    # signatures, pigeonhole-banded hamming join
+    from raquet_spark.operators.multimodal import (
+        make_media_table,
+        phash_dedup_pairs,
+        phash_table,
+    )
+
+    def phash() -> int:
+        media = make_media_table(spark, n=120 * mult).select(
+            "media_id", "payload"
+        )
+        copies = media.where("media_id % 5 = 0").withColumn(
+            "media_id", F.col("media_id") + F.lit(10_000_000)
+        )
+        hashes = phash_table(media.unionByName(copies))
+        return phash_dedup_pairs(hashes, max_distance=0).count()
+
+    bench(f"phash_dedup_x{mult}", phash)
+
+    # batched BPE on the 8x corpus: driver rounds << merges now
+    from raquet_spark.operators.textops import bpe_train
+
+    def bpe() -> int:
+        stats: dict = {}
+        merges = bpe_train(big_docs, n_merges=32, batch_size=8, stats=stats)
+        timings["bpe_rounds_x%d" % mult] = stats.get("rounds", -1)
+        return len(merges)
+
+    bench(f"bpe_train32_x{mult}", bpe)
+
     # raster: 16 Mpx (4x bench's 4 Mpx)
     import tempfile
 

@@ -303,6 +303,39 @@ def test_bpe_batched_rounds_collapse_without_diverging(spark):
     assert seq_stats["rounds"] == 8
 
 
+def test_bpe_segment_matches_reference_apply(spark):
+    """The distributed apply pass segments words exactly as a pure-
+    python rank-priority BPE tokenizer, including unseen compounds and
+    out-of-vocab characters."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import bpe_segment, bpe_train
+
+    texts = ["ababab abc abd", "cdcd cde abcd", "ab cd ababcd"] * 4
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    merges = bpe_train(df, n_merges=8)
+    assert merges  # corpus trains at least one merge
+
+    def ref_segment(word: str) -> list[str]:
+        s = list(word)
+        for a, b in merges:
+            i, m = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    m.append(a + b)
+                    i += 2
+                else:
+                    m.append(s[i])
+                    i += 1
+            s = m
+        return s
+
+    words = ["ababab", "abcd", "cde", "dcba", "xyz", "a", "abababab"]
+    wdf = spark.createDataFrame(pd.DataFrame({"word": words}))
+    got = {r["word"]: list(r["tokens"]) for r in bpe_segment(wdf, merges).collect()}
+    assert got == {w: ref_segment(w) for w in words}
+
+
 def test_hashed_embeddings_feed_ann(spark):
     """Feature-hashed doc vectors are unit-norm, deterministic, and
     chain into the ANN operators: duplicate texts land at cosine 1."""

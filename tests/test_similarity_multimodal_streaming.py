@@ -69,14 +69,16 @@ def test_lsh_ivf_auto_sizing():
 
     assert derive_lsh_bits(0) == 4
     assert derive_lsh_bits(1000) == 4  # min clamp
-    assert derive_lsh_bits(1024 * 16) == 4
-    assert derive_lsh_bits(1024 * 17) == 5
+    assert derive_lsh_bits(TARGET_BUCKET_ROWS * 16) == 4
+    assert derive_lsh_bits(TARGET_BUCKET_ROWS * 17) == 5
     # the invariant that keeps candidate volume ~linear: expected bucket
-    # occupancy never exceeds the target (above the min-bits clamp)
-    for n in (10**5, 10**6, 10**8, 10**10):
+    # occupancy never exceeds the target, between the two clamps
+    for n in (10**5, 10**6, 10**8, TARGET_BUCKET_ROWS << 24):
         bits = derive_lsh_bits(n)
         assert n / (2**bits) <= TARGET_BUCKET_ROWS
-    assert derive_lsh_bits(10**30) == 24  # max clamp
+    # past 2^24 buckets/table the width clamps (16M buckets is plenty;
+    # occupancy then grows again, bounded by corpus/2^24)
+    assert derive_lsh_bits(10**30) == 24
 
     assert derive_ivf_clusters(100) == 16  # min clamp
     assert derive_ivf_clusters(10**6) == 1000  # ~sqrt(N)
