@@ -254,9 +254,9 @@ def _write_huffman_code(bw: BitWriter, lengths: list[int]) -> None:
     for s, _, _ in cl_syms:
         clc_freq[s] += 1
     clc_len = _limited_huffman_lengths(clc_freq, 7)
-    if sum(1 for x in clc_len if x) == 1:
-        # a lone 1-length code still needs >=1 bit on the wire here
-        pass
+    # single-symbol codes cost ZERO bits (decoder shortcut); mirror that
+    # on the emit side or the streams desync
+    clc_multi = sum(1 for x in clc_len if x) > 1
     clc_codes = _canonical_codes(clc_len)
 
     order_lengths = [clc_len[s] for s in _CLC_ORDER]
@@ -268,7 +268,8 @@ def _write_huffman_code(bw: BitWriter, lengths: list[int]) -> None:
         bw.write(order_lengths[k], 3)
     bw.write(0, 1)  # no max_symbol shortcut: lengths cover the alphabet
     for s, extra, ebits in cl_syms:
-        bw.write_code(clc_codes[s], clc_len[s])
+        if clc_multi:
+            bw.write_code(clc_codes[s], clc_len[s])
         if ebits:
             bw.write(extra, ebits)
 

@@ -3860,7 +3860,15 @@ def _registration_order() -> list[str]:
             n for n, (_, ofn) in _PIPELINE_QUERIES.items() if ofn is not None
         } | set(_SQL_QUERIES)
         index = {n: i for i, n in enumerate(all_names)}
-        hand_first = [n for n in _DRIVER_PRIORITY[:12] if last.get(n) is None or n == "raquet_read_tiles"]
+        # raquet_read_tiles stays pinned only until a post-r04 driver row
+        # confirms its rows-only → hash-exact upgrade; never-checked
+        # queries always pin
+        hand_first = [
+            n
+            for n in _DRIVER_PRIORITY[:12]
+            if last.get(n) is None
+            or (n == "raquet_read_tiles" and last[n] <= 4)
+        ]
         rank = {n: i for i, n in enumerate(hand_first)}
         return sorted(
             all_names,
