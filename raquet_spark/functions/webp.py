@@ -56,31 +56,60 @@ TRANSFORM_SUBTRACT_GREEN = 2
 TRANSFORM_PALETTE = 3
 
 
+def _bit_reverse(code: int, length: int) -> int:
+    out = 0
+    for _ in range(length):
+        out = (out << 1) | (code & 1)
+        code >>= 1
+    return out
+
+
 class BitWriter:
-    """LSB-first bit packer (value fields); MSB-first for Huffman codes."""
+    """LSB-first bit packer (value fields); MSB-first for Huffman codes.
+
+    Values are buffered as (value, nbits) pairs — plus whole numpy
+    arrays via :meth:`write_array` — and packed ONCE in :meth:`bytes`
+    with a vectorized bit scatter, so emitting a 256×256 tile's symbol
+    stream costs a handful of numpy ops instead of a per-bit loop."""
 
     def __init__(self) -> None:
-        self._out = bytearray()
-        self._acc = 0
-        self._n = 0
+        self._chunks: list[tuple] = []  # (values array-like, nbits array-like)
 
     def write(self, value: int, nbits: int) -> None:
-        self._acc |= (value & ((1 << nbits) - 1)) << self._n
-        self._n += nbits
-        while self._n >= 8:
-            self._out.append(self._acc & 0xFF)
-            self._acc >>= 8
-            self._n -= 8
+        if nbits:
+            self._chunks.append((value & ((1 << nbits) - 1), nbits))
 
     def write_code(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        # MSB-of-code-first == LSB-first emission of the reversed code
+        self.write(_bit_reverse(code, length), length)
+
+    def write_array(self, values: np.ndarray, nbits: np.ndarray) -> None:
+        """Append many fields at once (values already bit-reversed for
+        Huffman codes). Zero-width entries are allowed and skipped."""
+        self._chunks.append((values, nbits))
 
     def bytes(self) -> bytes:
-        out = bytes(self._out)
-        if self._n:
-            out += bytes([self._acc & 0xFF])
-        return out
+        if not self._chunks:
+            return b""
+        vals = np.concatenate(
+            [np.atleast_1d(np.asarray(v, dtype=np.int64)) for v, _ in self._chunks]
+        )
+        bits = np.concatenate(
+            [
+                np.atleast_1d(np.asarray(n, dtype=np.int64))
+                for _, n in self._chunks
+            ]
+        )
+        keep = bits > 0
+        vals, bits = vals[keep], bits[keep]
+        offsets = np.concatenate(([0], np.cumsum(bits)[:-1]))
+        total = int(offsets[-1] + bits[-1]) if len(bits) else 0
+        out = np.zeros(-(-total // 8) * 8, dtype=np.uint8)
+        max_b = int(bits.max()) if len(bits) else 0
+        for i in range(max_b):
+            mask = bits > i
+            out[offsets[mask] + i] = (vals[mask] >> i) & 1
+        return np.packbits(out, bitorder="little").tobytes()[: -(-total // 8)]
 
 
 class BitReader:
@@ -167,7 +196,8 @@ def _canonical_codes(lengths: list[int]) -> list[int]:
 
 
 class _HuffDecoder:
-    """Bit-by-bit canonical decoder (MSB-of-code-first)."""
+    """Canonical decoder (MSB-of-code-first) with an 8-bit first-level
+    lookup table; codes longer than 8 bits fall back to a bit walk."""
 
     def __init__(self, lengths: list[int]) -> None:
         codes = _canonical_codes(lengths)
@@ -177,6 +207,15 @@ class _HuffDecoder:
         nonzero = [s for s, ln in enumerate(lengths) if ln]
         # a single-symbol code costs zero bits in VP8L
         self.only = nonzero[0] if len(nonzero) == 1 else None
+        # first-level table over the next 8 stream bits (LSB-first
+        # lookahead ⇔ bit-reversed code in the low bits)
+        fast: list[tuple[int | None, int]] = [(None, 0)] * 256
+        for s, ln in enumerate(lengths):
+            if 0 < ln <= 8:
+                rev = _bit_reverse(codes[s], ln)
+                for j in range(1 << (8 - ln)):
+                    fast[rev | (j << ln)] = (s, ln)
+        self.fast = fast
 
     def decode(self, br: BitReader) -> int:
         if self.only is not None:
@@ -420,6 +459,12 @@ def _write_entropy_image(
         | flat[:, 3].astype(np.uint32)
     )
 
+    if not cache_bits:
+        # the cache-free stream has no sequential state, so tokenize and
+        # emit fully vectorized (same runs, same bits as the loop below)
+        _write_entropy_image_fast(bw, flat, packed, use_lz77, level0)
+        return
+
     # tokenize: distance-1 runs as LZ77 copies, optional cache hits
     tokens: list[tuple] = []
     cache: list[int] | None = (
@@ -539,6 +584,118 @@ def _write_entropy_image(
         else:
             if nonzero["g"]:
                 emit(code_g, len_g, NUM_LITERALS + NUM_LENGTH_CODES + t[1])
+
+
+def _write_entropy_image_fast(
+    bw: BitWriter,
+    flat: np.ndarray,
+    packed: np.ndarray,
+    use_lz77: bool,
+    level0: bool,
+) -> None:
+    """Vectorized serializer for the color-cache-free stream: run
+    detection, frequency counting, and code emission are numpy passes;
+    Python loops only over LZ77 runs (not pixels). Produces bit-for-bit
+    the same stream as the general tokenizer."""
+    n = len(flat)
+    runs: list[tuple[int, int]] = []  # (start pixel, copy length)
+    if use_lz77 and n > 1:
+        same = packed[1:] == packed[:-1]
+        edges = np.flatnonzero(
+            np.diff(np.concatenate(([False], same, [False])).astype(np.int8))
+        )
+        for s, e in zip(edges[::2], edges[1::2]):
+            pos, left = int(s) + 1, int(e - s)
+            while left >= 4:
+                take = min(left, 4096)
+                runs.append((pos, take))
+                pos += take
+                left -= take
+    lit_mask = np.ones(n, dtype=bool)
+    for s, length in runs:
+        lit_mask[s : s + length] = False
+
+    av = flat[:, 0][lit_mask].astype(np.int64)
+    rv = flat[:, 1][lit_mask].astype(np.int64)
+    gv = flat[:, 2][lit_mask].astype(np.int64)
+    bv = flat[:, 3][lit_mask].astype(np.int64)
+
+    green_size = NUM_LITERALS + NUM_LENGTH_CODES
+    freq_g = np.bincount(gv, minlength=green_size).tolist()
+    run_syms = [_prefix_encode(length) for _, length in runs]
+    for ls, _, _ in run_syms:
+        freq_g[NUM_LITERALS + ls] += 1
+    freq_r = np.bincount(rv, minlength=256).tolist()
+    freq_b = np.bincount(bv, minlength=256).tolist()
+    freq_a = np.bincount(av, minlength=256).tolist()
+    freq_d = [0] * NUM_DISTANCE_CODES
+    dist_sym, dist_extra, dist_ebits = _prefix_encode(1 + 120)
+    if runs:
+        freq_d[dist_sym] = len(runs)
+
+    bw.write(0, 1)  # no color cache
+    if level0:
+        bw.write(0, 1)  # no meta-huffman partition
+
+    lens = [
+        _limited_huffman_lengths(f, MAX_ALLOWED_CODE_LENGTH)
+        for f in (freq_g, freq_r, freq_b, freq_a, freq_d)
+    ]
+    for lengths in lens:
+        _write_huffman_code(bw, lengths)
+    len_g, len_r, len_b, len_a, len_d = lens
+
+    def emit_tables(lengths: list[int]) -> tuple[np.ndarray, np.ndarray]:
+        codes = _canonical_codes(lengths)
+        if sum(1 for x in lengths if x) <= 1:
+            # single-symbol codes cost zero bits on the wire
+            lengths = [0] * len(lengths)
+        rc = np.fromiter(
+            (_bit_reverse(c, ln) for c, ln in zip(codes, lengths)),
+            dtype=np.int64,
+            count=len(lengths),
+        )
+        return rc, np.asarray(lengths, dtype=np.int64)
+
+    (rc_g, ln_g), (rc_r, ln_r), (rc_b, ln_b), (rc_a, ln_a), (rc_d, ln_d) = (
+        emit_tables(ls) for ls in lens
+    )
+
+    def emit_span(lo: int, hi: int) -> None:
+        """Literal pixels lo..hi-1 of the literal-compressed arrays."""
+        m = hi - lo
+        if m <= 0:
+            return
+        sl = slice(lo, hi)
+        vals = np.empty(m * 4, dtype=np.int64)
+        nb = np.empty(m * 4, dtype=np.int64)
+        vals[0::4] = rc_g[gv[sl]]
+        nb[0::4] = ln_g[gv[sl]]
+        vals[1::4] = rc_r[rv[sl]]
+        nb[1::4] = ln_r[rv[sl]]
+        vals[2::4] = rc_b[bv[sl]]
+        nb[2::4] = ln_b[bv[sl]]
+        vals[3::4] = rc_a[av[sl]]
+        nb[3::4] = ln_a[av[sl]]
+        bw.write_array(vals, nb)
+
+    # walk the stream: literal spans between runs, runs as 4 scalar
+    # fields (green length code, length extra, distance code, extra)
+    lidx = 0  # consumed literal pixels
+    pixel = 0
+    for (start, length), (ls, lextra, lbits) in zip(runs, run_syms):
+        span = start - pixel
+        emit_span(lidx, lidx + span)
+        lidx += span
+        gsym = NUM_LITERALS + ls
+        bw.write(int(rc_g[gsym]), int(ln_g[gsym]))
+        if lbits:
+            bw.write(lextra, lbits)
+        bw.write(int(rc_d[dist_sym]), int(ln_d[dist_sym]))
+        if dist_ebits:
+            bw.write(dist_extra, dist_ebits)
+        pixel = start + length
+    emit_span(lidx, len(gv))
 
 
 def vp8l_encode(
@@ -713,24 +870,84 @@ def _read_entropy_coded_image(
     dec_d = _read_huffman_code(br, NUM_DISTANCE_CODES)
 
     cache = [0] * cache_size
-    out = np.zeros((h * w, 4), dtype=np.uint8)
-    pos = 0
     n = h * w
-    while pos < n:
-        s = dec_g.decode(br)
+    out: list[int] = []  # packed 0xAARRGGBB ints; unpacked vectorized below
+
+    # manual bit buffer over the shared reader's payload: ~10x fewer
+    # Python operations per symbol than per-bit reads (zero-padded so
+    # the 8-bit table can peek past the last byte safely)
+    data = br._data + b"\x00\x00\x00\x00"
+    bitpos = br._pos
+    bytepos = bitpos >> 3
+    acc = 0
+    nacc = 0
+    if bitpos & 7:
+        acc = data[bytepos] >> (bitpos & 7)
+        nacc = 8 - (bitpos & 7)
+        bytepos += 1
+
+    def _decode_sym(dec: _HuffDecoder) -> int:
+        nonlocal acc, nacc, bytepos
+        if dec.only is not None:
+            return dec.only
+        while nacc < 24:
+            acc |= data[bytepos] << nacc
+            bytepos += 1
+            nacc += 8
+        sym, ln = dec.fast[acc & 0xFF]
+        if sym is None:
+            code = 0
+            ln = 0
+            while True:
+                code = (code << 1) | ((acc >> ln) & 1)
+                ln += 1
+                sym = dec.table.get((ln, code))
+                if sym is not None:
+                    break
+                if ln > MAX_ALLOWED_CODE_LENGTH:
+                    raise ValueError("invalid VP8L huffman code")
+        acc >>= ln
+        nacc -= ln
+        return sym
+
+    def _read_bits(k: int) -> int:
+        nonlocal acc, nacc, bytepos
+        while nacc < k:
+            acc |= data[bytepos] << nacc
+            bytepos += 1
+            nacc += 8
+        v = acc & ((1 << k) - 1)
+        acc >>= k
+        nacc -= k
+        return v
+
+    while len(out) < n:
+        s = _decode_sym(dec_g)
         if s < NUM_LITERALS:
-            g = s
-            r = dec_r.decode(br)
-            b = dec_b.decode(br)
-            a = dec_a.decode(br)
-            out[pos] = (a, r, g, b)
+            r = _decode_sym(dec_r)
+            b = _decode_sym(dec_b)
+            a = _decode_sym(dec_a)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out.append(px)
             if cache_size:
-                px = (a << 24) | (r << 16) | (g << 8) | b
                 cache[_cache_index(px, cache_bits)] = px
-            pos += 1
         elif s < NUM_LITERALS + NUM_LENGTH_CODES:
-            length = _prefix_decode(s - NUM_LITERALS, br)
-            plane_code = _prefix_decode(dec_d.decode(br), br)
+            ls = s - NUM_LITERALS
+            length = (
+                ls + 1
+                if ls < 4
+                else ((2 + (ls & 1)) << ((ls - 2) >> 1))
+                + _read_bits((ls - 2) >> 1)
+                + 1
+            )
+            ds = _decode_sym(dec_d)
+            plane_code = (
+                ds + 1
+                if ds < 4
+                else ((2 + (ds & 1)) << ((ds - 2) >> 1))
+                + _read_bits((ds - 2) >> 1)
+                + 1
+            )
             if plane_code <= 120:
                 raise NotImplementedError(
                     "short-distance plane codes (2D distance map) are not "
@@ -738,29 +955,36 @@ def _read_entropy_coded_image(
                     "(see module docstring)"
                 )
             dist = plane_code - 120
+            pos = len(out)
             if dist > pos:
                 raise ValueError("VP8L backreference before image start")
-            for _ in range(length):
-                if pos >= n:
-                    break
-                out[pos] = out[pos - dist]
-                if cache_size:
-                    a, r, g, b = out[pos]
-                    px = (
-                        (int(a) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
-                    )
+            length = min(length, n - pos)
+            if dist == 1:
+                out.extend([out[-1]] * length)
+            elif dist >= length:
+                out.extend(out[pos - dist : pos - dist + length])
+            else:
+                left = length
+                while left > 0:
+                    p = len(out)
+                    take = min(dist, left)
+                    out.extend(out[p - dist : p - dist + take])
+                    left -= take
+            if cache_size:
+                for px in out[pos:]:
                     cache[_cache_index(px, cache_bits)] = px
-                pos += 1
         else:
             px = cache[s - NUM_LITERALS - NUM_LENGTH_CODES]
-            out[pos] = (
-                (px >> 24) & 0xFF,
-                (px >> 16) & 0xFF,
-                (px >> 8) & 0xFF,
-                px & 0xFF,
-            )
-            pos += 1
-    return out.reshape(h, w, 4)
+            out.append(px)
+
+    br._pos = bytepos * 8 - nacc
+    arr = np.asarray(out, dtype=np.uint32)
+    res = np.empty((n, 4), dtype=np.uint8)
+    res[:, 0] = arr >> 24
+    res[:, 1] = (arr >> 16) & 0xFF
+    res[:, 2] = (arr >> 8) & 0xFF
+    res[:, 3] = arr & 0xFF
+    return res.reshape(h, w, 4)
 
 
 def vp8l_decode(buf: bytes) -> np.ndarray:

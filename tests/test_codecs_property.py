@@ -109,3 +109,52 @@ def test_netcdf_roundtrip(nlat, nlon, nt, nc_type, record_time, seed):
                 raw[off : off + slab], dtype=dt.replace("<", ">")
             ).reshape(nlat, nlon)
             np.testing.assert_array_equal(got.astype(dt), data[s])
+
+
+# ----------------------------------------------------------- VP8L --
+
+_img = st.tuples(
+    st.integers(1, 24),  # height
+    st.integers(1, 24),  # width
+    st.integers(1, 4),  # bands
+    st.integers(0, 2**32 - 1),  # seed
+    st.booleans(),  # low-cardinality values (exercises runs + palettes)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_img, st.sampled_from(["plain", "nosg", "pred1", "pred2", "color", "cache", "nolz"]))
+def test_vp8l_roundtrip_property(spec, mode):
+    from raquet_spark.functions.webp import vp8l_encode, webp_decode_bands
+
+    h, w, c, seed, low_card = spec
+    rng = np.random.RandomState(seed)
+    if low_card:
+        arr = rng.choice([0, 7, 128, 255], size=(h, w, c)).astype(np.uint8)
+    else:
+        arr = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+    kw = {
+        "plain": {},
+        "nosg": {"subtract_green": False},
+        "pred1": {"predictor_mode": 1},
+        "pred2": {"predictor_mode": 2},
+        "color": {"color_elements": (200, 17, 250)},
+        "cache": {"cache_bits": 5},
+        "nolz": {"use_lz77": False},
+    }[mode]
+    buf = vp8l_encode(arr, **kw)
+    np.testing.assert_array_equal(webp_decode_bands(buf, c), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_img)
+def test_vp8l_palette_roundtrip_property(spec):
+    from raquet_spark.functions.webp import vp8l_encode, webp_decode_bands
+
+    h, w, c, seed, _ = spec
+    rng = np.random.RandomState(seed)
+    ncolors = rng.randint(1, 40)
+    vals = rng.randint(0, 256, size=ncolors, dtype=np.uint8)
+    arr = vals[rng.randint(0, ncolors, (h, w))][:, :, None].repeat(c, axis=2)
+    buf = vp8l_encode(arr, palette=True)
+    np.testing.assert_array_equal(webp_decode_bands(buf, c), arr)
