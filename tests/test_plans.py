@@ -382,3 +382,85 @@ def test_sharded_export_strip_plan_single_shuffle(spark):
     )
     strips, _ = strip_table(tiles, meta, tiff_compression="deflate")
     assert count_exchanges(strips) == 1
+
+
+def test_webp_layout_chain_single_shuffle(spark):
+    """Interleave→webp→de-interleave is map-only after the one tiling
+    shuffle: codec work rides mapInPandas passes on existing partitions
+    — no exchange per layout conversion."""
+    from raquet_spark.operators.layout import to_interleaved, to_sequential
+    from raquet_spark.plans.inspect import count_exchanges
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=6, tiles_x=2, tiles_y=2, origin_x=16, origin_y=20,
+        block_size=16, num_bands=3, dtype="uint8",
+    )
+    base = count_exchanges(tiles)
+    inter, meta_w = to_interleaved(tiles, meta, compression="webp")
+    back, _ = to_sequential(inter, meta_w, compression=None)
+    assert count_exchanges(back) == base  # zero added exchanges
+
+
+def test_bpe_gram_count_single_shuffle(spark):
+    """One batched-BPE round = one explode + one groupBy over the
+    distinct-word table: exactly one exchange beyond the word-table
+    collapse, and no Python UDFs (grams are higher-order SQL)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.textops import bpe_word_table
+    from raquet_spark.plans.inspect import count_exchanges, no_python_udfs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["low lower", "new newer", "wide wider"] * 4})
+    )
+    words = bpe_word_table(df)
+    seqs = words.select(
+        F.expr("filter(split(word, '(?!^)'), x -> x != '')").alias("syms"),
+        "freq",
+    )
+    grams = (
+        seqs.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s AS a, syms[i + 1] AS b,"
+                    " CAST(NULL AS STRING) AS c))"
+                )
+            ).alias("g"),
+            "freq",
+        )
+        .groupBy("g.a", "g.b", "g.c")
+        .agg(F.sum("freq").alias("n"))
+    )
+    assert count_exchanges(grams) == count_exchanges(words) + 1
+    assert no_python_udfs(grams)
+
+
+def test_ann_lsh_auto_same_plan_as_explicit(spark):
+    """Auto-sizing must not change the join shape: the derived-width
+    plan is structurally identical to the explicit-width plan (one
+    bucket equi-join; the sizing count() is a separate job, not a plan
+    node)."""
+    import re
+
+    from raquet_spark.operators.similarity import ann_lsh
+    from raquet_spark.plans.inspect import executed_plan
+    from raquet_spark.queries import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where("vec_id % 25 = 0")
+    auto = ann_lsh(emb, q, k=5, n_tables=4, dim=64)
+    explicit = ann_lsh(emb, q, k=5, n_bits=4, n_tables=4, dim=64)
+
+    def shape(df):
+        plan = executed_plan(df)
+        nodes = []
+        for ln in plan.splitlines():
+            m = re.match(r"^[\s+:*-]*([A-Za-z][A-Za-z0-9]*)", ln)
+            if m:
+                nodes.append(m.group(1))
+        return nodes
+
+    assert shape(auto) == shape(explicit)
