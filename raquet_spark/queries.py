@@ -2882,6 +2882,56 @@ FROM w JOIN n ON w.doc_id = n.doc_id
 """
 
 
+def dsir_weights(d: str) -> str:
+    """DSIR-style importance weights (the public Data Selection with
+    Importance Resampling recipe, Xie et al. 2023): hashed unigram
+    features, per-doc log importance weight under add-1-smoothed
+    target/raw bucket distributions — here target = the English subset,
+    raw = the whole corpus. The classic use: rank/resample a raw crawl
+    toward a target domain.
+
+    Scale shape: the feature space is CAPPED at 1024 hash buckets, so
+    both "distributions" are 1024-row aggregations (map-side combined)
+    that broadcast into the per-token scoring join — two small global
+    aggs plus one broadcast-hash join over the exploded tokens; nothing
+    is all-pairs and nothing big shuffles twice. Determinism: one ln()
+    per bucket over exact integer ratios, round(6), exact DECIMAL sum
+    per doc (the ngram_lm_score recipe)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {dl.explode(_tokens(d), 'w', d)} FROM documents
+), b AS (
+  SELECT doc_id, {dl.md5_int('w', d)} % 1024 AS bucket FROM tok
+), raw AS (
+  SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket
+), tgt AS (
+  SELECT bucket, COUNT(*) AS ct
+  FROM b JOIN documents USING (doc_id)
+  WHERE lang = 'en'
+  GROUP BY bucket
+), tots AS (
+  SELECT (SELECT COUNT(*) FROM b) AS r_total,
+         (SELECT COUNT(*) FROM b JOIN documents USING (doc_id)
+          WHERE lang = 'en') AS t_total
+), lr AS (
+  -- CAST not a x.0 literal: Spark parses 1024.0 as DECIMAL(5,1) and
+  -- would run the whole ratio in decimal; DuckDB uses DOUBLE
+  SELECT r.bucket,
+         round(ln((COALESCE(ct, 0) + 1) * (r_total + CAST(1024 AS DOUBLE))
+                  / ((cr + 1) * (t_total + CAST(1024 AS DOUBLE)))), 6) AS logratio
+  FROM raw r
+  LEFT JOIN tgt ON r.bucket = tgt.bucket
+  CROSS JOIN tots
+)
+SELECT doc_id,
+       {dl.isum('1', d)} AS n_toks,
+       round(CAST(SUM(CAST(logratio AS DECIMAL(28, 6))) AS DOUBLE), 6)
+         AS dsir_logw
+FROM b JOIN lr ON b.bucket = lr.bucket
+GROUP BY doc_id
+"""
+
+
 def bpe_pair_counts(d: str) -> str:
     """The first iteration of BPE vocabulary training (Sennrich et al.,
     public) as one relational pass: corpus → distinct-word frequency
@@ -3206,6 +3256,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "decontaminate": decontaminate,
     "gopher_quality": gopher_quality,
     "ngram_lm_score": ngram_lm_score,
+    "dsir_weights": dsir_weights,
     "bpe_pair_counts": bpe_pair_counts,
     "doc_feature_hash": doc_feature_hash,
     "tfidf_top_terms": tfidf_top_terms,
