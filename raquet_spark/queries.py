@@ -1433,6 +1433,72 @@ GROUP BY 1
 """
 
 
+def dem_slope_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEM slope (Horn 3×3, gdaldem semantics) through the strip-based
+    halo exchange: a linear ramp has EXACT Horn derivatives, so every
+    pixel whose window stays inside the raster carries the constant
+    degrees(atan(hypot(3, 4))) and window-clipped pixels are NaN — the
+    per-tile valid counts and the constant are closed-form for the
+    oracle. Covers strip routing across all interior tile borders (the
+    distributed-vs-global equality is pytest-pinned on random data)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.focal import focal_map
+    from raquet_spark.operators.tiling import from_pixel_table
+
+    c = _JP
+    npx = c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    pix = spark.range(npx * npx).selectExpr(
+        f"{gx0} + id % {npx} AS gx",
+        f"{gy0} + id DIV {npx} AS gy",
+        f"CAST(3 * (id % {npx}) + 4 * (id DIV {npx}) AS DOUBLE) AS band_1",
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float64")],
+        bounds=(0, 0, 0, 0), width=npx, height=npx,
+        block_width=c["bs"], block_height=c["bs"],
+        min_zoom=c["zoom"], max_zoom=c["zoom"], compression=None,
+    )
+    tiles = from_pixel_table(pix, meta, compression=None)
+    slope = focal_map(tiles, meta, "slope", cellsize=1.0)
+    px = slope.select(
+        "block", F.explode(band_decode("band_1", "float64")).alias("v")
+    ).where(~F.isnan("v"))
+    return px.groupBy("block").agg(
+        F.expr("CAST(COUNT(v) AS BIGINT)").alias("n_valid"),
+        F.expr("round(MIN(v), 6)").alias("slope_min"),
+        F.expr("round(MAX(v), 6)").alias("slope_max"),
+    )
+
+
+def dem_slope_stats_oracle() -> str:
+    c = _JP
+    bs, npx = c["bs"], c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    cell = qb.tile_to_cell_sql(
+        f"{c['tx']} + (gx - {gx0}) // {bs}",
+        f"{c['ty']} + (gy - {gy0}) // {bs}",
+        c["zoom"], "duckdb",
+    )
+    return f"""
+WITH px AS (
+  SELECT {gx0} + i % {npx} AS gx, {gy0} + i // {npx} AS gy
+  FROM (SELECT unnest(range(0, {npx * npx})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+)
+SELECT {cell} AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       round(degrees(atan(5.0)), 6) AS slope_min,
+       round(degrees(atan(5.0)), 6) AS slope_max
+FROM px
+GROUP BY 1
+"""
+
+
 def bpe_segment_words_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train → apply, end to end: learn 12 merges from a fixed
     corpus with the batched distributed trainer, then segment a fixed
@@ -3781,6 +3847,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
     "lossy_webp_roundtrip_stats": (lossy_webp_roundtrip_stats_spark, lossy_webp_roundtrip_stats_oracle),
     "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
+    "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),
