@@ -71,6 +71,8 @@ def main() -> None:
         "netcdf_ingest_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
+        "dsir_weights",
+        "dem_slope_stats",
     ]
 
     timings: dict[str, float] = {}

@@ -2948,6 +2948,60 @@ FROM w JOIN n ON w.doc_id = n.doc_id
 """
 
 
+def sketch_user_reach(d: str) -> str:
+    """HyperLogLog distinct-user sketch per event type, implemented
+    FROM SCRATCH in dual-dialect SQL (the public Flajolet et al. 2007
+    estimator): 60-bit md5 hash → 1024 registers (low 10 bits) × rank
+    of the leftmost 1 in the remaining 50 bits, register maxes, the
+    bias-corrected harmonic mean, and the small-range linear-counting
+    correction. Constant memory per group (1024 registers) — the
+    100 TB cardinality path — and, unlike engine-native
+    approx_count_distinct, BOTH engines compute identical registers,
+    so the estimate is hash-exact at the driver (upgraded from the
+    rows-only check). Determinism: the harmonic sum is an exact
+    BIGINT sum of 2^(51-max_rho) (one power-of-two per register; the
+    2^-rho values share denominator 2^51), and float literals are
+    e-notation/CAST so Spark never parses them as DECIMAL. Accuracy
+    vs exact COUNT(DISTINCT) is pytest-gated."""
+    m = 1024
+    alpha_num = repr(0.7213 / (1 + 1.079 / m) * m * m * 2.0**51)
+    uid = "CAST(user_id AS STRING)" if d == "spark" else "user_id::VARCHAR"
+    h = dl.md5_int(uid, d, 15)  # 60 bits of md5
+    w = dl.shr("hv", 10, d)  # 50-bit tail after the register index
+    raw = f"{alpha_num} / s_total"
+    return f"""
+WITH hashed AS (
+  SELECT event_type, {h} AS hv FROM events
+), reg AS (
+  SELECT event_type, hv % {m} AS register,
+         MAX(CASE WHEN {w} = 0 THEN 51
+                  ELSE 51 - length(bin({w})) END) AS max_rho
+  FROM hashed
+  GROUP BY event_type, hv % {m}
+), agg AS (
+  SELECT event_type,
+         {dl.isum(dl.shl('CAST(1 AS BIGINT)', '51 - max_rho', d), d)} AS s_hit,
+         CAST(COUNT(*) AS BIGINT) AS n_regs
+  FROM reg
+  GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         {m} - n_regs AS zeros,
+         s_hit + ({m} - n_regs) * {2 ** 51} AS s_total
+  FROM agg
+), ev AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type AS event_type,
+       n_events,
+       round(CASE WHEN {raw} <= 2.5e0 * {m} AND zeros > 0
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros)
+                  ELSE {raw} END, 4) AS hll_users
+FROM est JOIN ev ON est.event_type = ev.event_type
+"""
+
+
 def dsir_weights(d: str) -> str:
     """DSIR-style importance weights (the public Data Selection with
     Importance Resampling recipe, Xie et al. 2023): hashed unigram
@@ -3323,6 +3377,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "gopher_quality": gopher_quality,
     "ngram_lm_score": ngram_lm_score,
     "dsir_weights": dsir_weights,
+    "sketch_user_reach": sketch_user_reach,
     "bpe_pair_counts": bpe_pair_counts,
     "doc_feature_hash": doc_feature_hash,
     "tfidf_top_terms": tfidf_top_terms,
@@ -3354,24 +3409,6 @@ def ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_CACHE[key] = cent
     queries_df = emb.where("vec_id % 25 = 0")
     return ann_ivf(emb, queries_df, k=5, n_clusters=16, n_probe=4, centroids=cent)
-
-
-def sketch_user_reach_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL-sketch distinct users per event type (approx_count_distinct,
-    rsd=2%) — the constant-memory cardinality path for 100 TB streams;
-    rows-only check (approximate by construction), accuracy gated in
-    pytest against the exact count."""
-    from pyspark.sql import functions as F
-
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count("*").alias("n_events"),
-        )
-        .orderBy("event_type")
-    )
 
 
 def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3855,7 +3892,6 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
-    "sketch_user_reach": (sketch_user_reach_spark, None),
 }
 
 

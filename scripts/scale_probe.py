@@ -147,6 +147,17 @@ def main() -> None:
 
     bench(f"bpe_train32_x{mult}", bpe)
 
+    # DSIR weights on the 8x corpus: two 1024-bucket aggs + one
+    # broadcast scoring join — should track corpus size linearly
+    from raquet_spark.queries import _SQL_QUERIES, register_views
+
+    register_views(spark, sf_dir)
+    big_docs.createOrReplaceTempView("documents")
+    dsir_sql = _SQL_QUERIES["dsir_weights"]("spark")
+    bench(f"dsir_weights_x{mult}", lambda: spark.sql(dsir_sql).count())
+    # register_views memoizes per (app, sf_dir): restore explicitly
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
     # raster: 16 Mpx (4x bench's 4 Mpx)
     import tempfile
 
@@ -177,6 +188,15 @@ def main() -> None:
         lambda: write_geotiff_sharded(
             scan, meta, tempfile.mkdtemp(prefix="probe_shards_"), rows_per_shard=2
         ),
+    )
+
+    # focal slope over the 16 Mpx raster: strip halo exchange, one
+    # shuffle; volume ~= input + 3% strips
+    from raquet_spark.operators.focal import focal_map
+
+    bench(
+        "focal_slope_16mpx",
+        lambda: focal_map(scan, meta, "slope").count(),
     )
 
     out = {"probe": timings, "n_docs_base": n_docs, "multiplier": mult}
