@@ -582,6 +582,64 @@ GROUP BY 1, 2
 """
 
 
+def events_funnel(d: str) -> str:
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-click) cohorted by the user's first-view day — the
+    classic product-analytics query. Each stage is a groupBy + one
+    equi-join on user_id carrying a strictly-later timestamp predicate
+    (never a cross product); stage tables shrink monotonically so the
+    joins broadcast at scale."""
+    return """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT CAST(date_trunc('day', v.t_view) AS DATE) AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS viewed,
+       CAST(COUNT(c.user_id) AS BIGINT) AS clicked,
+       CAST(COUNT(p.user_id) AS BIGINT) AS purchased
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+GROUP BY 1
+"""
+
+
+def retention_cohorts(d: str) -> str:
+    """Day-offset retention triangle: users grouped by first-seen day,
+    counted on each later active day — two groupBys and one broadcast
+    join on user_id (the cohort table is one row per user)."""
+    diff = (
+        "datediff(day, cohort_day, day)"
+        if d == "spark"
+        else "date_diff('day', cohort_day, day)"
+    )
+    return f"""
+WITH firstseen AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+)
+SELECT cohort_day,
+       CAST({diff} AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM active JOIN firstseen ON active.user_id = firstseen.user_id
+GROUP BY 1, 2
+"""
+
+
 def events_sessionize(d: str) -> str:
     """Session = gap > 30 min per user; classic streaming-shaped windowed
     op expressed relationally (lag + cumulative sum over event time)."""
@@ -3345,6 +3403,8 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q21_exclusive_returns": q21_exclusive_returns,
     "orders_priority_rollup": orders_priority_rollup,
     "events_moving_avg": events_moving_avg,
+    "events_funnel": events_funnel,
+    "retention_cohorts": retention_cohorts,
     "customer_balance_deciles": customer_balance_deciles,
     "nation_revenue_share": nation_revenue_share,
     "topk_parts_per_brand": topk_parts_per_brand,
