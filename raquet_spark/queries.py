@@ -3006,6 +3006,71 @@ FROM w JOIN n ON w.doc_id = n.doc_id
 """
 
 
+def pipeline_clean_counts(d: str) -> str:
+    """The canonical C4-style cleaning chain as ONE declarative plan:
+    language-ID (en) → Gopher quality gate → exact-dedup keep-first,
+    reported as a per-source survival funnel (total → en → quality →
+    kept). Composition is the point: every stage is a projection over
+    the same scan (Catalyst pipelines them), the only shuffles are the
+    md5 keeper groupBy and the final per-source rollup, and the keeper
+    table joins back broadcastable. This is the shape a 100 TB cleaning
+    run has — no per-stage materialization, no UDFs."""
+    toks = _tokens(d)
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    n_stop = dl.arr_size(dl.arr_filter("toks", "t", f"t IN ({stop_list})", d), d)
+    n_alpha = dl.arr_size(
+        dl.arr_filter("toks", "t", "regexp_matches(t, '[a-z]')" if d != "spark"
+                      else "t rlike '[a-z]'", d), d
+    )
+    nw = dl.arr_size("toks", d)
+    ndw = dl.arr_size(dl.arr_distinct("toks", d), d)
+    lang_scores = []
+    for lang, words in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        lang_scores.append(
+            f"{dl.arr_size(dl.arr_filter('toks', 't', f't IN ({lst})', d), d)} AS score_{lang}"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h, {toks} AS toks
+  FROM documents
+), sig AS (
+  SELECT doc_id, source, h,
+         {', '.join(lang_scores)},
+         {nw} AS n_words,
+         round(CAST(n_chars AS DOUBLE) / greatest({nw}, 1), 6) AS mean_word_len,
+         round(CAST({n_alpha} AS DOUBLE) / greatest({nw}, 1), 6) AS alpha_word_ratio,
+         {n_stop} AS n_stopwords,
+         round(CAST({ndw} AS DOUBLE) / greatest({nw}, 1), 6) AS distinct_ratio
+  FROM t
+), flagged AS (
+  SELECT doc_id, source, h,
+         CASE WHEN score_en >= score_es AND score_en >= score_de
+               AND score_en >= score_fr AND score_en > 0
+              THEN 1 ELSE 0 END AS is_en,
+         CASE WHEN n_words >= 10 AND n_words <= 100000
+               AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+               AND alpha_word_ratio >= 0.8
+               AND n_stopwords >= 1
+               AND distinct_ratio >= 0.1
+              THEN 1 ELSE 0 END AS passes
+  FROM sig
+), keepers AS (
+  SELECT h, MIN(doc_id) AS keeper
+  FROM flagged WHERE is_en = 1 AND passes = 1
+  GROUP BY h
+)
+SELECT source,
+       {dl.isum('1', d)} AS n_docs,
+       {dl.isum('is_en', d)} AS n_en,
+       {dl.isum('is_en * passes', d)} AS n_quality,
+       {dl.isum('CASE WHEN is_en = 1 AND passes = 1 AND doc_id = keeper THEN 1 ELSE 0 END', d)} AS n_kept
+FROM flagged
+LEFT JOIN keepers ON flagged.h = keepers.h
+GROUP BY source
+"""
+
+
 def sketch_user_reach(d: str) -> str:
     """HyperLogLog distinct-user sketch per event type, implemented
     FROM SCRATCH in dual-dialect SQL (the public Flajolet et al. 2007
@@ -3438,6 +3503,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "ngram_lm_score": ngram_lm_score,
     "dsir_weights": dsir_weights,
     "sketch_user_reach": sketch_user_reach,
+    "pipeline_clean_counts": pipeline_clean_counts,
     "bpe_pair_counts": bpe_pair_counts,
     "doc_feature_hash": doc_feature_hash,
     "tfidf_top_terms": tfidf_top_terms,
