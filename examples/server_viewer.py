@@ -1,215 +1,30 @@
 #!/usr/bin/env python3
-"""RaQuet tile server + browser viewer, stdlib-only.
-
-Mirrors the reference example (reference examples/server_viewer.py,
-FastAPI + DuckDB + Pillow) with this repo's own building blocks and no
-third-party server dependencies:
-
-- ``http.server.ThreadingHTTPServer`` instead of FastAPI/uvicorn
-- pyarrow row-group-pruned point lookups on ``block`` instead of a
-  DuckDB connection per file (a tile fetch reads one row, not a table —
-  the same access path ``read_raquet``'s spatial pushdown uses, without
-  paying a Spark session per HTTP request)
-- the pure-python VP8L codec (``raquet_spark.functions.webp``) instead
-  of Pillow PNG — browsers decode lossless WebP natively
-
-Endpoints (reference-parity):
-    GET /                     HTML viewer (deck.gl TileLayer)
-    GET /metadata?file=PATH   RaQuet metadata JSON (block = 0 row)
-    GET /tile/{z}/{x}/{y}?file=PATH[&bands=a,b,c]   image/webp
+"""RaQuet tile server + browser viewer (see raquet_spark/serve.py for
+the implementation; this example keeps the reference repo's layout —
+reference examples/server_viewer.py — and stays runnable standalone).
 
 Usage:
     python examples/server_viewer.py [--port 8000] [--file path.parquet]
+
+Also available as: python -m raquet_spark serve --port 8000 --file ...
 """
 
 from __future__ import annotations
 
 import argparse
-import json
 import sys
-import urllib.parse
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-
-import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from raquet_spark.functions.bands import decode_block  # noqa: E402
-from raquet_spark.functions.quadbin import py_tile_to_cell  # noqa: E402
-from raquet_spark.functions.webp import vp8l_encode  # noqa: E402
-
-_metadata_cache: dict[str, dict] = {}
-
-
-def get_metadata(path: str) -> dict:
-    """Metadata JSON from the reserved ``block = 0`` row."""
-    if path not in _metadata_cache:
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(path, filters=[("block", "==", 0)], columns=["metadata"])
-        if t.num_rows == 0:
-            raise FileNotFoundError(f"no metadata row in {path}")
-        _metadata_cache[path] = json.loads(t.column("metadata")[0].as_py())
-    return _metadata_cache[path]
-
-
-def fetch_tile(path: str, block: int, bands: list[str]) -> dict | None:
-    """One tile row via parquet predicate pushdown (row-group pruning +
-    page filtering on the sorted ``block`` column)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path, filters=[("block", "==", block)], columns=bands)
-    if t.num_rows == 0:
-        return None
-    return {b: t.column(b)[0].as_py() for b in bands}
-
-
-def band_to_uint8(buf: bytes, dtype: str, nodata: float | None) -> np.ndarray:
-    """Decode one band blob and normalize to display uint8."""
-    arr = decode_block(buf, dtype).astype("f8")
-    if nodata is not None:
-        arr = np.where(arr == nodata, np.nan, arr)
-    if dtype == "uint8":
-        out = arr
-    else:
-        lo = np.nanmin(arr) if np.isfinite(np.nanmin(arr)) else 0.0
-        hi = np.nanmax(arr) if np.isfinite(np.nanmax(arr)) else 1.0
-        out = (arr - lo) / (hi - lo) * 255.0 if hi > lo else np.zeros_like(arr)
-    return np.nan_to_num(out, nan=0.0).clip(0, 255).astype(np.uint8)
-
-
-def render_tile(path: str, z: int, x: int, y: int, bands: list[str] | None) -> bytes | None:
-    """Tile (z, x, y) → lossless WebP bytes, or None when absent."""
-    meta = get_metadata(path)
-    band_info = {b["name"]: b for b in meta["bands"]}
-    if not bands:
-        bands = [b["name"] for b in meta["bands"]][:3]
-    missing = [b for b in bands if b not in band_info]
-    if missing:
-        raise KeyError(f"unknown bands {missing}; have {sorted(band_info)}")
-    block = py_tile_to_cell(x, y, z)
-    row = fetch_tile(path, block, bands)
-    if row is None:
-        return None
-    tiling = meta.get("tiling", meta)  # repo nests under "tiling";
-    w = tiling.get("block_width", 256)  # reference keeps it flat
-    h = tiling.get("block_height", 256)
-    planes = [
-        band_to_uint8(
-            row[b], band_info[b]["type"], band_info[b].get("nodata")
-        ).reshape(h, w)
-        for b in bands
-    ]
-    if len(planes) == 2:  # gray + alpha-ish second band → keep gray
-        planes = planes[:1]
-    img = planes[0][:, :, None] if len(planes) == 1 else np.stack(planes[:3], axis=2)
-    return vp8l_encode(img)
-
-
-_VIEWER_HTML = """<!DOCTYPE html>
-<html>
-<head>
-  <title>raquet_spark tile viewer</title>
-  <script src="https://unpkg.com/deck.gl@9.0.16/dist.min.js"></script>
-  <style>
-    body { margin: 0; font-family: sans-serif; }
-    #map { width: 100vw; height: 100vh; }
-    #controls { position: absolute; top: 10px; left: 10px;
-                background: white; padding: 12px; border-radius: 8px; }
-    input { width: 300px; padding: 6px; }
-  </style>
-</head>
-<body>
-  <div id="map"></div>
-  <div id="controls">
-    <h3>raquet_spark viewer</h3>
-    <input id="fileUrl" placeholder="RaQuet parquet path">
-    <button onclick="load()">Load</button>
-    <div id="status"></div>
-  </div>
-  <script>
-    let deckgl;
-    async function load() {
-      const file = document.getElementById('fileUrl').value;
-      const meta = await (await fetch('/metadata?file=' + encodeURIComponent(file))).json();
-      document.getElementById('status').textContent = 'tiles: ' + (meta.num_blocks || '?');
-      const b = meta.bounds || [-180, -85, 180, 85];
-      const layer = new deck.TileLayer({
-        minZoom: meta.minresolution, maxZoom: meta.maxresolution,
-        tileSize: meta.block_width || 256, extent: b,
-        getTileData: ({index: {x, y, z}}) =>
-          fetch(`/tile/${z}/${x}/${y}?file=${encodeURIComponent(file)}`)
-            .then(r => r.ok ? r.blob() : null)
-            .then(blob => blob ? createImageBitmap(blob) : null),
-        renderSubLayers: p => p.data && new deck.BitmapLayer({
-          ...p, image: p.data,
-          bounds: [p.tile.bbox.west, p.tile.bbox.south, p.tile.bbox.east, p.tile.bbox.north]
-        })
-      });
-      const view = { longitude: (b[0]+b[2])/2, latitude: (b[1]+b[3])/2, zoom: meta.minresolution };
-      if (deckgl) deckgl.setProps({layers: [layer]});
-      else deckgl = new deck.DeckGL({container: 'map', initialViewState: view, controller: true, layers: [layer]});
-    }
-  </script>
-</body>
-</html>"""
-
-
-class TileHandler(BaseHTTPRequestHandler):
-    default_file: str | None = None
-
-    def log_message(self, *args) -> None:  # quiet for tests
-        pass
-
-    def _send(self, code: int, body: bytes, ctype: str) -> None:
-        self.send_response(code)
-        self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
-        self.send_header("Access-Control-Allow-Origin", "*")
-        self.end_headers()
-        self.wfile.write(body)
-
-    def _error(self, code: int, msg: str) -> None:
-        self._send(code, json.dumps({"detail": msg}).encode(), "application/json")
-
-    def do_GET(self) -> None:  # noqa: N802 (stdlib handler API)
-        try:
-            parsed = urllib.parse.urlparse(self.path)
-            qs = urllib.parse.parse_qs(parsed.query)
-            file = qs.get("file", [self.default_file])[0]
-            if parsed.path == "/":
-                self._send(200, _VIEWER_HTML.encode(), "text/html")
-            elif parsed.path == "/metadata":
-                if not file:
-                    return self._error(400, "file parameter required")
-                self._send(200, json.dumps(get_metadata(file)).encode(), "application/json")
-            elif parsed.path.startswith("/tile/"):
-                if not file:
-                    return self._error(400, "file parameter required")
-                parts = parsed.path.split("/")
-                if len(parts) != 5:
-                    return self._error(400, "use /tile/{z}/{x}/{y}")
-                z, x, y = (int(p) for p in parts[2:5])
-                bands = qs.get("bands", [None])[0]
-                band_list = bands.split(",") if bands else None
-                body = render_tile(file, z, x, y, band_list)
-                if body is None:
-                    return self._error(404, "tile not found")
-                self._send(200, body, "image/webp")
-            else:
-                self._error(404, "unknown endpoint")
-        except FileNotFoundError as e:
-            self._error(404, str(e))
-        except (KeyError, ValueError) as e:
-            self._error(400, str(e))
-        except Exception as e:  # pragma: no cover - defensive 500
-            self._error(500, f"{type(e).__name__}: {e}")
-
-
-def make_server(port: int = 0, default_file: str | None = None) -> ThreadingHTTPServer:
-    handler = type("Handler", (TileHandler,), {"default_file": default_file})
-    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+from raquet_spark.serve import (  # noqa: E402,F401
+    TileHandler,
+    band_to_uint8,
+    fetch_tile,
+    get_metadata,
+    make_server,
+    render_tile,
+)
 
 
 def main() -> None:

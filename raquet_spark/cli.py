@@ -395,6 +395,20 @@ def cmd_partition(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from raquet_spark.serve import make_server
+
+    srv = make_server(args.port, args.file)
+    print(
+        f"raquet_spark tile server at http://127.0.0.1:{srv.server_address[1]}"
+    )
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="raquet_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -530,6 +544,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("file")
     s.add_argument("output")
     s.set_defaults(fn=cmd_split_zoom)
+
+    s = sub.add_parser("serve", help="HTTP tile server (/tile/{z}/{x}/{y} as WebP)")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--file", default=None, help="default RaQuet parquet path")
+    s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("partition", help="partition by quadbin ancestor")
     s.add_argument("file")
