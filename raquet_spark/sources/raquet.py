@@ -25,6 +25,36 @@ from raquet_spark.functions import quadbin as qb
 
 METADATA_BLOCK = 0
 
+# http(s) sources localized once per (application, url) — see _localize
+_LOCALIZED: dict[tuple[str, str], str] = {}
+
+
+def _localize(spark: SparkSession, path: str) -> str:
+    """Download an ``http(s)://`` RaQuet file to driver-local storage so
+    ``spark.read.parquet`` can open it — the convenience the reference
+    gets from DuckDB httpfs (docs/engines.md reads demo datasets
+    straight off storage.googleapis.com).
+
+    Driver-single-file by design: right for docs-style demo files and
+    notebooks, NOT the 100 TB path. Cluster deployments should address
+    object stores through their Hadoop connectors (s3a://, gs://, abfss://
+    — schemes Spark reads natively and in parallel), which this helper
+    deliberately leaves untouched."""
+    if not path.startswith(("http://", "https://")):
+        return path
+    key = (spark.sparkContext.applicationId, path)
+    local = _LOCALIZED.get(key)
+    if local is None:
+        import tempfile
+        import urllib.request
+
+        local = tempfile.mktemp(
+            suffix=".parquet", prefix="raquet_http_"
+        )
+        urllib.request.urlretrieve(path, local)
+        _LOCALIZED[key] = local
+    return local
+
 
 def read_raquet(
     spark: SparkSession,
@@ -43,7 +73,9 @@ def read_raquet(
     superset — exact pixel masking is ``clip_to_polygon`` /
     ``region_stats_polygon``); ``point`` selects the single covering
     tile. ``zoom`` defaults to the dataset's native zoom (one metadata
-    read)."""
+    read). ``http(s)://`` paths are localized once per app (demo-file
+    convenience; see :func:`_localize` for the 100 TB guidance)."""
+    path = _localize(spark, path)
     df = spark.read.parquet(path).where(F.col("block") != METADATA_BLOCK)
     if bbox is None and polygon is None and point is None:
         return df
@@ -64,6 +96,7 @@ def read_raquet_metadata(spark: SparkSession, path: str) -> dict:
     """Parse the JSON metadata row. Partitioned datasets contribute one
     metadata row per file (spec §Partitioned Datasets rule 5) — they are
     identical except ``tiling.num_blocks``, which we sum."""
+    path = _localize(spark, path)
     rows = (
         spark.read.parquet(path)
         .where(F.col("block") == METADATA_BLOCK)

@@ -291,3 +291,42 @@ def test_find_minzoom_reference_parity():
     assert find_minzoom(world, 8, block_size=64) == 1
     assert find_minzoom(world, 8, block_size=128) == 0
     assert find_minzoom(world, 8, block_size=256) == 0
+
+
+def test_read_raquet_over_http(spark, raster, tmp_path):
+    """http(s) paths localize once per app (the reference's DuckDB-httpfs
+    demo-file convenience); data and metadata match the local read."""
+    import functools
+    import http.server
+    import threading
+
+    from raquet_spark.sources.raquet import (
+        read_raquet,
+        read_raquet_metadata,
+        write_raquet,
+    )
+
+    tiles, meta = raster
+    path = str(tmp_path / "served.parquet")
+    write_raquet(tiles, path, meta)
+    # spark writes a part-file directory; published demo files are single
+    # parquet files — merge to one for serving
+    import pyarrow.parquet as pq
+
+    single = str(tmp_path / "single.parquet")
+    pq.write_table(pq.read_table(path), single)
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/single.parquet"
+        remote_meta = read_raquet_metadata(spark, url)
+        assert remote_meta["tiling"]["max_zoom"] == meta["tiling"]["max_zoom"]
+        local = {r["block"] for r in read_raquet(spark, path).select("block").collect()}
+        remote = {r["block"] for r in read_raquet(spark, url).select("block").collect()}
+        assert remote == local
+    finally:
+        srv.shutdown()
