@@ -144,6 +144,11 @@ def focal_map(
         cellsize = 2.0 * _ORIGIN_SHIFT / ((1 << z) * bw)
     m = 1 << z
     r = radius
+    # output is float64 — keep a byte codec even when the source tiles
+    # are lossy-compressed (jpeg/webp are uint8-only)
+    compression = metadata.get("compression", "gzip")
+    if compression not in (None, "none", "gzip"):
+        compression = "gzip"
 
     src = qb.with_tile(
         df.where(F.col("block") != 0).select("block", band), "block"
@@ -225,8 +230,7 @@ def focal_map(
         out = _apply_op(padded, op, r, cellsize, z_factor, azimuth, altitude)
         return pd.DataFrame(
             {"block": [int(key[0])],
-             band: [encode_block(out.reshape(-1), "float64",
-                                 metadata.get("compression", "gzip"))]}
+             band: [encode_block(out.reshape(-1), "float64", compression)]}
         )
 
     return routed.groupBy("group").applyInPandas(

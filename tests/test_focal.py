@@ -131,3 +131,24 @@ def test_focal_single_shuffle(spark, raster):
 
     out = focal_map(tiles, meta, "slope")
     assert count_exchanges(out) == count_exchanges(tiles) + 1
+
+
+def test_focal_with_missing_tile_matches_global(spark, raster):
+    """A tile absent from the dataset behaves like a nodata region:
+    neighbors get NaN halos there and the missing tile emits nothing —
+    identical to running the kernel over the partial global mosaic."""
+    tiles, meta = raster
+    from raquet_spark.functions.quadbin import py_tile_to_cell
+
+    dropped = py_tile_to_cell(17, 21, 6)
+    kept = tiles.where(F.col("block") != dropped)
+    got = focal_map(kept, meta, "slope", cellsize=1.0).collect()
+    want, _ = _global(kept, meta, "slope")
+    assert len(got) == 5
+    assert dropped not in {r["block"] for r in got}
+    for row in got:
+        x, y, _ = py_cell_to_tile(row["block"])
+        sub = want[(y - 20) * BS : (y - 19) * BS, (x - 16) * BS : (x - 15) * BS]
+        np.testing.assert_array_equal(
+            decode_block(row["band_1"], "float64").reshape(BS, BS), sub
+        )
