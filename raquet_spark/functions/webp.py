@@ -326,12 +326,17 @@ def _read_huffman_code(br: BitReader, alphabet_size: int) -> _HuffDecoder:
         sym1 = br.read(8)
         lengths[sym0] = 1
         lengths[sym1] = 1
-        # canonical order: smaller symbol gets code 0? No — first-listed
-        # symbol gets 0. Canonical assignment sorts by symbol, so remap.
         dec = _HuffDecoder(lengths)
         if sym0 > sym1:
-            # first symbol must map to code 0
+            # spec: the FIRST-listed symbol takes code 0; canonical
+            # assignment sorted by symbol, so remap BOTH lookup paths
+            # (the fast table is consulted before the bit-walk table)
             dec.table = {(1, 0): sym0, (1, 1): sym1}
+            fast = [(None, 0)] * 256
+            for j in range(128):
+                fast[(j << 1) | 0] = (sym0, 1)
+                fast[(j << 1) | 1] = (sym1, 1)
+            dec.fast = fast
         return dec
 
     num = br.read(4) + 4
@@ -1149,12 +1154,15 @@ def _predict(out: np.ndarray, y: int, x: int, w: int, mode: int) -> np.ndarray:
         p = L.astype(np.int64) + T - TL
         perr_l = np.abs(p - L).sum()
         perr_t = np.abs(p - T).sum()
-        return L if perr_l <= perr_t else T
+        # spec: strictly-smaller L error picks L; ties pick T
+        return L if perr_l < perr_t else T
     if mode == 12:  # clamp-add-subtract-full
         return np.clip(L.astype(np.int64) + T - TL, 0, 255)
     if mode == 13:  # clamp-add-subtract-half
         ave = avg2(L, T).astype(np.int64)
-        return np.clip(ave + (ave - TL) // 2, 0, 255)
+        # spec divides by 2 with C truncation toward zero, not floor
+        delta = ave - TL
+        return np.clip(ave + np.sign(delta) * (np.abs(delta) >> 1), 0, 255)
     raise ValueError(f"invalid predictor mode {mode}")
 
 

@@ -5,10 +5,11 @@ kernel set) and focal statistics (mean/min/max/range/stddev/sum over a
 
 Scale shape — strip-based halo exchange: every tile needs a ``radius``-
 pixel ring from its 8 neighbors, so each tile emits its full payload to
-its OWN group plus only the narrow edge/corner strips (r rows/columns,
-float64 raw bytes) to the neighbors — one groupBy shuffle whose volume
-is ~(1 + 4r(bw+bh+r)/(bw·bh))× the input (≈3% for r=1 at 256px), never
-the 9× of whole-tile replication. Window semantics: an output pixel
+its OWN group (as the original encoded blob — no dtype expansion) plus
+only the narrow edge/corner strips (r rows/columns, float64 raw bytes)
+to the neighbors — one groupBy shuffle whose volume is ~input plus the
+strips (a few percent for r=1 at 256px), never the 9× of whole-tile
+replication. Window semantics: an output pixel
 whose window touches nodata or leaves the raster is nodata (NaN) — no
 silent edge replication, so the distributed result equals the same
 kernel run on the full global mosaic (pytest-pinned).
@@ -171,7 +172,10 @@ def focal_map(
                 ox.append(0)
                 oy.append(0)
                 kind.append(0)
-                data.append(arr.tobytes())
+                # ship the ORIGINAL encoded blob (gzip'd source dtype),
+                # not the 8-byte-per-pixel f8 expansion — the shuffle
+                # carries ~input volume + the narrow strips
+                data.append(bytes(row[band]))
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         if dx == 0 and dy == 0:
@@ -212,11 +216,17 @@ def focal_map(
             )
         padded = np.full((bh + 2 * r, bw + 2 * r), np.nan)
         for row in pdf.to_dict("records"):
-            buf = np.frombuffer(row["data"], dtype="f8")
             dx, dy = int(row["ox"]), int(row["oy"])
             if row["kind"] == 0:
-                padded[r : r + bh, r : r + bw] = buf.reshape(bh, bw)
+                tile = decode_block(row["data"], btype).reshape(bh, bw)
+                core = tile.astype("f8")
+                if nodata is not None and not (
+                    isinstance(nodata, float) and np.isnan(nodata)
+                ):
+                    core = np.where(tile == nodata, np.nan, core)
+                padded[r : r + bh, r : r + bw] = core
                 continue
+            buf = np.frombuffer(row["data"], dtype="f8")
             # contributor sits at (dx, dy) relative to this tile
             xs = slice(0, r) if dx == -1 else (
                 slice(r + bw, r + bw + r) if dx == 1 else slice(r, r + bw)
@@ -239,10 +249,17 @@ def focal_map(
 
 
 def focal_metadata(metadata: dict, band: str = "band_1") -> dict:
-    """Metadata for a focal_map output table (float64, NaN nodata)."""
+    """Metadata for a focal_map output table: float64 bands, the spec
+    spelling "NaN" for the nodata (what parse_nodata recognizes), and
+    the same gzip fallback focal_map applies when the source carried a
+    lossy (uint8-only) codec."""
     meta = dict(metadata)
+    comp = metadata.get("compression", "gzip")
+    if comp not in (None, "none", "gzip"):
+        comp = "gzip"
+    meta["compression"] = comp
     meta["bands"] = [
-        {**b, "type": "float64", "nodata": "nan"}
+        {**b, "type": "float64", "nodata": "NaN"}
         for b in metadata["bands"]
         if b["name"] == band
     ]

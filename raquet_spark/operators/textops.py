@@ -113,33 +113,60 @@ def fingerprint_containment(
     A fingerprint shared by k docs contributes k² candidate rows to the
     self-join, and boilerplate shingles (headers, license blurbs) are
     exactly the skewed case — so fingerprints on more than
-    ``max_docs_per_fingerprint`` docs are dropped from the index before
-    the join (the CCNet-style common-shingle suppression). A ubiquitous
-    shingle carries no dedup signal anyway; overlap counts are computed
-    over the surviving shingles, so containment for pairs glued ONLY by
-    boilerplate drops toward 0 instead of the join going quadratic.
-    Pass ``None`` to disable the cutoff."""
+    ``max_docs_per_fingerprint`` docs switch from the all-pairs join to
+    a doc_id-ordered CHAIN (k−1 adjacent pairs). That bounds candidate
+    volume linearly while keeping genuinely duplicated mega-clusters
+    discoverable: 300 byte-identical docs share every fingerprint in
+    the same doc order, so the chain pairs overlap on ALL of them
+    (containment 1.0) and connected-components still recovers the full
+    cluster — whereas pairs glued only by a boilerplate shingle share
+    just that shingle and fall below the threshold. For mixed over-cap
+    fingerprints the overlap (and containment) can undercount — this is
+    a candidate-generation cap, not an exact count. Pass ``None`` to
+    disable and go fully quadratic."""
     inv = df.select(id_col, F.explode(fp_col).alias("fp"))
     if max_docs_per_fingerprint is not None:
         from pyspark.sql.window import Window
 
-        # one extra shuffle on fp (same key as the join) — the count
-        # rides a window over the already-partitioned index, no second
-        # scan of the documents
-        inv = (
-            inv.withColumn(
-                "_df", F.count("*").over(Window.partitionBy("fp"))
-            )
-            .where(F.col("_df") <= max_docs_per_fingerprint)
-            .drop("_df")
+        # one extra shuffle on fp (same key as the join) — count and
+        # rank ride one window over the already-partitioned index
+        wfp = Window.partitionBy("fp")
+        inv = inv.withColumn("_df", F.count("*").over(wfp)).withColumn(
+            "_rn", F.row_number().over(wfp.orderBy(id_col))
         )
-    a, b = inv.alias("a"), inv.alias("b")
-    pair_counts = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("overlap"))
-    )
+        under = inv.where(F.col("_df") <= max_docs_per_fingerprint)
+        over = inv.where(F.col("_df") > max_docs_per_fingerprint)
+        a, b = under.alias("a"), under.alias("b")
+        full_pairs = a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        o1, o2 = over.alias("o1"), over.alias("o2")
+        chain_pairs = o1.join(
+            o2,
+            (F.col("o1.fp") == F.col("o2.fp"))
+            & (F.col("o2._rn") == F.col("o1._rn") + 1),
+        ).select(
+            F.col(f"o1.{id_col}").alias("id_a"),
+            F.col(f"o2.{id_col}").alias("id_b"),
+        )
+        pair_counts = (
+            full_pairs.unionByName(chain_pairs)
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("overlap"))
+        )
+    else:
+        a, b = inv.alias("a"), inv.alias("b")
+        pair_counts = (
+            a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("overlap"))
+        )
     sizes = df.select(F.col(id_col), F.size(fp_col).alias("n_fp"))
     return (
         pair_counts.join(sizes.withColumnRenamed(id_col, "id_a")

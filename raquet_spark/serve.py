@@ -49,11 +49,19 @@ def fetch_tile(path: str, block: int, bands: list[str]) -> dict | None:
     return {b: t.column(b)[0].as_py() for b in bands}
 
 
-def band_to_uint8(buf: bytes, dtype: str, nodata: float | None) -> np.ndarray:
-    """Decode one band blob and normalize to display uint8."""
+def band_to_uint8(buf: bytes, dtype: str, nodata) -> np.ndarray:
+    """Decode one band blob and normalize to display uint8. ``nodata``
+    may be the raw metadata value (incl. spec strings "NaN"/"Infinity"
+    — parsed here) or an already-parsed float."""
+    from raquet_spark.core.metadata import parse_nodata
+
+    nodata = parse_nodata(nodata)
     arr = decode_block(buf, dtype).astype("f8")
     if nodata is not None:
-        arr = np.where(arr == nodata, np.nan, arr)
+        if isinstance(nodata, float) and np.isnan(nodata):
+            arr = np.where(np.isfinite(arr), arr, np.nan)
+        else:
+            arr = np.where(arr == nodata, np.nan, arr)
     if dtype == "uint8":
         out = arr
     else:
@@ -117,11 +125,14 @@ _VIEWER_HTML = """<!DOCTYPE html>
     async function load() {
       const file = document.getElementById('fileUrl').value;
       const meta = await (await fetch('/metadata?file=' + encodeURIComponent(file))).json();
-      document.getElementById('status').textContent = 'tiles: ' + (meta.num_blocks || '?');
+      const t = meta.tiling || meta;  // repo nests under "tiling"; reference keeps it flat
+      const minZ = t.min_zoom ?? meta.minresolution;
+      const maxZ = t.max_zoom ?? meta.maxresolution;
+      document.getElementById('status').textContent = 'tiles: ' + (t.num_blocks ?? meta.num_blocks ?? '?');
       const b = meta.bounds || [-180, -85, 180, 85];
       const layer = new deck.TileLayer({
-        minZoom: meta.minresolution, maxZoom: meta.maxresolution,
-        tileSize: meta.block_width || 256, extent: b,
+        minZoom: minZ, maxZoom: maxZ,
+        tileSize: t.block_width || meta.block_width || 256, extent: b,
         getTileData: ({index: {x, y, z}}) =>
           fetch(`/tile/${z}/${x}/${y}?file=${encodeURIComponent(file)}`)
             .then(r => r.ok ? r.blob() : null)
@@ -131,7 +142,7 @@ _VIEWER_HTML = """<!DOCTYPE html>
           bounds: [p.tile.bbox.west, p.tile.bbox.south, p.tile.bbox.east, p.tile.bbox.north]
         })
       });
-      const view = { longitude: (b[0]+b[2])/2, latitude: (b[1]+b[3])/2, zoom: meta.minresolution };
+      const view = { longitude: (b[0]+b[2])/2, latitude: (b[1]+b[3])/2, zoom: minZ };
       if (deckgl) deckgl.setProps({layers: [layer]});
       else deckgl = new deck.DeckGL({container: 'map', initialViewState: view, controller: true, layers: [layer]});
     }

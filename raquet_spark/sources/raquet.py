@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,9 +49,8 @@ def _localize(spark: SparkSession, path: str) -> str:
         import tempfile
         import urllib.request
 
-        local = tempfile.mktemp(
-            suffix=".parquet", prefix="raquet_http_"
-        )
+        fd, local = tempfile.mkstemp(suffix=".parquet", prefix="raquet_http_")
+        os.close(fd)  # mkstemp (not the race-prone mktemp): path is ours
         urllib.request.urlretrieve(path, local)
         _LOCALIZED[key] = local
     return local

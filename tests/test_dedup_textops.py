@@ -126,15 +126,17 @@ def test_fingerprints(spark, docs):
 
 def test_fingerprint_boilerplate_cutoff(spark):
     """A shingle shared by every doc (planted boilerplate) would glue
-    O(N²) candidate pairs; the per-fingerprint doc cutoff drops it
-    before the self-join, leaving only genuinely overlapping pairs —
-    and a corpus under the cutoff is returned unchanged."""
+    O(N²) candidate pairs; over the cap it degrades to a doc_id chain
+    (k−1 candidates) whose boilerplate-only pairs fall below the
+    containment threshold — while a corpus under the cutoff is
+    returned unchanged."""
     import pandas as pd
 
     common = 999_999
     rows = [
         # 40 unrelated docs glued only by the boilerplate shingle
-        {"doc_id": i, "fingerprints": [common, 1000 + i]} for i in range(40)
+        {"doc_id": i, "fingerprints": [common, 1000 + i, 2000 + i, 3000 + i]}
+        for i in range(40)
     ]
     # one real near-dup pair sharing 3 private shingles
     rows.append({"doc_id": 100, "fingerprints": [common, 1, 2, 3]})
@@ -143,18 +145,44 @@ def test_fingerprint_boilerplate_cutoff(spark):
 
     capped = fingerprint_containment(df, max_docs_per_fingerprint=10)
     got = {(r["id_a"], r["id_b"]): r for r in capped.collect()}
-    assert set(got) == {(100, 101)}  # boilerplate-only pairs gone
-    # overlap counts only surviving shingles: {1,2,3} of min(4,5)
-    assert got[(100, 101)]["overlap"] == 3
-    assert got[(100, 101)]["containment"] == pytest.approx(3 / 4)
+    # boilerplate chain pairs: overlap 1 of min-4 shingles -> filtered
+    assert set(got) == {(100, 101)}
+    # overlap: private shingles {1,2,3} plus the common one (100 and
+    # 101 happen to be chain-adjacent in its doc_id order)
+    assert got[(100, 101)]["overlap"] == 4
+    assert got[(100, 101)]["containment"] == pytest.approx(1.0)
 
-    uncapped = fingerprint_containment(df, max_docs_per_fingerprint=None)
-    assert uncapped.count() == 42 * 41 // 2  # quadratic without the cap
+    # without the cap every common-shingle pair (containment 1/4)
+    # becomes a candidate: quadratic at a threshold that admits them
+    uncapped = fingerprint_containment(
+        df, threshold=0.2, max_docs_per_fingerprint=None
+    )
+    assert uncapped.count() == 42 * 41 // 2
 
     small = df.where(F.col("doc_id") >= 100)
     a = fingerprint_containment(small, max_docs_per_fingerprint=256).collect()
     b = fingerprint_containment(small, max_docs_per_fingerprint=None).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fingerprint_mega_cluster_survives_cap(spark):
+    """A duplicate cluster LARGER than the cap must stay discoverable:
+    identical docs share every fingerprint in the same doc order, so
+    the chain pairs carry full overlap (containment 1.0) and connect
+    the whole cluster with k−1 candidates instead of k²."""
+    import pandas as pd
+
+    from raquet_spark.operators.dedup import connected_components
+
+    n = 40
+    rows = [{"doc_id": i, "fingerprints": [11, 22, 33, 44]} for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = fingerprint_containment(df, max_docs_per_fingerprint=10)
+    got = pairs.collect()
+    assert len(got) == n - 1  # chain, not 40*39/2
+    assert all(r["containment"] == pytest.approx(1.0) for r in got)
+    comp = connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+    assert comp.select("component").distinct().count() == 1
 
 
 def test_connected_components(spark):

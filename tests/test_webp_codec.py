@@ -173,3 +173,45 @@ def test_container_and_gates():
 def test_dimension_limit():
     with pytest.raises(ValueError, match="16384"):
         vp8l_encode(np.zeros((1, 20000, 1), dtype=np.uint8))
+
+
+def test_simple_code_descending_symbols_fast_table():
+    """A spec-valid simple code may list the larger symbol first; code 0
+    must map to the first-listed symbol in BOTH decoder lookup paths."""
+    from raquet_spark.functions.webp import _read_huffman_code
+
+    bw = BitWriter()
+    bw.write(1, 1)  # simple
+    bw.write(1, 1)  # two symbols
+    bw.write(1, 1)  # 8-bit first symbol
+    bw.write(7, 8)  # sym0 = 7 (larger listed first)
+    bw.write(2, 8)  # sym1 = 2
+    dec = _read_huffman_code(BitReader(bw.bytes()), 256)
+    assert dec.table == {(1, 0): 7, (1, 1): 2}
+    assert dec.fast[0b0] == (7, 1)
+    assert dec.fast[0b1] == (2, 1)
+    assert dec.fast[0b10] == (7, 1)  # higher lookahead bits ignored
+    assert dec.fast[0b11] == (2, 1)
+
+
+def test_predictor_spec_semantics():
+    """Select (11) ties pick TOP; ClampAddSubtractHalf (13) divides with
+    C truncation toward zero, not Python floor — RFC 9649 semantics for
+    externally encoded lossless tiles."""
+    from raquet_spark.functions.webp import _predict
+
+    # layout: out[0] = [TL, T, ...], out[1] = [L, cur]
+    out = np.zeros((2, 3, 4), dtype=np.int64)
+    # mode 11 tie: L and T predict TL equally badly -> T wins
+    out[0, 0] = [0, 10, 10, 10]   # TL
+    out[0, 1] = [0, 20, 20, 20]   # T
+    out[1, 0] = [0, 0, 0, 0]      # L  (|p-L| == |p-T| when symmetric)
+    pred = _predict(out, 1, 1, 3, 11)
+    np.testing.assert_array_equal(pred, out[0, 1])  # T, not L
+
+    # mode 13: ave=10, TL=13 -> delta=-3 -> trunc(-3/2) = -1 -> 9
+    out[0, 0] = [13, 13, 13, 13]  # TL
+    out[0, 1] = [10, 10, 10, 10]  # T
+    out[1, 0] = [10, 10, 10, 10]  # L  (ave = 10)
+    pred = _predict(out, 1, 1, 3, 13)
+    np.testing.assert_array_equal(pred, [9, 9, 9, 9])  # floor would give 8
