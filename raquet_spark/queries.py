@@ -3869,6 +3869,69 @@ def ann_lsh_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, queries_df, k=5, n_bits=4, n_tables=12, dim=64)
 
 
+def ann_lsh_planted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN-LSH planted-twin check (the dedup_embedding_lsh trick):
+    every query is a byte-identical copy of a corpus vector, so it
+    collides with its twin in EVERY hash table and the twin scores
+    cosine 1.0 — far above any other candidate on this near-random
+    corpus — making the rank-1 result closed-form. The full chain
+    (Arrow-matmul signatures, bucket explode, equi-join, score dedup,
+    window rank) runs for real; only the top-1 restriction is the
+    determinism device."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.similarity import ann_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_LSH_PLANT_OFFSET)
+    )
+    out = ann_lsh(
+        emb.unionByName(planted), planted, k=1, n_bits=4, n_tables=12, dim=64
+    )
+    return out.where(
+        F.col("cand_id") == F.col("query_id") - F.lit(_LSH_PLANT_OFFSET)
+    ).select(
+        "query_id", "cand_id", F.expr("round(score, 6)").alias("score"), "rn"
+    )
+
+
+def ann_lsh_planted_oracle() -> str:
+    return f"""
+SELECT vec_id + {_LSH_PLANT_OFFSET} AS query_id,
+       vec_id AS cand_id,
+       CAST(1.0 AS DOUBLE) AS score,
+       CAST(1 AS INT) AS rn
+FROM embeddings
+WHERE vec_id % 25 = 0
+"""
+
+
+def ann_ivf_planted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF planted-twin check: an identical query lands in the same
+    coarse cluster as its twin (argmax over identical similarity rows),
+    so probing even one inverted list must surface it at cosine 1.0 —
+    closed-form rank-1 through the real quantizer-train → assign →
+    probe → score chain."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.similarity import ann_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.where(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_LSH_PLANT_OFFSET)
+    )
+    out = ann_ivf(
+        emb.unionByName(planted), planted, k=1,
+        n_clusters=16, n_probe=2, seed=7, sample_size=100_000,
+    )
+    return out.where(
+        F.col("cand_id") == F.col("query_id") - F.lit(_LSH_PLANT_OFFSET)
+    ).select(
+        "query_id", "cand_id", F.expr("round(score, 6)").alias("score"), "rn"
+    )
+
+
 def pyramid_pixel_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One pyramid level (nodata-aware 2×2 average, blocked builder)
     then per-parent-tile stats — oracle-checks the actual downsampled
@@ -4018,6 +4081,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "dedup_embedding_lsh": (dedup_embedding_lsh_spark, dedup_embedding_lsh_oracle),
     "ann_lsh": (ann_lsh_spark, None),
     "ann_ivf": (ann_ivf_spark, None),
+    "ann_lsh_planted": (ann_lsh_planted_spark, ann_lsh_planted_oracle),
+    "ann_ivf_planted": (ann_ivf_planted_spark, ann_lsh_planted_oracle),
 }
 
 
