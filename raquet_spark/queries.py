@@ -4099,7 +4099,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
 # at the round-5 rotation: the 8 queries with no r-anything hash row
 # first, then the r03-stale set.
 _DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked (added round 4) -----------------------
+    # frozen snapshot of the live round-5 rotation (never-checked
+    # first); regenerate with _registration_order() when refreshing
     "ngram_lm_score",
     "bpe_pair_counts",
     "doc_feature_hash",
@@ -4108,7 +4109,15 @@ _DRIVER_PRIORITY: list[str] = [
     "phash_dedup",
     "geotiff_cog_roundtrip",
     "raquet_read_tiles",
-    # -- r03-stale (oracle-backed first, rows-only last) ------------
+    "events_funnel",
+    "retention_cohorts",
+    "dsir_weights",
+    "pipeline_clean_counts",
+    "lossy_webp_roundtrip_stats",
+    "bpe_segment_words",
+    "dem_slope_stats",
+    "ann_lsh_planted",
+    "ann_ivf_planted",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_supplier_volume",
@@ -4120,6 +4129,7 @@ _DRIVER_PRIORITY: list[str] = [
     "repetition_stats",
     "decontaminate",
     "gopher_quality",
+    "sketch_user_reach",
     "tfidf_top_terms",
     "pii_scan",
     "chunk_dedup",
@@ -4145,17 +4155,8 @@ _DRIVER_PRIORITY: list[str] = [
     "pyramid_stats_rollup",
     "timeseries_stats",
     "band_algebra_nd",
-    "tile_stats_interleaved",
-    "tile_stats_uint8",
-    "raster_join_diff",
-    "raster_histogram",
-    "raster_point_value",
-    "remote_fetch_stats",
-    "geotiff_roundtrip_stats",
-    "ann_lsh",
-    "ann_ivf",
-    "sketch_user_reach",
 ]
+
 
 
 

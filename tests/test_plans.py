@@ -464,3 +464,13 @@ def test_ann_lsh_auto_same_plan_as_explicit(spark):
         return nodes
 
     assert shape(auto) == shape(explicit)
+
+
+def test_dsir_bucket_join_broadcasts(spark, qs):
+    """The 1024-bucket log-ratio table must broadcast into the
+    per-token scoring join — a shuffle there would move the whole
+    exploded token stream twice."""
+    from raquet_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(qs["dsir_weights"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin [bucket" in plan
