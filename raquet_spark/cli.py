@@ -395,6 +395,28 @@ def cmd_partition(args) -> int:
     return 0
 
 
+def cmd_dem(args) -> int:
+    """DEM focal analysis (the gdaldem-shaped companion step): slope /
+    aspect / hillshade or window statistics over one band, written as a
+    new float64 RaQuet dataset."""
+    from raquet_spark.operators.focal import focal_map, focal_metadata
+    from raquet_spark.sources.raquet import (
+        read_raquet, read_raquet_metadata, write_raquet,
+    )
+
+    spark = _spark()
+    meta = read_raquet_metadata(spark, args.file)
+    tiles = read_raquet(spark, args.file)
+    out = focal_map(
+        tiles, meta, args.op, band=args.band, radius=args.radius,
+        cellsize=args.cellsize, z_factor=args.z_factor,
+        azimuth=args.azimuth, altitude=args.altitude,
+    )
+    write_raquet(out, args.output, focal_metadata(meta, args.band))
+    print(f"{args.op}({args.band}) -> {args.output}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from raquet_spark.serve import make_server
 
@@ -544,6 +566,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("file")
     s.add_argument("output")
     s.set_defaults(fn=cmd_split_zoom)
+
+    s = sub.add_parser("dem", help="slope/aspect/hillshade or focal stats -> raquet")
+    s.add_argument("file")
+    s.add_argument("output")
+    s.add_argument("--op", required=True,
+                   choices=["slope", "aspect", "hillshade", "mean", "min",
+                            "max", "range", "stddev", "sum"])
+    s.add_argument("--band", default="band_1")
+    s.add_argument("--radius", type=int, default=1,
+                   help="window radius for the stat ops (derivatives are 3x3)")
+    s.add_argument("--cellsize", type=float, default=None,
+                   help="meters/pixel (default: mercator resolution at the zoom)")
+    s.add_argument("--z-factor", type=float, default=1.0)
+    s.add_argument("--azimuth", type=float, default=315.0)
+    s.add_argument("--altitude", type=float, default=45.0)
+    s.set_defaults(fn=cmd_dem)
 
     s = sub.add_parser("serve", help="HTTP tile server (/tile/{z}/{x}/{y} as WebP)")
     s.add_argument("--port", type=int, default=8000)

@@ -110,3 +110,27 @@ def test_cli_fetch_xyz(monkeypatch, spark, tmp_path, capsys):
     from raquet_spark.sources.raquet import read_raquet
 
     assert read_raquet(spark, out).count() == 4
+
+
+def test_cli_dem(spark, tmp_path, capsys):
+    import numpy as np
+
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
+
+    raq = str(tmp_path / "dem_src.parquet")
+    assert main(["generate", raq, "--tiles", "2", "--block-size", "16"]) == 0
+    out = str(tmp_path / "slope.parquet")
+    assert main(["dem", raq, out, "--op", "slope", "--cellsize", "1.0"]) == 0
+    assert "slope(band_1)" in capsys.readouterr().out
+
+    meta = read_raquet_metadata(spark, out)
+    assert meta["bands"][0]["type"] == "float64"
+    assert meta["bands"][0]["nodata"] == "NaN"
+    rows = read_raquet(spark, out).collect()
+    assert len(rows) == 4
+    vals = np.concatenate(
+        [decode_block(r["band_1"], "float64") for r in rows]
+    )
+    finite = vals[~np.isnan(vals)]
+    assert len(finite) > 0 and np.isfinite(finite).all()
