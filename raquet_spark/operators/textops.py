@@ -337,6 +337,43 @@ def bpe_train(
     return merges
 
 
+def with_clean_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Map-only cleaning signals shared by the batch funnel
+    (queries.pipeline_clean_counts) and the streaming pipeline:
+    ``content_hash`` (md5), ``is_en`` (stopword language-ID vote) and
+    ``passes_quality`` (Gopher-rule gate). Pure projections — safe in
+    Structured Streaming and pipelined into the scan by Catalyst."""
+    from raquet_spark.queries import _STOPWORDS
+
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    scores = {
+        lang: (
+            f"size(filter({toks}, t -> t IN "
+            f"({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+    en = scores["en"]
+    is_en = (
+        f"CASE WHEN {en} >= {scores['es']} AND {en} >= {scores['de']} "
+        f"AND {en} >= {scores['fr']} AND {en} > 0 THEN 1 ELSE 0 END"
+    )
+    stop_list = ", ".join(repr(w) for w in _STOPWORDS["en"])
+    nw = f"size({toks})"
+    quality = f"""CASE WHEN {nw} >= 10 AND {nw} <= 100000
+      AND CAST(length({text_col}) AS DOUBLE) / greatest({nw}, 1) BETWEEN 2.0 AND 12.0
+      AND CAST(size(filter({toks}, t -> t rlike '[a-z]')) AS DOUBLE)
+          / greatest({nw}, 1) >= 0.8
+      AND size(filter({toks}, t -> t IN ({stop_list}))) >= 1
+      AND CAST(size(array_distinct({toks})) AS DOUBLE) / greatest({nw}, 1) >= 0.1
+      THEN 1 ELSE 0 END"""
+    return (
+        df.withColumn("content_hash", F.expr(f"md5({text_col})"))
+        .withColumn("is_en", F.expr(is_en))
+        .withColumn("passes_quality", F.expr(quality))
+    )
+
+
 def bpe_segment(
     df: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
 ) -> DataFrame:

@@ -120,6 +120,27 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_clean_docs(
+    df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The C4-style cleaning funnel as a CONTINUOUS ingest guard:
+    language-ID + Gopher-quality projections (map-only, streaming-safe)
+    followed by exact content dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` on the md5 hash — bounded state,
+    runs forever). Batch equivalence is pytest-pinned against the same
+    flags + dropDuplicates; this is the streaming face of
+    queries.pipeline_clean_counts."""
+    from raquet_spark.operators.textops import with_clean_flags
+
+    df = _as_event_time(df, ts_col)
+    kept = with_clean_flags(df).where("is_en = 1 AND passes_quality = 1")
+    return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def stateful_sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -514,3 +514,60 @@ def test_wav_8bit_pcm_recentered():
     assert abs(rms - 100 / np.sqrt(2)) / rms < 0.05
     zcr = float(np.mean(np.signbit(a[:-1]) != np.signbit(a[1:])))
     assert zcr > 0.01
+
+
+def test_streaming_clean_pipeline(spark, tmp_path):
+    """Streaming clean (lang + quality + watermarked content dedup)
+    keeps exactly the docs the batch funnel keeps — one per surviving
+    content hash."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import with_clean_flags
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import streaming_clean_docs
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    junk = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [9001, 9002],
+                "text": ["zzz qqq", "el la en un es de con para por una"],
+                "lang": ["xx", "es"],
+                "source": ["junk", "junk"],
+                "n_chars": [7, 35],
+            }
+        )
+    )
+    corpus = (
+        docs.unionByName(junk)
+        .unionByName(docs.limit(10).withColumn("doc_id", F.col("doc_id") + 5000))
+        .withColumn("ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,doc_id % 100)"))
+    )
+    src = str(tmp_path / "docs_src")
+    corpus.write.parquet(src)
+
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (
+        streaming_clean_docs(stream)
+        .writeStream.format("memory")
+        .queryName("clean_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.sql(
+        "SELECT content_hash, COUNT(*) AS n FROM clean_out GROUP BY 1"
+    ).collect()
+    want = {
+        r["content_hash"]
+        for r in with_clean_flags(corpus)
+        .where("is_en = 1 AND passes_quality = 1")
+        .select("content_hash")
+        .distinct()
+        .collect()
+    }
+    assert {r["content_hash"] for r in got} == want
+    assert all(r["n"] == 1 for r in got)  # duplicates collapsed
+    assert len(want) > 10  # the filter kept real docs
