@@ -79,3 +79,86 @@ def from_pixel_table(
         + [f"{name} binary" for name, _, _ in bands]
     )
     return keyed.groupBy("block", *extra_names).applyInPandas(assemble, schema=schema)
+
+
+def rasterize_polygon(
+    spark,
+    polygon_lonlat: list[tuple[float, float]],
+    zoom: int,
+    block_size: int = 256,
+    burn_value: float = 1.0,
+    band_type: str = "uint8",
+    nodata: float = 0.0,
+    compression: str | None = "gzip",
+):
+    """Burn a polygon into a new RaQuet tile table (the GDAL
+    ``rasterize`` direction of raster↔vector interop; ``clip_to_polygon``
+    is the other). A pixel takes ``burn_value`` when its CENTER falls
+    inside the polygon (even-odd rule — the same vectorized test
+    region_stats/clip use), else ``nodata``; tiles with no interior
+    pixel are dropped.
+
+    Scale shape: the candidate tile grid comes from the polygon's bbox
+    (never the world), is generated distributed with ``spark.range``,
+    and each task rasterizes its tiles in one vectorized numpy pass —
+    map-only, no shuffle, output already keyed by block. Returns
+    ``(tiles_df, metadata)``.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions import geom
+    from raquet_spark.functions.bands import encode_block
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    verts = geom.poly_to_fractions(polygon_lonlat)
+    fx = [v[0] for v in verts]
+    fy = [v[1] for v in verts]
+    n = 1 << zoom
+    x0, x1 = int(min(fx) * n), min(int(max(fx) * n), n - 1)
+    y0, y1 = int(min(fy) * n), min(int(max(fy) * n), n - 1)
+    nx = x1 - x0 + 1
+
+    cand = spark.range((x1 - x0 + 1) * (y1 - y0 + 1)).selectExpr(
+        f"{x0} + id % {nx} AS tx", f"{y0} + id DIV {nx} AS ty"
+    )
+    bs = block_size
+    npix = n * bs  # global pixel grid width at this zoom
+
+    def burn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        px_local = (np.arange(bs) + 0.5) / npix
+        for pdf in batches:
+            blocks, blobs = [], []
+            for row in pdf.to_dict("records"):
+                tx, ty = int(row["tx"]), int(row["ty"])
+                cx = tx * bs / npix + px_local  # pixel-center fractions
+                cy = ty * bs / npix + px_local
+                gx, gy = np.meshgrid(cx, cy)
+                inside = geom.point_in_poly_np(gx, gy, verts)
+                if not inside.any():
+                    continue
+                arr = np.where(inside, burn_value, nodata)
+                blocks.append(qb.py_tile_to_cell(tx, ty, zoom))
+                blobs.append(
+                    encode_block(arr.reshape(-1), band_type, compression)
+                )
+            yield pd.DataFrame({"block": blocks, "band_1": blobs})
+
+    tiles = cand.mapInPandas(burn, schema="block bigint, band_1 binary")
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type=band_type, nodata=nodata)],
+        bounds=geom.poly_bbox_lonlat(polygon_lonlat),
+        width=(x1 - x0 + 1) * bs,
+        height=(y1 - y0 + 1) * bs,
+        block_width=bs,
+        block_height=bs,
+        min_zoom=zoom,
+        max_zoom=zoom,
+        compression=compression,
+    )
+    return tiles, meta

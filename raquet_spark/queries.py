@@ -1491,6 +1491,77 @@ GROUP BY 1
 """
 
 
+def rasterize_polygon_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster burn through the real rasterizer: the polygon is a
+    pixel-aligned Mercator box (corners computed from the same tile
+    math both dialects share), so each covered tile's burned-pixel
+    count is pure range arithmetic for the oracle while the Spark side
+    runs the full bbox-cover → vectorized even-odd point-in-polygon →
+    encode pipeline. Pixel centers sit half a pixel from every box
+    edge, so float rounding in the lon/lat round-trip cannot flip a
+    membership."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.tiling import rasterize_polygon
+
+    c = _RZ
+    zoom, bs = c["zoom"], c["bs"]
+    npix = (1 << zoom) * bs
+
+    def lon(fx: float) -> float:
+        return (fx - 0.5) * 360.0
+
+    def lat(fy: float) -> float:
+        return _math.degrees(_math.asin(_math.tanh(2.0 * _math.pi * (0.5 - fy))))
+
+    ax, bx, ay, by = c["ax"], c["bx"], c["ay"], c["by"]  # global pixel box
+    poly = [
+        (lon(ax / npix), lat(ay / npix)),
+        (lon(bx / npix), lat(ay / npix)),
+        (lon(bx / npix), lat(by / npix)),
+        (lon(ax / npix), lat(by / npix)),
+    ]
+    tiles, _meta = rasterize_polygon(
+        spark, poly, zoom=zoom, block_size=bs, burn_value=1.0, nodata=0.0,
+        band_type="uint8", compression=None,
+    )
+    px = tiles.select("block", F.explode(band_decode("band_1", "uint8")).alias("v"))
+    return px.groupBy("block").agg(
+        F.expr("CAST(SUM(CAST(v AS BIGINT)) AS BIGINT)").alias("n_burn"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pixels"),
+    )
+
+
+def rasterize_polygon_stats_oracle() -> str:
+    c = _RZ
+    zoom, bs = c["zoom"], c["bs"]
+    ax, bx, ay, by = c["ax"], c["bx"], c["ay"], c["by"]
+    tx0, tx1 = ax // bs, (bx - 1) // bs
+    ty0, ty1 = ay // bs, (by - 1) // bs
+    ntx = tx1 - tx0 + 1
+    cell = qb.tile_to_cell_sql("tx", "ty", zoom, "duckdb")
+    return f"""
+WITH t AS (
+  SELECT {tx0} + i % {ntx} AS tx, {ty0} + i // {ntx} AS ty
+  FROM (SELECT unnest(range(0, {ntx * (ty1 - ty0 + 1)})) AS i)
+), counted AS (
+  SELECT tx, ty,
+         greatest(0, least({bx}, (tx + 1) * {bs}) - greatest({ax}, tx * {bs}))
+         * greatest(0, least({by}, (ty + 1) * {bs}) - greatest({ay}, ty * {bs}))
+           AS n_burn
+  FROM t
+)
+SELECT {cell} AS block,
+       CAST(n_burn AS BIGINT) AS n_burn,
+       CAST({bs * bs} AS BIGINT) AS n_pixels
+FROM counted
+WHERE n_burn > 0
+"""
+
+
 def dem_slope_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEM slope (Horn 3×3, gdaldem semantics) through the strip-based
     halo exchange: a linear ramp has EXACT Horn derivatives, so every
@@ -1678,6 +1749,8 @@ FROM px
 GROUP BY 1
 """
 
+
+_RZ = dict(zoom=6, bs=32, ax=16 * 32 + 7, bx=19 * 32 + 21, ay=20 * 32 + 3, by=22 * 32 + 30)
 
 _NC = dict(nlat=40, nlon=60, nt=3, modulo=199, fill=-999, scale=0.5, offset=100.0)
 
@@ -4074,6 +4147,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "lossy_webp_roundtrip_stats": (lossy_webp_roundtrip_stats_spark, lossy_webp_roundtrip_stats_oracle),
     "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
     "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
+    "rasterize_polygon_stats": (rasterize_polygon_stats_spark, rasterize_polygon_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),

