@@ -1562,6 +1562,107 @@ WHERE n_burn > 0
 """
 
 
+def rasterize_features_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vector-table rasterization with painter's-order
+    overlap: two pixel-aligned Mercator boxes (values 3 then 7, the
+    second overlapping the first) burn through the real per-feature
+    tile-cover → shuffle-on-block → vectorized burn pipeline; per-tile
+    counts of each value reduce to rectangle-intersection arithmetic
+    for the oracle, including the strip where 7 paints over 3."""
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.tiling import rasterize_features
+
+    c = _RZ
+    zoom, bs = c["zoom"], c["bs"]
+    npix = (1 << zoom) * bs
+
+    def lon(fx: float) -> float:
+        return (fx - 0.5) * 360.0
+
+    def lat(fy: float) -> float:
+        return _math.degrees(_math.asin(_math.tanh(2.0 * _math.pi * (0.5 - fy))))
+
+    def box(ax, bx, ay, by):
+        return [
+            {"lon": lon(ax / npix), "lat": lat(ay / npix)},
+            {"lon": lon(bx / npix), "lat": lat(ay / npix)},
+            {"lon": lon(bx / npix), "lat": lat(by / npix)},
+            {"lon": lon(ax / npix), "lat": lat(by / npix)},
+        ]
+
+    a = (c["ax"], c["bx"], c["ay"], c["by"])
+    b = (c["ax2"], c["bx2"], c["ay2"], c["by2"])
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feature_id": [1, 2],
+                "polygon": [box(*a), box(*b)],
+                "value": [3.0, 7.0],
+            }
+        )
+    )
+    tiles, _meta = rasterize_features(
+        feats, zoom=zoom, block_size=bs, band_type="uint8", nodata=0.0,
+        compression=None,
+    )
+    px = tiles.select("block", F.explode(band_decode("band_1", "uint8")).alias("v"))
+    return px.groupBy("block").agg(
+        F.expr("CAST(SUM(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT)").alias("n3"),
+        F.expr("CAST(SUM(CASE WHEN v = 7 THEN 1 ELSE 0 END) AS BIGINT)").alias("n7"),
+    )
+
+
+def rasterize_features_stats_oracle() -> str:
+    c = _RZ
+    zoom, bs = c["zoom"], c["bs"]
+    ax, bx, ay, by = c["ax"], c["bx"], c["ay"], c["by"]
+    ax2, bx2, ay2, by2 = c["ax2"], c["bx2"], c["ay2"], c["by2"]
+    # overall tile cover = union of both boxes' covers
+    tx0 = min(ax, ax2) // bs
+    tx1 = (max(bx, bx2) - 1) // bs
+    ty0 = min(ay, ay2) // bs
+    ty1 = (max(by, by2) - 1) // bs
+    ntx = tx1 - tx0 + 1
+    cell = qb.tile_to_cell_sql("tx", "ty", zoom, "duckdb")
+
+    def overlap(lo1, hi1, lo2, hi2):
+        return f"greatest(0, least({hi1}, {hi2}) - greatest({lo1}, {lo2}))"
+
+    in_a = (
+        f"{overlap(ax, bx, 'tx * ' + str(bs), '(tx + 1) * ' + str(bs))}"
+        f" * {overlap(ay, by, 'ty * ' + str(bs), '(ty + 1) * ' + str(bs))}"
+    )
+    in_b = (
+        f"{overlap(ax2, bx2, 'tx * ' + str(bs), '(tx + 1) * ' + str(bs))}"
+        f" * {overlap(ay2, by2, 'ty * ' + str(bs), '(ty + 1) * ' + str(bs))}"
+    )
+    in_ab = (
+        f"{overlap(max(ax, ax2), min(bx, bx2), 'tx * ' + str(bs), '(tx + 1) * ' + str(bs))}"
+        f" * {overlap(max(ay, ay2), min(by, by2), 'ty * ' + str(bs), '(ty + 1) * ' + str(bs))}"
+    )
+    return f"""
+WITH t AS (
+  SELECT {tx0} + i % {ntx} AS tx, {ty0} + i // {ntx} AS ty
+  FROM (SELECT unnest(range(0, {ntx * (ty1 - ty0 + 1)})) AS i)
+), counted AS (
+  SELECT tx, ty,
+         {in_a} - {in_ab} AS n3,
+         {in_b} AS n7
+  FROM t
+)
+SELECT {cell} AS block,
+       CAST(n3 AS BIGINT) AS n3,
+       CAST(n7 AS BIGINT) AS n7
+FROM counted
+WHERE n3 + n7 > 0
+"""
+
+
 def dem_slope_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEM slope (Horn 3×3, gdaldem semantics) through the strip-based
     halo exchange: a linear ramp has EXACT Horn derivatives, so every
@@ -1750,7 +1851,8 @@ GROUP BY 1
 """
 
 
-_RZ = dict(zoom=6, bs=32, ax=16 * 32 + 7, bx=19 * 32 + 21, ay=20 * 32 + 3, by=22 * 32 + 30)
+_RZ = dict(zoom=6, bs=32, ax=16 * 32 + 7, bx=19 * 32 + 21, ay=20 * 32 + 3, by=22 * 32 + 30,
+           ax2=18 * 32 + 2, bx2=20 * 32 + 11, ay2=21 * 32 + 9, by2=23 * 32 + 5)
 
 _NC = dict(nlat=40, nlon=60, nt=3, modulo=199, fill=-999, scale=0.5, offset=100.0)
 
@@ -4148,6 +4250,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
     "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
     "rasterize_polygon_stats": (rasterize_polygon_stats_spark, rasterize_polygon_stats_oracle),
+    "rasterize_features_stats": (rasterize_features_stats_spark, rasterize_features_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),

@@ -444,3 +444,51 @@ def test_rasterize_polygon_matches_numpy(spark):
         assert want.any()  # empty tiles must not be emitted
         total_burn += int(want.sum())
     assert total_burn > 100
+
+
+def test_rasterize_features_painters_order(spark):
+    """Vector-table rasterization: per-feature tile cover → one shuffle
+    on block → painter's-order burn; pixels equal the sequential numpy
+    reference including the overlap where the later feature wins."""
+    import numpy as np
+    import pandas as pd
+
+    from raquet_spark.functions import geom
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.functions.quadbin import py_cell_to_tile
+    from raquet_spark.operators.tiling import rasterize_features
+
+    tri = [(-10.0, -8.0), (15.0, 20.0), (-18.0, 12.0)]
+    box = [(0.0, 0.0), (9.0, 0.0), (9.0, 9.0), (0.0, 9.0)]
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feature_id": [1, 2],
+                "polygon": [
+                    [{"lon": x, "lat": y} for x, y in tri],
+                    [{"lon": x, "lat": y} for x, y in box],
+                ],
+                "value": [3.0, 7.0],
+            }
+        )
+    )
+    tiles, meta = rasterize_features(feats, zoom=6, block_size=16)
+    rows = tiles.collect()
+    assert len(rows) > 5
+
+    n, bs = 64, 16
+    npix = n * bs
+    saw3 = saw7 = False
+    for r in rows:
+        tx, ty, _ = py_cell_to_tile(r["block"])
+        px = (np.arange(bs) + 0.5) / npix
+        gx, gy = np.meshgrid(tx * bs / npix + px, ty * bs / npix + px)
+        want = np.zeros((bs, bs))
+        for poly, v in ((tri, 3.0), (box, 7.0)):
+            inside = geom.point_in_poly_np(gx, gy, geom.poly_to_fractions(poly))
+            want[inside] = v
+        got = decode_block(r["band_1"], "float32").reshape(bs, bs)
+        np.testing.assert_array_equal(got, want)
+        saw3 |= bool((got == 3).any())
+        saw7 |= bool((got == 7).any())
+    assert saw3 and saw7
