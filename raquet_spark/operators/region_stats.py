@@ -375,3 +375,80 @@ def clip_to_polygon(
             yield pd.DataFrame({"block": out_block, band: out_blob})
 
     return cand.mapInPandas(clip, schema=f"block bigint, {band} binary")
+
+
+def vector_zonal_stats(
+    tiles: DataFrame,
+    metadata: dict,
+    zones: DataFrame,
+    band: str = "band_1",
+) -> DataFrame:
+    """Pixel-exact zonal statistics against a VECTOR zone table (the
+    classic GIS workflow: rasterize the zones onto the raster's own
+    grid, then aggregate per zone) — the polygon-precise upgrade of
+    :func:`zonal_stats`' bbox semantics.
+
+    ``zones`` rows carry ``feature_id``, ``polygon``
+    (array<struct<lon,lat>>) and ``value`` (the numeric zone id; later
+    features win overlaps, matching rasterize semantics). Plan: the
+    zone layer rasterizes with work ∝ its own tile cover, joins the
+    raster on ``block`` (inner — raster tiles outside every zone are
+    pruned before decode), one Arrow pass emits per-(tile, zone)
+    partial stats, and the only remaining shuffle is the O(zones)
+    final aggregation."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import parse_nodata
+    from raquet_spark.functions.bands import DTYPES, decode_block
+    from raquet_spark.operators.tiling import rasterize_features
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(tiles.sparkSession)
+    t = metadata["tiling"]
+    bw, bh = t["block_width"], t["block_height"]
+    binfo = {b["name"]: b for b in metadata["bands"]}
+    btype = binfo[band]["type"]
+    nodata = parse_nodata(binfo[band].get("nodata"))
+
+    zone_tiles, _zmeta = rasterize_features(
+        zones, zoom=t["max_zoom"], block_size=bw, band_type="float64",
+        nodata=0.0, compression=None,
+    )
+    joined = tiles.where(F.col("block") != 0).select(
+        "block", F.col(band).alias("_v")
+    ).join(zone_tiles.withColumnRenamed("band_1", "_z"), "block")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"zone": [], "n": [], "s": [], "mn": [], "mx": []}
+            for row in pdf.to_dict("records"):
+                vals = decode_block(row["_v"], btype).astype("f8")
+                zarr = decode_block(row["_z"], "float64")
+                good = np.isfinite(vals)
+                if nodata is not None and not (
+                    isinstance(nodata, float) and np.isnan(nodata)
+                ):
+                    good &= vals != nodata
+                for zid in np.unique(zarr[(zarr != 0) & good]):
+                    m = (zarr == zid) & good
+                    out["zone"].append(float(zid))
+                    out["n"].append(int(m.sum()))
+                    out["s"].append(float(vals[m].sum()))
+                    out["mn"].append(float(vals[m].min()))
+                    out["mx"].append(float(vals[m].max()))
+            yield pd.DataFrame(out)
+
+    part = joined.mapInPandas(
+        partials,
+        schema="zone double, n bigint, s double, mn double, mx double",
+    )
+    return part.groupBy("zone").agg(
+        F.expr("CAST(SUM(n) AS BIGINT)").alias("n_pixels"),
+        F.expr("SUM(s)").alias("value_sum"),
+        F.expr("MIN(mn)").alias("value_min"),
+        F.expr("MAX(mx)").alias("value_max"),
+    )

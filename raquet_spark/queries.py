@@ -1663,6 +1663,112 @@ WHERE n3 + n7 > 0
 """
 
 
+def vector_zonal_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-exact zonal stats against vector zones, end to end: a
+    deterministic raster + the two overlapping _RZ boxes as the zone
+    table (7 paints over 3) → rasterize → block join → per-zone
+    aggregation. Every pixel's zone and value are closed-form (integer
+    ranges + the value formula), so counts, sums and extrema hash
+    exactly; sums of integer-valued doubles are order-independent."""
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.operators.region_stats import vector_zonal_stats
+    from raquet_spark.operators.tiling import from_pixel_table
+
+    c = _RZ
+    zoom, bs = c["zoom"], c["bs"]
+    npix_g = (1 << zoom) * bs
+    tx0, ty0, ntx, nty = 16, 20, 5, 4
+    gx0, gy0 = tx0 * bs, ty0 * bs
+    w, h = ntx * bs, nty * bs
+    pix = spark.range(w * h).selectExpr(
+        f"{gx0} + id % {w} AS gx",
+        f"{gy0} + id DIV {w} AS gy",
+        f"CAST((({gx0} + id % {w}) * 3 + ({gy0} + id DIV {w}) * 5) % 250"
+        " AS DOUBLE) AS band_1",
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float64")],
+        bounds=(0, 0, 0, 0), width=w, height=h,
+        block_width=bs, block_height=bs, min_zoom=zoom, max_zoom=zoom,
+        compression=None,
+    )
+    tiles = from_pixel_table(pix, meta, compression=None)
+
+    def lon(fx: float) -> float:
+        return (fx - 0.5) * 360.0
+
+    def lat(fy: float) -> float:
+        return _math.degrees(_math.asin(_math.tanh(2.0 * _math.pi * (0.5 - fy))))
+
+    def box(ax, bx, ay, by):
+        return [
+            {"lon": lon(ax / npix_g), "lat": lat(ay / npix_g)},
+            {"lon": lon(bx / npix_g), "lat": lat(ay / npix_g)},
+            {"lon": lon(bx / npix_g), "lat": lat(by / npix_g)},
+            {"lon": lon(ax / npix_g), "lat": lat(by / npix_g)},
+        ]
+
+    zones = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "feature_id": [1, 2],
+                "polygon": [
+                    box(c["ax"], c["bx"], c["ay"], c["by"]),
+                    box(c["ax2"], c["bx2"], c["ay2"], c["by2"]),
+                ],
+                "value": [3.0, 7.0],
+            }
+        )
+    )
+    out = vector_zonal_stats(tiles, meta, zones)
+    return out.select(
+        F.expr("CAST(zone AS BIGINT)").alias("zone"),
+        "n_pixels",
+        F.expr("CAST(value_sum AS DOUBLE)").alias("value_sum"),
+        "value_min",
+        "value_max",
+    )
+
+
+def vector_zonal_stats_oracle() -> str:
+    c = _RZ
+    bs = c["bs"]
+    tx0, ty0, ntx, nty = 16, 20, 5, 4
+    gx0, gy0 = tx0 * bs, ty0 * bs
+    w, h = ntx * bs, nty * bs
+    in_a = (
+        f"(gx >= {c['ax']} AND gx < {c['bx']} AND gy >= {c['ay']} AND gy < {c['by']})"
+    )
+    in_b = (
+        f"(gx >= {c['ax2']} AND gx < {c['bx2']} AND gy >= {c['ay2']} AND gy < {c['by2']})"
+    )
+    return f"""
+WITH px AS (
+  SELECT {gx0} + i % {w} AS gx, {gy0} + i // {w} AS gy,
+         CAST((({gx0} + i % {w}) * 3 + ({gy0} + i // {w}) * 5) % 250
+              AS DOUBLE) AS v
+  FROM (SELECT unnest(range(0, {w * h})) AS i)
+), zoned AS (
+  SELECT v,
+         CASE WHEN {in_b} THEN 7 WHEN {in_a} THEN 3 ELSE 0 END AS zone
+  FROM px
+)
+SELECT CAST(zone AS BIGINT) AS zone,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(SUM(v) AS DOUBLE) AS value_sum,
+       MIN(v) AS value_min,
+       MAX(v) AS value_max
+FROM zoned
+WHERE zone > 0
+GROUP BY 1
+"""
+
+
 def dem_slope_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEM slope (Horn 3×3, gdaldem semantics) through the strip-based
     halo exchange: a linear ramp has EXACT Horn derivatives, so every
@@ -4251,6 +4357,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
     "rasterize_polygon_stats": (rasterize_polygon_stats_spark, rasterize_polygon_stats_oracle),
     "rasterize_features_stats": (rasterize_features_stats_spark, rasterize_features_stats_oracle),
+    "vector_zonal_stats": (vector_zonal_stats_spark, vector_zonal_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
     "geotiff_cog_roundtrip": (geotiff_cog_roundtrip_spark, tile_stats_agg_oracle),
