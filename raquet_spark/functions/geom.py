@@ -28,6 +28,14 @@ def merc_fraction(lon: float, lat: float) -> Vert:
     return (x, y)
 
 
+def inv_merc_fraction(fx: float, fy: float) -> Vert:
+    """Web-Mercator unit-square fraction → WGS84 (exact inverse of
+    :func:`merc_fraction`: lat = asin(tanh(2π(0.5 − y))))."""
+    lon = (fx - 0.5) * 360.0
+    lat = math.degrees(math.asin(math.tanh(2.0 * math.pi * (0.5 - fy))))
+    return (lon, lat)
+
+
 def poly_to_fractions(poly_lonlat: list[Vert]) -> list[Vert]:
     verts = [merc_fraction(lon, lat) for lon, lat in poly_lonlat]
     if verts[0] == verts[-1]:

@@ -415,8 +415,8 @@ def vector_zonal_stats(
     nodata = parse_nodata(binfo[band].get("nodata"))
 
     zone_tiles, _zmeta = rasterize_features(
-        zones, zoom=t["max_zoom"], block_size=bw, band_type="float64",
-        nodata=0.0, compression=None,
+        zones, zoom=t["max_zoom"], block_size=bw, block_height=bh,
+        band_type="float64", nodata=0.0, compression=None,
     )
     joined = tiles.where(F.col("block") != 0).select(
         "block", F.col(band).alias("_v")

@@ -11,12 +11,16 @@ from pyspark.sql import functions as F
 
 from raquet_spark.functions import dialect as dl
 
+#: per-language stopword vote lists — the single definition shared by
+#: the Column operators here, the streaming cleaning flags, and the
+#: dual-dialect SQL templates in queries.py
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
     "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
     "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
 }
+_STOPWORDS = STOPWORDS  # queries.py's historical import name
 
 
 def _toks(text_col: str) -> str:
@@ -338,39 +342,43 @@ def bpe_train(
 
 
 def with_clean_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Map-only cleaning signals shared by the batch funnel
-    (queries.pipeline_clean_counts) and the streaming pipeline:
-    ``content_hash`` (md5), ``is_en`` (stopword language-ID vote) and
-    ``passes_quality`` (Gopher-rule gate). Pure projections — safe in
-    Structured Streaming and pipelined into the scan by Catalyst."""
-    from raquet_spark.queries import _STOPWORDS
-
-    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    """Map-only cleaning signals mirroring the batch funnel gate
+    (queries.pipeline_clean_counts) EXACTLY — same stopword votes, same
+    round(·, 6) ratio thresholds (the funnel reads the ``n_chars``
+    column, which equals ``length(text)``): ``content_hash`` (md5),
+    ``is_en`` and ``passes_quality``. Pure projections — safe in
+    Structured Streaming and pipelined into the scan by Catalyst; the
+    token array is materialized once and reused by every signal.
+    Equivalence with the funnel is pytest-pinned per source."""
+    toks = _toks(text_col)
     scores = {
         lang: (
-            f"size(filter({toks}, t -> t IN "
-            f"({', '.join(repr(w) for w in words)})))"
+            f"size(filter(_ctoks, t -> t IN "
+            f"({', '.join(repr(w) for w in STOPWORDS[lang])})))"
         )
-        for lang, words in _STOPWORDS.items()
+        for lang in STOPWORDS
     }
     en = scores["en"]
     is_en = (
         f"CASE WHEN {en} >= {scores['es']} AND {en} >= {scores['de']} "
         f"AND {en} >= {scores['fr']} AND {en} > 0 THEN 1 ELSE 0 END"
     )
-    stop_list = ", ".join(repr(w) for w in _STOPWORDS["en"])
-    nw = f"size({toks})"
-    quality = f"""CASE WHEN {nw} >= 10 AND {nw} <= 100000
-      AND CAST(length({text_col}) AS DOUBLE) / greatest({nw}, 1) BETWEEN 2.0 AND 12.0
-      AND CAST(size(filter({toks}, t -> t rlike '[a-z]')) AS DOUBLE)
-          / greatest({nw}, 1) >= 0.8
-      AND size(filter({toks}, t -> t IN ({stop_list}))) >= 1
-      AND CAST(size(array_distinct({toks})) AS DOUBLE) / greatest({nw}, 1) >= 0.1
+    stop_list = ", ".join(repr(w) for w in STOPWORDS["en"])
+    nw = "greatest(size(_ctoks), 1)"
+    quality = f"""CASE WHEN size(_ctoks) >= 10 AND size(_ctoks) <= 100000
+      AND round(CAST(length({text_col}) AS DOUBLE) / {nw}, 6)
+          BETWEEN 2.0 AND 12.0
+      AND round(CAST(size(filter(_ctoks, t -> t rlike '[a-z]')) AS DOUBLE)
+          / {nw}, 6) >= 0.8
+      AND size(filter(_ctoks, t -> t IN ({stop_list}))) >= 1
+      AND round(CAST(size(array_distinct(_ctoks)) AS DOUBLE) / {nw}, 6) >= 0.1
       THEN 1 ELSE 0 END"""
     return (
-        df.withColumn("content_hash", F.expr(f"md5({text_col})"))
+        df.withColumn("_ctoks", F.expr(toks))
+        .withColumn("content_hash", F.expr(f"md5({text_col})"))
         .withColumn("is_en", F.expr(is_en))
         .withColumn("passes_quality", F.expr(quality))
+        .drop("_ctoks")
     )
 
 

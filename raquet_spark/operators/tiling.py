@@ -116,28 +116,36 @@ def rasterize_polygon(
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
+    import math as _math
+
     verts = geom.poly_to_fractions(polygon_lonlat)
     fx = [v[0] for v in verts]
     fy = [v[1] for v in verts]
     n = 1 << zoom
-    x0, x1 = int(min(fx) * n), min(int(max(fx) * n), n - 1)
-    y0, y1 = int(min(fy) * n), min(int(max(fy) * n), n - 1)
+    # floor (not int(): truncation is wrong for negatives) and clamp
+    # BOTH ends — vertices past the Web-Mercator range must not produce
+    # negative tile coordinates / garbage quadbin ids
+    x0 = min(max(_math.floor(min(fx) * n), 0), n - 1)
+    x1 = min(max(_math.floor(max(fx) * n), 0), n - 1)
+    y0 = min(max(_math.floor(min(fy) * n), 0), n - 1)
+    y1 = min(max(_math.floor(max(fy) * n), 0), n - 1)
     nx = x1 - x0 + 1
 
     cand = spark.range((x1 - x0 + 1) * (y1 - y0 + 1)).selectExpr(
         f"{x0} + id % {nx} AS tx", f"{y0} + id DIV {nx} AS ty"
     )
-    bs = block_size
-    npix = n * bs  # global pixel grid width at this zoom
+    bw = bh = block_size
+    npix_x, npix_y = n * bw, n * bh  # global pixel grid at this zoom
 
     def burn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        px_local = (np.arange(bs) + 0.5) / npix
+        px_local = (np.arange(bw) + 0.5) / npix_x
+        py_local = (np.arange(bh) + 0.5) / npix_y
         for pdf in batches:
             blocks, blobs = [], []
             for row in pdf.to_dict("records"):
                 tx, ty = int(row["tx"]), int(row["ty"])
-                cx = tx * bs / npix + px_local  # pixel-center fractions
-                cy = ty * bs / npix + px_local
+                cx = tx * bw / npix_x + px_local  # pixel-center fractions
+                cy = ty * bh / npix_y + py_local
                 gx, gy = np.meshgrid(cx, cy)
                 inside = geom.point_in_poly_np(gx, gy, verts)
                 if not inside.any():
@@ -153,10 +161,10 @@ def rasterize_polygon(
     meta = build_metadata(
         bands=[BandMeta(name="band_1", type=band_type, nodata=nodata)],
         bounds=geom.poly_bbox_lonlat(polygon_lonlat),
-        width=(x1 - x0 + 1) * bs,
-        height=(y1 - y0 + 1) * bs,
-        block_width=bs,
-        block_height=bs,
+        width=(x1 - x0 + 1) * bw,
+        height=(y1 - y0 + 1) * bh,
+        block_width=bw,
+        block_height=bh,
         min_zoom=zoom,
         max_zoom=zoom,
         compression=compression,
@@ -171,6 +179,7 @@ def rasterize_features(
     band_type: str = "float32",
     nodata: float = 0.0,
     compression: str | None = "gzip",
+    block_height: int | None = None,
 ):
     """Distributed vector-TABLE rasterization (the full GDAL
     ``rasterize`` workload): every row of ``features`` carries a
@@ -200,8 +209,9 @@ def rasterize_features(
     spark = features.sparkSession
     ensure_package_shipped(spark)
     n = 1 << zoom
-    bs = block_size
-    npix = n * bs
+    bw = block_size
+    bh = block_height if block_height is not None else block_size
+    npix_x, npix_y = n * bw, n * bh
 
     # per-feature Mercator-fraction vertices + bbox tile cover, all as
     # Column expressions (merc y via the same log formula the python
@@ -215,10 +225,20 @@ def rasterize_features(
     withf = (
         features.withColumn("_fx", F.expr(fx))
         .withColumn("_fy", F.expr(fy))
-        .withColumn("_tx0", F.expr(f"CAST(floor(array_min(_fx) * {n}) AS BIGINT)"))
-        .withColumn("_tx1", F.expr(f"LEAST(CAST(floor(array_max(_fx) * {n}) AS BIGINT), {n - 1})"))
-        .withColumn("_ty0", F.expr(f"CAST(floor(array_min(_fy) * {n}) AS BIGINT)"))
-        .withColumn("_ty1", F.expr(f"LEAST(CAST(floor(array_max(_fy) * {n}) AS BIGINT), {n - 1})"))
+        .withColumn("_tx0", F.expr(
+            f"GREATEST(CAST(floor(array_min(_fx) * {n}) AS BIGINT), 0)"))
+        .withColumn("_tx1", F.expr(
+            f"LEAST(GREATEST(CAST(floor(array_max(_fx) * {n}) AS BIGINT), 0), {n - 1})"))
+        .withColumn("_ty0", F.expr(
+            f"GREATEST(CAST(floor(array_min(_fy) * {n}) AS BIGINT), 0)"))
+        .withColumn("_ty1", F.expr(
+            f"LEAST(GREATEST(CAST(floor(array_max(_fy) * {n}) AS BIGINT), 0), {n - 1})"))
+        # symmetric clamp of the lower corners too: a feature entirely
+        # outside the range degenerates to one border tile whose burn
+        # finds no interior pixels (and is dropped), instead of a
+        # descending sequence() fabricating tiles
+        .withColumn("_tx0", F.expr(f"LEAST(_tx0, {n - 1})"))
+        .withColumn("_ty0", F.expr(f"LEAST(_ty0, {n - 1})"))
     )
     pairs = withf.select(
         "feature_id",
@@ -237,9 +257,10 @@ def rasterize_features(
     def burn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         block = int(key[0])
         tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
-        px = (np.arange(bs) + 0.5) / npix
-        gx, gy = np.meshgrid(tx * bs / npix + px, ty * bs / npix + px)
-        arr = np.full((bs, bs), nodata, dtype="f8")
+        px = (np.arange(bw) + 0.5) / npix_x
+        py = (np.arange(bh) + 0.5) / npix_y
+        gx, gy = np.meshgrid(tx * bw / npix_x + px, ty * bh / npix_y + py)
+        arr = np.full((bh, bw), nodata, dtype="f8")
         hit = False
         for row in pdf.sort_values("feature_id").to_dict("records"):
             verts = list(zip(row["_fx"], row["_fy"]))
@@ -260,13 +281,32 @@ def rasterize_features(
     tiles = pairs.groupBy("block").applyInPandas(
         burn, schema="block bigint, band_1 binary"
     )
+    # metadata reflects the actual feature extent, not the world grid
+    # (one tiny aggregation over per-feature bboxes)
+    ext = withf.agg(
+        F.expr("min(array_min(_fx))"),
+        F.expr("min(array_min(_fy))"),
+        F.expr("max(array_max(_fx))"),
+        F.expr("max(array_max(_fy))"),
+        F.expr(f"min(_tx0)"),
+        F.expr(f"max(_tx1)"),
+        F.expr(f"min(_ty0)"),
+        F.expr(f"max(_ty1)"),
+    ).first()
+    fx0, fy0, fx1, fy1, tx0, tx1, ty0, ty1 = (
+        (0.0, 0.0, 1.0, 1.0, 0, n - 1, 0, n - 1)
+        if ext[0] is None
+        else tuple(ext)
+    )
+    w0, s1 = geom.inv_merc_fraction(float(fx0), float(fy1))
+    e1, n0 = geom.inv_merc_fraction(float(fx1), float(fy0))
     meta = build_metadata(
         bands=[BandMeta(name="band_1", type=band_type, nodata=nodata)],
-        bounds=(-180.0, -85.0, 180.0, 85.0),
-        width=npix,
-        height=npix,
-        block_width=bs,
-        block_height=bs,
+        bounds=(w0, s1, e1, n0),
+        width=(int(tx1) - int(tx0) + 1) * bw,
+        height=(int(ty1) - int(ty0) + 1) * bh,
+        block_width=bw,
+        block_height=bh,
         min_zoom=zoom,
         max_zoom=zoom,
         compression=compression,

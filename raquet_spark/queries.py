@@ -3036,12 +3036,9 @@ SELECT query_id, cand_id, score, rn FROM (
 """
 
 
-_STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
-    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
-    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
-    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
-}
+# stopword lists live with the text operators (the layer that owns the
+# cleaning semantics); the SQL templates here share them
+from raquet_spark.operators.textops import _STOPWORDS  # noqa: E402
 
 
 def lang_id(d: str) -> str:

@@ -389,3 +389,53 @@ def test_hashed_embeddings_feed_ann(spark):
     c = emb.where("doc_id < 10").selectExpr("doc_id AS vec_id", "embedding")
     top = cosine_topk(c, q, k=1).first()
     assert top["cand_id"] == 0 and abs(top["score"] - 1.0) < 1e-6
+
+
+def test_clean_flags_equal_batch_funnel(spark):
+    """with_clean_flags (the streaming gate) must classify exactly like
+    the dual-dialect batch funnel: rebuilding the funnel's per-source
+    counts from the flags reproduces pipeline_clean_counts verbatim."""
+    from raquet_spark.operators.textops import with_clean_flags
+    from raquet_spark.queries import _SQL_QUERIES, load_table, register_views
+
+    SF = "/root/testdata/sf0.001"
+    register_views(spark, SF)
+    funnel = {
+        r["source"]: (r["n_docs"], r["n_en"], r["n_quality"], r["n_kept"])
+        for r in spark.sql(_SQL_QUERIES["pipeline_clean_counts"]("spark")).collect()
+    }
+
+    docs = load_table(spark, SF, "documents")
+    flagged = with_clean_flags(docs).cache()
+    kept_hashes = {
+        r["content_hash"]
+        for r in flagged.where("is_en = 1 AND passes_quality = 1")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper"))
+        .collect()
+    }
+    keepers = {
+        r["doc_id"]
+        for r in flagged.where("is_en = 1 AND passes_quality = 1")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .collect()
+    }
+    rebuilt = {}
+    for r in (
+        flagged.withColumn(
+            "kept", F.col("doc_id").isin(list(keepers)).cast("int")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_en").alias("n_en"),
+            F.sum(F.col("is_en") * F.col("passes_quality")).alias("n_quality"),
+            F.sum(F.expr("CASE WHEN is_en = 1 AND passes_quality = 1 AND kept = 1 THEN 1 ELSE 0 END")).alias("n_kept"),
+        )
+        .collect()
+    ):
+        rebuilt[r["source"]] = (r["n_docs"], r["n_en"], r["n_quality"], r["n_kept"])
+    assert rebuilt == funnel
+    assert len(kept_hashes) == sum(v[3] for v in funnel.values())

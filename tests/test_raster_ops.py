@@ -492,3 +492,52 @@ def test_rasterize_features_painters_order(spark):
         saw3 |= bool((got == 3).any())
         saw7 |= bool((got == 7).any())
     assert saw3 and saw7
+
+
+def test_rasterize_out_of_range_and_rect_blocks(spark):
+    """Polar vertices clamp to the mercator grid (no negative tile
+    coords / garbage block ids), features fully outside emit nothing,
+    and rectangular blocks rasterize with per-axis resolution."""
+    import pandas as pd
+    import numpy as np
+
+    from raquet_spark.functions.quadbin import py_cell_to_tile
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.operators.tiling import rasterize_features
+
+    polar = [{"lon": -5.0, "lat": 89.0}, {"lon": 5.0, "lat": 89.0},
+             {"lon": 0.0, "lat": 80.0}]
+    feats = spark.createDataFrame(
+        pd.DataFrame({"feature_id": [1], "polygon": [polar], "value": [1.0]})
+    )
+    tiles, meta = rasterize_features(feats, zoom=4, block_size=8)
+    for r in tiles.collect():
+        tx, ty, tz = py_cell_to_tile(r["block"])
+        assert 0 <= tx < 16 and 0 <= ty < 16 and tz == 4
+
+    # rectangular blocks: 16x8 tiles still match the numpy reference
+    box = [{"lon": 0.0, "lat": 0.0}, {"lon": 30.0, "lat": 0.0},
+           {"lon": 30.0, "lat": 25.0}, {"lon": 0.0, "lat": 25.0}]
+    f2 = spark.createDataFrame(
+        pd.DataFrame({"feature_id": [1], "polygon": [box], "value": [5.0]})
+    )
+    tiles2, meta2 = rasterize_features(
+        f2, zoom=4, block_size=16, block_height=8
+    )
+    rows = tiles2.collect()
+    assert rows and meta2["tiling"]["block_height"] == 8
+    from raquet_spark.functions import geom
+
+    verts = geom.poly_to_fractions([(p["lon"], p["lat"]) for p in box])
+    n, bw, bh = 16, 16, 8
+    for r in rows:
+        tx, ty, _ = py_cell_to_tile(r["block"])
+        px = (np.arange(bw) + 0.5) / (n * bw)
+        py = (np.arange(bh) + 0.5) / (n * bh)
+        gx, gy = np.meshgrid(tx * bw / (n * bw) + px, ty * bh / (n * bh) + py)
+        want = np.where(geom.point_in_poly_np(gx, gy, verts), 5.0, 0.0)
+        got = decode_block(r["band_1"], "float32").reshape(bh, bw)
+        np.testing.assert_array_equal(got, want)
+    # metadata reflects the feature extent, not the world
+    w, s, e, nn = meta2["bounds"]
+    assert -1 < w < 1 and 29 < e < 31
