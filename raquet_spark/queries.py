@@ -1500,29 +1500,22 @@ def rasterize_polygon_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     encode pipeline. Pixel centers sit half a pixel from every box
     edge, so float rounding in the lon/lat round-trip cannot flip a
     membership."""
-    import math as _math
-
     from pyspark.sql import functions as F
 
     from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.geom import inv_merc_fraction
     from raquet_spark.operators.tiling import rasterize_polygon
 
     c = _RZ
     zoom, bs = c["zoom"], c["bs"]
     npix = (1 << zoom) * bs
 
-    def lon(fx: float) -> float:
-        return (fx - 0.5) * 360.0
-
-    def lat(fy: float) -> float:
-        return _math.degrees(_math.asin(_math.tanh(2.0 * _math.pi * (0.5 - fy))))
-
     ax, bx, ay, by = c["ax"], c["bx"], c["ay"], c["by"]  # global pixel box
     poly = [
-        (lon(ax / npix), lat(ay / npix)),
-        (lon(bx / npix), lat(ay / npix)),
-        (lon(bx / npix), lat(by / npix)),
-        (lon(ax / npix), lat(by / npix)),
+        inv_merc_fraction(ax / npix, ay / npix),
+        inv_merc_fraction(bx / npix, ay / npix),
+        inv_merc_fraction(bx / npix, by / npix),
+        inv_merc_fraction(ax / npix, by / npix),
     ]
     tiles, _meta = rasterize_polygon(
         spark, poly, zoom=zoom, block_size=bs, burn_value=1.0, nodata=0.0,
@@ -1569,31 +1562,25 @@ def rasterize_features_stats_spark(spark: SparkSession, sf_dir: str) -> DataFram
     tile-cover → shuffle-on-block → vectorized burn pipeline; per-tile
     counts of each value reduce to rectangle-intersection arithmetic
     for the oracle, including the strip where 7 paints over 3."""
-    import math as _math
-
     import pandas as pd
     from pyspark.sql import functions as F
 
     from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.geom import inv_merc_fraction
     from raquet_spark.operators.tiling import rasterize_features
 
     c = _RZ
     zoom, bs = c["zoom"], c["bs"]
     npix = (1 << zoom) * bs
 
-    def lon(fx: float) -> float:
-        return (fx - 0.5) * 360.0
-
-    def lat(fy: float) -> float:
-        return _math.degrees(_math.asin(_math.tanh(2.0 * _math.pi * (0.5 - fy))))
-
     def box(ax, bx, ay, by):
-        return [
-            {"lon": lon(ax / npix), "lat": lat(ay / npix)},
-            {"lon": lon(bx / npix), "lat": lat(ay / npix)},
-            {"lon": lon(bx / npix), "lat": lat(by / npix)},
-            {"lon": lon(ax / npix), "lat": lat(by / npix)},
+        corners = [
+            inv_merc_fraction(ax / npix, ay / npix),
+            inv_merc_fraction(bx / npix, ay / npix),
+            inv_merc_fraction(bx / npix, by / npix),
+            inv_merc_fraction(ax / npix, by / npix),
         ]
+        return [{"lon": lo, "lat": la} for lo, la in corners]
 
     a = (c["ax"], c["bx"], c["ay"], c["by"])
     b = (c["ax2"], c["bx2"], c["ay2"], c["by2"])
@@ -1670,12 +1657,11 @@ def vector_zonal_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Every pixel's zone and value are closed-form (integer
     ranges + the value formula), so counts, sums and extrema hash
     exactly; sums of integer-valued doubles are order-independent."""
-    import math as _math
-
     import pandas as pd
     from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions.geom import inv_merc_fraction
     from raquet_spark.operators.region_stats import vector_zonal_stats
     from raquet_spark.operators.tiling import from_pixel_table
 
@@ -1699,19 +1685,14 @@ def vector_zonal_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = from_pixel_table(pix, meta, compression=None)
 
-    def lon(fx: float) -> float:
-        return (fx - 0.5) * 360.0
-
-    def lat(fy: float) -> float:
-        return _math.degrees(_math.asin(_math.tanh(2.0 * _math.pi * (0.5 - fy))))
-
     def box(ax, bx, ay, by):
-        return [
-            {"lon": lon(ax / npix_g), "lat": lat(ay / npix_g)},
-            {"lon": lon(bx / npix_g), "lat": lat(ay / npix_g)},
-            {"lon": lon(bx / npix_g), "lat": lat(by / npix_g)},
-            {"lon": lon(ax / npix_g), "lat": lat(by / npix_g)},
+        corners = [
+            inv_merc_fraction(ax / npix_g, ay / npix_g),
+            inv_merc_fraction(bx / npix_g, ay / npix_g),
+            inv_merc_fraction(bx / npix_g, by / npix_g),
+            inv_merc_fraction(ax / npix_g, by / npix_g),
         ]
+        return [{"lon": lo, "lat": la} for lo, la in corners]
 
     zones = spark.createDataFrame(
         pd.DataFrame(
