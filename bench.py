@@ -73,6 +73,8 @@ def main() -> None:
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
         "dem_slope_stats",
+        "rasterize_features_stats",
+        "vector_zonal_stats",
     ]
 
     timings: dict[str, float] = {}
