@@ -1816,6 +1816,70 @@ GROUP BY 1
 """
 
 
+def dem_hillshade_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade through the halo machinery on an analytically flat
+    surface: zero Horn derivatives everywhere the window is interior,
+    so every valid pixel is exactly 255·cos(zenith) and per-tile counts
+    and the rounded constant are closed-form for the oracle (same
+    interior-window accounting as dem_slope_stats)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.focal import focal_map
+    from raquet_spark.operators.tiling import from_pixel_table
+
+    c = _JP
+    npx = c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    pix = spark.range(npx * npx).selectExpr(
+        f"{gx0} + id % {npx} AS gx",
+        f"{gy0} + id DIV {npx} AS gy",
+        "CAST(500 AS DOUBLE) AS band_1",
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float64")],
+        bounds=(0, 0, 0, 0), width=npx, height=npx,
+        block_width=c["bs"], block_height=c["bs"],
+        min_zoom=c["zoom"], max_zoom=c["zoom"], compression=None,
+    )
+    tiles = from_pixel_table(pix, meta, compression=None)
+    shade = focal_map(tiles, meta, "hillshade", cellsize=1.0, altitude=60.0)
+    px = shade.select(
+        "block", F.explode(band_decode("band_1", "float64")).alias("v")
+    ).where(~F.isnan("v"))
+    return px.groupBy("block").agg(
+        F.expr("CAST(COUNT(v) AS BIGINT)").alias("n_valid"),
+        F.expr("round(MIN(v), 6)").alias("shade_min"),
+        F.expr("round(MAX(v), 6)").alias("shade_max"),
+    )
+
+
+def dem_hillshade_stats_oracle() -> str:
+    c = _JP
+    bs, npx = c["bs"], c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    cell = qb.tile_to_cell_sql(
+        f"{c['tx']} + (gx - {gx0}) // {bs}",
+        f"{c['ty']} + (gy - {gy0}) // {bs}",
+        c["zoom"], "duckdb",
+    )
+    return f"""
+WITH px AS (
+  SELECT {gx0} + i % {npx} AS gx, {gy0} + i // {npx} AS gy
+  FROM (SELECT unnest(range(0, {npx * npx})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+)
+SELECT {cell} AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       round(255.0 * cos(radians(30.0)), 6) AS shade_min,
+       round(255.0 * cos(radians(30.0)), 6) AS shade_max
+FROM px
+GROUP BY 1
+"""
+
+
 def bpe_segment_words_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train → apply, end to end: learn 12 merges from a fixed
     corpus with the batched distributed trainer, then segment a fixed
@@ -4333,6 +4397,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "lossy_webp_roundtrip_stats": (lossy_webp_roundtrip_stats_spark, lossy_webp_roundtrip_stats_oracle),
     "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
     "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
+    "dem_hillshade_stats": (dem_hillshade_stats_spark, dem_hillshade_stats_oracle),
     "rasterize_polygon_stats": (rasterize_polygon_stats_spark, rasterize_polygon_stats_oracle),
     "rasterize_features_stats": (rasterize_features_stats_spark, rasterize_features_stats_oracle),
     "vector_zonal_stats": (vector_zonal_stats_spark, vector_zonal_stats_oracle),
