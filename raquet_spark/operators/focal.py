@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from raquet_spark.core.metadata import parse_nodata
 from raquet_spark.functions import quadbin as qb
 from raquet_spark.functions.bands import DTYPES, decode_block, encode_block
+from raquet_spark.plans.shape import pin_group_width
 
 _EARTH_R = 6378137.0
 _ORIGIN_SHIFT = math.pi * _EARTH_R
@@ -243,6 +244,7 @@ def focal_map(
              band: [encode_block(out.reshape(-1), "float64", compression)]}
         )
 
+    routed = pin_group_width(routed, "group")
     return routed.groupBy("group").applyInPandas(
         assemble, schema=f"block bigint, {band} binary"
     )

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from raquet_spark.core.metadata import parse_nodata
 from raquet_spark.functions import quadbin as qb
 from raquet_spark.functions.bands import DTYPES, decode_block, encode_block
+from raquet_spark.plans.shape import pin_group_width
 
 
 def _downsample(block: np.ndarray, method: str, nodata) -> np.ndarray:
@@ -285,6 +286,7 @@ def build_level_halo(
         return pd.DataFrame(out)
 
     schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
+    routed = pin_group_width(routed, "parent")
     return routed.groupBy("parent").applyInPandas(assemble, schema=schema)
 
 
@@ -332,6 +334,7 @@ def build_level(
         return pd.DataFrame(out)
 
     schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
+    children = pin_group_width(children, "parent")
     return children.groupBy("parent").applyInPandas(assemble, schema=schema)
 
 
@@ -414,6 +417,7 @@ def build_levels_blocked(
         return pd.DataFrame(out)
 
     schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
+    children = pin_group_width(children, "anc")
     return children.groupBy("anc").applyInPandas(assemble, schema=schema)
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from raquet_spark.core.metadata import parse_nodata
 from raquet_spark.functions import quadbin as qb
 from raquet_spark.functions.bands import DTYPES, encode_block
+from raquet_spark.plans.shape import pin_group_width
 
 
 def from_pixel_table(
@@ -78,6 +79,7 @@ def from_pixel_table(
         [f"{n} {t}" for n, t in extra_keys]
         + [f"{name} binary" for name, _, _ in bands]
     )
+    keyed = pin_group_width(keyed, "block", *extra_names)
     return keyed.groupBy("block", *extra_names).applyInPandas(assemble, schema=schema)
 
 
@@ -278,7 +280,7 @@ def rasterize_features(
             "band_1": [encode_block(arr.reshape(-1), band_type, compression)],
         })
 
-    tiles = pairs.groupBy("block").applyInPandas(
+    tiles = pin_group_width(pairs, "block").groupBy("block").applyInPandas(
         burn, schema="block bigint, band_1 binary"
     )
     # metadata reflects the actual feature extent, not the world grid

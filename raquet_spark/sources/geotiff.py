@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from raquet_spark.core.metadata import parse_nodata
 from raquet_spark.functions import quadbin as qb
 from raquet_spark.functions.bands import DTYPES, decode_block
+from raquet_spark.plans.shape import pin_group_width
 
 _EARTH_R = 6378137.0
 _ORIGIN_SHIFT = math.pi * _EARTH_R
@@ -131,6 +132,7 @@ def strip_table(
         src.where(
             (F.col("qb_x").between(x0, x1)) & (F.col("qb_y").between(y0, y1))
         )
+        .transform(lambda d: pin_group_width(d, "qb_y"))
         .groupBy("qb_y")
         .applyInPandas(assemble, schema="strip bigint, data binary")
     )
@@ -780,6 +782,7 @@ def write_geotiff_sharded(
 
     index = (
         strips_df.withColumn("shard", F.expr(f"strip DIV {rows_per_shard}"))
+        .transform(lambda d: pin_group_width(d, "shard"))
         .groupBy("shard")
         .applyInPandas(
             write_shard,
