@@ -4,8 +4,10 @@ The reference compresses interleaved uint8 tiles with Pillow
 (/root/reference/raquet/raster2raquet.py:816 raises without it). This
 container has no PIL, so the codec is implemented from the public
 ITU-T T.81 (JPEG) and JFIF specifications: baseline sequential DCT,
-8-bit, grayscale or YCbCr 4:4:4, Annex-K quantization and Huffman
-tables with IJG quality scaling. ``operators/layout.py`` prefers PIL
+8-bit, grayscale or YCbCr at 4:4:4/4:2:2/4:2:0 (the decoder reads any
+sampling factors plus restart intervals — everything PIL/libjpeg emit
+for baseline files), Annex-K quantization and Huffman tables with IJG
+quality scaling. ``operators/layout.py`` prefers PIL
 when importable and falls back here, so lossy RaQuet datasets
 round-trip in either environment (files are standard JFIF either way).
 
@@ -178,9 +180,61 @@ def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes
-    (4:4:4, Annex-K Huffman tables)."""
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-average ``plane`` by (fv, fh), edge-padding to multiples first
+    (libjpeg's encoder downsampling is a box filter, h2v2_downsample)."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+
+def _encode_blocks(bw: "_BitWriter", zz: np.ndarray, prev_dc: int,
+                   dc_tab: dict, ac_tab: dict) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    diff = int(zz[0]) - prev_dc
+    size, bits = _magnitude(diff)
+    code, length = dc_tab[size]
+    bw.put(code, length)
+    if size:
+        bw.put(bits, size)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    end = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, end + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.put(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_tab[(run << 4) | size]
+        bw.put(code, length)
+        bw.put(bits, size)
+        run = 0
+    if end < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.put(code, length)
+    return int(zz[0])
+
+
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes.
+
+    ``subsampling``: ``"444"`` (default — every pixel exact at
+    quality 100, which the hash-exact driver queries rely on),
+    ``"422"``, or ``"420"`` (PIL/libjpeg's RGB default; chroma box-
+    downsampled, MCU-interleaved per T.81 A.2.3)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         planes = [a.astype(np.float64)]
@@ -191,55 +245,54 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
         raise ValueError(f"jpeg_encode expects (h,w) or (h,w,3) uint8, got {a.shape}")
     h, w = a.shape[:2]
     ncomp = len(planes)
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    hmax, vmax = _SUBSAMPLING[subsampling] if ncomp == 3 else (1, 1)
+    # (Hi, Vi) per component: luma at max, chroma at 1x1
+    factors = [(hmax, vmax)] + [(1, 1)] * (ncomp - 1)
     ql, qc = _quant_tables(quality)
     qtabs = [ql] + ([qc] if ncomp == 3 else [])
 
-    # quantized zigzag coefficients per component
+    # MCU grid (in 8px units scaled by each component's factor)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # quantized zigzag coefficients per component, on the MCU-padded grid
     comp_coef = []
+    comp_bx = []
     for ci, plane in enumerate(planes):
-        blocks, _by, _bx = _blocks(plane)
+        fh, fv = hmax // factors[ci][0], vmax // factors[ci][1]
+        sub = _box_downsample(plane, fh, fv)
+        # pad the component plane to its MCU-aligned block grid
+        tw, th = mcux * 8 * factors[ci][0], mcuy * 8 * factors[ci][1]
+        sh, sw = sub.shape
+        sub = np.pad(sub, ((0, th - sh), (0, tw - sw)), mode="edge")
+        blocks, _by, bx = _blocks(sub)
         f = np.einsum("ux,nxy,vy->nuv", _T, blocks, _T)
         q = qtabs[min(ci, 1)].reshape(8, 8)
         coef = np.round(f / q).astype(np.int32).reshape(-1, 64)[:, _ZZ]
         comp_coef.append(coef)
+        comp_bx.append(bx)
 
     dc_tabs = [_canonical_codes(*_DC_L), _canonical_codes(*_DC_C)]
     ac_tabs = [_canonical_codes(*_AC_L), _canonical_codes(*_AC_C)]
 
     bw = _BitWriter()
     prev_dc = [0] * ncomp
-    nblocks = comp_coef[0].shape[0]
-    for n in range(nblocks):
-        for ci in range(ncomp):
-            t = min(ci, 1)
-            zz = comp_coef[ci][n]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, length = dc_tabs[t][size]
-            bw.put(code, length)
-            if size:
-                bw.put(bits, size)
-            run = 0
-            last_nz = np.nonzero(zz[1:])[0]
-            end = last_nz[-1] + 1 if len(last_nz) else 0
-            for k in range(1, end + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_tabs[t][0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = ac_tabs[t][(run << 4) | size]
-                bw.put(code, length)
-                bw.put(bits, size)
-                run = 0
-            if end < 63:
-                code, length = ac_tabs[t][0x00]  # EOB
-                bw.put(code, length)
+    # interleaved MCU order (T.81 A.2.3): components in SOF order, each
+    # contributing Vi x Hi blocks raster-ordered within the MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                t = min(ci, 1)
+                hi, vi = factors[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        n = (my * vi + vy) * comp_bx[ci] + (mx * hi + vx)
+                        prev_dc[ci] = _encode_blocks(
+                            bw, comp_coef[ci][n], prev_dc[ci],
+                            dc_tabs[t], ac_tabs[t],
+                        )
     bw.flush()
 
     # ---------------- markers ----------------
@@ -253,7 +306,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 85) -> bytes:
         )
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, min(ci, 1))  # 1x1 sampling
+        hi, vi = factors[ci]
+        out += struct.pack("BBB", ci + 1, (hi << 4) | vi, min(ci, 1))
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_L), (1, 0, _AC_L), (0, 1, _DC_C), (1, 1, _AC_C)
     )[: 2 * min(ncomp, 2)]:
@@ -295,6 +349,37 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def restart(self) -> None:
+        """Byte-align (dropping pad bits) and consume an RSTn marker
+        (T.81 E.2.4 — the entropy stream resets at each restart)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker in scan")
+
+
+def _upsample_axis(p: np.ndarray, axis: int, factor: int) -> np.ndarray:
+    """Upsample a chroma plane along one axis. Factor 2 uses libjpeg's
+    'fancy' triangle filter (h2v1/h2v2_fancy_upsample: nearest 3/4 +
+    next-nearest 1/4, edges clamped); other factors replicate."""
+    if factor == 1:
+        return p
+    if factor != 2:
+        return np.repeat(p, factor, axis=axis)
+    a = np.moveaxis(p, axis, 0)
+    prev = np.concatenate([a[:1], a[:-1]], axis=0)
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    up = np.empty((a.shape[0] * 2,) + a.shape[1:], dtype=np.float64)
+    up[0::2] = (3.0 * a + prev) / 4.0
+    up[1::2] = (3.0 * a + nxt) / 4.0
+    return np.moveaxis(up, 0, axis)
+
 
 def _decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
     """{(length, code): symbol}."""
@@ -326,17 +411,46 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _decode_block(br: "_BitReader", dct: dict, act: dict) -> np.ndarray:
+    """One entropy-coded block → zigzag coefficient vector (DC holds the
+    DIFF; the caller adds the predictor)."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = _read_symbol(br, dct)
+    zz[0] = _extend(br.read(size), size) if size else 0
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, act)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    return zz
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (h, w) or (h, w, 3). Supports what
-    this codec (and PIL at 4:4:4) emits: baseline sequential, 8-bit,
-    1x1 sampling, no restart markers or progressive scans."""
+    """Baseline JFIF bytes → uint8 (h, w) or (h, w, 3).
+
+    Reads the full baseline sequential (SOF0) feature set PIL/libjpeg
+    emit by default: 8-bit grayscale or YCbCr with ANY sampling factors
+    (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...; MCU interleave per T.81 A.2.3),
+    restart intervals (DRI/RSTn), chroma triangle upsampling matching
+    libjpeg's decoder. Progressive (SOF2) and arithmetic coding remain
+    typed gates."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htrees: dict[tuple[int, int], dict] = {}
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, qtab)
     h = w = 0
+    restart_interval = 0
     scan_comps: list[tuple[int, int, int]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -375,16 +489,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             p = 6
             for _ in range(nc):
                 cid, samp, qid = seg[p], seg[p + 1], seg[p + 2]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        f"subsampling {samp:#x} (this codec reads 4:4:4/gray)"
-                    )
-                comps.append((cid, samp, qid))
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {samp:#x}")
+                comps.append((cid, hi, vi, qid))
                 p += 3
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("only baseline sequential (SOF0) JPEG")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             nc = seg[0]
             p = 1
@@ -397,45 +510,58 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         pos += seglen
     if not comps or not scan_comps:
         raise ValueError("missing SOF0/SOS")
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError("non-interleaved (multi-scan) sequential JPEG")
 
     ncomp = len(comps)
-    by, bx = -(-h // 8), -(-w // 8)
+    if ncomp == 1:
+        # single-component scans are non-interleaved: MCU = 1 block and
+        # the SOF sampling factors do not apply (T.81 A.2.2)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hi, vi, _q in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer chroma upsampling ({hi}x{vi} vs {hmax}x{vmax})"
+            )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     br = _BitReader(data[pos:])
-    planes = [np.zeros((by * 8, bx * 8)) for _ in range(ncomp)]
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for _cid, hi, vi, _q in comps
+    ]
     prev_dc = [0] * ncomp
-    for n in range(by * bx):
-        yy, xx = divmod(n, bx)
+    idct_t = _T  # orthonormal DCT basis
+    for n in range(mcuy * mcux):
+        if restart_interval and n and n % restart_interval == 0:
+            br.restart()
+            prev_dc = [0] * ncomp
+        my, mx = divmod(n, mcux)
         for ci in range(ncomp):
             _cid, dtab, atab = scan_comps[ci]
             dct = htrees[(0, dtab)]
             act = htrees[(1, atab)]
-            zz = np.zeros(64, dtype=np.int32)
-            size = _read_symbol(br, dct)
-            diff = _extend(br.read(size), size) if size else 0
-            prev_dc[ci] += diff
-            zz[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(br, act)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.read(size), size)
-                k += 1
-            q = qtabs[comps[ci][2]]
-            f = (zz * q)[_UNZZ].reshape(8, 8).astype(np.float64)
-            block = _T.T @ f @ _T + 128.0
-            planes[ci][yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = block
-    planes = [p[:h, :w] for p in planes]
+            _id, hi, vi, qid = comps[ci]
+            q = qtabs[qid]
+            for vy in range(vi):
+                for vx in range(hi):
+                    zz = _decode_block(br, dct, act)
+                    prev_dc[ci] += int(zz[0])
+                    zz[0] = prev_dc[ci]
+                    f = (zz * q)[_UNZZ].reshape(8, 8).astype(np.float64)
+                    block = idct_t.T @ f @ idct_t + 128.0
+                    yy = (my * vi + vy) * 8
+                    xx = (mx * hi + vx) * 8
+                    planes[ci][yy : yy + 8, xx : xx + 8] = block
+    out_planes = []
+    for (_cid, hi, vi, _q), plane in zip(comps, planes):
+        plane = _upsample_axis(plane, 0, vmax // vi)
+        plane = _upsample_axis(plane, 1, hmax // hi)
+        out_planes.append(plane[:h, :w])
     if ncomp == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     if ncomp == 3:
-        rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        rgb = _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     raise NotImplementedError(f"{ncomp}-component JPEG")

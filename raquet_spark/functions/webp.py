@@ -22,12 +22,13 @@ good ratios on raster tiles:
 - canonical Huffman codes serialized through the code-length code, with
   the 1-2 symbol "simple code" shortcut
 
-Decoder (``vp8l_decode``) covers everything the encoder can emit plus
-color-cache hits and all four inverse transforms, so every encoder
-option is round-trip tested. Two honest gates remain (typed errors, not
-silent wrong answers): the 120-entry short-distance plane-code table
-and meta-Huffman partitions — libwebp may emit them, our encoder never
-does, and neither can be verified in this container without PIL.
+Decoder (``vp8l_decode``) covers the FULL VP8L spatial feature set —
+everything the encoder can emit plus color-cache hits, all four inverse
+transforms, the 120-entry short-distance plane-code map, and
+meta-Huffman partitions (the per-tile huffman-group image libwebp emits
+for larger photos). The libwebp-only features are verified against
+hand-built bitstreams in tests (no PIL in this container), the rest by
+encoder round-trips.
 
 Bit order: LSB-first within bytes for value fields; Huffman codes are
 read/written most-significant code bit first (DEFLATE convention), per
@@ -849,30 +850,67 @@ def vp8l_encode(
 # --------------------------------------------------------------------------
 
 
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+"""Plane codes 1..120 → (dx, dy) neighbor offsets (WebP lossless spec
+§4.2.2 "distance mapping"): dist = dx + dy·xsize, clamped to ≥ 1."""
+
+
 def _read_entropy_coded_image(
     br: BitReader, w: int, h: int, level0: bool
 ) -> np.ndarray:
     """Decode one entropy-coded ARGB image → (h, w, 4) uint8.
 
     ``level0`` gates the meta-huffman bit (only the top-level image may
-    carry one; we reject it with a typed error since our encoder never
-    partitions and the path can't be verified in-container)."""
+    carry one): when set, a sub-resolution "huffman image" assigns each
+    2^p×2^p tile a huffman-code group (index = red<<8|green), and every
+    symbol is decoded with the group of the pixel position it starts
+    at. Single-group images (what our encoder writes) skip the per-
+    symbol group lookup entirely."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not (1 <= cache_bits <= 11):
             raise ValueError(f"invalid color cache bits {cache_bits}")
+    gmap = None
+    prec = 0
+    num_groups = 1
     if level0 and br.read(1):
-        raise NotImplementedError(
-            "meta-huffman partitions are not implemented (our encoder "
-            "emits a single huffman group; see module docstring)"
-        )
+        # meta-huffman: the huffman image is itself an entropy-coded
+        # image (never recursively partitioned)
+        prec = br.read(3) + 2
+        hw = (w + (1 << prec) - 1) >> prec
+        hh = (h + (1 << prec) - 1) >> prec
+        himg = _read_entropy_coded_image(br, hw, hh, level0=False)
+        gmap = (himg[:, :, 1].astype(np.int32) << 8) | himg[:, :, 2]
+        num_groups = int(gmap.max()) + 1
     cache_size = (1 << cache_bits) if cache_bits else 0
-    dec_g = _read_huffman_code(br, NUM_LITERALS + NUM_LENGTH_CODES + cache_size)
-    dec_r = _read_huffman_code(br, 256)
-    dec_b = _read_huffman_code(br, 256)
-    dec_a = _read_huffman_code(br, 256)
-    dec_d = _read_huffman_code(br, NUM_DISTANCE_CODES)
+    groups = [
+        (
+            _read_huffman_code(br, NUM_LITERALS + NUM_LENGTH_CODES + cache_size),
+            _read_huffman_code(br, 256),
+            _read_huffman_code(br, 256),
+            _read_huffman_code(br, 256),
+            _read_huffman_code(br, NUM_DISTANCE_CODES),
+        )
+        for _ in range(num_groups)
+    ]
+    dec_g, dec_r, dec_b, dec_a, dec_d = groups[0]
 
     cache = [0] * cache_size
     n = h * w
@@ -927,6 +965,11 @@ def _read_entropy_coded_image(
         return v
 
     while len(out) < n:
+        if gmap is not None:
+            y, x = divmod(len(out), w)
+            dec_g, dec_r, dec_b, dec_a, dec_d = groups[
+                gmap[y >> prec, x >> prec]
+            ]
         s = _decode_sym(dec_g)
         if s < NUM_LITERALS:
             r = _decode_sym(dec_r)
@@ -954,12 +997,10 @@ def _read_entropy_coded_image(
                 + 1
             )
             if plane_code <= 120:
-                raise NotImplementedError(
-                    "short-distance plane codes (2D distance map) are not "
-                    "implemented; our encoder emits direct distances only "
-                    "(see module docstring)"
-                )
-            dist = plane_code - 120
+                dx, dy = _DIST_MAP[plane_code - 1]
+                dist = max(1, dx + dy * w)
+            else:
+                dist = plane_code - 120
             pos = len(out)
             if dist > pos:
                 raise ValueError("VP8L backreference before image start")

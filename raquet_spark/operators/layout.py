@@ -70,10 +70,10 @@ def encode_lossy(
         img = Image.fromarray(arr.squeeze(), mode=_PIL_MODES[n_bands])
         buf = io.BytesIO()
         if compression == "jpeg":
-            # subsampling=0 (4:4:4): Pillow defaults to 4:2:0 chroma for
-            # RGB below quality 95, which the pure-numpy fallback decoder
-            # (functions/jpeg.py) doesn't accept — tiles written on a
-            # PIL machine must stay readable on a PIL-less cluster
+            # subsampling=0 (4:4:4) keeps chroma full-resolution; the
+            # PIL-less decoder (functions/jpeg.py) reads any sampling
+            # factors, so PIL-default 4:2:0 files also stay readable —
+            # writing 4:4:4 is a quality choice, not a compat one
             img.save(buf, format="JPEG", quality=quality, subsampling=0)
         else:
             # lossless VP8L for the same cross-environment reason: the

@@ -221,3 +221,158 @@ def test_jpeg_interleaved_roundtrip_spark(spark, rgb):
             a = decode_block(orig[k][band], "uint8")
             b = decode_block(got[k][band], "uint8")
             assert _psnr(a, b) > 20, (k, band)  # mod-251 sawtooth is worst-case for DCT
+
+
+def test_jpeg_subsampled_roundtrip():
+    """4:2:0 / 4:2:2 encode→decode round-trips: shape preserved, PSNR
+    bounded, smaller payloads than 4:4:4, odd dims OK. This is the
+    decode path reference/PIL-written 3-band lossy tiles need (PIL's
+    RGB default below quality 95 is 4:2:0)."""
+    import numpy as np
+
+    from raquet_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    gy, gx = np.mgrid[0:96, 0:112]
+    base = (
+        128 + 60 * np.sin(gx / 9.0) * np.cos(gy / 13.0)
+        + 20 * np.sin((gx + gy) / 7.0)
+    ).clip(0, 255).astype(np.uint8)
+    rgb = np.stack([base, base[::-1], np.roll(base, 17, axis=1)], axis=-1)
+
+    enc444 = jpeg_encode(rgb, 85, "444")
+    for sub in ("422", "420"):
+        enc = jpeg_encode(rgb, 85, sub)
+        dec = jpeg_decode(enc)
+        assert dec.shape == rgb.shape
+        assert _psnr(rgb, dec) > 32, sub
+        assert len(enc) < len(enc444), sub
+        # odd dims exercise MCU edge padding + crop
+        odd = rgb[:37, :53]
+        dodd = jpeg_decode(jpeg_encode(odd, 85, sub))
+        assert dodd.shape == odd.shape and _psnr(odd, dodd) > 30
+
+    with np.testing.assert_raises(ValueError):
+        jpeg_encode(rgb, 85, "411x")
+
+
+def test_jpeg_420_handcrafted_conformance():
+    """Decoder conformance against a BYTE-HAND-BUILT 4:2:0 stream (not
+    produced by this codec's encoder): DC-only blocks, two MCUs, a
+    restart interval of one, all-ones quant tables. Every construct —
+    MCU interleave order (T.81 A.2.3), per-component DC prediction,
+    RSTn predictor reset, chroma upsampling, YCbCr→RGB — has a
+    hand-computable expected value: a constant-DC block decodes to
+    q·DC/8 + 128 everywhere under the orthonormal IDCT."""
+    import numpy as np
+
+    from raquet_spark.functions.jpeg import jpeg_decode
+
+    # --- independent entropy writer (spec C.2 canonical codes) ---
+    def canonical(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    class W:
+        def __init__(self):
+            self.bytes_ = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code, ln):
+            for i in range(ln - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.bytes_.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.bytes_.append(0x00)
+                    self.acc, self.n = 0, 0
+
+        def align(self):
+            while self.n:
+                self.put(1, 1)  # 1-fill pad
+
+    # Annex K.3 DC tables (public constants); 1-entry AC table: EOB='0'
+    dc_tab = canonical([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                       list(range(12)))
+    DC_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+    DC_VALS = bytes(range(12))
+    AC_BITS = bytes([1] + [0] * 15)
+    AC_VALS = bytes([0x00])
+
+    def put_dc_only(w, diff):
+        size = int(abs(diff)).bit_length()
+        code, ln = dc_tab[size]
+        w.put(code, ln)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            w.put(amp, size)
+        w.put(0, 1)  # EOB from the 1-entry AC table
+
+    # Pixel design: 32x16, 4:2:0 => two 16x16 MCUs, DRI=1.
+    # MCU0 luma quadrants 160/96/208/64; chroma Cb=90 Cr=170 (both MCUs,
+    # constant planes => triangle upsampling is exact everywhere).
+    # MCU1 luma 128. DC coeff for constant value v is (v-128)*8 at q=1.
+    yq = [160, 96, 208, 64]
+    dcs = [(v - 128) * 8 for v in yq]
+    cb_dc, cr_dc = (90 - 128) * 8, (170 - 128) * 8
+
+    w = W()
+    prev = 0
+    for d in dcs:  # MCU0: Y blocks TL,TR,BL,BR then Cb, Cr
+        put_dc_only(w, d - prev)
+        prev = d
+    put_dc_only(w, cb_dc)
+    put_dc_only(w, cr_dc)
+    w.align()
+    scan = bytes(w.bytes_) + b"\xFF\xD0"  # RST0, predictors reset
+    w = W()
+    for _ in range(4):  # MCU1: Y=128 => diff 0 from the RESET predictor
+        put_dc_only(w, 0)
+    put_dc_only(w, cb_dc)  # fresh diffs, not deltas from MCU0
+    put_dc_only(w, cr_dc)
+    w.align()
+    scan += bytes(w.bytes_)
+
+    import struct
+
+    hdr = bytearray(b"\xFF\xD8")
+    for tid in (0, 1):  # all-ones quant tables
+        hdr += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + b"\x01" * 64
+    hdr += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, 16, 32, 3)
+    hdr += bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])  # Y 2x2, Cb/Cr 1x1
+    for cls, tid, bits, vals in (
+        (0, 0, DC_BITS, DC_VALS), (1, 0, AC_BITS, AC_VALS),
+        (0, 1, DC_BITS, DC_VALS), (1, 1, AC_BITS, AC_VALS),
+    ):
+        hdr += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        hdr += bits + vals
+    hdr += b"\xFF\xDD" + struct.pack(">HH", 4, 1)  # DRI = 1 MCU
+    hdr += b"\xFF\xDA" + struct.pack(">HB", 12, 3)
+    hdr += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3F\x00"
+    jpg = bytes(hdr) + scan + b"\xFF\xD9"
+
+    out = jpeg_decode(jpg)
+    assert out.shape == (16, 32, 3)
+
+    def rgb_of(y, cb, cr):
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(np.round([r, g, b]), 0, 255).astype(np.uint8)
+
+    quads = {(0, 0): 160, (0, 8): 96, (8, 0): 208, (8, 8): 64}
+    for (qy, qx), yv in quads.items():
+        expect = rgb_of(yv, 90, 170)
+        got = out[qy : qy + 8, qx : qx + 8]
+        assert (got == expect).all(), ((qy, qx), got[0, 0], expect)
+    # right MCU: neutral luma, same chroma — proves the RST reset both
+    # byte-aligned the reader and zeroed every DC predictor
+    expect = rgb_of(128, 90, 170)
+    assert (out[:, 16:] == expect).all(), (out[0, 16], expect)

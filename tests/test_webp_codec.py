@@ -215,3 +215,143 @@ def test_predictor_spec_semantics():
     out[1, 0] = [10, 10, 10, 10]  # L  (ave = 10)
     pred = _predict(out, 1, 1, 3, 13)
     np.testing.assert_array_equal(pred, [9, 9, 9, 9])  # floor would give 8
+
+
+class _LsbWriter:
+    """Independent LSB-first bit writer for hand-building VP8L streams
+    in tests (mirrors the spec's bit order, not the module's writer)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, nbits):
+        for i in range(nbits):
+            self.bits.append((value >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _simple_code(w, syms):
+    """Emit a spec 'simple code' (1-2 symbols, each ≤ 255)."""
+    w.w(1, 1)
+    w.w(len(syms) - 1, 1)
+    w.w(1, 1)  # first symbol uses 8 bits
+    w.w(syms[0], 8)
+    if len(syms) == 2:
+        w.w(syms[1], 8)
+
+
+def test_vp8l_short_distance_plane_codes_handcrafted():
+    """Decoder conformance for the 120-entry 2D distance map against a
+    hand-built bitstream (our encoder never emits plane codes ≤ 120):
+    a 4x2 image whose second row is one backreference with plane code 1
+    = offset (0, 1) = the pixel directly above."""
+    import numpy as np
+
+    from raquet_spark.functions.webp import vp8l_decode
+
+    w = _LsbWriter()
+    w.w(0x2F, 8)          # signature
+    w.w(4 - 1, 14)        # width
+    w.w(2 - 1, 14)        # height
+    w.w(0, 1)             # alpha hint
+    w.w(0, 3)             # version
+    w.w(0, 1)             # no transforms
+    w.w(0, 1)             # no color cache
+    w.w(0, 1)             # no meta-huffman
+
+    # GREEN: normal code, lengths: sym 50 -> 1, sym 259 (length code
+    # ls=3 => copy length 4) -> 1, rest 0, alphabet 280.
+    w.w(0, 1)             # not simple
+    w.w(0, 4)             # num_code_lengths = 4 (order 17,18,0,1)
+    for ln in (0, 1, 0, 1):   # CLC lengths: sym18 -> 1, sym1 -> 1
+        w.w(ln, 3)
+    w.w(0, 1)             # no max_symbol shortcut
+    # canonical CLC: sym1 = code 0, sym18 = code 1 (both 1 bit)
+    def zeros(n):         # emit an 18-run covering n zeros (11..138)
+        w.w(1, 1)
+        w.w(n - 11, 7)
+    zeros(50)             # syms 0..49
+    w.w(0, 1)             # length 1 at sym 50
+    zeros(138)            # 51..188
+    zeros(70)             # 189..258
+    w.w(0, 1)             # length 1 at sym 259
+    zeros(20)             # 260..279
+    _simple_code(w, [10, 20])    # RED: codes 0/1
+    _simple_code(w, [30, 40])    # BLUE
+    _simple_code(w, [255])       # ALPHA: zero-bit code
+    _simple_code(w, [0])         # DISTANCE: zero-bit code (ds=0)
+
+    # row 0: four literals (G bit 0 = sym 50), R/B chosen per pixel
+    for rbit, bbit in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        w.w(0, 1)         # green literal 50
+        w.w(rbit, 1)
+        w.w(bbit, 1)
+    # row 1: one backref: G bit 1 = sym 259 => length 4 (no extra),
+    # distance symbol is zero-bit, ds=0 => plane code 1 => (dx,dy)=(0,1)
+    # => dist = 0 + 1*4 = 4
+    w.w(1, 1)
+
+    out = vp8l_decode(w.bytes())
+    assert out.shape == (2, 4, 4)
+    exp_row = np.array([
+        [255, 10, 50, 30], [255, 20, 50, 30],
+        [255, 20, 50, 40], [255, 10, 50, 40],
+    ], dtype=np.uint8)
+    assert (out[0] == exp_row).all(), out[0]
+    assert (out[1] == exp_row).all(), out[1]  # copied from the row above
+
+
+def test_vp8l_meta_huffman_handcrafted():
+    """Decoder conformance for meta-huffman partitions against a
+    hand-built bitstream (libwebp emits these for larger images; our
+    encoder never does): an 8x4 image split into two 4x4 tiles, each
+    tile bound to a different huffman group through the huffman image
+    (group index = red<<8 | green)."""
+    import numpy as np
+
+    from raquet_spark.functions.webp import vp8l_decode
+
+    w = _LsbWriter()
+    w.w(0x2F, 8)
+    w.w(8 - 1, 14)
+    w.w(4 - 1, 14)
+    w.w(0, 1)             # alpha hint
+    w.w(0, 3)             # version
+    w.w(0, 1)             # no transforms
+    w.w(0, 1)             # no color cache
+    w.w(1, 1)             # meta-huffman present
+    w.w(0, 3)             # precision = 2 + 0 => 4x4 tiles => 2x1 map
+
+    # huffman image (2x1, level0=False): greens 0 and 1 are the groups
+    w.w(0, 1)             # inner image: no color cache
+    _simple_code(w, [0, 1])      # GREEN: two literals
+    _simple_code(w, [0])         # RED (zero-bit)
+    _simple_code(w, [0])         # BLUE
+    _simple_code(w, [255])       # ALPHA
+    _simple_code(w, [0])         # DISTANCE
+    w.w(0, 1)             # tile 0 -> green 0 -> group 0
+    w.w(1, 1)             # tile 1 -> green 1 -> group 1
+
+    # two huffman-code groups, all single-symbol (zero-bit) codes
+    for g, r, b in ((100, 11, 22), (200, 33, 44)):
+        _simple_code(w, [g])
+        _simple_code(w, [r])
+        _simple_code(w, [b])
+        _simple_code(w, [255])
+        _simple_code(w, [0])
+    # 32 literal pixels follow — every code is zero-bit, so no data bits
+
+    out = vp8l_decode(w.bytes())
+    assert out.shape == (4, 8, 4)
+    left = np.array([255, 11, 100, 22], dtype=np.uint8)
+    right = np.array([255, 33, 200, 44], dtype=np.uint8)
+    assert (out[:, :4] == left).all(), out[0, 0]
+    assert (out[:, 4:] == right).all(), out[0, 4]
