@@ -114,15 +114,21 @@ def focal_map(
     df: DataFrame,
     metadata: dict,
     op: str,
-    band: str = "band_1",
+    band: str | list[str] = "band_1",
     radius: int = 1,
     cellsize: float | None = None,
     z_factor: float = 1.0,
     azimuth: float = 315.0,
     altitude: float = 45.0,
 ) -> DataFrame:
-    """Apply a focal operator to one band → tiles ``(block, <band>)``
-    of float64 with NaN where the window leaves valid data.
+    """Apply a focal operator to one band or a LIST of bands → tiles
+    ``(block, <band>, ...)`` of float64 with NaN where the window
+    leaves valid data.
+
+    Multi-band calls ride the SAME single halo-exchange shuffle as one
+    band — each tile row carries every requested band's core blob and
+    per-band edge strips, so n bands cost one groupBy, not n
+    (byte-identical to n sequential single-band calls, pytest-pinned).
 
     ``cellsize`` defaults to the Web-Mercator ground resolution at the
     dataset zoom (meters/pixel at the equator); pass 1.0 to work in
@@ -135,13 +141,14 @@ def focal_map(
         radius = 1
     elif op not in STAT_OPS:
         raise ValueError(f"unknown focal op {op!r}")
+    bands = [band] if isinstance(band, str) else list(band)
     t = metadata["tiling"]
     z, bw, bh = t["max_zoom"], t["block_width"], t["block_height"]
     if radius > min(bw, bh):
         raise ValueError(f"radius {radius} exceeds block size {bw}x{bh}")
     binfo = {b["name"]: b for b in metadata["bands"]}
-    btype = binfo[band]["type"]
-    nodata = parse_nodata(binfo[band].get("nodata"))
+    btypes = {b: binfo[b]["type"] for b in bands}
+    nodatas = {b: parse_nodata(binfo[b].get("nodata")) for b in bands}
     if cellsize is None:
         cellsize = 2.0 * _ORIGIN_SHIFT / ((1 << z) * bw)
     m = 1 << z
@@ -153,30 +160,44 @@ def focal_map(
         compression = "gzip"
 
     src = qb.with_tile(
-        df.where(F.col("block") != 0).select("block", band), "block"
+        df.where(F.col("block") != 0).select("block", *bands), "block"
     ).where(F.col("qb_z") == z)
 
+    def _to_f8(tile: np.ndarray, nodata) -> np.ndarray:
+        arr = tile.astype("f8")
+        if nodata is not None and not (
+            isinstance(nodata, float) and np.isnan(nodata)
+        ):
+            arr = np.where(tile == nodata, np.nan, arr)
+        return arr
+
     def strips(batches):
-        """9 rows per tile: the core payload + 8 narrow halo strips."""
+        """9 rows per tile: the core payloads + 8 narrow halo strips,
+        every band riding the same row."""
         for pdf in batches:
-            gx, gy, ox, oy, kind, data = [], [], [], [], [], []
+            cols: dict[str, list] = {
+                "gx": [], "gy": [], "ox": [], "oy": [], "kind": [],
+                **{b: [] for b in bands},
+            }
             for row in pdf.to_dict("records"):
                 tx, ty = int(row["qb_x"]), int(row["qb_y"])
-                tile = decode_block(row[band], btype).reshape(bh, bw)
-                arr = tile.astype("f8")
-                if nodata is not None and not (
-                    isinstance(nodata, float) and np.isnan(nodata)
-                ):
-                    arr = np.where(tile == nodata, np.nan, arr)
-                gx.append(tx)
-                gy.append(ty)
-                ox.append(0)
-                oy.append(0)
-                kind.append(0)
-                # ship the ORIGINAL encoded blob (gzip'd source dtype),
-                # not the 8-byte-per-pixel f8 expansion — the shuffle
-                # carries ~input volume + the narrow strips
-                data.append(bytes(row[band]))
+                arrs = {
+                    b: _to_f8(
+                        decode_block(row[b], btypes[b]).reshape(bh, bw),
+                        nodatas[b],
+                    )
+                    for b in bands
+                }
+                cols["gx"].append(tx)
+                cols["gy"].append(ty)
+                cols["ox"].append(0)
+                cols["oy"].append(0)
+                cols["kind"].append(0)
+                for b in bands:
+                    # ship the ORIGINAL encoded blob (gzip'd source
+                    # dtype), not the 8-byte-per-pixel f8 expansion —
+                    # the shuffle carries ~input volume + narrow strips
+                    cols[b].append(bytes(row[b]))
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         if dx == 0 and dy == 0:
@@ -190,21 +211,21 @@ def focal_map(
                         ys = slice(bh - r, bh) if dy == -1 else (
                             slice(0, r) if dy == 1 else slice(0, bh)
                         )
-                        gx.append(ngx)
-                        gy.append(ngy)
-                        ox.append(dx)
-                        oy.append(dy)
-                        kind.append(1)
-                        data.append(np.ascontiguousarray(arr[ys, xs]).tobytes())
-            yield pd.DataFrame(
-                {"gx": gx, "gy": gy, "ox": ox, "oy": oy,
-                 "kind": kind, "data": data}
-            )
+                        cols["gx"].append(ngx)
+                        cols["gy"].append(ngy)
+                        cols["ox"].append(dx)
+                        cols["oy"].append(dy)
+                        cols["kind"].append(1)
+                        for b in bands:
+                            cols[b].append(
+                                np.ascontiguousarray(arrs[b][ys, xs]).tobytes()
+                            )
+            yield pd.DataFrame(cols)
 
-    routed = src.mapInPandas(
-        strips,
-        schema="gx bigint, gy bigint, ox int, oy int, kind int, data binary",
-    ).withColumn(
+    strip_schema = "gx bigint, gy bigint, ox int, oy int, kind int, " + ", ".join(
+        f"{b} binary" for b in bands
+    )
+    routed = src.mapInPandas(strips, schema=strip_schema).withColumn(
         "group", F.expr(qb.tile_to_cell_sql("gx", "gy", z, "spark"))
     )
 
@@ -213,48 +234,44 @@ def focal_map(
             # halo-only group: the tile itself is absent from the dataset
             return pd.DataFrame(
                 {"block": pd.Series([], dtype="int64"),
-                 band: pd.Series([], dtype=object)}
+                 **{b: pd.Series([], dtype=object) for b in bands}}
             )
-        padded = np.full((bh + 2 * r, bw + 2 * r), np.nan)
-        for row in pdf.to_dict("records"):
-            dx, dy = int(row["ox"]), int(row["oy"])
-            if row["kind"] == 0:
-                tile = decode_block(row["data"], btype).reshape(bh, bw)
-                core = tile.astype("f8")
-                if nodata is not None and not (
-                    isinstance(nodata, float) and np.isnan(nodata)
-                ):
-                    core = np.where(tile == nodata, np.nan, core)
-                padded[r : r + bh, r : r + bw] = core
-                continue
-            buf = np.frombuffer(row["data"], dtype="f8")
-            # contributor sits at (dx, dy) relative to this tile
-            xs = slice(0, r) if dx == -1 else (
-                slice(r + bw, r + bw + r) if dx == 1 else slice(r, r + bw)
-            )
-            ys = slice(0, r) if dy == -1 else (
-                slice(r + bh, r + bh + r) if dy == 1 else slice(r, r + bh)
-            )
-            w = (xs.stop - xs.start)
-            h = (ys.stop - ys.start)
-            padded[ys, xs] = buf.reshape(h, w)
-        out = _apply_op(padded, op, r, cellsize, z_factor, azimuth, altitude)
-        return pd.DataFrame(
-            {"block": [int(key[0])],
-             band: [encode_block(out.reshape(-1), "float64", compression)]}
-        )
+        out_row: dict[str, list] = {"block": [int(key[0])]}
+        records = pdf.to_dict("records")
+        for b in bands:
+            padded = np.full((bh + 2 * r, bw + 2 * r), np.nan)
+            for row in records:
+                dx, dy = int(row["ox"]), int(row["oy"])
+                if row["kind"] == 0:
+                    tile = decode_block(row[b], btypes[b]).reshape(bh, bw)
+                    padded[r : r + bh, r : r + bw] = _to_f8(tile, nodatas[b])
+                    continue
+                buf = np.frombuffer(row[b], dtype="f8")
+                # contributor sits at (dx, dy) relative to this tile
+                xs = slice(0, r) if dx == -1 else (
+                    slice(r + bw, r + bw + r) if dx == 1 else slice(r, r + bw)
+                )
+                ys = slice(0, r) if dy == -1 else (
+                    slice(r + bh, r + bh + r) if dy == 1 else slice(r, r + bh)
+                )
+                w = (xs.stop - xs.start)
+                h = (ys.stop - ys.start)
+                padded[ys, xs] = buf.reshape(h, w)
+            out = _apply_op(padded, op, r, cellsize, z_factor, azimuth, altitude)
+            out_row[b] = [encode_block(out.reshape(-1), "float64", compression)]
+        return pd.DataFrame(out_row)
 
     routed = pin_group_width(routed, "group")
-    return routed.groupBy("group").applyInPandas(
-        assemble, schema=f"block bigint, {band} binary"
-    )
+    out_schema = "block bigint, " + ", ".join(f"{b} binary" for b in bands)
+    return routed.groupBy("group").applyInPandas(assemble, schema=out_schema)
 
 
-def focal_metadata(metadata: dict, band: str = "band_1") -> dict:
+def focal_metadata(metadata: dict, band: str | list[str] = "band_1") -> dict:
     """Metadata for a focal_map output table: float64 bands, the spec
     spelling "NaN" for the nodata (what parse_nodata recognizes), and
     the same gzip fallback focal_map applies when the source carried a
     lossy (uint8-only) codec."""
+    bands = [band] if isinstance(band, str) else list(band)
     meta = dict(metadata)
     comp = metadata.get("compression", "gzip")
     if comp not in (None, "none", "gzip"):
@@ -263,6 +280,6 @@ def focal_metadata(metadata: dict, band: str = "band_1") -> dict:
     meta["bands"] = [
         {**b, "type": "float64", "nodata": "NaN"}
         for b in metadata["bands"]
-        if b["name"] == band
+        if b["name"] in bands
     ]
     return meta

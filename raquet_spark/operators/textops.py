@@ -200,6 +200,7 @@ def bpe_train(
     text_col: str = "text",
     checkpoint_every: int = 8,
     batch_size: int = 8,
+    max_batch_size: int = 4096,
     stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed BPE vocabulary training (the public Sennrich et al.
@@ -232,8 +233,24 @@ def bpe_train(
     batch_size=1`` — one driver action per merge, the Sennrich loop —
     would produce, on ANY corpus; with distinct counts (real corpora)
     a round typically accepts many merges, cutting the driver's
-    critical path toward ~batch_size×. ``stats`` (optional dict)
-    records ``rounds`` so tests can assert batching actually engaged."""
+    critical path toward ~batch_size×.
+
+    ``batch_size`` ADAPTS between rounds (``batch_size`` is the
+    starting width, ``max_batch_size`` the cap): a round that accepts
+    its full budget — the proof never fired, only the budget stopped
+    it — doubles the next round's width, and a round that accepts
+    under a quarter halves it (floored at the start value). Early
+    training is collision-dense (every pair shares one of a few dozen
+    characters) so rounds stay narrow, but a 32k-merge production
+    vocabulary spends almost all its rounds in the late regime where
+    counts are distinct and symbols diverse — there the width grows
+    geometrically and rounds ≪ merges. The collect ``limit`` scales
+    with the width (16 grams per accepted merge keeps the triple
+    bounds visible). For corpora where even adaptive batching is too
+    slow, the standard recipe is training on a fixed-size word-table
+    sample (frequencies, not documents), which this function accepts
+    unchanged. ``stats`` (optional dict) records ``rounds`` and
+    ``final_batch_size`` so tests can assert batching engaged."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -251,9 +268,10 @@ def bpe_train(
     merges: list[tuple[str, str]] = []
     next_checkpoint = checkpoint_every
     rounds = 0
-    limit = max(64, batch_size * 16)
+    cur_batch = batch_size
     while len(merges) < n_merges:
         rounds += 1
+        limit = max(64, cur_batch * 16)
         # pairs as (a, b, NULL), triples as (a, b, c) — one explode, one
         # groupBy, one top-`limit` collect: a single action per round
         grams = (
@@ -290,7 +308,7 @@ def bpe_train(
         used: set[str] = set()
         batch: list[tuple[str, str]] = []
         bounds: list[int] = []
-        room = min(batch_size, n_merges - len(merges))
+        room = min(cur_batch, n_merges - len(merges))
         for row in pair_rows:
             a, b, nq = row["a"], row["b"], row["n"]
             if batch:
@@ -309,6 +327,14 @@ def bpe_train(
             if len(batch) >= room:
                 break
         merges.extend(batch)
+        # adapt: full budget and no proof break => widen; mostly-broken
+        # rounds narrow back toward the starting width. batch_size=1 is
+        # the strict Sennrich loop and never adapts (tests rely on it).
+        if batch_size > 1:
+            if len(batch) >= room and room == cur_batch:
+                cur_batch = min(cur_batch * 2, max_batch_size)
+            elif len(batch) * 4 <= cur_batch:
+                cur_batch = max(batch_size, cur_batch // 2)
         batch_now = list(batch)
 
         def apply_merges(
@@ -338,6 +364,7 @@ def bpe_train(
             next_checkpoint = len(merges) + checkpoint_every
     if stats is not None:
         stats["rounds"] = rounds
+        stats["final_batch_size"] = cur_batch
     return merges
 
 

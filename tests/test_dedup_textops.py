@@ -439,3 +439,29 @@ def test_clean_flags_equal_batch_funnel(spark):
         rebuilt[r["source"]] = (r["n_docs"], r["n_en"], r["n_quality"], r["n_kept"])
     assert rebuilt == funnel
     assert len(kept_hashes) == sum(v[3] for v in funnel.values())
+
+
+def test_bpe_adaptive_batching_rounds_far_below_merges(spark):
+    """On a distinct-count, symbol-disjoint corpus (the late-training
+    regime a 32k-vocab run spends nearly all its rounds in) the
+    adaptive width doubles every full round, so merges accrue
+    geometrically per driver round - while remaining sequential-exact
+    (merge order == descending frequency, all pairs disjoint). The
+    tokenizer's [a-z0-9] alphabet allows 18 disjoint character pairs;
+    the >=512-merge rounds-per-merge measurement lives in
+    scripts/scale_probe.py where symbols can grow past characters."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import bpe_train
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    n = 16
+    words = [(alphabet[2 * i] + alphabet[2 * i + 1], n + 2 - i) for i in range(n)]
+    texts = [" ".join([w] * f) for w, f in words]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    stats: dict = {}
+    merges = bpe_train(df, n_merges=n, batch_size=2, stats=stats)
+    assert merges == [(w[0], w[1]) for w, _f in words]
+    # widths 2,4,8,2 -> 4 rounds for 16 merges (vs 8 at fixed width 2)
+    assert stats["rounds"] <= 5, stats
+    assert stats["final_batch_size"] > 2, stats

@@ -152,3 +152,28 @@ def test_focal_with_missing_tile_matches_global(spark, raster):
         np.testing.assert_array_equal(
             decode_block(row["band_1"], "float64").reshape(BS, BS), sub
         )
+
+
+def test_focal_multiband_matches_per_band_single_shuffle(spark):
+    """A multi-band focal call is byte-identical to n sequential
+    single-band calls and still costs exactly ONE extra Exchange — the
+    per-band strips ride the same halo-exchange rows."""
+    from raquet_spark.plans.inspect import count_exchanges
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=6, tiles_x=2, tiles_y=2, origin_x=16, origin_y=20,
+        block_size=BS, num_bands=3, dtype="float32", nodata=-1.0,
+        nodata_every=7,
+    )
+    bands = ["band_1", "band_2", "band_3"]
+    multi = focal_map(tiles, meta, "mean", band=bands, radius=2)
+    assert count_exchanges(multi) == count_exchanges(tiles) + 1
+    got = {r["block"]: r for r in multi.collect()}
+    for b in bands:
+        single = {
+            r["block"]: r
+            for r in focal_map(tiles, meta, "mean", band=b, radius=2).collect()
+        }
+        assert single.keys() == got.keys()
+        for blk in single:
+            assert bytes(single[blk][b]) == bytes(got[blk][b]), (b, blk)

@@ -330,3 +330,24 @@ def test_read_raquet_over_http(spark, raster, tmp_path):
         assert remote == local
     finally:
         srv.shutdown()
+
+
+def test_object_store_paths_pass_through_untouched(spark):
+    """Contract pin for the 100 TB read path: s3a/gs/abfss/hdfs URIs go
+    straight to spark.read.parquet (parallel, connector-managed) — the
+    driver-localization convenience is for http(s) demo files ONLY. A
+    cloud path must never be downloaded through urllib on the driver."""
+    import pytest
+
+    from raquet_spark.sources.raquet import _localize, read_raquet
+
+    for scheme in ("s3a", "s3", "gs", "abfss", "wasbs", "hdfs"):
+        uri = f"{scheme}://bucket/some/raster.parquet"
+        assert _localize(spark, uri) == uri
+    # end-to-end: the failure (no connector in-container) must come from
+    # Spark's Hadoop FS layer resolving the scheme, not from an attempt
+    # to localize or reinterpret the URI
+    with pytest.raises(Exception) as exc:
+        read_raquet(spark, "s3a://no-such-bucket/x.parquet").count()
+    msg = str(exc.value)
+    assert "s3a" in msg or "S3A" in msg or "FileSystem" in msg, msg[:400]
