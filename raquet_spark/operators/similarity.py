@@ -340,6 +340,185 @@ def ann_ivf(
     )
 
 
+def _pq_codebooks(
+    candidates: DataFrame,
+    vec_col: str,
+    cent: list[list[float]],
+    m_sub: int,
+    ks: int,
+    n_iter: int,
+    seed: int,
+    sample_size: int,
+) -> list:
+    """Per-subspace residual codebooks (Jégou et al., product
+    quantization): sample-bounded driver training, like the coarse
+    quantizer. Residuals are taken against the assigned UNIT centroid
+    on unit-normalized vectors, so the asymmetric score reconstructs
+    the cosine directly."""
+    import numpy as np
+
+    sample = (
+        candidates.select(vec_col).limit(sample_size).toPandas()[vec_col].tolist()
+    )
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    C = np.asarray(cent, dtype=np.float64)
+    res = x - C[(x @ C.T).argmax(axis=1)]
+    d = x.shape[1]
+    if d % m_sub:
+        raise ValueError(f"m_sub={m_sub} must divide the dimension {d}")
+    dsub = d // m_sub
+    rng = np.random.RandomState(seed + 1)
+    books = np.zeros((m_sub, ks, dsub))
+    for m in range(m_sub):
+        sub = res[:, m * dsub : (m + 1) * dsub]
+        k_eff = min(ks, len(sub))
+        cb = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        for _ in range(n_iter):
+            # squared-L2 assignment via the expanded form (no B×K×D blow-up)
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cb.T
+                + (cb * cb).sum(axis=1)
+            )
+            assign = d2.argmin(axis=1)
+            for j in range(k_eff):
+                members = sub[assign == j]
+                if len(members):
+                    cb[j] = members.mean(axis=0)
+        books[m, :k_eff] = cb
+    return books.tolist()
+
+
+def ann_ivf_pq(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int | None = None,
+    n_probe: int = 3,
+    n_iter: int = 5,
+    seed: int = 7,
+    sample_size: int = 100_000,
+    m_sub: int = 8,
+    ks: int = 256,
+    rerank: int = 8,
+    n_rows: int | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """IVF-ADC+R approximate top-k: coarse quantizer + product-quantized
+    residual codes + exact re-ranking (the public Jégou et al. recipe).
+
+    This is :func:`ann_ivf`'s 100 TB memory shape: the probe join
+    carries only ``(cand_id, cluster, m_sub bytes)`` per candidate —
+    memory ∝ N·m_sub instead of N·dim·8 — and full vectors are fetched
+    (an equi-join on ``cand_id``) ONLY for the ``rerank·k`` PQ-shortlist
+    rows per query (default 8k: the shortlist is where PQ loses recall,
+    and widening it is cheap next to the probe scan). The asymmetric score is
+    ``dot(q̂, centroid) + Σ_m dot(q̂_m, codebook_m[code_m])`` — the
+    cosine of the reconstructed candidate — computed as one batched
+    numpy gather+einsum per Arrow batch; the exact re-rank then restores
+    true-cosine ordering inside the shortlist, so an identical twin
+    ranks first with score exactly 1.0 whenever the shortlist recalls
+    it. Output schema matches :func:`cosine_topk`."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        if n_clusters is None:
+            if n_rows is None:
+                n_rows = candidates.count()
+            n_clusters = derive_ivf_clusters(n_rows)
+        centroids = _kmeans_centroids(
+            candidates, vec_col, n_clusters, n_iter, seed, sample_size
+        )
+    if codebooks is None:
+        codebooks = _pq_codebooks(
+            candidates, vec_col, centroids, m_sub, ks, n_iter, seed, sample_size
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m_sub, ks, dsub)
+    msub, _ks, dsub = B.shape
+
+    @F.pandas_udf("struct<cid: int, code: binary>")
+    def encode(v: pd.Series) -> pd.DataFrame:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cid = (Xn @ C.T).argmax(axis=1)
+        res = (Xn - C[cid]).reshape(len(X), msub, dsub)
+        codes = np.empty((len(X), msub), dtype=np.uint8)
+        for m in range(msub):
+            d2 = (
+                (res[:, m] * res[:, m]).sum(axis=1, keepdims=True)
+                - 2.0 * res[:, m] @ B[m].T
+                + (B[m] * B[m]).sum(axis=1)
+            )
+            codes[:, m] = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype("int32"), "code": [c.tobytes() for c in codes]}
+        )
+
+    @F.pandas_udf("double")
+    def adc_score(qv: pd.Series, cid: pd.Series, code: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in qv])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cids = cid.to_numpy(dtype=np.int64)
+        codes = np.stack([np.frombuffer(c, dtype=np.uint8) for c in code])
+        dot_c = np.einsum("bd,bd->b", Xn, C[cids])
+        qr = Xn.reshape(len(X), msub, dsub)
+        cw = B[np.arange(msub)[None, :], codes.astype(np.int64)]  # (b, m, dsub)
+        return pd.Series(dot_c + np.einsum("bmd,bmd->b", qr, cw))
+
+    def nearest_clusters_udf(n: int):
+        @F.pandas_udf("array<int>")
+        def topn(v: pd.Series) -> pd.Series:
+            X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            sims = X @ C.T
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(idx))
+
+        return topn
+
+    # inverted index: ids + codes only — full vectors stay behind
+    enc = candidates.select(
+        F.col(id_col).alias("cand_id"), encode(F.col(vec_col)).alias("e")
+    ).select("cand_id", F.col("e.cid").alias("_cid"), F.col("e.code").alias("_code"))
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    probes = q.withColumn("_cid", F.explode(nearest_clusters_udf(n_probe)("_qv")))
+
+    shortlist_n = max(k * rerank, k)
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.desc("_approx"), F.asc("cand_id")
+    )
+    shortlist = (
+        enc.join(probes, "_cid")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("_approx", adc_score("_qv", "_cid", "_code"))
+        .withColumn("_arn", F.row_number().over(w_approx))
+        .where(F.col("_arn") <= shortlist_n)
+        .select("query_id", "cand_id", "_qv")
+    )
+
+    # exact re-rank: fetch true vectors for the shortlist only
+    cvec = with_norm(
+        candidates.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+    ).withColumnRenamed("_norm", "_cnorm")
+    rer = with_norm(shortlist, "_qv").withColumnRenamed("_norm", "_qnorm")
+    scored = rer.join(cvec, "cand_id").withColumn(
+        "score", _dot("_qv", "_cv") / F.col("_qnorm") / F.col("_cnorm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "cand_id", "score", "rn")
+    )
+
+
 def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     """|approx ∩ exact| / |exact| over (query_id, cand_id) pairs."""
     e = exact.select("query_id", "cand_id")

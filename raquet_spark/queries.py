@@ -4231,22 +4231,25 @@ WHERE vec_id % 25 = 0
 
 
 def ann_ivf_planted_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF planted-twin check: an identical query lands in the same
-    coarse cluster as its twin (argmax over identical similarity rows),
-    so probing even one inverted list must surface it at cosine 1.0 —
-    closed-form rank-1 through the real quantizer-train → assign →
-    probe → score chain."""
+    """IVF-PQ planted-twin check: an identical query lands in the same
+    coarse cluster as its twin (argmax over identical similarity rows)
+    and the twin's PQ code quantizes the SAME residual, so the twin
+    tops the asymmetric-distance shortlist and the exact re-rank pins
+    it at cosine exactly 1.0 — closed-form rank-1 through the real
+    quantizer-train → PQ-encode → probe → ADC-score → re-rank chain
+    (similarity.ann_ivf_pq, the N·m_sub-bytes memory shape)."""
     from pyspark.sql import functions as F
 
-    from raquet_spark.operators.similarity import ann_ivf
+    from raquet_spark.operators.similarity import ann_ivf_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     planted = emb.where(F.col("vec_id") % 25 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(_LSH_PLANT_OFFSET)
     )
-    out = ann_ivf(
+    out = ann_ivf_pq(
         emb.unionByName(planted), planted, k=1,
         n_clusters=16, n_probe=2, seed=7, sample_size=100_000,
+        m_sub=8, ks=64,
     )
     return out.where(
         F.col("cand_id") == F.col("query_id") - F.lit(_LSH_PLANT_OFFSET)

@@ -195,6 +195,50 @@ def test_ann_ivf_recall(spark, embeddings):
     assert approx.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
 
 
+def test_ann_ivf_pq_recall_and_exact_rerank(spark, embeddings):
+    """IVF-PQ (codes through the probe join, exact re-rank at the end):
+    recall vs brute force must match the plain-IVF gate at the same
+    probe width, and because the re-rank uses TRUE vectors, an
+    identical planted twin scores exactly 1.0 at rank 1."""
+    from raquet_spark.operators.similarity import ann_ivf_pq
+
+    queries = embeddings.where(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(embeddings, queries, k=5).cache()
+    approx = ann_ivf_pq(
+        embeddings, queries, k=5, n_clusters=8, n_probe=4, m_sub=8, ks=64
+    )
+    r = recall_at_k(exact, approx)
+    assert r >= 0.5, f"IVF-PQ recall {r}"
+    assert approx.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 5
+
+    planted = queries.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    out = ann_ivf_pq(
+        embeddings.unionByName(planted), planted, k=1,
+        n_clusters=8, n_probe=2, m_sub=8, ks=64,
+    ).collect()
+    by_q = {r["query_id"]: r for r in out}
+    for r in queries.select("vec_id").collect():
+        got = by_q[r["vec_id"] + 10_000_000]
+        assert got["cand_id"] == r["vec_id"]
+        assert got["score"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ann_ivf_pq_codes_are_bytes_not_vectors(spark, embeddings):
+    """Memory-shape pin: the encoded index row carries m_sub BYTES per
+    vector (plus cluster id), not the dim x 8-byte float payload."""
+    from raquet_spark.operators.similarity import (
+        _kmeans_centroids,
+        _pq_codebooks,
+    )
+
+    cent = _kmeans_centroids(embeddings, "embedding", 8, 3, 7, 10_000)
+    books = _pq_codebooks(embeddings, "embedding", cent, 8, 64, 3, 7, 10_000)
+    import numpy as np
+
+    B = np.asarray(books)
+    assert B.shape == (8, 64, 8)  # m_sub x ks x dsub for dim=64
+
+
 def test_stateful_sessionize(spark, tmp_path):
     from raquet_spark.queries import load_table
     from raquet_spark.streaming.ingest import stateful_sessionize
