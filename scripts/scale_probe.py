@@ -1,15 +1,18 @@
 #!/usr/bin/env python3
-"""Scale probe: run the heaviest operators at ~8-10x the bench input to
-confirm runtime grows with shuffle volume (near-linearly), not with some
-driver-side bottleneck — the round-4 "would the plan survive a scale-up"
-check (VERDICT r03 item 10). No sf>0.1 testdata exists, so inputs are
+"""Scale probe: run the heaviest operators at 8x AND 64x the bench input
+to confirm runtime grows with shuffle volume (near-linearly), not with a
+driver-side bottleneck or a hidden quadratic term — the round-4 "would
+the plan survive a scale-up" check (VERDICT r03 item 10), deepened to
+x64 in round 7 (VERDICT r06 item 7: "components/BPE/minhash
+superlinearity shows later"). No sf>0.1 testdata exists, so inputs are
 scaled synthetically:
 
-- documents: the sf0.1 table unioned 8x with re-keyed doc ids
-- embeddings: the sf0.1 table unioned 8x with re-keyed vec ids
+- documents: the sf0.1 table unioned Nx with re-keyed doc ids
+- embeddings: the sf0.1 table unioned Nx with re-keyed vec ids
 - raster: 16x16 tiles x 256px (16 Mpx, 4x the bench raster)
 
-Prints one JSON line {"probe": {...}, "ratios_vs_bench": {...}}.
+Prints one JSON line {"probe": {...}, ...}. Override the multiplier list
+with SPARK_GRAFT_PROBE_MULTS=8,64 (comma-separated).
 """
 
 from __future__ import annotations
@@ -26,6 +29,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mults = [
+        int(m)
+        for m in os.environ.get("SPARK_GRAFT_PROBE_MULTS", "8,64").split(",")
+    ]
     from raquet_spark.session import get_spark
 
     spark = get_spark("raquet_spark_scale_probe")
@@ -33,29 +40,25 @@ def main() -> None:
 
     from raquet_spark.queries import load_table
 
-    mult = 8
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    big_docs = docs
-    for i in range(1, mult):
-        big_docs = big_docs.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-        )
-    big_docs = big_docs.localCheckpoint(eager=True)
-
     emb = load_table(spark, sf_dir, "embeddings")
-    big_emb = emb
-    for i in range(1, mult):
-        big_emb = big_emb.unionByName(
-            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
-        )
-    big_emb = big_emb.localCheckpoint(eager=True)
+
+    def scale_up(df, key: str, mult: int):
+        """Union the table mult times with re-keyed ids, materialized so
+        each probe line times the operator, not the synthesis."""
+        big = df
+        for i in range(1, mult):
+            big = big.unionByName(
+                df.withColumn(key, F.col(key) + F.lit(i * 10_000_000))
+            )
+        return big.localCheckpoint(eager=True)
 
     timings: dict[str, float] = {}
 
-    def bench(name: str, fn) -> None:
+    def bench(name: str, fn, runs: int = 2) -> None:
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -64,60 +67,105 @@ def main() -> None:
 
     from raquet_spark.operators.dedup import (
         connected_components,
+        embedding_dedup_pairs_lsh,
         minhash_dedup_pairs,
     )
-    from raquet_spark.operators.similarity import ann_lsh
+    from raquet_spark.operators.similarity import ann_ivf, ann_ivf_pq, ann_lsh
+    from raquet_spark.operators.textops import bpe_train
+    from raquet_spark.queries import _SQL_QUERIES, register_views
 
-    bench(f"dedup_minhash_x{mult}", lambda: minhash_dedup_pairs(big_docs).count())
-    bench(
-        f"dedup_components_x{mult}",
-        lambda: connected_components(
-            minhash_dedup_pairs(big_docs), "id_a", "id_b"
-        ).count(),
-    )
-    queries_df = big_emb.where("vec_id % 25 = 0")
-    # bench settings (n_bits=4 → 16 buckets/table): per-bucket work grows
-    # quadratically when corpus AND query side both scale — the knob a
-    # user turns at scale is n_bits, which bounds bucket size
-    bench(
-        f"ann_lsh_x{mult}",
-        lambda: ann_lsh(big_emb, queries_df, k=5, n_bits=4, n_tables=12, dim=64).count(),
-    )
-    bench(
-        f"ann_lsh_x{mult}_nbits7",
-        lambda: ann_lsh(big_emb, queries_df, k=5, n_bits=7, n_tables=12, dim=64).count(),
-    )
-    # round-5: n_bits omitted — derive_lsh_bits sizes from the corpus,
-    # so the DEFAULT should now track the hand-tuned nbits7 line, not
-    # the quadratic nbits4 one
-    bench(
-        f"ann_lsh_x{mult}_auto",
-        lambda: ann_lsh(big_emb, queries_df, k=5, n_tables=12, dim=64).count(),
-    )
+    register_views(spark, sf_dir)
 
-    # round-5 additions: the newest operator families carry a measured
-    # scale story too (VERDICT r04 item 9)
+    for mult in mults:
+        # x64 lines run once (superlinearity shows in the exponent, not
+        # the min-of-2); x8 keeps min-of-2 for continuity with r04/r05.
+        runs = 2 if mult <= 8 else 1
+        big_docs = scale_up(docs, "doc_id", mult)
+        big_emb = scale_up(emb, "vec_id", mult)
 
-    # semantic dedup at 8x: auto-sized LSH (n_bits derived from corpus),
-    # planted copies of every 10th vector, full LSH → components → keep
-    from raquet_spark.operators.dedup import embedding_dedup_pairs_lsh
-
-    def semantic_keep() -> int:
-        planted = big_emb.where("vec_id % 10 = 0").withColumn(
-            "vec_id", F.col("vec_id") + F.lit(100_000_000)
+        bench(
+            f"dedup_minhash_x{mult}",
+            lambda: minhash_dedup_pairs(big_docs).count(),
+            runs,
         )
-        corpus = big_emb.unionByName(planted).localCheckpoint(eager=True)
-        pairs = embedding_dedup_pairs_lsh(
-            corpus, threshold=0.95, n_tables=16, dim=64
-        ).where(F.col("id_b") == F.col("id_a") + F.lit(100_000_000))
-        comp = connected_components(pairs, "id_a", "id_b")
-        pruned = comp.where("node != component").selectExpr("node AS vec_id")
-        return corpus.select("vec_id").join(pruned, "vec_id", "left_anti").count()
+        bench(
+            f"dedup_components_x{mult}",
+            lambda: connected_components(
+                minhash_dedup_pairs(big_docs), "id_a", "id_b"
+            ).count(),
+            runs,
+        )
 
-    bench(f"semantic_dedup_x{mult}", semantic_keep)
+        # ANN families. Query side scales with the corpus (every 25th /
+        # 100th vector) so the probe measures corpus AND query growth.
+        queries_df = big_emb.where("vec_id % 25 = 0")
+        ivf_queries = big_emb.where("vec_id % 100 = 0")
+        # auto-sized LSH: derive_lsh_bits pins ~1k expected bucket
+        # occupancy, so per-bucket work stays bounded as N grows
+        bench(
+            f"ann_lsh_x{mult}_auto",
+            lambda: ann_lsh(
+                big_emb, queries_df, k=5, n_tables=12, dim=64
+            ).count(),
+            runs,
+        )
+        # auto-sized IVF: ~sqrt(N) clusters, n_probe=3 lists per query
+        # -> scored pairs grow as Q*sqrt(N) by design (document, don't
+        # hide); PQ rides the same probe with byte codes + rerank.
+        bench(
+            f"ann_ivf_x{mult}_auto",
+            lambda: ann_ivf(big_emb, ivf_queries, k=5).count(),
+            runs,
+        )
+        bench(
+            f"ann_ivf_pq_x{mult}",
+            lambda: ann_ivf_pq(big_emb, ivf_queries, k=5).count(),
+            runs,
+        )
 
-    # pHash dedup on an 8x media table (960 images + copies): DCT
-    # signatures, pigeonhole-banded hamming join
+        # semantic dedup: auto-sized LSH, planted copies of every 10th
+        # vector, full LSH -> components -> keep chain
+        def semantic_keep() -> int:
+            planted = big_emb.where("vec_id % 10 = 0").withColumn(
+                "vec_id", F.col("vec_id") + F.lit(100_000_000)
+            )
+            corpus = big_emb.unionByName(planted).localCheckpoint(eager=True)
+            pairs = embedding_dedup_pairs_lsh(
+                corpus, threshold=0.95, n_tables=16, dim=64
+            ).where(F.col("id_b") == F.col("id_a") + F.lit(100_000_000))
+            comp = connected_components(pairs, "id_a", "id_b")
+            pruned = comp.where("node != component").selectExpr(
+                "node AS vec_id"
+            )
+            return (
+                corpus.select("vec_id")
+                .join(pruned, "vec_id", "left_anti")
+                .count()
+            )
+
+        bench(f"semantic_dedup_x{mult}", semantic_keep, runs)
+
+        # batched BPE: driver rounds must stay << merges as the corpus
+        # grows (adaptive width, round-7 change)
+        def bpe() -> int:
+            stats: dict = {}
+            merges = bpe_train(big_docs, n_merges=32, batch_size=8, stats=stats)
+            timings[f"bpe_rounds_x{mult}"] = stats.get("rounds", -1)
+            return len(merges)
+
+        bench(f"bpe_train32_x{mult}", bpe, runs)
+
+        # DSIR weights: two 1024-bucket aggs + one broadcast scoring join
+        big_docs.createOrReplaceTempView("documents")
+        dsir_sql = _SQL_QUERIES["dsir_weights"]("spark")
+        bench(f"dsir_weights_x{mult}", lambda: spark.sql(dsir_sql).count(), runs)
+        load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+            "documents"
+        )
+
+
+    # pHash dedup stays at x8: make_media_table synthesis is the cost at
+    # larger mults, not the banded hamming join being probed
     from raquet_spark.operators.multimodal import (
         make_media_table,
         phash_dedup_pairs,
@@ -125,42 +173,19 @@ def main() -> None:
     )
 
     def phash() -> int:
-        media = make_media_table(spark, n=120 * mult).select(
-            "media_id", "payload"
-        )
+        media = make_media_table(spark, n=120 * 8).select("media_id", "payload")
         copies = media.where("media_id % 5 = 0").withColumn(
             "media_id", F.col("media_id") + F.lit(10_000_000)
         )
         hashes = phash_table(media.unionByName(copies))
         return phash_dedup_pairs(hashes, max_distance=0).count()
 
-    bench(f"phash_dedup_x{mult}", phash)
-
-    # batched BPE on the 8x corpus: driver rounds << merges now
-    from raquet_spark.operators.textops import bpe_train
-
-    def bpe() -> int:
-        stats: dict = {}
-        merges = bpe_train(big_docs, n_merges=32, batch_size=8, stats=stats)
-        timings["bpe_rounds_x%d" % mult] = stats.get("rounds", -1)
-        return len(merges)
-
-    bench(f"bpe_train32_x{mult}", bpe)
-
-    # DSIR weights on the 8x corpus: two 1024-bucket aggs + one
-    # broadcast scoring join — should track corpus size linearly
-    from raquet_spark.queries import _SQL_QUERIES, register_views
-
-    register_views(spark, sf_dir)
-    big_docs.createOrReplaceTempView("documents")
-    dsir_sql = _SQL_QUERIES["dsir_weights"]("spark")
-    bench(f"dsir_weights_x{mult}", lambda: spark.sql(dsir_sql).count())
-    # register_views memoizes per (app, sf_dir): restore explicitly
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    bench("phash_dedup_x8", phash)
 
     # raster: 16 Mpx (4x bench's 4 Mpx)
     import tempfile
 
+    from raquet_spark.operators.focal import focal_map
     from raquet_spark.operators.pyramid import build_pyramid
     from raquet_spark.operators.tile_stats import with_tile_stats
     from raquet_spark.sources.geotiff import write_geotiff_sharded
@@ -189,17 +214,9 @@ def main() -> None:
             scan, meta, tempfile.mkdtemp(prefix="probe_shards_"), rows_per_shard=2
         ),
     )
+    bench("focal_slope_16mpx", lambda: focal_map(scan, meta, "slope").count())
 
-    # focal slope over the 16 Mpx raster: strip halo exchange, one
-    # shuffle; volume ~= input + 3% strips
-    from raquet_spark.operators.focal import focal_map
-
-    bench(
-        "focal_slope_16mpx",
-        lambda: focal_map(scan, meta, "slope").count(),
-    )
-
-    out = {"probe": timings, "n_docs_base": n_docs, "multiplier": mult}
+    out = {"probe": timings, "n_docs_base": n_docs, "multipliers": mults}
     print(json.dumps(out))
 
 
