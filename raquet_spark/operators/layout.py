@@ -6,13 +6,19 @@ Lossy codecs for the interleaved layout: JPEG uses PIL when importable
 and otherwise falls back to the pure-numpy baseline codec in
 ``functions/jpeg.py`` (standard JFIF bytes either way; quality from
 metadata ``compression_quality``, default 85 per spec). WebP is encoded
-LOSSLESS (VP8L): the from-scratch codec in ``functions/webp.py`` when
-PIL is absent, ``lossless=True`` through Pillow when present — both
-produce standard VP8L bitstreams so tiles written in either environment
-decode in the other. Lossy VP8 webp (what the reference's Pillow path
-emits at a given quality, raster2raquet.py:816) needs a full video
-intra-frame codec and is the one deliberate gap: decoding such a file
-without PIL raises a typed NotImplementedError naming the split.
+LOSSLESS (VP8L) by default: the from-scratch codec in
+``functions/webp.py`` when PIL is absent, ``lossless=True`` through
+Pillow when present — both produce standard VP8L bitstreams so tiles
+written in either environment decode in the other. Lossy VP8 webp
+(what the reference's Pillow path emits at a given quality,
+raster2raquet.py:816) is a full video intra-frame codec and is
+deliberately *native-delegated* rather than reimplemented: decode
+order is Pillow -> system libwebp via ctypes
+(``functions/webp_native.py`` — the same library Pillow wraps, so
+reference-written lossy tiles decode identically) -> typed
+NotImplementedError naming the split. Writing lossy VP8 is opt-in via
+metadata ``webp_lossless: false`` and needs one of the same two
+native backends.
 """
 
 from __future__ import annotations
@@ -60,10 +66,14 @@ def encode_lossy(
     height: int,
     compression: str,
     quality: int = 85,
+    webp_lossless: bool = True,
 ) -> bytes:
     """Pixel-interleaved uint8 array -> JPEG/WebP bytes. JPEG: PIL when
     available, else the pure-numpy baseline codec (functions/jpeg.py).
-    WebP: PIL-gated."""
+    WebP: lossless VP8L by default (PIL or the from-scratch codec);
+    ``webp_lossless=False`` writes lossy VP8 at ``quality`` — the
+    reference's Pillow default (raster2raquet.py:816) — via PIL or the
+    system libwebp (functions/webp_native.py)."""
     arr = np.asarray(inter, dtype=np.uint8).reshape(height, width, n_bands)
     Image = _pil_image()
     if Image is not None:
@@ -75,18 +85,31 @@ def encode_lossy(
             # factors, so PIL-default 4:2:0 files also stay readable —
             # writing 4:4:4 is a quality choice, not a compat one
             img.save(buf, format="JPEG", quality=quality, subsampling=0)
-        else:
-            # lossless VP8L for the same cross-environment reason: the
-            # fallback codec (functions/webp.py) reads VP8L, not VP8
+        elif webp_lossless:
+            # lossless VP8L keeps webp tiles readable in any
+            # environment: the fallback codec (functions/webp.py)
+            # reads VP8L without any native library
             img.save(buf, format="WEBP", lossless=True)
+        else:
+            img.save(buf, format="WEBP", lossless=False, quality=quality)
         return buf.getvalue()
     if compression == "jpeg":
         from raquet_spark.functions.jpeg import jpeg_encode
 
         return jpeg_encode(arr.squeeze(), quality=quality)
-    from raquet_spark.functions.webp import vp8l_encode
+    if webp_lossless:
+        from raquet_spark.functions.webp import vp8l_encode
 
-    return vp8l_encode(arr)
+        return vp8l_encode(arr)
+    from raquet_spark.functions import webp_native
+
+    if not webp_native.available():
+        raise NotImplementedError(
+            "lossy VP8 webp encode needs a native backend: install Pillow "
+            "or a system libwebp shared library, or write the default "
+            "lossless VP8L (functions/webp_native.py docstring)"
+        )
+    return webp_native.encode_lossy(arr, quality)
 
 
 def decode_lossy(raw: bytes, compression: str, n_bands: int | None = None) -> np.ndarray:
@@ -112,7 +135,27 @@ def decode_lossy(raw: bytes, compression: str, n_bands: int | None = None) -> np
         return jpeg_decode(raw).reshape(-1)
     from raquet_spark.functions.webp import webp_decode_bands
 
-    return webp_decode_bands(raw, n_bands if n_bands else 4).reshape(-1)
+    try:
+        return webp_decode_bands(raw, n_bands if n_bands else 4).reshape(-1)
+    except NotImplementedError as exc:
+        # lossy VP8 chunk: delegate to the system libwebp (the library
+        # Pillow itself wraps) when present; else the typed split error
+        from raquet_spark.functions import webp_native
+
+        if not webp_native.available():
+            raise NotImplementedError(
+                "lossy VP8 webp decode needs a native backend: install "
+                "Pillow or a system libwebp shared library (the "
+                "from-scratch codec covers lossless VP8L only; "
+                "functions/webp_native.py docstring)"
+            ) from exc
+        rgba = webp_native.decode_rgba(raw)
+        nb = n_bands if n_bands else 4
+        if nb == 1:
+            return rgba[..., 0].reshape(-1)
+        if nb == 2:
+            return rgba[..., [0, 3]].reshape(-1)
+        return rgba[..., :nb].reshape(-1)
 
 
 def _check_compression(compression: str | None, band_types: list[str]) -> None:
@@ -133,6 +176,7 @@ def to_interleaved(df: DataFrame, metadata: dict, compression: str | None = "gzi
     bw = metadata["tiling"]["block_width"]
     bh = metadata["tiling"]["block_height"]
     quality = int(metadata.get("compression_quality", 85))
+    webp_lossless = bool(metadata.get("webp_lossless", True))
     n_bands = len(bands)
 
     def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,7 +188,10 @@ def to_interleaved(df: DataFrame, metadata: dict, compression: str | None = "gzi
                 inter = np.stack(arrs, axis=1).reshape(-1)
                 if compression in LOSSY:
                     pixels.append(
-                        encode_lossy(inter, n_bands, bw, bh, compression, quality)
+                        encode_lossy(
+                            inter, n_bands, bw, bh, compression, quality,
+                            webp_lossless=webp_lossless,
+                        )
                     )
                 else:
                     pixels.append(encode_block(inter, btype, compression))
