@@ -261,7 +261,10 @@ def focal_map(
             out_row[b] = [encode_block(out.reshape(-1), "float64", compression)]
         return pd.DataFrame(out_row)
 
-    routed = pin_group_width(routed, "group")
+    routed = pin_group_width(
+        routed, "group",
+        approx_pixels=metadata["width"] * metadata["height"] * len(bands),
+    )
     out_schema = "block bigint, " + ", ".join(f"{b} binary" for b in bands)
     return routed.groupBy("group").applyInPandas(assemble, schema=out_schema)
 

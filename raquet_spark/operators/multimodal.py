@@ -2,11 +2,13 @@
 plus typed metadata, with Arrow-batched decode / feature-extract /
 resize / frame-sample plumbing.
 
-The container has no image/audio libraries, so the *codec* step is
-deterministic-fake or NotImplementedError behind ``CODECS`` — but the
-Spark-side contract (schema, partitioning, UDF signatures, batch
-shapes) is real and tested: swap a codec entry for a PIL/ffmpeg
-implementation and nothing else changes.
+The container has no image/audio libraries, so every codec is either
+from-scratch or deterministic-fake behind ``CODECS`` — the Spark-side
+contract (schema, partitioning, UDF signatures, batch shapes) is the
+same either way: swap a codec entry for a PIL/ffmpeg implementation
+and nothing else changes. ``jpeg`` (functions/jpeg.py), ``png``
+(functions/png.py) and ``wav`` (below) are REAL standard-bitstream
+codecs; only video remains fake (frame-sampling shape only).
 
 Fake codec format (deterministic, self-describing, used by tests and
 the data generator): ``b"FAKEIMG1" + uint16 width + uint16 height +
@@ -179,6 +181,26 @@ def decode_jpeg_image(buf: bytes) -> np.ndarray:
 
 
 CODECS["jpeg"] = {"decode": decode_jpeg_image, "encode": encode_jpeg_image}
+
+
+def encode_png_image(width: int, height: int, channels: int, seed: int = 0) -> bytes:
+    """Deterministic test image through the real from-scratch PNG codec
+    (functions/png.py — stdlib zlib + numpy, lossless any channels)."""
+    from raquet_spark.functions.png import png_encode
+
+    n = width * height * channels
+    arr = ((np.arange(n, dtype=np.int64) * 37 + seed) % 251).astype("u1")
+    return png_encode(arr.reshape(height, width, channels))
+
+
+def decode_png_image(buf: bytes) -> np.ndarray:
+    from raquet_spark.functions.png import png_decode
+
+    arr = png_decode(bytes(buf))
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+CODECS["png"] = {"decode": decode_png_image, "encode": encode_png_image}
 
 
 _DCT32 = None

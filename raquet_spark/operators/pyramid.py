@@ -46,6 +46,21 @@ from raquet_spark.functions.bands import DTYPES, decode_block, encode_block
 from raquet_spark.plans.shape import pin_group_width
 
 
+def _level_pixels(metadata: dict, zoom: int) -> int:
+    """Upper bound on the decoded pixel volume of one pyramid level at
+    ``zoom`` (native extent shrunk by 2^(max_zoom - zoom), +1 tile of
+    alignment slack per axis, x band count) — the work hint for
+    :func:`raquet_spark.plans.shape.pin_group_width`."""
+    t = metadata["tiling"]
+    bw, bh = t["block_width"], t["block_height"]
+    k = max(0, t["max_zoom"] - zoom)
+    tx_native = -(-metadata["width"] // bw)
+    ty_native = -(-metadata["height"] // bh)
+    tx = -(-tx_native // (1 << k)) + 1
+    ty = -(-ty_native // (1 << k)) + 1
+    return tx * ty * bw * bh * max(1, len(metadata.get("bands", [])))
+
+
 def _downsample(block: np.ndarray, method: str, nodata) -> np.ndarray:
     """2× downsample a (h, w) array to (h/2, w/2)."""
     h, w = block.shape
@@ -286,7 +301,9 @@ def build_level_halo(
         return pd.DataFrame(out)
 
     schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
-    routed = pin_group_width(routed, "parent")
+    routed = pin_group_width(
+        routed, "parent", approx_pixels=_level_pixels(metadata, child_zoom)
+    )
     return routed.groupBy("parent").applyInPandas(assemble, schema=schema)
 
 
@@ -334,7 +351,9 @@ def build_level(
         return pd.DataFrame(out)
 
     schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
-    children = pin_group_width(children, "parent")
+    children = pin_group_width(
+        children, "parent", approx_pixels=_level_pixels(metadata, child_zoom)
+    )
     return children.groupBy("parent").applyInPandas(assemble, schema=schema)
 
 
@@ -417,7 +436,9 @@ def build_levels_blocked(
         return pd.DataFrame(out)
 
     schema = "block bigint, " + ", ".join(f"{name} binary" for name, _, _ in bands)
-    children = pin_group_width(children, "anc")
+    children = pin_group_width(
+        children, "anc", approx_pixels=_level_pixels(metadata, child_zoom)
+    )
     return children.groupBy("anc").applyInPandas(assemble, schema=schema)
 
 

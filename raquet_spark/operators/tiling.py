@@ -79,7 +79,10 @@ def from_pixel_table(
         [f"{n} {t}" for n, t in extra_keys]
         + [f"{name} binary" for name, _, _ in bands]
     )
-    keyed = pin_group_width(keyed, "block", *extra_names)
+    keyed = pin_group_width(
+        keyed, "block", *extra_names,
+        approx_pixels=metadata["width"] * metadata["height"] * len(bands),
+    )
     return keyed.groupBy("block", *extra_names).applyInPandas(assemble, schema=schema)
 
 

@@ -132,7 +132,10 @@ def strip_table(
         src.where(
             (F.col("qb_x").between(x0, x1)) & (F.col("qb_y").between(y0, y1))
         )
-        .transform(lambda d: pin_group_width(d, "qb_y"))
+        .transform(lambda d: pin_group_width(
+            d, "qb_y",
+            approx_pixels=n_strips * n_tiles_x * bw * bh * nbands,
+        ))
         .groupBy("qb_y")
         .applyInPandas(assemble, schema="strip bigint, data binary")
     )
@@ -782,7 +785,10 @@ def write_geotiff_sharded(
 
     index = (
         strips_df.withColumn("shard", F.expr(f"strip DIV {rows_per_shard}"))
-        .transform(lambda d: pin_group_width(d, "shard"))
+        .transform(lambda d: pin_group_width(
+            d, "shard",
+            approx_pixels=info["n_strips"] * bh * info["width"] * info["nbands"],
+        ))
         .groupBy("shard")
         .applyInPandas(
             write_shard,
