@@ -2002,6 +2002,62 @@ GROUP BY 1
 """
 
 
+def png_media_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch PNG codec (functions/png.py — stdlib zlib +
+    numpy row filters) at the driver gate, hash-exact by construction:
+    ``make_media_table(codec='png')`` encodes deterministic pixels
+    (pixel j of image i = (j*37 + i) % 251; dims 32+(i%4)*16 by
+    32+((i*3)%4)*16, 3 channels) into real PNG bitstreams on the
+    executors, this query decodes them back and aggregates, and the
+    oracle computes the same sums closed-form in SQL — lossless codecs
+    make the whole container/DEFLATE/filter stack value-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    from raquet_spark.operators.multimodal import CODECS, make_media_table
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = make_media_table(spark, n=48, codec="png")
+
+    def agg(batches):
+        dec = CODECS["png"]["decode"]
+        for pdf in batches:
+            out = {"media_id": [], "n_px": [], "sum_px": [], "min_px": [], "max_px": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = dec(bytes(payload)).astype(np.int64)
+                out["media_id"].append(int(mid))
+                out["n_px"].append(int(img.size))
+                out["sum_px"].append(int(img.sum()))
+                out["min_px"].append(int(img.min()))
+                out["max_px"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        agg,
+        "media_id bigint, n_px bigint, sum_px bigint, min_px bigint, max_px bigint",
+    )
+
+
+def png_media_stats_oracle() -> str:
+    return """
+WITH dims AS (
+  SELECT i, 32 + (i % 4) * 16 AS w, 32 + ((i * 3) % 4) * 16 AS h
+  FROM (SELECT unnest(range(0, 48)) AS i)
+), px AS (
+  SELECT i, (j * 37 + i) % 251 AS v
+  FROM (SELECT i, unnest(range(0, w * h * 3)) AS j FROM dims)
+)
+SELECT i AS media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_px,
+       CAST(MIN(v) AS BIGINT) AS min_px,
+       CAST(MAX(v) AS BIGINT) AS max_px
+FROM px
+GROUP BY 1
+"""
+
+
 _RZ = dict(zoom=6, bs=32, ax=16 * 32 + 7, bx=19 * 32 + 21, ay=20 * 32 + 3, by=22 * 32 + 30,
            ax2=18 * 32 + 2, bx2=20 * 32 + 11, ay2=21 * 32 + 9, by2=23 * 32 + 5)
 
@@ -4398,6 +4454,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
     "lossy_webp_roundtrip_stats": (lossy_webp_roundtrip_stats_spark, lossy_webp_roundtrip_stats_oracle),
+    "png_media_stats": (png_media_stats_spark, png_media_stats_oracle),
     "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
     "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
     "dem_hillshade_stats": (dem_hillshade_stats_spark, dem_hillshade_stats_oracle),
@@ -4444,6 +4501,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dsir_weights",
     "pipeline_clean_counts",
     "lossy_webp_roundtrip_stats",
+    "png_media_stats",
     "bpe_segment_words",
     "dem_slope_stats",
     "ann_lsh_planted",
