@@ -7,8 +7,9 @@ from-scratch or deterministic-fake behind ``CODECS`` — the Spark-side
 contract (schema, partitioning, UDF signatures, batch shapes) is the
 same either way: swap a codec entry for a PIL/ffmpeg implementation
 and nothing else changes. ``jpeg`` (functions/jpeg.py), ``png``
-(functions/png.py) and ``wav`` (below) are REAL standard-bitstream
-codecs; only video remains fake (frame-sampling shape only).
+(functions/png.py), ``mjpeg`` video (functions/avi.py) and ``wav``
+(below) are REAL standard-bitstream codecs; the ``fake`` entry stays
+for plumbing tests and the data generator.
 
 Fake codec format (deterministic, self-describing, used by tests and
 the data generator): ``b"FAKEIMG1" + uint16 width + uint16 height +
@@ -201,6 +202,74 @@ def decode_png_image(buf: bytes) -> np.ndarray:
 
 
 CODECS["png"] = {"decode": decode_png_image, "encode": encode_png_image}
+
+
+def encode_mjpeg_video(
+    width: int, height: int, channels: int, seed: int = 0,
+    n_frames: int = 6, fps: int = 4,
+) -> bytes:
+    """Deterministic test video through the real MJPEG/AVI container
+    (functions/avi.py + functions/jpeg.py): frame f is the seeded base
+    image rolled 3f pixels horizontally."""
+    from raquet_spark.functions.avi import mjpeg_encode
+
+    n = width * height * channels
+    base = ((np.arange(n, dtype=np.int64) * 37 + seed) % 251).astype("u1")
+    base = base.reshape(height, width, channels)
+    frames = np.stack([np.roll(base, 3 * f, axis=1) for f in range(n_frames)])
+    return mjpeg_encode(frames, fps=fps)
+
+
+def decode_mjpeg_video(buf: bytes) -> np.ndarray:
+    """MJPEG AVI bytes -> (n_frames, H, W, C) uint8."""
+    from raquet_spark.functions.avi import mjpeg_decode
+
+    return mjpeg_decode(bytes(buf))
+
+
+CODECS["mjpeg"] = {"decode": decode_mjpeg_video, "encode": encode_mjpeg_video}
+
+
+def sample_frames_decoded(
+    df: DataFrame, every_nth: int = 2, codec: str = "mjpeg"
+) -> DataFrame:
+    """REAL frame sampling: one video row in, one row per sampled frame
+    out, each frame decoded from the container and re-encoded lossless
+    as PNG — so downstream image operators (``phash_table`` /
+    ``extract_features`` with ``codec='png'``) consume frame rows
+    unchanged. The synthetic-index :func:`sample_frames` stays for
+    plumbing tests; this is the production shape (frame-level dedup of
+    a video corpus)."""
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    dec = CODECS[codec]["decode"]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raquet_spark.functions.png import png_encode
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "payload": [],
+                "width": [], "height": [], "channels": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = dec(bytes(payload))
+                for fi in range(0, len(frames), every_nth):
+                    f = frames[fi]
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(fi)
+                    out["payload"].append(png_encode(f))
+                    out["height"].append(f.shape[0])
+                    out["width"].append(f.shape[1])
+                    out["channels"].append(f.shape[2])
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        sample,
+        "media_id bigint, frame_idx int, payload binary, "
+        "width int, height int, channels int",
+    )
 
 
 _DCT32 = None

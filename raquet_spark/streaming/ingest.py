@@ -105,6 +105,58 @@ def stream_fetch_tiles(
     return writer.start()
 
 
+def stream_rasterize(
+    spark: SparkSession,
+    features_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    zoom: int,
+    block_size: int = 16,
+    band_type: str = "float32",
+    nodata: float = 0.0,
+    available_now: bool = True,
+):
+    """Continuous vector→raster ingestion: a file-source stream of
+    polygon-feature parquet (``feature_id bigint, polygon
+    array<struct<lon double, lat double>>, value double``) is burned to
+    tiles per micro-batch with the SAME painter's-order kernel as batch
+    (``operators/tiling.rasterize_features``) and appended Morton-sorted
+    to a RaQuet dataset — the streaming shape of the GDAL ``rasterize``
+    workload: features arrive continuously (telemetry footprints, field
+    boundaries), tiles accumulate, a crashed run resumes from the
+    checkpoint without re-burning completed batches. Tiles from
+    different batches may share a ``block``; the painter's-order merge
+    across batches is the reader's compaction policy (same contract as
+    the upsert path in sources/raquet.py), and feeds that partition
+    batches by disjoint regions get exactly-once tiles with no merge."""
+    from raquet_spark.operators.tiling import rasterize_features
+
+    stream = spark.readStream.schema(schema).parquet(features_dir)
+
+    def burn_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tiles, _meta = rasterize_features(
+            batch_df, zoom, block_size=block_size,
+            band_type=band_type, nodata=nodata,
+        )
+        (
+            tiles.repartitionByRange("block")
+            .sortWithinPartitions("block")
+            .write.mode("append")
+            .parquet(target_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(burn_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str],

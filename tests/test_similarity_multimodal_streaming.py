@@ -615,3 +615,44 @@ def test_streaming_clean_pipeline(spark, tmp_path):
     assert {r["content_hash"] for r in got} == want
     assert all(r["n"] == 1 for r in got)  # duplicates collapsed
     assert len(want) > 10  # the filter kept real docs
+
+
+def test_streaming_rasterize_matches_batch(spark, tmp_path):
+    """F9: vector features streamed in two micro-batches (second batch
+    resumes from the checkpoint) burn to exactly the tiles a one-shot
+    batch rasterize of all features produces — the features cover
+    disjoint tiles, so streamed-union equals batch byte-for-byte."""
+    import pandas as pd
+
+    from raquet_spark.operators.tiling import rasterize_features
+    from raquet_spark.streaming.ingest import stream_rasterize
+
+    # two boxes far apart -> disjoint tile cover at zoom 5
+    box_a = [{"lon": x, "lat": y} for x, y in
+             [(0.0, 0.0), (9.0, 0.0), (9.0, 9.0), (0.0, 9.0)]]
+    box_b = [{"lon": x, "lat": y} for x, y in
+             [(-120.0, -40.0), (-100.0, -40.0), (-100.0, -20.0), (-120.0, -20.0)]]
+    f1 = pd.DataFrame({"feature_id": [1], "polygon": [box_a], "value": [3.0]})
+    f2 = pd.DataFrame({"feature_id": [2], "polygon": [box_b], "value": [7.0]})
+    all_feats = spark.createDataFrame(pd.concat([f1, f2], ignore_index=True))
+    schema = all_feats.schema
+
+    src = str(tmp_path / "features_in")
+    tgt = str(tmp_path / "tiles_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(f1, schema).write.parquet(src)
+    q = stream_rasterize(spark, src, tgt, ckpt, schema, zoom=5, block_size=16)
+    q.awaitTermination(120)
+    spark.createDataFrame(f2, schema).write.mode("append").parquet(src)
+    q = stream_rasterize(spark, src, tgt, ckpt, schema, zoom=5, block_size=16)
+    q.awaitTermination(120)
+    time.sleep(1)
+
+    got = {
+        r["block"]: bytes(r["band_1"])
+        for r in spark.read.parquet(tgt).collect()
+    }
+    want_df, _ = rasterize_features(all_feats, zoom=5, block_size=16)
+    want = {r["block"]: bytes(r["band_1"]) for r in want_df.collect()}
+    assert got == want and len(want) > 2
