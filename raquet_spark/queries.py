@@ -2039,6 +2039,83 @@ def png_media_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frame_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MJPEG/AVI video container (functions/avi.py) at the driver
+    gate, hash-exact via the same trick as ``lossy_jpeg_blocky_stats``:
+    8x8-constant grayscale frames at quality 100 decode bit-exact
+    through the baseline JPEG codec, so per-frame stats of the decoded
+    video match a closed-form SQL oracle. Block (x, y) of frame f in
+    video i carries (x*7 + y*11 + f*31 + i*13) % 256; 12 videos x 4
+    frames x 64x64 px."""
+    import numpy as np
+    import pandas as pd
+
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def gen(batches):
+        from raquet_spark.functions.avi import mjpeg_encode
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"].astype("int64"):
+                i = int(i)
+                frames = []
+                for f in range(4):
+                    x, y = np.meshgrid(np.arange(8), np.arange(8))
+                    vals = ((x * 7 + y * 11 + f * 31 + i * 13) % 256).astype("u1")
+                    frames.append(np.repeat(np.repeat(vals, 8, 0), 8, 1))
+                payloads.append(
+                    mjpeg_encode(np.stack(frames)[:, :, :, None], quality=100)
+                )
+            yield pd.DataFrame({"media_id": pdf["id"], "payload": payloads})
+
+    media = spark.range(12, numPartitions=3).mapInPandas(
+        gen, "media_id bigint, payload binary"
+    )
+
+    def agg(batches):
+        from raquet_spark.functions.avi import mjpeg_decode
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "n_px": [], "sum_px": [],
+                   "min_px": [], "max_px": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = mjpeg_decode(bytes(payload)).astype(np.int64)
+                for f, img in enumerate(frames):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    out["n_px"].append(int(img.size))
+                    out["sum_px"].append(int(img.sum()))
+                    out["min_px"].append(int(img.min()))
+                    out["max_px"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        agg,
+        "media_id bigint, frame_idx bigint, n_px bigint, sum_px bigint, "
+        "min_px bigint, max_px bigint",
+    )
+
+
+def video_frame_stats_oracle() -> str:
+    return """
+WITH vids AS (SELECT unnest(range(0, 12)) AS i),
+fr AS (SELECT i, unnest(range(0, 4)) AS f FROM vids),
+gx AS (SELECT i, f, unnest(range(0, 8)) AS x FROM fr),
+bl AS (SELECT i, f, x, unnest(range(0, 8)) AS y FROM gx),
+px AS (SELECT i, f, (x * 7 + y * 11 + f * 31 + i * 13) % 256 AS v FROM bl)
+SELECT i AS media_id, f AS frame_idx,
+       CAST(64 * COUNT(*) AS BIGINT) AS n_px,
+       CAST(64 * SUM(v) AS BIGINT) AS sum_px,
+       CAST(MIN(v) AS BIGINT) AS min_px,
+       CAST(MAX(v) AS BIGINT) AS max_px
+FROM px
+GROUP BY 1, 2
+"""
+
+
 def png_media_stats_oracle() -> str:
     return """
 WITH dims AS (
@@ -4455,6 +4532,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
     "lossy_webp_roundtrip_stats": (lossy_webp_roundtrip_stats_spark, lossy_webp_roundtrip_stats_oracle),
     "png_media_stats": (png_media_stats_spark, png_media_stats_oracle),
+    "video_frame_stats": (video_frame_stats_spark, video_frame_stats_oracle),
     "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
     "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
     "dem_hillshade_stats": (dem_hillshade_stats_spark, dem_hillshade_stats_oracle),
@@ -4502,6 +4580,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_clean_counts",
     "lossy_webp_roundtrip_stats",
     "png_media_stats",
+    "video_frame_stats",
     "bpe_segment_words",
     "dem_slope_stats",
     "ann_lsh_planted",
