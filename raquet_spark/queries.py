@@ -1816,6 +1816,94 @@ GROUP BY 1
 """
 
 
+def dem_multiband_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-band focal path (r07: n bands riding ONE halo
+    exchange) at the driver gate: two linear ramps — 3x+4y and 6x+8y —
+    have exact Horn slopes degrees(atan(5)) and degrees(atan(10)) on
+    every interior-window pixel, NaN where the window clips, so both
+    bands' per-tile valid counts and constants are closed-form. The
+    byte-equality of multi-band vs sequential single-band runs is
+    pytest-pinned (test_focal.py); this pins the fused path's VALUES
+    against an independent oracle."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.operators.focal import focal_map
+    from raquet_spark.operators.tiling import from_pixel_table
+
+    c = _JP
+    npx = c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    pix = spark.range(npx * npx).selectExpr(
+        f"{gx0} + id % {npx} AS gx",
+        f"{gy0} + id DIV {npx} AS gy",
+        f"CAST(3 * (id % {npx}) + 4 * (id DIV {npx}) AS DOUBLE) AS band_1",
+        f"CAST(6 * (id % {npx}) + 8 * (id DIV {npx}) AS DOUBLE) AS band_2",
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float64"),
+               BandMeta(name="band_2", type="float64")],
+        bounds=(0, 0, 0, 0), width=npx, height=npx,
+        block_width=c["bs"], block_height=c["bs"],
+        min_zoom=c["zoom"], max_zoom=c["zoom"], compression=None,
+    )
+    tiles = from_pixel_table(pix, meta, compression=None)
+    focal = focal_map(
+        tiles, meta, "slope", band=["band_1", "band_2"], cellsize=1.0
+    )
+    px = (
+        focal.select(
+            "block",
+            band_decode("band_1", "float64").alias("a1"),
+            band_decode("band_2", "float64").alias("a2"),
+        )
+        .select("block", F.expr("explode(arrays_zip(a1, a2))").alias("z"))
+        .select(
+            "block",
+            F.col("z.a1").alias("v1"),
+            F.col("z.a2").alias("v2"),
+        )
+        # window-clipped pixels surface as NULL through arrays_zip
+        # (isnan(NULL) is false, so guard both representations)
+        .where(F.col("v1").isNotNull() & ~F.isnan("v1"))
+    )
+    return px.groupBy("block").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_valid"),
+        F.expr("round(MIN(v1), 6)").alias("b1_slope_min"),
+        F.expr("round(MAX(v1), 6)").alias("b1_slope_max"),
+        F.expr("round(MIN(v2), 6)").alias("b2_slope_min"),
+        F.expr("round(MAX(v2), 6)").alias("b2_slope_max"),
+    )
+
+
+def dem_multiband_stats_oracle() -> str:
+    c = _JP
+    bs, npx = c["bs"], c["n"] * c["bs"]
+    gx0, gy0 = c["tx"] * c["bs"], c["ty"] * c["bs"]
+    cell = qb.tile_to_cell_sql(
+        f"{c['tx']} + (gx - {gx0}) // {bs}",
+        f"{c['ty']} + (gy - {gy0}) // {bs}",
+        c["zoom"], "duckdb",
+    )
+    return f"""
+WITH px AS (
+  SELECT {gx0} + i % {npx} AS gx, {gy0} + i // {npx} AS gy
+  FROM (SELECT unnest(range(0, {npx * npx})) AS i)
+  WHERE i % {npx} BETWEEN 1 AND {npx - 2}
+    AND i // {npx} BETWEEN 1 AND {npx - 2}
+)
+SELECT {cell} AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       round(degrees(atan(5.0)), 6) AS b1_slope_min,
+       round(degrees(atan(5.0)), 6) AS b1_slope_max,
+       round(degrees(atan(10.0)), 6) AS b2_slope_min,
+       round(degrees(atan(10.0)), 6) AS b2_slope_max
+FROM px
+GROUP BY 1
+"""
+
+
 def dem_hillshade_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade through the halo machinery on an analytically flat
     surface: zero Horn derivatives everywhere the window is interior,
@@ -4535,6 +4623,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "video_frame_stats": (video_frame_stats_spark, video_frame_stats_oracle),
     "bpe_segment_words": (bpe_segment_words_spark, bpe_segment_words_oracle),
     "dem_slope_stats": (dem_slope_stats_spark, dem_slope_stats_oracle),
+    "dem_multiband_stats": (dem_multiband_stats_spark, dem_multiband_stats_oracle),
     "dem_hillshade_stats": (dem_hillshade_stats_spark, dem_hillshade_stats_oracle),
     "rasterize_polygon_stats": (rasterize_polygon_stats_spark, rasterize_polygon_stats_oracle),
     "rasterize_features_stats": (rasterize_features_stats_spark, rasterize_features_stats_oracle),
@@ -4583,6 +4672,7 @@ _DRIVER_PRIORITY: list[str] = [
     "video_frame_stats",
     "bpe_segment_words",
     "dem_slope_stats",
+    "dem_multiband_stats",
     "ann_lsh_planted",
     "ann_ivf_planted",
     "q1_pricing_summary",
