@@ -73,8 +73,11 @@ def main() -> None:
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
         "dem_slope_stats",
+        "dem_multiband_stats",
         "rasterize_features_stats",
         "vector_zonal_stats",
+        "png_media_stats",
+        "video_frame_stats",
     ]
 
     timings: dict[str, float] = {}
