@@ -495,3 +495,123 @@ def hashed_embeddings(
             f"transform(v, x -> CAST(x / greatest({norm}, 1e-12) AS FLOAT)) AS embedding",
         )
     )
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup spans — the public Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better")
+    recipe, re-expressed relationally instead of via suffix arrays:
+
+    whitespace tokens → every length-``window`` shingle → ``xxhash64``
+    → every occurrence EXCEPT the corpus-wide first (ordered by
+    (doc, start) for determinism) marks its token range as duplicated →
+    per-doc interval merge (gaps-and-islands over window functions) →
+    one row per merged span: ``(doc_id, span_start, span_end)`` with
+    token positions, end exclusive.
+
+    Scale shape: everything is JVM-side (transform/slice/xxhash64 —
+    no Python UDFs); the wide shuffle is on the 8-byte shingle hash
+    (volume = tokens × 8B, NOT tokens × window), and the interval
+    merge shuffles each doc's duplicate starts once. Suffix arrays
+    find variable-length duplicates; fixed-``window`` shingles find
+    every duplicate run of ≥ ``window`` tokens (the standard
+    distributed approximation — runs shorter than ``window`` are
+    deliberately out of scope)."""
+    from pyspark.sql.window import Window
+
+    shingled = df.selectExpr(
+        id_col,
+        f"regexp_extract_all({text_col}, '[^ \\\\t\\\\n]+', 0) AS t",
+    ).selectExpr(
+        id_col,
+        f"""
+        transform(
+          sequence(0, greatest(size(t) - {window}, -1)),
+          i -> xxhash64(concat_ws(' ', slice(t, i + 1, {window})))
+        ) AS hs
+        """,
+    )
+    occ = shingled.selectExpr(id_col, "posexplode(hs) AS (start, h)")
+    first_w = Window.partitionBy("h").orderBy(id_col, "start")
+    dup = (
+        occ.withColumn("rn", F.row_number().over(first_w))
+        .where(F.col("rn") > 1)
+        .select(id_col, "start")
+    )
+    prev_w = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_w = (
+        Window.partitionBy(id_col)
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        dup.withColumn("prev_end", F.max(F.col("start") + window).over(prev_w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_new").over(run_w))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(window)).alias("span_end"),
+        )
+        .drop("island")
+    )
+    return spans
+
+
+def substring_dedup_prune(
+    df: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`substring_dedup_spans` cut-lists: rebuild each
+    document's text with duplicated token ranges removed (the first
+    corpus-wide occurrence keeps its text intact). Adds
+    ``clean_text`` and ``dup_tokens`` columns."""
+    spans = substring_dedup_spans(df, window, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.expr(
+            "array_sort(collect_list(struct(span_start AS s, span_end AS e)))"
+        ).alias("cuts")
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .selectExpr(
+            "*",
+            f"regexp_extract_all({text_col}, '[^ \\\\t\\\\n]+', 0) AS _t",
+        )
+        .selectExpr(
+            id_col,
+            text_col,
+            """
+            CASE WHEN cuts IS NULL THEN 0
+                 ELSE aggregate(cuts, 0, (acc, c) -> acc + c.e - c.s)
+            END AS dup_tokens
+            """,
+            f"""
+            CASE WHEN cuts IS NULL THEN {text_col} ELSE concat_ws(
+              ' ',
+              filter(
+                transform(_t, (tok, i) ->
+                  IF(exists(cuts, c -> i >= c.s AND i < c.e), NULL, tok)),
+                x -> x IS NOT NULL)
+            ) END AS clean_text
+            """,
+        )
+    )

@@ -3363,6 +3363,97 @@ FROM documents
 """
 
 
+def substring_dedup_stats(d: str) -> str:
+    """Exact-substring dedup spans (the public Lee et al. recipe the
+    library implements in textops.substring_dedup_spans) as ONE
+    dual-dialect SQL plan: 12-token shingles, md5 identity (the query
+    uses the exact string hash so both dialects group identically; the
+    library operator uses xxhash64 for an 8-byte shuffle), corpus-wide
+    first occurrence exempt (ordered by doc, start), gaps-and-islands
+    interval merge, per-doc span count + duplicated-token total.
+    Planted copies (every 17th doc re-appended with a 3-token prefix
+    under doc_id+10M) guarantee full-doc spans alongside the corpus's
+    natural small-vocab repeats."""
+    W = 12
+    if d == "spark":
+        toks = "regexp_extract_all(text, '[^ ]+', 0)"
+    else:
+        toks = "regexp_extract_all(text, '[^ ]+')"
+    hs_body = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('t', d)} - {W - 1}", d),
+        "i",
+        f"md5({dl.arr_join(dl.arr_slice('t', 'i', W, d), ' ', d)})",
+        d,
+    )
+    # sequence(1, n) DESCENDS when n < 1 in Spark (and generate_series
+    # is empty only for n = 0 in DuckDB): guard short docs explicitly
+    empty = "array()" if d == "spark" else "[]"
+    hs = (
+        f"CASE WHEN {dl.arr_size('t', d)} >= {W} THEN {hs_body} "
+        f"ELSE {empty} END"
+    )
+    if d == "spark":
+        occ = f"""
+occ AS (
+  SELECT doc_id, pos AS start, col AS h
+  FROM hsrc LATERAL VIEW posexplode(hs) AS pos, col
+)"""
+    else:
+        occ = f"""
+occ AS (
+  SELECT doc_id, j - 1 AS start, hs[j] AS h
+  FROM (
+    SELECT doc_id, hs,
+           unnest(generate_series(1, CAST(len(hs) AS BIGINT))) AS j
+    FROM hsrc
+  )
+)"""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'zq0 zq1 zq2 ' || text AS text
+  FROM documents WHERE doc_id % 17 = 3
+),
+tok AS (SELECT doc_id, {toks} AS t FROM corpus),
+hsrc AS (SELECT doc_id, {hs} AS hs FROM tok),
+{occ},
+dup AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+    FROM occ
+  ) x WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, start,
+         SUM(is_new) OVER (
+           PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT doc_id, start,
+           CASE WHEN MAX(start + {W}) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR start > MAX(start + {W}) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS is_new
+    FROM dup
+  ) y
+),
+spans AS (
+  SELECT doc_id, MIN(start) AS s, MAX(start) + {W} AS e
+  FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+FROM spans
+GROUP BY doc_id
+"""
+
+
 def doc_fingerprint(d: str) -> str:
     """Winnowing: 8-gram rolling hashes, min per 4-window, distinct count."""
     n = "length(text) - 7"
@@ -4053,6 +4144,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scan": pii_scan,
     "chunk_dedup": chunk_dedup,
+    "substring_dedup_stats": substring_dedup_stats,
     "doc_chunking": doc_chunking,
     "source_quota": source_quota,
     "text_normalize": text_normalize,
@@ -4690,6 +4782,7 @@ _DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "pii_scan",
     "chunk_dedup",
+    "substring_dedup_stats",
     "doc_chunking",
     "source_quota",
     "text_normalize",

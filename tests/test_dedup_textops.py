@@ -465,3 +465,56 @@ def test_bpe_adaptive_batching_rounds_far_below_merges(spark):
     # widths 2,4,8,2 -> 4 rounds for 16 merges (vs 8 at fixed width 2)
     assert stats["rounds"] <= 5, stats
     assert stats["final_batch_size"] > 2, stats
+
+
+def test_substring_dedup_spans_and_prune(spark):
+    """Exact-substring dedup (Lee et al. recipe, relational form):
+    corpus-wide first occurrence exempt, overlapping windows merge to
+    one span, cut-lists rebuild clean text, non-duplicated docs pass
+    through untouched."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import (
+        substring_dedup_prune,
+        substring_dedup_spans,
+    )
+
+    words = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            words(0, 40),                                        # original
+            "x0 x1 x2 " + words(5, 30) + " y0 y1",               # copies w5..w29
+            words(100, 140),                                     # unrelated
+            words(0, 40),                                        # full copy
+        ],
+    }))
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dedup_spans(docs, window=20).collect()
+    }
+    # doc 2: w5..w29 sit at positions 3..27 -> one merged span [3, 28)
+    # doc 4: fully duplicated -> [0, 40); docs 1/3 emit nothing
+    assert spans == {(2, 3, 28), (4, 0, 40)}
+
+    out = {r["doc_id"]: r for r in substring_dedup_prune(docs, window=20).collect()}
+    assert out[1]["dup_tokens"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[1]["clean_text"] == words(0, 40)
+    assert out[2]["dup_tokens"] == 25
+    assert out[2]["clean_text"] == "x0 x1 x2 y0 y1"
+    assert out[4]["dup_tokens"] == 40 and out[4]["clean_text"] == ""
+
+
+def test_substring_dedup_no_python_udf(spark):
+    """The span finder must stay JVM-side: shingle hashing rides
+    transform/slice/xxhash64, not a Python UDF."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import substring_dedup_spans
+    from raquet_spark.plans.inspect import executed_plan
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c"]})
+    )
+    plan = executed_plan(substring_dedup_spans(docs, window=2))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
