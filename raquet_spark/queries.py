@@ -3454,6 +3454,35 @@ GROUP BY doc_id
 """
 
 
+def sequence_pack_stats(d: str) -> str:
+    """Linear sequence packing (textops.sequence_pack) as a dual-dialect
+    plan: shard by doc_id % 8 (running sums parallelize — no global
+    ORDER BY bottleneck), bin by (cumsum - n_tok) / max_len over doc-id
+    order, then per-bin doc and token totals. max_len=256 at test scale;
+    bins overfill by at most one document (the linear-packing bound)."""
+    if d == "spark":
+        ntok = "size(regexp_extract_all(text, '[^ ]+', 0))"
+    else:
+        ntok = "len(regexp_extract_all(text, '[^ ]+'))"
+    return f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard, {ntok} AS n_tok FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT shard,
+       CAST(FLOOR((cum - n_tok) / 256.0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM c
+GROUP BY 1, 2
+"""
+
+
 def doc_fingerprint(d: str) -> str:
     """Winnowing: 8-gram rolling hashes, min per 4-window, distinct count."""
     n = "length(text) - 7"
@@ -4145,6 +4174,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "pii_scan": pii_scan,
     "chunk_dedup": chunk_dedup,
     "substring_dedup_stats": substring_dedup_stats,
+    "sequence_pack_stats": sequence_pack_stats,
     "doc_chunking": doc_chunking,
     "source_quota": source_quota,
     "text_normalize": text_normalize,
@@ -4783,6 +4813,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pii_scan",
     "chunk_dedup",
     "substring_dedup_stats",
+    "sequence_pack_stats",
     "doc_chunking",
     "source_quota",
     "text_normalize",

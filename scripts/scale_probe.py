@@ -145,6 +145,16 @@ def main() -> None:
 
         bench(f"semantic_dedup_x{mult}", semantic_keep, runs)
 
+        # exact-substring dedup: shingle-hash shuffle carries tokens x
+        # 8 bytes; window merge shuffles each doc's duplicate starts
+        from raquet_spark.operators.textops import substring_dedup_spans
+
+        bench(
+            f"substring_dedup_x{mult}",
+            lambda: substring_dedup_spans(big_docs, window=12).count(),
+            runs,
+        )
+
         # batched BPE: driver rounds must stay << merges as the corpus
         # grows (adaptive width, round-7 change)
         def bpe() -> int:

@@ -518,3 +518,28 @@ def test_substring_dedup_no_python_udf(spark):
     )
     plan = executed_plan(substring_dedup_spans(docs, window=2))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_pack_invariants(spark):
+    """Linear packing: every doc lands in exactly one (shard, bin),
+    bins fill to at most max_len + the largest document (the linear
+    bound), and bin ids are dense per shard from 0."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import sequence_pack
+
+    rng_texts = [" ".join(f"t{i}_{j}" for j in range(5 + (i * 7) % 40))
+                 for i in range(60)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(60), "text": rng_texts})
+    )
+    out = sequence_pack(docs, max_len=50, shards=4).collect()
+    assert len(out) == 60 and len({r["doc_id"] for r in out}) == 60
+    max_doc = max(r["n_tokens"] for r in out)
+    fills: dict = {}
+    for r in out:
+        fills[(r["shard"], r["bin"])] = fills.get((r["shard"], r["bin"]), 0) + r["n_tokens"]
+    assert all(v <= 50 + max_doc for v in fills.values()), fills
+    for shard in {r["shard"] for r in out}:
+        bins = sorted({r["bin"] for r in out if r["shard"] == shard})
+        assert bins == list(range(len(bins))), (shard, bins)
