@@ -529,11 +529,13 @@ def substring_dedup_spans(
         f"regexp_extract_all({text_col}, '[^ \\\\t\\\\n]+', 0) AS t",
     ).selectExpr(
         id_col,
+        # sequence(0, n) DESCENDS when n < 0 — docs shorter than the
+        # window must produce an EMPTY shingle array, not slice(t, 0, …)
         f"""
-        transform(
-          sequence(0, greatest(size(t) - {window}, -1)),
+        CASE WHEN size(t) >= {window} THEN transform(
+          sequence(0, size(t) - {window}),
           i -> xxhash64(concat_ws(' ', slice(t, i + 1, {window})))
-        ) AS hs
+        ) ELSE array() END AS hs
         """,
     )
     occ = shingled.selectExpr(id_col, "posexplode(hs) AS (start, h)")

@@ -543,3 +543,39 @@ def test_sequence_pack_invariants(spark):
     for shard in {r["shard"] for r in out}:
         bins = sorted({r["bin"] for r in out if r["shard"] == shard})
         assert bins == list(range(len(bins))), (shard, bins)
+
+
+def test_substring_dedup_short_docs(spark):
+    """Docs shorter than the window emit no shingles (Spark's
+    sequence(0, n) DESCENDS for n < 0 — regression for the guard)."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import substring_dedup_spans
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b", "a b", " ".join(f"w{i}" for i in range(30))],
+    }))
+    assert substring_dedup_spans(docs, window=20).count() == 0
+
+
+def test_pipeline_demo_end_to_end(spark):
+    """The composed training-data pipeline (clean → substring dedup →
+    minhash dedup → quality → pack → split) runs on sf0.001 with
+    monotonically non-increasing survivor counts and a ~90/10 split."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "pipeline_demo.py",
+    )
+    spec = importlib.util.spec_from_file_location("pipeline_demo", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    c = mod.run_pipeline(spark, "/root/testdata/sf0.001")
+    assert c["raw"] >= c["after_clean"] >= c["after_substring_dedup"]
+    assert c["after_substring_dedup"] >= c["after_minhash_dedup"]
+    assert c["after_minhash_dedup"] >= c["after_quality"] > 0
+    assert c["train"] + c["val"] == c["after_quality"]
+    assert c["bins"] > 0 and c["train"] > c["val"]
