@@ -417,6 +417,61 @@ def cmd_dem(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus deduplication over a documents parquet (doc_id, text):
+    exact (content-hash, keep min id), substring (Lee et al. span
+    prune — duplicated ≥window-token runs cut, first occurrence kept),
+    or minhash (near-dup clusters via banded LSH + connected
+    components, keep each cluster's min id)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    df = spark.read.parquet(args.file).select("doc_id", "text")
+    n_in = df.count()
+    if args.method == "exact":
+        from raquet_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(df)
+    elif args.method == "substring":
+        from raquet_spark.operators.textops import substring_dedup_prune
+
+        out = substring_dedup_prune(df, window=args.window).select(
+            "doc_id", F.col("clean_text").alias("text")
+        ).where(F.length("text") > 0)
+    else:  # minhash
+        from raquet_spark.operators.dedup import (
+            connected_components,
+            minhash_dedup_pairs,
+        )
+
+        comp = connected_components(minhash_dedup_pairs(df), "id_a", "id_b")
+        losers = comp.where(F.col("node") != F.col("component")).selectExpr(
+            "node AS doc_id"
+        )
+        out = df.join(losers, "doc_id", "left_anti")
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(f"dedup[{args.method}]: {n_in} -> {n_out} docs ({args.output})")
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Sequence packing: assign (shard, bin) training-batch ids to a
+    documents parquet (linear packing, no global sort — see
+    textops.sequence_pack)."""
+    spark = _spark()
+    from raquet_spark.operators.textops import sequence_pack
+
+    df = spark.read.parquet(args.file).select("doc_id", "text")
+    packed = sequence_pack(df, max_len=args.max_len, shards=args.shards)
+    packed.write.mode("overwrite").parquet(args.output)
+    n_bins = (
+        spark.read.parquet(args.output).select("shard", "bin").distinct().count()
+    )
+    print(f"pack: {df.count()} docs -> {n_bins} bins of ~{args.max_len} tokens")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from raquet_spark.serve import make_server
 
@@ -587,6 +642,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--file", default=None, help="default RaQuet parquet path")
     s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("dedup", help="corpus dedup (exact/substring/minhash)")
+    s.add_argument("file")
+    s.add_argument("output")
+    s.add_argument("--method", choices=["exact", "substring", "minhash"],
+                   default="exact")
+    s.add_argument("--window", type=int, default=20,
+                   help="substring dedup token window")
+    s.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("pack", help="sequence packing (shard, bin per doc)")
+    s.add_argument("file")
+    s.add_argument("output")
+    s.add_argument("--max-len", type=int, default=2048)
+    s.add_argument("--shards", type=int, default=64)
+    s.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("partition", help="partition by quadbin ancestor")
     s.add_argument("file")

@@ -134,3 +134,37 @@ def test_cli_dem(spark, tmp_path, capsys):
     )
     finite = vals[~np.isnan(vals)]
     assert len(finite) > 0 and np.isfinite(finite).all()
+
+
+def test_cli_dedup_and_pack(spark, tmp_path, capsys):
+    import pandas as pd
+
+    words = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    docs = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [words(0, 40), words(0, 40), words(100, 140),
+                 "x0 x1 x2 " + words(5, 30)],
+    })).write.parquet(docs)
+
+    out_e = str(tmp_path / "exact.parquet")
+    assert main(["dedup", docs, out_e, "--method", "exact"]) == 0
+    assert "4 -> 3 docs" in capsys.readouterr().out  # doc 2 == doc 1
+
+    out_s = str(tmp_path / "sub.parquet")
+    assert main(["dedup", docs, out_s, "--method", "substring"]) == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_s).collect()}
+    # doc 2 fully cut (empty -> dropped); doc 4's copied run removed
+    assert set(got) == {1, 3, 4}
+    assert got[4] == "x0 x1 x2"
+
+    out_m = str(tmp_path / "mh.parquet")
+    assert main(["dedup", docs, out_m, "--method", "minhash"]) == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out_m).collect()}
+    assert 1 in kept and 2 not in kept and 3 in kept
+
+    out_p = str(tmp_path / "packed.parquet")
+    assert main(["pack", docs, out_p, "--max-len", "50", "--shards", "2"]) == 0
+    packed = spark.read.parquet(out_p).collect()
+    assert len(packed) == 4
+    assert {c for c in packed[0].asDict()} == {"doc_id", "shard", "bin", "n_tokens"}
