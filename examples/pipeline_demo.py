@@ -34,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 def run_pipeline(spark, sf_dir: str, max_len: int = 512) -> dict:
     from raquet_spark.operators.dedup import (
-        connected_components,
+        keep_cluster_min,
         minhash_dedup_pairs,
     )
     from raquet_spark.operators.textops import (
@@ -67,12 +67,7 @@ def run_pipeline(spark, sf_dir: str, max_len: int = 512) -> dict:
     counts["after_substring_dedup"] = pruned.count()
 
     # 3. MinHash near-dup clusters: keep each cluster's smallest doc_id
-    pairs = minhash_dedup_pairs(pruned)
-    comp = connected_components(pairs, "id_a", "id_b")
-    losers = comp.where(F.col("node") != F.col("component")).selectExpr(
-        "node AS doc_id"
-    )
-    uniq = pruned.join(losers, "doc_id", "left_anti")
+    uniq = keep_cluster_min(pruned, minhash_dedup_pairs(pruned))
     counts["after_minhash_dedup"] = uniq.count()
 
     # 4. quality gate

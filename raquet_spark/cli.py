@@ -440,15 +440,11 @@ def cmd_dedup(args) -> int:
         ).where(F.length("text") > 0)
     else:  # minhash
         from raquet_spark.operators.dedup import (
-            connected_components,
+            keep_cluster_min,
             minhash_dedup_pairs,
         )
 
-        comp = connected_components(minhash_dedup_pairs(df), "id_a", "id_b")
-        losers = comp.where(F.col("node") != F.col("component")).selectExpr(
-            "node AS doc_id"
-        )
-        out = df.join(losers, "doc_id", "left_anti")
+        out = keep_cluster_min(df, minhash_dedup_pairs(df))
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
     print(f"dedup[{args.method}]: {n_in} -> {n_out} docs ({args.output})")
@@ -465,10 +461,10 @@ def cmd_pack(args) -> int:
     df = spark.read.parquet(args.file).select("doc_id", "text")
     packed = sequence_pack(df, max_len=args.max_len, shards=args.shards)
     packed.write.mode("overwrite").parquet(args.output)
-    n_bins = (
-        spark.read.parquet(args.output).select("shard", "bin").distinct().count()
-    )
-    print(f"pack: {df.count()} docs -> {n_bins} bins of ~{args.max_len} tokens")
+    out = spark.read.parquet(args.output)
+    n_docs = out.count()  # count the written output, not a re-scan of the input
+    n_bins = out.select("shard", "bin").distinct().count()
+    print(f"pack: {n_docs} docs -> {n_bins} bins of ~{args.max_len} tokens")
     return 0
 
 

@@ -277,6 +277,25 @@ def connected_components(
     return labels
 
 
+def keep_cluster_min(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup pruning policy shared by the CLI, the pipeline example
+    and the scale probe: cluster the candidate ``pairs`` with
+    :func:`connected_components` and keep each cluster's minimum-id row
+    (non-clustered rows pass through untouched) — one anti-join against
+    the cluster losers."""
+    comp = connected_components(pairs, src, dst)
+    losers = comp.where(F.col("node") != F.col("component")).selectExpr(
+        f"node AS {id_col}"
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_dedup_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",

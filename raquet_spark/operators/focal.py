@@ -149,6 +149,16 @@ def focal_map(
     binfo = {b["name"]: b for b in metadata["bands"]}
     btypes = {b: binfo[b]["type"] for b in bands}
     nodatas = {b: parse_nodata(binfo[b].get("nodata")) for b in bands}
+    # band payloads ride the strip rows NEXT TO the routing columns, so
+    # a band named like one of them would silently clobber the plumbing
+    _reserved = {"gx", "gy", "ox", "oy", "kind", "group",
+                 "qb_x", "qb_y", "qb_z", "block"}
+    clash = _reserved & set(bands)
+    if clash:
+        raise ValueError(
+            f"band name(s) {sorted(clash)} collide with focal_map's "
+            "routing columns — rename the bands before the focal pass"
+        )
     if cellsize is None:
         cellsize = 2.0 * _ORIGIN_SHIFT / ((1 << z) * bw)
     m = 1 << z

@@ -216,6 +216,46 @@ def ann_lsh(
     )
 
 
+def _normalized_sample(candidates: DataFrame, vec_col: str, sample_size: int):
+    """Bounded driver-side sample as a unit-normalized float64 matrix —
+    the shared training prologue of the coarse quantizer and the PQ
+    codebooks. ``limit`` caps driver memory at O(sample), never O(N):
+    at 100 TB the index trains on a sample while assignment stays
+    fully distributed."""
+    import numpy as np
+
+    sample = (
+        candidates.select(vec_col).limit(sample_size).toPandas()[vec_col].tolist()
+    )
+    x = np.asarray(sample, dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def _nearest_clusters_udf(cent, n: int):
+    """Arrow-batched matmul against the (tiny, closure-captured)
+    centroid matrix: ids of the ``n`` clusters nearest to each vector.
+    Map-only and vectorized — a Catalyst-literal formulation of K×D
+    centroid constants costs more to plan/codegen than the whole batch
+    costs to execute, so this is the fast path at every scale, not a
+    fallback. Centroids are unit vectors, so argmax of the raw dot
+    products IS the cosine ranking (the vector's own norm scales all
+    similarities equally). Shared by :func:`ann_ivf` and
+    :func:`ann_ivf_pq`."""
+    import numpy as np
+
+    C = np.asarray(cent, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def topn(v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        sims = X @ C.T
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(idx))
+
+    return topn
+
+
 def _kmeans_centroids(
     candidates: DataFrame,
     vec_col: str,
@@ -224,20 +264,11 @@ def _kmeans_centroids(
     seed: int,
     sample_size: int,
 ) -> list[list[float]]:
-    """Centroids from a bounded driver-side sample + numpy Lloyd
-    iterations. The sample is capped (``limit``) so driver memory is
-    O(sample), never O(N) — at 100 TB the index is trained on a sample
-    while assignment stays fully distributed."""
+    """Coarse-quantizer centroids: numpy Lloyd iterations over the
+    bounded sample (see :func:`_normalized_sample`)."""
     import numpy as np
 
-    sample = (
-        candidates.select(vec_col)
-        .limit(sample_size)
-        .toPandas()[vec_col]
-        .tolist()
-    )
-    x = np.asarray(sample, dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = _normalized_sample(candidates, vec_col, sample_size)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(n_iter):
@@ -296,26 +327,7 @@ def ann_ivf(
         )
 
     def nearest_clusters_udf(n: int):
-        """Arrow-batched matmul against the (tiny, closure-captured)
-        centroid matrix: ids of the ``n`` clusters nearest to each
-        vector. Map-only and vectorized — a Catalyst-literal
-        formulation of K×D centroid constants costs more to plan/codegen
-        than the whole batch costs to execute, so this is the fast path
-        at every scale, not a fallback. Centroids are unit vectors, so
-        argmax of the raw dot products IS the cosine ranking (the
-        vector's own norm scales all similarities equally)."""
-        import numpy as np
-
-        C = np.asarray(cent, dtype=np.float64)
-
-        @F.pandas_udf("array<int>")
-        def topn(v: pd.Series) -> pd.Series:
-            X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-            sims = X @ C.T
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(idx))
-
-        return topn
+        return _nearest_clusters_udf(cent, n)
 
     q = with_norm(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv"
@@ -357,11 +369,7 @@ def _pq_codebooks(
     the cosine directly."""
     import numpy as np
 
-    sample = (
-        candidates.select(vec_col).limit(sample_size).toPandas()[vec_col].tolist()
-    )
-    x = np.asarray(sample, dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    x = _normalized_sample(candidates, vec_col, sample_size)
     C = np.asarray(cent, dtype=np.float64)
     res = x - C[(x @ C.T).argmax(axis=1)]
     d = x.shape[1]
@@ -426,6 +434,12 @@ def ann_ivf_pq(
     import numpy as np
     from pyspark.sql.window import Window
 
+    if not 1 <= ks <= 256:
+        raise ValueError(
+            f"ks={ks}: PQ codes are stored as one uint8 per subspace, "
+            "so at most 256 codewords (larger indices would silently "
+            "wrap modulo 256)"
+        )
     if centroids is None:
         if n_clusters is None:
             if n_rows is None:
@@ -472,14 +486,7 @@ def ann_ivf_pq(
         return pd.Series(dot_c + np.einsum("bmd,bmd->b", qr, cw))
 
     def nearest_clusters_udf(n: int):
-        @F.pandas_udf("array<int>")
-        def topn(v: pd.Series) -> pd.Series:
-            X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-            sims = X @ C.T
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-            return pd.Series(list(idx))
-
-        return topn
+        return _nearest_clusters_udf(centroids, n)
 
     # inverted index: ids + codes only — full vectors stay behind
     enc = candidates.select(

@@ -643,7 +643,9 @@ def sequence_pack(
     toks = df.selectExpr(
         id_col,
         f"pmod({id_col}, {shards}) AS shard",
-        f"size(regexp_extract_all({text_col}, '[^ ]+', 0)) AS n_tokens",
+        # same token definition as substring_dedup_spans: newline/tab
+        # separated text must not count as one giant token
+        f"size(regexp_extract_all({text_col}, '[^ \\\\t\\\\n]+', 0)) AS n_tokens",
     )
     w = (
         Window.partitionBy("shard")

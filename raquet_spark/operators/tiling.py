@@ -283,7 +283,12 @@ def rasterize_features(
             "band_1": [encode_block(arr.reshape(-1), band_type, compression)],
         })
 
-    tiles = pin_group_width(pairs, "block").groupBy("block").applyInPandas(
+    # no width pin here: the burn input's bytes are the polygon
+    # vertices — the actual work driver — so AQE's byte-based sizing is
+    # the right heuristic, and a blanket pin makes small batches (e.g.
+    # stream_rasterize micro-batches) pay full-width task overhead for
+    # microseconds of burn (see plans/shape.py)
+    tiles = pairs.groupBy("block").applyInPandas(
         burn, schema="block bigint, band_1 binary"
     )
     # metadata reflects the actual feature extent, not the world grid

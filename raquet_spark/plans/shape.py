@@ -56,7 +56,12 @@ def pin_group_width(
     width = clamp(approx_pixels / PIXELS_PER_TASK, 1,
     spark.sql.shuffle.partitions). Without it, the full configured
     width is used (for stages whose volume is genuinely unknown)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # some deployments set a non-numeric value (e.g. "auto");
+        # fall back to the cluster's default parallelism
+        n = df.sparkSession.sparkContext.defaultParallelism
     if approx_pixels is not None:
         n = max(1, min(n, -(-int(approx_pixels) // PIXELS_PER_TASK)))
     if n <= 1:

@@ -3461,9 +3461,9 @@ def sequence_pack_stats(d: str) -> str:
     order, then per-bin doc and token totals. max_len=256 at test scale;
     bins overfill by at most one document (the linear-packing bound)."""
     if d == "spark":
-        ntok = "size(regexp_extract_all(text, '[^ ]+', 0))"
+        ntok = r"size(regexp_extract_all(text, '[^ \\t\\n]+', 0))"
     else:
-        ntok = "len(regexp_extract_all(text, '[^ ]+'))"
+        ntok = r"len(regexp_extract_all(text, '[^ \t\n]+'))"
     return f"""
 WITH t AS (
   SELECT doc_id, doc_id % 8 AS shard, {ntok} AS n_tok FROM documents

@@ -68,6 +68,7 @@ def main() -> None:
     from raquet_spark.operators.dedup import (
         connected_components,
         embedding_dedup_pairs_lsh,
+        keep_cluster_min,
         minhash_dedup_pairs,
     )
     from raquet_spark.operators.similarity import ann_ivf, ann_ivf_pq, ann_lsh
@@ -133,15 +134,9 @@ def main() -> None:
             pairs = embedding_dedup_pairs_lsh(
                 corpus, threshold=0.95, n_tables=16, dim=64
             ).where(F.col("id_b") == F.col("id_a") + F.lit(100_000_000))
-            comp = connected_components(pairs, "id_a", "id_b")
-            pruned = comp.where("node != component").selectExpr(
-                "node AS vec_id"
-            )
-            return (
-                corpus.select("vec_id")
-                .join(pruned, "vec_id", "left_anti")
-                .count()
-            )
+            return keep_cluster_min(
+                corpus.select("vec_id"), pairs, id_col="vec_id"
+            ).count()
 
         bench(f"semantic_dedup_x{mult}", semantic_keep, runs)
 
