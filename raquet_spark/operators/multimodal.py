@@ -438,3 +438,61 @@ def audio_features(df: DataFrame, codec: str = "wav") -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         feats, schema="media_id bigint, n_samples bigint, rms double, zcr double"
     )
+
+
+def audio_spectrogram(
+    df: DataFrame, n_fft: int = 256, hop: int = 128
+) -> DataFrame:
+    """Per-clip spectral descriptors from a framed magnitude
+    spectrogram: Hann-windowed numpy rFFT over ``n_fft``-sample frames
+    at ``hop`` stride — the front half of any mel/feature pipeline,
+    Arrow-batched (one clip's frames = one matmul-sized FFT batch).
+    Emits frame count, dominant frequency (peak of the summed
+    spectrum) and spectral centroid in Hz, using each WAV's own sample
+    rate."""
+    import io
+    import wave
+
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
+        freqs_unit = np.arange(n_fft // 2 + 1) / n_fft  # cycles/sample
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "peak_hz": [],
+                   "centroid_hz": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    raw = w.readframes(w.getnframes())
+                sig = np.frombuffer(raw, dtype="<i2").astype("f8")
+                sig = sig.reshape(-1, nch)[:, 0]  # first channel
+                n_frames = max(0, 1 + (len(sig) - n_fft) // hop)
+                if n_frames == 0:
+                    frames = np.zeros((1, n_fft))
+                    n_frames_out = 0
+                else:
+                    idx = (np.arange(n_frames)[:, None] * hop
+                           + np.arange(n_fft)[None, :])
+                    frames = sig[idx] * win
+                    n_frames_out = n_frames
+                mag = np.abs(np.fft.rfft(frames, axis=1))
+                spectrum = mag.sum(axis=0)
+                total = spectrum.sum()
+                peak = float(freqs_unit[int(spectrum.argmax())] * sr)
+                cent = float(
+                    (freqs_unit * spectrum).sum() / total * sr
+                ) if total > 0 else 0.0
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(int(n_frames_out))
+                out["peak_hz"].append(peak)
+                out["centroid_hz"].append(cent)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        feats,
+        "media_id bigint, n_frames bigint, peak_hz double, centroid_hz double",
+    )

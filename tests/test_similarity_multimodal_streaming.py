@@ -656,3 +656,38 @@ def test_streaming_rasterize_matches_batch(spark, tmp_path):
     want_df, _ = rasterize_features(all_feats, zoom=5, block_size=16)
     want = {r["block"]: bytes(r["band_1"]) for r in want_df.collect()}
     assert got == want and len(want) > 2
+
+
+def test_audio_spectrogram_pure_tone(spark):
+    """A pure 1 kHz tone's dominant-frequency bin and spectral centroid
+    come back at 1 kHz within one FFT bin (sr/n_fft = 62.5 Hz)."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    from raquet_spark.operators.multimodal import audio_spectrogram
+
+    def tone(freq, sr=16000, n=8000):
+        t = np.arange(n)
+        sig = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(sig.tobytes())
+        return buf.getvalue()
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "media_id": [1, 2],
+        "payload": [tone(1000.0), tone(3000.0)],
+    }))
+    got = {r["media_id"]: r for r in audio_spectrogram(media, n_fft=256, hop=128).collect()}
+    bin_hz = 16000 / 256
+    assert abs(got[1]["peak_hz"] - 1000.0) <= bin_hz
+    assert abs(got[2]["peak_hz"] - 3000.0) <= bin_hz
+    # a pure tone's centroid sits at the tone (leakage spreads it by
+    # less than a couple of bins)
+    assert abs(got[1]["centroid_hz"] - 1000.0) < 3 * bin_hz
+    assert got[1]["n_frames"] == 1 + (8000 - 256) // 128
