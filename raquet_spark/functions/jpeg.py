@@ -434,15 +434,232 @@ def _decode_block(br: "_BitReader", dct: dict, act: dict) -> np.ndarray:
     return zz
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (h, w) or (h, w, 3).
+def _find_scan_end(data: bytes, start: int) -> int:
+    """First true marker at/after ``start``: inside entropy data every
+    0xFF is either stuffed (FF00) or a restart, so scanning forward for
+    FF + (non-zero, non-RST, non-FF-fill) finds the scan boundary."""
+    p = start
+    while p < len(data) - 1:
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and data[p + 1] != 0xFF
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(data)
 
-    Reads the full baseline sequential (SOF0) feature set PIL/libjpeg
-    emit by default: 8-bit grayscale or YCbCr with ANY sampling factors
-    (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...; MCU interleave per T.81 A.2.3),
-    restart intervals (DRI/RSTn), chroma triangle upsampling matching
-    libjpeg's decoder. Progressive (SOF2) and arithmetic coding remain
-    typed gates."""
+
+def _dc_scan(br, zz, dtree, preds, ci, Ah, Al):
+    """One DC data unit (one block of one component)."""
+    if Ah == 0:
+        size = _read_symbol(br, dtree)
+        preds[ci] += _extend(br.read(size), size) if size else 0
+        zz[0] = preds[ci] << Al
+    elif br.read(1):
+        zz[0] |= 1 << Al
+
+
+def _ac_scan_first(br, act, zz, Ss, Se, Al, state):
+    """AC spectral-selection first pass for one block (T.81 G.1.2.2)."""
+    if state[0] > 0:
+        state[0] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        rs = _read_symbol(br, act)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > Se:
+                raise ValueError("AC run past band end")
+            zz[k] = _extend(br.read(s), s) << Al
+            k += 1
+        else:
+            if r != 15:
+                state[0] = (1 << r) - 1
+                if r:
+                    state[0] += br.read(r)
+                break
+            k += 16  # ZRL
+
+
+def _ac_scan_refine(br, act, zz, Ss, Se, Al, state):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / the public libjpeg jdphuff recipe): new ±1<<Al
+    coefficients interleave with correction bits for already-nonzero
+    ones."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+    k = Ss
+    if state[0] == 0:
+        while k <= Se:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s:
+                val = p1 if br.read(1) else m1
+            elif r != 15:
+                state[0] = 1 << r
+                if r:
+                    state[0] += br.read(r)
+                break
+            while k <= Se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= Se:
+                zz[k] = val
+            k += 1
+    if state[0] > 0:
+        while k <= Se:
+            c = int(zz[k])
+            if c != 0 and br.read(1) and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        state[0] -= 1
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    comps: list,
+    qtabs: dict,
+    htrees: dict,
+    h: int,
+    w: int,
+    restart_interval: int,
+) -> list[np.ndarray]:
+    """Progressive (SOF2) scan loop: accumulate every component's DCT
+    coefficients across DC/AC spectral-selection and successive-
+    approximation scans, then dequantize + IDCT once at the end.
+    ``pos`` sits at the first SOS marker; DHT/DQT/DRI between scans
+    update the live tables."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_ci = {c[0]: i for i, c in enumerate(comps)}
+    # padded (interleaved-grid) coefficient stores + true block dims
+    coefs, nbdims = [], []
+    for _cid, hi, vi, _q in comps:
+        coefs.append(np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32))
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        nbdims.append((-(-ch // 8), -(-cw // 8)))
+
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT between scans
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                htrees[(cls, tid)] = _decode_tree(bits, list(seg[p + 17 : p + 17 + nv]))
+                p += 17 + nv
+        elif marker == 0xDB:  # DQT between scans
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                n = 64 * (2 if prec else 1)
+                qtabs[tid] = np.frombuffer(
+                    seg[p : p + n], dtype=">u2" if prec else "u1"
+                ).astype(np.int32)
+                p += n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # one scan
+            ns = seg[0]
+            p = 1
+            scan = []  # (ci, dc_tid, ac_tid)
+            for _ in range(ns):
+                cid, tabs = seg[p], seg[p + 1]
+                scan.append((by_ci[cid], tabs >> 4, tabs & 0xF))
+                p += 2
+            Ss, Se, ahal = seg[p], seg[p + 1], seg[p + 2]
+            Ah, Al = ahal >> 4, ahal & 0xF
+            ent_start = pos + seglen
+            br = _BitReader(data[ent_start:])
+            preds = [0] * len(comps)
+            state = [0]  # EOBRUN
+
+            if Ss == 0:  # DC scan (spec: Se must be 0)
+                if ns > 1:  # interleaved over the MCU grid
+                    n_units = mcux * mcuy
+                    for n in range(n_units):
+                        if restart_interval and n and n % restart_interval == 0:
+                            br.restart()
+                            preds = [0] * len(comps)
+                        my, mx = divmod(n, mcux)
+                        for ci, dtid, _atid in scan:
+                            _cid, hi, vi, _q = comps[ci]
+                            for vy in range(vi):
+                                for vx in range(hi):
+                                    zz = coefs[ci][my * vi + vy, mx * hi + vx]
+                                    _dc_scan(
+                                        br, zz, htrees.get((0, dtid)),
+                                        preds, ci, Ah, Al,
+                                    )
+                else:  # single component: true block grid
+                    ci, dtid, _atid = scan[0]
+                    nbh, nbw = nbdims[ci]
+                    for n in range(nbh * nbw):
+                        if restart_interval and n and n % restart_interval == 0:
+                            br.restart()
+                            preds = [0] * len(comps)
+                        byy, bxx = divmod(n, nbw)
+                        zz = coefs[ci][byy, bxx]
+                        _dc_scan(
+                            br, zz, htrees.get((0, dtid)), preds, ci, Ah, Al
+                        )
+            else:  # AC scan: exactly one component (T.81 G.1.1)
+                if ns != 1:
+                    raise ValueError("progressive AC scan with >1 component")
+                ci, _dtid, atid = scan[0]
+                act = htrees[(1, atid)]
+                nbh, nbw = nbdims[ci]
+                fn = _ac_scan_first if Ah == 0 else _ac_scan_refine
+                for n in range(nbh * nbw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        br.restart()
+                        state = [0]
+                    byy, bxx = divmod(n, nbw)
+                    fn(br, act, coefs[ci][byy, bxx], Ss, Se, Al, state)
+
+            pos = _find_scan_end(data, ent_start)
+            continue
+        pos += seglen
+    return coefs
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """JFIF bytes → uint8 (h, w) or (h, w, 3).
+
+    Reads the full feature set PIL/libjpeg/javax.imageio emit: baseline
+    sequential (SOF0) AND progressive (SOF2 — spectral selection +
+    successive approximation, DC/AC first and refinement passes, EOB
+    runs), 8-bit grayscale or YCbCr with ANY sampling factors (4:4:4,
+    4:2:2, 4:2:0, 4:1:1, ...; MCU interleave per T.81 A.2.3), restart
+    intervals (DRI/RSTn), chroma triangle upsampling matching libjpeg's
+    decoder. Arithmetic coding and 12-bit remain typed gates."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -451,6 +668,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, qtab)
     h = w = 0
     restart_interval = 0
+    progressive = False
+    prog_sos = 0
     scan_comps: list[tuple[int, int, int]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -484,7 +703,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nv])
                 htrees[(cls, tid)] = _decode_tree(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             p = 6
             for _ in range(nc):
@@ -494,11 +714,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     raise ValueError(f"bad sampling factors {samp:#x}")
                 comps.append((cid, hi, vi, qid))
                 p += 3
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("only baseline sequential (SOF0) JPEG")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) huffman JPEG"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if progressive:
+                prog_sos = pos - 2  # hand the whole scan loop over
+                break
             nc = seg[0]
             p = 1
             for _ in range(nc):
@@ -508,6 +733,41 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             pos += seglen
             break
         pos += seglen
+    if progressive:
+        if not comps:
+            raise ValueError("missing SOF2")
+        coefs = _decode_progressive(
+            data, prog_sos, comps, qtabs, htrees, h, w, restart_interval
+        )
+        planes = []
+        for (_cid, hi, vi, qid), coef in zip(comps, coefs):
+            q = qtabs[qid]
+            nby, nbx = coef.shape[0], coef.shape[1]
+            f = (
+                (coef.reshape(-1, 64) * q)[:, _UNZZ]
+                .reshape(-1, 8, 8)
+                .astype(np.float64)
+            )
+            blocks = np.einsum("ij,njk,kl->nil", _T.T, f, _T) + 128.0
+            planes.append(
+                blocks.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+        ncomp = len(comps)
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        out_planes = []
+        for (_cid, hi, vi, _q), plane in zip(comps, planes):
+            plane = _upsample_axis(plane, 0, vmax // vi)
+            plane = _upsample_axis(plane, 1, hmax // hi)
+            out_planes.append(plane[:h, :w])
+        if ncomp == 1:
+            return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        if ncomp == 3:
+            rgb = _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        raise NotImplementedError(f"{ncomp}-component JPEG")
     if not comps or not scan_comps:
         raise ValueError("missing SOF0/SOS")
     if len(scan_comps) != len(comps):

@@ -376,3 +376,111 @@ def test_jpeg_420_handcrafted_conformance():
     # byte-aligned the reader and zeroed every DC predictor
     expect = rgb_of(128, 90, 170)
     assert (out[:, 16:] == expect).all(), (out[0, 16], expect)
+
+
+# --- progressive JPEG (SOF2) conformance vs the JVM's ImageIO --------
+
+def _jvm_write_jpeg(jvm, img, quality, progressive):
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(2)  # MODE_EXPLICIT
+    param.setCompressionQuality(float(quality))
+    if progressive:
+        param.setProgressiveMode(3)  # MODE_DEFAULT
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    return bytes(baos.toByteArray())
+
+
+def test_progressive_jpeg_gray_matches_imageio(spark):
+    """A progressive (SOF2) grayscale JPEG written by javax.imageio —
+    spectral selection + successive approximation, DC/AC refinement
+    scans — decodes to ImageIO's own pixels within IDCT rounding.
+    Raster-level sample IO avoids the JVM's gray<->sRGB conversions."""
+    import numpy as np
+
+    jvm = spark._jvm
+    x = np.linspace(0, 220, 40)[None, :] + np.linspace(0, 35, 24)[:, None]
+    arr = (x % 256).astype(np.uint8)
+    img = jvm.java.awt.image.BufferedImage(40, 24, 10)  # TYPE_BYTE_GRAY
+    raster = img.getRaster()
+    for y in range(24):
+        for xx in range(40):
+            raster.setSample(xx, y, 0, int(arr[y, xx]))
+    buf = _jvm_write_jpeg(jvm, img, 0.9, True)
+    assert b"\xff\xc2" in buf  # SOF2 really emitted
+
+    from raquet_spark.functions.jpeg import jpeg_decode
+
+    ours = jpeg_decode(buf)
+    img2 = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    r2 = img2.getRaster()
+    ref = np.array(
+        [[r2.getSample(xx, y, 0) for xx in range(40)] for y in range(24)]
+    )
+    assert np.abs(ours.astype(int) - ref).max() <= 2
+
+
+def test_progressive_jpeg_rgb_420_matches_imageio(spark):
+    """Progressive RGB at the writer's default 4:2:0 subsampling with
+    odd dimensions: interleaved DC scans (3 components, 2x2 sampling)
+    + per-component AC scans + refinements, chroma upsampled — within
+    a couple of levels of ImageIO's own decode."""
+    import numpy as np
+
+    jvm = spark._jvm
+    rng = np.random.default_rng(5)
+    h, w = 33, 49
+    x = np.linspace(0, 200, w)[None, :] + np.linspace(0, 50, h)[:, None]
+    img_np = np.stack([x, x[::-1], 0.5 * x], axis=2).astype(np.uint8)
+    img_np += rng.integers(0, 5, img_np.shape, dtype=np.uint8)
+    img = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+    for y in range(h):
+        for xx in range(w):
+            r, g, b = (int(v) for v in img_np[y, xx])
+            img.setRGB(xx, y, (r << 16) | (g << 8) | b)
+    buf = _jvm_write_jpeg(jvm, img, 0.85, True)
+    assert b"\xff\xc2" in buf
+    # default subsampling is 4:2:0 — the interleaved-DC + upsample path
+    i = buf.find(b"\xff\xc2")
+    assert buf[i + 11] == 0x22
+
+    from raquet_spark.functions.jpeg import jpeg_decode
+
+    ours = jpeg_decode(buf)
+    img2 = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(bytearray(buf))
+    )
+    ref = np.zeros((h, w, 3), dtype=np.int32)
+    for y in range(h):
+        for xx in range(w):
+            argb = img2.getRGB(xx, y)
+            ref[y, xx] = [(argb >> 16) & 255, (argb >> 8) & 255, argb & 255]
+    d = np.abs(ours.astype(int) - ref)
+    assert d.max() <= 4 and d.mean() < 1.0
+
+
+def test_progressive_vs_baseline_same_pixels(spark):
+    """The same source written progressive and baseline by ImageIO must
+    decode (through OUR decoder) to nearly identical pixels — the two
+    entropy layouts carry the same quantized coefficients."""
+    import numpy as np
+
+    jvm = spark._jvm
+    x = np.linspace(0, 250, 32)[None, :] * np.ones((16, 1))
+    arr = x.astype(np.uint8)
+    img = jvm.java.awt.image.BufferedImage(32, 16, 10)
+    raster = img.getRaster()
+    for y in range(16):
+        for xx in range(32):
+            raster.setSample(xx, y, 0, int(arr[y, xx]))
+    from raquet_spark.functions.jpeg import jpeg_decode
+
+    prog = jpeg_decode(_jvm_write_jpeg(jvm, img, 0.92, True))
+    base = jpeg_decode(_jvm_write_jpeg(jvm, img, 0.92, False))
+    assert np.abs(prog.astype(int) - base.astype(int)).max() <= 2
