@@ -847,10 +847,10 @@ def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
         entry0, entry_sz, inline = ifd_off + 8, 20, 8
     else:
         raise ValueError("not a TIFF (bad magic)")
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 8: 2, 9: 4, 10: 8,
-                 11: 4, 12: 8, 16: 8, 17: 8}
-    type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
-                12: "d", 16: "Q", 17: "q"}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+    type_fmt = {1: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
+                11: "f", 12: "d", 16: "Q", 17: "q"}
     tags: dict[int, tuple] = {}
     tags[-1] = (en,)
     for i in range(n_entries):

@@ -38,6 +38,7 @@ this environment).
 from __future__ import annotations
 
 import math
+import struct
 import zlib
 
 import numpy as np
@@ -49,6 +50,41 @@ from raquet_spark.sources.lzw import lzw_decode, packbits_decode
 
 from raquet_spark.core.metadata import BandMeta, build_metadata
 from raquet_spark.sources.geotiff import read_ifd
+
+
+def _jpeg_has_tables(buf: bytes) -> bool:
+    """True when the stream defines its own DQT before the first SOS
+    (marker walk — raw byte search would false-positive on entropy
+    data)."""
+    pos = 2
+    while pos < len(buf) - 3:
+        if buf[pos] != 0xFF:
+            return False
+        m = buf[pos + 1]
+        if m == 0xDB:
+            return True
+        if m == 0xDA:
+            return False
+        if m == 0x01 or 0xD0 <= m <= 0xD7 or m == 0xFF:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        pos += 2 + seglen
+    return False
+
+
+def _jpeg_seg_decode(buf: bytes, jpeg_tables: bytes | None) -> np.ndarray:
+    """One JPEG-in-TIFF segment → (h, w, c) uint8. Per TIFF Tech Note 2
+    an abbreviated segment (no DQT of its own) splices against the
+    shared JPEGTables stream: tables minus their EOI, then the segment
+    minus its SOI."""
+    from raquet_spark.functions.jpeg import jpeg_decode
+
+    buf = bytes(buf)
+    if jpeg_tables and not _jpeg_has_tables(buf):
+        buf = bytes(jpeg_tables)[:-2] + buf[2:]
+    arr = jpeg_decode(buf)
+    return arr if arr.ndim == 3 else arr[:, :, None]
 
 _EARTH_R = 6378137.0
 _ORIGIN_SHIFT = math.pi * _EARTH_R
@@ -142,12 +178,20 @@ def read_tiff_structure(path: str) -> dict:
     en = tags.get(-1, ("<",))[0]  # byte order recorded by read_ifd
     dtype = np.dtype(f"{en}{_KIND[fmt]}{bits[0] // 8}")
     compression = tags.get(259, (1,))[0]
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {compression} "
-            "(only none/LZW/deflate/PackBits supported)"
+            "(only none/LZW/JPEG/deflate/PackBits supported)"
         )
     planar = tags.get(284, (1,))[0]  # 1 = chunky (BIP), 2 = band-separate
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF Tech Note 2): every segment is a
+        # JPEG stream, optionally abbreviated against the shared
+        # JPEGTables (tag 347) — the aerial-imagery GeoTIFF staple
+        if bits[0] != 8:
+            raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+        if planar == 2:
+            raise NotImplementedError("JPEG-in-TIFF with planar layout")
 
     tiled = 322 in tags
     if tiled:
@@ -214,6 +258,7 @@ def read_tiff_structure(path: str) -> dict:
         "dtype": str(dtype),
         "sample_format": fmt,
         "compression": compression,
+        "jpeg_tables": bytes(tags[347]) if 347 in tags else None,
         "predictor": tags.get(317, (1,))[0],
         "tiled": tiled,
         "planar": planar,
@@ -243,6 +288,7 @@ def tiff_pixel_table(
     width, height = info["width"], info["height"]
     n_bands, dtype = info["n_bands"], np.dtype(info["dtype"])
     compression, predictor = info["compression"], info["predictor"]
+    jpeg_tables = info.get("jpeg_tables")
     tiled = info["tiled"]
     planar = info.get("planar", 1) == 2 and n_bands > 1
 
@@ -324,20 +370,27 @@ def tiff_pixel_table(
                         buf = lzw_decode(buf)
                     elif compression == 32773:
                         buf = packbits_decode(buf)
-                    arr = np.frombuffer(buf, dtype=dtype)
-                    # segment pixel origin and true extent
                     if tiled:
                         ty, tx = divmod(seg, segs_across)
                         x0, y0 = tx * seg_w, ty * seg_h
-                        arr = arr.reshape(seg_h, seg_w, n_bands)
                     else:
                         x0, y0 = 0, seg * seg_h
-                        rows = min(seg_h, height - y0)
-                        arr = arr[: rows * seg_w * n_bands].reshape(
-                            rows, seg_w, n_bands
-                        )
-                    if predictor == 2:
-                        arr = np.cumsum(arr, axis=1, dtype=dtype).astype(dtype)
+                    if compression == 7:
+                        # each segment is its own JPEG; its header
+                        # carries the true segment dims (a bottom strip
+                        # is shorter than RowsPerStrip)
+                        arr = _jpeg_seg_decode(buf, jpeg_tables)
+                    else:
+                        arr = np.frombuffer(buf, dtype=dtype)
+                        if tiled:
+                            arr = arr.reshape(seg_h, seg_w, n_bands)
+                        else:
+                            rows = min(seg_h, height - y0)
+                            arr = arr[: rows * seg_w * n_bands].reshape(
+                                rows, seg_w, n_bands
+                            )
+                        if predictor == 2:
+                            arr = np.cumsum(arr, axis=1, dtype=dtype).astype(dtype)
                     h, w = arr.shape[:2]
                     w_eff = min(w, width - x0)
                     h_eff = min(h, height - y0)
