@@ -176,3 +176,67 @@ def test_jpeg_tiff_gates(tmp_path):
     with open(path, "wb") as f:
         f.write(bytes(base))
     assert read_tiff_structure(path)["compression"] == 7
+
+
+def test_jpeg_tiff_tiled(spark, tmp_path):
+    """Tiled (not striped) JPEG TIFF: tags 322/323/324/325, one JPEG
+    per 16x16 tile, 2x2 tile grid with right/bottom padding cropped."""
+    w, h, ts = 24, 24, 16  # 2x2 tiles, edge tiles padded to 16
+    img = _blocky(h, w, 1, seed=4)
+    padded = np.zeros((32, 32), dtype=np.uint8)
+    padded[:h, :w] = img[:, :, 0]
+    tiles = [
+        jpeg_encode(padded[ty : ty + ts, tx : tx + ts], quality=100)
+        for ty in range(0, 32, ts)
+        for tx in range(0, 32, ts)
+    ]
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, None),
+        (259, 3, 1, 7), (262, 3, 1, 1), (277, 3, 1, 1),
+        (322, 4, 1, ts), (323, 4, 1, ts),
+        (324, 4, len(tiles), None), (325, 4, len(tiles), None),
+    ]
+    n = len(entries)
+    ext_base = 8 + 2 + n * 12 + 4
+    ext = bytearray()
+
+    def ext_put(b):
+        off = ext_base + len(ext)
+        ext.extend(b)
+        return off
+
+    ext_len = 4 * len(tiles) * 2
+    data_base = ext_base + ext_len
+    offs = []
+    pos = data_base
+    for p in tiles:
+        offs.append(pos)
+        pos += len(p)
+    body = b""
+    for tag, typ, count, val in entries:
+        if tag == 324:
+            buf = b"".join(struct.pack("<I", o) for o in offs)
+        elif tag == 325:
+            buf = b"".join(struct.pack("<I", len(p)) for p in tiles)
+        elif tag == 258:
+            buf = struct.pack("<H", 8)
+        else:
+            buf = struct.pack("<H" if typ == 3 else "<I", val)
+        if len(buf) <= 4:
+            body += struct.pack("<HHI", tag, typ, count) + buf.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<HHII", tag, typ, count, ext_put(buf))
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", n) + body + struct.pack("<I", 0)
+    out += ext
+    for p in tiles:
+        out += p
+    path = str(tmp_path / "tiled.tif")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    info = read_tiff_structure(path)
+    assert info["tiled"] and info["compression"] == 7
+    pdf = tiff_pixel_table(spark, info).toPandas().sort_values(["sy", "sx"])
+    assert len(pdf) == w * h  # padding cropped
+    got = pdf["band_1"].to_numpy().reshape(h, w)
+    np.testing.assert_array_equal(got, img[:, :, 0])
