@@ -434,6 +434,28 @@ def _decode_block(br: "_BitReader", dct: dict, act: dict) -> np.ndarray:
     return zz
 
 
+def _parse_dht(seg: bytes, htrees: dict) -> None:
+    p = 0
+    while p < len(seg):
+        cls, tid = seg[p] >> 4, seg[p] & 0xF
+        bits = list(seg[p + 1 : p + 17])
+        nv = sum(bits)
+        htrees[(cls, tid)] = _decode_tree(bits, list(seg[p + 17 : p + 17 + nv]))
+        p += 17 + nv
+
+
+def _parse_dqt(seg: bytes, qtabs: dict) -> None:
+    p = 0
+    while p < len(seg):
+        prec, tid = seg[p] >> 4, seg[p] & 0xF
+        p += 1
+        n = 64 * (2 if prec else 1)
+        qtabs[tid] = np.frombuffer(
+            seg[p : p + n], dtype=">u2" if prec else "u1"
+        ).astype(np.int32)
+        p += n
+
+
 def _find_scan_end(data: bytes, start: int) -> int:
     """First true marker at/after ``start``: inside entropy data every
     0xFF is either stuffed (FF00) or a restart, so scanning forward for
@@ -562,28 +584,17 @@ def _decode_progressive(
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xFF:
+        if marker == 0xFF:  # fill byte: only ONE byte consumed (T.81 B.1.1.2)
+            pos -= 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xC4:  # DHT between scans
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                nv = sum(bits)
-                htrees[(cls, tid)] = _decode_tree(bits, list(seg[p + 17 : p + 17 + nv]))
-                p += 17 + nv
+            _parse_dht(seg, htrees)
         elif marker == 0xDB:  # DQT between scans
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                n = 64 * (2 if prec else 1)
-                qtabs[tid] = np.frombuffer(
-                    seg[p : p + n], dtype=">u2" if prec else "u1"
-                ).astype(np.int32)
-                p += n
+            _parse_dqt(seg, qtabs)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # one scan
@@ -597,7 +608,9 @@ def _decode_progressive(
             Ss, Se, ahal = seg[p], seg[p + 1], seg[p + 2]
             Ah, Al = ahal >> 4, ahal & 0xF
             ent_start = pos + seglen
-            br = _BitReader(data[ent_start:])
+            # no per-scan copy of the file tail: read in place
+            br = _BitReader(data)
+            br.pos = ent_start
             preds = [0] * len(comps)
             state = [0]  # EOBRUN
 
@@ -678,31 +691,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker == 0xFF:  # fill byte: only ONE byte consumed (T.81 B.1.1.2)
+            pos -= 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                n = 64 * (2 if prec else 1)
-                vals = (
-                    np.frombuffer(seg[p : p + n], dtype=">u2" if prec else "u1")
-                    .astype(np.int32)
-                )
-                qtabs[tid] = vals
-                p += n
+            _parse_dqt(seg, qtabs)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + nv])
-                htrees[(cls, tid)] = _decode_tree(bits, vals)
-                p += 17 + nv
+            _parse_dht(seg, htrees)
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -757,6 +756,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         ncomp = len(comps)
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
+        for _cid, hi, vi, _q in comps:
+            if hmax % hi or vmax % vi:
+                raise NotImplementedError(
+                    f"non-integer chroma upsampling ({hi}x{vi} vs {hmax}x{vmax})"
+                )
         out_planes = []
         for (_cid, hi, vi, _q), plane in zip(comps, planes):
             plane = _upsample_axis(plane, 0, vmax // vi)

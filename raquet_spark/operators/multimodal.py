@@ -467,8 +467,14 @@ def audio_spectrogram(
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     sr = w.getframerate()
                     nch = w.getnchannels()
+                    sw = w.getsampwidth()
                     raw = w.readframes(w.getnframes())
-                sig = np.frombuffer(raw, dtype="<i2").astype("f8")
+                # same width handling as decode_wav_audio: 8-bit PCM is
+                # unsigned around 128, 16/32-bit are signed LE
+                dt = {1: "u1", 2: "<i2", 4: "<i4"}[sw]
+                sig = np.frombuffer(raw, dtype=dt).astype("f8")
+                if sw == 1:
+                    sig = sig - 128.0
                 sig = sig.reshape(-1, nch)[:, 0]  # first channel
                 n_frames = max(0, 1 + (len(sig) - n_fft) // hop)
                 if n_frames == 0:

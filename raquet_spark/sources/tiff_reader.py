@@ -52,36 +52,18 @@ from raquet_spark.core.metadata import BandMeta, build_metadata
 from raquet_spark.sources.geotiff import read_ifd
 
 
-def _jpeg_has_tables(buf: bytes) -> bool:
-    """True when the stream defines its own DQT before the first SOS
-    (marker walk — raw byte search would false-positive on entropy
-    data)."""
-    pos = 2
-    while pos < len(buf) - 3:
-        if buf[pos] != 0xFF:
-            return False
-        m = buf[pos + 1]
-        if m == 0xDB:
-            return True
-        if m == 0xDA:
-            return False
-        if m == 0x01 or 0xD0 <= m <= 0xD7 or m == 0xFF:
-            pos += 2
-            continue
-        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
-        pos += 2 + seglen
-    return False
-
-
 def _jpeg_seg_decode(buf: bytes, jpeg_tables: bytes | None) -> np.ndarray:
     """One JPEG-in-TIFF segment → (h, w, c) uint8. Per TIFF Tech Note 2
-    an abbreviated segment (no DQT of its own) splices against the
-    shared JPEGTables stream: tables minus their EOI, then the segment
-    minus its SOI."""
+    the shared JPEGTables stream supplies table DEFAULTS, so it is
+    always spliced in front (tables minus their EOI, segment minus its
+    SOI) — a segment that carries its own DQT/DHT just redefines the
+    table slots, which the decoder's last-definition-wins dict handles;
+    gating the splice on a segment-local DQT would break spec-valid
+    files whose DHT lives only in tag 347."""
     from raquet_spark.functions.jpeg import jpeg_decode
 
     buf = bytes(buf)
-    if jpeg_tables and not _jpeg_has_tables(buf):
+    if jpeg_tables:
         buf = bytes(jpeg_tables)[:-2] + buf[2:]
     arr = jpeg_decode(buf)
     return arr if arr.ndim == 3 else arr[:, :, None]

@@ -44,7 +44,8 @@ def _split_tables(jfif: bytes) -> tuple[bytes, bytes]:
     return bytes(tables), bytes(rest)
 
 
-def _jpeg_tiff(payloads, w, h, rows_per_strip, nbands, jpeg_tables=None):
+def _jpeg_tiff(payloads, w, h, rows_per_strip, nbands, jpeg_tables=None,
+               bits=8, extra=()):
     """Minimal classic little-endian TIFF with JPEG-compressed strips."""
     entries = [
         (256, 4, 1, w), (257, 4, 1, h),
@@ -53,6 +54,7 @@ def _jpeg_tiff(payloads, w, h, rows_per_strip, nbands, jpeg_tables=None):
         (273, 4, len(payloads), None), (277, 3, 1, nbands),
         (278, 4, 1, rows_per_strip),
         (279, 4, len(payloads), None),
+        *extra,
     ]
     if jpeg_tables is not None:
         entries.append((347, 7, len(jpeg_tables), None))
@@ -67,7 +69,7 @@ def _jpeg_tiff(payloads, w, h, rows_per_strip, nbands, jpeg_tables=None):
         ext.extend(b)
         return off
 
-    bits_buf = b"".join(struct.pack("<H", 8) for _ in range(nbands))
+    bits_buf = b"".join(struct.pack("<H", bits) for _ in range(nbands))
     # size externals first so strip offsets are known
     ext_len = 0
     for tag, typ, count, _v in entries:
@@ -161,21 +163,26 @@ def test_jpeg_tiff_shared_jpegtables(spark, tmp_path):
 
 
 def test_jpeg_tiff_gates(tmp_path):
-    """Planar or 16-bit JPEG TIFFs fail fast with a typed error."""
+    """Planar and 16-bit JPEG TIFFs fail fast with typed errors; a
+    bare segment decodes standalone without tables."""
     img = _blocky(16, 16, 1, seed=1)
     strip = jpeg_encode(img[:, :, 0], quality=100)
-    base = bytearray(_jpeg_tiff([strip], 16, 16, 16, 1))
-    # patch PlanarConfiguration=2 in: append a fresh IFD? simpler —
-    # just assert the structured gate via read_tiff_structure on a
-    # hand-patched bits tag is out of scope; exercise the public gate:
     from raquet_spark.sources.tiff_reader import _jpeg_seg_decode
 
     arr = _jpeg_seg_decode(strip, None)
     np.testing.assert_array_equal(arr[:, :, 0], img[:, :, 0])
-    path = str(tmp_path / "ok.tif")
-    with open(path, "wb") as f:
-        f.write(bytes(base))
-    assert read_tiff_structure(path)["compression"] == 7
+
+    planar = str(tmp_path / "planar.tif")
+    with open(planar, "wb") as f:
+        f.write(_jpeg_tiff([strip], 16, 16, 16, 1, extra=((284, 3, 1, 2),)))
+    with pytest.raises(NotImplementedError, match="planar"):
+        read_tiff_structure(planar)
+
+    deep = str(tmp_path / "deep.tif")
+    with open(deep, "wb") as f:
+        f.write(_jpeg_tiff([strip], 16, 16, 16, 1, bits=16))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        read_tiff_structure(deep)
 
 
 def test_jpeg_tiff_tiled(spark, tmp_path):
