@@ -227,19 +227,27 @@ def _encode_blocks(bw: "_BitWriter", zz: np.ndarray, prev_dc: int,
 
 
 def jpeg_encode(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    color_transform: bool = True,
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF bytes.
 
     ``subsampling``: ``"444"`` (default — every pixel exact at
     quality 100, which the hash-exact driver queries rely on),
     ``"422"``, or ``"420"`` (PIL/libjpeg's RGB default; chroma box-
-    downsampled, MCU-interleaved per T.81 A.2.3)."""
+    downsampled, MCU-interleaved per T.81 A.2.3).
+    ``color_transform=False`` stores the three planes as-is (RGB),
+    matching TIFF photometric=2 JPEG segments."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         planes = [a.astype(np.float64)]
     elif a.ndim == 3 and a.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(a.astype(np.float64))
+        if color_transform:
+            ycc = _rgb_to_ycbcr(a.astype(np.float64))
+        else:
+            ycc = a.astype(np.float64)
         planes = [ycc[..., i] for i in range(3)]
     else:
         raise ValueError(f"jpeg_encode expects (h,w) or (h,w,3) uint8, got {a.shape}")
@@ -663,7 +671,7 @@ def _decode_progressive(
     return coefs
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
+def jpeg_decode(data: bytes, color_transform: bool = True) -> np.ndarray:
     """JFIF bytes → uint8 (h, w) or (h, w, 3).
 
     Reads the full feature set PIL/libjpeg/javax.imageio emit: baseline
@@ -672,7 +680,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     runs), 8-bit grayscale or YCbCr with ANY sampling factors (4:4:4,
     4:2:2, 4:2:0, 4:1:1, ...; MCU interleave per T.81 A.2.3), restart
     intervals (DRI/RSTn), chroma triangle upsampling matching libjpeg's
-    decoder. Arithmetic coding and 12-bit remain typed gates."""
+    decoder. Arithmetic coding and 12-bit remain typed gates.
+
+    ``color_transform=False`` skips the YCbCr→RGB step for 3-component
+    streams whose planes are already RGB (TIFF photometric=2 JPEG
+    segments, e.g. GDAL's PHOTOMETRIC=RGB)."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -769,7 +781,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         if ncomp == 1:
             return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         if ncomp == 3:
-            rgb = _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+            stacked = np.stack(out_planes, axis=-1)
+            rgb = _ycbcr_to_rgb(stacked) if color_transform else stacked
             return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         raise NotImplementedError(f"{ncomp}-component JPEG")
     if not comps or not scan_comps:
@@ -826,6 +839,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     if ncomp == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     if ncomp == 3:
-        rgb = _ycbcr_to_rgb(np.stack(out_planes, axis=-1))
+        stacked = np.stack(out_planes, axis=-1)
+        rgb = _ycbcr_to_rgb(stacked) if color_transform else stacked
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     raise NotImplementedError(f"{ncomp}-component JPEG")

@@ -394,7 +394,12 @@ def _pq_codebooks(
                 members = sub[assign == j]
                 if len(members):
                     cb[j] = members.mean(axis=0)
-        books[m, :k_eff] = cb
+        # pad unused slots by CYCLING trained rows, never zeros: encode's
+        # argmin runs over all ks rows, and an all-zero row would win for
+        # vectors far from every trained codeword, scoring 0 in the ADC
+        # sum and quietly degrading shortlist recall on tiny corpora. A
+        # cycled duplicate scores identically to its source row.
+        books[m] = cb[np.arange(ks) % k_eff]
     return books.tolist()
 
 

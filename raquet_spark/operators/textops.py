@@ -517,7 +517,14 @@ def substring_dedup_spans(
     Scale shape: everything is JVM-side (transform/slice/xxhash64 —
     no Python UDFs); the wide shuffle is on the 8-byte shingle hash
     (volume = tokens × 8B, NOT tokens × window), and the interval
-    merge shuffles each doc's duplicate starts once. Suffix arrays
+    merge shuffles each doc's duplicate starts once. The
+    first-occurrence pass is deliberately an aggregation + join, NOT
+    ``row_number().over(partitionBy(h))``: a window pins every
+    occurrence of a hot shingle (license boilerplate can repeat
+    10⁸-10⁹ times at 100 TB) into ONE task's sort, while
+    ``groupBy(h).agg(min(struct(id, start)))`` combines map-side
+    (partial aggregation shrinks the hot key to one row per map
+    task) and the join-back is AQE-skew-splittable. Suffix arrays
     find variable-length duplicates; fixed-``window`` shingles find
     every duplicate run of ≥ ``window`` tokens (the standard
     distributed approximation — runs shorter than ``window`` are
@@ -539,10 +546,19 @@ def substring_dedup_spans(
         """,
     )
     occ = shingled.selectExpr(id_col, "posexplode(hs) AS (start, h)")
-    first_w = Window.partitionBy("h").orderBy(id_col, "start")
+    # Corpus-wide first occurrence per shingle, ordered by (doc, start)
+    # for determinism. min(struct(..)) compares lexicographically and
+    # partial-aggregates map-side — skew-safe where a row_number window
+    # over partitionBy(h) is not (see docstring).
+    first = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("start").alias("s")))
+        .alias("f")
+    )
     dup = (
-        occ.withColumn("rn", F.row_number().over(first_w))
-        .where(F.col("rn") > 1)
+        occ.join(first, "h")
+        .where(
+            (F.col(id_col) != F.col("f.i")) | (F.col("start") != F.col("f.s"))
+        )
         .select(id_col, "start")
     )
     prev_w = (
@@ -584,8 +600,10 @@ def substring_dedup_prune(
 ) -> DataFrame:
     """Apply :func:`substring_dedup_spans` cut-lists: rebuild each
     document's text with duplicated token ranges removed (the first
-    corpus-wide occurrence keeps its text intact). Adds
-    ``clean_text`` and ``dup_tokens`` columns."""
+    corpus-wide occurrence keeps its text intact). Output schema is
+    exactly ``(id_col, text_col, dup_tokens, clean_text)`` — other
+    input columns are dropped; join back on ``id_col`` to recover
+    them."""
     spans = substring_dedup_spans(df, window, text_col, id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.expr(

@@ -52,21 +52,37 @@ from raquet_spark.core.metadata import BandMeta, build_metadata
 from raquet_spark.sources.geotiff import read_ifd
 
 
-def _jpeg_seg_decode(buf: bytes, jpeg_tables: bytes | None) -> np.ndarray:
+def _jpeg_seg_decode(
+    buf: bytes,
+    jpeg_tables: bytes | None,
+    n_bands: int,
+    color_transform: bool = True,
+) -> np.ndarray:
     """One JPEG-in-TIFF segment → (h, w, c) uint8. Per TIFF Tech Note 2
     the shared JPEGTables stream supplies table DEFAULTS, so it is
     always spliced in front (tables minus their EOI, segment minus its
     SOI) — a segment that carries its own DQT/DHT just redefines the
     table slots, which the decoder's last-definition-wins dict handles;
     gating the splice on a segment-local DQT would break spec-valid
-    files whose DHT lives only in tag 347."""
+    files whose DHT lives only in tag 347.
+
+    ``color_transform=False`` for photometric=2 (RGB) files whose JPEG
+    planes are stored untransformed; the channel count is checked
+    against SamplesPerPixel so an inconsistent file fails with a typed
+    error, not an IndexError in the band loop."""
     from raquet_spark.functions.jpeg import jpeg_decode
 
     buf = bytes(buf)
     if jpeg_tables:
         buf = bytes(jpeg_tables)[:-2] + buf[2:]
-    arr = jpeg_decode(buf)
-    return arr if arr.ndim == 3 else arr[:, :, None]
+    arr = jpeg_decode(buf, color_transform=color_transform)
+    arr = arr if arr.ndim == 3 else arr[:, :, None]
+    if arr.shape[2] != n_bands:
+        raise ValueError(
+            f"JPEG segment decodes to {arr.shape[2]} channel(s) but the "
+            f"TIFF declares SamplesPerPixel={n_bands}"
+        )
+    return arr
 
 _EARTH_R = 6378137.0
 _ORIGIN_SHIFT = math.pi * _EARTH_R
@@ -166,6 +182,7 @@ def read_tiff_structure(path: str) -> dict:
             "(only none/LZW/JPEG/deflate/PackBits supported)"
         )
     planar = tags.get(284, (1,))[0]  # 1 = chunky (BIP), 2 = band-separate
+    photometric = tags.get(262, (1,))[0]
     if compression == 7:
         # new-style JPEG-in-TIFF (TIFF Tech Note 2): every segment is a
         # JPEG stream, optionally abbreviated against the shared
@@ -174,6 +191,16 @@ def read_tiff_structure(path: str) -> dict:
             raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
         if planar == 2:
             raise NotImplementedError("JPEG-in-TIFF with planar layout")
+        # photometric decides the color transform: 6 (YCbCr) needs the
+        # YCbCr→RGB step, 2 (RGB, e.g. GDAL PHOTOMETRIC=RGB) stores the
+        # planes untransformed. Applying the transform to an RGB file
+        # yields silently-wrong pixels, so anything else is a typed gate.
+        if spp >= 3 and photometric not in (2, 6):
+            raise NotImplementedError(
+                f"JPEG-in-TIFF with PhotometricInterpretation="
+                f"{photometric} for {spp} samples (only 2=RGB and "
+                "6=YCbCr supported)"
+            )
 
     tiled = 322 in tags
     if tiled:
@@ -253,6 +280,7 @@ def read_tiff_structure(path: str) -> dict:
         "projection": projection,
         "nodata": float(nodata[0]) if nodata else None,
         "palette": palette,
+        "photometric": photometric,
     }
 
 
@@ -271,6 +299,8 @@ def tiff_pixel_table(
     n_bands, dtype = info["n_bands"], np.dtype(info["dtype"])
     compression, predictor = info["compression"], info["predictor"]
     jpeg_tables = info.get("jpeg_tables")
+    # photometric=2 (RGB) JPEG segments are stored untransformed
+    jpeg_color_transform = info.get("photometric", 6) != 2
     tiled = info["tiled"]
     planar = info.get("planar", 1) == 2 and n_bands > 1
 
@@ -361,7 +391,9 @@ def tiff_pixel_table(
                         # each segment is its own JPEG; its header
                         # carries the true segment dims (a bottom strip
                         # is shorter than RowsPerStrip)
-                        arr = _jpeg_seg_decode(buf, jpeg_tables)
+                        arr = _jpeg_seg_decode(
+                            buf, jpeg_tables, n_bands, jpeg_color_transform
+                        )
                     else:
                         arr = np.frombuffer(buf, dtype=dtype)
                         if tiled:

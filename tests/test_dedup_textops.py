@@ -520,6 +520,49 @@ def test_substring_dedup_no_python_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_substring_dedup_no_window_over_shingle_hash(spark):
+    """Skew gate: the first-occurrence pass must be an aggregation +
+    join, never a Window partitioned by the shingle hash — a hot
+    shingle (boilerplate repeated 10^8+ times at 100 TB) would pin a
+    multi-GB sort into one task. Window operators may only partition
+    by the doc id (the interval merge)."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import substring_dedup_spans
+    from raquet_spark.plans.inspect import executed_plan
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b c d"]})
+    )
+    plan = executed_plan(substring_dedup_spans(docs, window=2))
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\((\w+)#", plan):
+        assert spec != "h", plan
+
+
+def test_substring_dedup_hot_shingle(spark):
+    """Hot-key correctness: one shingle occurring 10^4 times among
+    uniform data still yields exactly one exempt first occurrence
+    (min (doc_id, start) corpus-wide) and every other occurrence
+    marked duplicated."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import substring_dedup_spans
+
+    hot = " ".join(f"h{i}" for i in range(4))  # one window-4 shingle
+    n = 10_000
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(n)),
+        "text": [hot + f" u{k}a u{k}b u{k}c u{k}d" for k in range(n)],
+    }))
+    spans = substring_dedup_spans(docs, window=4).collect()
+    # every doc except doc 0 (first occurrence at (0, 0)) has the hot
+    # shingle span [0, 4); the u-suffixed tails are all unique
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans}
+    assert got == {(d, 0, 4) for d in range(1, n)}
+
+
 def test_sequence_pack_invariants(spark):
     """Linear packing: every doc lands in exactly one (shard, bin),
     bins fill to at most max_len + the largest document (the linear

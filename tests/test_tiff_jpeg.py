@@ -45,12 +45,14 @@ def _split_tables(jfif: bytes) -> tuple[bytes, bytes]:
 
 
 def _jpeg_tiff(payloads, w, h, rows_per_strip, nbands, jpeg_tables=None,
-               bits=8, extra=()):
+               bits=8, extra=(), photometric=None):
     """Minimal classic little-endian TIFF with JPEG-compressed strips."""
+    if photometric is None:
+        photometric = 6 if nbands == 3 else 1
     entries = [
         (256, 4, 1, w), (257, 4, 1, h),
         (258, 3, nbands, None), (259, 3, 1, 7),
-        (262, 3, 1, 6 if nbands == 3 else 1),
+        (262, 3, 1, photometric),
         (273, 4, len(payloads), None), (277, 3, 1, nbands),
         (278, 4, 1, rows_per_strip),
         (279, 4, len(payloads), None),
@@ -169,8 +171,12 @@ def test_jpeg_tiff_gates(tmp_path):
     strip = jpeg_encode(img[:, :, 0], quality=100)
     from raquet_spark.sources.tiff_reader import _jpeg_seg_decode
 
-    arr = _jpeg_seg_decode(strip, None)
+    arr = _jpeg_seg_decode(strip, None, 1)
     np.testing.assert_array_equal(arr[:, :, 0], img[:, :, 0])
+
+    # SamplesPerPixel mismatch fails typed, not with an IndexError
+    with pytest.raises(ValueError, match="SamplesPerPixel"):
+        _jpeg_seg_decode(strip, None, 3)
 
     planar = str(tmp_path / "planar.tif")
     with open(planar, "wb") as f:
@@ -183,6 +189,38 @@ def test_jpeg_tiff_gates(tmp_path):
         f.write(_jpeg_tiff([strip], 16, 16, 16, 1, bits=16))
     with pytest.raises(NotImplementedError, match="8-bit"):
         read_tiff_structure(deep)
+
+
+def test_jpeg_tiff_photometric_rgb(spark, tmp_path):
+    """photometric=2 (GDAL PHOTOMETRIC=RGB): the JPEG planes ARE the
+    RGB samples — the decoder must skip YCbCr→RGB or pixels come out
+    silently wrong. Quality-100 4:4:4 over 8x8-constant blocks is
+    bit-exact, so assert equality."""
+    w, h, rps = 24, 16, 16
+    img = _blocky(h, w, 3, seed=7)
+    strips = [jpeg_encode(img, quality=100, color_transform=False)]
+    path = str(tmp_path / "rgbphoto.tif")
+    with open(path, "wb") as f:
+        f.write(_jpeg_tiff(strips, w, h, rps, 3, photometric=2))
+    info = read_tiff_structure(path)
+    assert info["photometric"] == 2
+    pdf = tiff_pixel_table(spark, info).toPandas().sort_values(["sy", "sx"])
+    assert len(pdf) == w * h
+    for b in range(3):
+        got = pdf[f"band_{b + 1}"].to_numpy().reshape(h, w)
+        np.testing.assert_array_equal(got, img[:, :, b])
+
+
+def test_jpeg_tiff_photometric_gate(tmp_path):
+    """3-band compression-7 with a photometric the decoder can't map
+    to a color transform (e.g. 5=CMYK-ish) fails fast and typed."""
+    img = _blocky(16, 16, 3, seed=3)
+    strip = jpeg_encode(img, quality=100)
+    path = str(tmp_path / "photo5.tif")
+    with open(path, "wb") as f:
+        f.write(_jpeg_tiff([strip], 16, 16, 16, 3, photometric=5))
+    with pytest.raises(NotImplementedError, match="Photometric"):
+        read_tiff_structure(path)
 
 
 def test_jpeg_tiff_tiled(spark, tmp_path):
