@@ -575,7 +575,7 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--project", default=None)
     s.set_defaults(fn=cmd_import_earthengine)
 
-    s = sub.add_parser("import-netcdf", help="classic NetCDF (.nc) → raquet, CF time preserved")
+    s = sub.add_parser("import-netcdf", help="NetCDF (.nc: classic CDF-1/2 or NetCDF-4/HDF5) → raquet, CF time preserved")
     s.add_argument("input")
     s.add_argument("output")
     s.add_argument("--var", default=None, help="data variable (default: auto-detect)")

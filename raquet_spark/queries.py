@@ -2316,6 +2316,111 @@ GROUP BY t
 """
 
 
+# NetCDF-4 fixture shape: chunks that do NOT divide the grid (edge
+# cropping on the decode path) plus one never-written chunk whose
+# cells read back as fill (HDF5 semantics), written in the heaviest
+# container layout (superblock v2, OHDR, dense fractal-heap links and
+# attributes, shuffle+deflate+fletcher32).
+_NC4 = dict(cy=16, cx=24, skip=(1, 1, 1))
+
+
+def _cached_netcdf4(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_hdf5 import write_netcdf4
+
+    key = (spark.sparkContext.applicationId, "netcdf4_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _NC
+        nlat, nlon, nt = c["nlat"], c["nlon"], c["nt"]
+        lats = 37.9875 - 0.025 * np.arange(nlat)
+        lons = -122.9875 + 0.025 * np.arange(nlon)
+        gy, gx = np.mgrid[0:nlat, 0:nlon]
+        data = np.stack(
+            [((gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50) for t in range(nt)]
+        ).astype("<i2")
+        mask = (gx[None] + gy[None] + np.arange(nt)[:, None, None]) % 17 == 0
+        data[mask] = c["fill"]
+        path = os.path.join(tempfile.mkdtemp(prefix="raquet_q_nc4_"), "fix.nc")
+        write_netcdf4(
+            path, lats, lons, data,
+            times=np.arange(nt, dtype="f8"),
+            time_units="days since 2020-01-01 00:00:00",
+            nc_type=3, scale_factor=c["scale"], add_offset=c["offset"],
+            fill_value=c["fill"],
+            chunks=(1, _NC4["cy"], _NC4["cx"]),
+            skip_chunks={_NC4["skip"]},
+            filters=(("shuffle",), ("deflate", 4), ("fletcher32",)),
+            style="latest", dense_links=True, dense_attrs=True,
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def netcdf4_ingest_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF-4/HDF5 ingestion (reference: GDAL-based .nc convert,
+    cli.py:283,438): drives the from-scratch HDF5 container parse
+    (sources/hdf5.py — superblock v2, OHDR, DENSE fractal-heap
+    links/attrs, DIMENSION_LIST through the global heap) and the
+    DISTRIBUTED chunk decode: B-tree v1 chunk walk, per-chunk
+    shuffle+deflate+fletcher32 defilter, edge-chunk cropping, fill
+    semantics for a never-written chunk, scale/offset application.
+    Aggregated per CF time step against the closed-form oracle; the
+    warp/tiling path is pytest-gated (tests/test_hdf5.py)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.netcdf import (
+        netcdf_pixel_table,
+        read_netcdf_structure,
+    )
+
+    c = _NC
+    nodata = c["fill"] * c["scale"] + c["offset"]
+    nc = read_netcdf_structure(_cached_netcdf4(spark))
+    px = netcdf_pixel_table(spark, nc, "value")
+    return (
+        px.where(F.col("band_1") != nodata)
+        .groupBy("time_cf")
+        .agg(
+            F.expr("COUNT(band_1)").alias("n_px"),
+            F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+            F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+            F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+            F.expr("round(AVG(band_1), 6)").alias("vmean"),
+        )
+    )
+
+
+def netcdf4_ingest_stats_oracle() -> str:
+    c, c4 = _NC, _NC4
+    st, sy, sx = c4["skip"]
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 17 = 0 THEN NULL
+              WHEN t = {st} AND gy // {c4['cy']} = {sy}
+                   AND gx // {c4['cx']} = {sx} THEN NULL
+              ELSE ((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50)
+                   * {c['scale']} + {c['offset']} END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nlat']})) AS gy),
+       (SELECT unnest(range(0, {c['nlon']})) AS gx)
+)
+SELECT CAST(t AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 def _region_cells() -> list[int]:
     r = _R
     return sorted(
@@ -4737,6 +4842,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "warp_bilinear_stats": (warp_bilinear_stats_spark, warp_bilinear_stats_oracle),
     "imageserver_auto_stats": (imageserver_auto_stats_spark, tile_stats_agg_oracle),
     "netcdf_ingest_stats": (netcdf_ingest_stats_spark, netcdf_ingest_stats_oracle),
+    "netcdf4_ingest_stats": (netcdf4_ingest_stats_spark, netcdf4_ingest_stats_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),

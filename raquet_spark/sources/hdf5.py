@@ -1,0 +1,1174 @@
+"""NetCDF-4 (HDF5 container) ingestion — no h5py/netCDF4/GDAL.
+
+Reference parity: the reference converts any GDAL-readable raster,
+including NetCDF-4 (/root/reference/raquet/cli.py:283 "GeoTIFF, COG,
+NetCDF, and more"; cli.py:92 .nc convert path). This module parses the
+HDF5 file format from the public specification (HDF5 File Format
+Specification v3.0) for the subset the netcdf-c library actually
+writes:
+
+- superblock v0/v1 (old-style default) and v2/v3 (libver "latest")
+- object headers v1 and v2 ("OHDR"), continuation blocks
+- groups: old-style (symbol table + local heap + B-tree v1 "SNOD"
+  walk), new-style compact (link messages in the header), and
+  new-style DENSE (fractal heap "FRHP" + B-tree v2 "BTHD" name index
+  — what netcdf-c produces past 8 links, since it tracks creation
+  order)
+- dense attribute storage (same fractal-heap machinery, record type 8)
+- datatypes: fixed-point, IEEE float, fixed string, object reference,
+  variable-length string/sequence (global heap "GCOL")
+- data layout v3: compact, contiguous, chunked with the B-tree v1
+  chunk index; filters: shuffle(2) + deflate(1) + fletcher32(3)
+- fill values for never-written chunks
+
+Typed gates (never silent wrong answers): layout v4 (HDF5 1.10+ chunk
+indexes), non-managed fractal-heap objects (huge/tiny), indirect
+blocks below the root row, B-tree v2 deeper than 2, offsets/lengths
+other than 8 bytes.
+
+Scale shape mirrors the classic-CDF path (netcdf.py) and the GeoTIFF
+path (tiff_reader.py): the DRIVER parses structure only (mmap —
+O(header + chunk index) bytes touched), small coordinate variables
+are read driver-side, and the data variable decodes DISTRIBUTED: one
+task per chunk (or row-range slab for contiguous layout), each task
+seeking its byte range and running defilter + scale/offset + fill in
+numpy. Checksums (Jenkins lookup3) are not verified — corrupted files
+fail structurally, which matches the GDAL default.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# message type ids (spec IV.A.2)
+_MSG_NIL = 0x00
+_MSG_DATASPACE = 0x01
+_MSG_LINK_INFO = 0x02
+_MSG_DATATYPE = 0x03
+_MSG_FILL_OLD = 0x04
+_MSG_FILL = 0x05
+_MSG_LINK = 0x06
+_MSG_LAYOUT = 0x08
+_MSG_GROUP_INFO = 0x0A
+_MSG_FILTERS = 0x0B
+_MSG_ATTRIBUTE = 0x0C
+_MSG_CONTINUATION = 0x10
+_MSG_SYMBOL_TABLE = 0x11
+_MSG_ATTR_INFO = 0x15
+
+
+class _R:
+    """Little-endian cursor over the mmap'd file."""
+
+    __slots__ = ("b", "p")
+
+    def __init__(self, b, p=0):
+        self.b = b
+        self.p = p
+
+    def u8(self):
+        v = self.b[self.p]
+        self.p += 1
+        return v
+
+    def u16(self):
+        (v,) = struct.unpack_from("<H", self.b, self.p)
+        self.p += 2
+        return v
+
+    def u32(self):
+        (v,) = struct.unpack_from("<I", self.b, self.p)
+        self.p += 4
+        return v
+
+    def u64(self):
+        (v,) = struct.unpack_from("<Q", self.b, self.p)
+        self.p += 8
+        return v
+
+    def take(self, n):
+        v = bytes(self.b[self.p : self.p + n])
+        self.p += n
+        return v
+
+    def uN(self, n):
+        return int.from_bytes(self.take(n), "little")
+
+
+def _superblock(b) -> dict:
+    if bytes(b[:8]) != b"\x89HDF\r\n\x1a\n":
+        raise ValueError("not an HDF5 file (bad superblock signature)")
+    r = _R(b, 8)
+    ver = r.u8()
+    if ver in (0, 1):
+        r.p += 4  # freespace/root-group/reserved/shared-header versions
+        so, sl = r.u8(), r.u8()
+        r.p += 1 + 2 + 2 + 4  # reserved, leaf k, internal k, flags
+        if ver == 1:
+            r.p += 4  # indexed-storage k + reserved
+        if (so, sl) != (8, 8):
+            raise NotImplementedError(
+                f"HDF5 offset/length sizes {so}/{sl} (only 8/8 supported)"
+            )
+        r.p += 8 * 4  # base, free-space, EOF, driver-info
+        r.p += 8  # root symbol entry: link name offset
+        root = r.u64()
+        return {"version": ver, "root": root}
+    if ver in (2, 3):
+        so, sl = r.u8(), r.u8()
+        if (so, sl) != (8, 8):
+            raise NotImplementedError(
+                f"HDF5 offset/length sizes {so}/{sl} (only 8/8 supported)"
+            )
+        r.p += 1  # file consistency flags
+        r.p += 8 * 3  # base, extension, EOF
+        root = r.u64()
+        return {"version": ver, "root": root}
+    raise NotImplementedError(f"HDF5 superblock version {ver}")
+
+
+def _object_header(b, addr) -> list[tuple[int, bytes]]:
+    """Object header (v1 or v2) → [(msg_type, body_bytes)], following
+    continuation blocks."""
+    msgs: list[tuple[int, bytes]] = []
+    if bytes(b[addr : addr + 4]) == b"OHDR":
+        r = _R(b, addr + 4)
+        if r.u8() != 2:
+            raise NotImplementedError("OHDR version != 2")
+        flags = r.u8()
+        if flags & 0x20:
+            r.p += 16  # access/mod/change/birth times
+        if flags & 0x10:
+            r.p += 4  # max compact / min dense attrs
+        size0 = r.uN(1 << (flags & 0x3))
+        tracked = bool(flags & 0x04)
+        blocks = [(r.p, size0)]
+        bi = 0
+        while bi < len(blocks):
+            start, size = blocks[bi]
+            bi += 1
+            r2 = _R(b, start)
+            end = start + size
+            # a block needs >= 4 (+2 corder) bytes for another header
+            min_hdr = 4 + (2 if tracked else 0)
+            while r2.p + min_hdr <= end:
+                mt = r2.u8()
+                ml = r2.u16()
+                r2.u8()  # message flags
+                if tracked:
+                    r2.p += 2
+                body = r2.take(ml)
+                if mt == _MSG_CONTINUATION:
+                    coff, clen = struct.unpack_from("<QQ", body, 0)
+                    if bytes(b[coff : coff + 4]) != b"OCHK":
+                        raise ValueError("bad OCHK continuation signature")
+                    # OCHK: 4-byte sig + messages + 4-byte checksum
+                    blocks.append((coff + 4, clen - 8))
+                elif mt != _MSG_NIL:
+                    msgs.append((mt, body))
+        return msgs
+    # version 1
+    r = _R(b, addr)
+    if r.u8() != 1:
+        raise ValueError(f"unsupported object header version at {addr}")
+    r.u8()
+    nmsg = r.u16()
+    r.u32()  # reference count
+    hsize = r.u32()
+    blocks = [(addr + 16, hsize)]
+    bi = 0
+    while bi < len(blocks) and len(msgs) < nmsg + 64:
+        start, size = blocks[bi]
+        bi += 1
+        r2 = _R(b, start)
+        end = start + size
+        while r2.p + 8 <= end:
+            mt = r2.u16()
+            ml = r2.u16()
+            r2.u8()
+            r2.p += 3
+            body = r2.take(ml)
+            if mt == _MSG_CONTINUATION:
+                coff, clen = struct.unpack_from("<QQ", body, 0)
+                blocks.append((coff, clen))
+            elif mt != _MSG_NIL:
+                msgs.append((mt, body))
+    return msgs
+
+
+def _dataspace(body: bytes) -> list[int]:
+    r = _R(body)
+    ver = r.u8()
+    rank = r.u8()
+    flags = r.u8()
+    if ver == 1:
+        r.p += 5
+    elif ver == 2:
+        r.p += 1  # type
+    else:
+        raise NotImplementedError(f"dataspace version {ver}")
+    dims = [r.u64() for _ in range(rank)]
+    # maxdims present per flags&1 — not needed, body already consumed
+    return dims
+
+
+def _datatype(body: bytes, pos: int = 0) -> dict:
+    """Datatype message → {"kind", "size", "np" numpy-dtype-str or
+    None, "base" for vlen}. Byte order from the class bit field."""
+    r = _R(body, pos)
+    cv = r.u8()
+    cls, ver = cv & 0x0F, cv >> 4
+    if ver not in (1, 2, 3):
+        raise NotImplementedError(f"datatype version {ver}")
+    b0, b8, b16 = r.u8(), r.u8(), r.u8()
+    size = r.u32()
+    order = ">" if (b0 & 1) else "<"
+    if cls == 0:  # fixed-point
+        signed = bool(b0 & 0x08)
+        return {
+            "kind": "int",
+            "size": size,
+            "np": f"{order}{'i' if signed else 'u'}{size}",
+            "end": r.p + 4,
+        }
+    if cls == 1:  # floating-point
+        if size not in (4, 8):
+            raise NotImplementedError(f"{size}-byte float datatype")
+        return {"kind": "float", "size": size, "np": f"{order}f{size}",
+                "end": r.p + 12}
+    if cls == 3:  # fixed string
+        return {"kind": "string", "size": size, "np": None, "end": r.p}
+    if cls == 7:  # reference
+        return {"kind": "reference", "size": size, "np": None, "end": r.p}
+    if cls == 9:  # variable-length
+        vtype = b0 & 0x0F  # 0 sequence, 1 string
+        base = _datatype(body, r.p)
+        return {
+            "kind": "vlen_string" if vtype == 1 else "vlen",
+            "size": size,
+            "np": None,
+            "base": base,
+            "end": base["end"],
+        }
+    raise NotImplementedError(f"HDF5 datatype class {cls}")
+
+
+def _layout(body: bytes) -> dict:
+    r = _R(body)
+    ver = r.u8()
+    if ver != 3:
+        raise NotImplementedError(
+            f"data layout message version {ver} (only v3; HDF5 1.10+ "
+            "chunk indexes need the file written with 1.8 compatibility)"
+        )
+    cls = r.u8()
+    if cls == 0:  # compact
+        n = r.u16()
+        return {"layout": "compact", "data": r.take(n)}
+    if cls == 1:  # contiguous
+        return {"layout": "contiguous", "addr": r.u64(), "size": r.u64()}
+    if cls == 2:  # chunked, b-tree v1 index
+        nd = r.u8()  # ndims + 1
+        btree = r.u64()
+        dims = [r.u32() for _ in range(nd)]
+        return {
+            "layout": "chunked",
+            "btree": btree,
+            "chunk": dims[:-1],
+            "elem_size": dims[-1],
+        }
+    raise NotImplementedError(f"data layout class {cls}")
+
+
+def _filters(body: bytes) -> list[tuple[int, list[int]]]:
+    r = _R(body)
+    ver = r.u8()
+    n = r.u8()
+    if ver == 1:
+        r.p += 6
+    out = []
+    for _ in range(n):
+        fid = r.u16()
+        if ver == 1 or fid >= 256:
+            nlen = r.u16()
+        else:
+            nlen = 0
+        r.u16()  # flags
+        ncv = r.u16()
+        if nlen:
+            r.take(nlen if ver == 2 else (nlen + 7) // 8 * 8)
+        cvs = [r.u32() for _ in range(ncv)]
+        if ver == 1 and ncv % 2:
+            r.p += 4
+        out.append((fid, cvs))
+    return out
+
+
+def _fill_value(mt: int, body: bytes) -> bytes | None:
+    if mt == _MSG_FILL_OLD:
+        (n,) = struct.unpack_from("<I", body, 0)
+        return body[4 : 4 + n] or None
+    r = _R(body)
+    ver = r.u8()
+    if ver in (1, 2):
+        r.p += 2  # alloc time, write time
+        defined = r.u8()
+        if ver == 1 or defined:
+            n = r.u32()
+            return r.take(n) or None
+        return None
+    if ver == 3:
+        flags = r.u8()
+        if flags & 0x20:
+            n = r.u32()
+            return r.take(n) or None
+        return None
+    raise NotImplementedError(f"fill value message version {ver}")
+
+
+def _gheap_object(b, addr: int, index: int) -> bytes:
+    """Global heap collection (GCOL) object lookup."""
+    if bytes(b[addr : addr + 4]) != b"GCOL":
+        raise ValueError(f"bad global heap signature at {addr}")
+    r = _R(b, addr + 4)
+    if r.u8() != 1:
+        raise NotImplementedError("global heap version != 1")
+    r.p += 3
+    size = r.u64()
+    end = addr + size
+    while r.p + 16 <= end:
+        idx = r.u16()
+        r.u16()  # refcount
+        r.p += 4
+        osz = r.u64()
+        if idx == index:
+            return r.take(osz)
+        if idx == 0:
+            break
+        r.p += (osz + 7) // 8 * 8
+    raise KeyError(f"global heap object {index} not found at {addr}")
+
+
+def _read_values(b, dt: dict, raw: bytes, n: int):
+    """Decode n elements of datatype dt from attribute/vlen raw bytes."""
+    if dt["kind"] in ("int", "float"):
+        vals = np.frombuffer(raw[: n * dt["size"]], dtype=np.dtype(dt["np"]))
+        return vals.tolist() if n > 1 else vals[0].item()
+    if dt["kind"] == "string":
+        if n > 1:
+            out = [
+                raw[i * dt["size"] : (i + 1) * dt["size"]]
+                .split(b"\x00")[0]
+                .decode("utf-8", "replace")
+                for i in range(n)
+            ]
+            return out
+        return raw[: dt["size"]].split(b"\x00")[0].decode("utf-8", "replace")
+    if dt["kind"] == "vlen_string":
+        out = []
+        for i in range(n):
+            ln, ga, gi = struct.unpack_from("<IQI", raw, i * 16)
+            out.append(
+                _gheap_object(b, ga, gi)[:ln].decode("utf-8", "replace")
+            )
+        return out if n > 1 else out[0]
+    if dt["kind"] == "vlen" and dt["base"]["kind"] == "reference":
+        # DIMENSION_LIST: per element, a vlen sequence of object refs
+        out = []
+        for i in range(n):
+            ln, ga, gi = struct.unpack_from("<IQI", raw, i * 16)
+            ob = _gheap_object(b, ga, gi)
+            out.append(list(np.frombuffer(ob[: ln * 8], dtype="<u8")))
+        return out
+    if dt["kind"] == "reference":
+        vals = np.frombuffer(raw[: n * 8], dtype="<u8")
+        return [int(v) for v in vals] if n > 1 else int(vals[0])
+    raise NotImplementedError(f"attribute datatype kind {dt['kind']}")
+
+
+def _attribute(b, body: bytes) -> tuple[str, object]:
+    r = _R(body)
+    ver = r.u8()
+    if ver == 1:
+        r.u8()
+        nsz, dtsz, dssz = r.u16(), r.u16(), r.u16()
+        name = r.take((nsz + 7) // 8 * 8).split(b"\x00")[0].decode()
+        dt = _datatype(body, r.p)
+        r.p += (dtsz + 7) // 8 * 8
+        dims = _dataspace(body[r.p : r.p + dssz])
+        r.p += (dssz + 7) // 8 * 8
+    elif ver in (2, 3):
+        flags = r.u8()
+        nsz, dtsz, dssz = r.u16(), r.u16(), r.u16()
+        if ver == 3:
+            r.u8()  # name character-set encoding
+        name = r.take(nsz).split(b"\x00")[0].decode()
+        if flags & 0x03:
+            raise NotImplementedError("shared attribute datatype/dataspace")
+        dt = _datatype(body, r.p)
+        r.p += dtsz
+        dims = _dataspace(body[r.p : r.p + dssz])
+        r.p += dssz
+    else:
+        raise NotImplementedError(f"attribute message version {ver}")
+    n = int(np.prod(dims)) if dims else 1
+    return name, _read_values(b, dt, body[r.p :], n)
+
+
+def _local_heap(b, addr: int) -> int:
+    if bytes(b[addr : addr + 4]) != b"HEAP":
+        raise ValueError(f"bad local heap signature at {addr}")
+    r = _R(b, addr + 4)
+    r.u8()
+    r.p += 3
+    r.p += 16  # data segment size, free-list head
+    return r.u64()  # data segment address
+
+
+def _heap_name(b, data_addr: int, off: int) -> str:
+    end = b.find(b"\x00", data_addr + off)
+    return bytes(b[data_addr + off : end]).decode("utf-8")
+
+
+def _v1_group_links(b, btree_addr: int, heap_addr: int) -> list[tuple[str, int]]:
+    """Old-style group: walk the name B-tree v1 to SNOD leaves."""
+    data_addr = _local_heap(b, heap_addr)
+    out: list[tuple[str, int]] = []
+
+    def walk(addr: int):
+        if bytes(b[addr : addr + 4]) != b"TREE":
+            raise ValueError(f"bad v1 B-tree signature at {addr}")
+        r = _R(b, addr + 4)
+        ntype, level = r.u8(), r.u8()
+        nent = r.u16()
+        r.p += 16  # siblings
+        if ntype != 0:
+            raise ValueError("non-group B-tree in symbol table")
+        for i in range(nent):
+            r.u64()  # key i (heap offset)
+            child = r.u64()
+            if level > 0:
+                walk(child)
+            else:
+                if bytes(b[child : child + 4]) != b"SNOD":
+                    raise ValueError(f"bad SNOD signature at {child}")
+                r2 = _R(b, child + 4)
+                r2.u8()
+                r2.u8()
+                nsym = r2.u16()
+                for _ in range(nsym):
+                    noff = r2.u64()
+                    haddr = r2.u64()
+                    r2.p += 24  # cache type, reserved, scratch
+                    out.append((_heap_name(b, data_addr, noff), haddr))
+
+    walk(btree_addr)
+    return out
+
+
+def _link_msg(body: bytes) -> tuple[str, int] | None:
+    """Link message → (name, object header addr) for hard links."""
+    r = _R(body)
+    if r.u8() != 1:
+        raise NotImplementedError("link message version != 1")
+    flags = r.u8()
+    ltype = r.u8() if flags & 0x08 else 0
+    if flags & 0x04:
+        r.p += 8  # creation order
+    if flags & 0x10:
+        r.p += 1  # charset
+    nlen = r.uN(1 << (flags & 0x3))
+    name = r.take(nlen).decode("utf-8")
+    if ltype == 0:
+        return name, r.u64()
+    return None  # soft/external links: skipped
+
+
+class _FractalHeap:
+    """Managed-object fractal heap (FRHP): doubling table with a root
+    direct block or one level of root-indirect direct blocks."""
+
+    def __init__(self, b, addr: int):
+        if bytes(b[addr : addr + 4]) != b"FRHP":
+            raise ValueError(f"bad fractal heap signature at {addr}")
+        self.b = b
+        r = _R(b, addr + 4)
+        if r.u8() != 0:
+            raise NotImplementedError("fractal heap version != 0")
+        self.id_len = r.u16()
+        io_filt_len = r.u16()
+        self.flags = r.u8()
+        self.max_managed = r.u32()
+        r.p += 8 + 8  # next huge id, huge btree addr
+        r.p += 8 + 8  # free space, free-space mgr addr
+        r.p += 8 + 8  # managed space, allocated managed space
+        r.p += 8  # direct-block iterator offset
+        r.p += 8  # number of managed objects
+        sz_huge, n_huge, _sz_tiny, n_tiny = r.u64(), r.u64(), r.u64(), r.u64()
+        if n_huge or n_tiny:
+            raise NotImplementedError("huge/tiny fractal heap objects")
+        self.width = r.u16()
+        self.start_size = r.u64()
+        self.max_direct = r.u64()
+        self.max_heap_bits = r.u16()
+        r.u16()  # starting rows in root indirect
+        self.root = r.u64()
+        self.cur_rows = r.u16()
+        if io_filt_len:
+            raise NotImplementedError("filtered fractal heap")
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = max(1, (self.max_managed.bit_length() + 7) // 8)
+        self.blk_hdr = 4 + 1 + 8 + self.off_size + (
+            4 if self.flags & 0x02 else 0
+        )
+        self._children: list[tuple[int, int, int]] | None = None
+
+    def _row_size(self, row: int) -> int:
+        return self.start_size if row < 2 else self.start_size << (row - 1)
+
+    def _load_children(self):
+        """Root indirect block → [(heap_off, size, file_addr)]."""
+        if bytes(self.b[self.root : self.root + 4]) != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        r = _R(self.b, self.root + 4)
+        r.u8()
+        r.u64()  # heap header addr
+        r.p += self.off_size  # block offset (root is 0)
+        out = []
+        heap_off = 0
+        for row in range(self.cur_rows):
+            size = self._row_size(row)
+            if size > self.max_direct:
+                raise NotImplementedError(
+                    "fractal heap indirect rows below the direct-row span"
+                )
+            for _ in range(self.width):
+                out.append((heap_off, size, r.u64()))
+                heap_off += size
+        self._children = out
+
+    def get(self, heap_id: bytes) -> bytes:
+        r = _R(heap_id)
+        ver = r.u8()
+        if (ver >> 4) & 0x3 != 0:
+            raise NotImplementedError("non-managed fractal heap object")
+        off = r.uN(self.off_size)
+        ln = r.uN(self.len_size)
+        if self.cur_rows == 0:  # root IS a direct block
+            blk_off, addr = 0, self.root
+        else:
+            if self._children is None:
+                self._load_children()
+            blk_off = addr = None
+            for ho, size, fa in self._children:
+                if ho <= off < ho + size:
+                    blk_off, addr = ho, fa
+                    break
+            if addr is None or addr == UNDEF:
+                raise KeyError(f"fractal heap offset {off} unmapped")
+        if bytes(self.b[addr : addr + 4]) != b"FHDB":
+            raise ValueError(f"bad fractal heap direct block at {addr}")
+        p = addr + (off - blk_off)
+        return bytes(self.b[p : p + ln])
+
+
+def _enc_size(n: int) -> int:
+    return max(1, (n.bit_length() + 7) // 8)
+
+
+def _btv2_caps(node_size: int, rec_size: int, depth: int):
+    """(caps, cum): max records per single node and max cumulative
+    records per subtree, for each depth 0..depth (spec III.A.2 —
+    determines the width of internal-node child-pointer count fields)."""
+    caps = [(node_size - 10) // rec_size]
+    cum = [caps[0]]
+    for d in range(1, depth + 1):
+        ptr = 8 + _enc_size(caps[d - 1])
+        if d > 1:
+            ptr += _enc_size(cum[d - 1])
+        caps.append((node_size - 10 - ptr) // (rec_size + ptr))
+        cum.append(caps[d] + (caps[d] + 1) * cum[d - 1])
+    return caps, cum
+
+
+def _btree_v2_records(b, addr: int) -> list[bytes]:
+    """All records of a v2 B-tree (BTHD), left-to-right."""
+    if bytes(b[addr : addr + 4]) != b"BTHD":
+        raise ValueError(f"bad v2 B-tree signature at {addr}")
+    r = _R(b, addr + 4)
+    if r.u8() != 0:
+        raise NotImplementedError("v2 B-tree version != 0")
+    r.u8()  # record type (caller knows)
+    node_size = r.u32()
+    rec_size = r.u16()
+    depth = r.u16()
+    r.u8()
+    r.u8()  # split/merge percent
+    root = r.u64()
+    root_nrec = r.u16()
+    r.u64()  # total
+    if root == UNDEF or root_nrec == 0:
+        return []
+    if depth > 2:
+        raise NotImplementedError(f"v2 B-tree depth {depth}")
+    caps, cum = _btv2_caps(node_size, rec_size, depth)
+    out: list[bytes] = []
+
+    def leaf(a: int, nrec: int):
+        if bytes(b[a : a + 4]) != b"BTLF":
+            raise ValueError(f"bad BTLF signature at {a}")
+        p = a + 6
+        for i in range(nrec):
+            out.append(bytes(b[p + i * rec_size : p + (i + 1) * rec_size]))
+
+    def internal(a: int, nrec: int, d: int):
+        if bytes(b[a : a + 4]) != b"BTIN":
+            raise ValueError(f"bad BTIN signature at {a}")
+        p = a + 6
+        recs = [
+            bytes(b[p + i * rec_size : p + (i + 1) * rec_size])
+            for i in range(nrec)
+        ]
+        p += nrec * rec_size
+        nsz = _enc_size(caps[d - 1])
+        children = []
+        for _ in range(nrec + 1):
+            ca = int.from_bytes(b[p : p + 8], "little")
+            p += 8
+            cn = int.from_bytes(b[p : p + nsz], "little")
+            p += nsz
+            if d - 1 > 0:
+                p += _enc_size(cum[d - 1])
+            children.append((ca, cn))
+        for i, (ca, cn) in enumerate(children):
+            if d - 1 == 0:
+                leaf(ca, cn)
+            else:
+                internal(ca, cn, d - 1)
+            if i < nrec:
+                out.append(recs[i])
+
+    if depth == 0:
+        leaf(root, root_nrec)
+    else:
+        internal(root, root_nrec, depth)
+    return out
+
+
+def _dense_links(b, fheap_addr: int, btree_addr: int) -> list[tuple[str, int]]:
+    heap = _FractalHeap(b, fheap_addr)
+    out = []
+    for rec in _btree_v2_records(b, btree_addr):
+        # record type 5: hash(4) + heap id
+        link = _link_msg(heap.get(rec[4 : 4 + heap.id_len]))
+        if link:
+            out.append(link)
+    return out
+
+
+def _dense_attrs(b, fheap_addr: int, btree_addr: int) -> dict:
+    heap = _FractalHeap(b, fheap_addr)
+    out = {}
+    for rec in _btree_v2_records(b, btree_addr):
+        # record type 8: heap id (heap.id_len) + flags(1) + corder(4) + hash(4)
+        name, val = _attribute(b, heap.get(rec[: heap.id_len]))
+        out[name] = val
+    return out
+
+
+def _chunk_btree(b, addr: int, ndims: int) -> list[tuple[tuple, int, int, int]]:
+    """B-tree v1 (node type 1) → [(chunk_coords, file_addr, nbytes,
+    filter_mask)]."""
+    out: list[tuple[tuple, int, int, int]] = []
+    key_n = ndims + 1  # spec stores ndims+1 offsets (last always 0)
+
+    def walk(a: int):
+        if a == UNDEF:
+            return
+        if bytes(b[a : a + 4]) != b"TREE":
+            raise ValueError(f"bad chunk B-tree signature at {a}")
+        r = _R(b, a + 4)
+        ntype, level = r.u8(), r.u8()
+        if ntype != 1:
+            raise ValueError("chunk B-tree node type != 1")
+        nent = r.u16()
+        r.p += 16
+        for _ in range(nent):
+            size = r.u32()
+            mask = r.u32()
+            coords = tuple(r.u64() for _ in range(key_n))
+            child = r.u64()
+            if level > 0:
+                walk(child)
+            else:
+                out.append((coords[:-1], child, size, mask))
+        # trailing key ignored
+
+    walk(addr)
+    return out
+
+
+def defilter(raw: bytes, filters, itemsize: int, filter_mask: int = 0) -> bytes:
+    """Reverse the filter pipeline for one chunk. ``filter_mask`` bit i
+    set = filter i was skipped at write time."""
+    for i in range(len(filters) - 1, -1, -1):
+        if filter_mask & (1 << i):
+            continue
+        fid, cvs = filters[i]
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            sz = cvs[0] if cvs else itemsize
+            n = len(raw) // sz
+            raw = (
+                np.frombuffer(raw[: n * sz], dtype="u1")
+                .reshape(sz, n)
+                .T.tobytes()
+            )
+        elif fid == 3:
+            raw = raw[:-4]  # fletcher32: checksum trails, not verified
+        else:
+            raise NotImplementedError(
+                f"HDF5 filter id {fid} (shuffle/deflate/fletcher32 only)"
+            )
+    return raw
+
+
+def _open(path: str):
+    import mmap
+
+    with open(path, "rb") as f:
+        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+
+
+def read_hdf5_structure(path: str) -> dict:
+    """Driver-side structure parse: groups walked recursively (names
+    '/'-joined), one dict per dataset with shape/dtype/attrs/layout/
+    chunk index. Only header and index pages are touched (mmap); the
+    returned dict holds plain values only (picklable — executor
+    closures can carry slices of it)."""
+    b = _open(path)
+    sb = _superblock(b)
+    datasets: dict[str, dict] = {}
+    gatts: dict = {}
+
+    def visit(addr: int, prefix: str):
+        msgs = _object_header(b, addr)
+        by_type: dict[int, list[bytes]] = {}
+        for mt, body in msgs:
+            by_type.setdefault(mt, []).append(body)
+        attrs = {}
+        for body in by_type.get(_MSG_ATTRIBUTE, ()):
+            k, v = _attribute(b, body)
+            attrs[k] = v
+        for body in by_type.get(_MSG_ATTR_INFO, ()):
+            r = _R(body)
+            r.u8()
+            aflags = r.u8()
+            if aflags & 0x01:
+                r.p += 2
+            fh, bt = r.u64(), r.u64()
+            if fh != UNDEF:
+                attrs.update(_dense_attrs(b, fh, bt))
+        is_dataset = _MSG_DATASPACE in by_type and _MSG_LAYOUT in by_type
+        if is_dataset:
+            dt = _datatype(by_type[_MSG_DATATYPE][0])
+            lay = _layout(by_type[_MSG_LAYOUT][0])
+            filters = []
+            for body in by_type.get(_MSG_FILTERS, ()):
+                filters.extend(_filters(body))
+            fill = None
+            for mt in (_MSG_FILL, _MSG_FILL_OLD):
+                for body in by_type.get(mt, ()):
+                    fill = fill or _fill_value(mt, body)
+            ds = {
+                "header_addr": addr,
+                "shape": _dataspace(by_type[_MSG_DATASPACE][0]),
+                "dtype": dt,
+                "attrs": attrs,
+                "filters": filters,
+                "fill_raw": fill,
+                **lay,
+            }
+            if lay["layout"] == "chunked":
+                ds["chunks"] = _chunk_btree(
+                    b, lay["btree"], len(ds["shape"])
+                )
+            datasets[prefix.lstrip("/")] = ds
+            return
+        # group
+        if prefix == "":
+            gatts.update(attrs)
+        links: list[tuple[str, int]] = []
+        for body in by_type.get(_MSG_SYMBOL_TABLE, ()):
+            bt, hp = struct.unpack_from("<QQ", body, 0)
+            links.extend(_v1_group_links(b, bt, hp))
+        for body in by_type.get(_MSG_LINK, ()):
+            link = _link_msg(body)
+            if link:
+                links.append(link)
+        for body in by_type.get(_MSG_LINK_INFO, ()):
+            r = _R(body)
+            r.u8()
+            lflags = r.u8()
+            if lflags & 0x01:
+                r.p += 8
+            fh, bt = r.u64(), r.u64()
+            if fh != UNDEF:
+                links.extend(_dense_links(b, fh, bt))
+        for name, child in links:
+            visit(child, f"{prefix}/{name}")
+
+    visit(sb["root"], "")
+    b.close()
+    return {"path": path, "format": "hdf5", "gatts": gatts,
+            "datasets": datasets}
+
+
+def read_h5_dataset(h5: dict, name: str) -> np.ndarray:
+    """Driver-side full decode of one (small) dataset — coordinate
+    variables; the data variable goes through the distributed path."""
+    ds = h5["datasets"][name]
+    dt = np.dtype(ds["dtype"]["np"])
+    shape = ds["shape"]
+    n = int(np.prod(shape)) if shape else 1
+    if ds["layout"] == "compact":
+        return np.frombuffer(ds["data"][: n * dt.itemsize], dtype=dt).reshape(
+            shape
+        )
+    b = _open(h5["path"])
+    try:
+        if ds["layout"] == "contiguous":
+            if ds["addr"] == UNDEF:
+                return _full_fill(ds, shape, dt)
+            raw = bytes(b[ds["addr"] : ds["addr"] + n * dt.itemsize])
+            return np.frombuffer(raw, dtype=dt).reshape(shape)
+        # chunked
+        out = _full_fill(ds, shape, dt)
+        cd = ds["chunk"]
+        for coords, addr, size, mask in ds["chunks"]:
+            raw = defilter(bytes(b[addr : addr + size]), ds["filters"],
+                           dt.itemsize, mask)
+            arr = np.frombuffer(raw[: int(np.prod(cd)) * dt.itemsize],
+                                dtype=dt).reshape(cd)
+            sel = tuple(
+                slice(c, min(c + s, full))
+                for c, s, full in zip(coords, cd, shape)
+            )
+            out[sel] = arr[tuple(slice(0, s.stop - s.start) for s in sel)]
+        return out
+    finally:
+        b.close()
+
+
+def _full_fill(ds: dict, shape, dt: np.dtype) -> np.ndarray:
+    fill = ds.get("fill_raw")
+    if fill:
+        v = np.frombuffer(fill[: dt.itemsize], dtype=dt)[0]
+    else:
+        v = dt.type(0)
+    return np.full(shape, v, dtype=dt)
+
+
+# ---- NetCDF-4 layer ----------------------------------------------------
+
+_NC4_HIDDEN = (
+    "CLASS", "NAME", "DIMENSION_LIST", "REFERENCE_LIST",
+    "_Netcdf4Dimid", "_Netcdf4Coordinates", "_NCProperties",
+)
+
+
+def nc4_structure(path: str) -> dict:
+    """NetCDF-4 file → the same structure dict shape the classic-CDF
+    parser returns (netcdf.py), so netcdf_to_raquet and the CLI work
+    unchanged: {"dims", "gatts", "variables": {name: {dims, shape,
+    attrs, dtype, record, h5}}}. Dimension names come from
+    DIMENSION_LIST object references (resolved through the global
+    heap); files without it fall back to unique size matching, with a
+    typed error on ambiguity."""
+    h5 = read_hdf5_structure(path)
+    addr_to_name = {
+        ds["header_addr"]: n for n, ds in h5["datasets"].items()
+    }
+    dims: dict[str, int] = {}
+    for name, ds in h5["datasets"].items():
+        short = name.split("/")[-1]
+        if len(ds["shape"]) == 1 and (
+            ds["attrs"].get("CLASS") == "DIMENSION_SCALE"
+            or "CLASS" not in ds["attrs"]
+        ):
+            dims.setdefault(short, ds["shape"][0])
+    variables: dict[str, dict] = {}
+    for name, ds in h5["datasets"].items():
+        nm = ds["attrs"].get("NAME", "")
+        if isinstance(nm, str) and nm.startswith(
+            "This is a netCDF dimension"
+        ):
+            continue  # dim without a variable: a fill-only placeholder
+        short = name.split("/")[-1]
+        dl = ds["attrs"].get("DIMENSION_LIST")
+        if dl:
+            dimnames = [
+                addr_to_name[refs[0]].split("/")[-1] if refs else
+                f"phony_dim_{i}"
+                for i, refs in enumerate(dl)
+            ]
+        elif len(ds["shape"]) == 1 and short in dims:
+            dimnames = [short]
+        else:
+            dimnames = []
+            for ax, n in enumerate(ds["shape"]):
+                cands = [d for d, sz in dims.items() if sz == n]
+                if len(cands) == 1:
+                    dimnames.append(cands[0])
+                elif not cands:
+                    pd_name = f"phony_dim_{ax}"
+                    dims[pd_name] = n
+                    dimnames.append(pd_name)
+                else:
+                    raise ValueError(
+                        f"ambiguous dimension mapping for {name!r} axis "
+                        f"{ax} (size {n} matches {sorted(cands)}) and the "
+                        "file has no DIMENSION_LIST"
+                    )
+        attrs = {
+            k: v for k, v in ds["attrs"].items() if k not in _NC4_HIDDEN
+        }
+        variables[name] = {
+            "dims": dimnames,
+            "shape": [int(s) for s in ds["shape"]],
+            "attrs": attrs,
+            "dtype": ds["dtype"]["np"],
+            "record": False,
+            "h5": ds,
+        }
+    return {
+        "path": path,
+        "format": "hdf5",
+        "version": 4,
+        "numrecs": 0,
+        "recsize": 0,
+        "dims": dims,
+        "gatts": h5["gatts"],
+        "variables": variables,
+    }
+
+
+def h5_read_var(nc: dict, name: str) -> "np.ndarray":
+    """Driver-side full decode of one variable from an nc4 structure
+    dict (coordinate variables — small by construction)."""
+    return read_h5_dataset(
+        {"path": nc["path"], "datasets": {name: nc["variables"][name]["h5"]}},
+        name,
+    )
+
+
+def h5_pixel_table(spark, nc: dict, var: str, rows_per_chunk: int = 128):
+    """Distributed decode of a NetCDF-4 variable to ``(time_cf, sx,
+    sy, band_1)`` source-grid rows — the HDF5 counterpart of
+    netcdf.netcdf_pixel_table. One task per stored CHUNK (each task
+    seeks its byte range and runs defilter + scale/offset + raw-space
+    fill masking in numpy); never-written chunks become fill tasks
+    (addr -1) so the output grid is dense, matching HDF5 fill
+    semantics. Contiguous layouts fan out as row-range slabs."""
+    import pandas as pd
+
+    from raquet_spark.session import ensure_package_shipped
+    from raquet_spark.sources.netcdf import _find_coords
+
+    ensure_package_shipped(spark)
+    v = nc["variables"][var]
+    ds = v["h5"]
+    path = nc["path"]
+    time_name, lat, lon = _find_coords(nc)
+    shape = list(ds["shape"])
+    has_time = (
+        len(shape) == 3 and time_name is not None
+        and v["dims"][0] == time_name
+    )
+    if len(shape) == 3 and not has_time:
+        raise ValueError(
+            f"3-D variable {var!r} whose leading dim is not the time "
+            f"coordinate ({v['dims']})"
+        )
+    nlat, nlon = shape[-2], shape[-1]
+    ntime = shape[0] if has_time else 1
+    dts = ds["dtype"]["np"]
+    itemsize = np.dtype(dts).itemsize
+    scale = float(v["attrs"].get("scale_factor", 1.0))
+    offset = float(v["attrs"].get("add_offset", 0.0))
+    fill = v["attrs"].get("_FillValue", v["attrs"].get("missing_value"))
+    if fill is None and ds.get("fill_raw"):
+        fill = np.frombuffer(
+            ds["fill_raw"][:itemsize], dtype=np.dtype(dts)
+        )[0].item()
+    filters = list(ds["filters"])
+    tvals = (
+        [float(t) for t in h5_read_var(nc, time_name)] if has_time else [0.0]
+    )
+
+    if ds["layout"] == "chunked":
+        cd = list(ds["chunk"])
+        if len(cd) != len(shape):
+            raise ValueError(f"chunk rank {cd} vs shape {shape}")
+        grid = set()
+        import itertools as it
+
+        for coords in it.product(
+            *[range(0, s, c) for s, c in zip(shape, cd)]
+        ):
+            grid.add(coords)
+        tasks = []
+        for coords, addr, size, mask in ds["chunks"]:
+            grid.discard(tuple(coords))
+            c3 = coords if len(coords) == 3 else (0, *coords)
+            tasks.append((int(addr), int(size), int(mask), *map(int, c3)))
+        for coords in sorted(grid):  # never-written chunks -> fill
+            c3 = coords if len(coords) == 3 else (0, *coords)
+            tasks.append((-1, 0, 0, *map(int, c3)))
+        cd3 = cd if len(cd) == 3 else [1, *cd]
+        task_df = spark.createDataFrame(
+            pd.DataFrame(
+                tasks, columns=["addr", "size", "mask", "c0", "c1", "c2"]
+            )
+        )
+        n_part = max(
+            1, min(len(tasks), spark.sparkContext.defaultParallelism)
+        )
+        task_df = task_df.repartition(n_part)
+
+        def decode(batches):
+            dt = np.dtype(dts)
+            nel = int(np.prod(cd3))
+            with open(path, "rb") as f:
+                for pdf in batches:
+                    for row in pdf.to_dict("records"):
+                        addr = int(row["addr"])
+                        t0, y0, x0 = (
+                            int(row["c0"]), int(row["c1"]), int(row["c2"])
+                        )
+                        if addr < 0:
+                            if fill is None:
+                                raw_arr = np.zeros(cd3, dtype=dt)
+                            else:
+                                raw_arr = np.full(cd3, dt.type(fill))
+                        else:
+                            f.seek(addr)
+                            raw = defilter(
+                                f.read(int(row["size"])), filters,
+                                dt.itemsize, int(row["mask"]),
+                            )
+                            raw_arr = np.frombuffer(
+                                raw[: nel * dt.itemsize], dtype=dt
+                            ).reshape(cd3)
+                        th = min(cd3[0], ntime - t0)
+                        hh = min(cd3[1], nlat - y0)
+                        ww = min(cd3[2], nlon - x0)
+                        for dt_i in range(th):
+                            raw2 = raw_arr[dt_i, :hh, :ww]
+                            vals = raw2.astype("f8") * scale + offset
+                            if fill is not None:
+                                vals[raw2 == raw2.dtype.type(fill)] = (
+                                    float(fill) * scale + offset
+                                )
+                            sy, sx = np.mgrid[0:hh, 0:ww]
+                            yield pd.DataFrame({
+                                "time_cf": np.full(
+                                    hh * ww, tvals[t0 + dt_i]
+                                ),
+                                "sx": (sx + x0).ravel().astype("int64"),
+                                "sy": (sy + y0).ravel().astype("int64"),
+                                "band_1": vals.ravel(),
+                            })
+
+        return task_df.mapInPandas(
+            decode,
+            schema="time_cf double, sx bigint, sy bigint, band_1 double",
+        )
+
+    if ds["layout"] == "compact":
+        data_bytes = ds["data"]
+
+        def decode_compact(batches):
+            dt = np.dtype(dts)
+            arr = np.frombuffer(
+                data_bytes[: ntime * nlat * nlon * dt.itemsize], dtype=dt
+            ).reshape(ntime, nlat, nlon)
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    t = int(row["t"])
+                    raw2 = arr[t]
+                    vals = raw2.astype("f8") * scale + offset
+                    if fill is not None:
+                        vals[raw2 == raw2.dtype.type(fill)] = (
+                            float(fill) * scale + offset
+                        )
+                    sy, sx = np.mgrid[0:nlat, 0:nlon]
+                    yield pd.DataFrame({
+                        "time_cf": np.full(nlat * nlon, tvals[t]),
+                        "sx": sx.ravel().astype("int64"),
+                        "sy": sy.ravel().astype("int64"),
+                        "band_1": vals.ravel(),
+                    })
+
+        task_df = spark.createDataFrame(
+            pd.DataFrame({"t": list(range(ntime))})
+        )
+        return task_df.mapInPandas(
+            decode_compact,
+            schema="time_cf double, sx bigint, sy bigint, band_1 double",
+        )
+
+    # contiguous: row-range slabs, like the classic-CDF path
+    if filters:
+        raise ValueError("filters on a contiguous HDF5 layout")
+    begin = ds["addr"]
+    if begin == UNDEF:
+        raise ValueError(f"variable {var!r} has no allocated storage")
+    tasks = []
+    for t in range(ntime):
+        base = begin + t * nlat * nlon * itemsize
+        for row0 in range(0, nlat, rows_per_chunk):
+            nrows = min(rows_per_chunk, nlat - row0)
+            tasks.append(
+                (tvals[t], base + row0 * nlon * itemsize, row0, nrows)
+            )
+    n_part = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+    task_df = spark.createDataFrame(
+        pd.DataFrame(tasks, columns=["time_cf", "off", "row0", "nrows"])
+    ).repartition(n_part)
+
+    def decode_contig(batches):
+        dt = np.dtype(dts)
+        with open(path, "rb") as f:
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    f.seek(int(row["off"]))
+                    nrows = int(row["nrows"])
+                    raw = np.frombuffer(
+                        f.read(nrows * nlon * dt.itemsize), dtype=dt
+                    )
+                    vals = raw.astype("f8") * scale + offset
+                    if fill is not None:
+                        vals[raw == raw.dtype.type(fill)] = (
+                            float(fill) * scale + offset
+                        )
+                    sy, sx = np.mgrid[0:nrows, 0:nlon]
+                    yield pd.DataFrame({
+                        "time_cf": np.full(
+                            nrows * nlon, float(row["time_cf"])
+                        ),
+                        "sx": sx.ravel().astype("int64"),
+                        "sy": (sy + int(row["row0"])).ravel().astype("int64"),
+                        "band_1": vals,
+                    })
+
+    return task_df.mapInPandas(
+        decode_contig,
+        schema="time_cf double, sx bigint, sy bigint, band_1 double",
+    )

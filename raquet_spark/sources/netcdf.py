@@ -13,10 +13,12 @@ the RaQuet mercator grid reuses the target-driven warp; all time steps move
 through ONE warp shuffle and ONE tiling shuffle (``time_cf`` rides as
 an extra group key).
 
-Scope: classic format only (netCDF-4/HDF5 would need h5py, absent
-here), one data variable per call, regular lat/lon grid (CF
-"coordinate variables"), optional unlimited time dimension,
-``scale_factor``/``add_offset``/``_FillValue`` applied on decode.
+Scope: classic CDF-1/CDF-2 parsed here; NetCDF-4 (HDF5 container)
+dispatches to the from-scratch reader in sources/hdf5.py (same
+structure dict, same distributed decode contract — no h5py needed).
+One data variable per call, regular lat/lon grid (CF "coordinate
+variables"), optional unlimited time dimension, ``scale_factor``/
+``add_offset``/``_FillValue`` applied on decode.
 """
 
 from __future__ import annotations
@@ -93,13 +95,22 @@ def _attr_list(r: _Reader) -> dict:
 
 
 def read_netcdf_structure(path: str, header_bytes: int = 1 << 20) -> dict:
-    """Parse the classic-format header: dimensions, global attributes,
-    variables (dims, attrs, nc_type, vsize, begin). ``numrecs`` and the
-    record size are derived for unlimited-dimension (record) variables."""
+    """Parse the NetCDF header — classic (CDF-1/CDF-2) inline, or
+    NetCDF-4 (HDF5 container, magic ``\\x89HDF``) via sources/hdf5.py —
+    into one structure-dict shape: dimensions, global attributes,
+    variables (dims, shape, attrs, dtype). ``numrecs`` and the record
+    size are derived for classic unlimited-dimension variables."""
     with open(path, "rb") as f:
         buf = f.read(header_bytes)
+    if buf[:4] == b"\x89HDF":
+        from raquet_spark.sources.hdf5 import nc4_structure
+
+        return nc4_structure(path)
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
-        raise ValueError("not a classic-format NetCDF file (CDF-1/CDF-2)")
+        raise ValueError(
+            "not a NetCDF file (neither classic CDF-1/CDF-2 nor "
+            "NetCDF-4/HDF5 magic)"
+        )
     version = buf[3]
     r = _Reader(buf)
     r.pos = 4
@@ -155,8 +166,12 @@ def read_netcdf_structure(path: str, header_bytes: int = 1 << 20) -> dict:
 
 
 def read_coord_var(nc: dict, name: str) -> np.ndarray:
-    """Driver-side read of a (small) coordinate variable; handles both
-    contiguous and record layout."""
+    """Driver-side read of a (small) coordinate variable; handles
+    classic contiguous and record layouts, and all NetCDF-4 layouts."""
+    if nc.get("format") == "hdf5":
+        from raquet_spark.sources.hdf5 import h5_read_var
+
+        return h5_read_var(nc, name).astype("f8")
     v = nc["variables"][name]
     dt = np.dtype(v["dtype"])
     with open(nc["path"], "rb") as f:
@@ -214,6 +229,10 @@ def netcdf_pixel_table(
     ``scale_factor``/``add_offset`` applied, ``_FillValue``/
     ``missing_value`` → the scaled nodata value (kept as a value, like
     the TIFF path keeps nodata pixels)."""
+    if nc.get("format") == "hdf5":
+        from raquet_spark.sources.hdf5 import h5_pixel_table
+
+        return h5_pixel_table(spark, nc, var, rows_per_chunk)
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)

@@ -1,0 +1,579 @@
+"""Minimal from-scratch HDF5 / NetCDF-4 *writer* — TEST FIXTURE ONLY.
+
+sources/hdf5.py needs real NetCDF-4 bytes to read and this sandbox has
+no h5py/netCDF4, so this module emits the same structures the netcdf-c
+library produces, straight from the public HDF5 File Format
+Specification v3.0:
+
+- ``style="v0"``: superblock v0, v1 object headers, old-style root
+  group (local heap + SNOD + B-tree v1) — the HDF5-1.6-compatible
+  layout.
+- ``style="latest"``: superblock v2, v2 object headers ("OHDR") with
+  creation-order-tracked messages, compact link messages — what
+  netcdf-c's creation-order tracking produces for small groups.
+- ``dense_links=True`` / ``dense_attrs=True``: fractal heap ("FRHP")
+  + v2 B-tree ("BTHD"/"BTLF") name index — what HDF5 switches to past
+  8 links/attributes (netcdf-c files with many variables).
+
+Checksums (Jenkins lookup3) are written as zeros; the reader does not
+verify them (documented there). Data variables are chunked with the
+shuffle+deflate pipeline, coordinates contiguous, DIMENSION_LIST +
+CLASS/NAME dimension-scale attributes attached like netcdf-c does —
+including VLEN object-reference attributes through a global heap
+("GCOL")."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+class _W:
+    def __init__(self):
+        self.b = bytearray()
+
+    def tell(self) -> int:
+        return len(self.b)
+
+    def emit(self, data: bytes) -> int:
+        addr = len(self.b)
+        self.b += data
+        return addr
+
+    def patch_u64(self, pos: int, val: int):
+        self.b[pos : pos + 8] = struct.pack("<Q", val)
+
+
+# ---- datatype messages -------------------------------------------------
+
+_FLOAT_PROPS = {
+    4: (31, 23, 8, 23, 127),
+    8: (63, 52, 11, 52, 1023),
+}
+
+
+def _dt_int(size: int, signed: bool = True) -> bytes:
+    return struct.pack(
+        "<BBBBIHH", 0x10, 0x08 if signed else 0x00, 0, 0, size, 0, size * 8
+    )
+
+
+def _dt_float(size: int) -> bytes:
+    sign, exploc, expsz, mansz, bias = _FLOAT_PROPS[size]
+    return struct.pack(
+        "<BBBBIHHBBBBI",
+        0x11, 0x20, sign, 0, size,
+        0, size * 8, exploc, expsz, 0, mansz, bias,
+    )
+
+
+def _dt_str(n: int) -> bytes:
+    return struct.pack("<BBBBI", 0x13, 0, 0, 0, n)
+
+
+def _dt_vlen_ref() -> bytes:
+    # vlen sequence (class 9) of object references (class 7, 8 bytes)
+    return struct.pack("<BBBBI", 0x19, 0x00, 0, 0, 16) + struct.pack(
+        "<BBBBI", 0x17, 0, 0, 0, 8
+    )
+
+
+def _m_dataspace(dims, ver: int = 1) -> bytes:
+    rank = len(dims)
+    if ver == 1:
+        head = struct.pack("<BBB5x", 1, rank, 0)
+    else:
+        head = struct.pack("<BBBB", 2, rank, 0, 1 if rank else 0)
+    return head + b"".join(struct.pack("<Q", d) for d in dims)
+
+
+def _np_dt_msg(dt: np.dtype) -> bytes:
+    if dt.kind == "i":
+        return _dt_int(dt.itemsize, True)
+    if dt.kind == "u":
+        return _dt_int(dt.itemsize, False)
+    if dt.kind == "f":
+        return _dt_float(dt.itemsize)
+    raise ValueError(f"unsupported fixture dtype {dt}")
+
+
+# ---- attributes --------------------------------------------------------
+
+def _attr_body(name: str, dt_msg: bytes, ds_msg: bytes, value: bytes,
+               v3: bool) -> bytes:
+    nm = name.encode() + b"\x00"
+    if v3:
+        return (
+            struct.pack("<BBHHHB", 3, 0, len(nm), len(dt_msg), len(ds_msg), 0)
+            + nm + dt_msg + ds_msg + value
+        )
+    return (
+        struct.pack("<BBHHH", 1, 0, len(nm), len(dt_msg), len(ds_msg))
+        + _pad8(nm) + _pad8(dt_msg) + _pad8(ds_msg) + value
+    )
+
+
+def _attr_spec(name: str, value, v3: bool) -> bytes:
+    """(name, python value) → attribute message body. Strings become
+    fixed NUL-terminated strings (netcdf-c's NC_CHAR convention);
+    floats f8 scalars; ints i4; numpy scalars keep their dtype."""
+    if isinstance(value, str):
+        raw = value.encode() + b"\x00"
+        return _attr_body(name, _dt_str(len(raw)), _m_dataspace([]), raw, v3)
+    if isinstance(value, np.generic):
+        dt = value.dtype
+        return _attr_body(
+            name, _np_dt_msg(dt), _m_dataspace([]), value.tobytes(), v3
+        )
+    if isinstance(value, float):
+        return _attr_body(
+            name, _dt_float(8), _m_dataspace([]),
+            struct.pack("<d", value), v3,
+        )
+    if isinstance(value, int):
+        return _attr_body(
+            name, _dt_int(4), _m_dataspace([]), struct.pack("<i", value), v3
+        )
+    raise ValueError(f"unsupported attribute value {value!r}")
+
+
+# ---- object headers ----------------------------------------------------
+
+def _header_v1(msgs: list[tuple[int, bytes]]) -> bytes:
+    body = b""
+    for mt, mb in msgs:
+        mb = _pad8(mb)
+        body += struct.pack("<HHB3x", mt, len(mb), 0) + mb
+    return struct.pack("<BxHII4x", 1, len(msgs), 1, len(body)) + body
+
+
+def _header_v2(msgs: list[tuple[int, bytes]]) -> bytes:
+    body = b""
+    for i, (mt, mb) in enumerate(msgs):
+        body += struct.pack("<BHBH", mt, len(mb), 0, i) + mb
+    # flags: 4-byte chunk0 size (0x2) + creation order tracked (0x4)
+    return (
+        b"OHDR" + struct.pack("<BBI", 2, 0x06, len(body)) + body
+        + struct.pack("<I", 0)  # checksum (unverified)
+    )
+
+
+# ---- filters / layout / fill ------------------------------------------
+
+def _apply_filters(raw: bytes, filters, itemsize: int):
+    pipeline = []
+    for f in filters:
+        if f[0] == "shuffle":
+            n = len(raw) // itemsize
+            raw = (
+                np.frombuffer(raw, dtype="u1")
+                .reshape(n, itemsize)
+                .T.tobytes()
+            )
+            pipeline.append((2, [itemsize]))
+        elif f[0] == "deflate":
+            lvl = f[1] if len(f) > 1 else 4
+            raw = zlib.compress(raw, lvl)
+            pipeline.append((1, [lvl]))
+        elif f[0] == "fletcher32":
+            raw = raw + struct.pack("<I", 0)  # checksum unverified by reader
+            pipeline.append((3, []))
+        else:
+            raise ValueError(f"unknown fixture filter {f[0]}")
+    return raw, pipeline
+
+
+def _m_filters(pipeline) -> bytes:
+    out = struct.pack("<BB6x", 1, len(pipeline))
+    for fid, cvs in pipeline:
+        out += struct.pack("<HHHH", fid, 0, 1, len(cvs))
+        out += b"".join(struct.pack("<I", c) for c in cvs)
+        if len(cvs) % 2:
+            out += b"\x00" * 4
+    return out
+
+
+def _m_fill(raw: bytes | None) -> bytes:
+    if raw is None:
+        return struct.pack("<BBBB", 2, 2, 0, 0)
+    return struct.pack("<BBBBI", 2, 2, 0, 1, len(raw)) + raw
+
+
+# ---- chunk B-tree v1 ---------------------------------------------------
+
+def _chunk_btree(w: _W, chunks, ndims: int) -> int:
+    """One leaf node holding every chunk (fixture scale)."""
+    body = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(chunks), UNDEF, UNDEF)
+    for coords, addr, size in chunks:
+        body += struct.pack("<II", size, 0)
+        body += b"".join(struct.pack("<Q", c) for c in (*coords, 0))
+        body += struct.pack("<Q", addr)
+    body += struct.pack("<II", 0, 0) + b"\x00" * 8 * (ndims + 1)  # hi key
+    return w.emit(body)
+
+
+# ---- global heap -------------------------------------------------------
+
+def _gcol(w: _W, objects: list[bytes]) -> tuple[int, list[int]]:
+    total = 16 + sum(16 + len(_pad8(o)) for o in objects) + 16
+    body = b"GCOL" + struct.pack("<B3xQ", 1, total)
+    idxs = []
+    for i, o in enumerate(objects, start=1):
+        body += struct.pack("<HH4xQ", i, 1, len(o)) + _pad8(o)
+        idxs.append(i)
+    body += struct.pack("<HH4xQ", 0, 0, 16)
+    addr = w.emit(body)
+    return addr, idxs
+
+
+# ---- fractal heap + v2 B-tree (dense storage) --------------------------
+
+def _fractal_heap(w: _W, objects: list[bytes], id_len_extra: int = 0):
+    """Single root direct block. Returns (header_addr, heap_ids)."""
+    max_managed = 4096
+    off_size, len_size = 4, 2  # max_heap_bits=32, max_managed<65536
+    id_len = 1 + off_size + len_size + id_len_extra
+    blk_hdr = 4 + 1 + 8 + off_size  # sig, ver, heap addr, block offset
+    data = bytearray()
+    ids = []
+    pos = blk_hdr
+    for o in objects:
+        ids.append(
+            b"\x00" + pos.to_bytes(off_size, "little")
+            + len(o).to_bytes(len_size, "little")
+            + b"\x00" * id_len_extra
+        )
+        data += o
+        pos += len(o)
+    blk_size = 512
+    while blk_size < pos:
+        blk_size *= 2
+    if blk_size > 65536:
+        raise ValueError("fixture fractal heap overflow")
+    # header first (block needs its address)
+    hdr_addr = w.tell()
+    blk_addr = hdr_addr + 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
+    hdr = b"FRHP" + struct.pack(
+        "<BHHBI", 0, id_len, 0, 0, max_managed
+    )
+    hdr += struct.pack("<QQ", 0, UNDEF)  # next huge id, huge btree
+    hdr += struct.pack("<QQ", blk_size - pos, UNDEF)  # free space, fs mgr
+    hdr += struct.pack("<QQ", blk_size, blk_size)  # managed, allocated
+    hdr += struct.pack("<Q", pos)  # iterator offset
+    hdr += struct.pack("<Q", len(objects))  # n managed
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    hdr += struct.pack("<HQQH", 4, blk_size, 65536, 32)  # width,start,maxd,bits
+    hdr += struct.pack("<HQH", 0, blk_addr, 0)  # start rows, root, cur rows
+    hdr += struct.pack("<I", 0)  # checksum
+    w.emit(hdr)
+    assert w.tell() == blk_addr, (w.tell(), blk_addr)
+    blk = b"FHDB" + struct.pack("<BQ", 0, hdr_addr) + (0).to_bytes(
+        off_size, "little"
+    )
+    assert len(blk) == blk_hdr
+    blk += bytes(data)
+    blk += b"\x00" * (blk_size - len(blk))
+    w.emit(blk)
+    return hdr_addr, ids
+
+
+def _btree_v2(w: _W, records: list[bytes], rec_type: int) -> int:
+    rec_size = len(records[0])
+    node_size = 2048
+    assert len(records) <= (node_size - 10) // rec_size, "fixture btree v2"
+    leaf = b"BTLF" + struct.pack("<BB", 0, rec_type) + b"".join(records)
+    leaf += struct.pack("<I", 0)
+    leaf_addr = w.emit(leaf)
+    hdr = b"BTHD" + struct.pack(
+        "<BBIHHBBQHQI",
+        0, rec_type, node_size, rec_size, 0, 100, 40,
+        leaf_addr, len(records), len(records), 0,
+    )
+    return w.emit(hdr)
+
+
+# ---- link messages -----------------------------------------------------
+
+def _m_link(name: str, addr: int, order: int) -> bytes:
+    nm = name.encode()
+    return (
+        struct.pack("<BBQB", 1, 0x04, order, len(nm)) + nm
+        + struct.pack("<Q", addr)
+    )
+
+
+# ---- top-level writer --------------------------------------------------
+
+def write_hdf5(
+    path: str,
+    datasets: dict,
+    gatts: dict | None = None,
+    style: str = "v0",
+    dense_links: bool = False,
+    dense_attrs: bool = False,
+) -> str:
+    """``datasets``: ordered ``{name: spec}`` where spec keys are
+    ``data`` (np.ndarray), optional ``attrs`` ({name: value}),
+    ``chunks`` (tuple → chunked layout + B-tree v1; None → contiguous),
+    ``filters`` ([("shuffle",), ("deflate", lvl), ("fletcher32",)]),
+    ``fill`` (raw-space scalar), ``skip_chunks`` (set of chunk coords
+    simulating never-written chunks), ``dimension_list`` (list of
+    dataset names — becomes a VLEN-reference DIMENSION_LIST through a
+    global heap), ``compact`` (True → compact layout)."""
+    v3 = style == "latest"
+    w = _W()
+    sb_size = 48 if v3 else 96
+    w.emit(b"\x00" * sb_size)
+
+    header_addrs: dict[str, int] = {}
+    # two passes: datasets without dimension_list first (their header
+    # addresses feed the global-heap references of the second pass)
+    order1 = [n for n, s in datasets.items() if not s.get("dimension_list")]
+    order2 = [n for n in datasets if n not in order1]
+
+    for name in order1 + order2:
+        spec = datasets[name]
+        data = np.ascontiguousarray(spec["data"])
+        dt = data.dtype
+        msgs: list[tuple[int, bytes]] = []
+        msgs.append((0x01, _m_dataspace(data.shape, 2 if v3 else 1)))
+        msgs.append((0x03, _np_dt_msg(dt)))
+        fill = spec.get("fill")
+        fill_raw = dt.type(fill).tobytes() if fill is not None else None
+        msgs.append((0x05, _m_fill(fill_raw)))
+
+        if spec.get("compact"):
+            raw = data.tobytes()
+            msgs.append((0x08, struct.pack("<BBH", 3, 0, len(raw)) + raw))
+        elif spec.get("chunks"):
+            cd = tuple(spec["chunks"])
+            filters = spec.get("filters", ())
+            chunks = []
+            pipeline = None
+            grid = [range(0, s, c) for s, c in zip(data.shape, cd)]
+            import itertools
+
+            for coords in itertools.product(*grid):
+                ci = tuple(c // s for c, s in zip(coords, cd))
+                if ci in spec.get("skip_chunks", ()):
+                    continue
+                block = np.full(cd, dt.type(fill if fill is not None else 0))
+                sel = tuple(
+                    slice(c, min(c + s, full))
+                    for c, s, full in zip(coords, cd, data.shape)
+                )
+                block[
+                    tuple(slice(0, s.stop - s.start) for s in sel)
+                ] = data[sel]
+                raw, pipeline = _apply_filters(
+                    block.tobytes(), filters, dt.itemsize
+                )
+                chunks.append((coords, w.emit(raw), len(raw)))
+            bt = _chunk_btree(w, chunks, data.ndim)
+            lay = struct.pack("<BBBQ", 3, 2, data.ndim + 1, bt)
+            lay += b"".join(struct.pack("<I", c) for c in cd)
+            lay += struct.pack("<I", dt.itemsize)
+            msgs.append((0x08, lay))
+            if pipeline:
+                msgs.append((0x0B, _m_filters(pipeline)))
+        else:
+            raw = data.tobytes()
+            addr = w.emit(raw)
+            msgs.append((0x08, struct.pack("<BBQQ", 3, 1, addr, len(raw))))
+
+        attr_bodies = [
+            _attr_spec(k, v, v3) for k, v in spec.get("attrs", {}).items()
+        ]
+        if spec.get("dimension_list"):
+            targets = [header_addrs[d] for d in spec["dimension_list"]]
+            ga, idxs = _gcol(
+                w, [struct.pack("<Q", t) for t in targets]
+            )
+            val = b"".join(
+                struct.pack("<IQI", 1, ga, i) for i in idxs
+            )
+            attr_bodies.append(
+                _attr_body(
+                    "DIMENSION_LIST", _dt_vlen_ref(),
+                    _m_dataspace([len(targets)], 2 if v3 else 1), val, v3,
+                )
+            )
+        if dense_attrs and attr_bodies:
+            fh, ids = _fractal_heap(w, attr_bodies, id_len_extra=1)
+            # record type 8: heap id (8) + flags(1) + corder(4) + hash(4)
+            recs = [
+                hid + struct.pack("<BII", 0, i, 0)
+                for i, hid in enumerate(ids)
+            ]
+            bt = _btree_v2(w, recs, 8)
+            msgs.append(
+                (0x15, struct.pack("<BBQQ", 0, 0, fh, bt))
+            )
+        else:
+            msgs.extend((0x0C, b) for b in attr_bodies)
+
+        hdr = _header_v2(msgs) if v3 else _header_v1(msgs)
+        header_addrs[name] = w.emit(hdr)
+
+    # root group
+    root_msgs: list[tuple[int, bytes]] = []
+    names = list(datasets)
+    if dense_links:
+        link_bodies = [
+            _m_link(n, header_addrs[n], i) for i, n in enumerate(names)
+        ]
+        fh, ids = _fractal_heap(w, link_bodies)
+        recs = [struct.pack("<I", 0) + hid for hid in ids]  # hash unverified
+        bt = _btree_v2(w, recs, 5)
+        root_msgs.append((0x02, struct.pack("<BBQQ", 0, 0, fh, bt)))
+    elif v3:
+        root_msgs.extend(
+            (0x06, _m_link(n, header_addrs[n], i))
+            for i, n in enumerate(names)
+        )
+    else:
+        # old-style group: local heap + SNOD + B-tree v1
+        heap_data = bytearray(b"\x00")  # offset 0 = empty string
+        offs = {}
+        for n in sorted(names):
+            offs[n] = len(heap_data)
+            heap_data += n.encode() + b"\x00"
+        heap_data = bytearray(_pad8(bytes(heap_data)))
+        heap_hdr_addr = w.tell()
+        data_addr = heap_hdr_addr + 32
+        w.emit(
+            b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), 0, data_addr)
+        )
+        w.emit(bytes(heap_data))
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+        for n in sorted(names):
+            snod += struct.pack("<QQII16x", offs[n], header_addrs[n], 0, 0)
+        snod_addr = w.emit(snod)
+        bt = b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
+        bt += struct.pack("<QQQ", 0, snod_addr, offs[sorted(names)[-1]])
+        bt_addr = w.emit(bt)
+        root_msgs.append((0x11, struct.pack("<QQ", bt_addr, heap_hdr_addr)))
+
+    for k, v in (gatts or {}).items():
+        root_msgs.append((0x0C, _attr_spec(k, v, v3)))
+    root_hdr = _header_v2(root_msgs) if v3 else _header_v1(root_msgs)
+    root_addr = w.emit(root_hdr)
+    eof = w.tell()
+
+    # superblock
+    if v3:
+        sb = b"\x89HDF\r\n\x1a\n" + struct.pack(
+            "<BBBBQQQQI", 2, 8, 8, 0, 0, UNDEF, eof, root_addr, 0
+        )
+    else:
+        sb = b"\x89HDF\r\n\x1a\n"
+        sb += struct.pack("<BBBBBBBB", 0, 0, 0, 0, 0, 8, 8, 0)
+        sb += struct.pack("<HHI", 4, 16, 0)  # leaf k, internal k, flags
+        sb += struct.pack("<QQQQ", 0, UNDEF, eof, UNDEF)
+        sb += struct.pack("<QQII16x", 0, root_addr, 1, 0)  # root entry
+    assert len(sb) == sb_size, (len(sb), sb_size)
+    w.b[:sb_size] = sb
+    with open(path, "wb") as f:
+        f.write(w.b)
+    return path
+
+
+def write_netcdf4(
+    path: str,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    data: np.ndarray,
+    *,
+    times: np.ndarray | None = None,
+    time_units: str = "days since 2020-01-01 00:00:00",
+    calendar: str = "standard",
+    var_name: str = "value",
+    nc_type: int = 3,
+    scale_factor: float | None = None,
+    add_offset: float | None = None,
+    fill_value=None,
+    chunks: tuple | None = None,
+    filters=(("shuffle",), ("deflate", 4)),
+    style: str = "v0",
+    dense_links: bool = False,
+    dense_attrs: bool = False,
+    dimension_list: bool = True,
+    skip_chunks=(),
+) -> str:
+    """NetCDF-4 fixture mirroring ``write_netcdf_classic``'s contract:
+    ``data`` is (time, lat, lon) or (lat, lon) RAW values of ``nc_type``
+    (3=short, 4=int, 5=float, 6=double); coordinates are contiguous
+    dimension-scale datasets with CF units; the data variable is
+    chunked with shuffle+deflate and carries scale/offset/_FillValue
+    like netcdf-c writes them."""
+    dt_map = {1: "i1", 3: "<i2", 4: "<i4", 5: "<f4", 6: "<f8"}
+    dt = np.dtype(dt_map[nc_type])
+    has_time = times is not None
+    if has_time:
+        assert data.ndim == 3 and data.shape[0] == len(times)
+    else:
+        assert data.ndim == 2
+    data = np.asarray(data, dtype=dt)
+
+    def scale_attrs():
+        out = {}
+        if scale_factor is not None:
+            out["scale_factor"] = float(scale_factor)
+        if add_offset is not None:
+            out["add_offset"] = float(add_offset)
+        if fill_value is not None:
+            out["_FillValue"] = dt.type(fill_value)
+        return out
+
+    dsets: dict = {}
+    dim_names = []
+    if has_time:
+        dsets["time"] = {
+            "data": np.asarray(times, dtype="<f8"),
+            "attrs": {
+                "CLASS": "DIMENSION_SCALE", "NAME": "time",
+                "units": time_units, "calendar": calendar,
+            },
+        }
+        dim_names.append("time")
+    dsets["lat"] = {
+        "data": np.asarray(lats, dtype="<f8"),
+        "attrs": {
+            "CLASS": "DIMENSION_SCALE", "NAME": "lat",
+            "units": "degrees_north",
+        },
+    }
+    dsets["lon"] = {
+        "data": np.asarray(lons, dtype="<f8"),
+        "attrs": {
+            "CLASS": "DIMENSION_SCALE", "NAME": "lon",
+            "units": "degrees_east",
+        },
+    }
+    dim_names += ["lat", "lon"]
+    if chunks is None:
+        if has_time:
+            chunks = (1, max(1, len(lats) // 2), len(lons))
+        else:
+            chunks = (max(1, len(lats) // 2), len(lons))
+    dsets[var_name] = {
+        "data": data,
+        "chunks": chunks,
+        "filters": filters,
+        "fill": fill_value,
+        "skip_chunks": set(skip_chunks),
+        "attrs": {"units": "K", **scale_attrs()},
+        "dimension_list": dim_names if dimension_list else None,
+    }
+    return write_hdf5(
+        path, dsets, gatts={"Conventions": "CF-1.6"},
+        style=style, dense_links=dense_links, dense_attrs=dense_attrs,
+    )

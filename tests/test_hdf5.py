@@ -1,0 +1,216 @@
+"""NetCDF-4 (HDF5 container) ingestion: from-scratch structure parse,
+chunked/contiguous/compact decode, shuffle+deflate+fletcher32 filters,
+dense (fractal heap + v2 B-tree) groups and attributes, fill-value
+semantics for never-written chunks, and the full .nc → RaQuet tile
+conversion through the same dispatch the classic-CDF path uses
+(reference converts NetCDF via GDAL, cli.py:283,438)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raquet_spark.sources.netcdf import (
+    netcdf_pixel_table,
+    netcdf_to_raquet,
+    read_coord_var,
+    read_netcdf_structure,
+)
+from raquet_spark.testing_hdf5 import write_hdf5, write_netcdf4
+
+
+def _grid(nt=3, nlat=40, nlon=60):
+    lats = 37.9875 - 0.025 * np.arange(nlat)
+    lons = -122.9875 + 0.025 * np.arange(nlon)
+    gy, gx = np.mgrid[0:nlat, 0:nlon]
+    data = np.stack(
+        [((gx * 7 + gy * 11 + t * 13) % 199 - 50) for t in range(nt)]
+    ).astype("<i2")
+    data[(gx[None] + gy[None] + np.arange(nt)[:, None, None]) % 17 == 0] = -999
+    return lats, lons, data
+
+
+@pytest.mark.parametrize(
+    "style,dense",
+    [("v0", False), ("latest", False), ("v0", True), ("latest", True)],
+)
+def test_nc4_structure_and_decode(spark, tmp_path, style, dense):
+    """All four container layouts netcdf-c can produce — old-style
+    (superblock v0, v1 headers, SNOD groups), 1.8-style (superblock
+    v2, OHDR, compact link messages), and both with DENSE links+attrs
+    (fractal heap + v2 B-tree) — parse to the same structure and
+    decode to identical scaled values."""
+    lats, lons, data = _grid()
+    path = str(tmp_path / f"t_{style}_{dense}.nc")
+    write_netcdf4(
+        path, lats, lons, data, times=np.arange(3, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+        style=style, dense_links=dense, dense_attrs=dense,
+    )
+    nc = read_netcdf_structure(path)
+    assert nc["format"] == "hdf5"
+    assert nc["dims"]["lat"] == 40 and nc["dims"]["lon"] == 60
+    assert nc["variables"]["value"]["dims"] == ["time", "lat", "lon"]
+    assert nc["gatts"]["Conventions"] == "CF-1.6"
+    np.testing.assert_allclose(read_coord_var(nc, "time"), [0, 1, 2])
+    np.testing.assert_allclose(read_coord_var(nc, "lat")[:2], lats[:2])
+
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    assert len(pdf) == 3 * 40 * 60
+    want = np.where(data == -999, -999, data).astype("f8") * 0.5 + 100.0
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy()
+        .reshape(3, 40, 60)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nc4_missing_chunks_fill(spark, tmp_path):
+    """Never-written chunks decode as the fill value — the HDF5
+    semantics a partially-written variable relies on."""
+    lats, lons, data = _grid(nt=2, nlat=16, nlon=16)
+    path = str(tmp_path / "holes.nc")
+    write_netcdf4(
+        path, lats, lons, data, times=np.arange(2, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+        chunks=(1, 8, 8), skip_chunks={(1, 1, 1)},
+    )
+    nc = read_netcdf_structure(path)
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    assert len(pdf) == 2 * 16 * 16
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy()
+        .reshape(2, 16, 16)
+    )
+    want = np.where(data == -999, -999, data).astype("f8") * 0.5 + 100.0
+    want[1, 8:, 8:] = -999 * 0.5 + 100.0  # the skipped chunk
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nc4_contiguous_and_compact(spark, tmp_path):
+    """Contiguous data variables fan out as row-range slabs; compact
+    layouts (data inline in the header) decode from the closure."""
+    gy, gx = np.mgrid[0:12, 0:10]
+    data = (gx + 100 * gy).astype("<f4")
+    for layout in ("contiguous", "compact"):
+        path = str(tmp_path / f"{layout}.nc")
+        spec = {
+            "lat": {"data": np.linspace(10, 11, 12),
+                    "attrs": {"CLASS": "DIMENSION_SCALE",
+                              "units": "degrees_north"}},
+            "lon": {"data": np.linspace(20, 21, 10),
+                    "attrs": {"CLASS": "DIMENSION_SCALE",
+                              "units": "degrees_east"}},
+            "value": {
+                "data": data,
+                "compact": layout == "compact",
+                "dimension_list": ["lat", "lon"],
+                "attrs": {},
+            },
+        }
+        write_hdf5(path, spec)
+        nc = read_netcdf_structure(path)
+        assert nc["variables"]["value"]["h5"]["layout"] == layout
+        pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+        got = (
+            pdf.sort_values(["sy", "sx"])["band_1"].to_numpy().reshape(12, 10)
+        )
+        np.testing.assert_allclose(got, data.astype("f8"), rtol=1e-6)
+
+
+def test_nc4_fletcher32_and_unfiltered(spark, tmp_path):
+    """fletcher32 checksums strip cleanly; an unfiltered chunked
+    variable decodes straight from the raw chunk bytes."""
+    lats, lons, data = _grid(nt=1, nlat=16, nlon=16)
+    for filters in ((), (("fletcher32",),),
+                    (("shuffle",), ("deflate", 6), ("fletcher32",))):
+        path = str(tmp_path / f"f{len(filters)}.nc")
+        write_netcdf4(
+            path, lats, lons, data[0], nc_type=3, fill_value=-999,
+            filters=filters, chunks=(8, 16),
+        )
+        nc = read_netcdf_structure(path)
+        pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+        got = pdf.sort_values(["sy", "sx"])["band_1"].to_numpy().reshape(16, 16)
+        np.testing.assert_array_equal(got, data[0].astype("f8"))
+
+
+def test_nc4_size_match_fallback(tmp_path):
+    """Files without DIMENSION_LIST fall back to unique size matching;
+    ambiguous sizes fail with a typed error, not a wrong grid."""
+    lats, lons, data = _grid(nt=1, nlat=20, nlon=30)
+    path = str(tmp_path / "nodl.nc")
+    write_netcdf4(path, lats, lons, data[0], nc_type=3,
+                  dimension_list=False)
+    nc = read_netcdf_structure(path)
+    assert nc["variables"]["value"]["dims"] == ["lat", "lon"]
+
+    sq = str(tmp_path / "square.nc")
+    write_netcdf4(sq, lats, lons[:20], data[0][:, :20], nc_type=3,
+                  dimension_list=False)
+    with pytest.raises(ValueError, match="ambiguous"):
+        read_netcdf_structure(sq)
+
+
+def test_nc4_to_raquet_time_tiles(spark, tmp_path):
+    """Full conversion parity with the classic path: (block, time_cf)
+    keyed tiles, CF time metadata, per-step stats tracking the
+    source distribution — via the same netcdf_to_raquet entry."""
+    from raquet_spark.operators.time_dim import per_step_stats
+
+    lats, lons, data = _grid()
+    path = str(tmp_path / "t4.nc")
+    write_netcdf4(
+        path, lats, lons, data, times=np.arange(3, dtype="f8"),
+        time_units="hours since 1980-01-01 00:00:00",
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+    )
+    tiles, meta = netcdf_to_raquet(spark, path, block_size=64)
+    assert meta["time"]["cf:units"].startswith("hours since 1980-01-01")
+    assert meta["time"]["count"] == 3
+    assert meta["bands"][0]["nodata"] == -999 * 0.5 + 100.0
+    g = {r["time_cf"]: r for r in per_step_stats(tiles, "band_1").collect()}
+    assert set(g) == {0.0, 1.0, 2.0}
+    for t in range(3):
+        vals = np.where(data[t] == -999, np.nan, data[t] * 0.5 + 100.0)
+        src_mean = float(np.nanmean(vals))
+        assert g[float(t)]["count"] > 0
+        assert abs(g[float(t)]["mean"] - src_mean) / src_mean < 0.02
+
+
+def test_hdf5_typed_gates(tmp_path):
+    """Unsupported constructs fail fast with typed errors naming the
+    feature: layout v4 chunk indexes, unknown filters, non-HDF5
+    bytes."""
+    from raquet_spark.sources.hdf5 import _layout, defilter
+
+    with pytest.raises(NotImplementedError, match="1.10"):
+        _layout(bytes([4, 2]) + b"\x00" * 30)
+    with pytest.raises(NotImplementedError, match="filter id 307"):
+        defilter(b"xx", [(307, [])], 2)
+    bad = str(tmp_path / "bad.nc")
+    with open(bad, "wb") as f:
+        f.write(b"not an hdf5 file at all......")
+    with pytest.raises(ValueError, match="NetCDF"):
+        read_netcdf_structure(bad)
+
+
+def test_nc4_plan_no_python_udf_rowcount(spark, tmp_path):
+    """The decode is mapInPandas over a small task table (the Arrow
+    escape hatch for binary payloads); everything downstream of the
+    pixel table stays JVM-side, and every chunk appears exactly once
+    (no double-emitted edge chunks)."""
+    lats, lons, data = _grid(nt=2, nlat=24, nlon=36)
+    path = str(tmp_path / "edges.nc")
+    # chunks that do NOT divide the shape: edge chunks are stored
+    # full-size and must be cropped, not double-counted
+    write_netcdf4(
+        path, lats, lons, data, times=np.arange(2, dtype="f8"),
+        nc_type=3, fill_value=-999, chunks=(2, 10, 16),
+    )
+    nc = read_netcdf_structure(path)
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    assert len(pdf) == 2 * 24 * 36
+    assert pdf.groupby(["time_cf", "sy", "sx"]).size().max() == 1
