@@ -66,7 +66,7 @@ CODECS: dict[str, dict[str, Callable]] = {
 }
 
 
-def make_media_table(spark, n: int = 64, kind: str = "image", codec: str = "fake") -> DataFrame:
+def make_media_table(spark, n: int = 64, kind: str = "image", codec: str = "png") -> DataFrame:
     """Deterministic media table for tests/benchmarks."""
     from raquet_spark.session import ensure_package_shipped
 
@@ -94,7 +94,7 @@ def make_media_table(spark, n: int = 64, kind: str = "image", codec: str = "fake
     return spark.range(n, numPartitions=n_parts).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
+def extract_features(df: DataFrame, codec: str = "png") -> DataFrame:
     """Decode each payload and emit simple per-channel statistics —
     the shape of any real feature extractor (CLIP embedding, mel
     spectrogram): binary in, fixed-width vector out, one Arrow batch at
@@ -123,13 +123,36 @@ def extract_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") -> DataFrame:
-    """Nearest-neighbor resize, payload→payload (plumbing for thumbnail
-    generation; swap the kernel for PIL when available)."""
+def _image_reencoder(codec: str):
+    """pixel array → payload bytes in ``codec``'s container, so resized
+    output stays consumable by every downstream operator taking the
+    same codec."""
+    if codec == "png":
+        from raquet_spark.functions.png import png_encode
+
+        return png_encode
+    if codec == "jpeg":
+        from raquet_spark.functions.jpeg import jpeg_encode
+
+        return lambda arr: jpeg_encode(
+            arr[:, :, 0] if arr.shape[2] == 1 else arr, 90
+        )
+    if codec == "fake":
+        return lambda arr: (
+            MAGIC
+            + struct.pack("<HHB", arr.shape[1], arr.shape[0], arr.shape[2])
+            + arr.tobytes()
+        )
+    raise ValueError(f"no image re-encoder for codec {codec!r}")
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "png") -> DataFrame:
+    """Nearest-neighbor resize, payload→payload in the SAME codec
+    (PNG default — the real from-scratch codec; PIL is absent here)."""
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
-    dec, enc_magic = CODECS[codec]["decode"], MAGIC
+    dec, enc = CODECS[codec]["decode"], _image_reencoder(codec)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,10 +162,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, codec: str = "fake") ->
                 h, w, c = img.shape
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
-                small = img[np.ix_(yi, xi)]
-                out.append(
-                    enc_magic + struct.pack("<HHB", out_w, out_h, c) + small.tobytes()
-                )
+                small = np.ascontiguousarray(img[np.ix_(yi, xi)])
+                out.append(enc(small))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "payload": out,
@@ -288,7 +309,7 @@ def _dct32() -> np.ndarray:
     return _DCT32
 
 
-def phash_table(df: DataFrame, codec: str = "fake", hash_size: int = 8) -> DataFrame:
+def phash_table(df: DataFrame, codec: str = "png", hash_size: int = 8) -> DataFrame:
     """Perceptual hash per image (the classic pHash recipe, public):
     grayscale → area-resample to 32×32 → 2-D DCT → sign-vs-median of
     the top-left ``hash_size``² low-frequency block, packed row-major

@@ -109,21 +109,31 @@ def test_fake_codec_roundtrip():
 
 
 def test_media_pipeline(spark):
+    """Default-codec pipeline: payloads are REAL PNG bitstreams now
+    that real codecs exist (fake stays opt-in for codec-free tests)."""
+    from raquet_spark.operators.multimodal import CODECS
+
     media = make_media_table(spark, n=32).cache()
     assert media.count() == 32
+    dec = CODECS["png"]["decode"]
+
+    raw0 = bytes(media.where(F.col("media_id") == 0).collect()[0]["payload"])
+    assert raw0[:8] == b"\x89PNG\r\n\x1a\n"  # real container, not FAKEIMG
+    img = dec(raw0)
 
     feats = extract_features(media)
     frow = feats.where(F.col("media_id") == 0).collect()[0]
-    img = decode_fake_image(
-        bytes(media.where(F.col("media_id") == 0).collect()[0]["payload"])
-    )
     assert frow["mean_rgb"][0] == pytest.approx(float(img[:, :, 0].mean()))
     assert frow["aspect"] == pytest.approx(img.shape[1] / img.shape[0])
 
     small = resize_images(media, 16, 16)
     srow = small.where(F.col("media_id") == 0).collect()[0]
-    simg = decode_fake_image(bytes(srow["payload"]))
+    simg = dec(bytes(srow["payload"]))
     assert simg.shape == (16, 16, 3)
+    # nearest-neighbor: resized pixels are exact source pixels
+    yi = (np.arange(16) * img.shape[0] // 16).astype(int)
+    xi = (np.arange(16) * img.shape[1] // 16).astype(int)
+    np.testing.assert_array_equal(simg, img[np.ix_(yi, xi)])
 
     media_v = media.withColumn("duration_ms", F.lit(10_000))
     frames = sample_frames(media_v, every_nth=2)
