@@ -3,7 +3,18 @@
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
-{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": "...", "value": N, "unit": "sec", "queries": {...},
+ "duckdb_queries": {...}, "spark_vs_duckdb": {...}, "sf": ...}
+
+The duckdb_* fields time each query's oracle SQL on the SAME parquet
+at the SAME scale — a measured single-node baseline instead of the
+published-numbers extrapolation. Read the ratios with care at small
+sf: Spark pays a fixed ~0.2-0.5 s scheduling/codegen floor per query
+that DuckDB does not, so tiny-input ratios measure that floor, not
+throughput; the throughput signal is how the ratio TRENDS as sf grows
+(see SCALE_PROBE: at-or-below-linear across 8x-64x). Closed-form
+raster oracles regenerate pixels from a formula, so for those DuckDB
+is doing less work than the real decode being timed on the Spark side.
 """
 
 from __future__ import annotations
@@ -253,12 +264,65 @@ def main() -> None:
             timings["geotiff_import_n37_bilinear"] = round(
                 min(dt, timings.get("geotiff_import_n37_bilinear", dt)), 3)
 
+    # same-scale DuckDB baseline: time each headline query's oracle SQL
+    # on the SAME parquet at the SAME sf (single node vs single node —
+    # the "matches-or-beats the reference's single-node throughput"
+    # yardstick, measured instead of extrapolated from published
+    # numbers at other scales). Oracles missing by design (rows-only
+    # queries) are skipped; a 120 s interrupt guard keeps one slow
+    # plan from stalling the whole bench.
+    import threading
+
+    import duckdb
+
+    duck_timings: dict[str, float] = {}
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    oracles = entry_mod.oracle_sql()
+    for name in headline:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        best = None
+        for _ in range(2):
+            timer = threading.Timer(120.0, con.interrupt)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            except duckdb.Error:
+                break  # interrupted or unsupported: no baseline number
+            finally:
+                timer.cancel()
+        if best is not None:
+            duck_timings[name] = round(best, 3)
+
+    common = [n for n in duck_timings if n in timings]
+    ratios = {
+        n: round(timings[n] / duck_timings[n], 2)
+        for n in common
+        if duck_timings[n] > 0
+    }
+    spark_sum = sum(timings[n] for n in common)
+    duck_sum = sum(duck_timings[n] for n in common)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "duckdb_queries": duck_timings,
+        "spark_vs_duckdb": ratios,
+        "spark_vs_duckdb_total": (
+            round(spark_sum / duck_sum, 3) if duck_sum else None
+        ),
         "sf": float(sf),
     }))
 
