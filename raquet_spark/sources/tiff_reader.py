@@ -111,18 +111,74 @@ def _geokeys(tags: dict[int, tuple]) -> dict[int, int | float | str]:
 
 
 # GeoKey ids for projection parameters (GeoTIFF spec §2.7)
+_CT_TRANSVERSE_MERCATOR = 1
 _CT_LCC_2SP = 8
 _CT_ALBERS = 11
+_CT_POLAR_STEREO = 15
 _CT_SINUSOIDAL = 24
+
+# coordinate-transform code → family name, for typed errors that name
+# the PROJECTION FAMILY instead of an opaque code (GeoTIFF spec §6.3.3.3)
+_CT_FAMILIES = {
+    1: "Transverse Mercator", 2: "Modified Alaska TM",
+    3: "Oblique Mercator", 4: "Oblique Mercator (Laborde)",
+    5: "Swiss Oblique Cylindrical", 6: "Oblique Mercator (Spherical)",
+    7: "Mercator", 8: "Lambert Conformal Conic 2SP",
+    9: "Lambert Conformal Conic 1SP", 10: "Lambert Azimuthal Equal Area",
+    11: "Albers Equal Area", 12: "Azimuthal Equidistant",
+    13: "Equidistant Conic", 14: "Stereographic",
+    15: "Polar Stereographic", 16: "Oblique Stereographic",
+    17: "Equirectangular", 18: "Cassini-Soldner", 19: "Gnomonic",
+    20: "Miller Cylindrical", 21: "Orthographic", 22: "Polyconic",
+    23: "Robinson", 24: "Sinusoidal", 25: "VanDerGrinten",
+    26: "New Zealand Map Grid", 27: "Transverse Mercator South Oriented",
+    28: "Cylindrical Equal Area",
+}
+
+# common named projected EPSG codes with closed-form parameters (proj
+# database is unavailable here; reference parity is GDAL's coverage)
+_EPSG_PROJ: dict[int, dict] = {
+    # NAD83 / Conus Albers (NLCD's published CRS); NAD83≈WGS84 (<2 m)
+    5070: {"type": "aea", "sp1": 29.5, "sp2": 45.5, "lat0": 23.0,
+           "lon0": -96.0, "fe": 0.0, "fn": 0.0,
+           "a": 6378137.0, "inv_f": 298.257222101},
+    # WGS84 / Antarctic Polar Stereographic
+    3031: {"type": "ps", "lat_ts": -71.0, "lon0": 0.0, "fe": 0.0,
+           "fn": 0.0, "a": 6378137.0, "inv_f": 298.257223563},
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413: {"type": "ps", "lat_ts": 70.0, "lon0": -45.0, "fe": 0.0,
+           "fn": 0.0, "a": 6378137.0, "inv_f": 298.257223563},
+    # NSIDC EASE-Grid North/South use LAEA (unsupported family) — the
+    # CT gate below names them if they appear user-defined
+}
+
+# geographic CRSs whose lon/lat are WGS84-compatible at raster-warp
+# precision (NAD83 / ETRS89 deltas < 2 m; NAD27 is NOT in this set —
+# its datum shift reaches ~100 m and needs a grid transform)
+_GEOGRAPHIC_WGS84_COMPAT = {4326, 4269, 4258, 4619, 4617}
 
 
 def _projection(keys: dict) -> dict | None:
     """User-defined projected CRS → closed-form projection params.
     Albers Equal Area (the reference's NLCD raster), Lambert Conformal
-    Conic 2SP, and spherical Sinusoidal (the MODIS grid) are supported;
-    the ellipsoid comes from GeogSemiMajorAxis/GeogInvFlattening."""
+    Conic 2SP, Transverse Mercator, Polar Stereographic, and
+    Sinusoidal (spherical MODIS grid or ellipsoidal when
+    GeogInvFlattening is present) are supported; the ellipsoid comes
+    from GeogSemiMajorAxis/GeogInvFlattening. Anything else raises a
+    typed error naming the projection FAMILY."""
     ct = keys.get(3075)
+    a = float(keys.get(2057, 6378137.0))
+    inv_f = keys.get(2059)
     if ct == _CT_SINUSOIDAL:
+        if inv_f:
+            return {
+                "type": "sinu_ell",
+                "lon0": float(keys.get(3080, 0.0)),
+                "fe": float(keys.get(3082, 0.0)),
+                "fn": float(keys.get(3083, 0.0)),
+                "a": a,
+                "inv_f": float(inv_f),
+            }
         return {
             "type": "sinu",
             "lon0": float(keys.get(3080, 0.0)),
@@ -131,8 +187,41 @@ def _projection(keys: dict) -> dict | None:
             # MODIS uses the authalic sphere; no inverse flattening
             "a": float(keys.get(2057, 6371007.181)),
         }
+    if ct == _CT_POLAR_STEREO:
+        lat_ts = keys.get(3078, keys.get(3081))
+        if lat_ts is None:
+            raise ValueError(
+                "user-defined Polar Stereographic is missing its "
+                "standard parallel (GeoKey 3078/3081)"
+            )
+        return {
+            "type": "ps",
+            "lat_ts": float(lat_ts),
+            "lon0": float(keys.get(3095, keys.get(3080, 0.0))),
+            "k0": float(keys.get(3092, 1.0)),
+            "fe": float(keys.get(3082, 0.0)),
+            "fn": float(keys.get(3083, 0.0)),
+            "a": a,
+            "inv_f": float(inv_f or 298.257223563),
+        }
+    if ct == _CT_TRANSVERSE_MERCATOR:
+        return {
+            "type": "tm",
+            "lon0": float(keys.get(3080, 0.0)),
+            "lat0": float(keys.get(3081, 0.0)),
+            "k0": float(keys.get(3092, 1.0)),
+            "fe": float(keys.get(3082, 0.0)),
+            "fn": float(keys.get(3083, 0.0)),
+            "a": a,
+            "inv_f": float(inv_f or 298.257223563),
+        }
     if ct not in (_CT_ALBERS, _CT_LCC_2SP):
-        return None
+        family = _CT_FAMILIES.get(ct, f"coordinate transform {ct}")
+        raise NotImplementedError(
+            f"projection family {family!r} has no closed-form inverse "
+            "here (supported: TM/UTM, LCC-2SP, Albers, Polar "
+            "Stereographic, Sinusoidal, Mercator, geographic)"
+        )
     # A user-defined AEA/LCC without its standard parallels / origin
     # would silently warp to wrong coordinates under any default — fail
     # fast instead of guessing.
@@ -151,8 +240,8 @@ def _projection(keys: dict) -> dict | None:
         "lat0": float(keys[3081]),
         "fe": float(keys.get(3082, 0.0)),
         "fn": float(keys.get(3083, 0.0)),
-        "a": float(keys.get(2057, 6378137.0)),
-        "inv_f": float(keys.get(2059, 298.257223563)),
+        "a": a,
+        "inv_f": float(inv_f or 298.257223563),
     }
 
 
@@ -233,6 +322,16 @@ def read_tiff_structure(path: str) -> dict:
     projection = None
     if model == 2:
         epsg = keys.get(2048)
+        if epsg is not None and epsg != 32767:
+            if epsg not in _GEOGRAPHIC_WGS84_COMPAT:
+                raise NotImplementedError(
+                    f"geographic CRS EPSG:{epsg} needs a datum shift "
+                    "(only WGS84-compatible datums — WGS84/NAD83/ETRS89 "
+                    "— are treated as lon/lat here; NAD27-class shifts "
+                    "reach ~100 m and need a grid transform)"
+                )
+            # NAD83/ETRS89 lon-lat ≡ WGS84 at raster-warp precision
+            epsg = 4326
     elif model == 1:
         epsg = keys.get(3072)
         if epsg == 32767:  # user-defined: read the projection params
@@ -604,6 +703,9 @@ def _tm_constants(p: dict) -> dict:
     return {
         "a": p["a"], "e2": e2, "ep2": ep2, "k0": p["k0"],
         "lon0": math.radians(p["lon0"]), "fe": p["fe"], "fn": p["fn"],
+        # meridian distance at the latitude of origin (Snyder 3-21) —
+        # zero for UTM (lat0=0), nonzero for general TM grids
+        "m0": _meridian_distance(p["a"], e2, math.radians(p.get("lat0", 0.0))),
         "mu_div": p["a"] * (1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0),
         "j2": 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0,
         "j4": 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0,
@@ -612,12 +714,24 @@ def _tm_constants(p: dict) -> dict:
     }
 
 
+def _meridian_distance(a: float, e2: float, phi: float) -> float:
+    """Ellipsoidal meridian arc length M(phi) (Snyder 3-21)."""
+    e4, e6 = e2 * e2, e2**3
+    return a * (
+        (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0) * phi
+        - (3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0)
+        * math.sin(2.0 * phi)
+        + (15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0) * math.sin(4.0 * phi)
+        - (35.0 * e6 / 3072.0) * math.sin(6.0 * phi)
+    )
+
+
 def tm_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
     """Python reference UTM inverse (Snyder 8-17..8-25) — the same
     formulas the SQL mirror executes; used for bounds and tests."""
     k = _tm_constants(p)
     e2, ep2 = k["e2"], k["ep2"]
-    mu = (y - k["fn"]) / k["k0"] / k["mu_div"]
+    mu = ((y - k["fn"]) / k["k0"] + k["m0"]) / k["mu_div"]
     phi1 = (
         mu
         + k["j2"] * math.sin(2 * mu)
@@ -700,6 +814,85 @@ def lcc_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
     return math.degrees(lon), math.degrees(phi)
 
 
+def _ps_constants(p: dict) -> dict:
+    """Precomputed Snyder constants for ellipsoidal Polar
+    Stereographic (ch. 21, variant B with a standard parallel; the
+    3031/3413 polar grids). ``south`` flips the aspect."""
+    f = 1.0 / p["inv_f"]
+    e2 = 2.0 * f - f * f
+    e = math.sqrt(e2)
+    south = p["lat_ts"] < 0.0
+    phi_f = math.radians(abs(p["lat_ts"]))
+
+    def t(phi: float) -> float:
+        s = math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2.0)
+
+    if abs(p["lat_ts"]) >= 89.999:  # variant A: scale factor at pole
+        k0 = p.get("k0", 1.0)
+        rho_div = (
+            2.0 * p["a"] * k0
+            / math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        )
+    else:
+        s = math.sin(phi_f)
+        m_f = math.cos(phi_f) / math.sqrt(1.0 - e2 * s * s)
+        rho_div = p["a"] * m_f / t(phi_f)
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    return {
+        "rho_div": rho_div, "south": south,
+        "lon0": math.radians(p["lon0"]), "fe": p["fe"], "fn": p["fn"],
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
+def ps_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
+    """Python reference Polar Stereographic inverse (Snyder 21-39 +
+    conformal-latitude series 3-5) — the SQL mirror's twin."""
+    k = _ps_constants(p)
+    x, y = x - k["fe"], y - k["fn"]
+    rho = math.hypot(x, y)
+    tv = rho / k["rho_div"]
+    chi = math.pi / 2.0 - 2.0 * math.atan(tv)
+    phi = (
+        chi
+        + k["c2"] * math.sin(2.0 * chi)
+        + k["c4"] * math.sin(4.0 * chi)
+        + k["c6"] * math.sin(6.0 * chi)
+        + k["c8"] * math.sin(8.0 * chi)
+    )
+    # Snyder 20-16/21-39: north λ = λ0 + atan2(x, -y); south aspect
+    # uses the ORIGINAL signs, λ = λ0 + atan2(x, y), φ negated
+    if k["south"]:
+        return math.degrees(k["lon0"] + math.atan2(x, y)), math.degrees(-phi)
+    return math.degrees(k["lon0"] + math.atan2(x, -y)), math.degrees(phi)
+
+
+def sinu_ell_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
+    """Ellipsoidal Sinusoidal inverse (Snyder 30-x: y is meridian arc
+    length, recovered through the rectifying-latitude series)."""
+    k = _tm_constants({**p, "k0": 1.0, "lat0": 0.0})
+    e2 = k["e2"]
+    mu = (y - p["fn"]) / k["mu_div"]
+    phi = (
+        mu
+        + k["j2"] * math.sin(2.0 * mu)
+        + k["j4"] * math.sin(4.0 * mu)
+        + k["j6"] * math.sin(6.0 * mu)
+        + k["j8"] * math.sin(8.0 * mu)
+    )
+    s, c = math.sin(phi), math.cos(phi)
+    lam = math.radians(p["lon0"]) + (x - p["fe"]) * math.sqrt(
+        1.0 - e2 * s * s
+    ) / (p["a"] * c)
+    return math.degrees(lam), math.degrees(phi)
+
+
 def _source_projection(info: dict) -> dict | None:
     """Closed-form projection params for the source CRS, or None for
     geographic/mercator sources."""
@@ -709,9 +902,15 @@ def _source_projection(info: dict) -> dict | None:
         utm = _utm_params(info["epsg"])
         if utm:
             return utm
+        named = _EPSG_PROJ.get(info["epsg"])
+        if named:
+            return named
         raise NotImplementedError(
-            f"CRS EPSG:{info['epsg']} (closed-form 4326/3857/UTM/"
-            "AlbersEqualArea only; no proj db here)"
+            f"CRS EPSG:{info['epsg']}: not in the closed-form table "
+            "(4326/3857, UTM 326xx/327xx, "
+            f"{sorted(_EPSG_PROJ)}) and no proj database here; "
+            "user-defined GeoKeys for TM/LCC/Albers/PolarStereo/"
+            "Sinusoidal are also accepted"
         )
     return None
 
@@ -730,6 +929,10 @@ def _inverse_lonlat(info: dict, x: float, y: float) -> tuple[float, float]:
             proj["a"] * math.cos(phi)
         )
         return math.degrees(lam), math.degrees(phi)
+    if proj["type"] == "sinu_ell":
+        return sinu_ell_inverse(proj, x, y)
+    if proj["type"] == "ps":
+        return ps_inverse(proj, x, y)
     return tm_inverse(proj, x, y)
 
 
@@ -769,6 +972,42 @@ def _lonlat_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
         )
         lat = "degrees(_phi)"
         return steps, lon, lat
+    if proj and proj["type"] == "sinu_ell":
+        k = _tm_constants({**proj, "k0": 1.0, "lat0": 0.0})
+        steps = [
+            ("_mu", f"(({py}) - {proj['fn']}) / {k['mu_div']}"),
+            (
+                "_phi",
+                f"_mu + {k['j2']} * sin(2 * _mu) + {k['j4']} * sin(4 * _mu)"
+                f" + {k['j6']} * sin(6 * _mu) + {k['j8']} * sin(8 * _mu)",
+            ),
+        ]
+        lon = (
+            f"degrees({math.radians(proj['lon0'])}"
+            f" + (({px}) - {proj['fe']})"
+            f" * sqrt(1 - {k['e2']} * pow(sin(_phi), 2))"
+            f" / ({proj['a']} * cos(_phi)))"
+        )
+        lat = "degrees(_phi)"
+        return steps, lon, lat
+    if proj and proj["type"] == "ps":
+        k = _ps_constants(proj)
+        sgn = -1.0 if k["south"] else 1.0
+        steps = [
+            ("_x", f"(({px}) - {k['fe']})"),
+            ("_yp", f"(({py}) - {k['fn']})"),
+            ("_rho", "sqrt(_x * _x + _yp * _yp)"),
+            ("_chi", f"{math.pi / 2.0} - 2 * atan(_rho / {k['rho_div']})"),
+        ]
+        # north: atan2(x, -y); south aspect: atan2(x, y), φ negated
+        lon = f"degrees({k['lon0']} + atan2(_x, {-sgn} * _yp))"
+        lat = (
+            f"degrees({sgn} * (_chi + {k['c2']} * sin(2 * _chi)"
+            f" + {k['c4']} * sin(4 * _chi)"
+            f" + {k['c6']} * sin(6 * _chi)"
+            f" + {k['c8']} * sin(8 * _chi)))"
+        )
+        return steps, lon, lat
     if proj and proj["type"] == "lcc":
         k = _lcc_constants(proj)
         sgn = 1.0 if k["n"] >= 0 else -1.0
@@ -791,7 +1030,7 @@ def _lonlat_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
         k = _tm_constants(proj)
         e2, ep2 = k["e2"], k["ep2"]
         steps = [
-            ("_mu", f"(({py}) - {k['fn']}) / {k['k0']} / {k['mu_div']}"),
+            ("_mu", f"((({py}) - {k['fn']}) / {k['k0']} + {k['m0']}) / {k['mu_div']}"),
             (
                 "_phi1",
                 f"_mu + {k['j2']} * sin(2 * _mu) + {k['j4']} * sin(4 * _mu)"
@@ -958,6 +1197,47 @@ def _forward_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
             " + (5 - _tt + 9 * _cc + 4 * _cc * _cc) * pow(_aa, 4) / 24"
             f" + (61 - 58 * _tt + _tt * _tt + 600 * _cc - {330.0 * ep2})"
             " * pow(_aa, 6) / 720)))"
+        )
+        return steps, x, y
+    if proj["type"] == "ps":
+        k = _ps_constants(proj)
+        f = 1.0 / proj["inv_f"]
+        e2 = 2.0 * f - f * f
+        e = math.sqrt(e2)
+        # south aspect: t of -phi, and y = fn + rho cos(theta) (mirrors
+        # the inverse's atan2(x, y) aspect rule)
+        sphi = f"(-{phi})" if k["south"] else phi
+        ysgn = 1.0 if k["south"] else -1.0
+        steps = [
+            ("_p", sphi),
+            ("_s", "sin(_p)"),
+            (
+                "_t",
+                f"tan({math.pi / 4.0} - _p / 2)"
+                f" / pow((1 - {e} * _s) / (1 + {e} * _s), {e / 2.0})",
+            ),
+            ("_rho", f"{k['rho_div']} * _t"),
+            ("_th", f"{lam} - {k['lon0']}"),
+        ]
+        x = f"(_rho * sin(_th) + {k['fe']})"
+        y = f"({k['fn']} + {ysgn} * _rho * cos(_th))"
+        return steps, x, y
+    if proj["type"] == "sinu_ell":
+        k = _tm_constants({**proj, "k0": 1.0, "lat0": 0.0})
+        e2 = k["e2"]
+        m1 = 1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0
+        m2 = 3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0
+        m3 = 15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0
+        m4 = 35.0 * e2**3 / 3072.0
+        steps = [("_p", phi), ("_s", "sin(_p)")]
+        x = (
+            f"({proj['fe']} + {proj['a']} * ({lam} - "
+            f"{math.radians(proj['lon0'])}) * cos(_p)"
+            f" / sqrt(1 - {e2} * _s * _s))"
+        )
+        y = (
+            f"({proj['fn']} + {proj['a']} * ({m1} * _p - {m2} * sin(2 * _p)"
+            f" + {m3} * sin(4 * _p) - {m4} * sin(6 * _p)))"
         )
         return steps, x, y
     raise NotImplementedError(f"forward projection for {proj['type']!r}")
