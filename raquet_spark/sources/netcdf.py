@@ -1,10 +1,12 @@
-"""NetCDF classic-format (CDF-1/CDF-2) ingestion — no netCDF4/GDAL.
+"""NetCDF classic-format (CDF-1/CDF-2/CDF-5) ingestion — no netCDF4/GDAL.
 
 Reference parity: the reference converts ``.nc`` inputs through GDAL
 with CF time support (/root/reference/raquet/cli.py:92,
 raster2raquet.py:267 ``parse_cf_time_units``, :374 time metadata from
 the NetCDF domain). This module parses the header from the public
-NetCDF classic specification (magic ``CDF\\x01``/``\\x02``), reads the
+NetCDF classic specification (magic ``CDF\\x01``/``\\x02``/``\\x05`` —
+CDF-5 is pnetcdf's 64-bit-data variant with widened sizes and
+unsigned/64-bit types), reads the
 small coordinate variables (lat/lon/time) on the driver, and decodes
 the data variable DISTRIBUTED: row-range chunk tasks fan out through
 ``mapInPandas``, each task seeking its byte range — the same shape as
@@ -13,7 +15,7 @@ the RaQuet mercator grid reuses the target-driven warp; all time steps move
 through ONE warp shuffle and ONE tiling shuffle (``time_cf`` rides as
 an extra group key).
 
-Scope: classic CDF-1/CDF-2 parsed here; NetCDF-4 (HDF5 container)
+Scope: classic CDF-1/CDF-2/CDF-5 parsed here; NetCDF-4 (HDF5 container)
 dispatches to the from-scratch reader in sources/hdf5.py (same
 structure dict, same distributed decode contract — no h5py needed).
 One data variable per call, regular lat/lon grid (CF "coordinate
@@ -31,7 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# nc_type -> (big-endian numpy dtype, size)
+# nc_type -> (big-endian numpy dtype, size); 7-11 are the CDF-5
+# (64-bit data, pnetcdf) additions
 _NC_DTYPES = {
     1: "i1",  # NC_BYTE
     2: "S1",  # NC_CHAR
@@ -39,6 +42,11 @@ _NC_DTYPES = {
     4: ">i4",  # NC_INT
     5: ">f4",  # NC_FLOAT
     6: ">f8",  # NC_DOUBLE
+    7: "u1",  # NC_UBYTE
+    8: ">u2",  # NC_USHORT
+    9: ">u4",  # NC_UINT
+    10: ">i8",  # NC_INT64
+    11: ">u8",  # NC_UINT64
 }
 
 _ABSENT = 0
@@ -48,9 +56,10 @@ _NC_ATTRIBUTE = 0x0C
 
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, wide: bool = False):
         self.buf = buf
         self.pos = 0
+        self.wide = wide  # CDF-5: sizes/counts/offsets are 64-bit
 
     def u32(self) -> int:
         (v,) = struct.unpack_from(">I", self.buf, self.pos)
@@ -62,8 +71,13 @@ class _Reader:
         self.pos += 8
         return v
 
+    def nn(self) -> int:
+        """NON_NEG per the classic spec: 32-bit in CDF-1/2, 64-bit in
+        CDF-5 (pnetcdf 64-bit data format)."""
+        return self.u64() if self.wide else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         s = self.buf[self.pos : self.pos + n].decode("utf-8")
         self.pos += (n + 3) // 4 * 4  # names pad to 4-byte boundary
         return s
@@ -81,7 +95,7 @@ class _Reader:
 
 def _attr_list(r: _Reader) -> dict:
     tag = r.u32()
-    count = r.u32()
+    count = r.nn()
     if tag == _ABSENT:
         return {}
     assert tag == _NC_ATTRIBUTE, f"bad attribute tag {tag}"
@@ -89,7 +103,7 @@ def _attr_list(r: _Reader) -> dict:
     for _ in range(count):
         name = r.name()
         nc_type = r.u32()
-        n = r.u32()
+        n = r.nn()
         out[name] = r.attr_values(nc_type, n)
     return out
 
@@ -106,39 +120,41 @@ def read_netcdf_structure(path: str, header_bytes: int = 1 << 20) -> dict:
         from raquet_spark.sources.hdf5 import nc4_structure
 
         return nc4_structure(path)
-    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2, 5):
         raise ValueError(
-            "not a NetCDF file (neither classic CDF-1/CDF-2 nor "
+            "not a NetCDF file (neither classic CDF-1/CDF-2/CDF-5 nor "
             "NetCDF-4/HDF5 magic)"
         )
     version = buf[3]
-    r = _Reader(buf)
+    # CDF-5 (pnetcdf 64-bit data): every NON_NEG size/count/offset
+    # widens to 64-bit and types 7-11 (unsigned + 64-bit ints) appear
+    r = _Reader(buf, wide=version == 5)
     r.pos = 4
-    numrecs = r.u32()
+    numrecs = r.nn()
 
     tag = r.u32()
-    ndims = r.u32()
+    ndims = r.nn()
     dims: list[tuple[str, int]] = []
     if tag != _ABSENT:
         assert tag == _NC_DIMENSION, f"bad dimension tag {tag}"
         for _ in range(ndims):
-            dims.append((r.name(), r.u32()))
+            dims.append((r.name(), r.nn()))
 
     gatts = _attr_list(r)
 
     tag = r.u32()
-    nvars = r.u32()
+    nvars = r.nn()
     variables: dict[str, dict] = {}
     if tag != _ABSENT:
         assert tag == _NC_VARIABLE, f"bad variable tag {tag}"
         for _ in range(nvars):
             name = r.name()
-            nd = r.u32()
-            dimids = [r.u32() for _ in range(nd)]
+            nd = r.nn()
+            dimids = [r.nn() for _ in range(nd)]
             vatts = _attr_list(r)
             nc_type = r.u32()
-            vsize = r.u32()
-            begin = r.u64() if version == 2 else r.u32()
+            vsize = r.nn()
+            begin = r.u64() if version in (2, 5) else r.u32()
             is_record = bool(dimids) and dims[dimids[0]][1] == 0
             variables[name] = {
                 "dims": [dims[i][0] for i in dimids],

@@ -143,17 +143,27 @@ def write_netcdf_classic(
     add_offset: float | None = None,
     fill_value=None,
     record_time: bool = True,
+    version: int = 1,
 ) -> str:
-    """Write a classic-format (CDF-1) NetCDF file — the fixture builder
-    for sources/netcdf.py (no netCDF4 in this environment; format per
-    the public NetCDF classic spec). ``data`` is (time, lat, lon) or
+    """Write a classic-format NetCDF file — the fixture builder for
+    sources/netcdf.py (no netCDF4 in this environment; format per the
+    public NetCDF classic spec). ``data`` is (time, lat, lon) or
     (lat, lon) RAW values matching ``nc_type`` (3=short, 4=int,
-    5=float, 6=double). ``record_time=True`` writes time as the
-    unlimited dimension (record layout); False writes a fixed time dim."""
+    5=float, 6=double; CDF-5 adds 7-11 unsigned/64-bit).
+    ``record_time=True`` writes time as the unlimited dimension
+    (record layout); False writes a fixed time dim. ``version``: 1
+    (CDF-1) or 5 (CDF-5, pnetcdf 64-bit data — every NON_NEG widens
+    to 64-bit and ``begin`` offsets are 64-bit)."""
     import struct
 
-    dt_map = {1: "i1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
+    assert version in (1, 5)
+    wide = version == 5
+    dt_map = {1: "i1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8",
+              7: "u1", 8: ">u2", 9: ">u4", 10: ">i8", 11: ">u8"}
     dt = np.dtype(dt_map[nc_type])
+
+    def nn(v: int) -> bytes:
+        return struct.pack(">Q" if wide else ">I", v)
     has_time = times is not None
     if has_time:
         assert data.ndim == 3 and data.shape[0] == len(times)
@@ -165,11 +175,11 @@ def write_netcdf_classic(
 
     def name(s: str) -> bytes:
         b = s.encode()
-        return struct.pack(">I", len(b)) + pad4(b)
+        return nn(len(b)) + pad4(b)
 
     def raw_attr(aname: str, value, atype: int) -> bytes:
         arr = np.asarray([value], dtype=dt_map[atype])
-        return name(aname) + struct.pack(">II", atype, 1) + pad4(arr.tobytes())
+        return name(aname) + struct.pack(">I", atype) + nn(1) + pad4(arr.tobytes())
 
     nlat, nlon = len(lats), len(lons)
     ntime = len(times) if has_time else 0
@@ -182,23 +192,24 @@ def write_netcdf_classic(
     dims.append(("lon", nlon))
     dim_index = {d[0]: i for i, d in enumerate(dims)}
 
-    dim_list = struct.pack(">II", 0x0A, len(dims)) + b"".join(
-        name(n) + struct.pack(">I", sz) for n, sz in dims
+    dim_list = struct.pack(">I", 0x0A) + nn(len(dims)) + b"".join(
+        name(n) + nn(sz) for n, sz in dims
     )
-    gatts = struct.pack(">II", 0, 0)  # no global attributes
+    gatts = struct.pack(">I", 0) + nn(0)  # no global attributes
 
     # variables: lat, lon, [time], data
     def var_header(vname, dimids, vatts, vtype, vsize, begin):
         va = (
-            struct.pack(">II", 0x0C, len(vatts)) + b"".join(vatts)
-            if vatts else struct.pack(">II", 0, 0)
+            struct.pack(">I", 0x0C) + nn(len(vatts)) + b"".join(vatts)
+            if vatts else struct.pack(">I", 0) + nn(0)
         )
         return (
             name(vname)
-            + struct.pack(">I", len(dimids))
-            + b"".join(struct.pack(">I", d) for d in dimids)
+            + nn(len(dimids))
+            + b"".join(nn(d) for d in dimids)
             + va
-            + struct.pack(">III", vtype, vsize, begin)
+            + struct.pack(">I", vtype) + nn(vsize)
+            + (struct.pack(">Q", begin) if wide else struct.pack(">I", begin))
         )
 
     lat_b = lats.astype(">f8").tobytes()
@@ -215,12 +226,15 @@ def write_netcdf_classic(
     if fill_value is not None:
         datts.append(raw_attr("_FillValue", fill_value, nc_type))
 
+    def str_attr(aname: str, val: bytes) -> bytes:
+        return name(aname) + struct.pack(">I", 2) + nn(len(val)) + pad4(val)
+
     tatts = [
-        name("units") + struct.pack(">II", 2, len(time_units.encode())) + pad4(time_units.encode()),
-        name("calendar") + struct.pack(">II", 2, len(calendar.encode())) + pad4(calendar.encode()),
+        str_attr("units", time_units.encode()),
+        str_attr("calendar", calendar.encode()),
     ]
-    latts = [name("units") + struct.pack(">II", 2, len(b"degrees_north")) + pad4(b"degrees_north")]
-    lonatts = [name("units") + struct.pack(">II", 2, len(b"degrees_east")) + pad4(b"degrees_east")]
+    latts = [str_attr("units", b"degrees_north")]
+    lonatts = [str_attr("units", b"degrees_east")]
 
     # layout: header, lat, lon, then (record vars: time+data interleaved)
     # or (fixed: time, data contiguous)
@@ -246,8 +260,8 @@ def write_netcdf_classic(
         ))
         numrecs = ntime if (has_time and record_time) else 0
         return (
-            b"CDF\x01" + struct.pack(">I", numrecs) + dim_list + gatts
-            + struct.pack(">II", 0x0B, len(vars_b)) + b"".join(vars_b)
+            b"CDF" + bytes([version]) + nn(numrecs) + dim_list + gatts
+            + struct.pack(">I", 0x0B) + nn(len(vars_b)) + b"".join(vars_b)
         )
 
     header_len = len(build(0, 0, 0, 0))

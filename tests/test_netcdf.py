@@ -154,3 +154,50 @@ def test_netcdf_bilinear_time(spark, tmp_path):
         src_mean = float(np.nanmean(vals))
         assert g[float(t)]["count"] > 0
         assert abs(g[float(t)]["mean"] - src_mean) / src_mean < 0.02
+
+
+def test_netcdf_cdf5_wide_format(spark, tmp_path):
+    """CDF-5 (pnetcdf 64-bit data): 64-bit NON_NEG sizes/offsets parse
+    and decode identically to CDF-1, including a CDF-5-only unsigned
+    dtype (NC_USHORT) with scale/offset and fill."""
+    lats, lons, _ = _grid()
+    gy, gx = np.mgrid[0:40, 0:60]
+    data = np.stack(
+        [((gx * 7 + gy * 11 + t * 13) % 199).astype(">u2") for t in range(3)]
+    )
+    data[(gx[None] + gy[None] + np.arange(3)[:, None, None]) % 17 == 0] = 999
+    path = str(tmp_path / "wide.nc")
+    write_netcdf_classic(
+        path, lats, lons, data, times=np.arange(3, dtype="f8"),
+        nc_type=8, scale_factor=0.25, add_offset=10.0, fill_value=999,
+        version=5,
+    )
+    with open(path, "rb") as f:
+        assert f.read(4) == b"CDF\x05"
+    nc = read_netcdf_structure(path)
+    assert nc["version"] == 5 and nc["dims"]["lat"] == 40
+    assert nc["variables"]["value"]["dtype"] == ">u2"
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    assert len(pdf) == 3 * 40 * 60
+    want = data.astype("f8") * 0.25 + 10.0
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy()
+        .reshape(3, 40, 60)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_netcdf_cdf5_fixed_time_to_raquet(spark, tmp_path):
+    """CDF-5 with a fixed (non-record) time dim runs the whole
+    netcdf_to_raquet conversion."""
+    lats, lons, data = _grid()
+    path = str(tmp_path / "wide2.nc")
+    write_netcdf_classic(
+        path, lats, lons, data, times=np.arange(3, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+        record_time=False, version=5,
+    )
+    tiles, meta = netcdf_to_raquet(spark, path, block_size=64, stats=False)
+    assert meta["time"]["count"] == 3
+    assert tiles.count() > 0
