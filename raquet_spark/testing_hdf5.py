@@ -339,6 +339,41 @@ def write_hdf5(
     order1 = [n for n, s in datasets.items() if not s.get("dimension_list")]
     order2 = [n for n in datasets if n not in order1]
 
+    def _group_header(links: list[tuple[str, int]],
+                      attrs: dict | None = None) -> bytes:
+        """Group object header: compact link messages ('latest') or an
+        old-style symbol table (local heap + SNOD + B-tree v1)."""
+        msgs: list[tuple[int, bytes]] = []
+        if v3:
+            msgs.extend(
+                (0x06, _m_link(n, a, i)) for i, (n, a) in enumerate(links)
+            )
+        else:
+            heap_data = bytearray(b"\x00")
+            offs = {}
+            for n, _a in sorted(links):
+                offs[n] = len(heap_data)
+                heap_data += n.encode() + b"\x00"
+            heap_data = bytearray(_pad8(bytes(heap_data)))
+            heap_hdr_addr = w.tell()
+            data_addr = heap_hdr_addr + 32
+            w.emit(b"HEAP" + struct.pack(
+                "<B3xQQQ", 0, len(heap_data), 0, data_addr))
+            w.emit(bytes(heap_data))
+            snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(links))
+            for n, a in sorted(links):
+                snod += struct.pack("<QQII16x", offs[n], a, 0, 0)
+            snod_addr = w.emit(snod)
+            bt = b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, UNDEF, UNDEF)
+            bt += struct.pack(
+                "<QQQ", 0, snod_addr, offs[sorted(links)[-1][0]]
+            )
+            bt_addr = w.emit(bt)
+            msgs.append((0x11, struct.pack("<QQ", bt_addr, heap_hdr_addr)))
+        for k, v in (attrs or {}).items():
+            msgs.append((0x0C, _attr_spec(k, v, v3)))
+        return _header_v2(msgs) if v3 else _header_v1(msgs)
+
     for name in order1 + order2:
         spec = datasets[name]
         data = np.ascontiguousarray(spec["data"])
