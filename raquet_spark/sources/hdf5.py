@@ -243,6 +243,32 @@ def _datatype(body: bytes, pos: int = 0) -> dict:
                 "end": r.p + 12}
     if cls == 3:  # fixed string
         return {"kind": "string", "size": size, "np": None, "end": r.p}
+    if cls == 6:  # compound — netcdf-c's REFERENCE_LIST (H5DSattach_scale
+        # writes one on every dimension scale: {dataset: objref, index})
+        nmem = b0 | (b8 << 8)
+        members = []
+        p = r.p
+        for _ in range(nmem):
+            e = body.index(b"\x00", p)
+            name = body[p:e].decode("utf-8")
+            if ver in (1, 2):
+                p += ((e - p) // 8 + 1) * 8  # name NUL-padded to 8
+                (off,) = struct.unpack_from("<I", body, p)
+                p += 4
+                if ver == 1:
+                    # dimensionality(1) + reserved(3) + permutation(4)
+                    # + reserved(4) + 4 dim sizes(16)
+                    p += 28
+            else:  # v3: bare NUL-terminated name, minimal-width offset
+                p = e + 1
+                osz = max(1, (size.bit_length() + 7) // 8)
+                off = int.from_bytes(body[p : p + osz], "little")
+                p += osz
+            mdt = _datatype(body, p)
+            p = mdt["end"]
+            members.append({"name": name, "offset": off, "dt": mdt})
+        return {"kind": "compound", "size": size, "np": None,
+                "members": members, "end": p}
     if cls == 7:  # reference
         return {"kind": "reference", "size": size, "np": None, "end": r.p}
     if cls == 9:  # variable-length
@@ -388,20 +414,34 @@ def _read_values(b, dt: dict, raw: bytes, n: int):
     if dt["kind"] == "reference":
         vals = np.frombuffer(raw[: n * 8], dtype="<u8")
         return [int(v) for v in vals] if n > 1 else int(vals[0])
+    if dt["kind"] == "compound":
+        out = []
+        for i in range(n):
+            base = i * dt["size"]
+            out.append({
+                m["name"]: _read_values(
+                    b, m["dt"], raw[base + m["offset"] :], 1
+                )
+                for m in dt["members"]
+            })
+        return out if n > 1 else out[0]
     raise NotImplementedError(f"attribute datatype kind {dt['kind']}")
 
 
 def _attribute(b, body: bytes) -> tuple[str, object]:
+    """Attribute message → (name, value). The NAME is parsed first and
+    survives unconditionally; a value whose datatype class this reader
+    does not decode (time/bitfield/opaque/enum/array, or an exotic
+    vlen base) comes back as None rather than failing the whole file —
+    real netcdf-c files carry library-internal attributes (e.g.
+    REFERENCE_LIST, decoded; or tool-added extras) that must never
+    block ingesting the data itself."""
     r = _R(body)
     ver = r.u8()
     if ver == 1:
         r.u8()
         nsz, dtsz, dssz = r.u16(), r.u16(), r.u16()
         name = r.take((nsz + 7) // 8 * 8).split(b"\x00")[0].decode()
-        dt = _datatype(body, r.p)
-        r.p += (dtsz + 7) // 8 * 8
-        dims = _dataspace(body[r.p : r.p + dssz])
-        r.p += (dssz + 7) // 8 * 8
     elif ver in (2, 3):
         flags = r.u8()
         nsz, dtsz, dssz = r.u16(), r.u16(), r.u16()
@@ -409,15 +449,23 @@ def _attribute(b, body: bytes) -> tuple[str, object]:
             r.u8()  # name character-set encoding
         name = r.take(nsz).split(b"\x00")[0].decode()
         if flags & 0x03:
-            raise NotImplementedError("shared attribute datatype/dataspace")
-        dt = _datatype(body, r.p)
-        r.p += dtsz
-        dims = _dataspace(body[r.p : r.p + dssz])
-        r.p += dssz
+            return name, None  # shared attribute datatype/dataspace
     else:
         raise NotImplementedError(f"attribute message version {ver}")
-    n = int(np.prod(dims)) if dims else 1
-    return name, _read_values(b, dt, body[r.p :], n)
+    try:
+        dt = _datatype(body, r.p)
+        if ver == 1:
+            r.p += (dtsz + 7) // 8 * 8
+            dims = _dataspace(body[r.p : r.p + dssz])
+            r.p += (dssz + 7) // 8 * 8
+        else:
+            r.p += dtsz
+            dims = _dataspace(body[r.p : r.p + dssz])
+            r.p += dssz
+        n = int(np.prod(dims)) if dims else 1
+        return name, _read_values(b, dt, body[r.p :], n)
+    except NotImplementedError:
+        return name, None
 
 
 def _local_heap(b, addr: int) -> int:
@@ -898,11 +946,20 @@ def nc4_structure(path: str) -> dict:
     dims: dict[str, int] = {}
     for name, ds in h5["datasets"].items():
         short = name.split("/")[-1]
-        if len(ds["shape"]) == 1 and (
-            ds["attrs"].get("CLASS") == "DIMENSION_SCALE"
-            or "CLASS" not in ds["attrs"]
+        if (
+            len(ds["shape"]) == 1
+            and ds["attrs"].get("CLASS") == "DIMENSION_SCALE"
         ):
             dims.setdefault(short, ds["shape"][0])
+    if not dims:
+        # plain-HDF5 file with no dimension scales at all: every 1-D
+        # dataset is a candidate (best-effort naming, same as before).
+        # When scales DO exist, a 1-D data variable without CLASS must
+        # NOT become a dimension — it would let the size-match fallback
+        # bind a wrong dimension name to a data-variable axis.
+        for name, ds in h5["datasets"].items():
+            if len(ds["shape"]) == 1 and "CLASS" not in ds["attrs"]:
+                dims.setdefault(name.split("/")[-1], ds["shape"][0])
     variables: dict[str, dict] = {}
     for name, ds in h5["datasets"].items():
         nm = ds["attrs"].get("NAME", "")
@@ -954,7 +1011,9 @@ def nc4_structure(path: str) -> dict:
         "numrecs": 0,
         "recsize": 0,
         "dims": dims,
-        "gatts": h5["gatts"],
+        "gatts": {
+            k: v for k, v in h5["gatts"].items() if k not in _NC4_HIDDEN
+        },
         "variables": variables,
     }
 

@@ -158,6 +158,19 @@ _EPSG_PROJ: dict[int, dict] = {
 _GEOGRAPHIC_WGS84_COMPAT = {4326, 4269, 4258, 4619, 4617}
 
 
+def _geokey_inv_f(inv_f) -> float:
+    """GeogInvFlattening (GeoKey 2059) → inverse flattening. Key ABSENT
+    means the writer omitted the ellipsoid → WGS84 default; an EXPLICIT
+    0.0 is the GeoTIFF convention for a spherical ellipsoid and must
+    NOT silently become WGS84 (it would shift every coordinate).
+    Spheres are represented as inf so f = 1/inv_f = 0 and e² = 0 in the
+    Snyder formulas downstream."""
+    if inv_f is None:
+        return 298.257223563
+    v = float(inv_f)
+    return float("inf") if v == 0.0 else v
+
+
 def _projection(keys: dict) -> dict | None:
     """User-defined projected CRS → closed-form projection params.
     Albers Equal Area (the reference's NLCD raster), Lambert Conformal
@@ -202,7 +215,7 @@ def _projection(keys: dict) -> dict | None:
             "fe": float(keys.get(3082, 0.0)),
             "fn": float(keys.get(3083, 0.0)),
             "a": a,
-            "inv_f": float(inv_f or 298.257223563),
+            "inv_f": _geokey_inv_f(inv_f),
         }
     if ct == _CT_TRANSVERSE_MERCATOR:
         return {
@@ -213,7 +226,7 @@ def _projection(keys: dict) -> dict | None:
             "fe": float(keys.get(3082, 0.0)),
             "fn": float(keys.get(3083, 0.0)),
             "a": a,
-            "inv_f": float(inv_f or 298.257223563),
+            "inv_f": _geokey_inv_f(inv_f),
         }
     if ct not in (_CT_ALBERS, _CT_LCC_2SP):
         family = _CT_FAMILIES.get(ct, f"coordinate transform {ct}")
@@ -241,7 +254,7 @@ def _projection(keys: dict) -> dict | None:
         "fe": float(keys.get(3082, 0.0)),
         "fn": float(keys.get(3083, 0.0)),
         "a": a,
-        "inv_f": float(inv_f or 298.257223563),
+        "inv_f": _geokey_inv_f(inv_f),
     }
 
 
@@ -630,6 +643,8 @@ def _aea_constants(p: dict) -> dict:
 
     def q(phi: float) -> float:
         s = math.sin(phi)
+        if e == 0.0:  # sphere: the e→0 limit of the bracket is 2s
+            return 2.0 * s
         return (1.0 - e2) * (
             s / (1.0 - e2 * s * s)
             - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s))
@@ -1132,6 +1147,7 @@ def _forward_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
             ("_s", f"sin({phi})"),
             (
                 "_q",
+                "2 * _s" if e == 0.0 else  # sphere: e→0 limit
                 f"{1.0 - e2} * (_s / (1 - {e2} * _s * _s)"
                 f" - {1.0 / (2.0 * e)} * ln((1 - {e} * _s) / (1 + {e} * _s)))",
             ),

@@ -86,6 +86,40 @@ def _dt_vlen_ref() -> bytes:
     )
 
 
+def _dt_ref() -> bytes:
+    return struct.pack("<BBBBI", 0x17, 0, 0, 0, 8)
+
+
+def _dt_compound(members, size: int, v3: bool) -> bytes:
+    """Compound datatype message (class 6), v1 (padded names + the
+    28-byte dimensionality/permutation block) or v3 (bare names +
+    minimal-width offsets) — the two layouts netcdf-c emits depending
+    on libver. ``members``: [(name, byte_offset, member_dt_msg)]."""
+    nm = len(members)
+    cv = ((3 if v3 else 1) << 4) | 6
+    out = struct.pack("<BBBBI", cv, nm & 0xFF, (nm >> 8) & 0xFF, 0, size)
+    for name, off, dtb in members:
+        if v3:
+            out += name.encode() + b"\x00"
+            out += off.to_bytes(max(1, (size.bit_length() + 7) // 8),
+                                "little")
+        else:
+            out += _pad8(name.encode() + b"\x00")
+            out += struct.pack("<I", off) + b"\x00" * 28
+        out += dtb
+    return out
+
+
+class RawAttr:
+    """Escape hatch: an attribute with caller-supplied datatype /
+    dataspace / value bytes — used to plant datatype classes the
+    reader intentionally does not decode (enum, bitfield, ...) and
+    assert they degrade to name→None instead of failing the file."""
+
+    def __init__(self, dt_msg: bytes, ds_msg: bytes, value: bytes):
+        self.dt_msg, self.ds_msg, self.value = dt_msg, ds_msg, value
+
+
 def _m_dataspace(dims, ver: int = 1) -> bytes:
     rank = len(dims)
     if ver == 1:
@@ -125,6 +159,8 @@ def _attr_spec(name: str, value, v3: bool) -> bytes:
     """(name, python value) → attribute message body. Strings become
     fixed NUL-terminated strings (netcdf-c's NC_CHAR convention);
     floats f8 scalars; ints i4; numpy scalars keep their dtype."""
+    if isinstance(value, RawAttr):
+        return _attr_body(name, value.dt_msg, value.ds_msg, value.value, v3)
     if isinstance(value, str):
         raw = value.encode() + b"\x00"
         return _attr_body(name, _dt_str(len(raw)), _m_dataspace([]), raw, v3)
@@ -237,13 +273,16 @@ def _gcol(w: _W, objects: list[bytes]) -> tuple[int, list[int]]:
 # ---- fractal heap + v2 B-tree (dense storage) --------------------------
 
 def _fractal_heap(w: _W, objects: list[bytes], id_len_extra: int = 0):
-    """Single root direct block. Returns (header_addr, heap_ids)."""
+    """Single root direct block. Returns (header_addr, heap_ids,
+    abs_positions) — abs_positions[i] is the file offset of object i's
+    first byte (callers patch placeholder references in place)."""
     max_managed = 4096
     off_size, len_size = 4, 2  # max_heap_bits=32, max_managed<65536
     id_len = 1 + off_size + len_size + id_len_extra
     blk_hdr = 4 + 1 + 8 + off_size  # sig, ver, heap addr, block offset
     data = bytearray()
     ids = []
+    obj_offs = []
     pos = blk_hdr
     for o in objects:
         ids.append(
@@ -251,6 +290,7 @@ def _fractal_heap(w: _W, objects: list[bytes], id_len_extra: int = 0):
             + len(o).to_bytes(len_size, "little")
             + b"\x00" * id_len_extra
         )
+        obj_offs.append(pos)
         data += o
         pos += len(o)
     blk_size = 512
@@ -282,7 +322,7 @@ def _fractal_heap(w: _W, objects: list[bytes], id_len_extra: int = 0):
     blk += bytes(data)
     blk += b"\x00" * (blk_size - len(blk))
     w.emit(blk)
-    return hdr_addr, ids
+    return hdr_addr, ids, [blk_addr + o for o in obj_offs]
 
 
 def _btree_v2(w: _W, records: list[bytes], rec_type: int) -> int:
@@ -334,6 +374,38 @@ def write_hdf5(
     w.emit(b"\x00" * sb_size)
 
     header_addrs: dict[str, int] = {}
+    # REFERENCE_LIST attributes on dimension scales point FORWARD to
+    # data-variable headers not yet written (the same circularity the
+    # HDF5 library resolves by updating attributes in place): emit a
+    # unique placeholder u64 and patch it once the target's header
+    # address is known.
+    ph_counter = [0]
+    pending_refs: list[tuple[int, str]] = []  # (file offset, target name)
+
+    def _ref_list_attr(pairs, v3):
+        """REFERENCE_LIST: array of compound {dataset: objref,
+        dimension: int} — what H5DSattach_scale puts on every scale.
+        Returns (attr body, [(placeholder bytes, target name)])."""
+        vals = b""
+        phs = []
+        for tname, dim_idx in pairs:
+            if tname in header_addrs:
+                vals += struct.pack("<Qi4x", header_addrs[tname], dim_idx)
+            else:
+                ph = struct.pack("<Q", 0xF1D0F1D000000000 + ph_counter[0])
+                ph_counter[0] += 1
+                phs.append((ph, tname))
+                vals += ph + struct.pack("<i4x", dim_idx)
+        dtm = _dt_compound(
+            [("dataset", 0, _dt_ref()), ("dimension", 8, _dt_int(4))],
+            16, v3,
+        )
+        body = _attr_body(
+            "REFERENCE_LIST", dtm,
+            _m_dataspace([len(pairs)], 2 if v3 else 1), vals, v3,
+        )
+        return body, phs
+
     # two passes: datasets without dimension_list first (their header
     # addresses feed the global-heap references of the second pass)
     order1 = [n for n, s in datasets.items() if not s.get("dimension_list")]
@@ -427,6 +499,11 @@ def write_hdf5(
         attr_bodies = [
             _attr_spec(k, v, v3) for k, v in spec.get("attrs", {}).items()
         ]
+        local_phs: list[tuple[bytes, str]] = []
+        if spec.get("reference_list"):
+            body, phs = _ref_list_attr(spec["reference_list"], v3)
+            attr_bodies.append(body)
+            local_phs.extend(phs)
         if spec.get("dimension_list"):
             targets = [header_addrs[d] for d in spec["dimension_list"]]
             ga, idxs = _gcol(
@@ -442,7 +519,7 @@ def write_hdf5(
                 )
             )
         if dense_attrs and attr_bodies:
-            fh, ids = _fractal_heap(w, attr_bodies, id_len_extra=1)
+            fh, ids, obj_pos = _fractal_heap(w, attr_bodies, id_len_extra=1)
             # record type 8: heap id (8) + flags(1) + corder(4) + hash(4)
             recs = [
                 hid + struct.pack("<BII", 0, i, 0)
@@ -452,11 +529,24 @@ def write_hdf5(
             msgs.append(
                 (0x15, struct.pack("<BBQQ", 0, 0, fh, bt))
             )
+            for ph, tname in local_phs:  # placeholder lives in the heap
+                for body, pos in zip(attr_bodies, obj_pos):
+                    j = body.find(ph)
+                    if j >= 0:
+                        pending_refs.append((pos + j, tname))
+                        break
+                else:
+                    raise AssertionError("placeholder not in heap bodies")
+            local_phs = []
         else:
             msgs.extend((0x0C, b) for b in attr_bodies)
 
         hdr = _header_v2(msgs) if v3 else _header_v1(msgs)
         header_addrs[name] = w.emit(hdr)
+        for ph, tname in local_phs:  # placeholder lives in this header
+            j = bytes(w.b[header_addrs[name]:]).find(ph)
+            assert j >= 0, "placeholder not found in emitted header"
+            pending_refs.append((header_addrs[name] + j, tname))
 
     # root group
     root_msgs: list[tuple[int, bytes]] = []
@@ -465,7 +555,7 @@ def write_hdf5(
         link_bodies = [
             _m_link(n, header_addrs[n], i) for i, n in enumerate(names)
         ]
-        fh, ids = _fractal_heap(w, link_bodies)
+        fh, ids, _ = _fractal_heap(w, link_bodies)
         recs = [struct.pack("<I", 0) + hid for hid in ids]  # hash unverified
         bt = _btree_v2(w, recs, 5)
         root_msgs.append((0x02, struct.pack("<BBQQ", 0, 0, fh, bt)))
@@ -501,6 +591,8 @@ def write_hdf5(
         root_msgs.append((0x0C, _attr_spec(k, v, v3)))
     root_hdr = _header_v2(root_msgs) if v3 else _header_v1(root_msgs)
     root_addr = w.emit(root_hdr)
+    for pos, tname in pending_refs:  # resolve forward references
+        w.patch_u64(pos, header_addrs[tname])
     eof = w.tell()
 
     # superblock
@@ -541,6 +633,7 @@ def write_netcdf4(
     dense_links: bool = False,
     dense_attrs: bool = False,
     dimension_list: bool = True,
+    reference_list: bool = True,
     skip_chunks=(),
 ) -> str:
     """NetCDF-4 fixture mirroring ``write_netcdf_classic``'s contract:
@@ -594,6 +687,13 @@ def write_netcdf4(
         },
     }
     dim_names += ["lat", "lon"]
+    if reference_list:
+        # what H5DSattach_scale / netcdf-c put on every dimension
+        # scale: a compound REFERENCE_LIST back-reference to each
+        # attached variable, plus the _Netcdf4Dimid ordinal
+        for i, dn in enumerate(dim_names):
+            dsets[dn]["attrs"]["_Netcdf4Dimid"] = np.int32(i)
+            dsets[dn]["reference_list"] = [(var_name, i)]
     if chunks is None:
         if has_time:
             chunks = (1, max(1, len(lats) // 2), len(lons))
@@ -609,6 +709,10 @@ def write_netcdf4(
         "dimension_list": dim_names if dimension_list else None,
     }
     return write_hdf5(
-        path, dsets, gatts={"Conventions": "CF-1.6"},
+        path, dsets,
+        gatts={
+            "Conventions": "CF-1.6",
+            "_NCProperties": "version=2,netcdf=4.9.2,hdf5=1.12.2",
+        },
         style=style, dense_links=dense_links, dense_attrs=dense_attrs,
     )

@@ -123,10 +123,17 @@ def test_new_projection_sql_matches_python(spark):
     from raquet_spark.sources.tiff_reader import (
         _lonlat_steps,
         _source_projection,
+        aea_inverse,
         tm_inverse,
     )
 
     cases = [
+        # explicit sphere (GeogInvFlattening 0 → inv_f inf): exercises
+        # the e→0 analytic limit in the SQL _q binding
+        ("aea_sphere", {"type": "aea", "sp1": 29.5, "sp2": 45.5,
+                        "lat0": 23.0, "lon0": -96.0, "fe": 0.0, "fn": 0.0,
+                        "a": 6370997.0, "inv_f": float("inf")},
+         (-1500000.0, 3000.0, 1000000.0), aea_inverse),
         ("ps_north", {"type": "ps", "lat_ts": 70.0, "lon0": -45.0,
                       "fe": 0.0, "fn": 0.0, "a": 6378137.0,
                       "inv_f": 298.257223563},
@@ -311,6 +318,49 @@ def test_unsupported_family_named_in_error(tmp_path):
     with pytest.raises(NotImplementedError, match="Lambert Azimuthal"):
         _geo_tiff(path, 8, 8, (0.0, 0.0), 1000.0, geokeys, doubles)
         read_tiff_structure(path)
+
+
+def test_spherical_flattening_zero_is_sphere(tmp_path):
+    """An EXPLICIT GeogInvFlattening of 0.0 (the GeoTIFF convention for
+    a spherical ellipsoid) must select e²=0 — not silently substitute
+    WGS84 flattening (key ABSENT is what means WGS84). The e→0 AEA
+    limit is checked against an independently-coded spherical Albers
+    forward (Snyder 14-1..14-4)."""
+    from raquet_spark.sources.tiff_reader import _geokey_inv_f, aea_inverse
+
+    assert _geokey_inv_f(None) == 298.257223563
+    assert _geokey_inv_f(0.0) == float("inf")
+    assert _geokey_inv_f(297.0) == 297.0
+
+    R = 6370997.0
+    p = {"type": "aea", "sp1": 29.5, "sp2": 45.5, "lat0": 23.0,
+         "lon0": -96.0, "fe": 0.0, "fn": 0.0, "a": R,
+         "inv_f": float("inf")}
+    s1, s2 = math.sin(math.radians(29.5)), math.sin(math.radians(45.5))
+    n = (s1 + s2) / 2.0
+    C = math.cos(math.radians(29.5)) ** 2 + 2.0 * n * s1
+    rho0 = R * math.sqrt(C - 2.0 * n * math.sin(math.radians(23.0))) / n
+    for lon_w, lat_w in [(-75.0, 35.0), (-120.0, 40.0), (-96.001, 23.0)]:
+        rho = R * math.sqrt(C - 2.0 * n * math.sin(math.radians(lat_w))) / n
+        th = n * math.radians(lon_w + 96.0)
+        x, y = rho * math.sin(th), rho0 - rho * math.cos(th)
+        lon, lat = aea_inverse(p, x, y)
+        assert abs(lon - lon_w) < 1e-7 and abs(lat - lat_w) < 1e-7
+
+    # file-level: explicit 0.0 in the doubles block parses to a sphere
+    path = str(tmp_path / "sphere_tm.tif")
+    doubles = (0.0, 0.0, 0.0, 0.0, 6371000.0, 0.0)
+    geokeys = [
+        (1024, 0, 1, 1), (1025, 0, 1, 1),
+        (2057, 34736, 1, 4), (2059, 34736, 1, 5),
+        (3072, 0, 1, 32767),
+        (3075, 0, 1, 1),           # CT_TransverseMercator
+        (3080, 34736, 1, 0), (3081, 34736, 1, 1),
+        (3082, 34736, 1, 2), (3083, 34736, 1, 3),
+    ]
+    _geo_tiff(path, 16, 16, (-50000.0, 50000.0), 1000.0, geokeys, doubles)
+    info = read_tiff_structure(path)
+    assert info["projection"]["inv_f"] == float("inf")
 
 
 def test_named_epsg_5070_conus_albers():

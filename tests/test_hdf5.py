@@ -180,6 +180,119 @@ def test_nc4_to_raquet_time_tiles(spark, tmp_path):
         assert abs(g[float(t)]["mean"] - src_mean) / src_mean < 0.02
 
 
+def test_nc4_reference_list_compound(tmp_path):
+    """Real netcdf-c files attach a REFERENCE_LIST attribute (compound
+    {dataset: object ref, dimension: int}, written by H5DSattach_scale)
+    to every dimension scale. It must DECODE (compound datatype class
+    6), carry the right back-references, and stay hidden from user
+    attrs — in both the v1 (padded-name) and v3 (packed-name) compound
+    layouts and through dense attribute storage."""
+    from raquet_spark.sources.hdf5 import read_hdf5_structure
+
+    lats, lons, data = _grid(nt=2, nlat=12, nlon=10)
+    for style, dense in [("v0", False), ("latest", False),
+                         ("v0", True), ("latest", True)]:
+        path = str(tmp_path / f"rl_{style}_{dense}.nc")
+        write_netcdf4(
+            path, lats, lons, data, times=np.arange(2, dtype="f8"),
+            nc_type=3, fill_value=-999,
+            style=style, dense_links=dense, dense_attrs=dense,
+        )
+        h5 = read_hdf5_structure(path)
+        var_addr = h5["datasets"]["value"]["header_addr"]
+        for i, dim in enumerate(["time", "lat", "lon"]):
+            rl = h5["datasets"][dim]["attrs"]["REFERENCE_LIST"]
+            assert rl == {"dataset": var_addr, "dimension": i}, (
+                style, dense, dim, rl)
+            assert h5["datasets"][dim]["attrs"]["_Netcdf4Dimid"] == i
+        assert h5["gatts"]["_NCProperties"].startswith("version=2")
+        # the NetCDF layer still parses and hides the internals
+        nc = read_netcdf_structure(path)
+        assert "REFERENCE_LIST" not in nc["variables"]["lat"]["attrs"]
+        assert "_Netcdf4Dimid" not in nc["variables"]["lat"]["attrs"]
+        assert "_NCProperties" not in nc["gatts"]
+        assert nc["variables"]["value"]["dims"] == ["time", "lat", "lon"]
+
+
+def test_nc4_unsupported_attr_datatype_degrades(tmp_path):
+    """An attribute with a datatype class the reader does not decode
+    (enum, class 8) must come back as name→None — never fail the whole
+    ingest. The data variable still decodes exactly."""
+    import struct
+
+    from raquet_spark.testing_hdf5 import (
+        RawAttr,
+        _dt_int,
+        _m_dataspace,
+        write_hdf5,
+    )
+
+    # enum datatype message: class 8, base i4, one member "ok"=0
+    enum_dt = (
+        struct.pack("<BBBBI", 0x18, 1, 0, 0, 4)
+        + _dt_int(4)
+        + b"ok\x00" + b"\x00" * 5  # name padded to 8
+        + struct.pack("<i", 0)
+    )
+    gy, gx = np.mgrid[0:8, 0:6]
+    data = (gx + 10 * gy).astype("<f4")
+    path = str(tmp_path / "enumattr.nc")
+    spec = {
+        "lat": {"data": np.linspace(10, 11, 8),
+                "attrs": {"CLASS": "DIMENSION_SCALE",
+                          "units": "degrees_north"}},
+        "lon": {"data": np.linspace(20, 21, 6),
+                "attrs": {"CLASS": "DIMENSION_SCALE",
+                          "units": "degrees_east"}},
+        "value": {
+            "data": data,
+            "dimension_list": ["lat", "lon"],
+            "attrs": {
+                "flag": RawAttr(enum_dt, _m_dataspace([]),
+                                struct.pack("<i", 0)),
+                "units": "K",
+            },
+        },
+    }
+    write_hdf5(path, spec)
+    nc = read_netcdf_structure(path)
+    assert nc["variables"]["value"]["attrs"]["flag"] is None
+    assert nc["variables"]["value"]["attrs"]["units"] == "K"
+    pdf_vals = read_coord_var(nc, "lat")
+    assert len(pdf_vals) == 8
+
+
+def test_nc4_plain_1d_variable_is_not_a_dimension(tmp_path):
+    """When the file HAS dimension scales, a plain 1-D dataset without
+    CLASS must not become a dimension candidate — previously its size
+    could silently capture another variable's axis in the size-match
+    fallback."""
+    gy, gx = np.mgrid[0:8, 0:6]
+    path = str(tmp_path / "plain1d.nc")
+    spec = {
+        "lat": {"data": np.linspace(10, 11, 8),
+                "attrs": {"CLASS": "DIMENSION_SCALE",
+                          "units": "degrees_north"}},
+        "lon": {"data": np.linspace(20, 21, 6),
+                "attrs": {"CLASS": "DIMENSION_SCALE",
+                          "units": "degrees_east"}},
+        # a 1-D DATA variable (no CLASS) whose size collides with lon's
+        "profile": {"data": np.arange(6, dtype="<f4"), "attrs": {}},
+        "value": {
+            "data": (gx + 10 * gy).astype("<f4"),
+            "dimension_list": ["lat", "lon"],
+            "attrs": {},
+        },
+    }
+    write_hdf5(path, spec)
+    nc = read_netcdf_structure(path)
+    assert "profile" not in nc["dims"]
+    assert nc["variables"]["value"]["dims"] == ["lat", "lon"]
+    # the plain 1-D variable binds to the size-matched REAL dim (lon,
+    # size 6) — not to itself
+    assert nc["variables"]["profile"]["dims"] == ["lon"]
+
+
 def test_hdf5_typed_gates(tmp_path):
     """Unsupported constructs fail fast with typed errors naming the
     feature: layout v4 chunk indexes, unknown filters, non-HDF5
