@@ -19,12 +19,19 @@ writes:
   variable-length string/sequence (global heap "GCOL")
 - data layout v3: compact, contiguous, chunked with the B-tree v1
   chunk index; filters: shuffle(2) + deflate(1) + fletcher32(3)
+- data layout v4 (HDF5 1.10+ without 1.8 compatibility): compact,
+  contiguous, and the fixed-shape chunk indexes — single chunk(1),
+  implicit(2), fixed array(3, paged and unpaged, filtered and not)
+- datatypes also cover compound (class 6, all three member layouts) —
+  netcdf-c's REFERENCE_LIST attributes decode rather than fail, and
+  any *other* undecodable attribute datatype degrades to name→None
 - fill values for never-written chunks
 
-Typed gates (never silent wrong answers): layout v4 (HDF5 1.10+ chunk
-indexes), non-managed fractal-heap objects (huge/tiny), indirect
-blocks below the root row, B-tree v2 deeper than 2, offsets/lengths
-other than 8 bytes.
+Typed gates (never silent wrong answers): v4 extensible-array and
+B-tree-v2 chunk indexes (unlimited dimensions under HDF5 1.10+),
+non-managed fractal-heap objects (huge/tiny), indirect blocks below
+the root row, B-tree v2 deeper than 2, offsets/lengths other than 8
+bytes.
 
 Scale shape mirrors the classic-CDF path (netcdf.py) and the GeoTIFF
 path (tiff_reader.py): the DRIVER parses structure only (mmap —
@@ -287,28 +294,71 @@ def _datatype(body: bytes, pos: int = 0) -> dict:
 def _layout(body: bytes) -> dict:
     r = _R(body)
     ver = r.u8()
-    if ver != 3:
-        raise NotImplementedError(
-            f"data layout message version {ver} (only v3; HDF5 1.10+ "
-            "chunk indexes need the file written with 1.8 compatibility)"
-        )
-    cls = r.u8()
-    if cls == 0:  # compact
-        n = r.u16()
-        return {"layout": "compact", "data": r.take(n)}
-    if cls == 1:  # contiguous
-        return {"layout": "contiguous", "addr": r.u64(), "size": r.u64()}
-    if cls == 2:  # chunked, b-tree v1 index
-        nd = r.u8()  # ndims + 1
-        btree = r.u64()
-        dims = [r.u32() for _ in range(nd)]
-        return {
-            "layout": "chunked",
-            "btree": btree,
-            "chunk": dims[:-1],
-            "elem_size": dims[-1],
-        }
-    raise NotImplementedError(f"data layout class {cls}")
+    if ver == 3:
+        cls = r.u8()
+        if cls == 0:  # compact
+            n = r.u16()
+            return {"layout": "compact", "data": r.take(n)}
+        if cls == 1:  # contiguous
+            return {"layout": "contiguous", "addr": r.u64(), "size": r.u64()}
+        if cls == 2:  # chunked, b-tree v1 index
+            nd = r.u8()  # ndims + 1
+            btree = r.u64()
+            dims = [r.u32() for _ in range(nd)]
+            return {
+                "layout": "chunked",
+                "btree": btree,
+                "chunk": dims[:-1],
+                "elem_size": dims[-1],
+            }
+        raise NotImplementedError(f"data layout class {cls}")
+    if ver == 4:  # HDF5 1.10+ (spec IV.A.2.i, version 4)
+        cls = r.u8()
+        if cls == 0:
+            n = r.u16()
+            return {"layout": "compact", "data": r.take(n)}
+        if cls == 1:
+            return {"layout": "contiguous", "addr": r.u64(), "size": r.u64()}
+        if cls == 2:
+            flags = r.u8()
+            nd = r.u8()  # ndims + 1 (element size rides as last dim)
+            enc = r.u8()  # bytes per dimension-size field
+            dims = [r.uN(enc) for _ in range(nd)]
+            itype = r.u8()
+            out = {
+                "layout": "chunked_v4",
+                "chunk": dims[:-1],
+                "elem_size": dims[-1],
+                "index": itype,
+                "flags": flags,
+            }
+            if itype == 1:  # single chunk
+                if flags & 0x02:  # ...WITH_FILTER
+                    out["single_size"] = r.u64()
+                    out["single_mask"] = r.u32()
+                out["addr"] = r.u64()
+                return out
+            if itype == 2:  # implicit: dense contiguous chunk array
+                out["addr"] = r.u64()
+                return out
+            if itype == 3:  # fixed array
+                out["page_bits"] = r.u8()
+                out["addr"] = r.u64()
+                return out
+            if itype == 4:
+                raise NotImplementedError(
+                    "HDF5 v4 extensible-array chunk index (a dataset "
+                    "with one unlimited dimension, written by HDF5 "
+                    "1.10+ without 1.8 compatibility)"
+                )
+            if itype == 5:
+                raise NotImplementedError(
+                    "HDF5 v4 B-tree-v2 chunk index (a dataset with "
+                    "multiple unlimited dimensions, HDF5 1.10+)"
+                )
+            raise NotImplementedError(f"v4 chunk indexing type {itype}")
+        raise NotImplementedError(f"data layout class {cls}")
+    raise NotImplementedError(f"data layout message version {ver}")
 
 
 def _filters(body: bytes) -> list[tuple[int, list[int]]]:
@@ -761,6 +811,110 @@ def _chunk_btree(b, addr: int, ndims: int) -> list[tuple[tuple, int, int, int]]:
     return out
 
 
+def _fixed_array_elements(b, addr: int) -> list[bytes]:
+    """Fixed Array chunk index (FAHD header + FADB data block, paged
+    past 2^page_bits elements; spec III.G). Returns the raw element
+    bytes in linear order; uninitialized pages yield b"" placeholders
+    (chunks never written — fill semantics)."""
+    if bytes(b[addr : addr + 4]) != b"FAHD":
+        raise ValueError(f"bad fixed-array header signature at {addr}")
+    r = _R(b, addr + 4)
+    if r.u8() != 0:
+        raise NotImplementedError("fixed array version != 0")
+    client = r.u8()
+    if client not in (0, 1):
+        raise NotImplementedError(f"fixed array client id {client}")
+    entry_size = r.u8()
+    page_bits = r.u8()
+    nelmts = r.u64()
+    dblk = r.u64()
+    if dblk == UNDEF or nelmts == 0:
+        return []
+    if bytes(b[dblk : dblk + 4]) != b"FADB":
+        raise ValueError(f"bad fixed-array data block signature at {dblk}")
+    r2 = _R(b, dblk + 4)
+    if r2.u8() != 0:
+        raise NotImplementedError("fixed array data block version != 0")
+    r2.u8()  # client id (matches header)
+    r2.u64()  # header address (back-pointer)
+    page_nelmts = 1 << page_bits
+    out: list[bytes] = []
+    if nelmts > page_nelmts:  # paged data block
+        npages = (nelmts + page_nelmts - 1) // page_nelmts
+        bitmap = r2.take((npages + 7) // 8)
+        r2.p += 4  # data-block checksum
+        for pg in range(npages):
+            n_here = min(page_nelmts, nelmts - pg * page_nelmts)
+            live = bool(bitmap[pg // 8] & (1 << (pg % 8)))
+            if live:
+                for _ in range(n_here):
+                    out.append(r2.take(entry_size))
+            else:
+                out.extend(b"" for _ in range(n_here))
+                r2.p += entry_size * n_here  # unread dead elements
+            r2.p += entry_size * (page_nelmts - n_here)  # page padding
+            r2.p += 4  # page checksum
+    else:
+        for _ in range(nelmts):
+            out.append(r2.take(entry_size))
+    return out
+
+
+def _v4_chunk_entries(b, lay: dict, shape) -> list[tuple[tuple, int, int, int]]:
+    """Resolve a v4 chunk index to the same [(element_coords,
+    file_addr, nbytes, filter_mask)] list the v1 B-tree walker
+    produces, so every downstream consumer (driver-side decode,
+    distributed pixel table) is index-agnostic. Only ALLOCATED chunks
+    are returned — missing ones fall to fill semantics."""
+    import itertools as it
+
+    cd = lay["chunk"]
+    counts = [max(1, (s + c - 1) // c) for s, c in zip(shape, cd)]
+    grid = [
+        tuple(ci * c for ci, c in zip(idx, cd))
+        for idx in it.product(*[range(n) for n in counts])
+    ]  # row-major linear order, element offsets
+    chunk_bytes = int(np.prod(cd)) * lay["elem_size"]
+    itype = lay["index"]
+    if itype == 1:  # single chunk
+        if lay["addr"] == UNDEF:
+            return []
+        size = lay.get("single_size", chunk_bytes)
+        mask = lay.get("single_mask", 0)
+        return [(grid[0], lay["addr"], int(size), int(mask))]
+    if itype == 2:  # implicit: dense, unfiltered, all allocated
+        if lay["addr"] == UNDEF:
+            return []
+        return [
+            (coords, lay["addr"] + i * chunk_bytes, chunk_bytes, 0)
+            for i, coords in enumerate(grid)
+        ]
+    if itype == 3:  # fixed array
+        if lay["addr"] == UNDEF:
+            return []
+        elems = _fixed_array_elements(b, lay["addr"])
+        if len(elems) != len(grid):
+            raise ValueError(
+                f"fixed array has {len(elems)} entries for a "
+                f"{len(grid)}-chunk grid"
+            )
+        out = []
+        for coords, e in zip(grid, elems):
+            if not e:
+                continue  # uninitialized page
+            addr = int.from_bytes(e[:8], "little")
+            if addr == UNDEF or addr == 0:
+                continue
+            if len(e) > 8:  # filtered client: addr + size + mask(4)
+                size = int.from_bytes(e[8:-4], "little")
+                mask = int.from_bytes(e[-4:], "little")
+            else:
+                size, mask = chunk_bytes, 0
+            out.append((coords, addr, size, mask))
+        return out
+    raise NotImplementedError(f"v4 chunk indexing type {itype}")
+
+
 def defilter(raw: bytes, filters, itemsize: int, filter_mask: int = 0) -> bytes:
     """Reverse the filter pipeline for one chunk. ``filter_mask`` bit i
     set = filter i was skipped at write time."""
@@ -847,6 +1001,9 @@ def read_hdf5_structure(path: str) -> dict:
                 ds["chunks"] = _chunk_btree(
                     b, lay["btree"], len(ds["shape"])
                 )
+            elif lay["layout"] == "chunked_v4":
+                ds["chunks"] = _v4_chunk_entries(b, lay, ds["shape"])
+                ds["layout"] = "chunked"  # index-agnostic downstream
             datasets[prefix.lstrip("/")] = ds
             return
         # group

@@ -243,6 +243,60 @@ def _m_fill(raw: bytes | None) -> bytes:
     return struct.pack("<BBBBI", 2, 2, 0, 1, len(raw)) + raw
 
 
+# ---- v4 chunk indexes (HDF5 1.10+) --------------------------------------
+
+def _m_layout_v4(cd, itemsize: int, itype: int, addr: int,
+                 extra: bytes = b"") -> bytes:
+    """Data layout message v4, class 2 (chunked): flags + dims (with
+    the element size riding as the last dimension, like v3) + chunk
+    indexing type + index-specific fields + index address."""
+    dims = [*cd, itemsize]
+    flags = 0x02 if (itype == 1 and extra) else 0
+    out = struct.pack("<BBBBB", 4, 2, flags, len(dims), 4)
+    out += b"".join(struct.pack("<I", d) for d in dims)
+    out += bytes([itype]) + extra + struct.pack("<Q", addr)
+    return out
+
+
+def _fixed_array(w: _W, entries: list[bytes | None], entry_size: int,
+                 page_bits: int, dead_pages=()) -> int:
+    """FAHD + FADB for a chunk index. ``entries``: per linear chunk,
+    the element bytes or None (unallocated → UNDEF address).
+    ``dead_pages``: page ordinals left uninitialized (bitmap 0) when
+    the block is paged."""
+    nelmts = len(entries)
+    page_nelmts = 1 << page_bits
+    undef = UNDEF.to_bytes(8, "little").ljust(entry_size, b"\x00")
+    elems = [(e if e is not None else undef) for e in entries]
+    hdr_addr = w.tell()
+    hdr_size = 4 + 1 + 1 + 1 + 1 + 8 + 8 + 4
+    dblk_addr = hdr_addr + hdr_size
+    w.emit(
+        b"FAHD"
+        + struct.pack("<BBBBQQI", 0, 1 if entry_size > 8 else 0,
+                      entry_size, page_bits, nelmts, dblk_addr, 0)
+    )
+    blk = b"FADB" + struct.pack("<BBQ", 0, 1 if entry_size > 8 else 0,
+                                hdr_addr)
+    if nelmts > page_nelmts:  # paged
+        npages = (nelmts + page_nelmts - 1) // page_nelmts
+        bitmap = bytearray((npages + 7) // 8)
+        for pg in range(npages):
+            if pg not in dead_pages:
+                bitmap[pg // 8] |= 1 << (pg % 8)
+        blk += bytes(bitmap) + struct.pack("<I", 0)  # block checksum
+        for pg in range(npages):
+            page = elems[pg * page_nelmts : (pg + 1) * page_nelmts]
+            body = b"".join(page)
+            body += b"\x00" * (entry_size * (page_nelmts - len(page)))
+            blk += body + struct.pack("<I", 0)  # page checksum
+    else:
+        blk += b"".join(elems) + struct.pack("<I", 0)
+    assert w.tell() == dblk_addr
+    w.emit(blk)
+    return hdr_addr
+
+
 # ---- chunk B-tree v1 ---------------------------------------------------
 
 def _chunk_btree(w: _W, chunks, ndims: int) -> int:
@@ -463,14 +517,18 @@ def write_hdf5(
         elif spec.get("chunks"):
             cd = tuple(spec["chunks"])
             filters = spec.get("filters", ())
+            v4 = spec.get("v4_index")  # None | single | implicit |
+            #                            fixed_array | fixed_array_paged
             chunks = []
+            entries: list[tuple | None] = []  # linear order incl. holes
             pipeline = None
             grid = [range(0, s, c) for s, c in zip(data.shape, cd)]
             import itertools
 
             for coords in itertools.product(*grid):
                 ci = tuple(c // s for c, s in zip(coords, cd))
-                if ci in spec.get("skip_chunks", ()):
+                if ci in spec.get("skip_chunks", ()) and v4 != "implicit":
+                    entries.append(None)
                     continue
                 block = np.full(cd, dt.type(fill if fill is not None else 0))
                 sel = tuple(
@@ -483,11 +541,50 @@ def write_hdf5(
                 raw, pipeline = _apply_filters(
                     block.tobytes(), filters, dt.itemsize
                 )
-                chunks.append((coords, w.emit(raw), len(raw)))
-            bt = _chunk_btree(w, chunks, data.ndim)
-            lay = struct.pack("<BBBQ", 3, 2, data.ndim + 1, bt)
-            lay += b"".join(struct.pack("<I", c) for c in cd)
-            lay += struct.pack("<I", dt.itemsize)
+                addr = w.emit(raw)
+                chunks.append((coords, addr, len(raw)))
+                entries.append((addr, len(raw)))
+            if v4 is None:
+                bt = _chunk_btree(w, chunks, data.ndim)
+                lay = struct.pack("<BBBQ", 3, 2, data.ndim + 1, bt)
+                lay += b"".join(struct.pack("<I", c) for c in cd)
+                lay += struct.pack("<I", dt.itemsize)
+            elif v4 == "single":
+                assert len(entries) == 1 and entries[0] is not None
+                addr, size = entries[0]
+                extra = (
+                    struct.pack("<QI", size, 0) if pipeline else b""
+                )
+                lay = _m_layout_v4(cd, dt.itemsize, 1, addr, extra)
+            elif v4 == "implicit":
+                assert not pipeline, "implicit index forbids filters"
+                lay = _m_layout_v4(cd, dt.itemsize, 2, chunks[0][1])
+            elif v4 in ("fixed_array", "fixed_array_paged"):
+                if pipeline:
+                    ebytes = [
+                        None if e is None
+                        else struct.pack("<QII", e[0], e[1], 0)
+                        for e in entries
+                    ]
+                    esize = 16
+                else:
+                    ebytes = [
+                        None if e is None else struct.pack("<Q", e[0])
+                        for e in entries
+                    ]
+                    esize = 8
+                pb = 2 if v4 == "fixed_array_paged" else max(
+                    2, (len(entries) - 1).bit_length()
+                )
+                fa = _fixed_array(
+                    w, ebytes, esize, pb,
+                    dead_pages=spec.get("dead_pages", ()),
+                )
+                lay = _m_layout_v4(
+                    cd, dt.itemsize, 3, fa, extra=bytes([pb])
+                )
+            else:
+                raise ValueError(f"unknown v4 index {v4!r}")
             msgs.append((0x08, lay))
             if pipeline:
                 msgs.append((0x0B, _m_filters(pipeline)))
@@ -635,6 +732,8 @@ def write_netcdf4(
     dimension_list: bool = True,
     reference_list: bool = True,
     skip_chunks=(),
+    v4_index: str | None = None,
+    dead_pages=(),
 ) -> str:
     """NetCDF-4 fixture mirroring ``write_netcdf_classic``'s contract:
     ``data`` is (time, lat, lon) or (lat, lon) RAW values of ``nc_type``
@@ -705,6 +804,8 @@ def write_netcdf4(
         "filters": filters,
         "fill": fill_value,
         "skip_chunks": set(skip_chunks),
+        "v4_index": v4_index,
+        "dead_pages": dead_pages,
         "attrs": {"units": "K", **scale_attrs()},
         "dimension_list": dim_names if dimension_list else None,
     }

@@ -180,6 +180,101 @@ def test_nc4_to_raquet_time_tiles(spark, tmp_path):
         assert abs(g[float(t)]["mean"] - src_mean) / src_mean < 0.02
 
 
+@pytest.mark.parametrize(
+    "v4,filters,skip",
+    [
+        ("implicit", (), set()),
+        ("fixed_array", (), set()),
+        ("fixed_array", (("shuffle",), ("deflate", 4)), {(1, 1, 1)}),
+        ("fixed_array_paged", (("deflate", 6),), {(0, 1, 0)}),
+    ],
+)
+def test_nc4_v4_chunk_indexes(spark, tmp_path, v4, filters, skip):
+    """HDF5 1.10+ data-layout v4 fixed-shape chunk indexes — implicit
+    (dense contiguous chunk array) and fixed array (unpaged, filtered,
+    paged) — decode to the same scaled values as the 1.8 B-tree v1
+    path, including never-written chunks falling to fill."""
+    lats, lons, data = _grid(nt=2, nlat=16, nlon=16)
+    path = str(tmp_path / f"v4_{v4}_{len(filters)}.nc")
+    write_netcdf4(
+        path, lats, lons, data, times=np.arange(2, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+        chunks=(1, 8, 8), filters=filters, skip_chunks=skip,
+        v4_index=v4,
+    )
+    nc = read_netcdf_structure(path)
+    assert nc["variables"]["value"]["h5"]["layout"] == "chunked"
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    assert len(pdf) == 2 * 16 * 16
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy()
+        .reshape(2, 16, 16)
+    )
+    want = np.where(data == -999, -999, data).astype("f8") * 0.5 + 100.0
+    for t, cy, cx in skip:  # skipped chunks read back as fill
+        want[t, cy * 8:(cy + 1) * 8, cx * 8:(cx + 1) * 8] = (
+            -999 * 0.5 + 100.0
+        )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nc4_v4_single_chunk_and_dead_page(spark, tmp_path):
+    """Single-chunk index (whole variable in one chunk, filtered and
+    not) and a PAGED fixed array with an uninitialized page (bitmap 0
+    → every chunk of that page reads as fill)."""
+    lats, lons, data = _grid(nt=1, nlat=8, nlon=8)
+    for filters in ((), (("shuffle",), ("deflate", 4))):
+        path = str(tmp_path / f"single_{len(filters)}.nc")
+        write_netcdf4(
+            path, lats, lons, data[0], nc_type=3, scale_factor=0.5,
+            add_offset=100.0, fill_value=-999, chunks=(8, 8),
+            filters=filters, v4_index="single",
+        )
+        nc = read_netcdf_structure(path)
+        pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+        got = pdf.sort_values(["sy", "sx"])["band_1"].to_numpy().reshape(8, 8)
+        want = np.where(data[0] == -999, -999, data[0]).astype("f8") * 0.5 + 100.0
+        np.testing.assert_array_equal(got, want)
+
+    # paged fixed array, 16 chunks at page_bits=2 → 4 pages; page 2 dead
+    lats, lons, data = _grid(nt=1, nlat=16, nlon=16)
+    path = str(tmp_path / "deadpage.nc")
+    write_netcdf4(
+        path, lats, lons, data[0], nc_type=3, scale_factor=0.5,
+        add_offset=100.0, fill_value=-999, chunks=(4, 4),
+        v4_index="fixed_array_paged", dead_pages={2},
+    )
+    nc = read_netcdf_structure(path)
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    got = pdf.sort_values(["sy", "sx"])["band_1"].to_numpy().reshape(16, 16)
+    want = np.where(data[0] == -999, -999, data[0]).astype("f8") * 0.5 + 100.0
+    # linear chunk order on the 4x4 grid: page 2 = chunks 8..11 =
+    # grid rows (2,0)..(2,3) → source rows 8..11, all columns
+    want[8:12, :] = -999 * 0.5 + 100.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nc4_v4_unlimited_gates(tmp_path):
+    """Extensible-array / B-tree-v2 chunk indexes (unlimited dims under
+    HDF5 1.10+) fail with typed errors naming the construct."""
+    import struct
+
+    from raquet_spark.sources.hdf5 import _layout
+
+    def v4_body(itype):
+        return (
+            struct.pack("<BBBBB", 4, 2, 0, 3, 4)
+            + struct.pack("<III", 8, 8, 2)
+            + bytes([itype]) + b"\x00" * 16
+        )
+
+    with pytest.raises(NotImplementedError, match="extensible-array"):
+        _layout(v4_body(4))
+    with pytest.raises(NotImplementedError, match="B-tree-v2"):
+        _layout(v4_body(5))
+
+
 def test_nc4_reference_list_compound(tmp_path):
     """Real netcdf-c files attach a REFERENCE_LIST attribute (compound
     {dataset: object ref, dimension: int}, written by H5DSattach_scale)
@@ -299,8 +394,8 @@ def test_hdf5_typed_gates(tmp_path):
     bytes."""
     from raquet_spark.sources.hdf5 import _layout, defilter
 
-    with pytest.raises(NotImplementedError, match="1.10"):
-        _layout(bytes([4, 2]) + b"\x00" * 30)
+    with pytest.raises(NotImplementedError, match="version 5"):
+        _layout(bytes([5, 2]) + b"\x00" * 30)
     with pytest.raises(NotImplementedError, match="filter id 307"):
         defilter(b"xx", [(307, [])], 2)
     bad = str(tmp_path / "bad.nc")
