@@ -2421,6 +2421,111 @@ GROUP BY t
 """
 
 
+_NC4V = dict(cy=16, cx=24, skip=(0, 2, 1), dead=3, page=4)
+
+
+def _cached_netcdf4_v4(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_hdf5 import write_netcdf4
+
+    key = (spark.sparkContext.applicationId, "netcdf4_v4_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _NC
+        nlat, nlon, nt = c["nlat"], c["nlon"], c["nt"]
+        lats = 37.9875 - 0.025 * np.arange(nlat)
+        lons = -122.9875 + 0.025 * np.arange(nlon)
+        gy, gx = np.mgrid[0:nlat, 0:nlon]
+        data = np.stack(
+            [((gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50) for t in range(nt)]
+        ).astype("<i2")
+        mask = (gx[None] + gy[None] + np.arange(nt)[:, None, None]) % 17 == 0
+        data[mask] = c["fill"]
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_nc4v4_"), "fix.nc"
+        )
+        write_netcdf4(
+            path, lats, lons, data,
+            times=np.arange(nt, dtype="f8"),
+            time_units="days since 2020-01-01 00:00:00",
+            nc_type=3, scale_factor=c["scale"], add_offset=c["offset"],
+            fill_value=c["fill"],
+            chunks=(1, _NC4V["cy"], _NC4V["cx"]),
+            skip_chunks={_NC4V["skip"]},
+            v4_index="fixed_array_paged", dead_pages={_NC4V["dead"]},
+            filters=(("shuffle",), ("deflate", 4)),
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def netcdf4_v4index_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 1.10+ data-layout v4 ingestion: a PAGED fixed-array chunk
+    index (FAHD/FADB, page_bits=2) with one uninitialized page (bitmap
+    0 → four chunks fall to fill) plus one skipped chunk (UNDEF
+    element address), shuffle+deflate chunks, distributed decode — the
+    file shape HDF5 1.10+ writes without 1.8 compatibility (reference
+    ingests it via GDAL, cli.py:283). Per-step stats vs the closed-form
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.netcdf import (
+        netcdf_pixel_table,
+        read_netcdf_structure,
+    )
+
+    c = _NC
+    nodata = c["fill"] * c["scale"] + c["offset"]
+    nc = read_netcdf_structure(_cached_netcdf4_v4(spark))
+    px = netcdf_pixel_table(spark, nc, "value")
+    return (
+        px.where(F.col("band_1") != nodata)
+        .groupBy("time_cf")
+        .agg(
+            F.expr("COUNT(band_1)").alias("n_px"),
+            F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+            F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+            F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+            F.expr("round(AVG(band_1), 6)").alias("vmean"),
+        )
+    )
+
+
+def netcdf4_v4index_stats_oracle() -> str:
+    c, v = _NC, _NC4V
+    st, sy, sx = v["skip"]
+    nxc = -(-c["nlon"] // v["cx"])  # chunks per row
+    nyc = -(-c["nlat"] // v["cy"])
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 17 = 0 THEN NULL
+              WHEN t = {st} AND gy // {v['cy']} = {sy}
+                   AND gx // {v['cx']} = {sx} THEN NULL
+              WHEN (t * {nyc * nxc} + (gy // {v['cy']}) * {nxc}
+                    + gx // {v['cx']}) // {v['page']} = {v['dead']}
+                   THEN NULL
+              ELSE ((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50)
+                   * {c['scale']} + {c['offset']} END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nlat']})) AS gy),
+       (SELECT unnest(range(0, {c['nlon']})) AS gx)
+)
+SELECT CAST(t AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 def _region_cells() -> list[int]:
     r = _R
     return sorted(
@@ -4843,6 +4948,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "imageserver_auto_stats": (imageserver_auto_stats_spark, tile_stats_agg_oracle),
     "netcdf_ingest_stats": (netcdf_ingest_stats_spark, netcdf_ingest_stats_oracle),
     "netcdf4_ingest_stats": (netcdf4_ingest_stats_spark, netcdf4_ingest_stats_oracle),
+    "netcdf4_v4index_stats": (netcdf4_v4index_stats_spark, netcdf4_v4index_stats_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),
