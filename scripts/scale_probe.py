@@ -221,6 +221,37 @@ def main() -> None:
     )
     bench("focal_slope_16mpx", lambda: focal_map(scan, meta, "slope").count())
 
+    # NetCDF-4/HDF5 distributed chunk decode: one task per stored chunk
+    # (shuffle-free mapInPandas) — runtime must track chunk count
+    import numpy as np
+
+    from raquet_spark.sources.netcdf import (
+        netcdf_pixel_table,
+        read_netcdf_structure,
+    )
+    from raquet_spark.testing_hdf5 import write_netcdf4
+
+    for mult in (1, 8):
+        nlat, nlon, nt = 320 * mult, 480, 3
+        lats = 80.0 - 0.01 * np.arange(nlat)
+        lons = -170.0 + 0.01 * np.arange(nlon)
+        gy, gx = np.mgrid[0:nlat, 0:nlon]
+        data = np.stack(
+            [((gx * 7 + gy * 11 + t * 13) % 199 - 50) for t in range(nt)]
+        ).astype("<i2")
+        p = tempfile.mkdtemp(prefix="probe_nc4_") + "/probe.nc"
+        write_netcdf4(
+            p, lats, lons, data, times=np.arange(nt, dtype="f8"),
+            nc_type=3, scale_factor=0.5, add_offset=100.0,
+            fill_value=-999, chunks=(1, 64, 240),
+            filters=(("shuffle",), ("deflate", 4)),
+        )
+        nc = read_netcdf_structure(p)
+        bench(
+            f"netcdf4_decode_x{mult}",
+            lambda: netcdf_pixel_table(spark, nc, "value").count(),
+        )
+
     out = {"probe": timings, "n_docs_base": n_docs, "multipliers": mults}
     print(json.dumps(out))
 
