@@ -1205,7 +1205,7 @@ def h5_pixel_table(spark, nc: dict, var: str, rows_per_chunk: int = 128):
     shape = list(ds["shape"])
     has_time = (
         len(shape) == 3 and time_name is not None
-        and v["dims"][0] == time_name
+        and v["dims"][0] == time_name.split("/")[-1]
     )
     if len(shape) == 3 and not has_time:
         raise ValueError(

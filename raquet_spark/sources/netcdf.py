@@ -202,14 +202,23 @@ def read_coord_var(nc: dict, name: str) -> np.ndarray:
         return np.array(out, dtype="f8")
 
 
+def _short(name: str) -> str:
+    """Group-qualified variable key -> its short (dimension) name."""
+    return name.split("/")[-1]
+
+
 def _find_coords(nc: dict) -> tuple[str | None, str, str]:
     """(time, lat, lon) coordinate variable names, by CF units/axis
-    attributes first, well-known names second."""
+    attributes first, well-known names second. Returned names are the
+    full variable KEYS (group-qualified for NetCDF-4 group members —
+    e.g. ``PRODUCT/lat``); dimension names stay short, so callers
+    compare ``v["dims"]`` entries against ``_short(name)``."""
     time = lat = lon = None
     for name, v in nc["variables"].items():
+        short = _short(name)
         units = str(v["attrs"].get("units", "")).lower()
         axis = str(v["attrs"].get("axis", "")).upper()
-        if v["dims"] != [name] and name not in nc["dims"]:
+        if v["dims"] != [short] and short not in nc["dims"]:
             continue  # only coordinate variables (var name == dim name)
         if "since" in units or axis == "T":
             time = name
@@ -217,9 +226,17 @@ def _find_coords(nc: dict) -> tuple[str | None, str, str]:
             lat = name
         elif units.startswith("degrees_east") or axis == "X":
             lon = name
-    lat = lat or next((n for n in ("lat", "latitude") if n in nc["variables"]), None)
-    lon = lon or next((n for n in ("lon", "longitude") if n in nc["variables"]), None)
-    time = time or next((n for n in ("time",) if n in nc["variables"]), None)
+    lat = lat or next(
+        (n for n in nc["variables"]
+         if _short(n) in ("lat", "latitude")), None,
+    )
+    lon = lon or next(
+        (n for n in nc["variables"]
+         if _short(n) in ("lon", "longitude")), None,
+    )
+    time = time or next(
+        (n for n in nc["variables"] if _short(n) == "time"), None,
+    )
     if not lat or not lon:
         raise ValueError("no lat/lon coordinate variables found")
     return time, lat, lon
@@ -229,7 +246,10 @@ def _pick_data_var(nc: dict, lat: str, lon: str, var: str | None) -> str:
     if var:
         return var
     for name, v in nc["variables"].items():
-        if v["dims"][-2:] == [lat, lon] and name not in (lat, lon):
+        if (
+            v["dims"][-2:] == [_short(lat), _short(lon)]
+            and name not in (lat, lon)
+        ):
             return name
     raise ValueError(f"no data variable with trailing dims ({lat}, {lon})")
 
@@ -255,7 +275,9 @@ def netcdf_pixel_table(
     v = nc["variables"][var]
     path = nc["path"]
     time_name, lat, lon = _find_coords(nc)
-    has_time = bool(v["record"]) or (time_name and v["dims"][0] == time_name)
+    has_time = bool(v["record"]) or (
+        time_name and v["dims"][0] == _short(time_name)
+    )
     nlat = nc["dims"][lat]
     nlon = nc["dims"][lon]
     dt = np.dtype(v["dtype"])
@@ -389,7 +411,7 @@ def netcdf_to_raquet(
 
     px = netcdf_pixel_table(spark, nc, var)
     has_time = time_name is not None and (
-        v["record"] or (v["dims"] and v["dims"][0] == time_name)
+        v["record"] or (v["dims"] and v["dims"][0] == _short(time_name))
     )
     extra = ("time_cf",) if has_time else ()
     (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(

@@ -645,9 +645,23 @@ def write_hdf5(
             assert j >= 0, "placeholder not found in emitted header"
             pending_refs.append((header_addrs[name] + j, tname))
 
+    # subgroups: dataset names with one "/" segment land in a child
+    # group (the NetCDF-4 hierarchical-group layout, e.g. PRODUCT/var)
+    names = [n for n in datasets if "/" not in n]
+    by_group: dict[str, list[str]] = {}
+    for n in datasets:
+        if "/" in n:
+            grp, leaf = n.split("/", 1)
+            assert "/" not in leaf, "fixture supports one group level"
+            by_group.setdefault(grp, []).append(n)
+    for grp, members in by_group.items():
+        assert not dense_links, "fixture: groups + dense root unsupported"
+        links = [(m.split("/", 1)[1], header_addrs[m]) for m in members]
+        header_addrs[grp] = w.emit(_group_header(links))
+        names.append(grp)
+
     # root group
     root_msgs: list[tuple[int, bytes]] = []
-    names = list(datasets)
     if dense_links:
         link_bodies = [
             _m_link(n, header_addrs[n], i) for i, n in enumerate(names)

@@ -388,6 +388,44 @@ def test_nc4_plain_1d_variable_is_not_a_dimension(tmp_path):
     assert nc["variables"]["profile"]["dims"] == ["lon"]
 
 
+@pytest.mark.parametrize("style", ["v0", "latest"])
+def test_nc4_grouped_variable(spark, tmp_path, style):
+    """NetCDF-4 hierarchical groups (e.g. Sentinel-5P PRODUCT/...):
+    a data variable inside a child group binds to root dimension
+    scales through DIMENSION_LIST, coordinate discovery handles the
+    group-qualified key, and the distributed decode is identical."""
+    gy, gx = np.mgrid[0:12, 0:10]
+    data = (gx + 100 * gy).astype("<f4")
+    path = str(tmp_path / f"grp_{style}.nc")
+    spec = {
+        "lat": {"data": np.linspace(10, 11, 12),
+                "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "lat",
+                          "units": "degrees_north"}},
+        "lon": {"data": np.linspace(20, 21, 10),
+                "attrs": {"CLASS": "DIMENSION_SCALE", "NAME": "lon",
+                          "units": "degrees_east"}},
+        "PRODUCT/value": {
+            "data": data,
+            "chunks": (6, 10),
+            "filters": (("shuffle",), ("deflate", 4)),
+            "dimension_list": ["lat", "lon"],
+            "attrs": {"units": "K"},
+        },
+    }
+    write_hdf5(path, spec, style=style)
+    nc = read_netcdf_structure(path)
+    assert "PRODUCT/value" in nc["variables"]
+    assert nc["variables"]["PRODUCT/value"]["dims"] == ["lat", "lon"]
+    from raquet_spark.sources.netcdf import _find_coords, _pick_data_var
+
+    t, la, lo = _find_coords(nc)
+    assert (t, la, lo) == (None, "lat", "lon")
+    assert _pick_data_var(nc, la, lo, None) == "PRODUCT/value"
+    pdf = netcdf_pixel_table(spark, nc, "PRODUCT/value").toPandas()
+    got = pdf.sort_values(["sy", "sx"])["band_1"].to_numpy().reshape(12, 10)
+    np.testing.assert_allclose(got, data.astype("f8"), rtol=1e-6)
+
+
 def test_hdf5_typed_gates(tmp_path):
     """Unsupported constructs fail fast with typed errors naming the
     feature: layout v4 chunk indexes, unknown filters, non-HDF5
