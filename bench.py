@@ -80,6 +80,8 @@ def main() -> None:
         "lossy_jpeg_blocky_stats",
         "geotiff_cog_roundtrip",
         "netcdf_ingest_stats",
+        "netcdf4_ingest_stats",
+        "netcdf4_v4index_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
@@ -312,19 +314,31 @@ def main() -> None:
     spark_sum = sum(timings[n] for n in common)
     duck_sum = sum(duck_timings[n] for n in common)
 
+    # per-query DuckDB baseline goes to a FILE: the driver captures only
+    # the last 2000 stdout chars and parses the final line as JSON —
+    # inlining these dicts grew the line past that window in round 8
+    # (BENCH_r08.json "parsed": null). The stdout line stays compact.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_duckdb_baseline.json"), "w",
+    ) as f:
+        json.dump({
+            "duckdb_queries": duck_timings,
+            "spark_vs_duckdb": ratios,
+            "sf": float(sf),
+        }, f, indent=1, sort_keys=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "duckdb_queries": duck_timings,
-        "spark_vs_duckdb": ratios,
         "spark_vs_duckdb_total": (
             round(spark_sum / duck_sum, 3) if duck_sum else None
         ),
         "sf": float(sf),
-    }))
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1002,6 +1002,15 @@ def read_hdf5_structure(path: str) -> dict:
                     b, lay["btree"], len(ds["shape"])
                 )
             elif lay["layout"] == "chunked_v4":
+                if lay["flags"] & 0x01 and filters:
+                    # edge chunks stored RAW while interior chunks are
+                    # filtered — decoding both through the pipeline
+                    # would silently corrupt the boundary
+                    raise NotImplementedError(
+                        "v4 chunked layout with "
+                        "DONT_FILTER_PARTIAL_BOUND_CHUNKS set alongside "
+                        "a filter pipeline"
+                    )
                 ds["chunks"] = _v4_chunk_entries(b, lay, ds["shape"])
                 ds["layout"] = "chunked"  # index-agnostic downstream
             datasets[prefix.lstrip("/")] = ds

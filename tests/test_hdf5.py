@@ -275,6 +275,33 @@ def test_nc4_v4_unlimited_gates(tmp_path):
         _layout(v4_body(5))
 
 
+def test_nc4_v4_dont_filter_partial_gate(tmp_path):
+    """v4 flag bit 0 (DONT_FILTER_PARTIAL_BOUND_CHUNKS) + a filter
+    pipeline stores edge chunks raw while interior chunks are
+    filtered; decoding both through the pipeline would silently
+    corrupt the boundary — typed gate instead."""
+    lats, lons, data = _grid(nt=1, nlat=16, nlon=16)
+    path = str(tmp_path / "dfp.nc")
+    write_netcdf4(
+        path, lats, lons, data[0], nc_type=3, fill_value=-999,
+        chunks=(8, 8), v4_index="fixed_array",
+    )
+    # flip flag bit 0 on the layout message in place: find the v4
+    # chunked layout header (version 4, class 2, flags 0)
+    with open(path, "rb") as f:
+        raw = bytearray(f.read())
+    sig = bytes([4, 2, 0, 3, 4])  # ver, class, flags, ndims+1, enc
+    i = raw.find(sig)
+    assert i >= 0
+    raw[i + 2] = 0x01
+    with open(path, "wb") as f:
+        f.write(raw)
+    with pytest.raises(
+        NotImplementedError, match="DONT_FILTER_PARTIAL_BOUND_CHUNKS"
+    ):
+        read_netcdf_structure(path)
+
+
 def test_nc4_reference_list_compound(tmp_path):
     """Real netcdf-c files attach a REFERENCE_LIST attribute (compound
     {dataset: object ref, dimension: int}, written by H5DSattach_scale)
