@@ -224,10 +224,17 @@ def _normalized_sample(candidates: DataFrame, vec_col: str, sample_size: int):
     fully distributed."""
     import numpy as np
 
-    sample = (
-        candidates.select(vec_col).limit(sample_size).toPandas()[vec_col].tolist()
-    )
-    x = np.asarray(sample, dtype=np.float64)
+    tab = candidates.select(vec_col).limit(sample_size).toArrow()
+    col = tab.column(0).combine_chunks()
+    # fixed-width embedding lists: one flat values buffer reshaped —
+    # a C-level copy instead of 100k python sublists via toPandas/tolist
+    # (measured ~7 s → ~0.5 s at the 100k sample cap)
+    widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    flat = col.values.to_numpy(zero_copy_only=False)
+    if len(set(widths.tolist())) == 1:
+        x = flat.astype(np.float64).reshape(len(col), int(widths[0]))
+    else:  # ragged (malformed input): fall back to per-row conversion
+        x = np.asarray(col.to_pylist(), dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return x
 
@@ -275,21 +282,36 @@ def _kmeans_centroids(
     )
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    # assignment in float32: half the memory traffic of the (n × K)
+    # similarity matrix, and cluster assignment is insensitive to the
+    # precision; the mean update stays float64
+    xf = x.astype(np.float32)
     for _ in range(n_iter):
-        sims = x @ cent.T
-        assign = sims.argmax(axis=1)
-        # vectorized Lloyd update (add.at scatter + bincount), not a
-        # per-centroid python loop: K masking passes over the sample
-        # were the training bottleneck at K in the hundreds
-        sums = np.zeros_like(cent)
-        np.add.at(sums, assign, x)
-        counts = np.bincount(assign, minlength=len(cent))
-        nz = counts > 0
-        mu = sums[nz] / counts[nz, None]
-        cent[nz] = mu / np.maximum(
-            np.linalg.norm(mu, axis=1, keepdims=True), 1e-12
-        )
+        assign = (xf @ cent.T.astype(np.float32)).argmax(axis=1)
+        cent = _lloyd_update(x, assign, cent)
     return cent.tolist()
+
+
+def _lloyd_update(x, assign, cent):
+    """One vectorized Lloyd mean-update, unit-normalized. Per-COLUMN
+    bincount(weights=...) beats both the per-centroid masking loop (K
+    passes over the sample) and np.add.at (unbuffered scatter — ~4x
+    slower than d bincounts at d=64, measured; it was the ann_ivf x64
+    probe regression in SCALE_PROBE r9 vs r7)."""
+    import numpy as np
+
+    k, d = cent.shape
+    sums = np.empty((k, d))
+    for col in range(d):
+        sums[:, col] = np.bincount(assign, weights=x[:, col], minlength=k)
+    counts = np.bincount(assign, minlength=k)
+    nz = counts > 0
+    mu = sums[nz] / counts[nz, None]
+    out = cent.copy()
+    out[nz] = mu / np.maximum(
+        np.linalg.norm(mu, axis=1, keepdims=True), 1e-12
+    )
+    return out
 
 
 def ann_ivf(
@@ -407,10 +429,13 @@ def _pq_codebooks(
             assign = (
                 subf @ cbf.T - 0.5 * (cbf * cbf).sum(axis=1)
             ).argmax(axis=1)
-            # vectorized update (scatter-add + bincount), not ks
-            # masking passes
-            sums = np.zeros_like(cb)
-            np.add.at(sums, assign, sub)
+            # vectorized update: per-column bincount (see _lloyd_update
+            # — np.add.at's unbuffered scatter is the slow path)
+            sums = np.empty_like(cb)
+            for col in range(cb.shape[1]):
+                sums[:, col] = np.bincount(
+                    assign, weights=sub[:, col], minlength=k_eff
+                )
             counts = np.bincount(assign, minlength=k_eff)
             nz = counts > 0
             cb[nz] = sums[nz] / counts[nz, None]
