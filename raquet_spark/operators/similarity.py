@@ -231,7 +231,7 @@ def _normalized_sample(candidates: DataFrame, vec_col: str, sample_size: int):
     # (measured ~7 s → ~0.5 s at the 100k sample cap)
     widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
     flat = col.values.to_numpy(zero_copy_only=False)
-    if len(set(widths.tolist())) == 1:
+    if len(widths) and (widths == widths[0]).all():
         x = flat.astype(np.float64).reshape(len(col), int(widths[0]))
     else:  # ragged (malformed input): fall back to per-row conversion
         x = np.asarray(col.to_pylist(), dtype=np.float64)

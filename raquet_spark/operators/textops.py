@@ -497,6 +497,89 @@ def hashed_embeddings(
     )
 
 
+def _w_literal(weights) -> str:
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in weights) + ")"
+
+
+def _margin_expr(weights, vec_col: str) -> str:
+    """w·x with the (tiny) weight vector folded in as an array literal —
+    map-only, no join, no UDF."""
+    return (
+        f"aggregate(zip_with({vec_col}, {_w_literal(weights)}, "
+        "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def train_quality_classifier(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int = 64,
+    n_iter: int = 8,
+    lr: float = 4.0,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    y_col: str = "y",
+) -> list[float]:
+    """Model-based quality filtering, the classifier-filter recipe of
+    public pipelines (fastText-style linear scorer over hashed bag-of-
+    words; e.g. the DCLM / FineWeb-Edu filtering step): full-batch
+    logistic regression by gradient descent over the hashed features
+    (:func:`hashed_embeddings`).
+
+    100 TB shape: the feature table stays distributed and is scanned
+    ONCE per iteration — the margin folds the broadcast weight vector
+    in as an array literal (map-only), the per-bucket gradient comes
+    back through ``dim`` partially-aggregated SUMs (one collected row
+    per iteration, no per-doc join, no shuffle beyond the scalar agg).
+    Deterministic: full-batch, no sampling."""
+    import numpy as np
+
+    df = feats.join(labels, id_col).select(vec_col, y_col).persist()
+    try:
+        n = df.count()  # materializes the cache; gradient scale
+        if n == 0:
+            raise ValueError("empty training set")
+        w = np.zeros(dim)
+        for _ in range(n_iter):
+            m = _margin_expr(w, vec_col)
+            p = f"(1.0D / (1.0D + exp(-({m}))))"
+            row = (
+                df.selectExpr(
+                    f"transform({vec_col}, x -> CAST(x AS DOUBLE) * "
+                    f"({p} - {y_col})) AS contrib"
+                )
+                .agg(*[
+                    F.sum(F.col("contrib")[i]).alias(f"g{i}")
+                    for i in range(dim)
+                ])
+                .first()
+            )
+            g = np.array(
+                [row[f"g{i}"] or 0.0 for i in range(dim)], dtype="f8"
+            ) / n
+            w = w - lr * g
+        return [float(v) for v in w]
+    finally:
+        df.unpersist()
+
+
+def score_quality_classifier(
+    feats: DataFrame,
+    weights: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score, label_pred): the trained linear scorer applied
+    map-only — at 100 TB this is a pure projection over the feature
+    scan, the exact shape a production quality filter runs at."""
+    m = _margin_expr(weights, vec_col)
+    return feats.selectExpr(
+        id_col,
+        f"{m} AS score",
+        f"CAST(({m}) > 0.0D AS INT) AS label_pred",
+    )
+
+
 def substring_dedup_spans(
     df: DataFrame,
     window: int = 20,

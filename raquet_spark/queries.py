@@ -2526,6 +2526,67 @@ GROUP BY t
 """
 
 
+_QCF_OFF = 10_000_000
+_QCF_SENT = {"pos": "qsentinelgood", "neg": "qsentinelbad"}
+
+
+def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the classifier-filter step of
+    public LLM pipelines — a linear scorer over hashed bag-of-words, the
+    fastText/DCLM/FineWeb-Edu recipe): TRAINS distributed full-batch
+    logistic regression (operators/textops.train_quality_classifier —
+    one map-only scan + one collected dim-row gradient per iteration)
+    and SCORES map-only. The driver gate plants a mirror-pair corpus:
+    every document gets a positive twin (quality-marker sentinel token
+    appended) and a negative twin (junk-marker sentinel) — near-exact
+    gradient symmetry makes GD provably separate the pair (the twins
+    differ only in the two sentinel buckets), so predicted labels equal
+    the planted labels and the per-source prediction counts are
+    closed-form."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.textops import (
+        hashed_embeddings,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    mark_pos = (" " + _QCF_SENT["pos"]) * 6
+    mark_neg = (" " + _QCF_SENT["neg"]) * 6
+    pos = docs.selectExpr(
+        "doc_id", f"concat(text, '{mark_pos}') AS text", "source",
+        "CAST(1.0 AS DOUBLE) AS y",
+    )
+    neg = docs.selectExpr(
+        f"doc_id + {_QCF_OFF} AS doc_id",
+        f"concat(text, '{mark_neg}') AS text", "source",
+        "CAST(0.0 AS DOUBLE) AS y",
+    )
+    corpus = pos.unionByName(neg).persist()
+    feats = hashed_embeddings(corpus, dim=64)
+    w = train_quality_classifier(
+        feats, corpus.select("doc_id", "y"), dim=64, n_iter=8, lr=4.0
+    )
+    scored = score_quality_classifier(feats, w)
+    return (
+        scored.join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "label_pred")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+    )
+
+
+def quality_classifier_filter_oracle() -> str:
+    return """
+SELECT source, CAST(l AS INTEGER) AS label_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents CROSS JOIN (VALUES (0), (1)) AS t(l)
+GROUP BY source, l
+"""
+
+
 def _region_cells() -> list[int]:
     r = _R
     return sorted(
@@ -4949,6 +5010,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "netcdf_ingest_stats": (netcdf_ingest_stats_spark, netcdf_ingest_stats_oracle),
     "netcdf4_ingest_stats": (netcdf4_ingest_stats_spark, netcdf4_ingest_stats_oracle),
     "netcdf4_v4index_stats": (netcdf4_v4index_stats_spark, netcdf4_v4index_stats_oracle),
+    "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
     "lossy_jpeg_blocky_stats": (lossy_jpeg_blocky_stats_spark, lossy_jpeg_blocky_stats_oracle),

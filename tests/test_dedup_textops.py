@@ -622,3 +622,76 @@ def test_pipeline_demo_end_to_end(spark):
     assert c["after_minhash_dedup"] >= c["after_quality"] > 0
     assert c["train"] + c["val"] == c["after_quality"]
     assert c["bins"] > 0 and c["train"] > c["val"]
+
+
+def test_quality_classifier_train_and_score(spark):
+    """Distributed full-batch logistic regression (the model-based
+    quality-filter recipe): on a planted mirror-pair corpus the trained
+    scorer separates positives from negatives EXACTLY, weights peak on
+    the sentinel buckets with opposite signs, and training is
+    deterministic across runs."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.textops import (
+        hashed_embeddings,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from raquet_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pos = docs.selectExpr(
+        "doc_id", "concat(text, ' qsentinelgood qsentinelgood "
+        "qsentinelgood qsentinelgood') AS text", "CAST(1.0 AS DOUBLE) AS y",
+    )
+    neg = docs.selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "concat(text, ' qsentinelbad qsentinelbad qsentinelbad "
+        "qsentinelbad') AS text", "CAST(0.0 AS DOUBLE) AS y",
+    )
+    corpus = pos.unionByName(neg)
+    feats = hashed_embeddings(corpus, dim=64)
+    labels = corpus.select("doc_id", "y")
+    w1 = train_quality_classifier(feats, labels, dim=64, n_iter=6, lr=4.0)
+    w2 = train_quality_classifier(feats, labels, dim=64, n_iter=6, lr=4.0)
+    assert w1 == w2  # full-batch GD is deterministic
+
+    bg = int(hashlib.md5(b"qsentinelgood").hexdigest()[:7], 16) % 64
+    bb = int(hashlib.md5(b"qsentinelbad").hexdigest()[:7], 16) % 64
+    assert w1[bg] > 0 > w1[bb]
+    assert w1[bg] == max(w1) and w1[bb] == min(w1)
+
+    scored = score_quality_classifier(feats, w1)
+    joined = scored.join(labels, "doc_id")
+    n_bad = joined.where(
+        F.col("label_pred").cast("double") != F.col("y")
+    ).count()
+    assert n_bad == 0  # exact separation on the planted pair corpus
+
+
+def test_quality_classifier_per_iteration_plan(spark):
+    """Each GD iteration is a single scan: the margin/gradient job over
+    the cached features contains no Python UDF and no per-doc join —
+    the gradient arrives through partially-aggregated SUMs."""
+    from raquet_spark.operators.textops import _margin_expr
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "transform(sequence(0, 63), i -> CAST(rand(42) AS FLOAT)) AS embedding",
+        "CAST(id % 2 AS DOUBLE) AS y",
+    )
+    m = _margin_expr([0.01] * 64, "embedding")
+    p = f"(1.0D / (1.0D + exp(-({m}))))"
+    agg = df.selectExpr(
+        f"transform(embedding, x -> CAST(x AS DOUBLE) * ({p} - y)) AS c"
+    ).agg(*[F.sum(F.col("c")[i]).alias(f"g{i}") for i in range(64)])
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "HashAggregate" in plan
