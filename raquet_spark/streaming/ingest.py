@@ -193,6 +193,49 @@ def streaming_clean_docs(
     )
 
 
+def streaming_quality_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering on a document STREAM (F10): the
+    trained linear scorer (textops.train_quality_classifier) applied as
+    a PER-ROW projection. The hashed bag-of-words folds to a dense
+    count vector inside one array ``aggregate`` (token → md5 bucket →
+    scatter into a dim-length array), then L2-normalizes and takes the
+    margin against the weight literal — no groupBy, no state, safe in
+    any streaming output mode, and bit-identical to the batch
+    ``hashed_embeddings`` → ``score_quality_classifier`` chain
+    (pytest-pinned): identical counts, the same float32 cast, the same
+    index-ordered dot product."""
+    dim = len(weights)
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    bucket = "CAST(conv(substr(md5(t), 1, 7), 16, 10) AS BIGINT)" \
+        f" % {dim}"
+    counts = (
+        f"aggregate({toks}, array_repeat(0.0D, {dim}), "
+        f"(acc, t) -> transform(acc, (v, i) -> v + IF(i = {bucket}, "
+        "1.0D, 0.0D)))"
+    )
+    norm = "sqrt(aggregate(c, 0.0D, (acc, x) -> acc + x * x))"
+    vec = (
+        f"transform(c, x -> CAST(x / greatest({norm}, 1e-12) AS FLOAT))"
+    )
+    from raquet_spark.operators.textops import _margin_expr
+
+    m = _margin_expr(weights, "v")
+    return (
+        df.selectExpr("*", f"{counts} AS c")
+        .selectExpr(id_col, f"{vec} AS v")
+        .selectExpr(
+            id_col,
+            f"{m} AS score",
+            f"CAST(({m}) > 0.0D AS INT) AS label_pred",
+        )
+    )
+
+
 def stateful_sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,

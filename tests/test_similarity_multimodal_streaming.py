@@ -701,3 +701,60 @@ def test_audio_spectrogram_pure_tone(spark):
     # less than a couple of bins)
     assert abs(got[1]["centroid_hz"] - 1000.0) < 3 * bin_hz
     assert got[1]["n_frames"] == 1 + (8000 - 256) // 128
+
+
+def test_streaming_quality_score_matches_batch(spark, tmp_path):
+    """F10: the streaming per-row quality scorer (array-fold hashed
+    features, no state) produces bit-identical scores and labels to the
+    batch hashed_embeddings -> score_quality_classifier chain."""
+    from raquet_spark.operators.textops import (
+        hashed_embeddings,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import streaming_quality_score
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50).select(
+        "doc_id", "text"
+    )
+    pos = docs.selectExpr(
+        "doc_id", "concat(text, ' qsentinelgood qsentinelgood') AS text",
+        "CAST(1.0 AS DOUBLE) AS y",
+    )
+    neg = docs.selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "concat(text, ' qsentinelbad qsentinelbad') AS text",
+        "CAST(0.0 AS DOUBLE) AS y",
+    )
+    corpus = pos.unionByName(neg)
+    feats = hashed_embeddings(corpus, dim=64)
+    w = train_quality_classifier(
+        feats, corpus.select("doc_id", "y"), dim=64, n_iter=5, lr=4.0
+    )
+    batch = {
+        r["doc_id"]: (r["score"], r["label_pred"])
+        for r in score_quality_classifier(feats, w).collect()
+    }
+
+    src = str(tmp_path / "qsrc")
+    corpus.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_quality_score(stream, w)
+        .writeStream.format("memory")
+        .queryName("qscore_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["score"], r["label_pred"])
+        for r in spark.sql("SELECT * FROM qscore_out").collect()
+    }
+    assert got == batch  # bit-identical scores, same labels
+    assert len(got) == 100
+    # and the planted labels survive the stream
+    assert all(v[1] == 1 for k, v in got.items() if k < 100000)
+    assert all(v[1] == 0 for k, v in got.items() if k >= 100000)
