@@ -468,6 +468,41 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_quality(args) -> int:
+    """Model-based quality filter: train the linear scorer on a labeled
+    parquet (doc_id, text, y) and score/filter a corpus parquet — the
+    classifier-filter step of the training-data pipeline (see
+    textops.train_quality_classifier)."""
+    spark = _spark()
+    from raquet_spark.operators.textops import (
+        hashed_embeddings,
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    labeled = spark.read.parquet(args.labels)
+    lf = hashed_embeddings(
+        labeled.select("doc_id", "text"), dim=args.dim
+    )
+    w = train_quality_classifier(
+        lf, labeled.select("doc_id", "y"), dim=args.dim,
+        n_iter=args.iters, lr=args.lr,
+    )
+    corpus = spark.read.parquet(args.file).select("doc_id", "text")
+    scored = score_quality_classifier(
+        hashed_embeddings(corpus, dim=args.dim), w
+    )
+    if args.keep_only:
+        scored = scored.where("label_pred = 1")
+    scored.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    n_pos = out.where("label_pred = 1").count()
+    print(f"quality: scored {n} docs, {n_pos} predicted-keep "
+          f"({'kept only' if args.keep_only else 'all written'})")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from raquet_spark.serve import make_server
 
@@ -654,6 +689,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--max-len", type=int, default=2048)
     s.add_argument("--shards", type=int, default=64)
     s.set_defaults(fn=cmd_pack)
+
+    s = sub.add_parser(
+        "quality", help="train + apply the model-based quality filter"
+    )
+    s.add_argument("file", help="corpus parquet (doc_id, text)")
+    s.add_argument("output")
+    s.add_argument("--labels", required=True,
+                   help="labeled parquet (doc_id, text, y in {0,1})")
+    s.add_argument("--dim", type=int, default=64)
+    s.add_argument("--iters", type=int, default=8)
+    s.add_argument("--lr", type=float, default=4.0)
+    s.add_argument("--keep-only", action="store_true",
+                   help="write only predicted-keep docs")
+    s.set_defaults(fn=cmd_quality)
 
     s = sub.add_parser("partition", help="partition by quadbin ancestor")
     s.add_argument("file")

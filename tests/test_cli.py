@@ -168,3 +168,43 @@ def test_cli_dedup_and_pack(spark, tmp_path, capsys):
     packed = spark.read.parquet(out_p).collect()
     assert len(packed) == 4
     assert {c for c in packed[0].asDict()} == {"doc_id", "shard", "bin", "n_tokens"}
+
+
+def test_cli_quality_filter(spark, tmp_path, capsys):
+    """quality: train on a labeled mirror-pair parquet, score + filter
+    a corpus; predicted-keep docs are exactly the sentinel-marked
+    positives."""
+    import pandas as pd
+
+    base = ["alpha beta gamma delta", "one two three four five",
+            "lorem ipsum dolor sit amet", "red green blue yellow"]
+    labeled = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(4)) + list(range(100, 104)),
+        "text": [t + " qsentinelgood qsentinelgood" for t in base]
+        + [t + " qsentinelbad qsentinelbad" for t in base],
+        "y": [1.0] * 4 + [0.0] * 4,
+    })).write.parquet(labeled)
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [
+            "fresh words here qsentinelgood qsentinelgood qsentinelgood",
+            "more clean text qsentinelgood qsentinelgood qsentinelgood",
+            "junky junk qsentinelbad qsentinelbad qsentinelbad",
+            "other junk qsentinelbad qsentinelbad qsentinelbad",
+        ],
+    })).write.parquet(corpus)
+
+    out = str(tmp_path / "scored.parquet")
+    assert main(["quality", corpus, out, "--labels", labeled,
+                 "--iters", "6"]) == 0
+    rows = {r["doc_id"]: r["label_pred"]
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {10: 1, 11: 1, 12: 0, 13: 0}
+
+    kept = str(tmp_path / "kept.parquet")
+    assert main(["quality", corpus, kept, "--labels", labeled,
+                 "--iters", "6", "--keep-only"]) == 0
+    assert {r["doc_id"] for r in spark.read.parquet(kept).collect()} == {10, 11}
