@@ -4336,6 +4336,40 @@ WHERE rn <= 15
 """
 
 
+def source_temperature_mix(d: str) -> str:
+    """Temperature-based source mixing (the multilingual / data-mixing
+    resampling rule, e.g. the τ-sampling of public multilingual
+    pipelines): target share of source i ∝ n_i^τ (τ=0.5 upweights the
+    tail), realized as a per-source keep-RATE applied by deterministic
+    hash thresholding — no rand(), no ordering dependence, reproducible
+    at any cluster size. Shape: one tiny per-source aggregate
+    (broadcast back), then a map-only filter over the corpus; the only
+    full shuffle is the final per-source count rollup. Deterministic ⇒
+    hash-exact in both dialects (floor + shared md5 threshold)."""
+    cast_s = "STRING" if d == "spark" else "VARCHAR"
+    h = f"({dl.md5_int(f'CAST(doc_id AS {cast_s})', d, hex_chars=8)} % 1048576)"
+    return f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS wgt
+  FROM documents GROUP BY source
+), rate AS (
+  SELECT source, n,
+         least(1.0, (wgt / (SELECT SUM(wgt) FROM c))
+                    * (SELECT CAST(SUM(n) AS DOUBLE) FROM c) * 0.5 / n)
+           AS keep_rate
+  FROM c
+)
+SELECT doc.source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(rate.n) AS n_total,
+       round(MIN(rate.keep_rate), 6) AS keep_rate
+FROM documents doc JOIN rate ON doc.source = rate.source
+WHERE {h} < CAST(floor(rate.keep_rate * 1048576) AS BIGINT)
+GROUP BY doc.source
+"""
+
+
 def text_normalize(d: str) -> str:
     """Normalization pre-pass: lowercase, strip non-alphanumeric
     punctuation, collapse whitespace runs, trim — then fingerprint the
@@ -4448,6 +4482,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "sequence_pack_stats": sequence_pack_stats,
     "doc_chunking": doc_chunking,
     "source_quota": source_quota,
+    "source_temperature_mix": source_temperature_mix,
     "text_normalize": text_normalize,
     "dataset_shuffle": dataset_shuffle,
     "length_percentiles": length_percentiles,
