@@ -148,6 +148,25 @@ _EPSG_PROJ: dict[int, dict] = {
     # WGS84 / NSIDC Sea Ice Polar Stereographic North
     3413: {"type": "ps", "lat_ts": 70.0, "lon0": -45.0, "fe": 0.0,
            "fn": 0.0, "a": 6378137.0, "inv_f": 298.257223563},
+    # RGF93 / Lambert-93 (France national grid; RGF93≈WGS84, GRS80)
+    2154: {"type": "lcc", "sp1": 49.0, "sp2": 44.0, "lat0": 46.5,
+           "lon0": 3.0, "fe": 700000.0, "fn": 6600000.0,
+           "a": 6378137.0, "inv_f": 298.257222101},
+    # ETRS89 / UTM zones 32-33N (central Europe; ETRS89≈WGS84, GRS80)
+    25832: {"type": "tm", "lon0": 9.0, "lat0": 0.0, "k0": 0.9996,
+            "fe": 500000.0, "fn": 0.0,
+            "a": 6378137.0, "inv_f": 298.257222101},
+    25833: {"type": "tm", "lon0": 15.0, "lat0": 0.0, "k0": 0.9996,
+            "fe": 500000.0, "fn": 0.0,
+            "a": 6378137.0, "inv_f": 298.257222101},
+    # WGS84 / Universal Polar Stereographic N/S (variant A, scale at
+    # the pole k0=0.994, FE=FN=2,000,000)
+    32661: {"type": "ps", "lat_ts": 90.0, "k0": 0.994, "lon0": 0.0,
+            "fe": 2000000.0, "fn": 2000000.0,
+            "a": 6378137.0, "inv_f": 298.257223563},
+    32761: {"type": "ps", "lat_ts": -90.0, "k0": 0.994, "lon0": 0.0,
+            "fe": 2000000.0, "fn": 2000000.0,
+            "a": 6378137.0, "inv_f": 298.257223563},
     # NSIDC EASE-Grid North/South use LAEA (unsupported family) — the
     # CT gate below names them if they appear user-defined
 }

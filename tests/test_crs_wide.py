@@ -363,6 +363,103 @@ def test_spherical_flattening_zero_is_sphere(tmp_path):
     assert info["projection"]["inv_f"] == float("inf")
 
 
+def test_named_epsg_lambert93_and_etrs89():
+    """EPSG 2154 (RGF93 / Lambert-93) and 25832/25833 (ETRS89 UTM):
+    named-table params invert an independently-coded Snyder LCC/TM
+    forward, and Paris lands in the published Lambert-93 coordinate
+    range."""
+    from raquet_spark.sources.tiff_reader import (
+        _EPSG_PROJ,
+        lcc_inverse,
+        tm_inverse,
+    )
+
+    p = _EPSG_PROJ[2154]
+
+    def lcc_fwd(p, lon, lat):  # Snyder 15-1..15-4 ellipsoidal forward
+        f = 1.0 / p["inv_f"]
+        e2 = 2 * f - f * f
+        e = math.sqrt(e2)
+
+        def m(phi):
+            s = math.sin(phi)
+            return math.cos(phi) / math.sqrt(1 - e2 * s * s)
+
+        def t(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)
+            ) ** (e / 2)
+
+        p1, p2 = math.radians(p["sp1"]), math.radians(p["sp2"])
+        n = (math.log(m(p1)) - math.log(m(p2))) / (
+            math.log(t(p1)) - math.log(t(p2))
+        )
+        F_ = m(p1) / (n * t(p1) ** n)
+        rho0 = p["a"] * F_ * t(math.radians(p["lat0"])) ** n
+        rho = p["a"] * F_ * t(math.radians(lat)) ** n
+        th = n * math.radians(lon - p["lon0"])
+        return (p["fe"] + rho * math.sin(th),
+                p["fn"] + rho0 - rho * math.cos(th))
+
+    for lon0_, lat0_ in [(2.3522, 48.8566), (5.37, 43.30), (-4.49, 48.39)]:
+        x, y = lcc_fwd(p, lon0_, lat0_)
+        lon, lat = lcc_inverse(p, x, y)
+        assert abs(lon - lon0_) < 1e-7 and abs(lat - lat0_) < 1e-7
+    # Paris: the published Lambert-93 range (~652 km E, ~6862 km N)
+    x, y = lcc_fwd(p, 2.3522, 48.8566)
+    assert 640_000 < x < 665_000 and 6_850_000 < y < 6_880_000
+
+    for epsg, lon0 in [(25832, 9.0), (25833, 15.0)]:
+        q = _EPSG_PROJ[epsg]
+        assert q["lon0"] == lon0 and q["k0"] == 0.9996
+        # central meridian at the equator is the (FE, FN) fixed point
+        lon, lat = tm_inverse(q, 500000.0, 0.0)
+        assert abs(lon - lon0) < 1e-9 and abs(lat) < 1e-9
+
+
+def test_named_epsg_ups_polar():
+    """EPSG 32661/32761 (Universal Polar Stereographic): variant A with
+    k0=0.994, FE=FN=2,000,000 — the pole is the false-origin fixed
+    point, aspect/axis orientation matches the UPS convention, and the
+    python inverse round-trips a variant-A forward."""
+    from raquet_spark.sources.tiff_reader import _EPSG_PROJ, _ps_constants
+
+    for epsg, south in [(32661, False), (32761, True)]:
+        p = _EPSG_PROJ[epsg]
+        k = _ps_constants(p)
+        assert k["south"] == south
+        lon, lat = ps_inverse(p, 2_000_000.0, 2_000_000.0)
+        assert abs(lat - (-90.0 if south else 90.0)) < 1e-6
+
+        def fwd(lon_, lat_):  # Snyder 21-33 variant A forward
+            f = 1.0 / p["inv_f"]
+            e = math.sqrt(2 * f - f * f)
+            phi = math.radians(-lat_ if south else lat_)
+            s = math.sin(phi)
+            t = math.tan(math.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)
+            ) ** (e / 2)
+            rho = (2 * p["a"] * p["k0"] * t
+                   / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)))
+            lam = math.radians(lon_) - math.radians(p["lon0"])
+            x = rho * math.sin(lam)
+            y = rho * math.cos(lam) * (1.0 if south else -1.0)
+            return x + p["fe"], y + p["fn"]
+
+        pts = [(44.0, -73.0), (-120.0, -80.0)] if south else \
+              [(44.0, 73.0), (-120.0, 80.0)]
+        for lon0_, lat0_ in pts:
+            x, y = fwd(lon0_, lat0_)
+            lon, lat = ps_inverse(p, x, y)
+            lon = (lon + 180) % 360 - 180
+            assert abs(lon - lon0_) < 1e-7 and abs(lat - lat0_) < 1e-7
+        # UPS axis convention: north aspect, 90E maps east of the
+        # false origin; south aspect mirrors
+        x, y = fwd(90.0, -85.0 if south else 85.0)
+        assert x > 2_000_000.0
+
+
 def test_named_epsg_5070_conus_albers():
     """EPSG 5070 resolves from the named table to CONUS Albers params
     and inverts its own forward."""
