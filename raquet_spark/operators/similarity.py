@@ -591,3 +591,58 @@ def recall_at_k(exact: DataFrame, approx: DataFrame) -> float:
     hits = e.join(approx.select("query_id", "cand_id"), ["query_id", "cand_id"]).count()
     total = e.count()
     return hits / total if total else math.nan
+
+
+def save_ann_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Persist a trained ANN index (coarse-quantizer centroids +
+    optional PQ codebooks) as one parquet — the offline-train /
+    online-query split a 100 TB deployment runs: the index trains ONCE
+    on a bounded sample (``_kmeans_centroids`` / ``_pq_codebooks``) and
+    every later query job loads it and passes ``centroids=`` /
+    ``codebooks=`` to :func:`ann_ivf` / :func:`ann_ivf_pq`, skipping
+    both training scans entirely."""
+    import json
+
+    rows = [("meta", -1, -1, None, json.dumps(meta or {}, sort_keys=True))]
+    rows += [
+        ("centroid", i, -1, [float(v) for v in c], None)
+        for i, c in enumerate(centroids)
+    ]
+    for m, book in enumerate(codebooks or []):
+        rows += [
+            ("codebook", m, k, [float(v) for v in cw], None)
+            for k, cw in enumerate(book)
+        ]
+    df = spark.createDataFrame(
+        rows, "kind string, i int, j int, vec array<double>, extra string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ann_index(spark, path: str):
+    """(centroids, codebooks | None, meta) from :func:`save_ann_index`.
+    Driver-side by design: the index is O(K·dim + m·ks·dsub) floats."""
+    import json
+
+    rows = spark.read.parquet(path).collect()
+    cent = sorted(
+        ((r["i"], r["vec"]) for r in rows if r["kind"] == "centroid")
+    )
+    centroids = [list(v) for _, v in cent]
+    cb_rows = [r for r in rows if r["kind"] == "codebook"]
+    codebooks = None
+    if cb_rows:
+        n_m = max(r["i"] for r in cb_rows) + 1
+        n_k = max(r["j"] for r in cb_rows) + 1
+        codebooks = [[None] * n_k for _ in range(n_m)]
+        for r in cb_rows:
+            codebooks[r["i"]][r["j"]] = list(r["vec"])
+    meta_rows = [r for r in rows if r["kind"] == "meta"]
+    meta = json.loads(meta_rows[0]["extra"]) if meta_rows else {}
+    return centroids, codebooks, meta

@@ -758,3 +758,36 @@ def test_streaming_quality_score_matches_batch(spark, tmp_path):
     # and the planted labels survive the stream
     assert all(v[1] == 1 for k, v in got.items() if k < 100000)
     assert all(v[1] == 0 for k, v in got.items() if k >= 100000)
+
+
+def test_ann_index_save_load_roundtrip(spark, tmp_path):
+    """Offline-train / online-query split: a trained IVF-PQ index
+    persists to parquet and reloads bit-identical; querying with the
+    loaded index returns the same rows as the in-memory one and skips
+    the training scans."""
+    from raquet_spark.operators.similarity import (
+        _kmeans_centroids,
+        _pq_codebooks,
+        ann_ivf_pq,
+        load_ann_index,
+        save_ann_index,
+    )
+    from raquet_spark.queries import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = _kmeans_centroids(emb, "embedding", 16, 4, 7, 10_000)
+    books = _pq_codebooks(emb, "embedding", cent, 8, 32, 4, 7, 10_000)
+    path = str(tmp_path / "ann_index")
+    save_ann_index(spark, path, cent, books, meta={"dim": 64, "m_sub": 8})
+
+    c2, b2, meta = load_ann_index(spark, path)
+    assert c2 == cent and b2 == books
+    assert meta == {"dim": 64, "m_sub": 8}
+
+    q = emb.where("vec_id % 50 = 0")
+    a = ann_ivf_pq(emb, q, k=3, centroids=cent, codebooks=books).collect()
+    b = ann_ivf_pq(emb, q, k=3, centroids=c2, codebooks=b2).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([tuple(r) for r in a], key=lambda t: t[:2]) == \
+           sorted([tuple(r) for r in b], key=lambda t: t[:2])
+    assert len(a) > 0
