@@ -205,6 +205,19 @@ def test_multimodal_png_codec_chain(spark):
     assert len(feats) == 8
     want = [float(arr[:, :, c].mean()) for c in range(3)]
     assert feats[rows[0]["media_id"]]["mean_rgb"] == pytest.approx(want, rel=1e-9)
-    # resize emits FAKEIMG1-wrapped raw pixels: 13-byte header + w*h*c
-    small = resize_images(media, 8, 8, codec="png").collect()
-    assert all(len(bytes(r["payload"])) == 13 + 8 * 8 * 3 for r in small)
+    # resize re-encodes in the SAME codec (r08 default flip): the
+    # output payload is a real PNG whose pixels are the
+    # nearest-neighbor selection of the source
+    small = {
+        r["media_id"]: r for r in resize_images(media, 8, 8, codec="png").collect()
+    }
+    assert all(
+        bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+        for r in small.values()
+    )
+    s0 = decode_png_image(bytes(small[rows[0]["media_id"]]["payload"]))
+    assert s0.shape == (8, 8, 3)
+    h, w, _ = arr.shape
+    yi = (np.arange(8) * h // 8).astype(int)
+    xi = (np.arange(8) * w // 8).astype(int)
+    np.testing.assert_array_equal(s0, arr[np.ix_(yi, xi)])
