@@ -4267,6 +4267,44 @@ WHERE {cnt(email)} + {cnt(phone)} + {cnt(card)} + {cnt(entity)} > 0
 """
 
 
+def pii_redact(d: str) -> str:
+    """PII REDACTION (the transform :func:`pii_scan` triages for):
+    emails / phone-like / card-like spans replaced with typed
+    placeholders in one map-only pass — three chained global
+    regexp_replace calls, JVM/native-side in both engines, no shuffle
+    beyond the scan. Returns the canonical hash of the redacted text
+    plus the per-kind counts so the driver gate proves the TRANSFORM
+    byte-identical across engines, not just the counts."""
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+    card = r"[0-9]{16}"
+
+    def cnt(pat: str) -> str:
+        if d == "spark":
+            return (
+                "size(regexp_extract_all(text, "
+                f"'{pat.replace(chr(92), chr(92) * 2)}', 0))"
+            )
+        return f"len(regexp_extract_all(text, '{pat}'))"
+
+    red = dl.re_replace(
+        dl.re_replace(
+            dl.re_replace("text", email, "<EMAIL>", d),
+            phone, "<PHONE>", d,
+        ),
+        card, "<CARD>", d,
+    )
+    return f"""
+SELECT doc_id,
+       md5({red}) AS redacted_hash,
+       {cnt(email)} AS n_emails,
+       {cnt(phone)} AS n_phones,
+       {cnt(card)} AS n_cardlike
+FROM documents
+WHERE {cnt(email)} + {cnt(phone)} + {cnt(card)} > 0
+"""
+
+
 def chunk_dedup(d: str) -> str:
     """Sub-document (CCNet-style 'paragraph') exact dedup: split each
     doc into fixed 20-token windows, hash each window, and report
@@ -4477,6 +4515,7 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "doc_feature_hash": doc_feature_hash,
     "tfidf_top_terms": tfidf_top_terms,
     "pii_scan": pii_scan,
+    "pii_redact": pii_redact,
     "chunk_dedup": chunk_dedup,
     "substring_dedup_stats": substring_dedup_stats,
     "sequence_pack_stats": sequence_pack_stats,
