@@ -77,3 +77,58 @@ def point_in_poly_np(px: np.ndarray, py: np.ndarray, verts: list[Vert]) -> np.nd
             xhit = px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
         inside += (crosses & xhit).astype(np.int64)
     return (inside % 2) == 1
+
+
+def parse_wkt_polygon(wkt: str) -> list[Vert]:
+    """Driver-side strict WKT parse: a single-ring ``POLYGON ((x y,
+    ...))`` → [(lon, lat)] with the closing vertex dropped. Holes and
+    MULTIPOLYGON raise (the raster mask operators take one outer
+    ring); use one call per outer ring for multi-part shapes."""
+    s = wkt.strip()
+    up = s.upper()
+    if up.startswith("MULTIPOLYGON"):
+        raise ValueError(
+            "MULTIPOLYGON is not a single ring — rasterize each part's "
+            "outer ring separately"
+        )
+    if not up.startswith("POLYGON"):
+        raise ValueError(f"not a WKT POLYGON: {s[:40]!r}")
+    body = s[s.index("(") :]
+    rings = body.count("(") - 1
+    if rings != 1:
+        raise ValueError(
+            f"POLYGON with {rings} rings (holes unsupported — the mask "
+            "operators take the outer ring only)"
+        )
+    inner = body[body.index("((") + 2 : body.index(")")]
+    verts: list[Vert] = []
+    for pair in inner.split(","):
+        xy = pair.split()
+        if len(xy) != 2:
+            raise ValueError(f"bad WKT coordinate pair {pair!r}")
+        verts.append((float(xy[0]), float(xy[1])))
+    if len(verts) >= 2 and verts[0] == verts[-1]:
+        verts = verts[:-1]
+    if len(verts) < 3:
+        raise ValueError("polygon needs at least 3 distinct vertices")
+    return verts
+
+
+def wkt_ring_expr(wkt_col: str) -> str:
+    """Column-EXPRESSION WKT outer-ring parse (no UDF): a ``wkt``
+    string column → ``array<struct<lon double, lat double>>`` with the
+    closing vertex kept (the containment kernels treat first==last as a
+    degenerate edge and ignore it). Takes the FIRST ring — feed
+    single-ring polygons (the strict driver-side
+    :func:`parse_wkt_polygon` is the validating variant). Feeds
+    ``rasterize_features`` so a WKT feature table rasterizes without
+    leaving codegen."""
+    ring = (
+        f"regexp_extract({wkt_col}, "
+        "'\\\\(\\\\(([^()]*)\\\\)', 1)"
+    )
+    return (
+        f"transform(split({ring}, ','), p -> struct("
+        "CAST(element_at(split(trim(p), ' +'), 1) AS DOUBLE) AS lon, "
+        "CAST(element_at(split(trim(p), ' +'), 2) AS DOUBLE) AS lat))"
+    )

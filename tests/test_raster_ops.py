@@ -541,3 +541,54 @@ def test_rasterize_out_of_range_and_rect_blocks(spark):
     # metadata reflects the feature extent, not the world
     w, s, e, nn = meta2["bounds"]
     assert -1 < w < 1 and 29 < e < 31
+
+
+def test_wkt_polygon_ingestion(spark):
+    """WKT interop: the strict driver-side parse round-trips, gates
+    multi-ring shapes, and the Column-expression ring parser feeds
+    rasterize_features with byte-identical output to struct-built
+    features."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.geom import parse_wkt_polygon, wkt_ring_expr
+    from raquet_spark.operators.tiling import rasterize_features
+
+    w = "POLYGON ((-10.0 5.0, -10.0 9.0, -2.0 9.0, -2.0 5.0, -10.0 5.0))"
+    assert parse_wkt_polygon(w) == [
+        (-10.0, 5.0), (-10.0, 9.0), (-2.0, 9.0), (-2.0, 5.0)
+    ]
+    with pytest.raises(ValueError, match="MULTIPOLYGON"):
+        parse_wkt_polygon("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")
+    with pytest.raises(ValueError, match="rings"):
+        parse_wkt_polygon(
+            "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 3 2, 3 3, 2 2))"
+        )
+    with pytest.raises(ValueError, match="3 distinct"):
+        parse_wkt_polygon("POLYGON ((0 0, 1 1, 0 0))")
+
+    wkts = spark.createDataFrame(
+        [
+            (1, "POLYGON ((-10 5, -10 9, -2 9, -2 5, -10 5))", 7.0),
+            (2, "POLYGON ((-8 6, -8 12, -1 12, -1 6, -8 6))", 9.0),
+        ],
+        "feature_id long, wkt string, value double",
+    )
+    feats_wkt = wkts.select(
+        "feature_id",
+        F.expr(wkt_ring_expr("wkt")).alias("polygon"),
+        "value",
+    )
+    feats_struct = wkts.select(
+        "feature_id",
+        F.udf(lambda s: parse_wkt_polygon(s),
+              "array<struct<lon double, lat double>>")("wkt").alias("polygon"),
+        "value",
+    )
+    # the expr variant keeps the closing vertex; containment treats the
+    # degenerate edge as a no-op, so burns must be identical
+    t1, m1 = rasterize_features(feats_wkt, zoom=6, block_size=64)
+    t2, m2 = rasterize_features(feats_struct, zoom=6, block_size=64)
+    r1 = {r["block"]: bytes(r["band_1"]) for r in t1.collect()}
+    r2 = {r["block"]: bytes(r["band_1"]) for r in t2.collect()}
+    assert r1 == r2 and len(r1) > 0
