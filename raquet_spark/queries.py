@@ -1604,6 +1604,54 @@ def rasterize_features_stats_spark(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def rasterize_wkt_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rasterize_features pipeline fed from WKT: the same two
+    pixel-aligned boxes arrive as ``POLYGON ((...))`` strings and parse
+    through the Column-expression ring parser (functions/geom.
+    wkt_ring_expr — no UDF, stays in codegen), then burn through the
+    identical cover→shuffle→paint path. Same closed-form oracle as
+    rasterize_features_stats: the WKT round trip must change nothing."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.geom import inv_merc_fraction, wkt_ring_expr
+    from raquet_spark.operators.tiling import rasterize_features
+
+    c = _RZ
+    zoom, bs = c["zoom"], c["bs"]
+    npix = (1 << zoom) * bs
+
+    def wkt_box(ax, bx, ay, by):
+        corners = [
+            inv_merc_fraction(ax / npix, ay / npix),
+            inv_merc_fraction(bx / npix, ay / npix),
+            inv_merc_fraction(bx / npix, by / npix),
+            inv_merc_fraction(ax / npix, by / npix),
+        ]
+        corners.append(corners[0])  # WKT rings close explicitly
+        pts = ", ".join(f"{lo!r} {la!r}" for lo, la in corners)
+        return f"POLYGON (({pts}))"
+
+    a = (c["ax"], c["bx"], c["ay"], c["by"])
+    b = (c["ax2"], c["bx2"], c["ay2"], c["by2"])
+    wkts = spark.createDataFrame(
+        [(1, wkt_box(*a), 3.0), (2, wkt_box(*b), 7.0)],
+        "feature_id long, wkt string, value double",
+    )
+    feats = wkts.select(
+        "feature_id", F.expr(wkt_ring_expr("wkt")).alias("polygon"), "value"
+    )
+    tiles, _meta = rasterize_features(
+        feats, zoom=zoom, block_size=bs, band_type="uint8", nodata=0.0,
+        compression=None,
+    )
+    px = tiles.select("block", F.explode(band_decode("band_1", "uint8")).alias("v"))
+    return px.groupBy("block").agg(
+        F.expr("CAST(SUM(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT)").alias("n3"),
+        F.expr("CAST(SUM(CASE WHEN v = 7 THEN 1 ELSE 0 END) AS BIGINT)").alias("n7"),
+    )
+
+
 def rasterize_features_stats_oracle() -> str:
     c = _RZ
     zoom, bs = c["zoom"], c["bs"]
@@ -5097,6 +5145,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "dem_hillshade_stats": (dem_hillshade_stats_spark, dem_hillshade_stats_oracle),
     "rasterize_polygon_stats": (rasterize_polygon_stats_spark, rasterize_polygon_stats_oracle),
     "rasterize_features_stats": (rasterize_features_stats_spark, rasterize_features_stats_oracle),
+    "rasterize_wkt_stats": (rasterize_wkt_stats_spark, rasterize_features_stats_oracle),
     "vector_zonal_stats": (vector_zonal_stats_spark, vector_zonal_stats_oracle),
     "semantic_dedup_keep": (semantic_dedup_keep_spark, semantic_dedup_keep_oracle),
     "phash_dedup": (phash_dedup_spark, phash_dedup_oracle),
