@@ -461,6 +461,69 @@ def audio_features(df: DataFrame, codec: str = "wav") -> DataFrame:
     )
 
 
+def audio_resample(
+    df: DataFrame, target_rate: int, codec: str = "wav"
+) -> DataFrame:
+    """Sample-rate conversion for the audio column — the normalization
+    step a training pipeline runs before featurization (every clip to
+    ONE rate): per-channel linear interpolation, PCM16 WAV out,
+    Arrow-batched over ``mapInPandas`` like :func:`resize_images`.
+    Linear interpolation is the deterministic dependency-free baseline;
+    a windowed-sinc kernel drops in per-clip without changing the
+    plumbing. Exact on integer decimation grid points (``np.interp``
+    hits source samples)."""
+    import io
+    import wave
+
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    if target_rate <= 0:
+        raise ValueError(f"target_rate {target_rate}")
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    sr, nch = w.getframerate(), w.getnchannels()
+                    sw = w.getsampwidth()
+                    raw = w.readframes(w.getnframes())
+                dt = {1: "u1", 2: "<i2", 4: "<i4"}[sw]
+                sig = (
+                    np.frombuffer(raw, dtype=dt).astype("f8").reshape(-1, nch)
+                )
+                if sw == 1:
+                    sig = sig - 128.0
+                n = len(sig)
+                m = max(1, int(round(n * target_rate / sr)))
+                src = np.arange(n, dtype="f8")
+                pos = np.minimum(
+                    np.arange(m, dtype="f8") * (sr / target_rate),
+                    max(0, n - 1),
+                )
+                res = np.empty((m, nch))
+                for c in range(nch):
+                    res[:, c] = np.interp(pos, src, sig[:, c])
+                pcm = np.clip(np.round(res), -32768, 32767).astype("<i2")
+                b = io.BytesIO()
+                with wave.open(b, "wb") as wv:
+                    wv.setnchannels(nch)
+                    wv.setsampwidth(2)
+                    wv.setframerate(target_rate)
+                    wv.writeframes(pcm.tobytes())
+                payloads.append(b.getvalue())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "sample_rate": target_rate,
+            })
+
+    return df.select("media_id", "payload").mapInPandas(
+        rs, schema="media_id bigint, payload binary, sample_rate int"
+    )
+
+
 def audio_spectrogram(
     df: DataFrame, n_fft: int = 256, hop: int = 128
 ) -> DataFrame:

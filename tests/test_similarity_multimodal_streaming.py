@@ -791,3 +791,48 @@ def test_ann_index_save_load_roundtrip(spark, tmp_path):
     assert sorted([tuple(r) for r in a], key=lambda t: t[:2]) == \
            sorted([tuple(r) for r in b], key=lambda t: t[:2])
     assert len(a) > 0
+
+
+def test_audio_resample(spark):
+    """Sample-rate conversion: 2:1 decimation hits source samples
+    exactly (linear interp on the grid), the dominant frequency
+    survives in Hz through the spectrogram at the new rate, and the
+    payloads are valid PCM16 WAVs at the target rate."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from raquet_spark.operators.multimodal import (
+        audio_resample,
+        audio_spectrogram,
+        decode_wav_audio,
+        make_media_table,
+    )
+
+    media = make_media_table(spark, n=4, codec="wav")
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    res = audio_resample(media, 8000)
+    rows = {r["media_id"]: r for r in res.collect()}
+    assert set(rows) == set(orig)
+    for mid, r in rows.items():
+        assert r["sample_rate"] == 8000
+        with wave.open(io.BytesIO(bytes(r["payload"])), "rb") as w:
+            assert w.getframerate() == 8000 and w.getsampwidth() == 2
+        a0 = decode_wav_audio(orig[mid])[:, 0, 0]
+        a1 = decode_wav_audio(bytes(r["payload"]))[:, 0, 0]
+        # source rate is 16000: exact 2:1 decimation grid
+        assert len(a1) == (len(a0) + 1) // 2
+        np.testing.assert_array_equal(a1, a0[::2][: len(a1)])
+
+    # the tone's frequency in Hz is rate-invariant through the
+    # spectrogram (each WAV carries its own rate)
+    import pandas as pd  # noqa: F401
+
+    sp0 = {r["media_id"]: r["peak_hz"]
+           for r in audio_spectrogram(media, n_fft=128, hop=64).collect()}
+    sp1 = {r["media_id"]: r["peak_hz"]
+           for r in audio_spectrogram(res, n_fft=64, hop=32).collect()}
+    for mid in sp0:
+        # fft bin width: 16000/128 = 125 Hz vs 8000/64 = 125 Hz
+        assert abs(sp0[mid] - sp1[mid]) <= 125.0, (mid, sp0[mid], sp1[mid])
