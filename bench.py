@@ -91,6 +91,10 @@ def main() -> None:
         "vector_zonal_stats",
         "png_media_stats",
         "video_frame_stats",
+        "quality_classifier_filter",
+        "source_temperature_mix",
+        "pii_redact",
+        "rasterize_wkt_stats",
     ]
 
     timings: dict[str, float] = {}
@@ -333,7 +337,7 @@ def main() -> None:
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "spark_vs_duckdb_total": (
             round(spark_sum / duck_sum, 3) if duck_sum else None
         ),

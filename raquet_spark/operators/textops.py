@@ -543,20 +543,25 @@ def train_quality_classifier(
         for _ in range(n_iter):
             m = _margin_expr(w, vec_col)
             p = f"(1.0D / (1.0D + exp(-({m}))))"
-            row = (
+            # gradient via posexplode + a dim-key groupBy rather than
+            # dim separate SUM aggregates: the wide-agg codegen cost
+            # ~2s of Catalyst planning PER ITERATION (the weights are
+            # literals, so every iteration replans); the narrow plan
+            # compiles in ~0.1s and the extra 0-filled shuffle rows are
+            # dim x partitions — noise
+            rows = (
                 df.selectExpr(
                     f"transform({vec_col}, x -> CAST(x AS DOUBLE) * "
                     f"({p} - {y_col})) AS contrib"
                 )
-                .agg(*[
-                    F.sum(F.col("contrib")[i]).alias(f"g{i}")
-                    for i in range(dim)
-                ])
-                .first()
+                .selectExpr("posexplode(contrib) AS (pos, gv)")
+                .groupBy("pos")
+                .agg(F.sum("gv").alias("g"))
+                .collect()
             )
-            g = np.array(
-                [row[f"g{i}"] or 0.0 for i in range(dim)], dtype="f8"
-            ) / n
+            g = np.zeros(dim)
+            for r in rows:
+                g[r["pos"]] = (r["g"] or 0.0) / n
             w = w - lr * g
         return [float(v) for v in w]
     finally:

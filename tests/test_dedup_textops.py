@@ -688,9 +688,14 @@ def test_quality_classifier_per_iteration_plan(spark):
     )
     m = _margin_expr([0.01] * 64, "embedding")
     p = f"(1.0D / (1.0D + exp(-({m}))))"
-    agg = df.selectExpr(
-        f"transform(embedding, x -> CAST(x AS DOUBLE) * ({p} - y)) AS c"
-    ).agg(*[F.sum(F.col("c")[i]).alias(f"g{i}") for i in range(64)])
+    agg = (
+        df.selectExpr(
+            f"transform(embedding, x -> CAST(x AS DOUBLE) * ({p} - y)) AS c"
+        )
+        .selectExpr("posexplode(c) AS (pos, gv)")
+        .groupBy("pos")
+        .agg(F.sum("gv").alias("g"))
+    )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
