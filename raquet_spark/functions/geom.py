@@ -132,3 +132,19 @@ def wkt_ring_expr(wkt_col: str) -> str:
         "CAST(element_at(split(trim(p), ' +'), 1) AS DOUBLE) AS lon, "
         "CAST(element_at(split(trim(p), ' +'), 2) AS DOUBLE) AS lat))"
     )
+
+
+def coerce_polygon(poly) -> list[Vert]:
+    """Accept a polygon as [(lon, lat)], [{'lon','lat'}], or a WKT
+    POLYGON string — the convenience entry the polygon-taking raster
+    operators route through (region_stats_polygon, clip_to_polygon,
+    rasterize_polygon)."""
+    if isinstance(poly, str):
+        return parse_wkt_polygon(poly)
+    out: list[Vert] = []
+    for v in poly:
+        if isinstance(v, dict):
+            out.append((float(v["lon"]), float(v["lat"])))
+        else:
+            out.append((float(v[0]), float(v[1])))
+    return out

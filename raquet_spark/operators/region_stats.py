@@ -97,6 +97,7 @@ def region_stats_polygon(
     ensure_package_shipped(tiles_with_stats.sparkSession)
 
     z = resolve_resolution(resolution, metadata, None)
+    polygon_lonlat = geom.coerce_polygon(polygon_lonlat)
     bbox = geom.poly_bbox_lonlat(polygon_lonlat)
     verts = geom.poly_to_fractions(polygon_lonlat)
     m = float(1 << z)
@@ -322,6 +323,7 @@ def clip_to_polygon(
 
     ensure_package_shipped(tiles.sparkSession)
     z = resolve_resolution(resolution, metadata, None)
+    polygon_lonlat = geom.coerce_polygon(polygon_lonlat)
     bbox = geom.poly_bbox_lonlat(polygon_lonlat)
     verts = geom.poly_to_fractions(polygon_lonlat)
     m = float(1 << z)

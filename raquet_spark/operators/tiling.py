@@ -123,6 +123,7 @@ def rasterize_polygon(
     ensure_package_shipped(spark)
     import math as _math
 
+    polygon_lonlat = geom.coerce_polygon(polygon_lonlat)
     verts = geom.poly_to_fractions(polygon_lonlat)
     fx = [v[0] for v in verts]
     fy = [v[1] for v in verts]

@@ -592,3 +592,38 @@ def test_wkt_polygon_ingestion(spark):
     r1 = {r["block"]: bytes(r["band_1"]) for r in t1.collect()}
     r2 = {r["block"]: bytes(r["band_1"]) for r in t2.collect()}
     assert r1 == r2 and len(r1) > 0
+
+
+def test_polygon_operators_accept_wkt(spark):
+    """region_stats_polygon / clip_to_polygon / rasterize_polygon take
+    a WKT string interchangeably with vertex lists — identical
+    results."""
+    from raquet_spark.operators.region_stats import (
+        clip_to_polygon,
+        region_stats_polygon,
+    )
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.operators.tiling import rasterize_polygon
+    from raquet_spark.testing import make_synthetic_raster
+
+    tiles, meta = make_synthetic_raster(
+        spark, zoom=6, tiles_x=4, tiles_y=4, origin_x=16, origin_y=20,
+        block_size=32, num_bands=1, dtype="float32", nodata=-1.0,
+    )
+    tiles = with_tile_stats(tiles, meta)
+    poly = [(-95.0, 30.0), (-95.0, 45.0), (-75.0, 45.0), (-75.0, 30.0)]
+    wkt = "POLYGON ((-95 30, -95 45, -75 45, -75 30, -95 30))"
+
+    a = region_stats_polygon(tiles, meta, poly).collect()
+    b = region_stats_polygon(tiles, meta, wkt).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) == 1
+
+    ca = {r["block"] for r in clip_to_polygon(tiles, meta, poly).collect()}
+    cb = {r["block"] for r in clip_to_polygon(tiles, meta, wkt).collect()}
+    assert ca == cb and len(ca) > 0
+
+    ra, _ = rasterize_polygon(spark, poly, zoom=5, block_size=32)
+    rb, _ = rasterize_polygon(spark, wkt, zoom=5, block_size=32)
+    da = {r["block"]: bytes(r["band_1"]) for r in ra.collect()}
+    db = {r["block"]: bytes(r["band_1"]) for r in rb.collect()}
+    assert da == db and len(da) > 0
