@@ -493,8 +493,15 @@ def audio_resample(
                 sig = (
                     np.frombuffer(raw, dtype=dt).astype("f8").reshape(-1, nch)
                 )
+                # normalize every bit depth to PCM16 full scale BEFORE
+                # the int16 write: u8 is offset-binary (shift then gain
+                # 256), i32 scales down by 2^16 — without this, 32-bit
+                # input hard-clips to garbage and 8-bit comes out at
+                # 1/256 amplitude
                 if sw == 1:
-                    sig = sig - 128.0
+                    sig = (sig - 128.0) * 256.0
+                elif sw == 4:
+                    sig = sig / 65536.0
                 n = len(sig)
                 m = max(1, int(round(n * target_rate / sr)))
                 src = np.arange(n, dtype="f8")

@@ -2602,6 +2602,10 @@ def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
+    # negative-twin ids must never collide with real doc_ids at ANY
+    # scale factor: derive the offset from the observed max, not a
+    # fixed constant (a 10M constant silently collides past 10M docs)
+    off = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
     mark_pos = (" " + _QCF_SENT["pos"]) * 6
     mark_neg = (" " + _QCF_SENT["neg"]) * 6
     pos = docs.selectExpr(
@@ -2609,21 +2613,33 @@ def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFra
         "CAST(1.0 AS DOUBLE) AS y",
     )
     neg = docs.selectExpr(
-        f"doc_id + {_QCF_OFF} AS doc_id",
+        f"doc_id + {off} AS doc_id",
         f"concat(text, '{mark_neg}') AS text", "source",
         "CAST(0.0 AS DOUBLE) AS y",
     )
     corpus = pos.unionByName(neg).persist()
-    feats = hashed_embeddings(corpus, dim=64)
-    w = train_quality_classifier(
-        feats, corpus.select("doc_id", "y"), dim=64, n_iter=8, lr=4.0
-    )
-    scored = score_quality_classifier(feats, w)
-    return (
-        scored.join(corpus.select("doc_id", "source"), "doc_id")
-        .groupBy("source", "label_pred")
-        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
-    )
+    try:
+        feats = hashed_embeddings(corpus, dim=64).persist()
+        try:
+            w = train_quality_classifier(
+                feats, corpus.select("doc_id", "y"), dim=64, n_iter=8, lr=4.0
+            )
+            scored = score_quality_classifier(feats, w)
+            out = (
+                scored.join(corpus.select("doc_id", "source"), "doc_id")
+                .groupBy("source", "label_pred")
+                .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+            )
+            # materialize the (sources x 2)-row aggregate HERE so both
+            # caches can be released before returning (the driver
+            # collects lazily, after this function exits) — no cached
+            # blocks leak into the rest of the session
+            rows = out.collect()
+            return spark.createDataFrame(rows, schema=out.schema)
+        finally:
+            feats.unpersist()
+    finally:
+        corpus.unpersist()
 
 
 def quality_classifier_filter_oracle() -> str:
@@ -3582,12 +3598,23 @@ def dedup_embedding(d: str) -> str:
 
     Norms are computed once per vector (not per pair) and the score once
     per pair; ``/ a.nrm / b.nrm`` keeps the exact IEEE op order of
-    ``/ sqrt(na) / sqrt(nb)`` so both engines agree bit-for-bit."""
+    ``/ sqrt(na) / sqrt(nb)`` so both engines agree bit-for-bit.
+
+    The driver corpus has no within-label pair above the 0.8 cosine
+    threshold, so every 100th vector is re-emitted as an exact twin
+    (vec_id + 1000000, same label/embedding): each twin pairs with its
+    original at cos_sim = 1.0 exactly in both engines, guaranteeing the
+    gate compares real pairs (it was vacuously green on 0 rows r01-r09)."""
     dot = dl.dot64("a.embedding", "b.embedding", d)
     nrm = dl.dot64("embedding", "embedding", d)
     return f"""
-WITH v AS (
-  SELECT vec_id, label, embedding, sqrt({nrm}) AS nrm FROM embeddings
+WITH base AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label, embedding
+  FROM embeddings WHERE vec_id % 100 = 0
+), v AS (
+  SELECT vec_id, label, embedding, sqrt({nrm}) AS nrm FROM base
 ), scored AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round({dot} / a.nrm / b.nrm, 5) AS cos_sim
@@ -4315,6 +4342,28 @@ WHERE {cnt(email)} + {cnt(phone)} + {cnt(card)} + {cnt(entity)} > 0
 """
 
 
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
+_PII_CARD = r"[0-9]{16}"
+
+
+def _pii_redact_expr(col: str, d: str) -> str:
+    """The redaction expression itself (email → phone → card), exposed
+    so tests can assert the redacted TEXT on planted strings, not just
+    its hash. Backslashes in the patterns are doubled for the spark
+    dialect because Spark SQL string literals consume one level."""
+    def esc(pat: str) -> str:
+        return pat.replace(chr(92), chr(92) * 2) if d == "spark" else pat
+
+    return dl.re_replace(
+        dl.re_replace(
+            dl.re_replace(col, esc(_PII_EMAIL), "<EMAIL>", d),
+            esc(_PII_PHONE), "<PHONE>", d,
+        ),
+        esc(_PII_CARD), "<CARD>", d,
+    )
+
+
 def pii_redact(d: str) -> str:
     """PII REDACTION (the transform :func:`pii_scan` triages for):
     emails / phone-like / card-like spans replaced with typed
@@ -4322,33 +4371,44 @@ def pii_redact(d: str) -> str:
     regexp_replace calls, JVM/native-side in both engines, no shuffle
     beyond the scan. Returns the canonical hash of the redacted text
     plus the per-kind counts so the driver gate proves the TRANSFORM
-    byte-identical across engines, not just the counts."""
-    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-    phone = r"[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}"
-    card = r"[0-9]{16}"
+    byte-identical across engines, not just the counts.
+
+    The driver corpus contains no real PII, so a handful of
+    PII-bearing rows are planted via an inline VALUES table (same
+    literal SQL in both dialects) — the gate compares actual redacted
+    bytes, never two empty sets. Row 9000003 carries ``a@b_cc``, a
+    dot-LESS email-shaped span: it must NOT be redacted, which pins
+    the ``\\.`` escaping in the pattern handed to each engine (Spark
+    string literals consume one backslash level; DuckDB's don't)."""
+    email, phone, card = _PII_EMAIL, _PII_PHONE, _PII_CARD
+
+    def esc(pat: str) -> str:
+        # Spark SQL string literals consume backslashes; DuckDB's don't
+        return pat.replace(chr(92), chr(92) * 2) if d == "spark" else pat
 
     def cnt(pat: str) -> str:
         if d == "spark":
-            return (
-                "size(regexp_extract_all(text, "
-                f"'{pat.replace(chr(92), chr(92) * 2)}', 0))"
-            )
+            return f"size(regexp_extract_all(text, '{esc(pat)}', 0))"
         return f"len(regexp_extract_all(text, '{pat}'))"
 
-    red = dl.re_replace(
-        dl.re_replace(
-            dl.re_replace("text", email, "<EMAIL>", d),
-            phone, "<PHONE>", d,
-        ),
-        card, "<CARD>", d,
-    )
+    red = _pii_redact_expr("text", d)
     return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(v.doc_id AS BIGINT) AS doc_id, v.text FROM (VALUES
+    (9000001, 'contact alice.smith@example.com or bob@mail.co for details'),
+    (9000002, 'call 415-555-0199 or 212.555.0142 before 9'),
+    (9000003, 'card 4111111111111111 on file; a@b_cc is not an email'),
+    (9000004, 'eve@corp.example.org phone 650 555 0123 card 5500005555555559')
+  ) AS v(doc_id, text)
+)
 SELECT doc_id,
        md5({red}) AS redacted_hash,
        {cnt(email)} AS n_emails,
        {cnt(phone)} AS n_phones,
        {cnt(card)} AS n_cardlike
-FROM documents
+FROM corpus
 WHERE {cnt(email)} + {cnt(phone)} + {cnt(card)} > 0
 """
 

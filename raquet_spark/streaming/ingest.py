@@ -208,7 +208,10 @@ def streaming_quality_score(
     any streaming output mode, and bit-identical to the batch
     ``hashed_embeddings`` → ``score_quality_classifier`` chain
     (pytest-pinned): identical counts, the same float32 cast, the same
-    index-ordered dot product."""
+    index-ordered dot product. Token-less documents (empty or
+    non-alphanumeric text) are FILTERED, matching the batch chain where
+    the token explode yields no rows for them — row-set parity holds on
+    any input."""
     dim = len(weights)
     toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
     bucket = "CAST(conv(substr(md5(t), 1, 7), 16, 10) AS BIGINT)" \
@@ -226,7 +229,8 @@ def streaming_quality_score(
 
     m = _margin_expr(weights, "v")
     return (
-        df.selectExpr("*", f"{counts} AS c")
+        df.where(f"size({toks}) > 0")
+        .selectExpr("*", f"{counts} AS c")
         .selectExpr(id_col, f"{vec} AS v")
         .selectExpr(
             id_col,

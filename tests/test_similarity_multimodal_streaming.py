@@ -727,7 +727,13 @@ def test_streaming_quality_score_matches_batch(spark, tmp_path):
         "concat(text, ' qsentinelbad qsentinelbad') AS text",
         "CAST(0.0 AS DOUBLE) AS y",
     )
-    corpus = pos.unionByName(neg)
+    # token-less rows: batch drops them (explode yields nothing) and the
+    # streaming projection must drop them too for row-set parity
+    blank = spark.createDataFrame(
+        [(900001, "", 1.0), (900002, "!!! *** ???", 0.0)],
+        "doc_id long, text string, y double",
+    )
+    corpus = pos.unionByName(neg).unionByName(blank)
     feats = hashed_embeddings(corpus, dim=64)
     w = train_quality_classifier(
         feats, corpus.select("doc_id", "y"), dim=64, n_iter=5, lr=4.0
@@ -836,3 +842,52 @@ def test_audio_resample(spark):
     for mid in sp0:
         # fft bin width: 16000/128 = 125 Hz vs 8000/64 = 125 Hz
         assert abs(sp0[mid] - sp1[mid]) <= 125.0, (mid, sp0[mid], sp1[mid])
+
+
+def test_audio_resample_bit_depths(spark):
+    """8- and 32-bit inputs must be RESCALED to PCM16 full scale, not
+    passed through raw: a full-scale sine at every source depth comes
+    out near int16 full scale (the r09 bug hard-clipped 32-bit input
+    and left 8-bit at 1/256 amplitude)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from raquet_spark.operators.multimodal import audio_resample, decode_wav_audio
+
+    sr, n = 16000, 1600
+    t = np.arange(n) / sr
+    sine = np.sin(2 * np.pi * 440.0 * t)  # full-scale tone
+
+    def wav_bytes(sw):
+        if sw == 1:
+            pcm = np.clip(np.round(sine * 127 + 128), 0, 255).astype("u1")
+        elif sw == 2:
+            pcm = np.clip(np.round(sine * 32767), -32768, 32767).astype("<i2")
+        else:
+            pcm = np.clip(
+                np.round(sine * 2147483392.0), -(2**31), 2**31 - 1
+            ).astype("<i4")
+        b = io.BytesIO()
+        with wave.open(b, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(sw)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return b.getvalue()
+
+    media = spark.createDataFrame(
+        [(sw, bytearray(wav_bytes(sw))) for sw in (1, 2, 4)],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: bytes(r["payload"])
+            for r in audio_resample(media, 8000).collect()}
+    for sw in (1, 2, 4):
+        a = decode_wav_audio(rows[sw])[:, 0, 0].astype("f8")
+        peak = np.max(np.abs(a))
+        rms = np.sqrt(np.mean(a**2))
+        # full-scale sine: peak near 32767, rms near peak/sqrt(2) —
+        # NOT clipped (a hard-clipped square wave has rms ≈ peak)
+        assert peak > 30000, (sw, peak)
+        assert abs(rms - peak / np.sqrt(2)) < peak * 0.05, (sw, rms, peak)
