@@ -4605,7 +4605,6 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard": ngram_jaccard,
     "dedup_embedding": dedup_embedding,
-    "ann_topk": ann_topk,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
     "token_counts": token_counts,
@@ -5149,8 +5148,34 @@ GROUP BY block
 """
 
 
+def ann_topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force ANN baseline, Spark side: the Arrow-batched
+    ``cosine_topk`` operator (per-batch matmul + partial top-k — see
+    operators/similarity.py) with ranking on the 5-dp-rounded score to
+    match the SQL oracle's tie semantics. The oracle stays the dual-
+    dialect SQL (``ann_topk``, dot in index-fold order); numpy's matmul
+    sums in a different order, so raw doubles can differ in the last
+    ulps — the shared round(.,5) absorbs that (boundary collisions are
+    measure-zero for cosine values)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id % 25 = 0")
+    out = cosine_topk(emb, q, k=5, order_round=5)
+    return out.select(
+        "query_id", "cand_id", F.round("score", 5).alias("score"), "rn"
+    )
+
+
+def ann_topk_oracle() -> str:
+    return ann_topk("duckdb")
+
+
 # Spark-pipeline queries with hand-written DuckDB oracles
 _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
+    "ann_topk": (ann_topk_spark, ann_topk_oracle),
     "pyramid_pixel_stats": (pyramid_pixel_stats_spark, pyramid_pixel_stats_oracle),
     "raster_upsample_stats": (
         raster_upsample_stats_spark,
