@@ -2574,6 +2574,132 @@ GROUP BY t
 """
 
 
+_NC4EA = dict(nt=12, cy=16, cx=24, skip=(2, 1, 1), dead=(4, 0))
+
+
+def _ea_dead_chunks() -> list[int]:
+    """Linear chunk ordinals killed by the dead data-block page, from
+    the same geometry helper the reader and fixture writer share."""
+    from raquet_spark.sources.hdf5 import ea_geometry
+
+    info, _fr, _nd, _ns, _os = ea_geometry(16, 1, 2, 2)
+    g, pg = _NC4EA["dead"]
+    page_nelmts = 1 << 2
+    for ndblks, dblk_nelmts, start_idx, start_dblk in info:
+        if start_dblk <= g < start_dblk + ndblks:
+            goff = (
+                1 + start_idx + (g - start_dblk) * dblk_nelmts
+                + pg * page_nelmts
+            )
+            return list(range(goff, goff + page_nelmts))
+    raise ValueError("dead block outside geometry")
+
+
+def _cached_netcdf4_ea(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_hdf5 import write_netcdf4
+
+    key = (spark.sparkContext.applicationId, "netcdf4_ea_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c, v = _NC, _NC4EA
+        nlat, nlon, nt = c["nlat"], c["nlon"], v["nt"]
+        lats = 37.9875 - 0.025 * np.arange(nlat)
+        lons = -122.9875 + 0.025 * np.arange(nlon)
+        gy, gx = np.mgrid[0:nlat, 0:nlon]
+        data = np.stack(
+            [((gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50) for t in range(nt)]
+        ).astype("<i2")
+        mask = (gx[None] + gy[None] + np.arange(nt)[:, None, None]) % 17 == 0
+        data[mask] = c["fill"]
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_nc4ea_"), "fix.nc"
+        )
+        write_netcdf4(
+            path, lats, lons, data,
+            times=np.arange(nt, dtype="f8"),
+            time_units="days since 2020-01-01 00:00:00",
+            nc_type=3, scale_factor=c["scale"], add_offset=c["offset"],
+            fill_value=c["fill"],
+            chunks=(1, v["cy"], v["cx"]),
+            skip_chunks={v["skip"]},
+            v4_index="extensible_paged", dead_pages={v["dead"]},
+            filters=(("shuffle",), ("deflate", 4)),
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def netcdf4_eaindex_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 1.10+ EXTENSIBLE-ARRAY chunk index ingestion (EAHD/EAIB/
+    EASB/EADB) — the index netcdf-c writes for a dataset with an
+    UNLIMITED time dimension (appended archives; the r09 #1 real-file
+    ingest blocker, reference handles it via GDAL's HDF5 driver,
+    cli.py:283 / raster2raquet.py:267). 12 appended time steps × a 3×3
+    chunk grid = 108 linear chunks spanning inline index-block
+    elements, direct data blocks, real super blocks, and PAGED data
+    blocks — with one dead page (4 chunks → fill), one skipped chunk,
+    shuffle+deflate, distributed decode. Per-step stats vs the
+    closed-form oracle."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.netcdf import (
+        netcdf_pixel_table,
+        read_netcdf_structure,
+    )
+
+    c = _NC
+    nodata = c["fill"] * c["scale"] + c["offset"]
+    nc = read_netcdf_structure(_cached_netcdf4_ea(spark))
+    px = netcdf_pixel_table(spark, nc, "value")
+    return (
+        px.where(F.col("band_1") != nodata)
+        .groupBy("time_cf")
+        .agg(
+            F.expr("COUNT(band_1)").alias("n_px"),
+            F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+            F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+            F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+            F.expr("round(AVG(band_1), 6)").alias("vmean"),
+        )
+    )
+
+
+def netcdf4_eaindex_stats_oracle() -> str:
+    c, v = _NC, _NC4EA
+    st, sy, sx = v["skip"]
+    nxc = -(-c["nlon"] // v["cx"])
+    nyc = -(-c["nlat"] // v["cy"])
+    dead = ", ".join(str(i) for i in _ea_dead_chunks())
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 17 = 0 THEN NULL
+              WHEN t = {st} AND gy // {v['cy']} = {sy}
+                   AND gx // {v['cx']} = {sx} THEN NULL
+              WHEN (t * {nyc * nxc} + (gy // {v['cy']}) * {nxc}
+                    + gx // {v['cx']}) IN ({dead}) THEN NULL
+              ELSE ((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50)
+                   * {c['scale']} + {c['offset']} END AS val
+  FROM (SELECT unnest(range(0, {v['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nlat']})) AS gy),
+       (SELECT unnest(range(0, {c['nlon']})) AS gx)
+)
+SELECT CAST(t AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 _QCF_OFF = 10_000_000
 _QCF_SENT = {"pos": "qsentinelgood", "neg": "qsentinelbad"}
 
@@ -5217,6 +5343,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "netcdf_ingest_stats": (netcdf_ingest_stats_spark, netcdf_ingest_stats_oracle),
     "netcdf4_ingest_stats": (netcdf4_ingest_stats_spark, netcdf4_ingest_stats_oracle),
     "netcdf4_v4index_stats": (netcdf4_v4index_stats_spark, netcdf4_v4index_stats_oracle),
+    "netcdf4_eaindex_stats": (netcdf4_eaindex_stats_spark, netcdf4_eaindex_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

@@ -224,6 +224,27 @@ def _dataspace(body: bytes) -> list[int]:
     return dims
 
 
+def _dataspace_maxdims(body: bytes) -> list[int] | None:
+    """Max dimensions (UNDEF = unlimited) when stored, else None.
+    Needed only to detect WHICH dim is unlimited for the v4
+    extensible-array chunk order (the library swizzles the unlimited
+    dim to slot 0 when it is not already the slowest-varying)."""
+    r = _R(body)
+    ver = r.u8()
+    rank = r.u8()
+    flags = r.u8()
+    if ver == 1:
+        r.p += 5
+    elif ver == 2:
+        r.p += 1
+    else:
+        raise NotImplementedError(f"dataspace version {ver}")
+    if not (flags & 0x01):
+        return None
+    r.p += 8 * rank  # current dims
+    return [r.u64() for _ in range(rank)]
+
+
 def _datatype(body: bytes, pos: int = 0) -> dict:
     """Datatype message → {"kind", "size", "np" numpy-dtype-str or
     None, "base" for vlen}. Byte order from the class bit field."""
@@ -345,12 +366,14 @@ def _layout(body: bytes) -> dict:
                 out["page_bits"] = r.u8()
                 out["addr"] = r.u64()
                 return out
-            if itype == 4:
-                raise NotImplementedError(
-                    "HDF5 v4 extensible-array chunk index (a dataset "
-                    "with one unlimited dimension, written by HDF5 "
-                    "1.10+ without 1.8 compatibility)"
-                )
+            if itype == 4:  # extensible array (one unlimited dim)
+                out["ea_max_bits"] = r.u8()
+                out["ea_idx_elmts"] = r.u8()
+                out["ea_min_ptrs"] = r.u8()
+                out["ea_min_elmts"] = r.u8()
+                out["ea_page_bits"] = r.u8()
+                out["addr"] = r.u64()
+                return out
             if itype == 5:
                 raise NotImplementedError(
                     "HDF5 v4 B-tree-v2 chunk index (a dataset with "
@@ -860,6 +883,186 @@ def _fixed_array_elements(b, addr: int) -> list[bytes]:
     return out
 
 
+def ea_geometry(max_nelmts_bits: int, idx_blk_elmts: int,
+                data_blk_min_elmts: int, sup_blk_min_data_ptrs: int):
+    """Extensible-array super-block geometry (spec III.F / the H5EA
+    header's derived quantities). Shared with the test fixture writer
+    so both sides agree by construction; the on-disk byte layout is
+    written/parsed independently against the spec.
+
+    Element index space: the first ``idx_blk_elmts`` elements live
+    inline in the index block; the rest are grouped into data blocks,
+    which are grouped into super blocks. Super block ``u`` (0-based)
+    has ``2^(u//2)`` data blocks of ``2^((u+1)//2) * data_blk_min_elmts``
+    elements each. Super blocks whose data-block count is below
+    ``sup_blk_min_data_ptrs`` are never materialized — their data
+    blocks are addressed DIRECTLY from the index block; the first
+    "real" super block is ``2*log2(sup_blk_min_data_ptrs)``, and the
+    direct data-block address slots total ``2*(sup_blk_min_data_ptrs
+    - 1)`` (= sum of ndblks below it).
+
+    Returns (sblk_info, first_real, ndblk_addrs, nsblk_addrs,
+    arr_off_size) where sblk_info[u] = (ndblks, dblk_nelmts,
+    start_idx, start_dblk); start_idx counts elements past the inline
+    ones."""
+    log2_min_elmts = (data_blk_min_elmts - 1).bit_length()
+    if (1 << log2_min_elmts) != data_blk_min_elmts:
+        raise ValueError("data_blk_min_elmts must be a power of two")
+    log2_min_ptrs = (sup_blk_min_data_ptrs - 1).bit_length()
+    if (1 << log2_min_ptrs) != sup_blk_min_data_ptrs:
+        raise ValueError("sup_blk_min_data_ptrs must be a power of two")
+    nsblks = 1 + (max_nelmts_bits - log2_min_elmts)
+    info = []
+    start_idx = 0
+    start_dblk = 0
+    for u in range(nsblks):
+        ndblks = 1 << (u // 2)
+        dblk_nelmts = (1 << ((u + 1) // 2)) * data_blk_min_elmts
+        info.append((ndblks, dblk_nelmts, start_idx, start_dblk))
+        start_idx += ndblks * dblk_nelmts
+        start_dblk += ndblks
+    first_real = 2 * log2_min_ptrs
+    ndblk_addrs = 2 * (sup_blk_min_data_ptrs - 1)
+    nsblk_addrs = nsblks - first_real
+    arr_off_size = (max_nelmts_bits + 7) // 8
+    return info, first_real, ndblk_addrs, nsblk_addrs, arr_off_size
+
+
+def _extensible_array_elements(b, addr: int, n_needed: int) -> list[bytes]:
+    """Extensible Array chunk index (EAHD header → EAIB index block →
+    EASB super blocks → EADB data blocks, paged past
+    2^max_dblk_page_nelmts_bits elements per data block; spec III.F).
+    The index netcdf-c/HDF5 1.10+ writes for a dataset with ONE
+    unlimited dimension (appended time series). Returns the first
+    ``n_needed`` raw element bytes in linear order; unallocated
+    elements (never-written chunks: UNDEF data-block address or a
+    dead data-block page) yield b"" placeholders — fill semantics,
+    same contract as :func:`_fixed_array_elements`."""
+    if bytes(b[addr : addr + 4]) != b"EAHD":
+        raise ValueError(f"bad extensible-array header signature at {addr}")
+    r = _R(b, addr + 4)
+    if r.u8() != 0:
+        raise NotImplementedError("extensible array version != 0")
+    client = r.u8()
+    if client not in (0, 1):
+        raise NotImplementedError(f"extensible array client id {client}")
+    elt_size = r.u8()
+    max_bits = r.u8()
+    idx_elmts = r.u8()
+    min_elmts = r.u8()
+    min_ptrs = r.u8()
+    page_bits = r.u8()
+    r.p += 6 * 8  # stats: nsblks, sblk size, ndblks, dblk size,
+    #               max index set, nelmts
+    iblk = r.u64()
+    if iblk == UNDEF or n_needed == 0:
+        return [b""] * n_needed
+    info, first_real, ndblk_addrs, nsblk_addrs, off_size = ea_geometry(
+        max_bits, idx_elmts, min_elmts, min_ptrs
+    )
+    page_nelmts = 1 << page_bits
+
+    if bytes(b[iblk : iblk + 4]) != b"EAIB":
+        raise ValueError(f"bad extensible-array index block at {iblk}")
+    ri = _R(b, iblk + 4)
+    if ri.u8() != 0:
+        raise NotImplementedError("extensible array index block version != 0")
+    ri.u8()  # client id
+    ri.u64()  # header back-pointer
+    inline = [ri.take(elt_size) for _ in range(idx_elmts)]
+    direct_dblks = [ri.u64() for _ in range(ndblk_addrs)]
+    sblk_addrs = [ri.u64() for _ in range(max(0, nsblk_addrs))]
+
+    undef_elt = UNDEF.to_bytes(8, "little")
+    out: list[bytes] = []
+    for e in inline[:n_needed]:
+        out.append(b"" if e[:8] == undef_elt else e)
+
+    def read_dblock(daddr: int, nelmts: int, live_pages) -> list[bytes]:
+        """One EADB → its element bytes ('' per dead-page element)."""
+        if daddr == UNDEF:
+            return [b""] * nelmts
+        if bytes(b[daddr : daddr + 4]) != b"EADB":
+            raise ValueError(f"bad extensible-array data block at {daddr}")
+        rd = _R(b, daddr + 4)
+        if rd.u8() != 0:
+            raise NotImplementedError("extensible array data block version")
+        rd.u8()  # client id
+        rd.u64()  # header back-pointer
+        rd.p += off_size  # block offset
+        elems: list[bytes] = []
+        if nelmts > page_nelmts:  # paged: prefix checksum, then pages
+            rd.p += 4
+            npages = nelmts // page_nelmts
+            for pg in range(npages):
+                live = live_pages is None or live_pages(pg)
+                for _ in range(page_nelmts):
+                    e = rd.take(elt_size)
+                    elems.append(
+                        e if live and e[:8] != undef_elt else b""
+                    )
+                rd.p += 4  # page checksum
+        else:
+            for _ in range(nelmts):
+                e = rd.take(elt_size)
+                elems.append(b"" if e[:8] == undef_elt else e)
+        return elems
+
+    u = 0
+    while len(out) < n_needed:
+        if u >= len(info):
+            raise ValueError(
+                "extensible array exhausted before requested element count"
+            )
+        ndblks, dblk_nelmts, _si, start_dblk = info[u]
+        npages = dblk_nelmts // page_nelmts if dblk_nelmts > page_nelmts else 0
+        if u < first_real:
+            if npages:
+                raise NotImplementedError(
+                    "paged extensible-array data block addressed from "
+                    "the index block (no page bitmap owner)"
+                )
+            for d in range(ndblks):
+                if len(out) >= n_needed:
+                    break
+                out.extend(read_dblock(direct_dblks[start_dblk + d],
+                                       dblk_nelmts, None))
+        else:
+            sa = sblk_addrs[u - first_real]
+            if sa == UNDEF:
+                out.extend([b""] * (ndblks * dblk_nelmts))
+            else:
+                if bytes(b[sa : sa + 4]) != b"EASB":
+                    raise ValueError(
+                        f"bad extensible-array super block at {sa}"
+                    )
+                rs = _R(b, sa + 4)
+                if rs.u8() != 0:
+                    raise NotImplementedError(
+                        "extensible array super block version != 0"
+                    )
+                rs.u8()  # client id
+                rs.u64()  # header back-pointer
+                rs.p += off_size  # block offset
+                bitmap = (
+                    rs.take((ndblks * npages + 7) // 8) if npages else b""
+                )
+                daddrs = [rs.u64() for _ in range(ndblks)]
+                for d in range(ndblks):
+                    if len(out) >= n_needed:
+                        break
+                    live = (
+                        None if not npages else
+                        (lambda pg, d=d: bool(
+                            bitmap[(d * npages + pg) // 8]
+                            & (1 << ((d * npages + pg) % 8))
+                        ))
+                    )
+                    out.extend(read_dblock(daddrs[d], dblk_nelmts, live))
+        u += 1
+    return out[:n_needed]
+
+
 def _v4_chunk_entries(b, lay: dict, shape) -> list[tuple[tuple, int, int, int]]:
     """Resolve a v4 chunk index to the same [(element_coords,
     file_addr, nbytes, filter_mask)] list the v1 B-tree walker
@@ -889,19 +1092,22 @@ def _v4_chunk_entries(b, lay: dict, shape) -> list[tuple[tuple, int, int, int]]:
             (coords, lay["addr"] + i * chunk_bytes, chunk_bytes, 0)
             for i, coords in enumerate(grid)
         ]
-    if itype == 3:  # fixed array
+    if itype in (3, 4):  # fixed array / extensible array
         if lay["addr"] == UNDEF:
             return []
-        elems = _fixed_array_elements(b, lay["addr"])
-        if len(elems) != len(grid):
-            raise ValueError(
-                f"fixed array has {len(elems)} entries for a "
-                f"{len(grid)}-chunk grid"
-            )
+        if itype == 3:
+            elems = _fixed_array_elements(b, lay["addr"])
+            if len(elems) != len(grid):
+                raise ValueError(
+                    f"fixed array has {len(elems)} entries for a "
+                    f"{len(grid)}-chunk grid"
+                )
+        else:
+            elems = _extensible_array_elements(b, lay["addr"], len(grid))
         out = []
         for coords, e in zip(grid, elems):
             if not e:
-                continue  # uninitialized page
+                continue  # uninitialized page / unallocated element
             addr = int.from_bytes(e[:8], "little")
             if addr == UNDEF or addr == 0:
                 continue
@@ -1011,6 +1217,18 @@ def read_hdf5_structure(path: str) -> dict:
                         "DONT_FILTER_PARTIAL_BOUND_CHUNKS set alongside "
                         "a filter pipeline"
                     )
+                if lay["index"] == 4:
+                    # EA linear chunk order is row-major ONLY when the
+                    # unlimited dim is dim 0 (netcdf-c's time dim);
+                    # otherwise the library swizzles the unlimited dim
+                    # to slot 0 — reorder would be silent corruption
+                    md = _dataspace_maxdims(by_type[_MSG_DATASPACE][0])
+                    if md is not None and UNDEF in md and md[0] != UNDEF:
+                        raise NotImplementedError(
+                            "extensible-array chunk index with the "
+                            f"unlimited dimension at slot {md.index(UNDEF)}"
+                            " (swizzled chunk order)"
+                        )
                 ds["chunks"] = _v4_chunk_entries(b, lay, ds["shape"])
                 ds["layout"] = "chunked"  # index-agnostic downstream
             datasets[prefix.lstrip("/")] = ds

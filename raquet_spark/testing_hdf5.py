@@ -120,13 +120,21 @@ class RawAttr:
         self.dt_msg, self.ds_msg, self.value = dt_msg, ds_msg, value
 
 
-def _m_dataspace(dims, ver: int = 1) -> bytes:
+def _m_dataspace(dims, ver: int = 1, maxdims=None) -> bytes:
+    """``maxdims``: per-dim max extent, -1 = UNLIMITED (what netcdf-c
+    writes for the record/time dimension); stored per flags bit 0."""
     rank = len(dims)
+    flags = 1 if maxdims is not None else 0
     if ver == 1:
-        head = struct.pack("<BBB5x", 1, rank, 0)
+        head = struct.pack("<BBB5x", 1, rank, flags)
     else:
-        head = struct.pack("<BBBB", 2, rank, 0, 1 if rank else 0)
-    return head + b"".join(struct.pack("<Q", d) for d in dims)
+        head = struct.pack("<BBBB", 2, rank, flags, 1 if rank else 0)
+    out = head + b"".join(struct.pack("<Q", d) for d in dims)
+    if maxdims is not None:
+        out += b"".join(
+            struct.pack("<Q", UNDEF if m == -1 else m) for m in maxdims
+        )
+    return out
 
 
 def _np_dt_msg(dt: np.dtype) -> bytes:
@@ -294,6 +302,164 @@ def _fixed_array(w: _W, entries: list[bytes | None], entry_size: int,
         blk += b"".join(elems) + struct.pack("<I", 0)
     assert w.tell() == dblk_addr
     w.emit(blk)
+    return hdr_addr
+
+
+def _extensible_array(
+    w: _W,
+    entries: list[bytes | None],
+    entry_size: int,
+    max_bits: int = 16,
+    idx_elmts: int = 1,
+    min_elmts: int = 2,
+    min_ptrs: int = 2,
+    page_bits: int = 10,
+    dead_pages=(),
+) -> int:
+    """EAHD + EAIB + EASB/EADB chunk index (spec III.F) — what HDF5
+    1.10+ writes for a dataset with one unlimited dimension. The
+    geometry (super-block sizing, direct-address slots) comes from
+    sources.hdf5.ea_geometry so reader and writer agree by
+    construction; the byte layout here follows the spec section
+    directly. ``entries``: per linear chunk, element bytes or None
+    (unallocated). Blocks containing no allocated element are left
+    UNDEF (never materialized). ``dead_pages``: set of (global data
+    block ordinal, page ordinal) cleared in the owning super block's
+    page bitmap — pages never written."""
+    from raquet_spark.sources.hdf5 import ea_geometry
+
+    info, first_real, ndblk_addrs, nsblk_addrs, off_size = ea_geometry(
+        max_bits, idx_elmts, min_elmts, min_ptrs
+    )
+    page_nelmts = 1 << page_bits
+    client = 1 if entry_size > 8 else 0
+    undef_elt = UNDEF.to_bytes(8, "little").ljust(entry_size, b"\x00")
+    n = len(entries)
+
+    def elt(i: int) -> bytes:
+        e = entries[i] if i < n else None
+        return e if e is not None else undef_elt
+
+    def any_alloc(lo: int, hi: int) -> bool:
+        return any(
+            entries[i] is not None for i in range(lo, min(hi, n))
+        )
+
+    hdr_patches: list[int] = []  # file offsets of header back-pointers
+
+    def prefix(sig: bytes) -> bytes:
+        return sig + struct.pack("<BB", 0, client)
+
+    def emit_dblock(goff: int, nelmts: int) -> int:
+        """goff: element offset of the block in the full index space
+        (inline elements included, per the spec's Block Offset)."""
+        if not any_alloc(goff, goff + nelmts):
+            return UNDEF
+        body = prefix(b"EADB")
+        hdr_pos = len(body)
+        body += b"\x00" * 8  # header address (patched)
+        body += goff.to_bytes(off_size, "little")
+        if nelmts > page_nelmts:  # paged: prefix checksum, then pages
+            body += struct.pack("<I", 0)
+            for pg in range(nelmts // page_nelmts):
+                for i in range(goff + pg * page_nelmts,
+                               goff + (pg + 1) * page_nelmts):
+                    body += elt(i)
+                body += struct.pack("<I", 0)  # page checksum
+        else:
+            for i in range(goff, goff + nelmts):
+                body += elt(i)
+            body += struct.pack("<I", 0)
+        a = w.emit(body)
+        hdr_patches.append(a + hdr_pos)
+        return a
+
+    def emit_dblock_forced(goff: int, nelmts: int) -> int:
+        """A paged block materialized on disk whose every page is dead
+        (bitmap 0) — space reserved, elements never written."""
+        body = prefix(b"EADB")
+        hdr_pos = len(body)
+        body += b"\x00" * 8
+        body += goff.to_bytes(off_size, "little") + struct.pack("<I", 0)
+        for _pg in range(nelmts // page_nelmts):
+            body += undef_elt * page_nelmts + struct.pack("<I", 0)
+        a = w.emit(body)
+        hdr_patches.append(a + hdr_pos)
+        return a
+
+    # data blocks + super blocks, only as far as the entries reach
+    direct = [UNDEF] * ndblk_addrs
+    sblks = [UNDEF] * max(0, nsblk_addrs)
+    covered = idx_elmts
+    for u, (ndblks, dblk_nelmts, start_idx, start_dblk) in enumerate(info):
+        if covered >= n:
+            break
+        npages = (
+            dblk_nelmts // page_nelmts if dblk_nelmts > page_nelmts else 0
+        )
+        daddrs = []
+        for d in range(ndblks):
+            goff = idx_elmts + start_idx + d * dblk_nelmts
+            g = start_dblk + d
+            if npages and any((g, pg) in dead_pages for pg in range(npages)):
+                # block materialized but with dead pages: emit it even
+                # if sparse, bitmap marks the dead pages
+                a = emit_dblock(goff, dblk_nelmts)
+                if a == UNDEF:  # nothing allocated at all — still dead
+                    a = emit_dblock_forced(goff, dblk_nelmts)
+            else:
+                a = emit_dblock(goff, dblk_nelmts)
+            daddrs.append(a)
+        if u < first_real:
+            if npages:
+                raise ValueError(
+                    "fixture geometry: direct data blocks must not page"
+                )
+            direct[start_dblk : start_dblk + ndblks] = daddrs
+        elif any(a != UNDEF for a in daddrs):
+            body = prefix(b"EASB")
+            hdr_pos = len(body)
+            body += b"\x00" * 8
+            body += (idx_elmts + start_idx).to_bytes(off_size, "little")
+            if npages:
+                bitmap = bytearray((ndblks * npages + 7) // 8)
+                for d in range(ndblks):
+                    for pg in range(npages):
+                        if (start_dblk + d, pg) not in dead_pages:
+                            bit = d * npages + pg
+                            bitmap[bit // 8] |= 1 << (bit % 8)
+                body += bytes(bitmap)
+            body += b"".join(struct.pack("<Q", a) for a in daddrs)
+            body += struct.pack("<I", 0)
+            sa = w.emit(body)
+            hdr_patches.append(sa + hdr_pos)
+            sblks[u - first_real] = sa
+        covered = idx_elmts + start_idx + ndblks * dblk_nelmts
+
+    # index block
+    ib = prefix(b"EAIB")
+    ib_hdr_pos = len(ib)
+    ib += b"\x00" * 8
+    for i in range(idx_elmts):
+        ib += elt(i)
+    ib += b"".join(struct.pack("<Q", a) for a in direct)
+    ib += b"".join(struct.pack("<Q", a) for a in sblks)
+    ib += struct.pack("<I", 0)
+    iblk = w.emit(ib)
+    hdr_patches.append(iblk + ib_hdr_pos)
+
+    # header: cparams (elt size, max bits, idx elmts, MIN ELMTS,
+    # MIN PTRS, page bits — note the order differs from the layout
+    # message's), six length stats, index block address, checksum
+    hdr = b"EAHD" + struct.pack(
+        "<BBBBBBBB", 0, client, entry_size, max_bits, idx_elmts,
+        min_elmts, min_ptrs, page_bits,
+    )
+    hdr += struct.pack("<6Q", 0, 0, 0, 0, max(0, n - 1), n)
+    hdr += struct.pack("<QI", iblk, 0)
+    hdr_addr = w.emit(hdr)
+    for pos in hdr_patches:
+        w.patch_u64(pos, hdr_addr)
     return hdr_addr
 
 
@@ -505,7 +671,9 @@ def write_hdf5(
         data = np.ascontiguousarray(spec["data"])
         dt = data.dtype
         msgs: list[tuple[int, bytes]] = []
-        msgs.append((0x01, _m_dataspace(data.shape, 2 if v3 else 1)))
+        msgs.append((0x01, _m_dataspace(
+            data.shape, 2 if v3 else 1, maxdims=spec.get("maxdims")
+        )))
         msgs.append((0x03, _np_dt_msg(dt)))
         fill = spec.get("fill")
         fill_raw = dt.type(fill).tobytes() if fill is not None else None
@@ -559,7 +727,8 @@ def write_hdf5(
             elif v4 == "implicit":
                 assert not pipeline, "implicit index forbids filters"
                 lay = _m_layout_v4(cd, dt.itemsize, 2, chunks[0][1])
-            elif v4 in ("fixed_array", "fixed_array_paged"):
+            elif v4 in ("fixed_array", "fixed_array_paged",
+                        "extensible", "extensible_paged"):
                 if pipeline:
                     ebytes = [
                         None if e is None
@@ -573,16 +742,41 @@ def write_hdf5(
                         for e in entries
                     ]
                     esize = 8
-                pb = 2 if v4 == "fixed_array_paged" else max(
-                    2, (len(entries) - 1).bit_length()
-                )
-                fa = _fixed_array(
-                    w, ebytes, esize, pb,
-                    dead_pages=spec.get("dead_pages", ()),
-                )
-                lay = _m_layout_v4(
-                    cd, dt.itemsize, 3, fa, extra=bytes([pb])
-                )
+                if v4.startswith("fixed_array"):
+                    pb = 2 if v4 == "fixed_array_paged" else max(
+                        2, (len(entries) - 1).bit_length()
+                    )
+                    fa = _fixed_array(
+                        w, ebytes, esize, pb,
+                        dead_pages=spec.get("dead_pages", ()),
+                    )
+                    lay = _m_layout_v4(
+                        cd, dt.itemsize, 3, fa, extra=bytes([pb])
+                    )
+                else:
+                    # tiny geometry so a handful of chunks exercises
+                    # inline elements, direct blocks, real super
+                    # blocks, and (paged variant) data-block pages
+                    params = dict(
+                        max_bits=16, idx_elmts=1, min_elmts=2,
+                        min_ptrs=2,
+                        page_bits=2 if v4 == "extensible_paged" else 10,
+                    )
+                    params.update(spec.get("ea_params", {}))
+                    ea = _extensible_array(
+                        w, ebytes, esize,
+                        dead_pages=spec.get("dead_pages", ()),
+                        **params,
+                    )
+                    # layout-message cparam order per spec: max bits,
+                    # index elements, MIN POINTERS, MIN ELEMENTS,
+                    # page bits (differs from the EAHD order)
+                    extra = bytes([
+                        params["max_bits"], params["idx_elmts"],
+                        params["min_ptrs"], params["min_elmts"],
+                        params["page_bits"],
+                    ])
+                    lay = _m_layout_v4(cd, dt.itemsize, 4, ea, extra=extra)
             else:
                 raise ValueError(f"unknown v4 index {v4!r}")
             msgs.append((0x08, lay))
@@ -823,6 +1017,10 @@ def write_netcdf4(
         "attrs": {"units": "K", **scale_attrs()},
         "dimension_list": dim_names if dimension_list else None,
     }
+    if v4_index in ("extensible", "extensible_paged") and has_time:
+        # an EA index exists BECAUSE a dim is unlimited: record it
+        dsets[var_name]["maxdims"] = [-1, *data.shape[1:]]
+        dsets["time"]["maxdims"] = [-1]
     return write_hdf5(
         path, dsets,
         gatts={

@@ -187,6 +187,9 @@ def test_nc4_to_raquet_time_tiles(spark, tmp_path):
         ("fixed_array", (), set()),
         ("fixed_array", (("shuffle",), ("deflate", 4)), {(1, 1, 1)}),
         ("fixed_array_paged", (("deflate", 6),), {(0, 1, 0)}),
+        ("extensible", (), set()),
+        ("extensible", (("shuffle",), ("deflate", 4)), {(1, 1, 1)}),
+        ("extensible_paged", (("deflate", 6),), {(0, 1, 0)}),
     ],
 )
 def test_nc4_v4_chunk_indexes(spark, tmp_path, v4, filters, skip):
@@ -256,8 +259,10 @@ def test_nc4_v4_single_chunk_and_dead_page(spark, tmp_path):
 
 
 def test_nc4_v4_unlimited_gates(tmp_path):
-    """Extensible-array / B-tree-v2 chunk indexes (unlimited dims under
-    HDF5 1.10+) fail with typed errors naming the construct."""
+    """B-tree-v2 chunk index (>1 unlimited dim under HDF5 1.10+) fails
+    with a typed error naming the construct; the extensible-array
+    layout message (itype 4, implemented) parses its five creation
+    parameters."""
     import struct
 
     from raquet_spark.sources.hdf5 import _layout
@@ -269,10 +274,70 @@ def test_nc4_v4_unlimited_gates(tmp_path):
             + bytes([itype]) + b"\x00" * 16
         )
 
-    with pytest.raises(NotImplementedError, match="extensible-array"):
-        _layout(v4_body(4))
+    lay = _layout(v4_body(4))
+    assert lay["index"] == 4 and "ea_max_bits" in lay
     with pytest.raises(NotImplementedError, match="B-tree-v2"):
         _layout(v4_body(5))
+
+
+def test_nc4_extensible_array_deep(spark, tmp_path):
+    """Extensible-array index past the direct-block range: 48 chunks
+    at tiny EA geometry (1 inline element, min 2 elements/block, page
+    size 4) span the index block, both direct data blocks, real super
+    blocks, and PAGED data blocks. Covers: a dead page (bitmap 0 →
+    those chunks read as fill), never-written chunks inside live
+    blocks, and a tail super block that was never materialized."""
+    nt, nlat, nlon = 12, 16, 16
+    lats, lons, data = _grid(nt=nt, nlat=nlat, nlon=nlon)
+    path = str(tmp_path / "ea_deep.nc")
+    # chunk grid: (12,2,2) -> 48 linear chunks
+    # dead page: global dblk ordinal 4 = sblk3's first block (elements
+    # 15..22 -> chunks 15..18 in page 0), kill page 0 -> chunks 15..18
+    write_netcdf4(
+        path, lats, lons, data, times=np.arange(nt, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+        chunks=(1, 8, 8), filters=(("shuffle",), ("deflate", 4)),
+        v4_index="extensible_paged", skip_chunks={(2, 0, 1)},
+        dead_pages={(4, 0)},
+    )
+    nc = read_netcdf_structure(path)
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    assert len(pdf) == nt * nlat * nlon
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy()
+        .reshape(nt, nlat, nlon)
+    )
+    want = np.where(data == -999, -999, data).astype("f8") * 0.5 + 100.0
+    fill = -999 * 0.5 + 100.0
+    # skipped chunk (2,0,1): time 2, rows 0..7, cols 8..15
+    want[2, 0:8, 8:16] = fill
+    # dead page kills linear chunks 15..18 on the (12,2,2) grid:
+    # chunk 15=(3,1,1), 16=(4,0,0), 17=(4,0,1), 18=(4,1,0)
+    want[3, 8:16, 8:16] = fill
+    want[4, 0:8, 0:8] = fill
+    want[4, 0:8, 8:16] = fill
+    want[4, 8:16, 0:8] = fill
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nc4_extensible_array_swizzled_gate(tmp_path):
+    """An EA index whose unlimited dimension is NOT dim 0 uses a
+    swizzled chunk order this reader does not implement — must raise
+    the typed error, never silently misorder chunks."""
+    from raquet_spark.sources.hdf5 import read_hdf5_structure
+    from raquet_spark.testing_hdf5 import write_hdf5
+
+    data = np.arange(64, dtype="<i2").reshape(8, 8)
+    path = str(tmp_path / "swizzled.h5")
+    write_hdf5(
+        path,
+        {"v": {"data": data, "chunks": (4, 4),
+               "v4_index": "extensible", "filters": (),
+               "maxdims": [8, -1]}},
+    )
+    with pytest.raises(NotImplementedError, match="swizzled"):
+        read_hdf5_structure(path)
 
 
 def test_nc4_v4_dont_filter_partial_gate(tmp_path):
