@@ -2700,6 +2700,108 @@ GROUP BY t
 """
 
 
+_NC4BT = dict(nt=12, cy=16, cx=24, skip=((2, 1, 1), (7, 0, 2)))
+
+
+def _cached_netcdf4_bt2(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_hdf5 import write_netcdf4
+
+    key = (spark.sparkContext.applicationId, "netcdf4_bt2_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c, v = _NC, _NC4BT
+        nlat, nlon, nt = c["nlat"], c["nlon"], v["nt"]
+        lats = 37.9875 - 0.025 * np.arange(nlat)
+        lons = -122.9875 + 0.025 * np.arange(nlon)
+        gy, gx = np.mgrid[0:nlat, 0:nlon]
+        data = np.stack(
+            [((gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50) for t in range(nt)]
+        ).astype("<i2")
+        mask = (gx[None] + gy[None] + np.arange(nt)[:, None, None]) % 17 == 0
+        data[mask] = c["fill"]
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_nc4bt2_"), "fix.nc"
+        )
+        write_netcdf4(
+            path, lats, lons, data,
+            times=np.arange(nt, dtype="f8"),
+            time_units="days since 2020-01-01 00:00:00",
+            nc_type=3, scale_factor=c["scale"], add_offset=c["offset"],
+            fill_value=c["fill"],
+            chunks=(1, v["cy"], v["cx"]),
+            skip_chunks=set(v["skip"]),
+            v4_index="btree2_deep",
+            filters=(("shuffle",), ("deflate", 4)),
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def netcdf4_bt2index_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 1.10+ v2-B-TREE chunk index ingestion (BTHD/BTIN/BTLF,
+    record types 10/11) — the index written when MORE THAN ONE
+    dimension is unlimited. node_size=256 forces a depth-1 tree (root
+    internal node + several leaves + separator records) over 108
+    filtered chunk records; two skipped chunks have no record and fall
+    to fill. Distributed decode, per-step stats vs the closed-form
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.netcdf import (
+        netcdf_pixel_table,
+        read_netcdf_structure,
+    )
+
+    c = _NC
+    nodata = c["fill"] * c["scale"] + c["offset"]
+    nc = read_netcdf_structure(_cached_netcdf4_bt2(spark))
+    px = netcdf_pixel_table(spark, nc, "value")
+    return (
+        px.where(F.col("band_1") != nodata)
+        .groupBy("time_cf")
+        .agg(
+            F.expr("COUNT(band_1)").alias("n_px"),
+            F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+            F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+            F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+            F.expr("round(AVG(band_1), 6)").alias("vmean"),
+        )
+    )
+
+
+def netcdf4_bt2index_stats_oracle() -> str:
+    c, v = _NC, _NC4BT
+    skip_pred = " OR ".join(
+        f"(t = {st} AND gy // {v['cy']} = {sy} AND gx // {v['cx']} = {sx})"
+        for st, sy, sx in v["skip"]
+    )
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 17 = 0 THEN NULL
+              WHEN {skip_pred} THEN NULL
+              ELSE ((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50)
+                   * {c['scale']} + {c['offset']} END AS val
+  FROM (SELECT unnest(range(0, {v['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nlat']})) AS gy),
+       (SELECT unnest(range(0, {c['nlon']})) AS gx)
+)
+SELECT CAST(t AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 _QCF_OFF = 10_000_000
 _QCF_SENT = {"pos": "qsentinelgood", "neg": "qsentinelbad"}
 
@@ -5344,6 +5446,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "netcdf4_ingest_stats": (netcdf4_ingest_stats_spark, netcdf4_ingest_stats_oracle),
     "netcdf4_v4index_stats": (netcdf4_v4index_stats_spark, netcdf4_v4index_stats_oracle),
     "netcdf4_eaindex_stats": (netcdf4_eaindex_stats_spark, netcdf4_eaindex_stats_oracle),
+    "netcdf4_bt2index_stats": (netcdf4_bt2index_stats_spark, netcdf4_bt2index_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

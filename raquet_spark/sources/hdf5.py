@@ -374,11 +374,12 @@ def _layout(body: bytes) -> dict:
                 out["ea_page_bits"] = r.u8()
                 out["addr"] = r.u64()
                 return out
-            if itype == 5:
-                raise NotImplementedError(
-                    "HDF5 v4 B-tree-v2 chunk index (a dataset with "
-                    "multiple unlimited dimensions, HDF5 1.10+)"
-                )
+            if itype == 5:  # v2 B-tree (multiple unlimited dims)
+                out["bt2_node_size"] = r.u32()
+                out["bt2_split"] = r.u8()
+                out["bt2_merge"] = r.u8()
+                out["addr"] = r.u64()
+                return out
             raise NotImplementedError(f"v4 chunk indexing type {itype}")
         raise NotImplementedError(f"data layout class {cls}")
     raise NotImplementedError(f"data layout message version {ver}")
@@ -1117,6 +1118,40 @@ def _v4_chunk_entries(b, lay: dict, shape) -> list[tuple[tuple, int, int, int]]:
             else:
                 size, mask = chunk_bytes, 0
             out.append((coords, addr, size, mask))
+        return out
+    if itype == 5:  # v2 B-tree of chunk records (types 10/11)
+        if lay["addr"] == UNDEF:
+            return []
+        nd = len(cd)
+        out = []
+        for rec in _btree_v2_records(b, lay["addr"]):
+            # type 10 (non-filtered): addr(8) + scaled offsets (8*nd);
+            # type 11 (filtered): addr(8) + nbytes(variable width) +
+            # mask(4) + scaled offsets — width inferred from rec size
+            addr = int.from_bytes(rec[:8], "little")
+            if addr == UNDEF:
+                continue
+            if len(rec) == 8 + 8 * nd:
+                size, mask = chunk_bytes, 0
+                p = 8
+            else:
+                size_w = len(rec) - 12 - 8 * nd
+                if not (1 <= size_w <= 8):
+                    raise ValueError(
+                        f"v2 B-tree chunk record size {len(rec)} does "
+                        f"not fit {nd} dims"
+                    )
+                size = int.from_bytes(rec[8 : 8 + size_w], "little")
+                mask = int.from_bytes(
+                    rec[8 + size_w : 12 + size_w], "little"
+                )
+                p = 12 + size_w
+            scaled = [
+                int.from_bytes(rec[p + 8 * i : p + 8 * (i + 1)], "little")
+                for i in range(nd)
+            ]
+            coords = tuple(s * c for s, c in zip(scaled, cd))
+            out.append((coords, addr, int(size), int(mask)))
         return out
     raise NotImplementedError(f"v4 chunk indexing type {itype}")
 

@@ -560,6 +560,56 @@ def _btree_v2(w: _W, records: list[bytes], rec_type: int) -> int:
     return w.emit(hdr)
 
 
+def _btree_v2_chunkidx(
+    w: _W, records: list[bytes], rec_type: int, node_size: int = 2048
+) -> int:
+    """v2 B-tree chunk index (BTHD + BTLF leaves, + one BTIN root when
+    the records overflow a single leaf — depth 0/1). Same node-capacity
+    formula as the reader (node-10 bytes of records per leaf; internal
+    child pointers = address + leaf-record-count of
+    enc_size(leaf capacity) bytes)."""
+    rec_size = len(records[0])
+    cap0 = (node_size - 10) // rec_size
+    n = len(records)
+
+    def emit_leaf(rs: list[bytes]) -> int:
+        return w.emit(
+            b"BTLF" + struct.pack("<BB", 0, rec_type)
+            + b"".join(rs) + struct.pack("<I", 0)
+        )
+
+    if n <= cap0:
+        root, root_nrec, depth = emit_leaf(records), n, 0
+    else:
+        nleaves = max(2, -(-(n + 1) // (cap0 + 1)))
+        per = n - (nleaves - 1)  # records living in leaves
+        assert per >= nleaves, "fixture btree2: too few records to split"
+        base, extra = divmod(per, nleaves)
+        sizes = [base + (1 if i < extra else 0) for i in range(nleaves)]
+        assert max(sizes) <= cap0
+        children, seps = [], []
+        i = 0
+        for li, sz in enumerate(sizes):
+            children.append((emit_leaf(records[i : i + sz]), sz))
+            i += sz
+            if li < nleaves - 1:
+                seps.append(records[i])
+                i += 1
+        nsz = max(1, (cap0.bit_length() + 7) // 8)
+        body = b"BTIN" + struct.pack("<BB", 0, rec_type) + b"".join(seps)
+        for ca, cn in children:
+            body += struct.pack("<Q", ca) + cn.to_bytes(nsz, "little")
+        body += struct.pack("<I", 0)
+        root, root_nrec, depth = w.emit(body), len(seps), 1
+    return w.emit(
+        b"BTHD" + struct.pack(
+            "<BBIHHBBQHQI",
+            0, rec_type, node_size, rec_size, depth, 100, 40,
+            root, root_nrec, n, 0,
+        )
+    )
+
+
 # ---- link messages -----------------------------------------------------
 
 def _m_link(name: str, addr: int, order: int) -> bytes:
@@ -777,6 +827,23 @@ def write_hdf5(
                         params["page_bits"],
                     ])
                     lay = _m_layout_v4(cd, dt.itemsize, 4, ea, extra=extra)
+            elif v4 in ("btree2", "btree2_deep"):
+                recs = []
+                for coords, addr, size in chunks:
+                    scaled = tuple(c // s for c, s in zip(coords, cd))
+                    rec = struct.pack("<Q", addr)
+                    if pipeline:  # type 11: + nbytes(4) + mask(4)
+                        rec += struct.pack("<II", size, 0)
+                    rec += b"".join(struct.pack("<Q", s) for s in scaled)
+                    recs.append(rec)
+                node_size = 256 if v4 == "btree2_deep" else 2048
+                bt = _btree_v2_chunkidx(
+                    w, recs, 11 if pipeline else 10, node_size
+                )
+                lay = _m_layout_v4(
+                    cd, dt.itemsize, 5, bt,
+                    extra=struct.pack("<IBB", node_size, 100, 40),
+                )
             else:
                 raise ValueError(f"unknown v4 index {v4!r}")
             msgs.append((0x08, lay))

@@ -190,6 +190,9 @@ def test_nc4_to_raquet_time_tiles(spark, tmp_path):
         ("extensible", (), set()),
         ("extensible", (("shuffle",), ("deflate", 4)), {(1, 1, 1)}),
         ("extensible_paged", (("deflate", 6),), {(0, 1, 0)}),
+        ("btree2", (), set()),
+        ("btree2", (("shuffle",), ("deflate", 4)), {(1, 1, 1)}),
+        ("btree2_deep", (("deflate", 6),), {(0, 1, 0)}),
     ],
 )
 def test_nc4_v4_chunk_indexes(spark, tmp_path, v4, filters, skip):
@@ -259,25 +262,27 @@ def test_nc4_v4_single_chunk_and_dead_page(spark, tmp_path):
 
 
 def test_nc4_v4_unlimited_gates(tmp_path):
-    """B-tree-v2 chunk index (>1 unlimited dim under HDF5 1.10+) fails
-    with a typed error naming the construct; the extensible-array
-    layout message (itype 4, implemented) parses its five creation
-    parameters."""
+    """Both unlimited-dim chunk indexes are implemented now: the
+    layout message parses the extensible array's five creation
+    parameters (itype 4) and the v2 B-tree's node size/split/merge
+    (itype 5); unknown future index types still fail typed."""
     import struct
 
     from raquet_spark.sources.hdf5 import _layout
 
-    def v4_body(itype):
+    def v4_body(itype, tail=16):
         return (
             struct.pack("<BBBBB", 4, 2, 0, 3, 4)
             + struct.pack("<III", 8, 8, 2)
-            + bytes([itype]) + b"\x00" * 16
+            + bytes([itype]) + b"\x00" * tail
         )
 
     lay = _layout(v4_body(4))
     assert lay["index"] == 4 and "ea_max_bits" in lay
-    with pytest.raises(NotImplementedError, match="B-tree-v2"):
-        _layout(v4_body(5))
+    lay = _layout(v4_body(5))
+    assert lay["index"] == 5 and "bt2_node_size" in lay
+    with pytest.raises(NotImplementedError, match="indexing type 6"):
+        _layout(v4_body(6))
 
 
 def test_nc4_extensible_array_deep(spark, tmp_path):
@@ -318,6 +323,36 @@ def test_nc4_extensible_array_deep(spark, tmp_path):
     want[4, 0:8, 0:8] = fill
     want[4, 0:8, 8:16] = fill
     want[4, 8:16, 0:8] = fill
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nc4_btree2_chunk_index_deep(spark, tmp_path):
+    """v2 B-tree chunk index past a single leaf: 48 filtered chunk
+    records at node_size=256 force a depth-1 tree (BTIN root over
+    several BTLF leaves with separator records) — the index HDF5 1.10+
+    writes when MORE THAN ONE dimension is unlimited. Skipped chunks
+    have no record and read back as fill."""
+    nt, nlat, nlon = 12, 16, 16
+    lats, lons, data = _grid(nt=nt, nlat=nlat, nlon=nlon)
+    path = str(tmp_path / "bt2_deep.nc")
+    write_netcdf4(
+        path, lats, lons, data, times=np.arange(nt, dtype="f8"),
+        nc_type=3, scale_factor=0.5, add_offset=100.0, fill_value=-999,
+        chunks=(1, 8, 8), filters=(("shuffle",), ("deflate", 4)),
+        v4_index="btree2_deep", skip_chunks={(2, 0, 1), (7, 1, 0)},
+    )
+    nc = read_netcdf_structure(path)
+    pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
+    assert len(pdf) == nt * nlat * nlon
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy()
+        .reshape(nt, nlat, nlon)
+    )
+    want = np.where(data == -999, -999, data).astype("f8") * 0.5 + 100.0
+    fill = -999 * 0.5 + 100.0
+    want[2, 0:8, 8:16] = fill
+    want[7, 8:16, 0:8] = fill
     np.testing.assert_array_equal(got, want)
 
 
