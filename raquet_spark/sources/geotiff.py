@@ -835,7 +835,7 @@ def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
         big = False
         if ifd_off is None:
             ifd_off = struct.unpack(f"{en}I", raw[4:8])[0]
-        (n_entries,) = struct.unpack_from(f"{en}H", raw, ifd_off)
+        (n_entries,) = struct.unpack(f"{en}H", bytes(raw[ifd_off : ifd_off + 2]))
         entry0, entry_sz, inline = ifd_off + 2, 12, 4
     elif magic == 43:
         big = True
@@ -843,7 +843,7 @@ def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
             raise ValueError("unsupported BigTIFF offset size")
         if ifd_off is None:
             ifd_off = struct.unpack(f"{en}Q", raw[8:16])[0]
-        (n_entries,) = struct.unpack_from(f"{en}Q", raw, ifd_off)
+        (n_entries,) = struct.unpack(f"{en}Q", bytes(raw[ifd_off : ifd_off + 8]))
         entry0, entry_sz, inline = ifd_off + 8, 20, 8
     else:
         raise ValueError("not a TIFF (bad magic)")
@@ -856,10 +856,10 @@ def read_ifd(raw: bytes, ifd_off: int | None = None) -> dict[int, tuple]:
     for i in range(n_entries):
         pos = entry0 + i * entry_sz
         if big:
-            tag, typ, count = struct.unpack_from(f"{en}HHQ", raw, pos)
-            (val_off,) = struct.unpack_from(f"{en}Q", raw, pos + 12)
+            tag, typ, count = struct.unpack(f"{en}HHQ", bytes(raw[pos : pos + 12]))
+            (val_off,) = struct.unpack(f"{en}Q", bytes(raw[pos + 12 : pos + 20]))
         else:
-            tag, typ, count, val_off = struct.unpack_from(f"{en}HHII", raw, pos)
+            tag, typ, count, val_off = struct.unpack(f"{en}HHII", bytes(raw[pos : pos + 12]))
         if typ not in type_size:
             continue
         nbytes = type_size[typ] * count
@@ -889,8 +889,8 @@ def ifd_offsets(raw: bytes) -> list[int]:
     off = struct.unpack("<I", raw[4:8])[0]
     while off:
         out.append(off)
-        (n_entries,) = struct.unpack_from("<H", raw, off)
-        (off,) = struct.unpack_from("<I", raw, off + 2 + n_entries * 12)
+        (n_entries,) = struct.unpack("<H", bytes(raw[off : off + 2]))
+        (off,) = struct.unpack("<I", bytes(raw[off + 2 + n_entries * 12 : off + 6 + n_entries * 12]))
     return out
 
 

@@ -83,18 +83,20 @@ class _R:
         self.p += 1
         return v
 
+    # slice-then-unpack (NOT unpack_from) so the buffer can be a
+    # sources.io.RangeBuffer (lazy HTTP Range) as well as an mmap
     def u16(self):
-        (v,) = struct.unpack_from("<H", self.b, self.p)
+        (v,) = struct.unpack("<H", bytes(self.b[self.p : self.p + 2]))
         self.p += 2
         return v
 
     def u32(self):
-        (v,) = struct.unpack_from("<I", self.b, self.p)
+        (v,) = struct.unpack("<I", bytes(self.b[self.p : self.p + 4]))
         self.p += 4
         return v
 
     def u64(self):
-        (v,) = struct.unpack_from("<Q", self.b, self.p)
+        (v,) = struct.unpack("<Q", bytes(self.b[self.p : self.p + 8]))
         self.p += 8
         return v
 
@@ -1183,10 +1185,11 @@ def defilter(raw: bytes, filters, itemsize: int, filter_mask: int = 0) -> bytes:
 
 
 def _open(path: str):
-    import mmap
+    """mmap locally; lazy HTTP-Range buffer for http(s) URLs — header
+    and chunk-index pages only, like GDAL's /vsicurl/."""
+    from raquet_spark.sources.io import open_bytes
 
-    with open(path, "rb") as f:
-        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    return open_bytes(path)
 
 
 def read_hdf5_structure(path: str) -> dict:
@@ -1521,48 +1524,49 @@ def h5_pixel_table(spark, nc: dict, var: str, rows_per_chunk: int = 128):
         task_df = task_df.repartition(n_part)
 
         def decode(batches):
+            from raquet_spark.sources.io import range_reader
+
             dt = np.dtype(dts)
             nel = int(np.prod(cd3))
-            with open(path, "rb") as f:
-                for pdf in batches:
-                    for row in pdf.to_dict("records"):
-                        addr = int(row["addr"])
-                        t0, y0, x0 = (
-                            int(row["c0"]), int(row["c1"]), int(row["c2"])
-                        )
-                        if addr < 0:
-                            if fill is None:
-                                raw_arr = np.zeros(cd3, dtype=dt)
-                            else:
-                                raw_arr = np.full(cd3, dt.type(fill))
+            rd = range_reader(path)
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    addr = int(row["addr"])
+                    t0, y0, x0 = (
+                        int(row["c0"]), int(row["c1"]), int(row["c2"])
+                    )
+                    if addr < 0:
+                        if fill is None:
+                            raw_arr = np.zeros(cd3, dtype=dt)
                         else:
-                            f.seek(addr)
-                            raw = defilter(
-                                f.read(int(row["size"])), filters,
-                                dt.itemsize, int(row["mask"]),
+                            raw_arr = np.full(cd3, dt.type(fill))
+                    else:
+                        raw = defilter(
+                            rd(addr, int(row["size"])), filters,
+                            dt.itemsize, int(row["mask"]),
+                        )
+                        raw_arr = np.frombuffer(
+                            raw[: nel * dt.itemsize], dtype=dt
+                        ).reshape(cd3)
+                    th = min(cd3[0], ntime - t0)
+                    hh = min(cd3[1], nlat - y0)
+                    ww = min(cd3[2], nlon - x0)
+                    for dt_i in range(th):
+                        raw2 = raw_arr[dt_i, :hh, :ww]
+                        vals = raw2.astype("f8") * scale + offset
+                        if fill is not None:
+                            vals[raw2 == raw2.dtype.type(fill)] = (
+                                float(fill) * scale + offset
                             )
-                            raw_arr = np.frombuffer(
-                                raw[: nel * dt.itemsize], dtype=dt
-                            ).reshape(cd3)
-                        th = min(cd3[0], ntime - t0)
-                        hh = min(cd3[1], nlat - y0)
-                        ww = min(cd3[2], nlon - x0)
-                        for dt_i in range(th):
-                            raw2 = raw_arr[dt_i, :hh, :ww]
-                            vals = raw2.astype("f8") * scale + offset
-                            if fill is not None:
-                                vals[raw2 == raw2.dtype.type(fill)] = (
-                                    float(fill) * scale + offset
-                                )
-                            sy, sx = np.mgrid[0:hh, 0:ww]
-                            yield pd.DataFrame({
-                                "time_cf": np.full(
-                                    hh * ww, tvals[t0 + dt_i]
-                                ),
-                                "sx": (sx + x0).ravel().astype("int64"),
-                                "sy": (sy + y0).ravel().astype("int64"),
-                                "band_1": vals.ravel(),
-                            })
+                        sy, sx = np.mgrid[0:hh, 0:ww]
+                        yield pd.DataFrame({
+                            "time_cf": np.full(
+                                hh * ww, tvals[t0 + dt_i]
+                            ),
+                            "sx": (sx + x0).ravel().astype("int64"),
+                            "sy": (sy + y0).ravel().astype("int64"),
+                            "band_1": vals.ravel(),
+                        })
 
         return task_df.mapInPandas(
             decode,
@@ -1622,29 +1626,30 @@ def h5_pixel_table(spark, nc: dict, var: str, rows_per_chunk: int = 128):
     ).repartition(n_part)
 
     def decode_contig(batches):
+        from raquet_spark.sources.io import range_reader
+
         dt = np.dtype(dts)
-        with open(path, "rb") as f:
-            for pdf in batches:
-                for row in pdf.to_dict("records"):
-                    f.seek(int(row["off"]))
-                    nrows = int(row["nrows"])
-                    raw = np.frombuffer(
-                        f.read(nrows * nlon * dt.itemsize), dtype=dt
+        rd = range_reader(path)
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                nrows = int(row["nrows"])
+                raw = np.frombuffer(
+                    rd(int(row["off"]), nrows * nlon * dt.itemsize), dtype=dt
+                )
+                vals = raw.astype("f8") * scale + offset
+                if fill is not None:
+                    vals[raw == raw.dtype.type(fill)] = (
+                        float(fill) * scale + offset
                     )
-                    vals = raw.astype("f8") * scale + offset
-                    if fill is not None:
-                        vals[raw == raw.dtype.type(fill)] = (
-                            float(fill) * scale + offset
-                        )
-                    sy, sx = np.mgrid[0:nrows, 0:nlon]
-                    yield pd.DataFrame({
-                        "time_cf": np.full(
-                            nrows * nlon, float(row["time_cf"])
-                        ),
-                        "sx": sx.ravel().astype("int64"),
-                        "sy": (sy + int(row["row0"])).ravel().astype("int64"),
-                        "band_1": vals,
-                    })
+                sy, sx = np.mgrid[0:nrows, 0:nlon]
+                yield pd.DataFrame({
+                    "time_cf": np.full(
+                        nrows * nlon, float(row["time_cf"])
+                    ),
+                    "sx": sx.ravel().astype("int64"),
+                    "sy": (sy + int(row["row0"])).ravel().astype("int64"),
+                    "band_1": vals,
+                })
 
     return task_df.mapInPandas(
         decode_contig,

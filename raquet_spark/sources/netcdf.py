@@ -114,8 +114,9 @@ def read_netcdf_structure(path: str, header_bytes: int = 1 << 20) -> dict:
     into one structure-dict shape: dimensions, global attributes,
     variables (dims, shape, attrs, dtype). ``numrecs`` and the record
     size are derived for classic unlimited-dimension variables."""
-    with open(path, "rb") as f:
-        buf = f.read(header_bytes)
+    from raquet_spark.sources.io import read_prefix
+
+    buf = read_prefix(path, header_bytes)
     if buf[:4] == b"\x89HDF":
         from raquet_spark.sources.hdf5 import nc4_structure
 
@@ -188,18 +189,22 @@ def read_coord_var(nc: dict, name: str) -> np.ndarray:
         from raquet_spark.sources.hdf5 import h5_read_var
 
         return h5_read_var(nc, name).astype("f8")
+    from raquet_spark.sources.io import range_reader
+
     v = nc["variables"][name]
     dt = np.dtype(v["dtype"])
-    with open(nc["path"], "rb") as f:
-        if not v["record"]:
-            n = int(np.prod(v["shape"])) if v["shape"] else 1
-            f.seek(v["begin"])
-            return np.frombuffer(f.read(n * dt.itemsize), dtype=dt).astype("f8")
-        out = []
-        for rec in range(nc["numrecs"]):
-            f.seek(v["begin"] + rec * nc["recsize"])
-            out.append(np.frombuffer(f.read(dt.itemsize), dtype=dt)[0])
-        return np.array(out, dtype="f8")
+    rd = range_reader(nc["path"])
+    if not v["record"]:
+        n = int(np.prod(v["shape"])) if v["shape"] else 1
+        return np.frombuffer(
+            rd(v["begin"], n * dt.itemsize), dtype=dt
+        ).astype("f8")
+    out = []
+    for rec in range(nc["numrecs"]):
+        out.append(np.frombuffer(
+            rd(v["begin"] + rec * nc["recsize"], dt.itemsize), dtype=dt
+        )[0])
+    return np.array(out, dtype="f8")
 
 
 def _short(name: str) -> str:
@@ -312,29 +317,31 @@ def netcdf_pixel_table(
     dts = str(dt)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        with open(path, "rb") as f:
-            for pdf in batches:
-                for row in pdf.to_dict("records"):
-                    f.seek(int(row["off"]))
-                    nrows = int(row["nrows"])
-                    raw = np.frombuffer(
-                        f.read(nrows * nlon * np.dtype(dts).itemsize),
-                        dtype=np.dtype(dts),
+        from raquet_spark.sources.io import range_reader
+
+        rd = range_reader(path)
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                nrows = int(row["nrows"])
+                raw = np.frombuffer(
+                    rd(int(row["off"]),
+                       nrows * nlon * np.dtype(dts).itemsize),
+                    dtype=np.dtype(dts),
+                )
+                # fill compares in RAW space; scaled values keep the
+                # scaled nodata so downstream masking stays uniform
+                vals = raw.astype("f8") * scale + offset
+                if fill is not None:
+                    vals[raw == raw.dtype.type(fill)] = (
+                        float(fill) * scale + offset
                     )
-                    # fill compares in RAW space; scaled values keep the
-                    # scaled nodata so downstream masking stays uniform
-                    vals = raw.astype("f8") * scale + offset
-                    if fill is not None:
-                        vals[raw == raw.dtype.type(fill)] = (
-                            float(fill) * scale + offset
-                        )
-                    sy, sx = np.mgrid[0:nrows, 0:nlon]
-                    yield pd.DataFrame({
-                        "time_cf": np.full(nrows * nlon, float(row["time_cf"])),
-                        "sx": sx.ravel().astype("int64"),
-                        "sy": (sy + int(row["row0"])).ravel().astype("int64"),
-                        "band_1": vals,
-                    })
+                sy, sx = np.mgrid[0:nrows, 0:nlon]
+                yield pd.DataFrame({
+                    "time_cf": np.full(nrows * nlon, float(row["time_cf"])),
+                    "sx": sx.ravel().astype("int64"),
+                    "sy": (sy + int(row["row0"])).ravel().astype("int64"),
+                    "band_1": vals,
+                })
 
     return task_df.mapInPandas(
         decode, schema="time_cf double, sx bigint, sy bigint, band_1 double"

@@ -280,13 +280,17 @@ def _projection(keys: dict) -> dict | None:
 def read_tiff_structure(path: str) -> dict:
     """Parse header/IFD only (classic or BigTIFF). Returns geometry,
     dtype, CRS, geotransform and the segment (strip or tile) layout.
-    The file is mmap'd, not read: a multi-GB BigTIFF costs only the IFD
+    The file is mmap'd (or, for http(s) URLs, ranged — sources/io.py),
+    not read: a multi-GB BigTIFF costs only the IFD
     pages here — pixel bytes are fetched per-segment by the executors."""
-    import mmap
+    from raquet_spark.sources.io import open_bytes
 
-    with open(path, "rb") as f:
-        with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as raw:
-            tags = read_ifd(raw)
+    raw = open_bytes(path)
+    try:
+        tags = read_ifd(raw)
+    finally:
+        if hasattr(raw, "close"):
+            raw.close()
 
     width, height = tags[256][0], tags[257][0]
     spp = tags.get(277, (1,))[0]
@@ -452,41 +456,42 @@ def tiff_pixel_table(
         segs_per_band = len(info["segments"]) // n_bands
 
         def decode_planar(batches):
-            with open(path, "rb") as f:
-                for pdf in batches:
-                    for row in pdf.to_dict("records"):
-                        seg, off, cnt = int(row["seg"]), int(row["off"]), int(row["cnt"])
-                        f.seek(off)
-                        buf = f.read(cnt)
-                        if compression in (8, 32946):
-                            buf = zlib.decompress(buf)
-                        elif compression == 5:
-                            buf = lzw_decode(buf)
-                        elif compression == 32773:
-                            buf = packbits_decode(buf)
-                        band, bseg = divmod(seg, segs_per_band)
-                        arr = np.frombuffer(buf, dtype=dtype)
-                        if tiled:
-                            ty, tx = divmod(bseg, segs_across)
-                            x0, y0 = tx * seg_w, ty * seg_h
-                            arr = arr.reshape(seg_h, seg_w)
-                        else:
-                            x0, y0 = 0, bseg * seg_h
-                            rows = min(seg_h, height - y0)
-                            arr = arr[: rows * seg_w].reshape(rows, seg_w)
-                        if predictor == 2:
-                            arr = np.cumsum(arr, axis=1, dtype=dtype).astype(dtype)
-                        h, w = arr.shape
-                        w_eff = min(w, width - x0)
-                        h_eff = min(h, height - y0)
-                        arr = arr[:h_eff, :w_eff]
-                        sy, sx = np.mgrid[0:h_eff, 0:w_eff]
-                        yield pd.DataFrame({
-                            "sx": (sx + x0).ravel().astype("int64"),
-                            "sy": (sy + y0).ravel().astype("int64"),
-                            "band": np.full(h_eff * w_eff, band, dtype="int64"),
-                            "val": arr.ravel().astype("f8"),
-                        })
+            from raquet_spark.sources.io import range_reader
+
+            rd = range_reader(path)
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    seg, off, cnt = int(row["seg"]), int(row["off"]), int(row["cnt"])
+                    buf = rd(off, cnt)
+                    if compression in (8, 32946):
+                        buf = zlib.decompress(buf)
+                    elif compression == 5:
+                        buf = lzw_decode(buf)
+                    elif compression == 32773:
+                        buf = packbits_decode(buf)
+                    band, bseg = divmod(seg, segs_per_band)
+                    arr = np.frombuffer(buf, dtype=dtype)
+                    if tiled:
+                        ty, tx = divmod(bseg, segs_across)
+                        x0, y0 = tx * seg_w, ty * seg_h
+                        arr = arr.reshape(seg_h, seg_w)
+                    else:
+                        x0, y0 = 0, bseg * seg_h
+                        rows = min(seg_h, height - y0)
+                        arr = arr[: rows * seg_w].reshape(rows, seg_w)
+                    if predictor == 2:
+                        arr = np.cumsum(arr, axis=1, dtype=dtype).astype(dtype)
+                    h, w = arr.shape
+                    w_eff = min(w, width - x0)
+                    h_eff = min(h, height - y0)
+                    arr = arr[:h_eff, :w_eff]
+                    sy, sx = np.mgrid[0:h_eff, 0:w_eff]
+                    yield pd.DataFrame({
+                        "sx": (sx + x0).ravel().astype("int64"),
+                        "sy": (sy + y0).ravel().astype("int64"),
+                        "band": np.full(h_eff * w_eff, band, dtype="int64"),
+                        "val": arr.ravel().astype("f8"),
+                    })
 
         narrow = seg_df.mapInPandas(
             decode_planar, schema="sx bigint, sy bigint, band bigint, val double"
@@ -501,55 +506,56 @@ def tiff_pixel_table(
         )
 
     def decode(batches):
-        with open(path, "rb") as f:
-            for pdf in batches:
-                for row in pdf.to_dict("records"):
-                    seg, off, cnt = int(row["seg"]), int(row["off"]), int(row["cnt"])
-                    f.seek(off)
-                    buf = f.read(cnt)
-                    if compression in (8, 32946):
-                        buf = zlib.decompress(buf)
-                    elif compression == 5:
-                        buf = lzw_decode(buf)
-                    elif compression == 32773:
-                        buf = packbits_decode(buf)
+        from raquet_spark.sources.io import range_reader
+
+        rd = range_reader(path)
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                seg, off, cnt = int(row["seg"]), int(row["off"]), int(row["cnt"])
+                buf = rd(off, cnt)
+                if compression in (8, 32946):
+                    buf = zlib.decompress(buf)
+                elif compression == 5:
+                    buf = lzw_decode(buf)
+                elif compression == 32773:
+                    buf = packbits_decode(buf)
+                if tiled:
+                    ty, tx = divmod(seg, segs_across)
+                    x0, y0 = tx * seg_w, ty * seg_h
+                else:
+                    x0, y0 = 0, seg * seg_h
+                if compression == 7:
+                    # each segment is its own JPEG; its header
+                    # carries the true segment dims (a bottom strip
+                    # is shorter than RowsPerStrip)
+                    arr = _jpeg_seg_decode(
+                        buf, jpeg_tables, n_bands, jpeg_color_transform
+                    )
+                else:
+                    arr = np.frombuffer(buf, dtype=dtype)
                     if tiled:
-                        ty, tx = divmod(seg, segs_across)
-                        x0, y0 = tx * seg_w, ty * seg_h
+                        arr = arr.reshape(seg_h, seg_w, n_bands)
                     else:
-                        x0, y0 = 0, seg * seg_h
-                    if compression == 7:
-                        # each segment is its own JPEG; its header
-                        # carries the true segment dims (a bottom strip
-                        # is shorter than RowsPerStrip)
-                        arr = _jpeg_seg_decode(
-                            buf, jpeg_tables, n_bands, jpeg_color_transform
+                        rows = min(seg_h, height - y0)
+                        arr = arr[: rows * seg_w * n_bands].reshape(
+                            rows, seg_w, n_bands
                         )
-                    else:
-                        arr = np.frombuffer(buf, dtype=dtype)
-                        if tiled:
-                            arr = arr.reshape(seg_h, seg_w, n_bands)
-                        else:
-                            rows = min(seg_h, height - y0)
-                            arr = arr[: rows * seg_w * n_bands].reshape(
-                                rows, seg_w, n_bands
-                            )
-                        if predictor == 2:
-                            arr = np.cumsum(arr, axis=1, dtype=dtype).astype(dtype)
-                    h, w = arr.shape[:2]
-                    w_eff = min(w, width - x0)
-                    h_eff = min(h, height - y0)
-                    arr = arr[:h_eff, :w_eff]
-                    sy, sx = np.mgrid[0:h_eff, 0:w_eff]
-                    out = {
-                        "sx": (sx + x0).ravel().astype("int64"),
-                        "sy": (sy + y0).ravel().astype("int64"),
-                    }
-                    for b in range(n_bands):
-                        out[f"{band_prefix}{b + 1}"] = (
-                            arr[:, :, b].ravel().astype("f8")
-                        )
-                    yield pd.DataFrame(out)
+                    if predictor == 2:
+                        arr = np.cumsum(arr, axis=1, dtype=dtype).astype(dtype)
+                h, w = arr.shape[:2]
+                w_eff = min(w, width - x0)
+                h_eff = min(h, height - y0)
+                arr = arr[:h_eff, :w_eff]
+                sy, sx = np.mgrid[0:h_eff, 0:w_eff]
+                out = {
+                    "sx": (sx + x0).ravel().astype("int64"),
+                    "sy": (sy + y0).ravel().astype("int64"),
+                }
+                for b in range(n_bands):
+                    out[f"{band_prefix}{b + 1}"] = (
+                        arr[:, :, b].ravel().astype("f8")
+                    )
+                yield pd.DataFrame(out)
 
     schema = "sx bigint, sy bigint, " + ", ".join(
         f"{band_prefix}{b + 1} double" for b in range(info["n_bands"])
