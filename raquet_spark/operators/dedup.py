@@ -66,11 +66,12 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
 ) -> DataFrame:
-    """(id_a, id_b) candidate pairs from banded signatures via per-band
-    group joins (explode to (band, key) then self-join on the key)."""
+    """(id, band, key) rows: the signature split into bands of
+    ``rows_per_band`` hashes, each band folded to one join key — the
+    unit the LSH equi-join (and the streaming band index) works on."""
     sig_cols = [c for c in signatures.columns if c != id_col]
     n_bands = len(sig_cols) // rows_per_band
     bands = F.array(*[
@@ -78,9 +79,17 @@ def lsh_candidate_pairs(
                            for r in range(rows_per_band)])
         for b in range(n_bands)
     ])
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.posexplode(bands).alias("band", "key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from banded signatures via per-band
+    group joins (explode to (band, key) then self-join on the key)."""
+    banded = banded_signatures(signatures, id_col, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

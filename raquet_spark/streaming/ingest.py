@@ -172,6 +172,92 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    available_now: bool = True,
+):
+    """NEAR-duplicate dedup on a document STREAM (extends F4, which is
+    exact-only): each micro-batch computes MinHash signatures, splits
+    them into LSH bands, and equi-joins the band keys against a
+    PERSISTED band index (parquet — the same offline-index/online-probe
+    split as the E45 ANN index persistence) plus itself, emitting
+    candidate near-dup pairs incrementally; the batch's own bands are
+    then appended to the index.
+
+    Guarantees (pytest-pinned): the union of emitted pairs across
+    batches equals the batch ``minhash_dedup_pairs`` of the full corpus
+    — every pair (a, b) surfaces exactly once, in the batch where its
+    LATER document arrives (within-batch pairs via the self-join,
+    cross-batch pairs via the index probe). Each pair carries
+    ``is_dup_of_seen`` = the partner was already indexed when the doc
+    arrived — the greedy keep/drop signal an ingest guard acts on.
+
+    Scale shape: the per-batch work is one signature projection + two
+    bucketed equi-joins on (band, key) — no all-pairs anywhere. The
+    index grows with the kept corpus (that is its job — it IS the dedup
+    state); at 100 TB it would be date-partitioned so a retention
+    horizon can drop old partitions, and the probe join benefits from
+    partition pruning on the band column."""
+    from raquet_spark.operators.dedup import banded_signatures, minhash_signatures
+
+    spark = stream.sparkSession
+
+    def process(batch_df, batch_id):
+        sigs = minhash_signatures(batch_df, text_col, id_col)
+        banded = banded_signatures(sigs, id_col, rows_per_band).persist()
+        try:
+            a, b = banded.alias("a"), banded.alias("b")
+            within = (
+                a.join(b, ["band", "key"])
+                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.lit(False).alias("is_dup_of_seen"),
+                )
+            )
+            try:
+                idx = spark.read.parquet(index_dir)
+                has_index = True
+            except Exception:
+                has_index = False
+            pairs = within
+            if has_index:
+                cross = (
+                    banded.alias("n")
+                    .join(idx.alias("i"), ["band", "key"])
+                    .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+                    .select(
+                        F.least(f"n.{id_col}", f"i.{id_col}").alias("id_a"),
+                        F.greatest(f"n.{id_col}", f"i.{id_col}").alias("id_b"),
+                        F.lit(True).alias("is_dup_of_seen"),
+                    )
+                )
+                pairs = within.unionByName(cross)
+            (
+                pairs.groupBy("id_a", "id_b")
+                .agg(F.max("is_dup_of_seen").alias("is_dup_of_seen"))
+                .write.mode("append").parquet(pairs_dir)
+            )
+            banded.write.mode("append").parquet(index_dir)
+        finally:
+            banded.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_clean_docs(
     df: DataFrame,
     ts_col: str = "ts",

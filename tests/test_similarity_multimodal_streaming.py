@@ -891,3 +891,70 @@ def test_audio_resample_bit_depths(spark):
         # NOT clipped (a hard-clipped square wave has rms ≈ peak)
         assert peak > 30000, (sw, peak)
         assert abs(rms - peak / np.sqrt(2)) < peak * 0.05, (sw, rms, peak)
+
+
+def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
+    """F11: streamed near-dup candidate pairs (per-micro-batch MinHash
+    bands joined against the persisted band index) equal the batch
+    minhash_dedup_pairs of the full corpus, with planted near-dups
+    both WITHIN a batch and ACROSS batches; cross-batch pairs carry
+    is_dup_of_seen=True."""
+    import time
+
+    from raquet_spark.operators.dedup import minhash_dedup_pairs
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import streaming_minhash_dedup
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(30).select("doc_id", "text").collect()
+    )
+    # three batches: batch0 = originals; batch1 = near-dups of batch0
+    # docs (cross-batch pairs) + fresh docs; batch2 = two near-dup
+    # copies of one batch1 doc (one within-batch pair + cross pairs)
+    b0 = [(r["doc_id"], r["text"]) for r in base[:10]]
+    b1 = [(r["doc_id"] + 1000, r["text"] + " tail") for r in base[:5]]
+    b1 += [(r["doc_id"] + 2000, r["text"]) for r in base[10:15]]
+    seed = base[10]["text"]
+    b2 = [(9001, seed + " x"), (9002, seed + " y")]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    full_rows = []
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+        full_rows += rows
+
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            spark.createDataFrame(full_rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert want, "planted near-dups must produce batch pairs"
+
+    idx_dir = str(tmp_path / "band_index")
+    pairs_dir = str(tmp_path / "pairs")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "b*"))
+    q = streaming_minhash_dedup(
+        stream, idx_dir, pairs_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    time.sleep(0.5)
+
+    got_rows = spark.read.parquet(pairs_dir).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want
+    # no pair emitted twice across batches
+    assert len(got_rows) == len(got)
+    flags = {(r["id_a"], r["id_b"]): r["is_dup_of_seen"] for r in got_rows}
+    # the batch1-vs-batch0 planted near-dups are cross-batch
+    for did, _ in b1[:5]:
+        orig = did - 1000
+        assert flags[(orig, did)] is True
+    # 9001/9002 arrived together: within-batch pair
+    assert flags[(9001, 9002)] is False
