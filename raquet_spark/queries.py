@@ -1641,6 +1641,13 @@ def rasterize_wkt_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = wkts.select(
         "feature_id", F.expr(wkt_ring_expr("wkt")).alias("polygon"), "value"
     )
+    # perf note (r10, re-measured): the ~2x wall gap vs the struct twin
+    # is NOT per-row re-parse — the parse sits before the tile explode
+    # and evaluates once per feature either way (verified in the
+    # physical plan). The struct twin constant-folds its 2-row input to
+    # a LocalTableScan while this plan keeps a Scan ExistingRDD +
+    # codegen of the regexp parse; the delta is plan-compile constants
+    # at fixture scale (a repartition barrier was A/B'd: no gain).
     tiles, _meta = rasterize_features(
         feats, zoom=zoom, block_size=bs, band_type="uint8", nodata=0.0,
         compression=None,
