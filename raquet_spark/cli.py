@@ -314,6 +314,32 @@ def cmd_import_netcdf(args) -> int:
     return 0
 
 
+def cmd_import_grib(args) -> int:
+    """GRIB2 → raquet (reference `convert` accepts GRIB through GDAL's
+    driver): per-message distributed decode, forecast steps as
+    time_cf."""
+    from raquet_spark.sources.grib2 import grib2_to_raquet
+    from raquet_spark.sources.raquet import write_raquet
+
+    spark = _spark()
+    param = None
+    if args.param:
+        cat, num = args.param.split(",")
+        param = (int(cat), int(num))
+    tiles, meta = grib2_to_raquet(
+        spark, args.input, param=param, zoom=args.zoom,
+        block_size=args.block_size, stats=args.stats,
+        resampling=getattr(args, "resampling", "near"),
+    )
+    write_raquet(tiles, args.output, meta)
+    steps = meta.get("time", {}).get("count", 0)
+    print(
+        f"imported {args.input} -> {args.output} "
+        f"(z{meta['tiling']['max_zoom']}, {steps or 'no'} time step(s))"
+    )
+    return 0
+
+
 def cmd_export(args) -> int:
     from raquet_spark.operators.export import pixel_table_with_lonlat, to_pixel_table
     from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
@@ -620,6 +646,18 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["near", "bilinear", "cubic"])
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_netcdf)
+
+    s = sub.add_parser("import-grib", help="GRIB2 weather archive → raquet, forecast steps preserved")
+    s.add_argument("input")
+    s.add_argument("output")
+    s.add_argument("--param", default=None,
+                   help="parameter as 'category,number' (default: first message's)")
+    s.add_argument("--zoom", type=int, default=None)
+    s.add_argument("--block-size", type=int, default=256)
+    s.add_argument("--resampling", default="near",
+                   choices=["near", "bilinear", "cubic"])
+    s.add_argument("--stats", action="store_true", default=True)
+    s.set_defaults(fn=cmd_import_grib)
 
     s = sub.add_parser("convert", help="pixel-table parquet → raquet")
     s.add_argument("input")

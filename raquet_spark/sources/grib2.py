@@ -1,0 +1,389 @@
+"""GRIB2 ingestion — the WMO FM 92 GRIB edition-2 weather-archive
+format (NOAA GFS/HRRR, ECMWF dissemination), read from scratch with no
+GDAL/eccodes, from the public WMO GRIB2 specification.
+
+Reference parity: the reference converts any GDAL-readable raster
+(cli.py:283 ``convert raster``), and GDAL's GRIB driver is how GRIB2
+archives reach raquet today. Here the DRIVER parses only message/
+section offsets and packing parameters (byte-ranged via sources/io.py,
+so object-store URLs prune to header reads), and EXECUTORS decode each
+message's Section-7 payload — one message (one field/time step) is the
+natural parallel unit of a GRIB archive, which stores thousands of
+messages per file.
+
+Scope (typed gates name everything else, never silent wrong answers):
+- edition 2; grid definition template 3.0 (regular lat/lon);
+- product definition templates 4.0/4.8 (read for time/parameter keys);
+- data representation template 5.0 (simple packing: ``Y = (R + X *
+  2^E) / 10^D``) and 5.41 gated, 5.40 (JPEG2000) gated, complex
+  packing (5.2/5.3) gated;
+- bitmap indicator 255 (none), 0 (bitmap present — missing points
+  carry no packed value), 254 (reuse previous) gated;
+- scanning mode +i, j either direction, row-major (bits 1/2/3 of the
+  flag; bit 4 boustrophedon gated).
+
+Signed GRIB integers are sign-magnitude (top bit = minus), NOT two's
+complement — ``_sm16``/``_sm32`` below.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _sm(v: int, bits: int) -> int:
+    """GRIB sign-magnitude decode: top bit set → negative magnitude."""
+    top = 1 << (bits - 1)
+    return -(v & (top - 1)) if v & top else v
+
+
+def _sm16(b: bytes, off: int) -> int:
+    return _sm(struct.unpack_from(">H", b, off)[0], 16)
+
+
+def _sm32(b: bytes, off: int) -> int:
+    return _sm(struct.unpack_from(">I", b, off)[0], 32)
+
+
+def _sections(b, msg_off: int, msg_len: int) -> dict[int, tuple[int, int]]:
+    """{section number: (offset, length)} for one message. Section 0 is
+    16 bytes; section 8 is the literal '7777'."""
+    out = {0: (msg_off, 16)}
+    p = msg_off + 16
+    end = msg_off + msg_len
+    while p < end - 4:
+        (ln,) = struct.unpack(">I", bytes(b[p : p + 4]))
+        num = b[p + 4]
+        out[num] = (p, ln)
+        p += ln
+    if bytes(b[end - 4 : end]) != b"7777":
+        raise ValueError(f"GRIB2 message at {msg_off} missing '7777' end")
+    return out
+
+
+def read_grib2_structure(path: str) -> dict:
+    """Driver-side scan: every message's grid/product/packing
+    parameters and the byte range of its packed data — no pixel bytes
+    touched. Multi-message files (one message per field/step) come back
+    as a ``messages`` list ordered by file position."""
+    from raquet_spark.sources.io import open_bytes
+
+    b = open_bytes(path)
+    size = len(b)
+    messages = []
+    p = 0
+    while p + 16 <= size:
+        if bytes(b[p : p + 4]) != b"GRIB":
+            raise ValueError(f"bad GRIB indicator at {p}")
+        edition = b[p + 7]
+        if edition != 2:
+            raise NotImplementedError(f"GRIB edition {edition} (only 2)")
+        (msg_len,) = struct.unpack(">Q", bytes(b[p + 8 : p + 16]))
+        sec = _sections(b, p, msg_len)
+        m = {"offset": p, "length": msg_len, "discipline": b[p + 6]}
+
+        s1, _ = sec[1]
+        m["ref_time"] = (
+            struct.unpack(">H", bytes(b[s1 + 12 : s1 + 14]))[0],  # year
+            b[s1 + 14], b[s1 + 15], b[s1 + 16], b[s1 + 17], b[s1 + 18],
+        )
+
+        s3, _ = sec[3]
+        gdt = struct.unpack(">H", bytes(b[s3 + 12 : s3 + 14]))[0]
+        if gdt != 0:
+            raise NotImplementedError(
+                f"GRIB2 grid definition template 3.{gdt} "
+                "(regular lat/lon 3.0 only)"
+            )
+        t = s3 + 14  # template 3.0 body
+        raw3 = bytes(b[t : t + 58])
+        ni = struct.unpack_from(">I", raw3, 16)[0]
+        nj = struct.unpack_from(">I", raw3, 20)[0]
+        lat1 = _sm(struct.unpack_from(">I", raw3, 32)[0], 32) / 1e6
+        lon1 = _sm(struct.unpack_from(">I", raw3, 36)[0], 32) / 1e6
+        lat2 = _sm(struct.unpack_from(">I", raw3, 41)[0], 32) / 1e6
+        lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
+        di = struct.unpack_from(">I", raw3, 49)[0] / 1e6
+        dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
+        scan = raw3[57]
+        if scan & 0b00010000:
+            raise NotImplementedError("GRIB2 boustrophedon scanning")
+        if scan & 0b10000000:
+            raise NotImplementedError("GRIB2 -i (east→west) scanning")
+        m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2,
+                 di=di, dj=dj, scan=scan,
+                 j_positive=bool(scan & 0b01000000))
+
+        s4, _ = sec[4]
+        pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
+        if pdt not in (0, 8):
+            raise NotImplementedError(
+                f"GRIB2 product definition template 4.{pdt} (4.0/4.8)"
+            )
+        m["param_category"] = b[s4 + 9]
+        m["param_number"] = b[s4 + 10]
+        m["forecast_time"] = struct.unpack(
+            ">I", bytes(b[s4 + 18 : s4 + 22])
+        )[0]
+        m["level_type"] = b[s4 + 22]
+
+        s5, _ = sec[5]
+        m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
+        drt = struct.unpack(">H", bytes(b[s5 + 9 : s5 + 11]))[0]
+        if drt != 0:
+            gate = {
+                2: "complex packing (5.2)",
+                3: "complex packing with spatial differencing (5.3)",
+                40: "JPEG2000 (5.40)",
+                41: "PNG (5.41)",
+            }.get(drt, f"5.{drt}")
+            raise NotImplementedError(
+                f"GRIB2 data representation template {gate} "
+                "(simple packing 5.0 only)"
+            )
+        raw5 = bytes(b[s5 + 11 : s5 + 21])
+        (m["R"],) = struct.unpack_from(">f", raw5, 0)
+        m["E"] = _sm(struct.unpack_from(">H", raw5, 4)[0], 16)
+        m["D"] = _sm(struct.unpack_from(">H", raw5, 6)[0], 16)
+        m["nbits"] = raw5[8]
+
+        s6 = sec.get(6)
+        m["bitmap_off"] = None
+        if s6 is not None:
+            ind = b[s6[0] + 5]
+            if ind == 0:
+                m["bitmap_off"] = s6[0] + 6
+                m["bitmap_len"] = s6[1] - 6
+            elif ind == 254:
+                raise NotImplementedError(
+                    "GRIB2 bitmap indicator 254 (reuse previous bitmap)"
+                )
+            elif ind != 255:
+                raise NotImplementedError(
+                    f"GRIB2 pre-defined bitmap indicator {ind}"
+                )
+
+        s7, s7len = sec[7]
+        m["data_off"] = s7 + 5
+        m["data_len"] = s7len - 5
+        messages.append(m)
+        p += msg_len
+    if hasattr(b, "close"):
+        b.close()
+    return {"path": path, "format": "grib2", "messages": messages}
+
+
+def _unpack_bits(raw: bytes, n: int, nbits: int) -> np.ndarray:
+    """First ``n`` big-endian ``nbits``-wide unsigned ints from a bit
+    stream, vectorized (unpackbits → (n, nbits) → dot with powers)."""
+    if nbits == 0:
+        return np.zeros(n, dtype="i8")
+    need = (n * nbits + 7) // 8
+    bits = np.unpackbits(np.frombuffer(raw[:need], dtype="u1"))
+    bits = bits[: n * nbits].reshape(n, nbits).astype("i8")
+    weights = 1 << np.arange(nbits - 1, -1, -1, dtype="i8")
+    return bits @ weights
+
+
+def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
+    """One message's values as an (nj, ni) float64 grid with NaN where
+    the bitmap says 'missing'; row 0 = NORTH (j flipped when the scan
+    direction is +j). ``Y = (R + X * 2^E) / 10^D``."""
+    ni, nj = m["ni"], m["nj"]
+    total = ni * nj
+    if bitmap is not None:
+        mask = np.unpackbits(np.frombuffer(bitmap, dtype="u1"))[:total] == 1
+        npresent = int(mask.sum())
+    else:
+        mask = None
+        npresent = m["npoints"]
+    x = _unpack_bits(raw7, npresent, m["nbits"]).astype("f8")
+    y = (m["R"] + x * (2.0 ** m["E"])) / (10.0 ** m["D"])
+    if mask is not None:
+        full = np.full(total, np.nan)
+        full[mask] = y
+        y = full
+    grid = y.reshape(nj, ni)
+    if m["j_positive"]:  # stored south→north: flip so row 0 is north
+        grid = grid[::-1]
+    return grid
+
+
+def grib2_pixel_table(
+    spark,
+    g: dict,
+    param: tuple[int, int] | None = None,
+):
+    """Distributed decode → (time_cf, sy, sx, band_1) pixel rows,
+    ``time_cf`` = forecast hours; one mapInPandas task per message
+    (byte-ranged read through sources/io.range_reader). Missing points
+    (bitmap) are omitted — GRIB has no inline fill value. ``param``
+    filters (category, number); default: the (category, number) of the
+    first message."""
+    import pandas as pd
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    msgs = g["messages"]
+    if not msgs:
+        raise ValueError("empty GRIB2 file")
+    if param is None:
+        param = (msgs[0]["param_category"], msgs[0]["param_number"])
+    sel = [
+        m for m in msgs
+        if (m["param_category"], m["param_number"]) == param
+    ]
+    if not sel:
+        raise ValueError(f"no GRIB2 messages for parameter {param}")
+    shape0 = (sel[0]["ni"], sel[0]["nj"])
+    for m in sel:
+        if (m["ni"], m["nj"]) != shape0:
+            raise NotImplementedError(
+                "GRIB2 messages of one parameter on different grids"
+            )
+    path = g["path"]
+    n_part = max(1, min(len(sel), spark.sparkContext.defaultParallelism))
+    task_df = spark.createDataFrame(
+        pd.DataFrame([
+            {
+                "i": i, "forecast_time": float(m["forecast_time"]),
+                "data_off": m["data_off"], "data_len": m["data_len"],
+                "bitmap_off": m["bitmap_off"] if m["bitmap_off"] else -1,
+                "bitmap_len": m.get("bitmap_len", 0) or 0,
+                "ni": m["ni"], "nj": m["nj"], "npoints": m["npoints"],
+                "R": float(m["R"]), "E": m["E"], "D": m["D"],
+                "nbits": m["nbits"], "j_positive": m["j_positive"],
+            }
+            for i, m in enumerate(sel)
+        ])
+    ).repartition(n_part)
+
+    def decode(batches):
+        from raquet_spark.sources.io import range_reader
+
+        rd = range_reader(path)
+        for pdf in batches:
+            for row in pdf.to_dict("records"):
+                m = {
+                    "ni": int(row["ni"]), "nj": int(row["nj"]),
+                    "npoints": int(row["npoints"]), "R": float(row["R"]),
+                    "E": int(row["E"]), "D": int(row["D"]),
+                    "nbits": int(row["nbits"]),
+                    "j_positive": bool(row["j_positive"]),
+                }
+                bitmap = (
+                    rd(int(row["bitmap_off"]), int(row["bitmap_len"]))
+                    if int(row["bitmap_off"]) >= 0 else None
+                )
+                grid = decode_message(
+                    rd(int(row["data_off"]), int(row["data_len"])), m, bitmap
+                )
+                sy, sx = np.nonzero(~np.isnan(grid))
+                yield pd.DataFrame({
+                    "time_cf": np.full(len(sy), float(row["forecast_time"])),
+                    "sy": sy.astype("int64"),
+                    "sx": sx.astype("int64"),
+                    "band_1": grid[sy, sx],
+                })
+
+    return task_df.mapInPandas(
+        decode, schema="time_cf double, sy bigint, sx bigint, band_1 double"
+    )
+
+
+def grib2_to_raquet(
+    spark,
+    path: str,
+    param: tuple[int, int] | None = None,
+    zoom: int | None = None,
+    block_size: int = 256,
+    compression: str | None = "gzip",
+    stats: bool = True,
+    resampling: str = "near",
+    nodata: float = -9999.0,
+):
+    """GRIB2 → RaQuet tiles on the mercator grid, forecast steps as
+    ``time_cf`` — the same single-warp-shuffle + single-tiling-shuffle
+    pipeline as :func:`netcdf.netcdf_to_raquet` (the two formats carry
+    the same regular-lat/lon + time-steps shape)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.operators.tiling import from_pixel_table
+    from raquet_spark.sources.tiff_reader import (
+        _lonlat_corners,
+        _pick_zoom,
+        _resampled_pixels,
+        _tile_aligned_bounds,
+    )
+
+    g = read_grib2_structure(path)
+    msgs = g["messages"]
+    if param is None:
+        param = (msgs[0]["param_category"], msgs[0]["param_number"])
+    m0 = next(
+        m for m in msgs
+        if (m["param_category"], m["param_number"]) == param
+    )
+    ni, nj = m0["ni"], m0["nj"]
+    # grid rows are normalized north-first by decode_message
+    north = max(m0["lat1"], m0["lat2"])
+    info = {
+        "path": path,
+        "epsg": 4326,
+        # lat/lon are CELL CENTERS (as in CF): origin is the outer corner
+        "transform": (
+            m0["lon1"] - m0["di"] / 2.0, m0["di"], 0.0,
+            north + m0["dj"] / 2.0, 0.0, -m0["dj"],
+        ),
+        "width": ni,
+        "height": nj,
+        "n_bands": 1,
+        "dtype": "float64",
+        "nodata": nodata,
+        "palette": None,
+    }
+    z = zoom if zoom is not None else _pick_zoom(info, block_size, "upper")
+    px = grib2_pixel_table(spark, g, param)
+    # bitmap-missing points were omitted; the warp gather wants dense
+    # rows only where data exists — absent sources resolve to nodata
+    px = px.withColumn("band_1", F.coalesce("band_1", F.lit(nodata)))
+    (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
+        _lonlat_corners(info), z
+    )
+    times = sorted({
+        float(m["forecast_time"]) for m in msgs
+        if (m["param_category"], m["param_number"]) == param
+    })
+    pixels = _resampled_pixels(
+        spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
+        extra_cols=("time_cf",) if len(times) > 1 else (),
+    )
+    meta = build_metadata(
+        bands=[BandMeta(name="band_1", type="float64", nodata=nodata,
+                        colorinterp="gray")],
+        bounds=(w, s, e, n),
+        width=(tx1 - tx0 + 1) * block_size,
+        height=(ty1 - ty0 + 1) * block_size,
+        block_width=block_size,
+        block_height=block_size,
+        min_zoom=z,
+        max_zoom=z,
+        compression=compression,
+        tile_statistics=stats,
+    )
+    tiles = from_pixel_table(
+        pixels, meta, compression=compression,
+        extra_keys=((("time_cf", "double"),) if len(times) > 1 else ()),
+    )
+    if len(times) > 1:
+        meta["time"] = {
+            "count": len(times), "values_cf": times,
+            "cf:units": "hours since forecast reference time",
+        }
+    if stats:
+        tiles = with_tile_stats(tiles, meta)
+    return tiles, meta

@@ -1,0 +1,140 @@
+"""Minimal from-scratch GRIB2 *writer* — TEST FIXTURE ONLY.
+
+sources/grib2.py needs real GRIB2 bytes to read and this sandbox has no
+eccodes/GDAL, so this module emits spec-conformant edition-2 messages
+(WMO FM 92): sections 0-8, grid definition template 3.0 (regular
+lat/lon), product definition 4.0, data representation 5.0 (simple
+packing), optional bitmap (section 6 indicator 0). Signed fields use
+GRIB sign-magnitude encoding. One message per (parameter, forecast
+time) field, concatenated — the multi-message shape real archives
+have."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _sm_enc(v: int, bits: int) -> int:
+    return (1 << (bits - 1)) | (-v) if v < 0 else v
+
+
+def simple_pack(data: np.ndarray, E: int = 0, D: int = 0):
+    """GRIB2 simple packing: X = round(data * 10^D / 2^E) - R-scaled.
+    Returns (R, nbits, X) with R chosen as the scaled minimum (the
+    standard encoder choice). ``data`` may contain NaN (masked by the
+    caller's bitmap) — only finite values pack."""
+    vals = data[np.isfinite(data)]
+    scaled = vals * (10.0 ** D)
+    r = float(scaled.min()) if len(vals) else 0.0
+    x = np.round((scaled - r) / (2.0 ** E)).astype("i8")
+    nbits = max(1, int(x.max()).bit_length()) if len(x) and x.max() > 0 else 1
+    return r, nbits, x
+
+
+def _pack_bits(x: np.ndarray, nbits: int) -> bytes:
+    bits = (
+        (x[:, None] >> np.arange(nbits - 1, -1, -1, dtype="i8")) & 1
+    ).astype("u1").ravel()
+    return np.packbits(bits).tobytes()
+
+
+def _section(num: int, body: bytes) -> bytes:
+    return struct.pack(">IB", 5 + len(body), num) + body
+
+
+def write_grib2(
+    path: str,
+    fields: list[dict],
+    lat1: float = 49.0,
+    lon1: float = 0.0,
+    di: float = 0.5,
+    dj: float = 0.5,
+    discipline: int = 0,
+    j_positive: bool = False,
+) -> str:
+    """``fields``: list of ``{data (2-d np array, row 0 = north; NaN =
+    missing → bitmap), forecast_time (int hours), param (category,
+    number), E, D}``. The grid is regular lat/lon anchored at the
+    (lat1, lon1) CELL CENTER."""
+    out = b""
+    for f in fields:
+        data = np.asarray(f["data"], dtype="f8")
+        nj, ni = data.shape
+        E, D = int(f.get("E", 0)), int(f.get("D", 0))
+        cat, num = f.get("param", (0, 0))
+        r, nbits, x = simple_pack(data, E, D)
+
+        lat_last = lat1 - dj * (nj - 1)
+        if j_positive:  # stored south→north
+            grid_vals = data[::-1]
+            la1, la2 = lat_last, lat1
+        else:
+            grid_vals = data
+            la1, la2 = lat1, lat_last
+        lon_last = lon1 + di * (ni - 1)
+        scan = 0b01000000 if j_positive else 0
+
+        flat = grid_vals.ravel()
+        has_missing = bool(np.isnan(flat).any())
+        mask = np.isfinite(flat)
+        scaled = flat[mask] * (10.0 ** D)
+        xs = np.round((scaled - r) / (2.0 ** E)).astype("i8")
+        packed = _pack_bits(xs, nbits)
+
+        s1 = struct.pack(
+            ">HHBBBHBBBBBBB",
+            7, 0,      # centre, subcentre
+            2, 1, 1,   # master table, local table, sig of ref time
+            2026, 1, 1, 0, 0, 0,  # ref time
+            0, 1,      # production status, type of data
+        )
+        t30 = struct.pack(
+            ">BBIBIBI", 6, 0, 0, 0, 0, 0, 0  # sphere, radii unused
+        )
+        t30 += struct.pack(">II", ni, nj)
+        t30 += struct.pack(">II", 0, 0)  # basic angle, subdivisions
+        t30 += struct.pack(
+            ">II", _sm_enc(int(round(la1 * 1e6)), 32),
+            _sm_enc(int(round(lon1 * 1e6)), 32),
+        )
+        t30 += struct.pack(
+            ">BII", 0x30,
+            _sm_enc(int(round(la2 * 1e6)), 32),
+            _sm_enc(int(round(lon_last * 1e6)), 32),
+        )
+        t30 += struct.pack(
+            ">IIB", int(round(di * 1e6)), int(round(dj * 1e6)), scan
+        )
+        s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + t30
+        t40 = struct.pack(
+            ">BBBBBHBBI", cat, num, 2, 0, 0, 0, 0, 1,
+            int(f.get("forecast_time", 0)),
+        )
+        t40 += struct.pack(">BBIBBI", 1, 0, 0, 255, 0, 0)  # surfaces
+        s4 = struct.pack(">HH", 0, 0) + t40
+        s5 = struct.pack(">IH", int(mask.sum()), 0)
+        s5 += struct.pack(">f", np.float32(r))
+        s5 += struct.pack(
+            ">HHBB", _sm_enc(E, 16), _sm_enc(D, 16), nbits, 0
+        )
+        if has_missing:
+            s6 = bytes([0]) + np.packbits(mask.astype("u1")).tobytes()
+        else:
+            s6 = bytes([255])
+        s7 = packed
+
+        body = (
+            _section(1, s1) + _section(3, s3) + _section(4, s4)
+            + _section(5, s5) + _section(6, s6) + _section(7, s7)
+        )
+        total = 16 + len(body) + 4
+        msg = (
+            b"GRIB" + struct.pack(">HBB", 0, discipline, 2)
+            + struct.pack(">Q", total) + body + b"7777"
+        )
+        out += msg
+    with open(path, "wb") as fh:
+        fh.write(out)
+    return path

@@ -1,0 +1,244 @@
+"""GRIB2 ingestion (sources/grib2.py) against the fixture writer
+(testing_grib2.py — spec-conformant edition-2 messages): simple
+packing exactness, bitmap missing points, scan directions, signed
+scale factors, multi-message time steps, typed gates, and the
+to-raquet conversion path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from raquet_spark.sources.grib2 import (
+    decode_message,
+    grib2_pixel_table,
+    grib2_to_raquet,
+    read_grib2_structure,
+)
+from raquet_spark.testing_grib2 import write_grib2
+
+
+def _field(nt, nj, ni, t):
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    return ((gx * 7 + gy * 11 + t * 13) % 199 - 50).astype("f8")
+
+
+def test_structure_and_exact_values(tmp_path):
+    nj, ni = 20, 30
+    fields = [
+        {"data": _field(1, nj, ni, t), "forecast_time": t * 6,
+         "param": (0, 0)}
+        for t in range(3)
+    ]
+    path = str(tmp_path / "t.grib2")
+    write_grib2(path, fields, lat1=49.0, lon1=0.0, di=0.5, dj=0.5)
+    g = read_grib2_structure(path)
+    assert len(g["messages"]) == 3
+    m = g["messages"][0]
+    assert (m["ni"], m["nj"]) == (ni, nj)
+    assert m["lat1"] == pytest.approx(49.0) and m["di"] == pytest.approx(0.5)
+    assert m["E"] == 0 and m["D"] == 0
+    # integer data at E=D=0 round-trips EXACTLY (R = min, X = offsets)
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    for t, msg in enumerate(g["messages"]):
+        got = decode_message(
+            rd(msg["data_off"], msg["data_len"]), msg, None
+        )
+        np.testing.assert_array_equal(got, _field(1, nj, ni, t))
+
+
+def test_bitmap_missing_and_j_positive(tmp_path):
+    nj, ni = 16, 16
+    data = _field(1, nj, ni, 0)
+    data[(np.mgrid[0:nj, 0:ni][0] + np.mgrid[0:nj, 0:ni][1]) % 7 == 0] = (
+        np.nan
+    )
+    for jp in (False, True):
+        path = str(tmp_path / f"bm_{jp}.grib2")
+        write_grib2(
+            path, [{"data": data, "forecast_time": 0, "param": (0, 2)}],
+            j_positive=jp,
+        )
+        g = read_grib2_structure(path)
+        m = g["messages"][0]
+        assert m["bitmap_off"] is not None
+        assert m["j_positive"] is jp
+        from raquet_spark.sources.io import range_reader
+
+        rd = range_reader(path)
+        got = decode_message(
+            rd(m["data_off"], m["data_len"]), m,
+            rd(m["bitmap_off"], m["bitmap_len"]),
+        )
+        np.testing.assert_array_equal(
+            np.isnan(got), np.isnan(data)
+        )
+        np.testing.assert_array_equal(
+            got[~np.isnan(data)], data[~np.isnan(data)]
+        )
+
+
+def test_scale_factors(tmp_path):
+    """Non-zero D and E: Y = (R + X*2^E)/10^D reproduces tenths-valued
+    data exactly with D=1."""
+    nj, ni = 8, 8
+    data = (_field(1, nj, ni, 0) / 10.0)  # tenths
+    path = str(tmp_path / "scale.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0, "param": (0, 0),
+                "D": 1, "E": 0}],
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["D"] == 1
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_allclose(got, data, atol=1e-9)
+
+
+def test_pixel_table_and_param_filter(spark, tmp_path):
+    nj, ni = 12, 18
+    fields = [
+        {"data": _field(1, nj, ni, t), "forecast_time": t, "param": (0, 0)}
+        for t in range(2)
+    ] + [
+        {"data": _field(1, nj, ni, 9), "forecast_time": 0, "param": (2, 5)}
+    ]
+    path = str(tmp_path / "multi.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert len(pdf) == 2 * nj * ni  # default param = first message's
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy().reshape(2, nj, ni)
+    )
+    np.testing.assert_array_equal(got[0], _field(1, nj, ni, 0))
+    np.testing.assert_array_equal(got[1], _field(1, nj, ni, 1))
+    other = grib2_pixel_table(spark, g, param=(2, 5)).toPandas()
+    assert len(other) == nj * ni
+
+
+def test_typed_gates(tmp_path):
+    import struct
+
+    nj, ni = 4, 4
+    path = str(tmp_path / "g.grib2")
+    write_grib2(
+        path, [{"data": _field(1, nj, ni, 0), "forecast_time": 0}]
+    )
+    raw = bytearray(open(path, "rb").read())
+
+    def patched(mutate):
+        b = bytearray(raw)
+        mutate(b)
+        p2 = str(tmp_path / "mut.grib2")
+        open(p2, "wb").write(bytes(b))
+        return p2
+
+    # edition
+    with pytest.raises(NotImplementedError, match="edition"):
+        read_grib2_structure(patched(lambda b: b.__setitem__(7, 1)))
+
+    # find section offsets in the original
+    g = read_grib2_structure(path)
+
+    def sec_off(num):
+        p = 16
+        while True:
+            (ln,) = struct.unpack_from(">I", raw, p)
+            if raw[p + 4] == num:
+                return p
+            p += ln
+
+    s3, s5 = sec_off(3), sec_off(5)
+    with pytest.raises(NotImplementedError, match="grid definition"):
+        read_grib2_structure(
+            patched(lambda b: b.__setitem__(slice(s3 + 12, s3 + 14),
+                                            struct.pack(">H", 30)))
+        )
+    with pytest.raises(NotImplementedError, match="JPEG2000"):
+        read_grib2_structure(
+            patched(lambda b: b.__setitem__(slice(s5 + 9, s5 + 11),
+                                            struct.pack(">H", 40)))
+        )
+    with pytest.raises(NotImplementedError, match="complex packing"):
+        read_grib2_structure(
+            patched(lambda b: b.__setitem__(slice(s5 + 9, s5 + 11),
+                                            struct.pack(">H", 2)))
+        )
+    with pytest.raises(NotImplementedError, match="boustrophedon"):
+        read_grib2_structure(
+            patched(lambda b: b.__setitem__(s3 + 14 + 57,
+                                            raw[s3 + 14 + 57] | 0b00010000))
+        )
+
+
+def test_grib2_to_raquet(spark, tmp_path):
+    """Conversion path: tiles land on the mercator grid with per-step
+    stats; per-step pixel means match the source (nearest warp)."""
+    nj, ni = 24, 36
+    fields = [
+        {"data": _field(1, nj, ni, t), "forecast_time": t * 3,
+         "param": (0, 0)}
+        for t in range(2)
+    ]
+    path = str(tmp_path / "conv.grib2")
+    write_grib2(path, fields, lat1=52.0, lon1=4.0, di=0.25, dj=0.25)
+    tiles, meta = grib2_to_raquet(
+        spark, path, block_size=64, compression=None
+    )
+    assert meta["time"]["count"] == 2
+    rows = tiles.where("block > 0").collect()
+    assert rows
+    steps = {r["time_cf"] for r in rows}
+    assert steps == {0.0, 3.0}
+    # nearest-resampled means stay close to the source mean per step
+    from raquet_spark.operators.time_dim import per_step_stats
+
+    g = {r["time_cf"]: r for r in per_step_stats(tiles, "band_1").collect()}
+    for t in range(2):
+        src = _field(1, nj, ni, t)
+        src_mean = float(src.mean())
+        assert abs(g[float(t * 3)]["mean"] - src_mean) < max(
+            2.0, abs(src_mean) * 0.1
+        )
+
+
+def test_grib2_over_http(spark, tmp_path):
+    """The GRIB2 importer rides the byte-range seam: remote == local."""
+    import http.server
+    import threading
+
+    from tests.test_remote_io import _RangeHandler
+
+    nj, ni = 10, 10
+    path = str(tmp_path / "h.grib2")
+    write_grib2(
+        path, [{"data": _field(1, nj, ni, 0), "forecast_time": 0}]
+    )
+    handler = type(
+        "H", (_RangeHandler,),
+        {"stats": {"requests": 0, "ranged": 0, "bytes": 0}},
+    )
+
+    def factory(*a, **kw):
+        return handler(*a, directory=str(tmp_path), **kw)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), factory)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/h.grib2"
+        want = grib2_pixel_table(
+            spark, read_grib2_structure(path)
+        ).toPandas().sort_values(["sy", "sx"]).reset_index(drop=True)
+        got = grib2_pixel_table(
+            spark, read_grib2_structure(url)
+        ).toPandas().sort_values(["sy", "sx"]).reset_index(drop=True)
+        assert (got["band_1"] == want["band_1"]).all()
+    finally:
+        srv.shutdown()
