@@ -2826,13 +2826,23 @@ def _cached_grib2(spark: SparkSession) -> str:
         c = _GRB
         gy, gx = np.mgrid[0 : c["nj"], 0 : c["ni"]]
         fields = []
+        # one step per representation template: simple 5.0, complex
+        # 5.2, complex + 2nd-order spatial differencing 5.3 — identical
+        # values through all three (exact integer packing), so ONE
+        # closed-form oracle gates all of them
+        packings = [
+            {"packing": "simple"},
+            {"packing": "complex", "group_len": 23},
+            {"packing": "complex_diff", "sd_order": 2, "group_len": 17},
+        ]
         for t in range(c["nt"]):
             data = (
                 (gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50
             ).astype("f8")
             data[(gx + gy + t) % 17 == 0] = np.nan  # bitmap-missing
             fields.append(
-                {"data": data, "forecast_time": t * 6, "param": (0, 0)}
+                {"data": data, "forecast_time": t * 6, "param": (0, 0),
+                 **packings[t % len(packings)]}
             )
         path = os.path.join(
             tempfile.mkdtemp(prefix="raquet_q_grib2_"), "fix.grib2"

@@ -132,22 +132,46 @@ def read_grib2_structure(path: str) -> dict:
         s5, _ = sec[5]
         m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
         drt = struct.unpack(">H", bytes(b[s5 + 9 : s5 + 11]))[0]
-        if drt != 0:
+        if drt not in (0, 2, 3):
             gate = {
-                2: "complex packing (5.2)",
-                3: "complex packing with spatial differencing (5.3)",
                 40: "JPEG2000 (5.40)",
                 41: "PNG (5.41)",
             }.get(drt, f"5.{drt}")
             raise NotImplementedError(
                 f"GRIB2 data representation template {gate} "
-                "(simple packing 5.0 only)"
+                "(simple 5.0 / complex 5.2 / complex+diff 5.3 only)"
             )
-        raw5 = bytes(b[s5 + 11 : s5 + 21])
+        m["drt"] = drt
+        raw5 = bytes(b[s5 + 11 : s5 + 38])
         (m["R"],) = struct.unpack_from(">f", raw5, 0)
         m["E"] = _sm(struct.unpack_from(">H", raw5, 4)[0], 16)
         m["D"] = _sm(struct.unpack_from(">H", raw5, 6)[0], 16)
         m["nbits"] = raw5[8]
+        if drt in (2, 3):
+            # template 5.2 body past the 5.0 fields (section offsets
+            # 21..46), 5.3 adds order + descriptor-octet count (47, 48)
+            mvm = b[s5 + 22]
+            if mvm != 0:
+                raise NotImplementedError(
+                    f"GRIB2 missing-value management {mvm} "
+                    "(embedded missing substitutes; bitmap-missing only)"
+                )
+            m["ng"] = struct.unpack(">I", bytes(b[s5 + 31 : s5 + 35]))[0]
+            m["wref"] = b[s5 + 35]
+            m["wbits"] = b[s5 + 36]
+            m["lref"] = struct.unpack(">I", bytes(b[s5 + 37 : s5 + 41]))[0]
+            m["linc"] = b[s5 + 41]
+            m["last_len"] = struct.unpack(
+                ">I", bytes(b[s5 + 42 : s5 + 46])
+            )[0]
+            m["lbits"] = b[s5 + 46]
+            if drt == 3:
+                m["sd_order"] = b[s5 + 47]
+                m["sd_octets"] = b[s5 + 48]
+                if m["sd_order"] not in (1, 2):
+                    raise NotImplementedError(
+                        f"GRIB2 spatial differencing order {m['sd_order']}"
+                    )
 
         s6 = sec.get(6)
         m["bitmap_off"] = None
@@ -187,6 +211,69 @@ def _unpack_bits(raw: bytes, n: int, nbits: int) -> np.ndarray:
     return bits @ weights
 
 
+def _unpack_complex(raw7: bytes, m: dict, npresent: int) -> np.ndarray:
+    """Templates 5.2/5.3: group-split values (+ optional spatial
+    differencing). Block layout (the wgrib2/eccodes convention this
+    module's writer also follows): [5.3: (order+1) sign-magnitude
+    descriptor ints of sd_octets bytes — the first value(s) and the
+    overall minimum of the differences], then byte-aligned blocks of
+    NG group references (nbits), NG group widths (wbits, + wref), NG
+    scaled group lengths (lbits, L = lref + linc*stored; the last
+    group's true length from the template), then the group values as
+    one continuous bit stream."""
+    ng = m["ng"]
+    pos = 0
+    if m["drt"] == 3:
+        o, w = m["sd_order"], m["sd_octets"]
+        desc = [
+            _sm(int.from_bytes(raw7[k * w : (k + 1) * w], "big"), 8 * w)
+            for k in range(o + 1)
+        ]
+        firsts, gmin = desc[:o], desc[o]
+        pos = (o + 1) * w
+    refs = _unpack_bits(raw7[pos:], ng, m["nbits"])
+    pos += (ng * m["nbits"] + 7) // 8
+    widths = _unpack_bits(raw7[pos:], ng, m["wbits"]) + m["wref"]
+    pos += (ng * m["wbits"] + 7) // 8
+    lens = _unpack_bits(raw7[pos:], ng, m["lbits"]) * m["linc"] + m["lref"]
+    pos += (ng * m["lbits"] + 7) // 8
+    if ng:
+        lens[-1] = m["last_len"]
+    if int(lens.sum()) != npresent:
+        raise ValueError(
+            f"GRIB2 complex packing: group lengths sum {int(lens.sum())} "
+            f"!= {npresent} present points"
+        )
+    # group values: one continuous bit stream (width-0 groups store
+    # nothing — every point equals the group reference)
+    bits = np.unpackbits(np.frombuffer(raw7[pos:], dtype="u1"))
+    x = np.empty(npresent, dtype="i8")
+    bp = 0
+    vp = 0
+    for g in range(ng):
+        ln, wd = int(lens[g]), int(widths[g])
+        if wd == 0:
+            x[vp : vp + ln] = refs[g]
+        else:
+            seg = bits[bp : bp + ln * wd].reshape(ln, wd).astype("i8")
+            weights = 1 << np.arange(wd - 1, -1, -1, dtype="i8")
+            x[vp : vp + ln] = (seg @ weights) + refs[g]
+            bp += ln * wd
+        vp += ln
+    if m["drt"] == 3:
+        o = m["sd_order"]
+        x[o:] += gmin
+        x[:o] = firsts
+        # undifference in place: order 1: f[i] += f[i-1];
+        # order 2: f[i] += 2 f[i-1] - f[i-2]
+        if o == 1:
+            x = np.cumsum(x)
+        else:
+            for i in range(2, npresent):
+                x[i] += 2 * x[i - 1] - x[i - 2]
+    return x
+
+
 def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     """One message's values as an (nj, ni) float64 grid with NaN where
     the bitmap says 'missing'; row 0 = NORTH (j flipped when the scan
@@ -199,7 +286,10 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     else:
         mask = None
         npresent = m["npoints"]
-    x = _unpack_bits(raw7, npresent, m["nbits"]).astype("f8")
+    if m.get("drt", 0) in (2, 3):
+        x = _unpack_complex(raw7, m, npresent).astype("f8")
+    else:
+        x = _unpack_bits(raw7, npresent, m["nbits"]).astype("f8")
     y = (m["R"] + x * (2.0 ** m["E"])) / (10.0 ** m["D"])
     if mask is not None:
         full = np.full(total, np.nan)
@@ -245,40 +335,35 @@ def grib2_pixel_table(
             )
     path = g["path"]
     n_part = max(1, min(len(sel), spark.sparkContext.defaultParallelism))
+    import json
+
     task_df = spark.createDataFrame(
         pd.DataFrame([
             {
                 "i": i, "forecast_time": float(m["forecast_time"]),
-                "data_off": m["data_off"], "data_len": m["data_len"],
-                "bitmap_off": m["bitmap_off"] if m["bitmap_off"] else -1,
-                "bitmap_len": m.get("bitmap_len", 0) or 0,
-                "ni": m["ni"], "nj": m["nj"], "npoints": m["npoints"],
-                "R": float(m["R"]), "E": m["E"], "D": m["D"],
-                "nbits": m["nbits"], "j_positive": m["j_positive"],
+                # the full per-message packing params ride as JSON so
+                # every representation template shares one task schema
+                "params": json.dumps(m),
             }
             for i, m in enumerate(sel)
         ])
     ).repartition(n_part)
 
     def decode(batches):
+        import json
+
         from raquet_spark.sources.io import range_reader
 
         rd = range_reader(path)
         for pdf in batches:
             for row in pdf.to_dict("records"):
-                m = {
-                    "ni": int(row["ni"]), "nj": int(row["nj"]),
-                    "npoints": int(row["npoints"]), "R": float(row["R"]),
-                    "E": int(row["E"]), "D": int(row["D"]),
-                    "nbits": int(row["nbits"]),
-                    "j_positive": bool(row["j_positive"]),
-                }
+                m = json.loads(row["params"])
                 bitmap = (
-                    rd(int(row["bitmap_off"]), int(row["bitmap_len"]))
-                    if int(row["bitmap_off"]) >= 0 else None
+                    rd(m["bitmap_off"], m["bitmap_len"])
+                    if m["bitmap_off"] is not None else None
                 )
                 grid = decode_message(
-                    rd(int(row["data_off"]), int(row["data_len"])), m, bitmap
+                    rd(m["data_off"], m["data_len"]), m, bitmap
                 )
                 sy, sx = np.nonzero(~np.isnan(grid))
                 yield pd.DataFrame({

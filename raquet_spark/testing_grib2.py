@@ -44,6 +44,71 @@ def _section(num: int, body: bytes) -> bytes:
     return struct.pack(">IB", 5 + len(body), num) + body
 
 
+def _pack_block(x: np.ndarray, nbits: int) -> bytes:
+    """One byte-aligned block of ``nbits``-wide big-endian ints."""
+    if nbits == 0 or not len(x):
+        return b""
+    return _pack_bits(np.asarray(x, dtype="i8"), nbits)
+
+
+def _complex_pack(xs: np.ndarray, drt: int, order: int, group_len: int):
+    """Group-split (5.2) / spatially-differenced (5.3) encode of the
+    non-negative scaled ints ``xs``. Returns (sec5 extra bytes past the
+    5.0 fields, section-7 payload)."""
+    n = len(xs)
+    if drt == 3:
+        firsts = xs[:order].tolist()
+        d = np.diff(xs, n=order).astype("i8")  # defined for i >= order
+        gmin = int(d.min()) if len(d) else 0
+        stored = np.zeros(n, dtype="i8")
+        stored[order:] = d - gmin
+    else:
+        firsts, gmin = [], 0
+        stored = np.asarray(xs, dtype="i8")
+
+    groups = [stored[i : i + group_len] for i in range(0, n, group_len)]
+    ng = len(groups)
+    refs = np.array([int(g.min()) for g in groups], dtype="i8")
+    widths = np.array(
+        [max(0, int(g.max() - g.min()).bit_length()) for g in groups],
+        dtype="i8",
+    )
+    lens = np.array([len(g) for g in groups], dtype="i8")
+    nbits = max(1, int(refs.max()).bit_length()) if ng else 1
+    wbits = 8
+    lbits = max(1, int(lens.max()).bit_length())
+
+    body = b""
+    if drt == 3:
+        mags = [abs(v) for v in (*firsts, gmin)] or [0]
+        sd_octets = max(1, (max(mags).bit_length() + 1 + 7) // 8)
+        for v in (*firsts, gmin):
+            body += _sm_enc(int(v), 8 * sd_octets).to_bytes(
+                sd_octets, "big"
+            )
+    body += _pack_block(refs, nbits)
+    body += _pack_block(widths, wbits)
+    body += _pack_block(lens, lbits)
+    # group values: ONE continuous bit stream, width-0 groups omitted
+    all_bits = []
+    for g, ref, wd in zip(groups, refs, widths):
+        if wd:
+            vals = (g - ref).astype("i8")
+            all_bits.append(
+                ((vals[:, None] >> np.arange(wd - 1, -1, -1, dtype="i8"))
+                 & 1).astype("u1").ravel()
+            )
+    if all_bits:
+        body += np.packbits(np.concatenate(all_bits)).tobytes()
+
+    extra5 = struct.pack(">BBII", 1, 0, 0, 0)  # split method, mvm, subs
+    extra5 += struct.pack(">IBB", ng, 0, wbits)
+    extra5 += struct.pack(">IBIB", 0, 1, int(lens[-1]) if ng else 0, lbits)
+    if drt == 3:
+        extra5 += struct.pack(">BB", order, sd_octets)
+    return nbits, extra5, body
+
+
 def write_grib2(
     path: str,
     fields: list[dict],
@@ -81,7 +146,17 @@ def write_grib2(
         mask = np.isfinite(flat)
         scaled = flat[mask] * (10.0 ** D)
         xs = np.round((scaled - r) / (2.0 ** E)).astype("i8")
-        packed = _pack_bits(xs, nbits)
+        packing = f.get("packing", "simple")
+        if packing == "simple":
+            drt = 0
+            packed = _pack_bits(xs, nbits)
+            extra5 = b""
+        else:
+            drt = 3 if packing == "complex_diff" else 2
+            nbits, extra5, packed = _complex_pack(
+                xs, drt, int(f.get("sd_order", 2)),
+                int(f.get("group_len", 16)),
+            )
 
         s1 = struct.pack(
             ">HHBBBHBBBBBBB",
@@ -114,11 +189,12 @@ def write_grib2(
         )
         t40 += struct.pack(">BBIBBI", 1, 0, 0, 255, 0, 0)  # surfaces
         s4 = struct.pack(">HH", 0, 0) + t40
-        s5 = struct.pack(">IH", int(mask.sum()), 0)
+        s5 = struct.pack(">IH", int(mask.sum()), drt)
         s5 += struct.pack(">f", np.float32(r))
         s5 += struct.pack(
             ">HHBB", _sm_enc(E, 16), _sm_enc(D, 16), nbits, 0
         )
+        s5 += extra5
         if has_missing:
             s6 = bytes([0]) + np.packbits(mask.astype("u1")).tobytes()
         else:

@@ -166,10 +166,10 @@ def test_typed_gates(tmp_path):
             patched(lambda b: b.__setitem__(slice(s5 + 9, s5 + 11),
                                             struct.pack(">H", 40)))
         )
-    with pytest.raises(NotImplementedError, match="complex packing"):
+    with pytest.raises(NotImplementedError, match="5.1"):
         read_grib2_structure(
             patched(lambda b: b.__setitem__(slice(s5 + 9, s5 + 11),
-                                            struct.pack(">H", 2)))
+                                            struct.pack(">H", 1)))
         )
     with pytest.raises(NotImplementedError, match="boustrophedon"):
         read_grib2_structure(
@@ -242,3 +242,104 @@ def test_grib2_over_http(spark, tmp_path):
         assert (got["band_1"] == want["band_1"]).all()
     finally:
         srv.shutdown()
+
+
+@pytest.mark.parametrize(
+    "packing,order", [("complex", 0), ("complex_diff", 1), ("complex_diff", 2)]
+)
+def test_complex_packing_exact(tmp_path, packing, order):
+    """Templates 5.2/5.3 (what real GFS archives use): group-split
+    values (+ first/second-order spatial differencing) reconstruct the
+    integer field exactly, including width-0 constant groups and a
+    ragged last group."""
+    nj, ni = 20, 30
+    data = _field(1, nj, ni, 0)
+    data[5:8, :] = 42.0  # constant run -> width-0 groups
+    path = str(tmp_path / f"cx_{packing}_{order}.grib2")
+    write_grib2(
+        path,
+        [{"data": data, "forecast_time": 0, "param": (0, 0),
+          "packing": packing, "sd_order": order, "group_len": 17}],
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["drt"] == (3 if packing == "complex_diff" else 2)
+    if packing == "complex_diff":
+        assert m["sd_order"] == order
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_complex_packing_with_bitmap(tmp_path):
+    nj, ni = 16, 16
+    data = _field(1, nj, ni, 3)
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    data[(gx + gy) % 5 == 0] = np.nan
+    path = str(tmp_path / "cxbm.grib2")
+    write_grib2(
+        path,
+        [{"data": data, "forecast_time": 0, "packing": "complex_diff",
+          "sd_order": 2, "group_len": 10}],
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(
+        rd(m["data_off"], m["data_len"]), m,
+        rd(m["bitmap_off"], m["bitmap_len"]),
+    )
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(data))
+    np.testing.assert_array_equal(
+        got[~np.isnan(data)], data[~np.isnan(data)]
+    )
+
+
+def test_complex_packing_pixel_table(spark, tmp_path):
+    """The distributed decode handles a mixed archive: simple + 5.2 +
+    5.3 messages of one parameter across forecast steps."""
+    nj, ni = 12, 18
+    fields = [
+        {"data": _field(1, nj, ni, 0), "forecast_time": 0,
+         "packing": "simple"},
+        {"data": _field(1, nj, ni, 1), "forecast_time": 6,
+         "packing": "complex", "group_len": 20},
+        {"data": _field(1, nj, ni, 2), "forecast_time": 12,
+         "packing": "complex_diff", "sd_order": 2, "group_len": 13},
+    ]
+    path = str(tmp_path / "mixed.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    got = (
+        pdf.sort_values(["time_cf", "sy", "sx"])["band_1"]
+        .to_numpy().reshape(3, nj, ni)
+    )
+    for t in range(3):
+        np.testing.assert_array_equal(got[t], _field(1, nj, ni, t))
+
+
+def test_missing_value_management_gate(tmp_path):
+    import struct
+
+    nj, ni = 4, 4
+    path = str(tmp_path / "mvm.grib2")
+    write_grib2(
+        path,
+        [{"data": _field(1, nj, ni, 0), "forecast_time": 0,
+          "packing": "complex", "group_len": 8}],
+    )
+    raw = bytearray(open(path, "rb").read())
+    p = 16
+    while raw[p + 4] != 5:
+        (ln,) = struct.unpack_from(">I", raw, p)
+        p += ln
+    raw[p + 22] = 1  # missing-value management = primary
+    p2 = str(tmp_path / "mvm2.grib2")
+    open(p2, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="missing-value"):
+        read_grib2_structure(p2)
