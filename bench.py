@@ -82,6 +82,9 @@ def main() -> None:
         "netcdf_ingest_stats",
         "netcdf4_ingest_stats",
         "netcdf4_v4index_stats",
+        "netcdf4_eaindex_stats",
+        "netcdf4_bt2index_stats",
+        "grib2_ingest_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
