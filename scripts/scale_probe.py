@@ -71,8 +71,17 @@ def main() -> None:
         keep_cluster_min,
         minhash_dedup_pairs,
     )
-    from raquet_spark.operators.similarity import ann_ivf, ann_ivf_pq, ann_lsh
-    from raquet_spark.operators.textops import bpe_train
+    from raquet_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_pq,
+        ann_lsh,
+        cosine_topk,
+    )
+    from raquet_spark.operators.textops import (
+        bpe_train,
+        hashed_embeddings,
+        train_quality_classifier,
+    )
     from raquet_spark.queries import _SQL_QUERIES, register_views
 
     register_views(spark, sf_dir)
@@ -123,6 +132,37 @@ def main() -> None:
             lambda: ann_ivf_pq(big_emb, ivf_queries, k=5).count(),
             runs,
         )
+        # exact brute-force baseline, r10 Arrow-batched partial-top-k
+        # rework: FIXED query count (every 400*mult-th) so the probe
+        # isolates corpus growth — the matmul is O(N*Q*dim) flops by
+        # construction; the line must grow ~linearly in N, and the
+        # emitted partial rows stay partitions*k*Q regardless of N
+        fixed_q = big_emb.where(f"vec_id % {400 * mult} = 0")
+        bench(
+            f"cosine_topk_x{mult}",
+            lambda: cosine_topk(big_emb, fixed_q, k=5).count(),
+            runs,
+        )
+        # r10 trainer rework: one map-only matmul job per iteration —
+        # per-iteration cost must grow linearly with the corpus
+        def classifier() -> int:
+            feats = hashed_embeddings(
+                big_docs.selectExpr(
+                    "doc_id", "text",
+                    "CAST(doc_id % 2 AS DOUBLE) AS y",
+                ),
+                dim=64,
+            )
+            w = train_quality_classifier(
+                feats,
+                big_docs.selectExpr(
+                    "doc_id", "CAST(doc_id % 2 AS DOUBLE) AS y"
+                ),
+                dim=64, n_iter=4, lr=2.0,
+            )
+            return len(w)
+
+        bench(f"quality_classifier4_x{mult}", classifier, runs)
 
         # semantic dedup: auto-sized LSH, planted copies of every 10th
         # vector, full LSH -> components -> keep chain
