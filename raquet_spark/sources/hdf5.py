@@ -27,11 +27,14 @@ writes:
   any *other* undecodable attribute datatype degrades to name→None
 - fill values for never-written chunks
 
-Typed gates (never silent wrong answers): v4 extensible-array and
-B-tree-v2 chunk indexes (unlimited dimensions under HDF5 1.10+),
-non-managed fractal-heap objects (huge/tiny), indirect blocks below
-the root row, B-tree v2 deeper than 2, offsets/lengths other than 8
-bytes.
+All five data-layout-v4 chunk indexes decode (single/implicit/fixed-
+array/extensible-array/v2-B-tree — r09/r10), as do fractal-heap HUGE
+(direct + B-tree-indirect) and TINY (in-id, incl. extended) objects.
+Typed gates (never silent wrong answers): szip filter (no reference
+implementation available in-sandbox to conformance-test a from-scratch
+Rice coder against), EA swizzled chunk order (unlimited dim not
+slot 0), indirect blocks below the root row, B-tree v2 deeper than 2,
+offsets/lengths other than 8 bytes.
 
 Scale shape mirrors the classic-CDF path (netcdf.py) and the GeoTIFF
 path (tiff_reader.py): the DRIVER parses structure only (mmap —
@@ -628,14 +631,13 @@ class _FractalHeap:
         io_filt_len = r.u16()
         self.flags = r.u8()
         self.max_managed = r.u32()
-        r.p += 8 + 8  # next huge id, huge btree addr
+        r.p += 8  # next huge id
+        self.huge_btree = r.u64()
         r.p += 8 + 8  # free space, free-space mgr addr
         r.p += 8 + 8  # managed space, allocated managed space
         r.p += 8  # direct-block iterator offset
         r.p += 8  # number of managed objects
-        sz_huge, n_huge, _sz_tiny, n_tiny = r.u64(), r.u64(), r.u64(), r.u64()
-        if n_huge or n_tiny:
-            raise NotImplementedError("huge/tiny fractal heap objects")
+        r.p += 4 * 8  # huge/tiny sizes + counts (objects self-describe)
         self.width = r.u16()
         self.start_size = r.u64()
         self.max_direct = r.u64()
@@ -676,11 +678,44 @@ class _FractalHeap:
                 heap_off += size
         self._children = out
 
+    def _huge_map(self) -> dict[int, tuple[int, int]]:
+        """Indirectly-accessed huge objects: the header's v2 B-tree
+        (record type 1: address(8) + length(8) + huge id(8)) mapped
+        once, lazily."""
+        if getattr(self, "_huge", None) is None:
+            if self.huge_btree == UNDEF:
+                raise ValueError("huge heap id but no huge-object B-tree")
+            m: dict[int, tuple[int, int]] = {}
+            for rec in _btree_v2_records(self.b, self.huge_btree):
+                addr = int.from_bytes(rec[0:8], "little")
+                ln = int.from_bytes(rec[8:16], "little")
+                hid = int.from_bytes(rec[16:24], "little")
+                m[hid] = (addr, ln)
+            self._huge = m
+        return self._huge
+
     def get(self, heap_id: bytes) -> bytes:
         r = _R(heap_id)
         ver = r.u8()
-        if (ver >> 4) & 0x3 != 0:
-            raise NotImplementedError("non-managed fractal heap object")
+        idtype = (ver >> 4) & 0x3
+        if idtype == 2:  # TINY: data lives inside the heap id itself
+            if self.id_len <= 18:
+                ln = (ver & 0x0F) + 1
+                return bytes(heap_id[1 : 1 + ln])
+            ln = (((ver & 0x0F) << 8) | heap_id[1]) + 1  # extended tiny
+            return bytes(heap_id[2 : 2 + ln])
+        if idtype == 1:  # HUGE: standalone object outside the blocks
+            if self.id_len - 1 >= 16:  # direct: address + length inline
+                addr = r.u64()
+                ln = r.u64()
+            else:  # indirect: id resolved through the huge B-tree
+                hid = r.uN(min(8, self.id_len - 1))
+                addr, ln = self._huge_map()[hid]
+            return bytes(self.b[addr : addr + ln])
+        if idtype != 0:
+            raise NotImplementedError(
+                f"fractal heap object id type {idtype}"
+            )
         off = r.uN(self.off_size)
         ln = r.uN(self.len_size)
         if self.cur_rows == 0:  # root IS a direct block

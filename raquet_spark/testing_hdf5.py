@@ -492,19 +492,53 @@ def _gcol(w: _W, objects: list[bytes]) -> tuple[int, list[int]]:
 
 # ---- fractal heap + v2 B-tree (dense storage) --------------------------
 
-def _fractal_heap(w: _W, objects: list[bytes], id_len_extra: int = 0):
+def _fractal_heap(
+    w: _W,
+    objects: list[bytes],
+    id_len_extra: int = 0,
+    huge_threshold: int | None = None,
+    tiny: bool = False,
+):
     """Single root direct block. Returns (header_addr, heap_ids,
     abs_positions) — abs_positions[i] is the file offset of object i's
-    first byte (callers patch placeholder references in place)."""
+    first byte (callers patch placeholder references in place).
+
+    ``huge_threshold``: objects longer than this become HUGE (stored
+    standalone; heap id = address+length inline when the id is wide
+    enough for 16 payload bytes, else an 8-byte huge id resolved
+    through a v2 B-tree of record-type-1 entries — both real HDF5
+    shapes). ``tiny``: objects short enough to fit the id itself
+    become TINY (data inside the id)."""
     max_managed = 4096
     off_size, len_size = 4, 2  # max_heap_bits=32, max_managed<65536
     id_len = 1 + off_size + len_size + id_len_extra
     blk_hdr = 4 + 1 + 8 + off_size  # sig, ver, heap addr, block offset
+    huge_direct = id_len - 1 >= 16
     data = bytearray()
-    ids = []
-    obj_offs = []
+    ids: list[bytes | None] = []
+    obj_offs: list[int | None] = []
+    huge_slots: list[tuple[int, bytes]] = []  # (ids index, payload)
+    n_tiny = n_managed = 0
     pos = blk_hdr
+    tiny_pfx = 1 if id_len <= 18 else 2  # extended tiny past 18
     for o in objects:
+        if tiny and len(o) <= id_len - tiny_pfx:
+            enc = len(o) - 1
+            if tiny_pfx == 1:
+                head = bytes([0x20 | enc])
+            else:
+                head = bytes([0x20 | ((enc >> 8) & 0x0F), enc & 0xFF])
+            ids.append(
+                head + o + b"\x00" * (id_len - tiny_pfx - len(o))
+            )
+            obj_offs.append(None)  # data lives in the id, not the file
+            n_tiny += 1
+            continue
+        if huge_threshold is not None and len(o) > huge_threshold:
+            ids.append(None)  # filled after the payload is emitted
+            huge_slots.append((len(ids) - 1, o))
+            obj_offs.append(None)
+            continue
         ids.append(
             b"\x00" + pos.to_bytes(off_size, "little")
             + len(o).to_bytes(len_size, "little")
@@ -513,23 +547,53 @@ def _fractal_heap(w: _W, objects: list[bytes], id_len_extra: int = 0):
         obj_offs.append(pos)
         data += o
         pos += len(o)
+        n_managed += 1
     blk_size = 512
     while blk_size < pos:
         blk_size *= 2
     if blk_size > 65536:
         raise ValueError("fixture fractal heap overflow")
-    # header first (block needs its address)
+
+    # huge payloads first: standalone objects, ids or B-tree records
+    huge_btree = UNDEF
+    huge_addrs: dict[int, int] = {}
+    if huge_slots:
+        recs = []
+        for hid0, (idx, o) in enumerate(huge_slots):
+            addr = w.emit(o)
+            huge_addrs[idx] = addr
+            if huge_direct:
+                ids[idx] = (
+                    bytes([0x10]) + struct.pack("<QQ", addr, len(o))
+                    + b"\x00" * (id_len - 17)
+                )
+            else:
+                hid = hid0 + 1
+                recs.append(struct.pack("<QQQ", addr, len(o), hid))
+                ids[idx] = (
+                    bytes([0x10])
+                    + hid.to_bytes(min(8, id_len - 1), "little")
+                    + b"\x00" * max(0, id_len - 1 - min(8, id_len - 1))
+                )
+        if not huge_direct:
+            huge_btree = _btree_v2(w, recs, 1)
+
+    # header (block needs its address)
     hdr_addr = w.tell()
     blk_addr = hdr_addr + 4 + 1 + 2 + 2 + 1 + 4 + 8 * 12 + 2 + 8 + 8 + 2 + 2 + 8 + 2 + 4
     hdr = b"FRHP" + struct.pack(
         "<BHHBI", 0, id_len, 0, 0, max_managed
     )
-    hdr += struct.pack("<QQ", 0, UNDEF)  # next huge id, huge btree
+    hdr += struct.pack("<QQ", len(huge_slots) + 1, huge_btree)
     hdr += struct.pack("<QQ", blk_size - pos, UNDEF)  # free space, fs mgr
     hdr += struct.pack("<QQ", blk_size, blk_size)  # managed, allocated
     hdr += struct.pack("<Q", pos)  # iterator offset
-    hdr += struct.pack("<Q", len(objects))  # n managed
-    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    hdr += struct.pack("<Q", n_managed)
+    hdr += struct.pack(
+        "<QQQQ",
+        sum(len(o) for _, o in huge_slots), len(huge_slots),
+        sum(len(i) for i in ids if i and i[0] & 0x20), n_tiny,
+    )
     hdr += struct.pack("<HQQH", 4, blk_size, 65536, 32)  # width,start,maxd,bits
     hdr += struct.pack("<HQH", 0, blk_addr, 0)  # start rows, root, cur rows
     hdr += struct.pack("<I", 0)  # checksum
@@ -542,7 +606,11 @@ def _fractal_heap(w: _W, objects: list[bytes], id_len_extra: int = 0):
     blk += bytes(data)
     blk += b"\x00" * (blk_size - len(blk))
     w.emit(blk)
-    return hdr_addr, ids, [blk_addr + o for o in obj_offs]
+    abs_pos = [
+        (blk_addr + o) if o is not None else huge_addrs.get(i)
+        for i, o in enumerate(obj_offs)
+    ]
+    return hdr_addr, ids, abs_pos
 
 
 def _btree_v2(w: _W, records: list[bytes], rec_type: int) -> int:
@@ -629,6 +697,7 @@ def write_hdf5(
     style: str = "v0",
     dense_links: bool = False,
     dense_attrs: bool = False,
+    heap_opts: dict | None = None,
 ) -> str:
     """``datasets``: ordered ``{name: spec}`` where spec keys are
     ``data`` (np.ndarray), optional ``attrs`` ({name: value}),
@@ -877,7 +946,9 @@ def write_hdf5(
                 )
             )
         if dense_attrs and attr_bodies:
-            fh, ids, obj_pos = _fractal_heap(w, attr_bodies, id_len_extra=1)
+            _ho = dict(id_len_extra=1)
+            _ho.update(heap_opts or {})
+            fh, ids, obj_pos = _fractal_heap(w, attr_bodies, **_ho)
             # record type 8: heap id (8) + flags(1) + corder(4) + hash(4)
             recs = [
                 hid + struct.pack("<BII", 0, i, 0)

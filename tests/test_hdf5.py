@@ -587,3 +587,37 @@ def test_nc4_plan_no_python_udf_rowcount(spark, tmp_path):
     pdf = netcdf_pixel_table(spark, nc, "value").toPandas()
     assert len(pdf) == 2 * 24 * 36
     assert pdf.groupby(["time_cf", "sy", "sx"]).size().max() == 1
+
+
+@pytest.mark.parametrize(
+    "heap_opts,kind",
+    [
+        ({"huge_threshold": 120}, "huge-indirect"),  # id_len 8 < 17
+        ({"huge_threshold": 120, "id_len_extra": 17}, "huge-direct"),
+        ({"tiny": True, "id_len_extra": 57}, "tiny-extended"),
+    ],
+)
+def test_dense_attrs_huge_and_tiny_heap_objects(tmp_path, heap_opts, kind):
+    """Fractal-heap HUGE objects (standalone payloads: address+length
+    inline in wide heap ids, or an 8-byte id resolved through the
+    record-type-1 v2 B-tree) and TINY objects (data inside the heap id,
+    extended 2-byte-prefix form) — the r09 typed gate, now decoded.
+    A long string attribute exceeds the huge threshold; a short one
+    fits a tiny id when the id is wide enough."""
+    from raquet_spark.sources.hdf5 import read_hdf5_structure
+    from raquet_spark.testing_hdf5 import write_hdf5
+
+    big = "H" * 300
+    attrs = {"units": "K", "long_name": big, "x": np.int32(7)}
+    write_hdf5(
+        str(tmp_path / "heap.h5"),
+        {"v": {"data": np.arange(12, dtype="<i2").reshape(3, 4),
+               "attrs": attrs}},
+        dense_attrs=True,
+        heap_opts=heap_opts,
+    )
+    h = read_hdf5_structure(str(tmp_path / "heap.h5"))
+    got = h["datasets"]["v"]["attrs"]
+    assert got["units"] == "K"
+    assert got["long_name"] == big
+    assert got["x"] == 7
