@@ -78,9 +78,16 @@ def test_raster_block_range_pushdown(spark):
         assert "block" in plan.split("PushedFilters: ")[1].splitlines()[0]
 
 
-def test_broadcast_in_ann(spark, qs):
+def test_ann_topk_plan_shape(spark, qs):
+    """r10 shape: the exact baseline is no longer a crossJoin — the
+    query matrix is closure-captured and candidates stream through ONE
+    Arrow-batched scan emitting per-batch partial top-k, merged by a
+    single window. The plan must have no join of any kind and exactly
+    one Python stage."""
     plan = _plan(qs["ann_topk"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan  # matmul replaced the crossJoin
+    assert plan.count("MapInPandas") == 1
+    assert "Window" in plan
 
 
 def test_salted_join_matches_plain(spark):
