@@ -4658,13 +4658,26 @@ def pii_scan(d: str) -> str:
         return f"len(regexp_extract_all(text, '{pat}'))"
 
     entity = r"\b(customer|supplier|part)\b"
+    # the driver corpus has no real PII, so plant rows (same VALUES
+    # pattern as pii_redact) — the email/phone/card counters execute on
+    # actual matches instead of being vacuously zero on every row
     return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(v.doc_id AS BIGINT) AS doc_id, v.text FROM (VALUES
+    (9000001, 'contact alice.smith@example.com or bob@mail.co for details'),
+    (9000002, 'call 415-555-0199 or 212.555.0142 before 9'),
+    (9000003, 'card 4111111111111111 on file; a@b_cc is not an email'),
+    (9000004, 'eve@corp.example.org phone 650 555 0123 card 5500005555555559')
+  ) AS v(doc_id, text)
+)
 SELECT doc_id,
        {cnt(email)} AS n_emails,
        {cnt(phone)} AS n_phones,
        {cnt(card)} AS n_cardlike,
        {cnt(entity)} AS n_entities
-FROM documents
+FROM corpus
 WHERE {cnt(email)} + {cnt(phone)} + {cnt(card)} + {cnt(entity)} > 0
 """
 
