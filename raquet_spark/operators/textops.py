@@ -469,27 +469,28 @@ def hashed_embeddings(
     Weinberger et al. recipe): token → md5 bucket in [0, dim), weight =
     term frequency, L2-normalized — a cheap deterministic embedding that
     feeds the ANN / embedding-dedup operators without any model. One
-    explode + one groupBy; the dense array assembles map-side from the
-    collected (bucket, weight) pairs."""
+    explode + ONE wide groupBy: the dense count vector assembles as
+    ``dim`` conditional SUM aggregates (map-side combined — the shuffle
+    carries one 64-wide row per doc per map task), then array() packs
+    the columns. This replaced the r10-profiled double-shuffle +
+    map_from_entries + per-element map-lookup assembly, which executed
+    interpreted O(dim · map-size) lookups per row: 21 s → 4 s
+    materializing 320k vectors (the x64 probe corpus)."""
     bucket = dl.md5_int("tok", "spark") + f" % {dim}"
-    longf = (
-        df.select(F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok"))
-        .selectExpr(id_col, f"{bucket} AS bucket")
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("w"))
-    )
-    pairs = longf.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bucket", F.col("w").cast("double")))
-        ).alias("m")
-    )
-    vec = (
-        f"transform(sequence(0, {dim - 1}), "
-        "i -> coalesce(m[CAST(i AS BIGINT)], 0.0D))"
-    )
+    longf = df.select(
+        F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
+    ).selectExpr(id_col, f"{bucket} AS bucket")
+    aggs = [
+        F.sum(
+            F.when(F.col("bucket") == i, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    wtab = longf.groupBy(id_col).agg(*aggs)
+    vec = "array(" + ", ".join(f"c{i}" for i in range(dim)) + ")"
     norm = "sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"
     return (
-        pairs.selectExpr(id_col, f"{vec} AS v")
+        wtab.selectExpr(id_col, f"{vec} AS v")
         .selectExpr(
             id_col,
             f"transform(v, x -> CAST(x / greatest({norm}, 1e-12) AS FLOAT)) AS embedding",
