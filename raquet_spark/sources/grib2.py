@@ -132,14 +132,12 @@ def read_grib2_structure(path: str) -> dict:
         s5, _ = sec[5]
         m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
         drt = struct.unpack(">H", bytes(b[s5 + 9 : s5 + 11]))[0]
-        if drt not in (0, 2, 3):
-            gate = {
-                40: "JPEG2000 (5.40)",
-                41: "PNG (5.41)",
-            }.get(drt, f"5.{drt}")
+        if drt not in (0, 2, 3, 41):
+            gate = {40: "JPEG2000 (5.40)"}.get(drt, f"5.{drt}")
             raise NotImplementedError(
                 f"GRIB2 data representation template {gate} "
-                "(simple 5.0 / complex 5.2 / complex+diff 5.3 only)"
+                "(simple 5.0 / complex 5.2 / complex+diff 5.3 / "
+                "PNG 5.41 only)"
             )
         m["drt"] = drt
         raw5 = bytes(b[s5 + 11 : s5 + 38])
@@ -288,6 +286,27 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
         npresent = m["npoints"]
     if m.get("drt", 0) in (2, 3):
         x = _unpack_complex(raw7, m, npresent).astype("f8")
+    elif m.get("drt", 0) == 41:
+        # PNG packing (NCEP radar/MRMS products): the payload IS a PNG
+        # stream; the scaled ints ride the channels big-endian (8/16-bit
+        # gray for <=8/<=16 bits, RGB for <=24, RGBA beyond) — decoded
+        # by the repo's own from-scratch PNG codec. Image shape is
+        # (nj, ni) for full grids or (1, npresent) under a bitmap.
+        from raquet_spark.functions.png import png_decode
+
+        img = png_decode(raw7).astype("i8")
+        h, w, c = img.shape
+        if h * w != npresent:
+            raise ValueError(
+                f"GRIB2 PNG packing: image {h}x{w} != {npresent} points"
+            )
+        if c == 1:  # 8- or 16-bit grayscale carries the value directly
+            x = img[:, :, 0].ravel().astype("f8")
+        else:
+            v = np.zeros((h, w), dtype="i8")
+            for ch in range(c):
+                v = (v << 8) | img[:, :, ch]
+            x = v.ravel().astype("f8")
     else:
         x = _unpack_bits(raw7, npresent, m["nbits"]).astype("f8")
     y = (m["R"] + x * (2.0 ** m["E"])) / (10.0 ** m["D"])

@@ -151,6 +151,27 @@ def write_grib2(
             drt = 0
             packed = _pack_bits(xs, nbits)
             extra5 = b""
+        elif packing == "png":
+            from raquet_spark.functions.png import png_encode
+
+            drt = 41
+            shape = (1, len(xs)) if has_missing else (nj, ni)
+            v = np.asarray(xs, dtype="i8").reshape(shape)
+            if nbits <= 8:
+                img = v.astype("u1")[:, :, None]
+            elif nbits <= 16:
+                img = v.astype("u2")[:, :, None]
+            elif nbits <= 24:
+                img = np.stack(
+                    [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF], axis=2
+                ).astype("u1")
+            else:
+                img = np.stack(
+                    [(v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                     (v >> 8) & 0xFF, v & 0xFF], axis=2
+                ).astype("u1")
+            packed = png_encode(img)
+            extra5 = b""
         else:
             drt = 3 if packing == "complex_diff" else 2
             nbits, extra5, packed = _complex_pack(

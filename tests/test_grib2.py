@@ -343,3 +343,51 @@ def test_missing_value_management_gate(tmp_path):
     open(p2, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError, match="missing-value"):
         read_grib2_structure(p2)
+
+
+@pytest.mark.parametrize("spread", [100, 40000, 3_000_000])
+def test_png_packing_exact(tmp_path, spread):
+    """Template 5.41 (PNG packing, NCEP radar products): values ride
+    the PNG channels big-endian — 8/16-bit grayscale and 24-bit RGB
+    depths all reconstruct exactly through the repo's own PNG codec."""
+    nj, ni = 12, 16
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    data = ((gx * 7 + gy * 11) % 199) * (spread // 199 + 1)
+    data = data.astype("f8")
+    path = str(tmp_path / f"png_{spread}.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0, "packing": "png"}]
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["drt"] == 41
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_png_packing_with_bitmap(tmp_path):
+    """Bitmap + PNG: only present points are encoded (a 1-row image)."""
+    nj, ni = 10, 10
+    data = _field(1, nj, ni, 1)
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    data[(gx + gy) % 4 == 0] = np.nan
+    path = str(tmp_path / "pngbm.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0, "packing": "png"}]
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(
+        rd(m["data_off"], m["data_len"]), m,
+        rd(m["bitmap_off"], m["bitmap_len"]),
+    )
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(data))
+    np.testing.assert_array_equal(
+        got[~np.isnan(data)], data[~np.isnan(data)]
+    )
