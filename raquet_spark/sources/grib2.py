@@ -47,6 +47,29 @@ def _sm32(b: bytes, off: int) -> int:
     return _sm(struct.unpack_from(">I", b, off)[0], 32)
 
 
+def _earth_shape(raw3: bytes) -> tuple[float, float]:
+    """Template octets 1-16 (shape of earth + scaled radii) →
+    (semi-major a, inverse flattening; inf = sphere, the Snyder
+    e²=0 convention the warp projections use)."""
+    code = raw3[0]
+    inf = float("inf")
+    if code == 0:
+        return 6367470.0, inf
+    if code == 1:  # custom sphere: scale factor + scaled radius
+        sf = raw3[1]
+        r = struct.unpack_from(">I", raw3, 2)[0]
+        if r == 0:
+            raise ValueError("GRIB2 custom sphere with zero radius")
+        return r / (10.0 ** sf), inf
+    if code == 4:  # GRS80
+        return 6378137.0, 298.257222101
+    if code == 5:  # WGS84
+        return 6378137.0, 298.257223563
+    if code == 6:
+        return 6371229.0, inf
+    raise NotImplementedError(f"GRIB2 shape-of-earth code {code}")
+
+
 def _sections(b, msg_off: int, msg_len: int) -> dict[int, tuple[int, int]]:
     """{section number: (offset, length)} for one message. Section 0 is
     16 bytes; section 8 is the literal '7777'."""
@@ -92,29 +115,68 @@ def read_grib2_structure(path: str) -> dict:
 
         s3, _ = sec[3]
         gdt = struct.unpack(">H", bytes(b[s3 + 12 : s3 + 14]))[0]
-        if gdt != 0:
+        if gdt not in (0, 30):
             raise NotImplementedError(
                 f"GRIB2 grid definition template 3.{gdt} "
-                "(regular lat/lon 3.0 only)"
+                "(regular lat/lon 3.0 / Lambert conformal 3.30 only)"
             )
-        t = s3 + 14  # template 3.0 body
-        raw3 = bytes(b[t : t + 58])
-        ni = struct.unpack_from(">I", raw3, 16)[0]
-        nj = struct.unpack_from(">I", raw3, 20)[0]
-        lat1 = _sm(struct.unpack_from(">I", raw3, 32)[0], 32) / 1e6
-        lon1 = _sm(struct.unpack_from(">I", raw3, 36)[0], 32) / 1e6
-        lat2 = _sm(struct.unpack_from(">I", raw3, 41)[0], 32) / 1e6
-        lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
-        di = struct.unpack_from(">I", raw3, 49)[0] / 1e6
-        dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
-        scan = raw3[57]
-        if scan & 0b00010000:
-            raise NotImplementedError("GRIB2 boustrophedon scanning")
-        if scan & 0b10000000:
-            raise NotImplementedError("GRIB2 -i (east→west) scanning")
-        m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2,
-                 di=di, dj=dj, scan=scan,
-                 j_positive=bool(scan & 0b01000000))
+        t = s3 + 14  # template body
+
+        def check_scan(scan: int) -> None:
+            if scan & 0b00010000:
+                raise NotImplementedError("GRIB2 boustrophedon scanning")
+            if scan & 0b10000000:
+                raise NotImplementedError("GRIB2 -i (east→west) scanning")
+
+        if gdt == 0:
+            raw3 = bytes(b[t : t + 58])
+            ni = struct.unpack_from(">I", raw3, 16)[0]
+            nj = struct.unpack_from(">I", raw3, 20)[0]
+            lat1 = _sm(struct.unpack_from(">I", raw3, 32)[0], 32) / 1e6
+            lon1 = _sm(struct.unpack_from(">I", raw3, 36)[0], 32) / 1e6
+            lat2 = _sm(struct.unpack_from(">I", raw3, 41)[0], 32) / 1e6
+            lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
+            di = struct.unpack_from(">I", raw3, 49)[0] / 1e6
+            dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
+            scan = raw3[57]
+            check_scan(scan)
+            m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2,
+                     lon2=lon2, di=di, dj=dj, scan=scan, grid="latlon",
+                     j_positive=bool(scan & 0b01000000))
+        else:  # 3.30: Lambert conformal (HRRR/NAM-style grids)
+            raw3 = bytes(b[t : t + 67])
+            a, inv_f = _earth_shape(raw3)
+            ni = struct.unpack_from(">I", raw3, 16)[0]
+            nj = struct.unpack_from(">I", raw3, 20)[0]
+            la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
+            lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
+            lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
+            lov = _sm(struct.unpack_from(">I", raw3, 37)[0], 32) / 1e6
+            dx = struct.unpack_from(">I", raw3, 41)[0] / 1e3  # mm → m
+            dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
+            if raw3[49] & 0x80:
+                raise NotImplementedError(
+                    "GRIB2 Lambert grid centered on the south pole"
+                )
+            scan = raw3[50]
+            check_scan(scan)
+            latin1 = _sm(struct.unpack_from(">I", raw3, 51)[0], 32) / 1e6
+            latin2 = _sm(struct.unpack_from(">I", raw3, 55)[0], 32) / 1e6
+
+            def norm_lon(v: float) -> float:
+                return v - 360.0 if v > 180.0 else v
+
+            m.update(
+                ni=ni, nj=nj, grid="lambert", scan=scan,
+                j_positive=bool(scan & 0b01000000),
+                la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
+                proj={
+                    "type": "lcc", "sp1": latin1, "sp2": latin2,
+                    "lat0": lad, "lon0": norm_lon(lov),
+                    "fe": 0.0, "fn": 0.0, "a": a,
+                    "inv_f": inv_f,
+                },
+            )
 
         s4, _ = sec[4]
         pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
@@ -195,6 +257,34 @@ def read_grib2_structure(path: str) -> dict:
     if hasattr(b, "close"):
         b.close()
     return {"path": path, "format": "grib2", "messages": messages}
+
+
+def lcc_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
+    """Python Lambert-Conformal-Conic forward (Snyder 15-1/14-15; the
+    mirror of tiff_reader.lcc_inverse and of the warp's Column-
+    expression forward) — used to anchor a GRIB Lambert grid's affine
+    at its first grid point."""
+    import math
+
+    from raquet_spark.sources.tiff_reader import _lcc_constants
+
+    k = _lcc_constants(p)
+    if p["inv_f"] == float("inf"):
+        e = 0.0
+    else:
+        f = 1.0 / p["inv_f"]
+        e = math.sqrt(2.0 * f - f * f)
+    phi = math.radians(lat)
+    s = math.sin(phi)
+    t = math.tan(math.pi / 4.0 - phi / 2.0)
+    if e:
+        t /= ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+    rho = k["a"] * k["F"] * t ** k["n"]
+    th = k["n"] * (math.radians(lon) - k["lon0"])
+    return (
+        k["fe"] + rho * math.sin(th),
+        k["fn"] + k["rho0"] - rho * math.cos(th),
+    )
 
 
 def _unpack_bits(raw: bytes, n: int, nbits: int) -> np.ndarray:
@@ -434,15 +524,8 @@ def grib2_to_raquet(
     )
     ni, nj = m0["ni"], m0["nj"]
     # grid rows are normalized north-first by decode_message
-    north = max(m0["lat1"], m0["lat2"])
     info = {
         "path": path,
-        "epsg": 4326,
-        # lat/lon are CELL CENTERS (as in CF): origin is the outer corner
-        "transform": (
-            m0["lon1"] - m0["di"] / 2.0, m0["di"], 0.0,
-            north + m0["dj"] / 2.0, 0.0, -m0["dj"],
-        ),
         "width": ni,
         "height": nj,
         "n_bands": 1,
@@ -450,6 +533,33 @@ def grib2_to_raquet(
         "nodata": nodata,
         "palette": None,
     }
+    if m0.get("grid") == "lambert":
+        # anchor the projected affine at the FIRST grid point: forward-
+        # project (la1, lo1) (the python mirror of the warp's Snyder
+        # LCC expressions), then flip to a north-first row axis to
+        # match decode_message's normalization
+        proj = m0["proj"]
+        x1, y1 = lcc_forward(proj, m0["lo1"], m0["la1"])
+        y_top = y1 + (nj - 1) * m0["dy"] if m0["j_positive"] else y1
+        info.update(
+            epsg=32767,  # user-defined CRS: closed-form params below
+            projection=proj,
+            transform=(
+                x1 - m0["dx"] / 2.0, m0["dx"], 0.0,
+                y_top + m0["dy"] / 2.0, 0.0, -m0["dy"],
+            ),
+        )
+    else:
+        north = max(m0["lat1"], m0["lat2"])
+        info.update(
+            epsg=4326,
+            # lat/lon are CELL CENTERS (as in CF): origin is the outer
+            # corner
+            transform=(
+                m0["lon1"] - m0["di"] / 2.0, m0["di"], 0.0,
+                north + m0["dj"] / 2.0, 0.0, -m0["dj"],
+            ),
+        )
     z = zoom if zoom is not None else _pick_zoom(info, block_size, "upper")
     px = grib2_pixel_table(spark, g, param)
     # bitmap-missing points were omitted; the warp gather wants dense

@@ -819,7 +819,13 @@ def _lcc_constants(p: dict) -> dict:
 
     p1, p2 = math.radians(p["sp1"]), math.radians(p["sp2"])
     phi0 = math.radians(p["lat0"])
-    n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    if p1 == p2:  # tangent (1SP) case — Snyder's limit n = sin(phi1);
+        # GRIB Lambert grids (HRRR: latin1 == latin2) hit this
+        n = math.sin(p1)
+    else:
+        n = (math.log(m(p1)) - math.log(m(p2))) / (
+            math.log(t(p1)) - math.log(t(p2))
+        )
     Fc = m(p1) / (n * t(p1) ** n)
     rho0 = p["a"] * Fc * t(phi0) ** n
     # conformal -> geodetic latitude series (Snyder 3-5)

@@ -118,11 +118,15 @@ def write_grib2(
     dj: float = 0.5,
     discipline: int = 0,
     j_positive: bool = False,
+    grid: dict | None = None,
 ) -> str:
     """``fields``: list of ``{data (2-d np array, row 0 = north; NaN =
     missing → bitmap), forecast_time (int hours), param (category,
-    number), E, D}``. The grid is regular lat/lon anchored at the
-    (lat1, lon1) CELL CENTER."""
+    number), E, D}``. Default grid: regular lat/lon (template 3.0)
+    anchored at the (lat1, lon1) CELL CENTER. Pass ``grid={"type":
+    "lambert", la1, lo1, dx, dy, lad, lov, latin1, latin2, shape}``
+    for a Lambert-conformal grid (template 3.30; la1/lo1 = FIRST grid
+    point, dx/dy in meters)."""
     out = b""
     for f in fields:
         data = np.asarray(f["data"], dtype="f8")
@@ -186,24 +190,50 @@ def write_grib2(
             2026, 1, 1, 0, 0, 0,  # ref time
             0, 1,      # production status, type of data
         )
-        t30 = struct.pack(
-            ">BBIBIBI", 6, 0, 0, 0, 0, 0, 0  # sphere, radii unused
-        )
-        t30 += struct.pack(">II", ni, nj)
-        t30 += struct.pack(">II", 0, 0)  # basic angle, subdivisions
-        t30 += struct.pack(
-            ">II", _sm_enc(int(round(la1 * 1e6)), 32),
-            _sm_enc(int(round(lon1 * 1e6)), 32),
-        )
-        t30 += struct.pack(
-            ">BII", 0x30,
-            _sm_enc(int(round(la2 * 1e6)), 32),
-            _sm_enc(int(round(lon_last * 1e6)), 32),
-        )
-        t30 += struct.pack(
-            ">IIB", int(round(di * 1e6)), int(round(dj * 1e6)), scan
-        )
-        s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + t30
+        if grid and grid.get("type") == "lambert":  # template 3.30
+            gl = grid
+            t30 = struct.pack(
+                ">BBIBIBI", int(gl.get("shape", 6)), 0, 0, 0, 0, 0, 0
+            )
+            t30 += struct.pack(">II", ni, nj)
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(gl["la1"] * 1e6)), 32),
+                _sm_enc(int(round(gl["lo1"] % 360.0 * 1e6)), 32),
+            )
+            t30 += bytes([0x30])  # resolution/component flags
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(gl["lad"] * 1e6)), 32),
+                _sm_enc(int(round(gl["lov"] % 360.0 * 1e6)), 32),
+            )
+            t30 += struct.pack(
+                ">II", int(round(gl["dx"] * 1e3)), int(round(gl["dy"] * 1e3))
+            )
+            t30 += struct.pack(">BB", 0, scan)  # proj centre, scanning
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(gl["latin1"] * 1e6)), 32),
+                _sm_enc(int(round(gl["latin2"] * 1e6)), 32),
+            )
+            t30 += struct.pack(">II", _sm_enc(int(-90 * 1e6), 32), 0)
+            s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 30) + t30
+        else:
+            t30 = struct.pack(
+                ">BBIBIBI", 6, 0, 0, 0, 0, 0, 0  # sphere, radii unused
+            )
+            t30 += struct.pack(">II", ni, nj)
+            t30 += struct.pack(">II", 0, 0)  # basic angle, subdivisions
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(la1 * 1e6)), 32),
+                _sm_enc(int(round(lon1 * 1e6)), 32),
+            )
+            t30 += struct.pack(
+                ">BII", 0x30,
+                _sm_enc(int(round(la2 * 1e6)), 32),
+                _sm_enc(int(round(lon_last * 1e6)), 32),
+            )
+            t30 += struct.pack(
+                ">IIB", int(round(di * 1e6)), int(round(dj * 1e6)), scan
+            )
+            s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + t30
         t40 = struct.pack(
             ">BBBBBHBBI", cat, num, 2, 0, 0, 0, 0, 1,
             int(f.get("forecast_time", 0)),

@@ -159,7 +159,7 @@ def test_typed_gates(tmp_path):
     with pytest.raises(NotImplementedError, match="grid definition"):
         read_grib2_structure(
             patched(lambda b: b.__setitem__(slice(s3 + 12, s3 + 14),
-                                            struct.pack(">H", 30)))
+                                            struct.pack(">H", 90)))
         )
     with pytest.raises(NotImplementedError, match="JPEG2000"):
         read_grib2_structure(
@@ -391,3 +391,86 @@ def test_png_packing_with_bitmap(tmp_path):
     np.testing.assert_array_equal(
         got[~np.isnan(data)], data[~np.isnan(data)]
     )
+
+
+def test_lambert_grid(spark, tmp_path):
+    """Template 3.30 (Lambert conformal — the HRRR/NAM grid family):
+    the grid parses to closed-form LCC params, the first-grid-point
+    anchor round-trips through forward/inverse projection, and the
+    conversion warps through the same Snyder LCC expressions the
+    GeoTIFF path uses."""
+    from raquet_spark.sources.grib2 import lcc_forward
+    from raquet_spark.sources.tiff_reader import lcc_inverse
+
+    p = {"type": "lcc", "sp1": 38.5, "sp2": 38.5, "lat0": 38.5,
+         "lon0": -97.5, "fe": 0.0, "fn": 0.0, "a": 6371229.0,
+         "inv_f": float("inf")}
+    nj, ni, dx = 20, 24, 3000.0
+    # first grid point = SOUTH-west corner (HRRR scans +i, +j)
+    x1, y1 = -30000.0, -30000.0
+    lo1, la1 = lcc_inverse(p, x1, y1)
+    data = _field(1, nj, ni, 2)
+    path = str(tmp_path / "lcc.grib2")
+    write_grib2(
+        path,
+        [{"data": data, "forecast_time": 0, "param": (0, 0)}],
+        j_positive=True,
+        grid={"type": "lambert", "la1": la1, "lo1": lo1, "dx": dx,
+              "dy": dx, "lad": 38.5, "lov": -97.5, "latin1": 38.5,
+              "latin2": 38.5, "shape": 6},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "lambert" and m["j_positive"]
+    assert m["proj"]["sp1"] == pytest.approx(38.5)
+    assert m["proj"]["lon0"] == pytest.approx(-97.5)
+    assert m["proj"]["a"] == 6371229.0
+    fx, fy = lcc_forward(m["proj"], m["lo1"], m["la1"])
+    assert abs(fx - x1) < 1.0 and abs(fy - y1) < 1.0  # µdeg quantization
+
+    # values decode exactly (grid template is orthogonal to packing)
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+    # full conversion through the LCC warp (single step: no time col)
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+
+    tiles, meta = grib2_to_raquet(spark, path, block_size=64,
+                                  compression=None)
+    px = (
+        tiles.where("block > 0")
+        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .where("v != -9999.0")
+    )
+    got_mean = px.agg(F.avg("v")).first()[0]
+    src_mean = float(data.mean())
+    assert abs(got_mean - src_mean) < max(2.0, abs(src_mean) * 0.15)
+
+
+def test_shape_of_earth_gate(tmp_path):
+    import struct
+
+    data = _field(1, 8, 8, 0)
+    path = str(tmp_path / "so.grib2")
+    write_grib2(
+        path,
+        [{"data": data, "forecast_time": 0}],
+        grid={"type": "lambert", "la1": 35.0, "lo1": -100.0, "dx": 3000,
+              "dy": 3000, "lad": 38.5, "lov": -97.5, "latin1": 38.5,
+              "latin2": 38.5, "shape": 6},
+    )
+    raw = bytearray(open(path, "rb").read())
+    p = 16
+    while raw[p + 4] != 3:
+        (ln,) = struct.unpack_from(">I", raw, p)
+        p += ln
+    raw[p + 14] = 7  # unsupported shape code
+    p2 = str(tmp_path / "so2.grib2")
+    open(p2, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="shape-of-earth"):
+        read_grib2_structure(p2)
