@@ -2901,6 +2901,89 @@ GROUP BY t
 """
 
 
+def _cached_grib2_lambert(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib2
+
+    key = (spark.sparkContext.applicationId, "grib2_lcc_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _GRB
+        gy, gx = np.mgrid[0 : c["nj"], 0 : c["ni"]]
+        fields = []
+        for t in range(c["nt"]):
+            data = (
+                (gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50
+            ).astype("f8") + 50.0  # non-negative for the PNG channels
+            data[(gx + gy + t) % 17 == 0] = np.nan
+            fields.append(
+                {"data": data, "forecast_time": t * 6, "param": (0, 0),
+                 "packing": "png"}
+            )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_grib2lcc_"), "fix.grib2"
+        )
+        write_grib2(
+            path, fields, j_positive=True,
+            grid={"type": "lambert", "la1": 35.2, "lo1": -102.1,
+                  "dx": 3000.0, "dy": 3000.0, "lad": 38.5, "lov": -97.5,
+                  "latin1": 38.5, "latin2": 38.5, "shape": 6},
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def grib2_lambert_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 Lambert-conformal grid (template 3.30, the HRRR/NAM
+    family) with PNG packing (template 5.41) and a bitmap: the decoded
+    pixel table is grid-agnostic, so per-step stats reduce to the same
+    closed form as the lat/lon gate — proving the 3.30 parse + 5.41
+    decode + south→north scan normalization end-to-end."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib2_lambert(spark))
+    px = grib2_pixel_table(spark, g)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib2_lambert_stats_oracle() -> str:
+    c = _GRB
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 17 = 0 THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13) % {c['modulo']}
+                   AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nj']})) AS gy),
+       (SELECT unnest(range(0, {c['ni']})) AS gx)
+)
+SELECT CAST(t * 6 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 _QCF_OFF = 10_000_000
 _QCF_SENT = {"pos": "qsentinelgood", "neg": "qsentinelbad"}
 
@@ -5560,6 +5643,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "netcdf4_eaindex_stats": (netcdf4_eaindex_stats_spark, netcdf4_eaindex_stats_oracle),
     "netcdf4_bt2index_stats": (netcdf4_bt2index_stats_spark, netcdf4_bt2index_stats_oracle),
     "grib2_ingest_stats": (grib2_ingest_stats_spark, grib2_ingest_stats_oracle),
+    "grib2_lambert_stats": (grib2_lambert_stats_spark, grib2_lambert_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
