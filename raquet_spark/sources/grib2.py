@@ -115,10 +115,11 @@ def read_grib2_structure(path: str) -> dict:
 
         s3, _ = sec[3]
         gdt = struct.unpack(">H", bytes(b[s3 + 12 : s3 + 14]))[0]
-        if gdt not in (0, 30):
+        if gdt not in (0, 20, 30):
             raise NotImplementedError(
                 f"GRIB2 grid definition template 3.{gdt} "
-                "(regular lat/lon 3.0 / Lambert conformal 3.30 only)"
+                "(regular lat/lon 3.0 / polar stereographic 3.20 / "
+                "Lambert conformal 3.30 only)"
             )
         t = s3 + 14  # template body
 
@@ -143,6 +144,37 @@ def read_grib2_structure(path: str) -> dict:
             m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2,
                      lon2=lon2, di=di, dj=dj, scan=scan, grid="latlon",
                      j_positive=bool(scan & 0b01000000))
+        elif gdt == 20:  # polar stereographic (arctic/antarctic grids)
+            raw3 = bytes(b[t : t + 51])
+            a, inv_f = _earth_shape(raw3)
+            ni = struct.unpack_from(">I", raw3, 16)[0]
+            nj = struct.unpack_from(">I", raw3, 20)[0]
+            la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
+            lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
+            lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
+            lov = _sm(struct.unpack_from(">I", raw3, 37)[0], 32) / 1e6
+            dx = struct.unpack_from(">I", raw3, 41)[0] / 1e3
+            dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
+            south = bool(raw3[49] & 0x80)
+            scan = raw3[50]
+            check_scan(scan)
+
+            def norm_lon(v: float) -> float:
+                return v - 360.0 if v > 180.0 else v
+
+            m.update(
+                ni=ni, nj=nj, grid="ps", scan=scan,
+                j_positive=bool(scan & 0b01000000),
+                la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
+                proj={
+                    # lat_ts sign selects the aspect in the warp's ps
+                    # formulation; GRIB states it via the centre flag
+                    "type": "ps",
+                    "lat_ts": -abs(lad) if south else abs(lad),
+                    "lon0": norm_lon(lov), "fe": 0.0, "fn": 0.0,
+                    "a": a, "inv_f": inv_f,
+                },
+            )
         else:  # 3.30: Lambert conformal (HRRR/NAM-style grids)
             raw3 = bytes(b[t : t + 67])
             a, inv_f = _earth_shape(raw3)
@@ -259,6 +291,25 @@ def read_grib2_structure(path: str) -> dict:
     return {"path": path, "format": "grib2", "messages": messages}
 
 
+def _ecc(p: dict) -> float:
+    import math
+
+    if p["inv_f"] == float("inf"):
+        return 0.0
+    f = 1.0 / p["inv_f"]
+    return math.sqrt(2.0 * f - f * f)
+
+
+def _snyder_t(phi: float, e: float) -> float:
+    import math
+
+    s = math.sin(phi)
+    t = math.tan(math.pi / 4.0 - phi / 2.0)
+    if e:
+        t /= ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+    return t
+
+
 def lcc_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
     """Python Lambert-Conformal-Conic forward (Snyder 15-1/14-15; the
     mirror of tiff_reader.lcc_inverse and of the warp's Column-
@@ -269,22 +320,38 @@ def lcc_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
     from raquet_spark.sources.tiff_reader import _lcc_constants
 
     k = _lcc_constants(p)
-    if p["inv_f"] == float("inf"):
-        e = 0.0
-    else:
-        f = 1.0 / p["inv_f"]
-        e = math.sqrt(2.0 * f - f * f)
-    phi = math.radians(lat)
-    s = math.sin(phi)
-    t = math.tan(math.pi / 4.0 - phi / 2.0)
-    if e:
-        t /= ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+    t = _snyder_t(math.radians(lat), _ecc(p))
     rho = k["a"] * k["F"] * t ** k["n"]
     th = k["n"] * (math.radians(lon) - k["lon0"])
     return (
         k["fe"] + rho * math.sin(th),
         k["fn"] + k["rho0"] - rho * math.cos(th),
     )
+
+
+def ps_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
+    """Python Polar Stereographic forward (Snyder ch. 21; the mirror
+    of tiff_reader.ps_inverse — north: y = -ρ·cos, south: original
+    signs with φ negated)."""
+    import math
+
+    from raquet_spark.sources.tiff_reader import _ps_constants
+
+    k = _ps_constants(p)
+    phi = math.radians(-lat if k["south"] else lat)
+    rho = k["rho_div"] * _snyder_t(phi, _ecc(p))
+    dlam = math.radians(lon) - k["lon0"]
+    if k["south"]:
+        return k["fe"] + rho * math.sin(dlam), k["fn"] + rho * math.cos(dlam)
+    return k["fe"] + rho * math.sin(dlam), k["fn"] - rho * math.cos(dlam)
+
+
+def proj_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
+    if p["type"] == "lcc":
+        return lcc_forward(p, lon, lat)
+    if p["type"] == "ps":
+        return ps_forward(p, lon, lat)
+    raise NotImplementedError(f"forward for projection {p['type']!r}")
 
 
 def _unpack_bits(raw: bytes, n: int, nbits: int) -> np.ndarray:
@@ -533,13 +600,13 @@ def grib2_to_raquet(
         "nodata": nodata,
         "palette": None,
     }
-    if m0.get("grid") == "lambert":
+    if m0.get("grid") in ("lambert", "ps"):
         # anchor the projected affine at the FIRST grid point: forward-
         # project (la1, lo1) (the python mirror of the warp's Snyder
-        # LCC expressions), then flip to a north-first row axis to
+        # expressions), then flip to a north-first row axis to
         # match decode_message's normalization
         proj = m0["proj"]
-        x1, y1 = lcc_forward(proj, m0["lo1"], m0["la1"])
+        x1, y1 = proj_forward(proj, m0["lo1"], m0["la1"])
         y_top = y1 + (nj - 1) * m0["dy"] if m0["j_positive"] else y1
         info.update(
             epsg=32767,  # user-defined CRS: closed-form params below

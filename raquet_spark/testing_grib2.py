@@ -190,7 +190,29 @@ def write_grib2(
             2026, 1, 1, 0, 0, 0,  # ref time
             0, 1,      # production status, type of data
         )
-        if grid and grid.get("type") == "lambert":  # template 3.30
+        if grid and grid.get("type") == "ps":  # template 3.20
+            gl = grid
+            t30 = struct.pack(
+                ">BBIBIBI", int(gl.get("shape", 6)), 0, 0, 0, 0, 0, 0
+            )
+            t30 += struct.pack(">II", ni, nj)
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(gl["la1"] * 1e6)), 32),
+                _sm_enc(int(round(gl["lo1"] % 360.0 * 1e6)), 32),
+            )
+            t30 += bytes([0x30])
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(abs(gl["lad"]) * 1e6)), 32),
+                _sm_enc(int(round(gl["lov"] % 360.0 * 1e6)), 32),
+            )
+            t30 += struct.pack(
+                ">II", int(round(gl["dx"] * 1e3)), int(round(gl["dy"] * 1e3))
+            )
+            t30 += struct.pack(
+                ">BB", 0x80 if gl["lad"] < 0 else 0, scan
+            )
+            s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 20) + t30
+        elif grid and grid.get("type") == "lambert":  # template 3.30
             gl = grid
             t30 = struct.pack(
                 ">BBIBIBI", int(gl.get("shape", 6)), 0, 0, 0, 0, 0, 0

@@ -474,3 +474,55 @@ def test_shape_of_earth_gate(tmp_path):
     open(p2, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError, match="shape-of-earth"):
         read_grib2_structure(p2)
+
+
+@pytest.mark.parametrize("south", [False, True])
+def test_polar_stereographic_grid(spark, tmp_path, south):
+    """Template 3.20 (polar stereographic, arctic/antarctic products):
+    both aspects parse to the warp's ps params and the first-grid-point
+    anchor round-trips through forward/inverse."""
+    from raquet_spark.sources.grib2 import ps_forward
+    from raquet_spark.sources.tiff_reader import ps_inverse
+
+    lat_ts = -60.0 if south else 60.0
+    p = {"type": "ps", "lat_ts": lat_ts, "lon0": -45.0, "fe": 0.0,
+         "fn": 0.0, "a": 6371229.0, "inv_f": float("inf")}
+    nj, ni, dx = 14, 18, 5000.0
+    x1, y1 = -40000.0, -3_200_000.0 if not south else 3_200_000.0
+    lo1, la1 = ps_inverse(p, x1, y1)
+    data = _field(1, nj, ni, 4)
+    path = str(tmp_path / f"ps_{south}.grib2")
+    write_grib2(
+        path,
+        [{"data": data, "forecast_time": 0}],
+        grid={"type": "ps", "la1": la1, "lo1": lo1, "dx": dx, "dy": dx,
+              "lad": lat_ts, "lov": -45.0, "shape": 6},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "ps"
+    assert m["proj"]["lat_ts"] == pytest.approx(lat_ts)
+    fx, fy = ps_forward(m["proj"], m["lo1"], m["la1"])
+    assert abs(fx - x1) < 2.0 and abs(fy - y1) < 2.0
+
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+    # conversion through the ps warp
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.sources.grib2 import grib2_to_raquet as g2r
+
+    tiles, _meta = g2r(spark, path, block_size=64, compression=None)
+    px = (
+        tiles.where("block > 0")
+        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .where("v != -9999.0")
+    )
+    got_mean = px.agg(F.avg("v")).first()[0]
+    src_mean = float(data.mean())
+    assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
