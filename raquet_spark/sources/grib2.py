@@ -12,11 +12,14 @@ natural parallel unit of a GRIB archive, which stores thousands of
 messages per file.
 
 Scope (typed gates name everything else, never silent wrong answers):
-- edition 2; grid definition template 3.0 (regular lat/lon);
+- edition 2; grid definition templates 3.0 (regular lat/lon), 3.20
+  (polar stereographic, both aspects) and 3.30 (Lambert conformal —
+  the HRRR/NAM family), with shape-of-earth codes 0/1/4/5/6;
 - product definition templates 4.0/4.8 (read for time/parameter keys);
-- data representation template 5.0 (simple packing: ``Y = (R + X *
-  2^E) / 10^D``) and 5.41 gated, 5.40 (JPEG2000) gated, complex
-  packing (5.2/5.3) gated;
+- data representation templates 5.0 (simple packing: ``Y = (R + X *
+  2^E) / 10^D``), 5.2/5.3 (complex packing incl. 1st/2nd-order
+  spatial differencing) and 5.41 (PNG, via the repo's own codec);
+  5.40 (JPEG2000) gated;
 - bitmap indicator 255 (none), 0 (bitmap present — missing points
   carry no packed value), 254 (reuse previous) gated;
 - scanning mode +i, j either direction, row-major (bits 1/2/3 of the
