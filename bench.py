@@ -85,6 +85,7 @@ def main() -> None:
         "netcdf4_eaindex_stats",
         "netcdf4_bt2index_stats",
         "grib2_ingest_stats",
+        "grib2_lambert_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
