@@ -128,6 +128,16 @@ def cosine_topk(
             # (dot / qnorm) / cnorm
             S = ((C @ Q.T) / qn[None, :]) / cn[:, None]  # (n, Q)
             key = np.round(S, order_round) if order_round is not None else S
+            # With order_round set the FINAL ranking is Spark's
+            # F.round (BigDecimal HALF_UP on the double's shortest
+            # decimal repr) while this partial-top-k key is np.round
+            # (half-to-even on the binary value) — at decimal-.5
+            # boundaries they can disagree by one full rounding bucket.
+            # Pruning here is only a bandwidth optimization, so widen
+            # every kept boundary by two buckets: any row whose
+            # Spark-rounded key ties into the top-k survives to the
+            # exact window.
+            slack = 2.0 * 10.0 ** (-order_round) if order_round is not None else 0.0
             # self-pairs never rank
             key = np.where(cids[:, None] == qids[None, :], -np.inf, key)
             kk = min(k, len(cids))
@@ -136,13 +146,18 @@ def cosine_topk(
                 col = key[:, j]
                 idx = np.nonzero(np.isfinite(col))[0]
                 if len(idx) > kk * 4:
-                    # keep everything >= the kth key so boundary TIES
-                    # survive for the cand_id tiebreak (argpartition
-                    # alone would drop tied rows arbitrarily)
+                    # keep everything >= the kth key (minus slack) so
+                    # boundary TIES survive for the cand_id tiebreak
+                    # (argpartition alone would drop tied rows
+                    # arbitrarily)
                     part = idx[np.argpartition(-col[idx], kk - 1)]
-                    idx = idx[col[idx] >= col[part[kk - 1]]]
+                    idx = idx[col[idx] >= col[part[kk - 1]] - slack]
                 # top-k by (key desc, cand_id asc)
-                order = idx[np.lexsort((cids[idx], -col[idx]))][:kk]
+                full = idx[np.lexsort((cids[idx], -col[idx]))]
+                if slack and len(full) > kk:
+                    order = full[col[full] >= col[full[kk - 1]] - slack]
+                else:
+                    order = full[:kk]
                 out_q.append(np.full(len(order), qids[j]))
                 out_c.append(cids[order])
                 out_s.append(S[order, j])

@@ -2984,6 +2984,102 @@ GROUP BY t
 """
 
 
+def _cached_grib2_mvm(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib2
+
+    key = (spark.sparkContext.applicationId, "grib2_mvm_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _GRB
+        gy, gx = np.mgrid[0 : c["nj"], 0 : c["ni"]]
+        # one step per (packing, mvm) combination: 5.2 primary-only,
+        # 5.3 primary-only, 5.3 primary+secondary — identical values
+        # and missing sets through all three, so ONE closed-form
+        # oracle gates them (secondary-vs-primary kind does not change
+        # the output contract: both are absent rows)
+        variants = [
+            {"packing": "complex", "mvm": 1, "group_len": 23},
+            {"packing": "complex_diff", "mvm": 1, "sd_order": 2,
+             "group_len": 17},
+            {"packing": "complex_diff", "mvm": 2, "sd_order": 1,
+             "group_len": 16},
+        ]
+        fields = []
+        for t in range(c["nt"]):
+            data = (
+                (gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50
+            ).astype("f8")
+            miss = ((gx + gy + t) % 13 == 0) | (gy == 5)  # + a full row
+            data[miss] = np.nan
+            f = {"data": data, "forecast_time": t * 6, "param": (0, 0),
+                 **variants[t % len(variants)]}
+            if f["mvm"] == 2:
+                f["secondary"] = miss & ((gx + t) % 2 == 0)
+            fields.append(f)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_grib2mvm_"), "fix.grib2"
+        )
+        write_grib2(path, fields, lat1=49.0, lon1=0.0, di=0.25, dj=0.25)
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def grib2_mvm_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 complex-packing missing-value management (templates
+    5.2/5.3 octet 23 — NCEP precipitation/radar fields embed missing
+    points IN the packed groups instead of carrying a bitmap; the
+    reference reads such files through GDAL's GRIB driver, cli.py:283):
+    three steps covering 5.2+mvm1, 5.3(order 2)+mvm1 and 5.3(order 1)
+    +mvm2 with secondary markers, whole-row missing runs (width-0
+    all-ones group references) and scattered in-group markers. Missing
+    points are ABSENT rows (same contract as the bitmap path), so the
+    per-step stats reduce to the closed form."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib2_mvm(spark))
+    px = grib2_pixel_table(spark, g)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib2_mvm_stats_oracle() -> str:
+    c = _GRB
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 13 = 0 OR gy = 5 THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50
+                   AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nj']})) AS gy),
+       (SELECT unnest(range(0, {c['ni']})) AS gx)
+)
+SELECT CAST(t * 6 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 _QCF_OFF = 10_000_000
 _QCF_SENT = {"pos": "qsentinelgood", "neg": "qsentinelbad"}
 
@@ -5644,6 +5740,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "netcdf4_bt2index_stats": (netcdf4_bt2index_stats_spark, netcdf4_bt2index_stats_oracle),
     "grib2_ingest_stats": (grib2_ingest_stats_spark, grib2_ingest_stats_oracle),
     "grib2_lambert_stats": (grib2_lambert_stats_spark, grib2_lambert_stats_oracle),
+    "grib2_mvm_stats": (grib2_mvm_stats_spark, grib2_mvm_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

@@ -81,6 +81,12 @@ def _sections(b, msg_off: int, msg_len: int) -> dict[int, tuple[int, int]]:
     end = msg_off + msg_len
     while p < end - 4:
         (ln,) = struct.unpack(">I", bytes(b[p : p + 4]))
+        if ln < 5 or p + ln > end:
+            # a corrupt/truncated section length must fail, not loop
+            # forever (ln = 0) or run past the message
+            raise ValueError(
+                f"GRIB2 corrupt section length {ln} at offset {p}"
+            )
         num = b[p + 4]
         out[num] = (p, ln)
         p += ln
@@ -215,16 +221,51 @@ def read_grib2_structure(path: str) -> dict:
 
         s4, _ = sec[4]
         pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
-        if pdt not in (0, 8):
+        if pdt not in (0, 1, 2, 8):
             raise NotImplementedError(
-                f"GRIB2 product definition template 4.{pdt} (4.0/4.8)"
+                f"GRIB2 product definition template 4.{pdt} "
+                "(4.0 / 4.1 ensemble / 4.2 derived / 4.8 only)"
             )
+        m["pdt"] = pdt
         m["param_category"] = b[s4 + 9]
         m["param_number"] = b[s4 + 10]
+        # code table 4.4 (octet 18): exact hour conversions only —
+        # anything else (months, centuries, reserved) would silently
+        # mislabel time_cf, which is documented as forecast HOURS
+        unit = b[s4 + 17]
+        to_hours = {
+            0: 1.0 / 60.0, 1: 1.0, 2: 24.0,
+            10: 3.0, 11: 6.0, 12: 12.0, 13: 1.0 / 3600.0,
+        }.get(unit)
+        if to_hours is None:
+            raise NotImplementedError(
+                f"GRIB2 time-range unit indicator {unit} "
+                "(minute/hour/day/3h/6h/12h/second only)"
+            )
+        m["time_unit"] = unit
         m["forecast_time"] = struct.unpack(
             ">I", bytes(b[s4 + 18 : s4 + 22])
         )[0]
+        m["forecast_hours"] = m["forecast_time"] * to_hours
+        # first fixed surface (octets 23-28): part of the message key —
+        # one parameter at many levels (a GFS pressure-level file) must
+        # not collapse into one tile stack
         m["level_type"] = b[s4 + 22]
+        lv_raw = bytes(b[s4 + 24 : s4 + 28])
+        if m["level_type"] == 255 or lv_raw == b"\xff\xff\xff\xff":
+            m["level_value"] = None
+        else:
+            lsf = _sm(b[s4 + 23], 8) if b[s4 + 23] != 0xFF else 0
+            m["level_value"] = (
+                _sm(struct.unpack(">I", lv_raw)[0], 32) / (10.0 ** lsf)
+            )
+        if pdt == 1:  # individual ensemble member (octets 35-37)
+            m["ens_type"] = b[s4 + 34]
+            m["ens_member"] = b[s4 + 35]
+            m["ens_count"] = b[s4 + 36]
+        elif pdt == 2:  # derived forecast (octets 35-36)
+            m["ens_derived"] = b[s4 + 34]
+            m["ens_count"] = b[s4 + 35]
 
         s5, _ = sec[5]
         m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
@@ -246,11 +287,26 @@ def read_grib2_structure(path: str) -> dict:
             # template 5.2 body past the 5.0 fields (section offsets
             # 21..46), 5.3 adds order + descriptor-octet count (47, 48)
             mvm = b[s5 + 22]
-            if mvm != 0:
+            if mvm not in (0, 1, 2):
                 raise NotImplementedError(
-                    f"GRIB2 missing-value management {mvm} "
-                    "(embedded missing substitutes; bitmap-missing only)"
+                    f"GRIB2 missing-value management {mvm} (0/1/2)"
                 )
+            m["mvm"] = mvm
+            if mvm:
+                # substitute values (octets 24-31), typed by the
+                # original-field-type octet 21: IEEE float or uint.
+                # The decoder emits missing points as ABSENT rows (same
+                # contract as the bitmap path) — the substitutes are
+                # recorded for metadata/debugging only.
+                ftype = raw5[9]
+                fmt = ">f" if ftype == 0 else ">I"
+                m["primary_sub"] = float(
+                    struct.unpack(fmt, bytes(b[s5 + 23 : s5 + 27]))[0]
+                )
+                if mvm == 2:
+                    m["secondary_sub"] = float(
+                        struct.unpack(fmt, bytes(b[s5 + 27 : s5 + 31]))[0]
+                    )
             m["ng"] = struct.unpack(">I", bytes(b[s5 + 31 : s5 + 35]))[0]
             m["wref"] = b[s5 + 35]
             m["wbits"] = b[s5 + 36]
@@ -273,6 +329,11 @@ def read_grib2_structure(path: str) -> dict:
         if s6 is not None:
             ind = b[s6[0] + 5]
             if ind == 0:
+                if m.get("mvm", 0):
+                    raise NotImplementedError(
+                        "GRIB2 bitmap combined with embedded "
+                        "missing-value management"
+                    )
                 m["bitmap_off"] = s6[0] + 6
                 m["bitmap_len"] = s6[1] - 6
             elif ind == 254:
@@ -369,7 +430,9 @@ def _unpack_bits(raw: bytes, n: int, nbits: int) -> np.ndarray:
     return bits @ weights
 
 
-def _unpack_complex(raw7: bytes, m: dict, npresent: int) -> np.ndarray:
+def _unpack_complex(
+    raw7: bytes, m: dict, npresent: int
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Templates 5.2/5.3: group-split values (+ optional spatial
     differencing). Block layout (the wgrib2/eccodes convention this
     module's writer also follows): [5.3: (order+1) sign-magnitude
@@ -378,8 +441,19 @@ def _unpack_complex(raw7: bytes, m: dict, npresent: int) -> np.ndarray:
     NG group references (nbits), NG group widths (wbits, + wref), NG
     scaled group lengths (lbits, L = lref + linc*stored; the last
     group's true length from the template), then the group values as
-    one continuous bit stream."""
+    one continuous bit stream.
+
+    Missing-value management (octet 23 = 1/2 — NCEP precip/radar
+    fields embed missing points instead of carrying a bitmap): within
+    a group of width w, a packed increment of all ones (2^w - 1) marks
+    a primary missing point and, under mvm 2, 2^w - 2 a secondary one;
+    a width-0 group whose REFERENCE is all ones (2^nbits - 1, or
+    2^nbits - 2 for secondary) is missing in its entirety. Under 5.3
+    the spatial differencing runs over the sequence of NON-missing
+    points only (the descriptor firsts are the first non-missing
+    values). Returns (values, missing-mask | None)."""
     ng = m["ng"]
+    mvm = m.get("mvm", 0)
     pos = 0
     if m["drt"] == 3:
         o, w = m["sd_order"], m["sd_octets"]
@@ -405,31 +479,59 @@ def _unpack_complex(raw7: bytes, m: dict, npresent: int) -> np.ndarray:
     # group values: one continuous bit stream (width-0 groups store
     # nothing — every point equals the group reference)
     bits = np.unpackbits(np.frombuffer(raw7[pos:], dtype="u1"))
-    x = np.empty(npresent, dtype="i8")
+    x = np.zeros(npresent, dtype="i8")
+    miss = np.zeros(npresent, dtype=bool) if mvm else None
+    ref_p = (1 << m["nbits"]) - 1 if m["nbits"] else None
+    ref_s = ref_p - 1 if ref_p is not None and mvm == 2 else None
     bp = 0
     vp = 0
     for g in range(ng):
         ln, wd = int(lens[g]), int(widths[g])
         if wd == 0:
-            x[vp : vp + ln] = refs[g]
+            if mvm and ref_p is not None and (
+                refs[g] == ref_p or (ref_s is not None and refs[g] == ref_s)
+            ):
+                miss[vp : vp + ln] = True
+            else:
+                x[vp : vp + ln] = refs[g]
         else:
             seg = bits[bp : bp + ln * wd].reshape(ln, wd).astype("i8")
             weights = 1 << np.arange(wd - 1, -1, -1, dtype="i8")
-            x[vp : vp + ln] = (seg @ weights) + refs[g]
+            inc = seg @ weights
+            if mvm:
+                gm = inc == (1 << wd) - 1
+                if mvm == 2:
+                    gm |= inc == (1 << wd) - 2
+                miss[vp : vp + ln] = gm
+                inc = np.where(gm, 0, inc)  # masked below; keep finite
+            x[vp : vp + ln] = inc + refs[g]
             bp += ln * wd
         vp += ln
     if m["drt"] == 3:
         o = m["sd_order"]
-        x[o:] += gmin
-        x[:o] = firsts
-        # undifference in place: order 1: f[i] += f[i-1];
-        # order 2: f[i] += 2 f[i-1] - f[i-2]
-        if o == 1:
-            x = np.cumsum(x)
+        if miss is not None and miss.any():
+            # differencing covers NON-missing points only
+            nz = np.nonzero(~miss)[0]
+            v = x[nz]
+            v[o:] += gmin
+            v[: min(o, len(v))] = firsts[: min(o, len(v))]
+            if o == 1:
+                v = np.cumsum(v)
+            else:
+                for i in range(2, len(v)):
+                    v[i] += 2 * v[i - 1] - v[i - 2]
+            x[nz] = v
         else:
-            for i in range(2, npresent):
-                x[i] += 2 * x[i - 1] - x[i - 2]
-    return x
+            x[o:] += gmin
+            x[:o] = firsts
+            # undifference in place: order 1: f[i] += f[i-1];
+            # order 2: f[i] += 2 f[i-1] - f[i-2]
+            if o == 1:
+                x = np.cumsum(x)
+            else:
+                for i in range(2, npresent):
+                    x[i] += 2 * x[i - 1] - x[i - 2]
+    return x, miss
 
 
 def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
@@ -444,8 +546,10 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     else:
         mask = None
         npresent = m["npoints"]
+    emb_miss = None
     if m.get("drt", 0) in (2, 3):
-        x = _unpack_complex(raw7, m, npresent).astype("f8")
+        xi, emb_miss = _unpack_complex(raw7, m, npresent)
+        x = xi.astype("f8")
     elif m.get("drt", 0) == 41:
         # PNG packing (NCEP radar/MRMS products): the payload IS a PNG
         # stream; the scaled ints ride the channels big-endian (8/16-bit
@@ -470,6 +574,10 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     else:
         x = _unpack_bits(raw7, npresent, m["nbits"]).astype("f8")
     y = (m["R"] + x * (2.0 ** m["E"])) / (10.0 ** m["D"])
+    if emb_miss is not None:
+        # embedded (mvm) missing points: same contract as the bitmap —
+        # NaN in the grid, absent rows in the pixel table
+        y = np.where(emb_miss, np.nan, y)
     if mask is not None:
         full = np.full(total, np.nan)
         full[mask] = y
@@ -480,32 +588,73 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     return grid
 
 
-def grib2_pixel_table(
-    spark,
-    g: dict,
+def select_messages(
+    msgs: list[dict],
     param: tuple[int, int] | None = None,
-):
-    """Distributed decode → (time_cf, sy, sx, band_1) pixel rows,
-    ``time_cf`` = forecast hours; one mapInPandas task per message
-    (byte-ranged read through sources/io.range_reader). Missing points
-    (bitmap) are omitted — GRIB has no inline fill value. ``param``
-    filters (category, number); default: the (category, number) of the
-    first message."""
-    import pandas as pd
-    from raquet_spark.session import ensure_package_shipped
-
-    ensure_package_shipped(spark)
-    msgs = g["messages"]
+    level: tuple | None = None,
+) -> list[dict]:
+    """Messages of ONE field: filtered by ``param`` (category, number)
+    AND by ``level`` (first-fixed-surface type, value) — the surface is
+    part of the key, so a pressure-level archive (one parameter at many
+    levels, identical grids) never collapses into one tile stack with
+    silently interleaved levels. Defaults: the param/surface of the
+    first message. Residual duplicates (two selected messages at the
+    same forecast hour — e.g. ensemble members, PDT 4.1) raise."""
     if not msgs:
         raise ValueError("empty GRIB2 file")
     if param is None:
         param = (msgs[0]["param_category"], msgs[0]["param_number"])
-    sel = [
+    by_param = [
         m for m in msgs
         if (m["param_category"], m["param_number"]) == param
     ]
-    if not sel:
+    if not by_param:
         raise ValueError(f"no GRIB2 messages for parameter {param}")
+    if level is None:
+        level = (by_param[0]["level_type"], by_param[0]["level_value"])
+    sel = [
+        m for m in by_param
+        if (m["level_type"], m["level_value"]) == tuple(level)
+    ]
+    if not sel:
+        raise ValueError(
+            f"no GRIB2 messages for parameter {param} at surface {level}"
+        )
+    seen: dict[float, dict] = {}
+    for m in sel:
+        t = m["forecast_hours"]
+        if t in seen:
+            detail = "/".join(
+                f"member {x.get('ens_member', '?')}" for x in (seen[t], m)
+            ) if m.get("pdt") in (1, 2) else "same (param, level, time)"
+            raise ValueError(
+                f"GRIB2: {len(sel)} messages share parameter {param}, "
+                f"surface {level}, forecast hour {t} ({detail}) — "
+                "disambiguate by splitting the archive or selecting a "
+                "single ensemble member upstream"
+            )
+        seen[t] = m
+    return sel
+
+
+def grib2_pixel_table(
+    spark,
+    g: dict,
+    param: tuple[int, int] | None = None,
+    level: tuple | None = None,
+):
+    """Distributed decode → (time_cf, sy, sx, band_1) pixel rows,
+    ``time_cf`` = forecast hours (code-table 4.4 units converted); one
+    mapInPandas task per message (byte-ranged read through
+    sources/io.range_reader). Missing points (bitmap or embedded
+    missing-value management) are omitted — GRIB has no inline fill
+    value. ``param`` filters (category, number), ``level`` the first
+    fixed surface; defaults: those of the first message."""
+    import pandas as pd
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    sel = select_messages(g["messages"], param, level)
     shape0 = (sel[0]["ni"], sel[0]["nj"])
     for m in sel:
         if (m["ni"], m["nj"]) != shape0:
@@ -519,7 +668,7 @@ def grib2_pixel_table(
     task_df = spark.createDataFrame(
         pd.DataFrame([
             {
-                "i": i, "forecast_time": float(m["forecast_time"]),
+                "i": i, "forecast_time": float(m["forecast_hours"]),
                 # the full per-message packing params ride as JSON so
                 # every representation template shares one task schema
                 "params": json.dumps(m),
@@ -561,6 +710,7 @@ def grib2_to_raquet(
     spark,
     path: str,
     param: tuple[int, int] | None = None,
+    level: tuple | None = None,
     zoom: int | None = None,
     block_size: int = 256,
     compression: str | None = "gzip",
@@ -585,13 +735,12 @@ def grib2_to_raquet(
     )
 
     g = read_grib2_structure(path)
-    msgs = g["messages"]
+    sel = select_messages(g["messages"], param, level)
+    m0 = sel[0]
     if param is None:
-        param = (msgs[0]["param_category"], msgs[0]["param_number"])
-    m0 = next(
-        m for m in msgs
-        if (m["param_category"], m["param_number"]) == param
-    )
+        param = (m0["param_category"], m0["param_number"])
+    if level is None:
+        level = (m0["level_type"], m0["level_value"])
     ni, nj = m0["ni"], m0["nj"]
     # grid rows are normalized north-first by decode_message
     info = {
@@ -631,17 +780,14 @@ def grib2_to_raquet(
             ),
         )
     z = zoom if zoom is not None else _pick_zoom(info, block_size, "upper")
-    px = grib2_pixel_table(spark, g, param)
+    px = grib2_pixel_table(spark, g, param, level)
     # bitmap-missing points were omitted; the warp gather wants dense
     # rows only where data exists — absent sources resolve to nodata
     px = px.withColumn("band_1", F.coalesce("band_1", F.lit(nodata)))
     (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
         _lonlat_corners(info), z
     )
-    times = sorted({
-        float(m["forecast_time"]) for m in msgs
-        if (m["param_category"], m["param_number"]) == param
-    })
+    times = sorted({float(m["forecast_hours"]) for m in sel})
     pixels = _resampled_pixels(
         spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
         extra_cols=("time_cf",) if len(times) > 1 else (),

@@ -172,6 +172,78 @@ def streaming_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def minhash_dedup_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> None:
+    """One micro-batch of :func:`streaming_minhash_dedup`, IDEMPOTENT
+    per ``batch_id`` — foreachBatch is at-least-once, so a batch
+    replayed after a failure must produce byte-identical state, not
+    duplicates:
+
+    - both sinks are laid out as ``<dir>/batch=<id>`` partition
+      directories and each batch OVERWRITES its own partition, so a
+      replay rewrites the same rows instead of appending them twice;
+    - the index probe filters to ``batch < batch_id`` (a partition
+      prune), so a replay never sees its OWN already-written bands —
+      without this, the probe would re-emit the batch's within-pairs
+      as spurious cross-batch duplicates with the wrong
+      ``is_dup_of_seen`` flag.
+    """
+    from raquet_spark.operators.dedup import banded_signatures, minhash_signatures
+
+    spark = batch_df.sparkSession
+    sigs = minhash_signatures(batch_df, text_col, id_col)
+    banded = banded_signatures(sigs, id_col, rows_per_band).persist()
+    try:
+        a, b = banded.alias("a"), banded.alias("b")
+        within = (
+            a.join(b, ["band", "key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.lit(False).alias("is_dup_of_seen"),
+            )
+        )
+        try:
+            idx = spark.read.parquet(index_dir).where(
+                F.col("batch") < int(batch_id)
+            )
+            has_index = True
+        except Exception:
+            has_index = False
+        pairs = within
+        if has_index:
+            cross = (
+                banded.alias("n")
+                .join(idx.alias("i"), ["band", "key"])
+                .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+                .select(
+                    F.least(f"n.{id_col}", f"i.{id_col}").alias("id_a"),
+                    F.greatest(f"n.{id_col}", f"i.{id_col}").alias("id_b"),
+                    F.lit(True).alias("is_dup_of_seen"),
+                )
+            )
+            pairs = within.unionByName(cross)
+        (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.max("is_dup_of_seen").alias("is_dup_of_seen"))
+            .write.mode("overwrite")
+            .parquet(f"{pairs_dir}/batch={int(batch_id)}")
+        )
+        banded.write.mode("overwrite").parquet(
+            f"{index_dir}/batch={int(batch_id)}"
+        )
+    finally:
+        banded.unpersist()
+
+
 def streaming_minhash_dedup(
     stream: DataFrame,
     index_dir: str,
@@ -203,51 +275,17 @@ def streaming_minhash_dedup(
     index grows with the kept corpus (that is its job — it IS the dedup
     state); at 100 TB it would be date-partitioned so a retention
     horizon can drop old partitions, and the probe join benefits from
-    partition pruning on the band column."""
-    from raquet_spark.operators.dedup import banded_signatures, minhash_signatures
+    partition pruning on the band column.
 
-    spark = stream.sparkSession
+    Replay safety (pytest-pinned): foreachBatch is AT-LEAST-ONCE, so
+    every batch's writes are idempotent — see
+    :func:`minhash_dedup_process_batch`."""
 
     def process(batch_df, batch_id):
-        sigs = minhash_signatures(batch_df, text_col, id_col)
-        banded = banded_signatures(sigs, id_col, rows_per_band).persist()
-        try:
-            a, b = banded.alias("a"), banded.alias("b")
-            within = (
-                a.join(b, ["band", "key"])
-                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                .select(
-                    F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.lit(False).alias("is_dup_of_seen"),
-                )
-            )
-            try:
-                idx = spark.read.parquet(index_dir)
-                has_index = True
-            except Exception:
-                has_index = False
-            pairs = within
-            if has_index:
-                cross = (
-                    banded.alias("n")
-                    .join(idx.alias("i"), ["band", "key"])
-                    .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
-                    .select(
-                        F.least(f"n.{id_col}", f"i.{id_col}").alias("id_a"),
-                        F.greatest(f"n.{id_col}", f"i.{id_col}").alias("id_b"),
-                        F.lit(True).alias("is_dup_of_seen"),
-                    )
-                )
-                pairs = within.unionByName(cross)
-            (
-                pairs.groupBy("id_a", "id_b")
-                .agg(F.max("is_dup_of_seen").alias("is_dup_of_seen"))
-                .write.mode("append").parquet(pairs_dir)
-            )
-            banded.write.mode("append").parquet(index_dir)
-        finally:
-            banded.unpersist()
+        minhash_dedup_process_batch(
+            batch_df, batch_id, index_dir, pairs_dir,
+            text_col=text_col, id_col=id_col, rows_per_band=rows_per_band,
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -51,30 +51,93 @@ def _pack_block(x: np.ndarray, nbits: int) -> bytes:
     return _pack_bits(np.asarray(x, dtype="i8"), nbits)
 
 
-def _complex_pack(xs: np.ndarray, drt: int, order: int, group_len: int):
+def _complex_pack(
+    xs: np.ndarray,
+    drt: int,
+    order: int,
+    group_len: int,
+    miss: np.ndarray | None = None,
+    mvm: int = 0,
+):
     """Group-split (5.2) / spatially-differenced (5.3) encode of the
-    non-negative scaled ints ``xs``. Returns (sec5 extra bytes past the
-    5.0 fields, section-7 payload)."""
+    non-negative scaled ints ``xs``. With ``mvm`` 1/2, ``xs`` is FULL
+    grid length with placeholders at missing positions and ``miss`` is
+    an int array (0 present / 1 primary / 2 secondary): missing points
+    are embedded as all-ones group increments (2^w - 1; 2^w - 2 for
+    secondary), all-missing groups as width-0 with an all-ones group
+    reference — the wgrib2/eccodes convention. Returns
+    (nbits, sec5 extra bytes past the 5.0 fields, section-7 payload)."""
     n = len(xs)
+    if miss is None:
+        miss = np.zeros(n, dtype="i8")
+    miss = np.asarray(miss, dtype="i8")
+    pres = miss == 0
     if drt == 3:
-        firsts = xs[:order].tolist()
-        d = np.diff(xs, n=order).astype("i8")  # defined for i >= order
+        v = np.asarray(xs, dtype="i8")[pres]
+        firsts = v[:order].tolist()
+        d = np.diff(v, n=order).astype("i8")  # over NON-missing points
         gmin = int(d.min()) if len(d) else 0
+        sv = np.zeros(len(v), dtype="i8")
+        sv[order:] = d - gmin
+        # the first `order` non-missing stored values are placeholders
+        # (the decoder overwrites them with the descriptor firsts)
         stored = np.zeros(n, dtype="i8")
-        stored[order:] = d - gmin
+        stored[pres] = sv
     else:
         firsts, gmin = [], 0
-        stored = np.asarray(xs, dtype="i8")
+        stored = np.asarray(xs, dtype="i8").copy()
+        stored[~pres] = 0
 
-    groups = [stored[i : i + group_len] for i in range(0, n, group_len)]
-    ng = len(groups)
-    refs = np.array([int(g.min()) for g in groups], dtype="i8")
-    widths = np.array(
-        [max(0, int(g.max() - g.min()).bit_length()) for g in groups],
+    g_vals = [stored[i : i + group_len] for i in range(0, n, group_len)]
+    g_miss = [miss[i : i + group_len] for i in range(0, n, group_len)]
+    ng = len(g_vals)
+    refs: list[int | None] = []
+    widths: list[int] = []
+    all_kinds: list[int] = []  # marker kind for all-missing groups
+    for gv, gm in zip(g_vals, g_miss):
+        p = gm == 0
+        if not p.any():
+            kinds = set(int(k) for k in gm)
+            if len(kinds) == 1:
+                refs.append(None)  # width-0 ref marker, kind below
+                widths.append(0)
+                all_kinds.append(kinds.pop())
+                continue
+            ref, mx = 0, 0  # mixed kinds: need per-point markers
+        else:
+            ref = int(gv[p].min())
+            mx = int(gv[p].max()) - ref
+        if mvm == 0:
+            wd = max(0, mx.bit_length())
+        else:
+            # reserve the top `mvm` codes for the missing markers;
+            # any group containing missing points needs >= 1 bit
+            need_marker = bool((gm != 0).any())
+            if mx == 0 and not need_marker:
+                wd = 0
+            else:
+                wd = 1
+                while mx > (1 << wd) - 1 - mvm:
+                    wd += 1
+        refs.append(ref)
+        widths.append(wd)
+        all_kinds.append(0)
+    norm_refs = [r for r in refs if r is not None]
+    mx_ref = max(norm_refs) if norm_refs else 0
+    nbits = 1
+    # normal references must stay clear of the top `mvm` ref-markers
+    while mx_ref > (1 << nbits) - 1 - mvm:
+        nbits += 1
+    refs_final = np.array(
+        [
+            ((1 << nbits) - 1 if k != 2 else (1 << nbits) - 2)
+            if r is None else r
+            for r, k in zip(refs, all_kinds)
+        ],
         dtype="i8",
     )
-    lens = np.array([len(g) for g in groups], dtype="i8")
-    nbits = max(1, int(refs.max()).bit_length()) if ng else 1
+    widths_a = np.array(widths, dtype="i8")
+    lens = np.array([len(g) for g in g_vals], dtype="i8")
     wbits = 8
     lbits = max(1, int(lens.max()).bit_length())
 
@@ -86,14 +149,17 @@ def _complex_pack(xs: np.ndarray, drt: int, order: int, group_len: int):
             body += _sm_enc(int(v), 8 * sd_octets).to_bytes(
                 sd_octets, "big"
             )
-    body += _pack_block(refs, nbits)
-    body += _pack_block(widths, wbits)
+    body += _pack_block(refs_final, nbits)
+    body += _pack_block(widths_a, wbits)
     body += _pack_block(lens, lbits)
     # group values: ONE continuous bit stream, width-0 groups omitted
     all_bits = []
-    for g, ref, wd in zip(groups, refs, widths):
+    for gv, gm, ref, wd in zip(g_vals, g_miss, refs, widths_a):
         if wd:
-            vals = (g - ref).astype("i8")
+            vals = (gv - (ref or 0)).astype("i8")
+            if mvm:
+                vals = np.where(gm == 1, (1 << wd) - 1, vals)
+                vals = np.where(gm == 2, (1 << wd) - 2, vals)
             all_bits.append(
                 ((vals[:, None] >> np.arange(wd - 1, -1, -1, dtype="i8"))
                  & 1).astype("u1").ravel()
@@ -101,7 +167,10 @@ def _complex_pack(xs: np.ndarray, drt: int, order: int, group_len: int):
     if all_bits:
         body += np.packbits(np.concatenate(all_bits)).tobytes()
 
-    extra5 = struct.pack(">BBII", 1, 0, 0, 0)  # split method, mvm, subs
+    extra5 = struct.pack(">BB", 1, mvm)  # split method, mvm
+    # substitutes (octets 24-31): IEEE floats (original field type 0)
+    extra5 += struct.pack(">f", np.float32(9.999e20) if mvm else 0.0)
+    extra5 += struct.pack(">f", np.float32(9.998e20) if mvm == 2 else 0.0)
     extra5 += struct.pack(">IBB", ng, 0, wbits)
     extra5 += struct.pack(">IBIB", 0, 1, int(lens[-1]) if ng else 0, lbits)
     if drt == 3:
@@ -151,7 +220,29 @@ def write_grib2(
         scaled = flat[mask] * (10.0 ** D)
         xs = np.round((scaled - r) / (2.0 ** E)).astype("i8")
         packing = f.get("packing", "simple")
-        if packing == "simple":
+        mvm = int(f.get("mvm", 0))
+        if mvm and packing not in ("complex", "complex_diff"):
+            raise ValueError("mvm requires complex/complex_diff packing")
+        if mvm:
+            # embedded missing instead of a bitmap: NaN = primary;
+            # an optional boolean `secondary` grid marks NaNs that
+            # encode as SECONDARY missing (requires mvm=2)
+            misskind = np.where(mask, 0, 1).astype("i8")
+            sec = f.get("secondary")
+            if sec is not None:
+                sec = np.asarray(sec, dtype=bool)
+                if j_positive:
+                    sec = sec[::-1]
+                misskind[sec.ravel() & ~mask] = 2
+            xs_full = np.zeros(len(flat), dtype="i8")
+            xs_full[mask] = xs
+            drt = 3 if packing == "complex_diff" else 2
+            nbits, extra5, packed = _complex_pack(
+                xs_full, drt, int(f.get("sd_order", 2)),
+                int(f.get("group_len", 16)), misskind, mvm,
+            )
+            has_missing = False  # no section-6 bitmap with mvm
+        elif packing == "simple":
             drt = 0
             packed = _pack_bits(xs, nbits)
             extra5 = b""
@@ -256,13 +347,34 @@ def write_grib2(
                 ">IIB", int(round(di * 1e6)), int(round(dj * 1e6)), scan
             )
             s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + t30
+        lv_type, lv_scale, lv_val = f.get("level", (1, 0, 0))
         t40 = struct.pack(
-            ">BBBBBHBBI", cat, num, 2, 0, 0, 0, 0, 1,
+            ">BBBBBHBBI", cat, num, 2, 0, 0, 0, 0,
+            int(f.get("time_unit", 1)),  # code table 4.4
             int(f.get("forecast_time", 0)),
         )
-        t40 += struct.pack(">BBIBBI", 1, 0, 0, 255, 0, 0)  # surfaces
-        s4 = struct.pack(">HH", 0, 0) + t40
-        s5 = struct.pack(">IH", int(mask.sum()), drt)
+        t40 += struct.pack(
+            ">BBIBBI",
+            lv_type, _sm_enc(int(lv_scale), 8),
+            _sm_enc(int(lv_val), 32), 255, 0, 0,
+        )
+        pdt = int(f.get("pdt", 0))
+        if pdt == 1:  # + ensemble type / member / count (octets 35-37)
+            t40 += struct.pack(
+                ">BBB", int(f.get("ens_type", 3)),
+                int(f.get("ens_member", 0)), int(f.get("ens_count", 1)),
+            )
+        elif pdt == 2:  # + derived-forecast type / count
+            t40 += struct.pack(
+                ">BB", int(f.get("ens_derived", 0)),
+                int(f.get("ens_count", 1)),
+            )
+        s4 = struct.pack(">HH", 0, pdt) + t40
+        # with mvm the data section packs ALL points (missing embedded
+        # as markers), so octets 6-9 count the full grid
+        s5 = struct.pack(
+            ">IH", len(flat) if mvm else int(mask.sum()), drt
+        )
         s5 += struct.pack(">f", np.float32(r))
         s5 += struct.pack(
             ">HHBB", _sm_enc(E, 16), _sm_enc(D, 16), nbits, 0

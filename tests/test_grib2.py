@@ -323,7 +323,9 @@ def test_complex_packing_pixel_table(spark, tmp_path):
         np.testing.assert_array_equal(got[t], _field(1, nj, ni, t))
 
 
-def test_missing_value_management_gate(tmp_path):
+def test_missing_value_management_unknown_mode_gate(tmp_path):
+    """mvm 1/2 decode for real now (r11); unknown/reserved modes stay
+    a typed gate."""
     import struct
 
     nj, ni = 4, 4
@@ -338,7 +340,7 @@ def test_missing_value_management_gate(tmp_path):
     while raw[p + 4] != 5:
         (ln,) = struct.unpack_from(">I", raw, p)
         p += ln
-    raw[p + 22] = 1  # missing-value management = primary
+    raw[p + 22] = 3  # reserved missing-value-management code
     p2 = str(tmp_path / "mvm2.grib2")
     open(p2, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError, match="missing-value"):
@@ -526,3 +528,218 @@ def test_polar_stereographic_grid(spark, tmp_path, south):
     got_mean = px.agg(F.avg("v")).first()[0]
     src_mean = float(data.mean())
     assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
+
+
+def test_corrupt_section_length_raises(tmp_path):
+    """ADVICE r10 grib2.py:86: a zero/short section length must raise,
+    not loop forever on the driver."""
+    nj, ni = 4, 4
+    path = str(tmp_path / "corrupt.grib2")
+    write_grib2(path, [{"data": _field(1, nj, ni, 0)}])
+    raw = bytearray(open(path, "rb").read())
+    # zero out the length word of section 1 (starts right after the
+    # 16-byte indicator section)
+    raw[16:20] = b"\x00\x00\x00\x00"
+    bad = str(tmp_path / "bad.grib2")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="corrupt section length"):
+        read_grib2_structure(bad)
+
+
+def test_time_unit_conversion(spark, tmp_path):
+    """ADVICE r10 grib2.py:224: code-table 4.4 units convert to hours
+    (time_cf is documented as forecast hours); unknown units raise."""
+    nj, ni = 6, 8
+    fields = [
+        {"data": _field(1, nj, ni, 0), "forecast_time": 90, "time_unit": 0},
+        {"data": _field(1, nj, ni, 1), "forecast_time": 2, "time_unit": 2},
+        {"data": _field(1, nj, ni, 2), "forecast_time": 4, "time_unit": 10},
+    ]
+    path = str(tmp_path / "units.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    assert [m["forecast_hours"] for m in g["messages"]] == [1.5, 48.0, 12.0]
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert sorted(pdf["time_cf"].unique().tolist()) == [1.5, 12.0, 48.0]
+
+    # month (3) is not exactly convertible — typed gate, never silent
+    bad = str(tmp_path / "months.grib2")
+    write_grib2(bad, [{"data": _field(1, nj, ni, 0), "forecast_time": 1,
+                       "time_unit": 3}])
+    with pytest.raises(NotImplementedError, match="time-range unit"):
+        read_grib2_structure(bad)
+
+
+def test_level_in_selection_key(spark, tmp_path):
+    """ADVICE r10 grib2.py:503: the fixed surface is part of the
+    message key — a pressure-level file (one parameter, many levels,
+    same grid and forecast time) selects ONE level, not interleaved
+    duplicates."""
+    nj, ni = 10, 12
+    # two pressure levels (type 100, Pa) at the same forecast hour
+    fields = [
+        {"data": _field(1, nj, ni, 0), "forecast_time": 6,
+         "level": (100, -4, 5)},    # 5/10^-4 = 50000 Pa
+        {"data": _field(1, nj, ni, 7), "forecast_time": 6,
+         "level": (100, -4, 85)},   # 850 hPa
+    ]
+    path = str(tmp_path / "levels.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    assert g["messages"][0]["level_value"] == pytest.approx(50000.0)
+    assert g["messages"][1]["level_value"] == pytest.approx(850000.0)
+
+    # default surface = first message's -> only the 500 hPa field
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert len(pdf) == nj * ni
+    got = pdf.sort_values(["sy", "sx"])["band_1"].to_numpy().reshape(nj, ni)
+    np.testing.assert_array_equal(got, _field(1, nj, ni, 0))
+
+    # explicit level selects the other surface
+    pdf850 = grib2_pixel_table(
+        spark, g, level=(100, 850000.0)
+    ).toPandas()
+    got850 = (
+        pdf850.sort_values(["sy", "sx"])["band_1"].to_numpy().reshape(nj, ni)
+    )
+    np.testing.assert_array_equal(got850, _field(1, nj, ni, 7))
+
+
+def test_duplicate_time_same_surface_raises(spark, tmp_path):
+    """Two ensemble members (PDT 4.1) share (param, surface, forecast
+    hour): selection must raise, not silently interleave tiles."""
+    nj, ni = 5, 6
+    fields = [
+        {"data": _field(1, nj, ni, m), "forecast_time": 3, "pdt": 1,
+         "ens_member": m, "ens_count": 2}
+        for m in range(2)
+    ]
+    path = str(tmp_path / "ens.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    assert [m["pdt"] for m in g["messages"]] == [1, 1]
+    assert [m["ens_member"] for m in g["messages"]] == [0, 1]
+    with pytest.raises(ValueError, match="share parameter"):
+        grib2_pixel_table(spark, g)
+
+
+def test_pdt_4_2_derived_forecast(spark, tmp_path):
+    """PDT 4.2 (derived forecast — e.g. the ensemble mean): time and
+    parameter keys read from the shared 4.0 prefix; single message per
+    step ingests normally."""
+    nj, ni = 6, 6
+    fields = [
+        {"data": _field(1, nj, ni, t), "forecast_time": t * 6, "pdt": 2,
+         "ens_derived": 0, "ens_count": 20}
+        for t in range(2)
+    ]
+    path = str(tmp_path / "derived.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    assert [m["pdt"] for m in g["messages"]] == [2, 2]
+    assert g["messages"][0]["ens_count"] == 20
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert len(pdf) == 2 * nj * ni
+    assert sorted(pdf["time_cf"].unique().tolist()) == [0.0, 6.0]
+
+
+def test_mvm_embedded_missing_matrix(tmp_path):
+    """Missing-value management (templates 5.2/5.3 octet 23 = 1/2 —
+    NCEP precip/radar fields embed missing points instead of a
+    bitmap): primary-only and primary+secondary, both packings, with
+    whole-group-missing runs (width-0 all-ones references) and
+    scattered in-group markers; decode must NaN exactly the missing
+    set and reproduce every present value bit-exactly."""
+    nj, ni = 24, 32
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    base = ((gx * 7 + gy * 11) % 199 - 50).astype("f8")
+
+    for packing in ("complex", "complex_diff"):
+        for mvm in (1, 2):
+            data = base.copy()
+            # scattered singles + a whole-group-sized run of missing
+            data[(gx + gy) % 13 == 0] = np.nan
+            data[5, :] = np.nan  # full row -> several all-missing groups
+            sec = np.zeros_like(data, dtype=bool)
+            if mvm == 2:
+                sec[(gx + gy) % 26 == 0] = True  # half the scattered
+            path = str(tmp_path / f"mvm_{packing}_{mvm}.grib2")
+            write_grib2(
+                path,
+                [{"data": data, "forecast_time": 0, "packing": packing,
+                  "mvm": mvm, "secondary": sec, "group_len": 16,
+                  "sd_order": 2}],
+            )
+            g = read_grib2_structure(path)
+            m = g["messages"][0]
+            assert m["mvm"] == mvm
+            assert m["bitmap_off"] is None
+            assert m["primary_sub"] == pytest.approx(9.999e20, rel=1e-4)
+            from raquet_spark.sources.io import range_reader
+
+            rd = range_reader(path)
+            got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+            np.testing.assert_array_equal(
+                np.isnan(got), np.isnan(data),
+                err_msg=f"{packing} mvm={mvm} missing set",
+            )
+            ok = ~np.isnan(data)
+            np.testing.assert_array_equal(got[ok], data[ok])
+
+
+def test_mvm_first_order_diff_and_constant_groups(tmp_path):
+    """5.3 order-1 with mvm: differencing runs over the NON-missing
+    sequence; constant groups (width 0) with and without missing."""
+    nj, ni = 8, 16
+    data = np.cumsum(np.ones(nj * ni)).reshape(nj, ni)  # strictly rising
+    data[:, 3] = np.nan          # a missing column
+    data[2, :] = 7.0             # constant run -> width-0 groups
+    data[2, 3] = np.nan
+    path = str(tmp_path / "mvm_o1.grib2")
+    write_grib2(
+        path,
+        [{"data": data, "forecast_time": 0, "packing": "complex_diff",
+          "mvm": 1, "sd_order": 1, "group_len": 8}],
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(data))
+    ok = ~np.isnan(data)
+    np.testing.assert_array_equal(got[ok], data[ok])
+
+
+def test_mvm_plus_bitmap_rejected(tmp_path):
+    """Mixed bitmap + embedded missing is a typed gate (the spec
+    allows it but no mainstream encoder emits it; silently combining
+    the two masks would risk wrong missing sets)."""
+    import struct as _struct
+
+    nj, ni = 4, 8
+    data = _field(1, nj, ni, 0)
+    data[0, 0] = np.nan
+    path = str(tmp_path / "mvm_bm.grib2")
+    # write a legal mvm file, then graft a bitmap section in front of
+    # section 7 by rewriting the message
+    write_grib2(
+        path,
+        [{"data": data, "forecast_time": 0, "packing": "complex",
+          "mvm": 1}],
+    )
+    raw = bytearray(open(path, "rb").read())
+    # walk sections to find section 6 (indicator 255 — absent bitmap)
+    p = 16
+    while True:
+        (ln,) = _struct.unpack_from(">I", raw, p)
+        num = raw[p + 4]
+        if num == 6:
+            raw[p + 5] = 0  # claim "bitmap present" (corrupt but
+            break           # enough to hit the typed gate first)
+        p += ln
+    bad = str(tmp_path / "mvm_bm_bad.grib2")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="bitmap combined"):
+        read_grib2_structure(bad)

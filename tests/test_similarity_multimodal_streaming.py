@@ -49,6 +49,59 @@ def test_cosine_topk_matches_numpy(spark, embeddings):
         assert a == pytest.approx(b, rel=1e-9)
 
 
+def test_cosine_topk_order_round_boundary_ties(spark):
+    """ADVICE r10 similarity.py:130: with order_round set the partial
+    top-k prunes on np.round (half-to-even) while the final window
+    ranks on Spark F.round (HALF_UP); rows at decimal-.5 boundaries
+    must survive the prune. Tie-heavy quantized 2-d vectors put MANY
+    candidates in the same rounded bucket at r=2 with the k boundary
+    inside a tie group, and a single batch of 240 rows with k=3
+    triggers the argpartition prune branch (len > 4k). Oracle = the
+    exact-same ranking computed with Spark's own round in a window
+    over the full cross score set."""
+    from pyspark.sql.window import Window
+
+    rng = np.random.RandomState(7)
+    n = 240
+    # scores quantized to ~0.005 steps → rounded key at r=2 ties in
+    # blocks, and half of the blocks sit exactly on .5 boundaries
+    angles = rng.randint(0, 200, size=n) * (np.pi / 400.0)
+    cands = [
+        (int(i), [float(np.cos(a)), float(np.sin(a))])
+        for i, a in enumerate(angles)
+    ]
+    cdf = spark.createDataFrame(
+        cands, "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    qdf = spark.createDataFrame(
+        [(100000, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["cand_id"], r["rn"])
+        for r in cosine_topk(cdf, qdf, k=3, order_round=2).collect()
+    }
+
+    scored = cdf.select(
+        F.col("vec_id").alias("cand_id"),
+        (
+            F.element_at("embedding", 1)
+            / F.sqrt(
+                F.element_at("embedding", 1) ** 2
+                + F.element_at("embedding", 2) ** 2
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.round("score", 2).desc(), F.asc("cand_id")
+    )
+    want = {
+        (r["cand_id"], r["rn"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where("rn <= 3").collect()
+    }
+    assert got == want
+
+
 def test_ann_lsh_recall(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") % 25 == 0)
     exact = cosine_topk(embeddings, queries, k=5).cache()
@@ -958,3 +1011,55 @@ def test_streaming_minhash_dedup_matches_batch(spark, tmp_path):
         assert flags[(orig, did)] is True
     # 9001/9002 arrived together: within-batch pair
     assert flags[(9001, 9002)] is False
+
+
+def test_streaming_minhash_dedup_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id, after its writes already landed) must leave the pairs
+    sink AND the band index byte-identical — no duplicated pairs, no
+    spurious cross-batch re-emission of the batch's own within-pairs,
+    unchanged is_dup_of_seen flags."""
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import minhash_dedup_process_batch
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(10).select("doc_id", "text").collect()
+    )
+    b0 = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in base[:6]],
+        "doc_id long, text string",
+    )
+    # batch 1 contains a cross-batch dup of a b0 doc AND a within-batch
+    # planted pair, so the replay exercises both join legs
+    b1 = spark.createDataFrame(
+        [(base[0]["doc_id"] + 500, base[0]["text"] + " tail"),
+         (7001, base[1]["text"] + " x"), (7002, base[1]["text"] + " y")],
+        "doc_id long, text string",
+    )
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+
+    def snapshot():
+        pairs = sorted(
+            (r["id_a"], r["id_b"], r["is_dup_of_seen"], r["batch"])
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        idx = sorted(
+            tuple(r) for r in spark.read.parquet(idx_dir).collect()
+        )
+        return pairs, idx
+
+    minhash_dedup_process_batch(b0, 0, idx_dir, pairs_dir)
+    minhash_dedup_process_batch(b1, 1, idx_dir, pairs_dir)
+    first = snapshot()
+    pair_keys = {(a, b) for a, b, _, _ in first[0]}
+    assert (base[0]["doc_id"], base[0]["doc_id"] + 500) in pair_keys
+    assert (7001, 7002) in pair_keys
+
+    # replay batch 1 (post-failure redelivery): state must not change
+    minhash_dedup_process_batch(b1, 1, idx_dir, pairs_dir)
+    assert snapshot() == first
+    # and a replay of batch 0 with the later index already present
+    # must not see batches > 0 through the probe either
+    minhash_dedup_process_batch(b0, 0, idx_dir, pairs_dir)
+    assert snapshot() == first
