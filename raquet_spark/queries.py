@@ -3029,6 +3029,115 @@ def _cached_grib2_mvm(spark: SparkSession) -> str:
     return path
 
 
+def _cached_grib2_grids(spark: SparkSession) -> str:
+    """One fixture per exotic grid template: 3.1 rotated lat/lon
+    (COSMO-like pole) and 3.40 regular Gaussian (regional slice,
+    row0=7 of N=32) — same closed-form values/missing sets, written as
+    TWO files keyed by tag."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib2
+
+    key = (spark.sparkContext.applicationId, "grib2_grids_fix")
+    paths = _RASTER_CACHE.get(key)
+    if paths is None:
+        c = _GRB
+        gy, gx = np.mgrid[0 : c["nj"], 0 : c["ni"]]
+        d = tempfile.mkdtemp(prefix="raquet_q_grib2grids_")
+
+        def fields(packing_kwargs):
+            out = []
+            for t in range(c["nt"]):
+                data = (
+                    (gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50
+                ).astype("f8")
+                data[(gx + 2 * gy + t) % 11 == 0] = np.nan
+                out.append({"data": data, "forecast_time": t * 6,
+                            "param": (0, 0), **packing_kwargs})
+            return out
+
+        rot = os.path.join(d, "rot.grib2")
+        write_grib2(
+            rot, fields({"packing": "complex_diff", "sd_order": 2,
+                         "group_len": 19}),
+            lat1=6.5, lon1=-8.0, di=0.5, dj=0.5, j_positive=True,
+            grid={"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0},
+        )
+        gau = os.path.join(d, "gau.grib2")
+        write_grib2(
+            gau, fields({"packing": "complex", "group_len": 21}),
+            lon1=0.0, di=360.0 / c["ni"],
+            grid={"type": "gauss", "n": 32, "row0": 7},
+        )
+        paths = {"rot": rot, "gau": gau}
+        _RASTER_CACHE[key] = paths
+    return paths
+
+
+def _grib2_grid_stats(spark: SparkSession, tag: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib2_grids(spark)[tag])
+    px = grib2_pixel_table(spark, g)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib2_rotated_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 rotated lat/lon grid (template 3.1, the COSMO/HARMONIE
+    family; rotation convention pinned against the public COSMO
+    example in tests/test_grib2.py): south-pole octets parse, rotated
+    scan normalization (j_positive file), 5.3 packing + bitmap ride
+    along — per-step stats vs the closed form."""
+    return _grib2_grid_stats(spark, "rot")
+
+
+def grib2_gaussian_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 regular Gaussian grid (template 3.40, ECMWF-native
+    output): N parses from the Dj slot, la1/la2 locate the regional
+    slice (rows 7..46 of N=32) among the 2N Legendre abscissae —
+    a wrong slice or wrong nj is a typed error, so the hash gate
+    proves the Gaussian-latitude selection; 5.2 packing + bitmap ride
+    along."""
+    return _grib2_grid_stats(spark, "gau")
+
+
+def grib2_grid_stats_oracle() -> str:
+    c = _GRB
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + 2 * gy + t) % 11 = 0 THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50
+                   AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nj']})) AS gy),
+       (SELECT unnest(range(0, {c['ni']})) AS gx)
+)
+SELECT CAST(t * 6 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 def grib2_mvm_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB2 complex-packing missing-value management (templates
     5.2/5.3 octet 23 — NCEP precipitation/radar fields embed missing
@@ -5741,6 +5850,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "grib2_ingest_stats": (grib2_ingest_stats_spark, grib2_ingest_stats_oracle),
     "grib2_lambert_stats": (grib2_lambert_stats_spark, grib2_lambert_stats_oracle),
     "grib2_mvm_stats": (grib2_mvm_stats_spark, grib2_mvm_stats_oracle),
+    "grib2_rotated_stats": (grib2_rotated_stats_spark, grib2_grid_stats_oracle),
+    "grib2_gaussian_stats": (grib2_gaussian_stats_spark, grib2_grid_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

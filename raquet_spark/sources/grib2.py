@@ -50,6 +50,24 @@ def _sm32(b: bytes, off: int) -> int:
     return _sm(struct.unpack_from(">I", b, off)[0], 32)
 
 
+_GAUSS_LAT_CACHE: dict[int, np.ndarray] = {}
+
+
+def gaussian_latitudes(n_parallels: int) -> np.ndarray:
+    """The 2N regular-Gaussian-grid latitudes (degrees, north→south):
+    arcsin of the roots of the Legendre polynomial P_2N — the abscissa
+    definition in the WMO template 3.40 notes. numpy's leggauss
+    supplies the roots; cached per N (driver-side, O(thousands))."""
+    lats = _GAUSS_LAT_CACHE.get(n_parallels)
+    if lats is None:
+        if not 0 < n_parallels <= 4096:
+            raise ValueError(f"GRIB2 Gaussian N={n_parallels}")
+        x, _ = np.polynomial.legendre.leggauss(2 * n_parallels)
+        lats = np.degrees(np.arcsin(x))[::-1].copy()  # north first
+        _GAUSS_LAT_CACHE[n_parallels] = lats
+    return lats
+
+
 def _earth_shape(raw3: bytes) -> tuple[float, float]:
     """Template octets 1-16 (shape of earth + scaled radii) →
     (semi-major a, inverse flattening; inf = sphere, the Snyder
@@ -124,11 +142,17 @@ def read_grib2_structure(path: str) -> dict:
 
         s3, _ = sec[3]
         gdt = struct.unpack(">H", bytes(b[s3 + 12 : s3 + 14]))[0]
-        if gdt not in (0, 20, 30):
+        if gdt not in (0, 1, 20, 30, 40):
             raise NotImplementedError(
                 f"GRIB2 grid definition template 3.{gdt} "
-                "(regular lat/lon 3.0 / polar stereographic 3.20 / "
-                "Lambert conformal 3.30 only)"
+                "(regular lat/lon 3.0 / rotated lat/lon 3.1 / polar "
+                "stereographic 3.20 / Lambert conformal 3.30 / regular "
+                "Gaussian 3.40 only)"
+            )
+        if gdt == 40 and b[s3 + 10] != 0:
+            raise NotImplementedError(
+                "GRIB2 reduced (quasi-regular) Gaussian grid "
+                "(optional points-per-row list present)"
             )
         t = s3 + 14  # template body
 
@@ -138,8 +162,11 @@ def read_grib2_structure(path: str) -> dict:
             if scan & 0b10000000:
                 raise NotImplementedError("GRIB2 -i (east→west) scanning")
 
-        if gdt == 0:
-            raw3 = bytes(b[t : t + 58])
+        if gdt in (0, 1, 40):
+            # shared 3.0-shaped prefix (octets 15-72): 3.1 appends the
+            # rotation octets; 3.40 carries N (parallels pole↔equator)
+            # where 3.0 has Dj
+            raw3 = bytes(b[t : t + (70 if gdt == 1 else 58)])
             ni = struct.unpack_from(">I", raw3, 16)[0]
             nj = struct.unpack_from(">I", raw3, 20)[0]
             lat1 = _sm(struct.unpack_from(">I", raw3, 32)[0], 32) / 1e6
@@ -147,12 +174,63 @@ def read_grib2_structure(path: str) -> dict:
             lat2 = _sm(struct.unpack_from(">I", raw3, 41)[0], 32) / 1e6
             lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
             di = struct.unpack_from(">I", raw3, 49)[0] / 1e6
-            dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
             scan = raw3[57]
             check_scan(scan)
             m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2,
-                     lon2=lon2, di=di, dj=dj, scan=scan, grid="latlon",
+                     lon2=lon2, di=di, scan=scan,
                      j_positive=bool(scan & 0b01000000))
+            if gdt == 40:
+                # regular Gaussian (ECMWF-native output): rows sit on
+                # the 2N Gaussian latitudes (arcsin of the roots of
+                # P_2N); a regional file selects a contiguous slice,
+                # located via la1/la2
+                n_par = struct.unpack_from(">I", raw3, 53)[0]
+                lats = gaussian_latitudes(n_par)  # north → south
+                i1 = int(np.argmin(np.abs(lats - lat1)))
+                i2 = int(np.argmin(np.abs(lats - lat2)))
+                lo_i, hi_i = min(i1, i2), max(i1, i2)
+                if (
+                    abs(lats[i1] - lat1) > 2e-3
+                    or abs(lats[i2] - lat2) > 2e-3
+                    or hi_i - lo_i + 1 != nj
+                ):
+                    raise ValueError(
+                        f"GRIB2 Gaussian grid: la1/la2 ({lat1}, {lat2}) "
+                        f"do not select {nj} consecutive N={n_par} "
+                        "Gaussian latitudes"
+                    )
+                m.update(
+                    grid="gauss", n_parallels=n_par,
+                    # north-first row latitudes, matching
+                    # decode_message's row-0-is-north normalization
+                    lat_centers=[float(v) for v in lats[lo_i : hi_i + 1]],
+                )
+            else:
+                dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
+                m.update(dj=dj, grid="latlon")
+            if gdt == 1:  # rotated lat/lon (COSMO/HARMONIE family)
+                lat_sp = _sm(struct.unpack_from(">I", raw3, 58)[0], 32) / 1e6
+                lon_sp = _sm(struct.unpack_from(">I", raw3, 62)[0], 32) / 1e6
+                (angle,) = struct.unpack_from(">f", raw3, 66)
+                if angle != 0.0:
+                    raise NotImplementedError(
+                        f"GRIB2 rotated lat/lon angle of rotation "
+                        f"{angle} (only 0; no in-sandbox reference to "
+                        "pin the extra-rotation sign convention)"
+                    )
+                pole_lon = lon_sp - 180.0
+                if pole_lon <= -180.0:
+                    pole_lon += 360.0
+                m.update(
+                    grid="rotll",
+                    proj={
+                        # true coords of the rotated NORTH pole (the
+                        # CDO/COSMO convention; GRIB states the south
+                        # pole of projection)
+                        "type": "rotll", "units": "deg",
+                        "pole_lat": -lat_sp, "pole_lon": pole_lon,
+                    },
+                )
         elif gdt == 20:  # polar stereographic (arctic/antarctic grids)
             raw3 = bytes(b[t : t + 51])
             a, inv_f = _earth_shape(raw3)
@@ -766,6 +844,38 @@ def grib2_to_raquet(
             transform=(
                 x1 - m0["dx"] / 2.0, m0["dx"], 0.0,
                 y_top + m0["dy"] / 2.0, 0.0, -m0["dy"],
+            ),
+        )
+    elif m0.get("grid") == "rotll":
+        # rotated lat/lon: the model coordinates ARE rotated degrees
+        # and the affine is the 3.0 shape in the rotated frame; the
+        # warp applies the pole rotation as the forward "projection";
+        # rotated lons normalize to (-180, 180] to match the forward's
+        # atan2 range
+        north = max(m0["lat1"], m0["lat2"])
+        lo1r = m0["lon1"] - 360.0 if m0["lon1"] > 180.0 else m0["lon1"]
+        info.update(
+            epsg=32767,
+            projection=m0["proj"],
+            transform=(
+                lo1r - m0["di"] / 2.0, m0["di"], 0.0,
+                north + m0["dj"] / 2.0, 0.0, -m0["dj"],
+            ),
+        )
+    elif m0.get("grid") == "gauss":
+        # Gaussian rows: y is NOT affine — the transform's y leg is
+        # anchored at the exact outer EDGES (so corner/bounds math is
+        # exact) and the warp overrides the per-row mapping with the
+        # broadcast lat_centers row map
+        lc = m0["lat_centers"]
+        north_edge = lc[0] + (lc[0] - lc[1]) / 2.0
+        south_edge = lc[-1] - (lc[-2] - lc[-1]) / 2.0
+        info.update(
+            epsg=4326,
+            lat_centers=lc,
+            transform=(
+                m0["lon1"] - m0["di"] / 2.0, m0["di"], 0.0,
+                north_edge, 0.0, -(north_edge - south_edge) / nj,
             ),
         )
     else:

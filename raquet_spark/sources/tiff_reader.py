@@ -597,7 +597,10 @@ def _src_merc_resolution(info: dict) -> float:
     lls = _lonlat_corners(info)
     lat_c = sum(lat for _, lat in lls) / len(lls)
     cos_c = max(math.cos(math.radians(lat_c)), 1e-6)
-    if info["epsg"] == 4326:
+    proj = _source_projection(info)
+    if info["epsg"] == 4326 or (proj and proj.get("units") == "deg"):
+        # degree-unit model coords (geographic or rotated lat/lon):
+        # rotated degrees are true angular distance near grid center
         ground = abs(sx) * math.pi / 180.0 * _EARTH_R * cos_c
     else:  # projected ground meters (AEA is equal-area: ~true scale)
         ground = abs(sx)
@@ -939,6 +942,32 @@ def sinu_ell_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
     return math.degrees(lam), math.degrees(phi)
 
 
+def _rotll_constants(p: dict) -> tuple[float, float, float]:
+    """(sin, cos of the rotated-north-pole latitude, pole lon radians).
+    ``p``: pole_lat/pole_lon = TRUE coordinates of the rotated system's
+    north pole (GRIB template 3.1 states the SOUTH pole: pole_lat =
+    -lat_sp, pole_lon = lon_sp - 180). Convention pinned against the
+    public COSMO example (pole 40N,-170E maps rotated (0,0) to true
+    (10E, 50N)) in tests/test_grib2.py."""
+    polphi = math.radians(p["pole_lat"])
+    return math.sin(polphi), math.cos(polphi), math.radians(p["pole_lon"])
+
+
+def rotll_inverse(p: dict, rlon: float, rlat: float) -> tuple[float, float]:
+    """Rotated lon/lat degrees → TRUE lon/lat degrees (the CDO/COSMO
+    phirot2phi + rlarot2rla formulation)."""
+    zsinpol, zcospol, zlampol = _rotll_constants(p)
+    zphis, zrlas = math.radians(rlat), math.radians(rlon)
+    ct = math.cos(zphis)
+    t = -zsinpol * math.cos(zrlas) * ct + zcospol * math.sin(zphis)
+    phi = math.asin(
+        zsinpol * math.sin(zphis) + zcospol * ct * math.cos(zrlas)
+    )
+    zarg1 = math.sin(zlampol) * t - math.cos(zlampol) * math.sin(zrlas) * ct
+    zarg2 = math.cos(zlampol) * t + math.sin(zlampol) * math.sin(zrlas) * ct
+    return math.degrees(math.atan2(zarg1, zarg2)), math.degrees(phi)
+
+
 def _source_projection(info: dict) -> dict | None:
     """Closed-form projection params for the source CRS, or None for
     geographic/mercator sources."""
@@ -967,6 +996,8 @@ def _inverse_lonlat(info: dict, x: float, y: float) -> tuple[float, float]:
         raise ValueError("geographic/mercator source has no projection inverse")
     if proj["type"] == "aea":
         return aea_inverse(proj, x, y)
+    if proj["type"] == "rotll":
+        return rotll_inverse(proj, x, y)
     if proj["type"] == "lcc":
         return lcc_inverse(proj, x, y)
     if proj["type"] == "sinu":
@@ -1164,6 +1195,26 @@ def _forward_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
     if proj is None:
         raise NotImplementedError("forward projection undefined for 4326/3857")
     phi, lam = "radians(_lat)", "radians(_lon)"
+    if proj["type"] == "rotll":
+        # rotated lat/lon (GRIB 3.1, the COSMO/HARMONIE family): the
+        # "projection" is a pole rotation and the model coordinates are
+        # rotated DEGREES (the affine maps rotated degrees → grid
+        # index) — the CDO/COSMO phi2phirot + rla2rlarot formulation
+        zsinpol, zcospol, zlampol = _rotll_constants(proj)
+        steps = [
+            ("_zrla", f"({lam} - {zlampol})"),
+            ("_cp", f"cos({phi})"),
+            ("_sp", f"sin({phi})"),
+        ]
+        x = (
+            f"degrees(atan2(-sin(_zrla) * _cp, "
+            f"{zcospol} * _sp - {zsinpol} * _cp * cos(_zrla)))"
+        )
+        y = (
+            f"degrees(asin(greatest(-1.0D, least(1.0D, "
+            f"{zsinpol} * _sp + {zcospol} * _cp * cos(_zrla)))))"
+        )
+        return steps, x, y
     if proj["type"] == "sinu":
         steps = [("_phi", phi)]
         x = f"({proj['a']} * ({lam} - {math.radians(proj['lon0'])}) * cos(_phi) + {proj['fe']})"
@@ -1453,6 +1504,43 @@ def _resampled_pixels(
         f"({u} * {d} - {b} * {v}) / {det} AS fsx",
         f"({-c} * {u} + {a} * {v}) / {det} AS fsy",
     )
+    lat_centers = info.get("lat_centers")
+    if lat_centers is not None:
+        # IRREGULAR row latitudes (Gaussian grids, GRIB 3.40): row →
+        # lat is not affine, so the per-target-ROW fractional source
+        # row is computed on the driver (row center i sits at fsy =
+        # i + 0.5, piecewise-linear between centers, linear beyond the
+        # outer centers like the affine path) and broadcast-joined on
+        # gy — npy entries, O(thousands); everything else (the x
+        # affine, the gather joins, the kernels) is untouched.
+        lc = np.asarray(lat_centers, dtype="f8")  # north → south
+        if len(lc) < 2 or not (np.diff(lc) < 0).all():
+            raise ValueError("lat_centers must be strictly north→south")
+        gys = np.arange(gy0, gy0 + npy, dtype="f8")
+        merc_y = _ORIGIN_SHIFT - (gys + 0.5) / world * 2.0 * _ORIGIN_SHIFT
+        lat_t = np.degrees(
+            2.0 * np.arctan(np.exp(merc_y / _EARTH_R)) - math.pi / 2.0
+        )
+        xp = lc[::-1]
+        fp = (np.arange(len(lc), dtype="f8") + 0.5)[::-1]
+        fsy_t = np.interp(lat_t, xp, fp)
+        n_sl = (fp[-1] - fp[-2]) / (xp[-1] - xp[-2])
+        s_sl = (fp[1] - fp[0]) / (xp[1] - xp[0])
+        fsy_t = np.where(
+            lat_t > xp[-1], fp[-1] + (lat_t - xp[-1]) * n_sl, fsy_t
+        )
+        fsy_t = np.where(
+            lat_t < xp[0], fp[0] + (lat_t - xp[0]) * s_sl, fsy_t
+        )
+        rowmap = spark.createDataFrame(
+            [(int(g), float(f)) for g, f in zip(gys, fsy_t)],
+            "gy bigint, _fsy_row double",
+        )
+        tgt = (
+            tgt.drop("fsy")
+            .join(F.broadcast(rowmap), "gy")
+            .withColumnRenamed("_fsy_row", "fsy")
+        )
     n_bands = info["n_bands"]
     band_cols = [f"band_{i + 1}" for i in range(n_bands)]
     if resampling == "near":

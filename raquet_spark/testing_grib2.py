@@ -328,7 +328,32 @@ def write_grib2(
             )
             t30 += struct.pack(">II", _sm_enc(int(-90 * 1e6), 32), 0)
             s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 30) + t30
+        elif grid and grid.get("type") == "gauss":  # template 3.40
+            # regular Gaussian: la1/la2 name the selected slice of the
+            # 2N Gaussian latitudes; the Dj slot carries N
+            from raquet_spark.sources.grib2 import gaussian_latitudes
+
+            n_par = int(grid["n"])
+            row0 = int(grid.get("row0", 0))
+            sub = gaussian_latitudes(n_par)[row0 : row0 + nj]
+            assert len(sub) == nj
+            la1g, la2g = (sub[-1], sub[0]) if j_positive else (sub[0], sub[-1])
+            t30 = struct.pack(">BBIBIBI", 6, 0, 0, 0, 0, 0, 0)
+            t30 += struct.pack(">II", ni, nj)
+            t30 += struct.pack(">II", 0, 0)
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(la1g * 1e6)), 32),
+                _sm_enc(int(round(lon1 * 1e6)), 32),
+            )
+            t30 += struct.pack(
+                ">BII", 0x30,
+                _sm_enc(int(round(la2g * 1e6)), 32),
+                _sm_enc(int(round(lon_last * 1e6)), 32),
+            )
+            t30 += struct.pack(">IIB", int(round(di * 1e6)), n_par, scan)
+            s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 40) + t30
         else:
+            rot = grid if grid and grid.get("type") == "rotated" else None
             t30 = struct.pack(
                 ">BBIBIBI", 6, 0, 0, 0, 0, 0, 0  # sphere, radii unused
             )
@@ -346,7 +371,17 @@ def write_grib2(
             t30 += struct.pack(
                 ">IIB", int(round(di * 1e6)), int(round(dj * 1e6)), scan
             )
-            s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 0) + t30
+            if rot:  # template 3.1: + south pole of rotation (the
+                # lat1/lon1/di/dj args are in ROTATED coordinates)
+                t30 += struct.pack(
+                    ">II",
+                    _sm_enc(int(round(rot["lat_sp"] * 1e6)), 32),
+                    _sm_enc(int(round(rot["lon_sp"] % 360.0 * 1e6)), 32),
+                )
+                t30 += struct.pack(">f", float(rot.get("angle", 0.0)))
+            s3 = struct.pack(
+                ">BIBBH", 0, ni * nj, 0, 0, 1 if rot else 0
+            ) + t30
         lv_type, lv_scale, lv_val = f.get("level", (1, 0, 0))
         t40 = struct.pack(
             ">BBBBBHBBI", cat, num, 2, 0, 0, 0, 0,

@@ -743,3 +743,274 @@ def test_mvm_plus_bitmap_rejected(tmp_path):
     open(bad, "wb").write(bytes(raw))
     with pytest.raises(NotImplementedError, match="bitmap combined"):
         read_grib2_structure(bad)
+
+
+def test_rotll_convention_pin_and_roundtrip():
+    """Rotation convention pinned against the public COSMO example:
+    rotated pole at (40N, 170W) maps rotated (0, 0) to true (10E,
+    50N); forward/inverse are mutual inverses over a grid of points."""
+    from raquet_spark.sources.tiff_reader import rotll_inverse
+
+    p = {"type": "rotll", "pole_lat": 40.0, "pole_lon": -170.0,
+         "units": "deg"}
+    lon, lat = rotll_inverse(p, 0.0, 0.0)
+    assert lon == pytest.approx(10.0, abs=1e-9)
+    assert lat == pytest.approx(50.0, abs=1e-9)
+
+    # forward (python mirror of the SQL steps) → inverse round trip
+    import math
+
+    def fwd(lon_t, lat_t):
+        zsinpol = math.sin(math.radians(p["pole_lat"]))
+        zcospol = math.cos(math.radians(p["pole_lat"]))
+        zlampol = math.radians(p["pole_lon"])
+        zphi = math.radians(lat_t)
+        zrla = math.radians(lon_t) - zlampol
+        cp, sp = math.cos(zphi), math.sin(zphi)
+        rlon = math.degrees(math.atan2(
+            -math.sin(zrla) * cp,
+            zcospol * sp - zsinpol * cp * math.cos(zrla),
+        ))
+        rlat = math.degrees(math.asin(
+            zsinpol * sp + zcospol * cp * math.cos(zrla)
+        ))
+        return rlon, rlat
+
+    for lon_t in (-20.0, 0.0, 10.0, 25.0):
+        for lat_t in (35.0, 50.0, 62.0):
+            rlon, rlat = fwd(lon_t, lat_t)
+            back = rotll_inverse(p, rlon, rlat)
+            assert back[0] == pytest.approx(lon_t, abs=1e-9)
+            assert back[1] == pytest.approx(lat_t, abs=1e-9)
+
+
+def test_rotll_sql_forward_matches_python(spark):
+    """The warp's Column-expression forward (tiff_reader._forward_steps
+    'rotll') agrees with the python inverse: project a lattice of true
+    lon/lats through SQL, invert in python, recover the inputs."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.tiff_reader import (
+        _forward_steps,
+        rotll_inverse,
+    )
+
+    proj = {"type": "rotll", "pole_lat": 40.0, "pole_lon": -170.0,
+            "units": "deg"}
+    info = {"projection": proj, "epsg": 32767}
+    pts = [(float(lo), float(la)) for lo in range(-15, 30, 7)
+           for la in range(38, 60, 5)]
+    df = spark.createDataFrame(pts, "_lon double, _lat double")
+    steps, x_e, y_e = _forward_steps(info)
+    for name, expr in steps:
+        df = df.withColumn(name, F.expr(expr))
+    rows = df.select(
+        "_lon", "_lat",
+        F.expr(x_e).alias("rx"), F.expr(y_e).alias("ry"),
+    ).collect()
+    for r in rows:
+        lon, lat = rotll_inverse(proj, r["rx"], r["ry"])
+        assert lon == pytest.approx(r["_lon"], abs=1e-9)
+        assert lat == pytest.approx(r["_lat"], abs=1e-9)
+
+
+def test_rotated_latlon_grib(spark, tmp_path):
+    """Template 3.1 end-to-end: parse (south pole → rotated north
+    pole), exact decode, and conversion through the rotll warp
+    preserves the field mean."""
+    nj, ni = 20, 28
+    data = _field(1, nj, ni, 2)
+    path = str(tmp_path / "rot.grib2")
+    # a COSMO-like domain: rotated coords centered near (0, 0)
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0}],
+        lat1=5.0, lon1=-7.0, di=0.5, dj=0.5,
+        grid={"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "rotll"
+    assert m["proj"]["pole_lat"] == pytest.approx(40.0)
+    assert m["proj"]["pole_lon"] == pytest.approx(-170.0)
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+
+    tiles, meta = grib2_to_raquet(spark, path, block_size=64,
+                                  compression=None)
+    px = (
+        tiles.where("block > 0")
+        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .where("v != -9999.0")
+    )
+    got_mean = px.agg(F.avg("v")).first()[0]
+    src_mean = float(data.mean())
+    assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
+
+    # nonzero rotation angle is a typed gate
+    bad = str(tmp_path / "rot_a.grib2")
+    write_grib2(
+        bad, [{"data": data, "forecast_time": 0}],
+        lat1=5.0, lon1=-7.0, di=0.5, dj=0.5,
+        grid={"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0,
+              "angle": 15.0},
+    )
+    with pytest.raises(NotImplementedError, match="angle of rotation"):
+        read_grib2_structure(bad)
+
+
+def test_gaussian_latitudes_abscissa_pin():
+    """Gaussian latitudes = arcsin of the P_2N roots: pinned against
+    the published ECMWF N80 grid (first latitude 89.1416) and the
+    closed-form N=1 pair (arcsin(1/sqrt(3)) = 35.2644)."""
+    from raquet_spark.sources.grib2 import gaussian_latitudes
+
+    l1 = gaussian_latitudes(1)
+    assert len(l1) == 2
+    assert l1[0] == pytest.approx(35.264389683, abs=1e-6)
+    assert l1[1] == pytest.approx(-35.264389683, abs=1e-6)
+
+    l80 = gaussian_latitudes(80)
+    assert len(l80) == 160
+    assert l80[0] == pytest.approx(89.1416, abs=1e-3)
+    assert np.all(np.diff(l80) < 0)  # strictly north → south
+    np.testing.assert_allclose(l80, -l80[::-1], atol=1e-12)  # symmetric
+
+
+def test_gaussian_grib_parse_decode_and_subset(spark, tmp_path):
+    """Template 3.40: full-pole-to-pole and regional-slice grids parse
+    (lat_centers = the named slice of the 2N abscissae), decode
+    exactly; a la1 that matches no Gaussian latitude raises; a reduced
+    grid (points-per-row list) is a typed gate."""
+    import struct as _struct
+
+    from raquet_spark.sources.grib2 import gaussian_latitudes
+
+    n_par, ni = 16, 24
+    full_nj = 2 * n_par
+    data = _field(1, full_nj, ni, 3)
+    path = str(tmp_path / "gau.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss", "n": n_par},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "gauss" and m["n_parallels"] == n_par
+    lats = gaussian_latitudes(n_par)
+    np.testing.assert_allclose(m["lat_centers"], lats, atol=2e-6)
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+    # a regional slice (rows 5..20)
+    row0, nj = 5, 16
+    sub = str(tmp_path / "gau_sub.grib2")
+    write_grib2(
+        sub, [{"data": data[row0 : row0 + nj], "forecast_time": 0}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss", "n": n_par, "row0": row0},
+    )
+    ms = read_grib2_structure(sub)["messages"][0]
+    np.testing.assert_allclose(
+        ms["lat_centers"], lats[row0 : row0 + nj], atol=2e-6
+    )
+
+    # corrupt la1 → no matching abscissa
+    raw = bytearray(open(sub, "rb").read())
+    p = 16
+    while raw[p + 4] != 3:
+        (ln,) = _struct.unpack_from(">I", raw, p)
+        p += ln
+    _struct.pack_into(">I", raw, p + 14 + 32, int(45.0 * 1e6))
+    badla = str(tmp_path / "gau_badla.grib2")
+    open(badla, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="Gaussian latitudes"):
+        read_grib2_structure(badla)
+
+    # reduced grid: nonzero octet 11 (points-per-row list length)
+    raw = bytearray(open(sub, "rb").read())
+    raw[p + 10] = 2
+    badred = str(tmp_path / "gau_red.grib2")
+    open(badred, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="reduced"):
+        read_grib2_structure(badred)
+
+
+def test_gaussian_warp_nearest_exact(spark, tmp_path):
+    """Gaussian → mercator 'near' warp: every output pixel must carry
+    the value of the source cell CONTAINING its center, with the row
+    boundaries at midpoints between Gaussian latitudes — checked
+    against an independent numpy searchsorted oracle."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.sources.grib2 import gaussian_latitudes
+
+    n_par, ni = 12, 48
+    nj = 2 * n_par
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    data = (gy * 100 + gx).astype("f8")  # row/col-identifying values
+    path = str(tmp_path / "gauw.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss", "n": n_par},
+    )
+    tiles, meta = grib2_to_raquet(spark, path, block_size=64,
+                                  compression=None, zoom=3)
+    lc = gaussian_latitudes(n_par)
+    edges = (lc[:-1] + lc[1:]) / 2.0  # descending inner boundaries
+    bs, z = 64, 3
+    world = (1 << z) * bs
+    rows = tiles.where("block > 0").select(
+        "block", band_decode("band_1", "float64").alias("vals")
+    ).collect()
+    checked = mismatched = 0
+    for r in rows:
+        block = r["block"]
+        # quadbin-style block id → tile x/y/z
+        from raquet_spark.functions.quadbin import py_cell_to_tile
+
+        txx, tyy, tz = py_cell_to_tile(block)
+        assert tz == z
+        vals = np.asarray(r["vals"]).reshape(bs, bs)
+        for py in range(0, bs, 7):
+            for pxx in range(3, bs, 11):
+                v = vals[py, pxx]
+                if v == -9999.0:
+                    continue
+                gxp = txx * bs + pxx
+                gyp = tyy * bs + py
+                lon_t = (gxp + 0.5) / world * 360.0 - 180.0
+                merc_y = (0.5 - (gyp + 0.5) / world) * 2 * math.pi * 6378137.0
+                lat_t = math.degrees(
+                    2 * math.atan(math.exp(merc_y / 6378137.0)) - math.pi / 2
+                )
+                # containing source cell, independent oracle
+                col = int(math.floor((lon_t - 0.0 + (360.0 / ni) / 2)
+                                     / (360.0 / ni)))
+                row = int(np.searchsorted(-edges, -lat_t))
+                if not (0 <= col < ni and 0 <= row < nj):
+                    continue
+                # skip half-pixel boundary ambiguity in the column
+                frac = ((lon_t + (360.0 / ni) / 2) % (360.0 / ni)) / (360.0 / ni)
+                near_row_edge = np.min(np.abs(edges - lat_t)) < 1e-6
+                if frac < 1e-6 or frac > 1 - 1e-6 or near_row_edge:
+                    continue
+                checked += 1
+                if v != data[row, col]:
+                    mismatched += 1
+    assert checked > 200
+    assert mismatched == 0, f"{mismatched}/{checked} wrong"
