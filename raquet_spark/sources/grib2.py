@@ -12,18 +12,27 @@ natural parallel unit of a GRIB archive, which stores thousands of
 messages per file.
 
 Scope (typed gates name everything else, never silent wrong answers):
-- edition 2; grid definition templates 3.0 (regular lat/lon), 3.20
-  (polar stereographic, both aspects) and 3.30 (Lambert conformal —
-  the HRRR/NAM family), with shape-of-earth codes 0/1/4/5/6;
-- product definition templates 4.0/4.8 (read for time/parameter keys);
+- edition 2; grid definition templates 3.0 (regular lat/lon), 3.1
+  (rotated lat/lon — COSMO/HARMONIE; zero angle of rotation), 3.20
+  (polar stereographic, both aspects), 3.30 (Lambert conformal — the
+  HRRR/NAM family, both aspects) and 3.40 (regular Gaussian — the
+  ECMWF family; reduced grids gated), with shape-of-earth codes
+  0/1/4/5/6;
+- product definition templates 4.0/4.1/4.2/4.8 (read for time/
+  parameter/ensemble keys); the fixed surface is part of the message
+  selection key;
 - data representation templates 5.0 (simple packing: ``Y = (R + X *
   2^E) / 10^D``), 5.2/5.3 (complex packing incl. 1st/2nd-order
-  spatial differencing) and 5.41 (PNG, via the repo's own codec);
-  5.40 (JPEG2000) gated;
-- bitmap indicator 255 (none), 0 (bitmap present — missing points
-  carry no packed value), 254 (reuse previous) gated;
+  spatial differencing AND missing-value management 1/2) and 5.41
+  (PNG, via the repo's own codec); 5.40 (JPEG2000) DELIBERATELY gated
+  — no in-sandbox reference codec to conformance-pin a from-scratch
+  EBCOT/5-3-DWT decoder against (the szip decision; see the gate);
+- bitmap indicators 255 (none), 0 (bitmap present — missing points
+  carry no packed value) and 254 (reuse the previous bitmap);
 - scanning mode +i, j either direction, row-major (bits 1/2/3 of the
-  flag; bit 4 boustrophedon gated).
+  flag; bit 4 boustrophedon gated);
+- forecast-time units minute/hour/day/3h/6h/12h/second (code table
+  4.4), converted to ``time_cf`` hours.
 
 Signed GRIB integers are sign-magnitude (top bit = minus), NOT two's
 complement — ``_sm16``/``_sm32`` below.
@@ -123,6 +132,7 @@ def read_grib2_structure(path: str) -> dict:
     b = open_bytes(path)
     size = len(b)
     messages = []
+    prev_bitmap = None  # last indicator-0 bitmap, for indicator 254
     p = 0
     while p + 16 <= size:
         if bytes(b[p : p + 4]) != b"GRIB":
@@ -273,14 +283,20 @@ def read_grib2_structure(path: str) -> dict:
             lov = _sm(struct.unpack_from(">I", raw3, 37)[0], 32) / 1e6
             dx = struct.unpack_from(">I", raw3, 41)[0] / 1e3  # mm → m
             dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
-            if raw3[49] & 0x80:
-                raise NotImplementedError(
-                    "GRIB2 Lambert grid centered on the south pole"
-                )
+            south_lcc = bool(raw3[49] & 0x80)
             scan = raw3[50]
             check_scan(scan)
             latin1 = _sm(struct.unpack_from(">I", raw3, 51)[0], 32) / 1e6
             latin2 = _sm(struct.unpack_from(">I", raw3, 55)[0], 32) / 1e6
+            if south_lcc != (latin1 < 0):
+                # the aspect is fully determined by the standard
+                # parallels' sign in the Snyder formulation (negative
+                # n); a centre flag contradicting them would mean an
+                # ill-formed cone
+                raise ValueError(
+                    "GRIB2 Lambert projection-centre flag contradicts "
+                    f"the standard parallels ({latin1}, {latin2})"
+                )
 
             def norm_lon(v: float) -> float:
                 return v - 360.0 if v > 180.0 else v
@@ -348,10 +364,27 @@ def read_grib2_structure(path: str) -> dict:
         s5, _ = sec[5]
         m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
         drt = struct.unpack(">H", bytes(b[s5 + 9 : s5 + 11]))[0]
-        if drt not in (0, 2, 3, 41):
-            gate = {40: "JPEG2000 (5.40)"}.get(drt, f"5.{drt}")
+        if drt == 40:
+            # DELIBERATE gate, the szip decision (hdf5.py): NOAA GFS
+            # packs most fields with 5.40, but a from-spec JPEG2000
+            # Part-1 decoder (tag-tree tier-2, MQ-coder tier-1 EBCOT,
+            # reversible 5/3 DWT) written here could only ever be
+            # tested against ITSELF — this sandbox has no openjpeg/
+            # jasper/glymur/PIL/JAI to conformance-pin against, and a
+            # self-consistent transcription error would silently
+            # corrupt every GFS field. A typed error beats plausible
+            # wrong pixels; wgrib2/GDAL read these via jasper/openjpeg.
             raise NotImplementedError(
-                f"GRIB2 data representation template {gate} "
+                "GRIB2 data representation template 5.40 (JPEG2000): "
+                "no in-sandbox reference codec to conformance-test a "
+                "from-scratch decoder against — deliberately gated "
+                "(see SURVEY.md §2 C36); re-encode with wgrib2 "
+                "-set_grib_type c2|s, or install a GDAL/eccodes "
+                "pipeline for 5.40 archives"
+            )
+        if drt not in (0, 2, 3, 41):
+            raise NotImplementedError(
+                f"GRIB2 data representation template 5.{drt} "
                 "(simple 5.0 / complex 5.2 / complex+diff 5.3 / "
                 "PNG 5.41 only)"
             )
@@ -414,10 +447,22 @@ def read_grib2_structure(path: str) -> dict:
                     )
                 m["bitmap_off"] = s6[0] + 6
                 m["bitmap_len"] = s6[1] - 6
+                prev_bitmap = (m["bitmap_off"], m["bitmap_len"])
             elif ind == 254:
-                raise NotImplementedError(
-                    "GRIB2 bitmap indicator 254 (reuse previous bitmap)"
-                )
+                # reuse the previously defined bitmap (indicator 254):
+                # carried forward from the last indicator-0 message —
+                # NCEP packs repeated-mask multi-field files this way
+                if prev_bitmap is None:
+                    raise ValueError(
+                        "GRIB2 bitmap indicator 254 with no previously "
+                        "defined bitmap in the file"
+                    )
+                if m.get("mvm", 0):
+                    raise NotImplementedError(
+                        "GRIB2 bitmap combined with embedded "
+                        "missing-value management"
+                    )
+                m["bitmap_off"], m["bitmap_len"] = prev_bitmap
             elif ind != 255:
                 raise NotImplementedError(
                     f"GRIB2 pre-defined bitmap indicator {ind}"

@@ -321,7 +321,9 @@ def write_grib2(
             t30 += struct.pack(
                 ">II", int(round(gl["dx"] * 1e3)), int(round(gl["dy"] * 1e3))
             )
-            t30 += struct.pack(">BB", 0, scan)  # proj centre, scanning
+            t30 += struct.pack(  # projection centre flag, scanning
+                ">BB", 0x80 if gl["latin1"] < 0 else 0, scan
+            )
             t30 += struct.pack(
                 ">II", _sm_enc(int(round(gl["latin1"] * 1e6)), 32),
                 _sm_enc(int(round(gl["latin2"] * 1e6)), 32),
@@ -415,7 +417,11 @@ def write_grib2(
             ">HHBB", _sm_enc(E, 16), _sm_enc(D, 16), nbits, 0
         )
         s5 += extra5
-        if has_missing:
+        if f.get("bitmap_reuse"):
+            # indicator 254: the PREVIOUS field's bitmap applies (the
+            # caller must plant the same NaN set)
+            s6 = bytes([254])
+        elif has_missing:
             s6 = bytes([0]) + np.packbits(mask.astype("u1")).tobytes()
         else:
             s6 = bytes([255])

@@ -1014,3 +1014,93 @@ def test_gaussian_warp_nearest_exact(spark, tmp_path):
                     mismatched += 1
     assert checked > 200
     assert mismatched == 0, f"{mismatched}/{checked} wrong"
+
+
+def test_bitmap_254_reuse_previous(spark, tmp_path):
+    """Bitmap indicator 254: later messages reuse the last
+    indicator-0 bitmap (NCEP repeated-mask multi-field files); a 254
+    with no prior bitmap raises."""
+    nj, ni = 12, 16
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    missing = (gx + gy) % 5 == 0
+    fields = []
+    for t in range(3):
+        data = _field(1, nj, ni, t)
+        data[missing] = np.nan
+        fields.append({"data": data, "forecast_time": t,
+                       "bitmap_reuse": t > 0})
+    path = str(tmp_path / "bm254.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    ms = g["messages"]
+    assert ms[0]["bitmap_off"] is not None
+    assert ms[1]["bitmap_off"] == ms[0]["bitmap_off"]
+    assert ms[2]["bitmap_off"] == ms[0]["bitmap_off"]
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    for t, m in enumerate(ms):
+        want = _field(1, nj, ni, t)
+        want[missing] = np.nan
+        got = decode_message(
+            rd(m["data_off"], m["data_len"]), m,
+            rd(m["bitmap_off"], m["bitmap_len"]),
+        )
+        np.testing.assert_array_equal(np.isnan(got), missing)
+        np.testing.assert_array_equal(got[~missing], want[~missing])
+    # the pixel table carries the reused mask through all steps
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert len(pdf) == 3 * int((~missing).sum())
+
+    # 254 with NO prior bitmap in the file
+    bad_fields = [{"data": _field(1, nj, ni, 0), "forecast_time": 0,
+                   "bitmap_reuse": True}]
+    bad = str(tmp_path / "bm254_first.grib2")
+    write_grib2(bad, bad_fields)
+    with pytest.raises(ValueError, match="no previously defined"):
+        read_grib2_structure(bad)
+
+
+def test_lambert_south_pole_aspect(spark, tmp_path):
+    """Template 3.30 with the projection centre on the SOUTH pole
+    (negative standard parallels, flag bit set): the Snyder negative-n
+    cone round-trips through forward/inverse and the warp preserves
+    the field mean — the r10 typed gate is gone."""
+    from raquet_spark.sources.grib2 import lcc_forward
+    from raquet_spark.sources.tiff_reader import lcc_inverse
+
+    proj = {"type": "lcc", "sp1": -35.0, "sp2": -55.0, "lat0": -45.0,
+            "lon0": 170.0, "fe": 0.0, "fn": 0.0, "a": 6371229.0,
+            "inv_f": float("inf")}
+    # pick a first grid point from a chosen projected anchor
+    lo1, la1 = lcc_inverse(proj, -250_000.0, -180_000.0)
+    nj, ni, dx = 18, 22, 4000.0
+    data = _field(1, nj, ni, 6)
+    path = str(tmp_path / "lcc_south.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0}],
+        grid={"type": "lambert", "la1": la1, "lo1": lo1,
+              "dx": dx, "dy": dx, "lad": -45.0, "lov": 170.0,
+              "latin1": -35.0, "latin2": -55.0, "shape": 6},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "lambert"
+    assert m["proj"]["sp1"] == pytest.approx(-35.0)
+    fx, fy = lcc_forward(m["proj"], m["lo1"], m["la1"])
+    assert abs(fx - (-250_000.0)) < 2.0 and abs(fy - (-180_000.0)) < 2.0
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+
+    tiles, _meta = grib2_to_raquet(spark, path, block_size=64,
+                                   compression=None)
+    px = (
+        tiles.where("block > 0")
+        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .where("v != -9999.0")
+    )
+    got_mean = px.agg(F.avg("v")).first()[0]
+    src_mean = float(data.mean())
+    assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
