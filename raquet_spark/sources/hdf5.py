@@ -1101,20 +1101,37 @@ def _extensible_array_elements(b, addr: int, n_needed: int) -> list[bytes]:
     return out[:n_needed]
 
 
-def _v4_chunk_entries(b, lay: dict, shape) -> list[tuple[tuple, int, int, int]]:
+def _v4_chunk_entries(
+    b, lay: dict, shape, unlim: int | None = None
+) -> list[tuple[tuple, int, int, int]]:
     """Resolve a v4 chunk index to the same [(element_coords,
     file_addr, nbytes, filter_mask)] list the v1 B-tree walker
     produces, so every downstream consumer (driver-side decode,
     distributed pixel table) is index-agnostic. Only ALLOCATED chunks
-    are returned — missing ones fall to fill semantics."""
+    are returned — missing ones fall to fill semantics.
+
+    ``unlim``: the unlimited dimension for an EXTENSIBLE-ARRAY index.
+    When it is not dim 0, the library SWIZZLES chunk coordinates (the
+    unlimited dim moves to slot 0, H5VM_swizzle_coords) before
+    linearizing, so the EA element order is row-major over the
+    swizzled grid — the coords list is permuted to match."""
     import itertools as it
 
     cd = lay["chunk"]
     counts = [max(1, (s + c - 1) // c) for s, c in zip(shape, cd)]
-    grid = [
-        tuple(ci * c for ci, c in zip(idx, cd))
-        for idx in it.product(*[range(n) for n in counts])
-    ]  # row-major linear order, element offsets
+    if lay["index"] == 4 and unlim not in (None, 0):
+        sw_counts = (
+            [counts[unlim]] + counts[:unlim] + counts[unlim + 1 :]
+        )
+        grid = []
+        for sw in it.product(*[range(n) for n in sw_counts]):
+            orig = sw[1 : unlim + 1] + (sw[0],) + sw[unlim + 1 :]
+            grid.append(tuple(ci * c for ci, c in zip(orig, cd)))
+    else:
+        grid = [
+            tuple(ci * c for ci, c in zip(idx, cd))
+            for idx in it.product(*[range(n) for n in counts])
+        ]  # row-major linear order, element offsets
     chunk_bytes = int(np.prod(cd)) * lay["elem_size"]
     itype = lay["index"]
     if itype == 1:  # single chunk
@@ -1290,19 +1307,24 @@ def read_hdf5_structure(path: str) -> dict:
                         "DONT_FILTER_PARTIAL_BOUND_CHUNKS set alongside "
                         "a filter pipeline"
                     )
+                unlim = None
                 if lay["index"] == 4:
-                    # EA linear chunk order is row-major ONLY when the
-                    # unlimited dim is dim 0 (netcdf-c's time dim);
-                    # otherwise the library swizzles the unlimited dim
-                    # to slot 0 — reorder would be silent corruption
+                    # the EA linear chunk order is row-major over the
+                    # SWIZZLED grid when the unlimited dim is not dim
+                    # 0 (H5VM_swizzle_coords) — _v4_chunk_entries
+                    # permutes coords to match; >1 unlimited dim never
+                    # gets an EA index (the library picks a v2 B-tree)
                     md = _dataspace_maxdims(by_type[_MSG_DATASPACE][0])
-                    if md is not None and UNDEF in md and md[0] != UNDEF:
-                        raise NotImplementedError(
-                            "extensible-array chunk index with the "
-                            f"unlimited dimension at slot {md.index(UNDEF)}"
-                            " (swizzled chunk order)"
-                        )
-                ds["chunks"] = _v4_chunk_entries(b, lay, ds["shape"])
+                    if md is not None and UNDEF in md:
+                        if md.count(UNDEF) > 1:
+                            raise ValueError(
+                                "extensible-array chunk index with "
+                                "multiple unlimited dimensions"
+                            )
+                        unlim = md.index(UNDEF)
+                ds["chunks"] = _v4_chunk_entries(
+                    b, lay, ds["shape"], unlim
+                )
                 ds["layout"] = "chunked"  # index-agnostic downstream
             datasets[prefix.lstrip("/")] = ds
             return

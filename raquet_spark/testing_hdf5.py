@@ -873,6 +873,33 @@ def write_hdf5(
                         cd, dt.itemsize, 3, fa, extra=bytes([pb])
                     )
                 else:
+                    # EA element order is row-major over the SWIZZLED
+                    # chunk grid when the unlimited dim is not slot 0
+                    # (H5VM_swizzle_coords): permute the linear entries
+                    md = spec.get("maxdims")
+                    if md is not None and -1 in md and md.index(-1) != 0:
+                        u = md.index(-1)
+                        counts = [
+                            max(1, (s + c - 1) // c)
+                            for s, c in zip(data.shape, cd)
+                        ]
+                        strides = [1] * len(counts)
+                        for i in range(len(counts) - 2, -1, -1):
+                            strides[i] = strides[i + 1] * counts[i + 1]
+                        sw_counts = (
+                            [counts[u]] + counts[:u] + counts[u + 1:]
+                        )
+                        perm = []
+                        for sw in itertools.product(
+                            *[range(n) for n in sw_counts]
+                        ):
+                            orig = (
+                                sw[1 : u + 1] + (sw[0],) + sw[u + 1 :]
+                            )
+                            perm.append(
+                                sum(o * st for o, st in zip(orig, strides))
+                            )
+                        ebytes = [ebytes[i] for i in perm]
                     # tiny geometry so a handful of chunks exercises
                     # inline elements, direct blocks, real super
                     # blocks, and (paged variant) data-block pages

@@ -356,14 +356,20 @@ def test_nc4_btree2_chunk_index_deep(spark, tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
-def test_nc4_extensible_array_swizzled_gate(tmp_path):
-    """An EA index whose unlimited dimension is NOT dim 0 uses a
-    swizzled chunk order this reader does not implement — must raise
-    the typed error, never silently misorder chunks."""
-    from raquet_spark.sources.hdf5 import read_hdf5_structure
+def test_nc4_extensible_array_swizzled(tmp_path):
+    """An EA index whose unlimited dimension is NOT dim 0 linearizes
+    chunks in SWIZZLED order (the unlimited dim moves to slot 0,
+    H5VM_swizzle_coords) — closed in r11: values decode identically to
+    the unswizzled layout, with asymmetric chunk grids, filters, and a
+    hole so any coordinate mix-up changes the result."""
+    from raquet_spark.sources.hdf5 import (
+        read_h5_dataset,
+        read_hdf5_structure,
+    )
     from raquet_spark.testing_hdf5 import write_hdf5
 
-    data = np.arange(64, dtype="<i2").reshape(8, 8)
+    # 2-d, unlim at slot 1: 2x4 chunk grid (asymmetric on purpose)
+    data = np.arange(8 * 16, dtype="<i2").reshape(8, 16)
     path = str(tmp_path / "swizzled.h5")
     write_hdf5(
         path,
@@ -371,8 +377,40 @@ def test_nc4_extensible_array_swizzled_gate(tmp_path):
                "v4_index": "extensible", "filters": (),
                "maxdims": [8, -1]}},
     )
-    with pytest.raises(NotImplementedError, match="swizzled"):
-        read_hdf5_structure(path)
+    h5 = read_hdf5_structure(path)
+    np.testing.assert_array_equal(read_h5_dataset(h5, "v"), data)
+
+    # 3-d, unlim in the MIDDLE slot, filtered, with a skipped chunk
+    d3 = np.arange(4 * 6 * 8, dtype="<i4").reshape(4, 6, 8)
+    p3 = str(tmp_path / "swizzled3.h5")
+    write_hdf5(
+        p3,
+        {"v": {"data": d3, "chunks": (2, 2, 4),
+               "v4_index": "extensible",
+               "filters": (("shuffle",), ("deflate", 4)),
+               "maxdims": [4, -1, 8], "fill": -7,
+               "skip_chunks": {(1, 2, 0)}}},
+    )
+    h53 = read_hdf5_structure(p3)
+    got = read_h5_dataset(h53, "v")
+    want = d3.copy()
+    want[2:4, 4:6, 0:4] = -7  # the hole falls to fill
+    np.testing.assert_array_equal(got, want)
+
+    # the same content through the UNSWIZZLED layout decodes equal
+    # (sanity: the permutation really is the only difference)
+    p0 = str(tmp_path / "plain3.h5")
+    write_hdf5(
+        p0,
+        {"v": {"data": d3, "chunks": (2, 2, 4),
+               "v4_index": "extensible",
+               "filters": (("shuffle",), ("deflate", 4)),
+               "maxdims": [-1, 6, 8], "fill": -7,
+               "skip_chunks": {(1, 2, 0)}}},
+    )
+    np.testing.assert_array_equal(
+        read_h5_dataset(read_hdf5_structure(p0), "v"), got
+    )
 
 
 def test_nc4_v4_dont_filter_partial_gate(tmp_path):
