@@ -62,7 +62,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 10 MB broadcast threshold (r11, measured at sf1): the old
+        # 64 MB limit broadcast the 1.5M-row orders table, whose
+        # SINGLE-THREADED hash build cost ~2 s per query run — q5 went
+        # 2.9 s → 0.8 s once fact-fact joins shuffle and only true
+        # dimensions broadcast. Also the right call on a 1000-executor
+        # cluster: a 64 MB broadcast per executor is driver+network
+        # pressure, while the dim tables this engine broadcasts
+        # (region/nation/supplier/customer) stay well under 10 MB.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # prefer shuffled-hash over sort-merge when a side fits in a
+        # task (Spark 3.2+ SHJ spills, so this is safe): skips two
+        # sorts on every fact-fact join; AQE still re-plans per stats
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
