@@ -29,8 +29,9 @@ Scope (typed gates name everything else, never silent wrong answers):
   EBCOT/5-3-DWT decoder against (the szip decision; see the gate);
 - bitmap indicators 255 (none), 0 (bitmap present — missing points
   carry no packed value) and 254 (reuse the previous bitmap);
-- scanning mode +i, j either direction, row-major (bits 1/2/3 of the
-  flag; bit 4 boustrophedon gated);
+- scanning modes: ALL of flag-table 3.4 bits 1-4 (±i, ±j, i- or
+  j-consecutive lines, boustrophedon); staggered-grid offset bits
+  (5+) gated;
 - forecast-time units minute/hour/day/3h/6h/12h/second (code table
   4.4), converted to ``time_cf`` hours.
 
@@ -167,10 +168,20 @@ def read_grib2_structure(path: str) -> dict:
         t = s3 + 14  # template body
 
         def check_scan(scan: int) -> None:
-            if scan & 0b00010000:
-                raise NotImplementedError("GRIB2 boustrophedon scanning")
-            if scan & 0b10000000:
-                raise NotImplementedError("GRIB2 -i (east→west) scanning")
+            # bits 1-4 (0xF0) all decode now: -i, ±j, j-consecutive
+            # (column-major), boustrophedon; bits 5+ (staggered-grid
+            # offsets, template 3.4 revisions) stay typed gates
+            if scan & 0x0F:
+                raise NotImplementedError(
+                    f"GRIB2 scanning-mode offset bits 0x{scan & 0x0F:02x} "
+                    "(staggered grids)"
+                )
+            m.update(
+                i_negative=bool(scan & 0b10000000),
+                j_positive=bool(scan & 0b01000000),
+                col_major=bool(scan & 0b00100000),
+                boustro=bool(scan & 0b00010000),
+            )
 
         if gdt in (0, 1, 40):
             # shared 3.0-shaped prefix (octets 15-72): 3.1 appends the
@@ -705,7 +716,18 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
         full = np.full(total, np.nan)
         full[mask] = y
         y = full
-    grid = y.reshape(nj, ni)
+    # normalize the scan order (flag table 3.4 bits 1-4) to row-major,
+    # row 0 = north, col 0 = west: values arrive as consecutive LINES
+    # (i-lines row-major, j-lines when bit 3 says j-consecutive), odd
+    # lines reversed under boustrophedon, line direction per bits 1/2
+    col_major = m.get("col_major", False)
+    lines = y.reshape((ni, nj) if col_major else (nj, ni))
+    if m.get("boustro", False):
+        lines = lines.copy()
+        lines[1::2] = lines[1::2, ::-1]
+    grid = lines.T if col_major else lines
+    if m.get("i_negative", False):  # stored east→west: col 0 is west
+        grid = grid[:, ::-1]
     if m["j_positive"]:  # stored south→north: flip so row 0 is north
         grid = grid[::-1]
     return grid
@@ -882,6 +904,10 @@ def grib2_to_raquet(
         # match decode_message's normalization
         proj = m0["proj"]
         x1, y1 = proj_forward(proj, m0["lo1"], m0["la1"])
+        # the first grid point is the scan origin: move to the
+        # west/north OUTER corner per the scan direction flags
+        if m0.get("i_negative", False):
+            x1 -= (ni - 1) * m0["dx"]
         y_top = y1 + (nj - 1) * m0["dy"] if m0["j_positive"] else y1
         info.update(
             epsg=32767,  # user-defined CRS: closed-form params below
@@ -899,6 +925,8 @@ def grib2_to_raquet(
         # atan2 range
         north = max(m0["lat1"], m0["lat2"])
         lo1r = m0["lon1"] - 360.0 if m0["lon1"] > 180.0 else m0["lon1"]
+        if m0.get("i_negative", False):
+            lo1r -= (ni - 1) * m0["di"]
         info.update(
             epsg=32767,
             projection=m0["proj"],
@@ -915,22 +943,28 @@ def grib2_to_raquet(
         lc = m0["lat_centers"]
         north_edge = lc[0] + (lc[0] - lc[1]) / 2.0
         south_edge = lc[-1] - (lc[-2] - lc[-1]) / 2.0
+        w_lon = m0["lon1"] - (
+            (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
+        )
         info.update(
             epsg=4326,
             lat_centers=lc,
             transform=(
-                m0["lon1"] - m0["di"] / 2.0, m0["di"], 0.0,
+                w_lon - m0["di"] / 2.0, m0["di"], 0.0,
                 north_edge, 0.0, -(north_edge - south_edge) / nj,
             ),
         )
     else:
         north = max(m0["lat1"], m0["lat2"])
+        w_lon = m0["lon1"] - (
+            (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
+        )
         info.update(
             epsg=4326,
             # lat/lon are CELL CENTERS (as in CF): origin is the outer
             # corner
             transform=(
-                m0["lon1"] - m0["di"] / 2.0, m0["di"], 0.0,
+                w_lon - m0["di"] / 2.0, m0["di"], 0.0,
                 north + m0["dj"] / 2.0, 0.0, -m0["dj"],
             ),
         )

@@ -187,6 +187,9 @@ def write_grib2(
     dj: float = 0.5,
     discipline: int = 0,
     j_positive: bool = False,
+    i_negative: bool = False,
+    col_major: bool = False,
+    boustro: bool = False,
     grid: dict | None = None,
 ) -> str:
     """``fields``: list of ``{data (2-d np array, row 0 = north; NaN =
@@ -205,14 +208,28 @@ def write_grib2(
         r, nbits, x = simple_pack(data, E, D)
 
         lat_last = lat1 - dj * (nj - 1)
+        lon_e = lon1 + di * (ni - 1)
+        arr = data
         if j_positive:  # stored south→north
-            grid_vals = data[::-1]
+            arr = arr[::-1]
             la1, la2 = lat_last, lat1
         else:
-            grid_vals = data
             la1, la2 = lat1, lat_last
-        lon_last = lon1 + di * (ni - 1)
-        scan = 0b01000000 if j_positive else 0
+        if i_negative:  # stored east→west: first point is the east end
+            arr = arr[:, ::-1]
+            lo_first, lo_last = lon_e, lon1
+        else:
+            lo_first, lo_last = lon1, lon_e
+        # scan lines: i-lines (row-major) or j-lines (bit 3); odd lines
+        # reversed under boustrophedon
+        lines = arr.T.copy() if col_major else arr.copy()
+        if boustro:
+            lines[1::2] = lines[1::2, ::-1]
+        grid_vals = lines
+        scan = (
+            (0x80 if i_negative else 0) | (0x40 if j_positive else 0)
+            | (0x20 if col_major else 0) | (0x10 if boustro else 0)
+        )
 
         flat = grid_vals.ravel()
         has_missing = bool(np.isnan(flat).any())
@@ -230,10 +247,17 @@ def write_grib2(
             misskind = np.where(mask, 0, 1).astype("i8")
             sec = f.get("secondary")
             if sec is not None:
+                # the mask must ride the SAME scan rearrangement as
+                # the data (j/i flips, line orientation, boustrophedon)
                 sec = np.asarray(sec, dtype=bool)
                 if j_positive:
                     sec = sec[::-1]
-                misskind[sec.ravel() & ~mask] = 2
+                if i_negative:
+                    sec = sec[:, ::-1]
+                sec_l = sec.T.copy() if col_major else sec.copy()
+                if boustro:
+                    sec_l[1::2] = sec_l[1::2, ::-1]
+                misskind[sec_l.ravel() & ~mask] = 2
             xs_full = np.zeros(len(flat), dtype="i8")
             xs_full[mask] = xs
             drt = 3 if packing == "complex_diff" else 2
@@ -345,12 +369,12 @@ def write_grib2(
             t30 += struct.pack(">II", 0, 0)
             t30 += struct.pack(
                 ">II", _sm_enc(int(round(la1g * 1e6)), 32),
-                _sm_enc(int(round(lon1 * 1e6)), 32),
+                _sm_enc(int(round(lo_first * 1e6)), 32),
             )
             t30 += struct.pack(
                 ">BII", 0x30,
                 _sm_enc(int(round(la2g * 1e6)), 32),
-                _sm_enc(int(round(lon_last * 1e6)), 32),
+                _sm_enc(int(round(lo_last * 1e6)), 32),
             )
             t30 += struct.pack(">IIB", int(round(di * 1e6)), n_par, scan)
             s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 40) + t30
@@ -363,12 +387,12 @@ def write_grib2(
             t30 += struct.pack(">II", 0, 0)  # basic angle, subdivisions
             t30 += struct.pack(
                 ">II", _sm_enc(int(round(la1 * 1e6)), 32),
-                _sm_enc(int(round(lon1 * 1e6)), 32),
+                _sm_enc(int(round(lo_first * 1e6)), 32),
             )
             t30 += struct.pack(
                 ">BII", 0x30,
                 _sm_enc(int(round(la2 * 1e6)), 32),
-                _sm_enc(int(round(lon_last * 1e6)), 32),
+                _sm_enc(int(round(lo_last * 1e6)), 32),
             )
             t30 += struct.pack(
                 ">IIB", int(round(di * 1e6)), int(round(dj * 1e6)), scan

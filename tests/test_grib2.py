@@ -171,10 +171,11 @@ def test_typed_gates(tmp_path):
             patched(lambda b: b.__setitem__(slice(s5 + 9, s5 + 11),
                                             struct.pack(">H", 1)))
         )
-    with pytest.raises(NotImplementedError, match="boustrophedon"):
+    # bits 1-4 decode since r11; the staggered-offset bits (5+) gate
+    with pytest.raises(NotImplementedError, match="offset bits"):
         read_grib2_structure(
             patched(lambda b: b.__setitem__(s3 + 14 + 57,
-                                            raw[s3 + 14 + 57] | 0b00010000))
+                                            raw[s3 + 14 + 57] | 0b00001000))
         )
 
 
@@ -1104,3 +1105,70 @@ def test_lambert_south_pole_aspect(spark, tmp_path):
     got_mean = px.agg(F.avg("v")).first()[0]
     src_mean = float(data.mean())
     assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
+
+
+@pytest.mark.parametrize("i_neg", [False, True])
+@pytest.mark.parametrize("j_pos", [False, True])
+@pytest.mark.parametrize("col_major", [False, True])
+@pytest.mark.parametrize("boustro", [False, True])
+def test_scanning_mode_matrix(tmp_path, i_neg, j_pos, col_major, boustro):
+    """ALL 16 combinations of flag-table 3.4 bits 1-4 (±i, ±j, i/j-
+    consecutive lines, boustrophedon) normalize to the same
+    row-0-north, col-0-west grid — closed in r11 (bits 1/4 and the
+    j-consecutive orientation were typed gates before). Asymmetric
+    grid + asymmetric values so every mis-orientation changes the
+    result; a bitmap rides along (its bits follow the same scan
+    order)."""
+    nj, ni = 6, 9
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    data = (gy * 100 + gx).astype("f8")
+    data[2, 3] = np.nan
+    data[5, 0] = np.nan
+    path = str(tmp_path / f"scan_{i_neg}{j_pos}{col_major}{boustro}.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0}],
+        lat1=50.0, lon1=10.0, di=0.5, dj=0.5,
+        j_positive=j_pos, i_negative=i_neg, col_major=col_major,
+        boustro=boustro,
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["i_negative"] is i_neg and m["col_major"] is col_major
+    assert m["boustro"] is boustro and m["j_positive"] is j_pos
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(
+        rd(m["data_off"], m["data_len"]), m,
+        rd(m["bitmap_off"], m["bitmap_len"]),
+    )
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(data))
+    ok = ~np.isnan(data)
+    np.testing.assert_array_equal(got[ok], data[ok])
+
+
+def test_i_negative_conversion_anchor(spark, tmp_path):
+    """-i scanning: the first grid point is the EAST end, so the
+    raquet transform must anchor at the west edge — pixel means and
+    the metadata bounds both line up with the +i twin."""
+    nj, ni = 16, 24
+    data = _field(1, nj, ni, 5)
+    paths = {}
+    for i_neg in (False, True):
+        p = str(tmp_path / f"conv_{i_neg}.grib2")
+        write_grib2(
+            p, [{"data": data, "forecast_time": 0}],
+            lat1=47.0, lon1=2.0, di=0.25, dj=0.25, i_negative=i_neg,
+        )
+        paths[i_neg] = p
+    outs = {}
+    for i_neg, p in paths.items():
+        tiles, meta = grib2_to_raquet(spark, p, block_size=64,
+                                      compression=None)
+        rows = sorted(
+            (r["block"], bytes(r["band_1"]) if r["band_1"] else None)
+            for r in tiles.where("block > 0").collect()
+        )
+        outs[i_neg] = (meta["bounds"], rows)
+    assert outs[False][0] == outs[True][0]
+    assert outs[False][1] == outs[True][1]  # byte-identical tiles
