@@ -773,8 +773,8 @@ def _btree_v2_records(b, addr: int) -> list[bytes]:
     r.u64()  # total
     if root == UNDEF or root_nrec == 0:
         return []
-    if depth > 2:
-        raise NotImplementedError(f"v2 B-tree depth {depth}")
+    if depth > 16:  # corrupt header guard; real trees are shallow
+        raise ValueError(f"implausible v2 B-tree depth {depth}")
     caps, cum = _btv2_caps(node_size, rec_size, depth)
     out: list[bytes] = []
 

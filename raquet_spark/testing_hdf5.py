@@ -631,14 +631,28 @@ def _btree_v2(w: _W, records: list[bytes], rec_type: int) -> int:
 def _btree_v2_chunkidx(
     w: _W, records: list[bytes], rec_type: int, node_size: int = 2048
 ) -> int:
-    """v2 B-tree chunk index (BTHD + BTLF leaves, + one BTIN root when
-    the records overflow a single leaf — depth 0/1). Same node-capacity
-    formula as the reader (node-10 bytes of records per leaf; internal
-    child pointers = address + leaf-record-count of
-    enc_size(leaf capacity) bytes)."""
+    """v2 B-tree chunk index (BTHD + BTLF leaves + BTIN internal
+    nodes, ANY depth — r11 generalizes the r10 depth-0/1 emitter).
+    Same node-capacity formula as the reader (spec III.A.2): leaf
+    capacity = (node-10)/rec; internal child pointers = address +
+    subtree-record-count of enc_size(cap[d-1]) bytes + (for d >= 2) a
+    cumulative-total field of enc_size(cum[d-1]) bytes."""
     rec_size = len(records[0])
-    cap0 = (node_size - 10) // rec_size
     n = len(records)
+
+    def enc_size(v: int) -> int:
+        return max(1, (v.bit_length() + 7) // 8)
+
+    caps = [(node_size - 10) // rec_size]
+    cum = [caps[0]]
+    while cum[-1] < n:
+        d = len(caps)
+        ptr = 8 + enc_size(caps[d - 1])
+        if d > 1:
+            ptr += enc_size(cum[d - 1])
+        caps.append((node_size - 10 - ptr) // (rec_size + ptr))
+        cum.append(caps[d] + (caps[d] + 1) * cum[d - 1])
+    depth = len(caps) - 1
 
     def emit_leaf(rs: list[bytes]) -> int:
         return w.emit(
@@ -646,29 +660,35 @@ def _btree_v2_chunkidx(
             + b"".join(rs) + struct.pack("<I", 0)
         )
 
-    if n <= cap0:
-        root, root_nrec, depth = emit_leaf(records), n, 0
-    else:
-        nleaves = max(2, -(-(n + 1) // (cap0 + 1)))
-        per = n - (nleaves - 1)  # records living in leaves
-        assert per >= nleaves, "fixture btree2: too few records to split"
-        base, extra = divmod(per, nleaves)
-        sizes = [base + (1 if i < extra else 0) for i in range(nleaves)]
-        assert max(sizes) <= cap0
+    def build(rs: list[bytes], d: int) -> tuple[int, int, int]:
+        """→ (node addr, node record count, subtree total records)."""
+        if d == 0:
+            assert len(rs) <= caps[0]
+            return emit_leaf(rs), len(rs), len(rs)
+        k = -(-(len(rs) + 1) // (cum[d - 1] + 1))  # children needed
+        k = max(2, k)
+        assert k - 1 <= caps[d], "fixture btree2: root overflow"
+        per = len(rs) - (k - 1)
+        base, extra = divmod(per, k)
+        sizes = [base + (1 if i < extra else 0) for i in range(k)]
         children, seps = [], []
         i = 0
-        for li, sz in enumerate(sizes):
-            children.append((emit_leaf(records[i : i + sz]), sz))
+        for ci, sz in enumerate(sizes):
+            children.append(build(rs[i : i + sz], d - 1))
             i += sz
-            if li < nleaves - 1:
-                seps.append(records[i])
+            if ci < k - 1:
+                seps.append(rs[i])
                 i += 1
-        nsz = max(1, (cap0.bit_length() + 7) // 8)
         body = b"BTIN" + struct.pack("<BB", 0, rec_type) + b"".join(seps)
-        for ca, cn in children:
+        nsz = enc_size(caps[d - 1])
+        for ca, cn, ct in children:
             body += struct.pack("<Q", ca) + cn.to_bytes(nsz, "little")
+            if d - 1 > 0:
+                body += ct.to_bytes(enc_size(cum[d - 1]), "little")
         body += struct.pack("<I", 0)
-        root, root_nrec, depth = w.emit(body), len(seps), 1
+        return w.emit(body), len(seps), len(rs)
+
+    root, root_nrec, _tot = build(records, depth)
     return w.emit(
         b"BTHD" + struct.pack(
             "<BBIHHBBQHQI",
@@ -932,7 +952,10 @@ def write_hdf5(
                         rec += struct.pack("<II", size, 0)
                     rec += b"".join(struct.pack("<Q", s) for s in scaled)
                     recs.append(rec)
-                node_size = 256 if v4 == "btree2_deep" else 2048
+                node_size = int(spec.get(
+                    "btree2_node_size",
+                    256 if v4 == "btree2_deep" else 2048,
+                ))
                 bt = _btree_v2_chunkidx(
                     w, recs, 11 if pipeline else 10, node_size
                 )

@@ -356,6 +356,42 @@ def test_nc4_btree2_chunk_index_deep(spark, tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_btree2_depth3_chunk_index(tmp_path):
+    """v2 B-tree DEEPER than the r10 depth-2 bound: a tiny node size
+    over a long unlimited-x dataset forces depth >= 3 (BTIN over BTIN
+    over BTIN over leaves, with the cumulative-total pointer fields
+    that only exist at depth >= 2); every chunk must decode and holes
+    fall to fill — the r10 '>depth-2' typed gate is gone."""
+    import struct as _struct
+
+    from raquet_spark.sources.hdf5 import (
+        read_h5_dataset,
+        read_hdf5_structure,
+    )
+    from raquet_spark.testing_hdf5 import write_hdf5
+
+    n_chunks = 700  # rec_size 24 at node 64 -> caps [2,1,1,..]: deep
+    data = np.arange(n_chunks * 4, dtype="<i4").reshape(1, n_chunks * 4)
+    path = str(tmp_path / "bt2_d3.h5")
+    write_hdf5(
+        path,
+        {"v": {"data": data, "chunks": (1, 4), "v4_index": "btree2",
+               "btree2_node_size": 64, "fill": -5,
+               "maxdims": [-1, -1],
+               "skip_chunks": {(0, 13), (0, 500)}}},
+    )
+    # verify the written tree really is depth >= 3
+    raw = open(path, "rb").read()
+    i = raw.find(b"BTHD")
+    depth = _struct.unpack_from("<H", raw, i + 12)[0]
+    assert depth >= 3, depth
+    got = read_h5_dataset(read_hdf5_structure(path), "v")
+    want = data.copy()
+    want[0, 13 * 4 : 14 * 4] = -5
+    want[0, 500 * 4 : 501 * 4] = -5
+    np.testing.assert_array_equal(got, want)
+
+
 def test_nc4_extensible_array_swizzled(tmp_path):
     """An EA index whose unlimited dimension is NOT dim 0 linearizes
     chunks in SWIZZLED order (the unlimited dim moves to slot 0,
