@@ -658,25 +658,38 @@ class _FractalHeap:
         return self.start_size if row < 2 else self.start_size << (row - 1)
 
     def _load_children(self):
-        """Root indirect block → [(heap_off, size, file_addr)]."""
-        if bytes(self.b[self.root : self.root + 4]) != b"FHIB":
+        """Indirect-block tree → flat [(heap_off, size, file_addr)] of
+        DIRECT blocks. Rows whose block size exceeds max_direct hold
+        CHILD INDIRECT blocks (the doubling table is self-similar: a
+        child covering S bytes has log2(S / (width·start)) + 1 rows
+        sized from row 0 again — H5HF's dtable_size_to_rows), walked
+        recursively; unallocated children are skipped (their heap
+        range is simply unmapped)."""
+        out: list[tuple[int, int, int]] = []
+        self._walk_indirect(self.root, 0, self.cur_rows, out)
+        self._children = out
+
+    def _walk_indirect(self, addr: int, block_off: int, nrows: int, out):
+        if bytes(self.b[addr : addr + 4]) != b"FHIB":
             raise ValueError("bad fractal heap indirect block signature")
-        r = _R(self.b, self.root + 4)
+        r = _R(self.b, addr + 4)
         r.u8()
         r.u64()  # heap header addr
-        r.p += self.off_size  # block offset (root is 0)
-        out = []
-        heap_off = 0
-        for row in range(self.cur_rows):
+        r.p += self.off_size  # this block's heap offset
+        heap_off = block_off
+        for row in range(nrows):
             size = self._row_size(row)
-            if size > self.max_direct:
-                raise NotImplementedError(
-                    "fractal heap indirect rows below the direct-row span"
-                )
             for _ in range(self.width):
-                out.append((heap_off, size, r.u64()))
+                child = r.u64()
+                if size <= self.max_direct:
+                    out.append((heap_off, size, child))
+                elif child != UNDEF:
+                    # child nrows = log2(size/(width·start)) + 1
+                    span = size // (self.width * self.start_size)
+                    self._walk_indirect(
+                        child, heap_off, span.bit_length(), out
+                    )
                 heap_off += size
-        self._children = out
 
     def _huge_map(self) -> dict[int, tuple[int, int]]:
         """Indirectly-accessed huge objects: the header's v2 B-tree

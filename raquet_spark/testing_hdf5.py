@@ -613,6 +613,142 @@ def _fractal_heap(
     return hdr_addr, ids, abs_pos
 
 
+def _fractal_heap_tree(
+    w: _W,
+    objects: list[bytes],
+    width: int = 4,
+    start_size: int = 512,
+    max_direct: int = 1024,
+):
+    """Multi-level managed fractal heap: a root INDIRECT block whose
+    rows past the direct-row span hold CHILD indirect blocks (the
+    shape a big dense-attribute/link heap grows into). Objects are
+    placed sequentially into the doubling-table direct blocks (rows
+    r0/r1 = start_size, r_k = start_size·2^(k-1); rows with block
+    size > max_direct recurse, each child covering its row size with
+    rows sized from r0 again). Returns (header_addr, heap_ids)."""
+    max_managed = 4096
+    off_size, len_size = 4, 2
+    id_len = 1 + off_size + len_size
+    blk_hdr = 4 + 1 + 8 + off_size
+
+    def row_size(r: int) -> int:
+        return start_size if r < 2 else start_size << (r - 1)
+
+    # enumerate DIRECT blocks in heap order, tagging each with the
+    # root row it belongs to and (for indirect rows) its child index
+    direct: list[dict] = []
+    heap_off = 0
+    root_rows = 0
+    need = sum(len(o) for o in objects) * 2 + blk_hdr * 64
+    while heap_off < need:
+        size = row_size(root_rows)
+        for e in range(width):
+            if size <= max_direct:
+                direct.append(dict(off=heap_off, size=size,
+                                   row=root_rows, child=None, data=b""))
+            else:
+                span = size // (width * start_size)
+                child_rows = span.bit_length()
+                co = heap_off
+                for cr in range(child_rows):
+                    csz = row_size(cr)
+                    assert csz <= max_direct, "fixture heap: need depth 3"
+                    for _ in range(width):
+                        direct.append(dict(off=co, size=csz,
+                                           row=root_rows,
+                                           child=(e, cr), data=b""))
+                        co += csz
+            heap_off += size
+        root_rows += 1
+
+    ids: list[bytes] = []
+    bi = 0
+    for o in objects:
+        while len(direct[bi]["data"]) + len(o) > direct[bi]["size"] - blk_hdr:
+            bi += 1
+        pos = direct[bi]["off"] + blk_hdr + len(direct[bi]["data"])
+        direct[bi]["data"] += o
+        ids.append(
+            b"\x00" + pos.to_bytes(off_size, "little")
+            + len(o).to_bytes(len_size, "little")
+        )
+    used = [d for d in direct if d["data"]]
+    last_used_row = max(d["row"] for d in used)
+    cur_rows = last_used_row + 1
+
+    # emit direct blocks (heap-header address patched afterwards)
+    patches: list[int] = []
+
+    def emit_block(body_after_ver: bytes, sig: bytes) -> int:
+        a = w.tell()
+        w.emit(sig + b"\x00")  # signature + version
+        patches.append(w.tell())
+        w.emit(b"\x00" * 8)  # heap header addr placeholder
+        w.emit(body_after_ver)
+        return a
+
+    addr_of: dict[int, int] = {}
+    for d in direct:
+        if not d["data"]:
+            continue
+        body = d["off"].to_bytes(off_size, "little") + bytes(d["data"])
+        body += b"\x00" * (d["size"] - blk_hdr - len(d["data"]))
+        addr_of[d["off"]] = emit_block(body, b"FHDB")
+
+    # child indirect blocks for rows past the direct span
+    child_addr: dict[tuple[int, int], int] = {}
+    for key in sorted({(d["row"], d["child"][0]) for d in direct
+                       if d["child"] is not None and d["data"]}):
+        row, e = key
+        ents = b""
+        for d in direct:
+            if d["row"] == row and d["child"] and d["child"][0] == e:
+                ents += (addr_of.get(d["off"], UNDEF)).to_bytes(8, "little")
+        boff = min(d["off"] for d in direct
+                   if d["row"] == row and d["child"]
+                   and d["child"][0] == e)
+        body = boff.to_bytes(off_size, "little") + ents
+        body += struct.pack("<I", 0)
+        child_addr[key] = emit_block(body, b"FHIB")
+
+    # root indirect block
+    ents = b""
+    heap_off = 0
+    for r in range(cur_rows):
+        size = row_size(r)
+        for e in range(width):
+            if size <= max_direct:
+                ents += addr_of.get(heap_off, UNDEF).to_bytes(8, "little")
+            else:
+                ents += child_addr.get((r, e), UNDEF).to_bytes(8, "little")
+            heap_off += size
+    root = emit_block(
+        (0).to_bytes(off_size, "little") + ents + struct.pack("<I", 0),
+        b"FHIB",
+    )
+
+    total_data = sum(len(o) for o in objects)
+    hdr_addr = w.tell()
+    hdr = b"FRHP" + struct.pack("<BHHBI", 0, id_len, 0, 0, max_managed)
+    hdr += struct.pack("<QQ", 1, UNDEF)  # next huge id, huge btree
+    hdr += struct.pack("<QQ", 0, UNDEF)  # free space, fs mgr
+    hdr += struct.pack("<QQ", heap_off, heap_off)  # managed, allocated
+    hdr += struct.pack("<Q", 0)  # iterator offset
+    hdr += struct.pack("<Q", len(objects))
+    hdr += struct.pack("<QQQQ", 0, 0, 0, 0)
+    hdr += struct.pack(
+        "<HQQH", width, start_size, max_direct, 32
+    )
+    hdr += struct.pack("<HQH", 0, root, cur_rows)
+    hdr += struct.pack("<I", 0)
+    w.emit(hdr)
+    assert total_data <= max_managed * 16
+    for p in patches:
+        w.patch_u64(p, hdr_addr)
+    return hdr_addr, ids
+
+
 def _btree_v2(w: _W, records: list[bytes], rec_type: int) -> int:
     rec_size = len(records[0])
     node_size = 2048

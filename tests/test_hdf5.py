@@ -695,3 +695,29 @@ def test_dense_attrs_huge_and_tiny_heap_objects(tmp_path, heap_opts, kind):
     assert got["units"] == "K"
     assert got["long_name"] == big
     assert got["x"] == 7
+
+
+def test_fractal_heap_sub_root_indirect():
+    """Managed fractal heap grown past the direct-row span: root rows
+    whose block size exceeds max_direct hold CHILD indirect blocks
+    (the doubling table recurses self-similarly) — closed in r11.
+    40 objects overflow rows 0-2 (direct) into row 3 (2048-byte
+    entries > max_direct=1024 → sub-root FHIBs of 4x512 blocks);
+    every object must read back bit-exactly through the heap ids."""
+    from raquet_spark.sources.hdf5 import _FractalHeap
+    from raquet_spark.testing_hdf5 import _W, _fractal_heap_tree
+
+    objects = [
+        bytes([(i * 7 + j) % 251 for j in range(200 + (i * 37) % 300)])
+        for i in range(40)
+    ]
+    w = _W()
+    w.emit(b"\x00" * 16)
+    hdr, ids = _fractal_heap_tree(
+        w, objects, width=4, start_size=512, max_direct=1024
+    )
+    buf = bytes(w.b)
+    heap = _FractalHeap(buf, hdr)
+    assert heap.cur_rows >= 4, heap.cur_rows  # row 3 IS past the span
+    for o, hid in zip(objects, ids):
+        assert heap.get(hid) == o
