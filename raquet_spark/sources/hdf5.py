@@ -28,13 +28,15 @@ writes:
 - fill values for never-written chunks
 
 All five data-layout-v4 chunk indexes decode (single/implicit/fixed-
-array/extensible-array/v2-B-tree — r09/r10), as do fractal-heap HUGE
-(direct + B-tree-indirect) and TINY (in-id, incl. extended) objects.
-Typed gates (never silent wrong answers): szip filter (no reference
-implementation available in-sandbox to conformance-test a from-scratch
-Rice coder against), EA swizzled chunk order (unlimited dim not
-slot 0), indirect blocks below the root row, B-tree v2 deeper than 2,
-offsets/lengths other than 8 bytes.
+array/extensible-array/v2-B-tree — r09/r10; EA SWIZZLED chunk order
+and v2 B-trees of ANY depth since r11), as do fractal-heap HUGE
+(direct + B-tree-indirect) and TINY (in-id, incl. extended) objects
+and SUB-ROOT heap indirect blocks (r11). The remaining typed gates
+(never silent wrong answers): szip filter — the DELIBERATE decision:
+no szip/libaec/h5py anywhere in-sandbox to conformance-test a
+from-scratch Rice coder against, and a self-consistent transcription
+error would silently corrupt data — and offsets/lengths other than 8
+bytes (no mainstream writer emits them).
 
 Scale shape mirrors the classic-CDF path (netcdf.py) and the GeoTIFF
 path (tiff_reader.py): the DRIVER parses structure only (mmap —
