@@ -326,8 +326,12 @@ def cmd_import_grib(args) -> int:
     if args.param:
         cat, num = args.param.split(",")
         param = (int(cat), int(num))
+    level = None
+    if getattr(args, "level", None):
+        lt, lv = args.level.split(",")
+        level = (int(lt), float(lv))
     tiles, meta = grib2_to_raquet(
-        spark, args.input, param=param, zoom=args.zoom,
+        spark, args.input, param=param, level=level, zoom=args.zoom,
         block_size=args.block_size, stats=args.stats,
         resampling=getattr(args, "resampling", "near"),
     )
@@ -652,6 +656,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("output")
     s.add_argument("--param", default=None,
                    help="parameter as 'category,number' (default: first message's)")
+    s.add_argument("--level", default=None,
+                   help="fixed surface as 'type,value' (e.g. '100,50000'"
+                        " = 500 hPa; default: first matching message's)")
     s.add_argument("--zoom", type=int, default=None)
     s.add_argument("--block-size", type=int, default=256)
     s.add_argument("--resampling", default="near",

@@ -13,14 +13,15 @@ messages per file.
 
 Scope (typed gates name everything else, never silent wrong answers):
 - edition 2; grid definition templates 3.0 (regular lat/lon), 3.1
-  (rotated lat/lon — COSMO/HARMONIE; zero angle of rotation), 3.20
-  (polar stereographic, both aspects), 3.30 (Lambert conformal — the
-  HRRR/NAM family, both aspects) and 3.40 (regular Gaussian — the
-  ECMWF family; reduced grids gated), with shape-of-earth codes
-  0/1/4/5/6;
-- product definition templates 4.0/4.1/4.2/4.8 (read for time/
-  parameter/ensemble keys); the fixed surface is part of the message
-  selection key;
+  (rotated lat/lon — COSMO/HARMONIE; zero angle of rotation), 3.10
+  (Mercator at lat_ts — NOAA marine grids; spherical shapes,
+  ellipsoidal gated), 3.20 (polar stereographic, both aspects), 3.30
+  (Lambert conformal — the HRRR/NAM family, both aspects) and 3.40
+  (regular Gaussian — the ECMWF family; reduced grids gated), with
+  shape-of-earth codes 0/1/4/5/6;
+- product definition templates 4.0/4.1/4.2/4.8/4.11/4.12 (read for
+  time/parameter/ensemble keys); the fixed surface is part of the
+  message selection key;
 - data representation templates 5.0 (simple packing: ``Y = (R + X *
   2^E) / 10^D``), 5.2/5.3 (complex packing incl. 1st/2nd-order
   spatial differencing AND missing-value management 1/2) and 5.41
@@ -153,12 +154,12 @@ def read_grib2_structure(path: str) -> dict:
 
         s3, _ = sec[3]
         gdt = struct.unpack(">H", bytes(b[s3 + 12 : s3 + 14]))[0]
-        if gdt not in (0, 1, 20, 30, 40):
+        if gdt not in (0, 1, 10, 20, 30, 40):
             raise NotImplementedError(
                 f"GRIB2 grid definition template 3.{gdt} "
-                "(regular lat/lon 3.0 / rotated lat/lon 3.1 / polar "
-                "stereographic 3.20 / Lambert conformal 3.30 / regular "
-                "Gaussian 3.40 only)"
+                "(regular lat/lon 3.0 / rotated lat/lon 3.1 / Mercator "
+                "3.10 / polar stereographic 3.20 / Lambert conformal "
+                "3.30 / regular Gaussian 3.40 only)"
             )
         if gdt == 40 and b[s3 + 10] != 0:
             raise NotImplementedError(
@@ -252,6 +253,37 @@ def read_grib2_structure(path: str) -> dict:
                         "pole_lat": -lat_sp, "pole_lon": pole_lon,
                     },
                 )
+        elif gdt == 10:  # Mercator (NOAA coastal/marine grids)
+            raw3 = bytes(b[t : t + 58])
+            a, inv_f = _earth_shape(raw3)
+            if inv_f != float("inf"):
+                # NWS Mercator products ride spheres (shape 1/6); the
+                # ellipsoidal form needs the chi series — gate it
+                raise NotImplementedError(
+                    "GRIB2 ellipsoidal Mercator grid (spherical shapes "
+                    "only)"
+                )
+            ni = struct.unpack_from(">I", raw3, 16)[0]
+            nj = struct.unpack_from(">I", raw3, 20)[0]
+            la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
+            lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
+            lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
+            scan = raw3[45]
+            check_scan(scan)
+            dx = struct.unpack_from(">I", raw3, 50)[0] / 1e3
+            dy = struct.unpack_from(">I", raw3, 54)[0] / 1e3
+
+            def norm_lon(v: float) -> float:
+                return v - 360.0 if v > 180.0 else v
+
+            m.update(
+                ni=ni, nj=nj, grid="merc", scan=scan,
+                la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
+                proj={
+                    "type": "merc", "lat_ts": lad,
+                    "fe": 0.0, "fn": 0.0, "a": a, "inv_f": inv_f,
+                },
+            )
         elif gdt == 20:  # polar stereographic (arctic/antarctic grids)
             raw3 = bytes(b[t : t + 51])
             a, inv_f = _earth_shape(raw3)
@@ -326,10 +358,11 @@ def read_grib2_structure(path: str) -> dict:
 
         s4, _ = sec[4]
         pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
-        if pdt not in (0, 1, 2, 8):
+        if pdt not in (0, 1, 2, 8, 11, 12):
             raise NotImplementedError(
                 f"GRIB2 product definition template 4.{pdt} "
-                "(4.0 / 4.1 ensemble / 4.2 derived / 4.8 only)"
+                "(4.0 / 4.1-4.2 ensemble/derived / 4.8 and the "
+                "statistical 4.11/4.12 twins only)"
             )
         m["pdt"] = pdt
         m["param_category"] = b[s4 + 9]
@@ -364,11 +397,12 @@ def read_grib2_structure(path: str) -> dict:
             m["level_value"] = (
                 _sm(struct.unpack(">I", lv_raw)[0], 32) / (10.0 ** lsf)
             )
-        if pdt == 1:  # individual ensemble member (octets 35-37)
+        if pdt in (1, 11):  # individual ensemble member (octets 35-37;
+            # 4.11 appends the 4.8-style statistical time-range spec)
             m["ens_type"] = b[s4 + 34]
             m["ens_member"] = b[s4 + 35]
             m["ens_count"] = b[s4 + 36]
-        elif pdt == 2:  # derived forecast (octets 35-36)
+        elif pdt in (2, 12):  # derived forecast (octets 35-36)
             m["ens_derived"] = b[s4 + 34]
             m["ens_count"] = b[s4 + 35]
 
@@ -544,11 +578,25 @@ def ps_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
     return k["fe"] + rho * math.sin(dlam), k["fn"] - rho * math.cos(dlam)
 
 
+def merc_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
+    """Spherical Mercator at lat_ts (grid 3.10; mirror of
+    tiff_reader.merc_inverse and of the warp's Column forward)."""
+    import math
+
+    k = p["a"] * math.cos(math.radians(p.get("lat_ts", 0.0)))
+    return (
+        p["fe"] + k * math.radians(lon),
+        p["fn"] + k * math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0)),
+    )
+
+
 def proj_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
     if p["type"] == "lcc":
         return lcc_forward(p, lon, lat)
     if p["type"] == "ps":
         return ps_forward(p, lon, lat)
+    if p["type"] == "merc":
+        return merc_forward(p, lon, lat)
     raise NotImplementedError(f"forward for projection {p['type']!r}")
 
 
@@ -897,7 +945,7 @@ def grib2_to_raquet(
         "nodata": nodata,
         "palette": None,
     }
-    if m0.get("grid") in ("lambert", "ps"):
+    if m0.get("grid") in ("lambert", "ps", "merc"):
         # anchor the projected affine at the FIRST grid point: forward-
         # project (la1, lo1) (the python mirror of the warp's Snyder
         # expressions), then flip to a north-first row axis to

@@ -968,6 +968,17 @@ def rotll_inverse(p: dict, rlon: float, rlat: float) -> tuple[float, float]:
     return math.degrees(math.atan2(zarg1, zarg2)), math.degrees(phi)
 
 
+def merc_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
+    """Spherical Mercator with true scale at lat_ts (GRIB grid 3.10) —
+    projected meters → lon/lat degrees."""
+    k = p["a"] * math.cos(math.radians(p.get("lat_ts", 0.0)))
+    lon = math.degrees((x - p["fe"]) / k)
+    lat = math.degrees(
+        2.0 * math.atan(math.exp((y - p["fn"]) / k)) - math.pi / 2.0
+    )
+    return lon, lat
+
+
 def _source_projection(info: dict) -> dict | None:
     """Closed-form projection params for the source CRS, or None for
     geographic/mercator sources."""
@@ -998,6 +1009,8 @@ def _inverse_lonlat(info: dict, x: float, y: float) -> tuple[float, float]:
         return aea_inverse(proj, x, y)
     if proj["type"] == "rotll":
         return rotll_inverse(proj, x, y)
+    if proj["type"] == "merc":
+        return merc_inverse(proj, x, y)
     if proj["type"] == "lcc":
         return lcc_inverse(proj, x, y)
     if proj["type"] == "sinu":
@@ -1195,6 +1208,12 @@ def _forward_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
     if proj is None:
         raise NotImplementedError("forward projection undefined for 4326/3857")
     phi, lam = "radians(_lat)", "radians(_lon)"
+    if proj["type"] == "merc":
+        # spherical Mercator at lat_ts (GRIB 3.10, NOAA marine grids)
+        k = proj["a"] * math.cos(math.radians(proj.get("lat_ts", 0.0)))
+        x = f"({k} * {lam} + {proj['fe']})"
+        y = f"({k} * ln(tan({math.pi / 4.0} + {phi} / 2)) + {proj['fn']})"
+        return [], x, y
     if proj["type"] == "rotll":
         # rotated lat/lon (GRIB 3.1, the COSMO/HARMONIE family): the
         # "projection" is a pole rotation and the model coordinates are

@@ -354,6 +354,27 @@ def write_grib2(
             )
             t30 += struct.pack(">II", _sm_enc(int(-90 * 1e6), 32), 0)
             s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 30) + t30
+        elif grid and grid.get("type") == "mercator":  # template 3.10
+            gl = grid
+            t30 = struct.pack(
+                ">BBIBIBI", int(gl.get("shape", 6)), 0, 0, 0, 0, 0, 0
+            )
+            t30 += struct.pack(">II", ni, nj)
+            t30 += struct.pack(
+                ">II", _sm_enc(int(round(gl["la1"] * 1e6)), 32),
+                _sm_enc(int(round(gl["lo1"] % 360.0 * 1e6)), 32),
+            )
+            t30 += bytes([0x30])
+            t30 += struct.pack(
+                ">I", _sm_enc(int(round(gl["lad"] * 1e6)), 32)
+            )
+            t30 += struct.pack(">II", 0, 0)  # la2/lo2 (informational)
+            t30 += bytes([scan])
+            t30 += struct.pack(">I", 0)  # orientation
+            t30 += struct.pack(
+                ">II", int(round(gl["dx"] * 1e3)), int(round(gl["dy"] * 1e3))
+            )
+            s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 10) + t30
         elif grid and grid.get("type") == "gauss":  # template 3.40
             # regular Gaussian: la1/la2 name the selected slice of the
             # 2N Gaussian latitudes; the Dj slot carries N
@@ -420,12 +441,12 @@ def write_grib2(
             _sm_enc(int(lv_val), 32), 255, 0, 0,
         )
         pdt = int(f.get("pdt", 0))
-        if pdt == 1:  # + ensemble type / member / count (octets 35-37)
+        if pdt in (1, 11):  # + ensemble type / member / count (35-37)
             t40 += struct.pack(
                 ">BBB", int(f.get("ens_type", 3)),
                 int(f.get("ens_member", 0)), int(f.get("ens_count", 1)),
             )
-        elif pdt == 2:  # + derived-forecast type / count
+        elif pdt in (2, 12):  # + derived-forecast type / count
             t40 += struct.pack(
                 ">BB", int(f.get("ens_derived", 0)),
                 int(f.get("ens_count", 1)),

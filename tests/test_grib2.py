@@ -1172,3 +1172,96 @@ def test_i_negative_conversion_anchor(spark, tmp_path):
         outs[i_neg] = (meta["bounds"], rows)
     assert outs[False][0] == outs[True][0]
     assert outs[False][1] == outs[True][1]  # byte-identical tiles
+
+
+def test_mercator_grid(spark, tmp_path):
+    """Template 3.10 (Mercator at lat_ts — NOAA coastal/marine grids,
+    spherical shapes): forward/inverse round-trip, exact decode, and
+    conversion through the merc warp preserves the field mean; the
+    ellipsoidal form is a typed gate."""
+    import struct as _struct
+
+    from raquet_spark.sources.grib2 import merc_forward
+    from raquet_spark.sources.tiff_reader import merc_inverse
+
+    proj = {"type": "merc", "lat_ts": 20.0, "fe": 0.0, "fn": 0.0,
+            "a": 6371229.0, "inv_f": float("inf")}
+    x1, y1 = -8_200_000.0, 2_300_000.0
+    lo1, la1 = merc_inverse(proj, x1, y1)
+    fx, fy = merc_forward(proj, lo1, la1)
+    assert abs(fx - x1) < 1e-3 and abs(fy - y1) < 1e-3
+
+    nj, ni, dx = 18, 26, 8000.0
+    data = _field(1, nj, ni, 8)
+    path = str(tmp_path / "merc.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0}],
+        grid={"type": "mercator", "la1": la1, "lo1": lo1,
+              "lad": 20.0, "dx": dx, "dy": dx, "shape": 6},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "merc"
+    assert m["proj"]["lat_ts"] == pytest.approx(20.0)
+    gx, gy2 = merc_forward(m["proj"], m["lo1"], m["la1"])
+    assert abs(gx - x1) < 10.0 and abs(gy2 - y1) < 10.0
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+
+    tiles, _meta = grib2_to_raquet(spark, path, block_size=64,
+                                   compression=None)
+    px = (
+        tiles.where("block > 0")
+        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .where("v != -9999.0")
+    )
+    got_mean = px.agg(F.avg("v")).first()[0]
+    src_mean = float(data.mean())
+    assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
+
+    # ellipsoidal Mercator (WGS84 shape code 5) is a typed gate
+    raw = bytearray(open(path, "rb").read())
+    p = 16
+    while raw[p + 4] != 3:
+        (ln,) = _struct.unpack_from(">I", raw, p)
+        p += ln
+    raw[p + 14] = 5  # shape-of-earth -> WGS84
+    bad = str(tmp_path / "merc_ell.grib2")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="ellipsoidal Mercator"):
+        read_grib2_structure(bad)
+
+
+def test_pdt_statistical_ensemble_twins(spark, tmp_path):
+    """PDT 4.11/4.12 (statistical ensemble member / derived): the
+    shared 4.0-prefix keys parse; two 4.11 members at the same hour
+    still raise the duplicate-key error."""
+    nj, ni = 5, 7
+    path = str(tmp_path / "pdt11.grib2")
+    write_grib2(
+        path,
+        [{"data": _field(1, nj, ni, t), "forecast_time": t * 6,
+          "pdt": 11, "ens_member": 3, "ens_count": 20}
+         for t in range(2)],
+    )
+    g = read_grib2_structure(path)
+    assert [m["pdt"] for m in g["messages"]] == [11, 11]
+    assert g["messages"][0]["ens_member"] == 3
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert sorted(pdf["time_cf"].unique().tolist()) == [0.0, 6.0]
+
+    dup = str(tmp_path / "pdt11dup.grib2")
+    write_grib2(
+        dup,
+        [{"data": _field(1, nj, ni, m), "forecast_time": 0,
+          "pdt": 11, "ens_member": m, "ens_count": 2} for m in range(2)],
+    )
+    with pytest.raises(ValueError, match="share parameter"):
+        grib2_pixel_table(spark, read_grib2_structure(dup))
