@@ -14,8 +14,8 @@ messages per file.
 Scope (typed gates name everything else, never silent wrong answers):
 - edition 2; grid definition templates 3.0 (regular lat/lon), 3.1
   (rotated lat/lon — COSMO/HARMONIE; zero angle of rotation), 3.10
-  (Mercator at lat_ts — NOAA marine grids; spherical shapes,
-  ellipsoidal gated), 3.20 (polar stereographic, both aspects), 3.30
+  (Mercator at lat_ts — NOAA marine grids; spherical AND
+  ellipsoidal), 3.20 (polar stereographic, both aspects), 3.30
   (Lambert conformal — the HRRR/NAM family, both aspects) and 3.40
   (regular Gaussian — the ECMWF family; reduced grids gated), with
   shape-of-earth codes 0/1/4/5/6;
@@ -256,13 +256,6 @@ def read_grib2_structure(path: str) -> dict:
         elif gdt == 10:  # Mercator (NOAA coastal/marine grids)
             raw3 = bytes(b[t : t + 58])
             a, inv_f = _earth_shape(raw3)
-            if inv_f != float("inf"):
-                # NWS Mercator products ride spheres (shape 1/6); the
-                # ellipsoidal form needs the chi series — gate it
-                raise NotImplementedError(
-                    "GRIB2 ellipsoidal Mercator grid (spherical shapes "
-                    "only)"
-                )
             ni = struct.unpack_from(">I", raw3, 16)[0]
             nj = struct.unpack_from(">I", raw3, 20)[0]
             la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
@@ -579,14 +572,19 @@ def ps_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
 
 
 def merc_forward(p: dict, lon: float, lat: float) -> tuple[float, float]:
-    """Spherical Mercator at lat_ts (grid 3.10; mirror of
-    tiff_reader.merc_inverse and of the warp's Column forward)."""
+    """Mercator at lat_ts, spherical and ellipsoidal (grid 3.10;
+    Snyder 7-6/7-7 — mirror of tiff_reader.merc_inverse and of the
+    warp's Column forward): y = -a·k0·ln t."""
     import math
 
-    k = p["a"] * math.cos(math.radians(p.get("lat_ts", 0.0)))
+    from raquet_spark.sources.tiff_reader import _merc_constants
+
+    k = _merc_constants(p)
     return (
-        p["fe"] + k * math.radians(lon),
-        p["fn"] + k * math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0)),
+        k["fe"] + k["ak0"] * math.radians(lon),
+        k["fn"] - k["ak0"] * math.log(
+            _snyder_t(math.radians(lat), _ecc(p))
+        ),
     )
 
 

@@ -968,13 +968,39 @@ def rotll_inverse(p: dict, rlon: float, rlat: float) -> tuple[float, float]:
     return math.degrees(math.atan2(zarg1, zarg2)), math.degrees(phi)
 
 
+def _merc_constants(p: dict) -> dict:
+    """Snyder ch. 7 Mercator with true scale at lat_ts: a·k0 where
+    k0 = cos(φts)/sqrt(1 − e²sin²φts), plus the conformal-latitude
+    series coefficients (zero on a sphere — the spherical formulas are
+    the e→0 limit of the same code path)."""
+    inv_f = p.get("inv_f", float("inf"))
+    f = 0.0 if inv_f == float("inf") else 1.0 / inv_f
+    e2 = 2.0 * f - f * f
+    phi_ts = math.radians(p.get("lat_ts", 0.0))
+    s = math.sin(phi_ts)
+    ak0 = p["a"] * math.cos(phi_ts) / math.sqrt(1.0 - e2 * s * s)
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    return {
+        "ak0": ak0, "e": math.sqrt(e2),
+        "fe": p["fe"], "fn": p["fn"],
+        "c2": e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0,
+        "c4": 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0,
+        "c6": 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0,
+        "c8": 4279.0 * e8 / 161280.0,
+    }
+
+
 def merc_inverse(p: dict, x: float, y: float) -> tuple[float, float]:
-    """Spherical Mercator with true scale at lat_ts (GRIB grid 3.10) —
-    projected meters → lon/lat degrees."""
-    k = p["a"] * math.cos(math.radians(p.get("lat_ts", 0.0)))
-    lon = math.degrees((x - p["fe"]) / k)
+    """Mercator at lat_ts (GRIB grid 3.10; spherical AND ellipsoidal —
+    Snyder 7-10 + the conformal-latitude series) — projected meters →
+    lon/lat degrees."""
+    k = _merc_constants(p)
+    lon = math.degrees((x - k["fe"]) / k["ak0"])
+    t = math.exp(-(y - k["fn"]) / k["ak0"])
+    chi = math.pi / 2.0 - 2.0 * math.atan(t)
     lat = math.degrees(
-        2.0 * math.atan(math.exp((y - p["fn"]) / k)) - math.pi / 2.0
+        chi + k["c2"] * math.sin(2 * chi) + k["c4"] * math.sin(4 * chi)
+        + k["c6"] * math.sin(6 * chi) + k["c8"] * math.sin(8 * chi)
     )
     return lon, lat
 
@@ -1209,11 +1235,18 @@ def _forward_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
         raise NotImplementedError("forward projection undefined for 4326/3857")
     phi, lam = "radians(_lat)", "radians(_lon)"
     if proj["type"] == "merc":
-        # spherical Mercator at lat_ts (GRIB 3.10, NOAA marine grids)
-        k = proj["a"] * math.cos(math.radians(proj.get("lat_ts", 0.0)))
-        x = f"({k} * {lam} + {proj['fe']})"
-        y = f"({k} * ln(tan({math.pi / 4.0} + {phi} / 2)) + {proj['fn']})"
-        return [], x, y
+        # Mercator at lat_ts (GRIB 3.10, NOAA marine grids): y =
+        # -a·k0·ln(t) with the Snyder t (sphere: e=0 → ln tan(π/4+φ/2))
+        k = _merc_constants(proj)
+        e = k["e"]
+        steps = [("_s", f"sin({phi})")]
+        t_e = (
+            f"(tan({math.pi / 4.0} - {phi} / 2)"
+            f" / pow((1 - {e} * _s) / (1 + {e} * _s), {e / 2.0}))"
+        )
+        x = f"({k['ak0']} * {lam} + {k['fe']})"
+        y = f"({k['fn']} - {k['ak0']} * ln({t_e}))"
+        return steps, x, y
     if proj["type"] == "rotll":
         # rotated lat/lon (GRIB 3.1, the COSMO/HARMONIE family): the
         # "projection" is a pole rotation and the model coordinates are

@@ -1226,17 +1226,29 @@ def test_mercator_grid(spark, tmp_path):
     src_mean = float(data.mean())
     assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
 
-    # ellipsoidal Mercator (WGS84 shape code 5) is a typed gate
+    # ellipsoidal Mercator (WGS84 shape code 5): same chi-series
+    # machinery as polar stereographic — forward/inverse round-trip
+    # and a decoded ellipsoidal file
+    proj_e = {"type": "merc", "lat_ts": 20.0, "fe": 0.0, "fn": 0.0,
+              "a": 6378137.0, "inv_f": 298.257223563}
+    for lon_t, lat_t in ((-80.0, 25.0), (10.0, -35.0), (151.0, 60.0)):
+        ex, ey = merc_forward(proj_e, lon_t, lat_t)
+        blon, blat = merc_inverse(proj_e, ex, ey)
+        assert blon == pytest.approx(lon_t, abs=1e-9)
+        assert blat == pytest.approx(lat_t, abs=1e-8)
     raw = bytearray(open(path, "rb").read())
     p = 16
     while raw[p + 4] != 3:
         (ln,) = _struct.unpack_from(">I", raw, p)
         p += ln
     raw[p + 14] = 5  # shape-of-earth -> WGS84
-    bad = str(tmp_path / "merc_ell.grib2")
-    open(bad, "wb").write(bytes(raw))
-    with pytest.raises(NotImplementedError, match="ellipsoidal Mercator"):
-        read_grib2_structure(bad)
+    ell = str(tmp_path / "merc_ell.grib2")
+    open(ell, "wb").write(bytes(raw))
+    me = read_grib2_structure(ell)["messages"][0]
+    assert me["proj"]["inv_f"] == pytest.approx(298.257223563)
+    rd_e = range_reader(ell)
+    got_e = decode_message(rd_e(me["data_off"], me["data_len"]), me, None)
+    np.testing.assert_array_equal(got_e, data)
 
 
 def test_pdt_statistical_ensemble_twins(spark, tmp_path):
