@@ -89,6 +89,7 @@ def main() -> None:
         "grib2_mvm_stats",
         "grib2_rotated_stats",
         "grib2_gaussian_stats",
+        "grib2_reduced_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",

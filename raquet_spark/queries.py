@@ -3189,6 +3189,106 @@ GROUP BY t
 """
 
 
+_GRB_RED = dict(n_par=12, modulo=199)  # nj = 24 ragged rows
+
+
+def _grb_red_pl() -> list[int]:
+    nj = 2 * _GRB_RED["n_par"]
+    return [20 + 4 * min(j, nj - 1 - j) for j in range(nj)]
+
+
+def _cached_grib2_reduced(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib2
+
+    key = (spark.sparkContext.applicationId, "grib2_red_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _GRB_RED
+        pl = _grb_red_pl()
+        nj, ni = len(pl), max(pl)
+        fields = []
+        for t in range(3):
+            rect = np.full((nj, ni), np.nan)
+            for j in range(nj):
+                k = np.arange(pl[j])
+                vals = (k * 7 + j * 11 + t * 13) % c["modulo"] - 50
+                vals = np.where((k + j + t) % 15 == 0, np.nan, vals)
+                rect[j, : pl[j]] = vals
+            fields.append(
+                {"data": rect, "forecast_time": t * 6, "param": (0, 0),
+                 "packing": ["simple", "complex",
+                             "complex_diff"][t % 3],
+                 "group_len": 19, "sd_order": 2}
+            )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_grib2red_"), "fix.grib2"
+        )
+        write_grib2(
+            path, fields, lon1=0.0, di=360.0 / ni,
+            grid={"type": "gauss_reduced", "n": c["n_par"], "pl": pl},
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def grib2_reduced_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 REDUCED (quasi-regular) Gaussian grid (template 3.40 with
+    the points-per-row list — the ECMWF operational O-grid family;
+    the reference reads these via GDAL's GRIB driver, cli.py:283):
+    24 ragged rows (20..64 points, octahedral-style), three steps
+    cycling simple/complex/complex+diff packings, a bitmap over the
+    concatenated point stream. The pl-sum and abscissa checks make a
+    wrong slice a typed error, so the hash gate proves the ragged
+    decode end-to-end."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib2_reduced(spark))
+    px = grib2_pixel_table(spark, g)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib2_reduced_stats_oracle() -> str:
+    c = _GRB_RED
+    pl_rows = ", ".join(
+        f"({j}, {n})" for j, n in enumerate(_grb_red_pl())
+    )
+    return f"""
+WITH pl(gy, n) AS (VALUES {pl_rows}),
+grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + gy + t) % 15 = 0 THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50
+                   AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, 3)) AS t),
+       pl, LATERAL (SELECT unnest(range(0, n)) AS gx) g
+)
+SELECT CAST(t * 6 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 _QCF_OFF = 10_000_000
 _QCF_SENT = {"pos": "qsentinelgood", "neg": "qsentinelbad"}
 
@@ -5857,6 +5957,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "grib2_mvm_stats": (grib2_mvm_stats_spark, grib2_mvm_stats_oracle),
     "grib2_rotated_stats": (grib2_rotated_stats_spark, grib2_grid_stats_oracle),
     "grib2_gaussian_stats": (grib2_gaussian_stats_spark, grib2_grid_stats_oracle),
+    "grib2_reduced_stats": (grib2_reduced_stats_spark, grib2_reduced_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

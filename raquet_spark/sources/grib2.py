@@ -161,10 +161,15 @@ def read_grib2_structure(path: str) -> dict:
                 "3.10 / polar stereographic 3.20 / Lambert conformal "
                 "3.30 / regular Gaussian 3.40 only)"
             )
-        if gdt == 40 and b[s3 + 10] != 0:
+        pl_size = b[s3 + 10]  # octet 11: bytes per points-per-row entry
+        if pl_size and gdt != 40:
             raise NotImplementedError(
-                "GRIB2 reduced (quasi-regular) Gaussian grid "
-                "(optional points-per-row list present)"
+                f"GRIB2 quasi-regular grid on template 3.{gdt} "
+                "(points-per-row list only supported for Gaussian 3.40)"
+            )
+        if pl_size and b[s3 + 11] != 1:
+            raise NotImplementedError(
+                f"GRIB2 points-per-row list interpretation {b[s3 + 11]}"
             )
         t = s3 + 14  # template body
 
@@ -227,6 +232,43 @@ def read_grib2_structure(path: str) -> dict:
                     # decode_message's row-0-is-north normalization
                     lat_centers=[float(v) for v in lats[lo_i : hi_i + 1]],
                 )
+                if pl_size:
+                    # REDUCED (quasi-regular) Gaussian — the ECMWF
+                    # operational O-grid family: Ni is missing and a
+                    # points-per-row list follows the template (one
+                    # entry per row, scan order); each row spans the
+                    # full longitude circle at 360/pl[j]
+                    if m.get("col_major") or m.get("boustro") or m.get(
+                        "i_negative"
+                    ):
+                        raise NotImplementedError(
+                            "GRIB2 reduced Gaussian grid with a "
+                            "non-default scanning mode"
+                        )
+                    pl_off = t + 58
+                    pl = [
+                        int.from_bytes(
+                            bytes(b[pl_off + k * pl_size
+                                    : pl_off + (k + 1) * pl_size]),
+                            "big",
+                        )
+                        for k in range(nj)
+                    ]
+                    n_total = struct.unpack(
+                        ">I", bytes(b[s3 + 6 : s3 + 10])
+                    )[0]
+                    if sum(pl) != n_total or min(pl) <= 0:
+                        raise ValueError(
+                            f"GRIB2 reduced Gaussian: points-per-row "
+                            f"sum {sum(pl)} != section-3 total {n_total}"
+                        )
+                    m.update(
+                        ni=max(pl),
+                        row_ni_scan=pl,  # scan row order (as stored)
+                        # north-first, matching lat_centers
+                        row_ni=(pl[::-1] if m["j_positive"] else pl),
+                        lon_global=True,  # O-grids are full circles
+                    )
             else:
                 dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
                 m.update(dj=dj, grid="latlon")
@@ -719,7 +761,8 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     the bitmap says 'missing'; row 0 = NORTH (j flipped when the scan
     direction is +j). ``Y = (R + X * 2^E) / 10^D``."""
     ni, nj = m["ni"], m["nj"]
-    total = ni * nj
+    row_ni = m.get("row_ni_scan")  # reduced grid: ragged rows
+    total = sum(row_ni) if row_ni is not None else ni * nj
     if bitmap is not None:
         mask = np.unpackbits(np.frombuffer(bitmap, dtype="u1"))[:total] == 1
         npresent = int(mask.sum())
@@ -762,6 +805,19 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
         full = np.full(total, np.nan)
         full[mask] = y
         y = full
+    if row_ni is not None:
+        # reduced rows: scatter each row's points into a NaN-padded
+        # (nj, max_ni) rectangle — column k of row j is the point at
+        # lon = lo1 + k * 360/row_ni[j]; padding beyond a row's count
+        # is absent (same contract as bitmap-missing)
+        rect = np.full((nj, ni), np.nan)
+        pos = 0
+        for j, n in enumerate(row_ni):
+            rect[j, :n] = y[pos : pos + n]
+            pos += n
+        if m["j_positive"]:
+            rect = rect[::-1]
+        return rect
     # normalize the scan order (flag table 3.4 bits 1-4) to row-major,
     # row 0 = north, col 0 = west: values arrive as consecutive LINES
     # (i-lines row-major, j-lines when bit 3 says j-consecutive), odd
@@ -989,17 +1045,37 @@ def grib2_to_raquet(
         lc = m0["lat_centers"]
         north_edge = lc[0] + (lc[0] - lc[1]) / 2.0
         south_edge = lc[-1] - (lc[-2] - lc[-1]) / 2.0
-        w_lon = m0["lon1"] - (
-            (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
-        )
-        info.update(
-            epsg=4326,
-            lat_centers=lc,
-            transform=(
-                w_lon - m0["di"] / 2.0, m0["di"], 0.0,
-                north_edge, 0.0, -(north_edge - south_edge) / nj,
-            ),
-        )
+        if m0.get("row_ni") is not None:
+            # REDUCED rows: x is not affine either — the warp indexes
+            # each row's own 360/_rn spacing (row_ni + lon_first
+            # below); the transform's x leg only anchors the global
+            # [-180, 180) corner/zoom math at the finest row's spacing
+            lf = m0["lon1"]
+            if lf > 180.0:
+                lf -= 360.0
+            info.update(
+                epsg=4326,
+                lat_centers=lc,
+                row_ni=list(m0["row_ni"]),
+                lon_first=lf,
+                lon_global=bool(m0.get("lon_global")),
+                transform=(
+                    -180.0, 360.0 / ni, 0.0,
+                    north_edge, 0.0, -(north_edge - south_edge) / nj,
+                ),
+            )
+        else:
+            w_lon = m0["lon1"] - (
+                (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
+            )
+            info.update(
+                epsg=4326,
+                lat_centers=lc,
+                transform=(
+                    w_lon - m0["di"] / 2.0, m0["di"], 0.0,
+                    north_edge, 0.0, -(north_edge - south_edge) / nj,
+                ),
+            )
     else:
         north = max(m0["lat1"], m0["lat2"])
         w_lon = m0["lon1"] - (

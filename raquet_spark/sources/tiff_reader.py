@@ -1584,10 +1584,30 @@ def _resampled_pixels(
         fsy_t = np.where(
             lat_t < xp[0], fp[0] + (lat_t - xp[0]) * s_sl, fsy_t
         )
-        rowmap = spark.createDataFrame(
-            [(int(g), float(f)) for g, f in zip(gys, fsy_t)],
-            "gy bigint, _fsy_row double",
-        )
+        row_ni = info.get("row_ni")  # reduced grids: ragged row widths
+        if row_ni is not None:
+            if resampling != "near":
+                raise NotImplementedError(
+                    "reduced (ragged-row) grids resample nearest only"
+                )
+            syn_t = np.floor(fsy_t).astype("i8")
+            rn_t = np.where(
+                (syn_t >= 0) & (syn_t < len(row_ni)),
+                np.asarray(row_ni, dtype="i8")[
+                    np.clip(syn_t, 0, len(row_ni) - 1)
+                ],
+                0,
+            )
+            rowmap = spark.createDataFrame(
+                [(int(g), float(f), int(rn))
+                 for g, f, rn in zip(gys, fsy_t, rn_t)],
+                "gy bigint, _fsy_row double, _rn bigint",
+            )
+        else:
+            rowmap = spark.createDataFrame(
+                [(int(g), float(f)) for g, f in zip(gys, fsy_t)],
+                "gy bigint, _fsy_row double",
+            )
         tgt = (
             tgt.drop("fsy")
             .join(F.broadcast(rowmap), "gy")
@@ -1602,14 +1622,44 @@ def _resampled_pixels(
         # which leaves holes wherever no source center lands. One
         # equi-join, ≤1 source row per target pixel, values copied
         # verbatim (nodata included).
-        cells = tgt.selectExpr(
-            "gx", "gy",
-            "CAST(floor(fsx) AS BIGINT) AS sxn",
-            "CAST(floor(fsy) AS BIGINT) AS syn",
-        ).where(
-            f"sxn >= 0 AND sxn < {info['width']} "
-            f"AND syn >= 0 AND syn < {info['height']}"
-        )
+        if info.get("row_ni") is not None:
+            # ragged rows (reduced Gaussian): the x lookup is per-row
+            # — recover the target lon from the affine fsx, then index
+            # into the row's own 360/_rn spacing, wrapping on global
+            # circles. Same containing-cell convention as floor(fsx)
+            # (centers sit at k + 0.5).
+            lon_e = f"(fsx * {a} + {ox})"
+            lf = info.get("lon_first", 0.0)
+            k_e = (
+                f"CAST(floor(({lon_e} - {lf}) * _rn / 360.0D + 0.5D) "
+                "AS BIGINT)"
+            )
+            sx_e = (
+                f"((({k_e}) % _rn) + _rn) % _rn"
+                if info.get("lon_global") else k_e
+            )
+            cells = (
+                tgt.where("_rn > 0")
+                .selectExpr(
+                    "gx", "gy", "_rn",
+                    f"{sx_e} AS sxn",
+                    "CAST(floor(fsy) AS BIGINT) AS syn",
+                )
+                .where(
+                    "sxn >= 0 AND sxn < _rn "
+                    f"AND syn >= 0 AND syn < {info['height']}"
+                )
+                .select("gx", "gy", "sxn", "syn")
+            )
+        else:
+            cells = tgt.selectExpr(
+                "gx", "gy",
+                "CAST(floor(fsx) AS BIGINT) AS sxn",
+                "CAST(floor(fsy) AS BIGINT) AS syn",
+            ).where(
+                f"sxn >= 0 AND sxn < {info['width']} "
+                f"AND syn >= 0 AND syn < {info['height']}"
+            )
         src = px.selectExpr(
             "sx AS sxn", "sy AS syn", *extra_cols, *band_cols
         )

@@ -209,29 +209,42 @@ def write_grib2(
 
         lat_last = lat1 - dj * (nj - 1)
         lon_e = lon1 + di * (ni - 1)
-        arr = data
-        if j_positive:  # stored south→north
-            arr = arr[::-1]
-            la1, la2 = lat_last, lat1
-        else:
-            la1, la2 = lat1, lat_last
-        if i_negative:  # stored east→west: first point is the east end
-            arr = arr[:, ::-1]
-            lo_first, lo_last = lon_e, lon1
-        else:
+        reduced = bool(grid and grid.get("type") == "gauss_reduced")
+        if reduced:
+            # ragged rows: data is a NaN-padded (nj, max_ni) rect,
+            # row j meaningful through pl[j]; serialization = rows
+            # concatenated in scan order
+            pl = [int(v) for v in grid["pl"]]
+            assert len(pl) == nj and max(pl) == ni
+            rows = [data[j, : pl[j]] for j in range(nj)]
+            if j_positive:
+                rows = rows[::-1]
+            flat = np.concatenate(rows)
+            la1, la2 = (lat_last, lat1) if j_positive else (lat1, lat_last)
             lo_first, lo_last = lon1, lon_e
-        # scan lines: i-lines (row-major) or j-lines (bit 3); odd lines
-        # reversed under boustrophedon
-        lines = arr.T.copy() if col_major else arr.copy()
-        if boustro:
-            lines[1::2] = lines[1::2, ::-1]
-        grid_vals = lines
-        scan = (
-            (0x80 if i_negative else 0) | (0x40 if j_positive else 0)
-            | (0x20 if col_major else 0) | (0x10 if boustro else 0)
-        )
-
-        flat = grid_vals.ravel()
+            scan = 0x40 if j_positive else 0
+        else:
+            arr = data
+            if j_positive:  # stored south→north
+                arr = arr[::-1]
+                la1, la2 = lat_last, lat1
+            else:
+                la1, la2 = lat1, lat_last
+            if i_negative:  # stored east→west: first point is east
+                arr = arr[:, ::-1]
+                lo_first, lo_last = lon_e, lon1
+            else:
+                lo_first, lo_last = lon1, lon_e
+            # scan lines: i-lines (row-major) or j-lines (bit 3); odd
+            # lines reversed under boustrophedon
+            lines = arr.T.copy() if col_major else arr.copy()
+            if boustro:
+                lines[1::2] = lines[1::2, ::-1]
+            scan = (
+                (0x80 if i_negative else 0) | (0x40 if j_positive else 0)
+                | (0x20 if col_major else 0) | (0x10 if boustro else 0)
+            )
+            flat = lines.ravel()
         has_missing = bool(np.isnan(flat).any())
         mask = np.isfinite(flat)
         scaled = flat[mask] * (10.0 ** D)
@@ -375,9 +388,11 @@ def write_grib2(
                 ">II", int(round(gl["dx"] * 1e3)), int(round(gl["dy"] * 1e3))
             )
             s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 10) + t30
-        elif grid and grid.get("type") == "gauss":  # template 3.40
-            # regular Gaussian: la1/la2 name the selected slice of the
-            # 2N Gaussian latitudes; the Dj slot carries N
+        elif grid and grid.get("type") in ("gauss", "gauss_reduced"):
+            # template 3.40 — regular Gaussian: la1/la2 name the
+            # selected slice of the 2N Gaussian latitudes; the Dj slot
+            # carries N. Reduced: Ni/Di missing (all ones) + the
+            # points-per-row list appended after the template.
             from raquet_spark.sources.grib2 import gaussian_latitudes
 
             n_par = int(grid["n"])
@@ -386,7 +401,9 @@ def write_grib2(
             assert len(sub) == nj
             la1g, la2g = (sub[-1], sub[0]) if j_positive else (sub[0], sub[-1])
             t30 = struct.pack(">BBIBIBI", 6, 0, 0, 0, 0, 0, 0)
-            t30 += struct.pack(">II", ni, nj)
+            t30 += struct.pack(
+                ">II", 0xFFFFFFFF if reduced else ni, nj
+            )
             t30 += struct.pack(">II", 0, 0)
             t30 += struct.pack(
                 ">II", _sm_enc(int(round(la1g * 1e6)), 32),
@@ -397,8 +414,21 @@ def write_grib2(
                 _sm_enc(int(round(la2g * 1e6)), 32),
                 _sm_enc(int(round(lo_last * 1e6)), 32),
             )
-            t30 += struct.pack(">IIB", int(round(di * 1e6)), n_par, scan)
-            s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 40) + t30
+            t30 += struct.pack(
+                ">IIB",
+                0xFFFFFFFF if reduced else int(round(di * 1e6)),
+                n_par, scan,
+            )
+            if reduced:
+                pl_scan = pl[::-1] if j_positive else pl
+                t30 += b"".join(
+                    int(v).to_bytes(2, "big") for v in pl_scan
+                )
+                s3 = struct.pack(
+                    ">BIBBH", 0, int(sum(pl)), 2, 1, 40
+                ) + t30
+            else:
+                s3 = struct.pack(">BIBBH", 0, ni * nj, 0, 0, 40) + t30
         else:
             rot = grid if grid and grid.get("type") == "rotated" else None
             t30 = struct.pack(

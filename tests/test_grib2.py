@@ -938,13 +938,20 @@ def test_gaussian_grib_parse_decode_and_subset(spark, tmp_path):
     with pytest.raises(ValueError, match="Gaussian latitudes"):
         read_grib2_structure(badla)
 
-    # reduced grid: nonzero octet 11 (points-per-row list length)
+    # reduced grids DECODE since r11; a claimed points-per-row list
+    # whose bytes aren't actually there fails the sum check, and a
+    # non-standard list interpretation is a typed gate
     raw = bytearray(open(sub, "rb").read())
-    raw[p + 10] = 2
+    raw[p + 10], raw[p + 11] = 2, 1
     badred = str(tmp_path / "gau_red.grib2")
     open(badred, "wb").write(bytes(raw))
-    with pytest.raises(NotImplementedError, match="reduced"):
+    with pytest.raises(ValueError, match="points-per-row sum"):
         read_grib2_structure(badred)
+    raw[p + 11] = 3
+    badint = str(tmp_path / "gau_int.grib2")
+    open(badint, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="interpretation"):
+        read_grib2_structure(badint)
 
 
 def test_gaussian_warp_nearest_exact(spark, tmp_path):
@@ -1277,3 +1284,140 @@ def test_pdt_statistical_ensemble_twins(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="share parameter"):
         grib2_pixel_table(spark, read_grib2_structure(dup))
+
+
+def _octa_pl(n_par):
+    """Octahedral-style points-per-row for 2N rows: 20 + 4*min(j,
+    2N-1-j) — symmetric, ragged, ECMWF O-grid shaped."""
+    nj = 2 * n_par
+    return [20 + 4 * min(j, nj - 1 - j) for j in range(nj)]
+
+
+def test_reduced_gaussian_parse_and_decode(spark, tmp_path):
+    """Reduced (quasi-regular) Gaussian — the ECMWF operational O-grid
+    family: Ni missing + points-per-row list; ragged rows decode into
+    the NaN-padded rectangle (column k of row j = lon k*360/pl[j]),
+    with a bitmap riding the concatenated point stream; pl-sum
+    mismatch is a typed error."""
+    import struct as _struct
+
+    n_par = 8
+    nj = 2 * n_par
+    pl = _octa_pl(n_par)
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        for k in range(pl[j]):
+            rect[j, k] = (k * 7 + j * 11) % 199 - 50
+    rect[3, 5] = np.nan  # an in-row hole -> bitmap
+    path = str(tmp_path / "red.grib2")
+    write_grib2(
+        path, [{"data": rect, "forecast_time": 0}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "gauss" and m["row_ni"] == pl
+    assert m["ni"] == ni and m["lon_global"]
+    assert m["bitmap_off"] is not None  # the hole
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(
+        rd(m["data_off"], m["data_len"]), m,
+        rd(m["bitmap_off"], m["bitmap_len"]),
+    )
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(rect))
+    ok = ~np.isnan(rect)
+    np.testing.assert_array_equal(got[ok], rect[ok])
+
+    # pixel table row counts follow pl (minus the hole)
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert len(pdf) == sum(pl) - 1
+    per_row = pdf.groupby("sy").size()
+    assert per_row[0] == pl[0] and per_row[3] == pl[3] - 1
+
+    # corrupt the pl sum -> typed error
+    raw = bytearray(open(path, "rb").read())
+    p = 16
+    while raw[p + 4] != 3:
+        (ln,) = _struct.unpack_from(">I", raw, p)
+        p += ln
+    _struct.pack_into(">H", raw, p + 14 + 58, pl[0] + 1)
+    bad = str(tmp_path / "red_bad.grib2")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="points-per-row sum"):
+        read_grib2_structure(bad)
+
+
+def test_reduced_gaussian_warp_nearest_exact(spark, tmp_path):
+    """Reduced Gaussian → mercator 'near' warp: every output pixel
+    must carry the value of the CONTAINING source cell, with per-row
+    longitude spacing 360/pl[j] and global wraparound — checked
+    against an independent numpy oracle; bilinear is a typed gate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.quadbin import py_cell_to_tile
+    from raquet_spark.sources.grib2 import gaussian_latitudes
+
+    n_par = 10
+    nj = 2 * n_par
+    pl = _octa_pl(n_par)
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = j * 1000 + np.arange(pl[j])
+    path = str(tmp_path / "redw.grib2")
+    write_grib2(
+        path, [{"data": rect, "forecast_time": 0}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
+    )
+    with pytest.raises(NotImplementedError, match="nearest only"):
+        grib2_to_raquet(spark, path, block_size=64, compression=None,
+                        zoom=2, resampling="bilinear")
+    tiles, meta = grib2_to_raquet(spark, path, block_size=64,
+                                  compression=None, zoom=2)
+    lc = gaussian_latitudes(n_par)
+    edges = (lc[:-1] + lc[1:]) / 2.0
+    bs, z = 64, 2
+    world = (1 << z) * bs
+    rows = tiles.where("block > 0").select(
+        "block", band_decode("band_1", "float64").alias("vals")
+    ).collect()
+    checked = mismatched = 0
+    for r in rows:
+        txx, tyy, tz = py_cell_to_tile(r["block"])
+        assert tz == z
+        vals = np.asarray(r["vals"]).reshape(bs, bs)
+        for py in range(0, bs, 5):
+            for pxx in range(2, bs, 7):
+                v = vals[py, pxx]
+                if v == -9999.0:
+                    continue
+                gxp, gyp = txx * bs + pxx, tyy * bs + py
+                lon_t = (gxp + 0.5) / world * 360.0 - 180.0
+                merc_y = (0.5 - (gyp + 0.5) / world) * 2 * math.pi * 6378137.0
+                lat_t = math.degrees(
+                    2 * math.atan(math.exp(merc_y / 6378137.0)) - math.pi / 2
+                )
+                row = int(np.searchsorted(-edges, -lat_t))
+                if not 0 <= row < nj:
+                    continue
+                rn = pl[row]
+                k = int(math.floor((lon_t - 0.0) * rn / 360.0 + 0.5)) % rn
+                # skip boundary-ambiguous samples
+                frac = ((lon_t * rn / 360.0 + 0.5) % 1.0)
+                if frac < 1e-6 or frac > 1 - 1e-6:
+                    continue
+                if np.min(np.abs(edges - lat_t)) < 1e-6:
+                    continue
+                checked += 1
+                if v != rect[row, k]:
+                    mismatched += 1
+    assert checked > 300
+    assert mismatched == 0, f"{mismatched}/{checked} wrong"
