@@ -90,6 +90,7 @@ def main() -> None:
         "grib2_rotated_stats",
         "grib2_gaussian_stats",
         "grib2_reduced_stats",
+        "grib1_ingest_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",

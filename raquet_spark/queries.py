@@ -3289,6 +3289,85 @@ GROUP BY t
 """
 
 
+def _cached_grib1(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib1
+
+    key = (spark.sparkContext.applicationId, "grib1_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _GRB
+        gy, gx = np.mgrid[0 : c["nj"], 0 : c["ni"]]
+        fields = []
+        for t in range(c["nt"]):
+            data = (
+                (gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50
+            ).astype("f8")
+            data[(2 * gx + gy + t) % 19 == 0] = np.nan  # BMS bitmap
+            fields.append(
+                {"data": data, "forecast_time": t * 6, "param": 11}
+            )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_grib1_"), "fix.grib1"
+        )
+        write_grib1(path, fields, lat1=49.0, lon1=0.0, di=0.25, dj=0.25)
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def grib1_ingest_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB EDITION 1 (the legacy format ERA-40-era and national
+    archives still carry; the reference reads it via GDAL's GRIB
+    driver, cli.py:283): 3 forecast steps, IBM370-float reference
+    value, 3-byte sign-magnitude millidegree coordinates, BMS bitmaps
+    — parsed by the edition-1 walker and NORMALIZED into the same
+    message dict the edition-2 pipeline consumes, so stats reduce to
+    the closed form through the shared distributed decode."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib1(spark))
+    px = grib2_pixel_table(spark, g)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib1_ingest_stats_oracle() -> str:
+    c = _GRB
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (2 * gx + gy + t) % 19 = 0 THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50
+                   AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nj']})) AS gy),
+       (SELECT unnest(range(0, {c['ni']})) AS gx)
+)
+SELECT CAST(t * 6 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 _QCF_OFF = 10_000_000
 _QCF_SENT = {"pos": "qsentinelgood", "neg": "qsentinelbad"}
 
@@ -5958,6 +6037,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "grib2_rotated_stats": (grib2_rotated_stats_spark, grib2_grid_stats_oracle),
     "grib2_gaussian_stats": (grib2_gaussian_stats_spark, grib2_grid_stats_oracle),
     "grib2_reduced_stats": (grib2_reduced_stats_spark, grib2_reduced_stats_oracle),
+    "grib1_ingest_stats": (grib1_ingest_stats_spark, grib1_ingest_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

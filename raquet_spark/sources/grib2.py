@@ -12,7 +12,12 @@ natural parallel unit of a GRIB archive, which stores thousands of
 messages per file.
 
 Scope (typed gates name everything else, never silent wrong answers):
-- edition 2; grid definition templates 3.0 (regular lat/lon), 3.1
+- edition 2, PLUS edition 1 (r11 — the legacy ERA-40-era format:
+  IBM370-float reference values, 3-byte sign-magnitude millidegree
+  coordinates, BMS bitmaps, lat/lon + regular/reduced Gaussian grids,
+  simple packing; messages normalize into the same dict, so every
+  downstream consumer is edition-agnostic);
+- grid definition templates 3.0 (regular lat/lon), 3.1
   (rotated lat/lon — COSMO/HARMONIE; zero angle of rotation), 3.10
   (Mercator at lat_ts — NOAA marine grids; spherical AND
   ellipsoidal), 3.20 (polar stereographic, both aspects), 3.30
@@ -124,6 +129,193 @@ def _sections(b, msg_off: int, msg_len: int) -> dict[int, tuple[int, int]]:
     return out
 
 
+def ibm32_to_float(raw: int) -> float:
+    """IBM System/370 32-bit float (GRIB1's reference value R):
+    (-1)^s · 2^-24 · mantissa · 16^(exp7 - 64)."""
+    s = -1.0 if raw & 0x80000000 else 1.0
+    exp = (raw >> 24) & 0x7F
+    mant = raw & 0x00FFFFFF
+    if mant == 0:
+        return 0.0
+    return s * mant * 2.0 ** (-24) * 16.0 ** (exp - 64)
+
+
+def float_to_ibm32(v: float) -> int:
+    """Exact-where-possible IBM float encode (fixture writer + tests);
+    mirrors eccodes' grib_ibm_to_long normalization."""
+    import math
+
+    if v == 0.0:
+        return 0
+    s = 0x80000000 if v < 0 else 0
+    v = abs(v)
+    exp = int(math.floor(math.log(v, 16))) + 1 + 64
+    mant = int(round(v / 16.0 ** (exp - 64) * 2.0 ** 24))
+    while mant >= 1 << 24:  # rounding overflow: renormalize
+        mant >>= 4
+        exp += 1
+    while mant and mant < 1 << 20 and exp > 0:
+        mant <<= 4
+        exp -= 1
+    return s | (exp << 24) | mant
+
+
+def _sm_bytes(b, off: int, n: int) -> int:
+    """n-byte big-endian sign-magnitude int (GRIB1 milli-degrees)."""
+    v = int.from_bytes(bytes(b[off : off + n]), "big")
+    return _sm(v, 8 * n)
+
+
+def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
+    """One GRIB edition-1 message → the edition-2-shaped message dict
+    (same keys the decode/warp machinery consumes). Scope: simple
+    packing (BDS flag bits 1/2/4 clear), explicit GDS (predefined grid
+    numbers gated), data representation types 0 (lat/lon) and 4
+    (Gaussian, regular or reduced via the PL list), time range
+    indicators 0/1/10. R is an IBM370 float; La/Lo are 3-byte
+    sign-magnitude MILLIdegrees."""
+    (msg_len,) = struct.unpack(">I", b"\x00" + bytes(b[p + 4 : p + 7]))
+    m: dict = {"offset": p, "length": msg_len, "edition": 1,
+               "discipline": 0, "drt": 0, "pdt": 0}
+    q = p + 8  # PDS
+    l1 = int.from_bytes(bytes(b[q : q + 3]), "big")
+    table_ver = b[q + 3]
+    flags = b[q + 7]
+    if not flags & 0x80:
+        raise NotImplementedError(
+            "GRIB1 message without GDS (predefined grid number)"
+        )
+    m["param_category"] = table_ver
+    m["param_number"] = b[q + 8]
+    m["level_type"] = b[q + 9]
+    m["level_value"] = float(
+        int.from_bytes(bytes(b[q + 10 : q + 12]), "big")
+    )
+    century = b[q + 24] or 1
+    m["ref_time"] = ((century - 1) * 100 + b[q + 12], b[q + 13],
+                     b[q + 14], b[q + 15], b[q + 16], 0)
+    unit = b[q + 17]
+    to_hours = {0: 1 / 60.0, 1: 1.0, 2: 24.0, 10: 3.0, 11: 6.0,
+                12: 12.0, 254: 1 / 3600.0}.get(unit)
+    if to_hours is None:
+        raise NotImplementedError(f"GRIB1 time unit {unit}")
+    p1, p2, tri = b[q + 18], b[q + 19], b[q + 20]
+    if tri == 0:
+        ft = p1
+    elif tri == 1:
+        ft = 0
+    elif tri == 10:  # P1P2 as one 16-bit value
+        ft = (p1 << 8) | p2
+    else:
+        raise NotImplementedError(f"GRIB1 time range indicator {tri}")
+    m["time_unit"] = unit
+    m["forecast_time"] = ft
+    m["forecast_hours"] = ft * to_hours
+    m["D"] = _sm(int.from_bytes(bytes(b[q + 25 : q + 27]), "big"), 16)
+
+    q += l1  # GDS
+    lg = int.from_bytes(bytes(b[q : q + 3]), "big")
+    pv = b[q + 4]  # 1-based octet of the PV/PL list, 255 = none
+    drt1 = b[q + 5]
+    if drt1 not in (0, 4):
+        raise NotImplementedError(
+            f"GRIB1 data representation type {drt1} "
+            "(lat/lon 0 / Gaussian 4 only)"
+        )
+    ni_raw = int.from_bytes(bytes(b[q + 6 : q + 8]), "big")
+    nj = int.from_bytes(bytes(b[q + 8 : q + 10]), "big")
+    lat1 = _sm_bytes(b, q + 10, 3) / 1e3
+    lon1 = _sm_bytes(b, q + 13, 3) / 1e3
+    lat2 = _sm_bytes(b, q + 17, 3) / 1e3
+    lon2 = _sm_bytes(b, q + 20, 3) / 1e3
+    di_raw = int.from_bytes(bytes(b[q + 23 : q + 25]), "big")
+    djn = int.from_bytes(bytes(b[q + 25 : q + 27]), "big")
+    scan = b[q + 27]
+    # same bit positions as the edition-2 flag table 3.4
+    if scan & 0x1F:
+        raise NotImplementedError(
+            f"GRIB1 scanning flags 0x{scan:02x} (row-major ±i/±j only)"
+        )
+    m.update(
+        i_negative=bool(scan & 0x80), j_positive=bool(scan & 0x40),
+        col_major=False, boustro=False, scan=scan,
+        lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2,
+    )
+    reduced = ni_raw == 0xFFFF
+    if drt1 == 0:
+        if reduced:
+            raise NotImplementedError("GRIB1 quasi-regular lat/lon grid")
+        m.update(ni=ni_raw, nj=nj, grid="latlon",
+                 di=di_raw / 1e3, dj=djn / 1e3)
+    else:  # Gaussian: Dj slot carries N
+        n_par = djn
+        lats = gaussian_latitudes(n_par)
+        i1 = int(np.argmin(np.abs(lats - lat1)))
+        i2 = int(np.argmin(np.abs(lats - lat2)))
+        lo_i, hi_i = min(i1, i2), max(i1, i2)
+        if (abs(lats[i1] - lat1) > 2e-3 or abs(lats[i2] - lat2) > 2e-3
+                or hi_i - lo_i + 1 != nj):
+            raise ValueError(
+                f"GRIB1 Gaussian grid: la1/la2 ({lat1}, {lat2}) do not "
+                f"select {nj} consecutive N={n_par} latitudes"
+            )
+        m.update(
+            grid="gauss", n_parallels=n_par,
+            lat_centers=[float(v) for v in lats[lo_i : hi_i + 1]],
+        )
+        if reduced:
+            pl_off = q + pv - 1
+            pl = [
+                int.from_bytes(
+                    bytes(b[pl_off + 2 * k : pl_off + 2 * k + 2]), "big"
+                )
+                for k in range(nj)
+            ]
+            if min(pl) <= 0:
+                raise ValueError("GRIB1 reduced grid: bad PL list")
+            m.update(ni=max(pl), nj=nj,
+                     row_ni_scan=pl,
+                     row_ni=(pl[::-1] if m["j_positive"] else pl),
+                     lon_global=True)
+        else:
+            m.update(ni=ni_raw, nj=nj, di=di_raw / 1e3)
+
+    q += lg  # BMS (optional) then BDS
+    m["bitmap_off"] = None
+    if flags & 0x40:
+        lb = int.from_bytes(bytes(b[q : q + 3]), "big")
+        if int.from_bytes(bytes(b[q + 4 : q + 6]), "big") != 0:
+            raise NotImplementedError("GRIB1 predefined bitmap")
+        m["bitmap_off"] = q + 6
+        m["bitmap_len"] = lb - 6
+        q += lb
+    ld = int.from_bytes(bytes(b[q : q + 3]), "big")
+    bflags = b[q + 3]
+    # gate: spherical harmonics (0x80), complex packing (0x40),
+    # additional-flags octet 14 (0x10); integer original field (0x20)
+    # packs identically
+    if bflags & 0xD0:
+        raise NotImplementedError(
+            f"GRIB1 BDS flags 0x{bflags:02x} (simple grid-point "
+            "packing only)"
+        )
+    m["E"] = _sm(int.from_bytes(bytes(b[q + 4 : q + 6]), "big"), 16)
+    m["R"] = ibm32_to_float(
+        int.from_bytes(bytes(b[q + 6 : q + 10]), "big")
+    )
+    m["nbits"] = b[q + 10]
+    m["data_off"] = q + 11
+    m["data_len"] = ld - 11
+    total = (
+        sum(m["row_ni_scan"]) if m.get("row_ni_scan") else
+        m["ni"] * m["nj"]
+    )
+    m["npoints"] = total
+    if bytes(b[p + msg_len - 4 : p + msg_len]) != b"7777":
+        raise ValueError(f"GRIB1 message at {p} missing '7777' end")
+    return m, msg_len
+
+
 def read_grib2_structure(path: str) -> dict:
     """Driver-side scan: every message's grid/product/packing
     parameters and the byte range of its packed data — no pixel bytes
@@ -140,8 +332,17 @@ def read_grib2_structure(path: str) -> dict:
         if bytes(b[p : p + 4]) != b"GRIB":
             raise ValueError(f"bad GRIB indicator at {p}")
         edition = b[p + 7]
+        if edition == 1:
+            # legacy edition-1 message (ERA-40-era and national
+            # archives): parsed by its own walker and NORMALIZED to
+            # the same message dict, so the pixel table / warp /
+            # selection machinery is edition-agnostic
+            m, msg_len = _parse_grib1_message(b, p)
+            messages.append(m)
+            p += msg_len
+            continue
         if edition != 2:
-            raise NotImplementedError(f"GRIB edition {edition} (only 2)")
+            raise NotImplementedError(f"GRIB edition {edition} (1/2)")
         (msg_len,) = struct.unpack(">Q", bytes(b[p + 8 : p + 16]))
         sec = _sections(b, p, msg_len)
         m = {"offset": p, "length": msg_len, "discipline": b[p + 6]}

@@ -515,3 +515,128 @@ def write_grib2(
     with open(path, "wb") as fh:
         fh.write(out)
     return path
+
+
+def write_grib1(
+    path: str,
+    fields: list[dict],
+    lat1: float = 49.0,
+    lon1: float = 0.0,
+    di: float = 0.5,
+    dj: float = 0.5,
+    j_positive: bool = False,
+    grid: dict | None = None,
+) -> str:
+    """GRIB edition-1 fixture writer (IS + PDS + GDS [+BMS] + BDS +
+    '7777'): simple packing, IBM370 reference value, 3-byte
+    sign-magnitude MILLIdegree coordinates. ``fields``: {data (2-d,
+    row 0 north; NaN = missing → BMS), forecast_time (int, unit 1 =
+    hours), param (int octet-9 indicator), level (type, value), E, D}.
+    ``grid``: None = lat/lon (type 0); {"type": "gauss", "n": N,
+    "row0": r} or {"type": "gauss_reduced", "n": N, "pl": [...]} for
+    data representation type 4."""
+    from raquet_spark.sources.grib2 import (
+        float_to_ibm32,
+        gaussian_latitudes,
+    )
+
+    def sm3(v: float) -> bytes:
+        iv = int(round(abs(v) * 1e3))
+        if v < 0:
+            iv |= 1 << 23
+        return iv.to_bytes(3, "big")
+
+    out = b""
+    for f in fields:
+        data = np.asarray(f["data"], dtype="f8")
+        nj, ni = data.shape
+        E, D = int(f.get("E", 0)), int(f.get("D", 0))
+        reduced = bool(grid and grid.get("type") == "gauss_reduced")
+        if reduced:
+            pl = [int(v) for v in grid["pl"]]
+            rows = [data[j, : pl[j]] for j in range(nj)]
+            if j_positive:
+                rows = rows[::-1]
+            flat = np.concatenate(rows)
+        else:
+            arr = data[::-1] if j_positive else data
+            flat = arr.ravel()
+        mask = np.isfinite(flat)
+        has_missing = bool((~mask).any())
+        scaled = flat[mask] * (10.0 ** D)
+        r_exact = float(scaled.min()) if mask.any() else 0.0
+        # R must survive the IBM float round trip EXACTLY for integer
+        # fixtures: re-decode the encoded value
+        from raquet_spark.sources.grib2 import ibm32_to_float
+
+        r_ibm = float_to_ibm32(r_exact)
+        r_back = ibm32_to_float(r_ibm)
+        xs = np.round((scaled - r_back) / (2.0 ** E)).astype("i8")
+        nbits = max(1, int(xs.max()).bit_length()) if len(xs) and xs.max() > 0 else 1
+
+        lv_type, lv_val = f.get("level", (1, 0))
+        flags = 0x80 | (0x40 if has_missing else 0)
+        pds = bytes([1, 7, 1, 255, flags])  # table, centre, proc, grid
+        pds += bytes([int(f.get("param", 2)), lv_type])
+        pds += int(lv_val).to_bytes(2, "big")
+        pds += bytes([26, 1, 1, 0, 0])  # YY MM DD HH Min (century 21)
+        pds += bytes([1, int(f.get("forecast_time", 0)), 0, 0])
+        pds += bytes([0, 0, 0])  # number in avg etc.
+        pds += bytes([21, 0])  # century, sub-centre
+        pds += _sm_enc(D, 16).to_bytes(2, "big")
+        pds = (len(pds) + 3).to_bytes(3, "big") + pds
+        assert len(pds) == 28
+
+        if grid and grid.get("type") in ("gauss", "gauss_reduced"):
+            n_par = int(grid["n"])
+            row0 = int(grid.get("row0", 0))
+            sub = gaussian_latitudes(n_par)[row0 : row0 + nj]
+            la1g, la2g = (
+                (sub[-1], sub[0]) if j_positive else (sub[0], sub[-1])
+            )
+            drt1, dj_slot = 4, n_par
+            la1v, la2v = la1g, la2g
+        else:
+            drt1 = 0
+            dj_slot = int(round(dj * 1e3))
+            lat_last = lat1 - dj * (nj - 1)
+            la1v, la2v = (
+                (lat_last, lat1) if j_positive else (lat1, lat_last)
+            )
+        lon_last = lon1 + di * (ni - 1)
+        pv = 33 if reduced else 255
+        gds = bytes([0, pv, drt1])
+        gds += (0xFFFF if reduced else ni).to_bytes(2, "big")
+        gds += nj.to_bytes(2, "big")
+        gds += sm3(la1v) + sm3(lon1)
+        gds += bytes([0x80])  # resolution flags: directions given
+        gds += sm3(la2v) + sm3(lon_last)
+        gds += (0xFFFF if reduced else int(round(di * 1e3))).to_bytes(2, "big")
+        gds += dj_slot.to_bytes(2, "big")
+        gds += bytes([0x40 if j_positive else 0])
+        gds += b"\x00" * 4  # reserved octets 29-32
+        if reduced:
+            pl_scan = pl[::-1] if j_positive else pl
+            gds += b"".join(int(v).to_bytes(2, "big") for v in pl_scan)
+        gds = (len(gds) + 3).to_bytes(3, "big") + gds
+
+        bms = b""
+        if has_missing:
+            bm = np.packbits(mask.astype("u1")).tobytes()
+            unused = len(bm) * 8 - len(flat)
+            bms = (6 + len(bm)).to_bytes(3, "big") + bytes([unused, 0, 0]) + bm
+
+        packed = _pack_bits(xs, nbits)
+        unused_bits = len(packed) * 8 - len(xs) * nbits
+        bds = bytes([unused_bits & 0x0F])
+        bds += _sm_enc(E, 16).to_bytes(2, "big")
+        bds += r_ibm.to_bytes(4, "big")
+        bds += bytes([nbits]) + packed
+        bds = (len(bds) + 3).to_bytes(3, "big") + bds
+
+        body = pds + gds + bms + bds
+        total = 8 + len(body) + 4
+        out += b"GRIB" + total.to_bytes(3, "big") + bytes([1]) + body + b"7777"
+    with open(path, "wb") as fh:
+        fh.write(out)
+    return path

@@ -140,9 +140,9 @@ def test_typed_gates(tmp_path):
         open(p2, "wb").write(bytes(b))
         return p2
 
-    # edition
+    # edition (1 parses for real since r11 — use a future edition)
     with pytest.raises(NotImplementedError, match="edition"):
-        read_grib2_structure(patched(lambda b: b.__setitem__(7, 1)))
+        read_grib2_structure(patched(lambda b: b.__setitem__(7, 3)))
 
     # find section offsets in the original
     g = read_grib2_structure(path)
@@ -1421,3 +1421,110 @@ def test_reduced_gaussian_warp_nearest_exact(spark, tmp_path):
                     mismatched += 1
     assert checked > 300
     assert mismatched == 0, f"{mismatched}/{checked} wrong"
+
+
+def test_ibm_float_pins_and_roundtrip():
+    """GRIB1's reference value is an IBM370 float: pinned against the
+    textbook examples (1.0 = 0x41100000, -118.625 = 0xC276A000) and
+    exact for 24-bit integers through the encode/decode pair."""
+    from raquet_spark.sources.grib2 import float_to_ibm32, ibm32_to_float
+
+    assert ibm32_to_float(0x41100000) == 1.0
+    assert ibm32_to_float(0xC276A000) == -118.625
+    assert float_to_ibm32(1.0) == 0x41100000
+    assert float_to_ibm32(-118.625) == 0xC276A000
+    assert ibm32_to_float(0) == 0.0 and float_to_ibm32(0.0) == 0
+    for v in (-50.0, -1.0, 0.125, 3.0, 77.0, 4095.0, 1048575.0):
+        assert ibm32_to_float(float_to_ibm32(v)) == v
+
+
+def test_grib1_latlon_decode(spark, tmp_path):
+    """GRIB edition 1 (legacy archives): lat/lon grid, IBM-float
+    reference, millidegree coords, BMS bitmap, ±j scans — normalized
+    into the same message dict and decoded exactly by the shared
+    machinery."""
+    nj, ni = 14, 22
+    for jp in (False, True):
+        data = _field(1, nj, ni, 2)
+        data[(np.mgrid[0:nj, 0:ni][0] * 3) % 5 == 0] = np.nan
+        path = str(tmp_path / f"g1_{jp}.grib1")
+        from raquet_spark.testing_grib2 import write_grib1
+
+        write_grib1(
+            path,
+            [{"data": data, "forecast_time": t * 6, "param": 2}
+             for t, data in enumerate([data, data + 1.0])],
+            lat1=48.0, lon1=-5.0, di=0.5, dj=0.5, j_positive=jp,
+        )
+        g = read_grib2_structure(path)
+        assert len(g["messages"]) == 2
+        m = g["messages"][0]
+        assert m["edition"] == 1 and m["grid"] == "latlon"
+        assert m["lat1"] == pytest.approx(48.0 if not jp else 41.5)
+        assert m["forecast_hours"] == 0.0
+        assert g["messages"][1]["forecast_hours"] == 6.0
+        from raquet_spark.sources.io import range_reader
+
+        rd = range_reader(path)
+        got = decode_message(
+            rd(m["data_off"], m["data_len"]), m,
+            rd(m["bitmap_off"], m["bitmap_len"]),
+        )
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(data))
+        ok = ~np.isnan(data)
+        np.testing.assert_array_equal(got[ok], data[ok])
+
+    # pixel table + conversion ride the shared path
+    pdf = grib2_pixel_table(spark, g).toPandas()
+    assert sorted(pdf["time_cf"].unique().tolist()) == [0.0, 6.0]
+    tiles, meta = grib2_to_raquet(spark, path, block_size=64,
+                                  compression=None)
+    assert meta["time"]["count"] == 2
+
+
+def test_grib1_gaussian_regular_and_reduced(tmp_path):
+    """GRIB1 data representation type 4: the Dj slot carries N; a
+    0xFFFF Ni plus the PL list at octet PV gives the reduced form —
+    both decode exactly via the shared Gaussian machinery."""
+    from raquet_spark.testing_grib2 import write_grib1
+
+    n_par = 8
+    nj = 2 * n_par
+    data = _field(1, nj, 24, 1)
+    path = str(tmp_path / "g1_gau.grib1")
+    write_grib1(
+        path, [{"data": data, "forecast_time": 3}],
+        lon1=0.0, di=15.0, grid={"type": "gauss", "n": n_par},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "gauss" and m["n_parallels"] == n_par
+    from raquet_spark.sources.grib2 import gaussian_latitudes
+    from raquet_spark.sources.io import range_reader
+
+    np.testing.assert_allclose(
+        m["lat_centers"], gaussian_latitudes(n_par), atol=2e-3
+    )
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+    pl = _octa_pl(n_par)
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = (np.arange(pl[j]) * 3 + j * 5) % 97
+    red = str(tmp_path / "g1_red.grib1")
+    write_grib1(
+        red, [{"data": rect, "forecast_time": 0}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
+    )
+    gr = read_grib2_structure(red)
+    mr = gr["messages"][0]
+    assert mr["row_ni"] == pl and mr["lon_global"]
+    rdr = range_reader(red)
+    got_r = decode_message(rdr(mr["data_off"], mr["data_len"]), mr, None)
+    np.testing.assert_array_equal(np.isnan(got_r), np.isnan(rect))
+    ok = ~np.isnan(rect)
+    np.testing.assert_array_equal(got_r[ok], rect[ok])
