@@ -211,7 +211,8 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
     m["time_unit"] = unit
     m["forecast_time"] = ft
     m["forecast_hours"] = ft * to_hours
-    m["D"] = _sm(int.from_bytes(bytes(b[q + 25 : q + 27]), "big"), 16)
+    # decimal scale factor: PDS octets 27-28 (sign-magnitude)
+    m["D"] = _sm(int.from_bytes(bytes(b[q + 26 : q + 28]), "big"), 16)
 
     q += l1  # GDS
     lg = int.from_bytes(bytes(b[q : q + 3]), "big")
@@ -231,8 +232,10 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
     di_raw = int.from_bytes(bytes(b[q + 23 : q + 25]), "big")
     djn = int.from_bytes(bytes(b[q + 25 : q + 27]), "big")
     scan = b[q + 27]
-    # same bit positions as the edition-2 flag table 3.4
-    if scan & 0x1F:
+    # same bit positions as the edition-2 flag table 3.4; gate the
+    # j-consecutive bit (0x20) and the reserved bits — decoding them
+    # as row-major would silently transpose the field
+    if scan & 0x3F:
         raise NotImplementedError(
             f"GRIB1 scanning flags 0x{scan:02x} (row-major ±i/±j only)"
         )

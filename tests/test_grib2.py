@@ -1528,3 +1528,21 @@ def test_grib1_gaussian_regular_and_reduced(tmp_path):
     np.testing.assert_array_equal(np.isnan(got_r), np.isnan(rect))
     ok = ~np.isnan(rect)
     np.testing.assert_array_equal(got_r[ok], rect[ok])
+
+
+def test_grib1_decimal_scale_factor(tmp_path):
+    """PDS octets 27-28 carry D (caught in r11 self-review: an
+    off-by-one read survived the D=0 fixtures): tenths-valued data
+    with D=1 round-trips exactly, pinning the octet position."""
+    from raquet_spark.sources.io import range_reader
+    from raquet_spark.testing_grib2 import write_grib1
+
+    nj, ni = 6, 9
+    data = _field(1, nj, ni, 0) / 10.0
+    path = str(tmp_path / "g1_d.grib1")
+    write_grib1(path, [{"data": data, "forecast_time": 0, "D": 1}])
+    m = read_grib2_structure(path)["messages"][0]
+    assert m["D"] == 1
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_allclose(got, data, atol=1e-9)
