@@ -216,6 +216,7 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
 
     q += l1  # GDS
     lg = int.from_bytes(bytes(b[q : q + 3]), "big")
+    nv = b[q + 3]  # octet 4: vertical-coordinate parameter count
     pv = b[q + 4]  # 1-based octet of the PV/PL list, 255 = none
     drt1 = b[q + 5]
     if drt1 not in (0, 4):
@@ -229,6 +230,7 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
     lon1 = _sm_bytes(b, q + 13, 3) / 1e3
     lat2 = _sm_bytes(b, q + 17, 3) / 1e3
     lon2 = _sm_bytes(b, q + 20, 3) / 1e3
+    res_flag = b[q + 16]  # octet 17: resolution and component flags
     di_raw = int.from_bytes(bytes(b[q + 23 : q + 25]), "big")
     djn = int.from_bytes(bytes(b[q + 25 : q + 27]), "big")
     scan = b[q + 27]
@@ -245,11 +247,26 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
         lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2,
     )
     reduced = ni_raw == 0xFFFF
+
+    def _derived_di(ni: int) -> float:
+        # increments "not given" (res flag bit 1 clear, or 0xFFFF
+        # sentinel): derive from the corner longitudes — decoding
+        # 0xFFFF as di=65.535° would silently corrupt the geotransform
+        span = (lon1 - lon2) if (scan & 0x80) else (lon2 - lon1)
+        span %= 360.0
+        if span == 0.0:  # global circle stated with lon2 == lon1 - di
+            span = 360.0 * (ni - 1) / ni
+        return span / (ni - 1)
+
+    incr_given = bool(res_flag & 0x80)
     if drt1 == 0:
         if reduced:
             raise NotImplementedError("GRIB1 quasi-regular lat/lon grid")
-        m.update(ni=ni_raw, nj=nj, grid="latlon",
-                 di=di_raw / 1e3, dj=djn / 1e3)
+        di = (di_raw / 1e3 if incr_given and di_raw != 0xFFFF
+              else _derived_di(ni_raw))
+        dj = (djn / 1e3 if incr_given and djn != 0xFFFF
+              else abs(lat1 - lat2) / (nj - 1))
+        m.update(ni=ni_raw, nj=nj, grid="latlon", di=di, dj=dj)
     else:  # Gaussian: Dj slot carries N
         n_par = djn
         lats = gaussian_latitudes(n_par)
@@ -267,7 +284,22 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
             lat_centers=[float(v) for v in lats[lo_i : hi_i + 1]],
         )
         if reduced:
-            pl_off = q + pv - 1
+            if pv == 0xFF:
+                raise ValueError(
+                    "GRIB1 reduced Gaussian grid without a PV/PL "
+                    "list octet"
+                )
+            # GDS octet 4 (NV): when vertical-coordinate parameters
+            # are present (ECMWF model-level archives), PV points at
+            # the 4-byte IBM-float VC list and the PL row counts start
+            # AFTER it — reading at PV directly would silently decode
+            # float bytes as row counts
+            pl_off = q + pv - 1 + 4 * nv
+            if pl_off + 2 * nj > q + lg:
+                raise ValueError(
+                    f"GRIB1 reduced grid: PL list (PV={pv}, NV={nv}, "
+                    f"nj={nj}) overruns the GDS (length {lg})"
+                )
             pl = [
                 int.from_bytes(
                     bytes(b[pl_off + 2 * k : pl_off + 2 * k + 2]), "big"
@@ -281,7 +313,9 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
                      row_ni=(pl[::-1] if m["j_positive"] else pl),
                      lon_global=True)
         else:
-            m.update(ni=ni_raw, nj=nj, di=di_raw / 1e3)
+            di = (di_raw / 1e3 if incr_given and di_raw != 0xFFFF
+                  else _derived_di(ni_raw))
+            m.update(ni=ni_raw, nj=nj, di=di)
 
     q += lg  # BMS (optional) then BDS
     m["bitmap_off"] = None
@@ -570,11 +604,13 @@ def read_grib2_structure(path: str) -> dict:
             check_scan(scan)
             latin1 = _sm(struct.unpack_from(">I", raw3, 51)[0], 32) / 1e6
             latin2 = _sm(struct.unpack_from(">I", raw3, 55)[0], 32) / 1e6
-            if south_lcc != (latin1 < 0):
-                # the aspect is fully determined by the standard
-                # parallels' sign in the Snyder formulation (negative
-                # n); a centre flag contradicting them would mean an
-                # ill-formed cone
+            if south_lcc != (latin1 < 0) and south_lcc != (latin2 < 0):
+                # the aspect is fully determined by the cone constant
+                # n, whose sign follows from the standard parallels in
+                # the Snyder formulation the warp uses; gate only when
+                # BOTH parallels contradict the centre flag — parallels
+                # straddling the equator (e.g. -10/30) form a valid
+                # north-aspect cone with n > 0
                 raise ValueError(
                     "GRIB2 Lambert projection-centre flag contradicts "
                     f"the standard parallels ({latin1}, {latin2})"
@@ -620,9 +656,12 @@ def read_grib2_structure(path: str) -> dict:
                 "(minute/hour/day/3h/6h/12h/second only)"
             )
         m["time_unit"] = unit
-        m["forecast_time"] = struct.unpack(
-            ">I", bytes(b[s4 + 18 : s4 + 22])
-        )[0]
+        # octets 19-22 are SIGNED (sign-magnitude, like level_value):
+        # reanalysis pre-initialization offsets carry negative forecast
+        # times — reading '>I' would mislabel them as huge hour counts
+        m["forecast_time"] = _sm(
+            struct.unpack(">I", bytes(b[s4 + 18 : s4 + 22]))[0], 32
+        )
         m["forecast_hours"] = m["forecast_time"] * to_hours
         # first fixed surface (octets 23-28): part of the message key —
         # one parameter at many levels (a GFS pressure-level file) must

@@ -359,7 +359,9 @@ def write_grib2(
                 ">II", int(round(gl["dx"] * 1e3)), int(round(gl["dy"] * 1e3))
             )
             t30 += struct.pack(  # projection centre flag, scanning
-                ">BB", 0x80 if gl["latin1"] < 0 else 0, scan
+                ">BB",
+                0x80 if gl.get("south", gl["latin1"] < 0) else 0,
+                scan,
             )
             t30 += struct.pack(
                 ">II", _sm_enc(int(round(gl["latin1"] * 1e6)), 32),
@@ -463,7 +465,8 @@ def write_grib2(
         t40 = struct.pack(
             ">BBBBBHBBI", cat, num, 2, 0, 0, 0, 0,
             int(f.get("time_unit", 1)),  # code table 4.4
-            int(f.get("forecast_time", 0)),
+            # signed (sign-magnitude): reanalysis offsets can be < 0
+            _sm_enc(int(f.get("forecast_time", 0)), 32),
         )
         t40 += struct.pack(
             ">BBIBBI",
@@ -526,6 +529,8 @@ def write_grib1(
     dj: float = 0.5,
     j_positive: bool = False,
     grid: dict | None = None,
+    nv_params: list[float] | None = None,
+    incr_given: bool = True,
 ) -> str:
     """GRIB edition-1 fixture writer (IS + PDS + GDS [+BMS] + BDS +
     '7777'): simple packing, IBM370 reference value, 3-byte
@@ -604,17 +609,29 @@ def write_grib1(
                 (lat_last, lat1) if j_positive else (lat1, lat_last)
             )
         lon_last = lon1 + di * (ni - 1)
-        pv = 33 if reduced else 255
-        gds = bytes([0, pv, drt1])
+        nv = len(nv_params) if nv_params else 0
+        pv = 33 if (reduced or nv) else 255
+        gds = bytes([nv, pv, drt1])
         gds += (0xFFFF if reduced else ni).to_bytes(2, "big")
         gds += nj.to_bytes(2, "big")
         gds += sm3(la1v) + sm3(lon1)
-        gds += bytes([0x80])  # resolution flags: directions given
+        # resolution/component flags: bit 1 = direction increments given
+        gds += bytes([0x80 if incr_given else 0x00])
         gds += sm3(la2v) + sm3(lon_last)
-        gds += (0xFFFF if reduced else int(round(di * 1e3))).to_bytes(2, "big")
-        gds += dj_slot.to_bytes(2, "big")
+        di_slot = (0xFFFF if (reduced or not incr_given)
+                   else int(round(di * 1e3)))
+        gds += di_slot.to_bytes(2, "big")
+        if drt1 == 0 and not incr_given:
+            gds += (0xFFFF).to_bytes(2, "big")
+        else:
+            gds += dj_slot.to_bytes(2, "big")
         gds += bytes([0x40 if j_positive else 0])
         gds += b"\x00" * 4  # reserved octets 29-32
+        if nv:  # vertical-coordinate parameter list precedes PL
+            gds += b"".join(
+                float_to_ibm32(float(v)).to_bytes(4, "big")
+                for v in nv_params
+            )
         if reduced:
             pl_scan = pl[::-1] if j_positive else pl
             gds += b"".join(int(v).to_bytes(2, "big") for v in pl_scan)

@@ -1546,3 +1546,114 @@ def test_grib1_decimal_scale_factor(tmp_path):
     rd = range_reader(path)
     got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
     np.testing.assert_allclose(got, data, atol=1e-9)
+
+
+def test_grib1_reduced_pl_after_vertical_coords(tmp_path):
+    """ADVICE r11 (medium): ECMWF model-level reduced-Gaussian GRIB1
+    carries NV vertical-coordinate parameters BEFORE the PL list —
+    PV points at the VC floats, the row counts start at PV + 4*NV.
+    Pre-fix the reader decoded IBM-float bytes as row counts."""
+    from raquet_spark.sources.io import range_reader
+    from raquet_spark.testing_grib2 import write_grib1
+
+    n_par = 8
+    nj = 2 * n_par
+    pl = _octa_pl(n_par)
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = (np.arange(pl[j]) * 5 + j * 7) % 83
+    path = str(tmp_path / "g1_nv.grib1")
+    write_grib1(
+        path, [{"data": rect, "forecast_time": 0}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
+        # a hybrid-level A/B coefficient list, IBM370-encoded
+        nv_params=[0.0, 2000.0, 0.5, 0.998],
+    )
+    m = read_grib2_structure(path)["messages"][0]
+    assert m["row_ni"] == pl and m["npoints"] == sum(pl)
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    ok = ~np.isnan(rect)
+    np.testing.assert_array_equal(got[ok], rect[ok])
+
+
+def test_grib1_increments_not_given(tmp_path):
+    """ADVICE r11: resolution flag bit 1 clear stores 0xFFFF in the
+    Di/Dj slots ('direction increments not given') — the increments
+    must be derived from the corner coordinates, not decoded as
+    65.535 degrees."""
+    from raquet_spark.sources.io import range_reader
+    from raquet_spark.testing_grib2 import write_grib1
+
+    nj, ni = 12, 18
+    data = _field(1, nj, ni, 3)
+    path = str(tmp_path / "g1_noincr.grib1")
+    write_grib1(path, [{"data": data, "forecast_time": 0}],
+                lat1=52.0, lon1=-8.0, di=0.25, dj=0.5,
+                incr_given=False)
+    m = read_grib2_structure(path)["messages"][0]
+    assert m["di"] == pytest.approx(0.25, abs=1e-4)
+    assert m["dj"] == pytest.approx(0.5, abs=1e-4)
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_grib2_negative_forecast_time(tmp_path):
+    """ADVICE r11: template 4.x forecast time (octets 19-22) is
+    SIGNED sign-magnitude — a reanalysis pre-initialization offset of
+    -6 h must not decode as a ~4-billion hour count."""
+    nj, ni = 6, 9
+    path = str(tmp_path / "neg_ft.grib2")
+    write_grib2(
+        path,
+        [{"data": _field(1, nj, ni, 0), "forecast_time": -6,
+          "param": (0, 0)}],
+    )
+    m = read_grib2_structure(path)["messages"][0]
+    assert m["forecast_time"] == -6
+    assert m["forecast_hours"] == -6.0
+
+
+def test_lambert_parallels_straddling_equator(spark, tmp_path):
+    """ADVICE r11: standard parallels straddling the equator (e.g.
+    -10/30) form a valid north-aspect cone (n > 0); the centre-flag
+    sanity check must only reject when BOTH parallels contradict the
+    flag."""
+    from raquet_spark.sources.grib2 import lcc_forward
+    from raquet_spark.sources.tiff_reader import lcc_inverse
+
+    proj = {"type": "lcc", "sp1": -10.0, "sp2": 30.0, "lat0": 10.0,
+            "lon0": -60.0, "fe": 0.0, "fn": 0.0, "a": 6371229.0,
+            "inv_f": float("inf")}
+    lo1, la1 = lcc_inverse(proj, -120_000.0, -90_000.0)
+    nj, ni, dx = 10, 14, 5000.0
+    data = _field(1, nj, ni, 4)
+    path = str(tmp_path / "lcc_straddle.grib2")
+    write_grib2(
+        path, [{"data": data, "forecast_time": 0}],
+        grid={"type": "lambert", "la1": la1, "lo1": lo1,
+              "dx": dx, "dy": dx, "lad": 10.0, "lov": -60.0,
+              "latin1": -10.0, "latin2": 30.0, "shape": 6,
+              "south": False},
+    )
+    m = read_grib2_structure(path)["messages"][0]
+    assert m["proj"]["sp1"] == pytest.approx(-10.0)
+    assert m["proj"]["sp2"] == pytest.approx(30.0)
+    fx, fy = lcc_forward(m["proj"], m["lo1"], m["la1"])
+    assert abs(fx - (-120_000.0)) < 2.0 and abs(fy - (-90_000.0)) < 2.0
+
+    # a genuinely contradictory cone (both parallels south, flag
+    # claiming north) still raises
+    bad = str(tmp_path / "lcc_bad.grib2")
+    write_grib2(
+        bad, [{"data": data, "forecast_time": 0}],
+        grid={"type": "lambert", "la1": la1, "lo1": lo1,
+              "dx": dx, "dy": dx, "lad": -45.0, "lov": -60.0,
+              "latin1": -30.0, "latin2": -50.0, "shape": 6,
+              "south": False},
+    )
+    with pytest.raises(ValueError, match="centre flag contradicts"):
+        read_grib2_structure(bad)
