@@ -1615,6 +1615,23 @@ def _resampled_pixels(
         )
     n_bands = info["n_bands"]
     band_cols = [f"band_{i + 1}" for i in range(n_bands)]
+    # the importer knows the exact source size at plan time — decide
+    # the gather-join strategy explicitly instead of letting Catalyst
+    # size-estimate the mapInPandas decode output (it propagates the
+    # tiny segment-list size, so the threshold would broadcast ANY
+    # source, including one too large to hash-build on the driver):
+    # broadcast when the raw source fits ~100 MB, pin a shuffled hash
+    # join above it (partitioned co-location, no driver funnel)
+    src_bytes = (
+        info["width"] * info["height"] * n_bands
+        * np.dtype(info["dtype"]).itemsize
+    )
+    broadcast_src = src_bytes <= 100 * (1 << 20)
+
+    def _hinted(src: DataFrame) -> DataFrame:
+        return F.broadcast(src) if broadcast_src else src.hint(
+            "shuffle_hash"
+        )
     if resampling == "near":
         # GDAL's nearest semantics: the source CELL CONTAINING each
         # target center (inverse mapping) — DENSE output even when the
@@ -1660,9 +1677,9 @@ def _resampled_pixels(
                 f"sxn >= 0 AND sxn < {info['width']} "
                 f"AND syn >= 0 AND syn < {info['height']}"
             )
-        src = px.selectExpr(
+        src = _hinted(px.selectExpr(
             "sx AS sxn", "sy AS syn", *extra_cols, *band_cols
-        )
+        ))
         return cells.join(src, ["sxn", "syn"]).select(
             "gx", "gy", *extra_cols, *band_cols
         )
@@ -1691,7 +1708,9 @@ def _resampled_pixels(
             f" * {_kernel_sql('fsy - (syn + 0.5D)', resampling)} AS w",
         )
     )
-    src = px.selectExpr("sx AS sxn", "sy AS syn", *extra_cols, *band_cols)
+    src = _hinted(
+        px.selectExpr("sx AS sxn", "sy AS syn", *extra_cols, *band_cols)
+    )
     joined = contrib.join(src, ["sxn", "syn"])
     nodata = info["nodata"]
     aggs = []

@@ -244,6 +244,83 @@ def minhash_dedup_process_batch(
         banded.unpersist()
 
 
+def compact_minhash_index(
+    spark, index_dir: str, keep_last: int = 1
+) -> int:
+    """Fold old ``batch=<id>`` partitions of a streaming-dedup band
+    index into ONE partition, bounding the file-listing and small-file
+    cost a 24/7 ingest guard otherwise accrues (one parquet dir per
+    micro-batch, ALL of them read by every probe join).
+
+    Folds every batch partition except the newest ``keep_last``
+    (default 1: only the most recent batch can be replayed by
+    foreachBatch's at-least-once delivery, and a replay overwrites its
+    OWN partition — folding it would let that overwrite clobber the
+    compacted rows). The folded rows keep the LARGEST folded batch id
+    as their partition value, so the probe's ``batch < batch_id``
+    replay filter sees exactly the same rows before and after
+    (pytest-pinned).
+
+    Crash-safe ordering: the compacted partition is written to an
+    underscore-prefixed temp dir first (invisible to Spark's parquet
+    reader), source partitions are removed, then the temp dir is
+    renamed into place; an interrupted run is finished by the next
+    call. Returns the number of partitions folded (0 = nothing to do).
+
+    100 TB note: this is the maintenance pass of the
+    offline-index/online-probe split (same shape as the E45 ANN index)
+    — run it from a scheduled job, not inside foreachBatch, so ingest
+    latency never pays for it."""
+    import os
+    import re
+    import shutil
+
+    tmp = os.path.join(index_dir, "_compact_tmp")
+    done_marker = os.path.join(tmp, "_COMPACT_TARGET")
+
+    def batch_dirs():
+        out = []
+        for name in os.listdir(index_dir):
+            mm = re.fullmatch(r"batch=(\d+)", name)
+            if mm:
+                out.append((int(mm.group(1)), os.path.join(index_dir, name)))
+        return sorted(out)
+
+    def finish(target: int) -> None:
+        # marker still rides inside tmp, so a crash at ANY point here
+        # re-enters this same path on the next call; the final marker
+        # removal happens after the rename (Spark ignores _-prefixed
+        # files, so a stray marker in the live dir is harmless)
+        dest = os.path.join(index_dir, f"batch={target}")
+        for bid, path in batch_dirs():
+            if bid <= target:
+                shutil.rmtree(path)
+        os.rename(tmp, dest)
+        os.remove(os.path.join(dest, "_COMPACT_TARGET"))
+
+    # finish an interrupted previous run: temp dir fully written
+    # (marker present) but sources not yet removed / not yet renamed
+    if os.path.exists(done_marker):
+        with open(done_marker) as fh:
+            finish(int(fh.read().strip()))
+    elif os.path.exists(tmp):  # interrupted mid-write: temp is garbage
+        shutil.rmtree(tmp)
+
+    parts = batch_dirs()
+    if len(parts) <= keep_last + 1:
+        return 0  # already compact (a single folded dir counts)
+    fold = parts[: len(parts) - keep_last]
+    target = fold[-1][0]
+    folded = spark.read.parquet(*[p for _, p in fold])
+    if "batch" in folded.columns:  # partition-col inference guard:
+        folded = folded.drop("batch")  # the dir name carries the value
+    folded.write.mode("overwrite").parquet(tmp)
+    with open(done_marker, "w") as fh:
+        fh.write(str(target))
+    finish(target)
+    return len(fold)
+
+
 def streaming_minhash_dedup(
     stream: DataFrame,
     index_dir: str,

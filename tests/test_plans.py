@@ -345,6 +345,12 @@ def test_bilinear_import_three_shuffles_no_bnlj(spark):
     assert no_nested_loops(tiles)
     assert no_python_udfs(tiles)
     assert count_exchanges(tiles) <= 3
+    # the ~25 MB n37 source fits the explicit warp broadcast bound —
+    # the gather must be a BroadcastHashJoin regardless of the session
+    # autoBroadcastJoinThreshold (VERDICT r11 #2)
+    from raquet_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(tiles)
 
 
 def test_netcdf_import_two_shuffles(spark, tmp_path):
@@ -481,3 +487,40 @@ def test_dsir_bucket_join_broadcasts(spark, qs):
 
     plan = executed_plan(qs["dsir_weights"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin [bucket" in plan
+
+
+def test_import_warp_gather_broadcasts_by_source_size(spark):
+    """VERDICT r11 #2: the warp gather join must not inherit the
+    session autoBroadcastJoinThreshold (the 10 MB TPC-H tuning
+    silently de-broadcast it) — the importer knows the exact source
+    size at plan time and passes F.broadcast(src) under ~100 MB,
+    keeping the shuffle path above it."""
+    from raquet_spark.sources.tiff_reader import _resampled_pixels
+
+    def plan_for(width, height):
+        px = spark.range(16).selectExpr(
+            "CAST(id % 4 AS BIGINT) AS sx",
+            "CAST(id DIV 4 AS BIGINT) AS sy",
+            "CAST(id AS DOUBLE) AS band_1",
+        )
+        info = {
+            "transform": (0.0, 10.0, 0.0, 0.0, 0.0, -10.0),
+            "epsg": 3857, "n_bands": 1, "width": width,
+            "height": height, "nodata": None, "dtype": "float64",
+        }
+        df = _resampled_pixels(
+            spark, px, info, z=2, block_size=16, resampling="bilinear",
+            tile_ext=(0, 0, 0, 0),
+        )
+        # the hint is the contract: the physical join of this tiny
+        # fixture broadcasts either way via the session threshold
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    small = plan_for(4, 4)  # 4x4 source: always broadcast
+    assert "strategy=broadcast" in small
+    # an ~800 MB source must NOT be hash-built on the driver — and
+    # Catalyst's own estimate of the decode output is garbage-small,
+    # so the shuffle path must be pinned, not merely un-hinted
+    big = plan_for(20_000, 20_000 // 4)
+    assert "strategy=broadcast" not in big
+    assert "strategy=shuffle_hash" in big

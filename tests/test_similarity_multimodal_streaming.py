@@ -1063,3 +1063,103 @@ def test_streaming_minhash_dedup_replay_idempotent(spark, tmp_path):
     # must not see batches > 0 through the probe either
     minhash_dedup_process_batch(b0, 0, idx_dir, pairs_dir)
     assert snapshot() == first
+
+
+def test_minhash_index_compaction(spark, tmp_path):
+    """VERDICT r11 #7: a 24/7 ingest guard accrues one band-index
+    parquet dir per micro-batch; compaction folds old batches into one
+    partition. Probe results must be IDENTICAL pre/post (same pairs,
+    same is_dup_of_seen flags), the file count bounded, the replayable
+    newest batch left untouched, and an interrupted fold finished by
+    the next call."""
+    import os
+
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import (
+        compact_minhash_index,
+        minhash_dedup_process_batch,
+    )
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(12).select("doc_id", "text").collect()
+    )
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    # 5 micro-batches of 2 docs each
+    for i in range(5):
+        b = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in base[2 * i : 2 * i + 2]],
+            "doc_id long, text string",
+        )
+        minhash_dedup_process_batch(b, i, idx_dir, pairs_dir)
+
+    def probe_pairs(new_batch_id):
+        # a NEW batch carrying near-dups of batch-0 and batch-3 docs:
+        # its emitted pairs depend on the whole index
+        nb = spark.createDataFrame(
+            [(90001, base[0]["text"] + " tail"),
+             (90002, base[6]["text"] + " tail")],
+            "doc_id long, text string",
+        )
+        probe_dir = str(tmp_path / f"probe_pairs_{new_batch_id}")
+        minhash_dedup_process_batch(nb, new_batch_id, idx_dir, probe_dir)
+        return sorted(
+            (r["id_a"], r["id_b"], r["is_dup_of_seen"])
+            for r in spark.read.parquet(probe_dir).collect()
+        )
+
+    def index_rows():
+        # the batch partition value changes on fold BY DESIGN (folded
+        # rows take the largest folded id); the logical band rows and
+        # the probe's replay-filter semantics are what must not change
+        df = spark.read.parquet(idx_dir).drop("batch")
+        return sorted(tuple(r) for r in df.collect())
+
+    before_pairs, before_idx = probe_pairs(100), index_rows()
+    assert any(dup for _, _, dup in before_pairs)
+
+    n = compact_minhash_index(spark, idx_dir, keep_last=1)
+    # 6 batch dirs existed (0-4 + probe batch 100); all but the newest fold
+    assert n == 5
+    dirs = [d for d in os.listdir(idx_dir) if d.startswith("batch=")]
+    assert sorted(dirs) == ["batch=100", "batch=4"]
+    assert index_rows() == before_idx  # same logical rows...
+    after_pairs = probe_pairs(101)     # ...and identical probe output
+    assert after_pairs == before_pairs
+
+    # the 101-probe added its own batch dir; fold it, then the index
+    # is compact — a further call is a no-op
+    assert compact_minhash_index(spark, idx_dir, keep_last=1) == 2
+    assert compact_minhash_index(spark, idx_dir, keep_last=1) == 0
+
+    # crash-recovery: simulate an interrupt AFTER the temp dir and
+    # marker were written but before sources were removed — the next
+    # call must finish the fold, not double-count
+    for i in range(5, 8):
+        b = spark.createDataFrame(
+            [(base[2 * (i - 5)]["doc_id"] + 80000 + i,
+              base[2 * (i - 5)]["text"] + " z")],
+            "doc_id long, text string",
+        )
+        minhash_dedup_process_batch(b, 200 + i, idx_dir, pairs_dir)
+    rows_pre = index_rows()
+    import re
+    import shutil
+
+    parts = sorted(
+        (int(re.fullmatch(r"batch=(\d+)", d).group(1)), d)
+        for d in os.listdir(idx_dir) if d.startswith("batch=")
+    )
+    fold = parts[:-1]
+    tmp = os.path.join(idx_dir, "_compact_tmp")
+    folded = spark.read.parquet(*[os.path.join(idx_dir, d) for _, d in fold])
+    folded.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_COMPACT_TARGET"), "w") as fh:
+        fh.write(str(fold[-1][0]))
+    # "crash" here: sources still present alongside the finished temp.
+    # the next compaction call first completes the interrupted fold
+    compact_minhash_index(spark, idx_dir, keep_last=1)
+    assert index_rows() == rows_pre
+    dirs = [d for d in os.listdir(idx_dir) if d.startswith("batch=")]
+    assert len(dirs) <= 2 and not os.path.exists(tmp)
+    _ = shutil
