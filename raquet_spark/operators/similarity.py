@@ -228,6 +228,7 @@ def ann_lsh(
     seed: int = 7,
     dim: int = 64,
     n_rows: int | None = None,
+    max_bucket_rows: int | None = 8 * TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching LSH buckets.
 
@@ -271,6 +272,44 @@ def ann_lsh(
 
     qb_ = with_buckets(q, "_qv")
     cb = with_buckets(c, "_cv")
+    if max_bucket_rows is not None:
+        # bucket-occupancy cap (SCALE_PROBE r11/r12: pair volume is
+        # sum over buckets of queries x candidates, and real bucket
+        # sizes are SKEWED — the heavy tail made the probe line grow
+        # ~12x on 8x data even though MEAN occupancy is held constant
+        # by derive_lsh_bits). Down-sample only the oversized buckets
+        # with a deterministic per-id hash threshold: the exceeding
+        # list is tiny (heavy hitters only) so it broadcasts, the
+        # filter is map-side, and expected per-bucket candidates are
+        # bounded, making pair volume ~linear in the corpus. Recall on
+        # mega-buckets degrades gracefully — a bucket holding >>target
+        # rows is a low-selectivity hash region, and each table is an
+        # independent chance to recover the true neighbor. Pass None
+        # for exhaustive in-bucket comparison.
+        # sizes come from a SAMPLE, not a second full signature pass
+        # (measured: the full-pass variant re-ran the Arrow matmul on
+        # the whole corpus, +25% e2e when no bucket was oversized).
+        # frac puts ~32 expected sample rows on a bucket AT the cap, so
+        # heavy hitters are detected reliably while the sample cost
+        # stays a few % of the main scan at any corpus size.
+        frac = min(1.0, 32.0 / max_bucket_rows)
+        oversized = (
+            with_buckets(c.sample(frac, seed=seed), "_cv")
+            .groupBy("_t", "_sig")
+            .agg((F.count(F.lit(1)) / F.lit(frac)).alias("_bn"))
+            .where(F.col("_bn") > max_bucket_rows)
+        )
+        cb = (
+            cb.join(F.broadcast(oversized), ["_t", "_sig"], "left")
+            .where(
+                F.col("_bn").isNull()
+                | (
+                    F.pmod(F.xxhash64("cand_id", F.lit(seed)), F.lit(1_000_000))
+                    < F.lit(1_000_000.0) * max_bucket_rows / F.col("_bn")
+                )
+            )
+            .drop("_bn")
+        )
     matches = cb.join(qb_, ["_t", "_sig"]).where(
         F.col("query_id") != F.col("cand_id")
     )

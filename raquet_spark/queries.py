@@ -3072,7 +3072,15 @@ def _cached_grib2_grids(spark: SparkSession) -> str:
             lon1=0.0, di=360.0 / c["ni"],
             grid={"type": "gauss", "n": 32, "row0": 7},
         )
-        paths = {"rot": rot, "gau": gau}
+        rotg = os.path.join(d, "rotg.grib2")
+        write_grib2(
+            rotg, fields({"packing": "complex_diff", "sd_order": 1,
+                          "group_len": 17}),
+            lat1=6.5, lon1=-8.0, di=0.5, dj=0.5, j_positive=True,
+            grid={"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0,
+                  "angle": 25.0},
+        )
+        paths = {"rot": rot, "gau": gau, "rotg": rotg}
         _RASTER_CACHE[key] = paths
     return paths
 
@@ -3103,6 +3111,18 @@ def grib2_rotated_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan normalization (j_positive file), 5.3 packing + bitmap ride
     along — per-step stats vs the closed form."""
     return _grib2_grid_stats(spark, "rot")
+
+
+def grib2_rotangle_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 rotated lat/lon with a NONZERO angle of rotation
+    (template 3.1 octets 73-76 — HARMONIE-style grids; the r11 typed
+    gate is gone): polgam parses as the +gam rotated-longitude
+    substitution of the published COSMO phirot2phi/rlarot2rla
+    formulation, conversion equivalence (angle=g file == angle=0 file
+    with shifted rotated longitudes, byte-identical tiles) is pinned
+    in tests/test_grib2.py; 5.3(order 1) packing + bitmap ride along —
+    per-step stats vs the closed form."""
+    return _grib2_grid_stats(spark, "rotg")
 
 
 def grib2_gaussian_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:

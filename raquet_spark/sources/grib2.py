@@ -514,12 +514,6 @@ def read_grib2_structure(path: str) -> dict:
                 lat_sp = _sm(struct.unpack_from(">I", raw3, 58)[0], 32) / 1e6
                 lon_sp = _sm(struct.unpack_from(">I", raw3, 62)[0], 32) / 1e6
                 (angle,) = struct.unpack_from(">f", raw3, 66)
-                if angle != 0.0:
-                    raise NotImplementedError(
-                        f"GRIB2 rotated lat/lon angle of rotation "
-                        f"{angle} (only 0; no in-sandbox reference to "
-                        "pin the extra-rotation sign convention)"
-                    )
                 pole_lon = lon_sp - 180.0
                 if pole_lon <= -180.0:
                     pole_lon += 360.0
@@ -528,9 +522,17 @@ def read_grib2_structure(path: str) -> dict:
                     proj={
                         # true coords of the rotated NORTH pole (the
                         # CDO/COSMO convention; GRIB states the south
-                        # pole of projection)
+                        # pole of projection). pole_gam = the angle of
+                        # rotation about the rotated axis (COSMO
+                        # polgam): in the published phirot2phi /
+                        # rlarot2rla formulation the polgam terms are
+                        # the angle-sum identity, i.e. it shifts the
+                        # ROTATED longitude by +polgam before the pole
+                        # rotation — pinned in tests/test_grib2.py via
+                        # an independent rotation-matrix oracle
                         "type": "rotll", "units": "deg",
                         "pole_lat": -lat_sp, "pole_lon": pole_lon,
+                        "pole_gam": float(angle),
                     },
                 )
         elif gdt == 10:  # Mercator (NOAA coastal/marine grids)

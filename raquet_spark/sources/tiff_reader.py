@@ -955,9 +955,13 @@ def _rotll_constants(p: dict) -> tuple[float, float, float]:
 
 def rotll_inverse(p: dict, rlon: float, rlat: float) -> tuple[float, float]:
     """Rotated lon/lat degrees → TRUE lon/lat degrees (the CDO/COSMO
-    phirot2phi + rlarot2rla formulation)."""
+    phirot2phi + rlarot2rla formulation, incl. polgam: the published
+    cos(rla)cos(gam) − sin(rla)sin(gam) terms are cos(rla + gam), so a
+    nonzero angle of rotation shifts the rotated longitude by +gam
+    before the pole rotation)."""
     zsinpol, zcospol, zlampol = _rotll_constants(p)
-    zphis, zrlas = math.radians(rlat), math.radians(rlon)
+    zphis = math.radians(rlat)
+    zrlas = math.radians(rlon + p.get("pole_gam", 0.0))
     ct = math.cos(zphis)
     t = -zsinpol * math.cos(zrlas) * ct + zcospol * math.sin(zphis)
     phi = math.asin(
@@ -1262,6 +1266,12 @@ def _forward_steps(info: dict) -> tuple[list[tuple[str, str]], str, str]:
             f"degrees(atan2(-sin(_zrla) * _cp, "
             f"{zcospol} * _sp - {zsinpol} * _cp * cos(_zrla)))"
         )
+        gam = proj.get("pole_gam", 0.0)
+        if gam:
+            # nonzero angle of rotation: the rotated longitude of the
+            # gam system is the no-gam result minus gam (the inverse
+            # of phirot2phi's rla + gam substitution), wrapped
+            x = f"(pmod({x} - {gam} + 540.0D, 360.0D) - 180.0D)"
         y = (
             f"degrees(asin(greatest(-1.0D, least(1.0D, "
             f"{zsinpol} * _sp + {zcospol} * _cp * cos(_zrla)))))"
