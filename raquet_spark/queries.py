@@ -6055,6 +6055,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "grib2_lambert_stats": (grib2_lambert_stats_spark, grib2_lambert_stats_oracle),
     "grib2_mvm_stats": (grib2_mvm_stats_spark, grib2_mvm_stats_oracle),
     "grib2_rotated_stats": (grib2_rotated_stats_spark, grib2_grid_stats_oracle),
+    "grib2_rotangle_stats": (grib2_rotangle_stats_spark, grib2_grid_stats_oracle),
     "grib2_gaussian_stats": (grib2_gaussian_stats_spark, grib2_grid_stats_oracle),
     "grib2_reduced_stats": (grib2_reduced_stats_spark, grib2_reduced_stats_oracle),
     "grib1_ingest_stats": (grib1_ingest_stats_spark, grib1_ingest_stats_oracle),

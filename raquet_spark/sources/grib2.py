@@ -411,20 +411,35 @@ def read_grib2_structure(path: str) -> dict:
             )
         t = s3 + 14  # template body
 
-        def check_scan(scan: int) -> None:
+        def check_scan(scan: int, stagger_ok: bool = False) -> None:
             # bits 1-4 (0xF0) all decode now: -i, ±j, j-consecutive
-            # (column-major), boustrophedon; bits 5+ (staggered-grid
-            # offsets, template 3.4 revisions) stay typed gates
-            if scan & 0x0F:
+            # (column-major), boustrophedon. Bits 5-7 (staggered-grid
+            # half-cell offsets: odd/even rows by Di/2, all points by
+            # Dj/2 — Arakawa-staggered model output) are pure
+            # GEOLOCATION adjustments handled by the warp on lat/lon
+            # grids; bit 8 (rows alternate Ni/Ni-1 points) changes the
+            # point COUNT and stays a typed gate, as does stagger on
+            # projected/Gaussian templates.
+            if scan & 0x01 or (scan & 0x0E and not stagger_ok):
                 raise NotImplementedError(
                     f"GRIB2 scanning-mode offset bits 0x{scan & 0x0F:02x} "
-                    "(staggered grids)"
+                    "(alternating-Ni rows / stagger on this template)"
+                )
+            if scan & 0x0E and scan & 0x30:
+                raise NotImplementedError(
+                    "GRIB2 staggered offsets combined with j-consecutive"
+                    "/boustrophedon scanning (row parity is ambiguous)"
                 )
             m.update(
                 i_negative=bool(scan & 0b10000000),
                 j_positive=bool(scan & 0b01000000),
                 col_major=bool(scan & 0b00100000),
                 boustro=bool(scan & 0b00010000),
+                # WMO rows are 1-based: "odd rows" = scan rows 1,3,…
+                # = 0-based scan indices 0,2,…
+                stagger_odd=bool(scan & 0b00001000),
+                stagger_even=bool(scan & 0b00000100),
+                stagger_j=bool(scan & 0b00000010),
             )
 
         if gdt in (0, 1, 40):
@@ -440,7 +455,7 @@ def read_grib2_structure(path: str) -> dict:
             lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
             di = struct.unpack_from(">I", raw3, 49)[0] / 1e6
             scan = raw3[57]
-            check_scan(scan)
+            check_scan(scan, stagger_ok=(gdt == 0))
             m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2,
                      lon2=lon2, di=di, scan=scan,
                      j_positive=bool(scan & 0b01000000))
@@ -765,11 +780,10 @@ def read_grib2_structure(path: str) -> dict:
         if s6 is not None:
             ind = b[s6[0] + 5]
             if ind == 0:
-                if m.get("mvm", 0):
-                    raise NotImplementedError(
-                        "GRIB2 bitmap combined with embedded "
-                        "missing-value management"
-                    )
+                # mvm may legally combine with a bitmap: the packed
+                # stream covers bitmap-PRESENT points, embedded markers
+                # flag further missing among them; decode composes the
+                # two (mvm NaNs first, bitmap scatter after)
                 m["bitmap_off"] = s6[0] + 6
                 m["bitmap_len"] = s6[1] - 6
                 prev_bitmap = (m["bitmap_off"], m["bitmap_len"])
@@ -781,11 +795,6 @@ def read_grib2_structure(path: str) -> dict:
                     raise ValueError(
                         "GRIB2 bitmap indicator 254 with no previously "
                         "defined bitmap in the file"
-                    )
-                if m.get("mvm", 0):
-                    raise NotImplementedError(
-                        "GRIB2 bitmap combined with embedded "
-                        "missing-value management"
                     )
                 m["bitmap_off"], m["bitmap_len"] = prev_bitmap
             elif ind != 255:
@@ -1009,6 +1018,11 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     row_ni = m.get("row_ni_scan")  # reduced grid: ragged rows
     total = sum(row_ni) if row_ni is not None else ni * nj
     if bitmap is not None:
+        if len(bitmap) * 8 < total:
+            raise ValueError(
+                f"GRIB bitmap carries {len(bitmap) * 8} bits for "
+                f"{total} grid points"
+            )
         mask = np.unpackbits(np.frombuffer(bitmap, dtype="u1"))[:total] == 1
         npresent = int(mask.sum())
     else:
@@ -1198,41 +1212,11 @@ def grib2_pixel_table(
     )
 
 
-def grib2_to_raquet(
-    spark,
-    path: str,
-    param: tuple[int, int] | None = None,
-    level: tuple | None = None,
-    zoom: int | None = None,
-    block_size: int = 256,
-    compression: str | None = "gzip",
-    stats: bool = True,
-    resampling: str = "near",
-    nodata: float = -9999.0,
-):
-    """GRIB2 → RaQuet tiles on the mercator grid, forecast steps as
-    ``time_cf`` — the same single-warp-shuffle + single-tiling-shuffle
-    pipeline as :func:`netcdf.netcdf_to_raquet` (the two formats carry
-    the same regular-lat/lon + time-steps shape)."""
-    from pyspark.sql import functions as F
-
-    from raquet_spark.core.metadata import BandMeta, build_metadata
-    from raquet_spark.operators.tile_stats import with_tile_stats
-    from raquet_spark.operators.tiling import from_pixel_table
-    from raquet_spark.sources.tiff_reader import (
-        _lonlat_corners,
-        _pick_zoom,
-        _resampled_pixels,
-        _tile_aligned_bounds,
-    )
-
-    g = read_grib2_structure(path)
-    sel = select_messages(g["messages"], param, level)
-    m0 = sel[0]
-    if param is None:
-        param = (m0["param_category"], m0["param_number"])
-    if level is None:
-        level = (m0["level_type"], m0["level_value"])
+def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
+    """The tiff_reader-shaped ``info`` dict (width/height/transform/
+    projection/stagger) for one selected GRIB message — the grid
+    normalization the warp consumes, shared by the conversion path
+    and the tests that pin its geolocation bookkeeping."""
     ni, nj = m0["ni"], m0["nj"]
     # grid rows are normalized north-first by decode_message
     info = {
@@ -1323,9 +1307,34 @@ def grib2_to_raquet(
             )
     else:
         north = max(m0["lat1"], m0["lat2"])
+        if m0.get("stagger_j"):
+            # flag-table 3.4 bit 7: every point offset by Dj/2 in the
+            # scan +j direction — a uniform shift, folded into the
+            # affine anchor
+            north += m0["dj"] / 2.0 if m0.get("j_positive") else -m0["dj"] / 2.0
         w_lon = m0["lon1"] - (
             (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
         )
+        if m0.get("stagger_odd") or m0.get("stagger_even"):
+            # bits 5/6: odd/even SCAN rows (1-based; scan row 1 = 0-based
+            # index 0) offset by Di/2 in the scan +i direction. In the
+            # normalized frame (row 0 north, col 0 west) this is a
+            # per-row-parity half-sample x shift the warp applies when
+            # picking the containing source cell.
+            f = -0.5 if m0.get("i_negative") else 0.5
+
+            def _applies(j: int) -> bool:
+                scan_idx = (nj - 1 - j) if m0.get("j_positive") else j
+                odd_row = scan_idx % 2 == 0  # 1-based odd
+                return bool(
+                    (odd_row and m0.get("stagger_odd"))
+                    or (not odd_row and m0.get("stagger_even"))
+                )
+
+            info["stagger_x"] = (
+                f if _applies(0) else 0.0,
+                f if _applies(1) else 0.0,
+            )
         info.update(
             epsg=4326,
             # lat/lon are CELL CENTERS (as in CF): origin is the outer
@@ -1335,6 +1344,47 @@ def grib2_to_raquet(
                 north + m0["dj"] / 2.0, 0.0, -m0["dj"],
             ),
         )
+    return info
+
+
+def grib2_to_raquet(
+    spark,
+    path: str,
+    param: tuple[int, int] | None = None,
+    level: tuple | None = None,
+    zoom: int | None = None,
+    block_size: int = 256,
+    compression: str | None = "gzip",
+    stats: bool = True,
+    resampling: str = "near",
+    nodata: float = -9999.0,
+):
+    """GRIB2 → RaQuet tiles on the mercator grid, forecast steps as
+    ``time_cf`` — the same single-warp-shuffle + single-tiling-shuffle
+    pipeline as :func:`netcdf.netcdf_to_raquet` (the two formats carry
+    the same regular-lat/lon + time-steps shape)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.core.metadata import BandMeta, build_metadata
+    from raquet_spark.operators.tile_stats import with_tile_stats
+    from raquet_spark.operators.tiling import from_pixel_table
+    from raquet_spark.sources.tiff_reader import (
+        _lonlat_corners,
+        _pick_zoom,
+        _resampled_pixels,
+        _tile_aligned_bounds,
+    )
+
+    g = read_grib2_structure(path)
+    sel = select_messages(g["messages"], param, level)
+    m0 = sel[0]
+    if param is None:
+        param = (m0["param_category"], m0["param_number"])
+    if level is None:
+        level = (m0["level_type"], m0["level_value"])
+    ni, nj = m0["ni"], m0["nj"]
+    # grid rows are normalized north-first by decode_message
+    info = _grib2_info(m0, path, nodata)
     z = zoom if zoom is not None else _pick_zoom(info, block_size, "upper")
     px = grib2_pixel_table(spark, g, param, level)
     # bitmap-missing points were omitted; the warp gather wants dense

@@ -1679,11 +1679,27 @@ def _resampled_pixels(
                 .select("gx", "gy", "sxn", "syn")
             )
         else:
-            cells = tgt.selectExpr(
-                "gx", "gy",
-                "CAST(floor(fsx) AS BIGINT) AS sxn",
-                "CAST(floor(fsy) AS BIGINT) AS syn",
-            ).where(
+            st = info.get("stagger_x")
+            if st:
+                # staggered rows (GRIB flag-table 3.4 bits 5/6): the
+                # containing source cell of a row whose centers are
+                # shifted by `off` samples is floor(fsx - off) — row
+                # parity decides which offset applies
+                sx_e = (
+                    f"CAST(floor(fsx - (CASE WHEN pmod(syn, 2) = 0 "
+                    f"THEN {st[0]}D ELSE {st[1]}D END)) AS BIGINT)"
+                )
+                cells = tgt.selectExpr(
+                    "gx", "gy", "fsx",
+                    "CAST(floor(fsy) AS BIGINT) AS syn",
+                ).selectExpr("gx", "gy", f"{sx_e} AS sxn", "syn")
+            else:
+                cells = tgt.selectExpr(
+                    "gx", "gy",
+                    "CAST(floor(fsx) AS BIGINT) AS sxn",
+                    "CAST(floor(fsy) AS BIGINT) AS syn",
+                )
+            cells = cells.where(
                 f"sxn >= 0 AND sxn < {info['width']} "
                 f"AND syn >= 0 AND syn < {info['height']}"
             )
@@ -1694,6 +1710,11 @@ def _resampled_pixels(
             "gx", "gy", *extra_cols, *band_cols
         )
 
+    if info.get("stagger_x"):
+        raise NotImplementedError(
+            "staggered-grid source with kernel resampling "
+            "(nearest only; re-grid first)"
+        )
     lo, hi = (0, 1) if resampling == "bilinear" else (-1, 2)
     contrib = (
         tgt.selectExpr(

@@ -191,6 +191,7 @@ def write_grib2(
     col_major: bool = False,
     boustro: bool = False,
     grid: dict | None = None,
+    stagger: int = 0,
 ) -> str:
     """``fields``: list of ``{data (2-d np array, row 0 = north; NaN =
     missing → bitmap), forecast_time (int hours), param (category,
@@ -243,6 +244,7 @@ def write_grib2(
             scan = (
                 (0x80 if i_negative else 0) | (0x40 if j_positive else 0)
                 | (0x20 if col_major else 0) | (0x10 if boustro else 0)
+                | (stagger & 0x0F)  # flag-table 3.4 bits 5-8, raw
             )
             flat = lines.ravel()
         has_missing = bool(np.isnan(flat).any())
@@ -271,14 +273,39 @@ def write_grib2(
                 if boustro:
                     sec_l[1::2] = sec_l[1::2, ::-1]
                 misskind[sec_l.ravel() & ~mask] = 2
-            xs_full = np.zeros(len(flat), dtype="i8")
-            xs_full[mask] = xs
+            bmm = f.get("bitmap_miss")
+            if bmm is not None:
+                # mvm COMBINED with a bitmap (legal per the spec): the
+                # bitmap_miss grid's points are absent from the packed
+                # stream entirely (section-6 bitmap), remaining NaNs
+                # are embedded markers within the kept points
+                bmm = np.asarray(bmm, dtype=bool)
+                if j_positive:
+                    bmm = bmm[::-1]
+                if i_negative:
+                    bmm = bmm[:, ::-1]
+                bl = bmm.T.copy() if col_major else bmm.copy()
+                if boustro:
+                    bl[1::2] = bl[1::2, ::-1]
+                keep = ~bl.ravel()
+                flat_k = flat[keep]
+                mask_k = np.isfinite(flat_k)
+                xs_full = np.zeros(len(flat_k), dtype="i8")
+                xs_full[mask_k] = np.round(
+                    (flat_k[mask_k] * (10.0 ** D) - r) / (2.0 ** E)
+                ).astype("i8")
+                misskind = misskind[keep]
+                mask = keep  # section-6 bitmap = bitmap presence
+                has_missing = True
+            else:
+                xs_full = np.zeros(len(flat), dtype="i8")
+                xs_full[mask] = xs
+                has_missing = False  # no section-6 bitmap
             drt = 3 if packing == "complex_diff" else 2
             nbits, extra5, packed = _complex_pack(
                 xs_full, drt, int(f.get("sd_order", 2)),
                 int(f.get("group_len", 16)), misskind, mvm,
             )
-            has_missing = False  # no section-6 bitmap with mvm
         elif packing == "simple":
             drt = 0
             packed = _pack_bits(xs, nbits)

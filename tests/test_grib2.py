@@ -171,11 +171,12 @@ def test_typed_gates(tmp_path):
             patched(lambda b: b.__setitem__(slice(s5 + 9, s5 + 11),
                                             struct.pack(">H", 1)))
         )
-    # bits 1-4 decode since r11; the staggered-offset bits (5+) gate
+    # bits 1-4 decode since r11, stagger bits 5-7 since r12; bit 8
+    # (alternating-Ni rows: changes the point COUNT) stays gated
     with pytest.raises(NotImplementedError, match="offset bits"):
         read_grib2_structure(
             patched(lambda b: b.__setitem__(s3 + 14 + 57,
-                                            raw[s3 + 14 + 57] | 0b00001000))
+                                            raw[s3 + 14 + 57] | 0b00000001))
         )
 
 
@@ -713,18 +714,19 @@ def test_mvm_first_order_diff_and_constant_groups(tmp_path):
     np.testing.assert_array_equal(got[ok], data[ok])
 
 
-def test_mvm_plus_bitmap_rejected(tmp_path):
-    """Mixed bitmap + embedded missing is a typed gate (the spec
-    allows it but no mainstream encoder emits it; silently combining
-    the two masks would risk wrong missing sets)."""
+def test_mvm_plus_bitmap_corrupt_length(tmp_path):
+    """mvm + bitmap COMBINE since r12 (see
+    test_mvm_combined_with_bitmap); a section 6 that CLAIMS a bitmap
+    but carries too few bits for the grid is a typed decode error, not
+    a silent wrong missing set."""
     import struct as _struct
+
+    from raquet_spark.sources.io import range_reader
 
     nj, ni = 4, 8
     data = _field(1, nj, ni, 0)
     data[0, 0] = np.nan
     path = str(tmp_path / "mvm_bm.grib2")
-    # write a legal mvm file, then graft a bitmap section in front of
-    # section 7 by rewriting the message
     write_grib2(
         path,
         [{"data": data, "forecast_time": 0, "packing": "complex",
@@ -737,13 +739,18 @@ def test_mvm_plus_bitmap_rejected(tmp_path):
         (ln,) = _struct.unpack_from(">I", raw, p)
         num = raw[p + 4]
         if num == 6:
-            raw[p + 5] = 0  # claim "bitmap present" (corrupt but
-            break           # enough to hit the typed gate first)
+            raw[p + 5] = 0  # claim "bitmap present" with ZERO bytes
+            break
         p += ln
     bad = str(tmp_path / "mvm_bm_bad.grib2")
     open(bad, "wb").write(bytes(raw))
-    with pytest.raises(NotImplementedError, match="bitmap combined"):
-        read_grib2_structure(bad)
+    m = read_grib2_structure(bad)["messages"][0]
+    rd = range_reader(bad)
+    with pytest.raises(ValueError, match="bitmap carries"):
+        decode_message(
+            rd(m["data_off"], m["data_len"]), m,
+            rd(m["bitmap_off"], m["bitmap_len"]),
+        )
 
 
 def test_rotll_convention_pin_and_roundtrip():
@@ -854,16 +861,17 @@ def test_rotated_latlon_grib(spark, tmp_path):
     src_mean = float(data.mean())
     assert abs(got_mean - src_mean) < max(2.5, abs(src_mean) * 0.2)
 
-    # nonzero rotation angle is a typed gate
-    bad = str(tmp_path / "rot_a.grib2")
+    # nonzero rotation angle parses since r12 (see
+    # test_rotated_nonzero_angle for the convention pins)
+    ang = str(tmp_path / "rot_a.grib2")
     write_grib2(
-        bad, [{"data": data, "forecast_time": 0}],
+        ang, [{"data": data, "forecast_time": 0}],
         lat1=5.0, lon1=-7.0, di=0.5, dj=0.5,
         grid={"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0,
               "angle": 15.0},
     )
-    with pytest.raises(NotImplementedError, match="angle of rotation"):
-        read_grib2_structure(bad)
+    ma = read_grib2_structure(ang)["messages"][0]
+    assert ma["proj"]["pole_gam"] == pytest.approx(15.0)
 
 
 def test_gaussian_latitudes_abscissa_pin():
@@ -1657,3 +1665,189 @@ def test_lambert_parallels_straddling_equator(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="centre flag contradicts"):
         read_grib2_structure(bad)
+
+
+def test_rotated_nonzero_angle(spark, tmp_path):
+    """Template 3.1 with a NONZERO angle of rotation (the r11 typed
+    gate): the published COSMO phirot2phi/rlarot2rla polgam terms are
+    the angle-sum identity — polgam shifts the ROTATED longitude by
+    +gam before the pole rotation. Pinned two ways: (1) rotll_inverse
+    matches a literal transcription of the published polgam formula;
+    (2) an angle=g file converts to BYTE-IDENTICAL tiles as an angle=0
+    file whose rotated longitudes are shifted by +g."""
+    import math
+
+    from raquet_spark.sources.tiff_reader import rotll_inverse
+
+    def published(polphi, pollam, polgam, rlarot, phirot):
+        zsinpol = math.sin(math.radians(polphi))
+        zcospol = math.cos(math.radians(polphi))
+        zlampol = math.radians(pollam)
+        zphis, zrlas = math.radians(phirot), math.radians(rlarot)
+        zgam = math.radians(polgam)
+        crg = math.cos(zrlas) * math.cos(zgam) - math.sin(zrlas) * math.sin(zgam)
+        srg = math.sin(zrlas) * math.cos(zgam) + math.cos(zrlas) * math.sin(zgam)
+        ct = math.cos(zphis)
+        t = -zsinpol * crg * ct + zcospol * math.sin(zphis)
+        phi = math.asin(zsinpol * math.sin(zphis) + zcospol * ct * crg)
+        zarg1 = math.sin(zlampol) * t - math.cos(zlampol) * srg * ct
+        zarg2 = math.cos(zlampol) * t + math.sin(zlampol) * srg * ct
+        return math.degrees(math.atan2(zarg1, zarg2)), math.degrees(phi)
+
+    p = {"pole_lat": 40.0, "pole_lon": -170.0, "pole_gam": 25.0}
+    for rlon, rlat in [(0.0, 0.0), (-12.5, 7.0), (20.0, -15.0), (3.3, 33.0)]:
+        lon_r, lat_r = rotll_inverse(p, rlon, rlat)
+        lon_p, lat_p = published(40.0, -170.0, 25.0, rlon, rlat)
+        assert lon_r == pytest.approx(lon_p, abs=1e-9)
+        assert lat_r == pytest.approx(lat_p, abs=1e-9)
+    # gam=0 regression: the pinned COSMO example still holds
+    p0 = {"pole_lat": 40.0, "pole_lon": -170.0}
+    lon0, lat0 = rotll_inverse(p0, 0.0, 0.0)
+    assert lon0 == pytest.approx(10.0, abs=1e-9)
+    assert lat0 == pytest.approx(50.0, abs=1e-9)
+
+    gam = 25.0
+    nj, ni = 14, 20
+    data = _field(1, nj, ni, 5)
+
+    def tiles_of(path):
+        tiles, _m = grib2_to_raquet(spark, path, block_size=64,
+                                    compression=None)
+        return sorted(
+            (r["block"], bytes(r["band_1"]))
+            for r in tiles.where("block > 0").collect()
+        )
+
+    a = str(tmp_path / "gam.grib2")
+    write_grib2(
+        a, [{"data": data, "forecast_time": 0}],
+        lat1=6.5, lon1=-8.0, di=0.5, dj=0.5,
+        grid={"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0,
+              "angle": gam},
+    )
+    b = str(tmp_path / "nogam.grib2")
+    write_grib2(
+        b, [{"data": data, "forecast_time": 0}],
+        lat1=6.5, lon1=-8.0 + gam, di=0.5, dj=0.5,
+        grid={"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0},
+    )
+    ta, tb = tiles_of(a), tiles_of(b)
+    assert ta and ta == tb
+
+
+def test_mvm_combined_with_bitmap(tmp_path):
+    """Missing-value management COMBINED with a section-6 bitmap (the
+    r11 typed gate; legal per the spec): the packed stream covers
+    bitmap-present points, embedded markers flag further missing among
+    them, and decode composes the two. Also covers bitmap-254 reuse
+    under mvm."""
+    from raquet_spark.sources.io import range_reader
+
+    nj, ni = 12, 18
+    gy, gx = np.mgrid[0:nj, 0:ni]
+    data = ((gx * 7 + gy * 11) % 97 - 20).astype("f8")
+    bitmap_miss = (gx + 3 * gy) % 7 == 0
+    emb_miss = ((gx * 2 + gy) % 9 == 0) & ~bitmap_miss
+    data2 = data + 1.0
+    d1 = data.copy()
+    d1[bitmap_miss | emb_miss] = np.nan
+    d2 = data2.copy()
+    d2[bitmap_miss | emb_miss] = np.nan
+
+    path = str(tmp_path / "mvm_bm.grib2")
+    write_grib2(
+        path,
+        [
+            {"data": d1, "forecast_time": 0, "param": (0, 0),
+             "packing": "complex_diff", "sd_order": 2, "group_len": 13,
+             "mvm": 1, "bitmap_miss": bitmap_miss},
+            # second field reuses the first bitmap (indicator 254)
+            {"data": d2, "forecast_time": 6, "param": (0, 0),
+             "packing": "complex", "group_len": 11, "mvm": 1,
+             "bitmap_miss": bitmap_miss, "bitmap_reuse": True},
+        ],
+        lat1=49.0, lon1=0.0, di=0.5, dj=0.5,
+    )
+    g = read_grib2_structure(path)
+    assert len(g["messages"]) == 2
+    rd = range_reader(path)
+    for m, want in zip(g["messages"], (d1, d2)):
+        assert m["mvm"] == 1 and m["bitmap_off"] is not None
+        bm = rd(m["bitmap_off"], m["bitmap_len"])
+        got = decode_message(rd(m["data_off"], m["data_len"]), m, bm)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        ok = ~np.isnan(want)
+        np.testing.assert_array_equal(got[ok], want[ok])
+
+
+def test_staggered_scan_bits(spark, tmp_path):
+    """Flag-table 3.4 bits 5-7 (the r11 typed gate): half-cell
+    geolocation offsets on lat/lon grids. Pinned via closed-form
+    equivalences — (a) bit 7 (all points offset Dj/2 in scan +j) ==
+    the plain grid shifted half a cell; (b) bits 5+6 together (every
+    row offset Di/2 in scan +i) == the plain grid shifted in lon;
+    (c) the odd/even parity bookkeeping for each (j_positive, nj
+    parity) combination against a direct transcription of the WMO
+    1-based row numbering. Bit 8 (alternating Ni) and stagger with
+    kernel resampling stay typed gates."""
+    from raquet_spark.sources.grib2 import _grib2_info
+
+    nj, ni = 12, 16
+    data = _field(1, nj, ni, 2)
+
+    def tiles_of(path):
+        tiles, _m = grib2_to_raquet(spark, path, block_size=64,
+                                    compression=None)
+        return sorted(
+            (r["block"], bytes(r["band_1"]))
+            for r in tiles.where("block > 0").collect()
+        )
+
+    # (a) bit 7: scan is north->south (j_positive False), +j = south
+    a1 = str(tmp_path / "stj.grib2")
+    write_grib2(a1, [{"data": data, "forecast_time": 0}],
+                lat1=49.0, lon1=0.0, di=0.5, dj=0.5, stagger=0x02)
+    a2 = str(tmp_path / "stj_plain.grib2")
+    write_grib2(a2, [{"data": data, "forecast_time": 0}],
+                lat1=48.75, lon1=0.0, di=0.5, dj=0.5)
+    assert tiles_of(a1) == tiles_of(a2)
+
+    # (b) bits 5+6: every row staggered east by Di/2
+    b1 = str(tmp_path / "stie.grib2")
+    write_grib2(b1, [{"data": data, "forecast_time": 0}],
+                lat1=49.0, lon1=0.0, di=0.5, dj=0.5, stagger=0x0C)
+    b2 = str(tmp_path / "stie_plain.grib2")
+    write_grib2(b2, [{"data": data, "forecast_time": 0}],
+                lat1=49.0, lon1=0.25, di=0.5, dj=0.5)
+    t1 = tiles_of(b1)
+    assert t1 and t1 == tiles_of(b2)
+
+    # (c) parity bookkeeping: stagger_x per north-row parity vs the
+    # WMO numbering (scan row 1 = 0-based scan index 0 = "odd")
+    for jp in (False, True):
+        for njj in (6, 7):
+            for bits, which in ((0x08, "odd"), (0x04, "even")):
+                p = str(tmp_path / f"st_{jp}_{njj}_{which}.grib2")
+                write_grib2(
+                    p, [{"data": _field(1, njj, ni, 1),
+                         "forecast_time": 0}],
+                    lat1=49.0, lon1=0.0, di=0.5, dj=0.5,
+                    j_positive=jp, stagger=bits,
+                )
+                g = read_grib2_structure(p)
+                info = _grib2_info(g["messages"][0])
+                st = info["stagger_x"]
+                for j in (0, 1):
+                    scan_idx = (njj - 1 - j) if jp else j
+                    is_odd_row = scan_idx % 2 == 0
+                    expect = 0.5 if (
+                        (which == "odd") == is_odd_row
+                    ) else 0.0
+                    assert st[j] == expect, (jp, njj, which, j)
+
+    # bit 8 stays gated
+    c = str(tmp_path / "altni.grib2")
+    write_grib2(c, [{"data": data, "forecast_time": 0}],
+                lat1=49.0, lon1=0.0, di=0.5, dj=0.5, stagger=0x01)
+    with pytest.raises(NotImplementedError, match="scanning-mode"):
+        read_grib2_structure(c)
