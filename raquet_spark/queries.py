@@ -3339,6 +3339,101 @@ def _cached_grib1(spark: SparkSession) -> str:
     return path
 
 
+def _grb1_qll_pl() -> list[int]:
+    # symmetric thinned rows, 9..37 points
+    return [9 + 4 * min(j, 15 - j) for j in range(16)]
+
+
+def _cached_grib1_qll(spark: SparkSession) -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib1
+
+    key = (spark.sparkContext.applicationId, "grib1_qll_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _GRB
+        pl = _grb1_qll_pl()
+        nj, ni = len(pl), max(pl)
+        gy, gx = np.mgrid[0:nj, 0:ni]
+        fields = []
+        for t in range(2):
+            data = (
+                (gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50
+            ).astype("f8")
+            data[(gx + 2 * gy + t) % 13 == 0] = np.nan  # BMS bitmap
+            for j in range(nj):  # ragged: pad past each row's pl
+                data[j, pl[j]:] = np.nan
+            fields.append(
+                {"data": data, "forecast_time": t * 12, "param": 11}
+            )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_grib1qll_"), "fix.grib1"
+        )
+        write_grib1(
+            path, fields, lat1=50.0, lon1=-12.0,
+            di=24.0 / (ni - 1), dj=0.5,
+            grid={"type": "latlon_reduced", "pl": pl},
+        )
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def grib1_qll_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB1 QUASI-REGULAR (thinned) lat/lon (the r11 typed gate —
+    old ECMWF/DWD archives; the reference reads them via GDAL's GRIB
+    driver, cli.py:283): 16 ragged rows (9..37 points spanning
+    lon1..lon2 inclusive, affine latitudes), a BMS bitmap over the
+    concatenated point stream, 2 forecast steps. The PL list rides
+    after the GDS fixed part (NV-offset rules shared with the reduced
+    Gaussian path); per-step stats reduce to the closed form."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib1_qll(spark))
+    px = grib2_pixel_table(spark, g)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib1_qll_stats_oracle() -> str:
+    c = _GRB
+    pl_rows = ", ".join(
+        f"({j}, {n})" for j, n in enumerate(_grb1_qll_pl())
+    )
+    return f"""
+WITH pl(gy, n) AS (VALUES {pl_rows}),
+grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + 2 * gy + t) % 13 = 0 THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13) % {c['modulo']} - 50
+                   AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, 2)) AS t),
+       pl, LATERAL (SELECT unnest(range(0, n)) AS gx) g
+)
+SELECT CAST(t * 12 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 def grib1_ingest_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB EDITION 1 (the legacy format ERA-40-era and national
     archives still carry; the reference reads it via GDAL's GRIB
@@ -6059,6 +6154,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "grib2_gaussian_stats": (grib2_gaussian_stats_spark, grib2_grid_stats_oracle),
     "grib2_reduced_stats": (grib2_reduced_stats_spark, grib2_reduced_stats_oracle),
     "grib1_ingest_stats": (grib1_ingest_stats_spark, grib1_ingest_stats_oracle),
+    "grib1_qll_stats": (grib1_qll_stats_spark, grib1_qll_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

@@ -259,14 +259,64 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
         return span / (ni - 1)
 
     incr_given = bool(res_flag & 0x80)
+
+    def _read_pl() -> list[int]:
+        if pv == 0xFF:
+            raise ValueError(
+                "GRIB1 quasi-regular grid without a PV/PL list octet"
+            )
+        # GDS octet 4 (NV): when vertical-coordinate parameters are
+        # present (ECMWF model-level archives), PV points at the
+        # 4-byte IBM-float VC list and the PL row counts start AFTER
+        # it — reading at PV directly would silently decode float
+        # bytes as row counts
+        pl_off = q + pv - 1 + 4 * nv
+        if pl_off + 2 * nj > q + lg:
+            raise ValueError(
+                f"GRIB1 reduced grid: PL list (PV={pv}, NV={nv}, "
+                f"nj={nj}) overruns the GDS (length {lg})"
+            )
+        pl = [
+            int.from_bytes(
+                bytes(b[pl_off + 2 * k : pl_off + 2 * k + 2]), "big"
+            )
+            for k in range(nj)
+        ]
+        if min(pl) <= 0:
+            raise ValueError("GRIB1 reduced grid: bad PL list")
+        return pl
+
     if drt1 == 0:
-        if reduced:
-            raise NotImplementedError("GRIB1 quasi-regular lat/lon grid")
-        di = (di_raw / 1e3 if incr_given and di_raw != 0xFFFF
-              else _derived_di(ni_raw))
-        dj = (djn / 1e3 if incr_given and djn != 0xFFFF
+        dj = (djn / 1e3 if incr_given and djn != 0xFFFF and not reduced
               else abs(lat1 - lat2) / (nj - 1))
-        m.update(ni=ni_raw, nj=nj, grid="latlon", di=di, dj=dj)
+        if reduced:
+            # quasi-regular (thinned) lat/lon — old ECMWF/DWD archives:
+            # row j holds pl[j] points from lon1 to lon2 INCLUSIVE
+            # (spacing span/(pl[j]-1)); latitudes stay affine. The
+            # warp's ragged-row machinery consumes the explicit row
+            # latitude list + per-row counts + the regional span.
+            if m["i_negative"]:
+                raise NotImplementedError(
+                    "GRIB1 quasi-regular lat/lon with -i scan"
+                )
+            pl = _read_pl()
+            span = (lon2 - lon1) % 360.0
+            if span == 0.0 or min(pl) < 2:
+                raise ValueError(
+                    "GRIB1 quasi-regular lat/lon: degenerate row span"
+                )
+            north = max(lat1, lat2)
+            m.update(
+                ni=max(pl), nj=nj, grid="latlon", dj=dj,
+                row_ni_scan=pl,
+                row_ni=(pl[::-1] if m["j_positive"] else pl),
+                lat_centers=[north - j * dj for j in range(nj)],
+                lon_span=span, lon_global=False,
+            )
+        else:
+            di = (di_raw / 1e3 if incr_given and di_raw != 0xFFFF
+                  else _derived_di(ni_raw))
+            m.update(ni=ni_raw, nj=nj, grid="latlon", di=di, dj=dj)
     else:  # Gaussian: Dj slot carries N
         n_par = djn
         lats = gaussian_latitudes(n_par)
@@ -284,30 +334,7 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
             lat_centers=[float(v) for v in lats[lo_i : hi_i + 1]],
         )
         if reduced:
-            if pv == 0xFF:
-                raise ValueError(
-                    "GRIB1 reduced Gaussian grid without a PV/PL "
-                    "list octet"
-                )
-            # GDS octet 4 (NV): when vertical-coordinate parameters
-            # are present (ECMWF model-level archives), PV points at
-            # the 4-byte IBM-float VC list and the PL row counts start
-            # AFTER it — reading at PV directly would silently decode
-            # float bytes as row counts
-            pl_off = q + pv - 1 + 4 * nv
-            if pl_off + 2 * nj > q + lg:
-                raise ValueError(
-                    f"GRIB1 reduced grid: PL list (PV={pv}, NV={nv}, "
-                    f"nj={nj}) overruns the GDS (length {lg})"
-                )
-            pl = [
-                int.from_bytes(
-                    bytes(b[pl_off + 2 * k : pl_off + 2 * k + 2]), "big"
-                )
-                for k in range(nj)
-            ]
-            if min(pl) <= 0:
-                raise ValueError("GRIB1 reduced grid: bad PL list")
+            pl = _read_pl()
             m.update(ni=max(pl), nj=nj,
                      row_ni_scan=pl,
                      row_ni=(pl[::-1] if m["j_positive"] else pl),
@@ -322,7 +349,18 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
     if flags & 0x40:
         lb = int.from_bytes(bytes(b[q : q + 3]), "big")
         if int.from_bytes(bytes(b[q + 4 : q + 6]), "big") != 0:
-            raise NotImplementedError("GRIB1 predefined bitmap")
+            # DELIBERATE gate (szip-class decision): a nonzero BMS
+            # "numeric" references a bitmap PRE-AGREED with the
+            # originating centre — the bits are NOT in the file and
+            # the centre tables are not published in machine-readable
+            # form, so any guess would silently mis-place every value.
+            # Re-encode with an explicit bitmap (e.g. `wgrib -d` +
+            # re-pack, or cnvgrib) to ingest such archives.
+            raise NotImplementedError(
+                "GRIB1 predefined (centre-defined) bitmap: the bitmap "
+                "bytes are not in the file; re-encode with an explicit "
+                "bitmap to ingest"
+            )
         m["bitmap_off"] = q + 6
         m["bitmap_len"] = lb - 6
         q += lb
@@ -1266,30 +1304,39 @@ def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
                 north + m0["dj"] / 2.0, 0.0, -m0["dj"],
             ),
         )
-    elif m0.get("grid") == "gauss":
-        # Gaussian rows: y is NOT affine — the transform's y leg is
-        # anchored at the exact outer EDGES (so corner/bounds math is
-        # exact) and the warp overrides the per-row mapping with the
-        # broadcast lat_centers row map
+    elif m0.get("lat_centers") is not None:
+        # explicit row latitudes (Gaussian grids — y is NOT affine —
+        # and GRIB1 quasi-regular lat/lon, whose lats ARE affine but
+        # ride the same list): the transform's y leg is anchored at
+        # the exact outer EDGES (so corner/bounds math is exact) and
+        # the warp overrides the per-row mapping with the broadcast
+        # lat_centers row map
         lc = m0["lat_centers"]
         north_edge = lc[0] + (lc[0] - lc[1]) / 2.0
         south_edge = lc[-1] - (lc[-2] - lc[-1]) / 2.0
         if m0.get("row_ni") is not None:
             # REDUCED rows: x is not affine either — the warp indexes
-            # each row's own 360/_rn spacing (row_ni + lon_first
-            # below); the transform's x leg only anchors the global
-            # [-180, 180) corner/zoom math at the finest row's spacing
+            # each row's own spacing (360/_rn on global circles,
+            # lon_span/(_rn-1) endpoint-inclusive regional rows); the
+            # transform's x leg only anchors corner/zoom math at the
+            # finest row's spacing
             lf = m0["lon1"]
             if lf > 180.0:
                 lf -= 360.0
+            span = m0.get("lon_span")
+            if span is not None:  # regional (GRIB1 quasi-regular)
+                x_leg = (lf - span / (2.0 * (ni - 1)), span / (ni - 1))
+            else:  # global O-grid
+                x_leg = (-180.0, 360.0 / ni)
             info.update(
                 epsg=4326,
                 lat_centers=lc,
                 row_ni=list(m0["row_ni"]),
                 lon_first=lf,
                 lon_global=bool(m0.get("lon_global")),
+                **({"lon_span": span} if span is not None else {}),
                 transform=(
-                    -180.0, 360.0 / ni, 0.0,
+                    x_leg[0], x_leg[1], 0.0,
                     north_edge, 0.0, -(north_edge - south_edge) / nj,
                 ),
             )

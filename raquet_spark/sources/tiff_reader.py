@@ -1596,9 +1596,10 @@ def _resampled_pixels(
         )
         row_ni = info.get("row_ni")  # reduced grids: ragged row widths
         if row_ni is not None:
-            if resampling != "near":
+            if resampling not in ("near", "bilinear"):
                 raise NotImplementedError(
-                    "reduced (ragged-row) grids resample nearest only"
+                    "reduced (ragged-row) grids resample nearest or "
+                    "bilinear only"
                 )
             syn_t = np.floor(fsy_t).astype("i8")
             rn_t = np.where(
@@ -1657,10 +1658,20 @@ def _resampled_pixels(
             # (centers sit at k + 0.5).
             lon_e = f"(fsx * {a} + {ox})"
             lf = info.get("lon_first", 0.0)
-            k_e = (
-                f"CAST(floor(({lon_e} - {lf}) * _rn / 360.0D + 0.5D) "
-                "AS BIGINT)"
-            )
+            span = info.get("lon_span")
+            if span is not None:
+                # regional endpoint-INCLUSIVE rows (GRIB1
+                # quasi-regular lat/lon): pl points span lon_span with
+                # spacing span/(pl-1); nearest point by rounding
+                k_e = (
+                    f"CAST(floor(({lon_e} - {lf}) * (_rn - 1) "
+                    f"/ {span}D + 0.5D) AS BIGINT)"
+                )
+            else:
+                k_e = (
+                    f"CAST(floor(({lon_e} - {lf}) * _rn / 360.0D + 0.5D) "
+                    "AS BIGINT)"
+                )
             sx_e = (
                 f"((({k_e}) % _rn) + _rn) % _rn"
                 if info.get("lon_global") else k_e
@@ -1715,30 +1726,80 @@ def _resampled_pixels(
             "staggered-grid source with kernel resampling "
             "(nearest only; re-grid first)"
         )
-    lo, hi = (0, 1) if resampling == "bilinear" else (-1, 2)
-    contrib = (
-        tgt.selectExpr(
-            "gx", "gy", "fsx", "fsy",
-            f"CAST(floor(fsx - 0.5D) AS BIGINT) AS ibx",
-            f"explode(sequence({lo}, {hi})) AS kx",
+    if info.get("row_ni") is not None:
+        # ragged-row (reduced-grid) BILINEAR: the 2 candidate rows come
+        # from the piecewise fsy, and each row has its OWN x spacing —
+        # 360/rn on global circles (centers at k·360/rn, neighbors
+        # wrap), span/(rn−1) endpoint-inclusive regional rows. The 4
+        # gathered neighbors carry tent weights wy·wx; dropped edge /
+        # nodata contributions renormalize in the shared blend below —
+        # candidate volume is 4× the OUTPUT, same as the affine path.
+        rows_df = spark.createDataFrame(
+            [(j, int(rn)) for j, rn in enumerate(info["row_ni"])],
+            "syn bigint, _rn bigint",
         )
-        .selectExpr(
-            "gx", "gy", "fsx", "fsy", "ibx + kx AS sxn",
-            f"explode(sequence({lo}, {hi})) AS ky",
+        lon_e = f"(fsx * {a} + {ox})"
+        lf = info.get("lon_first", 0.0)
+        span = info.get("lon_span")
+        u_e = (
+            f"(({lon_e}) - {lf}) * (_rn - 1) / {span}D"
+            if span is not None
+            else f"(({lon_e}) - {lf}) * _rn / 360.0D"
         )
-        .selectExpr(
-            "gx", "gy", "fsx", "fsy", "sxn",
-            "CAST(floor(fsy - 0.5D) AS BIGINT) + ky AS syn",
+        two = tgt.selectExpr(
+            "gx", "gy", "fsx", "fsy - 0.5D AS _fy",
+        ).selectExpr(
+            "gx", "gy", "fsx",
+            "CAST(floor(_fy) AS BIGINT) AS _j0",
+            "_fy - floor(_fy) AS _ty",
+            "explode(array(0, 1)) AS _ky",
+        ).selectExpr(
+            "gx", "gy", "fsx", "_j0 + _ky AS syn",
+            "CASE WHEN _ky = 1 THEN _ty ELSE 1.0D - _ty END AS _wy",
+        ).where(f"syn >= 0 AND syn < {info['height']}")
+        two = two.join(F.broadcast(rows_df), "syn")
+        contrib = two.selectExpr(
+            "gx", "gy", "syn", "_wy", "_rn",
+            f"{u_e} AS _u",
+        ).selectExpr(
+            "gx", "gy", "syn", "_wy", "_rn",
+            "CAST(floor(_u) AS BIGINT) AS _k0",
+            "_u - floor(_u) AS _tx",
+            "explode(array(0, 1)) AS _kx",
+        ).selectExpr(
+            "gx", "gy", "syn", "_rn",
+            (
+                "pmod(_k0 + _kx, _rn) AS sxn"
+                if span is None and info.get("lon_global")
+                else "_k0 + _kx AS sxn"
+            ),
+            "_wy * (CASE WHEN _kx = 1 THEN _tx ELSE 1.0D - _tx END) AS w",
+        ).where("sxn >= 0 AND sxn < _rn").drop("_rn")
+    else:
+        lo, hi = (0, 1) if resampling == "bilinear" else (-1, 2)
+        contrib = (
+            tgt.selectExpr(
+                "gx", "gy", "fsx", "fsy",
+                f"CAST(floor(fsx - 0.5D) AS BIGINT) AS ibx",
+                f"explode(sequence({lo}, {hi})) AS kx",
+            )
+            .selectExpr(
+                "gx", "gy", "fsx", "fsy", "ibx + kx AS sxn",
+                f"explode(sequence({lo}, {hi})) AS ky",
+            )
+            .selectExpr(
+                "gx", "gy", "fsx", "fsy", "sxn",
+                "CAST(floor(fsy - 0.5D) AS BIGINT) + ky AS syn",
+            )
+            .where(
+                f"sxn >= 0 AND sxn < {info['width']} AND syn >= 0 AND syn < {info['height']}"
+            )
+            .selectExpr(
+                "gx", "gy", "sxn", "syn",
+                f"{_kernel_sql('fsx - (sxn + 0.5D)', resampling)}"
+                f" * {_kernel_sql('fsy - (syn + 0.5D)', resampling)} AS w",
+            )
         )
-        .where(
-            f"sxn >= 0 AND sxn < {info['width']} AND syn >= 0 AND syn < {info['height']}"
-        )
-        .selectExpr(
-            "gx", "gy", "sxn", "syn",
-            f"{_kernel_sql('fsx - (sxn + 0.5D)', resampling)}"
-            f" * {_kernel_sql('fsy - (syn + 0.5D)', resampling)} AS w",
-        )
-    )
     src = _hinted(
         px.selectExpr("sx AS sxn", "sy AS syn", *extra_cols, *band_cols)
     )

@@ -583,7 +583,9 @@ def write_grib1(
         data = np.asarray(f["data"], dtype="f8")
         nj, ni = data.shape
         E, D = int(f.get("E", 0)), int(f.get("D", 0))
-        reduced = bool(grid and grid.get("type") == "gauss_reduced")
+        reduced = bool(
+            grid and grid.get("type") in ("gauss_reduced", "latlon_reduced")
+        )
         if reduced:
             pl = [int(v) for v in grid["pl"]]
             rows = [data[j, : pl[j]] for j in range(nj)]

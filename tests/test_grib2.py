@@ -1385,9 +1385,11 @@ def test_reduced_gaussian_warp_nearest_exact(spark, tmp_path):
         lon1=0.0, di=360.0 / ni,
         grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
     )
-    with pytest.raises(NotImplementedError, match="nearest only"):
+    # bilinear on ragged rows works since r12 (see
+    # test_reduced_grid_bilinear_warp); cubic stays gated
+    with pytest.raises(NotImplementedError, match="nearest or bilinear"):
         grib2_to_raquet(spark, path, block_size=64, compression=None,
-                        zoom=2, resampling="bilinear")
+                        zoom=2, resampling="cubic")
     tiles, meta = grib2_to_raquet(spark, path, block_size=64,
                                   compression=None, zoom=2)
     lc = gaussian_latitudes(n_par)
@@ -1851,3 +1853,145 @@ def test_staggered_scan_bits(spark, tmp_path):
                 lat1=49.0, lon1=0.0, di=0.5, dj=0.5, stagger=0x01)
     with pytest.raises(NotImplementedError, match="scanning-mode"):
         read_grib2_structure(c)
+
+
+def test_grib1_quasi_regular_latlon(spark, tmp_path):
+    """GRIB1 quasi-regular (thinned) lat/lon (the r11 typed gate —
+    old ECMWF/DWD archives): row j holds pl[j] points spanning
+    lon1..lon2 INCLUSIVE, latitudes affine. Exact decode of the ragged
+    rows, and the conversion warp picks each row's own
+    span/(pl-1)-spaced nearest point — pinned by converting a
+    CONSTANT-per-row field and checking every output pixel matches its
+    row's value (geolocation errors would bleed neighbor rows)."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.io import range_reader
+    from raquet_spark.testing_grib2 import write_grib1
+
+    nj = 8
+    pl = [9, 13, 17, 25, 25, 17, 13, 9]
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = (np.arange(pl[j]) * 3 + j * 7) % 53
+    path = str(tmp_path / "g1_qll.grib1")
+    write_grib1(
+        path, [{"data": rect, "forecast_time": 0}],
+        lat1=52.0, lon1=-10.0, di=20.0 / (ni - 1), dj=0.5,
+        grid={"type": "latlon_reduced", "pl": pl},
+    )
+    g = read_grib2_structure(path)
+    m = g["messages"][0]
+    assert m["grid"] == "latlon" and m["row_ni"] == pl
+    assert m["lon_span"] == pytest.approx(20.0)
+    assert m["lat_centers"][0] == pytest.approx(52.0)
+    assert m["lat_centers"][-1] == pytest.approx(52.0 - 0.5 * (nj - 1))
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    ok = ~np.isnan(rect)
+    np.testing.assert_array_equal(got[ok], rect[ok])
+
+    # warp geolocation: constant-per-row field -> every output pixel
+    # must equal its row's constant
+    row_const = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        row_const[j, : pl[j]] = float(100 + 10 * j)
+    p2 = str(tmp_path / "g1_qll_rows.grib1")
+    write_grib1(
+        p2, [{"data": row_const, "forecast_time": 0}],
+        lat1=52.0, lon1=-10.0, di=20.0 / (ni - 1), dj=0.5,
+        grid={"type": "latlon_reduced", "pl": pl},
+    )
+    tiles, meta = grib2_to_raquet(spark, p2, block_size=64,
+                                  compression=None)
+    from raquet_spark.functions.bands import band_decode
+
+    vals = (
+        tiles.where("block > 0")
+        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .where("v != -9999.0")
+        .groupBy("v").count().collect()
+    )
+    got_set = {r["v"] for r in vals}
+    assert got_set and got_set <= {float(100 + 10 * j) for j in range(nj)}
+    # middle rows must actually appear (not just the outer ones)
+    assert {120.0, 130.0, 140.0} <= got_set
+
+    # NV vertical-coordinate list rides in front of the PL here too
+    p3 = str(tmp_path / "g1_qll_nv.grib1")
+    write_grib1(
+        p3, [{"data": rect, "forecast_time": 0}],
+        lat1=52.0, lon1=-10.0, di=20.0 / (ni - 1), dj=0.5,
+        grid={"type": "latlon_reduced", "pl": pl},
+        nv_params=[0.0, 1013.25],
+    )
+    m3 = read_grib2_structure(p3)["messages"][0]
+    assert m3["row_ni"] == pl
+
+
+def test_reduced_grid_bilinear_warp(spark, tmp_path):
+    """Reduced-grid BILINEAR resampling (the r11 gate was
+    nearest-only): the 2 candidate rows come from the piecewise row
+    map and each row interpolates at its OWN spacing (360/pl[j] on the
+    global O-grid circle, wrapping at the seam). Pinned against an
+    independent numpy reference over every interior output pixel."""
+    import math as _math
+
+    from raquet_spark.operators.export import to_pixel_table
+    from raquet_spark.sources.grib2 import gaussian_latitudes
+    from raquet_spark.sources.tiff_reader import _EARTH_R, _ORIGIN_SHIFT
+
+    n_par = 8
+    nj = 2 * n_par
+    pl = _octa_pl(n_par)
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = 5.0 * j + 0.25 * np.arange(pl[j])
+    path = str(tmp_path / "red_bl.grib2")
+    # D=2: the 0.25-step values scale to exact ints (D=0 would
+    # quantize them and the numpy reference would diverge)
+    write_grib2(
+        path, [{"data": rect, "forecast_time": 0, "D": 2}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
+    )
+    tiles, meta = grib2_to_raquet(
+        spark, path, block_size=64, compression=None,
+        resampling="bilinear", stats=False,
+    )
+    rows = to_pixel_table(tiles, meta).collect()
+    assert rows
+    z = meta["tiling"]["min_zoom"]
+    world = float((1 << z) * 64)
+    lats = gaussian_latitudes(n_par)  # north -> south, row j center
+    lf = 0.0
+    checked = 0
+    for r in rows:
+        v = r["band_1"]
+        if v == -9999.0:
+            continue
+        lon = (r["gx"] + 0.5) / world * 360.0 - 180.0
+        my = _ORIGIN_SHIFT - (r["gy"] + 0.5) / world * 2.0 * _ORIGIN_SHIFT
+        lat = _math.degrees(
+            2.0 * _math.atan(_math.exp(my / _EARTH_R)) - _math.pi / 2.0
+        )
+        # interior only: both candidate rows inside the grid (the warp
+        # extrapolates the row map beyond the outer centers)
+        fsy = np.interp(lat, lats[::-1], (np.arange(nj) + 0.5)[::-1])
+        fy = fsy - 0.5
+        j0 = int(np.floor(fy))
+        if j0 < 0 or j0 + 1 >= nj or lat > lats[0] or lat < lats[-1]:
+            continue
+        ty = fy - j0
+        exp_v = 0.0
+        for jj, wy in ((j0, 1.0 - ty), (j0 + 1, ty)):
+            rn = pl[jj]
+            u = (lon - lf) * rn / 360.0
+            k0 = int(np.floor(u))
+            tx = u - k0
+            for kk, wx in ((k0, 1.0 - tx), (k0 + 1, tx)):
+                exp_v += wy * wx * rect[jj, ((kk % rn) + rn) % rn]
+        assert v == pytest.approx(exp_v, abs=1e-6), (r["gx"], r["gy"])
+        checked += 1
+    assert checked > 500
