@@ -131,6 +131,8 @@ def main() -> None:
         "grib2_gaussian_stats",
         "grib2_reduced_stats",
         "grib1_ingest_stats",
+        "grib2_rotangle_stats",
+        "grib1_qll_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
@@ -349,8 +351,12 @@ def main() -> None:
     # netcdf4 index twins (same pipeline, different chunk index —
     # eaindex is the printed representative) move to the baseline
     # FILE's spark_queries, which records EVERY timed line
+    # (r12: the rotangle/qll grib twins are timed + recorded in the
+    # baseline file but elided from the stdout line like the netcdf4
+    # index twins — same pipeline as their printed representatives)
     elide = {"netcdf4_ingest_stats", "netcdf4_v4index_stats",
-             "netcdf4_bt2index_stats"}
+             "netcdf4_bt2index_stats", "grib2_rotangle_stats",
+             "grib1_qll_stats"}
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_duckdb_baseline.json"), "w",

@@ -244,6 +244,16 @@ def ann_lsh(
     you know it (e.g. from table stats at 100 TB); otherwise one
     ``count()`` job runs — a column-pruned metadata-cheap scan.
 
+    ``max_bucket_rows`` bounds expected candidates per (table, bucket)
+    by down-sampling OVERSIZED buckets (sampled size estimate →
+    broadcast heavy-hitter list → map-side id-hash threshold), keeping
+    pair volume linear in the corpus no matter how skewed the bucket
+    distribution gets (SURVEY §6 r12). It engages only when the corpus
+    is known (``n_rows`` counted or passed) and ≥ 8× the cap — at
+    100 TB pass ``n_rows`` from table stats so the cap is active; tiny
+    corpora skip the two extra job floors. ``None`` = exhaustive
+    in-bucket comparison.
+
     Output schema matches ``cosine_topk`` (query_id, cand_id, score, rn)
     so recall can be measured by joining the two."""
     from pyspark.sql.window import Window
@@ -272,6 +282,16 @@ def ann_lsh(
 
     qb_ = with_buckets(q, "_qv")
     cb = with_buckets(c, "_cv")
+    # the cap costs ~2 extra job floors (sample scan + broadcast
+    # build): engage it only when the corpus is KNOWN to be big enough
+    # for oversized buckets to exist and matter (n_rows is available
+    # whenever auto-sizing counted, or the caller passed table stats;
+    # an unknown-size corpus with an explicit n_bits keeps the
+    # exhaustive plan — the bench-scale latency path)
+    if max_bucket_rows is not None and (
+        n_rows is None or n_rows < 8 * max_bucket_rows
+    ):
+        max_bucket_rows = None
     if max_bucket_rows is not None:
         # bucket-occupancy cap (SCALE_PROBE r11/r12: pair volume is
         # sum over buckets of queries x candidates, and real bucket

@@ -688,11 +688,12 @@ def read_grib2_structure(path: str) -> dict:
 
         s4, _ = sec[4]
         pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
-        if pdt not in (0, 1, 2, 8, 11, 12):
+        if pdt not in (0, 1, 2, 5, 8, 9, 11, 12, 15):
             raise NotImplementedError(
                 f"GRIB2 product definition template 4.{pdt} "
-                "(4.0 / 4.1-4.2 ensemble/derived / 4.8 and the "
-                "statistical 4.11/4.12 twins only)"
+                "(4.0 / 4.1-4.2 ensemble/derived / 4.5 and 4.9 "
+                "probability / 4.8 and the statistical 4.11/4.12 "
+                "twins / 4.15 spatial processing only)"
             )
         m["pdt"] = pdt
         m["param_category"] = b[s4 + 9]
@@ -738,6 +739,32 @@ def read_grib2_structure(path: str) -> dict:
         elif pdt in (2, 12):  # derived forecast (octets 35-36)
             m["ens_derived"] = b[s4 + 34]
             m["ens_count"] = b[s4 + 35]
+        elif pdt in (5, 9):  # probability forecast (octets 35-47;
+            # 4.9 appends the 4.8-style statistical time-range spec).
+            # The threshold octets are read for the message KEY: one
+            # parameter at many probability thresholds (an NBM/SREF
+            # exceedance file) must not collapse into one tile stack.
+            m["prob_number"] = b[s4 + 34]
+            m["prob_total"] = b[s4 + 35]
+            m["prob_type"] = b[s4 + 36]
+
+            def _prob_limit(off: int) -> float | None:
+                raw = bytes(b[off + 1 : off + 5])
+                if raw == b"\xff\xff\xff\xff":
+                    return None
+                lsf = _sm(b[off], 8) if b[off] != 0xFF else 0
+                return (
+                    _sm(struct.unpack(">I", raw)[0], 32) / (10.0 ** lsf)
+                )
+
+            m["prob_lower"] = _prob_limit(s4 + 37)
+            m["prob_upper"] = _prob_limit(s4 + 42)
+        elif pdt == 15:  # spatially-processed values (octets 35-37:
+            # statistical process, spatial processing type, number of
+            # points used — e.g. neighborhood-averaged MRMS/NBM fields)
+            m["spatial_stat"] = b[s4 + 34]
+            m["spatial_type"] = b[s4 + 35]
+            m["spatial_npoints"] = b[s4 + 36]
 
         s5, _ = sec[5]
         m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
@@ -1168,9 +1195,19 @@ def select_messages(
     for m in sel:
         t = m["forecast_hours"]
         if t in seen:
-            detail = "/".join(
-                f"member {x.get('ens_member', '?')}" for x in (seen[t], m)
-            ) if m.get("pdt") in (1, 2) else "same (param, level, time)"
+            if m.get("pdt") in (1, 2):
+                detail = "/".join(
+                    f"member {x.get('ens_member', '?')}"
+                    for x in (seen[t], m)
+                )
+            elif m.get("pdt") in (5, 9):
+                detail = "/".join(
+                    f"probability threshold {x.get('prob_lower', '?')}"
+                    f"..{x.get('prob_upper', '?')}"
+                    for x in (seen[t], m)
+                )
+            else:
+                detail = "same (param, level, time)"
             raise ValueError(
                 f"GRIB2: {len(sel)} messages share parameter {param}, "
                 f"surface {level}, forecast hour {t} ({detail}) — "

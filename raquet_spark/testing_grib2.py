@@ -511,6 +511,25 @@ def write_grib2(
                 ">BB", int(f.get("ens_derived", 0)),
                 int(f.get("ens_count", 1)),
             )
+        elif pdt in (5, 9):  # + probability octets 35-47
+            t40 += struct.pack(
+                ">BBB", int(f.get("prob_number", 0)),
+                int(f.get("prob_total", 1)), int(f.get("prob_type", 1)),
+            )
+            t40 += struct.pack(
+                ">BI", _sm_enc(int(f.get("prob_lower_scale", 0)), 8),
+                _sm_enc(int(f.get("prob_lower", 0)), 32),
+            )
+            t40 += struct.pack(
+                ">BI", _sm_enc(int(f.get("prob_upper_scale", 0)), 8),
+                _sm_enc(int(f.get("prob_upper", 0)), 32),
+            )
+        elif pdt == 15:  # + spatial-processing octets 35-37
+            t40 += struct.pack(
+                ">BBB", int(f.get("spatial_stat", 0)),
+                int(f.get("spatial_type", 0)),
+                int(f.get("spatial_npoints", 1)),
+            )
         s4 = struct.pack(">HH", 0, pdt) + t40
         # with mvm the data section packs ALL points (missing embedded
         # as markers), so octets 6-9 count the full grid

@@ -1995,3 +1995,52 @@ def test_reduced_grid_bilinear_warp(spark, tmp_path):
         assert v == pytest.approx(exp_v, abs=1e-6), (r["gx"], r["gy"])
         checked += 1
     assert checked > 500
+
+
+def test_pdt_probability_and_spatial(tmp_path):
+    """PDT 4.5/4.9 (probability forecasts — NBM/SREF exceedance
+    products) and 4.15 (spatially-processed values): the extra octets
+    parse into the message keys, thresholds carry their scale factors,
+    and two thresholds of one parameter at the same hour refuse to
+    collapse into one stack."""
+    from raquet_spark.sources.grib2 import select_messages
+
+    nj, ni = 6, 9
+    data = _field(1, nj, ni, 0)
+    path = str(tmp_path / "prob.grib2")
+    write_grib2(
+        path,
+        [
+            {"data": data, "forecast_time": 0, "pdt": 9,
+             "prob_number": 0, "prob_total": 2, "prob_type": 1,
+             "prob_lower_scale": 1, "prob_lower": 254,  # 25.4 mm
+             "prob_upper_scale": 0, "prob_upper": 0},
+            {"data": data + 1.0, "forecast_time": 0, "pdt": 9,
+             "prob_number": 1, "prob_total": 2, "prob_type": 1,
+             "prob_lower_scale": 1, "prob_lower": 508,
+             "prob_upper_scale": 0, "prob_upper": 0},
+            {"data": data, "forecast_time": 6, "pdt": 5,
+             "prob_type": 3},
+            {"data": data, "forecast_time": 12, "pdt": 15,
+             "spatial_stat": 0, "spatial_type": 0,
+             "spatial_npoints": 25},
+        ],
+    )
+    g = read_grib2_structure(path)
+    ms = g["messages"]
+    assert [m["pdt"] for m in ms] == [9, 9, 5, 15]
+    assert ms[0]["prob_lower"] == pytest.approx(25.4)
+    assert ms[1]["prob_lower"] == pytest.approx(50.8)
+    assert ms[0]["prob_type"] == 1 and ms[2]["prob_type"] == 3
+    assert ms[3]["spatial_npoints"] == 25
+    # two thresholds at the same (param, level, hour) must raise with
+    # a threshold-naming detail, not interleave silently
+    with pytest.raises(ValueError, match="probability threshold"):
+        select_messages(ms)
+    # values decode exactly (PDT is orthogonal to packing)
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(ms[2]["data_off"], ms[2]["data_len"]),
+                         ms[2], None)
+    np.testing.assert_array_equal(got, data)
