@@ -12,32 +12,42 @@ natural parallel unit of a GRIB archive, which stores thousands of
 messages per file.
 
 Scope (typed gates name everything else, never silent wrong answers):
-- edition 2, PLUS edition 1 (r11 — the legacy ERA-40-era format:
+- edition 2, PLUS edition 1 (r11/r12 — the legacy ERA-40-era format:
   IBM370-float reference values, 3-byte sign-magnitude millidegree
-  coordinates, BMS bitmaps, lat/lon + regular/reduced Gaussian grids,
-  simple packing; messages normalize into the same dict, so every
-  downstream consumer is edition-agnostic);
+  coordinates, BMS bitmaps, lat/lon incl. quasi-regular/thinned rows,
+  regular/reduced Gaussian grids, derived increments when the
+  resolution flag withholds Di/Dj, NV vertical-coordinate lists
+  before the PL row counts, simple packing; messages normalize into
+  the same dict, so every downstream consumer is edition-agnostic;
+  predefined/centre-defined bitmaps and GDS-less predefined grids
+  stay DELIBERATE gates — their content is not in the file);
 - grid definition templates 3.0 (regular lat/lon), 3.1
-  (rotated lat/lon — COSMO/HARMONIE; zero angle of rotation), 3.10
-  (Mercator at lat_ts — NOAA marine grids; spherical AND
-  ellipsoidal), 3.20 (polar stereographic, both aspects), 3.30
-  (Lambert conformal — the HRRR/NAM family, both aspects) and 3.40
-  (regular Gaussian — the ECMWF family; reduced grids gated), with
-  shape-of-earth codes 0/1/4/5/6;
-- product definition templates 4.0/4.1/4.2/4.8/4.11/4.12 (read for
-  time/parameter/ensemble keys); the fixed surface is part of the
-  message selection key;
+  (rotated lat/lon — COSMO/HARMONIE, incl. nonzero angle of rotation
+  via the polgam longitude-shift convention), 3.10 (Mercator at
+  lat_ts — NOAA marine grids; spherical AND ellipsoidal), 3.20
+  (polar stereographic, both aspects), 3.30 (Lambert conformal — the
+  HRRR/NAM family, both aspects) and 3.40 (regular AND reduced
+  Gaussian — the ECMWF family incl. O-grids), with shape-of-earth
+  codes 0/1/4/5/6;
+- product definition templates 4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12/4.15
+  (read for time/parameter/ensemble/probability-threshold keys); the
+  fixed surface is part of the message selection key, forecast time
+  is signed (sign-magnitude);
 - data representation templates 5.0 (simple packing: ``Y = (R + X *
   2^E) / 10^D``), 5.2/5.3 (complex packing incl. 1st/2nd-order
-  spatial differencing AND missing-value management 1/2) and 5.41
-  (PNG, via the repo's own codec); 5.40 (JPEG2000) DELIBERATELY gated
-  — no in-sandbox reference codec to conformance-pin a from-scratch
-  EBCOT/5-3-DWT decoder against (the szip decision; see the gate);
+  spatial differencing AND missing-value management 1/2, also
+  COMBINED with a bitmap) and 5.41 (PNG, via the repo's own codec);
+  5.40 (JPEG2000) DELIBERATELY gated — no in-sandbox reference codec
+  to conformance-pin a from-scratch EBCOT/5-3-DWT decoder against
+  (the szip decision; see the gate);
 - bitmap indicators 255 (none), 0 (bitmap present — missing points
   carry no packed value) and 254 (reuse the previous bitmap);
 - scanning modes: ALL of flag-table 3.4 bits 1-4 (±i, ±j, i- or
-  j-consecutive lines, boustrophedon); staggered-grid offset bits
-  (5+) gated;
+  j-consecutive lines, boustrophedon) plus the staggered-grid
+  half-cell offset bits 5-7 on lat/lon grids (warp-side geolocation;
+  bit 8 — alternating-Ni rows — gated);
+- warp resampling on ragged-row (reduced) grids: nearest AND
+  bilinear (per-row spacing, seam wrap on global circles);
 - forecast-time units minute/hour/day/3h/6h/12h/second (code table
   4.4), converted to ``time_cf`` hours.
 
