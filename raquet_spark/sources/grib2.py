@@ -448,10 +448,11 @@ def read_grib2_structure(path: str) -> dict:
                 "3.30 / regular Gaussian 3.40 only)"
             )
         pl_size = b[s3 + 10]  # octet 11: bytes per points-per-row entry
-        if pl_size and gdt != 40:
+        if pl_size and gdt not in (0, 40):
             raise NotImplementedError(
                 f"GRIB2 quasi-regular grid on template 3.{gdt} "
-                "(points-per-row list only supported for Gaussian 3.40)"
+                "(points-per-row lists on lat/lon 3.0 and Gaussian "
+                "3.40 only)"
             )
         if pl_size and b[s3 + 11] != 1:
             raise NotImplementedError(
@@ -572,7 +573,52 @@ def read_grib2_structure(path: str) -> dict:
                     )
             else:
                 dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
-                m.update(dj=dj, grid="latlon")
+                if pl_size and gdt == 0:
+                    # quasi-regular (thinned) lat/lon — GRIB2 form of
+                    # the legacy WAFS-style grids: pl[j] points per row
+                    # spanning lon1..lon2 INCLUSIVE, affine latitudes;
+                    # same ragged-row machinery as the GRIB1 path
+                    if (m.get("col_major") or m.get("boustro")
+                            or m.get("i_negative")
+                            or scan & 0x0E):
+                        raise NotImplementedError(
+                            "GRIB2 quasi-regular lat/lon with a "
+                            "non-default or staggered scanning mode"
+                        )
+                    pl_off = t + 58
+                    pl = [
+                        int.from_bytes(
+                            bytes(b[pl_off + k * pl_size
+                                    : pl_off + (k + 1) * pl_size]),
+                            "big",
+                        )
+                        for k in range(nj)
+                    ]
+                    n_total = struct.unpack(
+                        ">I", bytes(b[s3 + 6 : s3 + 10])
+                    )[0]
+                    if sum(pl) != n_total or min(pl) < 2:
+                        raise ValueError(
+                            f"GRIB2 quasi-regular lat/lon: "
+                            f"points-per-row sum {sum(pl)} != "
+                            f"section-3 total {n_total}"
+                        )
+                    span = (lon2 - lon1) % 360.0
+                    if span == 0.0:
+                        raise ValueError(
+                            "GRIB2 quasi-regular lat/lon: degenerate "
+                            "row span"
+                        )
+                    north = max(lat1, lat2)
+                    m.update(
+                        ni=max(pl), dj=dj, grid="latlon",
+                        row_ni_scan=pl,
+                        row_ni=(pl[::-1] if m["j_positive"] else pl),
+                        lat_centers=[north - j * dj for j in range(nj)],
+                        lon_span=span, lon_global=False,
+                    )
+                else:
+                    m.update(dj=dj, grid="latlon")
             if gdt == 1:  # rotated lat/lon (COSMO/HARMONIE family)
                 lat_sp = _sm(struct.unpack_from(">I", raw3, 58)[0], 32) / 1e6
                 lon_sp = _sm(struct.unpack_from(">I", raw3, 62)[0], 32) / 1e6

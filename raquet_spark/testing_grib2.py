@@ -210,7 +210,9 @@ def write_grib2(
 
         lat_last = lat1 - dj * (nj - 1)
         lon_e = lon1 + di * (ni - 1)
-        reduced = bool(grid and grid.get("type") == "gauss_reduced")
+        reduced = bool(
+            grid and grid.get("type") in ("gauss_reduced", "latlon_reduced")
+        )
         if reduced:
             # ragged rows: data is a NaN-padded (nj, max_ni) rect,
             # row j meaningful through pl[j]; serialization = rows
@@ -485,9 +487,18 @@ def write_grib2(
                     _sm_enc(int(round(rot["lon_sp"] % 360.0 * 1e6)), 32),
                 )
                 t30 += struct.pack(">f", float(rot.get("angle", 0.0)))
-            s3 = struct.pack(
-                ">BIBBH", 0, ni * nj, 0, 0, 1 if rot else 0
-            ) + t30
+            if reduced:  # quasi-regular lat/lon: PL after the template
+                pl_scan = pl[::-1] if j_positive else pl
+                t30 += b"".join(
+                    int(v).to_bytes(2, "big") for v in pl_scan
+                )
+                s3 = struct.pack(
+                    ">BIBBH", 0, int(sum(pl)), 2, 1, 1 if rot else 0
+                ) + t30
+            else:
+                s3 = struct.pack(
+                    ">BIBBH", 0, ni * nj, 0, 0, 1 if rot else 0
+                ) + t30
         lv_type, lv_scale, lv_val = f.get("level", (1, 0, 0))
         t40 = struct.pack(
             ">BBBBBHBBI", cat, num, 2, 0, 0, 0, 0,

@@ -2044,3 +2044,58 @@ def test_pdt_probability_and_spatial(tmp_path):
     got = decode_message(rd(ms[2]["data_off"], ms[2]["data_len"]),
                          ms[2], None)
     np.testing.assert_array_equal(got, data)
+
+
+def test_grib2_quasi_regular_latlon(spark, tmp_path):
+    """GRIB2 quasi-regular (thinned) lat/lon — template 3.0 with a
+    points-per-row list (the edition-2 form of the WAFS-style thinned
+    grids; previously a typed gate): ragged decode + the per-row
+    endpoint-inclusive warp, sharing the GRIB1 quasi-regular
+    machinery. A constant-per-row field converts with every output
+    pixel equal to its row's value."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.sources.io import range_reader
+
+    nj = 8
+    pl = [9, 13, 17, 25, 25, 17, 13, 9]
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = (np.arange(pl[j]) * 3 + j * 7) % 53
+    path = str(tmp_path / "g2_qll.grib2")
+    write_grib2(
+        path, [{"data": rect, "forecast_time": 0,
+                "packing": "complex", "group_len": 11}],
+        lat1=52.0, lon1=-10.0, di=20.0 / (ni - 1), dj=0.5,
+        grid={"type": "latlon_reduced", "pl": pl},
+    )
+    m = read_grib2_structure(path)["messages"][0]
+    assert m["grid"] == "latlon" and m["row_ni"] == pl
+    assert m["lon_span"] == pytest.approx(20.0)
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    ok = ~np.isnan(rect)
+    np.testing.assert_array_equal(got[ok], rect[ok])
+
+    row_const = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        row_const[j, : pl[j]] = float(100 + 10 * j)
+    p2 = str(tmp_path / "g2_qll_rows.grib2")
+    write_grib2(
+        p2, [{"data": row_const, "forecast_time": 0}],
+        lat1=52.0, lon1=-10.0, di=20.0 / (ni - 1), dj=0.5,
+        grid={"type": "latlon_reduced", "pl": pl},
+    )
+    tiles, _meta = grib2_to_raquet(spark, p2, block_size=64,
+                                   compression=None)
+    vals = (
+        tiles.where("block > 0")
+        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .where("v != -9999.0")
+        .groupBy("v").count().collect()
+    )
+    got_set = {r["v"] for r in vals}
+    assert got_set and got_set <= {float(100 + 10 * j) for j in range(nj)}
+    assert {120.0, 130.0, 140.0} <= got_set
