@@ -334,6 +334,8 @@ def cmd_import_grib(args) -> int:
         spark, args.input, param=param, level=level, zoom=args.zoom,
         block_size=args.block_size, stats=args.stats,
         resampling=getattr(args, "resampling", "near"),
+        member=getattr(args, "member", None),
+        threshold=getattr(args, "threshold", None),
     )
     write_raquet(tiles, args.output, meta)
     steps = meta.get("time", {}).get("count", 0)
@@ -663,6 +665,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--block-size", type=int, default=256)
     s.add_argument("--resampling", default="near",
                    choices=["near", "bilinear", "cubic"])
+    s.add_argument("--member", type=int, default=None,
+                   help="select one ensemble member (PDT 4.1/4.11)")
+    s.add_argument("--threshold", type=float, default=None,
+                   help="select one probability lower limit "
+                        "(PDT 4.5/4.9 exceedance archives)")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_grib)
 

@@ -1219,16 +1219,35 @@ def select_messages(
     msgs: list[dict],
     param: tuple[int, int] | None = None,
     level: tuple | None = None,
+    member: int | None = None,
+    threshold: float | None = None,
 ) -> list[dict]:
     """Messages of ONE field: filtered by ``param`` (category, number)
     AND by ``level`` (first-fixed-surface type, value) — the surface is
     part of the key, so a pressure-level archive (one parameter at many
     levels, identical grids) never collapses into one tile stack with
-    silently interleaved levels. Defaults: the param/surface of the
-    first message. Residual duplicates (two selected messages at the
-    same forecast hour — e.g. ensemble members, PDT 4.1) raise."""
+    silently interleaved levels. ``member`` selects one ensemble
+    member (PDT 4.1/4.11) and ``threshold`` one probability lower
+    limit (PDT 4.5/4.9), so multi-member/multi-threshold archives are
+    ingestable without upstream splitting. Defaults: the param/surface
+    of the first message. Residual duplicates (two selected messages
+    at the same forecast hour) raise."""
     if not msgs:
         raise ValueError("empty GRIB2 file")
+    if member is not None:
+        msgs = [m for m in msgs if m.get("ens_member") == member]
+        if not msgs:
+            raise ValueError(f"no GRIB2 messages for ensemble member {member}")
+    if threshold is not None:
+        msgs = [
+            m for m in msgs
+            if m.get("prob_lower") is not None
+            and abs(m["prob_lower"] - threshold) < 1e-9
+        ]
+        if not msgs:
+            raise ValueError(
+                f"no GRIB2 messages with probability lower limit {threshold}"
+            )
     if param is None:
         param = (msgs[0]["param_category"], msgs[0]["param_number"])
     by_param = [
@@ -1279,6 +1298,8 @@ def grib2_pixel_table(
     g: dict,
     param: tuple[int, int] | None = None,
     level: tuple | None = None,
+    member: int | None = None,
+    threshold: float | None = None,
 ):
     """Distributed decode → (time_cf, sy, sx, band_1) pixel rows,
     ``time_cf`` = forecast hours (code-table 4.4 units converted); one
@@ -1291,7 +1312,7 @@ def grib2_pixel_table(
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    sel = select_messages(g["messages"], param, level)
+    sel = select_messages(g["messages"], param, level, member, threshold)
     shape0 = (sel[0]["ni"], sel[0]["nj"])
     for m in sel:
         if (m["ni"], m["nj"]) != shape0:
@@ -1498,11 +1519,16 @@ def grib2_to_raquet(
     stats: bool = True,
     resampling: str = "near",
     nodata: float = -9999.0,
+    member: int | None = None,
+    threshold: float | None = None,
 ):
     """GRIB2 → RaQuet tiles on the mercator grid, forecast steps as
     ``time_cf`` — the same single-warp-shuffle + single-tiling-shuffle
     pipeline as :func:`netcdf.netcdf_to_raquet` (the two formats carry
-    the same regular-lat/lon + time-steps shape)."""
+    the same regular-lat/lon + time-steps shape). ``member``/
+    ``threshold`` select one ensemble member / probability threshold
+    out of a multi-member or exceedance archive (PDT 4.1/4.11 and
+    4.5/4.9)."""
     from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import BandMeta, build_metadata
@@ -1516,7 +1542,7 @@ def grib2_to_raquet(
     )
 
     g = read_grib2_structure(path)
-    sel = select_messages(g["messages"], param, level)
+    sel = select_messages(g["messages"], param, level, member, threshold)
     m0 = sel[0]
     if param is None:
         param = (m0["param_category"], m0["param_number"])
@@ -1526,7 +1552,7 @@ def grib2_to_raquet(
     # grid rows are normalized north-first by decode_message
     info = _grib2_info(m0, path, nodata)
     z = zoom if zoom is not None else _pick_zoom(info, block_size, "upper")
-    px = grib2_pixel_table(spark, g, param, level)
+    px = grib2_pixel_table(spark, g, param, level, member, threshold)
     # bitmap-missing points were omitted; the warp gather wants dense
     # rows only where data exists — absent sources resolve to nodata
     px = px.withColumn("band_1", F.coalesce("band_1", F.lit(nodata)))

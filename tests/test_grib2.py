@@ -2099,3 +2099,51 @@ def test_grib2_quasi_regular_latlon(spark, tmp_path):
     got_set = {r["v"] for r in vals}
     assert got_set and got_set <= {float(100 + 10 * j) for j in range(nj)}
     assert {120.0, 130.0, 140.0} <= got_set
+
+
+def test_select_member_and_threshold(spark, tmp_path):
+    """Multi-member / multi-threshold archives are ingestable WITHOUT
+    upstream splitting: select_messages takes ``member`` (PDT
+    4.1/4.11) and ``threshold`` (probability lower limit, 4.5/4.9);
+    the conversion and CLI expose both."""
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        select_messages,
+    )
+
+    nj, ni = 6, 9
+    base = _field(1, nj, ni, 0)
+    fields = []
+    for t in (0, 6):
+        for mem in (0, 1, 2):
+            fields.append({"data": base + mem * 100.0,
+                           "forecast_time": t, "pdt": 1,
+                           "ens_member": mem, "ens_count": 3})
+    path = str(tmp_path / "ens.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    with pytest.raises(ValueError, match="member"):
+        select_messages(g["messages"])  # collapses without a selector
+    sel = select_messages(g["messages"], member=1)
+    assert len(sel) == 2 and all(m["ens_member"] == 1 for m in sel)
+    px = grib2_pixel_table(spark, g, member=2).toPandas()
+    assert px["band_1"].min() >= 200.0 - 50.0  # member-2 values only
+    assert sorted(px["time_cf"].unique()) == [0.0, 6.0]
+    with pytest.raises(ValueError, match="ensemble member 7"):
+        select_messages(g["messages"], member=7)
+
+    # probability thresholds
+    pfields = []
+    for t in (0, 6):
+        for k, thr in enumerate((254, 508)):
+            pfields.append({"data": base + k, "forecast_time": t,
+                            "pdt": 9, "prob_number": k, "prob_total": 2,
+                            "prob_lower_scale": 1, "prob_lower": thr})
+    p2 = str(tmp_path / "prob.grib2")
+    write_grib2(p2, pfields)
+    g2 = read_grib2_structure(p2)
+    sel2 = select_messages(g2["messages"], threshold=50.8)
+    assert len(sel2) == 2
+    assert all(m["prob_lower"] == pytest.approx(50.8) for m in sel2)
+    with pytest.raises(ValueError, match="probability lower limit"):
+        select_messages(g2["messages"], threshold=99.0)
