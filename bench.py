@@ -153,7 +153,10 @@ def main() -> None:
     # trusted (dataset_shuffle is a ~10 ms scan+sort at sf0.1)
     oracles = entry_mod.oracle_sql()
     duck_timings = measure_duckdb(sf_dir, headline, oracles)
-    duck_suspect = duck_timings.get("dataset_shuffle", 0.0) >= 0.030
+    # a MISSING sentinel (interrupted / errored) is itself evidence of
+    # a struggling box — read it as suspect, not clean
+    _ds = duck_timings.get("dataset_shuffle")
+    duck_suspect = _ds is None or _ds >= 0.030
 
     from raquet_spark.session import get_spark
 

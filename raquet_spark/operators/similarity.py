@@ -324,7 +324,12 @@ def ann_lsh(
             .where(
                 F.col("_bn").isNull()
                 | (
-                    F.pmod(F.xxhash64("cand_id", F.lit(seed)), F.lit(1_000_000))
+                    # _t in the hash: drops must be INDEPENDENT across
+                    # tables, else a candidate unlucky once is dropped
+                    # from every table and the multi-table recall
+                    # argument collapses
+                    F.pmod(F.xxhash64("cand_id", "_t", F.lit(seed)),
+                           F.lit(1_000_000))
                     < F.lit(1_000_000.0) * max_bucket_rows / F.col("_bn")
                 )
             )

@@ -170,6 +170,21 @@ def float_to_ibm32(v: float) -> int:
     return s | (exp << 24) | mant
 
 
+def _check_regional_span(lon1: float, span: float) -> None:
+    """Gate antimeridian-STRADDLING regional thinned grids: the tiling
+    machinery anchors one contiguous [west, east] extent inside the
+    mercator world, so a region crossing 180 would silently clip its
+    eastern half to nodata tiles — a typed error with remediation
+    beats that (the warp's per-row lookup itself wraps mod 360)."""
+    lf = lon1 - 360.0 if lon1 > 180.0 else lon1
+    if lf + span > 180.0 + 1e-9:
+        raise NotImplementedError(
+            "quasi-regular grid straddles the antimeridian "
+            f"(rows span {lf} .. {lf + span}); split the archive at "
+            "180 and ingest the halves separately"
+        )
+
+
 def _sm_bytes(b, off: int, n: int) -> int:
     """n-byte big-endian sign-magnitude int (GRIB1 milli-degrees)."""
     v = int.from_bytes(bytes(b[off : off + n]), "big")
@@ -264,8 +279,12 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
         # 0xFFFF as di=65.535° would silently corrupt the geotransform
         span = (lon1 - lon2) if (scan & 0x80) else (lon2 - lon1)
         span %= 360.0
-        if span == 0.0:  # global circle stated with lon2 == lon1 - di
-            span = 360.0 * (ni - 1) / ni
+        if span == 0.0:
+            # a zero span mod 360 can only mean a DUPLICATE-endpoint
+            # circle (lon2 = lon1 + 360 = lon1 + di*(ni-1)); the
+            # no-duplicate global form (lon2 = lon1 - di) leaves
+            # span = 360 - di != 0 and takes the generic path
+            span = 360.0
         return span / (ni - 1)
 
     incr_given = bool(res_flag & 0x80)
@@ -315,6 +334,7 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
                 raise ValueError(
                     "GRIB1 quasi-regular lat/lon: degenerate row span"
                 )
+            _check_regional_span(lon1, span)
             north = max(lat1, lat2)
             m.update(
                 ni=max(pl), nj=nj, grid="latlon", dj=dj,
@@ -502,12 +522,49 @@ def read_grib2_structure(path: str) -> dict:
             lon1 = _sm(struct.unpack_from(">I", raw3, 36)[0], 32) / 1e6
             lat2 = _sm(struct.unpack_from(">I", raw3, 41)[0], 32) / 1e6
             lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
-            di = struct.unpack_from(">I", raw3, 49)[0] / 1e6
+            res_flag = raw3[40]  # flag table 3.3 (octet 55)
+            di_raw = struct.unpack_from(">I", raw3, 49)[0]
             scan = raw3[57]
             check_scan(scan, stagger_ok=(gdt == 0))
+            # same contract as the GRIB1 path (ADVICE r11): 'increments
+            # not given' (flag-table 3.3 bit 3/4 clear, or the all-ones
+            # sentinel) must derive from the corners — decoding the
+            # sentinel as di = 4294.97 deg would silently corrupt the
+            # geotransform while values stay plausible
+            if res_flag & 0x20 and di_raw != 0xFFFFFFFF:
+                di = di_raw / 1e6
+            else:
+                span = (
+                    (lon1 - lon2) if (scan & 0x80) else (lon2 - lon1)
+                ) % 360.0
+                di = (span if span else 360.0) / (ni - 1)
             m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2,
                      lon2=lon2, di=di, scan=scan,
                      j_positive=bool(scan & 0b01000000))
+
+            def read_pl2(label: str) -> list[int]:
+                # points-per-row list directly after the 58-byte
+                # template body, cross-checked against section 3's
+                # total point count
+                pl_off = t + 58
+                pl = [
+                    int.from_bytes(
+                        bytes(b[pl_off + k * pl_size
+                                : pl_off + (k + 1) * pl_size]),
+                        "big",
+                    )
+                    for k in range(nj)
+                ]
+                n_total = struct.unpack(
+                    ">I", bytes(b[s3 + 6 : s3 + 10])
+                )[0]
+                if sum(pl) != n_total or min(pl) <= 0:
+                    raise ValueError(
+                        f"GRIB2 {label}: points-per-row sum {sum(pl)} "
+                        f"!= section-3 total {n_total}"
+                    )
+                return pl
+
             if gdt == 40:
                 # regular Gaussian (ECMWF-native output): rows sit on
                 # the 2N Gaussian latitudes (arcsin of the roots of
@@ -547,23 +604,7 @@ def read_grib2_structure(path: str) -> dict:
                             "GRIB2 reduced Gaussian grid with a "
                             "non-default scanning mode"
                         )
-                    pl_off = t + 58
-                    pl = [
-                        int.from_bytes(
-                            bytes(b[pl_off + k * pl_size
-                                    : pl_off + (k + 1) * pl_size]),
-                            "big",
-                        )
-                        for k in range(nj)
-                    ]
-                    n_total = struct.unpack(
-                        ">I", bytes(b[s3 + 6 : s3 + 10])
-                    )[0]
-                    if sum(pl) != n_total or min(pl) <= 0:
-                        raise ValueError(
-                            f"GRIB2 reduced Gaussian: points-per-row "
-                            f"sum {sum(pl)} != section-3 total {n_total}"
-                        )
+                    pl = read_pl2("reduced Gaussian")
                     m.update(
                         ni=max(pl),
                         row_ni_scan=pl,  # scan row order (as stored)
@@ -572,7 +613,11 @@ def read_grib2_structure(path: str) -> dict:
                         lon_global=True,  # O-grids are full circles
                     )
             else:
-                dj = struct.unpack_from(">I", raw3, 53)[0] / 1e6
+                dj_raw = struct.unpack_from(">I", raw3, 53)[0]
+                if res_flag & 0x10 and dj_raw != 0xFFFFFFFF:
+                    dj = dj_raw / 1e6
+                else:  # j increments not given: derive from corners
+                    dj = abs(lat1 - lat2) / (nj - 1)
                 if pl_size and gdt == 0:
                     # quasi-regular (thinned) lat/lon — GRIB2 form of
                     # the legacy WAFS-style grids: pl[j] points per row
@@ -585,23 +630,11 @@ def read_grib2_structure(path: str) -> dict:
                             "GRIB2 quasi-regular lat/lon with a "
                             "non-default or staggered scanning mode"
                         )
-                    pl_off = t + 58
-                    pl = [
-                        int.from_bytes(
-                            bytes(b[pl_off + k * pl_size
-                                    : pl_off + (k + 1) * pl_size]),
-                            "big",
-                        )
-                        for k in range(nj)
-                    ]
-                    n_total = struct.unpack(
-                        ">I", bytes(b[s3 + 6 : s3 + 10])
-                    )[0]
-                    if sum(pl) != n_total or min(pl) < 2:
+                    pl = read_pl2("quasi-regular lat/lon")
+                    if min(pl) < 2:
                         raise ValueError(
-                            f"GRIB2 quasi-regular lat/lon: "
-                            f"points-per-row sum {sum(pl)} != "
-                            f"section-3 total {n_total}"
+                            "GRIB2 quasi-regular lat/lon: a row needs "
+                            ">= 2 points for endpoint-inclusive spacing"
                         )
                     span = (lon2 - lon1) % 360.0
                     if span == 0.0:
@@ -609,6 +642,7 @@ def read_grib2_structure(path: str) -> dict:
                             "GRIB2 quasi-regular lat/lon: degenerate "
                             "row span"
                         )
+                    _check_regional_span(lon1, span)
                     north = max(lat1, lat2)
                     m.update(
                         ni=max(pl), dj=dj, grid="latlon",
@@ -1548,8 +1582,6 @@ def grib2_to_raquet(
         param = (m0["param_category"], m0["param_number"])
     if level is None:
         level = (m0["level_type"], m0["level_value"])
-    ni, nj = m0["ni"], m0["nj"]
-    # grid rows are normalized north-first by decode_message
     info = _grib2_info(m0, path, nodata)
     z = zoom if zoom is not None else _pick_zoom(info, block_size, "upper")
     px = grib2_pixel_table(spark, g, param, level, member, threshold)

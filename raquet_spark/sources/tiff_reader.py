@@ -1660,12 +1660,16 @@ def _resampled_pixels(
             lf = info.get("lon_first", 0.0)
             span = info.get("lon_span")
             if span is not None:
-                # regional endpoint-INCLUSIVE rows (GRIB1
+                # regional endpoint-INCLUSIVE rows (GRIB1/GRIB2
                 # quasi-regular lat/lon): pl points span lon_span with
-                # spacing span/(pl-1); nearest point by rounding
+                # spacing span/(pl-1); nearest point by rounding. The
+                # lon offset wraps mod 360 so grids straddling the
+                # antimeridian (lf=170, span=24) resolve their eastern
+                # half instead of silently filtering it to nodata;
+                # points outside the span land past rn-1 and drop.
                 k_e = (
-                    f"CAST(floor(({lon_e} - {lf}) * (_rn - 1) "
-                    f"/ {span}D + 0.5D) AS BIGINT)"
+                    f"CAST(floor(pmod({lon_e} - {lf}, 360.0D) "
+                    f"* (_rn - 1) / {span}D + 0.5D) AS BIGINT)"
                 )
             else:
                 k_e = (
@@ -1742,7 +1746,9 @@ def _resampled_pixels(
         lf = info.get("lon_first", 0.0)
         span = info.get("lon_span")
         u_e = (
-            f"(({lon_e}) - {lf}) * (_rn - 1) / {span}D"
+            # mod-360 wrap: antimeridian-straddling regional grids
+            # (same convention as the nearest path above)
+            f"pmod(({lon_e}) - {lf}, 360.0D) * (_rn - 1) / {span}D"
             if span is not None
             else f"(({lon_e}) - {lf}) * _rn / 360.0D"
         )

@@ -261,11 +261,17 @@ def compact_minhash_index(
     replay filter sees exactly the same rows before and after
     (pytest-pinned).
 
-    Crash-safe ordering: the compacted partition is written to an
-    underscore-prefixed temp dir first (invisible to Spark's parquet
-    reader), source partitions are removed, then the temp dir is
-    renamed into place; an interrupted run is finished by the next
-    call. Returns the number of partitions folded (0 = nothing to do).
+    Safe against a CONCURRENT probe (the scheduled-job deployment this
+    is for): compacted part files are moved INTO the live target
+    partition before any source is removed, so an index read at any
+    instant sees every band row at least once — transient duplicates
+    are collapsed by the probe's pairs ``groupBy`` — and never a
+    missing-row window (a delete-then-rename ordering would let a
+    concurrent probe silently record cross-batch duplicates as
+    non-duplicates, permanently). The fold state marker is written
+    atomically (temp + rename) and an interrupted run is finished by
+    the next call. Returns the number of partitions folded (0 =
+    nothing to do).
 
     100 TB note: this is the maintenance pass of the
     offline-index/online-probe split (same shape as the E45 ANN index)
@@ -274,9 +280,10 @@ def compact_minhash_index(
     import os
     import re
     import shutil
+    import uuid
 
     tmp = os.path.join(index_dir, "_compact_tmp")
-    done_marker = os.path.join(tmp, "_COMPACT_TARGET")
+    marker = os.path.join(index_dir, "_COMPACT_STATE")
 
     def batch_dirs():
         out = []
@@ -286,24 +293,39 @@ def compact_minhash_index(
                 out.append((int(mm.group(1)), os.path.join(index_dir, name)))
         return sorted(out)
 
-    def finish(target: int) -> None:
-        # marker still rides inside tmp, so a crash at ANY point here
-        # re-enters this same path on the next call; the final marker
-        # removal happens after the rename (Spark ignores _-prefixed
-        # files, so a stray marker in the live dir is harmless)
+    def finish(target: int, prefix: str) -> None:
+        # every step is idempotent, so a crash ANYWHERE here re-enters
+        # this same path on the next call (the marker goes last)
         dest = os.path.join(index_dir, f"batch={target}")
+        if os.path.isdir(tmp):
+            # 1. move compacted part files into the LIVE partition
+            #    (each os.replace is atomic; readers see originals +
+            #    a growing set of compacted rows = duplicates, fine)
+            for name in sorted(os.listdir(tmp)):
+                if name.endswith(".parquet"):
+                    os.replace(os.path.join(tmp, name),
+                               os.path.join(dest, prefix + name))
+            shutil.rmtree(tmp)
+        # 2. drop the target's pre-fold files (their rows ride the
+        #    compacted files now); previous folds' compact-* files are
+        #    "originals" here too — their rows were re-folded
+        for name in list(os.listdir(dest)):
+            if not name.startswith(prefix):
+                fp = os.path.join(dest, name)
+                if os.path.isfile(fp):
+                    os.remove(fp)
+        # 3. drop the other folded source partitions
         for bid, path in batch_dirs():
-            if bid <= target:
+            if bid < target:
                 shutil.rmtree(path)
-        os.rename(tmp, dest)
-        os.remove(os.path.join(dest, "_COMPACT_TARGET"))
+        os.remove(marker)
 
-    # finish an interrupted previous run: temp dir fully written
-    # (marker present) but sources not yet removed / not yet renamed
-    if os.path.exists(done_marker):
-        with open(done_marker) as fh:
-            finish(int(fh.read().strip()))
-    elif os.path.exists(tmp):  # interrupted mid-write: temp is garbage
+    # finish an interrupted previous run
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            content = fh.read().split()
+        finish(int(content[0]), content[1])
+    elif os.path.exists(tmp):  # interrupted before the marker: garbage
         shutil.rmtree(tmp)
 
     parts = batch_dirs()
@@ -315,9 +337,14 @@ def compact_minhash_index(
     if "batch" in folded.columns:  # partition-col inference guard:
         folded = folded.drop("batch")  # the dir name carries the value
     folded.write.mode("overwrite").parquet(tmp)
-    with open(done_marker, "w") as fh:
-        fh.write(str(target))
-    finish(target)
+    prefix = f"compact-{uuid.uuid4().hex[:12]}-"
+    # atomic marker: a half-written state file must not brick recovery
+    with open(marker + ".w", "w") as fh:
+        fh.write(f"{target} {prefix}")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(marker + ".w", marker)
+    finish(target, prefix)
     return len(fold)
 
 

@@ -192,6 +192,7 @@ def write_grib2(
     boustro: bool = False,
     grid: dict | None = None,
     stagger: int = 0,
+    incr_given: bool = True,
 ) -> str:
     """``fields``: list of ``{data (2-d np array, row 0 = north; NaN =
     missing → bitmap), forecast_time (int hours), param (category,
@@ -472,12 +473,15 @@ def write_grib2(
                 _sm_enc(int(round(lo_first * 1e6)), 32),
             )
             t30 += struct.pack(
-                ">BII", 0x30,
+                ">BII", 0x30 if incr_given else 0x00,
                 _sm_enc(int(round(la2 * 1e6)), 32),
                 _sm_enc(int(round(lo_last * 1e6)), 32),
             )
             t30 += struct.pack(
-                ">IIB", int(round(di * 1e6)), int(round(dj * 1e6)), scan
+                ">IIB",
+                int(round(di * 1e6)) if incr_given else 0xFFFFFFFF,
+                int(round(dj * 1e6)) if incr_given else 0xFFFFFFFF,
+                scan,
             )
             if rot:  # template 3.1: + south pole of rotation (the
                 # lat1/lon1/di/dj args are in ROTATED coordinates)

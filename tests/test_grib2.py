@@ -2147,3 +2147,50 @@ def test_select_member_and_threshold(spark, tmp_path):
     assert all(m["prob_lower"] == pytest.approx(50.8) for m in sel2)
     with pytest.raises(ValueError, match="probability lower limit"):
         select_messages(g2["messages"], threshold=99.0)
+
+
+def test_grib2_increments_not_given(tmp_path):
+    """Edition-2 'direction increments not given' (flag-table 3.3
+    bits clear, 0xFFFFFFFF sentinels — the same class as the GRIB1
+    ADVICE fix): Di/Dj derive from the corner coordinates instead of
+    decoding the sentinel as 4294.97 degrees."""
+    nj, ni = 10, 16
+    data = _field(1, nj, ni, 1)
+    path = str(tmp_path / "noincr.grib2")
+    write_grib2(path, [{"data": data, "forecast_time": 0}],
+                lat1=48.0, lon1=-5.0, di=0.5, dj=0.25,
+                incr_given=False)
+    m = read_grib2_structure(path)["messages"][0]
+    assert m["di"] == pytest.approx(0.5, abs=1e-6)
+    assert m["dj"] == pytest.approx(0.25, abs=1e-6)
+    from raquet_spark.sources.io import range_reader
+
+    rd = range_reader(path)
+    got = decode_message(rd(m["data_off"], m["data_len"]), m, None)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_grib1_quasi_regular_antimeridian_gate(tmp_path):
+    """Regional ragged-row grids straddling the antimeridian: the
+    tiling machinery anchors ONE contiguous [west, east] extent, so a
+    region crossing 180 would silently clip its eastern half to
+    nodata tiles — a typed gate with split-the-archive remediation
+    fires at parse time instead (the warp's per-row lon lookup itself
+    wraps mod 360, so a future two-extent tiler only has to lift the
+    gate)."""
+    from raquet_spark.testing_grib2 import write_grib1
+
+    nj = 6
+    pl = [9, 13, 17, 17, 13, 9]
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = np.arange(pl[j], dtype="f8")
+    path = str(tmp_path / "g1_am.grib1")
+    write_grib1(
+        path, [{"data": rect, "forecast_time": 0}],
+        lat1=8.0, lon1=170.0, di=24.0 / (ni - 1), dj=0.5,
+        grid={"type": "latlon_reduced", "pl": pl},
+    )
+    with pytest.raises(NotImplementedError, match="antimeridian"):
+        read_grib2_structure(path)

@@ -1154,12 +1154,26 @@ def test_minhash_index_compaction(spark, tmp_path):
     tmp = os.path.join(idx_dir, "_compact_tmp")
     folded = spark.read.parquet(*[os.path.join(idx_dir, d) for _, d in fold])
     folded.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_COMPACT_TARGET"), "w") as fh:
-        fh.write(str(fold[-1][0]))
-    # "crash" here: sources still present alongside the finished temp.
-    # the next compaction call first completes the interrupted fold
+    with open(os.path.join(idx_dir, "_COMPACT_STATE"), "w") as fh:
+        fh.write(f"{fold[-1][0]} compact-testcrash-")
+    # "crash" here: sources still present alongside the finished temp
+    # and the committed marker. The next compaction call first
+    # completes the interrupted fold (move-in, prune, drop sources).
     compact_minhash_index(spark, idx_dir, keep_last=1)
     assert index_rows() == rows_pre
     dirs = [d for d in os.listdir(idx_dir) if d.startswith("batch=")]
     assert len(dirs) <= 2 and not os.path.exists(tmp)
+    assert not os.path.exists(os.path.join(idx_dir, "_COMPACT_STATE"))
+
+    # a HALF-written marker (crash before the atomic rename) must not
+    # brick compaction: the .w temp is ignored, tmp treated as garbage
+    for i in (301, 302):
+        b = spark.createDataFrame(
+            [(80000 + i, base[0]["text"] + f" q{i}")],
+            "doc_id long, text string",
+        )
+        minhash_dedup_process_batch(b, i, idx_dir, pairs_dir)
+    with open(os.path.join(idx_dir, "_COMPACT_STATE.w"), "w") as fh:
+        fh.write("")  # torn write
+    assert compact_minhash_index(spark, idx_dir, keep_last=1) >= 1
     _ = shutil
