@@ -1304,9 +1304,14 @@ def select_messages(
     for m in sel:
         t = m["forecast_hours"]
         if t in seen:
-            if m.get("pdt") in (1, 2):
+            if m.get("pdt") in (1, 11):  # individual ensemble members
                 detail = "/".join(
                     f"member {x.get('ens_member', '?')}"
+                    for x in (seen[t], m)
+                ) + " — select one with member="
+            elif m.get("pdt") in (2, 12):  # derived forecasts
+                detail = "/".join(
+                    f"derived type {x.get('ens_derived', '?')}"
                     for x in (seen[t], m)
                 )
             elif m.get("pdt") in (5, 9):
@@ -1314,7 +1319,7 @@ def select_messages(
                     f"probability threshold {x.get('prob_lower', '?')}"
                     f"..{x.get('prob_upper', '?')}"
                     for x in (seen[t], m)
-                )
+                ) + " — select one with threshold="
             else:
                 detail = "same (param, level, time)"
             raise ValueError(

@@ -1662,14 +1662,15 @@ def _resampled_pixels(
             if span is not None:
                 # regional endpoint-INCLUSIVE rows (GRIB1/GRIB2
                 # quasi-regular lat/lon): pl points span lon_span with
-                # spacing span/(pl-1); nearest point by rounding. The
-                # lon offset wraps mod 360 so grids straddling the
-                # antimeridian (lf=170, span=24) resolve their eastern
-                # half instead of silently filtering it to nodata;
-                # points outside the span land past rn-1 and drop.
+                # spacing span/(pl-1); nearest point by rounding. NO
+                # mod-360 wrap here: antimeridian-straddling regional
+                # grids are typed-gated at parse time, and a wrap
+                # would push targets half a spacing WEST of column 0
+                # (which round to 0, like the affine path's west edge)
+                # to a spurious nodata seam.
                 k_e = (
-                    f"CAST(floor(pmod({lon_e} - {lf}, 360.0D) "
-                    f"* (_rn - 1) / {span}D + 0.5D) AS BIGINT)"
+                    f"CAST(floor(({lon_e} - {lf}) * (_rn - 1) "
+                    f"/ {span}D + 0.5D) AS BIGINT)"
                 )
             else:
                 k_e = (
@@ -1746,9 +1747,10 @@ def _resampled_pixels(
         lf = info.get("lon_first", 0.0)
         span = info.get("lon_span")
         u_e = (
-            # mod-360 wrap: antimeridian-straddling regional grids
-            # (same convention as the nearest path above)
-            f"pmod(({lon_e}) - {lf}, 360.0D) * (_rn - 1) / {span}D"
+            # no mod-360 wrap (straddling regional grids are gated at
+            # parse; a wrap would nodata the half-spacing west edge —
+            # same convention as the nearest path above)
+            f"(({lon_e}) - {lf}) * (_rn - 1) / {span}D"
             if span is not None
             else f"(({lon_e}) - {lf}) * _rn / 360.0D"
         )

@@ -262,16 +262,20 @@ def compact_minhash_index(
     (pytest-pinned).
 
     Safe against a CONCURRENT probe (the scheduled-job deployment this
-    is for): compacted part files are moved INTO the live target
-    partition before any source is removed, so an index read at any
-    instant sees every band row at least once — transient duplicates
-    are collapsed by the probe's pairs ``groupBy`` — and never a
-    missing-row window (a delete-then-rename ordering would let a
-    concurrent probe silently record cross-batch duplicates as
-    non-duplicates, permanently). The fold state marker is written
-    atomically (temp + rename) and an interrupted run is finished by
-    the next call. Returns the number of partitions folded (0 =
-    nothing to do).
+    is for) in two layers: (a) compacted part files are moved INTO the
+    live target partition BEFORE anything else, so an index read at
+    any instant sees every band row at least once — transient
+    duplicates are collapsed by the probe's pairs ``groupBy`` — and
+    never a missing-row window; (b) the superseded files/partitions
+    are NOT deleted by the fold that replaced them: they are recorded
+    in a prune list executed at the START of the NEXT compaction call,
+    a vacuum-style grace period of one full compaction interval, so an
+    in-flight probe that listed the old files before the fold reads
+    them untouched (deleting them immediately would fail such a job
+    with FileNotFoundException — Spark resolves file lists at plan
+    time). The fold-state marker and prune list are written atomically
+    (temp + rename) and an interrupted run is finished by the next
+    call. Returns the number of partitions folded (0 = nothing new).
 
     100 TB note: this is the maintenance pass of the
     offline-index/online-probe split (same shape as the E45 ANN index)
@@ -284,6 +288,7 @@ def compact_minhash_index(
 
     tmp = os.path.join(index_dir, "_compact_tmp")
     marker = os.path.join(index_dir, "_COMPACT_STATE")
+    prune_file = os.path.join(index_dir, "_COMPACT_PRUNE")
 
     def batch_dirs():
         out = []
@@ -293,41 +298,90 @@ def compact_minhash_index(
                 out.append((int(mm.group(1)), os.path.join(index_dir, name)))
         return sorted(out)
 
-    def finish(target: int, prefix: str) -> None:
-        # every step is idempotent, so a crash ANYWHERE here re-enters
-        # this same path on the next call (the marker goes last)
+    def atomic_write(path: str, text: str) -> None:
+        with open(path + ".w", "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(path + ".w", path)
+
+    def move_in(target: int, prefix: str) -> list[str]:
+        """Move compacted files into the live partition; RETURN the
+        superseded paths (relative) for deferred pruning. Idempotent —
+        a crash anywhere re-enters via the marker on the next call."""
         dest = os.path.join(index_dir, f"batch={target}")
         if os.path.isdir(tmp):
-            # 1. move compacted part files into the LIVE partition
-            #    (each os.replace is atomic; readers see originals +
-            #    a growing set of compacted rows = duplicates, fine)
             for name in sorted(os.listdir(tmp)):
                 if name.endswith(".parquet"):
                     os.replace(os.path.join(tmp, name),
                                os.path.join(dest, prefix + name))
             shutil.rmtree(tmp)
-        # 2. drop the target's pre-fold files (their rows ride the
-        #    compacted files now); previous folds' compact-* files are
-        #    "originals" here too — their rows were re-folded
-        for name in list(os.listdir(dest)):
-            if not name.startswith(prefix):
-                fp = os.path.join(dest, name)
-                if os.path.isfile(fp):
-                    os.remove(fp)
-        # 3. drop the other folded source partitions
-        for bid, path in batch_dirs():
-            if bid < target:
-                shutil.rmtree(path)
-        os.remove(marker)
+        superseded = [
+            os.path.join(f"batch={target}", name)
+            for name in sorted(os.listdir(dest))
+            if not name.startswith(prefix)
+            and os.path.isfile(os.path.join(dest, name))
+        ]
+        superseded += [
+            f"batch={bid}" for bid, _ in batch_dirs() if bid < target
+        ]
+        return superseded
 
-    # finish an interrupted previous run
+    def record_prune(rels: list[str]) -> None:
+        if rels:
+            atomic_write(prune_file, "\n".join(rels))
+
+    # 1. read the PREVIOUS cycle's prune list before anything new
+    old_prune: list[str] = []
+    if os.path.exists(prune_file):
+        with open(prune_file) as fh:
+            old_prune = [ln for ln in fh.read().splitlines() if ln]
+
+    # 2. finish an interrupted fold (its prune entries join the NEXT
+    #    cycle, keeping their grace period). The marker is removed only
+    #    AFTER the entries are safely in the prune list (below) — a
+    #    crash in between re-enters move_in, which is idempotent and
+    #    recomputes the same superseded set.
+    pending: list[str] = []
+    recovered_marker = False
     if os.path.exists(marker):
         with open(marker) as fh:
             content = fh.read().split()
-        finish(int(content[0]), content[1])
-    elif os.path.exists(tmp):  # interrupted before the marker: garbage
-        shutil.rmtree(tmp)
+        pending = move_in(int(content[0]), content[1])
+        recovered_marker = True
+    elif os.path.isdir(tmp):
+        if os.path.exists(os.path.join(tmp, "_COMPACT_TARGET")):
+            raise RuntimeError(
+                "legacy _compact_tmp with _COMPACT_TARGET found — "
+                "finish it with the code that wrote it (its source "
+                "partitions may already be gone; this temp dir can "
+                "hold the only copy of the folded rows)"
+            )
+        shutil.rmtree(tmp)  # interrupted before the marker: garbage
 
+    # 3. execute the previous cycle's prune (grace period over: any
+    #    reader that listed these files has long finished; their rows
+    #    have lived in the compacted files since that cycle)
+    for rel in old_prune:
+        path = os.path.join(index_dir, rel)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.isfile(path):
+            os.remove(path)
+    if old_prune:
+        os.remove(prune_file)
+
+    # 4. settle the recovered fold's prune entries, then release its
+    #    marker (order matters: entries first, marker second). A
+    #    recovering call does NOT fold again: the superseded dirs are
+    #    still on disk awaiting their grace period, and re-folding
+    #    them would duplicate their rows permanently.
+    if recovered_marker:
+        record_prune(pending)
+        os.remove(marker)
+        return 0
+
+    # 5. fold
     parts = batch_dirs()
     if len(parts) <= keep_last + 1:
         return 0  # already compact (a single folded dir counts)
@@ -338,13 +392,10 @@ def compact_minhash_index(
         folded = folded.drop("batch")  # the dir name carries the value
     folded.write.mode("overwrite").parquet(tmp)
     prefix = f"compact-{uuid.uuid4().hex[:12]}-"
-    # atomic marker: a half-written state file must not brick recovery
-    with open(marker + ".w", "w") as fh:
-        fh.write(f"{target} {prefix}")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(marker + ".w", marker)
-    finish(target, prefix)
+    atomic_write(marker, f"{target} {prefix}")
+    pending += move_in(target, prefix)
+    record_prune(pending)
+    os.remove(marker)
     return len(fold)
 
 

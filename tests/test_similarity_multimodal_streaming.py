@@ -1068,10 +1068,13 @@ def test_streaming_minhash_dedup_replay_idempotent(spark, tmp_path):
 def test_minhash_index_compaction(spark, tmp_path):
     """VERDICT r11 #7: a 24/7 ingest guard accrues one band-index
     parquet dir per micro-batch; compaction folds old batches into one
-    partition. Probe results must be IDENTICAL pre/post (same pairs,
-    same is_dup_of_seen flags), the file count bounded, the replayable
-    newest batch left untouched, and an interrupted fold finished by
-    the next call."""
+    partition with VACUUM-style deferred pruning (superseded files are
+    deleted one compaction cycle later, so an in-flight probe that
+    listed them is never broken). Probe results must be IDENTICAL at
+    every stage (transient duplicate band rows collapse in the pairs
+    groupBy), the file count bounded after the grace period, the
+    replayable newest batch left untouched, and an interrupted fold
+    finished — not double-folded — by the next call."""
     import os
 
     from raquet_spark.queries import load_table
@@ -1109,32 +1112,40 @@ def test_minhash_index_compaction(spark, tmp_path):
         )
 
     def index_rows():
-        # the batch partition value changes on fold BY DESIGN (folded
-        # rows take the largest folded id); the logical band rows and
-        # the probe's replay-filter semantics are what must not change
+        # the batch partition value changes on fold BY DESIGN and
+        # band rows may transiently DUPLICATE during the grace period
+        # — the logical row SET and the probe output are the contract
         df = spark.read.parquet(idx_dir).drop("batch")
-        return sorted(tuple(r) for r in df.collect())
+        return sorted(set(tuple(r) for r in df.collect()))
+
+    def batch_dir_names():
+        return sorted(d for d in os.listdir(idx_dir)
+                      if d.startswith("batch="))
 
     before_pairs, before_idx = probe_pairs(100), index_rows()
     assert any(dup for _, _, dup in before_pairs)
 
     n = compact_minhash_index(spark, idx_dir, keep_last=1)
-    # 6 batch dirs existed (0-4 + probe batch 100); all but the newest fold
+    # 6 batch dirs existed (0-4 + probe batch 100); all but the newest
+    # fold — their dirs stay on disk until the NEXT call (grace period)
     assert n == 5
-    dirs = [d for d in os.listdir(idx_dir) if d.startswith("batch=")]
-    assert sorted(dirs) == ["batch=100", "batch=4"]
-    assert index_rows() == before_idx  # same logical rows...
-    after_pairs = probe_pairs(101)     # ...and identical probe output
-    assert after_pairs == before_pairs
+    assert "batch=4" in batch_dir_names()
+    assert index_rows() == before_idx        # same logical row set...
+    assert probe_pairs(101) == before_pairs  # ...identical probe output
 
-    # the 101-probe added its own batch dir; fold it, then the index
-    # is compact — a further call is a no-op
-    assert compact_minhash_index(spark, idx_dir, keep_last=1) == 2
+    # the second call executes the deferred prune (and folds the dirs
+    # the 101-probe added); after the third, fully compact and a no-op
+    compact_minhash_index(spark, idx_dir, keep_last=1)
+    compact_minhash_index(spark, idx_dir, keep_last=1)
     assert compact_minhash_index(spark, idx_dir, keep_last=1) == 0
+    assert len(batch_dir_names()) <= 2
+    assert index_rows() == before_idx
+    assert probe_pairs(102) == before_pairs
 
     # crash-recovery: simulate an interrupt AFTER the temp dir and
-    # marker were written but before sources were removed — the next
-    # call must finish the fold, not double-count
+    # marker were written but before the move-in — the next call must
+    # finish the fold (and NOT fold again in the same call), keep the
+    # logical rows, and the one after prunes
     for i in range(5, 8):
         b = spark.createDataFrame(
             [(base[2 * (i - 5)]["doc_id"] + 80000 + i,
@@ -1144,7 +1155,6 @@ def test_minhash_index_compaction(spark, tmp_path):
         minhash_dedup_process_batch(b, 200 + i, idx_dir, pairs_dir)
     rows_pre = index_rows()
     import re
-    import shutil
 
     parts = sorted(
         (int(re.fullmatch(r"batch=(\d+)", d).group(1)), d)
@@ -1156,17 +1166,17 @@ def test_minhash_index_compaction(spark, tmp_path):
     folded.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(idx_dir, "_COMPACT_STATE"), "w") as fh:
         fh.write(f"{fold[-1][0]} compact-testcrash-")
-    # "crash" here: sources still present alongside the finished temp
-    # and the committed marker. The next compaction call first
-    # completes the interrupted fold (move-in, prune, drop sources).
+    assert compact_minhash_index(spark, idx_dir, keep_last=1) == 0
+    assert index_rows() == rows_pre
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(os.path.join(idx_dir, "_COMPACT_STATE"))
+    compact_minhash_index(spark, idx_dir, keep_last=1)  # prune cycle
     compact_minhash_index(spark, idx_dir, keep_last=1)
     assert index_rows() == rows_pre
-    dirs = [d for d in os.listdir(idx_dir) if d.startswith("batch=")]
-    assert len(dirs) <= 2 and not os.path.exists(tmp)
-    assert not os.path.exists(os.path.join(idx_dir, "_COMPACT_STATE"))
+    assert len(batch_dir_names()) <= 3
 
     # a HALF-written marker (crash before the atomic rename) must not
-    # brick compaction: the .w temp is ignored, tmp treated as garbage
+    # brick compaction: the .w temp is simply ignored
     for i in (301, 302):
         b = spark.createDataFrame(
             [(80000 + i, base[0]["text"] + f" q{i}")],
@@ -1176,4 +1186,3 @@ def test_minhash_index_compaction(spark, tmp_path):
     with open(os.path.join(idx_dir, "_COMPACT_STATE.w"), "w") as fh:
         fh.write("")  # torn write
     assert compact_minhash_index(spark, idx_dir, keep_last=1) >= 1
-    _ = shutil
