@@ -133,6 +133,7 @@ def main() -> None:
         "grib1_ingest_stats",
         "grib2_rotangle_stats",
         "grib1_qll_stats",
+        "grib2_prob_stats",
         "dedup_embedding_lsh",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
@@ -359,7 +360,7 @@ def main() -> None:
     # index twins — same pipeline as their printed representatives)
     elide = {"netcdf4_ingest_stats", "netcdf4_v4index_stats",
              "netcdf4_bt2index_stats", "grib2_rotangle_stats",
-             "grib1_qll_stats"}
+             "grib1_qll_stats", "grib2_prob_stats"}
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_duckdb_baseline.json"), "w",

@@ -2984,6 +2984,94 @@ GROUP BY t
 """
 
 
+def _cached_grib2_prob(spark: SparkSession) -> str:
+    """One GRIB2 exceedance archive: TWO probability thresholds (PDT
+    4.9) per forecast step, distinct planted fields per threshold —
+    the multi-threshold shape NBM/SREF files carry, which refuses to
+    ingest without a threshold selector."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib2
+
+    key = (spark.sparkContext.applicationId, "grib2_prob_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _GRB
+        gy, gx = np.mgrid[0 : c["nj"], 0 : c["ni"]]
+        fields = []
+        for t in range(c["nt"]):
+            for k, thr in enumerate((254, 508)):  # 25.4 / 50.8 mm
+                data = (
+                    (gx * 7 + gy * 11 + t * 13 + k * 17) % c["modulo"]
+                    - 50
+                ).astype("f8")
+                data[(gx + 2 * gy + t + k) % 9 == 0] = np.nan
+                fields.append({
+                    "data": data, "forecast_time": t * 6,
+                    "param": (1, 8), "pdt": 9, "prob_number": k,
+                    "prob_total": 2, "prob_type": 1,
+                    "prob_lower_scale": 1, "prob_lower": thr,
+                })
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_grib2prob_"), "fix.grib2"
+        )
+        write_grib2(path, fields, lat1=49.0, lon1=0.0, di=0.25, dj=0.25)
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def grib2_prob_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-threshold SELECTION end-to-end (PDT 4.9, r12): the
+    fixture carries TWO exceedance thresholds per step — unselected it
+    raises the named collision — and ``threshold=50.8`` must pull
+    exactly the k=1 fields (the scaled prob_lower decodes through its
+    scale factor), whose stats reduce to the closed form. A wrong or
+    ignored selection hash-mismatches because the two planted fields
+    differ."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib2_prob(spark))
+    px = grib2_pixel_table(spark, g, threshold=50.8)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib2_prob_stats_oracle() -> str:
+    c = _GRB
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN (gx + 2 * gy + t + 1) % 9 = 0 THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13 + 17)
+                   % {c['modulo']} - 50 AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nj']})) AS gy),
+       (SELECT unnest(range(0, {c['ni']})) AS gx)
+)
+SELECT CAST(t * 6 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 def _cached_grib2_mvm(spark: SparkSession) -> str:
     import os
     import tempfile
@@ -6155,6 +6243,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "grib2_reduced_stats": (grib2_reduced_stats_spark, grib2_reduced_stats_oracle),
     "grib1_ingest_stats": (grib1_ingest_stats_spark, grib1_ingest_stats_oracle),
     "grib1_qll_stats": (grib1_qll_stats_spark, grib1_qll_stats_oracle),
+    "grib2_prob_stats": (grib2_prob_stats_spark, grib2_prob_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),
