@@ -314,6 +314,46 @@ def cmd_import_netcdf(args) -> int:
     return 0
 
 
+def cmd_grib_info(args) -> int:
+    """Inventory of a GRIB archive (the `wgrib2 -s` role): one line
+    per message with the selection keys — parameter, surface, forecast
+    hour, grid/packing, ensemble member / probability threshold —
+    so a user knows what to pass to import-grib's --param/--level/
+    --member/--threshold. Pure header walk (byte-ranged), no Spark
+    session."""
+    from raquet_spark.sources.grib2 import read_grib2_structure
+
+    g = read_grib2_structure(args.input)
+    msgs = g["messages"]
+    if args.json:
+        keys = ["edition", "param_category", "param_number",
+                "level_type", "level_value", "forecast_hours", "pdt",
+                "grid", "ni", "nj", "drt", "ens_member", "ens_count",
+                "prob_lower", "prob_upper", "spatial_stat"]
+        print(json.dumps(
+            [{k: m.get(k) for k in keys if m.get(k) is not None}
+             for m in msgs],
+            indent=1, default=str,
+        ))
+        return 0
+    for i, m in enumerate(msgs):
+        sel = ""
+        if m.get("ens_member") is not None:
+            sel = f" member={m['ens_member']}/{m.get('ens_count', '?')}"
+        elif m.get("prob_lower") is not None or m.get("prob_upper") is not None:
+            sel = f" threshold={m.get('prob_lower')}..{m.get('prob_upper')}"
+        print(
+            f"{i}: ed{m.get('edition', 2)} "
+            f"param={m['param_category']},{m['param_number']} "
+            f"level={m['level_type']},{m['level_value']} "
+            f"t+{m['forecast_hours']}h "
+            f"grid={m.get('grid', '?')} {m['ni']}x{m['nj']} "
+            f"pdt=4.{m.get('pdt', 0)} drt=5.{m.get('drt', 0)}{sel}"
+        )
+    print(f"{len(msgs)} message(s)")
+    return 0
+
+
 def cmd_import_grib(args) -> int:
     """GRIB2 → raquet (reference `convert` accepts GRIB through GDAL's
     driver): per-message distributed decode, forecast steps as
@@ -652,6 +692,11 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["near", "bilinear", "cubic"])
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_netcdf)
+
+    s = sub.add_parser("grib-info", help="list a GRIB archive's messages and selection keys (no Spark session)")
+    s.add_argument("input")
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_grib_info)
 
     s = sub.add_parser("import-grib", help="GRIB2 weather archive → raquet, forecast steps preserved")
     s.add_argument("input")

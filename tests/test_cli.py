@@ -208,3 +208,40 @@ def test_cli_quality_filter(spark, tmp_path, capsys):
     assert main(["quality", corpus, kept, "--labels", labeled,
                  "--iters", "6", "--keep-only"]) == 0
     assert {r["doc_id"] for r in spark.read.parquet(kept).collect()} == {10, 11}
+
+
+def test_cli_grib_info(tmp_path, capsys):
+    """grib-info inventories an archive's selection keys (param /
+    level / hour / member / threshold) without a Spark session — the
+    discovery step before import-grib's --param/--member/--threshold."""
+    import json as _json
+
+    import numpy as np
+
+    from raquet_spark.cli import main
+    from raquet_spark.testing_grib2 import write_grib2
+
+    gy, gx = np.mgrid[0:4, 0:6]
+    data = ((gx + gy) % 7).astype("f8")
+    path = str(tmp_path / "mix.grib2")
+    write_grib2(
+        path,
+        [
+            {"data": data, "forecast_time": 0, "param": (0, 0)},
+            {"data": data, "forecast_time": 0, "param": (1, 8),
+             "pdt": 9, "prob_lower_scale": 1, "prob_lower": 254},
+            {"data": data, "forecast_time": 6, "param": (0, 0),
+             "pdt": 1, "ens_member": 3, "ens_count": 10},
+        ],
+    )
+    assert main(["grib-info", path]) == 0
+    out = capsys.readouterr().out
+    assert "3 message(s)" in out
+    assert "threshold=25.4" in out
+    assert "member=3/10" in out
+
+    assert main(["grib-info", path, "--json"]) == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert len(rows) == 3
+    assert rows[1]["prob_lower"] == 25.4
+    assert rows[2]["ens_member"] == 3
