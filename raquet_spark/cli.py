@@ -323,13 +323,18 @@ def cmd_grib_info(args) -> int:
     session."""
     from raquet_spark.sources.grib2 import read_grib2_structure
 
-    g = read_grib2_structure(args.input)
+    # tolerant: mixed archives (some messages on unsupported templates)
+    # still list — the unsupported ones as "unsupported: <reason>"
+    # lines — since an inventory is exactly what a user needs BEFORE
+    # picking --param/--member/--threshold (ADVICE r12)
+    g = read_grib2_structure(args.input, tolerant=True)
     msgs = g["messages"]
     if args.json:
         keys = ["edition", "param_category", "param_number",
                 "level_type", "level_value", "forecast_hours", "pdt",
                 "grid", "ni", "nj", "drt", "ens_member", "ens_count",
-                "prob_lower", "prob_upper", "spatial_stat"]
+                "prob_lower", "prob_upper", "spatial_stat",
+                "unsupported"]
         print(json.dumps(
             [{k: m.get(k) for k in keys if m.get(k) is not None}
              for m in msgs],
@@ -337,6 +342,12 @@ def cmd_grib_info(args) -> int:
         ))
         return 0
     for i, m in enumerate(msgs):
+        if m.get("unsupported") is not None:
+            print(
+                f"{i}: ed{m.get('edition', '?')} "
+                f"unsupported: {m['unsupported']}"
+            )
+            continue
         sel = ""
         if m.get("ens_member") is not None:
             sel = f" member={m['ens_member']}/{m.get('ens_count', '?')}"
@@ -713,8 +724,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--member", type=int, default=None,
                    help="select one ensemble member (PDT 4.1/4.11)")
     s.add_argument("--threshold", type=float, default=None,
-                   help="select one probability lower limit "
-                        "(PDT 4.5/4.9 exceedance archives)")
+                   help="select one probability threshold (PDT 4.5/4.9"
+                        " archives): matches the lower limit, or the "
+                        "upper limit for below-limit products whose "
+                        "lower limit is encoded missing")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_grib)
 

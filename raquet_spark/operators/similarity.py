@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 #: ``n_bits`` down.
 TARGET_BUCKET_ROWS = 128
 
+#: broadcast-safe bound on the oversized-bucket heavy-hitter list
+#: (rows of (_t, _sig, _bn), ~25 B each → ~100 MB). Hash-like skew
+#: keeps the list tiny, but a degenerate mass-duplicate corpus can
+#: push it to ~n_rows/max_bucket_rows; past this bound the cap filter
+#: joins shuffled instead of broadcasting (ADVICE r12).
+OVERSIZED_BC_SAFE_ROWS = 4_000_000
+
 
 def derive_lsh_bits(
     n_rows: int,
@@ -319,8 +326,26 @@ def ann_lsh(
             .agg((F.count(F.lit(1)) / F.lit(frac)).alias("_bn"))
             .where(F.col("_bn") > max_bucket_rows)
         )
+        # broadcast guard (ADVICE r12): "heavy hitters only" holds for
+        # hash-like skew, but a degenerate corpus (mass-duplicate
+        # embeddings) can make the >cap bucket count scale as
+        # n_rows/max_bucket_rows — ~10^8 rows at a 10^12 corpus, which
+        # would blow the driver during the broadcast build. The worst
+        # case is bounded in closed form (every bucket at exactly the
+        # cap), so the count() job runs only when that bound says the
+        # pathology is even possible; past the safe row count the
+        # filter joins shuffled on (_t, _sig) instead.
+        worst_over = n_tables * (n_rows // max_bucket_rows + 1)
+        if worst_over > OVERSIZED_BC_SAFE_ROWS:
+            oversized = oversized.localCheckpoint(eager=False)
+            if oversized.count() > OVERSIZED_BC_SAFE_ROWS:
+                over_side = oversized.hint("shuffle_hash")
+            else:
+                over_side = F.broadcast(oversized)
+        else:
+            over_side = F.broadcast(oversized)
         cb = (
-            cb.join(F.broadcast(oversized), ["_t", "_sig"], "left")
+            cb.join(over_side, ["_t", "_sig"], "left")
             .where(
                 F.col("_bn").isNull()
                 | (

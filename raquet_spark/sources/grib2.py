@@ -421,11 +421,18 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
     return m, msg_len
 
 
-def read_grib2_structure(path: str) -> dict:
+def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
     """Driver-side scan: every message's grid/product/packing
     parameters and the byte range of its packed data — no pixel bytes
     touched. Multi-message files (one message per field/step) come back
-    as a ``messages`` list ordered by file position."""
+    as a ``messages`` list ordered by file position.
+
+    ``tolerant=True`` (grib-info inventory mode): a message whose body
+    parse hits a typed unsupported-variant gate is listed as
+    ``{"offset", "length", "edition", "unsupported": <reason>}`` and
+    the walk continues at the next message (lengths come from section
+    0 alone), instead of aborting the whole listing. Import paths keep
+    the default fail-fast behavior."""
     from raquet_spark.sources.io import open_bytes
 
     b = open_bytes(path)
@@ -437,531 +444,553 @@ def read_grib2_structure(path: str) -> dict:
         if bytes(b[p : p + 4]) != b"GRIB":
             raise ValueError(f"bad GRIB indicator at {p}")
         edition = b[p + 7]
+        # message length from section 0 alone (3-byte total length
+        # for edition 1, 8-byte for edition 2), so tolerant mode can
+        # skip past a message whose body parse hits a typed gate
         if edition == 1:
-            # legacy edition-1 message (ERA-40-era and national
-            # archives): parsed by its own walker and NORMALIZED to
-            # the same message dict, so the pixel table / warp /
-            # selection machinery is edition-agnostic
-            m, msg_len = _parse_grib1_message(b, p)
-            messages.append(m)
-            p += msg_len
-            continue
-        if edition != 2:
-            raise NotImplementedError(f"GRIB edition {edition} (1/2)")
-        (msg_len,) = struct.unpack(">Q", bytes(b[p + 8 : p + 16]))
-        sec = _sections(b, p, msg_len)
-        m = {"offset": p, "length": msg_len, "discipline": b[p + 6]}
+            pre_len = int.from_bytes(bytes(b[p + 4 : p + 7]), "big")
+        elif edition == 2:
+            (pre_len,) = struct.unpack(">Q", bytes(b[p + 8 : p + 16]))
+        else:
+            pre_len = 0
+        try:
+            if edition == 1:
+                # legacy edition-1 message (ERA-40-era and national
+                # archives): parsed by its own walker and NORMALIZED to
+                # the same message dict, so the pixel table / warp /
+                # selection machinery is edition-agnostic
+                m, msg_len = _parse_grib1_message(b, p)
+                messages.append(m)
+                p += msg_len
+                continue
+            if edition != 2:
+                raise NotImplementedError(f"GRIB edition {edition} (1/2)")
+            (msg_len,) = struct.unpack(">Q", bytes(b[p + 8 : p + 16]))
+            sec = _sections(b, p, msg_len)
+            m = {"offset": p, "length": msg_len, "discipline": b[p + 6]}
 
-        s1, _ = sec[1]
-        m["ref_time"] = (
-            struct.unpack(">H", bytes(b[s1 + 12 : s1 + 14]))[0],  # year
-            b[s1 + 14], b[s1 + 15], b[s1 + 16], b[s1 + 17], b[s1 + 18],
-        )
+            s1, _ = sec[1]
+            m["ref_time"] = (
+                struct.unpack(">H", bytes(b[s1 + 12 : s1 + 14]))[0],  # year
+                b[s1 + 14], b[s1 + 15], b[s1 + 16], b[s1 + 17], b[s1 + 18],
+            )
 
-        s3, _ = sec[3]
-        gdt = struct.unpack(">H", bytes(b[s3 + 12 : s3 + 14]))[0]
-        if gdt not in (0, 1, 10, 20, 30, 40):
-            raise NotImplementedError(
-                f"GRIB2 grid definition template 3.{gdt} "
-                "(regular lat/lon 3.0 / rotated lat/lon 3.1 / Mercator "
-                "3.10 / polar stereographic 3.20 / Lambert conformal "
-                "3.30 / regular Gaussian 3.40 only)"
-            )
-        pl_size = b[s3 + 10]  # octet 11: bytes per points-per-row entry
-        if pl_size and gdt not in (0, 40):
-            raise NotImplementedError(
-                f"GRIB2 quasi-regular grid on template 3.{gdt} "
-                "(points-per-row lists on lat/lon 3.0 and Gaussian "
-                "3.40 only)"
-            )
-        if pl_size and b[s3 + 11] != 1:
-            raise NotImplementedError(
-                f"GRIB2 points-per-row list interpretation {b[s3 + 11]}"
-            )
-        t = s3 + 14  # template body
-
-        def check_scan(scan: int, stagger_ok: bool = False) -> None:
-            # bits 1-4 (0xF0) all decode now: -i, ±j, j-consecutive
-            # (column-major), boustrophedon. Bits 5-7 (staggered-grid
-            # half-cell offsets: odd/even rows by Di/2, all points by
-            # Dj/2 — Arakawa-staggered model output) are pure
-            # GEOLOCATION adjustments handled by the warp on lat/lon
-            # grids; bit 8 (rows alternate Ni/Ni-1 points) changes the
-            # point COUNT and stays a typed gate, as does stagger on
-            # projected/Gaussian templates.
-            if scan & 0x01 or (scan & 0x0E and not stagger_ok):
+            s3, _ = sec[3]
+            gdt = struct.unpack(">H", bytes(b[s3 + 12 : s3 + 14]))[0]
+            if gdt not in (0, 1, 10, 20, 30, 40):
                 raise NotImplementedError(
-                    f"GRIB2 scanning-mode offset bits 0x{scan & 0x0F:02x} "
-                    "(alternating-Ni rows / stagger on this template)"
+                    f"GRIB2 grid definition template 3.{gdt} "
+                    "(regular lat/lon 3.0 / rotated lat/lon 3.1 / Mercator "
+                    "3.10 / polar stereographic 3.20 / Lambert conformal "
+                    "3.30 / regular Gaussian 3.40 only)"
                 )
-            if scan & 0x0E and scan & 0x30:
+            pl_size = b[s3 + 10]  # octet 11: bytes per points-per-row entry
+            if pl_size and gdt not in (0, 40):
                 raise NotImplementedError(
-                    "GRIB2 staggered offsets combined with j-consecutive"
-                    "/boustrophedon scanning (row parity is ambiguous)"
+                    f"GRIB2 quasi-regular grid on template 3.{gdt} "
+                    "(points-per-row lists on lat/lon 3.0 and Gaussian "
+                    "3.40 only)"
                 )
-            m.update(
-                i_negative=bool(scan & 0b10000000),
-                j_positive=bool(scan & 0b01000000),
-                col_major=bool(scan & 0b00100000),
-                boustro=bool(scan & 0b00010000),
-                # WMO rows are 1-based: "odd rows" = scan rows 1,3,…
-                # = 0-based scan indices 0,2,…
-                stagger_odd=bool(scan & 0b00001000),
-                stagger_even=bool(scan & 0b00000100),
-                stagger_j=bool(scan & 0b00000010),
-            )
+            if pl_size and b[s3 + 11] != 1:
+                raise NotImplementedError(
+                    f"GRIB2 points-per-row list interpretation {b[s3 + 11]}"
+                )
+            t = s3 + 14  # template body
 
-        if gdt in (0, 1, 40):
-            # shared 3.0-shaped prefix (octets 15-72): 3.1 appends the
-            # rotation octets; 3.40 carries N (parallels pole↔equator)
-            # where 3.0 has Dj
-            raw3 = bytes(b[t : t + (70 if gdt == 1 else 58)])
-            ni = struct.unpack_from(">I", raw3, 16)[0]
-            nj = struct.unpack_from(">I", raw3, 20)[0]
-            lat1 = _sm(struct.unpack_from(">I", raw3, 32)[0], 32) / 1e6
-            lon1 = _sm(struct.unpack_from(">I", raw3, 36)[0], 32) / 1e6
-            lat2 = _sm(struct.unpack_from(">I", raw3, 41)[0], 32) / 1e6
-            lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
-            res_flag = raw3[40]  # flag table 3.3 (octet 55)
-            di_raw = struct.unpack_from(">I", raw3, 49)[0]
-            scan = raw3[57]
-            check_scan(scan, stagger_ok=(gdt == 0))
-            # same contract as the GRIB1 path (ADVICE r11): 'increments
-            # not given' (flag-table 3.3 bit 3/4 clear, or the all-ones
-            # sentinel) must derive from the corners — decoding the
-            # sentinel as di = 4294.97 deg would silently corrupt the
-            # geotransform while values stay plausible
-            if res_flag & 0x20 and di_raw != 0xFFFFFFFF:
-                di = di_raw / 1e6
-            else:
-                span = (
-                    (lon1 - lon2) if (scan & 0x80) else (lon2 - lon1)
-                ) % 360.0
-                di = (span if span else 360.0) / (ni - 1)
-            m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2,
-                     lon2=lon2, di=di, scan=scan,
-                     j_positive=bool(scan & 0b01000000))
-
-            def read_pl2(label: str) -> list[int]:
-                # points-per-row list directly after the 58-byte
-                # template body, cross-checked against section 3's
-                # total point count
-                pl_off = t + 58
-                pl = [
-                    int.from_bytes(
-                        bytes(b[pl_off + k * pl_size
-                                : pl_off + (k + 1) * pl_size]),
-                        "big",
+            def check_scan(scan: int, stagger_ok: bool = False) -> None:
+                # bits 1-4 (0xF0) all decode now: -i, ±j, j-consecutive
+                # (column-major), boustrophedon. Bits 5-7 (staggered-grid
+                # half-cell offsets: odd/even rows by Di/2, all points by
+                # Dj/2 — Arakawa-staggered model output) are pure
+                # GEOLOCATION adjustments handled by the warp on lat/lon
+                # grids; bit 8 (rows alternate Ni/Ni-1 points) changes the
+                # point COUNT and stays a typed gate, as does stagger on
+                # projected/Gaussian templates.
+                if scan & 0x01 or (scan & 0x0E and not stagger_ok):
+                    raise NotImplementedError(
+                        f"GRIB2 scanning-mode offset bits 0x{scan & 0x0F:02x} "
+                        "(alternating-Ni rows / stagger on this template)"
                     )
-                    for k in range(nj)
-                ]
-                n_total = struct.unpack(
-                    ">I", bytes(b[s3 + 6 : s3 + 10])
-                )[0]
-                if sum(pl) != n_total or min(pl) <= 0:
-                    raise ValueError(
-                        f"GRIB2 {label}: points-per-row sum {sum(pl)} "
-                        f"!= section-3 total {n_total}"
-                    )
-                return pl
-
-            if gdt == 40:
-                # regular Gaussian (ECMWF-native output): rows sit on
-                # the 2N Gaussian latitudes (arcsin of the roots of
-                # P_2N); a regional file selects a contiguous slice,
-                # located via la1/la2
-                n_par = struct.unpack_from(">I", raw3, 53)[0]
-                lats = gaussian_latitudes(n_par)  # north → south
-                i1 = int(np.argmin(np.abs(lats - lat1)))
-                i2 = int(np.argmin(np.abs(lats - lat2)))
-                lo_i, hi_i = min(i1, i2), max(i1, i2)
-                if (
-                    abs(lats[i1] - lat1) > 2e-3
-                    or abs(lats[i2] - lat2) > 2e-3
-                    or hi_i - lo_i + 1 != nj
-                ):
-                    raise ValueError(
-                        f"GRIB2 Gaussian grid: la1/la2 ({lat1}, {lat2}) "
-                        f"do not select {nj} consecutive N={n_par} "
-                        "Gaussian latitudes"
+                if scan & 0x0E and scan & 0x30:
+                    raise NotImplementedError(
+                        "GRIB2 staggered offsets combined with j-consecutive"
+                        "/boustrophedon scanning (row parity is ambiguous)"
                     )
                 m.update(
-                    grid="gauss", n_parallels=n_par,
-                    # north-first row latitudes, matching
-                    # decode_message's row-0-is-north normalization
-                    lat_centers=[float(v) for v in lats[lo_i : hi_i + 1]],
+                    i_negative=bool(scan & 0b10000000),
+                    j_positive=bool(scan & 0b01000000),
+                    col_major=bool(scan & 0b00100000),
+                    boustro=bool(scan & 0b00010000),
+                    # WMO rows are 1-based: "odd rows" = scan rows 1,3,…
+                    # = 0-based scan indices 0,2,…
+                    stagger_odd=bool(scan & 0b00001000),
+                    stagger_even=bool(scan & 0b00000100),
+                    stagger_j=bool(scan & 0b00000010),
                 )
-                if pl_size:
-                    # REDUCED (quasi-regular) Gaussian — the ECMWF
-                    # operational O-grid family: Ni is missing and a
-                    # points-per-row list follows the template (one
-                    # entry per row, scan order); each row spans the
-                    # full longitude circle at 360/pl[j]
-                    if m.get("col_major") or m.get("boustro") or m.get(
-                        "i_negative"
-                    ):
-                        raise NotImplementedError(
-                            "GRIB2 reduced Gaussian grid with a "
-                            "non-default scanning mode"
-                        )
-                    pl = read_pl2("reduced Gaussian")
-                    m.update(
-                        ni=max(pl),
-                        row_ni_scan=pl,  # scan row order (as stored)
-                        # north-first, matching lat_centers
-                        row_ni=(pl[::-1] if m["j_positive"] else pl),
-                        lon_global=True,  # O-grids are full circles
-                    )
-            else:
-                dj_raw = struct.unpack_from(">I", raw3, 53)[0]
-                if res_flag & 0x10 and dj_raw != 0xFFFFFFFF:
-                    dj = dj_raw / 1e6
-                else:  # j increments not given: derive from corners
-                    dj = abs(lat1 - lat2) / (nj - 1)
-                if pl_size and gdt == 0:
-                    # quasi-regular (thinned) lat/lon — GRIB2 form of
-                    # the legacy WAFS-style grids: pl[j] points per row
-                    # spanning lon1..lon2 INCLUSIVE, affine latitudes;
-                    # same ragged-row machinery as the GRIB1 path
-                    if (m.get("col_major") or m.get("boustro")
-                            or m.get("i_negative")
-                            or scan & 0x0E):
-                        raise NotImplementedError(
-                            "GRIB2 quasi-regular lat/lon with a "
-                            "non-default or staggered scanning mode"
-                        )
-                    pl = read_pl2("quasi-regular lat/lon")
-                    if min(pl) < 2:
-                        raise ValueError(
-                            "GRIB2 quasi-regular lat/lon: a row needs "
-                            ">= 2 points for endpoint-inclusive spacing"
-                        )
-                    span = (lon2 - lon1) % 360.0
-                    if span == 0.0:
-                        raise ValueError(
-                            "GRIB2 quasi-regular lat/lon: degenerate "
-                            "row span"
-                        )
-                    _check_regional_span(lon1, span)
-                    north = max(lat1, lat2)
-                    m.update(
-                        ni=max(pl), dj=dj, grid="latlon",
-                        row_ni_scan=pl,
-                        row_ni=(pl[::-1] if m["j_positive"] else pl),
-                        lat_centers=[north - j * dj for j in range(nj)],
-                        lon_span=span, lon_global=False,
-                    )
+
+            if gdt in (0, 1, 40):
+                # shared 3.0-shaped prefix (octets 15-72): 3.1 appends the
+                # rotation octets; 3.40 carries N (parallels pole↔equator)
+                # where 3.0 has Dj
+                raw3 = bytes(b[t : t + (70 if gdt == 1 else 58)])
+                ni = struct.unpack_from(">I", raw3, 16)[0]
+                nj = struct.unpack_from(">I", raw3, 20)[0]
+                lat1 = _sm(struct.unpack_from(">I", raw3, 32)[0], 32) / 1e6
+                lon1 = _sm(struct.unpack_from(">I", raw3, 36)[0], 32) / 1e6
+                lat2 = _sm(struct.unpack_from(">I", raw3, 41)[0], 32) / 1e6
+                lon2 = _sm(struct.unpack_from(">I", raw3, 45)[0], 32) / 1e6
+                res_flag = raw3[40]  # flag table 3.3 (octet 55)
+                di_raw = struct.unpack_from(">I", raw3, 49)[0]
+                scan = raw3[57]
+                check_scan(scan, stagger_ok=(gdt == 0))
+                # same contract as the GRIB1 path (ADVICE r11): 'increments
+                # not given' (flag-table 3.3 bit 3/4 clear, or the all-ones
+                # sentinel) must derive from the corners — decoding the
+                # sentinel as di = 4294.97 deg would silently corrupt the
+                # geotransform while values stay plausible
+                if res_flag & 0x20 and di_raw != 0xFFFFFFFF:
+                    di = di_raw / 1e6
                 else:
-                    m.update(dj=dj, grid="latlon")
-            if gdt == 1:  # rotated lat/lon (COSMO/HARMONIE family)
-                lat_sp = _sm(struct.unpack_from(">I", raw3, 58)[0], 32) / 1e6
-                lon_sp = _sm(struct.unpack_from(">I", raw3, 62)[0], 32) / 1e6
-                (angle,) = struct.unpack_from(">f", raw3, 66)
-                pole_lon = lon_sp - 180.0
-                if pole_lon <= -180.0:
-                    pole_lon += 360.0
+                    span = (
+                        (lon1 - lon2) if (scan & 0x80) else (lon2 - lon1)
+                    ) % 360.0
+                    di = (span if span else 360.0) / (ni - 1)
+                m.update(ni=ni, nj=nj, lat1=lat1, lon1=lon1, lat2=lat2,
+                         lon2=lon2, di=di, scan=scan,
+                         j_positive=bool(scan & 0b01000000))
+
+                def read_pl2(label: str) -> list[int]:
+                    # points-per-row list directly after the 58-byte
+                    # template body, cross-checked against section 3's
+                    # total point count
+                    pl_off = t + 58
+                    pl = [
+                        int.from_bytes(
+                            bytes(b[pl_off + k * pl_size
+                                    : pl_off + (k + 1) * pl_size]),
+                            "big",
+                        )
+                        for k in range(nj)
+                    ]
+                    n_total = struct.unpack(
+                        ">I", bytes(b[s3 + 6 : s3 + 10])
+                    )[0]
+                    if sum(pl) != n_total or min(pl) <= 0:
+                        raise ValueError(
+                            f"GRIB2 {label}: points-per-row sum {sum(pl)} "
+                            f"!= section-3 total {n_total}"
+                        )
+                    return pl
+
+                if gdt == 40:
+                    # regular Gaussian (ECMWF-native output): rows sit on
+                    # the 2N Gaussian latitudes (arcsin of the roots of
+                    # P_2N); a regional file selects a contiguous slice,
+                    # located via la1/la2
+                    n_par = struct.unpack_from(">I", raw3, 53)[0]
+                    lats = gaussian_latitudes(n_par)  # north → south
+                    i1 = int(np.argmin(np.abs(lats - lat1)))
+                    i2 = int(np.argmin(np.abs(lats - lat2)))
+                    lo_i, hi_i = min(i1, i2), max(i1, i2)
+                    if (
+                        abs(lats[i1] - lat1) > 2e-3
+                        or abs(lats[i2] - lat2) > 2e-3
+                        or hi_i - lo_i + 1 != nj
+                    ):
+                        raise ValueError(
+                            f"GRIB2 Gaussian grid: la1/la2 ({lat1}, {lat2}) "
+                            f"do not select {nj} consecutive N={n_par} "
+                            "Gaussian latitudes"
+                        )
+                    m.update(
+                        grid="gauss", n_parallels=n_par,
+                        # north-first row latitudes, matching
+                        # decode_message's row-0-is-north normalization
+                        lat_centers=[float(v) for v in lats[lo_i : hi_i + 1]],
+                    )
+                    if pl_size:
+                        # REDUCED (quasi-regular) Gaussian — the ECMWF
+                        # operational O-grid family: Ni is missing and a
+                        # points-per-row list follows the template (one
+                        # entry per row, scan order); each row spans the
+                        # full longitude circle at 360/pl[j]
+                        if m.get("col_major") or m.get("boustro") or m.get(
+                            "i_negative"
+                        ):
+                            raise NotImplementedError(
+                                "GRIB2 reduced Gaussian grid with a "
+                                "non-default scanning mode"
+                            )
+                        pl = read_pl2("reduced Gaussian")
+                        m.update(
+                            ni=max(pl),
+                            row_ni_scan=pl,  # scan row order (as stored)
+                            # north-first, matching lat_centers
+                            row_ni=(pl[::-1] if m["j_positive"] else pl),
+                            lon_global=True,  # O-grids are full circles
+                        )
+                else:
+                    dj_raw = struct.unpack_from(">I", raw3, 53)[0]
+                    if res_flag & 0x10 and dj_raw != 0xFFFFFFFF:
+                        dj = dj_raw / 1e6
+                    else:  # j increments not given: derive from corners
+                        dj = abs(lat1 - lat2) / (nj - 1)
+                    if pl_size and gdt == 0:
+                        # quasi-regular (thinned) lat/lon — GRIB2 form of
+                        # the legacy WAFS-style grids: pl[j] points per row
+                        # spanning lon1..lon2 INCLUSIVE, affine latitudes;
+                        # same ragged-row machinery as the GRIB1 path
+                        if (m.get("col_major") or m.get("boustro")
+                                or m.get("i_negative")
+                                or scan & 0x0E):
+                            raise NotImplementedError(
+                                "GRIB2 quasi-regular lat/lon with a "
+                                "non-default or staggered scanning mode"
+                            )
+                        pl = read_pl2("quasi-regular lat/lon")
+                        if min(pl) < 2:
+                            raise ValueError(
+                                "GRIB2 quasi-regular lat/lon: a row needs "
+                                ">= 2 points for endpoint-inclusive spacing"
+                            )
+                        span = (lon2 - lon1) % 360.0
+                        if span == 0.0:
+                            raise ValueError(
+                                "GRIB2 quasi-regular lat/lon: degenerate "
+                                "row span"
+                            )
+                        _check_regional_span(lon1, span)
+                        north = max(lat1, lat2)
+                        m.update(
+                            ni=max(pl), dj=dj, grid="latlon",
+                            row_ni_scan=pl,
+                            row_ni=(pl[::-1] if m["j_positive"] else pl),
+                            lat_centers=[north - j * dj for j in range(nj)],
+                            lon_span=span, lon_global=False,
+                        )
+                    else:
+                        m.update(dj=dj, grid="latlon")
+                if gdt == 1:  # rotated lat/lon (COSMO/HARMONIE family)
+                    lat_sp = _sm(struct.unpack_from(">I", raw3, 58)[0], 32) / 1e6
+                    lon_sp = _sm(struct.unpack_from(">I", raw3, 62)[0], 32) / 1e6
+                    (angle,) = struct.unpack_from(">f", raw3, 66)
+                    pole_lon = lon_sp - 180.0
+                    if pole_lon <= -180.0:
+                        pole_lon += 360.0
+                    m.update(
+                        grid="rotll",
+                        proj={
+                            # true coords of the rotated NORTH pole (the
+                            # CDO/COSMO convention; GRIB states the south
+                            # pole of projection). pole_gam = the angle of
+                            # rotation about the rotated axis (COSMO
+                            # polgam): in the published phirot2phi /
+                            # rlarot2rla formulation the polgam terms are
+                            # the angle-sum identity, i.e. it shifts the
+                            # ROTATED longitude by +polgam before the pole
+                            # rotation — pinned in tests/test_grib2.py via
+                            # an independent rotation-matrix oracle
+                            "type": "rotll", "units": "deg",
+                            "pole_lat": -lat_sp, "pole_lon": pole_lon,
+                            "pole_gam": float(angle),
+                        },
+                    )
+            elif gdt == 10:  # Mercator (NOAA coastal/marine grids)
+                raw3 = bytes(b[t : t + 58])
+                a, inv_f = _earth_shape(raw3)
+                ni = struct.unpack_from(">I", raw3, 16)[0]
+                nj = struct.unpack_from(">I", raw3, 20)[0]
+                la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
+                lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
+                lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
+                scan = raw3[45]
+                check_scan(scan)
+                dx = struct.unpack_from(">I", raw3, 50)[0] / 1e3
+                dy = struct.unpack_from(">I", raw3, 54)[0] / 1e3
+
+                def norm_lon(v: float) -> float:
+                    return v - 360.0 if v > 180.0 else v
+
                 m.update(
-                    grid="rotll",
+                    ni=ni, nj=nj, grid="merc", scan=scan,
+                    la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
                     proj={
-                        # true coords of the rotated NORTH pole (the
-                        # CDO/COSMO convention; GRIB states the south
-                        # pole of projection). pole_gam = the angle of
-                        # rotation about the rotated axis (COSMO
-                        # polgam): in the published phirot2phi /
-                        # rlarot2rla formulation the polgam terms are
-                        # the angle-sum identity, i.e. it shifts the
-                        # ROTATED longitude by +polgam before the pole
-                        # rotation — pinned in tests/test_grib2.py via
-                        # an independent rotation-matrix oracle
-                        "type": "rotll", "units": "deg",
-                        "pole_lat": -lat_sp, "pole_lon": pole_lon,
-                        "pole_gam": float(angle),
+                        "type": "merc", "lat_ts": lad,
+                        "fe": 0.0, "fn": 0.0, "a": a, "inv_f": inv_f,
                     },
                 )
-        elif gdt == 10:  # Mercator (NOAA coastal/marine grids)
-            raw3 = bytes(b[t : t + 58])
-            a, inv_f = _earth_shape(raw3)
-            ni = struct.unpack_from(">I", raw3, 16)[0]
-            nj = struct.unpack_from(">I", raw3, 20)[0]
-            la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
-            lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
-            lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
-            scan = raw3[45]
-            check_scan(scan)
-            dx = struct.unpack_from(">I", raw3, 50)[0] / 1e3
-            dy = struct.unpack_from(">I", raw3, 54)[0] / 1e3
+            elif gdt == 20:  # polar stereographic (arctic/antarctic grids)
+                raw3 = bytes(b[t : t + 51])
+                a, inv_f = _earth_shape(raw3)
+                ni = struct.unpack_from(">I", raw3, 16)[0]
+                nj = struct.unpack_from(">I", raw3, 20)[0]
+                la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
+                lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
+                lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
+                lov = _sm(struct.unpack_from(">I", raw3, 37)[0], 32) / 1e6
+                dx = struct.unpack_from(">I", raw3, 41)[0] / 1e3
+                dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
+                south = bool(raw3[49] & 0x80)
+                scan = raw3[50]
+                check_scan(scan)
 
-            def norm_lon(v: float) -> float:
-                return v - 360.0 if v > 180.0 else v
+                def norm_lon(v: float) -> float:
+                    return v - 360.0 if v > 180.0 else v
 
-            m.update(
-                ni=ni, nj=nj, grid="merc", scan=scan,
-                la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
-                proj={
-                    "type": "merc", "lat_ts": lad,
-                    "fe": 0.0, "fn": 0.0, "a": a, "inv_f": inv_f,
-                },
-            )
-        elif gdt == 20:  # polar stereographic (arctic/antarctic grids)
-            raw3 = bytes(b[t : t + 51])
-            a, inv_f = _earth_shape(raw3)
-            ni = struct.unpack_from(">I", raw3, 16)[0]
-            nj = struct.unpack_from(">I", raw3, 20)[0]
-            la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
-            lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
-            lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
-            lov = _sm(struct.unpack_from(">I", raw3, 37)[0], 32) / 1e6
-            dx = struct.unpack_from(">I", raw3, 41)[0] / 1e3
-            dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
-            south = bool(raw3[49] & 0x80)
-            scan = raw3[50]
-            check_scan(scan)
-
-            def norm_lon(v: float) -> float:
-                return v - 360.0 if v > 180.0 else v
-
-            m.update(
-                ni=ni, nj=nj, grid="ps", scan=scan,
-                j_positive=bool(scan & 0b01000000),
-                la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
-                proj={
-                    # lat_ts sign selects the aspect in the warp's ps
-                    # formulation; GRIB states it via the centre flag
-                    "type": "ps",
-                    "lat_ts": -abs(lad) if south else abs(lad),
-                    "lon0": norm_lon(lov), "fe": 0.0, "fn": 0.0,
-                    "a": a, "inv_f": inv_f,
-                },
-            )
-        else:  # 3.30: Lambert conformal (HRRR/NAM-style grids)
-            raw3 = bytes(b[t : t + 67])
-            a, inv_f = _earth_shape(raw3)
-            ni = struct.unpack_from(">I", raw3, 16)[0]
-            nj = struct.unpack_from(">I", raw3, 20)[0]
-            la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
-            lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
-            lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
-            lov = _sm(struct.unpack_from(">I", raw3, 37)[0], 32) / 1e6
-            dx = struct.unpack_from(">I", raw3, 41)[0] / 1e3  # mm → m
-            dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
-            south_lcc = bool(raw3[49] & 0x80)
-            scan = raw3[50]
-            check_scan(scan)
-            latin1 = _sm(struct.unpack_from(">I", raw3, 51)[0], 32) / 1e6
-            latin2 = _sm(struct.unpack_from(">I", raw3, 55)[0], 32) / 1e6
-            if south_lcc != (latin1 < 0) and south_lcc != (latin2 < 0):
-                # the aspect is fully determined by the cone constant
-                # n, whose sign follows from the standard parallels in
-                # the Snyder formulation the warp uses; gate only when
-                # BOTH parallels contradict the centre flag — parallels
-                # straddling the equator (e.g. -10/30) form a valid
-                # north-aspect cone with n > 0
-                raise ValueError(
-                    "GRIB2 Lambert projection-centre flag contradicts "
-                    f"the standard parallels ({latin1}, {latin2})"
+                m.update(
+                    ni=ni, nj=nj, grid="ps", scan=scan,
+                    j_positive=bool(scan & 0b01000000),
+                    la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
+                    proj={
+                        # lat_ts sign selects the aspect in the warp's ps
+                        # formulation; GRIB states it via the centre flag
+                        "type": "ps",
+                        "lat_ts": -abs(lad) if south else abs(lad),
+                        "lon0": norm_lon(lov), "fe": 0.0, "fn": 0.0,
+                        "a": a, "inv_f": inv_f,
+                    },
                 )
-
-            def norm_lon(v: float) -> float:
-                return v - 360.0 if v > 180.0 else v
-
-            m.update(
-                ni=ni, nj=nj, grid="lambert", scan=scan,
-                j_positive=bool(scan & 0b01000000),
-                la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
-                proj={
-                    "type": "lcc", "sp1": latin1, "sp2": latin2,
-                    "lat0": lad, "lon0": norm_lon(lov),
-                    "fe": 0.0, "fn": 0.0, "a": a,
-                    "inv_f": inv_f,
-                },
-            )
-
-        s4, _ = sec[4]
-        pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
-        if pdt not in (0, 1, 2, 5, 8, 9, 11, 12, 15):
-            raise NotImplementedError(
-                f"GRIB2 product definition template 4.{pdt} "
-                "(4.0 / 4.1-4.2 ensemble/derived / 4.5 and 4.9 "
-                "probability / 4.8 and the statistical 4.11/4.12 "
-                "twins / 4.15 spatial processing only)"
-            )
-        m["pdt"] = pdt
-        m["param_category"] = b[s4 + 9]
-        m["param_number"] = b[s4 + 10]
-        # code table 4.4 (octet 18): exact hour conversions only —
-        # anything else (months, centuries, reserved) would silently
-        # mislabel time_cf, which is documented as forecast HOURS
-        unit = b[s4 + 17]
-        to_hours = {
-            0: 1.0 / 60.0, 1: 1.0, 2: 24.0,
-            10: 3.0, 11: 6.0, 12: 12.0, 13: 1.0 / 3600.0,
-        }.get(unit)
-        if to_hours is None:
-            raise NotImplementedError(
-                f"GRIB2 time-range unit indicator {unit} "
-                "(minute/hour/day/3h/6h/12h/second only)"
-            )
-        m["time_unit"] = unit
-        # octets 19-22 are SIGNED (sign-magnitude, like level_value):
-        # reanalysis pre-initialization offsets carry negative forecast
-        # times — reading '>I' would mislabel them as huge hour counts
-        m["forecast_time"] = _sm(
-            struct.unpack(">I", bytes(b[s4 + 18 : s4 + 22]))[0], 32
-        )
-        m["forecast_hours"] = m["forecast_time"] * to_hours
-        # first fixed surface (octets 23-28): part of the message key —
-        # one parameter at many levels (a GFS pressure-level file) must
-        # not collapse into one tile stack
-        m["level_type"] = b[s4 + 22]
-        lv_raw = bytes(b[s4 + 24 : s4 + 28])
-        if m["level_type"] == 255 or lv_raw == b"\xff\xff\xff\xff":
-            m["level_value"] = None
-        else:
-            lsf = _sm(b[s4 + 23], 8) if b[s4 + 23] != 0xFF else 0
-            m["level_value"] = (
-                _sm(struct.unpack(">I", lv_raw)[0], 32) / (10.0 ** lsf)
-            )
-        if pdt in (1, 11):  # individual ensemble member (octets 35-37;
-            # 4.11 appends the 4.8-style statistical time-range spec)
-            m["ens_type"] = b[s4 + 34]
-            m["ens_member"] = b[s4 + 35]
-            m["ens_count"] = b[s4 + 36]
-        elif pdt in (2, 12):  # derived forecast (octets 35-36)
-            m["ens_derived"] = b[s4 + 34]
-            m["ens_count"] = b[s4 + 35]
-        elif pdt in (5, 9):  # probability forecast (octets 35-47;
-            # 4.9 appends the 4.8-style statistical time-range spec).
-            # The threshold octets are read for the message KEY: one
-            # parameter at many probability thresholds (an NBM/SREF
-            # exceedance file) must not collapse into one tile stack.
-            m["prob_number"] = b[s4 + 34]
-            m["prob_total"] = b[s4 + 35]
-            m["prob_type"] = b[s4 + 36]
-
-            def _prob_limit(off: int) -> float | None:
-                raw = bytes(b[off + 1 : off + 5])
-                if raw == b"\xff\xff\xff\xff":
-                    return None
-                lsf = _sm(b[off], 8) if b[off] != 0xFF else 0
-                return (
-                    _sm(struct.unpack(">I", raw)[0], 32) / (10.0 ** lsf)
-                )
-
-            m["prob_lower"] = _prob_limit(s4 + 37)
-            m["prob_upper"] = _prob_limit(s4 + 42)
-        elif pdt == 15:  # spatially-processed values (octets 35-37:
-            # statistical process, spatial processing type, number of
-            # points used — e.g. neighborhood-averaged MRMS/NBM fields)
-            m["spatial_stat"] = b[s4 + 34]
-            m["spatial_type"] = b[s4 + 35]
-            m["spatial_npoints"] = b[s4 + 36]
-
-        s5, _ = sec[5]
-        m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
-        drt = struct.unpack(">H", bytes(b[s5 + 9 : s5 + 11]))[0]
-        if drt == 40:
-            # DELIBERATE gate, the szip decision (hdf5.py): NOAA GFS
-            # packs most fields with 5.40, but a from-spec JPEG2000
-            # Part-1 decoder (tag-tree tier-2, MQ-coder tier-1 EBCOT,
-            # reversible 5/3 DWT) written here could only ever be
-            # tested against ITSELF — this sandbox has no openjpeg/
-            # jasper/glymur/PIL/JAI to conformance-pin against, and a
-            # self-consistent transcription error would silently
-            # corrupt every GFS field. A typed error beats plausible
-            # wrong pixels; wgrib2/GDAL read these via jasper/openjpeg.
-            raise NotImplementedError(
-                "GRIB2 data representation template 5.40 (JPEG2000): "
-                "no in-sandbox reference codec to conformance-test a "
-                "from-scratch decoder against — deliberately gated "
-                "(see SURVEY.md §2 C36); re-encode with wgrib2 "
-                "-set_grib_type c2|s, or install a GDAL/eccodes "
-                "pipeline for 5.40 archives"
-            )
-        if drt not in (0, 2, 3, 41):
-            raise NotImplementedError(
-                f"GRIB2 data representation template 5.{drt} "
-                "(simple 5.0 / complex 5.2 / complex+diff 5.3 / "
-                "PNG 5.41 only)"
-            )
-        m["drt"] = drt
-        raw5 = bytes(b[s5 + 11 : s5 + 38])
-        (m["R"],) = struct.unpack_from(">f", raw5, 0)
-        m["E"] = _sm(struct.unpack_from(">H", raw5, 4)[0], 16)
-        m["D"] = _sm(struct.unpack_from(">H", raw5, 6)[0], 16)
-        m["nbits"] = raw5[8]
-        if drt in (2, 3):
-            # template 5.2 body past the 5.0 fields (section offsets
-            # 21..46), 5.3 adds order + descriptor-octet count (47, 48)
-            mvm = b[s5 + 22]
-            if mvm not in (0, 1, 2):
-                raise NotImplementedError(
-                    f"GRIB2 missing-value management {mvm} (0/1/2)"
-                )
-            m["mvm"] = mvm
-            if mvm:
-                # substitute values (octets 24-31), typed by the
-                # original-field-type octet 21: IEEE float or uint.
-                # The decoder emits missing points as ABSENT rows (same
-                # contract as the bitmap path) — the substitutes are
-                # recorded for metadata/debugging only.
-                ftype = raw5[9]
-                fmt = ">f" if ftype == 0 else ">I"
-                m["primary_sub"] = float(
-                    struct.unpack(fmt, bytes(b[s5 + 23 : s5 + 27]))[0]
-                )
-                if mvm == 2:
-                    m["secondary_sub"] = float(
-                        struct.unpack(fmt, bytes(b[s5 + 27 : s5 + 31]))[0]
-                    )
-            m["ng"] = struct.unpack(">I", bytes(b[s5 + 31 : s5 + 35]))[0]
-            m["wref"] = b[s5 + 35]
-            m["wbits"] = b[s5 + 36]
-            m["lref"] = struct.unpack(">I", bytes(b[s5 + 37 : s5 + 41]))[0]
-            m["linc"] = b[s5 + 41]
-            m["last_len"] = struct.unpack(
-                ">I", bytes(b[s5 + 42 : s5 + 46])
-            )[0]
-            m["lbits"] = b[s5 + 46]
-            if drt == 3:
-                m["sd_order"] = b[s5 + 47]
-                m["sd_octets"] = b[s5 + 48]
-                if m["sd_order"] not in (1, 2):
-                    raise NotImplementedError(
-                        f"GRIB2 spatial differencing order {m['sd_order']}"
-                    )
-
-        s6 = sec.get(6)
-        m["bitmap_off"] = None
-        if s6 is not None:
-            ind = b[s6[0] + 5]
-            if ind == 0:
-                # mvm may legally combine with a bitmap: the packed
-                # stream covers bitmap-PRESENT points, embedded markers
-                # flag further missing among them; decode composes the
-                # two (mvm NaNs first, bitmap scatter after)
-                m["bitmap_off"] = s6[0] + 6
-                m["bitmap_len"] = s6[1] - 6
-                prev_bitmap = (m["bitmap_off"], m["bitmap_len"])
-            elif ind == 254:
-                # reuse the previously defined bitmap (indicator 254):
-                # carried forward from the last indicator-0 message —
-                # NCEP packs repeated-mask multi-field files this way
-                if prev_bitmap is None:
+            else:  # 3.30: Lambert conformal (HRRR/NAM-style grids)
+                raw3 = bytes(b[t : t + 67])
+                a, inv_f = _earth_shape(raw3)
+                ni = struct.unpack_from(">I", raw3, 16)[0]
+                nj = struct.unpack_from(">I", raw3, 20)[0]
+                la1 = _sm(struct.unpack_from(">I", raw3, 24)[0], 32) / 1e6
+                lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
+                lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
+                lov = _sm(struct.unpack_from(">I", raw3, 37)[0], 32) / 1e6
+                dx = struct.unpack_from(">I", raw3, 41)[0] / 1e3  # mm → m
+                dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
+                south_lcc = bool(raw3[49] & 0x80)
+                scan = raw3[50]
+                check_scan(scan)
+                latin1 = _sm(struct.unpack_from(">I", raw3, 51)[0], 32) / 1e6
+                latin2 = _sm(struct.unpack_from(">I", raw3, 55)[0], 32) / 1e6
+                if south_lcc != (latin1 < 0) and south_lcc != (latin2 < 0):
+                    # the aspect is fully determined by the cone constant
+                    # n, whose sign follows from the standard parallels in
+                    # the Snyder formulation the warp uses; gate only when
+                    # BOTH parallels contradict the centre flag — parallels
+                    # straddling the equator (e.g. -10/30) form a valid
+                    # north-aspect cone with n > 0
                     raise ValueError(
-                        "GRIB2 bitmap indicator 254 with no previously "
-                        "defined bitmap in the file"
+                        "GRIB2 Lambert projection-centre flag contradicts "
+                        f"the standard parallels ({latin1}, {latin2})"
                     )
-                m["bitmap_off"], m["bitmap_len"] = prev_bitmap
-            elif ind != 255:
-                raise NotImplementedError(
-                    f"GRIB2 pre-defined bitmap indicator {ind}"
+
+                def norm_lon(v: float) -> float:
+                    return v - 360.0 if v > 180.0 else v
+
+                m.update(
+                    ni=ni, nj=nj, grid="lambert", scan=scan,
+                    j_positive=bool(scan & 0b01000000),
+                    la1=la1, lo1=norm_lon(lo1), dx=dx, dy=dy,
+                    proj={
+                        "type": "lcc", "sp1": latin1, "sp2": latin2,
+                        "lat0": lad, "lon0": norm_lon(lov),
+                        "fe": 0.0, "fn": 0.0, "a": a,
+                        "inv_f": inv_f,
+                    },
                 )
 
-        s7, s7len = sec[7]
-        m["data_off"] = s7 + 5
-        m["data_len"] = s7len - 5
-        messages.append(m)
-        p += msg_len
+            s4, _ = sec[4]
+            pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
+            if pdt not in (0, 1, 2, 5, 8, 9, 11, 12, 15):
+                raise NotImplementedError(
+                    f"GRIB2 product definition template 4.{pdt} "
+                    "(4.0 / 4.1-4.2 ensemble/derived / 4.5 and 4.9 "
+                    "probability / 4.8 and the statistical 4.11/4.12 "
+                    "twins / 4.15 spatial processing only)"
+                )
+            m["pdt"] = pdt
+            m["param_category"] = b[s4 + 9]
+            m["param_number"] = b[s4 + 10]
+            # code table 4.4 (octet 18): exact hour conversions only —
+            # anything else (months, centuries, reserved) would silently
+            # mislabel time_cf, which is documented as forecast HOURS
+            unit = b[s4 + 17]
+            to_hours = {
+                0: 1.0 / 60.0, 1: 1.0, 2: 24.0,
+                10: 3.0, 11: 6.0, 12: 12.0, 13: 1.0 / 3600.0,
+            }.get(unit)
+            if to_hours is None:
+                raise NotImplementedError(
+                    f"GRIB2 time-range unit indicator {unit} "
+                    "(minute/hour/day/3h/6h/12h/second only)"
+                )
+            m["time_unit"] = unit
+            # octets 19-22 are SIGNED (sign-magnitude, like level_value):
+            # reanalysis pre-initialization offsets carry negative forecast
+            # times — reading '>I' would mislabel them as huge hour counts
+            m["forecast_time"] = _sm(
+                struct.unpack(">I", bytes(b[s4 + 18 : s4 + 22]))[0], 32
+            )
+            m["forecast_hours"] = m["forecast_time"] * to_hours
+            # first fixed surface (octets 23-28): part of the message key —
+            # one parameter at many levels (a GFS pressure-level file) must
+            # not collapse into one tile stack
+            m["level_type"] = b[s4 + 22]
+            lv_raw = bytes(b[s4 + 24 : s4 + 28])
+            if m["level_type"] == 255 or lv_raw == b"\xff\xff\xff\xff":
+                m["level_value"] = None
+            else:
+                lsf = _sm(b[s4 + 23], 8) if b[s4 + 23] != 0xFF else 0
+                m["level_value"] = (
+                    _sm(struct.unpack(">I", lv_raw)[0], 32) / (10.0 ** lsf)
+                )
+            if pdt in (1, 11):  # individual ensemble member (octets 35-37;
+                # 4.11 appends the 4.8-style statistical time-range spec)
+                m["ens_type"] = b[s4 + 34]
+                m["ens_member"] = b[s4 + 35]
+                m["ens_count"] = b[s4 + 36]
+            elif pdt in (2, 12):  # derived forecast (octets 35-36)
+                m["ens_derived"] = b[s4 + 34]
+                m["ens_count"] = b[s4 + 35]
+            elif pdt in (5, 9):  # probability forecast (octets 35-47;
+                # 4.9 appends the 4.8-style statistical time-range spec).
+                # The threshold octets are read for the message KEY: one
+                # parameter at many probability thresholds (an NBM/SREF
+                # exceedance file) must not collapse into one tile stack.
+                m["prob_number"] = b[s4 + 34]
+                m["prob_total"] = b[s4 + 35]
+                m["prob_type"] = b[s4 + 36]
+
+                def _prob_limit(off: int) -> float | None:
+                    raw = bytes(b[off + 1 : off + 5])
+                    if raw == b"\xff\xff\xff\xff":
+                        return None
+                    lsf = _sm(b[off], 8) if b[off] != 0xFF else 0
+                    return (
+                        _sm(struct.unpack(">I", raw)[0], 32) / (10.0 ** lsf)
+                    )
+
+                m["prob_lower"] = _prob_limit(s4 + 37)
+                m["prob_upper"] = _prob_limit(s4 + 42)
+            elif pdt == 15:  # spatially-processed values (octets 35-37:
+                # statistical process, spatial processing type, number of
+                # points used — e.g. neighborhood-averaged MRMS/NBM fields)
+                m["spatial_stat"] = b[s4 + 34]
+                m["spatial_type"] = b[s4 + 35]
+                m["spatial_npoints"] = b[s4 + 36]
+
+            s5, _ = sec[5]
+            m["npoints"] = struct.unpack(">I", bytes(b[s5 + 5 : s5 + 9]))[0]
+            drt = struct.unpack(">H", bytes(b[s5 + 9 : s5 + 11]))[0]
+            if drt == 40:
+                # DELIBERATE gate, the szip decision (hdf5.py): NOAA GFS
+                # packs most fields with 5.40, but a from-spec JPEG2000
+                # Part-1 decoder (tag-tree tier-2, MQ-coder tier-1 EBCOT,
+                # reversible 5/3 DWT) written here could only ever be
+                # tested against ITSELF — this sandbox has no openjpeg/
+                # jasper/glymur/PIL/JAI to conformance-pin against, and a
+                # self-consistent transcription error would silently
+                # corrupt every GFS field. A typed error beats plausible
+                # wrong pixels; wgrib2/GDAL read these via jasper/openjpeg.
+                raise NotImplementedError(
+                    "GRIB2 data representation template 5.40 (JPEG2000): "
+                    "no in-sandbox reference codec to conformance-test a "
+                    "from-scratch decoder against — deliberately gated "
+                    "(see SURVEY.md §2 C36); re-encode with wgrib2 "
+                    "-set_grib_type c2|s, or install a GDAL/eccodes "
+                    "pipeline for 5.40 archives"
+                )
+            if drt not in (0, 2, 3, 41):
+                raise NotImplementedError(
+                    f"GRIB2 data representation template 5.{drt} "
+                    "(simple 5.0 / complex 5.2 / complex+diff 5.3 / "
+                    "PNG 5.41 only)"
+                )
+            m["drt"] = drt
+            raw5 = bytes(b[s5 + 11 : s5 + 38])
+            (m["R"],) = struct.unpack_from(">f", raw5, 0)
+            m["E"] = _sm(struct.unpack_from(">H", raw5, 4)[0], 16)
+            m["D"] = _sm(struct.unpack_from(">H", raw5, 6)[0], 16)
+            m["nbits"] = raw5[8]
+            if drt in (2, 3):
+                # template 5.2 body past the 5.0 fields (section offsets
+                # 21..46), 5.3 adds order + descriptor-octet count (47, 48)
+                mvm = b[s5 + 22]
+                if mvm not in (0, 1, 2):
+                    raise NotImplementedError(
+                        f"GRIB2 missing-value management {mvm} (0/1/2)"
+                    )
+                m["mvm"] = mvm
+                if mvm:
+                    # substitute values (octets 24-31), typed by the
+                    # original-field-type octet 21: IEEE float or uint.
+                    # The decoder emits missing points as ABSENT rows (same
+                    # contract as the bitmap path) — the substitutes are
+                    # recorded for metadata/debugging only.
+                    ftype = raw5[9]
+                    fmt = ">f" if ftype == 0 else ">I"
+                    m["primary_sub"] = float(
+                        struct.unpack(fmt, bytes(b[s5 + 23 : s5 + 27]))[0]
+                    )
+                    if mvm == 2:
+                        m["secondary_sub"] = float(
+                            struct.unpack(fmt, bytes(b[s5 + 27 : s5 + 31]))[0]
+                        )
+                m["ng"] = struct.unpack(">I", bytes(b[s5 + 31 : s5 + 35]))[0]
+                m["wref"] = b[s5 + 35]
+                m["wbits"] = b[s5 + 36]
+                m["lref"] = struct.unpack(">I", bytes(b[s5 + 37 : s5 + 41]))[0]
+                m["linc"] = b[s5 + 41]
+                m["last_len"] = struct.unpack(
+                    ">I", bytes(b[s5 + 42 : s5 + 46])
+                )[0]
+                m["lbits"] = b[s5 + 46]
+                if drt == 3:
+                    m["sd_order"] = b[s5 + 47]
+                    m["sd_octets"] = b[s5 + 48]
+                    if m["sd_order"] not in (1, 2):
+                        raise NotImplementedError(
+                            f"GRIB2 spatial differencing order {m['sd_order']}"
+                        )
+
+            s6 = sec.get(6)
+            m["bitmap_off"] = None
+            if s6 is not None:
+                ind = b[s6[0] + 5]
+                if ind == 0:
+                    # mvm may legally combine with a bitmap: the packed
+                    # stream covers bitmap-PRESENT points, embedded markers
+                    # flag further missing among them; decode composes the
+                    # two (mvm NaNs first, bitmap scatter after)
+                    m["bitmap_off"] = s6[0] + 6
+                    m["bitmap_len"] = s6[1] - 6
+                    prev_bitmap = (m["bitmap_off"], m["bitmap_len"])
+                elif ind == 254:
+                    # reuse the previously defined bitmap (indicator 254):
+                    # carried forward from the last indicator-0 message —
+                    # NCEP packs repeated-mask multi-field files this way
+                    if prev_bitmap is None:
+                        raise ValueError(
+                            "GRIB2 bitmap indicator 254 with no previously "
+                            "defined bitmap in the file"
+                        )
+                    m["bitmap_off"], m["bitmap_len"] = prev_bitmap
+                elif ind != 255:
+                    raise NotImplementedError(
+                        f"GRIB2 pre-defined bitmap indicator {ind}"
+                    )
+
+            s7, s7len = sec[7]
+            m["data_off"] = s7 + 5
+            m["data_len"] = s7len - 5
+            messages.append(m)
+            p += msg_len
+        except (NotImplementedError, ValueError, struct.error) as exc:
+            if not tolerant or pre_len <= 0 or p + pre_len > size:
+                raise
+            # inventory mode (grib-info): list the message as
+            # unsupported and keep walking — mixed archives are
+            # exactly the files a user needs to inventory before
+            # picking --param/--member/--threshold (ADVICE r12)
+            messages.append({
+                "offset": p, "length": pre_len, "edition": edition,
+                "unsupported": str(exc),
+            })
+            p += pre_len
     if hasattr(b, "close"):
         b.close()
     return {"path": path, "format": "grib2", "messages": messages}
@@ -1273,14 +1302,23 @@ def select_messages(
         if not msgs:
             raise ValueError(f"no GRIB2 messages for ensemble member {member}")
     if threshold is not None:
-        msgs = [
-            m for m in msgs
-            if m.get("prob_lower") is not None
-            and abs(m["prob_lower"] - threshold) < 1e-9
-        ]
+        # match the lower limit when the message carries one; messages
+        # keyed by the UPPER limit only (probability type 4 "below
+        # upper limit", lower limit encoded missing → prob_lower None)
+        # fall back to matching prob_upper, so below-limit archives
+        # stay selectable (ADVICE r12)
+        def _thr_match(m: dict) -> bool:
+            lim = m.get("prob_lower")
+            if lim is None:
+                lim = m.get("prob_upper")
+            return lim is not None and abs(lim - threshold) < 1e-9
+
+        msgs = [m for m in msgs if _thr_match(m)]
         if not msgs:
             raise ValueError(
-                f"no GRIB2 messages with probability lower limit {threshold}"
+                "no GRIB2 messages with probability lower limit "
+                f"{threshold} (nor upper limit, for below-limit "
+                "probability products)"
             )
     if param is None:
         param = (msgs[0]["param_category"], msgs[0]["param_number"])
@@ -1600,6 +1638,7 @@ def grib2_to_raquet(
     pixels = _resampled_pixels(
         spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
         extra_cols=("time_cf",) if len(times) > 1 else (),
+        n_steps=len(times),
     )
     meta = build_metadata(
         bands=[BandMeta(name="band_1", type="float64", nodata=nodata,

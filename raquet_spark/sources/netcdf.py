@@ -421,6 +421,10 @@ def netcdf_to_raquet(
         v["record"] or (v["dims"] and v["dims"][0] == _short(time_name))
     )
     extra = ("time_cf",) if has_time else ()
+    # step count sizes the warp gather's broadcast decision: the px
+    # table holds one full grid per step, so a small grid x many steps
+    # must NOT broadcast (driver OOM / 8 GB limit at archive scale)
+    n_steps = len(read_coord_var(nc, time_name)) if has_time else 1
     (w, s, e, n), (tx0, ty0, tx1, ty1) = _tile_aligned_bounds(
         _lonlat_corners(info), z
     )
@@ -434,7 +438,7 @@ def netcdf_to_raquet(
         )
     pixels = _resampled_pixels(
         spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
-        extra_cols=extra,
+        extra_cols=extra, n_steps=n_steps,
     )
     meta = build_metadata(
         bands=[BandMeta(name="band_1", type=info["dtype"], nodata=nodata,

@@ -1511,6 +1511,7 @@ def _resampled_pixels(
     resampling: str,
     tile_ext: tuple[int, int, int, int],
     extra_cols: tuple[str, ...] = (),
+    n_steps: int = 1,
 ) -> DataFrame:
     """Target-driven warp for ``bilinear``/``cubic`` import resampling
     (reference: --resampling, /root/reference/raquet/cli.py:457).
@@ -1632,10 +1633,15 @@ def _resampled_pixels(
     # tiny segment-list size, so the threshold would broadcast ANY
     # source, including one too large to hash-build on the driver):
     # broadcast when the raw source fits ~100 MB, pin a shuffled hash
-    # join above it (partitioned co-location, no driver funnel)
+    # join above it (partitioned co-location, no driver funnel).
+    # n_steps: the px table carries ONE FULL GRID PER TIME STEP
+    # (GRIB/NetCDF multi-step imports, extra_cols=("time_cf",)), so the
+    # broadcast-side size is grid_bytes x steps — a 0.25-deg global
+    # grid is ~8 MB/step but 100+ forecast steps make it ~1 GB, past
+    # the 8 GB broadcast limit's comfort zone and a driver OOM risk.
     src_bytes = (
         info["width"] * info["height"] * n_bands
-        * np.dtype(info["dtype"]).itemsize
+        * np.dtype(info["dtype"]).itemsize * max(1, int(n_steps))
     )
     broadcast_src = src_bytes <= 100 * (1 << 20)
 

@@ -531,14 +531,18 @@ def write_grib2(
                 ">BBB", int(f.get("prob_number", 0)),
                 int(f.get("prob_total", 1)), int(f.get("prob_type", 1)),
             )
-            t40 += struct.pack(
-                ">BI", _sm_enc(int(f.get("prob_lower_scale", 0)), 8),
-                _sm_enc(int(f.get("prob_lower", 0)), 32),
-            )
-            t40 += struct.pack(
-                ">BI", _sm_enc(int(f.get("prob_upper_scale", 0)), 8),
-                _sm_enc(int(f.get("prob_upper", 0)), 32),
-            )
+            # prob limit None -> encoded missing (0xFF scale +
+            # 0xFFFFFFFF value): probability type 4 "below upper
+            # limit" archives carry only prob_upper
+            for sk, vk in (("prob_lower_scale", "prob_lower"),
+                           ("prob_upper_scale", "prob_upper")):
+                if f.get(vk, 0) is None:
+                    t40 += b"\xff\xff\xff\xff\xff"
+                else:
+                    t40 += struct.pack(
+                        ">BI", _sm_enc(int(f.get(sk, 0)), 8),
+                        _sm_enc(int(f.get(vk, 0)), 32),
+                    )
         elif pdt == 15:  # + spatial-processing octets 35-37
             t40 += struct.pack(
                 ">BBB", int(f.get("spatial_stat", 0)),

@@ -245,3 +245,46 @@ def test_cli_grib_info(tmp_path, capsys):
     assert len(rows) == 3
     assert rows[1]["prob_lower"] == 25.4
     assert rows[2]["ens_member"] == 3
+
+
+def test_cli_grib_info_tolerant_mixed_archive(tmp_path, capsys):
+    """ADVICE r12: grib-info must inventory a mixed archive — list the
+    messages it can decode and the rest as 'unsupported: <reason>'
+    lines — instead of aborting on the first typed gate; import paths
+    keep fail-fast."""
+    import json as _json
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from raquet_spark.cli import main
+    from raquet_spark.sources.grib2 import _sections, read_grib2_structure
+    from raquet_spark.testing_grib2 import write_grib2
+
+    gy, gx = np.mgrid[0:4, 0:6]
+    data = ((gx + gy) % 7).astype("f8")
+    good = str(tmp_path / "good.grib2")
+    write_grib2(good, [{"data": data, "forecast_time": 0, "param": (0, 0)}])
+    raw = bytearray(open(good, "rb").read())
+    (msg_len,) = struct.unpack(">Q", bytes(raw[8:16]))
+    s3, _ = _sections(raw, 0, msg_len)[3]
+    struct.pack_into(">H", raw, s3 + 12, 90)  # GDT 3.90: space view
+    mixed = str(tmp_path / "mixed.grib2")
+    with open(mixed, "wb") as f:
+        f.write(open(good, "rb").read() + bytes(raw))
+
+    assert main(["grib-info", mixed]) == 0
+    out = capsys.readouterr().out
+    assert "2 message(s)" in out
+    assert "unsupported: " in out and "3.90" in out
+    assert "param=0,0" in out  # the decodable message still lists
+
+    assert main(["grib-info", mixed, "--json"]) == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    assert "3.90" in rows[1]["unsupported"]
+
+    # import path: unchanged fail-fast on the same file
+    with pytest.raises(NotImplementedError, match="3.90"):
+        read_grib2_structure(mixed)

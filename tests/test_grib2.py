@@ -2148,6 +2148,27 @@ def test_select_member_and_threshold(spark, tmp_path):
     with pytest.raises(ValueError, match="probability lower limit"):
         select_messages(g2["messages"], threshold=99.0)
 
+    # below-upper-limit products (probability type 4): the lower limit
+    # is encoded missing, so threshold= falls back to matching the
+    # UPPER limit — a multi-threshold below-limit archive must stay
+    # selectable (ADVICE r12)
+    bfields = []
+    for t in (0, 6):
+        for k, thr in enumerate((254, 508)):
+            bfields.append({"data": base + k, "forecast_time": t,
+                            "pdt": 9, "prob_number": k, "prob_total": 2,
+                            "prob_type": 4, "prob_lower": None,
+                            "prob_upper_scale": 1, "prob_upper": thr})
+    p3 = str(tmp_path / "below.grib2")
+    write_grib2(p3, bfields)
+    g3 = read_grib2_structure(p3)
+    assert all(m["prob_lower"] is None for m in g3["messages"])
+    sel3 = select_messages(g3["messages"], threshold=50.8)
+    assert len(sel3) == 2
+    assert all(m["prob_upper"] == pytest.approx(50.8) for m in sel3)
+    with pytest.raises(ValueError, match="nor upper limit"):
+        select_messages(g3["messages"], threshold=99.0)
+
 
 def test_grib2_increments_not_given(tmp_path):
     """Edition-2 'direction increments not given' (flag-table 3.3

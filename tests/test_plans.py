@@ -524,3 +524,65 @@ def test_import_warp_gather_broadcasts_by_source_size(spark):
     big = plan_for(20_000, 20_000 // 4)
     assert "strategy=broadcast" not in big
     assert "strategy=shuffle_hash" in big
+
+
+def test_import_warp_gather_sizes_by_time_steps(spark):
+    """ADVICE r12: the px table carries one full grid PER TIME STEP
+    (GRIB/NetCDF time_cf), so a per-step-small grid with many steps
+    must count steps in the broadcast decision — an 8 MB/step global
+    grid with 100+ forecast steps is ~1 GB, not 8 MB."""
+    from raquet_spark.sources.tiff_reader import _resampled_pixels
+
+    def plan_for(n_steps):
+        px = spark.range(16).selectExpr(
+            "CAST(id % 4 AS BIGINT) AS sx",
+            "CAST(id DIV 4 AS BIGINT) AS sy",
+            "CAST(0.0 AS DOUBLE) AS time_cf",
+            "CAST(id AS DOUBLE) AS band_1",
+        )
+        info = {
+            "transform": (0.0, 10.0, 0.0, 0.0, 0.0, -10.0),
+            "epsg": 3857, "n_bands": 1, "width": 1440,
+            "height": 721, "nodata": None, "dtype": "float64",
+        }  # ~8 MB per step (0.25-deg global)
+        df = _resampled_pixels(
+            spark, px, info, z=2, block_size=16, resampling="bilinear",
+            tile_ext=(0, 0, 0, 0), extra_cols=("time_cf",),
+            n_steps=n_steps,
+        )
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "strategy=broadcast" in plan_for(3)       # ~25 MB total
+    many = plan_for(120)                             # ~1 GB total
+    assert "strategy=broadcast" not in many
+    assert "strategy=shuffle_hash" in many
+
+
+def test_ann_lsh_oversized_list_broadcast_guard(spark, monkeypatch):
+    """ADVICE r12: a degenerate mass-duplicate corpus can make the
+    oversized-bucket heavy-hitter list scale as n_rows/cap — past the
+    broadcast-safe bound the cap filter must join shuffled, not
+    hash-build on the driver."""
+    from raquet_spark.operators import similarity
+
+    emb = spark.range(64).selectExpr(
+        "id AS vec_id",
+        # all-identical embeddings: every bucket is one mega-bucket
+        "transform(sequence(1, 64), x -> CAST(x AS DOUBLE)) AS embedding",
+    )
+    q = emb.limit(2)
+
+    def plan_for():
+        df = similarity.ann_lsh(
+            emb, q, k=3, n_bits=4, n_tables=4, dim=64,
+            n_rows=64, max_bucket_rows=4,
+        )
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # hash-like skew: the tiny heavy-hitter list broadcasts
+    assert "strategy=broadcast" in plan_for()
+    # degenerate corpus past the bound: shuffled join, no driver build
+    monkeypatch.setattr(similarity, "OVERSIZED_BC_SAFE_ROWS", 2)
+    guarded = plan_for()
+    assert "strategy=broadcast" not in guarded
+    assert "strategy=shuffle_hash" in guarded
