@@ -345,6 +345,17 @@ def main() -> None:
     }
     spark_sum = sum(timings[n] for n in common)
     duck_sum = sum(duck_timings[n] for n in common)
+    # ratio over REAL-compute lines only (duck >= 50 ms): ~47 of the
+    # ~64 compared lines sit on a <50 ms duck side where the ratio
+    # measures Spark's fixed job floor AND the tiny duck denominator's
+    # ±13% idle noise swings the total ratio 4.16-4.86 between clean
+    # runs while spark sides agree to 0.6% (VERDICT r12 #1) — the
+    # primary round-over-round signals are the spark-side absolute
+    # total ("value") and this ratio_real; the all-lines total ratio
+    # stays as a secondary
+    real = [n for n in common if duck_timings[n] >= 0.05]
+    real_spark = sum(timings[n] for n in real)
+    real_duck = sum(duck_timings[n] for n in real)
 
     # per-query DuckDB baseline (and the FULL spark timings) go to a
     # FILE: the driver captures only the last 2000 stdout chars and
@@ -358,9 +369,18 @@ def main() -> None:
     # (r12: the rotangle/qll grib twins are timed + recorded in the
     # baseline file but elided from the stdout line like the netcdf4
     # index twins — same pipeline as their printed representatives)
+    # (r13: the GRIB grid/packing-variant twins and the trivial quadbin
+    # sub-100ms twins join them — grib2_ingest_stats / qb_point_cells
+    # are the printed representatives; every elided line is still timed
+    # per round and recorded in the baseline file)
     elide = {"netcdf4_ingest_stats", "netcdf4_v4index_stats",
              "netcdf4_bt2index_stats", "grib2_rotangle_stats",
-             "grib1_qll_stats", "grib2_prob_stats"}
+             "grib1_qll_stats", "grib2_prob_stats",
+             "grib2_lambert_stats", "grib2_mvm_stats",
+             "grib2_rotated_stats", "grib2_gaussian_stats",
+             "grib2_reduced_stats", "grib1_ingest_stats",
+             "qb_parent_rollup", "qb_tile_roundtrip",
+             "lossy_webp_roundtrip_stats"}
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_duckdb_baseline.json"), "w",
@@ -370,14 +390,27 @@ def main() -> None:
             "duckdb_baseline_suspect": duck_suspect,
             "spark_queries": timings,
             "spark_vs_duckdb": ratios,
+            "ratio_real": (
+                round(real_spark / real_duck, 3) if real_duck else None
+            ),
+            "ratio_real_lines": sorted(real),
             "sf": float(sf),
         }, f, indent=1, sort_keys=True)
-    print(json.dumps({
+    line = json.dumps({
+        # PRIMARY round-over-round metrics: "value" (spark-side
+        # absolute total, engine-only — no duck denominator) and
+        # "ratio_real" (vs DuckDB on duck>=50ms real-compute lines);
+        # "spark_vs_duckdb_total" (all common lines) is secondary —
+        # its tiny-denominator noise swings it ±15% between idle runs
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()
                     if k not in elide},
+        "ratio_real": (
+            round(real_spark / real_duck, 3) if real_duck else None
+        ),
+        "ratio_real_n": len(real),
         "spark_vs_duckdb_total": (
             round(spark_sum / duck_sum, 3) if duck_sum else None
         ),
@@ -386,7 +419,16 @@ def main() -> None:
         # read too favorably — re-run on an idle box before trusting
         **({"duck_suspect": 1} if duck_suspect else {}),
         "sf": float(sf),
-    }, separators=(",", ":")))
+    }, separators=(",", ":"))
+    # the driver parses only the LAST 2000 stdout chars as JSON
+    # (BENCH_r08 "parsed": null when the line outgrew the window);
+    # keep real headroom so the next few headline queries fit
+    assert len(line) <= 1700, (
+        f"bench stdout line {len(line)} chars: elide more per-query "
+        "entries to bench_duckdb_baseline.json before it nears the "
+        "driver's 2000-char parse window"
+    )
+    print(line)
 
 
 if __name__ == "__main__":
