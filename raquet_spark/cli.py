@@ -330,11 +330,14 @@ def cmd_grib_info(args) -> int:
     g = read_grib2_structure(args.input, tolerant=True)
     msgs = g["messages"]
     if args.json:
-        keys = ["edition", "param_category", "param_number",
-                "level_type", "level_value", "forecast_hours", "pdt",
-                "grid", "ni", "nj", "drt", "ens_member", "ens_count",
-                "prob_lower", "prob_upper", "spatial_stat",
-                "unsupported"]
+        # offset/length on every row so an unsupported message in a
+        # large mixed archive is locatable by byte range, not just by
+        # list position (ADVICE r13)
+        keys = ["offset", "length", "edition", "param_category",
+                "param_number", "level_type", "level_value",
+                "forecast_hours", "pdt", "grid", "ni", "nj", "drt",
+                "ens_member", "ens_count", "prob_lower", "prob_upper",
+                "spatial_stat", "unsupported"]
         print(json.dumps(
             [{k: m.get(k) for k in keys if m.get(k) is not None}
              for m in msgs],
@@ -344,7 +347,8 @@ def cmd_grib_info(args) -> int:
     for i, m in enumerate(msgs):
         if m.get("unsupported") is not None:
             print(
-                f"{i}: ed{m.get('edition', '?')} "
+                f"{i}: ed{m.get('edition') or '?'} "
+                f"@{m['offset']}+{m['length']} "
                 f"unsupported: {m['unsupported']}"
             )
             continue

@@ -259,7 +259,13 @@ def ann_lsh(
     is known (``n_rows`` counted or passed) and ≥ 8× the cap — at
     100 TB pass ``n_rows`` from table stats so the cap is active; tiny
     corpora skip the two extra job floors. ``None`` = exhaustive
-    in-bucket comparison.
+    in-bucket comparison. Cost note for the 100 TB entry point: when
+    the closed-form worst case ``n_tables*(n_rows//cap+1)`` exceeds
+    the broadcast-safe bound (~4M heavy-hitter rows), ONE extra
+    ``count()`` job runs to measure the actual oversized-bucket count
+    before choosing broadcast vs shuffled filtering — it fires even
+    when real skew is hash-like (the common case), so budget one extra
+    sampled-scan job per query past ~1e10 rows at the default cap.
 
     Output schema matches ``cosine_topk`` (query_id, cand_id, score, rn)
     so recall can be measured by joining the two."""
@@ -337,7 +343,14 @@ def ann_lsh(
         # filter joins shuffled on (_t, _sig) instead.
         worst_over = n_tables * (n_rows // max_bucket_rows + 1)
         if worst_over > OVERSIZED_BC_SAFE_ROWS:
-            oversized = oversized.localCheckpoint(eager=False)
+            # persist, not localCheckpoint: checkpoint blocks live only
+            # on executors, so losing one between the count() and the
+            # join kills the lineage unrecoverably; the DF is tiny
+            # relative to the corpus, so recompute-capable caching is
+            # the right tradeoff (ADVICE r13)
+            from pyspark import StorageLevel
+
+            oversized = oversized.persist(StorageLevel.MEMORY_AND_DISK)
             if oversized.count() > OVERSIZED_BC_SAFE_ROWS:
                 over_side = oversized.hint("shuffle_hash")
             else:

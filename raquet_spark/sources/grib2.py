@@ -980,8 +980,21 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
             messages.append(m)
             p += msg_len
         except (NotImplementedError, ValueError, struct.error) as exc:
-            if not tolerant or pre_len <= 0 or p + pre_len > size:
+            if not tolerant or pre_len <= 0:
                 raise
+            if p + pre_len > size:
+                # final message declares more bytes than the file has
+                # (truncated download / interrupted append): report the
+                # tail instead of aborting the whole inventory
+                messages.append({
+                    "offset": p, "length": size - p, "edition": edition,
+                    "unsupported": (
+                        f"truncated message: declares {pre_len} bytes, "
+                        f"{size - p} available ({exc})"
+                    ),
+                })
+                p = size
+                continue
             # inventory mode (grib-info): list the message as
             # unsupported and keep walking — mixed archives are
             # exactly the files a user needs to inventory before
@@ -991,6 +1004,22 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 "unsupported": str(exc),
             })
             p += pre_len
+    if p < size:
+        # trailing fragment shorter than a full section 0 (the loop
+        # guard needs 16 bytes to read any message length): too short
+        # to skip past, so surface it rather than silently dropping it
+        if tolerant:
+            messages.append({
+                "offset": p, "length": size - p, "edition": None,
+                "unsupported": (
+                    f"truncated section 0: {size - p} trailing bytes"
+                ),
+            })
+        else:
+            raise ValueError(
+                f"truncated GRIB section 0 at {p}: "
+                f"{size - p} trailing bytes"
+            )
     if hasattr(b, "close"):
         b.close()
     return {"path": path, "format": "grib2", "messages": messages}

@@ -288,3 +288,63 @@ def test_cli_grib_info_tolerant_mixed_archive(tmp_path, capsys):
     # import path: unchanged fail-fast on the same file
     with pytest.raises(NotImplementedError, match="3.90"):
         read_grib2_structure(mixed)
+
+
+def test_grib_info_truncated_archives(tmp_path, capsys):
+    """ADVICE r13: tolerant mode must report a truncated tail —
+    whether the cut lands inside a message body (declared length
+    overruns the file) or inside section 0 itself (fewer than 16
+    trailing bytes) — instead of crashing or silently dropping it;
+    import paths keep fail-fast on both shapes."""
+    import json as _json
+
+    import numpy as np
+    import pytest
+
+    from raquet_spark.cli import main
+    from raquet_spark.sources.grib2 import read_grib2_structure
+    from raquet_spark.testing_grib2 import write_grib2
+
+    gy, gx = np.mgrid[0:4, 0:6]
+    data = ((gx + gy) % 7).astype("f8")
+    good = str(tmp_path / "good.grib2")
+    write_grib2(good, [{"data": data, "forecast_time": 0, "param": (0, 0)}])
+    raw = open(good, "rb").read()
+
+    # cut inside the second message's body: section 0 declares the
+    # full length but the file ends early
+    body_cut = str(tmp_path / "body_cut.grib2")
+    with open(body_cut, "wb") as f:
+        f.write(raw + raw[: len(raw) // 2])
+    g = read_grib2_structure(body_cut, tolerant=True)
+    assert len(g["messages"]) == 2
+    tail = g["messages"][1]
+    assert "truncated message" in tail["unsupported"]
+    assert tail["offset"] == len(raw)
+    assert tail["length"] == len(raw) // 2
+    with pytest.raises((ValueError, NotImplementedError, Exception)):
+        read_grib2_structure(body_cut)
+
+    # cut inside section 0 itself: < 16 trailing bytes, too short to
+    # even carry a message length
+    sec0_cut = str(tmp_path / "sec0_cut.grib2")
+    with open(sec0_cut, "wb") as f:
+        f.write(raw + raw[:9])
+    g = read_grib2_structure(sec0_cut, tolerant=True)
+    assert len(g["messages"]) == 2
+    tail = g["messages"][1]
+    assert "truncated section 0" in tail["unsupported"]
+    assert tail["offset"] == len(raw) and tail["length"] == 9
+    with pytest.raises(ValueError, match="truncated GRIB section 0"):
+        read_grib2_structure(sec0_cut)
+
+    # the CLI lists both shapes, with byte ranges in --json so the
+    # message is locatable in a large archive (ADVICE r13)
+    assert main(["grib-info", body_cut]) == 0
+    out = capsys.readouterr().out
+    assert "2 message(s)" in out and "truncated message" in out
+    assert main(["grib-info", body_cut, "--json"]) == 0
+    rows = _json.loads(capsys.readouterr().out)
+    assert rows[0]["offset"] == 0 and rows[0]["length"] == len(raw)
+    assert rows[1]["offset"] == len(raw)
+    assert "truncated message" in rows[1]["unsupported"]
