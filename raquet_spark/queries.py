@@ -3072,6 +3072,91 @@ GROUP BY t
 """
 
 
+def _cached_grib2_stagger8(spark: SparkSession) -> str:
+    """One GRIB2 archive on an alternating-Ni staggered grid (flag
+    table 3.4 bits 5+8: odd scan rows offset Di/2 and short by one
+    point) — the Arakawa-staggered shape the r12/r13 verdicts carried
+    as the last conformance-testable GRIB2 decode gap."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from raquet_spark.testing_grib2 import write_grib2
+
+    key = (spark.sparkContext.applicationId, "grib2_stagger8_fix")
+    path = _RASTER_CACHE.get(key)
+    if path is None:
+        c = _GRB
+        gy, gx = np.mgrid[0 : c["nj"], 0 : c["ni"]]
+        fields = []
+        for t in range(c["nt"]):
+            data = (
+                (gx * 7 + gy * 11 + t * 13) % c["modulo"] - 50
+            ).astype("f8")
+            # default scan is north->south, so normalized row gy IS the
+            # scan row: WMO 1-based odd rows = gy % 2 == 0 are offset
+            # and carry Ni-1 points (NaN pad = not a point)
+            data[::2, c["ni"] - 1] = np.nan
+            fields.append({"data": data, "forecast_time": t * 6})
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="raquet_q_grib2st8_"), "fix.grib2"
+        )
+        write_grib2(path, fields, lat1=49.0, lon1=0.0, di=0.25,
+                    dj=0.25, stagger=0x09)
+        _RASTER_CACHE[key] = path
+    return path
+
+
+def grib2_stagger8_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternating-Ni decode end-to-end (scan-mode bit 8, r14): odd
+    scan rows carry Ni-1 points at the parent spacing shifted Di/2 —
+    the packed stream is RAGGED, so a reader that assumes Ni*Nj points
+    mis-frames every row after the first and hash-mismatches. Stats
+    are per forecast step over the pixel table (the ragged scatter);
+    the half-cell geometry is pinned by the closed-form equivalences
+    in tests/test_grib2.py::test_alternating_ni_rows."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        read_grib2_structure,
+    )
+
+    g = read_grib2_structure(_cached_grib2_stagger8(spark))
+    px = grib2_pixel_table(spark, g)
+    return px.groupBy("time_cf").agg(
+        F.expr("COUNT(band_1)").alias("n_px"),
+        F.expr("CAST(MIN(band_1) AS DOUBLE)").alias("vmin"),
+        F.expr("CAST(MAX(band_1) AS DOUBLE)").alias("vmax"),
+        F.expr("CAST(SUM(band_1) AS DOUBLE)").alias("vsum"),
+        F.expr("round(AVG(band_1), 6)").alias("vmean"),
+    )
+
+
+def grib2_stagger8_stats_oracle() -> str:
+    c = _GRB
+    return f"""
+WITH grid AS (
+  SELECT t, gy, gx,
+         CASE WHEN gy % 2 = 0 AND gx = {c['ni'] - 1} THEN NULL
+              ELSE CAST((gx * 7 + gy * 11 + t * 13)
+                   % {c['modulo']} - 50 AS DOUBLE) END AS val
+  FROM (SELECT unnest(range(0, {c['nt']})) AS t),
+       (SELECT unnest(range(0, {c['nj']})) AS gy),
+       (SELECT unnest(range(0, {c['ni']})) AS gx)
+)
+SELECT CAST(t * 6 AS DOUBLE) AS time_cf,
+       COUNT(val) AS n_px,
+       CAST(MIN(val) AS DOUBLE) AS vmin,
+       CAST(MAX(val) AS DOUBLE) AS vmax,
+       CAST(SUM(val) AS DOUBLE) AS vsum,
+       round(AVG(val), 6) AS vmean
+FROM grid
+GROUP BY t
+"""
+
+
 def _cached_grib2_mvm(spark: SparkSession) -> str:
     import os
     import tempfile
@@ -6244,6 +6329,7 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "grib1_ingest_stats": (grib1_ingest_stats_spark, grib1_ingest_stats_oracle),
     "grib1_qll_stats": (grib1_qll_stats_spark, grib1_qll_stats_oracle),
     "grib2_prob_stats": (grib2_prob_stats_spark, grib2_prob_stats_oracle),
+    "grib2_stagger8_stats": (grib2_stagger8_stats_spark, grib2_stagger8_stats_oracle),
     "quality_classifier_filter": (quality_classifier_filter_spark, quality_classifier_filter_oracle),
     "geotiff_sharded_roundtrip": (geotiff_sharded_roundtrip_spark, tile_stats_agg_oracle),
     "geotiff_overview_roundtrip": (geotiff_overview_roundtrip_spark, pyramid_pixel_stats_oracle),

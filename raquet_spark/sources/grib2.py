@@ -497,24 +497,41 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 )
             t = s3 + 14  # template body
 
-            def check_scan(scan: int, stagger_ok: bool = False) -> None:
+            def check_scan(
+                scan: int,
+                stagger_ok: bool = False,
+                alt_ok: bool = False,
+            ) -> None:
                 # bits 1-4 (0xF0) all decode now: -i, ±j, j-consecutive
                 # (column-major), boustrophedon. Bits 5-7 (staggered-grid
                 # half-cell offsets: odd/even rows by Di/2, all points by
                 # Dj/2 — Arakawa-staggered model output) are pure
                 # GEOLOCATION adjustments handled by the warp on lat/lon
-                # grids; bit 8 (rows alternate Ni/Ni-1 points) changes the
-                # point COUNT and stays a typed gate, as does stagger on
-                # projected/Gaussian templates.
-                if scan & 0x01 or (scan & 0x0E and not stagger_ok):
+                # grids; bit 8 (offset rows carry Ni-1 points, offset
+                # columns Nj-1 — the staggered grid drops the point that
+                # would fall past the parent row's span) changes the point
+                # COUNT: decoded on lat/lon 3.0 via NaN-padded ragged
+                # rows, gated elsewhere.
+                if (scan & 0x0E and not stagger_ok) or (
+                    scan & 0x01 and not alt_ok
+                ):
                     raise NotImplementedError(
                         f"GRIB2 scanning-mode offset bits 0x{scan & 0x0F:02x} "
                         "(alternating-Ni rows / stagger on this template)"
                     )
-                if scan & 0x0E and scan & 0x30:
+                if scan & 0x0F and scan & 0x30:
                     raise NotImplementedError(
                         "GRIB2 staggered offsets combined with j-consecutive"
                         "/boustrophedon scanning (row parity is ambiguous)"
+                    )
+                if scan & 0x01 and scan & 0x80:
+                    # alternating-Ni with -i scanning: the short rows are
+                    # east-anchored and the normalized pad column flips to
+                    # the west — no fixture-testable producer emits this;
+                    # keep it a typed gate rather than guess the anchor
+                    raise NotImplementedError(
+                        "GRIB2 alternating-Ni rows (scan bit 8) combined "
+                        "with -i scanning"
                     )
                 m.update(
                     i_negative=bool(scan & 0b10000000),
@@ -526,6 +543,7 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                     stagger_odd=bool(scan & 0b00001000),
                     stagger_even=bool(scan & 0b00000100),
                     stagger_j=bool(scan & 0b00000010),
+                    alt_ni=bool(scan & 0b00000001),
                 )
 
             if gdt in (0, 1, 40):
@@ -542,7 +560,7 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 res_flag = raw3[40]  # flag table 3.3 (octet 55)
                 di_raw = struct.unpack_from(">I", raw3, 49)[0]
                 scan = raw3[57]
-                check_scan(scan, stagger_ok=(gdt == 0))
+                check_scan(scan, stagger_ok=(gdt == 0), alt_ok=(gdt == 0))
                 # same contract as the GRIB1 path (ADVICE r11): 'increments
                 # not given' (flag-table 3.3 bit 3/4 clear, or the all-ones
                 # sentinel) must derive from the corners — decoding the
@@ -642,7 +660,7 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                         # same ragged-row machinery as the GRIB1 path
                         if (m.get("col_major") or m.get("boustro")
                                 or m.get("i_negative")
-                                or scan & 0x0E):
+                                or scan & 0x0F):
                             raise NotImplementedError(
                                 "GRIB2 quasi-regular lat/lon with a "
                                 "non-default or staggered scanning mode"
@@ -670,6 +688,42 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                         )
                     else:
                         m.update(dj=dj, grid="latlon")
+                        if m.get("alt_ni") and (
+                            m.get("stagger_odd") or m.get("stagger_even")
+                            or m.get("stagger_j")
+                        ):
+                            # flag-table 3.4 bit 8: rows offset by Di/2
+                            # carry Ni-1 points (the easternmost point
+                            # would fall past the parent row's span) and,
+                            # when all points are offset by Dj/2 (bit 7),
+                            # columns carry Nj-1 points — i.e. there are
+                            # Nj-1 data rows interleaving the parent's Nj.
+                            # Decoded exactly like the reduced-grid ragged
+                            # rows: scatter into a NaN-padded (nj, ni)
+                            # rectangle; geometry rides the existing
+                            # per-row-parity stagger_x machinery (the x
+                            # spacing stays Di — NOT the reduced grids'
+                            # per-row spread), so the warp needs nothing
+                            # new. Row parity is on SCAN rows (1-based
+                            # odd = 0-based even), same as stagger_odd.
+                            nj_eff = nj - 1 if m.get("stagger_j") else nj
+                            counts = [
+                                ni - 1 if (
+                                    (r % 2 == 0 and m.get("stagger_odd"))
+                                    or (r % 2 == 1 and m.get("stagger_even"))
+                                ) else ni
+                                for r in range(nj_eff)
+                            ]
+                            n_total = struct.unpack(
+                                ">I", bytes(b[s3 + 6 : s3 + 10])
+                            )[0]
+                            if sum(counts) != n_total:
+                                raise ValueError(
+                                    "GRIB2 alternating-Ni grid: derived "
+                                    f"point count {sum(counts)} != "
+                                    f"section-3 total {n_total}"
+                                )
+                            m.update(nj=nj_eff, alt_ni_rows=counts)
                 if gdt == 1:  # rotated lat/lon (COSMO/HARMONIE family)
                     lat_sp = _sm(struct.unpack_from(">I", raw3, 58)[0], 32) / 1e6
                     lon_sp = _sm(struct.unpack_from(">I", raw3, 62)[0], 32) / 1e6
@@ -1228,8 +1282,14 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
     the bitmap says 'missing'; row 0 = NORTH (j flipped when the scan
     direction is +j). ``Y = (R + X * 2^E) / 10^D``."""
     ni, nj = m["ni"], m["nj"]
-    row_ni = m.get("row_ni_scan")  # reduced grid: ragged rows
-    total = sum(row_ni) if row_ni is not None else ni * nj
+    # ragged rows arrive two ways: reduced grids (per-row point lists,
+    # per-row x spread) and alternating-Ni staggered grids (scan bit 8:
+    # offset rows carry Ni-1 points at the parent spacing) — the scatter
+    # into a NaN-padded rectangle is shared, the geometry differs
+    row_ni = m.get("row_ni_scan")
+    alt_ni = m.get("alt_ni_rows")
+    counts = row_ni if row_ni is not None else alt_ni
+    total = sum(counts) if counts is not None else ni * nj
     if bitmap is not None:
         if len(bitmap) * 8 < total:
             raise ValueError(
@@ -1277,14 +1337,16 @@ def decode_message(raw7: bytes, m: dict, bitmap: bytes | None) -> np.ndarray:
         full = np.full(total, np.nan)
         full[mask] = y
         y = full
-    if row_ni is not None:
-        # reduced rows: scatter each row's points into a NaN-padded
-        # (nj, max_ni) rectangle — column k of row j is the point at
-        # lon = lo1 + k * 360/row_ni[j]; padding beyond a row's count
-        # is absent (same contract as bitmap-missing)
+    if counts is not None:
+        # ragged rows: scatter each row's points into a NaN-padded
+        # (nj, max_ni) rectangle — for reduced grids column k of row j
+        # is the point at lon = lo1 + k * 360/row_ni[j]; for
+        # alternating-Ni staggered grids it is lo1 + (k + 1/2) * di
+        # (the warp's stagger_x shift). Padding beyond a row's count
+        # is absent (same contract as bitmap-missing).
         rect = np.full((nj, ni), np.nan)
         pos = 0
-        for j, n in enumerate(row_ni):
+        for j, n in enumerate(counts):
             rect[j, :n] = y[pos : pos + n]
             pos += n
         if m["j_positive"]:
@@ -1577,8 +1639,18 @@ def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
         if m0.get("stagger_j"):
             # flag-table 3.4 bit 7: every point offset by Dj/2 in the
             # scan +j direction — a uniform shift, folded into the
-            # affine anchor
-            north += m0["dj"] / 2.0 if m0.get("j_positive") else -m0["dj"] / 2.0
+            # affine anchor. With bit 8 (alt_ni_rows) the offset column
+            # carries Nj-1 points interleaving STRICTLY INSIDE the
+            # parent rows, so the north row sits at parent north - Dj/2
+            # regardless of scan direction (m0["nj"] already holds the
+            # reduced row count).
+            if m0.get("alt_ni_rows") is not None:
+                north -= m0["dj"] / 2.0
+            else:
+                north += (
+                    m0["dj"] / 2.0 if m0.get("j_positive")
+                    else -m0["dj"] / 2.0
+                )
         w_lon = m0["lon1"] - (
             (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
         )

@@ -227,7 +227,33 @@ def write_grib2(
             la1, la2 = (lat_last, lat1) if j_positive else (lat1, lat_last)
             lo_first, lo_last = lon1, lon_e
             scan = 0x40 if j_positive else 0
+            nj_decl = nj
+        elif stagger & 0x01 and stagger & 0x0E:
+            # flag-table 3.4 bit 8 (alternating-Ni): `data` is the
+            # NaN-padded (nj_data, ni) NORMALIZED rectangle (row 0
+            # north, col 0 west) of the STAGGERED grid — offset rows
+            # (per bits 5/6 scan parity) meaningful through Ni-1, and
+            # with bit 7 the declared parent Nj is nj_data + 1 (the
+            # staggered rows interleave strictly inside). lat1/lon1/
+            # di/dj describe the PARENT (unstaggered) anchor, the same
+            # corner convention the bits 5-7 fixtures pin.
+            assert grid is None and not (i_negative or col_major or boustro)
+            nj_decl = nj + 1 if stagger & 0x02 else nj
+            arr = data[::-1] if j_positive else data
+            rows = [
+                arr[r, : ni - 1 if (
+                    (r % 2 == 0 and stagger & 0x08)
+                    or (r % 2 == 1 and stagger & 0x04)
+                ) else ni]
+                for r in range(nj)
+            ]
+            flat = np.concatenate(rows)
+            lat_last = lat1 - dj * (nj_decl - 1)
+            la1, la2 = (lat_last, lat1) if j_positive else (lat1, lat_last)
+            lo_first, lo_last = lon1, lon_e
+            scan = (0x40 if j_positive else 0) | (stagger & 0x0F)
         else:
+            nj_decl = nj
             arr = data
             if j_positive:  # stored south→north
                 arr = arr[::-1]
@@ -466,7 +492,9 @@ def write_grib2(
             t30 = struct.pack(
                 ">BBIBIBI", 6, 0, 0, 0, 0, 0, 0  # sphere, radii unused
             )
-            t30 += struct.pack(">II", ni, nj)
+            # alternating-Ni grids declare the PARENT Nj (bit 7 makes
+            # the data carry Nj-1 rows); everywhere else nj_decl == nj
+            t30 += struct.pack(">II", ni, nj_decl)
             t30 += struct.pack(">II", 0, 0)  # basic angle, subdivisions
             t30 += struct.pack(
                 ">II", _sm_enc(int(round(la1 * 1e6)), 32),
@@ -500,8 +528,10 @@ def write_grib2(
                     ">BIBBH", 0, int(sum(pl)), 2, 1, 1 if rot else 0
                 ) + t30
             else:
+                # len(flat) = ni*nj for full rectangles, the ragged sum
+                # for alternating-Ni grids (NaN pads are NOT points)
                 s3 = struct.pack(
-                    ">BIBBH", 0, ni * nj, 0, 0, 1 if rot else 0
+                    ">BIBBH", 0, len(flat), 0, 0, 1 if rot else 0
                 ) + t30
         lv_type, lv_scale, lv_val = f.get("level", (1, 0, 0))
         t40 = struct.pack(

@@ -171,12 +171,20 @@ def test_typed_gates(tmp_path):
             patched(lambda b: b.__setitem__(slice(s5 + 9, s5 + 11),
                                             struct.pack(">H", 1)))
         )
-    # bits 1-4 decode since r11, stagger bits 5-7 since r12; bit 8
-    # (alternating-Ni rows: changes the point COUNT) stays gated
-    with pytest.raises(NotImplementedError, match="offset bits"):
+    # bits 1-4 decode since r11, stagger bits 5-7 since r12, bit 8
+    # (alternating-Ni rows) since r14 — what stays gated is bit 8
+    # combined with -i scanning (the pad column's anchor flips) and
+    # any offset bit combined with j-consecutive/boustrophedon
+    # (row parity is ambiguous)
+    with pytest.raises(NotImplementedError, match="-i scanning"):
         read_grib2_structure(
             patched(lambda b: b.__setitem__(s3 + 14 + 57,
-                                            raw[s3 + 14 + 57] | 0b00000001))
+                                            raw[s3 + 14 + 57] | 0b10000001))
+        )
+    with pytest.raises(NotImplementedError, match="parity is ambiguous"):
+        read_grib2_structure(
+            patched(lambda b: b.__setitem__(s3 + 14 + 57,
+                                            raw[s3 + 14 + 57] | 0b00100001))
         )
 
 
@@ -1847,12 +1855,120 @@ def test_staggered_scan_bits(spark, tmp_path):
                     ) else 0.0
                     assert st[j] == expect, (jp, njj, which, j)
 
-    # bit 8 stays gated
-    c = str(tmp_path / "altni.grib2")
-    write_grib2(c, [{"data": data, "forecast_time": 0}],
+    # bit 8 with NO offset bits is vacuous per the WMO text (every row
+    # keeps Ni points): decodes identically to the plain grid
+    c1 = str(tmp_path / "altni_vacuous.grib2")
+    write_grib2(c1, [{"data": data, "forecast_time": 0}],
                 lat1=49.0, lon1=0.0, di=0.5, dj=0.5, stagger=0x01)
-    with pytest.raises(NotImplementedError, match="scanning-mode"):
-        read_grib2_structure(c)
+    c2 = str(tmp_path / "altni_plain.grib2")
+    write_grib2(c2, [{"data": data, "forecast_time": 0}],
+                lat1=49.0, lon1=0.0, di=0.5, dj=0.5)
+    assert tiles_of(c1) == tiles_of(c2)
+
+
+def test_alternating_ni_rows(spark, tmp_path):
+    """Flag-table 3.4 bit 8 (the last conformance-testable GRIB2
+    decode gap, r12/r13 verdicts): rows offset by Di/2 carry Ni-1
+    points, and with bit 7 the offset columns carry Nj-1 points.
+    Pinned three ways: (a) a decode roundtrip parity matrix over
+    (offset parity bit, j_positive, nj parity) — the NaN-padded
+    normalized rectangle written is the rectangle read back; (b) the
+    full-pipeline closed-form equivalence bits 5+6+8 (EVERY row offset
+    and short) == a plain (nj, ni-1) grid at lon1 + Di/2; (c) bits
+    7+8 (all points offset Dj/2, Nj-1 rows) == a plain (nj-1, ni)
+    grid at lat1 - Dj/2. Reference reads these via GDAL's GRIB driver
+    (reference cli.py:283)."""
+    from raquet_spark.sources.grib2 import decode_message
+    from raquet_spark.sources.io import open_bytes
+
+    ni = 16
+
+    def decode_first(path):
+        g = read_grib2_structure(path)
+        m = g["messages"][0]
+        b = open_bytes(path)
+        raw7 = bytes(b[m["data_off"] : m["data_off"] + m["data_len"]])
+        bm = (
+            bytes(b[m["bitmap_off"] : m["bitmap_off"] + m["bitmap_len"]])
+            if m.get("bitmap_off") is not None else None
+        )
+        return m, decode_message(raw7, m, bm)
+
+    # (a) roundtrip parity matrix: offset scan rows written short must
+    # come back short (NaN pad east), full rows full — for both parity
+    # bits, both j scan directions, odd and even row counts
+    for bits, which in ((0x09, "odd"), (0x05, "even")):
+        for jp in (False, True):
+            for njj in (6, 7):
+                rect = _field(1, njj, ni, 3).copy()
+                for j in range(njj):
+                    scan_idx = (njj - 1 - j) if jp else j
+                    is_odd = scan_idx % 2 == 0  # WMO 1-based odd
+                    if (which == "odd") == is_odd:
+                        rect[j, ni - 1] = np.nan  # short row pad
+                p = str(tmp_path / f"alt_{bits}_{jp}_{njj}.grib2")
+                write_grib2(p, [{"data": rect, "forecast_time": 0}],
+                            lat1=49.0, lon1=0.0, di=0.5, dj=0.5,
+                            j_positive=jp, stagger=bits)
+                m, grid = decode_first(p)
+                assert m["alt_ni_rows"] is not None
+                # the only NaNs written are the short-row pads, so the
+                # ragged point count equals the finite count
+                assert sum(m["alt_ni_rows"]) == int(
+                    np.isfinite(rect).sum()
+                )
+                np.testing.assert_array_equal(
+                    np.isnan(grid), np.isnan(rect), err_msg=f"{bits} {jp} {njj}"
+                )
+                np.testing.assert_allclose(
+                    grid[np.isfinite(rect)], rect[np.isfinite(rect)],
+                    err_msg=f"{bits} {jp} {njj}",
+                )
+
+    def tiles_of(path):
+        tiles, _m = grib2_to_raquet(spark, path, block_size=64,
+                                    compression=None)
+        return sorted(
+            (r["block"], bytes(r["band_1"]))
+            for r in tiles.where("block > 0").collect()
+        )
+
+    # (b) bits 5+6+8: every row short by one, shifted east Di/2
+    nj = 12
+    data = _field(1, nj, ni, 2)
+    short = data.copy()
+    short[:, ni - 1] = np.nan
+    b1 = str(tmp_path / "alt_all.grib2")
+    write_grib2(b1, [{"data": short, "forecast_time": 0}],
+                lat1=49.0, lon1=0.0, di=0.5, dj=0.5, stagger=0x0D)
+    b2 = str(tmp_path / "alt_all_plain.grib2")
+    write_grib2(b2, [{"data": data[:, : ni - 1], "forecast_time": 0}],
+                lat1=49.0, lon1=0.25, di=0.5, dj=0.5)
+    t1 = tiles_of(b1)
+    assert t1 and t1 == tiles_of(b2)
+
+    # (c) bits 7+8: Nj-1 rows interleaving the parent, north - Dj/2 —
+    # for both j scan directions
+    for jp in (False, True):
+        c1 = str(tmp_path / f"alt_j_{jp}.grib2")
+        write_grib2(c1, [{"data": data, "forecast_time": 0}],
+                    lat1=49.0, lon1=0.0, di=0.5, dj=0.5,
+                    j_positive=jp, stagger=0x03)
+        g = read_grib2_structure(c1)
+        assert g["messages"][0]["nj"] == nj  # data rows (declared nj+1)
+        c2 = str(tmp_path / f"alt_j_{jp}_plain.grib2")
+        write_grib2(c2, [{"data": data, "forecast_time": 0}],
+                    lat1=48.75, lon1=0.0, di=0.5, dj=0.5)
+        t1 = tiles_of(c1)
+        assert t1 and t1 == tiles_of(c2)
+
+    # gates: -i scanning flips the pad side — typed, not guessed
+    d = str(tmp_path / "alt_ineg.grib2")
+    write_grib2(d, [{"data": data, "forecast_time": 0}],
+                lat1=49.0, lon1=0.0, di=0.5, dj=0.5, i_negative=True,
+                stagger=0x01)
+    with pytest.raises(NotImplementedError, match="-i scanning"):
+        read_grib2_structure(d)
 
 
 def test_grib1_quasi_regular_latlon(spark, tmp_path):
