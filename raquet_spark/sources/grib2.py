@@ -44,10 +44,12 @@ Scope (typed gates name everything else, never silent wrong answers):
   carry no packed value) and 254 (reuse the previous bitmap);
 - scanning modes: ALL of flag-table 3.4 bits 1-4 (±i, ±j, i- or
   j-consecutive lines, boustrophedon) plus the staggered-grid
-  half-cell offset bits 5-7 on lat/lon grids (warp-side geolocation;
-  bit 8 — alternating-Ni rows — gated);
-- warp resampling on ragged-row (reduced) grids: nearest AND
-  bilinear (per-row spacing, seam wrap on global circles);
+  half-cell offset bits 5-7 on lat/lon, rotated, projected, and
+  (bits 5/6) Gaussian grids (warp-side geolocation) and bit 8 —
+  alternating-Ni rows — on lat/lon 3.0 (ragged decode; gated with
+  -i scanning);
+- warp resampling on ragged-row (reduced) grids: nearest, bilinear,
+  AND cubic (per-row spacing, seam wrap on global circles);
 - forecast-time units minute/hour/day/3h/6h/12h/second (code table
   4.4), converted to ``time_cf`` hours.
 
@@ -506,7 +508,8 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 # (column-major), boustrophedon. Bits 5-7 (staggered-grid
                 # half-cell offsets: odd/even rows by Di/2, all points by
                 # Dj/2 — Arakawa-staggered model output) are pure
-                # GEOLOCATION adjustments handled by the warp on lat/lon
+                # GEOLOCATION adjustments handled by the warp on lat/lon,
+                # rotated, projected, and (bits 5/6 only) Gaussian
                 # grids; bit 8 (offset rows carry Ni-1 points, offset
                 # columns Nj-1 — the staggered grid drops the point that
                 # would fall past the parent row's span) changes the point
@@ -560,7 +563,8 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 res_flag = raw3[40]  # flag table 3.3 (octet 55)
                 di_raw = struct.unpack_from(">I", raw3, 49)[0]
                 scan = raw3[57]
-                check_scan(scan, stagger_ok=(gdt == 0), alt_ok=(gdt == 0))
+                check_scan(scan, stagger_ok=(gdt in (0, 1, 40)),
+                           alt_ok=(gdt == 0))
                 # same contract as the GRIB1 path (ADVICE r11): 'increments
                 # not given' (flag-table 3.3 bit 3/4 clear, or the all-ones
                 # sentinel) must derive from the corners — decoding the
@@ -605,6 +609,16 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                     # the 2N Gaussian latitudes (arcsin of the roots of
                     # P_2N); a regional file selects a contiguous slice,
                     # located via la1/la2
+                    if m.get("stagger_j"):
+                        # bit 7 shifts every point by Dj/2, but Gaussian
+                        # rows are not equally spaced — there is no Dj to
+                        # halve, and no producer convention to pin a
+                        # per-row half-gap shift against
+                        raise NotImplementedError(
+                            "GRIB2 Dj/2 staggered offset (scan bit 7) on "
+                            "a Gaussian grid (rows are not equally "
+                            "spaced)"
+                        )
                     n_par = struct.unpack_from(">I", raw3, 53)[0]
                     lats = gaussian_latitudes(n_par)  # north → south
                     i1 = int(np.argmin(np.abs(lats - lat1)))
@@ -632,12 +646,11 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                         # points-per-row list follows the template (one
                         # entry per row, scan order); each row spans the
                         # full longitude circle at 360/pl[j]
-                        if m.get("col_major") or m.get("boustro") or m.get(
-                            "i_negative"
-                        ):
+                        if (m.get("col_major") or m.get("boustro")
+                                or m.get("i_negative") or scan & 0x0F):
                             raise NotImplementedError(
                                 "GRIB2 reduced Gaussian grid with a "
-                                "non-default scanning mode"
+                                "non-default or staggered scanning mode"
                             )
                         pl = read_pl2("reduced Gaussian")
                         m.update(
@@ -758,7 +771,7 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 lo1 = _sm(struct.unpack_from(">I", raw3, 28)[0], 32) / 1e6
                 lad = _sm(struct.unpack_from(">I", raw3, 33)[0], 32) / 1e6
                 scan = raw3[45]
-                check_scan(scan)
+                check_scan(scan, stagger_ok=True)
                 dx = struct.unpack_from(">I", raw3, 50)[0] / 1e3
                 dy = struct.unpack_from(">I", raw3, 54)[0] / 1e3
 
@@ -786,7 +799,7 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
                 south = bool(raw3[49] & 0x80)
                 scan = raw3[50]
-                check_scan(scan)
+                check_scan(scan, stagger_ok=True)
 
                 def norm_lon(v: float) -> float:
                     return v - 360.0 if v > 180.0 else v
@@ -817,7 +830,7 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
                 dy = struct.unpack_from(">I", raw3, 45)[0] / 1e3
                 south_lcc = bool(raw3[49] & 0x80)
                 scan = raw3[50]
-                check_scan(scan)
+                check_scan(scan, stagger_ok=True)
                 latin1 = _sm(struct.unpack_from(">I", raw3, 51)[0], 32) / 1e6
                 latin2 = _sm(struct.unpack_from(">I", raw3, 55)[0], 32) / 1e6
                 if south_lcc != (latin1 < 0) and south_lcc != (latin2 < 0):
@@ -1548,6 +1561,31 @@ def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
         "nodata": nodata,
         "palette": None,
     }
+
+    def _stagger_x_tuple() -> tuple | None:
+        # bits 5/6: odd/even SCAN rows (1-based; scan row 1 = 0-based
+        # index 0) offset by Di/2 in the scan +i direction. In the
+        # normalized frame (row 0 north, col 0 west) this is a
+        # per-row-parity half-sample x shift the warp applies when
+        # picking the containing source cell — the shift lives in
+        # source INDEX space, so it composes unchanged with lat/lon,
+        # rotated, projected, and Gaussian-row y mappings.
+        if not (m0.get("stagger_odd") or m0.get("stagger_even")):
+            return None
+        f = -0.5 if m0.get("i_negative") else 0.5
+
+        def _applies(j: int) -> bool:
+            scan_idx = (nj - 1 - j) if m0.get("j_positive") else j
+            odd_row = scan_idx % 2 == 0  # 1-based odd
+            return bool(
+                (odd_row and m0.get("stagger_odd"))
+                or (not odd_row and m0.get("stagger_even"))
+            )
+
+        return (
+            f if _applies(0) else 0.0,
+            f if _applies(1) else 0.0,
+        )
     if m0.get("grid") in ("lambert", "ps", "merc"):
         # anchor the projected affine at the FIRST grid point: forward-
         # project (la1, lo1) (the python mirror of the warp's Snyder
@@ -1560,6 +1598,13 @@ def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
         if m0.get("i_negative", False):
             x1 -= (ni - 1) * m0["dx"]
         y_top = y1 + (nj - 1) * m0["dy"] if m0["j_positive"] else y1
+        if m0.get("stagger_j"):
+            # bit 7 on a projected grid: every point offset by Dy/2 in
+            # the scan +j direction (+y when j_positive, -y otherwise)
+            y_top += m0["dy"] / 2.0 if m0["j_positive"] else -m0["dy"] / 2.0
+        st = _stagger_x_tuple()
+        if st:
+            info["stagger_x"] = st
         info.update(
             epsg=32767,  # user-defined CRS: closed-form params below
             projection=proj,
@@ -1575,9 +1620,18 @@ def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
         # rotated lons normalize to (-180, 180] to match the forward's
         # atan2 range
         north = max(m0["lat1"], m0["lat2"])
+        if m0.get("stagger_j"):
+            # bit 7 in the rotated frame: Dj/2 shift along the rotated
+            # +j scan axis, folded into the affine anchor exactly as on
+            # the plain lat/lon grid (the pole rotation is applied
+            # downstream of this affine)
+            north += m0["dj"] / 2.0 if m0.get("j_positive") else -m0["dj"] / 2.0
         lo1r = m0["lon1"] - 360.0 if m0["lon1"] > 180.0 else m0["lon1"]
         if m0.get("i_negative", False):
             lo1r -= (ni - 1) * m0["di"]
+        st = _stagger_x_tuple()
+        if st:
+            info["stagger_x"] = st
         info.update(
             epsg=32767,
             projection=m0["proj"],
@@ -1626,6 +1680,14 @@ def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
             w_lon = m0["lon1"] - (
                 (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
             )
+            # regular Gaussian rows: x IS affine, so the bits-5/6
+            # half-sample shift rides the same stagger_x path as the
+            # affine grids (the warp applies it after the lat_centers
+            # row-map join replaces fsy); bit 7 is gated at parse time
+            # (no Dj on a Gaussian grid to halve)
+            st = _stagger_x_tuple()
+            if st:
+                info["stagger_x"] = st
             info.update(
                 epsg=4326,
                 lat_centers=lc,
@@ -1654,26 +1716,9 @@ def _grib2_info(m0: dict, path: str = "", nodata: float = -9999.0) -> dict:
         w_lon = m0["lon1"] - (
             (ni - 1) * m0["di"] if m0.get("i_negative", False) else 0.0
         )
-        if m0.get("stagger_odd") or m0.get("stagger_even"):
-            # bits 5/6: odd/even SCAN rows (1-based; scan row 1 = 0-based
-            # index 0) offset by Di/2 in the scan +i direction. In the
-            # normalized frame (row 0 north, col 0 west) this is a
-            # per-row-parity half-sample x shift the warp applies when
-            # picking the containing source cell.
-            f = -0.5 if m0.get("i_negative") else 0.5
-
-            def _applies(j: int) -> bool:
-                scan_idx = (nj - 1 - j) if m0.get("j_positive") else j
-                odd_row = scan_idx % 2 == 0  # 1-based odd
-                return bool(
-                    (odd_row and m0.get("stagger_odd"))
-                    or (not odd_row and m0.get("stagger_even"))
-                )
-
-            info["stagger_x"] = (
-                f if _applies(0) else 0.0,
-                f if _applies(1) else 0.0,
-            )
+        st = _stagger_x_tuple()
+        if st:
+            info["stagger_x"] = st
         info.update(
             epsg=4326,
             # lat/lon are CELL CENTERS (as in CF): origin is the outer

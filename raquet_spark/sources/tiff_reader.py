@@ -1597,10 +1597,10 @@ def _resampled_pixels(
         )
         row_ni = info.get("row_ni")  # reduced grids: ragged row widths
         if row_ni is not None:
-            if resampling not in ("near", "bilinear"):
+            if resampling not in ("near", "bilinear", "cubic"):
                 raise NotImplementedError(
-                    "reduced (ragged-row) grids resample nearest or "
-                    "bilinear only"
+                    "reduced (ragged-row) grids resample nearest, "
+                    "bilinear, or cubic only"
                 )
             syn_t = np.floor(fsy_t).astype("i8")
             rn_t = np.where(
@@ -1738,13 +1738,17 @@ def _resampled_pixels(
             "(nearest only; re-grid first)"
         )
     if info.get("row_ni") is not None:
-        # ragged-row (reduced-grid) BILINEAR: the 2 candidate rows come
-        # from the piecewise fsy, and each row has its OWN x spacing —
-        # 360/rn on global circles (centers at k·360/rn, neighbors
-        # wrap), span/(rn−1) endpoint-inclusive regional rows. The 4
-        # gathered neighbors carry tent weights wy·wx; dropped edge /
-        # nodata contributions renormalize in the shared blend below —
-        # candidate volume is 4× the OUTPUT, same as the affine path.
+        # ragged-row (reduced-grid) kernel resampling: the 2 (bilinear)
+        # or 4 (cubic) candidate rows come from the piecewise fsy, and
+        # each row has its OWN x spacing — 360/rn on global circles
+        # (centers at k·360/rn, neighbors wrap), span/(rn−1)
+        # endpoint-inclusive regional rows. The gathered neighbors
+        # carry separable kernel weights wy·wx evaluated in each row's
+        # own index space (x offsets are exact per row; the y kernel
+        # rides the piecewise row coordinate); dropped edge / nodata
+        # contributions renormalize in the shared blend below —
+        # candidate volume is 4×/16× the OUTPUT, same as the affine
+        # path at the matching kernel.
         rows_df = spark.createDataFrame(
             [(j, int(rn)) for j, rn in enumerate(info["row_ni"])],
             "syn bigint, _rn bigint",
@@ -1760,26 +1764,27 @@ def _resampled_pixels(
             if span is not None
             else f"(({lon_e}) - {lf}) * _rn / 360.0D"
         )
-        two = tgt.selectExpr(
-            "gx", "gy", "fsx", "fsy - 0.5D AS _fy",
+        klo, khi = (0, 1) if resampling == "bilinear" else (-1, 2)
+        rows_c = tgt.selectExpr(
+            "gx", "gy", "fsx", "fsy",
+            "CAST(floor(fsy - 0.5D) AS BIGINT) AS _j0",
         ).selectExpr(
-            "gx", "gy", "fsx",
-            "CAST(floor(_fy) AS BIGINT) AS _j0",
-            "_fy - floor(_fy) AS _ty",
-            "explode(array(0, 1)) AS _ky",
+            "gx", "gy", "fsx", "fsy", "_j0",
+            f"explode(sequence({klo}, {khi})) AS _ky",
         ).selectExpr(
-            "gx", "gy", "fsx", "_j0 + _ky AS syn",
-            "CASE WHEN _ky = 1 THEN _ty ELSE 1.0D - _ty END AS _wy",
-        ).where(f"syn >= 0 AND syn < {info['height']}")
-        two = two.join(F.broadcast(rows_df), "syn")
-        contrib = two.selectExpr(
+            "gx", "gy", "fsx", "fsy", "_j0 + _ky AS syn",
+        ).where(f"syn >= 0 AND syn < {info['height']}").selectExpr(
+            "gx", "gy", "fsx", "syn",
+            f"{_kernel_sql('fsy - (syn + 0.5D)', resampling)} AS _wy",
+        )
+        rows_c = rows_c.join(F.broadcast(rows_df), "syn")
+        contrib = rows_c.selectExpr(
             "gx", "gy", "syn", "_wy", "_rn",
             f"{u_e} AS _u",
         ).selectExpr(
-            "gx", "gy", "syn", "_wy", "_rn",
+            "gx", "gy", "syn", "_wy", "_rn", "_u",
             "CAST(floor(_u) AS BIGINT) AS _k0",
-            "_u - floor(_u) AS _tx",
-            "explode(array(0, 1)) AS _kx",
+            f"explode(sequence({klo}, {khi})) AS _kx",
         ).selectExpr(
             "gx", "gy", "syn", "_rn",
             (
@@ -1787,7 +1792,9 @@ def _resampled_pixels(
                 if span is None and info.get("lon_global")
                 else "_k0 + _kx AS sxn"
             ),
-            "_wy * (CASE WHEN _kx = 1 THEN _tx ELSE 1.0D - _tx END) AS w",
+            # x weight from the UNWRAPPED neighbor index, so the
+            # kernel sees the true signed offset at the seam
+            f"_wy * {_kernel_sql('_u - (_k0 + _kx)', resampling)} AS w",
         ).where("sxn >= 0 AND sxn < _rn").drop("_rn")
     else:
         lo, hi = (0, 1) if resampling == "bilinear" else (-1, 2)

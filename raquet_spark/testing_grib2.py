@@ -226,7 +226,7 @@ def write_grib2(
             flat = np.concatenate(rows)
             la1, la2 = (lat_last, lat1) if j_positive else (lat1, lat_last)
             lo_first, lo_last = lon1, lon_e
-            scan = 0x40 if j_positive else 0
+            scan = (0x40 if j_positive else 0) | (stagger & 0x0F)
             nj_decl = nj
         elif stagger & 0x01 and stagger & 0x0E:
             # flag-table 3.4 bit 8 (alternating-Ni): `data` is the

@@ -1393,11 +1393,12 @@ def test_reduced_gaussian_warp_nearest_exact(spark, tmp_path):
         lon1=0.0, di=360.0 / ni,
         grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
     )
-    # bilinear on ragged rows works since r12 (see
-    # test_reduced_grid_bilinear_warp); cubic stays gated
-    with pytest.raises(NotImplementedError, match="nearest or bilinear"):
+    # bilinear on ragged rows works since r12, cubic since r14 (see
+    # test_reduced_grid_bilinear_warp / test_reduced_grid_cubic_warp);
+    # wider kernels (lanczos etc.) remain gated
+    with pytest.raises(NotImplementedError, match="nearest, bilinear"):
         grib2_to_raquet(spark, path, block_size=64, compression=None,
-                        zoom=2, resampling="cubic")
+                        zoom=2, resampling="lanczos")
     tiles, meta = grib2_to_raquet(spark, path, block_size=64,
                                   compression=None, zoom=2)
     lc = gaussian_latitudes(n_par)
@@ -1866,6 +1867,127 @@ def test_staggered_scan_bits(spark, tmp_path):
     assert tiles_of(c1) == tiles_of(c2)
 
 
+def test_stagger_projected_and_gaussian(spark, tmp_path):
+    """Stagger bits 5-7 on projected and Gaussian templates (carried
+    from the r12 verdict as legal-but-rare): the per-row-parity Di/2
+    shift lives in source INDEX space, so it composes unchanged with
+    the projected affine; bit 7 folds into the projected y anchor.
+    Pinned by closed-form equivalences — a staggered grid equals the
+    plain grid whose first point is moved half a cell along the
+    corresponding projected axis. Bit 7 on Gaussian grids (rows not
+    equally spaced — no Dj to halve) and any stagger on reduced
+    Gaussian rows stay typed gates."""
+    from raquet_spark.sources.tiff_reader import lcc_inverse
+
+    def tiles_of(path):
+        tiles, _m = grib2_to_raquet(spark, path, block_size=64,
+                                    compression=None)
+        return {
+            r["block"]: bytes(r["band_1"])
+            for r in tiles.where("block > 0").collect()
+        }
+
+    def assert_equiv(a: dict, b: dict) -> None:
+        # the staggered file declares the PARENT corners while the
+        # shifted-plain comparator declares the shifted ones, so (1)
+        # the tile-ALIGNED coverage can differ by one boundary tile and
+        # (2) the writer's µ-degree anchor quantization (~0.05 m) can
+        # flip the floor() of a razor-edge target pixel sitting within
+        # ~1e-5 cells of a source boundary. The pin is equality on the
+        # common tiles with a ≤0.05% razor budget: a real half-cell
+        # misregistration flips a large fraction of pixels, not ≤2.
+        common = sorted(set(a) & set(b))
+        data_bearing = total = mismatched = 0
+        for k in common:
+            pa = np.frombuffer(a[k], dtype="<f8")
+            pb = np.frombuffer(b[k], dtype="<f8")
+            total += pa.size
+            mismatched += int((pa != pb).sum())
+            if not np.all(pa == -9999.0):
+                data_bearing += 1
+        assert data_bearing >= 1, (len(common), data_bearing)
+        assert mismatched <= max(2, total // 2000), (mismatched, total)
+        assert len(set(a) ^ set(b)) <= 2, "coverage differs beyond edges"
+
+    nj, ni, dx = 40, 48, 3000.0
+    data = _field(1, nj, ni, 2)
+    proj = {"type": "lcc", "sp1": 38.5, "sp2": 38.5, "lat0": 38.5,
+            "lon0": -97.5, "fe": 0.0, "fn": 0.0,
+            "a": 6371229.0, "inv_f": float("inf")}
+    x1, y1 = -30000.0, -30000.0
+    lcc = dict(dx=dx, dy=dx, lad=38.5, lov=-97.5, latin1=38.5,
+               latin2=38.5, shape=6)
+
+    def lambert_file(name, x, y, stagger):
+        lo, la = lcc_inverse(proj, x, y)
+        p = str(tmp_path / name)
+        write_grib2(
+            p, [{"data": data, "forecast_time": 0, "param": (0, 0)}],
+            j_positive=True, stagger=stagger,
+            grid={"type": "lambert", "la1": la, "lo1": lo, **lcc},
+        )
+        return p
+
+    # (a) bits 5+6 on Lambert: every row shifted +Dx/2 along projected
+    # x == the plain grid anchored half a cell east
+    assert_equiv(
+        tiles_of(lambert_file("lcc_st56.grib2", x1, y1, 0x0C)),
+        tiles_of(lambert_file("lcc_plain_e.grib2", x1 + dx / 2.0, y1, 0)),
+    )
+
+    # (b) bit 7 on Lambert (j_positive: +j = +y): all points +Dy/2
+    assert_equiv(
+        tiles_of(lambert_file("lcc_st7.grib2", x1, y1, 0x02)),
+        tiles_of(lambert_file("lcc_plain_n.grib2", x1, y1 + dx / 2.0, 0)),
+    )
+
+    # (c) parity bookkeeping survives the projected branch: odd scan
+    # rows only (bit 5), j_positive — scan row 0 is the SOUTH row
+    from raquet_spark.sources.grib2 import _grib2_info
+
+    g = read_grib2_structure(lambert_file("lcc_odd.grib2", x1, y1, 0x08))
+    st = _grib2_info(g["messages"][0])["stagger_x"]
+    for j in (0, 1):
+        scan_idx = nj - 1 - j  # j_positive
+        assert st[j] == (0.5 if scan_idx % 2 == 0 else 0.0)
+
+    # (d) bits 5+6 on a regular (full) Gaussian grid == the plain
+    # Gaussian grid shifted Di/2 east (x is affine; y rides the
+    # lat_centers row map either way)
+    n_par = 16
+    gni = 24
+    gdi = 360.0 / gni
+    gdata = _field(1, 2 * n_par, gni, 3)
+    g1 = str(tmp_path / "gau_st.grib2")
+    write_grib2(g1, [{"data": gdata, "forecast_time": 0}],
+                lon1=0.0, di=gdi, stagger=0x0C,
+                grid={"type": "gauss", "n": n_par})
+    g2 = str(tmp_path / "gau_plain.grib2")
+    write_grib2(g2, [{"data": gdata, "forecast_time": 0}],
+                lon1=gdi / 2.0, di=gdi,
+                grid={"type": "gauss", "n": n_par})
+    assert_equiv(tiles_of(g1), tiles_of(g2))
+
+    # gates: bit 7 on Gaussian; any stagger on reduced Gaussian rows
+    g3 = str(tmp_path / "gau_st7.grib2")
+    write_grib2(g3, [{"data": gdata, "forecast_time": 0}],
+                lon1=0.0, di=gdi, stagger=0x02,
+                grid={"type": "gauss", "n": n_par})
+    with pytest.raises(NotImplementedError, match="Gaussian grid"):
+        read_grib2_structure(g3)
+    # reduced O-grid rows: 4 points at the poles growing equatorward
+    pl = [4 + 4 * min(j, 2 * n_par - 1 - j) for j in range(2 * n_par)]
+    rdata = np.full((2 * n_par, max(pl)), np.nan)
+    for j, n in enumerate(pl):
+        rdata[j, :n] = (np.arange(n) * 3 + j) % 97
+    g4 = str(tmp_path / "gau_red_st.grib2")
+    write_grib2(g4, [{"data": rdata, "forecast_time": 0}],
+                stagger=0x08,
+                grid={"type": "gauss_reduced", "n": n_par, "pl": pl})
+    with pytest.raises(NotImplementedError, match="reduced Gaussian"):
+        read_grib2_structure(g4)
+
+
 def test_alternating_ni_rows(spark, tmp_path):
     """Flag-table 3.4 bit 8 (the last conformance-testable GRIB2
     decode gap, r12/r13 verdicts): rows offset by Di/2 carry Ni-1
@@ -2109,6 +2231,83 @@ def test_reduced_grid_bilinear_warp(spark, tmp_path):
             for kk, wx in ((k0, 1.0 - tx), (k0 + 1, tx)):
                 exp_v += wy * wx * rect[jj, ((kk % rn) + rn) % rn]
         assert v == pytest.approx(exp_v, abs=1e-6), (r["gx"], r["gy"])
+        checked += 1
+    assert checked > 500
+
+
+def test_reduced_grid_cubic_warp(spark, tmp_path):
+    """Reduced-grid CUBIC resampling (carried from the r12 verdict as
+    the last kernel gap on ragged rows): 4 candidate rows from the
+    piecewise row map, each convolved at its OWN spacing with the
+    a=-0.5 cubic kernel (wrapping at the seam on global circles).
+    Pinned against an independent numpy reference over every interior
+    output pixel, same method as the bilinear twin above."""
+    import math as _math
+
+    from raquet_spark.operators.export import to_pixel_table
+    from raquet_spark.sources.grib2 import gaussian_latitudes
+    from raquet_spark.sources.tiff_reader import _EARTH_R, _ORIGIN_SHIFT
+
+    def cub(t):
+        t = abs(t)
+        if t <= 1.0:
+            return (1.5 * t - 2.5) * t * t + 1.0
+        if t < 2.0:
+            return ((-0.5 * t + 2.5) * t - 4.0) * t + 2.0
+        return 0.0
+
+    n_par = 8
+    nj = 2 * n_par
+    pl = _octa_pl(n_par)
+    ni = max(pl)
+    rect = np.full((nj, ni), np.nan)
+    for j in range(nj):
+        rect[j, : pl[j]] = 5.0 * j + 0.25 * np.arange(pl[j])
+    path = str(tmp_path / "red_cu.grib2")
+    write_grib2(
+        path, [{"data": rect, "forecast_time": 0, "D": 2}],
+        lon1=0.0, di=360.0 / ni,
+        grid={"type": "gauss_reduced", "n": n_par, "pl": pl},
+    )
+    tiles, meta = grib2_to_raquet(
+        spark, path, block_size=64, compression=None,
+        resampling="cubic", stats=False,
+    )
+    rows = to_pixel_table(tiles, meta).collect()
+    assert rows
+    z = meta["tiling"]["min_zoom"]
+    world = float((1 << z) * 64)
+    lats = gaussian_latitudes(n_par)  # north -> south, row j center
+    lf = 0.0
+    checked = 0
+    for r in rows:
+        v = r["band_1"]
+        if v == -9999.0:
+            continue
+        lon = (r["gx"] + 0.5) / world * 360.0 - 180.0
+        my = _ORIGIN_SHIFT - (r["gy"] + 0.5) / world * 2.0 * _ORIGIN_SHIFT
+        lat = _math.degrees(
+            2.0 * _math.atan(_math.exp(my / _EARTH_R)) - _math.pi / 2.0
+        )
+        # interior only: all 4 candidate rows inside the grid (the
+        # warp extrapolates the row map beyond the outer centers and
+        # renormalizes truncated stencils — not mirrored here)
+        fsy = np.interp(lat, lats[::-1], (np.arange(nj) + 0.5)[::-1])
+        fy = fsy - 0.5
+        j0 = int(np.floor(fy))
+        if j0 - 1 < 0 or j0 + 2 >= nj or lat > lats[0] or lat < lats[-1]:
+            continue
+        num = den = 0.0
+        for jj in range(j0 - 1, j0 + 3):
+            wy = cub(fy - jj)
+            rn = pl[jj]
+            u = (lon - lf) * rn / 360.0
+            k0 = int(np.floor(u))
+            for kk in range(k0 - 1, k0 + 3):
+                w = wy * cub(u - kk)
+                num += w * rect[jj, ((kk % rn) + rn) % rn]
+                den += w
+        assert v == pytest.approx(num / den, abs=1e-6), (r["gx"], r["gy"])
         checked += 1
     assert checked > 500
 
