@@ -337,7 +337,7 @@ def cmd_grib_info(args) -> int:
                 "param_number", "level_type", "level_value",
                 "forecast_hours", "pdt", "grid", "ni", "nj", "drt",
                 "ens_member", "ens_count", "prob_lower", "prob_upper",
-                "spatial_stat", "unsupported"]
+                "percentile", "spatial_stat", "unsupported"]
         print(json.dumps(
             [{k: m.get(k) for k in keys if m.get(k) is not None}
              for m in msgs],
@@ -357,6 +357,8 @@ def cmd_grib_info(args) -> int:
             sel = f" member={m['ens_member']}/{m.get('ens_count', '?')}"
         elif m.get("prob_lower") is not None or m.get("prob_upper") is not None:
             sel = f" threshold={m.get('prob_lower')}..{m.get('prob_upper')}"
+        elif m.get("percentile") is not None:
+            sel = f" percentile={m['percentile']}"
         print(
             f"{i}: ed{m.get('edition', 2)} "
             f"param={m['param_category']},{m['param_number']} "
@@ -391,6 +393,7 @@ def cmd_import_grib(args) -> int:
         resampling=getattr(args, "resampling", "near"),
         member=getattr(args, "member", None),
         threshold=getattr(args, "threshold", None),
+        percentile=getattr(args, "percentile", None),
     )
     write_raquet(tiles, args.output, meta)
     steps = meta.get("time", {}).get("count", 0)
@@ -732,6 +735,9 @@ def main(argv: list[str] | None = None) -> int:
                         " archives): matches the lower limit, or the "
                         "upper limit for below-limit products whose "
                         "lower limit is encoded missing")
+    s.add_argument("--percentile", type=int, default=None,
+                   help="select one percentile value (PDT 4.6/4.10 "
+                        "archives, e.g. NBM percentile products)")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_grib)
 

@@ -209,8 +209,26 @@ def _parse_grib1_message(b, p: int) -> tuple[dict, int]:
     table_ver = b[q + 3]
     flags = b[q + 7]
     if not flags & 0x80:
+        # DELIBERATE gate, the 5.40/szip decision class (r14, carried
+        # from the r12 verdict as C36's last undecided item): a GDS-less
+        # message geolocates via PDS octet 7's predefined grid number,
+        # whose Ni/Nj/La1/Lo1/Di/Dj live only in WMO Manual-on-Codes
+        # tables (the 21-26/61-64 international-exchange family plus
+        # centre-defined catalogues). This sandbox has no copy of those
+        # tables and no eccodes/GDAL/wgrib to conformance-pin a
+        # transcription against — ANY test would compare the transcribed
+        # constants to themselves, and a mis-remembered Dj or pole-row
+        # convention silently misplaces every value while stats stay
+        # plausible (the exact failure the 5.40 JPEG2000 gate exists to
+        # prevent). A typed error beats plausible wrong geolocation;
+        # re-encode with an explicit GDS (cnvgrib, or wgrib -GDS10) to
+        # ingest these archives. See SURVEY.md §2 C36.
         raise NotImplementedError(
-            "GRIB1 message without GDS (predefined grid number)"
+            "GRIB1 message without GDS (predefined grid number in PDS "
+            "octet 7): the grid parameters are not in the file and no "
+            "in-sandbox authority exists to conformance-pin the WMO "
+            "table transcription against — deliberately gated; "
+            "re-encode with an explicit GDS (cnvgrib / wgrib) to ingest"
         )
     m["param_category"] = table_ver
     m["param_number"] = b[q + 8]
@@ -862,11 +880,12 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
 
             s4, _ = sec[4]
             pdt = struct.unpack(">H", bytes(b[s4 + 7 : s4 + 9]))[0]
-            if pdt not in (0, 1, 2, 5, 8, 9, 11, 12, 15):
+            if pdt not in (0, 1, 2, 5, 6, 7, 8, 9, 10, 11, 12, 15):
                 raise NotImplementedError(
                     f"GRIB2 product definition template 4.{pdt} "
                     "(4.0 / 4.1-4.2 ensemble/derived / 4.5 and 4.9 "
-                    "probability / 4.8 and the statistical 4.11/4.12 "
+                    "probability / 4.6 and 4.10 percentile / 4.7 "
+                    "error / 4.8 and the statistical 4.11/4.12 "
                     "twins / 4.15 spatial processing only)"
                 )
             m["pdt"] = pdt
@@ -933,6 +952,13 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
 
                 m["prob_lower"] = _prob_limit(s4 + 37)
                 m["prob_upper"] = _prob_limit(s4 + 42)
+            elif pdt in (6, 10):  # percentile forecast (octet 35 = the
+                # percentile 0-100; 4.10 appends the 4.8-style
+                # statistical time-range spec). Read for the message
+                # KEY: an NBM percentile file carries one parameter at
+                # many percentiles and must not collapse into one
+                # tile stack.
+                m["percentile"] = b[s4 + 34]
             elif pdt == 15:  # spatially-processed values (octets 35-37:
                 # statistical process, spatial processing type, number of
                 # points used — e.g. neighborhood-averaged MRMS/NBM fields)
@@ -1388,17 +1414,19 @@ def select_messages(
     level: tuple | None = None,
     member: int | None = None,
     threshold: float | None = None,
+    percentile: int | None = None,
 ) -> list[dict]:
     """Messages of ONE field: filtered by ``param`` (category, number)
     AND by ``level`` (first-fixed-surface type, value) — the surface is
     part of the key, so a pressure-level archive (one parameter at many
     levels, identical grids) never collapses into one tile stack with
     silently interleaved levels. ``member`` selects one ensemble
-    member (PDT 4.1/4.11) and ``threshold`` one probability lower
-    limit (PDT 4.5/4.9), so multi-member/multi-threshold archives are
-    ingestable without upstream splitting. Defaults: the param/surface
-    of the first message. Residual duplicates (two selected messages
-    at the same forecast hour) raise."""
+    member (PDT 4.1/4.11), ``threshold`` one probability lower
+    limit (PDT 4.5/4.9), and ``percentile`` one percentile value
+    (PDT 4.6/4.10), so multi-member/multi-threshold/multi-percentile
+    archives are ingestable without upstream splitting. Defaults: the
+    param/surface of the first message. Residual duplicates (two
+    selected messages at the same forecast hour) raise."""
     if not msgs:
         raise ValueError("empty GRIB2 file")
     if member is not None:
@@ -1423,6 +1451,13 @@ def select_messages(
                 "no GRIB2 messages with probability lower limit "
                 f"{threshold} (nor upper limit, for below-limit "
                 "probability products)"
+            )
+    if percentile is not None:
+        msgs = [m for m in msgs if m.get("percentile") == percentile]
+        if not msgs:
+            raise ValueError(
+                f"no GRIB2 messages for percentile {percentile} "
+                "(PDT 4.6/4.10)"
             )
     if param is None:
         param = (msgs[0]["param_category"], msgs[0]["param_number"])
@@ -1462,6 +1497,11 @@ def select_messages(
                     f"..{x.get('prob_upper', '?')}"
                     for x in (seen[t], m)
                 ) + " — select one with threshold="
+            elif m.get("pdt") in (6, 10):  # percentile forecasts
+                detail = "/".join(
+                    f"percentile {x.get('percentile', '?')}"
+                    for x in (seen[t], m)
+                ) + " — select one with percentile="
             else:
                 detail = "same (param, level, time)"
             raise ValueError(
@@ -1481,6 +1521,7 @@ def grib2_pixel_table(
     level: tuple | None = None,
     member: int | None = None,
     threshold: float | None = None,
+    percentile: int | None = None,
 ):
     """Distributed decode → (time_cf, sy, sx, band_1) pixel rows,
     ``time_cf`` = forecast hours (code-table 4.4 units converted); one
@@ -1493,7 +1534,8 @@ def grib2_pixel_table(
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
-    sel = select_messages(g["messages"], param, level, member, threshold)
+    sel = select_messages(g["messages"], param, level, member, threshold,
+                          percentile)
     shape0 = (sel[0]["ni"], sel[0]["nj"])
     for m in sel:
         if (m["ni"], m["nj"]) != shape0:
@@ -1744,14 +1786,16 @@ def grib2_to_raquet(
     nodata: float = -9999.0,
     member: int | None = None,
     threshold: float | None = None,
+    percentile: int | None = None,
 ):
     """GRIB2 → RaQuet tiles on the mercator grid, forecast steps as
     ``time_cf`` — the same single-warp-shuffle + single-tiling-shuffle
     pipeline as :func:`netcdf.netcdf_to_raquet` (the two formats carry
     the same regular-lat/lon + time-steps shape). ``member``/
-    ``threshold`` select one ensemble member / probability threshold
-    out of a multi-member or exceedance archive (PDT 4.1/4.11 and
-    4.5/4.9)."""
+    ``threshold``/``percentile`` select one ensemble member /
+    probability threshold / percentile value out of a multi-member,
+    exceedance, or percentile archive (PDT 4.1/4.11, 4.5/4.9, and
+    4.6/4.10)."""
     from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import BandMeta, build_metadata
@@ -1765,7 +1809,8 @@ def grib2_to_raquet(
     )
 
     g = read_grib2_structure(path)
-    sel = select_messages(g["messages"], param, level, member, threshold)
+    sel = select_messages(g["messages"], param, level, member, threshold,
+                          percentile)
     m0 = sel[0]
     if param is None:
         param = (m0["param_category"], m0["param_number"])
@@ -1773,7 +1818,8 @@ def grib2_to_raquet(
         level = (m0["level_type"], m0["level_value"])
     info = _grib2_info(m0, path, nodata)
     z = zoom if zoom is not None else _pick_zoom(info, block_size, "upper")
-    px = grib2_pixel_table(spark, g, param, level, member, threshold)
+    px = grib2_pixel_table(spark, g, param, level, member, threshold,
+                           percentile)
     # bitmap-missing points were omitted; the warp gather wants dense
     # rows only where data exists — absent sources resolve to nodata
     px = px.withColumn("band_1", F.coalesce("band_1", F.lit(nodata)))

@@ -573,6 +573,9 @@ def write_grib2(
                         ">BI", _sm_enc(int(f.get(sk, 0)), 8),
                         _sm_enc(int(f.get(vk, 0)), 32),
                     )
+        elif pdt in (6, 10):  # + percentile value (octet 35; 4.10's
+            # 4.8-style statistical tail is not needed for keying)
+            t40 += struct.pack(">B", int(f.get("percentile", 50)))
         elif pdt == 15:  # + spatial-processing octets 35-37
             t40 += struct.pack(
                 ">BBB", int(f.get("spatial_stat", 0)),

@@ -2093,6 +2093,56 @@ def test_alternating_ni_rows(spark, tmp_path):
         read_grib2_structure(d)
 
 
+def test_grib1_predefined_gates(tmp_path):
+    """The two GRIB1 off-file geolocation gates (r14 decision, the
+    5.40/szip class — C36's last undecided item): (a) a GDS-less
+    message geolocates via a PDS-octet-7 predefined grid number whose
+    parameters live only in WMO Manual-on-Codes tables, and (b) a
+    'numeric' bitmap references centre-agreed bits that are NOT in the
+    file. Neither has an in-sandbox authority to conformance-pin a
+    transcription against, so both stay typed errors naming the
+    re-encode remedies. This test pins the gates fire on the exact
+    byte patterns (GDS flag clear / BMS numeric table reference)."""
+    import struct as _struct
+
+    from raquet_spark.testing_grib2 import write_grib1
+
+    nj, ni = 6, 8
+    path = str(tmp_path / "g1.grib1")
+    write_grib1(path, [{"data": _field(1, nj, ni, 0),
+                        "forecast_time": 0, "param": 11}])
+    raw = bytearray(open(path, "rb").read())
+    # read_grib2_structure parses edition 1 through the same walker
+    assert read_grib2_structure(path)["messages"][0]["edition"] == 1
+
+    # (a) clear the PDS GDS-present flag (octet 8 of the PDS, byte
+    # index 8 + 7 from the message start)
+    noGDS = bytearray(raw)
+    noGDS[8 + 7] &= ~0x80
+    p1 = str(tmp_path / "nogds.grib1")
+    open(p1, "wb").write(bytes(noGDS))
+    with pytest.raises(NotImplementedError, match="predefined grid"):
+        read_grib2_structure(p1)
+
+    # (b) a file WITH a bitmap whose BMS carries a nonzero numeric
+    # table reference (octets 5-6) instead of inline bits
+    rect = _field(1, nj, ni, 0).copy()
+    rect[2, 3] = np.nan  # forces a BMS
+    path_bm = str(tmp_path / "g1bm.grib1")
+    write_grib1(path_bm, [{"data": rect, "forecast_time": 0,
+                           "param": 11}])
+    raw_bm = bytearray(open(path_bm, "rb").read())
+    pds_len = int.from_bytes(raw_bm[8 : 8 + 3], "big")
+    gds_off = 8 + pds_len
+    gds_len = int.from_bytes(raw_bm[gds_off : gds_off + 3], "big")
+    bms_off = gds_off + gds_len
+    _struct.pack_into(">H", raw_bm, bms_off + 4, 3)  # numeric ref
+    p2 = str(tmp_path / "numbm.grib1")
+    open(p2, "wb").write(bytes(raw_bm))
+    with pytest.raises(NotImplementedError, match="centre-defined"):
+        read_grib2_structure(p2)
+
+
 def test_grib1_quasi_regular_latlon(spark, tmp_path):
     """GRIB1 quasi-regular (thinned) lat/lon (the r11 typed gate —
     old ECMWF/DWD archives): row j holds pl[j] points spanning
@@ -2483,6 +2533,54 @@ def test_select_member_and_threshold(spark, tmp_path):
     assert all(m["prob_upper"] == pytest.approx(50.8) for m in sel3)
     with pytest.raises(ValueError, match="nor upper limit"):
         select_messages(g3["messages"], threshold=99.0)
+
+
+def test_select_percentile_and_error_pdts(spark, tmp_path):
+    """PDT 4.6/4.10 percentile forecasts (NBM-style products) read
+    octet 35 for the message KEY and select via ``percentile=``; the
+    unselected collision raises NAMED, listing the percentiles. PDT
+    4.7 (analysis/forecast error) shares 4.0's layout and parses
+    through. (r13 verdict stretch item.)"""
+    from raquet_spark.sources.grib2 import (
+        grib2_pixel_table,
+        select_messages,
+    )
+
+    nj, ni = 6, 9
+    base = _field(1, nj, ni, 0)
+    fields = []
+    for t in (0, 6):
+        for pdt, pc in ((6, 10), (6, 90)):
+            fields.append({"data": base + pc, "forecast_time": t,
+                           "pdt": pdt, "percentile": pc})
+    path = str(tmp_path / "pct.grib2")
+    write_grib2(path, fields)
+    g = read_grib2_structure(path)
+    assert [m["percentile"] for m in g["messages"]] == [10, 90, 10, 90]
+    assert all(m["pdt"] == 6 for m in g["messages"])
+    with pytest.raises(ValueError, match="percentile 10/percentile 90"):
+        select_messages(g["messages"])
+    sel = select_messages(g["messages"], percentile=90)
+    assert len(sel) == 2 and all(m["percentile"] == 90 for m in sel)
+    px = grib2_pixel_table(spark, g, percentile=10).toPandas()
+    assert px["band_1"].min() >= 10.0 - 50.0
+    assert px["band_1"].max() <= 10.0 + 148.0
+    assert sorted(px["time_cf"].unique()) == [0.0, 6.0]
+    with pytest.raises(ValueError, match="percentile 55"):
+        select_messages(g["messages"], percentile=55)
+
+    # 4.10 carries the same key octet (the 4.8-style tail is ignored
+    # for keying); 4.7 has no extra octets at all
+    p2 = str(tmp_path / "pct10.grib2")
+    write_grib2(p2, [
+        {"data": base, "forecast_time": 0, "pdt": 10, "percentile": 25},
+        {"data": base, "forecast_time": 0, "pdt": 7},
+    ])
+    msgs = read_grib2_structure(p2)["messages"]
+    assert msgs[0]["pdt"] == 10 and msgs[0]["percentile"] == 25
+    assert msgs[1]["pdt"] == 7 and msgs[1].get("percentile") is None
+    sel10 = select_messages(msgs, percentile=25)
+    assert len(sel10) == 1 and sel10[0]["pdt"] == 10
 
 
 def test_grib2_increments_not_given(tmp_path):
