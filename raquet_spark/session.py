@@ -47,7 +47,13 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS: a cluster sizes shuffle width to
+    # data volume (AQE only COALESCES below the initial number, it
+    # never raises it) — the scale probes use this to keep per-task
+    # state bounded at x256 synthetic volumes
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)

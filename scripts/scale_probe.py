@@ -45,18 +45,40 @@ def main() -> None:
     emb = load_table(spark, sf_dir, "embeddings")
 
     def scale_up(df, key: str, mult: int):
-        """Union the table mult times with re-keyed ids, materialized so
-        each probe line times the operator, not the synthesis."""
-        big = df
-        for i in range(1, mult):
-            big = big.unionByName(
-                df.withColumn(key, F.col(key) + F.lit(i * 10_000_000))
+        """Replicate the table mult times with re-keyed ids (copy i
+        shifts the key by i*10M — identical rows to the r04-r12 union
+        loop, as one crossJoin branch so a x256 plan stays shallow),
+        materialized so each probe line times the operator, not the
+        synthesis."""
+        big = (
+            df.crossJoin(
+                spark.range(mult).withColumnRenamed("id", "_copy")
             )
+            .withColumn(key, F.col(key) + F.col("_copy") * 10_000_000)
+            .drop("_copy")
+            # the crossJoin keeps the BASE table's partition count (the
+            # sf0.1 parquet is ~1 partition), which would strangle the
+            # first post-checkpoint stage to 1 task; the old union loop
+            # yielded ~mult partitions — match that, capped at 4x the
+            # core count so x256 doesn't fragment into 256 tiny tasks
+            .repartition(
+                min(mult, 4 * spark.sparkContext.defaultParallelism)
+            )
+        )
         return big.localCheckpoint(eager=True)
 
     timings: dict[str, float] = {}
+    # SPARK_GRAFT_PROBE_ONLY=substr1,substr2 restricts to matching
+    # lines — the r14 x256 minhash/ann_lsh deep probe runs in minutes
+    # instead of re-running every family at 4x the x64 volume
+    only = [
+        t for t in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",")
+        if t
+    ]
 
     def bench(name: str, fn, runs: int = 2) -> None:
+        if only and not any(t in name for t in only):
+            return
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -64,6 +86,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     from raquet_spark.operators.dedup import (
         connected_components,
