@@ -1968,6 +1968,19 @@ def test_stagger_projected_and_gaussian(spark, tmp_path):
                 grid={"type": "gauss", "n": n_par})
     assert_equiv(tiles_of(g1), tiles_of(g2))
 
+    # (e) rotated lat/lon (template 3.1): the stagger shift applies in
+    # ROTATED coordinates upstream of the pole rotation, so bits 5+6
+    # == the plain rotated grid anchored Di/2 east in rotated lon
+    rot = {"type": "rotated", "lat_sp": -40.0, "lon_sp": 10.0}
+    r1 = str(tmp_path / "rot_st.grib2")
+    write_grib2(r1, [{"data": data, "forecast_time": 0}],
+                lat1=5.0, lon1=-3.0, di=0.5, dj=0.5, stagger=0x0C,
+                grid=dict(rot))
+    r2 = str(tmp_path / "rot_plain.grib2")
+    write_grib2(r2, [{"data": data, "forecast_time": 0}],
+                lat1=5.0, lon1=-2.75, di=0.5, dj=0.5, grid=dict(rot))
+    assert_equiv(tiles_of(r1), tiles_of(r2))
+
     # gates: bit 7 on Gaussian; any stagger on reduced Gaussian rows
     g3 = str(tmp_path / "gau_st7.grib2")
     write_grib2(g3, [{"data": gdata, "forecast_time": 0}],
