@@ -190,7 +190,21 @@ def zonal_stats(
         cells = qb_fns.py_bbox_to_cells(west, south, east, north, z)
         all_cells.update(cells)
         rows.extend((zone_id, c) for c in cells)
-    zone_map = spark.createDataFrame(rows, "zone_id string, block bigint")
+    # the (zone, block) map is driver-known and tiny (bbox covers at
+    # the query zoom): inline it as a literal explode instead of a
+    # parallelize — one fewer scheduled job per query, and the
+    # broadcast build reads a local plan node
+    zone_map = spark.range(1).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(zid).alias("zone_id"),
+                    F.lit(int(c)).alias("block"),
+                )
+                for zid, c in rows
+            ])
+        ).alias("_e")
+    ).select("_e.zone_id", F.col("_e.block").cast("long").alias("block"))
 
     # prune the fact scan to the union cover before the broadcast join
     lo, hi = (min(all_cells), max(all_cells)) if all_cells else (0, -1)
