@@ -190,21 +190,32 @@ def zonal_stats(
         cells = qb_fns.py_bbox_to_cells(west, south, east, north, z)
         all_cells.update(cells)
         rows.extend((zone_id, c) for c in cells)
-    # the (zone, block) map is driver-known and tiny (bbox covers at
-    # the query zoom): inline it as a literal explode instead of a
-    # parallelize — one fewer scheduled job per query, and the
-    # broadcast build reads a local plan node
-    zone_map = spark.range(1).select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(zid).alias("zone_id"),
-                    F.lit(int(c)).alias("block"),
-                )
-                for zid, c in rows
-            ])
-        ).alias("_e")
-    ).select("_e.zone_id", F.col("_e.block").cast("long").alias("block"))
+    # the (zone, block) map is driver-known and usually tiny (bbox
+    # covers at the query zoom): inline it as a literal explode — one
+    # fewer scheduled job per query, and the broadcast build reads a
+    # local plan node. Two guards (review r14): an EMPTY literal array
+    # has VOID element type (struct field extraction fails to resolve),
+    # and a huge zone set would embed O(cells) literal expressions in
+    # the plan (Catalyst analysis + driver serialization blow-up) —
+    # both fall back to the parallelize path.
+    if 0 < len(rows) <= 1024:
+        zone_map = spark.range(1).select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(zid).alias("zone_id"),
+                        F.lit(int(c)).alias("block"),
+                    )
+                    for zid, c in rows
+                ])
+            ).alias("_e")
+        ).select(
+            "_e.zone_id", F.col("_e.block").cast("long").alias("block")
+        )
+    else:
+        zone_map = spark.createDataFrame(
+            rows, "zone_id string, block bigint"
+        )
 
     # prune the fact scan to the union cover before the broadcast join
     lo, hi = (min(all_cells), max(all_cells)) if all_cells else (0, -1)

@@ -1072,10 +1072,26 @@ def read_grib2_structure(path: str, tolerant: bool = False) -> dict:
             m["data_len"] = s7len - 5
             messages.append(m)
             p += msg_len
-        except (NotImplementedError, ValueError, struct.error) as exc:
-            if not tolerant or pre_len <= 0:
+        except (NotImplementedError, ValueError, struct.error,
+                IndexError) as exc:
+            # IndexError is what single-byte accesses (b[q + 3] on an
+            # mmap/bytes cut mid-message) raise on truncation — without
+            # it, tolerant mode crashed on most truncated GRIB1 cuts
+            # (review r14). When the message evidently overruns the
+            # file, BOTH modes name the truncation: fail-fast raises a
+            # typed error instead of whichever parser detail tripped
+            # first, tolerant mode lists the tail and stops the walk.
+            truncated = pre_len > 0 and p + pre_len > size
+            if not tolerant:
+                if truncated:
+                    raise ValueError(
+                        f"truncated GRIB message at {p}: declares "
+                        f"{pre_len} bytes, {size - p} available ({exc})"
+                    ) from exc
                 raise
-            if p + pre_len > size:
+            if pre_len <= 0:
+                raise
+            if truncated:
                 # final message declares more bytes than the file has
                 # (truncated download / interrupted append): report the
                 # tail instead of aborting the whole inventory

@@ -109,12 +109,27 @@ def main() -> None:
 
     register_views(spark, sf_dir)
 
+    class _Lazy:
+        """Defers scale_up (an eager localCheckpoint materialization)
+        until a selected bench line first touches the table — under
+        SPARK_GRAFT_PROBE_ONLY a deep x256 arm no longer builds the
+        table no selected line reads (review r14)."""
+
+        def __init__(self, thunk):
+            self._thunk = thunk
+            self._df = None
+
+        def __getattr__(self, name):
+            if self._df is None:
+                self._df = self._thunk()
+            return getattr(self._df, name)
+
     for mult in mults:
         # x64 lines run once (superlinearity shows in the exponent, not
         # the min-of-2); x8 keeps min-of-2 for continuity with r04/r05.
         runs = 2 if mult <= 8 else 1
-        big_docs = scale_up(docs, "doc_id", mult)
-        big_emb = scale_up(emb, "vec_id", mult)
+        big_docs = _Lazy(lambda m=mult: scale_up(docs, "doc_id", m))
+        big_emb = _Lazy(lambda m=mult: scale_up(emb, "vec_id", m))
 
         bench(
             f"dedup_minhash_x{mult}",
@@ -130,15 +145,16 @@ def main() -> None:
         )
 
         # ANN families. Query side scales with the corpus (every 25th /
-        # 100th vector) so the probe measures corpus AND query growth.
-        queries_df = big_emb.where("vec_id % 25 = 0")
-        ivf_queries = big_emb.where("vec_id % 100 = 0")
+        # 100th vector) so the probe measures corpus AND query growth;
+        # query-side .where derivations live inside the lambdas so an
+        # unselected family never touches (= materializes) the table
         # auto-sized LSH: derive_lsh_bits pins ~1k expected bucket
         # occupancy, so per-bucket work stays bounded as N grows
         bench(
             f"ann_lsh_x{mult}_auto",
             lambda: ann_lsh(
-                big_emb, queries_df, k=5, n_tables=12, dim=64
+                big_emb, big_emb.where("vec_id % 25 = 0"),
+                k=5, n_tables=12, dim=64
             ).count(),
             runs,
         )
@@ -147,12 +163,16 @@ def main() -> None:
         # hide); PQ rides the same probe with byte codes + rerank.
         bench(
             f"ann_ivf_x{mult}_auto",
-            lambda: ann_ivf(big_emb, ivf_queries, k=5).count(),
+            lambda: ann_ivf(
+                big_emb, big_emb.where("vec_id % 100 = 0"), k=5
+            ).count(),
             runs,
         )
         bench(
             f"ann_ivf_pq_x{mult}",
-            lambda: ann_ivf_pq(big_emb, ivf_queries, k=5).count(),
+            lambda: ann_ivf_pq(
+                big_emb, big_emb.where("vec_id % 100 = 0"), k=5
+            ).count(),
             runs,
         )
         # exact brute-force baseline, r10 Arrow-batched partial-top-k
@@ -160,10 +180,11 @@ def main() -> None:
         # isolates corpus growth — the matmul is O(N*Q*dim) flops by
         # construction; the line must grow ~linearly in N, and the
         # emitted partial rows stay partitions*k*Q regardless of N
-        fixed_q = big_emb.where(f"vec_id % {400 * mult} = 0")
         bench(
             f"cosine_topk_x{mult}",
-            lambda: cosine_topk(big_emb, fixed_q, k=5).count(),
+            lambda: cosine_topk(
+                big_emb, big_emb.where(f"vec_id % {400 * mult} = 0"), k=5
+            ).count(),
             runs,
         )
         # r10 trainer rework: one map-only matmul job per iteration —
@@ -224,12 +245,20 @@ def main() -> None:
         bench(f"bpe_train32_x{mult}", bpe, runs)
 
         # DSIR weights: two 1024-bucket aggs + one broadcast scoring join
-        big_docs.createOrReplaceTempView("documents")
+        # (the temp-view registration touches big_docs, so it rides
+        # inside the bench body to stay lazy under PROBE_ONLY)
         dsir_sql = _SQL_QUERIES["dsir_weights"]("spark")
-        bench(f"dsir_weights_x{mult}", lambda: spark.sql(dsir_sql).count(), runs)
-        load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-            "documents"
-        )
+
+        def dsir() -> int:
+            big_docs.createOrReplaceTempView("documents")
+            try:
+                return spark.sql(dsir_sql).count()
+            finally:
+                load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+                    "documents"
+                )
+
+        bench(f"dsir_weights_x{mult}", dsir, runs)
 
 
     # pHash dedup stays at x8: make_media_table synthesis is the cost at
@@ -250,8 +279,23 @@ def main() -> None:
 
     bench("phash_dedup_x8", phash)
 
-    # raster: 16 Mpx (4x bench's 4 Mpx)
+    # raster: 16 Mpx (4x bench's 4 Mpx). The whole family keys on
+    # "raster"/"geotiff"/"focal": under PROBE_ONLY the synthesis+write
+    # (which is itself the raster_write line) is skipped when no
+    # raster line is selected
     import tempfile
+
+    if only and not any(
+        t in n for t in only
+        for n in ("raster_write_16mpx", "raster_tile_stats_16mpx",
+                  "raster_pyramid_16mpx", "geotiff_export_sharded_16mpx",
+                  "focal_slope_16mpx", "netcdf4_decode_x1",
+                  "netcdf4_decode_x8")
+    ):
+        print(json.dumps({
+            "probe": timings, "n_docs_base": n_docs, "multipliers": mults,
+        }))
+        return
 
     from raquet_spark.operators.focal import focal_map
     from raquet_spark.operators.pyramid import build_pyramid

@@ -322,7 +322,7 @@ def test_grib_info_truncated_archives(tmp_path, capsys):
     assert "truncated message" in tail["unsupported"]
     assert tail["offset"] == len(raw)
     assert tail["length"] == len(raw) // 2
-    with pytest.raises((ValueError, NotImplementedError, Exception)):
+    with pytest.raises(ValueError, match="truncated GRIB message"):
         read_grib2_structure(body_cut)
 
     # cut inside section 0 itself: < 16 trailing bytes, too short to
@@ -337,6 +337,28 @@ def test_grib_info_truncated_archives(tmp_path, capsys):
     assert tail["offset"] == len(raw) and tail["length"] == 9
     with pytest.raises(ValueError, match="truncated GRIB section 0"):
         read_grib2_structure(sec0_cut)
+
+    # sweep EVERY cut offset inside the second message (review r14:
+    # single-byte accesses on a cut-off body raise IndexError, which
+    # the tolerant handler originally didn't catch — 63 of 76 GRIB1
+    # cut points crashed the inventory); also the GRIB1 edition
+    import numpy as np_
+
+    from raquet_spark.testing_grib2 import write_grib1
+
+    g1 = str(tmp_path / "g1.grib1")
+    write_grib1(g1, [{"data": np_.arange(24.0).reshape(4, 6),
+                      "forecast_time": 0, "param": 11}])
+    for base in (raw, open(g1, "rb").read()):
+        for cut in range(17, len(base), 7):
+            pth = str(tmp_path / "sweep.grib")
+            with open(pth, "wb") as f:
+                f.write(base + base[:cut])
+            g = read_grib2_structure(pth, tolerant=True)
+            assert len(g["messages"]) == 2, cut
+            assert "truncated" in g["messages"][1]["unsupported"], cut
+            with pytest.raises(ValueError, match="truncated GRIB"):
+                read_grib2_structure(pth)
 
     # the CLI lists both shapes, with byte ranges in --json so the
     # message is locatable in a large archive (ADVICE r13)

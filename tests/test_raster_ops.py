@@ -627,3 +627,43 @@ def test_polygon_operators_accept_wkt(spark):
     da = {r["block"]: bytes(r["band_1"]) for r in ra.collect()}
     db = {r["block"]: bytes(r["band_1"]) for r in rb.collect()}
     assert da == db and len(da) > 0
+
+
+def test_zonal_stats_empty_and_large_zone_sets(spark, raster2):
+    """Review r14 regressions on the literal-explode zone map: (a) an
+    EMPTY zones list must return an empty typed result, not an
+    AnalysisException from a VOID-element literal array; (b) a zone
+    set whose cover exceeds the literal-inlining cutoff must take the
+    parallelize fallback and produce identical results to the literal
+    path (pinned by comparing a duplicated-zone query against the
+    single-zone literal answer)."""
+    from raquet_spark.operators.region_stats import zonal_stats
+    from raquet_spark.operators.tile_stats import with_tile_stats
+
+    tiles, meta = raster2
+    stats = with_tile_stats(tiles, meta)
+
+    out = zonal_stats(stats, meta, [], band="band_1", resolution="max")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields[:3]] == [
+        "zone_id", "count", "min",
+    ]
+
+    w, s, _, _ = qb.py_cell_to_bounds(qb.py_tile_to_cell(TX, TY + 1, Z))
+    _, _, e, n = qb.py_cell_to_bounds(qb.py_tile_to_cell(TX + 1, TY, Z))
+    pad_x, pad_y = (e - w) * 0.05, (n - s) * 0.05
+    bbox = (w + pad_x, s + pad_y, e - pad_x, n - pad_y)
+    one = {
+        r["zone_id"]: (r["count"], r["sum"])
+        for r in zonal_stats(stats, meta, [("z0", bbox)],
+                             band="band_1").collect()
+    }
+    # 600 copies of the zone x 4 cover cells = 2400 (zone, block) rows,
+    # past the 1024 literal cutoff -> createDataFrame fallback
+    many = [(f"z{i}", bbox) for i in range(600)]
+    got = {
+        r["zone_id"]: (r["count"], r["sum"])
+        for r in zonal_stats(stats, meta, many, band="band_1").collect()
+    }
+    assert len(got) == 600
+    assert all(v == one["z0"] for v in got.values())
