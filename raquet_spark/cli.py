@@ -234,13 +234,26 @@ def cmd_import_geotiff(args) -> int:
     from raquet_spark.sources.tiff_reader import geotiff_to_raquet
 
     spark = _spark()
+    if getattr(args, "workers", None):
+        print(
+            f"note: --workers {args.workers} accepted for compatibility; "
+            "parallelism comes from the Spark session"
+        )
     strategy = {"auto": "round"}.get(
         getattr(args, "zoom_strategy", "auto"), getattr(args, "zoom_strategy", "auto")
     )
+    comp = getattr(args, "compression", "gzip")
+    layout = getattr(args, "band_layout", "sequential")
+    lossy = comp in ("jpeg", "webp")
+    # lossy codecs are interleaved-only (spec raquet.md:272-275): the
+    # warp/assembly runs on sequential bands (uncompressed intermediate
+    # — the interleave step re-encodes anyway), then converts
+    seq_comp = None if (lossy or comp == "none"
+                        or layout == "interleaved") else comp
     tiles, meta = geotiff_to_raquet(
         spark, args.input, zoom=args.zoom, block_size=args.block_size,
         stats=args.stats, resampling=getattr(args, "warp_resampling", "near"),
-        zoom_strategy=strategy,
+        zoom_strategy=strategy, compression=seq_comp,
     )
     min_zoom = args.min_zoom
     if getattr(args, "overviews", "none") == "auto" and min_zoom is None:
@@ -257,10 +270,36 @@ def cmd_import_geotiff(args) -> int:
         tiles, meta = build_pyramid(
             tiles, meta, min_zoom, resampling=args.resampling
         )
+    if lossy or layout == "interleaved":
+        from raquet_spark.operators.layout import to_interleaved
+
+        meta_l = dict(meta)
+        if lossy:
+            meta_l["compression_quality"] = int(
+                getattr(args, "compression_quality", 85)
+            )
+            if comp == "webp":
+                meta_l["webp_lossless"] = not getattr(
+                    args, "webp_lossy", False
+                )
+        inter, meta = to_interleaved(
+            tiles, meta_l,
+            compression=comp if comp != "none" else None,
+        )
+        # to_interleaved keeps only (block, pixels): re-attach the
+        # per-tile stats columns computed on the sequential bands
+        extra = [c for c in tiles.columns
+                 if c not in ("block", "metadata")
+                 and not any(c == b["name"] for b in meta["bands"])]
+        tiles = (
+            inter.join(tiles.select("block", *extra), "block", "left")
+            if extra else inter
+        )
     rg = getattr(args, "row_group_mb", None)
     write_raquet(
         tiles, args.output, meta,
         target_row_group_bytes=rg * 1024 * 1024 if rg else None,
+        target_file_bytes=getattr(args, "target_size", None),
     )
     print(
         f"imported {args.input} -> {args.output} "
@@ -683,6 +722,32 @@ def main(argv: list[str] | None = None) -> int:
                    help="zoom pick from source resolution (auto = round)")
     s.add_argument("--row-group-mb", type=int, default=None,
                    help="parquet row-group size in MB (smaller = better remote pruning)")
+    s.add_argument("--target-size", type=int, default=None,
+                   help="approximate bytes per output part file (the "
+                        "reference --target-size): the Morton range is "
+                        "split into ~total/target files")
+    s.add_argument("--compression", default="gzip",
+                   choices=["gzip", "none", "jpeg", "webp"],
+                   help="tile codec; jpeg/webp imply interleaved layout "
+                        "(spec: lossy is interleaved-only, uint8 bands)")
+    s.add_argument("--compression-quality", type=int, default=85,
+                   help="quality for jpeg / lossy webp (1-100)")
+    s.add_argument("--webp-lossy", action="store_true", default=False,
+                   help="write lossy VP8 instead of the default lossless "
+                        "VP8L (the repo default keeps webp tiles readable "
+                        "without native codecs; the reference's Pillow "
+                        "path writes lossy)")
+    s.add_argument("--band-layout", default="sequential",
+                   choices=["sequential", "interleaved"],
+                   help="band data organization (reference --band-layout)")
+    s.add_argument("--streaming", action="store_true", default=False,
+                   help="accepted for reference-CLI compatibility; Spark "
+                        "executes the conversion distributed and "
+                        "memory-bounded either way (no-op)")
+    s.add_argument("--workers", type=int, default=None,
+                   help="accepted for reference-CLI compatibility; "
+                        "parallelism comes from the Spark session "
+                        "(SPARK_GRAFT_CPUS / cluster config)")
     s.add_argument("--stats", action="store_true", default=True)
     s.set_defaults(fn=cmd_import_geotiff)
 

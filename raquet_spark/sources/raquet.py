@@ -119,6 +119,7 @@ def write_raquet(
     metadata: dict,
     mode: str = "overwrite",
     target_row_group_bytes: int | None = None,
+    target_file_bytes: int | None = None,
 ) -> None:
     """Write tiles + metadata row as a RaQuet parquet dataset.
 
@@ -126,6 +127,13 @@ def write_raquet(
     Morton-adjacent tiles share row groups (spec §Row Ordering
     Recommendation). ``metadata.tiling.num_blocks`` is refreshed from the
     actual tile count.
+
+    ``target_file_bytes`` budgets the part-file size (the reference
+    CLI's ``--target-size``, raster2raquet.py:1918): the Morton range
+    is split into ~total_bytes/target files. Per-tile bytes are
+    estimated from a bounded 64-row sample of the binary columns, so
+    the split is approximate — parts track the budget, they are not
+    capped at it (same contract as the reference's greedy splitter).
     """
     spark = df.sparkSession
     num_blocks = df.count()
@@ -134,7 +142,24 @@ def write_raquet(
 
     df = ensure_metadata_column(df)
     meta_row = _metadata_row(spark, df, metadata)
-    out = df.repartitionByRange("block").sortWithinPartitions("block").unionByName(meta_row)
+    parts = None
+    if target_file_bytes and num_blocks:
+        bin_cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() == "binary"
+        ]
+        if bin_cols:
+            row = df.limit(64).select(
+                *[F.sum(F.octet_length(c)).alias(c) for c in bin_cols],
+                F.count(F.lit(1)).alias("_n"),
+            ).collect()[0]
+            n = row["_n"] or 1
+            avg = sum(row[c] or 0 for c in bin_cols) / n + 256
+            parts = max(1, int(math.ceil(avg * num_blocks / target_file_bytes)))
+    out = (
+        df.repartitionByRange(parts, "block") if parts
+        else df.repartitionByRange("block")
+    ).sortWithinPartitions("block").unionByName(meta_row)
 
     writer = out.write.mode(mode)
     if target_row_group_bytes:

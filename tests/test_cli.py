@@ -370,3 +370,93 @@ def test_grib_info_truncated_archives(tmp_path, capsys):
     assert rows[0]["offset"] == 0 and rows[0]["length"] == len(raw)
     assert rows[1]["offset"] == len(raw)
     assert "truncated message" in rows[1]["unsupported"]
+
+
+def test_cli_import_geotiff_reference_flags(spark, tmp_path, capsys):
+    """Reference `convert raster` flag parity on import-geotiff (r14):
+    --compression jpeg/webp (interleaved lossy per spec) and
+    --band-layout interleaved keep stats columns and decode back;
+    --target-size splits the output into byte-budgeted part files;
+    --streaming and --workers are accepted compatibility no-ops."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from raquet_spark.cli import main
+    from raquet_spark.functions.bands import decode_block
+    from raquet_spark.operators.layout import decode_lossy
+    from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
+
+    # uint8 source: generate -> export .tif -> import with flags
+    # (a 256x256-px tif re-imported at --block-size 64 = 16 blocks)
+    raq = str(tmp_path / "u8.parquet")
+    assert main(["generate", raq, "--tiles", "4", "--block-size", "64",
+                 "--zoom", "6", "--dtype", "uint8"]) == 0
+    tif = str(tmp_path / "u8.tif")
+    assert main(["export", raq, tif]) == 0
+    capsys.readouterr()
+    bs = ["--block-size", "64"]
+
+    # webp (default LOSSLESS VP8L): pixels round-trip exactly
+    webp_out = str(tmp_path / "webp.parquet")
+    assert main(["import-geotiff", tif, webp_out, *bs,
+                 "--compression", "webp",
+                 "--streaming", "--workers", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "--workers 4 accepted" in out
+    meta = read_raquet_metadata(spark, webp_out)
+    assert meta["compression"] == "webp"
+    assert meta.get("band_layout") == "interleaved"
+    rows = read_raquet(spark, webp_out).where("block > 0").collect()
+    assert rows and "band_1_min" in rows[0].asDict()  # stats survived
+    # exactness oracle: the same tif imported with the default gzip
+    # path (identical warp) — lossless VP8L must match it byte-for-byte
+    base_out = str(tmp_path / "base.parquet")
+    assert main(["import-geotiff", tif, base_out, *bs]) == 0
+    capsys.readouterr()
+    src = {
+        r["block"]: r for r in
+        read_raquet(spark, base_out).where("block > 0").collect()
+    }
+    assert set(src) == {r["block"] for r in rows}
+    for r in rows:
+        got = decode_lossy(bytes(r["pixels"]), "webp", 1).reshape(-1)
+        want = decode_block(src[r["block"]]["band_1"], "uint8").reshape(-1)
+        np.testing.assert_array_equal(got, want)
+
+    # jpeg at q100 with blocky content is NOT asserted pixel-exact here
+    # (content is arbitrary); assert structure + stats only
+    jpg_out = str(tmp_path / "jpg.parquet")
+    assert main(["import-geotiff", tif, jpg_out, *bs,
+                 "--compression", "jpeg",
+                 "--compression-quality", "92"]) == 0
+    capsys.readouterr()
+    meta_j = read_raquet_metadata(spark, jpg_out)
+    assert meta_j["compression"] == "jpeg"
+    assert meta_j.get("compression_quality") == 92
+    jrows = read_raquet(spark, jpg_out).where("block > 0").collect()
+    assert len(jrows) == len(src)  # same warp as the base import
+    assert all(
+        decode_lossy(bytes(r["pixels"]), "jpeg", 1).size == 64 * 64
+        for r in jrows
+    )
+
+    # interleaved lossless layout keeps exact pixels too
+    il_out = str(tmp_path / "il.parquet")
+    assert main(["import-geotiff", tif, il_out, *bs,
+                 "--band-layout", "interleaved"]) == 0
+    capsys.readouterr()
+    meta_i = read_raquet_metadata(spark, il_out)
+    assert meta_i.get("band_layout") == "interleaved"
+
+    # --target-size: a small budget must split into multiple part files
+    split_out = str(tmp_path / "split.parquet")
+    assert main(["import-geotiff", tif, split_out, *bs,
+                 "--target-size", "4000"]) == 0
+    capsys.readouterr()
+    parts = [p for p in glob.glob(split_out + "/part-*.parquet")
+             if os.path.getsize(p) > 800]  # non-empty data parts
+    assert len(parts) >= 2, parts
+    # and the dataset still reads whole
+    assert read_raquet(spark, split_out).where("block > 0").count() == len(src)
