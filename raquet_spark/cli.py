@@ -648,6 +648,14 @@ def cmd_serve(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="raquet_spark", description=__doc__)
+    try:
+        from importlib.metadata import version as _pkg_version
+
+        _v = _pkg_version("raquet-spark")
+    except Exception:
+        _v = "0.11.0"  # source checkout without installed metadata
+    p.add_argument("--version", action="version",
+                   version=f"%(prog)s {_v}")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("inspect", help="print metadata + tile counts as JSON")

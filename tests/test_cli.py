@@ -460,3 +460,16 @@ def test_cli_import_geotiff_reference_flags(spark, tmp_path, capsys):
     assert len(parts) >= 2, parts
     # and the dataset still reads whole
     assert read_raquet(spark, split_out).where("block > 0").count() == len(src)
+
+
+def test_cli_version(capsys):
+    """--version prints the package version and exits 0 (reference
+    test_cli.py::test_version parity)."""
+    import pytest as _pytest
+
+    from raquet_spark.cli import main
+
+    with _pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert capsys.readouterr().out.startswith("raquet_spark 0.")
