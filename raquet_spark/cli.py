@@ -319,14 +319,42 @@ def cmd_import_earthengine(args) -> int:
     from raquet_spark.sources.raquet import write_raquet
 
     spark = _spark()
+    region = getattr(args, "region", None)
+    if region:
+        import json as _json
+        import os as _os
+
+        # GeoJSON string, or a path to a .geojson file (reference
+        # cli.py --region contract)
+        region = _json.loads(
+            open(region).read() if _os.path.exists(region) else region
+        )
     config = EarthEngineConfig(
         image_spec=args.image, gcs_bucket=args.gcs_bucket,
         output_path=args.output, bands=args.bands.split(",") if args.bands else None,
         scale=args.scale, tile_zoom=args.tile_zoom,
         block_size=args.block_size, resampling=args.resampling,
         project=args.project,
+        gcs_path=getattr(args, "gcs_path", None),
+        region=region,
+        crs=getattr(args, "crs", None) or "EPSG:4326",
+        delete_temp=not getattr(args, "keep_temp", False),
     )
-    tiles, meta = earthengine_to_raquet(spark, config)
+    tiles, meta = earthengine_to_raquet(
+        spark, config, timeout=getattr(args, "timeout", None)
+    )
+    min_zoom = getattr(args, "min_zoom", None)
+    if getattr(args, "overviews", "none") == "auto" and min_zoom is None:
+        from raquet_spark.core.metadata import find_minzoom
+
+        min_zoom = find_minzoom(
+            tuple(meta["bounds"]), meta["tiling"]["max_zoom"],
+            meta["tiling"]["block_width"],
+        )
+    if min_zoom is not None and min_zoom < meta["tiling"]["max_zoom"]:
+        from raquet_spark.operators.pyramid import build_pyramid
+
+        tiles, meta = build_pyramid(tiles, meta, min_zoom)
     write_raquet(tiles, args.output, meta)
     print(f"imported {args.image} -> {args.output}")
     return 0
@@ -771,6 +799,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--resampling", default="near",
                    choices=["near", "bilinear", "cubic"])
     s.add_argument("--project", default=None)
+    s.add_argument("--gcs-path", default=None,
+                   help="path within the bucket for the temp export "
+                        "(default: auto-generated)")
+    s.add_argument("--region", default=None,
+                   help="export region: GeoJSON string or path to a "
+                        ".geojson file")
+    s.add_argument("--crs", default=None,
+                   help="output CRS (default EPSG:4326; ignored when "
+                        "--tile-zoom pins the web-mercator grid)")
+    s.add_argument("--keep-temp", action="store_true", default=False,
+                   help="keep the temporary GCS export object")
+    s.add_argument("--timeout", type=float, default=None,
+                   help="seconds to wait for the EE export task")
+    s.add_argument("--overviews", default="none", choices=["auto", "none"])
+    s.add_argument("--min-zoom", type=int, default=None)
+    s.add_argument("--streaming", action="store_true", default=False,
+                   help="accepted for reference-CLI compatibility (no-op: "
+                        "Spark converts distributed and memory-bounded)")
     s.set_defaults(fn=cmd_import_earthengine)
 
     s = sub.add_parser("import-netcdf", help="NetCDF (.nc: classic CDF-1/2 or NetCDF-4/HDF5) → raquet, CF time preserved")

@@ -131,3 +131,43 @@ def test_earthengine_to_raquet_fake_backend(spark, tmp_path):
     assert set(src) == set(got)
     for k in src:
         np.testing.assert_array_equal(src[k], got[k])
+
+
+def test_cli_flag_mapping(monkeypatch, tmp_path, capsys):
+    """import-earthengine maps the full reference flag set (gcs-path /
+    region / crs / keep-temp / timeout / overviews) into
+    EarthEngineConfig without touching the auth-gated backend."""
+    import json
+
+    import raquet_spark.sources.earthengine as ee_mod
+    from raquet_spark.cli import main
+
+    seen = {}
+
+    def fake_run(spark, config, backend=None, poll_interval=10.0,
+                 timeout=None, progress_callback=None):
+        seen["config"] = config
+        seen["timeout"] = timeout
+        raise SystemExit(0)  # stop before write_raquet
+
+    monkeypatch.setattr(ee_mod, "earthengine_to_raquet", fake_run)
+    gj = str(tmp_path / "r.geojson")
+    open(gj, "w").write(json.dumps(
+        {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1],
+                                             [0, 0]]]}
+    ))
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["import-earthengine", "USGS/SRTMGL1_003",
+              str(tmp_path / "out.parquet"), "--gcs-bucket", "b",
+              "--gcs-path", "tmp/x.tif", "--region", gj,
+              "--crs", "EPSG:32633", "--keep-temp",
+              "--timeout", "120", "--bands", "B4,B3", "--streaming"])
+    c = seen["config"]
+    assert c.gcs_path == "tmp/x.tif"
+    assert c.region["type"] == "Polygon"
+    assert c.crs == "EPSG:32633"
+    assert c.delete_temp is False
+    assert c.bands == ["B4", "B3"]
+    assert seen["timeout"] == 120.0
