@@ -532,7 +532,11 @@ def cmd_split_zoom(args) -> int:
 
     spark = _spark()
     meta = read_raquet_metadata(spark, args.file)
-    split_zoom(read_raquet(spark, args.file), args.output, meta)
+    rg = getattr(args, "row_group_mb", None)
+    split_zoom(
+        read_raquet(spark, args.file), args.output, meta,
+        target_row_group_bytes=rg * 1024 * 1024 if rg else None,
+    )
     print(f"split {args.file} by zoom into {args.output}")
     return 0
 
@@ -890,6 +894,10 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("split-zoom", help="one directory per zoom level")
     s.add_argument("file")
     s.add_argument("output")
+    s.add_argument("--row-group-mb", type=int, default=None,
+                   help="parquet row-group size in MB (smaller = better "
+                        "remote pruning; the reference --row-group-size "
+                        "role)")
     s.set_defaults(fn=cmd_split_zoom)
 
     s = sub.add_parser("dem", help="slope/aspect/hillshade or focal stats -> raquet")

@@ -241,9 +241,18 @@ def write_raquet_partitioned(
     )
 
 
-def split_zoom(df: DataFrame, path: str, metadata: dict, mode: str = "overwrite") -> None:
+def split_zoom(
+    df: DataFrame,
+    path: str,
+    metadata: dict,
+    mode: str = "overwrite",
+    target_row_group_bytes: int | None = None,
+) -> None:
     """Write one partition directory per zoom level (reference CLI
-    ``split-zoom``, /root/reference/raquet/cli.py:942)."""
+    ``split-zoom``, /root/reference/raquet/cli.py:942). The reference's
+    ``--row-group-size`` (rows per group, for remote pruning) maps to a
+    byte budget here — Spark's parquet writer sizes row groups by
+    bytes (``parquet.block.size``), not rows."""
     out = ensure_metadata_column(df).withColumn(
         "zoom", F.expr(qb.cell_to_zoom_sql("block", "spark"))
     )
@@ -257,13 +266,17 @@ def split_zoom(df: DataFrame, path: str, metadata: dict, mode: str = "overwrite"
         meta_df = row if meta_df is None else meta_df.unionByName(row)
     if meta_df is not None:
         out = out.unionByName(meta_df)
-    (
+    writer = (
         out.repartition("zoom")
         .sortWithinPartitions("block")
         .write.mode(mode)
         .partitionBy("zoom")
-        .parquet(path)
     )
+    if target_row_group_bytes:
+        writer = writer.option(
+            "parquet.block.size", str(target_row_group_bytes)
+        )
+    writer.parquet(path)
 
 
 def filter_blocks_bbox(
