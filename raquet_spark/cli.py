@@ -273,6 +273,10 @@ def cmd_import_geotiff(args) -> int:
     if lossy or layout == "interleaved":
         from raquet_spark.operators.layout import to_interleaved
 
+        # the interleave consumes `tiles` twice (pixel re-encode + the
+        # stats-column re-join): persist so the import pipeline's
+        # decode/warp/encode map work runs once, not per consumer
+        tiles = tiles.persist()
         meta_l = dict(meta)
         if lossy:
             meta_l["compression_quality"] = int(
@@ -325,10 +329,18 @@ def cmd_import_earthengine(args) -> int:
         import os as _os
 
         # GeoJSON string, or a path to a .geojson file (reference
-        # cli.py --region contract)
-        region = _json.loads(
-            open(region).read() if _os.path.exists(region) else region
-        )
+        # cli.py --region contract). Anything that does not look like
+        # inline JSON is treated as a PATH so a typo'd filename raises
+        # FileNotFoundError naming it, not an opaque JSONDecodeError.
+        if region.lstrip().startswith(("{", "[")):
+            region = _json.loads(region)
+        else:
+            if not _os.path.exists(region):
+                raise FileNotFoundError(
+                    f"--region file not found: {region}"
+                )
+            with open(region) as fh:
+                region = _json.load(fh)
     config = EarthEngineConfig(
         image_spec=args.image, gcs_bucket=args.gcs_bucket,
         output_path=args.output, bands=args.bands.split(",") if args.bands else None,
@@ -354,7 +366,10 @@ def cmd_import_earthengine(args) -> int:
     if min_zoom is not None and min_zoom < meta["tiling"]["max_zoom"]:
         from raquet_spark.operators.pyramid import build_pyramid
 
-        tiles, meta = build_pyramid(tiles, meta, min_zoom)
+        tiles, meta = build_pyramid(
+            tiles, meta, min_zoom,
+            resampling=getattr(args, "overview_resampling", "average"),
+        )
     write_raquet(tiles, args.output, meta)
     print(f"imported {args.image} -> {args.output}")
     return 0
@@ -685,7 +700,20 @@ def main(argv: list[str] | None = None) -> int:
 
         _v = _pkg_version("raquet-spark")
     except Exception:
-        _v = "0.11.0"  # source checkout without installed metadata
+        # source checkout without installed metadata: single source of
+        # truth is pyproject.toml
+        import pathlib
+        import re
+
+        try:
+            _v = re.search(
+                r'^version = "([^"]+)"',
+                (pathlib.Path(__file__).resolve().parent.parent
+                 / "pyproject.toml").read_text(),
+                re.M,
+            ).group(1)
+        except Exception:
+            _v = "unknown"
     p.add_argument("--version", action="version",
                    version=f"%(prog)s {_v}")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -818,6 +846,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="seconds to wait for the EE export task")
     s.add_argument("--overviews", default="none", choices=["auto", "none"])
     s.add_argument("--min-zoom", type=int, default=None)
+    s.add_argument("--overview-resampling", default="average",
+                   help="overview build kernel (average/mode/...; "
+                        "--resampling stays the WARP kernel, matching "
+                        "import-geotiff's --resampling/--warp-resampling "
+                        "split)")
     s.add_argument("--streaming", action="store_true", default=False,
                    help="accepted for reference-CLI compatibility (no-op: "
                         "Spark converts distributed and memory-bounded)")

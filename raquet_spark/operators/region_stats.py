@@ -189,7 +189,11 @@ def zonal_stats(
         z = resolve_resolution(resolution, metadata, (west, south, east, north))
         cells = qb_fns.py_bbox_to_cells(west, south, east, north, z)
         all_cells.update(cells)
-        rows.extend((zone_id, c) for c in cells)
+        # normalize ids to string up front so the literal and the
+        # createDataFrame fallback paths emit the SAME column type (a
+        # non-str id would otherwise work under the 1024-cell literal
+        # cutoff and crash on the typed-schema parallelize above it)
+        rows.extend((str(zone_id), c) for c in cells)
     # the (zone, block) map is driver-known and usually tiny (bbox
     # covers at the query zoom): inline it as a literal explode — one
     # fewer scheduled job per query, and the broadcast build reads a
