@@ -83,6 +83,43 @@ def test_minhash_identical_texts_collide(spark, docs):
     assert [s1[f"m{i}"] for i in range(8)] == [s2[f"m{i}"] for i in range(8)]
 
 
+def test_minhash_xxhash64_production_hash(spark, docs):
+    """The 100 TB hash option (r14): hash_fn='xxhash64' swaps the
+    oracle-pinned md5 base hash for the JVM-native one. Different hash
+    = a different (equally valid) random permutation family, so the
+    candidate SET may differ — the pin is LSH behavior: identical
+    texts always collide, planted near-identical twins are found, and
+    the plan stays UDF-free."""
+    from pyspark.sql import functions as FF
+
+    # identical text under a different id -> signature identical
+    a = docs.limit(1).select(FF.lit(1).alias("doc_id"), "text")
+    b = docs.limit(1).select(FF.lit(2).alias("doc_id"), "text")
+    two = minhash_signatures(a.union(b), hash_fn="xxhash64").collect()
+    s1 = [r for r in two if r["doc_id"] == 1][0]
+    s2 = [r for r in two if r["doc_id"] == 2][0]
+    assert [s1[f"m{i}"] for i in range(8)] == [s2[f"m{i}"] for i in range(8)]
+
+    # planted exact copies of every 7th doc are all recovered as pairs
+    copies = docs.where("doc_id % 7 = 0").withColumn(
+        "doc_id", FF.col("doc_id") + FF.lit(10_000_000)
+    )
+    pairs = minhash_dedup_pairs(
+        docs.unionByName(copies), hash_fn="xxhash64"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {
+        (r["doc_id"], r["doc_id"] + 10_000_000)
+        for r in docs.where("doc_id % 7 = 0").select("doc_id").collect()
+    }
+    assert want <= got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(docs, hash_fn="sha1")
+
+
 def test_ngram_and_embedding_pairs(spark, docs):
     nj = ngram_jaccard_pairs(docs, bucket_col="source", threshold=0.2)
     assert nj.count() > 0
