@@ -149,6 +149,23 @@ def cmd_fetch(args) -> int:
     from raquet_spark.sources.raquet import write_raquet
 
     spark = _spark()
+    comp = None if getattr(args, "no_compression", False) else "gzip"
+    if args.service == "imageserver" and (args.bbox is None or args.zoom is None):
+        # reference convert-imageserver default: everything negotiated
+        # from the service JSON (CRS, extent, dtype, nodata, zoom)
+        from raquet_spark.sources.remote import imageserver_to_raquet
+
+        tiles, meta = imageserver_to_raquet(
+            spark, args.url, block_size=args.block_size, zoom=args.zoom,
+            token=args.token, compression=comp,
+            requests_per_second=args.rps,
+        )
+        write_raquet(tiles, args.output, meta)
+        print(f"fetched {args.url} -> {args.output}")
+        return 0
+    if args.bbox is None or args.zoom is None:
+        print("ERROR: --bbox and --zoom are required for xyz fetches")
+        return 1
     bounds = tuple(float(v) for v in args.bbox.split(","))
     meta = build_metadata(
         bands=[BandMeta(name=f"band_{i + 1}", type=args.dtype, nodata=args.nodata)
@@ -167,7 +184,7 @@ def cmd_fetch(args) -> int:
     cells = cells_for_bounds(spark, bounds, args.zoom)
     tiles = fetch_tiles(
         cells, meta, builder, decoder=decoder,
-        requests_per_second=args.rps,
+        requests_per_second=args.rps, compression=comp,
     )
     write_raquet(tiles, args.output, meta)
     print(f"fetched {args.url} -> {args.output}")
@@ -758,8 +775,17 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("fetch", help="remote tiles (xyz/imageserver) → raquet")
     s.add_argument("url", help="{z}/{x}/{y} template or ImageServer base URL")
     s.add_argument("output")
-    s.add_argument("--bbox", required=True, help="west,south,east,north (WGS84)")
-    s.add_argument("--zoom", type=int, required=True)
+    s.add_argument("--bbox", default=None,
+                   help="west,south,east,north (WGS84); optional for "
+                        "imageserver (defaults to the negotiated "
+                        "service extent), required for xyz")
+    s.add_argument("--zoom", type=int, default=None,
+                   help="tile zoom; optional for imageserver (auto "
+                        "from native resolution — the reference "
+                        "--resolution role), required for xyz")
+    s.add_argument("--no-compression", action="store_true", default=False,
+                   help="store blocks uncompressed (reference "
+                        "--no-compression)")
     s.add_argument("--service", choices=["xyz", "imageserver"], default="xyz")
     s.add_argument("--block-size", type=int, default=256)
     s.add_argument("--bands", type=int, default=1)

@@ -335,3 +335,62 @@ def test_imageserver_metadata_negotiation(spark):
     np.testing.assert_array_equal(got, want.astype("f8"))
     # negotiated stats came along
     assert rows[cell]["band_1_count"] == bs * bs
+
+
+def test_cli_fetch_imageserver_negotiated(monkeypatch, spark, tmp_path, capsys):
+    """`fetch --service imageserver` with NO --bbox/--zoom negotiates
+    everything from the service JSON (the reference convert-imageserver
+    default, r14) and decodes the service's TIFF responses with the
+    default decoder; --no-compression stores raw blocks."""
+    import raquet_spark.sources.remote as remote
+    from raquet_spark.cli import main
+    from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
+
+    raw_t = _fake_imageserver(bs=16, zoom=6)
+
+    def t(url, params):
+        # minimal little-endian classic TIFF (one float32 band, one
+        # uncompressed strip) — what format=tiff emits and what the
+        # CLI's default tiff_decoder parses; built inline so the
+        # closure ships to executors self-contained
+        import struct
+
+        out = raw_t(url, params)
+        if params.get("f") == "json":
+            return out
+        data = np.frombuffer(out, dtype="<f4").astype("<f4").tobytes()
+        h = w = 16
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 32),
+            (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 0),
+            (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(data)),
+            (339, 3, 1, 3),
+        ]
+        data_off = 8 + 2 + 12 * len(entries) + 4
+        buf = struct.pack("<2sHI", b"II", 42, 8)
+        buf += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            buf += struct.pack("<HHII", tag, typ, cnt, val)
+        buf += struct.pack("<I", 0)
+        return buf + data
+
+    monkeypatch.setattr(remote, "http_transport", lambda timeout=30.0: t)
+    out = str(tmp_path / "neg.parquet")
+    assert main(["fetch", "https://example/ImageServer", out,
+                 "--service", "imageserver", "--block-size", "16",
+                 "--no-compression"]) == 0
+    capsys.readouterr()
+    meta = read_raquet_metadata(spark, out)
+    assert meta["compression"] is None
+    assert meta["bands"][0]["type"] == "float32"
+    rows = read_raquet(spark, out).collect()
+    assert len(rows) == 4  # the fake service's 2x2 extent
+    # raw (uncompressed) block: exactly bs*bs float32 bytes
+    assert len(bytes(rows[0]["band_1"])) == 16 * 16 * 4
+
+    # xyz without --bbox/--zoom is an error, not a crash
+    assert main(["fetch", "fake://{z}/{x}/{y}",
+                 str(tmp_path / "x.parquet")]) == 1
+    assert "required for xyz" in capsys.readouterr().out
