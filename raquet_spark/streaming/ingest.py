@@ -180,6 +180,7 @@ def minhash_dedup_process_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     rows_per_band: int = 2,
+    hash_fn: str = "md5",
 ) -> None:
     """One micro-batch of :func:`streaming_minhash_dedup`, IDEMPOTENT
     per ``batch_id`` — foreachBatch is at-least-once, so a batch
@@ -198,7 +199,7 @@ def minhash_dedup_process_batch(
     from raquet_spark.operators.dedup import banded_signatures, minhash_signatures
 
     spark = batch_df.sparkSession
-    sigs = minhash_signatures(batch_df, text_col, id_col)
+    sigs = minhash_signatures(batch_df, text_col, id_col, hash_fn=hash_fn)
     banded = banded_signatures(sigs, id_col, rows_per_band).persist()
     try:
         a, b = banded.alias("a"), banded.alias("b")
@@ -408,6 +409,7 @@ def streaming_minhash_dedup(
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     available_now: bool = True,
+    hash_fn: str = "md5",
 ):
     """NEAR-duplicate dedup on a document STREAM (extends F4, which is
     exact-only): each micro-batch computes MinHash signatures, splits
@@ -434,12 +436,19 @@ def streaming_minhash_dedup(
 
     Replay safety (pytest-pinned): foreachBatch is AT-LEAST-ONCE, so
     every batch's writes are idempotent — see
-    :func:`minhash_dedup_process_batch`."""
+    :func:`minhash_dedup_process_batch`.
+
+    ``hash_fn`` mirrors the batch operator's option (md5 default,
+    xxhash64 production). The hash is BAKED INTO the persisted band
+    keys: pick one per index directory and keep it for the index's
+    lifetime — probing an md5-built index with xxhash64 signatures
+    silently finds nothing."""
 
     def process(batch_df, batch_id):
         minhash_dedup_process_batch(
             batch_df, batch_id, index_dir, pairs_dir,
             text_col=text_col, id_col=id_col, rows_per_band=rows_per_band,
+            hash_fn=hash_fn,
         )
 
     writer = (
