@@ -155,9 +155,13 @@ def cmd_fetch(args) -> int:
         # from the service JSON (CRS, extent, dtype, nodata, zoom)
         from raquet_spark.sources.remote import imageserver_to_raquet
 
+        user_bounds = (
+            tuple(float(v) for v in args.bbox.split(","))
+            if args.bbox is not None else None
+        )
         tiles, meta = imageserver_to_raquet(
             spark, args.url, block_size=args.block_size, zoom=args.zoom,
-            token=args.token, compression=comp,
+            token=args.token, compression=comp, bounds=user_bounds,
             requests_per_second=args.rps,
         )
         write_raquet(tiles, args.output, meta)
@@ -174,6 +178,7 @@ def cmd_fetch(args) -> int:
         width=0, height=0,
         block_width=args.block_size, block_height=args.block_size,
         min_zoom=args.zoom, max_zoom=args.zoom,
+        compression=comp,
     )
     if args.service == "imageserver":
         builder = imageserver_request(args.url, args.block_size, token=args.token)
@@ -287,13 +292,15 @@ def cmd_import_geotiff(args) -> int:
         tiles, meta = build_pyramid(
             tiles, meta, min_zoom, resampling=args.resampling
         )
+    persisted = None
     if lossy or layout == "interleaved":
         from raquet_spark.operators.layout import to_interleaved
 
         # the interleave consumes `tiles` twice (pixel re-encode + the
         # stats-column re-join): persist so the import pipeline's
-        # decode/warp/encode map work runs once, not per consumer
-        tiles = tiles.persist()
+        # decode/warp/encode map work runs once, not per consumer;
+        # released after write_raquet materializes (ADVICE r14)
+        tiles = persisted = tiles.persist()
         meta_l = dict(meta)
         if lossy:
             meta_l["compression_quality"] = int(
@@ -317,11 +324,15 @@ def cmd_import_geotiff(args) -> int:
             if extra else inter
         )
     rg = getattr(args, "row_group_mb", None)
-    write_raquet(
-        tiles, args.output, meta,
-        target_row_group_bytes=rg * 1024 * 1024 if rg else None,
-        target_file_bytes=getattr(args, "target_size", None),
-    )
+    try:
+        write_raquet(
+            tiles, args.output, meta,
+            target_row_group_bytes=rg * 1024 * 1024 if rg else None,
+            target_file_bytes=getattr(args, "target_size", None),
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     print(
         f"imported {args.input} -> {args.output} "
         f"(z{meta['tiling']['max_zoom']}, {len(meta['bands'])} band(s))"

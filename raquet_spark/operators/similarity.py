@@ -352,9 +352,22 @@ def ann_lsh(
 
             oversized = oversized.persist(StorageLevel.MEMORY_AND_DISK)
             if oversized.count() > OVERSIZED_BC_SAFE_ROWS:
+                # release the cache now rather than leak it for the
+                # session lifetime (ADVICE r14): the downstream join
+                # recomputes from lineage — the seeded sample pass is
+                # deterministic and costs a few % of the main scan
                 over_side = oversized.hint("shuffle_hash")
+                oversized.unpersist()
             else:
-                over_side = F.broadcast(oversized)
+                # ≤ safe rows: pin the counted rows driver-side (the
+                # broadcast build would collect them anyway) so the
+                # executor cache can be released immediately instead of
+                # leaking until session end (ADVICE r14)
+                local = oversized.toArrow()
+                oversized.unpersist()
+                over_side = F.broadcast(
+                    oversized.sparkSession.createDataFrame(local)
+                )
         else:
             over_side = F.broadcast(oversized)
         cb = (

@@ -134,8 +134,19 @@ def write_raquet(
     estimated from a bounded 64-row sample of the binary columns, so
     the split is approximate — parts track the budget, they are not
     capped at it (same contract as the reference's greedy splitter).
+    The estimate measures in-memory block bytes and ignores parquet
+    encoding/compression, so on compressible data parts land BELOW the
+    budget (never above it) by roughly the parquet compression ratio.
     """
     spark = df.sparkSession
+    persisted = None
+    if target_file_bytes:
+        # cache before the count so the 64-row sizing sample and the
+        # final write reuse the materialized pipeline instead of
+        # re-running the upstream decode/warp/encode per consumer
+        # (ADVICE r14: the limit(64) job re-executed the full import
+        # pipeline on the non-interleaved path)
+        persisted = df = df.persist()
     num_blocks = df.count()
     metadata = dict(metadata)
     metadata["tiling"] = dict(metadata.get("tiling", {}), num_blocks=num_blocks)
@@ -164,7 +175,11 @@ def write_raquet(
     writer = out.write.mode(mode)
     if target_row_group_bytes:
         writer = writer.option("parquet.block.size", str(target_row_group_bytes))
-    writer.parquet(path)
+    try:
+        writer.parquet(path)
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def _metadata_row(spark: SparkSession, df: DataFrame, metadata: dict) -> DataFrame:

@@ -224,13 +224,17 @@ def imageserver_to_raquet(
     transport: Callable[[str, dict], bytes] | None = None,
     compression: str | None = "gzip",
     stats: bool = True,
+    bounds: tuple[float, float, float, float] | None = None,
     **fetch_kwargs,
 ) -> tuple[DataFrame, dict]:
     """ImageServer → RaQuet with metadata negotiation: one service-JSON
     request derives CRS, extent, dtype, nodata and the target zoom; the
     covering cells become the distributed fetch queue. Parity:
     reference ``convert_imageserver_to_raquet`` (imageserver.py:438+,
-    cli.py) — but the tile loop is the executors', not one node's."""
+    cli.py) — but the tile loop is the executors', not one node's.
+    ``bounds`` (WGS84 west,south,east,north) restricts the fetch to the
+    intersection with the negotiated service extent, matching the
+    reference's optional bbox filter alongside negotiation."""
     from raquet_spark.core.metadata import BandMeta, build_metadata
 
     svc = get_imageserver_metadata(service_url, transport=transport, token=token)
@@ -242,6 +246,23 @@ def imageserver_to_raquet(
 
     def lat(y: float) -> float:
         return math.degrees(2.0 * math.atan(math.exp(y / _EARTH_R)) - math.pi / 2)
+
+    if bounds is not None:
+        bw, bs, be, bn = (float(v) for v in bounds)
+
+        def mx(v: float) -> float:
+            return v / 180.0 * _ORIGIN_SHIFT
+
+        def my(v: float) -> float:
+            v = min(max(v, -85.051128779806), 85.051128779806)
+            return _EARTH_R * math.log(math.tan(math.pi / 4 + math.radians(v) / 2))
+
+        xmin, ymin = max(xmin, mx(bw)), max(ymin, my(bs))
+        xmax, ymax = min(xmax, mx(be)), min(ymax, my(bn))
+        if xmin >= xmax or ymin >= ymax:
+            raise ValueError(
+                f"bbox {bounds} does not intersect the service extent"
+            )
 
     wgs = (lon(xmin), lat(ymin), lon(xmax), lat(ymax))
     cells = cells_for_bounds(spark, wgs, z)

@@ -394,3 +394,73 @@ def test_cli_fetch_imageserver_negotiated(monkeypatch, spark, tmp_path, capsys):
     assert main(["fetch", "fake://{z}/{x}/{y}",
                  str(tmp_path / "x.parquet")]) == 1
     assert "required for xyz" in capsys.readouterr().out
+
+
+def test_imageserver_bbox_filter(spark):
+    """--bbox WITHOUT --zoom on the imageserver path restricts the
+    negotiated fetch to the intersection with the service extent
+    (ADVICE r14 — previously the bbox was silently ignored and the
+    full extent fetched): a bbox interior to one tile of the fake
+    2x2 service fetches exactly that tile, and a disjoint bbox is a
+    named error, not a silent widening."""
+    import math
+
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.sources.remote import imageserver_to_raquet, raw_decoder
+
+    bs, zoom = 16, 6
+    t = _fake_imageserver(bs=bs, zoom=zoom)
+    O = math.pi * 6378137.0
+    tile_m = 2 * O / (1 << zoom)
+    cx = -O + 16.5 * tile_m  # center of tile (16, 20)
+    cy = O - 20.5 * tile_m
+
+    def lon(x):
+        return x / O * 180.0
+
+    def lat(y):
+        return math.degrees(2 * math.atan(math.exp(y / 6378137.0)) - math.pi / 2)
+
+    bounds = (lon(cx - 0.1 * tile_m), lat(cy - 0.1 * tile_m),
+              lon(cx + 0.1 * tile_m), lat(cy + 0.1 * tile_m))
+    tiles, meta = imageserver_to_raquet(
+        spark, "fake://svc/ImageServer", block_size=bs, transport=t,
+        decoder=raw_decoder("float32", 1, bs), retry_delay=0.0,
+        compression=None, bounds=bounds,
+    )
+    rows = tiles.collect()
+    assert len(rows) == 1
+    assert rows[0]["block"] == qb.py_tile_to_cell(16, 20, zoom)
+    # the recorded extent shrinks to the covered tile, not the service
+    assert meta["width"] == bs and meta["height"] == bs
+
+    with pytest.raises(ValueError, match="does not intersect"):
+        imageserver_to_raquet(
+            spark, "fake://svc/ImageServer", block_size=bs, transport=t,
+            decoder=raw_decoder("float32", 1, bs), retry_delay=0.0,
+            compression=None, bounds=(10.0, 10.0, 11.0, 11.0),
+        )
+
+
+def test_cli_fetch_xyz_no_compression_metadata(monkeypatch, spark, tmp_path, capsys):
+    """On the manual xyz path, --no-compression must be recorded in the
+    written metadata (ADVICE r14: blocks were stored raw while the
+    metadata claimed gzip, so spec-conformant readers misdecoded)."""
+    import raquet_spark.sources.remote as remote
+    from raquet_spark.cli import main
+    from raquet_spark.sources.raquet import read_raquet, read_raquet_metadata
+
+    t = _make_fake_transport()
+    monkeypatch.setattr(remote, "http_transport", lambda timeout=30.0: t)
+    out = str(tmp_path / "xyz_raw.parquet")
+    assert main(["fetch", "fake://{z}/{x}/{y}", out,
+                 "--bbox=-130,20,-60,55", "--zoom", str(ZOOM),
+                 "--block-size", str(SIZE), "--no-compression"]) == 0
+    capsys.readouterr()
+    meta = read_raquet_metadata(spark, out)
+    assert meta["compression"] is None
+    rows = read_raquet(spark, out).limit(1).collect()
+    # raw block: exactly SIZE*SIZE float32 bytes, no gzip header
+    blk = bytes(rows[0]["band_1"])
+    assert len(blk) == SIZE * SIZE * 4
+    assert blk[:2] != b"\x1f\x8b"
