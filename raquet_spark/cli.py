@@ -639,7 +639,9 @@ def cmd_dedup(args) -> int:
     elif args.method == "substring":
         from raquet_spark.operators.textops import substring_dedup_prune
 
-        out = substring_dedup_prune(df, window=args.window).select(
+        out = substring_dedup_prune(
+            df, window=args.window, auto_width=True
+        ).select(
             "doc_id", F.col("clean_text").alias("text")
         ).where(F.length("text") > 0)
     else:  # minhash
@@ -648,7 +650,11 @@ def cmd_dedup(args) -> int:
             minhash_dedup_pairs,
         )
 
-        out = keep_cluster_min(df, minhash_dedup_pairs(df))
+        # auto_width: the CLI is the production funnel — size the LSH
+        # shuffles from the corpus itself (n_in is already counted)
+        out = keep_cluster_min(
+            df, minhash_dedup_pairs(df, auto_width=True, n_docs=n_in)
+        )
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
     print(f"dedup[{args.method}]: {n_in} -> {n_out} docs ({args.output})")

@@ -473,6 +473,36 @@ def py_cell_to_tile(cell: int) -> tuple[int, int, int]:
     return (_py_squash(ix) >> (32 - z), _py_squash(iy) >> (32 - z), z)
 
 
+def np_cells_to_tiles(cells):
+    """Vectorized :func:`py_cell_to_tile` over a numpy array of cells —
+    one pass of uint64 bit ops for a whole Arrow batch instead of a
+    per-row Python call (the region_stats_polygon classify hot path).
+    Returns ``(tx, ty, z)`` int64 arrays."""
+    import numpy as np
+
+    c = np.asarray(cells).astype(np.uint64)
+    z = (c >> np.uint64(52)) & np.uint64(0x1F)
+    footer = c & np.uint64(FOOTER_MAX)
+    ix = (
+        (footer & np.uint64(0x7FFFFFFFFFFFF)) << np.uint64(12)
+    ) & np.uint64(_M1)
+    iy = (footer << np.uint64(11)) & np.uint64(_M1)
+
+    def squash(v):
+        v = v & np.uint64(_M1)
+        v = (v | (v >> np.uint64(1))) & np.uint64(_M2)
+        v = (v | (v >> np.uint64(2))) & np.uint64(_M4)
+        v = (v | (v >> np.uint64(4))) & np.uint64(_M8)
+        v = (v | (v >> np.uint64(8))) & np.uint64(_M16)
+        v = (v | (v >> np.uint64(16))) & np.uint64(_M32)
+        return v
+
+    shift = np.uint64(32) - z
+    tx = (squash(ix) >> shift).astype(np.int64)
+    ty = (squash(iy) >> shift).astype(np.int64)
+    return tx, ty, z.astype(np.int64)
+
+
 def py_cell_to_zoom(cell: int) -> int:
     return (cell >> 52) & 0x1F
 

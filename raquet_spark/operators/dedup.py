@@ -121,10 +121,43 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    auto_width: bool = False,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    return lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col, hash_fn=hash_fn), id_col
+    """LSH candidate pairs over MinHash signatures.
+
+    ``auto_width=True`` is the large-corpus path: the shuffled volumes
+    here are known in closed form (the signature agg carries ~one row
+    per token, the band self-join one row per doc×band), so the
+    operator derives its own shuffle width from a doc count plus a
+    bounded token-length sample instead of relying on the caller
+    exporting SPARK_GRAFT_SHUFFLE_PARTITIONS (SCALE_PROBE_r14). The
+    widened result is materialized (localCheckpoint) inside the scope —
+    callers that need a lazy composable plan keep the default."""
+    sigs = minhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
+    if not auto_width:
+        return lsh_candidate_pairs(sigs, id_col)
+    from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
+
+    spark = df.sparkSession
+    if n_docs is None:
+        n_docs = df.count()
+    avg_toks = (
+        df.select(
+            F.expr(
+                f"size(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0))"
+            ).alias("n")
+        )
+        .limit(2048)
+        .agg(F.avg("n"))
+        .first()[0]
+        or 0.0
     )
+    n_bands = len(MINHASH_PARAMS) // 2
+    est_rows = max(int(n_docs * float(avg_toks)), n_docs * n_bands)
+    width = derive_shuffle_width(spark, est_rows)
+    with scoped_shuffle_width(spark, width):
+        return lsh_candidate_pairs(sigs, id_col).localCheckpoint(eager=True)
 
 
 def simhash_signatures(
@@ -232,6 +265,8 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    auto_width: bool = True,
+    target_rows_per_task: int | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs: (node, component) where component
     is the minimum node id reachable through the pair graph.
@@ -247,10 +282,26 @@ def connected_components(
     so this typically converges in one working round plus one
     verification round; the early-exit check stops as soon as a round
     changes nothing.
+
+    ``auto_width``: every round's joins/aggs shuffle edge volume, and
+    AQE never RAISES the initial shuffle width — SCALE_PROBE_r14
+    demonstrated the default 32-wide session OOMing at 1.3e8 edges.
+    The operator already materializes the edge list, so it sizes its
+    own shuffle from the measured edge count
+    (:func:`raquet_spark.session.derive_shuffle_width`) instead of
+    relying on the caller exporting SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    Every job in here materializes inside the widened scope, so the
+    session default is restored before control returns.
     """
+    from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
+
     # both orientations from ONE pass over the (possibly expensive) edge
-    # plan — a union of two selects would execute that plan twice
-    e = (
+    # plan — a union of two selects would execute that plan twice. The
+    # checkpoint lands BEFORE the distinct so the edge count that sizes
+    # the shuffle width is measurable without an extra pass, and the
+    # distinct itself (the first edge-volume shuffle) already runs at
+    # the derived width.
+    raw = (
         edges.select(
             F.explode(
                 F.array(
@@ -260,52 +311,64 @@ def connected_components(
             ).alias("p")
         )
         .select("p.a", "p.b")
-        .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            e.join(labels, e["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
+    spark = edges.sparkSession
+    if auto_width:
+        kw = {}
+        if target_rows_per_task is not None:
+            kw["target_rows_per_task"] = target_rows_per_task
+        width = derive_shuffle_width(spark, raw.count(), **kw)
+    else:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with scoped_shuffle_width(spark, width):
+        e = raw.distinct().localCheckpoint(eager=True)
+        labels = (
+            e.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=False)
         )
-        stepped = labels.join(nbr_min, labels["node"] == nbr_min["a"], "left").select(
-            "node",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("nbr_component"), F.col("component")),
-            ).alias("c1"),
-            F.col("component").alias("c0"),
-        )
-        # pointer jump: a node's new label is itself a node — adopt that
-        # node's label too, halving the remaining hop distance. One pass
-        # carries a changed flag, so the convergence check is a count on
-        # the checkpointed result — no extra join against old labels.
-        hop = stepped.select(F.col("node").alias("p"), F.col("c1").alias("pc"))
-        jumped = (
-            stepped.join(hop, stepped["c1"] == hop["p"], "left")
-            .select(
-                "node",
-                F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1"))).alias(
-                    "component"
-                ),
-                (
-                    F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1")))
-                    < F.col("c0")
-                ).alias("_changed"),
+        for _ in range(max_iter):
+            nbr_min = (
+                e.join(labels, e["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = jumped.where("_changed").limit(1).count()
-        labels = jumped.drop("_changed")
-        if changed == 0:
-            break
+            stepped = labels.join(
+                nbr_min, labels["node"] == nbr_min["a"], "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("c1"),
+                F.col("component").alias("c0"),
+            )
+            # pointer jump: a node's new label is itself a node — adopt
+            # that node's label too, halving the remaining hop distance.
+            # One pass carries a changed flag, so the convergence check
+            # is a count on the checkpointed result — no extra join
+            # against old labels.
+            hop = stepped.select(F.col("node").alias("p"), F.col("c1").alias("pc"))
+            jumped = (
+                stepped.join(hop, stepped["c1"] == hop["p"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("c1"), F.coalesce(F.col("pc"), F.col("c1"))
+                    ).alias("component"),
+                    (
+                        F.least(F.col("c1"), F.coalesce(F.col("pc"), F.col("c1")))
+                        < F.col("c0")
+                    ).alias("_changed"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = jumped.where("_changed").limit(1).count()
+            labels = jumped.drop("_changed")
+            if changed == 0:
+                break
     return labels
 
 

@@ -90,7 +90,7 @@ def region_stats_polygon(
     from raquet_spark.core.metadata import parse_nodata
     from raquet_spark.functions import geom
     from raquet_spark.functions.bands import decode_block
-    from raquet_spark.functions.quadbin import py_cell_to_tile
+    from raquet_spark.functions.quadbin import np_cells_to_tiles
     from raquet_spark.operators.tile_stats import tile_stats_arrays
     from raquet_spark.session import ensure_package_shipped
 
@@ -115,41 +115,70 @@ def region_stats_polygon(
         next(b.get("nodata") for b in metadata["bands"] if b["name"] == band)
     )
 
+    vx_arr = np.array([v[0] for v in verts])
+    vy_arr = np.array([v[1] for v in verts])
+
     def classify_and_mask(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {s: [] for s in stat_names}
-            for i, (blob, block) in enumerate(zip(pdf[band], pdf["block"])):
-                txv, tyv, _ = py_cell_to_tile(int(block))
-                cx = [(txv + dx) / m for dx in (0.0, 1.0)]
-                cy = [(tyv + dy) / m for dy in (0.0, 1.0)]
-                corners = geom.point_in_poly_np(
-                    np.array([cx[0], cx[0], cx[1], cx[1]]),
-                    np.array([cy[0], cy[1], cy[0], cy[1]]),
-                    verts,
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {f"{band}_{s}": pd.Series(dtype="float64")
+                     for s in stat_names}
                 )
-                vert_in_tile = any(
-                    cx[0] <= vx <= cx[1] and cy[0] <= vy <= cy[1]
-                    for vx, vy in verts
-                )
-                st = None
-                if corners.all() and not vert_in_tile:
-                    # interior: stats columns verbatim, no decode
-                    st = {s: pdf[f"{band}_{s}"].iloc[i] for s in stat_names}
-                    if pd.isna(st["count"]):
-                        st = None
-                elif blob is not None:
-                    vals = decode_block(blob, btype).reshape(bs, bs)
-                    gx = np.arange(txv * bs, (txv + 1) * bs, dtype=np.float64)
-                    gy = np.arange(tyv * bs, (tyv + 1) * bs, dtype=np.float64)
-                    px, py = np.meshgrid((gx + 0.5) / n_px, (gy + 0.5) / n_px)
-                    mask = geom.point_in_poly_np(px, py, verts)
-                    if mask.any():
-                        st = tile_stats_arrays(vals[mask], nodata)
-                for s in stat_names:
-                    rows[s].append(None if st is None else st[s])
-            out = pd.DataFrame({f"{band}_{s}": rows[s] for s in stat_names})
-            out[f"{band}_count"] = out[f"{band}_count"].astype("Int64")
-            yield out
+                continue
+            # classify the WHOLE batch in one vectorized pass (r15:
+            # the per-tile corner loop was the line's measured floor):
+            # Morton-decode every block at once, then ONE
+            # point_in_poly_np call over all 4N tile corners
+            tx, ty, _ = np_cells_to_tiles(
+                pdf["block"].to_numpy(dtype=np.int64)
+            )
+            x0, x1 = tx / m, (tx + 1) / m
+            y0, y1 = ty / m, (ty + 1) / m
+            corners_in = geom.point_in_poly_np(
+                np.stack([x0, x0, x1, x1]),
+                np.stack([y0, y1, y0, y1]),
+                verts,
+            ).all(axis=0)
+            vert_in_tile = (
+                (x0[:, None] <= vx_arr) & (vx_arr <= x1[:, None])
+                & (y0[:, None] <= vy_arr) & (vy_arr <= y1[:, None])
+            ).any(axis=1)
+            interior = corners_in & ~vert_in_tile
+
+            out = {s: np.full(n, np.nan) for s in stat_names}
+            # interior tiles: stats columns verbatim, no decode; a tile
+            # with no write-time stats (NaN count) stays an all-null row
+            stats_np = {
+                s: pdf[f"{band}_{s}"].to_numpy(dtype="float64",
+                                               na_value=np.nan)
+                for s in stat_names
+            }
+            ivalid = interior & ~np.isnan(stats_np["count"])
+            for s in stat_names:
+                out[s][ivalid] = stats_np[s][ivalid]
+            # boundary tiles: per-tile pixel decode + center mask —
+            # unavoidable per-tile work, now only on the boundary set
+            blobs = pdf[band]
+            for i in np.nonzero(~interior)[0]:
+                blob = blobs.iloc[int(i)]
+                if blob is None:
+                    continue
+                vals = decode_block(blob, btype).reshape(bs, bs)
+                txv, tyv = int(tx[i]), int(ty[i])
+                gx = np.arange(txv * bs, (txv + 1) * bs, dtype=np.float64)
+                gy = np.arange(tyv * bs, (tyv + 1) * bs, dtype=np.float64)
+                px, py = np.meshgrid((gx + 0.5) / n_px, (gy + 0.5) / n_px)
+                mask = geom.point_in_poly_np(px, py, verts)
+                if mask.any():
+                    st = tile_stats_arrays(vals[mask], nodata)
+                    if st is not None:
+                        for s in stat_names:
+                            out[s][i] = st[s]
+            res = pd.DataFrame({f"{band}_{s}": out[s] for s in stat_names})
+            res[f"{band}_count"] = res[f"{band}_count"].astype("Int64")
+            yield res
 
     schema = ", ".join(
         f"{band}_{s} {'bigint' if s == 'count' else 'double'}" for s in stat_names

@@ -603,6 +603,7 @@ def substring_dedup_spans(
     window: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    auto_width: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup spans — the public Lee et al.
     ("Deduplicating Training Data Makes Language Models Better")
@@ -629,8 +630,34 @@ def substring_dedup_spans(
     find variable-length duplicates; fixed-``window`` shingles find
     every duplicate run of ≥ ``window`` tokens (the standard
     distributed approximation — runs shorter than ``window`` are
-    deliberately out of scope)."""
+    deliberately out of scope).
+
+    ``auto_width=True``: size the shingle-hash shuffle from a doc
+    count plus a bounded token-length sample (shuffled rows ≈ total
+    tokens; AQE never raises the initial width — SCALE_PROBE_r14) and
+    materialize the spans inside the widened scope. Default keeps the
+    plan lazy/composable at the session width."""
     from pyspark.sql.window import Window
+
+    if auto_width:
+        from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
+
+        spark = df.sparkSession
+        n_docs = df.count()
+        avg_toks = (
+            df.selectExpr(
+                f"size(regexp_extract_all({text_col}, '[^ \\\\t\\\\n]+', 0)) AS n"
+            )
+            .limit(2048)
+            .agg(F.avg("n"))
+            .first()[0]
+            or 0.0
+        )
+        width = derive_shuffle_width(spark, int(n_docs * float(avg_toks)))
+        with scoped_shuffle_width(spark, width):
+            return substring_dedup_spans(
+                df, window, text_col, id_col, auto_width=False
+            ).localCheckpoint(eager=True)
 
     shingled = df.selectExpr(
         id_col,
@@ -698,6 +725,7 @@ def substring_dedup_prune(
     window: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    auto_width: bool = False,
 ) -> DataFrame:
     """Apply :func:`substring_dedup_spans` cut-lists: rebuild each
     document's text with duplicated token ranges removed (the first
@@ -705,7 +733,8 @@ def substring_dedup_prune(
     exactly ``(id_col, text_col, dup_tokens, clean_text)`` — other
     input columns are dropped; join back on ``id_col`` to recover
     them."""
-    spans = substring_dedup_spans(df, window, text_col, id_col)
+    spans = substring_dedup_spans(df, window, text_col, id_col,
+                                  auto_width=auto_width)
     per_doc = spans.groupBy(id_col).agg(
         F.expr(
             "array_sort(collect_list(struct(span_start AS s, span_end AS e)))"
@@ -776,4 +805,156 @@ def sequence_pack(
         "shard",
         f"CAST(FLOOR((cum - n_tokens) / {max_len}.0) AS BIGINT) AS bin",
         "n_tokens",
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip (E48) and URL canonicalization + per-domain
+# quota (E49) — the two standard web-crawl curation stages upstream of
+# the C4 funnel (public jusText/C4 and CommonCrawl recipes). Both are
+# pure JVM-side regexp/array projections; the expression builders below
+# are the single logic source shared with the dual-dialect oracle
+# templates in queries.py.
+# ---------------------------------------------------------------------------
+
+#: block-level elements whose CONTENT is boilerplate (removed whole);
+#: everything else keeps its text and loses only the tags
+HTML_BLOCK_TAGS = ("script", "style", "nav", "aside", "header", "footer")
+
+#: decoded after tag removal; &amp; deliberately LAST so literal
+#: '&amp;lt;' decodes once (to '&lt;'), matching html.unescape's
+#: single-pass contract. &copy; maps to ASCII '(c)' so the SQL literal
+#: stays encoding-agnostic across dialects.
+HTML_ENTITY_SQL = (
+    ("&lt;", "'<'"), ("&gt;", "'>'"), ("&quot;", "chr(34)"),
+    ("&#39;", "chr(39)"), ("&nbsp;", "' '"), ("&copy;", "'(c)'"),
+    ("&amp;", "'&'"),
+)
+
+
+def html_strip_expr(src: str, d: str = "spark") -> str:
+    """Dual-dialect SQL expression: HTML → main text. Order matters:
+    comments, then block elements (their content would otherwise leak
+    into the text once the tags are gone), then remaining tags, then
+    entities, then whitespace collapse. All regexp_replace/replace —
+    map-only, whole-stage-codegen-able, no UDF."""
+
+    def rr(s: str, pat: str, rep: str = " ") -> str:
+        p = pat.replace("\\", "\\\\") if d == "spark" else pat
+        g = "" if d == "spark" else ", 'g'"
+        return f"regexp_replace({s}, '{p}', '{rep}'{g})"
+
+    e = rr(src, "<!--.*?-->")
+    for t in HTML_BLOCK_TAGS:
+        e = rr(e, f"(?i)<{t}[^>]*>.*?</{t}>")
+    e = rr(e, "<[^>]+>")
+    for ent, rep in HTML_ENTITY_SQL:
+        e = f"replace({e}, '{ent}', {rep})"
+    collapsed = rr(e, "[ \\t\\r\\n]+")
+    return f"trim({collapsed})"
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", out_col: str = "clean_text"
+) -> DataFrame:
+    """Boilerplate-strip an HTML column to main text (jusText/C4-class
+    regex pipeline — tags, script/style/nav/aside/header/footer blocks,
+    comments, common entities, whitespace). One projection: at 100 TB
+    this pipelines into the scan with zero shuffle, feeding the E40
+    cleaning funnel."""
+    return df.withColumn(out_col, F.expr(html_strip_expr(html_col, "spark")))
+
+
+#: query params dropped by canonicalization (tracking/session noise —
+#: the CommonCrawl/SURT-style list, prefix-matched)
+URL_TRACKING_PREFIXES = (
+    "utm_", "fbclid=", "gclid=", "msclkid=", "mc_eid=", "ref_src=",
+)
+
+
+def url_canonical_steps(url: str = "url", d: str = "spark") -> list:
+    """Ordered (column, dual-dialect SQL expr) steps from a raw URL to
+    ``canonical_url`` + ``domain``; later steps reference earlier
+    columns, so consumers apply them as a withColumn chain (operator)
+    or chained CTEs (oracle template). Rules: lowercase scheme+host,
+    strip ``www.`` and default ports, empty path → ``/``, drop the
+    fragment, drop tracking params, sort surviving params. ``domain``
+    is the last two host labels (quota key)."""
+
+    def rx(s: str, pat: str, grp: int) -> str:
+        p = pat.replace("\\", "\\\\") if d == "spark" else pat
+        return f"regexp_extract({s}, '{p}', {grp})"
+
+    def rr(s: str, pat: str, rep: str = "") -> str:
+        p = pat.replace("\\", "\\\\") if d == "spark" else pat
+        g = "" if d == "spark" else ", 'g'"
+        return f"regexp_replace({s}, '{p}', '{rep}'{g})"
+
+    sort_fn = "array_sort" if d == "spark" else "list_sort"
+    sw = "startswith" if d == "spark" else "starts_with"
+    keep = " AND ".join(
+        f"NOT {sw}(p, '{pre}')" for pre in URL_TRACKING_PREFIXES
+    )
+    parts = dl.arr_filter(
+        dl.split_re("_q", "&", d), "p", f"p <> '' AND {keep}", d
+    )
+    return [
+        ("_scheme", f"lower({rx(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)})"),
+        ("_host",
+         rr(rr(f"lower({rx(url, '^[^:/?#]+://([^/?#]*)', 1)})",
+               "^www\\."),
+            ":(80|443)$")),
+        ("_path0", rx(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)),
+        ("_path", "CASE WHEN _path0 = '' THEN '/' ELSE _path0 END"),
+        ("_q", rx(url, "[?]([^#]*)", 1)),
+        ("_qkeep", dl.arr_join(f"{sort_fn}({parts})", "&", d)),
+        ("canonical_url",
+         "_scheme || '://' || _host || _path || "
+         "CASE WHEN _qkeep = '' THEN '' ELSE '?' || _qkeep END"),
+        ("domain", rx("_host", "([a-z0-9-]+[.][a-z0-9]+)$", 1)),
+    ]
+
+
+def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``canonical_url`` + ``domain`` to a URL column — one
+    map-only projection (the steps chain collapses into a single
+    codegen stage; no shuffle)."""
+    out = df
+    for name, expr in url_canonical_steps(url_col, "spark"):
+        out = out.withColumn(name, F.expr(expr))
+    return out.drop("_scheme", "_host", "_path0", "_path", "_q", "_qkeep")
+
+
+def domain_quota(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    salt: int = 64,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` docs per registered domain (the
+    ``min(doc_id)``-first deterministic policy — no rand()). Two-phase
+    salted top-K: a single ``row_number() OVER (PARTITION BY domain)``
+    would sort a hot domain (a 10^8-page site at 100 TB) in ONE task;
+    phase one ranks within (domain, id%salt) so no task ever sorts more
+    than a salt-slice, phase two ranks the surviving ≤ salt×K rows per
+    domain. Both phases keep the K smallest ids, so the result equals
+    the single-window definition exactly (pytest-pinned vs the oracle
+    template's plain window)."""
+    from pyspark.sql.window import Window
+
+    c = url_canonicalize(df, url_col)
+    w1 = Window.partitionBy(
+        "domain", F.pmod(F.col(id_col), F.lit(salt))
+    ).orderBy(id_col)
+    pre = (
+        c.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= max_per_domain)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(id_col)
+    return (
+        pre.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= max_per_domain)
+        .drop("_r2")
     )

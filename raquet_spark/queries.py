@@ -5661,6 +5661,91 @@ FROM keyed
 """
 
 
+def html_extract_stats(d: str) -> str:
+    """HTML boilerplate strip (E48) — the jusText/C4-class main-text
+    extraction stage of a web-crawl pipeline, as one map-only
+    regexp/replace projection (single logic source:
+    :func:`raquet_spark.operators.textops.html_strip_expr`, also the
+    Column operator ``html_extract``). The corpus has no markup, so a
+    deterministic page skeleton (nav/script/style/aside/footer
+    boilerplate, comments, entities) wraps each document — the strip
+    runs on real tag structure while staying closed-form for the
+    oracle. Output: per-doc raw/clean lengths, boilerplate ratio, and
+    the md5 of the extracted text (hash-pins every replace step)."""
+    from raquet_spark.operators.textops import html_strip_expr
+
+    strip = html_strip_expr("html", d)
+    synth = (
+        "'<!-- page ' || CAST(doc_id AS STRING) || ' --><html><head>"
+        "<title>Doc ' || CAST(doc_id AS STRING) || '</title>"
+        "<style>body { color: #333; } .x { margin: 0 }</style>"
+        "<script>if (1 < 2 && 2 > 1) { track(); }</script></head>"
+        "<body><header>site chrome</header>"
+        "<nav><a href=\"/home\">home</a> | <a href=\"/about\">about</a></nav>"
+        "<div id=\"main\"><h1>Title &amp; subtitle</h1>"
+        "<p class=\"lead\">' || text || '</p>"
+        "<p>&quot;quoted&quot; &#39;s &lt;tag&gt;&nbsp;end</p></div>"
+        "<aside>related links</aside>"
+        "<footer>&copy; example ' || CAST(doc_id AS STRING) || '</footer>"
+        "</body></html>'"
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {synth} AS html FROM documents
+), ex AS (
+  SELECT doc_id, length(html) AS raw_len, {strip} AS clean FROM pages
+)
+SELECT doc_id, raw_len, length(clean) AS clean_len,
+       round(1.0 - CAST(length(clean) AS DOUBLE) / raw_len, 6)
+         AS boilerplate_ratio,
+       md5(clean) AS clean_md5
+FROM ex
+"""
+
+
+def url_canonical_quota(d: str) -> str:
+    """URL canonicalization + per-domain quota (E49) — the CommonCrawl
+    recipe complementing E28's per-source quota: lowercase scheme/host,
+    strip ``www.`` and default ports, empty path → ``/``, drop
+    fragment and tracking params, sort survivors; then keep at most 3
+    docs per registered domain by the deterministic min-doc_id policy
+    (no rand()). Single logic source:
+    :func:`raquet_spark.operators.textops.url_canonical_steps` (the
+    ``url_canonicalize``/``domain_quota`` operators apply the same
+    steps; ``domain_quota`` is the salted skew-safe variant at scale).
+    URLs are synthesized deterministically to exercise every rule:
+    upper-case scheme+www host, ``:443`` on every 3rd doc, empty path
+    on every 4th, unsorted params with utm/gclid noise, fragment on
+    every 2nd."""
+    from raquet_spark.operators.textops import url_canonical_steps
+
+    synth = (
+        "'HTTPS://WWW.' || upper(source) || '-' "
+        "|| CAST(doc_id % 7 AS STRING) || '.COM' ||"
+        " CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||"
+        " CASE WHEN doc_id % 4 = 0 THEN ''"
+        "      ELSE '/Pages/' || CAST(doc_id % 50 AS STRING) END ||"
+        " '?utm_source=feed&b=' || CAST(doc_id % 7 AS STRING)"
+        " || '&a=1&gclid=xyz' ||"
+        " CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END"
+    )
+    sql = f"WITH s0 AS (\n  SELECT doc_id, {synth} AS url FROM documents\n)"
+    prev = 0
+    for i, (name, expr) in enumerate(url_canonical_steps("url", d), 1):
+        sql += f", s{i} AS (\n  SELECT *, {expr} AS {name} FROM s{prev}\n)"
+        prev = i
+    return sql + f""",
+ranked AS (
+  SELECT doc_id, canonical_url, domain,
+         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+  FROM s{prev}
+)
+SELECT doc_id, canonical_url, domain,
+       CASE WHEN rn <= 3 THEN 1 ELSE 0 END AS kept
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5740,6 +5825,8 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dataset_shuffle": dataset_shuffle,
     "length_percentiles": length_percentiles,
     "events_json_rollup": events_json_rollup,
+    "html_extract_stats": html_extract_stats,
+    "url_canonical_quota": url_canonical_quota,
 }
 
 _IVF_CACHE: dict[tuple, list] = {}

@@ -85,3 +85,59 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+# Rows-per-task target for operator-derived shuffle widths. With the
+# ~50-150 B rows the heavy operators shuffle (edge pairs, banded keys,
+# shingle hashes) this keeps per-task hash/agg state in the low
+# hundreds of MB — comfortably inside an executor task slot.
+AUTO_WIDTH_TARGET_ROWS = 2_000_000
+# Backstop so a mis-estimated row count can't fragment a job into
+# millions of empty tasks; 16k partitions covers ~3.2e10 rows/job at
+# the target, far past any single operator invocation at 100 TB.
+AUTO_WIDTH_CAP = 16_384
+
+
+def derive_shuffle_width(
+    spark: SparkSession,
+    n_rows: int,
+    target_rows_per_task: int = AUTO_WIDTH_TARGET_ROWS,
+    cap: int = AUTO_WIDTH_CAP,
+) -> int:
+    """Shuffle width for a known shuffled-row volume.
+
+    AQE only COALESCES below ``spark.sql.shuffle.partitions`` — it
+    never raises the initial width — so an operator that knows its own
+    row volume must size the width itself (SCALE_PROBE_r14: the x256
+    connected-components arm OOMs at the default 32-wide session
+    because 1.3e8 edge rows land on 32 tasks). The derived width never
+    drops below the session default: oversizing is harmless (AQE
+    coalesces the small stages back down), undersizing is the OOM.
+    """
+    import math
+
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(base, min(cap, math.ceil(max(n_rows, 1) / target_rows_per_task)))
+
+
+class scoped_shuffle_width:
+    """Context manager: run the enclosed (eagerly materialized) jobs at
+    ``width`` shuffle partitions, restoring the session default on
+    exit. Only for operator internals that materialize inside the
+    scope (count/localCheckpoint/write) — a lazily returned DataFrame
+    would be planned AFTER the restore and see the old width. Raising
+    the width mid-session is safe for concurrent queries: they plan at
+    most with more initial partitions, which AQE coalesces."""
+
+    def __init__(self, spark: SparkSession, width: int):
+        self.spark = spark
+        self.width = int(width)
+
+    def __enter__(self):
+        self._prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        return False

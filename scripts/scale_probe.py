@@ -149,15 +149,19 @@ def main() -> None:
                      f"semantic_dedup_x{mult}"):
             big_emb.columns
 
+        # auto_width=True: the r15 production path — each operator
+        # derives its own shuffle width from the corpus instead of the
+        # probe exporting SPARK_GRAFT_SHUFFLE_PARTITIONS (the r14 x256
+        # components arm OOMed at the default 32-wide session)
         bench(
             f"dedup_minhash_x{mult}",
-            lambda: minhash_dedup_pairs(big_docs).count(),
+            lambda: minhash_dedup_pairs(big_docs, auto_width=True).count(),
             runs,
         )
         bench(
             f"dedup_components_x{mult}",
             lambda: connected_components(
-                minhash_dedup_pairs(big_docs), "id_a", "id_b"
+                minhash_dedup_pairs(big_docs, auto_width=True), "id_a", "id_b"
             ).count(),
             runs,
         )
@@ -248,7 +252,9 @@ def main() -> None:
 
         bench(
             f"substring_dedup_x{mult}",
-            lambda: substring_dedup_spans(big_docs, window=12).count(),
+            lambda: substring_dedup_spans(
+                big_docs, window=12, auto_width=True
+            ).count(),
             runs,
         )
 

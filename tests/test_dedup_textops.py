@@ -737,3 +737,96 @@ def test_quality_classifier_per_iteration_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_html_extract_hand_fixtures(spark):
+    """Boilerplate strip vs hand-written expectations: block content
+    (script/style/nav/aside/header/footer) removed entirely, other
+    tags drop but keep text, comments gone, entities decoded once,
+    whitespace collapsed."""
+    from raquet_spark.operators.textops import html_extract
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var x = '<p>not text</p>';</script>after", "after"),
+        ("<STYLE>h1 { color: red }</STYLE>kept", "kept"),
+        ("<nav><a href='/x'>menu</a></nav><div>body text</div>",
+         "body text"),
+        ("<!-- secret --><span>visible</span>", "visible"),
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s &nbsp;end",
+         "a & b <tag> \"q\" 's end"),
+        # &amp;lt; decodes ONCE (to '&lt;'), html.unescape's contract
+        ("x &amp;lt; y", "x &lt; y"),
+        ("<header>chrome</header><p>line1</p>\n\n<p>line2</p>"
+         "<footer>foot</footer>", "line1 line2"),
+        ("no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {r["i"]: r["clean_text"]
+           for r in html_extract(df).select("i", "clean_text").collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_html_extract_map_only_plan(spark):
+    """The strip is a pure projection: no shuffle, no Python UDF."""
+    from raquet_spark.operators.textops import html_extract
+
+    df = html_extract(
+        spark.createDataFrame([(1, "<p>x</p>")], "i long, html string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_canonicalize_hand_fixtures(spark):
+    from raquet_spark.operators.textops import url_canonicalize
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=a&z=2&a=1#frag",
+         "https://example.com/Path/?a=1&z=2", "example.com"),
+        ("http://news.site-3.org:80", "http://news.site-3.org/",
+         "site-3.org"),
+        ("https://example.com/x?gclid=1&fbclid=2&utm_medium=m",
+         "https://example.com/x", "example.com"),
+        ("https://sub.deep.example.co/a/b?b=1&a=2",
+         "https://sub.deep.example.co/a/b?a=2&b=1", "example.co"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {r["i"]: (r["canonical_url"], r["domain"])
+           for r in url_canonicalize(df).collect()}
+    for i, (_, cu, dom) in enumerate(cases):
+        assert got[i] == (cu, dom), f"case {i}: {got[i]}"
+
+
+def test_domain_quota_matches_plain_window(spark):
+    """The salted two-phase top-K equals the single-window definition
+    (keep the K smallest doc_ids per domain), including a hot domain
+    larger than the salt width."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from raquet_spark.operators.textops import domain_quota, url_canonicalize
+
+    rows = [(i, f"https://hot.example.com/p/{i}") for i in range(300)]
+    rows += [(1000 + i, f"https://cold{i % 5}.org/x") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    kept = domain_quota(df, 3, salt=8)
+    got = {(r["domain"], r["doc_id"]) for r in kept.collect()}
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    want = {
+        (r["domain"], r["doc_id"])
+        for r in url_canonicalize(df)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .collect()
+    }
+    assert got == want
+    assert len([1 for d, _ in got if d == "example.com"]) == 3

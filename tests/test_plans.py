@@ -586,3 +586,104 @@ def test_ann_lsh_oversized_list_broadcast_guard(spark, monkeypatch):
     guarded = plan_for()
     assert "strategy=broadcast" not in guarded
     assert "strategy=shuffle_hash" in guarded
+
+
+# ---------------------------------------------------------------------------
+# Operator-derived shuffle width (r15: AQE never RAISES the initial
+# width, so heavy operators size their own shuffles — SCALE_PROBE_r14's
+# x256 components OOM at the default session is the motivating failure)
+# ---------------------------------------------------------------------------
+
+def test_derive_shuffle_width_math(spark):
+    from raquet_spark.session import AUTO_WIDTH_CAP, derive_shuffle_width
+
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # small volumes never drop below the session default
+    assert derive_shuffle_width(spark, 0) == base
+    assert derive_shuffle_width(spark, 1) == base
+    # width = ceil(rows / target), once past the base
+    assert derive_shuffle_width(
+        spark, 10_000_000, target_rows_per_task=1_000_000
+    ) == max(base, 10)
+    assert derive_shuffle_width(
+        spark, 10_000_001, target_rows_per_task=1_000_000
+    ) == max(base, 11)
+    # capped: a mis-estimated count can't fragment the job
+    assert derive_shuffle_width(spark, 10**15) == AUTO_WIDTH_CAP
+
+
+def test_scoped_shuffle_width_restores(spark):
+    from raquet_spark.session import scoped_shuffle_width
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    with scoped_shuffle_width(spark, 777):
+        assert spark.conf.get(key) == "777"
+    assert spark.conf.get(key) == prev
+    with pytest.raises(RuntimeError):
+        with scoped_shuffle_width(spark, 778):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == prev
+
+
+def test_connected_components_derives_width_from_edges(spark, monkeypatch):
+    """connected_components sizes its shuffles from the MEASURED raw
+    edge count (both orientations): with target_rows_per_task=1 a
+    40-edge chain graph must run its loop at width 80, and the session
+    default must be restored afterwards."""
+    import raquet_spark.session as sess
+    from raquet_spark.operators.dedup import connected_components
+
+    seen = []
+    real = sess.scoped_shuffle_width
+
+    class recording(real):
+        def __init__(self, spark_, width):
+            seen.append(width)
+            super().__init__(spark_, width)
+
+    monkeypatch.setattr(sess, "scoped_shuffle_width", recording)
+
+    edges = spark.range(40).selectExpr("id AS id_a", "id + 1 AS id_b")
+    labels = connected_components(edges, target_rows_per_task=1)
+    assert seen == [80]  # 40 edges x 2 orientations, 1 row/task target
+    rows = {r["node"]: r["component"] for r in labels.collect()}
+    assert len(rows) == 41 and set(rows.values()) == {0}  # one chain
+    # width scope closed: session default back in force
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+
+def test_minhash_auto_width_parity(spark):
+    """auto_width=True returns the same candidate pairs as the lazy
+    default (width changes plans, never results) and restores the
+    session width."""
+    from raquet_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.range(30).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma delta epsilon zeta ', "
+        "CAST(id % 5 AS STRING)) AS text",
+    )
+    plain = {(r["id_a"], r["id_b"])
+             for r in minhash_dedup_pairs(docs).collect()}
+    auto = {(r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(docs, auto_width=True).collect()}
+    assert auto == plain and plain  # non-empty: the %5 groups collide
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+
+
+def test_substring_auto_width_parity(spark):
+    from raquet_spark.operators.textops import substring_dedup_spans
+
+    docs = spark.range(8).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 30), "
+        "x -> CAST(x AS STRING))) AS text",
+    )
+    plain = {(r["doc_id"], r["span_start"], r["span_end"])
+             for r in substring_dedup_spans(docs, window=12).collect()}
+    auto = {(r["doc_id"], r["span_start"], r["span_end"])
+            for r in substring_dedup_spans(
+                docs, window=12, auto_width=True).collect()}
+    assert auto == plain and plain
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"

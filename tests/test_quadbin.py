@@ -249,3 +249,26 @@ def test_quadbin_doc_worked_examples():
     expected = (0x4 << 60) | (1 << 59) | (3 << 52) | (0b001001 << 46) | ((1 << 46) - 1)
     assert v123 == expected == 0x48327FFFFFFFFFFF
     assert qb.py_cell_to_tile(v123) == (1, 2, 3)
+
+
+def test_np_cells_to_tiles_matches_scalar():
+    """Vectorized Morton decode == py_cell_to_tile across zooms and
+    corner tiles (the region_stats_polygon classify fast path)."""
+    import numpy as np
+
+    from raquet_spark.functions.quadbin import (
+        np_cells_to_tiles,
+        py_cell_to_tile,
+        py_tile_to_cell,
+    )
+
+    cells = []
+    for z in (0, 1, 5, 12, 20, 26):
+        m = (1 << z) - 1
+        for x, y in {(0, 0), (m, m), (m // 2, m // 3), (1 % (m + 1), m)}:
+            cells.append(py_tile_to_cell(x, y, z))
+    arr = np.array(cells, dtype=np.int64)
+    tx, ty, zz = np_cells_to_tiles(arr)
+    for i, c in enumerate(cells):
+        ex, ey, ez = py_cell_to_tile(c)
+        assert (tx[i], ty[i], zz[i]) == (ex, ey, ez)
