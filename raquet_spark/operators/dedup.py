@@ -101,11 +101,25 @@ def banded_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    join_width: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from banded signatures via per-band
-    group joins (explode to (band, key) then self-join on the key)."""
+    group joins (explode to (band, key) then self-join on the key).
+
+    ``join_width``: numbered repartition on (band, key) before the
+    self-join. AQE coalesces the join stage by its shuffle-INPUT bytes
+    (the banded rows — tiny), but the pair blow-up happens INSIDE the
+    stage where AQE cannot see it, so on duplicate-heavy corpora the
+    coalesced stage OOMs on join-output state (SCALE_PROBE_r15's first
+    x256 attempt: initial width 128, AQE coalesced to 35, each task
+    then built ~19M pairs). A numbered repartition is exempt from AQE
+    coalescing and both self-join sides reuse the ONE exchange."""
     banded = banded_signatures(signatures, id_col, rows_per_band)
+    if join_width:
+        banded = banded.repartition(join_width, "band", "key")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -153,11 +167,48 @@ def minhash_dedup_pairs(
         .first()[0]
         or 0.0
     )
-    n_bands = len(MINHASH_PARAMS) // 2
-    est_rows = max(int(n_docs * float(avg_toks)), n_docs * n_bands)
-    width = derive_shuffle_width(spark, est_rows)
-    with scoped_shuffle_width(spark, width):
-        return lsh_candidate_pairs(sigs, id_col).localCheckpoint(eager=True)
+    # stage 1: the signature aggregation shuffles ~one row per token —
+    # a sample-estimated volume is enough (its per-task state is
+    # bounded by distinct docs, and AQE's byte-based coalescing is
+    # honest here). persist (not localCheckpoint) so the bucket count
+    # and the join reuse one materialization AND the blocks can be
+    # released before the memory-hungry pair join runs.
+    from pyspark import StorageLevel
+
+    width_sig = derive_shuffle_width(spark, int(n_docs * float(avg_toks)))
+    sigs_m = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    with scoped_shuffle_width(spark, width_sig):
+        sigs_m.count()
+    # stage 2: the band self-join's output is the CLOSED-FORM pair
+    # volume sum_buckets k*(k-1)/2 — one cheap agg over docs x bands
+    # rows gives it exactly, and it is the number that matters: on a
+    # duplicate-heavy corpus the join output dwarfs its input, so the
+    # width must come from pairs, not banded rows. 250k pair rows/task
+    # keeps the join stage's partial-distinct state ~tens of MB at the
+    # default session's per-slot budget.
+    banded_rows = banded_signatures(sigs_m, id_col)
+    pair_rows = (
+        banded_rows.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum(F.expr("CAST(k AS DOUBLE) * (k - 1) / 2")).alias("p"))
+        .first()["p"]
+        or 0.0
+    )
+    width_join = derive_shuffle_width(
+        spark, int(pair_rows), target_rows_per_task=250_000
+    )
+    # DISK_ONLY for a pair table that outgrew the session (same rule
+    # as connected_components' edge checkpoint): 10^8 candidate pairs
+    # resident in the memory tier saturate a bounded heap
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    level = StorageLevel.DISK_ONLY if width_join > base else None
+    try:
+        with scoped_shuffle_width(spark, width_join):
+            return lsh_candidate_pairs(
+                sigs_m, id_col, join_width=width_join
+            ).localCheckpoint(eager=True, storageLevel=level)
+    finally:
+        sigs_m.unpersist()
 
 
 def simhash_signatures(
@@ -296,11 +347,7 @@ def connected_components(
     from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
 
     # both orientations from ONE pass over the (possibly expensive) edge
-    # plan — a union of two selects would execute that plan twice. The
-    # checkpoint lands BEFORE the distinct so the edge count that sizes
-    # the shuffle width is measurable without an extra pass, and the
-    # distinct itself (the first edge-volume shuffle) already runs at
-    # the derived width.
+    # plan — a union of two selects would execute that plan twice.
     raw = (
         edges.select(
             F.explode(
@@ -311,18 +358,37 @@ def connected_components(
             ).alias("p")
         )
         .select("p.a", "p.b")
-        .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
     if auto_width:
+        # width from a COUNT of the input, not a materialization of the
+        # exploded rows: checkpointing 2x the edge volume just to count
+        # it added ~GBs of resident storage that heap-OOMed the x256
+        # probe arm at the default 8 g session (SCALE_PROBE_r15). The
+        # count is one cheap scan when `edges` is already materialized
+        # (the auto_width minhash/LSH outputs are localCheckpoints);
+        # for a lazy input it costs one extra edge-plan pass — at
+        # scale, pass materialized pairs.
         kw = {}
         if target_rows_per_task is not None:
             kw["target_rows_per_task"] = target_rows_per_task
-        width = derive_shuffle_width(spark, raw.count(), **kw)
+        width = derive_shuffle_width(spark, 2 * edges.count(), **kw)
     else:
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # DISK_ONLY for the big edge checkpoint once the derived width says
+    # the graph outgrew the session (width > base): a memory-tier
+    # checkpoint of 10^8+ edge rows saturates a bounded executor heap
+    # and every round re-reads it anyway (sequential local-disk scans
+    # are cheap next to the round's shuffle). Small graphs keep the
+    # default memory tier. Measured: the x256 probe arm heap-OOMed
+    # with MEMORY_AND_DISK resident blocks at the default 8 g session.
+    from pyspark import StorageLevel
+
+    big = width > base
+    e_level = StorageLevel.DISK_ONLY if big else None
     with scoped_shuffle_width(spark, width):
-        e = raw.distinct().localCheckpoint(eager=True)
+        e = raw.distinct().localCheckpoint(eager=True, storageLevel=e_level)
         labels = (
             e.select(F.col("a").alias("node"))
             .distinct()

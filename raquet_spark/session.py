@@ -87,11 +87,14 @@ def get_spark(
     return builder.getOrCreate()
 
 
-# Rows-per-task target for operator-derived shuffle widths. With the
-# ~50-150 B rows the heavy operators shuffle (edge pairs, banded keys,
-# shingle hashes) this keeps per-task hash/agg state in the low
-# hundreds of MB — comfortably inside an executor task slot.
-AUTO_WIDTH_TARGET_ROWS = 2_000_000
+# Rows-per-task target for operator-derived shuffle widths. Sized for
+# the DEFAULT session's per-slot execution memory (8 GB heap x 0.6
+# unified fraction / 32 concurrent tasks ~ 100-150 MB/slot): hash-agg
+# and join state expand small serialized rows ~5-10x in memory
+# (UnsafeRow padding + map overhead), so 500k rows/task keeps state
+# ~25-50 MB — measured: 2M rows/task OOMed the x256 probe's
+# partial-distinct stage at 8 g/32 (SCALE_PROBE_r15 first attempts).
+AUTO_WIDTH_TARGET_ROWS = 500_000
 # Backstop so a mis-estimated row count can't fragment a job into
 # millions of empty tasks; 16k partitions covers ~3.2e10 rows/job at
 # the target, far past any single operator invocation at 100 TB.
@@ -127,17 +130,34 @@ class scoped_shuffle_width:
     scope (count/localCheckpoint/write) — a lazily returned DataFrame
     would be planned AFTER the restore and see the old width. Raising
     the width mid-session is safe for concurrent queries: they plan at
-    most with more initial partitions, which AQE coalesces."""
+    most with more initial partitions, which AQE coalesces.
+
+    The scope also lowers AQE's advisory partition size to 16 MB:
+    the 64 MB default is calibrated for scan-heavy stages, but the
+    rows these scopes shuffle (16-byte edge/pair tuples) expand
+    ~5-10x into hash-agg/join state, so a 64 MB-serialized coalesced
+    partition becomes a ~300-600 MB task — past the default session's
+    per-slot execution memory (measured OOM, SCALE_PROBE_r15)."""
+
+    _KEYS = ("spark.sql.shuffle.partitions",
+             "spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
     def __init__(self, spark: SparkSession, width: int):
         self.spark = spark
         self.width = int(width)
 
     def __enter__(self):
-        self._prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self._prev = {k: self.spark.conf.get(k, None) for k in self._KEYS}
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
+        self.spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m"
+        )
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self._prev)
+        for k, v in self._prev.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
         return False

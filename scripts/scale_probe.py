@@ -319,7 +319,15 @@ def main() -> None:
         t in n for t in only
         for n in ("netcdf4_decode_x1", "netcdf4_decode_x8")
     )
-    if not run_raster and not run_netcdf:
+    run_import = not only or any(
+        t in n for t in only
+        for n in ("netcdf_import_x1", "netcdf_import_x4",
+                  "netcdf_import_x16", "netcdf_import_flip",
+                  "geotiff_import_1mpx", "geotiff_import_4mpx",
+                  "geotiff_import_16mpx", "geotiff_import_36mpx",
+                  "grib2_import_x1", "grib2_import_x16")
+    )
+    if not run_raster and not run_netcdf and not run_import:
         print(json.dumps({
             "probe": timings, "n_docs_base": n_docs, "multipliers": mults,
         }))
@@ -388,6 +396,157 @@ def main() -> None:
                 f"netcdf4_decode_x{mult}",
                 lambda: netcdf_pixel_table(spark, nc, "value").count(),
             )
+
+    if run_import:
+        # import-family growth (r15, VERDICT r14 #4): the dedup/ANN
+        # probes cover the text side; these replicate the CONVERSION
+        # pipelines past bench scale and record the import-warp
+        # gather-join strategy (tiff_reader's known-source-size
+        # decision: broadcast <=100 MB source bytes x steps, shuffled
+        # hash above) actually flipping at runtime, not just in the
+        # plan tests.
+        import tempfile
+
+        import numpy as np
+
+        strategies: dict[str, str] = {}
+
+        def join_strategy(df) -> str:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "ShuffledHashJoin" in plan:
+                return "shuffle_hash"
+            if "BroadcastHashJoin" in plan:
+                return "broadcast"
+            return "other"
+
+        # --- classic NetCDF 3-step import: grid grows x1/x4/x16 at 3
+        # steps (growth arms, all broadcast-side), then a flip arm
+        # whose source bytes x steps crosses the 100 MB bound
+        from raquet_spark.sources.netcdf import netcdf_to_raquet
+        from raquet_spark.testing import write_netcdf_classic
+
+        def make_nc(nlat: int, nlon: int, nt: int) -> str:
+            gy, gx = np.mgrid[0:nlat, 0:nlon]
+            data = np.stack(
+                [((gx * 7 + gy * 11 + t * 13) % 199 - 50) for t in range(nt)]
+            ).astype("<i2")
+            p = tempfile.mktemp(suffix=".nc")
+            write_netcdf_classic(
+                p,
+                37.9875 - 0.0025 * np.arange(nlat),
+                -123.0 + 0.0025 * np.arange(nlon),
+                data,
+                times=np.arange(nt, dtype="f8"),
+                nc_type=3, scale_factor=0.5, add_offset=100.0,
+                fill_value=-999,
+            )
+            return p
+
+        for tag, (nlat, nlon, nt) in {
+            "x1": (600, 800, 3),       # the bench shape, 1.4 Mpx
+            "x4": (1200, 1600, 3),     # 5.8 Mpx
+            "x16": (2400, 3200, 3),    # 23 Mpx, 46 MB src: broadcast
+            "flip": (2400, 3200, 8),   # 61 Mpx, 123 MB src: SHJ
+        }.items():
+            if only and not any(
+                t in f"netcdf_import_{tag}" for t in only
+            ):
+                continue
+            p = make_nc(nlat, nlon, nt)
+            t0 = time.perf_counter()
+            nc_tiles, _m = netcdf_to_raquet(
+                spark, p, block_size=128, stats=False
+            )
+            nc_tiles.count()
+            timings[f"netcdf_import_{tag}"] = round(
+                time.perf_counter() - t0, 3
+            )
+            strategies[f"netcdf_import_{tag}"] = join_strategy(nc_tiles)
+            os.unlink(p)
+            print(
+                f"  netcdf_import_{tag}: {timings[f'netcdf_import_{tag}']}s "
+                f"({strategies[f'netcdf_import_{tag}']})",
+                file=sys.stderr, flush=True,
+            )
+
+        # --- GeoTIFF bilinear re-import at 1/4/16/36 Mpx (float32:
+        # 36 Mpx = 147 MB source, past the broadcast bound)
+        from raquet_spark.sources.geotiff import write_geotiff
+        from raquet_spark.sources.raquet import write_raquet as _wr
+        from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+        from raquet_spark.testing import make_synthetic_raster
+
+        for tag, tiles_side in {"1mpx": 4, "4mpx": 8, "16mpx": 16,
+                                "36mpx": 24}.items():
+            if only and not any(
+                t in f"geotiff_import_{tag}" for t in only
+            ):
+                continue
+            tiles, meta = make_synthetic_raster(
+                spark, zoom=9, tiles_x=tiles_side, tiles_y=tiles_side,
+                origin_x=128, origin_y=160, block_size=256, num_bands=1,
+                dtype="float32", nodata=-1.0, nodata_every=11,
+            )
+            tif = tempfile.mktemp(suffix=".tif")
+            write_geotiff(tiles, meta, tif)
+            t0 = time.perf_counter()
+            imp, _m = geotiff_to_raquet(
+                spark, tif, block_size=256, resampling="bilinear"
+            )
+            imp.count()
+            timings[f"geotiff_import_{tag}"] = round(
+                time.perf_counter() - t0, 3
+            )
+            strategies[f"geotiff_import_{tag}"] = join_strategy(imp)
+            os.unlink(tif)
+            print(
+                f"  geotiff_import_{tag}: "
+                f"{timings[f'geotiff_import_{tag}']}s "
+                f"({strategies[f'geotiff_import_{tag}']})",
+                file=sys.stderr, flush=True,
+            )
+
+        # --- GRIB2 archive: message count x1 -> x16 (4 -> 64 fields,
+        # one time_cf layer per message through the shared warp)
+        from raquet_spark.sources.grib2 import grib2_to_raquet
+        from raquet_spark.testing_grib2 import write_grib2
+
+        def make_grib(n_msgs: int) -> str:
+            nj, ni = 240, 360
+            gy, gx = np.mgrid[0:nj, 0:ni]
+            fields = [
+                {"data": ((gx * 5 + gy * 3 + t) % 97).astype("f8"),
+                 "forecast_time": t, "param": (0, 0), "E": 0, "D": 0}
+                for t in range(n_msgs)
+            ]
+            p = tempfile.mktemp(suffix=".grib2")
+            write_grib2(p, fields, lat1=49.0, lon1=0.0, di=0.25, dj=0.25)
+            return p
+
+        for tag, n_msgs in {"x1": 4, "x16": 64}.items():
+            if only and not any(
+                t in f"grib2_import_{tag}" for t in only
+            ):
+                continue
+            p = make_grib(n_msgs)
+            t0 = time.perf_counter()
+            gt, _m = grib2_to_raquet(spark, p, block_size=128, stats=False)
+            gt.count()
+            timings[f"grib2_import_{tag}"] = round(
+                time.perf_counter() - t0, 3
+            )
+            strategies[f"grib2_import_{tag}"] = join_strategy(gt)
+            os.unlink(p)
+            print(
+                f"  grib2_import_{tag}: {timings[f'grib2_import_{tag}']}s "
+                f"({strategies[f'grib2_import_{tag}']})",
+                file=sys.stderr, flush=True,
+            )
+
+        out = {"probe": timings, "warp_join_strategies": strategies,
+               "n_docs_base": n_docs, "multipliers": mults}
+        print(json.dumps(out))
+        return
 
     out = {"probe": timings, "n_docs_base": n_docs, "multipliers": mults}
     print(json.dumps(out))
