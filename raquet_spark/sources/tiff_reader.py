@@ -1644,11 +1644,26 @@ def _resampled_pixels(
         * np.dtype(info["dtype"]).itemsize * max(1, int(n_steps))
     )
     broadcast_src = src_bytes <= 100 * (1 << 20)
+    src_rows = info["width"] * info["height"] * max(1, int(n_steps))
 
     def _hinted(src: DataFrame) -> DataFrame:
-        return F.broadcast(src) if broadcast_src else src.hint(
-            "shuffle_hash"
+        if broadcast_src:
+            return F.broadcast(src)
+        # the SHJ path must also size its own width (r15, probe-found):
+        # at the session default a >100 MB source splits into
+        # src_rows/width per-task hash builds — 61M pixel rows over 32
+        # tasks OOMed the build ("not enough memory to build hash
+        # map"). The importer knows src_rows exactly; a NUMBERED
+        # repartition on the join keys pins the width against AQE
+        # coalescing (the build blow-up is in-memory state, invisible
+        # to byte-based coalescing) and the target side co-shuffles to
+        # match. 250k rows/task keeps each build ~tens of MB.
+        from raquet_spark.session import derive_shuffle_width
+
+        w = derive_shuffle_width(
+            spark, src_rows, target_rows_per_task=250_000
         )
+        return src.repartition(w, "sxn", "syn").hint("shuffle_hash")
     if resampling == "near":
         # GDAL's nearest semantics: the source CELL CONTAINING each
         # target center (inverse mapping) — DENSE output even when the
