@@ -644,13 +644,18 @@ def test_connected_components_derives_width_from_edges(spark, monkeypatch):
 
     monkeypatch.setattr(sess, "scoped_shuffle_width", recording)
 
+    # NOTE: CLI tests may have re-applied get_spark()'s default conf
+    # onto the shared session (getOrCreate applies builder options to
+    # an existing session), so read the CURRENT base instead of
+    # assuming conftest's 4
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = spark.range(40).selectExpr("id AS id_a", "id + 1 AS id_b")
     labels = connected_components(edges, target_rows_per_task=1)
-    assert seen == [80]  # 40 edges x 2 orientations, 1 row/task target
+    assert seen == [max(base, 80)]  # 40 edges x 2 orientations, 1/task
     rows = {r["node"]: r["component"] for r in labels.collect()}
     assert len(rows) == 41 and set(rows.values()) == {0}  # one chain
     # width scope closed: session default back in force
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(base)
 
 
 def test_minhash_auto_width_parity(spark):
@@ -664,12 +669,13 @@ def test_minhash_auto_width_parity(spark):
         "concat('alpha beta gamma delta epsilon zeta ', "
         "CAST(id % 5 AS STRING)) AS text",
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     plain = {(r["id_a"], r["id_b"])
              for r in minhash_dedup_pairs(docs).collect()}
     auto = {(r["id_a"], r["id_b"])
             for r in minhash_dedup_pairs(docs, auto_width=True).collect()}
     assert auto == plain and plain  # non-empty: the %5 groups collide
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
 def test_substring_auto_width_parity(spark):
@@ -680,10 +686,11 @@ def test_substring_auto_width_parity(spark):
         "concat_ws(' ', transform(sequence(1, 30), "
         "x -> CAST(x AS STRING))) AS text",
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     plain = {(r["doc_id"], r["span_start"], r["span_end"])
              for r in substring_dedup_spans(docs, window=12).collect()}
     auto = {(r["doc_id"], r["span_start"], r["span_end"])
             for r in substring_dedup_spans(
                 docs, window=12, auto_width=True).collect()}
     assert auto == plain and plain
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
