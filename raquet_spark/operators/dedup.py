@@ -376,6 +376,15 @@ def connected_components(
     else:
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if width <= base:
+        # nothing to widen: skip the scope entirely so small graphs
+        # keep the session's exact AQE behavior (the scope's 16 MB
+        # advisory would otherwise re-shape tiny stages for no benefit)
+        import contextlib
+
+        width_scope = contextlib.nullcontext()
+    else:
+        width_scope = scoped_shuffle_width(spark, width)
     # DISK_ONLY for the big edge checkpoint once the derived width says
     # the graph outgrew the session (width > base): a memory-tier
     # checkpoint of 10^8+ edge rows saturates a bounded executor heap
@@ -387,7 +396,7 @@ def connected_components(
 
     big = width > base
     e_level = StorageLevel.DISK_ONLY if big else None
-    with scoped_shuffle_width(spark, width):
+    with width_scope:
         e = raw.distinct().localCheckpoint(eager=True, storageLevel=e_level)
         labels = (
             e.select(F.col("a").alias("node"))

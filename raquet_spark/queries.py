@@ -5859,7 +5859,13 @@ def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     pairs = spark.sql(dedup_minhash("spark"))
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = connected_components(
+        # auto_width=False: `pairs` here is the LAZY dual-dialect SQL
+        # rendering, so the sizing count() would re-execute the full
+        # minhash plan once per query at toy scale; the production
+        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes
+        pairs, src="doc_a", dst="doc_b", auto_width=False,
+    )
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("component")
     )
@@ -5953,7 +5959,13 @@ def dedup_prune_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     pairs = spark.sql(dedup_minhash("spark"))
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = connected_components(
+        # auto_width=False: `pairs` here is the LAZY dual-dialect SQL
+        # rendering, so the sizing count() would re-execute the full
+        # minhash plan once per query at toy scale; the production
+        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes
+        pairs, src="doc_a", dst="doc_b", auto_width=False,
+    )
     drop = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -6000,7 +6012,13 @@ def dedup_cluster_sizes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     pairs = spark.sql(dedup_minhash("spark"))
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = connected_components(
+        # auto_width=False: `pairs` here is the LAZY dual-dialect SQL
+        # rendering, so the sizing count() would re-execute the full
+        # minhash plan once per query at toy scale; the production
+        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes
+        pairs, src="doc_a", dst="doc_b", auto_width=False,
+    )
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")
@@ -6110,7 +6128,10 @@ def semantic_dedup_keep_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_dedup_pairs_lsh(
         corpus, threshold=0.95, n_bits=6, n_tables=16, dim=64
     ).where(F.col("id_b") == F.col("id_a") + F.lit(_LSH_PLANT_OFFSET))
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(
+        # auto_width=False: lazy SQL pairs plan (see the minhash sites)
+        pairs, "id_a", "id_b", auto_width=False,
+    )
     pruned = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("vec_id")
     )
