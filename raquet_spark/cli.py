@@ -301,30 +301,33 @@ def cmd_import_geotiff(args) -> int:
         # decode/warp/encode map work runs once, not per consumer;
         # released after write_raquet materializes (ADVICE r14)
         tiles = persisted = tiles.persist()
-        meta_l = dict(meta)
-        if lossy:
-            meta_l["compression_quality"] = int(
-                getattr(args, "compression_quality", 85)
-            )
-            if comp == "webp":
-                meta_l["webp_lossless"] = not getattr(
-                    args, "webp_lossy", False
-                )
-        inter, meta = to_interleaved(
-            tiles, meta_l,
-            compression=comp if comp != "none" else None,
-        )
-        # to_interleaved keeps only (block, pixels): re-attach the
-        # per-tile stats columns computed on the sequential bands
-        extra = [c for c in tiles.columns
-                 if c not in ("block", "metadata")
-                 and not any(c == b["name"] for b in meta["bands"])]
-        tiles = (
-            inter.join(tiles.select("block", *extra), "block", "left")
-            if extra else inter
-        )
-    rg = getattr(args, "row_group_mb", None)
+    # try covers the interleave plan-building too, so an exception
+    # before the write can't leak the cache (r15 review finding)
     try:
+        if lossy or layout == "interleaved":
+            meta_l = dict(meta)
+            if lossy:
+                meta_l["compression_quality"] = int(
+                    getattr(args, "compression_quality", 85)
+                )
+                if comp == "webp":
+                    meta_l["webp_lossless"] = not getattr(
+                        args, "webp_lossy", False
+                    )
+            inter, meta = to_interleaved(
+                tiles, meta_l,
+                compression=comp if comp != "none" else None,
+            )
+            # to_interleaved keeps only (block, pixels): re-attach the
+            # per-tile stats columns computed on the sequential bands
+            extra = [c for c in tiles.columns
+                     if c not in ("block", "metadata")
+                     and not any(c == b["name"] for b in meta["bands"])]
+            tiles = (
+                inter.join(tiles.select("block", *extra), "block", "left")
+                if extra else inter
+            )
+        rg = getattr(args, "row_group_mb", None)
         write_raquet(
             tiles, args.output, meta,
             target_row_group_bytes=rg * 1024 * 1024 if rg else None,

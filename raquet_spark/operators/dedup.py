@@ -151,21 +151,15 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     if not auto_width:
         return lsh_candidate_pairs(sigs, id_col)
-    from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
+    from raquet_spark.session import (
+        derive_shuffle_width,
+        estimate_token_rows,
+        scoped_shuffle_width,
+    )
 
     spark = df.sparkSession
-    if n_docs is None:
-        n_docs = df.count()
-    avg_toks = (
-        df.select(
-            F.expr(
-                f"size(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0))"
-            ).alias("n")
-        )
-        .limit(2048)
-        .agg(F.avg("n"))
-        .first()[0]
-        or 0.0
+    n_docs, token_rows = estimate_token_rows(
+        df, text_col, "[a-z0-9]+", lowercase=True, n_docs=n_docs
     )
     # stage 1: the signature aggregation shuffles ~one row per token —
     # a sample-estimated volume is enough (its per-task state is
@@ -175,7 +169,7 @@ def minhash_dedup_pairs(
     # released before the memory-hungry pair join runs.
     from pyspark import StorageLevel
 
-    width_sig = derive_shuffle_width(spark, int(n_docs * float(avg_toks)))
+    width_sig = derive_shuffle_width(spark, token_rows)
     sigs_m = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     with scoped_shuffle_width(spark, width_sig):
         sigs_m.count()
@@ -453,13 +447,20 @@ def keep_cluster_min(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    auto_width: bool = True,
 ) -> DataFrame:
     """Near-dup pruning policy shared by the CLI, the pipeline example
     and the scale probe: cluster the candidate ``pairs`` with
     :func:`connected_components` and keep each cluster's minimum-id row
     (non-clustered rows pass through untouched) — one anti-join against
-    the cluster losers."""
-    comp = connected_components(pairs, src, dst)
+    the cluster losers.
+
+    ``auto_width`` forwards to :func:`connected_components`, whose
+    sizing count executes the ``pairs`` plan once — pass MATERIALIZED
+    pairs (the ``auto_width`` LSH outputs are localCheckpoints), or
+    set ``auto_width=False`` for a lazy pairs plan you don't want
+    executed twice."""
+    comp = connected_components(pairs, src, dst, auto_width=auto_width)
     losers = comp.where(F.col("node") != F.col("component")).selectExpr(
         f"node AS {id_col}"
     )

@@ -640,20 +640,17 @@ def substring_dedup_spans(
     from pyspark.sql.window import Window
 
     if auto_width:
-        from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
+        from raquet_spark.session import (
+            derive_shuffle_width,
+            estimate_token_rows,
+            scoped_shuffle_width,
+        )
 
         spark = df.sparkSession
-        n_docs = df.count()
-        avg_toks = (
-            df.selectExpr(
-                f"size(regexp_extract_all({text_col}, '[^ \\\\t\\\\n]+', 0)) AS n"
-            )
-            .limit(2048)
-            .agg(F.avg("n"))
-            .first()[0]
-            or 0.0
+        _, token_rows = estimate_token_rows(
+            df, text_col, "[^ \\\\t\\\\n]+"
         )
-        width = derive_shuffle_width(spark, int(n_docs * float(avg_toks)))
+        width = derive_shuffle_width(spark, token_rows)
         with scoped_shuffle_width(spark, width):
             return substring_dedup_spans(
                 df, window, text_col, id_col, auto_width=False
@@ -844,9 +841,13 @@ def html_strip_expr(src: str, d: str = "spark") -> str:
         g = "" if d == "spark" else ", 'g'"
         return f"regexp_replace({s}, '{p}', '{rep}'{g})"
 
-    e = rr(src, "<!--.*?-->")
+    # (?s): real crawled HTML has multi-line script/style/comment
+    # blocks, and neither Java regex nor RE2 lets '.' cross newlines
+    # by default — without dotall the block passes silently no-op and
+    # the generic tag strip leaks raw JS/CSS into the "clean" text
+    e = rr(src, "(?s)<!--.*?-->")
     for t in HTML_BLOCK_TAGS:
-        e = rr(e, f"(?i)<{t}[^>]*>.*?</{t}>")
+        e = rr(e, f"(?si)<{t}[^>]*>.*?</{t}>")
     e = rr(e, "<[^>]+>")
     for ent, rep in HTML_ENTITY_SQL:
         e = f"replace({e}, '{ent}', {rep})"
@@ -900,18 +901,29 @@ def url_canonical_steps(url: str = "url", d: str = "spark") -> list:
     )
     return [
         ("_scheme", f"lower({rx(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)})"),
+        ("_host0",
+         rr(f"lower({rx(url, '^[^:/?#]+://([^/?#]*)', 1)})", "^www\\.")),
+        # strip only the SCHEME'S OWN default port: http://h:443 is a
+        # genuinely distinct origin from https://h and must not merge
         ("_host",
-         rr(rr(f"lower({rx(url, '^[^:/?#]+://([^/?#]*)', 1)})",
-               "^www\\."),
-            ":(80|443)$")),
+         "CASE WHEN _scheme = 'http' THEN "
+         + rr("_host0", ":80$")
+         + " WHEN _scheme = 'https' THEN "
+         + rr("_host0", ":443$")
+         + " ELSE _host0 END"),
         ("_path0", rx(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)),
         ("_path", "CASE WHEN _path0 = '' THEN '/' ELSE _path0 END"),
-        ("_q", rx(url, "[?]([^#]*)", 1)),
+        # anchor before any '#': a '?' inside the fragment (SPA
+        # routes like /app#/search?q=x) is NOT a query string
+        ("_q", rx(url, "^[^#]*[?]([^#]*)", 1)),
         ("_qkeep", dl.arr_join(f"{sort_fn}({parts})", "&", d)),
         ("canonical_url",
          "_scheme || '://' || _host || _path || "
          "CASE WHEN _qkeep = '' THEN '' ELSE '?' || _qkeep END"),
-        ("domain", rx("_host", "([a-z0-9-]+[.][a-z0-9]+)$", 1)),
+        # last two host labels, ignoring any RETAINED non-default port
+        # (quota is per registered domain; the port stays in the
+        # canonical URL but doesn't split the quota key)
+        ("domain", rx("_host", "([a-z0-9-]+[.][a-z0-9]+)(:[0-9]+)?$", 1)),
     ]
 
 
@@ -922,7 +934,9 @@ def url_canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     out = df
     for name, expr in url_canonical_steps(url_col, "spark"):
         out = out.withColumn(name, F.expr(expr))
-    return out.drop("_scheme", "_host", "_path0", "_path", "_q", "_qkeep")
+    return out.drop(
+        "_scheme", "_host0", "_host", "_path0", "_path", "_q", "_qkeep"
+    )
 
 
 def domain_quota(

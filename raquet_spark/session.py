@@ -123,6 +123,39 @@ def derive_shuffle_width(
     return max(base, min(cap, math.ceil(max(n_rows, 1) / target_rows_per_task)))
 
 
+def estimate_token_rows(
+    df,
+    text_col: str,
+    token_pattern: str,
+    lowercase: bool = False,
+    sample_rows: int = 2048,
+    n_docs: int | None = None,
+) -> tuple[int, int]:
+    """``(n_docs, est_token_rows)`` for shuffle-width sizing: a full
+    doc count (cheap column scan, skipped when the caller already has
+    it) times the mean token count of a bounded sample. The single
+    calibration point shared by the minhash and substring auto-width
+    paths — the token regex is the caller's, everything else (sample
+    size, empty-corpus fallback) lives here once."""
+    from pyspark.sql import functions as F
+
+    if n_docs is None:
+        n_docs = df.count()
+    src = f"lower({text_col})" if lowercase else text_col
+    avg = (
+        df.select(
+            F.expr(
+                f"size(regexp_extract_all({src}, '{token_pattern}', 0))"
+            ).alias("n")
+        )
+        .limit(sample_rows)
+        .agg(F.avg("n"))
+        .first()[0]
+        or 0.0
+    )
+    return int(n_docs), int(n_docs * float(avg))
+
+
 class scoped_shuffle_width:
     """Context manager: run the enclosed (eagerly materialized) jobs at
     ``width`` shuffle partitions, restoring the session default on

@@ -147,35 +147,44 @@ def write_raquet(
         # (ADVICE r14: the limit(64) job re-executed the full import
         # pipeline on the non-interleaved path)
         persisted = df = df.persist()
-    num_blocks = df.count()
-    metadata = dict(metadata)
-    metadata["tiling"] = dict(metadata.get("tiling", {}), num_blocks=num_blocks)
-
-    df = ensure_metadata_column(df)
-    meta_row = _metadata_row(spark, df, metadata)
-    parts = None
-    if target_file_bytes and num_blocks:
-        bin_cols = [
-            f.name for f in df.schema.fields
-            if f.dataType.simpleString() == "binary"
-        ]
-        if bin_cols:
-            row = df.limit(64).select(
-                *[F.sum(F.octet_length(c)).alias(c) for c in bin_cols],
-                F.count(F.lit(1)).alias("_n"),
-            ).collect()[0]
-            n = row["_n"] or 1
-            avg = sum(row[c] or 0 for c in bin_cols) / n + 256
-            parts = max(1, int(math.ceil(avg * num_blocks / target_file_bytes)))
-    out = (
-        df.repartitionByRange(parts, "block") if parts
-        else df.repartitionByRange("block")
-    ).sortWithinPartitions("block").unionByName(meta_row)
-
-    writer = out.write.mode(mode)
-    if target_row_group_bytes:
-        writer = writer.option("parquet.block.size", str(target_row_group_bytes))
+    # the try covers everything from the first job on the persisted df
+    # through the write, so an exception in the count/sampling path
+    # can't leak the cache (r15 review finding)
     try:
+        num_blocks = df.count()
+        metadata = dict(metadata)
+        metadata["tiling"] = dict(
+            metadata.get("tiling", {}), num_blocks=num_blocks
+        )
+
+        df = ensure_metadata_column(df)
+        meta_row = _metadata_row(spark, df, metadata)
+        parts = None
+        if target_file_bytes and num_blocks:
+            bin_cols = [
+                f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "binary"
+            ]
+            if bin_cols:
+                row = df.limit(64).select(
+                    *[F.sum(F.octet_length(c)).alias(c) for c in bin_cols],
+                    F.count(F.lit(1)).alias("_n"),
+                ).collect()[0]
+                n = row["_n"] or 1
+                avg = sum(row[c] or 0 for c in bin_cols) / n + 256
+                parts = max(
+                    1, int(math.ceil(avg * num_blocks / target_file_bytes))
+                )
+        out = (
+            df.repartitionByRange(parts, "block") if parts
+            else df.repartitionByRange("block")
+        ).sortWithinPartitions("block").unionByName(meta_row)
+
+        writer = out.write.mode(mode)
+        if target_row_group_bytes:
+            writer = writer.option(
+                "parquet.block.size", str(target_row_group_bytes)
+            )
         writer.parquet(path)
     finally:
         if persisted is not None:

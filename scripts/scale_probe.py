@@ -237,9 +237,14 @@ def main() -> None:
                 "vec_id", F.col("vec_id") + F.lit(100_000_000)
             )
             corpus = big_emb.unionByName(planted).localCheckpoint(eager=True)
+            # materialize the LSH pairs so the components sizing count
+            # is a cache scan, not a second full LSH execution (r15
+            # review finding — the lazy plan would run twice)
             pairs = embedding_dedup_pairs_lsh(
                 corpus, threshold=0.95, n_tables=16, dim=64
-            ).where(F.col("id_b") == F.col("id_a") + F.lit(100_000_000))
+            ).where(
+                F.col("id_b") == F.col("id_a") + F.lit(100_000_000)
+            ).localCheckpoint(eager=True)
             return keep_cluster_min(
                 corpus.select("vec_id"), pairs, id_col="vec_id"
             ).count()

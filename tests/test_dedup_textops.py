@@ -760,6 +760,13 @@ def test_html_extract_hand_fixtures(spark):
         ("<header>chrome</header><p>line1</p>\n\n<p>line2</p>"
          "<footer>foot</footer>", "line1 line2"),
         ("no markup at all", "no markup at all"),
+        # multi-line blocks: '.' does not cross newlines in Java/RE2,
+        # so the block patterns carry (?s) — without it the raw JS/CSS
+        # would leak into the "clean" text (r15 review finding)
+        ("<script>\nvar x = 1;\ntrack();\n</script>kept tail",
+         "kept tail"),
+        ("<STYLE>\nh1 {\n color: red;\n}\n</STYLE>body", "body"),
+        ("<!-- multi\nline\ncomment -->seen", "seen"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "i long, html string"
@@ -794,6 +801,16 @@ def test_url_canonicalize_hand_fixtures(spark):
          "https://example.com/x", "example.com"),
         ("https://sub.deep.example.co/a/b?b=1&a=2",
          "https://sub.deep.example.co/a/b?a=2&b=1", "example.co"),
+        # '?' INSIDE the fragment is not a query (SPA routes) — the
+        # whole fragment drops (r15 review finding)
+        ("https://app.example.com/app#/search?q=x",
+         "https://app.example.com/app", "example.com"),
+        # only the scheme's OWN default port strips: http on 443 is a
+        # genuinely distinct origin and must survive
+        ("http://example.com:443/x", "http://example.com:443/x",
+         "example.com"),
+        ("https://example.com:80/x", "https://example.com:80/x",
+         "example.com"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _, _) in enumerate(cases)], "i long, url string"
