@@ -477,11 +477,28 @@ def embedding_dedup_pairs_lsh(
     seed: int = 7,
     dim: int = 64,
     n_rows: int | None = None,
+    auto_width: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs at scale: LSH-bucketed candidates,
     exact cosine verify — the 100 TB replacement for the all-pairs
     :func:`embedding_dedup_pairs` (which is safe only while a blocking
     bucket stays O(10^4)).
+
+    ``auto_width=True`` applies the same sizing rule as
+    :func:`minhash_dedup_pairs`: the bucket join's output volume is
+    the closed-form Σ k(k−1)/2 over bucket occupancies (counted from
+    the materialized signatures), so the join runs at a NUMBERED
+    repartition width derived from the PAIR volume (AQE coalesces by
+    the tiny signature-input bytes and cannot see the intra-stage
+    blow-up on duplicate-heavy corpora), and the verified pairs
+    materialize inside the scope (DISK_ONLY once they outgrow the
+    session). Default keeps the lazy composable plan — and laziness
+    is the RIGHT default whenever the caller filters the pairs
+    afterwards: Catalyst pushes such predicates INTO the bucket join
+    and cosine verify (measured ~15x on the probe's planted-pair
+    filter), which eager materialization forfeits. Use
+    ``auto_width=True`` only when the COMPLETE verified pair set is
+    consumed (cluster-then-keep over the whole corpus).
 
     Plan: one Arrow-matmul signature pass (shared with ann_lsh), one
     posexplode, one self equi-join on (table, signature) bucket — so
@@ -514,41 +531,79 @@ def embedding_dedup_pairs_lsh(
             _all_signatures(vec_col, n_bits, n_tables, seed, dim)
         ).alias("_t", "_sig"),
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    # candidate ids FIRST, deduped on narrow (id, id) rows: clustered
-    # corpora collide the same pair in many tables, and the exact
-    # cosine must run once per unique pair, not once per collision
-    cand = (
-        a.join(
-            b,
-            (F.col("a._t") == F.col("b._t"))
-            & (F.col("a._sig") == F.col("b._sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    def _pairs(sigs_src: DataFrame, join_width: int | None = None) -> DataFrame:
+        if join_width:
+            sigs_src = sigs_src.repartition(join_width, "_t", "_sig")
+        a, b = sigs_src.alias("a"), sigs_src.alias("b")
+        # candidate ids FIRST, deduped on narrow (id, id) rows:
+        # clustered corpora collide the same pair in many tables, and
+        # the exact cosine must run once per unique pair, not once per
+        # collision
+        cand = (
+            a.join(
+                b,
+                (F.col("a._t") == F.col("b._t"))
+                & (F.col("a._sig") == F.col("b._sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        v = with_norm(
+            df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v"
         )
-        .distinct()
-    )
-    v = with_norm(df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v")
-    va = v.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_norm").alias("_na"),
-    )
-    vb = v.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_norm").alias("_nb"),
-    )
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", _dot("_va", "_vb") / F.col("_na") / F.col("_nb"))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+        va = v.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_norm").alias("_na"),
+        )
+        vb = v.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        )
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn(
+                "cos_sim", _dot("_va", "_vb") / F.col("_na") / F.col("_nb")
+            )
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+
+    if not auto_width:
+        return _pairs(sigs)
+
+    from pyspark import StorageLevel
+
+    from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
+
+    spark = df.sparkSession
+    sigs_m = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pair_rows = (
+            sigs_m.groupBy("_t", "_sig")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.sum(F.expr("CAST(k AS DOUBLE) * (k - 1) / 2")).alias("p"))
+            .first()["p"]
+            or 0.0
+        )
+        width = derive_shuffle_width(
+            spark, int(pair_rows), target_rows_per_task=250_000
+        )
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        level = StorageLevel.DISK_ONLY if width > base else None
+        with scoped_shuffle_width(spark, width):
+            return _pairs(
+                sigs_m, join_width=width if width > base else None
+            ).localCheckpoint(eager=True, storageLevel=level)
+    finally:
+        sigs_m.unpersist()
 
 
 def embedding_dedup_pairs(

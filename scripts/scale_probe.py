@@ -237,16 +237,19 @@ def main() -> None:
                 "vec_id", F.col("vec_id") + F.lit(100_000_000)
             )
             corpus = big_emb.unionByName(planted).localCheckpoint(eager=True)
-            # materialize the LSH pairs so the components sizing count
-            # is a cache scan, not a second full LSH execution (r15
-            # review finding — the lazy plan would run twice)
+            # deliberately LAZY (auto_width=False end to end): Catalyst
+            # fuses the planted-pair filter INTO the LSH self-join and
+            # verify, pruning ~50x of the pair work — measured 14-16s
+            # lazy vs 232s when auto_width materialized the COMPLETE
+            # verified pair set before the filter (r15). This arm
+            # measures the declarative chain; the full-pair-set shape
+            # is what dedup_components_x256 measures.
             pairs = embedding_dedup_pairs_lsh(
                 corpus, threshold=0.95, n_tables=16, dim=64
-            ).where(
-                F.col("id_b") == F.col("id_a") + F.lit(100_000_000)
-            ).localCheckpoint(eager=True)
+            ).where(F.col("id_b") == F.col("id_a") + F.lit(100_000_000))
             return keep_cluster_min(
-                corpus.select("vec_id"), pairs, id_col="vec_id"
+                corpus.select("vec_id"), pairs, id_col="vec_id",
+                auto_width=False,
             ).count()
 
         bench(f"semantic_dedup_x{mult}", semantic_keep, runs)

@@ -697,3 +697,26 @@ def test_substring_auto_width_parity(spark):
                 docs, window=12, auto_width=True).collect()}
     assert auto == plain and plain
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_embedding_lsh_auto_width_parity(spark):
+    """auto_width returns exactly the plain path's verified pairs and
+    restores the session width (the E5 scale path's r15 sizing)."""
+    from raquet_spark.operators.dedup import embedding_dedup_pairs_lsh
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    emb = spark.range(60).selectExpr(
+        "id AS vec_id",
+        # 6 planted clusters of 10 near-identical vectors
+        "transform(sequence(1, 16), x -> CAST(x AS DOUBLE) + "
+        "CAST(id % 6 AS DOUBLE) * 40.0 + CAST(id AS DOUBLE) * 1e-6) "
+        "AS embedding",
+    )
+    kw = dict(threshold=0.99, n_tables=8, dim=16, n_bits=4)
+    plain = {(r["id_a"], r["id_b"])
+             for r in embedding_dedup_pairs_lsh(emb, **kw).collect()}
+    auto = {(r["id_a"], r["id_b"])
+            for r in embedding_dedup_pairs_lsh(
+                emb, auto_width=True, **kw).collect()}
+    assert auto == plain and plain
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
