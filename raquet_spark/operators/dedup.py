@@ -137,6 +137,7 @@ def minhash_dedup_pairs(
     hash_fn: str = "md5",
     auto_width: bool = False,
     n_docs: int | None = None,
+    target_rows_per_task: int = 250_000,
 ) -> DataFrame:
     """LSH candidate pairs over MinHash signatures.
 
@@ -174,35 +175,21 @@ def minhash_dedup_pairs(
     with scoped_shuffle_width(spark, width_sig):
         sigs_m.count()
     # stage 2: the band self-join's output is the CLOSED-FORM pair
-    # volume sum_buckets k*(k-1)/2 — one cheap agg over docs x bands
-    # rows gives it exactly, and it is the number that matters: on a
-    # duplicate-heavy corpus the join output dwarfs its input, so the
-    # width must come from pairs, not banded rows. 250k pair rows/task
-    # keeps the join stage's partial-distinct state ~tens of MB at the
-    # default session's per-slot budget.
-    banded_rows = banded_signatures(sigs_m, id_col)
-    pair_rows = (
-        banded_rows.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .agg(F.sum(F.expr("CAST(k AS DOUBLE) * (k - 1) / 2")).alias("p"))
-        .first()["p"]
-        or 0.0
+    # volume sum_buckets k*(k-1)/2, and it is the number that matters:
+    # on a duplicate-heavy corpus the join output dwarfs its input, so
+    # the width must come from pairs, not banded rows. The shared
+    # recipe (session.materialize_sized_pairs) counts it from the
+    # materialized signatures, scopes the join, checkpoints DISK_ONLY
+    # past the session width, and releases the signature cache.
+    from raquet_spark.session import materialize_sized_pairs
+
+    return materialize_sized_pairs(
+        sigs_m,
+        banded_signatures(sigs_m, id_col),
+        ("band", "key"),
+        lambda w: lsh_candidate_pairs(sigs_m, id_col, join_width=w),
+        target_rows_per_task=target_rows_per_task,
     )
-    width_join = derive_shuffle_width(
-        spark, int(pair_rows), target_rows_per_task=250_000
-    )
-    # DISK_ONLY for a pair table that outgrew the session (same rule
-    # as connected_components' edge checkpoint): 10^8 candidate pairs
-    # resident in the memory tier saturate a bounded heap
-    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    level = StorageLevel.DISK_ONLY if width_join > base else None
-    try:
-        with scoped_shuffle_width(spark, width_join):
-            return lsh_candidate_pairs(
-                sigs_m, id_col, join_width=width_join
-            ).localCheckpoint(eager=True, storageLevel=level)
-    finally:
-        sigs_m.unpersist()
 
 
 def simhash_signatures(
@@ -478,6 +465,7 @@ def embedding_dedup_pairs_lsh(
     dim: int = 64,
     n_rows: int | None = None,
     auto_width: bool = False,
+    target_rows_per_task: int = 250_000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs at scale: LSH-bucketed candidates,
     exact cosine verify — the 100 TB replacement for the all-pairs
@@ -531,6 +519,7 @@ def embedding_dedup_pairs_lsh(
             _all_signatures(vec_col, n_bits, n_tables, seed, dim)
         ).alias("_t", "_sig"),
     )
+    v = with_norm(df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v")
 
     def _pairs(sigs_src: DataFrame, join_width: int | None = None) -> DataFrame:
         if join_width:
@@ -552,9 +541,6 @@ def embedding_dedup_pairs_lsh(
                 F.col(f"b.{id_col}").alias("id_b"),
             )
             .distinct()
-        )
-        v = with_norm(
-            df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v"
         )
         va = v.select(
             F.col(id_col).alias("id_a"),
@@ -581,29 +567,24 @@ def embedding_dedup_pairs_lsh(
 
     from pyspark import StorageLevel
 
-    from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
+    from raquet_spark.session import materialize_sized_pairs
 
-    spark = df.sparkSession
+    # persist BOTH eager-path inputs: the signatures (scanned by the
+    # occupancy count and the join) and the narrow norm projection
+    # (scanned by the two verify sides) — without the latter an
+    # expensive caller plan would re-execute 2x inside one eager call
     sigs_m = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        pair_rows = (
-            sigs_m.groupBy("_t", "_sig")
-            .agg(F.count(F.lit(1)).alias("k"))
-            .agg(F.sum(F.expr("CAST(k AS DOUBLE) * (k - 1) / 2")).alias("p"))
-            .first()["p"]
-            or 0.0
+        return materialize_sized_pairs(
+            sigs_m,
+            sigs_m,
+            ("_t", "_sig"),
+            lambda w: _pairs(sigs_m, join_width=w),
+            target_rows_per_task=target_rows_per_task,
         )
-        width = derive_shuffle_width(
-            spark, int(pair_rows), target_rows_per_task=250_000
-        )
-        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        level = StorageLevel.DISK_ONLY if width > base else None
-        with scoped_shuffle_width(spark, width):
-            return _pairs(
-                sigs_m, join_width=width if width > base else None
-            ).localCheckpoint(eager=True, storageLevel=level)
     finally:
-        sigs_m.unpersist()
+        v.unpersist()
 
 
 def embedding_dedup_pairs(

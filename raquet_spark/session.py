@@ -156,6 +156,50 @@ def estimate_token_rows(
     return int(n_docs), int(n_docs * float(avg))
 
 
+def materialize_sized_pairs(
+    persisted,
+    bucketed,
+    key_cols: tuple,
+    build,
+    target_rows_per_task: int = 250_000,
+):
+    """The shared sized-pair-join recipe of the LSH dedup operators
+    (minhash + embedding): count the closed-form pair volume
+    Σ k(k−1)/2 over the ``key_cols`` buckets of ``bucketed``, derive
+    the join width from PAIRS (AQE coalesces by the tiny bucket-row
+    input bytes and cannot see the intra-stage pair blow-up), run
+    ``build(join_width)`` inside a scoped width with the result
+    eagerly checkpointed (DISK_ONLY once it outgrows the session),
+    and release ``persisted`` on the way out. When the derived width
+    does not exceed the session default, the scope is skipped
+    entirely so small corpora keep the session's exact AQE behavior
+    and ``build(None)`` adds no repartition."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    spark = bucketed.sparkSession
+    try:
+        pair_rows = (
+            bucketed.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(F.sum(F.expr("CAST(k AS DOUBLE) * (k - 1) / 2")).alias("p"))
+            .first()["p"]
+            or 0.0
+        )
+        width = derive_shuffle_width(
+            spark, int(pair_rows), target_rows_per_task=target_rows_per_task
+        )
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if width <= base:
+            return build(None).localCheckpoint(eager=True)
+        with scoped_shuffle_width(spark, width):
+            return build(width).localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
+    finally:
+        persisted.unpersist()
+
+
 class scoped_shuffle_width:
     """Context manager: run the enclosed (eagerly materialized) jobs at
     ``width`` shuffle partitions, restoring the session default on

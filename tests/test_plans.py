@@ -678,6 +678,12 @@ def test_minhash_auto_width_parity(spark):
     auto = {(r["id_a"], r["id_b"])
             for r in minhash_dedup_pairs(docs, auto_width=True).collect()}
     assert auto == plain and plain  # non-empty: the %5 groups collide
+    # force the wide branch (numbered repartition + DISK_ONLY) at
+    # unit scale
+    wide = {(r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(
+                docs, auto_width=True, target_rows_per_task=1).collect()}
+    assert wide == plain
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
@@ -719,4 +725,12 @@ def test_embedding_lsh_auto_width_parity(spark):
             for r in embedding_dedup_pairs_lsh(
                 emb, auto_width=True, **kw).collect()}
     assert auto == plain and plain
+    # target_rows_per_task=1 forces the WIDE branch (numbered
+    # repartition + DISK_ONLY checkpoint) at unit scale — without it
+    # that code path only runs inside hour-long scale probes
+    wide = {(r["id_a"], r["id_b"])
+            for r in embedding_dedup_pairs_lsh(
+                emb, auto_width=True, target_rows_per_task=1,
+                **kw).collect()}
+    assert wide == plain
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
