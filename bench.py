@@ -153,15 +153,42 @@ def main() -> None:
         "rasterize_wkt_stats",
     ]
 
+    # Contention sentinel #0: 1-min load average BEFORE any work. An
+    # idle box sits <1; a box still draining a pytest/bench run shows
+    # its load here, and BOTH sides' numbers are then untrustworthy
+    # (BENCH_r15: uniform 1.4-2.8x inflation on the heavy raster lines,
+    # judged a contended-box artifact — nothing in the parsed line
+    # said so; VERDICT r15 #3).
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_suspect = load1 >= max(2.0, 0.10 * cpus)
+
     # DuckDB side FIRST — idle process, cold page cache shared fairly;
     # sanity floor below flags a contended box before the numbers are
     # trusted (dataset_shuffle is a ~10 ms scan+sort at sf0.1)
     oracles = entry_mod.oracle_sql()
+
+    def _duck_suspect(t: dict[str, float]) -> bool:
+        # a MISSING sentinel (interrupted / errored) is itself evidence
+        # of a struggling box — read it as suspect, not clean
+        ds = t.get("dataset_shuffle")
+        return ds is None or ds >= 0.030
+
     duck_timings = measure_duckdb(sf_dir, headline, oracles)
-    # a MISSING sentinel (interrupted / errored) is itself evidence of
-    # a struggling box — read it as suspect, not clean
-    _ds = duck_timings.get("dataset_shuffle")
-    duck_suspect = _ds is None or _ds >= 0.030
+    if _duck_suspect(duck_timings):
+        # one self-heal pass: a transient spike (cron tick, page-cache
+        # warmup) often clears in the seconds the first pass took —
+        # keep the per-query minimum of both passes
+        retry = measure_duckdb(sf_dir, headline, oracles)
+        duck_timings = {
+            k: min(v for v in (duck_timings.get(k), retry.get(k))
+                   if v is not None)
+            for k in set(duck_timings) | set(retry)
+        }
+    duck_suspect = _duck_suspect(duck_timings)
 
     from raquet_spark.session import get_spark
 
@@ -426,6 +453,8 @@ def main() -> None:
         json.dump({
             "duckdb_queries": duck_timings,
             "duckdb_baseline_suspect": duck_suspect,
+            "load1_at_start": round(load1, 2),
+            "load_suspect": load_suspect,
             "spark_queries": timings,
             "spark_vs_duckdb": ratios,
             "ratio_real": (
@@ -460,10 +489,14 @@ def main() -> None:
         "spark_vs_duckdb_total": (
             round(spark_sum / duck_sum, 3) if duck_sum else None
         ),
-        # 1 = the duck baseline looked contended (dataset_shuffle
-        # >= 30 ms): inflated duck times make spark_vs_duckdb_total
-        # read too favorably — re-run on an idle box before trusting
-        **({"duck_suspect": 1} if duck_suspect else {}),
+        # true = this run looked contended (duck dataset_shuffle floor
+        # >= 30 ms even after one retry, OR 1-min load >= max(2,
+        # 0.1*cpus) at start): every number above is then suspect in
+        # BOTH directions — re-run on an idle box before trusting or
+        # comparing round-over-round (VERDICT r15 #3). Always present
+        # so a clean run is machine-distinguishable from a pre-r16
+        # line that simply lacked the field.
+        "suspect": bool(duck_suspect or load_suspect),
         "sf": float(sf),
     }, separators=(",", ":"))
     # the driver parses only the LAST 2000 stdout chars as JSON

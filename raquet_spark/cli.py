@@ -656,7 +656,8 @@ def cmd_dedup(args) -> int:
         # auto_width: the CLI is the production funnel — size the LSH
         # shuffles from the corpus itself (n_in is already counted)
         out = keep_cluster_min(
-            df, minhash_dedup_pairs(df, auto_width=True, n_docs=n_in)
+            df, minhash_dedup_pairs(df, auto_width=True, n_docs=n_in),
+            auto_width=True,
         )
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()

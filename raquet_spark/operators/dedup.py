@@ -297,7 +297,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    auto_width: bool = True,
+    auto_width: bool = False,
     target_rows_per_task: int | None = None,
 ) -> DataFrame:
     """Cluster near-duplicate pairs: (node, component) where component
@@ -315,15 +315,20 @@ def connected_components(
     verification round; the early-exit check stops as soon as a round
     changes nothing.
 
-    ``auto_width``: every round's joins/aggs shuffle edge volume, and
-    AQE never RAISES the initial shuffle width — SCALE_PROBE_r14
+    ``auto_width=True``: every round's joins/aggs shuffle edge volume,
+    and AQE never RAISES the initial shuffle width — SCALE_PROBE_r14
     demonstrated the default 32-wide session OOMing at 1.3e8 edges.
     The operator already materializes the edge list, so it sizes its
     own shuffle from the measured edge count
     (:func:`raquet_spark.session.derive_shuffle_width`) instead of
     relying on the caller exporting SPARK_GRAFT_SHUFFLE_PARTITIONS.
     Every job in here materializes inside the widened scope, so the
-    session default is restored before control returns.
+    session default is restored before control returns. Default False
+    (ADVICE r15, matching the sibling operators' convention): the
+    sizing count executes the caller's edges plan one extra time,
+    which is the wrong trade for lazy/expensive pair plans — the
+    production funnels (CLI, probe, pipeline demo) feed MATERIALIZED
+    pairs and opt in explicitly.
     """
     from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
 
@@ -434,7 +439,7 @@ def keep_cluster_min(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
-    auto_width: bool = True,
+    auto_width: bool = False,
 ) -> DataFrame:
     """Near-dup pruning policy shared by the CLI, the pipeline example
     and the scale probe: cluster the candidate ``pairs`` with
@@ -443,10 +448,10 @@ def keep_cluster_min(
     the cluster losers.
 
     ``auto_width`` forwards to :func:`connected_components`, whose
-    sizing count executes the ``pairs`` plan once — pass MATERIALIZED
-    pairs (the ``auto_width`` LSH outputs are localCheckpoints), or
-    set ``auto_width=False`` for a lazy pairs plan you don't want
-    executed twice."""
+    sizing count executes the ``pairs`` plan once — opt in with
+    MATERIALIZED pairs (the ``auto_width`` LSH outputs are
+    localCheckpoints); the False default (ADVICE r15) keeps a lazy
+    pairs plan from being executed twice."""
     comp = connected_components(pairs, src, dst, auto_width=auto_width)
     losers = comp.where(F.col("node") != F.col("component")).selectExpr(
         f"node AS {id_col}"

@@ -646,15 +646,28 @@ def substring_dedup_spans(
             scoped_shuffle_width,
         )
 
+        from pyspark import StorageLevel
+
         spark = df.sparkSession
         _, token_rows = estimate_token_rows(
             df, text_col, "[^ \\\\t\\\\n]+"
         )
         width = derive_shuffle_width(spark, token_rows)
-        with scoped_shuffle_width(spark, width):
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if width <= base:
+            # nothing to widen: keep the session's exact AQE behavior
+            # and the default (memory-tier) checkpoint for small corpora
             return substring_dedup_spans(
                 df, window, text_col, id_col, auto_width=False
             ).localCheckpoint(eager=True)
+        # past the session width the span set is big by construction —
+        # checkpoint DISK_ONLY like materialize_sized_pairs does, so the
+        # resident blocks can't crowd a bounded executor heap the way
+        # the r15 probe measured on the components path (ADVICE r15)
+        with scoped_shuffle_width(spark, width):
+            return substring_dedup_spans(
+                df, window, text_col, id_col, auto_width=False
+            ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     shingled = df.selectExpr(
         id_col,

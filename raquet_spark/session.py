@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -133,27 +134,36 @@ def estimate_token_rows(
 ) -> tuple[int, int]:
     """``(n_docs, est_token_rows)`` for shuffle-width sizing: a full
     doc count (cheap column scan, skipped when the caller already has
-    it) times the mean token count of a bounded sample. The single
-    calibration point shared by the minhash and substring auto-width
-    paths — the token regex is the caller's, everything else (sample
-    size, empty-corpus fallback) lives here once."""
+    it) times the mean token count of a RANDOM ~``sample_rows`` sample.
+    The single calibration point shared by the minhash and substring
+    auto-width paths — the token regex is the caller's, everything
+    else (sample size, empty-corpus fallback) lives here once.
+
+    The sample is ``df.sample(fraction)``, not ``limit()`` (ADVICE
+    r15): a head sample over a corpus clustered by length — the normal
+    state after length filtering or sorted ingest — skews the mean and
+    undersizes the very shuffle this estimate protects from OOM. The
+    estimate is also padded 1.25x: sampling error in the unsafe
+    direction (under) costs an OOM, over costs nothing (AQE coalesces
+    oversized widths back down)."""
     from pyspark.sql import functions as F
 
     if n_docs is None:
         n_docs = df.count()
     src = f"lower({text_col})" if lowercase else text_col
+    frac = min(1.0, sample_rows / max(int(n_docs), 1))
+    sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=7)
     avg = (
-        df.select(
+        sampled.select(
             F.expr(
                 f"size(regexp_extract_all({src}, '{token_pattern}', 0))"
             ).alias("n")
         )
-        .limit(sample_rows)
         .agg(F.avg("n"))
         .first()[0]
         or 0.0
     )
-    return int(n_docs), int(n_docs * float(avg))
+    return int(n_docs), int(n_docs * float(avg) * 1.25)
 
 
 def materialize_sized_pairs(
@@ -209,6 +219,16 @@ class scoped_shuffle_width:
     the width mid-session is safe for concurrent queries: they plan at
     most with more initial partitions, which AQE coalesces.
 
+    Overlapping scopes (concurrent operator threads on one session —
+    session conf is session-global) are coordinated through a locked
+    per-session registry: while any scope is active the conf holds the
+    MAX of the active widths (oversizing is the harmless direction —
+    AQE coalesces back down), and the pre-scope session values are
+    saved exactly once by the outermost enter and restored exactly
+    once by the last exit. Without this, two interleaved scopes
+    restore each other's stale values and leave the session
+    permanently widened (ADVICE r15).
+
     The scope also lowers AQE's advisory partition size to 16 MB:
     the 64 MB default is calibrated for scan-heavy stages, but the
     rows these scopes shuffle (16-byte edge/pair tuples) expand
@@ -218,23 +238,49 @@ class scoped_shuffle_width:
 
     _KEYS = ("spark.sql.shuffle.partitions",
              "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    _LOCK = threading.Lock()
+    _ACTIVE: dict = {}  # id(session) -> {id(scope): width}
+    _SAVED: dict = {}   # id(session) -> pre-scope conf values
 
     def __init__(self, spark: SparkSession, width: int):
         self.spark = spark
         self.width = int(width)
 
     def __enter__(self):
-        self._prev = {k: self.spark.conf.get(k, None) for k in self._KEYS}
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
-        self.spark.conf.set(
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m"
-        )
+        cls = type(self)
+        sid = id(self.spark)
+        with cls._LOCK:
+            active = cls._ACTIVE.setdefault(sid, {})
+            if not active:
+                cls._SAVED[sid] = {
+                    k: self.spark.conf.get(k, None) for k in self._KEYS
+                }
+            active[id(self)] = self.width
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(max(active.values()))
+            )
+            self.spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m"
+            )
         return self
 
     def __exit__(self, *exc):
-        for k, v in self._prev.items():
-            if v is None:
-                self.spark.conf.unset(k)
+        cls = type(self)
+        sid = id(self.spark)
+        with cls._LOCK:
+            active = cls._ACTIVE.get(sid, {})
+            active.pop(id(self), None)
+            if active:
+                # another scope is still live: drop to the max of the
+                # remaining widths, keep the 16 MB advisory
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(max(active.values()))
+                )
             else:
-                self.spark.conf.set(k, v)
+                cls._ACTIVE.pop(sid, None)
+                for k, v in cls._SAVED.pop(sid, {}).items():
+                    if v is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, v)
         return False

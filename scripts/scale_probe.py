@@ -161,7 +161,8 @@ def main() -> None:
         bench(
             f"dedup_components_x{mult}",
             lambda: connected_components(
-                minhash_dedup_pairs(big_docs, auto_width=True), "id_a", "id_b"
+                minhash_dedup_pairs(big_docs, auto_width=True), "id_a", "id_b",
+                auto_width=True,
             ).count(),
             runs,
         )

@@ -626,6 +626,40 @@ def test_scoped_shuffle_width_restores(spark):
     assert spark.conf.get(key) == prev
 
 
+def test_scoped_shuffle_width_overlapping_scopes(spark):
+    """Interleaved (non-nested) scope lifetimes — the concurrent-thread
+    shape ADVICE r15 flagged: A enters, B enters, A exits, B exits. The
+    conf must hold the max of the active widths while any scope lives
+    and restore the ORIGINAL session values at the last exit, not A's
+    width (the stale-restore bug left the session permanently wide)."""
+    from raquet_spark.session import scoped_shuffle_width
+
+    key = "spark.sql.shuffle.partitions"
+    adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key)
+    prev_adv = spark.conf.get(adv, None)
+    a = scoped_shuffle_width(spark, 600)
+    b = scoped_shuffle_width(spark, 900)
+    a.__enter__()
+    assert spark.conf.get(key) == "600"
+    b.__enter__()
+    assert spark.conf.get(key) == "900"  # max of active scopes
+    a.__exit__(None, None, None)
+    # B still live: its width (the max of what remains) stays in force
+    assert spark.conf.get(key) == "900"
+    assert spark.conf.get(adv) == "16m"
+    b.__exit__(None, None, None)
+    assert spark.conf.get(key) == prev
+    assert spark.conf.get(adv, None) == prev_adv
+    # nested (LIFO) ordering also restores cleanly, inner width wins
+    # only while the inner scope lives when it is the larger one
+    with scoped_shuffle_width(spark, 500):
+        with scoped_shuffle_width(spark, 700):
+            assert spark.conf.get(key) == "700"
+        assert spark.conf.get(key) == "500"
+    assert spark.conf.get(key) == prev
+
+
 def test_connected_components_derives_width_from_edges(spark, monkeypatch):
     """connected_components sizes its shuffles from the MEASURED raw
     edge count (both orientations): with target_rows_per_task=1 a
@@ -650,7 +684,7 @@ def test_connected_components_derives_width_from_edges(spark, monkeypatch):
     # assuming conftest's 4
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = spark.range(40).selectExpr("id AS id_a", "id + 1 AS id_b")
-    labels = connected_components(edges, target_rows_per_task=1)
+    labels = connected_components(edges, auto_width=True, target_rows_per_task=1)
     # 40 edges x 2 orientations at 1 row/task -> width 80; when the
     # shared-session base already exceeds that, the operator correctly
     # skips the scope (nothing to widen) and records no width
