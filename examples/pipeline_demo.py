@@ -70,7 +70,9 @@ def run_pipeline(spark, sf_dir: str, max_len: int = 512) -> dict:
     # auto_width: the demo mirrors the production funnel — the pairs
     # come back materialized, so the components sizing count is cheap
     uniq = keep_cluster_min(
-        pruned, minhash_dedup_pairs(pruned, auto_width=True), auto_width=True
+        pruned,
+        minhash_dedup_pairs(pruned, auto_width=True, collapse_identical=True),
+        auto_width=True,
     )
     counts["after_minhash_dedup"] = uniq.count()
 

@@ -654,9 +654,15 @@ def cmd_dedup(args) -> int:
         )
 
         # auto_width: the CLI is the production funnel — size the LSH
-        # shuffles from the corpus itself (n_in is already counted)
+        # shuffles from the corpus itself (n_in is already counted).
+        # collapse_identical: the pairs feed components/keep-min only,
+        # so exact copies collapse to rep + star edges (linear, not
+        # quadratic, in duplication) with an identical kept set.
         out = keep_cluster_min(
-            df, minhash_dedup_pairs(df, auto_width=True, n_docs=n_in),
+            df,
+            minhash_dedup_pairs(
+                df, auto_width=True, n_docs=n_in, collapse_identical=True
+            ),
             auto_width=True,
         )
     out.write.mode("overwrite").parquet(args.output)

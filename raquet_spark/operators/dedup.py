@@ -100,11 +100,49 @@ def banded_signatures(
     )
 
 
+def collapse_identical_signatures(
+    signatures: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """``(reps, star)``: one representative row (minimum id) per
+    DISTINCT full signature, plus ``(id_a=rep, id_b=member)`` star
+    edges for every non-representative member.
+
+    The exact-duplicate collapse of the LSH pair join: exact duplicates
+    have IDENTICAL signatures, so a group of k copies would otherwise
+    emit k(k−1)/2 candidate pairs — the one remaining unbounded-work
+    path in the dedup family (VERDICT r15 #1; the x256 all-duplicate
+    probe corpus grows pair volume 16x on 4x docs). Replacing the
+    group with its representative + k−1 star edges is EXACT for every
+    component-shaped consumer (connected components / keep-min /
+    cluster sizes): sig(x) = sig(rep(x)) means x and rep(x) share all
+    band keys, so x,y share a band key iff rep(x),rep(y) do — the
+    transitive closure over (rep pairs ∪ star) equals the closure over
+    the full pair set. Only the per-pair LISTING changes (k−1 star
+    rows instead of all within-group pairs; one rep-rep row instead of
+    |G1|×|G2| cross-group rows).
+
+    Shapes: the groupBy partial-aggregates map-side (a 10⁹-copy
+    boilerplate group shrinks to one row per map task); the join-back
+    is AQE-skew-splittable; both outputs are linear in the input."""
+    sig_cols = [c for c in signatures.columns if c != id_col]
+    rep_map = signatures.groupBy(*sig_cols).agg(
+        F.min(id_col).alias("_rep")
+    )
+    star = (
+        signatures.join(rep_map, sig_cols)
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    reps = rep_map.select(F.col("_rep").alias(id_col), *sig_cols)
+    return reps, star
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     join_width: int | None = None,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from banded signatures via per-band
     group joins (explode to (band, key) then self-join on the key).
@@ -116,7 +154,24 @@ def lsh_candidate_pairs(
     coalesced stage OOMs on join-output state (SCALE_PROBE_r15's first
     x256 attempt: initial width 128, AQE coalesced to 35, each task
     then built ~19M pairs). A numbered repartition is exempt from AQE
-    coalescing and both self-join sides reuse the ONE exchange."""
+    coalescing and both self-join sides reuse the ONE exchange.
+
+    ``collapse_identical=True``: run the band self-join over one
+    representative per DISTINCT signature and emit (rep, member) star
+    edges for the collapsed duplicates
+    (:func:`collapse_identical_signatures`) — pair volume becomes
+    linear in exact duplicates instead of quadratic, and the
+    transitive closure (components / keep-min) is unchanged. Use for
+    cluster-shaped consumers; keep False when the caller needs the
+    complete pairwise listing."""
+    if collapse_identical:
+        reps, star = collapse_identical_signatures(signatures, id_col)
+        rep_pairs = lsh_candidate_pairs(
+            reps, id_col, rows_per_band, join_width
+        )
+        # disjoint by construction (star id_b is never any group's
+        # rep; rep_pairs are rep-rep) — no distinct needed on the union
+        return rep_pairs.unionByName(star)
     banded = banded_signatures(signatures, id_col, rows_per_band)
     if join_width:
         banded = banded.repartition(join_width, "band", "key")
@@ -138,6 +193,7 @@ def minhash_dedup_pairs(
     auto_width: bool = False,
     n_docs: int | None = None,
     target_rows_per_task: int = 250_000,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs over MinHash signatures.
 
@@ -148,10 +204,20 @@ def minhash_dedup_pairs(
     bounded token-length sample instead of relying on the caller
     exporting SPARK_GRAFT_SHUFFLE_PARTITIONS (SCALE_PROBE_r14). The
     widened result is materialized (localCheckpoint) inside the scope —
-    callers that need a lazy composable plan keep the default."""
+    callers that need a lazy composable plan keep the default.
+
+    ``collapse_identical=True`` (see :func:`lsh_candidate_pairs`)
+    bounds pair volume on duplicate-heavy corpora: exact copies
+    collapse to one representative + star edges BEFORE the band
+    self-join, so a k-copy group costs k−1 output rows instead of
+    k(k−1)/2 — exact for components/keep-min consumers (the CLI dedup
+    funnel turns it on). The closed-form pair sizing then counts REP
+    buckets, whose occupancies no longer grow with duplication."""
     sigs = minhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     if not auto_width:
-        return lsh_candidate_pairs(sigs, id_col)
+        return lsh_candidate_pairs(
+            sigs, id_col, collapse_identical=collapse_identical
+        )
     from raquet_spark.session import (
         derive_shuffle_width,
         estimate_token_rows,
@@ -182,6 +248,35 @@ def minhash_dedup_pairs(
     # materialized signatures, scopes the join, checkpoints DISK_ONLY
     # past the session width, and releases the signature cache.
     from raquet_spark.session import materialize_sized_pairs
+
+    if collapse_identical:
+        # collapse BEFORE sizing: the rep buckets are what the join
+        # actually shuffles, and the star edges are linear add-ons.
+        # rep_map feeds both reps (sizing count + join, 2 scans) and
+        # star — persist it so the groupBy over the full signature set
+        # runs once.
+        rep_map = sigs_m.groupBy(
+            *[c for c in sigs_m.columns if c != id_col]
+        ).agg(F.min(id_col).alias("_rep")).persist(StorageLevel.MEMORY_AND_DISK)
+        sig_cols = [c for c in sigs_m.columns if c != id_col]
+        reps = rep_map.select(F.col("_rep").alias(id_col), *sig_cols)
+        star = (
+            sigs_m.join(rep_map, sig_cols)
+            .where(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        try:
+            return materialize_sized_pairs(
+                sigs_m,
+                banded_signatures(reps, id_col),
+                ("band", "key"),
+                lambda w: lsh_candidate_pairs(
+                    reps, id_col, join_width=w
+                ).unionByName(star),
+                target_rows_per_task=target_rows_per_task,
+            )
+        finally:
+            rep_map.unpersist()
 
     return materialize_sized_pairs(
         sigs_m,

@@ -222,6 +222,78 @@ def test_fingerprint_mega_cluster_survives_cap(spark):
     assert comp.select("component").distinct().count() == 1
 
 
+def test_collapse_identical_component_equivalence(spark, docs):
+    """collapse_identical=True is an EXACT sparsification for every
+    component-shaped consumer: on a corpus mixing exact duplicates
+    (planted copies) AND perturbed near-duplicates (suffix-appended
+    copies that share most shingles but have different signatures),
+    the transitive closure over (rep pairs ∪ star edges) must equal
+    the closure over the full pairwise listing — identical component
+    assignment per node, no recall loss (VERDICT r15 #1)."""
+    from raquet_spark.operators.dedup import connected_components
+
+    base = docs.limit(60).select("doc_id", "text")
+    exact_copies = base.where("doc_id % 3 = 0").select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    # perturbed: append one token — most shingles survive, signature
+    # usually differs, so these exercise the rep-rep band join path
+    near_copies = base.where("doc_id % 4 = 1").select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" perturbed")).alias("text"),
+    )
+    corpus = base.unionByName(exact_copies).unionByName(near_copies)
+
+    full = minhash_dedup_pairs(corpus)
+    collapsed = minhash_dedup_pairs(corpus, collapse_identical=True)
+
+    def comp_map(pairs):
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, "id_a", "id_b").collect()
+        }
+
+    full_map, coll_map = comp_map(full), comp_map(collapsed)
+    assert full_map == coll_map
+    assert len({v for v in full_map.values()}) > 1  # non-trivial corpus
+    # the sparsification actually sparsifies: exact-duplicate groups
+    # contribute star rows, never the quadratic within-group listing
+    assert collapsed.count() <= full.count()
+    # every id_a < id_b invariant holds on the union too
+    assert collapsed.where("id_a >= id_b").count() == 0
+
+
+def test_collapse_identical_linear_on_all_duplicate_corpus(spark, docs):
+    """The x256-probe shape at unit scale: k exact copies of each doc.
+    The full listing grows as k², the collapsed listing as k — pin the
+    closed form: n_docs*(k-1) star edges + the k=1 rep pair count."""
+    base = docs.limit(20).select("doc_id", "text")
+    k = 5
+    corpus = base.selectExpr(
+        "explode(sequence(0, {0})) AS _c".format(k - 1),
+        "doc_id", "text",
+    ).select(
+        (F.col("doc_id") + F.col("_c") * 1_000_000).alias("doc_id"), "text"
+    )
+    # group algebra: with base signature-group sizes g_i (Σg_i = n
+    # signed docs, m distinct signatures), the collapsed listing is
+    # Σ(k·g_i − 1) star + rep-pairs = k·n − m + P_rep, so the growth
+    # over the k=1 listing (n − m + P_rep) is EXACTLY (k−1)·n — linear
+    # in copies, with the rep-pair term cancelling.
+    n_signed = minhash_signatures(base).count()
+    collapsed_k1 = minhash_dedup_pairs(base, collapse_identical=True).count()
+    collapsed = minhash_dedup_pairs(corpus, collapse_identical=True)
+    assert collapsed.count() == collapsed_k1 + (k - 1) * n_signed
+    # auto_width path takes the same collapse branch (sizing over rep
+    # buckets) and must produce the identical pair set
+    auto = minhash_dedup_pairs(
+        corpus, auto_width=True, collapse_identical=True
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, collapsed.collect())
+    )
+
+
 def test_connected_components(spark):
     from raquet_spark.operators.dedup import connected_components
 
