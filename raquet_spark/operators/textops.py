@@ -604,6 +604,7 @@ def substring_dedup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     auto_width: bool = False,
+    checkpoint_occurrences: bool | None = None,
 ) -> DataFrame:
     """Exact-substring dedup spans — the public Lee et al.
     ("Deduplicating Training Data Makes Language Models Better")
@@ -636,7 +637,20 @@ def substring_dedup_spans(
     count plus a bounded token-length sample (shuffled rows ≈ total
     tokens; AQE never raises the initial width — SCALE_PROBE_r14) and
     materialize the spans inside the widened scope. Default keeps the
-    plan lazy/composable at the session width."""
+    plan lazy/composable at the session width.
+
+    ``checkpoint_occurrences``: materialize the exploded (id, start,
+    hash) occurrence rows ONCE (DISK_ONLY) instead of recomputing the
+    shingle+hash subtree for both of its consumers (the
+    first-occurrence aggregation and the join-back). The r16 stage
+    decomposition of the x256 probe arm located the family's residual
+    superlinearity HERE, not in the span windows (occ stage 26.9s →
+    121.4s on 4x tokens — disk-bandwidth-bound explode+hash — while
+    the window merge went 10.0s → 12.3s, sublinear): recomputing that
+    subtree twice is what the lazy plan pays. Measured end-to-end at
+    x256: ~157s materialized-once vs 219s lazy (−28%); break-even at
+    x64. Defaults to the auto_width value — large corpora opt in with
+    it, small/lazy plans keep zero materialization."""
     from pyspark.sql.window import Window
 
     if auto_width:
@@ -666,7 +680,8 @@ def substring_dedup_spans(
         # the r15 probe measured on the components path (ADVICE r15)
         with scoped_shuffle_width(spark, width):
             return substring_dedup_spans(
-                df, window, text_col, id_col, auto_width=False
+                df, window, text_col, id_col, auto_width=False,
+                checkpoint_occurrences=True,
             ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     shingled = df.selectExpr(
@@ -684,6 +699,12 @@ def substring_dedup_spans(
         """,
     )
     occ = shingled.selectExpr(id_col, "posexplode(hs) AS (start, h)")
+    if checkpoint_occurrences:
+        from pyspark import StorageLevel
+
+        occ = occ.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     # Corpus-wide first occurrence per shingle, ordered by (doc, start)
     # for determinism. min(struct(..)) compares lexicographically and
     # partial-aggregates map-side — skew-safe where a row_number window

@@ -148,7 +148,8 @@ def main() -> None:
             big_docs.columns
         if _selected(f"ann_lsh_x{mult}_auto", f"ann_ivf_x{mult}_auto",
                      f"ann_ivf_pq_x{mult}", f"cosine_topk_x{mult}",
-                     f"semantic_dedup_x{mult}"):
+                     f"semantic_dedup_x{mult}",
+                     f"semantic_perturbed_x{mult}"):
             big_emb.columns
 
         # auto_width=True: the r15 production path — each operator
@@ -279,6 +280,58 @@ def main() -> None:
             ).count()
 
         bench(f"semantic_dedup_x{mult}", semantic_keep, runs)
+
+        # semantic dedup with REALISTIC (perturbed, not byte-identical)
+        # near-duplicates, measured recall (VERDICT r15 #6): every 10th
+        # vector gets a deterministic ±3% element-wise perturbation
+        # (cosine stays >= threshold but signatures can differ), the
+        # COMPLETE verified pair set materializes via auto_width=True
+        # (the cluster-then-keep production shape — no planted-filter
+        # pushdown shortcut), and recall = found planted pairs /
+        # planted pairs whose TRUE cosine clears the threshold.
+        def semantic_perturbed(m=mult) -> int:
+            off = 100_000_000
+            base_emb = big_emb.select("vec_id", "embedding")
+            pert = base_emb.where("vec_id % 10 = 0").selectExpr(
+                f"vec_id + {off} AS vec_id",
+                "transform(embedding, (x, i) -> CAST(x * (1.0 + 0.03 *"
+                " sin(CAST(vec_id AS DOUBLE) * (i + 1))) AS FLOAT))"
+                " AS embedding",
+            )
+            corpus = base_emb.unionByName(pert).localCheckpoint(eager=True)
+            a = base_emb.where("vec_id % 10 = 0").selectExpr(
+                "vec_id", "embedding AS ea"
+            )
+            b = pert.selectExpr(f"vec_id - {off} AS vec_id",
+                                "embedding AS eb")
+            dot = ("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE)"
+                   " * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+            nrm = ("SQRT(aggregate({0}, CAST(0.0 AS DOUBLE), (acc, v) ->"
+                   " acc + CAST(v AS DOUBLE) * v))")
+            gt = (
+                a.join(b, "vec_id")
+                .selectExpr(
+                    f"({dot}) / ({nrm.format('ea')}) / ({nrm.format('eb')})"
+                    " AS cos_sim"
+                )
+                .where("cos_sim >= 0.95")
+                .count()
+            )
+            pairs = embedding_dedup_pairs_lsh(
+                corpus, threshold=0.95, n_tables=16, dim=64, auto_width=True
+            )
+            found = pairs.where(
+                F.col("id_b") == F.col("id_a") + F.lit(off)
+            ).count()
+            timings[f"semantic_perturbed_recall_x{m}"] = round(
+                found / gt, 4
+            ) if gt else None
+            return keep_cluster_min(
+                corpus.select("vec_id"), pairs, id_col="vec_id",
+                auto_width=True,
+            ).count()
+
+        bench(f"semantic_perturbed_x{mult}", semantic_perturbed, runs)
 
         # exact-substring dedup: shingle-hash shuffle carries tokens x
         # 8 bytes; window merge shuffles each doc's duplicate starts

@@ -606,6 +606,16 @@ def test_substring_dedup_spans_and_prune(spark):
     # doc 4: fully duplicated -> [0, 40); docs 1/3 emit nothing
     assert spans == {(2, 3, 28), (4, 0, 40)}
 
+    # occurrence materialization (the large-corpus single-pass path,
+    # r16) is a pure execution strategy — identical spans
+    ckpt = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dedup_spans(
+            docs, window=20, checkpoint_occurrences=True
+        ).collect()
+    }
+    assert ckpt == spans
+
     out = {r["doc_id"]: r for r in substring_dedup_prune(docs, window=20).collect()}
     assert out[1]["dup_tokens"] == 0 and out[3]["dup_tokens"] == 0
     assert out[1]["clean_text"] == words(0, 40)

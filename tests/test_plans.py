@@ -479,6 +479,43 @@ def test_ann_lsh_auto_same_plan_as_explicit(spark):
     assert shape(auto) == shape(explicit)
 
 
+def test_semantic_dedup_keeps_planted_filter_pushed(spark):
+    """r15 counter-lesson made typed (VERDICT r15 #5): the semantic
+    dedup chain relies on embedding_dedup_pairs_lsh staying LAZY by
+    default so Catalyst can push a downstream pair filter INTO the
+    LSH bucket self-join — measured 15-20x on the probe's planted
+    filter; the regression (someone defaulting auto_width=True, which
+    localCheckpoints the complete verified pair set first) is silent
+    and shows up only as runtime. Gate both halves on the physical
+    plan of the exact queries.py chain:
+
+    1. no ExistingRDD scan — an eager checkpoint inside the lazy
+       chain materializes the full pair set before the filter;
+    2. the planted +offset predicate is fused into a hash-join —
+       Catalyst rewrites `id_b = id_a + C` into an equi-join KEY
+       `(vec_id + C, _t, _sig)`, so the join emits ONLY planted
+       pairs instead of every candidate pair."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import embedding_dedup_pairs_lsh
+    from raquet_spark.plans.inspect import executed_plan
+    from raquet_spark.queries import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planted = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    corpus = emb.unionByName(planted)
+    pairs = embedding_dedup_pairs_lsh(
+        corpus, threshold=0.95, n_bits=6, n_tables=16, dim=64
+    ).where(F.col("id_b") == F.col("id_a") + F.lit(1_000_000))
+    plan = executed_plan(pairs)
+    assert "ExistingRDD" not in plan
+    assert any(
+        "Join" in ln and "+ 1000000)" in ln for ln in plan.splitlines()
+    ), "planted filter no longer fused into the LSH bucket join"
+
+
 def test_dsir_bucket_join_broadcasts(spark, qs):
     """The 1024-bucket log-ratio table must broadcast into the
     per-token scoring join — a shuffle there would move the whole
