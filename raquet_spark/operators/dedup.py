@@ -566,11 +566,24 @@ def embedding_dedup_pairs_lsh(
     n_rows: int | None = None,
     auto_width: bool = False,
     target_rows_per_task: int = 250_000,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs at scale: LSH-bucketed candidates,
     exact cosine verify — the 100 TB replacement for the all-pairs
     :func:`embedding_dedup_pairs` (which is safe only while a blocking
     bucket stays O(10^4)).
+
+    ``collapse_identical=True``: the embedding analogue of the minhash
+    signature collapse (r16). BYTE-IDENTICAL embeddings (the exact-dup
+    documents of a duplicate-heavy corpus) share every LSH bucket in
+    every table and verify at cosine exactly 1.0, so a k-copy group
+    would emit k(k−1)/2 verified pairs. Collapsing each identical
+    group to its min-id representative + (rep, member, cos_sim=1.0)
+    star edges makes pair volume linear in duplication while leaving
+    the transitive closure — what components/keep-min consume —
+    unchanged (cos_sim 1.0 passes any threshold ≤ 1, so star edges
+    always qualify). Cross-group candidates are listed once per rep
+    pair with their true cosine.
 
     ``auto_width=True`` applies the same sizing rule as
     :func:`minhash_dedup_pairs`: the bucket join's output volume is
@@ -608,10 +621,58 @@ def embedding_dedup_pairs_lsh(
         with_norm,
     )
 
+    if collapse_identical:
+        from pyspark import StorageLevel
+
+        base = df.select(id_col, vec_col)
+        rep_map = base.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+        if auto_width:
+            # the eager path scans rep_map from three consumers (star,
+            # rep signatures, rep norms) — materialize the groupBy once
+            rep_map = rep_map.persist(StorageLevel.MEMORY_AND_DISK)
+        star = (
+            base.join(rep_map, vec_col)
+            .where(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("cos_sim"),
+            )
+        )
+        reps = rep_map.select(F.col("_rep").alias(id_col), F.col(vec_col))
+        try:
+            inner = embedding_dedup_pairs_lsh(
+                reps, vec_col, id_col, threshold, n_bits, n_tables, seed,
+                dim, n_rows=None, auto_width=auto_width,
+                target_rows_per_task=target_rows_per_task,
+            )
+            out = inner.unionByName(star)
+            if auto_width:
+                # complete-pair-set contract: hand back a materialized
+                # result like the non-collapse eager path does (star is
+                # linear in the corpus — DISK_ONLY keeps a 10^9-doc
+                # star set off the heap)
+                out = out.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.DISK_ONLY
+                )
+            return out
+        finally:
+            if auto_width:
+                rep_map.unpersist()
+
     if n_bits is None:
         if n_rows is None:
             n_rows = df.count()
-        n_bits = derive_lsh_bits(n_rows)
+        # DEDUP-tuned occupancy (r16): the ANN default (128-row
+        # buckets) exists to keep top-k candidates per query; dedup at
+        # high thresholds can afford 8x smaller buckets because the
+        # per-bit collision probability is high (θ(0.95) = 0.318 rad →
+        # 1 − θ/π ≈ 0.90/bit) and the table count buys the 3 extra
+        # bits back: at n = 128k (bits 10 → 13), per-table recall
+        # 0.35 → 0.25 and 16-table recall stays ≥ 0.99 while expected
+        # candidate volume drops ~8x (probe-measured 1.67e8 → ~2e7
+        # pairs; the perturbed x64 arm's recall is measured at 1.0).
+        n_bits = derive_lsh_bits(n_rows, target_bucket_rows=16)
 
     sigs = df.select(
         F.col(id_col),

@@ -149,7 +149,8 @@ def main() -> None:
         if _selected(f"ann_lsh_x{mult}_auto", f"ann_ivf_x{mult}_auto",
                      f"ann_ivf_pq_x{mult}", f"cosine_topk_x{mult}",
                      f"semantic_dedup_x{mult}",
-                     f"semantic_perturbed_x{mult}"):
+                     f"semantic_perturbed_x{mult}",
+                     f"embedding_dedup_collapse_x{mult}"):
             big_emb.columns
 
         # auto_width=True: the r15 production path — each operator
@@ -282,16 +283,30 @@ def main() -> None:
         bench(f"semantic_dedup_x{mult}", semantic_keep, runs)
 
         # semantic dedup with REALISTIC (perturbed, not byte-identical)
-        # near-duplicates, measured recall (VERDICT r15 #6): every 10th
-        # vector gets a deterministic ±3% element-wise perturbation
-        # (cosine stays >= threshold but signatures can differ), the
+        # near-duplicates, measured recall (VERDICT r15 #6). Corpus
+        # realism requires DISTINCT vectors: scale_up replicates the
+        # base table byte-identically, so each copy is circular-shifted
+        # by its copy index (rotations of quasi-random vectors are
+        # ~uncorrelated) — without this the corpus is one giant 64-way
+        # exact-dup cluster and the complete listing is quadratic by
+        # construction (first r16 attempt: 431 s at x64, recall metric
+        # contaminated by copy-gap id coincidences). Every 10th vector
+        # then gets a deterministic ±3% element-wise perturbed twin
+        # (cosine stays >= threshold but signatures can differ); the
         # COMPLETE verified pair set materializes via auto_width=True
         # (the cluster-then-keep production shape — no planted-filter
         # pushdown shortcut), and recall = found planted pairs /
-        # planted pairs whose TRUE cosine clears the threshold.
+        # planted pairs whose TRUE cosine clears the threshold. The
+        # plant offset (1e10) exceeds every corpus id, so an id gap of
+        # exactly `off` identifies planted pairs unambiguously.
         def semantic_perturbed(m=mult) -> int:
-            off = 100_000_000
-            base_emb = big_emb.select("vec_id", "embedding")
+            off = 10_000_000_000
+            c = "CAST((vec_id DIV 10000000) % 64 AS INT)"
+            base_emb = big_emb.selectExpr(
+                "vec_id",
+                f"concat(slice(embedding, {c} + 1, 64 - {c}),"
+                f" slice(embedding, 1, {c})) AS embedding",
+            )
             pert = base_emb.where("vec_id % 10 = 0").selectExpr(
                 f"vec_id + {off} AS vec_id",
                 "transform(embedding, (x, i) -> CAST(x * (1.0 + 0.03 *"
@@ -332,6 +347,21 @@ def main() -> None:
             ).count()
 
         bench(f"semantic_perturbed_x{mult}", semantic_perturbed, runs)
+
+        # the duplicate-heavy embedding shape (r16): the scaled corpus
+        # IS 64-way byte-identical, so the complete verified listing is
+        # quadratic in duplication — collapse_identical turns it into
+        # star edges + a distinct-vector listing (same closure, linear
+        # volume; the embedding analogue of dedup_minhash_collapse)
+        def embedding_collapse(m=mult) -> None:
+            n = embedding_dedup_pairs_lsh(
+                big_emb.select("vec_id", "embedding"), threshold=0.95,
+                n_tables=8, dim=64, auto_width=True,
+                collapse_identical=True,
+            ).count()
+            timings[f"embedding_dedup_collapse_pairs_x{m}"] = n
+
+        bench(f"embedding_dedup_collapse_x{mult}", embedding_collapse, runs)
 
         # exact-substring dedup: shingle-hash shuffle carries tokens x
         # 8 bytes; window merge shuffles each doc's duplicate starts

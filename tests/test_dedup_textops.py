@@ -294,6 +294,62 @@ def test_collapse_identical_linear_on_all_duplicate_corpus(spark, docs):
     )
 
 
+def test_embedding_collapse_identical_equivalence(spark):
+    """Embedding analogue of the signature collapse (r16): byte-exact
+    duplicate vectors collapse to rep + star edges (cos_sim exactly
+    1.0) with the SAME component assignment as the full listing, and
+    pair volume linear in duplication (k·n − m over the vector
+    groups)."""
+    from raquet_spark.operators.dedup import (
+        connected_components,
+        embedding_dedup_pairs_lsh,
+    )
+    from raquet_spark.queries import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).limit(40)
+    k = 4
+    corpus = emb.selectExpr(
+        f"explode(sequence(0, {k - 1})) AS _c", "vec_id", "embedding"
+    ).select(
+        (F.col("vec_id") + F.col("_c") * 1_000_000).alias("vec_id"),
+        "embedding",
+    )
+    kw = dict(vec_col="embedding", id_col="vec_id", threshold=0.95,
+              n_bits=4, n_tables=8, dim=64)
+    full = embedding_dedup_pairs_lsh(corpus, **kw)
+    coll = embedding_dedup_pairs_lsh(corpus, collapse_identical=True, **kw)
+
+    def comp_map(pairs):
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(
+                pairs.select("id_a", "id_b"), "id_a", "id_b"
+            ).collect()
+        }
+
+    assert comp_map(full) == comp_map(coll)
+    # star edges carry the exact cosine of byte-identical vectors
+    star = coll.where("id_b >= 1000000").where("id_a = id_b % 1000000")
+    assert star.count() > 0
+    assert star.where("cos_sim != 1.0").count() == 0
+    # linear closed form: k·n − m star rows + the k=1 rep listing
+    n = emb.count()
+    m = emb.select("embedding").distinct().count()
+    rep_k1 = embedding_dedup_pairs_lsh(
+        emb, collapse_identical=True, **kw
+    ).count()
+    assert coll.count() == rep_k1 + (k - 1) * n
+    # auto_width collapse path returns the identical pair set
+    auto = embedding_dedup_pairs_lsh(
+        corpus, collapse_identical=True, auto_width=True, **kw
+    )
+    assert sorted((r["id_a"], r["id_b"]) for r in auto.collect()) == sorted(
+        (r["id_a"], r["id_b"]) for r in coll.collect()
+    )
+
+
 def test_connected_components(spark):
     from raquet_spark.operators.dedup import connected_components
 
