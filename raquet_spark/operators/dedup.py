@@ -319,13 +319,45 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     bits: int = 48,
     max_hamming: int = 3,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Pairs at hamming <= ``max_hamming`` via pigeonhole chunk blocking:
     with (max_hamming + 1) chunks, any qualifying pair shares at least
-    one exact chunk — candidates come from chunk equi-joins."""
+    one exact chunk — candidates come from chunk equi-joins.
+
+    ``collapse_identical=True``: the family-wide r16 duplicate-collapse
+    (see :func:`collapse_identical_signatures`) applied to the simhash
+    signature — a k-copy exact-duplicate group (identical simhash)
+    emits k−1 (rep, member, hamming=0) star edges instead of k(k−1)/2
+    chunk-join pairs; cross-group candidates come from the rep-only
+    chunk join. Exact for component-shaped consumers (identical
+    simhash ⇒ identical chunks ⇒ identical collision sets); the
+    per-pair LISTING sparsifies, so keep False when the complete
+    pairwise output is the product."""
     n_chunks = max_hamming + 1
     cw = bits // n_chunks
     sigs = simhash_signatures(df, text_col, id_col, bits)
+    if collapse_identical:
+        rep_map = sigs.groupBy("simhash").agg(F.min(id_col).alias("_rep"))
+        star = (
+            sigs.join(rep_map, "simhash")
+            .where(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        reps = rep_map.select(F.col("_rep").alias(id_col), "simhash")
+        return _simhash_chunk_pairs(
+            reps, id_col, n_chunks, cw, max_hamming
+        ).unionByName(star)
+    return _simhash_chunk_pairs(sigs, id_col, n_chunks, cw, max_hamming)
+
+
+def _simhash_chunk_pairs(
+    sigs: DataFrame, id_col: str, n_chunks: int, cw: int, max_hamming: int
+) -> DataFrame:
     chunks = sigs.select(
         id_col, "simhash",
         F.posexplode(F.array(*[

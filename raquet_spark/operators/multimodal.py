@@ -348,13 +348,38 @@ def phash_dedup_pairs(
     max_distance: int = 3,
     n_bands: int = 4,
     id_col: str = "media_id",
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs by pHash hamming distance: the 64-bit
     hash splits into ``n_bands`` 16-bit segments — two hashes within
     hamming ``n_bands - 1`` MUST share at least one exact segment
     (pigeonhole, the SimHash trick) — so candidates come from one
     banded self equi-join and the exact ``bit_count(xor)`` check runs
-    only on candidates. Never all-pairs."""
+    only on candidates. Never all-pairs.
+
+    ``collapse_identical=True``: the family-wide r16 duplicate
+    collapse — byte-identical images share the pHash, so a k-copy
+    group emits k−1 (rep, member, distance=0) star edges instead of
+    k(k−1)/2 banded pairs, and the segment join runs over one
+    representative per distinct hash. Exact for component-shaped
+    consumers (identical hash ⇒ identical segments ⇒ identical
+    collision sets); use False when the complete pairwise listing is
+    the product."""
+    if collapse_identical:
+        rep_map = hashes.groupBy("phash").agg(F.min(id_col).alias("_rep"))
+        star = (
+            hashes.join(rep_map, "phash")
+            .where(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("int").alias("distance"),
+            )
+        )
+        reps = rep_map.select(F.col("_rep").alias(id_col), "phash")
+        return phash_dedup_pairs(
+            reps, max_distance, n_bands, id_col
+        ).unionByName(star)
     seg_bits = 64 // n_bands
     mask = (1 << seg_bits) - 1
     segs = hashes.select(

@@ -294,6 +294,35 @@ def test_collapse_identical_linear_on_all_duplicate_corpus(spark, docs):
     )
 
 
+def test_simhash_collapse_identical_equivalence(spark, docs):
+    """Simhash collapse: identical-simhash groups become rep + star
+    (hamming 0) with the same component closure as the full chunk-join
+    listing (the family-wide r16 duplicate collapse)."""
+    from raquet_spark.operators.dedup import connected_components
+
+    base = docs.limit(40).select("doc_id", "text")
+    k = 3
+    corpus = base.selectExpr(
+        f"explode(sequence(0, {k - 1})) AS _c", "doc_id", "text"
+    ).select(
+        (F.col("doc_id") + F.col("_c") * 1_000_000).alias("doc_id"), "text"
+    )
+    full = simhash_dedup_pairs(corpus)
+    coll = simhash_dedup_pairs(corpus, collapse_identical=True)
+
+    def comp_map(pairs):
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(
+                pairs.select("id_a", "id_b"), "id_a", "id_b"
+            ).collect()
+        }
+
+    assert comp_map(full) == comp_map(coll)
+    assert coll.count() <= full.count()
+    assert coll.where("id_a >= id_b").count() == 0
+
+
 def test_embedding_collapse_identical_equivalence(spark):
     """Embedding analogue of the signature collapse (r16): byte-exact
     duplicate vectors collapse to rep + star edges (cos_sim exactly

@@ -566,6 +566,33 @@ def test_phash_dedup_finds_planted_near_dups(spark):
     # distances recorded and bounded
     assert all(0 <= p["distance"] <= 8 for p in pairs)
 
+    # family-wide r16 duplicate collapse: byte-identical copies become
+    # (rep, member, distance=0) star edges with the same component
+    # closure as the full banded listing
+    from raquet_spark.operators.dedup import connected_components
+
+    copies = df.selectExpr(
+        "media_id + 5000 AS media_id", "payload"
+    )
+    hashes2 = phash_table(df.unionByName(copies), codec="fake")
+    full = phash_dedup_pairs(hashes2, max_distance=8, n_bands=16)
+    coll = phash_dedup_pairs(
+        hashes2, max_distance=8, n_bands=16, collapse_identical=True
+    )
+
+    def comp_map(p):
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(
+                p.select("id_a", "id_b"), "id_a", "id_b"
+            ).collect()
+        }
+
+    assert comp_map(full) == comp_map(coll)
+    star = coll.where("id_b >= 5000 AND id_a = id_b - 5000")
+    assert star.count() > 0
+    assert star.where("distance != 0").count() == 0
+
 
 def test_wav_codec_and_audio_features(spark):
     """The stdlib-backed WAV codec round-trips PCM16 and the audio
