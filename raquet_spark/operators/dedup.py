@@ -102,10 +102,14 @@ def banded_signatures(
 
 def collapse_identical_signatures(
     signatures: DataFrame, id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
-    """``(reps, star)``: one representative row (minimum id) per
-    DISTINCT full signature, plus ``(id_a=rep, id_b=member)`` star
-    edges for every non-representative member.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(rep_map, reps, star)``: one representative row (minimum id)
+    per DISTINCT full signature, plus ``(id_a=rep, id_b=member)`` star
+    edges for every non-representative member. ``rep_map`` is the
+    shared groupBy both outputs derive from — callers that consume
+    reps/star more than once persist it (persisting the parent after
+    derivation still caches: Spark keys the cache on the logical
+    plan).
 
     The exact-duplicate collapse of the LSH pair join: exact duplicates
     have IDENTICAL signatures, so a group of k copies would otherwise
@@ -134,7 +138,7 @@ def collapse_identical_signatures(
         .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
     reps = rep_map.select(F.col("_rep").alias(id_col), *sig_cols)
-    return reps, star
+    return rep_map, reps, star
 
 
 def lsh_candidate_pairs(
@@ -165,7 +169,7 @@ def lsh_candidate_pairs(
     cluster-shaped consumers; keep False when the caller needs the
     complete pairwise listing."""
     if collapse_identical:
-        reps, star = collapse_identical_signatures(signatures, id_col)
+        _, reps, star = collapse_identical_signatures(signatures, id_col)
         rep_pairs = lsh_candidate_pairs(
             reps, id_col, rows_per_band, join_width
         )
@@ -255,16 +259,8 @@ def minhash_dedup_pairs(
         # rep_map feeds both reps (sizing count + join, 2 scans) and
         # star — persist it so the groupBy over the full signature set
         # runs once.
-        rep_map = sigs_m.groupBy(
-            *[c for c in sigs_m.columns if c != id_col]
-        ).agg(F.min(id_col).alias("_rep")).persist(StorageLevel.MEMORY_AND_DISK)
-        sig_cols = [c for c in sigs_m.columns if c != id_col]
-        reps = rep_map.select(F.col("_rep").alias(id_col), *sig_cols)
-        star = (
-            sigs_m.join(rep_map, sig_cols)
-            .where(F.col(id_col) != F.col("_rep"))
-            .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
-        )
+        rep_map, reps, star = collapse_identical_signatures(sigs_m, id_col)
+        rep_map.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return materialize_sized_pairs(
                 sigs_m,
