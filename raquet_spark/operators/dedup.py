@@ -22,14 +22,25 @@ MINHASH_PARAMS = [
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep exactly one row (min id) per distinct content hash."""
-    from pyspark.sql.window import Window
+    """Keep exactly one row (min id) per distinct content hash.
 
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    Winner selection is a groupBy + semi-join, NOT
+    ``row_number().over(partitionBy(hash))`` (r16): a window pins
+    every copy of a hot content hash (license boilerplate repeats
+    10⁸-10⁹ times at 100 TB) into ONE task's sort, while
+    ``groupBy(hash).agg(min(id))`` partial-aggregates map-side — the
+    hot key shrinks to one row per map task — and the winner
+    semi-join is AQE-skew-splittable. Same rule the substring-dedup
+    first-occurrence pass follows (textops.py)."""
+    h = df.withColumn("_h", F.md5(F.col(text_col)))
+    winners = h.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        h.join(winners, ["_h", id_col], "left_semi")
+        # exact-duplicate ROWS can share the winning (hash, id) — keep
+        # one; dropDuplicates is a hash agg (First), partial map-side,
+        # unlike the window's per-key sort
+        .dropDuplicates(["_h"])
+        .drop("_h")
     )
 
 
