@@ -128,6 +128,49 @@ def test_pyramid_file_is_reference_valid(spark, raster, tmp_path, ref_validate):
     assert all(z["valid_percent"] == 100.0 for z in zl.values())
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tests/n37_w123_1arc_v2.tif"),
+    reason="reference DEM absent",
+)
+def test_real_conversion_is_reference_valid(spark, tmp_path, ref_validate):
+    """The REAL conversion path (GeoTIFF → warp → tiles → metadata →
+    write), not a synthetic fixture: import the reference repo's own
+    n37 DEM and validate our written output with the reference's
+    validator — CRS/bounds/band metadata from the production pipeline
+    under the reference's rules."""
+    from raquet_spark.sources.raquet import write_raquet
+    from raquet_spark.sources.tiff_reader import geotiff_to_raquet
+
+    tiles, meta = geotiff_to_raquet(
+        spark, "/root/reference/tests/n37_w123_1arc_v2.tif",
+        block_size=256,
+    )
+    path = str(tmp_path / "n37_interop.parquet")
+    write_raquet(tiles, path, meta)
+    result = ref_validate.validate_raquet(path)
+    assert result.errors == []
+    assert result.is_valid
+
+
+def test_partitioned_directories_are_reference_valid(
+    spark, raster, tmp_path, ref_validate
+):
+    """Spec §Partitioned Datasets rule: every hive partition directory
+    is a standalone RaQuet dataset — each must pass the reference
+    validator on its own."""
+    from raquet_spark.sources.raquet import write_raquet_partitioned
+
+    tiles, meta = raster
+    root = str(tmp_path / "interop_parts.parquet")
+    write_raquet_partitioned(tiles, root, meta, partition_zoom=5)
+    parts = [d for d in os.listdir(root) if d.startswith("part_cell=")]
+    assert len(parts) >= 2
+    for d in parts:
+        result = ref_validate.validate_raquet(os.path.join(root, d))
+        assert result.errors == [], (d, result.errors)
+        assert result.is_valid
+
+
 def test_reference_validator_rejects_broken_file(tmp_path, ref_validate):
     """Negative control: the gate actually bites. A parquet file with
     no metadata row and a non-binary band column must come back
