@@ -158,6 +158,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     join_width: int | None = None,
     collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs from banded signatures via per-band
     group joins (explode to (band, key) then self-join on the key).
@@ -178,11 +179,29 @@ def lsh_candidate_pairs(
     linear in exact duplicates instead of quadratic, and the
     transitive closure (components / keep-min) is unchanged. Use for
     cluster-shaped consumers; keep False when the caller needs the
-    complete pairwise listing."""
+    complete pairwise listing.
+
+    ``max_bucket_rows``: bound the NEAR-identical residual. Collapse
+    handles byte-exact duplicates; a mega-bucket can still arise from
+    distinct-signature docs sharing a band key (10⁷ lightly-edited
+    boilerplate docs → ~10¹⁴ pairs at 100 TB — the "completes the
+    sizing math, then does quadratic work" case, VERDICT r15). Buckets
+    over the cap emit id-rank-ADJACENT CHAIN pairs (k−1 rows) instead
+    of the k(k−1)/2 self-join — the fingerprint_containment cap
+    pattern: every over-cap member stays a candidate and the bucket
+    stays one connected component, so cluster-shaped consumers lose
+    nothing, while a downstream pairwise verify sees chain neighbors
+    only (a true near-clique scores high on every chain edge; a
+    low-similarity hash coincidence falls below threshold and
+    correctly fragments). The chain's rank window sorts one hot
+    bucket in one task — O(k log k) once, not O(k²) join output.
+    Lossy for the complete pairwise LISTING; exact-by-construction
+    for connectivity. Opt-in, like ``collapse_identical``."""
     if collapse_identical:
         _, reps, star = collapse_identical_signatures(signatures, id_col)
         rep_pairs = lsh_candidate_pairs(
-            reps, id_col, rows_per_band, join_width
+            reps, id_col, rows_per_band, join_width,
+            max_bucket_rows=max_bucket_rows,
         )
         # disjoint by construction (star id_b is never any group's
         # rep; rep_pairs are rep-rep) — no distinct needed on the union
@@ -190,14 +209,37 @@ def lsh_candidate_pairs(
     banded = banded_signatures(signatures, id_col, rows_per_band)
     if join_width:
         banded = banded.repartition(join_width, "band", "key")
+    chain = None
+    if max_bucket_rows is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band", "key")
+        sized = banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        banded = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
+        over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
+            "_rn", F.row_number().over(wb.orderBy(id_col))
+        )
+        nxt = over.select(
+            "band", "key", (F.col("_rn") + 1).alias("_rn"),
+            F.col(id_col).alias("_prev"),
+        )
+        # ascending id order makes _prev < id on every chain edge
+        chain = (
+            over.join(nxt, ["band", "key", "_rn"])
+            .select(
+                F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if chain is not None:
+        cand = cand.unionByName(chain)
+    return cand.distinct()
 
 
 def minhash_dedup_pairs(
@@ -209,6 +251,7 @@ def minhash_dedup_pairs(
     n_docs: int | None = None,
     target_rows_per_task: int = 250_000,
     collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs over MinHash signatures.
 
@@ -227,11 +270,15 @@ def minhash_dedup_pairs(
     self-join, so a k-copy group costs k−1 output rows instead of
     k(k−1)/2 — exact for components/keep-min consumers (the CLI dedup
     funnel turns it on). The closed-form pair sizing then counts REP
-    buckets, whose occupancies no longer grow with duplication."""
+    buckets, whose occupancies no longer grow with duplication.
+    ``max_bucket_rows`` (see :func:`lsh_candidate_pairs`) chains
+    over-cap NEAR-identical buckets — the connectivity-preserving
+    bound on the residual collapse cannot touch."""
     sigs = minhash_signatures(df, text_col, id_col, hash_fn=hash_fn)
     if not auto_width:
         return lsh_candidate_pairs(
-            sigs, id_col, collapse_identical=collapse_identical
+            sigs, id_col, collapse_identical=collapse_identical,
+            max_bucket_rows=max_bucket_rows,
         )
     from raquet_spark.session import (
         derive_shuffle_width,
@@ -278,7 +325,8 @@ def minhash_dedup_pairs(
                 banded_signatures(reps, id_col),
                 ("band", "key"),
                 lambda w: lsh_candidate_pairs(
-                    reps, id_col, join_width=w
+                    reps, id_col, join_width=w,
+                    max_bucket_rows=max_bucket_rows,
                 ).unionByName(star),
                 target_rows_per_task=target_rows_per_task,
             )
@@ -289,7 +337,9 @@ def minhash_dedup_pairs(
         sigs_m,
         banded_signatures(sigs_m, id_col),
         ("band", "key"),
-        lambda w: lsh_candidate_pairs(sigs_m, id_col, join_width=w),
+        lambda w: lsh_candidate_pairs(
+            sigs_m, id_col, join_width=w, max_bucket_rows=max_bucket_rows
+        ),
         target_rows_per_task=target_rows_per_task,
     )
 

@@ -294,6 +294,58 @@ def test_collapse_identical_linear_on_all_duplicate_corpus(spark, docs):
     )
 
 
+def test_lsh_mega_bucket_chain_cap(spark):
+    """max_bucket_rows (r16): a mega-bucket of DISTINCT-signature docs
+    sharing one band key (the near-identical boilerplate residual the
+    collapse cannot touch) must emit k−1 id-adjacent chain pairs, not
+    k(k−1)/2 — while staying one connected component. Signatures are
+    crafted directly: band 0 (m0:m1) identical for all 200 docs, every
+    other band unique per doc."""
+    from raquet_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    k = 200
+    sigs = spark.range(k).selectExpr(
+        "id AS doc_id",
+        "CAST(1 AS INT) AS m0", "CAST(1 AS INT) AS m1",
+        "CAST(id AS INT) AS m2", "CAST(id + 7 AS INT) AS m3",
+        "CAST(id * 3 AS INT) AS m4", "CAST(id * 5 AS INT) AS m5",
+        "CAST(id * 11 AS INT) AS m6", "CAST(id * 13 AS INT) AS m7",
+    )
+    full = lsh_candidate_pairs(sigs)
+    assert full.count() == k * (k - 1) // 2
+    capped = lsh_candidate_pairs(sigs, max_bucket_rows=10)
+    rows = capped.collect()
+    assert len(rows) == k - 1  # chain, not quadratic
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    comp = connected_components(
+        capped.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    assert comp.select("component").distinct().count() == 1
+    # under-cap buckets keep the exact self-join listing: with a cap
+    # above the bucket size the output equals the full listing
+    assert lsh_candidate_pairs(
+        sigs, max_bucket_rows=k + 1
+    ).count() == k * (k - 1) // 2
+    # composes with the collapse: identical copies of each signature
+    # become star edges, the shared band still chains the reps
+    copies = sigs.selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        *[f"m{i}" for i in range(8)],
+    )
+    both = lsh_candidate_pairs(
+        sigs.unionByName(copies), collapse_identical=True,
+        max_bucket_rows=10,
+    )
+    assert both.count() == (k - 1) + k  # rep chain + k star edges
+    comp2 = connected_components(
+        both.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    assert comp2.select("component").distinct().count() == 1
+
+
 def test_simhash_collapse_identical_equivalence(spark, docs):
     """Simhash collapse: identical-simhash groups become rep + star
     (hamming 0) with the same component closure as the full chunk-join
