@@ -661,7 +661,8 @@ def cmd_dedup(args) -> int:
         out = keep_cluster_min(
             df,
             minhash_dedup_pairs(
-                df, auto_width=True, n_docs=n_in, collapse_identical=True
+                df, auto_width=True, n_docs=n_in, collapse_identical=True,
+                max_bucket_rows=getattr(args, "max_bucket_rows", None),
             ),
             auto_width=True,
         )
@@ -1014,6 +1015,11 @@ def main(argv: list[str] | None = None) -> int:
                    default="exact")
     s.add_argument("--window", type=int, default=20,
                    help="substring dedup token window")
+    s.add_argument("--max-bucket-rows", type=int, default=None,
+                   help="minhash: chain LSH buckets larger than this "
+                        "(k-1 id-adjacent pairs instead of k(k-1)/2; "
+                        "connectivity-preserving bound for "
+                        "near-identical mega-clusters)")
     s.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("pack", help="sequence packing (shard, bin per doc)")

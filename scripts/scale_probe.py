@@ -142,6 +142,7 @@ def main() -> None:
         if _selected(f"dedup_minhash_x{mult}", f"dedup_components_x{mult}",
                      f"dedup_minhash_collapse_x{mult}",
                      f"dedup_components_collapse_x{mult}",
+                     f"dedup_minhash_chaincap_x{mult}",
                      f"quality_classifier4_x{mult}",
                      f"substring_dedup_x{mult}", f"bpe_train32_x{mult}",
                      f"dsir_weights_x{mult}"):
@@ -193,6 +194,26 @@ def main() -> None:
             ).count(),
             runs,
         )
+
+        # NEAR-identical mega-cluster residual (r16): each scaled copy
+        # gets a copy-specific suffix token, so signatures are DISTINCT
+        # (collapse can't touch them) but most bands still collide —
+        # the 10^7-doc boilerplate near-clique shape. max_bucket_rows
+        # chains over-cap buckets; recorded pair volume must grow
+        # ~linearly where the uncapped listing grows quadratically.
+        def minhash_chaincap(m=mult) -> None:
+            near = big_docs.selectExpr(
+                "doc_id",
+                "concat(text, ' copytoken', CAST(doc_id DIV 10000000"
+                " AS STRING)) AS text",
+            )
+            n = minhash_dedup_pairs(
+                near, auto_width=True, collapse_identical=True,
+                max_bucket_rows=32,
+            ).count()
+            timings[f"dedup_minhash_chaincap_pairs_x{m}"] = n
+
+        bench(f"dedup_minhash_chaincap_x{mult}", minhash_chaincap, runs)
 
         # ANN families. Query side scales with the corpus (every 25th /
         # 100th vector) so the probe measures corpus AND query growth;
