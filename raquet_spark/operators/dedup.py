@@ -377,10 +377,19 @@ def simhash_dedup_pairs(
     bits: int = 48,
     max_hamming: int = 3,
     collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Pairs at hamming <= ``max_hamming`` via pigeonhole chunk blocking:
     with (max_hamming + 1) chunks, any qualifying pair shares at least
     one exact chunk — candidates come from chunk equi-joins.
+
+    ``max_bucket_rows`` (r16, the minhash chain-cap applied to the
+    chunk join): chunk buckets over the cap emit id-rank-adjacent
+    chain candidates (k−1 rows) instead of the k(k−1)/2 self-join;
+    the hamming verify still filters every chain edge, so a true
+    near-clique stays one component while a low-similarity chunk
+    coincidence correctly fragments. Connectivity-preserving,
+    lossy for the complete pairwise listing; opt-in.
 
     ``collapse_identical=True``: the family-wide r16 duplicate-collapse
     (see :func:`collapse_identical_signatures`) applied to the simhash
@@ -407,13 +416,20 @@ def simhash_dedup_pairs(
         )
         reps = rep_map.select(F.col("_rep").alias(id_col), "simhash")
         return _simhash_chunk_pairs(
-            reps, id_col, n_chunks, cw, max_hamming
+            reps, id_col, n_chunks, cw, max_hamming, max_bucket_rows
         ).unionByName(star)
-    return _simhash_chunk_pairs(sigs, id_col, n_chunks, cw, max_hamming)
+    return _simhash_chunk_pairs(
+        sigs, id_col, n_chunks, cw, max_hamming, max_bucket_rows
+    )
 
 
 def _simhash_chunk_pairs(
-    sigs: DataFrame, id_col: str, n_chunks: int, cw: int, max_hamming: int
+    sigs: DataFrame,
+    id_col: str,
+    n_chunks: int,
+    cw: int,
+    max_hamming: int,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     chunks = sigs.select(
         id_col, "simhash",
@@ -422,6 +438,29 @@ def _simhash_chunk_pairs(
             for i in range(n_chunks)
         ])).alias("chunk_idx", "chunk"),
     )
+    chain = None
+    if max_bucket_rows is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("chunk_idx", "chunk")
+        sized = chunks.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        chunks = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
+        over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
+            "_rn", F.row_number().over(wb.orderBy(id_col))
+        )
+        nxt = over.select(
+            "chunk_idx", "chunk", (F.col("_rn") + 1).alias("_rn"),
+            F.col(id_col).alias("_prev"),
+            F.col("simhash").alias("_prev_sim"),
+        )
+        chain = (
+            over.join(nxt, ["chunk_idx", "chunk", "_rn"])
+            .select(
+                F.col("_prev").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.expr("bit_count(_prev_sim ^ simhash)").alias("hamming"),
+            )
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -431,10 +470,10 @@ def _simhash_chunk_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
-    return cand
+    if chain is not None:
+        cand = cand.unionByName(chain)
+    return cand.where(F.col("hamming") <= max_hamming).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -656,6 +695,7 @@ def embedding_dedup_pairs_lsh(
     auto_width: bool = False,
     target_rows_per_task: int = 250_000,
     collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs at scale: LSH-bucketed candidates,
     exact cosine verify — the 100 TB replacement for the all-pairs
@@ -673,6 +713,14 @@ def embedding_dedup_pairs_lsh(
     unchanged (cos_sim 1.0 passes any threshold ≤ 1, so star edges
     always qualify). Cross-group candidates are listed once per rep
     pair with their true cosine.
+
+    ``max_bucket_rows`` (r16, the minhash chain-cap applied to the
+    (table, signature) bucket join): over-cap buckets emit
+    id-rank-adjacent chain CANDIDATES (k−1 rows) instead of the
+    k(k−1)/2 self-join; the exact cosine verify still runs on every
+    chain edge, so zero false positives are preserved and a true
+    near-dup bucket stays one component while a projection-coincidence
+    bucket correctly fragments at the threshold. Opt-in.
 
     ``auto_width=True`` applies the same sizing rule as
     :func:`minhash_dedup_pairs`: the bucket join's output volume is
@@ -734,6 +782,7 @@ def embedding_dedup_pairs_lsh(
                 reps, vec_col, id_col, threshold, n_bits, n_tables, seed,
                 dim, n_rows=None, auto_width=auto_width,
                 target_rows_per_task=target_rows_per_task,
+                max_bucket_rows=max_bucket_rows,
             )
             out = inner.unionByName(star)
             if auto_width:
@@ -774,6 +823,23 @@ def embedding_dedup_pairs_lsh(
     def _pairs(sigs_src: DataFrame, join_width: int | None = None) -> DataFrame:
         if join_width:
             sigs_src = sigs_src.repartition(join_width, "_t", "_sig")
+        chain = None
+        if max_bucket_rows is not None:
+            from pyspark.sql.window import Window
+
+            wb = Window.partitionBy("_t", "_sig")
+            sized = sigs_src.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            sigs_src = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
+            over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
+                "_rn", F.row_number().over(wb.orderBy(id_col))
+            )
+            nxt = over.select(
+                "_t", "_sig", (F.col("_rn") + 1).alias("_rn"),
+                F.col(id_col).alias("_prev"),
+            )
+            chain = over.join(nxt, ["_t", "_sig", "_rn"]).select(
+                F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
+            )
         a, b = sigs_src.alias("a"), sigs_src.alias("b")
         # candidate ids FIRST, deduped on narrow (id, id) rows:
         # clustered corpora collide the same pair in many tables, and
@@ -790,8 +856,10 @@ def embedding_dedup_pairs_lsh(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
             )
-            .distinct()
         )
+        if chain is not None:
+            cand = cand.unionByName(chain)
+        cand = cand.distinct()
         va = v.select(
             F.col(id_col).alias("id_a"),
             F.col("_v").alias("_va"),

@@ -349,6 +349,7 @@ def phash_dedup_pairs(
     n_bands: int = 4,
     id_col: str = "media_id",
     collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by pHash hamming distance: the 64-bit
     hash splits into ``n_bands`` 16-bit segments — two hashes within
@@ -364,7 +365,13 @@ def phash_dedup_pairs(
     representative per distinct hash. Exact for component-shaped
     consumers (identical hash ⇒ identical segments ⇒ identical
     collision sets); use False when the complete pairwise listing is
-    the product."""
+    the product.
+
+    ``max_bucket_rows`` (r16, the minhash chain-cap applied to the
+    segment join): segment buckets over the cap emit id-rank-adjacent
+    chain candidates (k−1 rows) instead of k(k−1)/2; the distance
+    verify still filters each chain edge. Connectivity-preserving,
+    lossy for the complete listing; opt-in."""
     if collapse_identical:
         rep_map = hashes.groupBy("phash").agg(F.min(id_col).alias("_rep"))
         star = (
@@ -378,7 +385,8 @@ def phash_dedup_pairs(
         )
         reps = rep_map.select(F.col("_rep").alias(id_col), "phash")
         return phash_dedup_pairs(
-            reps, max_distance, n_bands, id_col
+            reps, max_distance, n_bands, id_col,
+            max_bucket_rows=max_bucket_rows,
         ).unionByName(star)
     seg_bits = 64 // n_bands
     mask = (1 << seg_bits) - 1
@@ -395,6 +403,27 @@ def phash_dedup_pairs(
             ])
         ).alias("b"),
     ).select(id_col, "phash", "b.band", "b.seg")
+    chain = None
+    if max_bucket_rows is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band", "seg")
+        sized = segs.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        segs = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
+        over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
+            "_rn", F.row_number().over(wb.orderBy(id_col))
+        )
+        nxt = over.select(
+            "band", "seg", (F.col("_rn") + 1).alias("_rn"),
+            F.col(id_col).alias("_prev"),
+            F.col("phash").alias("_prev_ph"),
+        )
+        chain = over.join(nxt, ["band", "seg", "_rn"]).select(
+            F.col("_prev").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.col("_prev_ph").alias("ph_a"),
+            F.col("phash").alias("ph_b"),
+        )
     a, b = segs.alias("a"), segs.alias("b")
     cand = (
         a.join(
@@ -409,9 +438,10 @@ def phash_dedup_pairs(
             F.col("a.phash").alias("ph_a"),
             F.col("b.phash").alias("ph_b"),
         )
-        .distinct()
     )
-    return cand.withColumn(
+    if chain is not None:
+        cand = cand.unionByName(chain)
+    return cand.distinct().withColumn(
         "distance", F.expr("bit_count(ph_a ^ ph_b)")
     ).where(F.col("distance") <= max_distance).select("id_a", "id_b", "distance")
 

@@ -346,6 +346,70 @@ def test_lsh_mega_bucket_chain_cap(spark):
     assert comp2.select("component").distinct().count() == 1
 
 
+def test_chain_cap_family_wide(spark):
+    """max_bucket_rows on the simhash, pHash and embedding-LSH
+    generators (r16): near-identical over-cap buckets chain instead of
+    self-joining, the per-pair verify still runs on chain edges, and
+    the cluster stays one component."""
+    from raquet_spark.operators.dedup import (
+        connected_components,
+        embedding_dedup_pairs_lsh,
+    )
+    from raquet_spark.operators.multimodal import phash_dedup_pairs
+
+    def comps(pairs):
+        return (
+            connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+            .select("component").distinct().count()
+        )
+
+    # simhash: two simhashes at hamming 1 — every pair qualifies, so
+    # the uncapped listing is quadratic and the capped one chains
+    k = 100
+    from raquet_spark.operators.dedup import _simhash_chunk_pairs
+
+    sigs = spark.range(k).selectExpr(
+        "id AS doc_id",
+        "CAST(5 AS BIGINT) | shiftleft(CAST(id % 2 AS BIGINT), 40)"
+        " AS simhash",
+    )
+    full = _simhash_chunk_pairs(sigs, "doc_id", 4, 12, 3)
+    assert full.count() == k * (k - 1) // 2
+    capped = _simhash_chunk_pairs(sigs, "doc_id", 4, 12, 3, 10)
+    assert capped.count() < k * (k - 1) // 8
+    assert capped.where("hamming > 3").count() == 0
+    assert comps(capped) == 1
+
+    # pHash: same shape through the public API
+    hashes = spark.range(k).selectExpr(
+        "id AS media_id",
+        "CAST(99 AS BIGINT) | shiftleft(CAST(id % 2 AS BIGINT), 50)"
+        " AS phash",
+    )
+    pfull = phash_dedup_pairs(hashes, max_distance=2, n_bands=4)
+    assert pfull.count() == k * (k - 1) // 2
+    pcap = phash_dedup_pairs(
+        hashes, max_distance=2, n_bands=4, max_bucket_rows=10
+    )
+    assert pcap.count() < k * (k - 1) // 8
+    assert comps(pcap) == 1
+
+    # embedding LSH: k near-identical vectors (cosine ~1, identical
+    # buckets in every table) — chains dedupe to exactly k-1 pairs
+    emb = spark.range(k).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 16), x -> CAST(x AS DOUBLE) * (1.0 +"
+        " CAST(id AS DOUBLE) * 1e-9)) AS embedding",
+    )
+    ecap = embedding_dedup_pairs_lsh(
+        emb, threshold=0.99, n_bits=4, n_tables=6, dim=16,
+        max_bucket_rows=10,
+    )
+    assert ecap.count() == k - 1
+    assert ecap.where("cos_sim < 0.99").count() == 0
+    assert comps(ecap) == 1
+
+
 def test_simhash_collapse_identical_equivalence(spark, docs):
     """Simhash collapse: identical-simhash groups become rep + star
     (hamming 0) with the same component closure as the full chunk-join
