@@ -139,6 +139,7 @@ def main() -> None:
         "grib1_qll_stats",
         "grib2_prob_stats",
         "dedup_embedding_lsh",
+        "dedup_minhash_collapse",
         "lossy_webp_roundtrip_stats",
         "dsir_weights",
         "dem_slope_stats",
@@ -445,7 +446,10 @@ def main() -> None:
              # (dem_slope, rasterize_features, semantic_dedup_keep —
              # which contains the embedding-LSH chain)
              "dem_multiband_stats", "rasterize_wkt_stats",
-             "dedup_embedding_lsh", "netcdf4_eaindex_stats"}
+             "dedup_embedding_lsh", "netcdf4_eaindex_stats",
+             # r16 collapse twin of dedup_minhash: timed + recorded in
+             # the baseline file; the full-listing line is printed
+             "dedup_minhash_collapse"}
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_duckdb_baseline.json"), "w",

@@ -4457,6 +4457,43 @@ def _minhash_mins(d: str) -> str:
     return ", ".join(cols)
 
 
+def _minhash_band_arr(d: str) -> str:
+    """All 4 band keys as prefixed strings in one array literal —
+    shared by the banded pair template and the r16 collapse oracle."""
+    cast_s = "STRING" if d == "spark" else "VARCHAR"
+    return dl.arr_lit(
+        [
+            f"concat('{i}:', CAST(m{2 * i} AS {cast_s}), ':', "
+            f"CAST(m{2 * i + 1} AS {cast_s}))"
+            for i in range(4)
+        ],
+        d,
+    )
+
+
+def _minhash_mins_sql(d: str, source: str = "documents") -> str:
+    """(doc_id, m0..m7) MinHash signature rows — the shingle/hash/min
+    pipeline from an arbitrary source relation (the r16 collapse
+    oracle plants duplicate copies via an inline UNION ALL source)."""
+    el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
+    shingle = f"concat({el('i')}, ' ', {el('i + 1')}, ' ', {el('i + 2')})"
+    shingles = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('toks', d)} - 2", d), "i", shingle, d
+    )
+    h = dl.md5_int("shingle", d)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_tokens(d)} AS toks FROM {source}
+), sh AS (
+  SELECT doc_id, {dl.explode(shingles, 'shingle', d)}
+  FROM tok WHERE {dl.arr_size('toks', d)} >= 3
+), hashes AS (
+  SELECT doc_id, {h} AS h FROM sh
+)
+SELECT doc_id, {_minhash_mins(d)} FROM hashes GROUP BY doc_id
+"""
+
+
 def _minhash_bands_sql(d: str) -> str:
     """(doc_id, bk) band keys — the expensive shingle/hash/min pipeline,
     factored out so the Spark side can compute it ONCE (checkpointed)
@@ -4468,19 +4505,11 @@ def _minhash_bands_sql(d: str) -> str:
         dl.seq(1, f"{dl.arr_size('toks', d)} - 2", d), "i", shingle, d
     )
     h = dl.md5_int("shingle", d)
-    cast_s = "STRING" if d == "spark" else "VARCHAR"
     # all 4 band keys as prefixed strings in ONE array → explode to rows →
     # a single self-equi-join on the band key. One pass over the expensive
     # shingle/hash/min pipeline per join side (vs one per band), one
     # shuffle keyed by band value — the banded-LSH scale shape.
-    band_arr = dl.arr_lit(
-        [
-            f"concat('{i}:', CAST(m{2 * i} AS {cast_s}), ':', "
-            f"CAST(m{2 * i + 1} AS {cast_s}))"
-            for i in range(4)
-        ],
-        d,
-    )
+    band_arr = _minhash_band_arr(d)
     return f"""
 WITH tok AS (
   SELECT doc_id, {_tokens(d)} AS toks FROM documents
@@ -5849,6 +5878,66 @@ def ann_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf(emb, queries_df, k=5, n_clusters=16, n_probe=4, centroids=cent)
 
 
+_COLLAPSE_OFF = 5_000_000
+
+
+def dedup_minhash_collapse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r16 duplicate-collapse pair shape driven end-to-end: plant an
+    exact copy of every 7th document, run the OPERATOR with
+    ``collapse_identical=True`` (identical-signature groups → one
+    representative + star edges, band self-join over reps only), and
+    hash the complete sparsified listing against a DuckDB oracle that
+    computes the same collapse in pure SQL (signature groupBy → rep →
+    star ∪ rep-band pairs). Proves the production keep-min funnel's
+    pair generator, not just its components, is oracle-exact."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_COLLAPSE_OFF)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = minhash_dedup_pairs(corpus, collapse_identical=True)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
+def dedup_minhash_collapse_oracle() -> str:
+    d = "duckdb"
+    src = (
+        f"(SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_COLLAPSE_OFF} AS doc_id, text "
+        f"FROM documents WHERE doc_id % 7 = 0)"
+    )
+    sig_cols = ", ".join(f"m{i}" for i in range(8))
+    sig_eq = " AND ".join(f"m.m{i} = r.m{i}" for i in range(8))
+    return f"""
+WITH mins AS (
+{_minhash_mins_sql(d, source=src)}
+), reps AS (
+  SELECT {sig_cols}, MIN(doc_id) AS rep
+  FROM mins GROUP BY {sig_cols}
+), star AS (
+  SELECT r.rep AS doc_a, m.doc_id AS doc_b
+  FROM mins m JOIN reps r ON {sig_eq}
+  WHERE m.doc_id <> r.rep
+), rep_bands AS (
+  SELECT rep AS doc_id, {dl.explode(_minhash_band_arr(d), 'bk', d)}
+  FROM reps
+), rep_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rep_bands a JOIN rep_bands b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b FROM rep_pairs
+UNION ALL
+SELECT doc_a, doc_b FROM star
+"""
+
+
 def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the MinHash-LSH pair
     graph (iterative min-label propagation; non-SQL-expressible on the
@@ -6405,6 +6494,10 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
         suitable_cells_detail_oracle,
     ),
     "dedup_components": (dedup_components_spark, dedup_components_oracle),
+    "dedup_minhash_collapse": (
+        dedup_minhash_collapse_spark,
+        dedup_minhash_collapse_oracle,
+    ),
     "dedup_cluster_sizes": (dedup_cluster_sizes_spark, dedup_cluster_sizes_oracle),
     "dedup_prune": (dedup_prune_spark, dedup_prune_oracle),
     "asof_join_events_orders": (asof_join_spark, asof_join_oracle),
