@@ -5938,6 +5938,86 @@ SELECT doc_a, doc_b FROM star
 """
 
 
+_CHAINCAP_OFF = 9_000_000
+_CHAINCAP_N = 50
+_CHAINCAP_CAP = 12
+#: deterministic boilerplate base for the chain-cap plant — a literal
+#: (not a sampled document) so both dialects state the corpus exactly
+#: and the query plan carries no agg/join just to pick a seed text
+_CHAINCAP_BASE = " ".join(f"boiler{i}" for i in range(40))
+
+
+def dedup_minhash_chaincap_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r16 mega-bucket chain cap driven end-to-end: plant 50
+    NEAR-identical variants of one boilerplate text (a distinct suffix
+    token each — distinct signatures, shared band keys: the
+    near-clique shape the collapse cannot touch), run the operator
+    with ``max_bucket_rows=12``, and hash the capped listing against a
+    DuckDB oracle computing the identical semantics in pure SQL
+    (under-cap buckets self-join exactly; over-cap buckets emit
+    id-rank-adjacent chain pairs via a window)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = spark.range(_CHAINCAP_N).select(
+        (F.lit(_CHAINCAP_OFF) + F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit(_CHAINCAP_BASE + " zvar"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    # materialize the signatures once: the capped path fans the sig
+    # table into FOUR consumers (under/over × self-join sides) plus the
+    # bucket-count window — a lazy plan recomputes the shingle+md5
+    # pipeline (and the base-doc agg) per branch (measured 46 s → 6 s
+    # at sf0.01)
+    from raquet_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(corpus).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sigs, max_bucket_rows=_CHAINCAP_CAP)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
+def dedup_minhash_chaincap_oracle() -> str:
+    d = "duckdb"
+    src = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT {_CHAINCAP_OFF} + t.s AS doc_id,
+         '{_CHAINCAP_BASE} zvar' || CAST(t.s AS VARCHAR) AS text
+  FROM (SELECT UNNEST(RANGE({_CHAINCAP_N})) AS s) t
+)"""
+    return f"""
+WITH mins AS (
+{_minhash_mins_sql(d, source=src)}
+), bands AS (
+  SELECT doc_id, {dl.explode(_minhash_band_arr(d), 'bk', d)} FROM mins
+), sized AS (
+  SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn FROM bands
+), under_cap AS (
+  SELECT doc_id, bk FROM sized WHERE bn <= {_CHAINCAP_CAP}
+), over_cap AS (
+  SELECT doc_id, bk,
+         ROW_NUMBER() OVER (PARTITION BY bk ORDER BY doc_id) AS rn
+  FROM sized WHERE bn > {_CHAINCAP_CAP}
+), all_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM under_cap a JOIN under_cap b
+    ON a.bk = b.bk AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM over_cap a JOIN over_cap b
+    ON a.bk = b.bk AND b.rn = a.rn + 1
+)
+SELECT DISTINCT doc_a, doc_b FROM all_pairs
+"""
+
+
 def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the MinHash-LSH pair
     graph (iterative min-label propagation; non-SQL-expressible on the
@@ -6497,6 +6577,10 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     "dedup_minhash_collapse": (
         dedup_minhash_collapse_spark,
         dedup_minhash_collapse_oracle,
+    ),
+    "dedup_minhash_chaincap": (
+        dedup_minhash_chaincap_spark,
+        dedup_minhash_chaincap_oracle,
     ),
     "dedup_cluster_sizes": (dedup_cluster_sizes_spark, dedup_cluster_sizes_oracle),
     "dedup_prune": (dedup_prune_spark, dedup_prune_oracle),
