@@ -516,6 +516,36 @@ def test_semantic_dedup_keeps_planted_filter_pushed(spark):
     ), "planted filter no longer fused into the LSH bucket join"
 
 
+def test_exact_dedup_plan_skew_safe(spark):
+    """exact_dedup (r16) must not plan a Window over the content hash —
+    a window pins every copy of a hot hash into one task's sort; the
+    skew-safe shape is groupBy (map-side partial) + semi-join."""
+    from raquet_spark.operators.dedup import exact_dedup
+    from raquet_spark.plans.inspect import executed_plan
+    from raquet_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = executed_plan(exact_dedup(docs))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # the min-id winner agg
+    assert "LeftSemi" in plan
+
+
+def test_minhash_collapse_plan_no_window(spark):
+    """The signature collapse (r16) must stay agg+join shaped: no
+    Window anywhere in the collapsed pair plan (the chain cap is the
+    ONLY deliberate window user, and only over the buckets it names)."""
+    from raquet_spark.operators.dedup import minhash_dedup_pairs
+    from raquet_spark.plans.inspect import executed_plan
+    from raquet_spark.queries import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = executed_plan(
+        minhash_dedup_pairs(docs.limit(50), collapse_identical=True)
+    )
+    assert "Window" not in plan
+
+
 def test_dsir_bucket_join_broadcasts(spark, qs):
     """The 1024-bucket log-ratio table must broadcast into the
     per-token scoring join — a shuffle there would move the whole
