@@ -24,6 +24,11 @@ MINHASH_PARAMS = [
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one row (min id) per distinct content hash.
 
+    ``id_col`` is the row identity and must be NON-NULL: ``min()``
+    skips NULLs and NULL join keys never match, so a group whose ids
+    are all NULL would vanish (same contract as every pair generator
+    in this module — ids are join/window keys throughout).
+
     Winner selection is a groupBy + semi-join, NOT
     ``row_number().over(partitionBy(hash))`` (r16): a window pins
     every copy of a hot content hash (license boilerplate repeats
@@ -152,6 +157,48 @@ def collapse_identical_signatures(
     return rep_map, reps, star
 
 
+def chain_capped_buckets(
+    exploded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_rows: int,
+    carry_cols: list[str] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """``(under, chain)``: split an exploded (id, bucket) table at the
+    occupancy cap — rows in buckets ≤ cap pass through for the exact
+    self-join; buckets over the cap emit id-rank-ADJACENT chain pairs
+    (k−1 rows per bucket) instead, each carrying the previous row's
+    ``carry_cols`` as ``_prev_<col>`` for a downstream per-edge verify.
+    The shared chain-cap of every banded pair generator (minhash
+    bands, simhash chunks, pHash segments, embedding LSH buckets):
+    connectivity-preserving (every over-cap member keeps a candidate
+    edge and the bucket stays one component), lossy only for the
+    complete pairwise listing, and the hot bucket costs one
+    O(k log k) sorted task instead of O(k²) join output."""
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy(*bucket_cols)
+    sized = exploded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+    under = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
+    over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
+        "_rn", F.row_number().over(wb.orderBy(id_col))
+    )
+    nxt = over.select(
+        *bucket_cols,
+        (F.col("_rn") + 1).alias("_rn"),
+        F.col(id_col).alias("_prev"),
+        *[F.col(c).alias(f"_prev_{c}") for c in carry_cols],
+    )
+    # ascending id order makes _prev < id on every chain edge
+    chain = over.join(nxt, [*bucket_cols, "_rn"]).select(
+        F.col("_prev").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"_prev_{c}") for c in carry_cols],
+        *[F.col(c) for c in carry_cols],
+    )
+    return under, chain
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -211,24 +258,8 @@ def lsh_candidate_pairs(
         banded = banded.repartition(join_width, "band", "key")
     chain = None
     if max_bucket_rows is not None:
-        from pyspark.sql.window import Window
-
-        wb = Window.partitionBy("band", "key")
-        sized = banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        banded = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
-        over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
-            "_rn", F.row_number().over(wb.orderBy(id_col))
-        )
-        nxt = over.select(
-            "band", "key", (F.col("_rn") + 1).alias("_rn"),
-            F.col(id_col).alias("_prev"),
-        )
-        # ascending id order makes _prev < id on every chain edge
-        chain = (
-            over.join(nxt, ["band", "key", "_rn"])
-            .select(
-                F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
-            )
+        banded, chain = chain_capped_buckets(
+            banded, ["band", "key"], id_col, max_bucket_rows
         )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -320,6 +351,11 @@ def minhash_dedup_pairs(
         rep_map, reps, star = collapse_identical_signatures(sigs_m, id_col)
         rep_map.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # star volume (n − m) dominates rep pairs on exactly the
+            # corpora this path targets — include it in the sizing so
+            # a huge star set takes the wide/DISK_ONLY branch (both
+            # counts scan persisted inputs, so they are cheap)
+            star_rows = sigs_m.count() - rep_map.count()
             return materialize_sized_pairs(
                 sigs_m,
                 banded_signatures(reps, id_col),
@@ -329,6 +365,7 @@ def minhash_dedup_pairs(
                     max_bucket_rows=max_bucket_rows,
                 ).unionByName(star),
                 target_rows_per_task=target_rows_per_task,
+                extra_rows=star_rows,
             )
         finally:
             rep_map.unpersist()
@@ -404,17 +441,8 @@ def simhash_dedup_pairs(
     cw = bits // n_chunks
     sigs = simhash_signatures(df, text_col, id_col, bits)
     if collapse_identical:
-        rep_map = sigs.groupBy("simhash").agg(F.min(id_col).alias("_rep"))
-        star = (
-            sigs.join(rep_map, "simhash")
-            .where(F.col(id_col) != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.lit(0).cast("int").alias("hamming"),
-            )
-        )
-        reps = rep_map.select(F.col("_rep").alias(id_col), "simhash")
+        _, reps, star = collapse_identical_signatures(sigs, id_col)
+        star = star.withColumn("hamming", F.lit(0).cast("int"))
         return _simhash_chunk_pairs(
             reps, id_col, n_chunks, cw, max_hamming, max_bucket_rows
         ).unionByName(star)
@@ -440,26 +468,13 @@ def _simhash_chunk_pairs(
     )
     chain = None
     if max_bucket_rows is not None:
-        from pyspark.sql.window import Window
-
-        wb = Window.partitionBy("chunk_idx", "chunk")
-        sized = chunks.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        chunks = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
-        over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
-            "_rn", F.row_number().over(wb.orderBy(id_col))
+        chunks, chain = chain_capped_buckets(
+            chunks, ["chunk_idx", "chunk"], id_col, max_bucket_rows,
+            carry_cols=["simhash"],
         )
-        nxt = over.select(
-            "chunk_idx", "chunk", (F.col("_rn") + 1).alias("_rn"),
-            F.col(id_col).alias("_prev"),
-            F.col("simhash").alias("_prev_sim"),
-        )
-        chain = (
-            over.join(nxt, ["chunk_idx", "chunk", "_rn"])
-            .select(
-                F.col("_prev").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.expr("bit_count(_prev_sim ^ simhash)").alias("hamming"),
-            )
+        chain = chain.select(
+            "id_a", "id_b",
+            F.expr("bit_count(_prev_simhash ^ simhash)").alias("hamming"),
         )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -761,22 +776,16 @@ def embedding_dedup_pairs_lsh(
     if collapse_identical:
         from pyspark import StorageLevel
 
-        base = df.select(id_col, vec_col)
-        rep_map = base.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+        rep_map, reps, star = collapse_identical_signatures(
+            df.select(id_col, vec_col), id_col
+        )
+        star = star.withColumn("cos_sim", F.lit(1.0))
         if auto_width:
             # the eager path scans rep_map from three consumers (star,
             # rep signatures, rep norms) — materialize the groupBy once
-            rep_map = rep_map.persist(StorageLevel.MEMORY_AND_DISK)
-        star = (
-            base.join(rep_map, vec_col)
-            .where(F.col(id_col) != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.lit(1.0).alias("cos_sim"),
-            )
-        )
-        reps = rep_map.select(F.col("_rep").alias(id_col), F.col(vec_col))
+            # (persisting the parent after derivation still caches:
+            # Spark keys the cache on the logical plan)
+            rep_map.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             inner = embedding_dedup_pairs_lsh(
                 reps, vec_col, id_col, threshold, n_bits, n_tables, seed,
@@ -825,20 +834,8 @@ def embedding_dedup_pairs_lsh(
             sigs_src = sigs_src.repartition(join_width, "_t", "_sig")
         chain = None
         if max_bucket_rows is not None:
-            from pyspark.sql.window import Window
-
-            wb = Window.partitionBy("_t", "_sig")
-            sized = sigs_src.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            sigs_src = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
-            over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
-                "_rn", F.row_number().over(wb.orderBy(id_col))
-            )
-            nxt = over.select(
-                "_t", "_sig", (F.col("_rn") + 1).alias("_rn"),
-                F.col(id_col).alias("_prev"),
-            )
-            chain = over.join(nxt, ["_t", "_sig", "_rn"]).select(
-                F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b")
+            sigs_src, chain = chain_capped_buckets(
+                sigs_src, ["_t", "_sig"], id_col, max_bucket_rows
             )
         a, b = sigs_src.alias("a"), sigs_src.alias("b")
         # candidate ids FIRST, deduped on narrow (id, id) rows:

@@ -373,17 +373,14 @@ def phash_dedup_pairs(
     verify still filters each chain edge. Connectivity-preserving,
     lossy for the complete listing; opt-in."""
     if collapse_identical:
-        rep_map = hashes.groupBy("phash").agg(F.min(id_col).alias("_rep"))
-        star = (
-            hashes.join(rep_map, "phash")
-            .where(F.col(id_col) != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.lit(0).cast("int").alias("distance"),
-            )
+        from raquet_spark.operators.dedup import (
+            collapse_identical_signatures,
         )
-        reps = rep_map.select(F.col("_rep").alias(id_col), "phash")
+
+        _, reps, star = collapse_identical_signatures(
+            hashes.select(id_col, "phash"), id_col
+        )
+        star = star.withColumn("distance", F.lit(0).cast("int"))
         return phash_dedup_pairs(
             reps, max_distance, n_bands, id_col,
             max_bucket_rows=max_bucket_rows,
@@ -405,23 +402,15 @@ def phash_dedup_pairs(
     ).select(id_col, "phash", "b.band", "b.seg")
     chain = None
     if max_bucket_rows is not None:
-        from pyspark.sql.window import Window
+        from raquet_spark.operators.dedup import chain_capped_buckets
 
-        wb = Window.partitionBy("band", "seg")
-        sized = segs.withColumn("_bn", F.count(F.lit(1)).over(wb))
-        segs = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
-        over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
-            "_rn", F.row_number().over(wb.orderBy(id_col))
+        segs, chain = chain_capped_buckets(
+            segs, ["band", "seg"], id_col, max_bucket_rows,
+            carry_cols=["phash"],
         )
-        nxt = over.select(
-            "band", "seg", (F.col("_rn") + 1).alias("_rn"),
-            F.col(id_col).alias("_prev"),
-            F.col("phash").alias("_prev_ph"),
-        )
-        chain = over.join(nxt, ["band", "seg", "_rn"]).select(
-            F.col("_prev").alias("id_a"),
-            F.col(id_col).alias("id_b"),
-            F.col("_prev_ph").alias("ph_a"),
+        chain = chain.select(
+            "id_a", "id_b",
+            F.col("_prev_phash").alias("ph_a"),
             F.col("phash").alias("ph_b"),
         )
     a, b = segs.alias("a"), segs.alias("b")

@@ -681,7 +681,12 @@ def substring_dedup_spans(
         with scoped_shuffle_width(spark, width):
             return substring_dedup_spans(
                 df, window, text_col, id_col, auto_width=False,
-                checkpoint_occurrences=True,
+                # tri-state default: None means "follow auto_width" —
+                # an explicit False from the caller is honored
+                checkpoint_occurrences=(
+                    True if checkpoint_occurrences is None
+                    else checkpoint_occurrences
+                ),
             ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     shingled = df.selectExpr(

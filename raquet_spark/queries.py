@@ -5892,14 +5892,21 @@ def dedup_minhash_collapse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generator, not just its components, is oracle-exact."""
     from pyspark.sql import functions as F
 
-    from raquet_spark.operators.dedup import minhash_dedup_pairs
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + F.lit(_COLLAPSE_OFF)).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(planted)
-    pairs = minhash_dedup_pairs(corpus, collapse_identical=True)
+    # materialize signatures once: the collapse fans them into the
+    # rep groupBy, the star join-back, and the rep band join — a lazy
+    # plan recomputes the shingle+md5 pipeline per consumer
+    from raquet_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(corpus).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sigs, collapse_identical=True)
     return pairs.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )

@@ -172,6 +172,7 @@ def materialize_sized_pairs(
     key_cols: tuple,
     build,
     target_rows_per_task: int = 250_000,
+    extra_rows: int = 0,
 ):
     """The shared sized-pair-join recipe of the LSH dedup operators
     (minhash + embedding): count the closed-form pair volume
@@ -183,7 +184,14 @@ def materialize_sized_pairs(
     and release ``persisted`` on the way out. When the derived width
     does not exceed the session default, the scope is skipped
     entirely so small corpora keep the session's exact AQE behavior
-    and ``build(None)`` adds no repartition."""
+    and ``build(None)`` adds no repartition.
+
+    ``extra_rows``: known output rows OUTSIDE the closed-form bucket
+    pairs — e.g. the duplicate-collapse star edges, whose volume
+    (n − m) dwarfs the rep-pair count on exactly the duplicate-heavy
+    corpora the collapse targets. Without it a ~10⁹-row star set would
+    take the width≤base branch and checkpoint memory-tier (the heap
+    hazard the DISK_ONLY branch exists for)."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -197,7 +205,8 @@ def materialize_sized_pairs(
             or 0.0
         )
         width = derive_shuffle_width(
-            spark, int(pair_rows), target_rows_per_task=target_rows_per_task
+            spark, int(pair_rows) + int(extra_rows),
+            target_rows_per_task=target_rows_per_task,
         )
         base = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if width <= base:

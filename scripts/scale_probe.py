@@ -447,11 +447,18 @@ def main() -> None:
     # raster line is selected
     import tempfile
 
+    # SPARK_GRAFT_PROBE_RASTER_SIDE scales the raster family grid; the
+    # candidate names carry the resulting Mpx suffix so recorded labels
+    # (raster_write_16mpx / raster_write_67mpx) keep matching PROBE_ONLY
+    raster_side = int(os.environ.get("SPARK_GRAFT_PROBE_RASTER_SIDE", "16"))
+    raster_mpx = f"{raster_side * raster_side * 256 * 256 // 1_000_000}mpx"
     run_raster = not only or any(
         t in n for t in only
-        for n in ("raster_write", "raster_tile_stats",
-                  "raster_pyramid", "geotiff_export_sharded",
-                  "focal_slope")
+        for n in (f"raster_write_{raster_mpx}",
+                  f"raster_tile_stats_{raster_mpx}",
+                  f"raster_pyramid_{raster_mpx}",
+                  f"geotiff_export_sharded_{raster_mpx}",
+                  f"focal_slope_{raster_mpx}")
     )
     run_netcdf = not only or any(
         t in n for t in only
@@ -482,9 +489,8 @@ def main() -> None:
         # SPARK_GRAFT_PROBE_RASTER_SIDE=32 scales the raster family to
         # a 32x32-tile (67 Mpx) grid — 16x the bench raster — keeping
         # the historical 16 Mpx labels at the default
-        side = int(os.environ.get("SPARK_GRAFT_PROBE_RASTER_SIDE", "16"))
+        side, mpx = raster_side, raster_mpx
         zoom_r = 9 if side <= 16 else 10
-        mpx = f"{side * side * 256 * 256 // 1_000_000}mpx"
         t0 = time.perf_counter()
         tiles, meta = make_synthetic_raster(
             spark, zoom=zoom_r, tiles_x=side, tiles_y=side,
