@@ -366,6 +366,7 @@ def minhash_dedup_pairs(
                 ).unionByName(star),
                 target_rows_per_task=target_rows_per_task,
                 extra_rows=star_rows,
+                cap_rows=max_bucket_rows,
             )
         finally:
             rep_map.unpersist()
@@ -378,6 +379,7 @@ def minhash_dedup_pairs(
             sigs_m, id_col, join_width=w, max_bucket_rows=max_bucket_rows
         ),
         target_rows_per_task=target_rows_per_task,
+        cap_rows=max_bucket_rows,
     )
 
 
@@ -897,6 +899,7 @@ def embedding_dedup_pairs_lsh(
             ("_t", "_sig"),
             lambda w: _pairs(sigs_m, join_width=w),
             target_rows_per_task=target_rows_per_task,
+            cap_rows=max_bucket_rows,
         )
     finally:
         v.unpersist()

@@ -173,6 +173,7 @@ def materialize_sized_pairs(
     build,
     target_rows_per_task: int = 250_000,
     extra_rows: int = 0,
+    cap_rows: int | None = None,
 ):
     """The shared sized-pair-join recipe of the LSH dedup operators
     (minhash + embedding): count the closed-form pair volume
@@ -191,16 +192,34 @@ def materialize_sized_pairs(
     (n − m) dwarfs the rep-pair count on exactly the duplicate-heavy
     corpora the collapse targets. Without it a ~10⁹-row star set would
     take the width≤base branch and checkpoint memory-tier (the heap
-    hazard the DISK_ONLY branch exists for)."""
+    hazard the DISK_ONLY branch exists for).
+
+    ``cap_rows``: the caller's chain-cap (``max_bucket_rows``). The
+    closed form must then count what the CAPPED join actually emits —
+    k(k−1)/2 for buckets ≤ cap, k−1 chain rows above — or the width
+    inherits the uncapped estimate: measured r16, a 5000×256
+    near-identical corpus closed-formed 652M pairs (width 2611) while
+    the capped output was 2.5M (width = session base); the
+    2611-partition numbered repartition turned every downstream scan
+    into thousands of micro-tasks and stalled the components round
+    loop."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     spark = bucketed.sparkSession
     try:
+        if cap_rows is None:
+            per_bucket = "CAST(k AS DOUBLE) * (k - 1) / 2"
+        else:
+            per_bucket = (
+                f"CASE WHEN k <= {int(cap_rows)} "
+                "THEN CAST(k AS DOUBLE) * (k - 1) / 2 "
+                "ELSE CAST(k - 1 AS DOUBLE) END"
+            )
         pair_rows = (
             bucketed.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("k"))
-            .agg(F.sum(F.expr("CAST(k AS DOUBLE) * (k - 1) / 2")).alias("p"))
+            .agg(F.sum(F.expr(per_bucket)).alias("p"))
             .first()["p"]
             or 0.0
         )
