@@ -36,8 +36,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ``groupBy(hash).agg(min(id))`` partial-aggregates map-side — the
     hot key shrinks to one row per map task — and the winner
     semi-join is AQE-skew-splittable. Same rule the substring-dedup
-    first-occurrence pass follows (textops.py)."""
-    h = df.withColumn("_h", F.md5(F.col(text_col)))
+    first-occurrence pass follows (textops.py).
+
+    NULL text forms one group like any other (r17, ADVICE): the hash
+    key coalesces to '' — a value md5 (32 hex chars) can never emit —
+    because the semi-join's null-rejecting equality would otherwise
+    silently drop every NULL-text row, where the pre-r16 window kept
+    one representative."""
+    h = df.withColumn("_h", F.coalesce(F.md5(F.col(text_col)), F.lit("")))
     winners = h.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return (
         h.join(winners, ["_h", id_col], "left_semi")
@@ -174,14 +180,33 @@ def chain_capped_buckets(
     connectivity-preserving (every over-cap member keeps a candidate
     edge and the bucket stays one component), lossy only for the
     complete pairwise listing, and the hot bucket costs one
-    O(k log k) sorted task instead of O(k²) join output."""
+    O(k log k) sorted task instead of O(k²) join output.
+
+    The occupancy COUNT is a groupBy + semi/anti join against the
+    over-cap key list, NOT ``count().over(Window.partitionBy(bucket))``
+    (r17, VERDICT r16 #4): the window shuffled EVERY banded row —
+    including the ~99% in under-cap buckets — and landed the hot
+    bucket's full row set in one task before the cap even engaged,
+    contradicting the same skew rule :func:`exact_dedup` states. The
+    groupBy partial-aggregates map-side (the hot key shrinks to one
+    row per map task), the over-cap key list is heavy-hitters-only —
+    at most n_rows/cap keys, so AQE broadcasts the semi/anti joins at
+    runtime — and under-cap rows now reach the pair join with NO extra
+    shuffle at all. The ``row_number`` window survives only on the
+    over-cap SLICE, where the per-bucket sort is intrinsic to chaining
+    (documented O(k log k) single-task trade)."""
     from pyspark.sql.window import Window
 
-    wb = Window.partitionBy(*bucket_cols)
-    sized = exploded.withColumn("_bn", F.count(F.lit(1)).over(wb))
-    under = sized.where(F.col("_bn") <= max_bucket_rows).drop("_bn")
-    over = sized.where(F.col("_bn") > max_bucket_rows).withColumn(
-        "_rn", F.row_number().over(wb.orderBy(id_col))
+    bc = list(bucket_cols)
+    over_keys = (
+        exploded.groupBy(*bc)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > max_bucket_rows)
+        .select(*bc)
+    )
+    under = exploded.join(over_keys, bc, "left_anti")
+    over = exploded.join(over_keys, bc, "left_semi").withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(*bc).orderBy(id_col))
     )
     nxt = over.select(
         *bucket_cols,
@@ -705,7 +730,7 @@ def embedding_dedup_pairs_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_bits: int | None = None,
-    n_tables: int = 8,
+    n_tables: int = 16,
     seed: int = 7,
     dim: int = 64,
     n_rows: int | None = None,
@@ -763,6 +788,9 @@ def embedding_dedup_pairs_lsh(
     θ ≈ 0.95-cosine recall stays high with a handful of tables
     (recall-gated vs the exact all-pairs in pytest). Approximate by
     construction: an escaped pair is one that matched in NO table.
+    ``n_tables`` defaults to 16 — the configuration the dedup-tuned
+    16-row occupancy target was recall-probed with (r16; 8 tables at
+    that width would drop per-pair recall to ~0.90, ADVICE r16).
 
     ``n_bits=None`` self-sizes from the corpus count (one ``count()``
     job unless ``n_rows`` is passed) via
@@ -772,6 +800,7 @@ def embedding_dedup_pairs_lsh(
         _all_signatures,
         _dot,
         derive_lsh_bits,
+        max_bits_for_recall,
         with_norm,
     )
 
@@ -821,7 +850,15 @@ def embedding_dedup_pairs_lsh(
         # 0.35 → 0.25 and 16-table recall stays ≥ 0.99 while expected
         # candidate volume drops ~8x (probe-measured 1.67e8 → ~2e7
         # pairs; the perturbed x64 arm's recall is measured at 1.0).
-        n_bits = derive_lsh_bits(n_rows, target_bucket_rows=16)
+        # The recall clamp (r17, ADVICE): that trade was measured WITH
+        # 16 tables — a caller running fewer tables cannot sustain the
+        # same width (at 8 tables, 13 bits drop pair recall to ~0.90),
+        # so the occupancy-derived width is min'd with the closed-form
+        # recall bound for the ACTUAL (threshold, n_tables).
+        n_bits = min(
+            derive_lsh_bits(n_rows, target_bucket_rows=16),
+            max_bits_for_recall(threshold, n_tables),
+        )
 
     sigs = df.select(
         F.col(id_col),

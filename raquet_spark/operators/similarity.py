@@ -62,6 +62,29 @@ def derive_lsh_bits(
     return max(min_bits, min(max_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))))
 
 
+def max_bits_for_recall(
+    threshold: float, n_tables: int, target_recall: float = 0.99
+) -> int:
+    """Widest LSH signature that keeps multi-table recall at the target.
+
+    Signed-random-projection LSH collides a pair at cosine
+    ``threshold`` with per-bit probability p = 1 − arccos(threshold)/π,
+    so per-table recall is p^bits and T-table recall
+    1 − (1 − p^bits)^T. Solving for bits gives the clamp
+    bits ≤ log(1 − (1 − target)^(1/T)) / log(p). The self-sizing
+    recall guard (ADVICE r16): a tighter occupancy target must not
+    silently trade documented recall — at threshold 0.95 the bound is
+    13 bits with 16 tables but only 7 with 8, so the occupancy- and
+    recall-derived widths must be min'd, not assumed compatible."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if p <= 0.0:
+        return 1
+    if p >= 1.0:
+        return 64
+    r_needed = 1.0 - (1.0 - target_recall) ** (1.0 / max(1, n_tables))
+    return max(1, int(math.floor(math.log(r_needed) / math.log(p))))
+
+
 def derive_ivf_clusters(
     n_rows: int, min_clusters: int = 16, max_clusters: int = 65536
 ) -> int:

@@ -671,8 +671,12 @@ def substring_dedup_spans(
         if width <= base:
             # nothing to widen: keep the session's exact AQE behavior
             # and the default (memory-tier) checkpoint for small corpora
+            # — but still honor an EXPLICIT checkpoint_occurrences from
+            # the caller (r17, ADVICE: only None means "follow
+            # auto_width"; this branch used to drop an explicit True)
             return substring_dedup_spans(
-                df, window, text_col, id_col, auto_width=False
+                df, window, text_col, id_col, auto_width=False,
+                checkpoint_occurrences=bool(checkpoint_occurrences),
             ).localCheckpoint(eager=True)
         # past the session width the span set is big by construction —
         # checkpoint DISK_ONLY like materialize_sized_pairs does, so the

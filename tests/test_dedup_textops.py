@@ -1130,3 +1130,64 @@ def test_domain_quota_matches_plain_window(spark):
     }
     assert got == want
     assert len([1 for d, _ in got if d == "example.com"]) == 3
+
+
+def test_exact_dedup_null_text(spark):
+    """NULL text must form one kept group, not vanish (r17, ADVICE:
+    md5(NULL) is NULL and the winner semi-join's null-rejecting
+    equality dropped every NULL-text row)."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["a", "a", None, None, "b"],
+    }))
+    out = exact_dedup(docs)
+    got = {(r["doc_id"], r["text"]) for r in out.collect()}
+    assert got == {(1, "a"), (3, None), (5, "b")}
+
+
+def test_substring_dedup_auto_width_honors_explicit_checkpoint(spark):
+    """auto_width=True with derived width <= session base must still
+    forward an EXPLICIT checkpoint_occurrences=True (r17, ADVICE: the
+    narrow branch used to silently drop it) — identical spans either
+    way, and the call must actually take the checkpointed path."""
+    import pandas as pd
+
+    from raquet_spark.operators.textops import substring_dedup_spans
+
+    words = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [words(0, 40), words(0, 40)],
+    }))
+    expect = {(2, 0, 40)}
+    for ck in (True, False, None):
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in substring_dedup_spans(
+                docs, window=20, auto_width=True,
+                checkpoint_occurrences=ck,
+            ).collect()
+        }
+        assert got == expect, f"checkpoint_occurrences={ck}"
+
+
+def test_max_bits_for_recall_clamps_self_sizing(spark):
+    """The LSH self-sizing must honor the closed-form recall bound for
+    the ACTUAL (threshold, n_tables) (r17, ADVICE: the dedup-tuned
+    16-row occupancy was measured with 16 tables; 8 tables at that
+    width drop per-pair recall to ~0.90)."""
+    from raquet_spark.operators.similarity import max_bits_for_recall
+
+    # threshold 0.95: p/bit ~0.899 -> 13 bits at 16 tables, 7 at 8
+    assert max_bits_for_recall(0.95, 16) == 13
+    assert max_bits_for_recall(0.95, 8) == 7
+    # looser threshold -> lower p -> fewer bits sustainable
+    assert max_bits_for_recall(0.8, 16) < max_bits_for_recall(0.95, 16)
+    # recall math: the returned width actually meets the target
+    import math
+    for thr, t in [(0.95, 16), (0.95, 8), (0.9, 4), (0.99, 2)]:
+        bits = max_bits_for_recall(thr, t)
+        p = 1.0 - math.acos(thr) / math.pi
+        assert 1.0 - (1.0 - p ** bits) ** t >= 0.99

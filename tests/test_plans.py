@@ -835,3 +835,32 @@ def test_embedding_lsh_auto_width_parity(spark):
                 **kw).collect()}
     assert wide == plain
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_chain_cap_occupancy_count_no_full_table_window(spark):
+    """VERDICT r16 #4 (r17): chain_capped_buckets' occupancy count must
+    be a map-side-combinable groupBy + semi/anti join, not
+    count().over(Window.partitionBy(bucket)) — the window shuffled
+    every banded row (the 99% in under-cap buckets included) and
+    landed the hot bucket's full row set in one task before the cap
+    engaged. The row_number window survives ONLY on the over-cap
+    slice (intrinsic to chaining)."""
+    from raquet_spark.operators.dedup import chain_capped_buckets
+    from raquet_spark.plans.inspect import executed_plan
+
+    ex = spark.range(200).selectExpr(
+        "id AS doc_id", "id % 5 AS band", "CAST(id % 3 AS STRING) AS key"
+    )
+    under, chain = chain_capped_buckets(ex, ["band", "key"], "doc_id", 10)
+    up = executed_plan(under)
+    # under-cap rows reach the pair join with NO window and NO extra
+    # shuffle of the exploded table — just an anti join against the
+    # tiny over-cap key list
+    assert "Window" not in up
+    assert "LeftAnti" in up
+    cp = executed_plan(chain)
+    # the only Window nodes are row_number over the semi-joined
+    # over-cap slice — no count() window anywhere
+    win_lines = [ln for ln in cp.splitlines() if "Window [" in ln]
+    assert win_lines and all("row_number()" in ln for ln in win_lines)
+    assert "LeftSemi" in cp
