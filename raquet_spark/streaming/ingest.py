@@ -181,6 +181,8 @@ def minhash_dedup_process_batch(
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     hash_fn: str = "md5",
+    collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> None:
     """One micro-batch of :func:`streaming_minhash_dedup`, IDEMPOTENT
     per ``batch_id`` — foreachBatch is at-least-once, so a batch
@@ -194,55 +196,223 @@ def minhash_dedup_process_batch(
       prune), so a replay never sees its OWN already-written bands —
       without this, the probe would re-emit the batch's within-pairs
       as spurious cross-batch duplicates with the wrong
-      ``is_dup_of_seen`` flag.
+      ``is_dup_of_seen`` flag. Collapse-mode decisions (which
+      signatures are novel, which buckets are over cap) read only that
+      pruned index, so a replay recomputes them identically.
+
+    ``collapse_identical`` / ``max_bucket_rows`` are the streaming
+    twins of the batch generator's r16 bounds (VERDICT r16 #1 — the
+    persisted index used to keep EVERY identical-signature copy, so a
+    continuously-ingested boilerplate flood emitted O(k) probe pairs
+    per arrival, O(k²) cumulative):
+
+    - ``collapse_identical=True`` stores band rows only for NOVEL
+      distinct signatures (each row carries a full-signature
+      fingerprint ``sig``). A batch collapses to per-signature
+      representatives first (star edges to in-batch copies,
+      ``is_dup_of_seen=False``); a rep whose signature is already
+      indexed emits ONE (index-rep, batch-rep) edge
+      (``is_dup_of_seen=True``) and is NOT indexed again — a k-copy
+      flood costs k−1 edges total and the index stays one row-set per
+      distinct signature, the same closure argument pytest pins on the
+      batch side (``collapse_identical_signatures``). Member counts
+      are not stored: they are derivable from the pairs sink.
+    - ``max_bucket_rows`` chain-caps NEAR-identical floods (distinct
+      signatures sharing a band key): the within-batch self-join
+      reuses :func:`~raquet_spark.operators.dedup.chain_capped_buckets`
+      verbatim, the index probe joins an over-cap bucket to its MIN
+      indexed id only (one edge per arrival instead of k), and novel
+      band rows are not appended to buckets already at the cap — those
+      rows would never be probe targets, so skipping them bounds
+      per-bucket index size at ~cap + one batch's increment.
+      Connectivity is preserved exactly as on the batch side: every
+      arrival keeps an edge into each of its buckets.
+
+    Both options are baked into the index layout (like ``hash_fn``):
+    pick them per index directory and keep them for its lifetime — a
+    collapse-mode index carries the ``sig`` column, a full-mode one
+    does not.
     """
-    from raquet_spark.operators.dedup import banded_signatures, minhash_signatures
+    from raquet_spark.operators.dedup import (
+        banded_signatures,
+        chain_capped_buckets,
+        collapse_identical_signatures,
+        minhash_signatures,
+    )
 
     spark = batch_df.sparkSession
     sigs = minhash_signatures(batch_df, text_col, id_col, hash_fn=hash_fn)
-    banded = banded_signatures(sigs, id_col, rows_per_band).persist()
-    try:
-        a, b = banded.alias("a"), banded.alias("b")
-        within = (
-            a.join(b, ["band", "key"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.lit(False).alias("is_dup_of_seen"),
-            )
-        )
+
+    def read_index():
         try:
-            idx = spark.read.parquet(index_dir).where(
+            return spark.read.parquet(index_dir).where(
                 F.col("batch") < int(batch_id)
             )
-            has_index = True
         except Exception:
-            has_index = False
-        pairs = within
-        if has_index:
-            cross = (
-                banded.alias("n")
-                .join(idx.alias("i"), ["band", "key"])
-                .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
-                .select(
-                    F.least(f"n.{id_col}", f"i.{id_col}").alias("id_a"),
-                    F.greatest(f"n.{id_col}", f"i.{id_col}").alias("id_b"),
-                    F.lit(True).alias("is_dup_of_seen"),
-                )
-            )
-            pairs = within.unionByName(cross)
+            return None
+
+    def write_pairs(pairs: DataFrame) -> None:
         (
             pairs.groupBy("id_a", "id_b")
             .agg(F.max("is_dup_of_seen").alias("is_dup_of_seen"))
             .write.mode("overwrite")
             .parquet(f"{pairs_dir}/batch={int(batch_id)}")
         )
-        banded.write.mode("overwrite").parquet(
+
+    if not collapse_identical and max_bucket_rows is None:
+        banded = banded_signatures(sigs, id_col, rows_per_band).persist()
+        try:
+            a, b = banded.alias("a"), banded.alias("b")
+            within = (
+                a.join(b, ["band", "key"])
+                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                .select(
+                    F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.lit(False).alias("is_dup_of_seen"),
+                )
+            )
+            idx = read_index()
+            pairs = within
+            if idx is not None:
+                cross = (
+                    banded.alias("n")
+                    .join(idx.alias("i"), ["band", "key"])
+                    .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+                    .select(
+                        F.least(f"n.{id_col}", f"i.{id_col}").alias("id_a"),
+                        F.greatest(f"n.{id_col}", f"i.{id_col}").alias("id_b"),
+                        F.lit(True).alias("is_dup_of_seen"),
+                    )
+                )
+                pairs = within.unionByName(cross)
+            write_pairs(pairs)
+            banded.write.mode("overwrite").parquet(
+                f"{index_dir}/batch={int(batch_id)}"
+            )
+        finally:
+            banded.unpersist()
+        return
+
+    # ---- bounded path (collapse and/or chain cap) ----
+    sig_cols = [c for c in sigs.columns if c != id_col]
+    fingerprint = F.md5(
+        F.concat_ws(":", *[F.col(c).cast("string") for c in sig_cols])
+    )
+    if collapse_identical:
+        rep_map, reps, star = collapse_identical_signatures(sigs, id_col)
+        star = star.withColumn("is_dup_of_seen", F.lit(False))
+    else:
+        reps, star = sigs, None
+    reps_s = reps.withColumn("sig", fingerprint).persist()
+    try:
+        idx = read_index()
+        pairs = star
+        if idx is not None and collapse_identical:
+            idx_sigs = (
+                idx.groupBy("sig").agg(F.min(id_col).alias("_i"))
+            )
+            seen = reps_s.join(idx_sigs, "sig")
+            exact_edges = seen.where(
+                F.col(id_col) != F.col("_i")
+            ).select(
+                F.least(id_col, "_i").alias("id_a"),
+                F.greatest(id_col, "_i").alias("id_b"),
+                F.lit(True).alias("is_dup_of_seen"),
+            )
+            pairs = (
+                exact_edges if pairs is None
+                else pairs.unionByName(exact_edges)
+            )
+            # exact-matched reps route all connectivity through the
+            # already-indexed rep: only NOVEL signatures band-probe
+            # and enter the index
+            novel = reps_s.join(idx_sigs.select("sig"), "sig", "left_anti")
+        else:
+            novel = reps_s
+        banded = (
+            banded_signatures(novel.drop("sig"), id_col, rows_per_band)
+            .join(novel.select(id_col, "sig"), id_col)
+            .persist()
+        )
+        # within-batch pairs over the novel reps, chain-capped like the
+        # batch generator
+        under, chain = banded, None
+        if max_bucket_rows is not None:
+            under, chain = chain_capped_buckets(
+                banded, ["band", "key"], id_col, max_bucket_rows
+            )
+        a, b = under.alias("a"), under.alias("b")
+        within = (
+            a.join(b, ["band", "key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+        if chain is not None:
+            within = within.unionByName(chain.select("id_a", "id_b"))
+        within = within.withColumn("is_dup_of_seen", F.lit(False))
+        pairs = within if pairs is None else pairs.unionByName(within)
+
+        idx_keep = banded
+        if idx is not None:
+            if max_bucket_rows is not None:
+                stats = idx.groupBy("band", "key").agg(
+                    F.count(F.lit(1)).alias("_bn"),
+                    F.min(id_col).alias("_imin"),
+                )
+                over_b = stats.where(F.col("_bn") >= max_bucket_rows)
+                # under-cap buckets: full probe
+                cross_u = (
+                    banded.alias("n")
+                    .join(over_b.select("band", "key"),
+                          ["band", "key"], "left_anti")
+                    .join(idx.alias("i"), ["band", "key"])
+                    .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+                    .select(
+                        F.least(f"n.{id_col}", f"i.{id_col}").alias("id_a"),
+                        F.greatest(f"n.{id_col}", f"i.{id_col}").alias("id_b"),
+                    )
+                )
+                # over-cap buckets: ONE edge per arrival, to the
+                # bucket's min indexed id
+                cross_o = (
+                    banded.alias("n")
+                    .join(over_b, ["band", "key"])
+                    .where(F.col(f"n.{id_col}") != F.col("_imin"))
+                    .select(
+                        F.least(f"n.{id_col}", "_imin").alias("id_a"),
+                        F.greatest(f"n.{id_col}", "_imin").alias("id_b"),
+                    )
+                )
+                cross = cross_u.unionByName(cross_o)
+                # over-cap buckets take no new index rows
+                idx_keep = banded.join(
+                    over_b.select("band", "key"), ["band", "key"],
+                    "left_anti",
+                )
+            else:
+                cross = (
+                    banded.alias("n")
+                    .join(idx.alias("i"), ["band", "key"])
+                    .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+                    .select(
+                        F.least(f"n.{id_col}", f"i.{id_col}").alias("id_a"),
+                        F.greatest(f"n.{id_col}", f"i.{id_col}").alias("id_b"),
+                    )
+                )
+            pairs = pairs.unionByName(
+                cross.withColumn("is_dup_of_seen", F.lit(True))
+            )
+        write_pairs(pairs)
+        idx_keep.write.mode("overwrite").parquet(
             f"{index_dir}/batch={int(batch_id)}"
         )
-    finally:
         banded.unpersist()
+    finally:
+        reps_s.unpersist()
 
 
 def compact_minhash_index(
@@ -410,6 +580,8 @@ def streaming_minhash_dedup(
     rows_per_band: int = 2,
     available_now: bool = True,
     hash_fn: str = "md5",
+    collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
 ):
     """NEAR-duplicate dedup on a document STREAM (extends F4, which is
     exact-only): each micro-batch computes MinHash signatures, splits
@@ -442,13 +614,26 @@ def streaming_minhash_dedup(
     xxhash64 production). The hash is BAKED INTO the persisted band
     keys: pick one per index directory and keep it for the index's
     lifetime — probing an md5-built index with xxhash64 signatures
-    silently finds nothing."""
+    silently finds nothing.
+
+    ``collapse_identical`` / ``max_bucket_rows`` (r17) bound a
+    boilerplate FLOOD exactly like the batch generator's r16 options:
+    without them, k identical docs streamed over time cost O(k²)
+    cumulative probe pairs (every arrival matches every indexed copy);
+    with collapse, the index keeps one row-set per distinct signature
+    and the flood costs k−1 edges — linear — with the same transitive
+    closure (components / keep-min see identical clusters,
+    pytest-pinned against ``minhash_dedup_pairs(collapse_identical=
+    True)``). Like ``hash_fn``, both are baked into the index layout:
+    keep them constant for an index directory's lifetime. Default
+    False preserves the complete pairwise listing."""
 
     def process(batch_df, batch_id):
         minhash_dedup_process_batch(
             batch_df, batch_id, index_dir, pairs_dir,
             text_col=text_col, id_col=id_col, rows_per_band=rows_per_band,
-            hash_fn=hash_fn,
+            hash_fn=hash_fn, collapse_identical=collapse_identical,
+            max_bucket_rows=max_bucket_rows,
         )
 
     writer = (

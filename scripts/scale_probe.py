@@ -215,6 +215,48 @@ def main() -> None:
 
         bench(f"dedup_minhash_chaincap_x{mult}", minhash_chaincap, runs)
 
+        # Streaming twin of the flood bound (r17, VERDICT r16 #1): k
+        # identical docs ingested over 8 micro-batches. With
+        # collapse_identical the persisted band index keeps ONE row-set
+        # per distinct signature, so cumulative emitted pairs must be
+        # exactly k−1 (linear); the _full twin (same corpus, no
+        # collapse) is the O(k²) cumulative listing the r16 batch fix
+        # left open on the streaming side.
+        def streaming_flood(m=mult, collapse=True) -> None:
+            import shutil
+            import tempfile
+
+            from raquet_spark.streaming.ingest import (
+                minhash_dedup_process_batch,
+            )
+
+            seed_text = docs.limit(1).collect()[0]["text"]
+            k, n_batches = 16 * m, 8
+            per = k // n_batches
+            base_dir = tempfile.mkdtemp(prefix="probe_f11_")
+            try:
+                for bi in range(n_batches):
+                    rows = spark.range(per).selectExpr(
+                        f"id + {bi * per} + 100000 AS doc_id"
+                    ).withColumn("text", F.lit(seed_text))
+                    minhash_dedup_process_batch(
+                        rows, bi, f"{base_dir}/idx", f"{base_dir}/pairs",
+                        collapse_identical=collapse,
+                        max_bucket_rows=64 if collapse else None,
+                    )
+                n = spark.read.parquet(f"{base_dir}/pairs").count()
+                tag = "" if collapse else "_full"
+                timings[f"streaming_flood{tag}_pairs_x{m}"] = n
+            finally:
+                shutil.rmtree(base_dir, ignore_errors=True)
+
+        bench(f"streaming_flood_x{mult}", streaming_flood, runs)
+        bench(
+            f"streaming_flood_full_x{mult}",
+            lambda m=mult: streaming_flood(m, collapse=False),
+            runs,
+        )
+
         # ANN families. Query side scales with the corpus (every 25th /
         # 100th vector) so the probe measures corpus AND query growth;
         # query-side .where derivations live inside the lambdas so an

@@ -1213,3 +1213,137 @@ def test_minhash_index_compaction(spark, tmp_path):
     with open(os.path.join(idx_dir, "_COMPACT_STATE.w"), "w") as fh:
         fh.write("")  # torn write
     assert compact_minhash_index(spark, idx_dir, keep_last=1) >= 1
+
+
+def test_streaming_minhash_collapse_flood_linear_and_closure(spark, tmp_path):
+    """r17 (VERDICT r16 #1): collapse_identical on the streaming twin —
+    a cross-batch boilerplate flood of k identical docs must emit
+    exactly k−1 edges cumulatively (linear, vs C(k,2) for the full
+    listing), the index must keep ONE row-set per distinct signature,
+    and the transitive closure of streamed pairs must equal the batch
+    minhash_dedup_pairs(collapse_identical=True) closure."""
+    from raquet_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import minhash_dedup_process_batch
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(10).select("doc_id", "text").collect()
+    )
+    seed = base[0]["text"]
+    k = 12  # flood copies, 3 per batch over 4 batches
+    batches, all_rows = [], []
+    for bi in range(4):
+        rows = [(10_000 + bi * 3 + j, seed) for j in range(3)]
+        if bi == 0:
+            rows += [(r["doc_id"], r["text"]) for r in base[1:6]]
+        else:  # fresh non-dup docs keep the probe honest
+            rows += [(r["doc_id"], r["text"]) for r in base[5 + bi:6 + bi]]
+        batches.append(rows)
+        all_rows += rows
+
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    for bi, rows in enumerate(batches):
+        minhash_dedup_process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            bi, idx_dir, pairs_dir, collapse_identical=True,
+        )
+
+    got = spark.read.parquet(pairs_dir)
+    flood = got.where("id_a >= 10000")
+    # linear: k copies -> exactly k-1 edges (2 stars per batch + 1
+    # exact cross edge per later batch rep), not C(12,2)=66
+    assert flood.count() == k - 1
+    # flag: the first batch's stars are within-batch; every later
+    # batch's rep (ids 10003/10006/10009, i.e. (id-10000) % 3 == 0)
+    # edges to the indexed rep as a seen-dup
+    assert flood.where("(id_b - 10000) % 3 = 0")\
+                .where("NOT is_dup_of_seen").count() == 0
+    assert flood.where("(id_b - 10000) % 3 = 0").count() == 3
+    # index stores ONE row-set per distinct signature: the flood
+    # signature appears under exactly one doc id
+    idx = spark.read.parquet(idx_dir)
+    flood_idx = idx.where("doc_id >= 10000")
+    assert flood_idx.select("doc_id").distinct().count() == 1
+
+    # closure equality vs the batch collapse generator
+    full = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want_pairs = minhash_dedup_pairs(full, collapse_identical=True)
+
+    def comp_map(pairs):
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(
+                pairs.select("id_a", "id_b"), "id_a", "id_b"
+            ).collect()
+        }
+
+    assert comp_map(got) == comp_map(want_pairs)
+
+    # replay idempotency holds in collapse mode too
+    before = sorted(
+        (r["id_a"], r["id_b"], r["is_dup_of_seen"])
+        for r in got.collect()
+    )
+    minhash_dedup_process_batch(
+        spark.createDataFrame(batches[2], "doc_id long, text string"),
+        2, idx_dir, pairs_dir, collapse_identical=True,
+    )
+    after = sorted(
+        (r["id_a"], r["id_b"], r["is_dup_of_seen"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    )
+    assert after == before
+
+
+def test_streaming_minhash_chain_cap_bounds_index_and_pairs(spark, tmp_path):
+    """r17: max_bucket_rows on the streaming twin — with collapse OFF,
+    an identical-doc flood fills one band bucket; the cap must (a)
+    chain the within-batch listing, (b) emit one edge per arrival per
+    over-cap bucket at probe time instead of k, (c) stop appending
+    index rows to buckets at the cap, and (d) keep the flood one
+    connected component."""
+    from raquet_spark.operators.dedup import connected_components
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import minhash_dedup_process_batch
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(3).select("doc_id", "text").collect()
+    )
+    seed = base[0]["text"]
+    cap = 4
+    n_per_batch, n_batches = 6, 3
+    k = n_per_batch * n_batches  # 18 copies
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    for bi in range(n_batches):
+        rows = [
+            (20_000 + bi * n_per_batch + j, seed)
+            for j in range(n_per_batch)
+        ]
+        minhash_dedup_process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            bi, idx_dir, pairs_dir, max_bucket_rows=cap,
+        )
+
+    got = spark.read.parquet(pairs_dir)
+    n_pairs = got.count()
+    # bounded: far below the C(18,2)=153 full listing — each batch
+    # pays <= cap^2/2 within + n_bands edges per arrival cross
+    assert n_pairs < k * 8
+    assert n_pairs >= k - 1  # connectivity needs at least a tree
+    comp = connected_components(
+        got.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == k
+    # index buckets stay bounded at ~cap + one batch's increment
+    idx = spark.read.parquet(idx_dir)
+    max_bucket = (
+        idx.groupBy("band", "key").count()
+        .agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert max_bucket <= cap + n_per_batch
