@@ -75,6 +75,16 @@ def run_pipeline(spark, sf_dir: str, max_len: int = 512) -> dict:
         auto_width=True,
     )
     counts["after_minhash_dedup"] = uniq.count()
+    # observability (r17): surface what the duplicate collapse acted
+    # on — the star-edge count (docs − distinct signatures) is the
+    # linear replacement for the quadratic within-group pair listing
+    from raquet_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(pruned)
+    sig_cols = [c for c in sigs.columns if c != "doc_id"]
+    counts["minhash_collapsed_star_edges"] = (
+        sigs.count() - sigs.select(*sig_cols).distinct().count()
+    )
 
     # 4. quality gate
     scored = with_quality_score(uniq)

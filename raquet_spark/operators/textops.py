@@ -605,6 +605,7 @@ def substring_dedup_spans(
     id_col: str = "doc_id",
     auto_width: bool = False,
     checkpoint_occurrences: bool | None = None,
+    occurrence_storage: str = "parquet",
 ) -> DataFrame:
     """Exact-substring dedup spans — the public Lee et al.
     ("Deduplicating Training Data Makes Language Models Better")
@@ -650,7 +651,15 @@ def substring_dedup_spans(
     subtree twice is what the lazy plan pays. Measured end-to-end at
     x256: ~157s materialized-once vs 219s lazy (−28%); break-even at
     x64. Defaults to the auto_width value — large corpora opt in with
-    it, small/lazy plans keep zero materialization."""
+    it, small/lazy plans keep zero materialization.
+
+    ``occurrence_storage``: how the materialized occurrence rows are
+    held. ``"parquet"`` (default, r17) writes them once to a columnar
+    scratch dir and scans it from both consumers — the (long, int,
+    long) rows compress heavily columnar, probe-measured faster than
+    the ``"local"`` java-serialized DISK_ONLY localCheckpoint at both
+    x64 (78.8 → 43.5 s) and x256 (96.9 → 82.8 s). Scratch is removed
+    at interpreter exit."""
     from pyspark.sql.window import Window
 
     if auto_width:
@@ -677,6 +686,7 @@ def substring_dedup_spans(
             return substring_dedup_spans(
                 df, window, text_col, id_col, auto_width=False,
                 checkpoint_occurrences=bool(checkpoint_occurrences),
+                occurrence_storage=occurrence_storage,
             ).localCheckpoint(eager=True)
         # past the session width the span set is big by construction —
         # checkpoint DISK_ONLY like materialize_sized_pairs does, so the
@@ -691,6 +701,7 @@ def substring_dedup_spans(
                     True if checkpoint_occurrences is None
                     else checkpoint_occurrences
                 ),
+                occurrence_storage=occurrence_storage,
             ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     shingled = df.selectExpr(
@@ -709,11 +720,31 @@ def substring_dedup_spans(
     )
     occ = shingled.selectExpr(id_col, "posexplode(hs) AS (start, h)")
     if checkpoint_occurrences:
-        from pyspark import StorageLevel
+        if occurrence_storage == "parquet":
+            # columnar scratch spill — the DEFAULT (r17, VERDICT r16
+            # #5): the occurrence rows are (long, int, long) and
+            # compress heavily columnar, so writing them once as
+            # parquet and scanning twice beats the java-serialized
+            # DISK_ONLY checkpoint blocks (probe-measured on the x-way
+            # duplicated sf0.1 corpus: x64 78.8 -> 43.5 s, x256
+            # 96.9 -> 82.8 s end-to-end; SURVEY §6). The scratch dir
+            # is reclaimed at interpreter exit — consumers that
+            # outlive the process must materialize their spans first
+            # (the auto_width path already localCheckpoints them).
+            import atexit
+            import shutil
+            import tempfile
 
-        occ = occ.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
+            scratch = tempfile.mkdtemp(prefix="rq_substr_occ_")
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            occ.write.mode("overwrite").parquet(f"{scratch}/occ.parquet")
+            occ = df.sparkSession.read.parquet(f"{scratch}/occ.parquet")
+        else:
+            from pyspark import StorageLevel
+
+            occ = occ.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
     # Corpus-wide first occurrence per shingle, ordered by (doc, start)
     # for determinism. min(struct(..)) compares lexicographically and
     # partial-aggregates map-side — skew-safe where a row_number window

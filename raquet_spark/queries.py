@@ -6039,7 +6039,14 @@ def dedup_components_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # auto_width=False: `pairs` here is the LAZY dual-dialect SQL
         # rendering, so the sizing count() would re-execute the full
         # minhash plan once per query at toy scale; the production
-        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes
+        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes.
+        # collapse_identical stays OFF here BY DESIGN (r17 call-site
+        # audit): the pair set IS the dual-dialect SQL template — the
+        # same text the DuckDB oracle executes — and the collapse
+        # happens at signature level, which the shared SQL rendering
+        # cannot express without forking the dialects. Component-
+        # consuming PRODUCTION callers (CLI dedup funnel, pipeline
+        # demo, scale-probe collapse arms) all collapse.
         pairs, src="doc_a", dst="doc_b", auto_width=False,
     )
     return comp.select(
@@ -6139,7 +6146,14 @@ def dedup_prune_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # auto_width=False: `pairs` here is the LAZY dual-dialect SQL
         # rendering, so the sizing count() would re-execute the full
         # minhash plan once per query at toy scale; the production
-        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes
+        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes.
+        # collapse_identical stays OFF here BY DESIGN (r17 call-site
+        # audit): the pair set IS the dual-dialect SQL template — the
+        # same text the DuckDB oracle executes — and the collapse
+        # happens at signature level, which the shared SQL rendering
+        # cannot express without forking the dialects. Component-
+        # consuming PRODUCTION callers (CLI dedup funnel, pipeline
+        # demo, scale-probe collapse arms) all collapse.
         pairs, src="doc_a", dst="doc_b", auto_width=False,
     )
     drop = comp.where(F.col("node") != F.col("component")).select(
@@ -6192,7 +6206,14 @@ def dedup_cluster_sizes_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # auto_width=False: `pairs` here is the LAZY dual-dialect SQL
         # rendering, so the sizing count() would re-execute the full
         # minhash plan once per query at toy scale; the production
-        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes
+        # funnel (CLI/probe) feeds MATERIALIZED pairs and auto-sizes.
+        # collapse_identical stays OFF here BY DESIGN (r17 call-site
+        # audit): the pair set IS the dual-dialect SQL template — the
+        # same text the DuckDB oracle executes — and the collapse
+        # happens at signature level, which the shared SQL rendering
+        # cannot express without forking the dialects. Component-
+        # consuming PRODUCTION callers (CLI dedup funnel, pipeline
+        # demo, scale-probe collapse arms) all collapse.
         pairs, src="doc_a", dst="doc_b", auto_width=False,
     )
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
@@ -6305,7 +6326,12 @@ def semantic_dedup_keep_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=0.95, n_bits=6, n_tables=16, dim=64
     ).where(F.col("id_b") == F.col("id_a") + F.lit(_LSH_PLANT_OFFSET))
     comp = connected_components(
-        # auto_width=False: lazy SQL pairs plan (see the minhash sites)
+        # auto_width=False: lazy SQL pairs plan (see the minhash sites).
+        # collapse_identical stays OFF by design (r17 audit): the
+        # planted +offset filter already bounds pair volume to the
+        # linear planted set, and the collapse's pre-band groupBy would
+        # break the fused planted-filter join the plan gate pins
+        # (test_semantic_dedup_keeps_planted_filter_pushed)
         pairs, "id_a", "id_b", auto_width=False,
     )
     pruned = comp.where(F.col("node") != F.col("component")).select(
