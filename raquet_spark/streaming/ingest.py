@@ -301,33 +301,54 @@ def minhash_dedup_process_batch(
     )
     if collapse_identical:
         rep_map, reps, star = collapse_identical_signatures(sigs, id_col)
-        star = star.withColumn("is_dup_of_seen", F.lit(False))
     else:
         reps, star = sigs, None
     reps_s = reps.withColumn("sig", fingerprint).persist()
     try:
         idx = read_index()
-        pairs = star
-        if idx is not None and collapse_identical:
-            idx_sigs = (
-                idx.groupBy("sig").agg(F.min(id_col).alias("_i"))
-            )
-            seen = reps_s.join(idx_sigs, "sig")
-            exact_edges = seen.where(
-                F.col(id_col) != F.col("_i")
-            ).select(
-                F.least(id_col, "_i").alias("id_a"),
-                F.greatest(id_col, "_i").alias("id_b"),
-                F.lit(True).alias("is_dup_of_seen"),
-            )
-            pairs = (
-                exact_edges if pairs is None
-                else pairs.unionByName(exact_edges)
-            )
-            # exact-matched reps route all connectivity through the
-            # already-indexed rep: only NOVEL signatures band-probe
-            # and enter the index
-            novel = reps_s.join(idx_sigs.select("sig"), "sig", "left_anti")
+        pairs = None
+        if collapse_identical:
+            if idx is not None:
+                idx_sigs = (
+                    idx.groupBy("sig").agg(F.min(id_col).alias("_i"))
+                )
+                seen = reps_s.join(idx_sigs, "sig")
+                exact_edges = seen.where(
+                    F.col(id_col) != F.col("_i")
+                ).select(
+                    F.least(id_col, "_i").alias("id_a"),
+                    F.greatest(id_col, "_i").alias("id_b"),
+                    F.lit(True).alias("is_dup_of_seen"),
+                )
+                # star members of a group whose signature is ALREADY
+                # indexed are dups of seen content even though their
+                # rep arrived this batch — the full-listing mode gave
+                # them a direct True edge to the indexed copy, so the
+                # collapsed star edge must carry the same greedy
+                # keep/drop signal (the rep routes it transitively,
+                # but a per-edge consumer reads the flag, not the
+                # closure)
+                seen_reps = seen.select(
+                    F.col(id_col).alias("id_a")
+                ).withColumn("_seen", F.lit(True))
+                star = (
+                    star.join(seen_reps, "id_a", "left")
+                    .withColumn(
+                        "is_dup_of_seen",
+                        F.coalesce(F.col("_seen"), F.lit(False)),
+                    )
+                    .drop("_seen")
+                )
+                pairs = star.unionByName(exact_edges)
+                # exact-matched reps route all connectivity through the
+                # already-indexed rep: only NOVEL signatures band-probe
+                # and enter the index
+                novel = reps_s.join(
+                    idx_sigs.select("sig"), "sig", "left_anti"
+                )
+            else:
+                pairs = star.withColumn("is_dup_of_seen", F.lit(False))
+                novel = reps_s
         else:
             novel = reps_s
         banded = (
@@ -413,6 +434,8 @@ def minhash_dedup_process_batch(
         banded.unpersist()
     finally:
         reps_s.unpersist()
+        # banded unpersists in-line above on success; a failure path
+        # releases it with the session (micro-batch scoped either way)
 
 
 def compact_minhash_index(

@@ -1257,12 +1257,16 @@ def test_streaming_minhash_collapse_flood_linear_and_closure(spark, tmp_path):
     # linear: k copies -> exactly k-1 edges (2 stars per batch + 1
     # exact cross edge per later batch rep), not C(12,2)=66
     assert flood.count() == k - 1
-    # flag: the first batch's stars are within-batch; every later
-    # batch's rep (ids 10003/10006/10009, i.e. (id-10000) % 3 == 0)
-    # edges to the indexed rep as a seen-dup
+    # flag: batch 0's two star members arrive WITH their rep (nothing
+    # seen yet -> False); every other flood edge — later batches' rep
+    # edges AND their star members (the signature is already indexed,
+    # so those members are dups of seen content even though their rep
+    # arrived the same batch; a per-edge greedy consumer reads the
+    # flag, not the closure) — must carry True
+    assert flood.where("NOT is_dup_of_seen").count() == 2
+    assert flood.where("is_dup_of_seen").count() == k - 3
     assert flood.where("(id_b - 10000) % 3 = 0")\
                 .where("NOT is_dup_of_seen").count() == 0
-    assert flood.where("(id_b - 10000) % 3 = 0").count() == 3
     # index stores ONE row-set per distinct signature: the flood
     # signature appears under exactly one doc id
     idx = spark.read.parquet(idx_dir)
