@@ -1351,3 +1351,60 @@ def test_streaming_minhash_chain_cap_bounds_index_and_pairs(spark, tmp_path):
         .agg(F.max("count").alias("m")).collect()[0]["m"]
     )
     assert max_bucket <= cap + n_per_batch
+
+
+def test_minhash_index_compaction_collapse_mode(spark, tmp_path):
+    """r17: the collapse-mode band index (extra `sig` column, one
+    row-set per distinct signature) must survive compaction with
+    identical probe behavior — an exact copy arriving after the fold
+    still exact-matches the folded signature rows (one True edge, no
+    re-indexing), and the one-row-set-per-signature invariant holds
+    across the fold."""
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import (
+        compact_minhash_index,
+        minhash_dedup_process_batch,
+    )
+
+    base = (
+        load_table(spark, SF_DIR, "documents")
+        .limit(8).select("doc_id", "text").collect()
+    )
+    # flood text distinct from every base doc (batch 0 also carries
+    # base[0] itself, which must NOT share the flood signature)
+    seed = base[0]["text"] + " floodmark floodmark floodmark"
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    # 4 batches; batch 0 plants the flood signature, batches 1-3 each
+    # deliver one more exact copy plus a fresh doc
+    for i in range(4):
+        rows = [(50_000 + i, seed)] if i else [(50_000, seed)]
+        rows += [(base[2 * i]["doc_id"], base[2 * i]["text"])]
+        minhash_dedup_process_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            i, idx_dir, pairs_dir, collapse_identical=True,
+        )
+
+    def probe(new_batch_id):
+        nb = spark.createDataFrame(
+            [(91_000, seed)], "doc_id long, text string"
+        )
+        probe_dir = str(tmp_path / f"probe_{new_batch_id}")
+        minhash_dedup_process_batch(
+            nb, new_batch_id, idx_dir, probe_dir, collapse_identical=True,
+        )
+        return sorted(
+            (r["id_a"], r["id_b"], r["is_dup_of_seen"])
+            for r in spark.read.parquet(probe_dir).collect()
+        )
+
+    before = probe(100)
+    # the probe copy exact-matches: exactly one edge to the flood rep
+    assert before == [(50_000, 91_000, True)]
+    n = compact_minhash_index(spark, idx_dir, keep_last=1)
+    assert n >= 3
+    assert probe(101) == [(50_000, 91_000, True)]
+    # invariant across the fold: flood signature indexed under ONE id
+    idx = spark.read.parquet(idx_dir)
+    flood = idx.where("doc_id >= 50000")
+    assert {r["doc_id"] for r in
+            flood.select("doc_id").distinct().collect()} == {50_000}
