@@ -50,8 +50,9 @@ def spark_floor_probe(spark, n: int = 5) -> list[float]:
     return runs
 
 
-def measure_duckdb(sf_dir: str, headline: list[str],
-                   oracles: dict[str, str]) -> dict[str, float]:
+def measure_duckdb(
+    sf_dir: str, headline: list[str], oracles: dict[str, str],
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Same-scale DuckDB baseline: each headline query's oracle SQL on
     the SAME parquet at the SAME sf (single node vs single node — the
     "matches-or-beats the reference's single-node throughput"

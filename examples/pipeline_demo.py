@@ -82,9 +82,13 @@ def run_pipeline(spark, sf_dir: str, max_len: int = 512) -> dict:
 
     sigs = minhash_signatures(pruned)
     sig_cols = [c for c in sigs.columns if c != "doc_id"]
-    counts["minhash_collapsed_star_edges"] = (
-        sigs.count() - sigs.select(*sig_cols).distinct().count()
-    )
+    # one signature pass: docs − distinct signatures from a single
+    # groupBy chain (the CLI funnel's pattern; review r17)
+    g = sigs.groupBy(*sig_cols).agg(F.count(F.lit(1)).alias("c"))
+    row = g.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("m")
+    ).collect()[0]
+    counts["minhash_collapsed_star_edges"] = int(row["n"] - row["m"])
 
     # 4. quality gate
     scored = with_quality_score(uniq)

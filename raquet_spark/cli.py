@@ -678,9 +678,18 @@ def cmd_dedup(args) -> int:
         sigs = minhash_signatures(df)
         sig_cols = [c for c in sigs.columns if c != "doc_id"]
         groups = sigs.groupBy(*sig_cols).count().persist()
-        n_sigs = sigs.count()
-        n_groups = groups.count()
-        n_dup_groups = groups.where(F.col("count") > 1).count()
+        # one aggregate over the persisted groups yields every number
+        # (sum(count) == signature-row count) — no second signature
+        # pass (review r17)
+        stats = groups.agg(
+            F.sum("count").alias("n_sigs"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias(
+                "n_dup_groups"
+            ),
+        ).collect()[0]
+        n_sigs, n_groups = stats["n_sigs"], stats["n_groups"]
+        n_dup_groups = stats["n_dup_groups"]
         print(
             f"dedup[minhash]: collapse folded {n_dup_groups} "
             f"duplicate-signature groups ({n_sigs - n_groups} star "

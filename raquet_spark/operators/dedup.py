@@ -730,7 +730,7 @@ def embedding_dedup_pairs_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_bits: int | None = None,
-    n_tables: int = 16,
+    n_tables: int | None = None,
     seed: int = 7,
     dim: int = 64,
     n_rows: int | None = None,
@@ -788,9 +788,19 @@ def embedding_dedup_pairs_lsh(
     θ ≈ 0.95-cosine recall stays high with a handful of tables
     (recall-gated vs the exact all-pairs in pytest). Approximate by
     construction: an escaped pair is one that matched in NO table.
-    ``n_tables`` defaults to 16 — the configuration the dedup-tuned
-    16-row occupancy target was recall-probed with (r16; 8 tables at
-    that width would drop per-pair recall to ~0.90, ADVICE r16).
+    ``n_tables=None`` (default) self-sizes the (bits, tables) PAIR:
+    bits from occupancy (``derive_lsh_bits``, 16-row dedup target —
+    never shrunk, the module doctrine is that a narrower width goes
+    quadratic once the corpus outgrows its buckets) and tables from
+    the closed-form recall bound at that width
+    (``tables_for_recall``, ≥0.99 at the threshold; 16 tables at the
+    r16-probed 128k/13-bit point, growing to ~37 at 20 bits/10⁷
+    rows — table count is the linear-cost knob recall is bought
+    with, capped at 64). An EXPLICIT ``n_tables`` is honored and the
+    self-sized width is then clamped to what that table count
+    sustains (``max_bits_for_recall``) — occupancy may exceed the
+    target, so pair ``max_bucket_rows`` with explicit small table
+    counts on duplicate-heavy corpora (ADVICE r16 + review r17).
 
     ``n_bits=None`` self-sizes from the corpus count (one ``count()``
     job unless ``n_rows`` is passed) via
@@ -799,8 +809,7 @@ def embedding_dedup_pairs_lsh(
     from raquet_spark.operators.similarity import (
         _all_signatures,
         _dot,
-        derive_lsh_bits,
-        max_bits_for_recall,
+        derive_dedup_lsh_params,
         with_norm,
     )
 
@@ -850,15 +859,18 @@ def embedding_dedup_pairs_lsh(
         # 0.35 → 0.25 and 16-table recall stays ≥ 0.99 while expected
         # candidate volume drops ~8x (probe-measured 1.67e8 → ~2e7
         # pairs; the perturbed x64 arm's recall is measured at 1.0).
-        # The recall clamp (r17, ADVICE): that trade was measured WITH
-        # 16 tables — a caller running fewer tables cannot sustain the
-        # same width (at 8 tables, 13 bits drop pair recall to ~0.90),
-        # so the occupancy-derived width is min'd with the closed-form
-        # recall bound for the ACTUAL (threshold, n_tables).
-        n_bits = min(
-            derive_lsh_bits(n_rows, target_bucket_rows=16),
-            max_bits_for_recall(threshold, n_tables),
+        # Recall/occupancy co-sizing (r17, ADVICE + review): the
+        # occupancy width is NEVER shrunk (a narrower fixed width goes
+        # quadratic once the corpus outgrows its buckets — the module
+        # doctrine); with n_tables=None the table count is raised to
+        # what the width needs for >=0.99 recall, explicit n_tables
+        # instead clamps the width (derive_dedup_lsh_params).
+        n_bits, n_tables = derive_dedup_lsh_params(
+            n_rows, threshold, n_tables
         )
+    elif n_tables is None:
+        # explicit width: the r16-probed default table count
+        n_tables = 16
 
     sigs = df.select(
         F.col(id_col),

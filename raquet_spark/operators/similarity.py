@@ -85,6 +85,58 @@ def max_bits_for_recall(
     return max(1, int(math.floor(math.log(r_needed) / math.log(p))))
 
 
+def derive_dedup_lsh_params(
+    n_rows: int,
+    threshold: float,
+    n_tables: int | None = None,
+    target_bucket_rows: int = 16,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(n_bits, n_tables) for the embedding-dedup LSH self-sizing —
+    occupancy and recall co-sized (r17 review): the occupancy width
+    (:func:`derive_lsh_bits`) is never shrunk below what the corpus
+    needs (a narrower fixed width goes quadratic once the corpus
+    outgrows its buckets); with ``n_tables=None`` the table count is
+    raised to what that width needs for ≥0.99 recall
+    (:func:`tables_for_recall` — the linear-cost knob, ≥16, capped at
+    ``max_tables``; past the cap the width is trimmed to what the cap
+    sustains, the information-theoretic price of recall at loose
+    thresholds). An EXPLICIT ``n_tables`` is honored and the width is
+    clamped to what it sustains (:func:`max_bits_for_recall`)."""
+    occ_bits = derive_lsh_bits(n_rows, target_bucket_rows=target_bucket_rows)
+    if n_tables is not None:
+        return min(occ_bits, max_bits_for_recall(threshold, n_tables)), n_tables
+    t_needed = tables_for_recall(threshold, occ_bits)
+    if t_needed <= max_tables:
+        return occ_bits, max(16, t_needed)
+    return (
+        min(occ_bits, max_bits_for_recall(threshold, max_tables)),
+        max_tables,
+    )
+
+
+def tables_for_recall(
+    threshold: float, n_bits: int, target_recall: float = 0.99
+) -> int:
+    """Table count that sustains the target recall at a GIVEN signature
+    width — the other direction of :func:`max_bits_for_recall`, used
+    when the occupancy-derived width must not shrink (the module
+    doctrine: a fixed n_bits goes quadratic once the corpus outgrows
+    its bucket count, so scale safety raises n_tables, never bits
+    down). T = ceil(log(1 − target) / log(1 − p^bits))."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if p >= 1.0:
+        return 1
+    per_table = p ** n_bits
+    if per_table >= target_recall:
+        return 1
+    if per_table <= 0.0:
+        return 1 << 30  # unreachable recall at this width
+    return max(1, math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - per_table)
+    ))
+
+
 def derive_ivf_clusters(
     n_rows: int, min_clusters: int = 16, max_clusters: int = 65536
 ) -> int:

@@ -598,6 +598,44 @@ def score_quality_classifier(
     )
 
 
+def _occurrence_scratch_dir(spark) -> str | None:
+    """Cluster-usable scratch dir for the occurrence spill, or None.
+
+    ``spark.raquet_spark.scratch_dir`` (any Hadoop-FS path) wins; a
+    local master may use a driver tempdir (executors share the
+    machine); a non-local master without the conf returns None — the
+    caller must fall back to executor-storage checkpointing, because
+    a driver-local path is not executor-visible (review r17). Tempdir
+    scratch registers an atexit sweep as a backstop; auto_width
+    callers delete it eagerly once the spans are materialized."""
+    base = spark.conf.get("spark.raquet_spark.scratch_dir", None)
+    if base:
+        import uuid
+
+        return f"{base.rstrip('/')}/rq_substr_occ_{uuid.uuid4().hex[:12]}"
+    if not spark.sparkContext.master.startswith("local"):
+        return None
+    import atexit
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="rq_substr_occ_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    return scratch
+
+
+def _remove_scratch(spark, path: str) -> None:
+    """Delete a scratch dir through the Hadoop FS API (works for
+    file:// tempdirs and for conf-provided HDFS/S3 paths alike)."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        pass  # best-effort: the atexit sweep / FS lifecycle backstops
+
+
 def substring_dedup_spans(
     df: DataFrame,
     window: int = 20,
@@ -606,6 +644,7 @@ def substring_dedup_spans(
     auto_width: bool = False,
     checkpoint_occurrences: bool | None = None,
     occurrence_storage: str = "parquet",
+    _scratch_sink: list | None = None,
 ) -> DataFrame:
     """Exact-substring dedup spans — the public Lee et al.
     ("Deduplicating Training Data Makes Language Models Better")
@@ -658,8 +697,15 @@ def substring_dedup_spans(
     scratch dir and scans it from both consumers — the (long, int,
     long) rows compress heavily columnar, probe-measured faster than
     the ``"local"`` java-serialized DISK_ONLY localCheckpoint at both
-    x64 (78.8 → 43.5 s) and x256 (96.9 → 82.8 s). Scratch is removed
-    at interpreter exit."""
+    x64 (78.8 → 43.5 s) and x256 (96.9 → 82.8 s). On a multi-node
+    cluster a driver-local tempdir is NOT executor-visible, so the
+    scratch base must come from ``spark.raquet_spark.scratch_dir``
+    (any Hadoop-FS path: HDFS/S3/shared NFS); with no such conf on a
+    non-local master the operator falls back to ``"local"``
+    automatically rather than silently losing rows (review r17). The
+    auto_width branches delete the scratch as soon as the spans are
+    materialized; lazy explicit callers keep it until interpreter
+    exit."""
     from pyspark.sql.window import Window
 
     if auto_width:
@@ -683,17 +729,23 @@ def substring_dedup_spans(
             # — but still honor an EXPLICIT checkpoint_occurrences from
             # the caller (r17, ADVICE: only None means "follow
             # auto_width"; this branch used to drop an explicit True)
-            return substring_dedup_spans(
+            sink: list = []
+            out = substring_dedup_spans(
                 df, window, text_col, id_col, auto_width=False,
                 checkpoint_occurrences=bool(checkpoint_occurrences),
                 occurrence_storage=occurrence_storage,
+                _scratch_sink=sink,
             ).localCheckpoint(eager=True)
+            for s in sink:  # spans materialized: scratch is dead
+                _remove_scratch(spark, s)
+            return out
         # past the session width the span set is big by construction —
         # checkpoint DISK_ONLY like materialize_sized_pairs does, so the
         # resident blocks can't crowd a bounded executor heap the way
         # the r15 probe measured on the components path (ADVICE r15)
         with scoped_shuffle_width(spark, width):
-            return substring_dedup_spans(
+            sink = []
+            out = substring_dedup_spans(
                 df, window, text_col, id_col, auto_width=False,
                 # tri-state default: None means "follow auto_width" —
                 # an explicit False from the caller is honored
@@ -702,7 +754,11 @@ def substring_dedup_spans(
                     else checkpoint_occurrences
                 ),
                 occurrence_storage=occurrence_storage,
+                _scratch_sink=sink,
             ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        for s in sink:  # spans materialized: scratch is dead
+            _remove_scratch(spark, s)
+        return out
 
     shingled = df.selectExpr(
         id_col,
@@ -720,25 +776,31 @@ def substring_dedup_spans(
     )
     occ = shingled.selectExpr(id_col, "posexplode(hs) AS (start, h)")
     if checkpoint_occurrences:
-        if occurrence_storage == "parquet":
+        spark = df.sparkSession
+        storage = occurrence_storage
+        scratch = None
+        if storage == "parquet":
+            scratch = _occurrence_scratch_dir(spark)
+            if scratch is None:
+                # non-local master with no cluster-visible scratch
+                # conf: a driver tempdir would be invisible to
+                # executors and silently lose rows — fall back to the
+                # executor-storage checkpoint (review r17)
+                storage = "local"
+        if storage == "parquet":
             # columnar scratch spill — the DEFAULT (r17, VERDICT r16
             # #5): the occurrence rows are (long, int, long) and
             # compress heavily columnar, so writing them once as
             # parquet and scanning twice beats the java-serialized
             # DISK_ONLY checkpoint blocks (probe-measured on the x-way
             # duplicated sf0.1 corpus: x64 78.8 -> 43.5 s, x256
-            # 96.9 -> 82.8 s end-to-end; SURVEY §6). The scratch dir
-            # is reclaimed at interpreter exit — consumers that
-            # outlive the process must materialize their spans first
-            # (the auto_width path already localCheckpoints them).
-            import atexit
-            import shutil
-            import tempfile
-
-            scratch = tempfile.mkdtemp(prefix="rq_substr_occ_")
-            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            # 96.9 -> 82.8 s end-to-end; SURVEY §6)
             occ.write.mode("overwrite").parquet(f"{scratch}/occ.parquet")
-            occ = df.sparkSession.read.parquet(f"{scratch}/occ.parquet")
+            occ = spark.read.parquet(f"{scratch}/occ.parquet")
+            if _scratch_sink is not None:
+                # an auto_width caller materializes the spans and
+                # deletes the scratch immediately after
+                _scratch_sink.append(scratch)
         else:
             from pyspark import StorageLevel
 

@@ -244,12 +244,20 @@ def minhash_dedup_process_batch(
     sigs = minhash_signatures(batch_df, text_col, id_col, hash_fn=hash_fn)
 
     def read_index():
-        try:
-            return spark.read.parquet(index_dir).where(
-                F.col("batch") < int(batch_id)
-            )
-        except Exception:
+        # "no index yet" is an EXISTENCE check, not a swallowed read
+        # error (review r17): collapse-mode novelty and over-cap
+        # decisions depend on the index, so a transient FS failure
+        # must fail the batch (foreachBatch retries it) rather than
+        # silently re-index seen signatures with wrong flags. Hadoop
+        # FS API so the check is correct on cluster paths too.
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
             return None
+        return spark.read.parquet(index_dir).where(
+            F.col("batch") < int(batch_id)
+        )
 
     def write_pairs(pairs: DataFrame) -> None:
         (
@@ -300,6 +308,11 @@ def minhash_dedup_process_batch(
         F.concat_ws(":", *[F.col(c).cast("string") for c in sig_cols])
     )
     if collapse_identical:
+        # persist the signature subtree: star (sigs ⋈ rep_map) and the
+        # reps branch both consume it — without this the whole
+        # tokenize/shingle/hash pipeline runs twice per micro-batch
+        # (the batch-side API persists for the same reason; review r17)
+        sigs = sigs.persist()
         rep_map, reps, star = collapse_identical_signatures(sigs, id_col)
     else:
         reps, star = sigs, None
@@ -434,6 +447,8 @@ def minhash_dedup_process_batch(
         banded.unpersist()
     finally:
         reps_s.unpersist()
+        if collapse_identical:
+            sigs.unpersist()
         # banded unpersists in-line above on success; a failure path
         # releases it with the session (micro-batch scoped either way)
 

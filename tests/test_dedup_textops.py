@@ -1191,3 +1191,33 @@ def test_max_bits_for_recall_clamps_self_sizing(spark):
         bits = max_bits_for_recall(thr, t)
         p = 1.0 - math.acos(thr) / math.pi
         assert 1.0 - (1.0 - p ** bits) ** t >= 0.99
+
+    # co-sizing (review r17): the occupancy width is NEVER shrunk when
+    # tables are free to grow — at 10^7 rows the clamp alone would cap
+    # bits at 13 and reintroduce unbounded buckets; the pair sizing
+    # keeps 20 bits and raises tables instead
+    from raquet_spark.operators.similarity import (
+        derive_dedup_lsh_params,
+        derive_lsh_bits,
+        tables_for_recall,
+    )
+
+    bits, tables = derive_dedup_lsh_params(10**7, 0.95)
+    assert bits == derive_lsh_bits(10**7, target_bucket_rows=16) == 20
+    assert 16 <= tables <= 64
+    p = 1.0 - math.acos(0.95) / math.pi
+    assert 1.0 - (1.0 - p ** bits) ** tables >= 0.99
+    # at 10^9 rows the pre-existing 24-bit global clamp binds (16M
+    # buckets/table; occupancy then bounded by corpus/2^24 ~ 60) and
+    # the table count still sustains recall at that width
+    b2, t2 = derive_dedup_lsh_params(10**9, 0.95)
+    assert b2 == 24 and t2 <= 64
+    assert 1.0 - (1.0 - p ** b2) ** t2 >= 0.99
+    # explicit n_tables: honored, width clamped to what it sustains
+    bits8, tables8 = derive_dedup_lsh_params(10**7, 0.95, n_tables=8)
+    assert tables8 == 8 and bits8 == 7
+    # loose threshold past the table cap: width trimmed at the cap
+    bl, tl = derive_dedup_lsh_params(10**9, 0.8)
+    assert tl == 64
+    assert 1.0 - (1.0 - (1.0 - math.acos(0.8) / math.pi) ** bl) ** tl >= 0.99
+    assert tables_for_recall(0.95, 13) <= 16  # the r16-probed point
