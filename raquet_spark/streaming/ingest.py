@@ -683,6 +683,328 @@ def streaming_minhash_dedup(
     return writer.start()
 
 
+def embedding_dedup_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    n_tables: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
+) -> None:
+    """One micro-batch of :func:`streaming_embedding_dedup`, IDEMPOTENT
+    per ``batch_id`` (same contract as the minhash twin: both sinks
+    and both index tables are ``batch=<id>`` partition dirs that each
+    batch overwrites, and every decision reads only the
+    ``batch < batch_id`` index slice, so an at-least-once replay
+    rewrites identical state).
+
+    The embedding analogue of :func:`minhash_dedup_process_batch`,
+    with one structural addition: the index persists the VECTORS
+    (``vectors/batch=<id>``: id, vfp, _v, _norm — the E45 ANN-index
+    shape) alongside the LSH band rows (``bands/batch=<id>``: id, _t,
+    _sig), because cross-batch candidates need the historical vector
+    for the exact cosine verify — the zero-false-positive contract the
+    batch operator keeps.
+
+    ``collapse_identical``: byte-identical vectors (fingerprint
+    ``vfp`` = md5 of the exact element strings) collapse to one
+    representative; an already-indexed fingerprint emits ONE
+    (index-rep, batch-rep, cos 1.0) edge and is not re-indexed — a
+    k-copy flood costs k−1 cumulative edges. Star/exact edges carry
+    cosine exactly 1.0 without a verify join (byte-identical by
+    construction). ``max_bucket_rows``: the within-batch bucket join
+    chain-caps via :func:`~raquet_spark.operators.dedup.
+    chain_capped_buckets`; an over-cap INDEX bucket probes against
+    its min indexed id only and takes no new band rows — every edge
+    still passes the exact cosine verify, so a projection-coincidence
+    bucket correctly fragments at the threshold.
+
+    ``n_bits``/``n_tables``/``seed``/``dim`` are baked into the
+    persisted signatures (like the minhash twin's ``hash_fn``): keep
+    them constant for an index directory's lifetime. Unlike the batch
+    operator there is no corpus-count self-sizing — a stream has no
+    final corpus; size for the retention horizon's expected volume."""
+    from raquet_spark.operators.dedup import chain_capped_buckets
+    from raquet_spark.operators.similarity import (
+        _all_signatures,
+        _dot,
+        with_norm,
+    )
+
+    spark = batch_df.sparkSession
+    bands_dir = f"{index_dir}/bands"
+    vectors_dir = f"{index_dir}/vectors"
+
+    def read_part(path: str):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        return spark.read.parquet(path).where(F.col("batch") < int(batch_id))
+
+    v = with_norm(
+        batch_df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v"
+    ).withColumn(
+        "vfp",
+        F.expr("md5(concat_ws(',', transform(_v, x -> cast(x AS string))))"),
+    )
+
+    pairs = None
+    if collapse_identical:
+        rep_map = v.groupBy("vfp").agg(F.min(id_col).alias("_rep"))
+        star = (
+            v.join(rep_map, "vfp")
+            .where(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("cos_sim"),
+            )
+        )
+        reps = v.join(
+            rep_map.select(
+                "vfp", F.col("_rep").alias(id_col)
+            ),
+            ["vfp", id_col],
+            "left_semi",
+        )
+    else:
+        reps, star = v, None
+
+    idx_vectors = read_part(vectors_dir)
+    if collapse_identical and idx_vectors is not None:
+        seen_fp = idx_vectors.groupBy("vfp").agg(F.min(id_col).alias("_i"))
+        seen = reps.join(seen_fp, "vfp")
+        exact_edges = seen.where(F.col(id_col) != F.col("_i")).select(
+            F.least(id_col, "_i").alias("id_a"),
+            F.greatest(id_col, "_i").alias("id_b"),
+            F.lit(1.0).alias("cos_sim"),
+            F.lit(True).alias("is_dup_of_seen"),
+        )
+        seen_reps = seen.select(F.col(id_col).alias("id_a")).withColumn(
+            "_seen", F.lit(True)
+        )
+        star = (
+            star.join(seen_reps, "id_a", "left")
+            .withColumn(
+                "is_dup_of_seen", F.coalesce(F.col("_seen"), F.lit(False))
+            )
+            .drop("_seen")
+        )
+        pairs = star.unionByName(exact_edges)
+        novel = reps.join(seen_fp.select("vfp"), "vfp", "left_anti")
+    else:
+        if star is not None:
+            pairs = star.withColumn("is_dup_of_seen", F.lit(False))
+        novel = reps
+
+    novel = novel.persist()
+    try:
+        banded = novel.select(
+            F.col(id_col),
+            F.col("vfp"),
+            F.posexplode(
+                _all_signatures("_v", n_bits, n_tables, seed, dim)
+            ).alias("_t", "_sig"),
+        ).persist()
+        va = novel.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_norm").alias("_na"),
+        )
+        vb = novel.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        )
+
+        def verify(cand, right_vec):
+            """Exact cosine on candidate (id_a, id_b) rows; the right
+            side's vectors come from ``right_vec``."""
+            return (
+                cand.join(va, "id_a")
+                .join(right_vec, "id_b")
+                .withColumn(
+                    "cos_sim",
+                    _dot("_va", "_vb") / F.col("_na") / F.col("_nb"),
+                )
+                .where(F.col("cos_sim") >= threshold)
+                .select("id_a", "id_b", "cos_sim")
+            )
+
+        # within-batch: bucket self-join over novel reps, chain-capped
+        under, chain = banded, None
+        if max_bucket_rows is not None:
+            under, chain = chain_capped_buckets(
+                banded.drop("vfp"), ["_t", "_sig"], id_col, max_bucket_rows
+            )
+        a, b = under.alias("a"), under.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a._t") == F.col("b._t"))
+                & (F.col("a._sig") == F.col("b._sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+        if chain is not None:
+            cand = cand.unionByName(chain.select("id_a", "id_b"))
+        within = verify(cand.distinct(), vb).withColumn(
+            "is_dup_of_seen", F.lit(False)
+        )
+        pairs = within if pairs is None else pairs.unionByName(within)
+
+        idx_bands = read_part(bands_dir)
+        band_keep = banded.drop("vfp")
+        if idx_bands is not None and idx_vectors is not None:
+            iv = idx_vectors.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_norm").alias("_nb"),
+            )
+            nb = banded.drop("vfp")
+            if max_bucket_rows is not None:
+                stats = idx_bands.groupBy("_t", "_sig").agg(
+                    F.count(F.lit(1)).alias("_bn"),
+                    F.min(id_col).alias("_imin"),
+                )
+                over_b = stats.where(F.col("_bn") >= max_bucket_rows)
+                cross_u = (
+                    nb.alias("n")
+                    .join(over_b.select("_t", "_sig"),
+                          ["_t", "_sig"], "left_anti")
+                    .join(idx_bands.alias("i"), ["_t", "_sig"])
+                    .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+                    .select(
+                        F.col(f"n.{id_col}").alias("id_a"),
+                        F.col(f"i.{id_col}").alias("id_b"),
+                    )
+                )
+                cross_o = (
+                    nb.alias("n")
+                    .join(over_b, ["_t", "_sig"])
+                    .where(F.col(f"n.{id_col}") != F.col("_imin"))
+                    .select(
+                        F.col(f"n.{id_col}").alias("id_a"),
+                        F.col("_imin").alias("id_b"),
+                    )
+                )
+                cross_cand = cross_u.unionByName(cross_o)
+                band_keep = nb.join(
+                    over_b.select("_t", "_sig"), ["_t", "_sig"], "left_anti"
+                )
+            else:
+                cross_cand = (
+                    nb.alias("n")
+                    .join(idx_bands.alias("i"), ["_t", "_sig"])
+                    .where(F.col(f"n.{id_col}") != F.col(f"i.{id_col}"))
+                    .select(
+                        F.col(f"n.{id_col}").alias("id_a"),
+                        F.col(f"i.{id_col}").alias("id_b"),
+                    )
+                )
+            # emitted ordering is (earlier, later): the index side is
+            # older, and for the verify join id_a must be the BATCH
+            # side (va) — swap after the verify
+            cross = verify(cross_cand.distinct(), iv).select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "cos_sim",
+            ).withColumn("is_dup_of_seen", F.lit(True))
+            pairs = pairs.unionByName(cross)
+
+        (
+            pairs.groupBy("id_a", "id_b")
+            .agg(
+                F.max("cos_sim").alias("cos_sim"),
+                F.max("is_dup_of_seen").alias("is_dup_of_seen"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{pairs_dir}/batch={int(batch_id)}")
+        )
+        band_keep.write.mode("overwrite").parquet(
+            f"{bands_dir}/batch={int(batch_id)}"
+        )
+        # vectors persist for EVERY novel rep (even if all its band
+        # rows hit capped buckets): the vfp row is what lets a future
+        # exact copy match without re-probing
+        novel.select(id_col, "vfp", "_v", "_norm").write.mode(
+            "overwrite"
+        ).parquet(f"{vectors_dir}/batch={int(batch_id)}")
+        banded.unpersist()
+    finally:
+        novel.unpersist()
+
+
+def streaming_embedding_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    n_tables: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    available_now: bool = True,
+    collapse_identical: bool = False,
+    max_bucket_rows: int | None = None,
+):
+    """Embedding near-duplicate dedup on a vector STREAM — the
+    embedding-family twin of :func:`streaming_minhash_dedup` (F11),
+    completing the streaming guard for multimodal pipelines whose
+    dedup key is an embedding rather than text shingles: each
+    micro-batch signs its vectors with the same signed-random-
+    projection LSH as the batch operator, self-joins its buckets,
+    probes a PERSISTED band index, EXACT-COSINE-VERIFIES every
+    candidate against persisted vectors (zero false positives — the
+    batch operator's contract), and appends its novel signatures +
+    vectors to the index.
+
+    Guarantees (pytest-pinned): with the same (n_bits, n_tables, seed,
+    dim, threshold) the union of streamed pairs across batches equals
+    the batch ``embedding_dedup_pairs_lsh`` of the full corpus —
+    identical signatures make bucket co-membership identical, so every
+    candidate surfaces in the batch where its later vector arrives and
+    passes the same cosine gate. ``is_dup_of_seen`` marks pairs whose
+    partner was already indexed. ``collapse_identical`` /
+    ``max_bucket_rows`` bound byte-identical and near-identical floods
+    exactly like the minhash twin (k−1 cumulative edges; closure
+    preserved; replay-idempotent); all sizing parameters are baked
+    into the index directory for its lifetime."""
+
+    def process(batch_df, batch_id):
+        embedding_dedup_process_batch(
+            batch_df, batch_id, index_dir, pairs_dir,
+            vec_col=vec_col, id_col=id_col, threshold=threshold,
+            n_bits=n_bits, n_tables=n_tables, seed=seed, dim=dim,
+            collapse_identical=collapse_identical,
+            max_bucket_rows=max_bucket_rows,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_clean_docs(
     df: DataFrame,
     ts_col: str = "ts",

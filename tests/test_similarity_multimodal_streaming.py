@@ -1408,3 +1408,169 @@ def test_minhash_index_compaction_collapse_mode(spark, tmp_path):
     flood = idx.where("doc_id >= 50000")
     assert {r["doc_id"] for r in
             flood.select("doc_id").distinct().collect()} == {50_000}
+
+
+def test_streaming_embedding_dedup_matches_batch(spark, tmp_path):
+    """r17 new F-family twin: streamed embedding near-dup pairs (LSH
+    bucket probe against persisted bands + exact cosine verify against
+    persisted vectors) equal the batch embedding_dedup_pairs_lsh of
+    the full corpus at the same (bits, tables, seed, dim, threshold),
+    with planted exact copies both within and across batches."""
+    import time
+
+    from raquet_spark.operators.dedup import embedding_dedup_pairs_lsh
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import streaming_embedding_dedup
+
+    base = (
+        load_table(spark, SF_DIR, "embeddings")
+        .limit(30).select("vec_id", "embedding").collect()
+    )
+    # batch0: originals; batch1: exact copies of 5 batch0 vectors
+    # (cross-batch pairs) + fresh; batch2: two exact copies of one
+    # batch1 vector (within-batch + cross pairs)
+    b0 = [(r["vec_id"], r["embedding"]) for r in base[:10]]
+    b1 = [(r["vec_id"] + 1000, r["embedding"]) for r in base[:5]]
+    b1 += [(r["vec_id"] + 2000, r["embedding"]) for r in base[10:15]]
+    seedv = base[10]["embedding"]
+    b2 = [(9001, seedv), (9002, seedv)]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    full_rows = []
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        full_rows += rows
+
+    kw = dict(threshold=0.95, n_bits=6, n_tables=16, dim=64)
+    want = {
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 9))
+        for r in embedding_dedup_pairs_lsh(
+            spark.createDataFrame(
+                full_rows, "vec_id long, embedding array<double>"
+            ),
+            **kw,
+        ).collect()
+    }
+    assert want, "planted copies must produce batch pairs"
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src / "b*"))
+    q = streaming_embedding_dedup(
+        stream, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"), **kw,
+    )
+    q.awaitTermination(300)
+    time.sleep(0.5)
+
+    got_rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
+    got = {
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 9)) for r in got_rows
+    }
+    assert got == want
+    assert len(got_rows) == len(got)  # no pair emitted twice
+    flags = {(r["id_a"], r["id_b"]): r["is_dup_of_seen"] for r in got_rows}
+    for vid, _ in b1[:5]:
+        assert flags[(vid - 1000, vid)] is True
+    assert flags[(9001, 9002)] is False
+
+
+def test_streaming_embedding_dedup_collapse_flood(spark, tmp_path):
+    """Collapse mode: a cross-batch byte-identical vector flood emits
+    exactly k-1 edges (all cosine 1.0), the vectors index keeps one
+    row per distinct fingerprint, and a replay rewrites identical
+    state."""
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import embedding_dedup_process_batch
+
+    base = (
+        load_table(spark, SF_DIR, "embeddings")
+        .limit(10).select("vec_id", "embedding").collect()
+    )
+    seedv = base[0]["embedding"]
+    k = 12
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    batches = []
+    for bi in range(4):
+        rows = [(30_000 + bi * 3 + j, seedv) for j in range(3)]
+        rows += [(base[bi + 1]["vec_id"], base[bi + 1]["embedding"])]
+        batches.append(rows)
+        embedding_dedup_process_batch(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            bi, idx_dir, pairs_dir, collapse_identical=True,
+            threshold=0.95, n_bits=6, n_tables=16, dim=64,
+        )
+
+    got = spark.read.parquet(pairs_dir)
+    flood = got.where("id_a >= 30000")
+    assert flood.count() == k - 1
+    assert flood.where("cos_sim != 1.0").count() == 0
+    # first batch's 2 stars False; everything later True
+    assert flood.where("NOT is_dup_of_seen").count() == 2
+    vectors = spark.read.parquet(f"{idx_dir}/vectors")
+    assert vectors.where("vec_id >= 30000").select(
+        "vec_id"
+    ).distinct().count() == 1
+
+    before = sorted(
+        (r["id_a"], r["id_b"], r["is_dup_of_seen"])
+        for r in got.collect()
+    )
+    embedding_dedup_process_batch(
+        spark.createDataFrame(
+            batches[2], "vec_id long, embedding array<double>"
+        ),
+        2, idx_dir, pairs_dir, collapse_identical=True,
+        threshold=0.95, n_bits=6, n_tables=16, dim=64,
+    )
+    after = sorted(
+        (r["id_a"], r["id_b"], r["is_dup_of_seen"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    )
+    assert after == before
+
+
+def test_streaming_embedding_dedup_chain_cap(spark, tmp_path):
+    """Chain-cap on the embedding twin with collapse OFF: an
+    identical-vector flood fills every (table, sig) bucket; the cap
+    bounds per-arrival probe edges and index bucket growth while the
+    flood stays one component, and every edge passed the exact cosine
+    verify (all 1.0 here)."""
+    from raquet_spark.operators.dedup import connected_components
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import embedding_dedup_process_batch
+
+    base = (
+        load_table(spark, SF_DIR, "embeddings")
+        .limit(2).select("vec_id", "embedding").collect()
+    )
+    seedv = base[0]["embedding"]
+    cap, per, nb = 4, 6, 3
+    k = per * nb
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    for bi in range(nb):
+        rows = [(40_000 + bi * per + j, seedv) for j in range(per)]
+        embedding_dedup_process_batch(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            bi, idx_dir, pairs_dir, max_bucket_rows=cap,
+            threshold=0.95, n_bits=6, n_tables=8, dim=64,
+        )
+    got = spark.read.parquet(pairs_dir)
+    n_pairs = got.count()
+    assert k - 1 <= n_pairs < k * (k - 1) // 4  # far below C(18,2)
+    assert got.where("cos_sim < 0.95").count() == 0
+    comp = connected_components(got.select("id_a", "id_b"), "id_a", "id_b")
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == k
+    bands = spark.read.parquet(f"{idx_dir}/bands")
+    max_bucket = bands.groupBy("_t", "_sig").count().agg(
+        F.max("count").alias("m")
+    ).collect()[0]["m"]
+    assert max_bucket <= cap + per
