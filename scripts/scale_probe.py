@@ -257,6 +257,40 @@ def main() -> None:
             runs,
         )
 
+        # embedding-family streaming twin (F12, r17): same flood shape
+        # with byte-identical VECTORS — cumulative pairs must be k−1
+        def streaming_emb_flood(m=mult) -> None:
+            import shutil
+            import tempfile
+
+            from raquet_spark.streaming.ingest import (
+                embedding_dedup_process_batch,
+            )
+
+            seed_vec = emb.limit(1).collect()[0]["embedding"]
+            k, n_batches = 16 * m, 8
+            per = k // n_batches
+            base_dir = tempfile.mkdtemp(prefix="probe_f12_")
+            try:
+                for bi in range(n_batches):
+                    rows = spark.range(per).selectExpr(
+                        f"id + {bi * per} + 100000 AS vec_id"
+                    ).withColumn(
+                        "embedding",
+                        F.lit(seed_vec).cast("array<double>"),
+                    )
+                    embedding_dedup_process_batch(
+                        rows, bi, f"{base_dir}/idx", f"{base_dir}/pairs",
+                        collapse_identical=True, max_bucket_rows=64,
+                        threshold=0.95, n_bits=6, n_tables=16, dim=64,
+                    )
+                n = spark.read.parquet(f"{base_dir}/pairs").count()
+                timings[f"streaming_emb_flood_pairs_x{m}"] = n
+            finally:
+                shutil.rmtree(base_dir, ignore_errors=True)
+
+        bench(f"streaming_emb_flood_x{mult}", streaming_emb_flood, runs)
+
         # ANN families. Query side scales with the corpus (every 25th /
         # 100th vector) so the probe measures corpus AND query growth;
         # query-side .where derivations live inside the lambdas so an
