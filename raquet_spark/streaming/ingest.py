@@ -317,6 +317,7 @@ def minhash_dedup_process_batch(
     else:
         reps, star = sigs, None
     reps_s = reps.withColumn("sig", fingerprint).persist()
+    banded = None
     try:
         idx = read_index()
         pairs = None
@@ -444,13 +445,15 @@ def minhash_dedup_process_batch(
         idx_keep.write.mode("overwrite").parquet(
             f"{index_dir}/batch={int(batch_id)}"
         )
-        banded.unpersist()
     finally:
+        # unpersist in finally (review r17): a transient write failure
+        # retried by foreachBatch must not leak one cached plan per
+        # attempt on a 24/7 stream
         reps_s.unpersist()
+        if banded is not None:
+            banded.unpersist()
         if collapse_identical:
             sigs.unpersist()
-        # banded unpersists in-line above on success; a failure path
-        # releases it with the session (micro-batch scoped either way)
 
 
 def compact_minhash_index(
@@ -750,32 +753,34 @@ def embedding_dedup_process_batch(
             return None
         return spark.read.parquet(path).where(F.col("batch") < int(batch_id))
 
+    # vfp: NULL-distinguishing fingerprint (review r17 — concat_ws
+    # silently drops null elements, which would collide [1,null,2]
+    # with [1,2] and fabricate cos 1.0 edges; to_json preserves
+    # nulls, empties, and element positions exactly, matching the
+    # batch collapse's raw-array groupBy semantics)
     v = with_norm(
         batch_df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v"
-    ).withColumn(
-        "vfp",
-        F.expr("md5(concat_ws(',', transform(_v, x -> cast(x AS string))))"),
-    )
+    ).withColumn("vfp", F.md5(F.to_json(F.struct(F.col("_v")))))
+    if collapse_identical:
+        # the collapse subtree (rep_map / star / reps / seen) scans v
+        # from several consumers — persist it for the batch scope, the
+        # same rule the minhash twin applies to sigs (review r17)
+        v = v.persist()
 
     pairs = None
     if collapse_identical:
-        rep_map = v.groupBy("vfp").agg(F.min(id_col).alias("_rep"))
-        star = (
-            v.join(rep_map, "vfp")
-            .where(F.col(id_col) != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"),
-                F.col(id_col).alias("id_b"),
-                F.lit(1.0).alias("cos_sim"),
-            )
+        from raquet_spark.operators.dedup import (
+            collapse_identical_signatures,
         )
-        reps = v.join(
-            rep_map.select(
-                "vfp", F.col("_rep").alias(id_col)
-            ),
-            ["vfp", id_col],
-            "left_semi",
+
+        # one shared collapse implementation (dedup.py): vfp is the
+        # "signature"; reps come back as (id, vfp) and re-join v for
+        # the vector/norm columns
+        rep_map, reps_fp, star = collapse_identical_signatures(
+            v.select(id_col, "vfp"), id_col
         )
+        star = star.withColumn("cos_sim", F.lit(1.0))
+        reps = v.join(reps_fp, ["vfp", id_col], "left_semi")
     else:
         reps, star = v, None
 
@@ -807,6 +812,7 @@ def embedding_dedup_process_batch(
         novel = reps
 
     novel = novel.persist()
+    banded = None
     try:
         banded = novel.select(
             F.col(id_col),
@@ -943,9 +949,15 @@ def embedding_dedup_process_batch(
         novel.select(id_col, "vfp", "_v", "_norm").write.mode(
             "overwrite"
         ).parquet(f"{vectors_dir}/batch={int(batch_id)}")
-        banded.unpersist()
     finally:
+        # unpersist in finally (review r17): a transient write failure
+        # retried by foreachBatch must not leak one cached plan per
+        # attempt on a 24/7 stream
         novel.unpersist()
+        if banded is not None:
+            banded.unpersist()
+        if collapse_identical:
+            v.unpersist()
 
 
 def streaming_embedding_dedup(

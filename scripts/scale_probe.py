@@ -222,33 +222,46 @@ def main() -> None:
         # exactly k−1 (linear); the _full twin (same corpus, no
         # collapse) is the O(k²) cumulative listing the r16 batch fix
         # left open on the streaming side.
-        def streaming_flood(m=mult, collapse=True) -> None:
+        def run_streaming_flood(m, metric, row_builder, process) -> None:
+            """Shared F11/F12 flood harness (review r17): k identical
+            rows over 8 micro-batches, cumulative pair count recorded
+            under ``metric`` — the two families differ only in the row
+            builder and the per-batch processor."""
             import shutil
             import tempfile
 
+            k, n_batches = 16 * m, 8
+            per = k // n_batches
+            base_dir = tempfile.mkdtemp(prefix="probe_flood_")
+            try:
+                for bi in range(n_batches):
+                    rows = row_builder(per, bi * per + 100000)
+                    process(
+                        rows, bi, f"{base_dir}/idx", f"{base_dir}/pairs"
+                    )
+                n = spark.read.parquet(f"{base_dir}/pairs").count()
+                timings[f"{metric}_pairs_x{m}"] = n
+            finally:
+                shutil.rmtree(base_dir, ignore_errors=True)
+
+        def streaming_flood(m=mult, collapse=True) -> None:
             from raquet_spark.streaming.ingest import (
                 minhash_dedup_process_batch,
             )
 
             seed_text = docs.limit(1).collect()[0]["text"]
-            k, n_batches = 16 * m, 8
-            per = k // n_batches
-            base_dir = tempfile.mkdtemp(prefix="probe_f11_")
-            try:
-                for bi in range(n_batches):
-                    rows = spark.range(per).selectExpr(
-                        f"id + {bi * per} + 100000 AS doc_id"
-                    ).withColumn("text", F.lit(seed_text))
-                    minhash_dedup_process_batch(
-                        rows, bi, f"{base_dir}/idx", f"{base_dir}/pairs",
-                        collapse_identical=collapse,
-                        max_bucket_rows=64 if collapse else None,
-                    )
-                n = spark.read.parquet(f"{base_dir}/pairs").count()
-                tag = "" if collapse else "_full"
-                timings[f"streaming_flood{tag}_pairs_x{m}"] = n
-            finally:
-                shutil.rmtree(base_dir, ignore_errors=True)
+            run_streaming_flood(
+                m,
+                "streaming_flood" if collapse else "streaming_flood_full",
+                lambda per, off: spark.range(per).selectExpr(
+                    f"id + {off} AS doc_id"
+                ).withColumn("text", F.lit(seed_text)),
+                lambda rows, bi, idx, pairs: minhash_dedup_process_batch(
+                    rows, bi, idx, pairs,
+                    collapse_identical=collapse,
+                    max_bucket_rows=64 if collapse else None,
+                ),
+            )
 
         bench(f"streaming_flood_x{mult}", streaming_flood, runs)
         bench(
@@ -260,34 +273,25 @@ def main() -> None:
         # embedding-family streaming twin (F12, r17): same flood shape
         # with byte-identical VECTORS — cumulative pairs must be k−1
         def streaming_emb_flood(m=mult) -> None:
-            import shutil
-            import tempfile
-
             from raquet_spark.streaming.ingest import (
                 embedding_dedup_process_batch,
             )
 
             seed_vec = emb.limit(1).collect()[0]["embedding"]
-            k, n_batches = 16 * m, 8
-            per = k // n_batches
-            base_dir = tempfile.mkdtemp(prefix="probe_f12_")
-            try:
-                for bi in range(n_batches):
-                    rows = spark.range(per).selectExpr(
-                        f"id + {bi * per} + 100000 AS vec_id"
-                    ).withColumn(
-                        "embedding",
-                        F.lit(seed_vec).cast("array<double>"),
-                    )
-                    embedding_dedup_process_batch(
-                        rows, bi, f"{base_dir}/idx", f"{base_dir}/pairs",
-                        collapse_identical=True, max_bucket_rows=64,
-                        threshold=0.95, n_bits=6, n_tables=16, dim=64,
-                    )
-                n = spark.read.parquet(f"{base_dir}/pairs").count()
-                timings[f"streaming_emb_flood_pairs_x{m}"] = n
-            finally:
-                shutil.rmtree(base_dir, ignore_errors=True)
+            run_streaming_flood(
+                m,
+                "streaming_emb_flood",
+                lambda per, off: spark.range(per).selectExpr(
+                    f"id + {off} AS vec_id"
+                ).withColumn(
+                    "embedding", F.lit(seed_vec).cast("array<double>")
+                ),
+                lambda rows, bi, idx, pairs: embedding_dedup_process_batch(
+                    rows, bi, idx, pairs,
+                    collapse_identical=True, max_bucket_rows=64,
+                    threshold=0.95, n_bits=6, n_tables=16, dim=64,
+                ),
+            )
 
         bench(f"streaming_emb_flood_x{mult}", streaming_emb_flood, runs)
 
