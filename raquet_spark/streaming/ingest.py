@@ -960,6 +960,25 @@ def embedding_dedup_process_batch(
             v.unpersist()
 
 
+def compact_embedding_index(
+    spark, index_dir: str, keep_last: int = 1
+) -> int:
+    """Fold a :func:`streaming_embedding_dedup` index's batch
+    partitions — both its tables (``bands/`` and ``vectors/``) ride
+    the same ``batch=<id>`` layout and replay contract as the minhash
+    band index, so each gets the proven crash-safe vacuum-style fold
+    (:func:`compact_minhash_index`). Returns the total partitions
+    folded across the two tables."""
+    import os
+
+    total = 0
+    for sub in ("bands", "vectors"):
+        path = os.path.join(index_dir, sub)
+        if os.path.isdir(path):
+            total += compact_minhash_index(spark, path, keep_last)
+    return total
+
+
 def streaming_embedding_dedup(
     stream: DataFrame,
     index_dir: str,

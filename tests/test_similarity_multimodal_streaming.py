@@ -1574,3 +1574,62 @@ def test_streaming_embedding_dedup_chain_cap(spark, tmp_path):
         F.max("count").alias("m")
     ).collect()[0]["m"]
     assert max_bucket <= cap + per
+
+
+def test_embedding_index_compaction(spark, tmp_path):
+    """r17: the F12 two-table index (bands/ + vectors/) compaction must
+    preserve probe behavior — an exact copy and a byte-identical
+    near-probe after the fold emit the same edges as before, and both
+    tables fold independently."""
+    import os
+
+    from raquet_spark.queries import load_table
+    from raquet_spark.streaming.ingest import (
+        compact_embedding_index,
+        embedding_dedup_process_batch,
+    )
+
+    base = (
+        load_table(spark, SF_DIR, "embeddings")
+        .limit(10).select("vec_id", "embedding").collect()
+    )
+    idx_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    kw = dict(collapse_identical=True, threshold=0.95,
+              n_bits=6, n_tables=16, dim=64)
+    for bi in range(5):
+        rows = [(base[2 * bi + j]["vec_id"], base[2 * bi + j]["embedding"])
+                for j in range(2)]
+        embedding_dedup_process_batch(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ),
+            bi, idx_dir, pairs_dir, **kw,
+        )
+
+    def probe(new_batch_id):
+        nb = spark.createDataFrame(
+            [(95_000, base[3]["embedding"])],
+            "vec_id long, embedding array<double>",
+        )
+        probe_dir = str(tmp_path / f"probe_{new_batch_id}")
+        embedding_dedup_process_batch(
+            nb, new_batch_id, idx_dir, probe_dir, **kw,
+        )
+        return sorted(
+            (r["id_a"], r["id_b"], r["is_dup_of_seen"])
+            for r in spark.read.parquet(probe_dir).collect()
+        )
+
+    before = probe(100)
+    assert before == [(base[3]["vec_id"], 95_000, True)]
+    n = compact_embedding_index(spark, idx_dir, keep_last=1)
+    assert n >= 8  # both tables fold (5+1 batches each -> >=4 each)
+    assert probe(101) == before
+    # superseded dirs are pruned by the NEXT call (vacuum grace
+    # period, same contract as the minhash index fold)
+    compact_embedding_index(spark, idx_dir, keep_last=1)
+    assert probe(102) == before
+    for sub in ("bands", "vectors"):
+        dirs = [d for d in os.listdir(f"{idx_dir}/{sub}")
+                if d.startswith("batch=")]
+        assert len(dirs) <= 4  # folded target + newest + probe batches
