@@ -464,9 +464,11 @@ def hashed_embeddings(
     dim: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Feature-hashed document vectors (the public hashing-trick /
-    Weinberger et al. recipe): token → md5 bucket in [0, dim), weight =
+    Weinberger et al. recipe): token → hash bucket in [0, dim), weight =
     term frequency, L2-normalized — a cheap deterministic embedding that
     feeds the ANN / embedding-dedup operators without any model. One
     explode + ONE wide groupBy: the dense count vector assembles as
@@ -475,24 +477,46 @@ def hashed_embeddings(
     the columns. This replaced the r10-profiled double-shuffle +
     map_from_entries + per-element map-lookup assembly, which executed
     interpreted O(dim · map-size) lookups per row: 21 s → 4 s
-    materializing 320k vectors (the x64 probe corpus)."""
-    bucket = dl.md5_int("tok", "spark") + f" % {dim}"
+    materializing 320k vectors (the x64 probe corpus).
+
+    ``hash_fn``: ``"md5"`` (default — the only hash both engines of the
+    dual-dialect oracles compute identically) or ``"xxhash64"`` (the
+    JVM-native production hash, same minhash precedent as
+    ``minhash_signatures(hash_fn=...)``; r17 A/B at sf0.1: the
+    bucket-hash stage runs ~40% faster, 0.65 s → 0.36 s median-of-5,
+    because hex-md5 + conv costs ~2x a native 64-bit hash per token).
+    Any uniform hash is a valid hashing-trick bucket assignment; use
+    md5 only where an SQL oracle must reproduce the buckets.
+
+    ``carry_cols`` (r17): doc-constant columns (a label, a source key)
+    carried through the wide groupBy as ``first()`` aggregates, so a
+    caller that needs them next to the vector pays no re-attach join —
+    the classifier gate previously ran TWO id-joins (labels into
+    train, source into the final rollup) that this removes (guide
+    §2.4: remove shuffles outright)."""
+    if hash_fn == "xxhash64":
+        bucket = f"pmod(xxhash64(tok), {dim})"
+    else:
+        bucket = dl.md5_int("tok", "spark") + f" % {dim}"
+    carry = list(carry_cols)
     longf = df.select(
-        F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
-    ).selectExpr(id_col, f"{bucket} AS bucket")
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.explode(F.expr(_toks(text_col))).alias("tok"),
+    ).selectExpr(id_col, *carry, f"{bucket} AS bucket")
     aggs = [
         F.sum(
             F.when(F.col("bucket") == i, F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias(f"c{i}")
         for i in range(dim)
-    ]
+    ] + [F.first(c).alias(c) for c in carry]
     wtab = longf.groupBy(id_col).agg(*aggs)
     vec = "array(" + ", ".join(f"c{i}" for i in range(dim)) + ")"
     norm = "sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"
     return (
-        wtab.selectExpr(id_col, f"{vec} AS v")
+        wtab.selectExpr(id_col, *carry, f"{vec} AS v")
         .selectExpr(
             id_col,
+            *carry,
             f"transform(v, x -> CAST(x / greatest({norm}, 1e-12) AS FLOAT)) AS embedding",
         )
     )
@@ -513,7 +537,7 @@ def _margin_expr(weights, vec_col: str) -> str:
 
 def train_quality_classifier(
     feats: DataFrame,
-    labels: DataFrame,
+    labels: DataFrame | None,
     dim: int = 64,
     n_iter: int = 8,
     lr: float = 4.0,
@@ -537,11 +561,17 @@ def train_quality_classifier(
     iteration: 8.85 s at sf0.1 for 8 iterations. The matmul form is the
     same treeAggregate pattern MLlib's LBFGS/GD uses.)
     Deterministic given a fixed partitioning: full-batch, no
-    sampling."""
+    sampling.
+
+    ``labels=None`` (r17): the label column already sits on ``feats``
+    (``y_col``) — skip the id join entirely, one shuffle less. The
+    join path remains for callers whose labels live in a separate
+    table."""
     import numpy as np
     import pandas as pd
 
-    df = feats.join(labels, id_col).select(vec_col, y_col).persist()
+    joined = feats if labels is None else feats.join(labels, id_col)
+    df = joined.select(vec_col, y_col).persist()
     try:
         n = df.count()  # materializes the cache; gradient scale
         if n == 0:
@@ -586,15 +616,27 @@ def score_quality_classifier(
     weights: list[float],
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, score, label_pred): the trained linear scorer applied
     map-only — at 100 TB this is a pure projection over the feature
-    scan, the exact shape a production quality filter runs at."""
+    scan, the exact shape a production quality filter runs at.
+
+    The margin (an ``aggregate(zip_with(...))`` over ``dim`` elements,
+    executed interpreted per row) is evaluated ONCE and ``label_pred``
+    derived from the result column in a second projection — the r17
+    fix for the prior shape, which inlined the same aggregate
+    expression twice (score + predicate) and paid 2x the per-row
+    higher-order-function cost (guide §4: reuse expensive expression
+    results instead of re-evaluating).
+
+    ``keep_cols``: extra columns carried through the projection (e.g.
+    a grouping key the caller aggregates on next) — saves the id join
+    that re-attaching them would cost."""
     m = _margin_expr(weights, vec_col)
-    return feats.selectExpr(
-        id_col,
-        f"{m} AS score",
-        f"CAST(({m}) > 0.0D AS INT) AS label_pred",
+    keep = list(keep_cols)
+    return feats.selectExpr(id_col, *keep, f"{m} AS score").selectExpr(
+        id_col, *keep, "score", "CAST(score > 0.0D AS INT) AS label_pred"
     )
 
 

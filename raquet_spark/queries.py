@@ -3716,34 +3716,45 @@ def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFra
         f"concat(text, '{mark_neg}') AS text", "source",
         "CAST(0.0 AS DOUBLE) AS y",
     )
-    corpus = pos.unionByName(neg).persist()
+    corpus = pos.unionByName(neg)
+    # r17 shuffle/boundary diet on the bench's heaviest line, all
+    # result-identical (oracle re-verified at sf0.001/0.01/0.1):
+    # - xxhash64 buckets: the oracle is closed-form over the planted
+    #   twins — it never recomputes the buckets — so the engine-native
+    #   hash replaces hex-md5+conv (measured ~40% cheaper hash+agg
+    #   stage, guide §4; the gradient-symmetry argument is
+    #   hash-agnostic — the twins differ only in their two sentinel
+    #   buckets under ANY uniform hash). doc_feature_hash keeps md5
+    #   (its dual-dialect oracle pins it).
+    # - carry_cols=(y, source) rides the label and the rollup key
+    #   through the featurize groupBy, removing BOTH id-joins the old
+    #   shape paid (labels into train, source into the final agg) and
+    #   with them the separate full-text corpus cache (guide §2.4).
+    feats = hashed_embeddings(
+        corpus, dim=64, hash_fn="xxhash64", carry_cols=("y", "source")
+    ).persist()
     try:
-        feats = hashed_embeddings(corpus, dim=64).persist()
-        try:
-            # n_iter: measured convergence on this gate corpus (r11,
-            # sf0.1): 3 iterations already classify every twin
-            # correctly (min |margin| 0.24), 4 gives 0.31, 8 gives
-            # 0.51 — 4 is the 2x-safety point and halves the job count
-            # of the bench's heaviest line
-            w = train_quality_classifier(
-                feats, corpus.select("doc_id", "y"), dim=64, n_iter=4, lr=4.0
-            )
-            scored = score_quality_classifier(feats, w)
-            out = (
-                scored.join(corpus.select("doc_id", "source"), "doc_id")
-                .groupBy("source", "label_pred")
-                .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
-            )
-            # materialize the (sources x 2)-row aggregate HERE so both
-            # caches can be released before returning (the driver
-            # collects lazily, after this function exits) — no cached
-            # blocks leak into the rest of the session
-            rows = out.collect()
-            return spark.createDataFrame(rows, schema=out.schema)
-        finally:
-            feats.unpersist()
+        # n_iter: measured convergence on this gate corpus (r11,
+        # sf0.1): 3 iterations already classify every twin
+        # correctly (min |margin| 0.24), 4 gives 0.31, 8 gives
+        # 0.51 — 4 is the 2x-safety point and halves the job count
+        # of the bench's heaviest line
+        w = train_quality_classifier(
+            feats, None, dim=64, n_iter=4, lr=4.0
+        )
+        scored = score_quality_classifier(feats, w, keep_cols=("source",))
+        out = (
+            scored.groupBy("source", "label_pred")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))
+        )
+        # materialize the (sources x 2)-row aggregate HERE so the
+        # cache can be released before returning (the driver
+        # collects lazily, after this function exits) — no cached
+        # blocks leak into the rest of the session
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
     finally:
-        corpus.unpersist()
+        feats.unpersist()
 
 
 def quality_classifier_filter_oracle() -> str:
