@@ -41,7 +41,19 @@ def from_pixel_table(
 
     ``extra_keys`` — extra ``(column, sql_type)`` group keys carried
     through (e.g. ``(("time_cf", "double"),)`` for time-dimension
-    rasters): ONE shuffle assembles every (tile, step) pair."""
+    rasters): ONE shuffle assembles every (tile, step) pair.
+
+    Shuffle-row diet (r17, guide §2.3 "shuffle fewer bytes"): the
+    assembly only needs each pixel's IN-TILE offset and its value in
+    the band's storage dtype, so both are computed BEFORE the
+    exchange — (gx, gy) int64 pairs become one int32 ``_off`` (−12
+    bytes/row) and float32 bands are narrowed to FLOAT (−4 bytes/row;
+    exact: Spark's CAST AS FLOAT and numpy's astype are the same IEEE
+    round-to-nearest, and the old path performed the identical
+    narrowing inside ``assemble``). Integer bands keep their incoming
+    width: a double→int cast moved into Spark would change NaN
+    semantics (numpy C-cast vs Spark's NULL/0), so only the provably
+    bit-identical narrowing ships."""
     from raquet_spark.session import ensure_package_shipped
 
     ensure_package_shipped(pixels.sparkSession)
@@ -54,16 +66,23 @@ def from_pixel_table(
 
     tx = f"CAST(gx DIV {bw} AS BIGINT)"
     ty = f"CAST(gy DIV {bh} AS BIGINT)"
-    keyed = pixels.withColumn("block", F.expr(qb.tile_to_cell_sql(tx, ty, z, "spark")))
-
     extra_names = [n for n, _ in extra_keys]
+    band_projs = [
+        f"CAST({name} AS FLOAT) AS {name}" if btype == "float32" else name
+        for name, btype, _ in bands
+    ]
+    keyed = pixels.withColumn(
+        "block", F.expr(qb.tile_to_cell_sql(tx, ty, z, "spark"))
+    ).selectExpr(
+        "block",
+        *extra_names,
+        f"CAST((gy % {bh}) * {bw} + (gx % {bw}) AS INT) AS _off",
+        *band_projs,
+    )
 
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         block = key[0]
-        x0 = int(pdf["gx"].min()) // bw * bw
-        y0 = int(pdf["gy"].min()) // bh * bh
-        ix = pdf["gx"].to_numpy(dtype=np.int64) - x0
-        iy = pdf["gy"].to_numpy(dtype=np.int64) - y0
+        off = pdf["_off"].to_numpy(dtype=np.int64)
         out = {"block": [block]}
         for name, kv in zip(extra_names, key[1:]):
             out[name] = [kv]
@@ -71,7 +90,7 @@ def from_pixel_table(
             fill = 0 if nodata is None else nodata
             arr = np.full(bh * bw, fill, dtype=DTYPES[btype])
             vals = pdf[name].to_numpy()
-            arr[iy * bw + ix] = vals.astype(DTYPES[btype])
+            arr[off] = vals.astype(DTYPES[btype])
             out[name] = [encode_block(arr, btype, compression)]
         return pd.DataFrame(out)
 
