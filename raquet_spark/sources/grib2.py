@@ -1822,6 +1822,7 @@ def grib2_to_raquet(
         _pick_zoom,
         _resampled_pixels,
         _tile_aligned_bounds,
+        gather_is_broadcast,
     )
 
     g = read_grib2_structure(path)
@@ -1864,6 +1865,12 @@ def grib2_to_raquet(
     tiles = from_pixel_table(
         pixels, meta, compression=compression,
         extra_keys=((("time_cf", "double"),) if len(times) > 1 else ()),
+        # map-only assembly (r17): broadcast near gather over the
+        # block-major target grid → tile-contiguous pixels, no tiling
+        # exchange (see from_pixel_table)
+        aligned=(
+            resampling == "near" and gather_is_broadcast(info, len(times))
+        ),
     )
     if len(times) > 1:
         meta["time"] = {

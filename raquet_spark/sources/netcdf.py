@@ -373,6 +373,7 @@ def netcdf_to_raquet(
         _pick_zoom,
         _resampled_pixels,
         _tile_aligned_bounds,
+        gather_is_broadcast,
     )
 
     nc = read_netcdf_structure(path)
@@ -456,6 +457,10 @@ def netcdf_to_raquet(
     tiles = from_pixel_table(
         pixels, meta, compression=compression,
         extra_keys=((("time_cf", "double"),) if has_time else ()),
+        # map-only assembly (r17): a broadcast near gather over the
+        # block-major target grid delivers tile-contiguous pixels —
+        # no tiling exchange needed (see from_pixel_table)
+        aligned=(resampling == "near" and gather_is_broadcast(info, n_steps)),
     )
     if has_time:
         units = str(nc["variables"][time_name]["attrs"].get("units", ""))

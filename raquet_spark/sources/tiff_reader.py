@@ -1502,6 +1502,21 @@ def _kernel_sql(d: str, resampling: str) -> str:
     raise ValueError(f"unknown resampling {resampling!r}")
 
 
+def gather_is_broadcast(info: dict, n_steps: int = 1) -> bool:
+    """Whether the warp gather join will broadcast the source (raw
+    source bytes × steps ≤ ~100 MB — see the strategy comment inside
+    :func:`_resampled_pixels`). The SINGLE definition shared by the
+    join-strategy decision and the importers' tile-assembly
+    ``aligned`` decision (r17): a broadcast gather is map-only, so
+    with the block-major target grid the ``near`` path's pixels reach
+    ``from_pixel_table`` tile-contiguous and the assembly can skip
+    its exchange."""
+    return (
+        info["width"] * info["height"] * info["n_bands"]
+        * np.dtype(info["dtype"]).itemsize * max(1, int(n_steps))
+    ) <= 100 * (1 << 20)
+
+
 def _resampled_pixels(
     spark: SparkSession,
     px: DataFrame,
@@ -1525,7 +1540,19 @@ def _resampled_pixels(
     Nodata samples drop out of the blend and the kernel renormalizes
     (GDAL's masked-resampling behavior). Projected sources go through
     the closed-form Snyder FORWARD projections (:func:`_forward_steps`),
-    so every supported CRS warps target-driven."""
+    so every supported CRS warps target-driven.
+
+    The target grid is generated BLOCK-MAJOR with whole tiles per
+    partition (r17): one ``spark.range`` row per output tile, exploded
+    to its ``bs²`` pixels, so with a broadcast gather join (the
+    ≤100 MB source class — most single-raster conversions) the
+    ``near`` path's output arrives at ``from_pixel_table`` already
+    tile-contiguous within partitions and the tile assembly needs NO
+    exchange at all (``aligned=True`` — guide §8 "co-locate instead
+    of join"). The pixel SET is unchanged — only generation order —
+    and the kernel paths' blend sums are order-stable because every
+    contribution of a target pixel is exploded from that pixel's own
+    row (adjacent, (ky, kx)-ordered, single partition)."""
     ox, a, b, oy, c, d = info["transform"]
     det = a * d - b * c
     if det == 0:
@@ -1533,11 +1560,21 @@ def _resampled_pixels(
     tx0, ty0, tx1, ty1 = tile_ext
     bs = block_size
     gx0, gy0 = tx0 * bs, ty0 * bs
-    npx, npy = (tx1 - tx0 + 1) * bs, (ty1 - ty0 + 1) * bs
+    ntx = tx1 - tx0 + 1
+    n_tiles = ntx * (ty1 - ty0 + 1)
+    npx, npy = ntx * bs, (ty1 - ty0 + 1) * bs
     world = float((1 << z) * bs)
 
-    tgt = spark.range(npx * npy).selectExpr(
-        f"{gx0} + id % {npx} AS gx", f"{gy0} + id DIV {npx} AS gy"
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, n_tiles))
+    tgt = (
+        spark.range(0, n_tiles, 1, n_part)
+        .selectExpr(
+            "id AS _tid", f"explode(sequence(0, {bs * bs - 1})) AS _o"
+        )
+        .selectExpr(
+            f"{gx0} + (_tid % {ntx}) * {bs} + _o % {bs} AS gx",
+            f"{gy0} + (_tid DIV {ntx}) * {bs} + _o DIV {bs} AS gy",
+        )
     )
     # target pixel center -> web-mercator meters
     cmx = f"((gx + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT} - {_ORIGIN_SHIFT})"
@@ -1639,11 +1676,7 @@ def _resampled_pixels(
     # broadcast-side size is grid_bytes x steps — a 0.25-deg global
     # grid is ~8 MB/step but 100+ forecast steps make it ~1 GB, past
     # the 8 GB broadcast limit's comfort zone and a driver OOM risk.
-    src_bytes = (
-        info["width"] * info["height"] * n_bands
-        * np.dtype(info["dtype"]).itemsize * max(1, int(n_steps))
-    )
-    broadcast_src = src_bytes <= 100 * (1 << 20)
+    broadcast_src = gather_is_broadcast(info, n_steps)
     src_rows = info["width"] * info["height"] * max(1, int(n_steps))
 
     def _hinted(src: DataFrame) -> DataFrame:
@@ -1911,6 +1944,10 @@ def geotiff_to_raquet(
         return _assemble_tiles(
             spark, pixels, info, z, block_size, compression, stats, dense,
             (w, s, e, n), (tx0, ty0, tx1, ty1),
+            # map-only assembly (r17): broadcast near gather over the
+            # block-major target grid → tile-contiguous pixels, no
+            # tiling exchange (see from_pixel_table)
+            aligned=(resampling == "near" and gather_is_broadcast(info)),
         )
     if resampling not in _AGG_KERNELS:
         raise ValueError(f"unknown resampling {resampling!r}")
@@ -1958,6 +1995,7 @@ def _assemble_tiles(
     dense: bool,
     bounds: tuple[float, float, float, float],
     tile_ext: tuple[int, int, int, int],
+    aligned: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Warped (gx, gy, band_*) pixels → (tiles, metadata): shared tail
     of the nearest and bilinear/cubic import paths."""
@@ -2002,7 +2040,9 @@ def _assemble_tiles(
     )
     from raquet_spark.operators.tiling import from_pixel_table
 
-    tiles = from_pixel_table(pixels, meta, compression=compression)
+    tiles = from_pixel_table(
+        pixels, meta, compression=compression, aligned=aligned
+    )
     if dense:
         # the reference warps the full covering grid, so all-nodata
         # tiles exist too (e.g. the corners of a rotated Albers

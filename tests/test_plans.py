@@ -280,11 +280,13 @@ def test_halo_level_single_shuffle(spark):
 
 def test_geotiff_import_shuffle_budget(spark):
     """The real-GeoTIFF import (target-driven dense nearest for
-    4326/3857 sources) is the (sx, sy) gather join plus the tiling
-    groupBy(block): 1 exchange when the source side broadcasts (as
-    here), at most 3 when it degrades to a sort-merge join at scale.
-    Projection math and segment decode stay map-side; never a
-    nested-loop join."""
+    4326/3857 sources) is MAP-ONLY when the source side broadcasts (as
+    here): the block-major target grid keeps pixels tile-contiguous
+    through the broadcast gather, so the tile assembly runs aligned
+    with NO exchange (r17; was 1 — the tiling groupBy). At scale the
+    gather degrades to a shuffled join and the assembly to the grouped
+    path: at most 3 exchanges. Projection math and segment decode stay
+    map-side; never a nested-loop join."""
     import os
 
     import pytest as _pytest
@@ -299,7 +301,7 @@ def test_geotiff_import_shuffle_budget(spark):
         spark, path, block_size=128, dense=False, stats=False
     )
     assert no_nested_loops(tiles)
-    assert 1 <= count_exchanges(tiles) <= 3
+    assert count_exchanges(tiles) == 0
 
     # projected CRS route through the Snyder forward projections into
     # the same target-driven join — same shuffle budget, no BNLJ
@@ -308,7 +310,7 @@ def test_geotiff_import_shuffle_budget(spark):
         spark, nlcd, block_size=256, dense=False, stats=False
     )
     assert no_nested_loops(tiles2)
-    assert 1 <= count_exchanges(tiles2) <= 3
+    assert count_exchanges(tiles2) == 0
 
     # the reducing kernels keep the forward-map shape: ONE aggregation
     # exchange + tiling
@@ -354,9 +356,10 @@ def test_bilinear_import_three_shuffles_no_bnlj(spark):
 
 
 def test_netcdf_import_two_shuffles(spark, tmp_path):
-    """NetCDF conversion keeps the GeoTIFF import's plan shape — warp
-    argmin + tiling, two exchanges — with ALL time steps riding the
-    same shuffles (time_cf is a group key, not a driver loop)."""
+    """NetCDF conversion keeps the GeoTIFF import's plan shape — with
+    a broadcast-sized source the near import is MAP-ONLY (r17: aligned
+    tile assembly, no exchange) and ALL time steps ride the same
+    broadcast gather (time_cf is a join output, not a driver loop)."""
     import numpy as np
 
     from raquet_spark.plans.inspect import count_exchanges, no_nested_loops
@@ -377,7 +380,7 @@ def test_netcdf_import_two_shuffles(spark, tmp_path):
     )
     tiles, _ = netcdf_to_raquet(spark, path, block_size=64, stats=False)
     assert no_nested_loops(tiles)
-    assert 1 <= count_exchanges(tiles) <= 3
+    assert count_exchanges(tiles) == 0
 
 
 def test_sharded_export_strip_plan_single_shuffle(spark):
