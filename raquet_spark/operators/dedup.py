@@ -557,6 +557,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def _components_driver_side(
+    e: DataFrame, small_graph_edges: int
+) -> DataFrame | None:
+    """Bounded driver-side union-find fast path for
+    :func:`connected_components` (r17, guide §1.2/§2.4): one pointer-
+    jumping round costs ~10 AQE stage-jobs (3 joins + a groupBy + the
+    checkpoint + the convergence count, each a driver round-trip), so
+    a TINY graph pays ~25 scheduler floors for microseconds of actual
+    work — the measured 1.5-2.5 s on the bench's planted pair graphs.
+    When the materialized (already checkpointed, both-orientations)
+    edge list holds at most ``small_graph_edges`` rows, collect it —
+    a few MB, the same bounded-collect class as the BPE merge rows —
+    and label components with path-compressed union-find; label =
+    min member, identical to the loop's fixed point. Returns None
+    when the graph is over the cap (caller runs the distributed
+    loop — the 100 TB path, unchanged)."""
+    n_edges = e.count()  # one scan of the cached edge list
+    if n_edges > small_graph_edges:
+        return None
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    mins: dict = {}
+    for n in parent:
+        r = find(n)
+        m = mins.get(r)
+        if m is None or n < m:
+            mins[r] = n
+    from pyspark.sql.types import StructField, StructType
+
+    # nullable True: the loop path's labels come out of joins with
+    # nullable fields — keep the two paths schema-identical
+    ftype = e.schema.fields[0].dataType
+    schema = StructType([
+        StructField("node", ftype, True),
+        StructField("component", ftype, True),
+    ])
+    data = [(n, mins[find(n)]) for n in parent]
+    return e.sparkSession.createDataFrame(data, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -564,6 +621,7 @@ def connected_components(
     max_iter: int = 25,
     auto_width: bool = False,
     target_rows_per_task: int | None = None,
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Cluster near-duplicate pairs: (node, component) where component
     is the minimum node id reachable through the pair graph.
@@ -594,6 +652,17 @@ def connected_components(
     which is the wrong trade for lazy/expensive pair plans — the
     production funnels (CLI, probe, pipeline demo) feed MATERIALIZED
     pairs and opt in explicitly.
+
+    ``small_graph_edges`` (r17): after the (distinct, both-orientation)
+    edge list materializes, a graph at or under this many edge ROWS is
+    labeled driver-side by union-find instead of the join loop — the
+    loop costs ~10 AQE stage-jobs PER ROUND regardless of data volume,
+    which is pure scheduler floor on a toy graph (measured: the bench
+    pair graphs spent 20+ of their 25 jobs there). The cap bounds the
+    collect at a few MB; pass 0 to force the distributed loop. Labels
+    are identical by construction (component = min reachable node —
+    the loop's fixed point and union-find's min-member are the same
+    function).
     """
     from raquet_spark.session import derive_shuffle_width, scoped_shuffle_width
 
@@ -649,6 +718,9 @@ def connected_components(
     e_level = StorageLevel.DISK_ONLY if big else None
     with width_scope:
         e = raw.distinct().localCheckpoint(eager=True, storageLevel=e_level)
+        small = _components_driver_side(e, small_graph_edges)
+        if small is not None:
+            return small
         labels = (
             e.select(F.col("a").alias("node"))
             .distinct()

@@ -5319,6 +5319,166 @@ GROUP BY doc_id
 """
 
 
+def _widen_starved_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan yields fewer
+    partitions than the session's cores (guide §2.5 "input skew: one
+    huge unsplittable file → repartition immediately after the read").
+    The token-pipeline forks below EXPLODE their input 30-80x — a
+    single-split parquet file (the sf0.1 bench tables) would otherwise
+    run every downstream map stage on one core. Scale-adaptive by
+    construction: a corpus big enough to produce >= cores scan splits
+    (any real workload) passes through untouched, so the full-row
+    exchange this inserts is only ever paid on inputs small enough for
+    it to be trivial."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def dsir_weights_df(docs: DataFrame) -> DataFrame:
+    """Spark-side plan for :func:`dsir_weights` (r17, guide §2.4): the
+    shared template's ``b`` CTE (tokenize → md5 bucket) is referenced
+    FIVE times (raw, tgt, both ``tots`` scalar subqueries, the scoring
+    join) and Spark inlines CTEs — the captured plan ran the explode +
+    md5 pipeline 5x over 14 parquet scans while DuckDB materialized it
+    once (the 3.2x line). This fork makes exactly TWO stream passes —
+    the 100 TB floor without materializing the token stream: pass 1
+    map-side-combines BOTH 1024-bucket distributions in one groupBy
+    (cr = all tokens, ct = en tokens via a conditional sum — the
+    template's LEFT JOIN + COALESCE collapses into the same values),
+    the totals derive from that 1024-row table instead of two more
+    stream scans, and pass 2 scores per OCCURRENCE through the same
+    broadcast join + per-doc decimal sum the template ends with, so
+    the aggregation arithmetic is textually identical. Results are
+    oracle-exact (driver-verified); the template stays the
+    dual-dialect reference the oracle renders from."""
+    from pyspark.sql import functions as F
+
+    d = "spark"
+    docs = _widen_starved_scan(docs)
+    b = docs.selectExpr(
+        "doc_id", "lang", f"{dl.explode(_tokens(d), 'w', d)}"
+    ).selectExpr("doc_id", "lang", f"{dl.md5_int('w', d)} % 1024 AS bucket")
+    # pass 1: both distributions in ONE map-side-combined agg; the
+    # 1024-row result is checkpointed so lr + tots don't re-run it
+    dist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    ).localCheckpoint(eager=False)
+    tots = dist.agg(
+        F.sum("cr").alias("r_total"), F.sum("ct").alias("t_total")
+    )
+    lr = dist.crossJoin(tots).selectExpr(
+        "bucket",
+        "round(ln((ct + 1) * (r_total + CAST(1024 AS DOUBLE))"
+        " / ((cr + 1) * (t_total + CAST(1024 AS DOUBLE)))), 6) AS logratio",
+    )
+    # pass 2: the template's own scoring tail — per-occurrence decimal
+    # sum behind a broadcast bucket join
+    return (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(1) AS BIGINT)").alias("n_toks"),
+            F.expr(
+                "round(CAST(SUM(CAST(logratio AS DECIMAL(28, 6)))"
+                " AS DOUBLE), 6)"
+            ).alias("dsir_logw"),
+        )
+        .select("doc_id", "n_toks", "dsir_logw")
+    )
+
+
+def dsir_weights_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
+def dsir_weights_oracle() -> str:
+    return dsir_weights("duckdb")
+
+
+def ngram_lm_score_df(docs: DataFrame) -> DataFrame:
+    """Spark-side plan for :func:`ngram_lm_score` (r17, guide §2.4):
+    the template's exploded-bigram CTE ``bgw`` feeds three consumers
+    (unigram counts, bigram counts, the scoring join) and Spark's CTE
+    inlining re-ran the tokenize + array-transform + explode pipeline
+    for each (8 parquet scans in the captured plan), then shuffled the
+    full stream THREE times (join by pair, join by w1, final per-doc
+    agg). This fork makes two stream passes and ONE stream shuffle:
+    the bigram counts aggregate map-side-combined in pass 1, unigram
+    counts DERIVE from the bigram table (c1(w1) = Σ c2 over pairs
+    starting with w1 — exact, every occurrence has one w1), logp is
+    computed per DISTINCT pair on that compact table, and pass 2
+    replays the template's per-occurrence decimal scoring behind a
+    single join on pair. The ``pairs`` expression is the template's
+    own rendering, so short-document edge behavior is preserved
+    verbatim."""
+    from pyspark.sql import functions as F
+
+    d = "spark"
+    el = lambda i: dl.arr_el("toks", i, d)  # noqa: E731
+    pair = f"concat({el('i')}, ' ', {el('i + 1')})"
+    pairs = dl.arr_transform(
+        dl.seq(1, f"{dl.arr_size('toks', d)} - 1", d), "i", pair, d
+    )
+    tok = _widen_starved_scan(docs).selectExpr(
+        "doc_id", f"{_tokens(d)} AS toks"
+    )
+    bg = tok.selectExpr("doc_id", f"{dl.explode(pairs, 'pair', d)}")
+    # pass 1: bigram model counts — ONE map-side-combined groupBy over
+    # the stream; unigram counts DERIVE from it (every occurrence of
+    # pair contributes exactly one w1), so the stream is never
+    # re-exploded for `uni`. The checkpoint pins single computation
+    # across bic's two consumers (uni derivation + the logp join).
+    bic = bg.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).localCheckpoint(eager=False)
+    bicw = bic.selectExpr("pair", "c2", "split(pair, ' ')[0] AS w1")
+    uni = bicw.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = uni.agg(F.count(F.lit(1)).alias("vocab"))
+    # logp per DISTINCT pair (identical value for every occurrence of
+    # the pair — the template computes it per occurrence)
+    pair_logp = (
+        bicw.join(uni, "w1")
+        .crossJoin(v)
+        .selectExpr(
+            "pair",
+            "round(ln((c2 + 0.5) / (c1 + 0.5 * vocab)), 6) AS logp",
+        )
+    )
+    # pass 2: the template's own per-occurrence scoring tail — one
+    # stream shuffle (by pair) instead of the template's three. The
+    # shuffle_hash hint keeps the STREAM off the build side: Catalyst's
+    # post-explode size estimate undercounts bg (explode output is
+    # estimated near its input) and at bench scale it elected to
+    # BROADCAST the stream — harmless here, an OOM at 100 TB. The
+    # compact distinct-pair table is the per-partition build side.
+    return (
+        bg.join(pair_logp.hint("shuffle_hash"), "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("COUNT(*)").alias("n_bigrams"),
+            F.expr(
+                "round(CAST(SUM(CAST(logp AS DECIMAL(28, 6))) AS DOUBLE)"
+                " / COUNT(*), 6)"
+            ).alias("avg_logp"),
+        )
+    )
+
+
+def ngram_lm_score_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_lm_score_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def ngram_lm_score_oracle() -> str:
+    return ngram_lm_score("duckdb")
+
+
 def bpe_pair_counts(d: str) -> str:
     """The first iteration of BPE vocabulary training (Sennrich et al.,
     public) as one relational pass: corpus → distinct-word frequency
@@ -5846,8 +6006,10 @@ _SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "repetition_stats": repetition_stats,
     "decontaminate": decontaminate,
     "gopher_quality": gopher_quality,
-    "ngram_lm_score": ngram_lm_score,
-    "dsir_weights": dsir_weights,
+    # ngram_lm_score / dsir_weights: templates stay the dual-dialect
+    # reference (and the oracle rendering), but the Spark side runs the
+    # single-pass forks in _PIPELINE_QUERIES (r17 — Spark re-inlined
+    # the shared CTE 3-5x; see dsir_weights_df/ngram_lm_score_df)
     "sketch_user_reach": sketch_user_reach,
     "pipeline_clean_counts": pipeline_clean_counts,
     "bpe_pair_counts": bpe_pair_counts,
@@ -5910,13 +6072,17 @@ def dedup_minhash_collapse_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(planted)
     # materialize signatures once: the collapse fans them into the
     # rep groupBy, the star join-back, and the rep band join — a lazy
-    # plan recomputes the shingle+md5 pipeline per consumer
+    # plan recomputes the shingle+md5 pipeline per consumer.
+    # eager=False (r17): the checkpoint still guarantees
+    # compute-once-then-cache, but materialization folds into the
+    # first consuming job instead of a dedicated driver round-trip
+    # (measured: 8 → 7 jobs, same results)
     from raquet_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
     )
 
-    sigs = minhash_signatures(corpus).localCheckpoint(eager=True)
+    sigs = minhash_signatures(corpus).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs, collapse_identical=True)
     return pairs.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -6628,6 +6794,8 @@ _PIPELINE_QUERIES: dict[str, tuple[Callable, Callable[[], str] | None]] = {
     ),
     "dedup_cluster_sizes": (dedup_cluster_sizes_spark, dedup_cluster_sizes_oracle),
     "dedup_prune": (dedup_prune_spark, dedup_prune_oracle),
+    "dsir_weights": (dsir_weights_spark, dsir_weights_oracle),
+    "ngram_lm_score": (ngram_lm_score_spark, ngram_lm_score_oracle),
     "asof_join_events_orders": (asof_join_spark, asof_join_oracle),
     "range_join_value_bands": (range_join_spark, range_join_oracle),
     "region_stats_polygon": (

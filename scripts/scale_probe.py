@@ -105,7 +105,7 @@ def main() -> None:
         hashed_embeddings,
         train_quality_classifier,
     )
-    from raquet_spark.queries import _SQL_QUERIES, register_views
+    from raquet_spark.queries import register_views
 
     register_views(spark, sf_dir)
 
@@ -487,18 +487,14 @@ def main() -> None:
         bench(f"bpe_train32_x{mult}", bpe, runs)
 
         # DSIR weights: two 1024-bucket aggs + one broadcast scoring join
-        # (the temp-view registration touches big_docs, so it rides
-        # inside the bench body to stay lazy under PROBE_ONLY)
-        dsir_sql = _SQL_QUERIES["dsir_weights"]("spark")
+        # (r17: the single-pass Spark fork — same plan the registered
+        # query runs)
+        from raquet_spark.queries import dsir_weights_df
 
         def dsir() -> int:
-            big_docs.createOrReplaceTempView("documents")
-            try:
-                return spark.sql(dsir_sql).count()
-            finally:
-                load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-                    "documents"
-                )
+            return dsir_weights_df(
+                big_docs.select("doc_id", "lang", "text")
+            ).count()
 
         bench(f"dsir_weights_x{mult}", dsir, runs)
 

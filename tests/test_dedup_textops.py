@@ -1221,3 +1221,37 @@ def test_max_bits_for_recall_clamps_self_sizing(spark):
     assert tl == 64
     assert 1.0 - (1.0 - (1.0 - math.acos(0.8) / math.pi) ** bl) ** tl >= 0.99
     assert tables_for_recall(0.95, 13) <= 16  # the r16-probed point
+
+
+def test_components_driver_fast_path_matches_loop(spark):
+    """r17: graphs at or under ``small_graph_edges`` are labeled by a
+    bounded driver-side union-find instead of the pointer-jumping join
+    loop (~10 AQE stage-jobs per round — pure scheduler floor on a toy
+    graph). The two paths must be row-identical — same nodes, same
+    min-reachable component labels — on a graph mixing random edges,
+    self-loops, multi-edges and a long chain (the diameter case the
+    loop's pointer jumping exists for), for integer AND string ids."""
+    import random
+
+    from raquet_spark.operators.dedup import connected_components
+
+    random.seed(7)
+    edges = [(random.randrange(300), random.randrange(300))
+             for _ in range(400)]
+    edges += [(i, i) for i in range(5)]            # self-loops
+    edges += [(1, 2)] * 3                          # multi-edges
+    edges += [(i, i + 1) for i in range(500, 540)]  # chain
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+
+    def rows(out):
+        return sorted((r["node"], r["component"]) for r in out.collect())
+
+    fast = rows(connected_components(df))
+    slow = rows(connected_components(df, small_graph_edges=0))
+    assert fast == slow
+
+    sdf = df.selectExpr("CAST(id_a AS STRING) id_a",
+                        "CAST(id_b AS STRING) id_b")
+    assert rows(connected_components(sdf)) == rows(
+        connected_components(sdf, small_graph_edges=0)
+    )
