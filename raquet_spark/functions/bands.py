@@ -67,7 +67,15 @@ def encode_block(values: np.ndarray, band_type: str, compression: str | None = "
 
 
 def band_decode(col: str | Column, band_type: str) -> Column:
-    """Column: binary blob -> array<double> of pixel values."""
+    """Column: binary blob -> array<double> of pixel values.
+
+    The UDF is pure but marked nondeterministic: ``explode`` over the
+    decoded array plants a ``size(..) > 0`` filter that the optimizer
+    otherwise pushes below a SECOND evaluation of the UDF, gunzipping
+    every tile twice (guide §4.4; two ArrowEvalPython nodes in the r17
+    raster_histogram before-plan). Call sites that explode must
+    project the array first (a Generate may not hold a
+    nondeterministic child) — use :func:`band_pixels`."""
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _decode(s: pd.Series) -> pd.Series:
@@ -75,7 +83,18 @@ def band_decode(col: str | Column, band_type: str) -> Column:
             lambda b: None if b is None else decode_block(b, band_type).astype("f8")
         )
 
-    return _decode(F.col(col) if isinstance(col, str) else col)
+    return _decode.asNondeterministic()(F.col(col) if isinstance(col, str) else col)
+
+
+def band_pixels(
+    df, col: str, band_type: str, alias: str = "v", keep: tuple = ("block",)
+):
+    """``keep`` columns + one row per pixel value of ``col``, decoding
+    each blob exactly once (Project the array, then explode the
+    attribute — see :func:`band_decode`)."""
+    return df.select(
+        *keep, band_decode(col, band_type).alias("_vals")
+    ).select(*keep, F.explode("_vals").alias(alias))
 
 
 def band_encode(col: str | Column, band_type: str, compression: str | None = "gzip") -> Column:

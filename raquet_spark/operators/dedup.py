@@ -944,12 +944,14 @@ def embedding_dedup_pairs_lsh(
         # explicit width: the r16-probed default table count
         n_tables = 16
 
+    # materialize the signature array in a Project, then explode: the
+    # UDF is nondeterministic-marked (single-evaluation guarantee,
+    # similarity._all_signatures) and a Generate may not hold a
+    # nondeterministic child
     sigs = df.select(
         F.col(id_col),
-        F.posexplode(
-            _all_signatures(vec_col, n_bits, n_tables, seed, dim)
-        ).alias("_t", "_sig"),
-    )
+        _all_signatures(vec_col, n_bits, n_tables, seed, dim).alias("_sigs"),
+    ).select(id_col, F.posexplode("_sigs").alias("_t", "_sig"))
     v = with_norm(df.select(F.col(id_col), F.col(vec_col).alias("_v")), "_v")
 
     def _pairs(sigs_src: DataFrame, join_width: int | None = None) -> DataFrame:

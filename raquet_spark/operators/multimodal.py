@@ -371,20 +371,45 @@ def phash_dedup_pairs(
     segment join): segment buckets over the cap emit id-rank-adjacent
     chain candidates (k−1 rows) instead of k(k−1)/2; the distance
     verify still filters each chain edge. Connectivity-preserving,
-    lossy for the complete listing; opt-in."""
+    lossy for the complete listing; opt-in.
+
+    Compute-once (r17, guide §8): the banded candidate join is a SELF
+    join, so without a barrier the whole upstream pipeline — media
+    decode + DCT in :func:`phash_table` — executes once per side (the
+    r17 before-plan shows the subtree twice; there is no Exchange for
+    AQE to reuse, the gather side broadcasts). The tiny (id, phash)
+    proxy table is eagerly ``localCheckpoint``ed — ONE materializing
+    job runs the decode exactly once at any corpus size, both join
+    sides then scan the checkpointed 16-byte rows, and the pair
+    build itself stays lazy (no cache to leak, no second
+    checkpoint job — cheaper at job-floor scale than the
+    persist→build→unpersist recipe, measured interleaved)."""
+    ph = hashes.select(id_col, "phash").localCheckpoint(eager=True)
     if collapse_identical:
         from raquet_spark.operators.dedup import (
             collapse_identical_signatures,
         )
 
-        _, reps, star = collapse_identical_signatures(
-            hashes.select(id_col, "phash"), id_col
-        )
+        _, reps, star = collapse_identical_signatures(ph, id_col)
         star = star.withColumn("distance", F.lit(0).cast("int"))
-        return phash_dedup_pairs(
-            reps, max_distance, n_bands, id_col,
-            max_bucket_rows=max_bucket_rows,
+        return _phash_banded_pairs(
+            reps, max_distance, n_bands, id_col, max_bucket_rows
         ).unionByName(star)
+    return _phash_banded_pairs(
+        ph, max_distance, n_bands, id_col, max_bucket_rows
+    )
+
+
+def _phash_banded_pairs(
+    sigs: DataFrame,
+    max_distance: int,
+    n_bands: int,
+    id_col: str,
+    max_bucket_rows: int | None,
+) -> DataFrame:
+    """Banded self-join body of :func:`phash_dedup_pairs`; expects an
+    input that is cheap to scan twice (persisted (id, phash) rows)."""
+    hashes = sigs
     seg_bits = 64 // n_bands
     mask = (1 << seg_bits) - 1
     segs = hashes.select(

@@ -296,7 +296,12 @@ def _all_signatures(vec_col: str, n_bits: int, n_tables: int, seed: int, dim: in
         ).sum(axis=2)
         return pd.Series(list(packed))
 
-    return sigs(vec_col)
+    # nondeterministic marking (the function is pure — seeded planes):
+    # the optimizer otherwise pushes the posexplode's implied
+    # size(..)>0 filter BELOW a second evaluation of the UDF, running
+    # the matmul twice per side (guide §4.4; seen as two
+    # ArrowEvalPython nodes per branch in the r17 before-plans)
+    return sigs.asNondeterministic()(vec_col)
 
 
 def ann_lsh(
@@ -529,7 +534,12 @@ def _nearest_clusters_udf(cent, n: int):
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :n]
         return pd.Series(list(idx))
 
-    return topn
+    # pure function (closure-captured constant centroids); marked
+    # nondeterministic so the join's null-rejecting isnotnull filter
+    # is not pushed below a DUPLICATE evaluation of the matmul
+    # (guide §4.4 — the r17 ann_ivf before-plan ran it twice on the
+    # candidate side)
+    return topn.asNondeterministic()
 
 
 def _kmeans_centroids(
@@ -638,7 +648,13 @@ def ann_ivf(
     ).withColumnRenamed("_norm", "_cnorm")
 
     c = c.withColumn("_cid", nearest_clusters_udf(1)("_cv")[0])
-    q = q.withColumn("_cid", F.explode(nearest_clusters_udf(n_probe)("_qv")))
+    # materialize the probe list in a Project before exploding: a
+    # Generate may not hold a nondeterministic child expression
+    q = (
+        q.withColumn("_cids", nearest_clusters_udf(n_probe)("_qv"))
+        .withColumn("_cid", F.explode("_cids"))
+        .drop("_cids")
+    )
 
     scored = (
         c.join(q, "_cid")
@@ -822,7 +838,13 @@ def ann_ivf_pq(
     ).select("cand_id", F.col("e.cid").alias("_cid"), F.col("e.code").alias("_code"))
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    probes = q.withColumn("_cid", F.explode(nearest_clusters_udf(n_probe)("_qv")))
+    # Project-then-explode: see ann_ivf — Generate cannot hold the
+    # nondeterministic-marked UDF directly
+    probes = (
+        q.withColumn("_cids", nearest_clusters_udf(n_probe)("_qv"))
+        .withColumn("_cid", F.explode("_cids"))
+        .drop("_cids")
+    )
 
     shortlist_n = max(k * rerank, k)
     w_approx = Window.partitionBy("query_id").orderBy(

@@ -1231,7 +1231,7 @@ def warp_bilinear_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping math; sums aggregate as exact DECIMAL."""
     from pyspark.sql import functions as F
 
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.sources.tiff_reader import geotiff_to_raquet
 
     r = _R
@@ -1246,9 +1246,7 @@ def warp_bilinear_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats=False,
         compression=None,
     )
-    px = tiles.select(
-        "block", F.explode(band_decode("band_1", "float32")).alias("v")
-    ).selectExpr("block", "round(v, 3) AS v")
+    px = band_pixels(tiles, "band_1", "float32").selectExpr("block", "round(v, 3) AS v")
     return px.groupBy("block").agg(
         F.expr("COUNT(v)").alias("band_1_count"),
         F.expr("CAST(MIN(v) AS DOUBLE)").alias("band_1_min"),
@@ -1444,7 +1442,7 @@ def lossy_jpeg_blocky_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import BandMeta, build_metadata
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.operators.layout import to_interleaved, to_sequential
     from raquet_spark.operators.tiling import from_pixel_table
 
@@ -1468,9 +1466,7 @@ def lossy_jpeg_blocky_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     meta_q = dict(meta, compression_quality=100)
     inter, meta_i = to_interleaved(tiles, meta_q, compression="jpeg")
     back, _meta_s = to_sequential(inter, meta_i, compression=None)
-    px = back.select(
-        "block", F.explode(band_decode("band_1", "uint8")).alias("v")
-    )
+    px = band_pixels(back, "band_1", "uint8")
     return px.groupBy("block").agg(
         F.expr("COUNT(v)").alias("band_1_count"),
         F.expr("CAST(MIN(v) AS DOUBLE)").alias("band_1_min"),
@@ -1519,7 +1515,7 @@ def rasterize_polygon_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame
     membership."""
     from pyspark.sql import functions as F
 
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.functions.geom import inv_merc_fraction
     from raquet_spark.operators.tiling import rasterize_polygon
 
@@ -1538,7 +1534,7 @@ def rasterize_polygon_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, poly, zoom=zoom, block_size=bs, burn_value=1.0, nodata=0.0,
         band_type="uint8", compression=None,
     )
-    px = tiles.select("block", F.explode(band_decode("band_1", "uint8")).alias("v"))
+    px = band_pixels(tiles, "band_1", "uint8")
     return px.groupBy("block").agg(
         F.expr("CAST(SUM(CAST(v AS BIGINT)) AS BIGINT)").alias("n_burn"),
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pixels"),
@@ -1582,7 +1578,7 @@ def rasterize_features_stats_spark(spark: SparkSession, sf_dir: str) -> DataFram
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.functions.geom import inv_merc_fraction
     from raquet_spark.operators.tiling import rasterize_features
 
@@ -1614,7 +1610,7 @@ def rasterize_features_stats_spark(spark: SparkSession, sf_dir: str) -> DataFram
         feats, zoom=zoom, block_size=bs, band_type="uint8", nodata=0.0,
         compression=None,
     )
-    px = tiles.select("block", F.explode(band_decode("band_1", "uint8")).alias("v"))
+    px = band_pixels(tiles, "band_1", "uint8")
     return px.groupBy("block").agg(
         F.expr("CAST(SUM(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT)").alias("n3"),
         F.expr("CAST(SUM(CASE WHEN v = 7 THEN 1 ELSE 0 END) AS BIGINT)").alias("n7"),
@@ -1630,7 +1626,7 @@ def rasterize_wkt_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     rasterize_features_stats: the WKT round trip must change nothing."""
     from pyspark.sql import functions as F
 
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.functions.geom import inv_merc_fraction, wkt_ring_expr
     from raquet_spark.operators.tiling import rasterize_features
 
@@ -1669,7 +1665,7 @@ def rasterize_wkt_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, zoom=zoom, block_size=bs, band_type="uint8", nodata=0.0,
         compression=None,
     )
-    px = tiles.select("block", F.explode(band_decode("band_1", "uint8")).alias("v"))
+    px = band_pixels(tiles, "band_1", "uint8")
     return px.groupBy("block").agg(
         F.expr("CAST(SUM(CASE WHEN v = 3 THEN 1 ELSE 0 END) AS BIGINT)").alias("n3"),
         F.expr("CAST(SUM(CASE WHEN v = 7 THEN 1 ELSE 0 END) AS BIGINT)").alias("n7"),
@@ -1833,7 +1829,7 @@ def dem_slope_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import BandMeta, build_metadata
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.operators.focal import focal_map
     from raquet_spark.operators.tiling import from_pixel_table
 
@@ -1853,9 +1849,7 @@ def dem_slope_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = from_pixel_table(pix, meta, compression=None)
     slope = focal_map(tiles, meta, "slope", cellsize=1.0)
-    px = slope.select(
-        "block", F.explode(band_decode("band_1", "float64")).alias("v")
-    ).where(~F.isnan("v"))
+    px = band_pixels(slope, "band_1", "float64").where(~F.isnan("v"))
     return px.groupBy("block").agg(
         F.expr("CAST(COUNT(v) AS BIGINT)").alias("n_valid"),
         F.expr("round(MIN(v), 6)").alias("slope_min"),
@@ -1985,7 +1979,7 @@ def dem_hillshade_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import BandMeta, build_metadata
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.operators.focal import focal_map
     from raquet_spark.operators.tiling import from_pixel_table
 
@@ -2005,9 +1999,7 @@ def dem_hillshade_stats_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = from_pixel_table(pix, meta, compression=None)
     shade = focal_map(tiles, meta, "hillshade", cellsize=1.0, altitude=60.0)
-    px = shade.select(
-        "block", F.explode(band_decode("band_1", "float64")).alias("v")
-    ).where(~F.isnan("v"))
+    px = band_pixels(shade, "band_1", "float64").where(~F.isnan("v"))
     return px.groupBy("block").agg(
         F.expr("CAST(COUNT(v) AS BIGINT)").alias("n_valid"),
         F.expr("round(MIN(v), 6)").alias("shade_min"),
@@ -2101,7 +2093,7 @@ def lossy_webp_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFr
     from pyspark.sql import functions as F
 
     from raquet_spark.core.metadata import BandMeta, build_metadata
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.operators.layout import to_interleaved, to_sequential
     from raquet_spark.operators.tiling import from_pixel_table
 
@@ -2123,9 +2115,7 @@ def lossy_webp_roundtrip_stats_spark(spark: SparkSession, sf_dir: str) -> DataFr
     tiles = from_pixel_table(pix, meta, compression=None)
     inter, meta_i = to_interleaved(tiles, meta, compression="webp")
     back, _meta_s = to_sequential(inter, meta_i, compression=None)
-    px = back.select(
-        "block", F.explode(band_decode("band_1", "uint8")).alias("v")
-    )
+    px = band_pixels(back, "band_1", "uint8")
     return px.groupBy("block").agg(
         F.expr("COUNT(v)").alias("band_1_count"),
         F.expr("CAST(MIN(v) AS DOUBLE)").alias("band_1_min"),
@@ -4143,7 +4133,7 @@ def band_algebra_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats via the usual columnar path."""
     from pyspark.sql import functions as F
 
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.operators.algebra import normalized_difference
     from raquet_spark.testing import make_synthetic_raster
 
@@ -4157,7 +4147,7 @@ def band_algebra_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     nd = normalized_difference(tiles, meta, "band_1", "band_2")
-    vals = nd.select(F.explode(band_decode("ndiff", "float64")).alias("v"))
+    vals = band_pixels(nd, "ndiff", "float64", keep=())
     ok = vals.where(~F.isnan("v"))
     return ok.agg(
         F.count("v").alias("n_pixels"),
@@ -4198,7 +4188,7 @@ def raster_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     join the RaQuet layout exists for."""
     from pyspark.sql import functions as F
 
-    from raquet_spark.functions.bands import band_decode
+    from raquet_spark.functions.bands import band_pixels
     from raquet_spark.operators.algebra import join_rasters
     from raquet_spark.testing import make_synthetic_raster
 
@@ -4216,7 +4206,7 @@ def raster_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = join_rasters(a, b, meta_a, meta_b, lambda x: x["a"] - x["b"],
                         out_band="diff")
-    vals = diff.select(F.explode(band_decode("diff", "float64")).alias("v"))
+    vals = band_pixels(diff, "diff", "float64", keep=())
     return vals.agg(
         F.count("v").alias("n_pixels"),
         F.min("v").alias("min_diff"),

@@ -139,14 +139,17 @@ def write_raquet(
     budget (never above it) by roughly the parquet compression ratio.
     """
     spark = df.sparkSession
-    persisted = None
-    if target_file_bytes:
-        # cache before the count so the 64-row sizing sample and the
-        # final write reuse the materialized pipeline instead of
-        # re-running the upstream decode/warp/encode per consumer
-        # (ADVICE r14: the limit(64) job re-executed the full import
-        # pipeline on the non-interleaved path)
-        persisted = df = df.persist()
+    # cache before the count: EVERY write path runs the upstream
+    # pipeline at least three times otherwise — the num_blocks count,
+    # repartitionByRange's range-bound sampling pass, and the write
+    # itself each re-execute the full decode/warp/encode lineage
+    # (ADVICE r14 found this for the limit(64) sizing sample; r17 §1.2
+    # extends it to the unconditional count+range-sample+write trio).
+    # MEMORY_AND_DISK: tile batches spill rather than evict, so the
+    # 100 TB path pays one extra local write, never a third compute.
+    from pyspark import StorageLevel
+
+    persisted = df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # the try covers everything from the first job on the persisted df
     # through the write, so an exception in the count/sampling path
     # can't leak the cache (r15 review finding)

@@ -814,12 +814,15 @@ def embedding_dedup_process_batch(
     novel = novel.persist()
     banded = None
     try:
+        # Project-then-explode: _all_signatures is
+        # nondeterministic-marked (single evaluation, guide §4.4) and
+        # a Generate may not hold a nondeterministic child
         banded = novel.select(
             F.col(id_col),
             F.col("vfp"),
-            F.posexplode(
-                _all_signatures("_v", n_bits, n_tables, seed, dim)
-            ).alias("_t", "_sig"),
+            _all_signatures("_v", n_bits, n_tables, seed, dim).alias("_sigs"),
+        ).select(
+            id_col, "vfp", F.posexplode("_sigs").alias("_t", "_sig")
         ).persist()
         va = novel.select(
             F.col(id_col).alias("id_a"),

@@ -48,7 +48,8 @@ def main() -> None:
     sc = spark.sparkContext
 
     def next_job_id() -> int:
-        return sc._jsc.sc().dagScheduler().nextJobId().get()
+        jid = sc._jsc.sc().dagScheduler().nextJobId()
+        return jid if isinstance(jid, int) else jid.get()
 
     results = {}
     for name in args:

@@ -456,7 +456,8 @@ def test_lambert_grid(spark, tmp_path):
                                   compression=None)
     px = (
         tiles.where("block > 0")
-        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .select(band_decode("band_1", "float64").alias("_vals"))
+        .select(F.explode("_vals").alias("v"))
         .where("v != -9999.0")
     )
     got_mean = px.agg(F.avg("v")).first()[0]
@@ -532,7 +533,8 @@ def test_polar_stereographic_grid(spark, tmp_path, south):
     tiles, _meta = g2r(spark, path, block_size=64, compression=None)
     px = (
         tiles.where("block > 0")
-        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .select(band_decode("band_1", "float64").alias("_vals"))
+        .select(F.explode("_vals").alias("v"))
         .where("v != -9999.0")
     )
     got_mean = px.agg(F.avg("v")).first()[0]
@@ -862,7 +864,8 @@ def test_rotated_latlon_grib(spark, tmp_path):
                                   compression=None)
     px = (
         tiles.where("block > 0")
-        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .select(band_decode("band_1", "float64").alias("_vals"))
+        .select(F.explode("_vals").alias("v"))
         .where("v != -9999.0")
     )
     got_mean = px.agg(F.avg("v")).first()[0]
@@ -1122,7 +1125,8 @@ def test_lambert_south_pole_aspect(spark, tmp_path):
                                    compression=None)
     px = (
         tiles.where("block > 0")
-        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .select(band_decode("band_1", "float64").alias("_vals"))
+        .select(F.explode("_vals").alias("v"))
         .where("v != -9999.0")
     )
     got_mean = px.agg(F.avg("v")).first()[0]
@@ -1242,7 +1246,8 @@ def test_mercator_grid(spark, tmp_path):
                                    compression=None)
     px = (
         tiles.where("block > 0")
-        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .select(band_decode("band_1", "float64").alias("_vals"))
+        .select(F.explode("_vals").alias("v"))
         .where("v != -9999.0")
     )
     got_mean = px.agg(F.avg("v")).first()[0]
@@ -2209,7 +2214,8 @@ def test_grib1_quasi_regular_latlon(spark, tmp_path):
 
     vals = (
         tiles.where("block > 0")
-        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .select(band_decode("band_1", "float64").alias("_vals"))
+        .select(F.explode("_vals").alias("v"))
         .where("v != -9999.0")
         .groupBy("v").count().collect()
     )
@@ -2470,7 +2476,8 @@ def test_grib2_quasi_regular_latlon(spark, tmp_path):
                                    compression=None)
     vals = (
         tiles.where("block > 0")
-        .select(F.explode(band_decode("band_1", "float64")).alias("v"))
+        .select(band_decode("band_1", "float64").alias("_vals"))
+        .select(F.explode("_vals").alias("v"))
         .where("v != -9999.0")
         .groupBy("v").count().collect()
     )
