@@ -832,9 +832,14 @@ def ann_ivf_pq(
     def nearest_clusters_udf(n: int):
         return _nearest_clusters_udf(centroids, n)
 
-    # inverted index: ids + codes only — full vectors stay behind
+    # inverted index: ids + codes only — full vectors stay behind.
+    # encode is pure (closure-captured centroids/codebooks) but marked
+    # nondeterministic so the two GetStructField reads and the join's
+    # null-rejecting isnotnull(_cid) filter cannot duplicate the PQ
+    # matmul (guide §4.4 — same fix as _all_signatures/_nearest_clusters)
     enc = candidates.select(
-        F.col(id_col).alias("cand_id"), encode(F.col(vec_col)).alias("e")
+        F.col(id_col).alias("cand_id"),
+        encode.asNondeterministic()(F.col(vec_col)).alias("e"),
     ).select("cand_id", F.col("e.cid").alias("_cid"), F.col("e.code").alias("_code"))
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))

@@ -19,7 +19,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# resolve the repo root from THIS file so a copy running inside a
+# worktree measures that worktree's code (a hardcoded /root/repo made
+# every `cd <worktree> && python scripts/measure_r17.py` leg import
+# the main repo — the A/B legs compared the same code)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 
 def main() -> None:
@@ -81,7 +86,7 @@ def main() -> None:
                 with contextlib.redirect_stdout(buf):
                     qs[name](spark, sf_dir).explain("formatted")
                 plan = buf.getvalue()
-            out = f"/root/repo/plans/r17/{name}_{tag}.txt"
+            out = os.path.join(ROOT, "plans", "r17", f"{name}_{tag}.txt")
             with open(out, "w") as f:
                 f.write(plan)
             print(f"# plan -> {out}", flush=True)
