@@ -4700,7 +4700,14 @@ def ngram_jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checkpointed-band MinHash path and the gram arrays are
     checkpointed once, reused by both join sides (the SQL rendering
     would compute the gram projection twice and the LSH pipeline
-    thrice)."""
+    thrice).
+
+    Measured r17 (same-session interleave, sf0.1 warm mins): the SQL
+    rendering runs 0.81 s vs 4.5 s for this variant — checkpoint-
+    scanning the wide gram ARRAYS costs far more than recomputing them
+    inline with codegen at bench scale. This stays the alternative for
+    corpora where the tokenize/hash pipeline dominates the gram-array
+    materialization, not the registered query."""
     from pyspark.sql import functions as F
 
     cand = dedup_minhash_pairs_df(spark, sf_dir).alias("c")
