@@ -518,11 +518,13 @@ def main() -> None:
              "dedup_embedding_lsh", "netcdf4_eaindex_stats",
              # r16 collapse twin of dedup_minhash: timed + recorded in
              # the baseline file; the full-listing line is printed
-             "dedup_minhash_collapse",
-             # r17 budget for spark_suspect/spark_dispersion: export
-             # twins whose printed representative (geotiff_export_4mpx)
-             # remains; both stay timed + recorded in the baseline file
-             "geotiff_export_cog_4mpx", "geotiff_export_sharded_4mpx"}
+             "dedup_minhash_collapse"}
+    # r18 (VERDICT r17 #1): geotiff_export_cog_4mpx and
+    # geotiff_export_sharded_4mpx are BACK in the printed line — the
+    # r17 elision made the driver score them dropped_from_bench. The
+    # stdout budget comes from moving the secondary fields
+    # (spark_vs_duckdb_total, ratio_real_n, ratio_real_strict_n) to
+    # the baseline file, where their inputs already live.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "bench_duckdb_baseline.json"), "w",
@@ -553,6 +555,11 @@ def main() -> None:
                 round(strict_spark / strict_duck, 3) if strict_duck else None
             ),
             "ratio_real_strict_lines": sorted(strict),
+            # moved here from the stdout line in r18 to fund the two
+            # restored export lines (VERDICT r17 #1)
+            "spark_vs_duckdb_total": (
+                round(spark_sum / duck_sum, 3) if duck_sum else None
+            ),
             "sf": float(sf),
         }, f, indent=1, sort_keys=True)
     line = json.dumps({
@@ -569,14 +576,13 @@ def main() -> None:
         "ratio_real": (
             round(real_spark / real_duck, 3) if real_duck else None
         ),
-        "ratio_real_n": len(real),
         "ratio_real_strict": (
             round(strict_spark / strict_duck, 3) if strict_duck else None
         ),
-        "ratio_real_strict_n": len(strict),
-        "spark_vs_duckdb_total": (
-            round(spark_sum / duck_sum, 3) if duck_sum else None
-        ),
+        # ratio_real_n / ratio_real_strict_n / spark_vs_duckdb_total
+        # moved to bench_duckdb_baseline.json (r18): the line counts
+        # are len(ratio_real_lines) / len(ratio_real_strict_lines)
+        # there, and the freed chars fund the restored export lines
         # true = this run looked contended (duck dataset_shuffle floor
         # >= 30 ms even after one retry, OR 1-min load >= max(2,
         # 0.1*cpus) at start): every number above is then suspect in

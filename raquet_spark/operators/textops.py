@@ -489,11 +489,21 @@ def hashed_embeddings(
     md5 only where an SQL oracle must reproduce the buckets.
 
     ``carry_cols`` (r17): doc-constant columns (a label, a source key)
-    carried through the wide groupBy as ``first()`` aggregates, so a
-    caller that needs them next to the vector pays no re-attach join —
-    the classifier gate previously ran TWO id-joins (labels into
-    train, source into the final rollup) that this removes (guide
-    §2.4: remove shuffles outright)."""
+    carried through the wide groupBy, so a caller that needs them next
+    to the vector pays no re-attach join — the classifier gate
+    previously ran TWO id-joins (labels into train, source into the
+    final rollup) that this removes (guide §2.4: remove shuffles
+    outright). They ride as extra GROUP BY keys, not ``first()``
+    aggregates (r18): a string ``first()`` puts a StringType field in
+    the aggregation buffer, which UnsafeRow cannot mutate in place, so
+    the ENTIRE wide agg fell off HashAggregate onto SortAggregate —
+    paying a full sort of the exploded token stream on both sides of
+    the exchange (VERDICT r17 #4). Group-key strings are fine (keys
+    are not mutated), and doc-constant carries make the groups
+    identical to grouping by ``id_col`` alone. A carry column that is
+    NOT doc-constant splits the doc into multiple rows instead of
+    picking an arbitrary value — a louder failure than ``first()``'s
+    silent nondeterminism (ADVICE r17)."""
     if hash_fn == "xxhash64":
         bucket = f"pmod(xxhash64(tok), {dim})"
     else:
@@ -508,8 +518,8 @@ def hashed_embeddings(
             F.when(F.col("bucket") == i, F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias(f"c{i}")
         for i in range(dim)
-    ] + [F.first(c).alias(c) for c in carry]
-    wtab = longf.groupBy(id_col).agg(*aggs)
+    ]
+    wtab = longf.groupBy(id_col, *carry).agg(*aggs)
     vec = "array(" + ", ".join(f"c{i}" for i in range(dim)) + ")"
     norm = "sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"
     return (
