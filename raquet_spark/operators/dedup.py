@@ -567,14 +567,33 @@ def _components_driver_side(
     a TINY graph pays ~25 scheduler floors for microseconds of actual
     work — the measured 1.5-2.5 s on the bench's planted pair graphs.
     When the materialized (already checkpointed, both-orientations)
-    edge list holds at most ``small_graph_edges`` rows, collect it —
-    a few MB, the same bounded-collect class as the BPE merge rows —
-    and label components with path-compressed union-find; label =
-    min member, identical to the loop's fixed point. Returns None
-    when the graph is over the cap (caller runs the distributed
-    loop — the 100 TB path, unchanged)."""
-    n_edges = e.count()  # one scan of the cached edge list
-    if n_edges > small_graph_edges:
+    edge list holds at most ``small_graph_edges`` rows AND its ids fit
+    a ~64 MB driver budget, collect it — the same bounded-collect
+    class as the BPE merge rows — and label components with
+    path-compressed union-find; label = min member, identical to the
+    loop's fixed point. Returns None when the graph is over either cap
+    (caller runs the distributed loop — the 100 TB path, unchanged).
+
+    The cap probe is LIMIT-bounded (ADVICE r17): ``limit(cap+1)``
+    stops each scan task at the cap instead of counting the full edge
+    list of an over-cap graph, and the same single job sums id bytes
+    for string ids so a 200k-edge list of kilobyte URLs (the 'few MB'
+    assumption broken) falls back to the distributed loop instead of
+    pressuring driver memory."""
+    from pyspark.sql.types import StringType
+
+    fields = e.schema.fields
+    sz_cols = [
+        F.sum(F.octet_length(f.name)).alias(f"_b{i}")
+        for i, f in enumerate(fields)
+        if isinstance(f.dataType, StringType)
+    ]
+    probe = e.limit(small_graph_edges + 1).agg(
+        F.count(F.lit(1)).alias("_n"), *sz_cols
+    ).first()
+    n_edges = probe["_n"]
+    id_bytes = sum(probe[i + 1] or 0 for i in range(len(sz_cols)))
+    if n_edges > small_graph_edges or id_bytes > 64 * (1 << 20):
         return None
     rows = e.collect()
     parent: dict = {}

@@ -383,7 +383,14 @@ def phash_dedup_pairs(
     sides then scan the checkpointed 16-byte rows, and the pair
     build itself stays lazy (no cache to leak, no second
     checkpoint job — cheaper at job-floor scale than the
-    persist→build→unpersist recipe, measured interleaved)."""
+    persist→build→unpersist recipe, measured interleaved).
+
+    Retention (ADVICE r17): the checkpointed (id, phash) blocks live
+    until the returned DataFrame is garbage-collected on the driver —
+    there is no explicit unpersist because the caller consumes the
+    result lazily. A long session issuing MANY phash_dedup_pairs
+    calls accumulates one tiny proxy table (16 bytes/image + ids) per
+    LIVE result; drop references to release the blocks."""
     ph = hashes.select(id_col, "phash").localCheckpoint(eager=True)
     if collapse_identical:
         from raquet_spark.operators.dedup import (

@@ -146,10 +146,21 @@ def from_pixel_table(
                         buf = []
                     # contiguity contract: a flushed block must never
                     # recur (tile-whole partitions, order-preserving
-                    # map-only plan) — fail loudly, never a half tile
-                    assert b not in seen, (
-                        f"aligned tiling: block {b} recurred after flush"
-                    )
+                    # map-only plan) — fail loudly, never a half tile.
+                    # ValueError, not assert: python -O strips asserts
+                    # (ADVICE r17). `seen` is per-task, so only
+                    # WITHIN-partition recurrence is detectable here; a
+                    # block split ACROSS partitions cannot recur in one
+                    # task's stream — that contract is owned by the
+                    # tile-whole generation partitioning
+                    # (_resampled_pixels: one range row per tile,
+                    # never split) and pinned by
+                    # test_aligned_tiling_matches_grouped.
+                    if b in seen:
+                        raise ValueError(
+                            f"aligned tiling: block {b} recurred after "
+                            "flush — input is not tile-contiguous"
+                        )
                     cur = b
                     buf.append(pdf.iloc[start:cut])
                     start = cut

@@ -429,7 +429,17 @@ def _write_singlefile_body(
 
             expected = 0
             n_strips = info["n_strips"]
-            for row in pl["strips"].orderBy("strip").toLocalIterator():
+            # prefetchPartitions=True (r18, guide §2.6 "overlap
+            # independent jobs"): toLocalIterator runs one fetch job
+            # per result partition; with prefetch the NEXT partition's
+            # fetch/sort runs while the driver streams the current
+            # one's strips to disk, instead of strictly alternating
+            # compute→write→compute. Order is unchanged (partitions
+            # arrive in order) so the file is byte-identical; the
+            # driver buffers at most one extra partition of strips.
+            for row in pl["strips"].orderBy("strip").toLocalIterator(
+                prefetchPartitions=True
+            ):
                 while expected < row["strip"]:  # tile rows with no tiles
                     put(fill_strip)
                     expected += 1
@@ -678,7 +688,11 @@ def write_geotiff_cog(
                 spark = df.sparkSession
                 staged = spark.read.parquet(pl["dir"])
                 expected = 0
-                for row in staged.orderBy("idx").toLocalIterator():
+                # prefetch: overlap the next partition's fetch with the
+                # driver's write of the current one (see write_geotiff)
+                for row in staged.orderBy("idx").toLocalIterator(
+                    prefetchPartitions=True
+                ):
                     while expected < row["idx"]:
                         f.write(pl["fill"])
                         expected += 1

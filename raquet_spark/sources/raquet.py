@@ -120,6 +120,7 @@ def write_raquet(
     mode: str = "overwrite",
     target_row_group_bytes: int | None = None,
     target_file_bytes: int | None = None,
+    persist_input: bool = True,
 ) -> None:
     """Write tiles + metadata row as a RaQuet parquet dataset.
 
@@ -137,6 +138,12 @@ def write_raquet(
     The estimate measures in-memory block bytes and ignores parquet
     encoding/compression, so on compressible data parts land BELOW the
     budget (never above it) by roughly the parquet compression ratio.
+
+    ``persist_input=False`` opts out of the compute-once cache below
+    (ADVICE r17): a write larger than the cluster's aggregate local
+    storage cannot hold the full tile set in MEMORY_AND_DISK — the
+    opt-out trades one extra local write of the dataset for up to two
+    recomputes of the upstream lineage (count + range sampling).
     """
     spark = df.sparkSession
     # cache before the count: EVERY write path runs the upstream
@@ -147,9 +154,14 @@ def write_raquet(
     # extends it to the unconditional count+range-sample+write trio).
     # MEMORY_AND_DISK: tile batches spill rather than evict, so the
     # 100 TB path pays one extra local write, never a third compute.
+    # (r18 A/B at 32 cores, interleaved min-of-3: persisted 1.56 s vs
+    # unpersisted 2.47 s on clean legs — the driver's r17 5.46 s c32
+    # reading was box contention, not this cache.)
     from pyspark import StorageLevel
 
-    persisted = df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = None
+    if persist_input:
+        persisted = df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # the try covers everything from the first job on the persisted df
     # through the write, so an exception in the count/sampling path
     # can't leak the cache (r15 review finding)
