@@ -6969,6 +6969,25 @@ def _last_checked_rounds() -> dict[str, int] | None:
     return last if found else None
 
 
+# r18 (VERDICT r17 #5): the optimization rounds rewrote these queries'
+# Spark-side plans AFTER their last driver correctness check — the r17
+# window sampled a disjoint set, so the rewrites carry only
+# builder-side full-registry drives. Until a driver CORRECTNESS row
+# newer than the rewrite round exists, they lead the rotation right
+# after the never-checked pins; each entry self-clears once
+# re-checked (last > rewrite round), restoring the plain staleness
+# round-robin. Value = the round that rewrote the query.
+_VERIFY_PRIORITY: dict[str, int] = {
+    "dsir_weights": 17,           # single-model-pass fork (r17 #4)
+    "ngram_lm_score": 17,         # single-model-pass fork (r17 #4)
+    "netcdf_ingest_stats": 17,    # aligned exchange-free tiling (r17 #3)
+    "grib2_ingest_stats": 17,     # aligned exchange-free tiling (r17 #3)
+    "dedup_minhash_collapse": 17,  # eager->lazy checkpoint (r17 #4)
+    "raster_histogram": 17,       # band_decode single-eval (r17 #7)
+    "quality_classifier_filter": 18,  # HashAggregate carry keys (r18)
+}
+
+
 def _registration_order() -> list[str]:
     all_names = list(_SQL_QUERIES) + list(_PIPELINE_QUERIES)
     last = _last_checked_rounds()
@@ -6993,10 +7012,20 @@ def _registration_order() -> list[str]:
             or (n == "raquet_read_tiles" and last[n] <= 4)
         ]
         rank = {n: i for i, n in enumerate(hand_first)}
+
+        def needs_recheck(n: str) -> int:
+            # 0 = rewritten after its last driver check (lead the
+            # window, VERDICT r17 #5); 1 = normal rotation
+            rewrite = _VERIFY_PRIORITY.get(n)
+            if rewrite is not None and last.get(n, 0) <= rewrite:
+                return 0
+            return 1
+
         return sorted(
             all_names,
             key=lambda n: (
                 rank.get(n, len(rank)),
+                needs_recheck(n),
                 last.get(n, 0),
                 0 if n in oracle_backed else 1,
                 index[n],

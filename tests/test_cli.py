@@ -2,9 +2,12 @@
 
 from __future__ import annotations
 
+import pytest
+
 from raquet_spark.cli import main
 
 
+@pytest.mark.slow
 def test_cli_roundtrip(spark, tmp_path, capsys):
     raq = str(tmp_path / "r.parquet")
     assert main(["generate", raq, "--tiles", "2", "--block-size", "16",
@@ -372,6 +375,7 @@ def test_grib_info_truncated_archives(tmp_path, capsys):
     assert "truncated message" in rows[1]["unsupported"]
 
 
+@pytest.mark.slow
 def test_cli_import_geotiff_reference_flags(spark, tmp_path, capsys):
     """Reference `convert raster` flag parity on import-geotiff (r14):
     --compression jpeg/webp (interleaved lossy per spec) and

@@ -410,6 +410,7 @@ def test_chain_cap_family_wide(spark):
     assert comps(ecap) == 1
 
 
+@pytest.mark.slow
 def test_simhash_collapse_identical_equivalence(spark, docs):
     """Simhash collapse: identical-simhash groups become rep + star
     (hamming 0) with the same component closure as the full chunk-join
@@ -439,6 +440,7 @@ def test_simhash_collapse_identical_equivalence(spark, docs):
     assert coll.where("id_a >= id_b").count() == 0
 
 
+@pytest.mark.slow
 def test_embedding_collapse_identical_equivalence(spark):
     """Embedding analogue of the signature collapse (r16): byte-exact
     duplicate vectors collapse to rep + star edges (cos_sim exactly
@@ -510,6 +512,7 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+@pytest.mark.slow
 def test_checkpointed_pair_builders_match_sql(spark):
     """The large-scale entry points (checkpointed band/chunk/gram
     tables) must return exactly the SQL-template results."""

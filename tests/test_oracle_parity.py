@@ -86,13 +86,29 @@ def _typemap(arrow_schema):
 
 QUERY_NAMES = sorted(set(entry_mod.queries()) & set(entry_mod.oracle_sql()))
 
+# slow tier (r18, conftest RAQUET_SLOW_TESTS): parity params whose
+# single check runs >15 s at sf0.001 — heavyweight training/geometry
+# pipelines the external driver ALSO oracle-checks at sf0.01 (they
+# lead the r18 rotation window) and the committed full-registry drive
+# artifacts cover. Everything else stays in the default tier.
+_SLOW_PARITY = {
+    "quality_classifier_filter",
+    "rasterize_polygon_stats",
+    "qb_kring_distances",
+    "raster_join_diff",
+}
+_PARITY_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+    for n in QUERY_NAMES
+]
+
 
 @pytest.fixture(scope="module")
 def duck():
     return _duck_conn()
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
+@pytest.mark.parametrize("name", _PARITY_PARAMS)
 def test_parity(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)

@@ -129,6 +129,7 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.mark.slow
 def test_asof_join_matches_naive(spark):
     from pyspark.sql import functions as F
 
@@ -765,6 +766,7 @@ def test_connected_components_derives_width_from_edges(spark, monkeypatch):
     assert spark.conf.get("spark.sql.shuffle.partitions") == str(base)
 
 
+@pytest.mark.slow
 def test_minhash_auto_width_parity(spark):
     """auto_width=True returns the same candidate pairs as the lazy
     default (width changes plans, never results) and restores the
@@ -809,6 +811,7 @@ def test_substring_auto_width_parity(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+@pytest.mark.slow
 def test_embedding_lsh_auto_width_parity(spark):
     """auto_width returns exactly the plain path's verified pairs and
     restores the session width (the E5 scale path's r15 sizing)."""

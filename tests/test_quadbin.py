@@ -68,6 +68,7 @@ TILES = [(0, 0, 0), (1, 0, 1), (9, 8, 4), (581, 783, 11), (1205, 1539, 12),
          (2**20 - 1, 7, 20), (123456, 654321, 26)]
 
 
+@pytest.mark.slow
 def test_sql_parity_tile_roundtrip(spark):
     """Same SQL template on Spark and DuckDB == python mirror."""
     values = ", ".join(f"({x}, {y}, {z})" for x, y, z in TILES)
@@ -84,6 +85,7 @@ def test_sql_parity_tile_roundtrip(spark):
             assert (rx, ry, rz) == (x, y, z), dialect
 
 
+@pytest.mark.slow
 def test_sql_parity_point_parent_bounds(spark):
     pts = [(-3.7038, 40.4168, 10), (0.1, 0.2, 5), (-179.9, -84.0, 8),
            (179.9, 84.0, 3), (12.5, -33.3, 15)]

@@ -211,6 +211,7 @@ def test_filter_blocks_bbox_coarse_refine(spark):
         assert got == want, cap
 
 
+@pytest.mark.slow
 def test_read_raquet_spatial_filters(spark, tmp_path):
     from raquet_spark.functions import quadbin as qb
     from raquet_spark.sources.raquet import read_raquet, write_raquet

@@ -193,6 +193,7 @@ def test_media_pipeline(spark):
     assert frames.where(F.col("media_id") == 0).count() == 5
 
 
+@pytest.mark.slow
 def test_streaming_windowed_stats(spark, tmp_path):
     from raquet_spark.queries import load_table
     from raquet_spark.streaming.ingest import windowed_event_stats
@@ -302,6 +303,7 @@ def test_ann_ivf_pq_codes_are_bytes_not_vectors(spark, embeddings):
     assert B.shape == (8, 64, 8)  # m_sub x ks x dsub for dim=64
 
 
+@pytest.mark.slow
 def test_stateful_sessionize(spark, tmp_path):
     from raquet_spark.queries import load_table
     from raquet_spark.streaming.ingest import stateful_sessionize
@@ -354,6 +356,7 @@ def test_stateful_sessionize(spark, tmp_path):
     assert len(got) >= len(want) * 0.5, (len(got), len(want))
 
 
+@pytest.mark.slow
 def test_streaming_dedup(spark, tmp_path):
     from raquet_spark.queries import load_table
     from raquet_spark.streaming.ingest import streaming_dedup
@@ -416,6 +419,7 @@ def test_multimodal_to_ann_pipeline(spark):
     assert out.where(F.col("score") > 1.0 + 1e-9).count() == 0
 
 
+@pytest.mark.slow
 def test_stream_stream_join(spark, tmp_path):
     """Click→conversion attribution: view events joined to action
     events of the same user within 30 min, checked against the
@@ -1092,6 +1096,7 @@ def test_streaming_minhash_dedup_replay_idempotent(spark, tmp_path):
     assert snapshot() == first
 
 
+@pytest.mark.slow
 def test_minhash_index_compaction(spark, tmp_path):
     """VERDICT r11 #7: a 24/7 ingest guard accrues one band-index
     parquet dir per micro-batch; compaction folds old batches into one
@@ -1215,6 +1220,7 @@ def test_minhash_index_compaction(spark, tmp_path):
     assert compact_minhash_index(spark, idx_dir, keep_last=1) >= 1
 
 
+@pytest.mark.slow
 def test_streaming_minhash_collapse_flood_linear_and_closure(spark, tmp_path):
     """r17 (VERDICT r16 #1): collapse_identical on the streaming twin —
     a cross-batch boilerplate flood of k identical docs must emit
@@ -1303,6 +1309,7 @@ def test_streaming_minhash_collapse_flood_linear_and_closure(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_streaming_minhash_chain_cap_bounds_index_and_pairs(spark, tmp_path):
     """r17: max_bucket_rows on the streaming twin — with collapse OFF,
     an identical-doc flood fills one band bucket; the cap must (a)
@@ -1353,6 +1360,7 @@ def test_streaming_minhash_chain_cap_bounds_index_and_pairs(spark, tmp_path):
     assert max_bucket <= cap + n_per_batch
 
 
+@pytest.mark.slow
 def test_minhash_index_compaction_collapse_mode(spark, tmp_path):
     """r17: the collapse-mode band index (extra `sig` column, one
     row-set per distinct signature) must survive compaction with
@@ -1478,6 +1486,7 @@ def test_streaming_embedding_dedup_matches_batch(spark, tmp_path):
     assert flags[(9001, 9002)] is False
 
 
+@pytest.mark.slow
 def test_streaming_embedding_dedup_collapse_flood(spark, tmp_path):
     """Collapse mode: a cross-batch byte-identical vector flood emits
     exactly k-1 edges (all cosine 1.0), the vectors index keeps one
@@ -1535,6 +1544,7 @@ def test_streaming_embedding_dedup_collapse_flood(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_streaming_embedding_dedup_chain_cap(spark, tmp_path):
     """Chain-cap on the embedding twin with collapse OFF: an
     identical-vector flood fills every (table, sig) bucket; the cap
@@ -1576,6 +1586,7 @@ def test_streaming_embedding_dedup_chain_cap(spark, tmp_path):
     assert max_bucket <= cap + per
 
 
+@pytest.mark.slow
 def test_embedding_index_compaction(spark, tmp_path):
     """r17: the F12 two-table index (bands/ + vectors/) compaction must
     preserve probe behavior — an exact copy and a byte-identical

@@ -107,6 +107,7 @@ def test_aea_inverse_roundtrip_accuracy():
         assert abs(lon2 - lon) < 1e-7 and abs(lat2 - lat) < 1e-7
 
 
+@pytest.mark.slow
 def test_warp_nlcd_albers(spark):
     """The projected (Albers CONUS) NLCD raster through the full warp —
     the inverse projection runs as pure Column math."""
@@ -466,6 +467,7 @@ def test_n37_import_export_chain(spark, tmp_path):
     np.testing.assert_array_equal(arr[:, :, 0].astype("f8"), mosaic)
 
 
+@pytest.mark.slow
 def test_nlcd_tile_size_variants_parity(spark):
     """Mirror of the reference's small/med/bigtile NLCD tests
     (test_geotiff2raquet.py:158-260): with the UPPER zoom strategy and
@@ -1136,6 +1138,7 @@ def test_forward_projections_invert_inverses(spark):
         assert r["ex"] < res * 0.01 and r["ey"] < res * 0.01, (name, r)
 
 
+@pytest.mark.slow
 def test_dense_near_projected_matches_forward_argmin(spark):
     """Dense target-driven nearest on the Albers NLCD: fills at least as
     many pixels as the old forward-map argmin and agrees with it on the
@@ -1177,6 +1180,7 @@ def test_dense_near_projected_matches_forward_argmin(spark):
     assert agree > 0.9, agree
 
 
+@pytest.mark.slow
 def test_bilinear_projected_nlcd(spark):
     """Bilinear on the Albers NLCD (through the Snyder forward
     projection): runs target-driven, output dense, distribution tracks
