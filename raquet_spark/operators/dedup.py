@@ -574,12 +574,14 @@ def _components_driver_side(
     loop's fixed point. Returns None when the graph is over either cap
     (caller runs the distributed loop — the 100 TB path, unchanged).
 
-    The cap probe is LIMIT-bounded (ADVICE r17): ``limit(cap+1)``
-    stops each scan task at the cap instead of counting the full edge
-    list of an over-cap graph, and the same single job sums id bytes
-    for string ids so a 200k-edge list of kilobyte URLs (the 'few MB'
-    assumption broken) falls back to the distributed loop instead of
-    pressuring driver memory."""
+    The cap probe also sums id bytes for string ids in the SAME single
+    aggregation job (ADVICE r17), so a 200k-edge list of kilobyte URLs
+    (the 'few MB' assumption broken) falls back to the distributed
+    loop instead of pressuring driver memory. Deliberately NOT
+    ``limit(cap+1)``-bounded: the edge list is already materialized
+    (checkpointed) so the scan is cached-block IO, while a global
+    limit funnels up to cap+1 rows through ONE task before counting —
+    measured 1.4 s slower on the bench graphs (r18)."""
     from pyspark.sql.types import StringType
 
     fields = e.schema.fields
@@ -588,9 +590,7 @@ def _components_driver_side(
         for i, f in enumerate(fields)
         if isinstance(f.dataType, StringType)
     ]
-    probe = e.limit(small_graph_edges + 1).agg(
-        F.count(F.lit(1)).alias("_n"), *sz_cols
-    ).first()
+    probe = e.agg(F.count(F.lit(1)).alias("_n"), *sz_cols).first()
     n_edges = probe["_n"]
     id_bytes = sum(probe[i + 1] or 0 for i in range(len(sz_cols)))
     if n_edges > small_graph_edges or id_bytes > 64 * (1 << 20):
