@@ -870,3 +870,33 @@ def test_chain_cap_occupancy_count_no_full_table_window(spark):
     win_lines = [ln for ln in cp.splitlines() if "Window [" in ln]
     assert win_lines and all("row_number()" in ln for ln in win_lines)
     assert "LeftSemi" in cp
+
+
+def test_hashed_embeddings_carry_keeps_hash_aggregate(spark):
+    """r18 regression pin: carrying doc-constant columns (including
+    STRINGS) through the featurize groupBy must not demote the wide
+    aggregation to SortAggregate. first(string) puts a StringType
+    field in the agg buffer, which UnsafeRow cannot mutate — the whole
+    64-column agg then falls back to SortAggregate plus a full sort of
+    the exploded token stream on both sides of the exchange (the r17
+    quality_classifier_filter regression). Carries ride as GROUP BY
+    keys instead; keys are never mutated, so strings are fine."""
+    from pyspark.sql import functions as F
+
+    from raquet_spark.operators.textops import hashed_embeddings
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i}", f"src{i % 3}", float(i % 2))
+         for i in range(20)],
+        "doc_id bigint, text string, source string, y double",
+    )
+    feats = hashed_embeddings(
+        docs, dim=16, hash_fn="xxhash64", carry_cols=("y", "source")
+    )
+    plan = _plan(feats)
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    # carried columns present next to the vector, one row per doc
+    rows = feats.select("doc_id", "y", "source").collect()
+    assert len(rows) == 20
+    assert {r["source"] for r in rows} == {"src0", "src1", "src2"}
