@@ -504,31 +504,96 @@ def hashed_embeddings(
     NOT doc-constant splits the doc into multiple rows instead of
     picking an arbitrary value — a louder failure than ``first()``'s
     silent nondeterminism (ADVICE r17)."""
+    wtab = _hashed_counts(
+        df, dim, text_col=text_col, id_col=id_col, hash_fn=hash_fn,
+        carry_cols=carry_cols,
+    )
+    return _normalize_counts(wtab, dim, id_col=id_col, carry_cols=carry_cols)
+
+
+def _hashed_counts(
+    df: DataFrame,
+    dim: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    carry_cols: tuple[str, ...] = (),
+    keep_tokenless: bool = False,
+) -> DataFrame:
+    """The UN-normalized bucket-count table behind
+    :func:`hashed_embeddings`: one row per doc, columns ``(id, *carry,
+    c0..c{dim-1})`` where ``c_i`` is the token count hashed into bucket
+    ``i``. Split out (r18) so a caller that derives several vector
+    variants from one corpus (the classifier gate's mirror twins) can
+    pay the tokenize + explode + wide-agg exactly once.
+
+    ``keep_tokenless``: with the default inner explode a doc whose text
+    yields zero tokens produces NO row (matching the historical
+    behavior); ``True`` keeps an all-zero count row for it instead
+    (``explode_outer`` with a null-guarded bucket). Docs with NULL text
+    never produce a row in either mode."""
     if hash_fn == "xxhash64":
         bucket = f"pmod(xxhash64(tok), {dim})"
     else:
         bucket = dl.md5_int("tok", "spark") + f" % {dim}"
     carry = list(carry_cols)
-    longf = df.select(
+    explode = F.explode_outer if keep_tokenless else F.explode
+    src = df.where(F.col(text_col).isNotNull()) if keep_tokenless else df
+    longf = src.select(
         F.col(id_col), *[F.col(c) for c in carry],
-        F.explode(F.expr(_toks(text_col))).alias("tok"),
-    ).selectExpr(id_col, *carry, f"{bucket} AS bucket")
+        explode(F.expr(_toks(text_col))).alias("tok"),
+    ).selectExpr(
+        id_col, *carry,
+        # a null token (the explode_outer placeholder for an empty
+        # array) must count into NO bucket; xxhash64(NULL) is NOT null
+        f"IF(tok IS NULL, NULL, {bucket}) AS bucket"
+        if keep_tokenless else f"{bucket} AS bucket",
+    )
     aggs = [
         F.sum(
             F.when(F.col("bucket") == i, F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias(f"c{i}")
         for i in range(dim)
     ]
-    wtab = longf.groupBy(id_col, *carry).agg(*aggs)
-    vec = "array(" + ", ".join(f"c{i}" for i in range(dim)) + ")"
-    norm = "sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"
+    return longf.groupBy(id_col, *carry).agg(*aggs)
+
+
+def _normalize_counts(
+    wtab: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """L2-normalize a :func:`_hashed_counts` table into ``(id, *carry,
+    embedding)``, WITHOUT higher-order functions. The previous shape
+    (norm ``aggregate`` inlined inside the ``transform`` lambda) re-ran
+    the dim-element aggregate for EVERY element — lambda bodies are
+    interpreted, with no codegen and no common-subexpression
+    elimination, so that was O(dim^2) interpreted ops per row
+    (measured: 2.4 s of a 3.0 s featurize at sf0.1, 10k rows x 64).
+    Hoisting the norm into its own projection is NOT enough:
+    CollapseProject re-inlines a single-use alias straight back into
+    the lambda. Explicit per-element expressions fix it structurally —
+    ``_n`` is referenced dim times (CollapseProject's cost check keeps
+    multi-use non-cheap aliases in their own Project), and the whole
+    projection is lambda-free so it whole-stage-codegens. Float math
+    is order-identical to the old fold (left-assoc sum of squares =
+    the aggregate's left fold; same sqrt/greatest/divide/cast), so
+    embeddings are bit-identical."""
+    carry = list(carry_cols)
+    sq = " + ".join(f"c{i} * c{i}" for i in range(dim))
+    emb = (
+        "array("
+        + ", ".join(f"CAST(c{i} / _n AS FLOAT)" for i in range(dim))
+        + ")"
+    )
     return (
-        wtab.selectExpr(id_col, *carry, f"{vec} AS v")
-        .selectExpr(
-            id_col,
-            *carry,
-            f"transform(v, x -> CAST(x / greatest({norm}, 1e-12) AS FLOAT)) AS embedding",
+        wtab.selectExpr(
+            id_col, *carry,
+            *[f"c{i}" for i in range(dim)],
+            f"greatest(sqrt({sq}), 1e-12) AS _n",
         )
+        .selectExpr(id_col, *carry, f"{emb} AS embedding")
     )
 
 
@@ -538,7 +603,15 @@ def _w_literal(weights) -> str:
 
 def _margin_expr(weights, vec_col: str) -> str:
     """w·x with the (tiny) weight vector folded in as an array literal —
-    map-only, no join, no UDF."""
+    map-only, no join, no UDF. The fold stays a higher-order function
+    BY MEASUREMENT (r18): an expanded 64-term ``CAST(v[i] AS DOUBLE) *
+    w_i`` sum was tried and ran ~4x SLOWER (0.44 s → 1.9 s per 1M rows
+    at dim 64) — per-element ``GetArrayItem`` chains cost more than one
+    fold over the array, even though the fold's lambda is interpreted.
+    (The classifier featurize's normalize is the opposite case and IS
+    expanded: its inputs are plain agg columns, not array elements, and
+    its old shape nested the norm fold INSIDE the transform lambda —
+    O(dim^2) — see _normalize_counts.)"""
     return (
         f"aggregate(zip_with({vec_col}, {_w_literal(weights)}, "
         "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
@@ -576,7 +649,13 @@ def train_quality_classifier(
     ``labels=None`` (r17): the label column already sits on ``feats``
     (``y_col``) — skip the id join entirely, one shuffle less. The
     join path remains for callers whose labels live in a separate
-    table."""
+    table.
+
+    Small inputs (r18): when the dense feature matrix fits a 64 MB
+    driver budget (n·dim·8 bytes), the iterations run locally on one
+    Arrow collect instead of n_iter scheduled jobs — identical update
+    rule and iteration count, deterministic, distributed loop
+    unchanged above the cap."""
     import numpy as np
     import pandas as pd
 
@@ -586,6 +665,25 @@ def train_quality_classifier(
         n = df.count()  # materializes the cache; gradient scale
         if n == 0:
             raise ValueError("empty training set")
+        # Driver fast path (r18, the dedup_components small-graph
+        # precedent): below ~64 MB of dense features (n·dim·8 B) the
+        # n_iter sequential Spark jobs are pure scheduling overhead —
+        # collect (vec, y) ONCE through Arrow and run the identical
+        # full-batch GD locally. Same update formula, same iteration
+        # count; only float summation ORDER differs (one matmul vs
+        # per-partition partials), which the planted-margin safety
+        # (min |margin| ≥ 0.24 at n_iter=4) dwarfs. The distributed
+        # loop below is the 100 TB path and stays bit-for-bit as
+        # before; the cap is on the exact bytes the driver would hold.
+        if n * dim * 8 <= 64 * 1024 * 1024:
+            pdf = df.toPandas()
+            X = np.array(pdf[vec_col].tolist(), dtype="f8")
+            y = pdf[y_col].to_numpy(dtype="f8")
+            w = np.zeros(dim)
+            for _ in range(n_iter):
+                p = 1.0 / (1.0 + np.exp(-(X @ w)))
+                w = w - lr * (X.T @ (p - y)) / n
+            return [float(v) for v in w]
         # 8 sequential scans: per-task overhead dominates when the
         # cached table is small, so coalesce to ~200k rows/task (reads
         # cached blocks, no recompute); at real scale parts >= current

@@ -3683,7 +3683,8 @@ def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql import functions as F
 
     from raquet_spark.operators.textops import (
-        hashed_embeddings,
+        _hashed_counts,
+        _normalize_counts,
         score_quality_classifier,
         train_quality_classifier,
     )
@@ -3695,18 +3696,6 @@ def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFra
     # scale factor: derive the offset from the observed max, not a
     # fixed constant (a 10M constant silently collides past 10M docs)
     off = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
-    mark_pos = (" " + _QCF_SENT["pos"]) * 6
-    mark_neg = (" " + _QCF_SENT["neg"]) * 6
-    pos = docs.selectExpr(
-        "doc_id", f"concat(text, '{mark_pos}') AS text", "source",
-        "CAST(1.0 AS DOUBLE) AS y",
-    )
-    neg = docs.selectExpr(
-        f"doc_id + {off} AS doc_id",
-        f"concat(text, '{mark_neg}') AS text", "source",
-        "CAST(0.0 AS DOUBLE) AS y",
-    )
-    corpus = pos.unionByName(neg)
     # r17 shuffle/boundary diet on the bench's heaviest line, all
     # result-identical (oracle re-verified at sf0.001/0.01/0.1):
     # - xxhash64 buckets: the oracle is closed-form over the planted
@@ -3716,14 +3705,45 @@ def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFra
     #   hash-agnostic — the twins differ only in their two sentinel
     #   buckets under ANY uniform hash). doc_feature_hash keeps md5
     #   (its dual-dialect oracle pins it).
-    # - carry_cols=(y, source) rides the label and the rollup key
-    #   through the featurize groupBy, removing BOTH id-joins the old
-    #   shape paid (labels into train, source into the final agg) and
-    #   with them the separate full-text corpus cache (guide §2.4).
-    feats = hashed_embeddings(
-        corpus, dim=64, hash_fn="xxhash64", carry_cols=("y", "source")
+    # - carry_cols rides the label and the rollup key through the
+    #   featurize groupBy, removing BOTH id-joins the old shape paid
+    #   (labels into train, source into the final agg) and with them
+    #   the separate full-text corpus cache (guide §2.4).
+    # - counts-once twins (r18): both mirror twins share the base text
+    #   and differ from it by EXACTLY six occurrences of their sentinel
+    #   token, so tokenize + explode + the wide count agg run ONCE over
+    #   the base corpus (half the map-side work and shuffle rows of the
+    #   old pos∪neg explode, guide §2.3) and each twin's count vector
+    #   is the cached base row plus 6.0 in its sentinel's bucket —
+    #   bit-identical counts (exact small-integer doubles), hence
+    #   bit-identical embeddings after the shared normalize.
+    #   keep_tokenless matches the old inner-explode row set: a twin
+    #   text always carries its 6 sentinel tokens, so base docs with
+    #   zero tokens still produce twins (from an all-zero count row).
+    base = _hashed_counts(
+        docs, dim=64, hash_fn="xxhash64", carry_cols=("source",),
+        keep_tokenless=True,
     ).persist()
     try:
+        bp, bn = spark.sql(
+            f"SELECT CAST(pmod(xxhash64('{_QCF_SENT['pos']}'), 64) AS INT),"
+            f" CAST(pmod(xxhash64('{_QCF_SENT['neg']}'), 64) AS INT)"
+        ).first()
+
+        def twin(bucket: int, y: float, id_expr: str) -> DataFrame:
+            cols = [
+                f"c{i} + 6.0D AS c{i}" if i == bucket else f"c{i}"
+                for i in range(64)
+            ]
+            return base.selectExpr(
+                f"{id_expr} AS doc_id", "source",
+                f"CAST({y} AS DOUBLE) AS y", *cols,
+            )
+
+        counts = twin(bp, 1.0, "doc_id").unionByName(
+            twin(bn, 0.0, f"doc_id + {off}")
+        )
+        feats = _normalize_counts(counts, 64, carry_cols=("y", "source"))
         # n_iter: measured convergence on this gate corpus (r11,
         # sf0.1): 3 iterations already classify every twin
         # correctly (min |margin| 0.24), 4 gives 0.31, 8 gives
@@ -3744,7 +3764,7 @@ def quality_classifier_filter_spark(spark: SparkSession, sf_dir: str) -> DataFra
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
-        feats.unpersist()
+        base.unpersist()
 
 
 def quality_classifier_filter_oracle() -> str:

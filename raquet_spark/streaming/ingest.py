@@ -1088,21 +1088,30 @@ def streaming_quality_score(
         f"(acc, t) -> transform(acc, (v, i) -> v + IF(i = {bucket}, "
         "1.0D, 0.0D)))"
     )
+    # Evaluate the margin ONCE and derive label_pred from the score
+    # column (r18): the old shape inlined the dim-element fold twice
+    # (score + predicate). The score alias survives CollapseProject
+    # because it is referenced twice (non-cheap multi-use aliases keep
+    # their own Project); scores stay bit-identical (the batch parity
+    # test pins this). The norm hoist below is best-effort only — a
+    # SINGLE-use alias like _n gets re-inlined into the transform
+    # lambda by CollapseProject, so don't count on it.
     norm = "sqrt(aggregate(c, 0.0D, (acc, x) -> acc + x * x))"
-    vec = (
-        f"transform(c, x -> CAST(x / greatest({norm}, 1e-12) AS FLOAT))"
-    )
     from raquet_spark.operators.textops import _margin_expr
 
     m = _margin_expr(weights, "v")
     return (
         df.where(f"size({toks}) > 0")
         .selectExpr("*", f"{counts} AS c")
-        .selectExpr(id_col, f"{vec} AS v")
+        .selectExpr(id_col, "c", f"greatest({norm}, 1e-12) AS _n")
+        .selectExpr(
+            id_col, "transform(c, x -> CAST(x / _n AS FLOAT)) AS v"
+        )
+        .selectExpr(id_col, f"{m} AS score")
         .selectExpr(
             id_col,
-            f"{m} AS score",
-            f"CAST(({m}) > 0.0D AS INT) AS label_pred",
+            "score",
+            "CAST(score > 0.0D AS INT) AS label_pred",
         )
     )
 
