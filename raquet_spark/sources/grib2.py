@@ -1818,6 +1818,8 @@ def grib2_to_raquet(
     from raquet_spark.operators.tile_stats import with_tile_stats
     from raquet_spark.operators.tiling import from_pixel_table
     from raquet_spark.sources.tiff_reader import (
+        _fused_gather_eligible,
+        _fused_gather_tiles,
         _lonlat_corners,
         _pick_zoom,
         _resampled_pixels,
@@ -1844,11 +1846,6 @@ def grib2_to_raquet(
         _lonlat_corners(info), z
     )
     times = sorted({float(m["forecast_hours"]) for m in sel})
-    pixels = _resampled_pixels(
-        spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
-        extra_cols=("time_cf",) if len(times) > 1 else (),
-        n_steps=len(times),
-    )
     meta = build_metadata(
         bands=[BandMeta(name="band_1", type="float64", nodata=nodata,
                         colorinterp="gray")],
@@ -1862,16 +1859,31 @@ def grib2_to_raquet(
         compression=compression,
         tile_statistics=stats,
     )
-    tiles = from_pixel_table(
-        pixels, meta, compression=compression,
-        extra_keys=((("time_cf", "double"),) if len(times) > 1 else ()),
-        # map-only assembly (r17): broadcast near gather over the
-        # block-major target grid → tile-contiguous pixels, no tiling
-        # exchange (see from_pixel_table)
-        aligned=(
-            resampling == "near" and gather_is_broadcast(info, len(times))
-        ),
-    )
+    if _fused_gather_eligible(info, resampling, len(times)):
+        # join-free separable gather (r18): broadcast grid + index
+        # vectors, one map-only tile build (see _fused_gather_tiles);
+        # Gaussian (lat_centers) grids qualify — their fsy is the same
+        # driver-computed row vector the rowmap join used
+        tiles = _fused_gather_tiles(
+            spark, px, info, z, block_size, (tx0, ty0, tx1, ty1), meta,
+            compression, extra_key="time_cf" if len(times) > 1 else None,
+        )
+    else:
+        pixels = _resampled_pixels(
+            spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
+            extra_cols=("time_cf",) if len(times) > 1 else (),
+            n_steps=len(times),
+        )
+        tiles = from_pixel_table(
+            pixels, meta, compression=compression,
+            extra_keys=((("time_cf", "double"),) if len(times) > 1 else ()),
+            # map-only assembly (r17): broadcast near gather over the
+            # block-major target grid → tile-contiguous pixels, no tiling
+            # exchange (see from_pixel_table)
+            aligned=(
+                resampling == "near" and gather_is_broadcast(info, len(times))
+            ),
+        )
     if len(times) > 1:
         meta["time"] = {
             "count": len(times), "values_cf": times,

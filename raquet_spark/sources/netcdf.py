@@ -369,6 +369,8 @@ def netcdf_to_raquet(
     from raquet_spark.operators.tiling import from_pixel_table
     from raquet_spark.operators.time_dim import parse_cf_units, with_time_ts
     from raquet_spark.sources.tiff_reader import (
+        _fused_gather_eligible,
+        _fused_gather_tiles,
         _lonlat_corners,
         _pick_zoom,
         _resampled_pixels,
@@ -437,10 +439,6 @@ def netcdf_to_raquet(
         raise ValueError(
             f"netcdf resampling {resampling!r} (near/bilinear/cubic)"
         )
-    pixels = _resampled_pixels(
-        spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
-        extra_cols=extra, n_steps=n_steps,
-    )
     meta = build_metadata(
         bands=[BandMeta(name="band_1", type=info["dtype"], nodata=nodata,
                         colorinterp="gray")],
@@ -454,14 +452,26 @@ def netcdf_to_raquet(
         compression=compression,
         tile_statistics=stats,
     )
-    tiles = from_pixel_table(
-        pixels, meta, compression=compression,
-        extra_keys=((("time_cf", "double"),) if has_time else ()),
-        # map-only assembly (r17): a broadcast near gather over the
-        # block-major target grid delivers tile-contiguous pixels —
-        # no tiling exchange needed (see from_pixel_table)
-        aligned=(resampling == "near" and gather_is_broadcast(info, n_steps)),
-    )
+    if _fused_gather_eligible(info, resampling, n_steps):
+        # join-free separable gather (r18): broadcast grid + index
+        # vectors, one map-only tile build (see _fused_gather_tiles)
+        tiles = _fused_gather_tiles(
+            spark, px, info, z, block_size, (tx0, ty0, tx1, ty1), meta,
+            compression, extra_key="time_cf" if has_time else None,
+        )
+    else:
+        pixels = _resampled_pixels(
+            spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
+            extra_cols=extra, n_steps=n_steps,
+        )
+        tiles = from_pixel_table(
+            pixels, meta, compression=compression,
+            extra_keys=((("time_cf", "double"),) if has_time else ()),
+            # map-only assembly (r17): a broadcast near gather over the
+            # block-major target grid delivers tile-contiguous pixels —
+            # no tiling exchange needed (see from_pixel_table)
+            aligned=(resampling == "near" and gather_is_broadcast(info, n_steps)),
+        )
     if has_time:
         units = str(nc["variables"][time_name]["attrs"].get("units", ""))
         calendar = str(

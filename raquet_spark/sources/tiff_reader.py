@@ -1517,6 +1517,245 @@ def gather_is_broadcast(info: dict, n_steps: int = 1) -> bool:
     ) <= 100 * (1 << 20)
 
 
+def _merc_fs_exprs(info: dict, z: int, block_size: int) -> tuple[str, str]:
+    """(fsx, fsy) SQL expression strings in ``gx``/``gy`` for
+    geographic (4326) / web-mercator (3857) sources — the closed-form
+    inverse map from target pixel center to fractional source sample
+    coordinates. The SINGLE definition shared by the join-path warp
+    (:func:`_resampled_pixels`) and the fused separable index job
+    (:func:`_separable_src_index`), so both evaluate byte-identical
+    expressions in the same engine (r18)."""
+    ox, a, b, oy, c, d = info["transform"]
+    det = a * d - b * c
+    if det == 0:
+        raise ValueError("singular geotransform")
+    world = float((1 << z) * block_size)
+    cmx = f"((gx + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT} - {_ORIGIN_SHIFT})"
+    cmy = f"({_ORIGIN_SHIFT} - (gy + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT})"
+    if info["epsg"] == 4326:
+        mox = f"({cmx} / {_ORIGIN_SHIFT} * 180.0D)"
+        moy = f"degrees(2.0D * atan(exp({cmy} / {_EARTH_R})) - {math.pi / 2.0})"
+    else:
+        mox, moy = cmx, cmy
+    u, v = f"({mox} - {ox})", f"({moy} - {oy})"
+    return (
+        f"({u} * {d} - {b} * {v}) / {det}",
+        f"({-c} * {u} + {a} * {v}) / {det}",
+    )
+
+
+def _fsy_rows_interp(info: dict, gy0: int, npy: int, world: float):
+    """Per-target-ROW fractional source row for IRREGULAR row latitudes
+    (Gaussian grids): row → lat is not affine, so fsy is interpolated
+    on the driver (piecewise-linear between centers, linear beyond the
+    outer centers like the affine path). Returns the float64 ``fsy``
+    vector for gy in [gy0, gy0+npy). The SINGLE definition shared by
+    the join path's broadcast rowmap and the fused separable index
+    (r18) — both floor the same doubles."""
+    lc = np.asarray(info["lat_centers"], dtype="f8")  # north → south
+    if len(lc) < 2 or not (np.diff(lc) < 0).all():
+        raise ValueError("lat_centers must be strictly north→south")
+    gys = np.arange(gy0, gy0 + npy, dtype="f8")
+    merc_y = _ORIGIN_SHIFT - (gys + 0.5) / world * 2.0 * _ORIGIN_SHIFT
+    lat_t = np.degrees(
+        2.0 * np.arctan(np.exp(merc_y / _EARTH_R)) - math.pi / 2.0
+    )
+    xp = lc[::-1]
+    fp = (np.arange(len(lc), dtype="f8") + 0.5)[::-1]
+    fsy_t = np.interp(lat_t, xp, fp)
+    n_sl = (fp[-1] - fp[-2]) / (xp[-1] - xp[-2])
+    s_sl = (fp[1] - fp[0]) / (xp[1] - xp[0])
+    fsy_t = np.where(
+        lat_t > xp[-1], fp[-1] + (lat_t - xp[-1]) * n_sl, fsy_t
+    )
+    fsy_t = np.where(
+        lat_t < xp[0], fp[0] + (lat_t - xp[0]) * s_sl, fsy_t
+    )
+    return fsy_t
+
+
+def _fused_gather_eligible(info: dict, resampling: str, n_steps: int = 1) -> bool:
+    """Whether the import can skip the warp JOIN entirely (r18): for a
+    nearest-resampled, broadcast-class source on a NORTH-UP affine
+    grid (no rotation terms) in 4326/3857, the containing-cell map is
+    SEPARABLE — ``syn`` depends only on ``gy`` and ``sxn`` only on
+    ``gx`` — so two tiny index vectors plus a broadcast of the decoded
+    source replace the per-pixel broadcast hash join AND the per-pixel
+    Python boundary of the aligned assembly (guide §2.4/§8: decide
+    with small rows, move big rows once — here the per-pixel rows stop
+    existing at all). Staggered, ragged-row and projected sources keep
+    the join path; Gaussian (irregular-lat) grids qualify because
+    their fsy is already a driver-computed per-row vector."""
+    ox, a, b, oy, c, d = info["transform"]
+    return (
+        resampling == "near"
+        and gather_is_broadcast(info, n_steps)
+        and b == 0.0
+        and c == 0.0
+        and not info.get("stagger_x")
+        and info.get("row_ni") is None
+        and info["epsg"] in (4326, 3857)
+    )
+
+
+def _separable_src_index(
+    spark: SparkSession,
+    info: dict,
+    z: int,
+    block_size: int,
+    tile_ext: tuple[int, int, int, int],
+):
+    """(sxn_by_gx, syn_by_gy) int64 vectors over the target extent —
+    the same ``floor(fsx)``/``floor(fsy)`` the join path computes, from
+    the same expressions, evaluated by the same JVM engine (one tiny
+    job over npx+npy rows, so transcendental bit-identity with the
+    join path is by construction, not by numpy-vs-JVM luck).
+    ``lat_centers`` grids take fsy from the identical driver-side
+    interp the join path's rowmap uses."""
+    tx0, ty0, tx1, ty1 = tile_ext
+    bs = block_size
+    gx0, gy0 = tx0 * bs, ty0 * bs
+    npx = (tx1 - tx0 + 1) * bs
+    npy = (ty1 - ty0 + 1) * bs
+    world = float((1 << z) * bs)
+    fsx_e, fsy_e = _merc_fs_exprs(info, z, bs)
+    n = max(npx, npy)
+    pdf = (
+        spark.range(0, n, 1, 1)
+        .selectExpr(
+            f"{gx0} + least(id, {npx - 1}) AS gx",
+            f"{gy0} + least(id, {npy - 1}) AS gy",
+        )
+        .selectExpr(
+            f"CAST(floor({fsx_e}) AS BIGINT) AS sxn",
+            f"CAST(floor({fsy_e}) AS BIGINT) AS syn",
+        )
+        .toPandas()
+    )
+    sxn = pdf["sxn"].to_numpy(dtype="int64")[:npx]
+    if info.get("lat_centers") is not None:
+        syn = np.floor(_fsy_rows_interp(info, gy0, npy, world)).astype("int64")
+    else:
+        syn = pdf["syn"].to_numpy(dtype="int64")[:npy]
+    return sxn, syn
+
+
+def _fused_gather_tiles(
+    spark: SparkSession,
+    px: DataFrame,
+    info: dict,
+    z: int,
+    block_size: int,
+    tile_ext: tuple[int, int, int, int],
+    metadata: dict,
+    compression: str | None,
+    extra_key: str | None = None,
+    dense: bool = False,
+) -> DataFrame:
+    """Join-free nearest-warp import for the separable broadcast class
+    (:func:`_fused_gather_eligible`): collect the decoded source grid
+    once (the same rows the join path's BroadcastExchange would pull to
+    the driver — as packed ndarrays instead of a per-row hash
+    relation), broadcast it with the two separable index vectors, and
+    build each output tile in ONE numpy gather + encode inside a
+    ``mapInPandas`` over one row per tile. The per-target-pixel rows of
+    the join path (tile_count × block_size² × steps through a hash
+    probe and the Arrow boundary) never exist. Output is byte-identical
+    to ``_resampled_pixels(near) → from_pixel_table(aligned=True)``
+    (+ the dense nodata fill when ``dense``): same JVM-floored indices,
+    same verbatim value copies, same fill/astype/encode semantics —
+    pinned by test_fused_gather_matches_join_path."""
+    from raquet_spark.core.metadata import parse_nodata
+    from raquet_spark.functions import quadbin as qb
+    from raquet_spark.functions.bands import DTYPES, encode_block
+    from raquet_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    tx0, ty0, tx1, ty1 = tile_ext
+    bs = block_size
+    h, w = info["height"], info["width"]
+    bands = [
+        (b["name"], b["type"], parse_nodata(b.get("nodata")))
+        for b in metadata["bands"]
+    ]
+    sxn, syn = _separable_src_index(spark, info, z, bs, tile_ext)
+
+    pdf = px.toPandas()
+    sx = pdf["sx"].to_numpy(dtype="int64")
+    sy = pdf["sy"].to_numpy(dtype="int64")
+    if extra_key is not None:
+        tvals = np.sort(pdf[extra_key].unique())
+        ti = np.searchsorted(tvals, pdf[extra_key].to_numpy())
+    else:
+        tvals, ti = None, 0
+    grids: dict[str, np.ndarray] = {}
+    for name, btype, nodata in bands:
+        fill = 0 if nodata is None else nodata
+        # storage dtype now = the same elementwise astype the assembly
+        # applies after the join (float64→float32 is one IEEE
+        # round-to-nearest either place); absent source cells (e.g.
+        # GRIB bitmap-omitted points) stay at the fill value — exactly
+        # what a no-match target pixel gets from the join path
+        g = np.full(
+            (len(tvals) if tvals is not None else 1, h, w),
+            fill,
+            dtype=DTYPES[btype],
+        )
+        g[ti, sy, sx] = pdf[name].to_numpy().astype(DTYPES[btype])
+        grids[name] = g
+    bvar = spark.sparkContext.broadcast((sxn, syn, tvals, grids))
+
+    ntx = tx1 - tx0 + 1
+    n_tiles = ntx * (ty1 - ty0 + 1)
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, n_tiles))
+    schema = "block bigint" + (
+        f", {extra_key} double" if extra_key is not None else ""
+    ) + "".join(f", {name} binary" for name, _, _ in bands)
+
+    def build(batches):
+        sxn_b, syn_b, tvals_b, grids_b = bvar.value
+        nt = len(tvals_b) if tvals_b is not None else 1
+        for task_pdf in batches:
+            out: dict[str, list] = {"block": []}
+            if extra_key is not None:
+                out[extra_key] = []
+            for name, _, _ in bands:
+                out[name] = []
+            for tid in task_pdf["id"].tolist():
+                tx = tx0 + tid % ntx
+                ty = ty0 + tid // ntx
+                cols = sxn_b[(tx - tx0) * bs:(tx - tx0) * bs + bs]
+                rows_ = syn_b[(ty - ty0) * bs:(ty - ty0) * bs + bs]
+                okc = (cols >= 0) & (cols < w)
+                okr = (rows_ >= 0) & (rows_ < h)
+                covered = bool(okr.any() and okc.any())
+                if not covered and not dense:
+                    # the join path emits no row for a tile with zero
+                    # in-bounds pixels; dense callers fill it below
+                    continue
+                block = qb.py_tile_to_cell(tx, ty, z)
+                sel = np.ix_(okr, okc) if covered else None
+                for si in range(nt):
+                    out["block"].append(block)
+                    if extra_key is not None:
+                        out[extra_key].append(float(tvals_b[si]))
+                    for name, btype, nodata in bands:
+                        fill = 0 if nodata is None else nodata
+                        tile = np.full((bs, bs), fill, dtype=DTYPES[btype])
+                        if covered:
+                            tile[sel] = (
+                                grids_b[name][si][rows_[okr]][:, cols[okc]]
+                            )
+                        out[name].append(
+                            encode_block(tile.reshape(-1), btype, compression)
+                        )
+            yield pd.DataFrame(out)
+
+    return spark.range(0, n_tiles, 1, n_part).mapInPandas(
+        build, schema=schema
+    )
+
+
 def _resampled_pixels(
     spark: SparkSession,
     px: DataFrame,
@@ -1576,15 +1815,16 @@ def _resampled_pixels(
             f"{gy0} + (_tid DIV {ntx}) * {bs} + _o DIV {bs} AS gy",
         )
     )
-    # target pixel center -> web-mercator meters
-    cmx = f"((gx + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT} - {_ORIGIN_SHIFT})"
-    cmy = f"({_ORIGIN_SHIFT} - (gy + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT})"
-    if info["epsg"] == 4326:
-        mox = f"({cmx} / {_ORIGIN_SHIFT} * 180.0D)"
-        moy = f"degrees(2.0D * atan(exp({cmy} / {_EARTH_R})) - {math.pi / 2.0})"
-    elif info["epsg"] == 3857:
-        mox, moy = cmx, cmy
+    if info["epsg"] in (4326, 3857):
+        # target pixel center -> fractional source sample coords, as
+        # one closed form shared with the fused separable index
+        # (_merc_fs_exprs keeps both paths byte-identical, r18)
+        fsx_e, fsy_e = _merc_fs_exprs(info, z, block_size)
+        tgt = tgt.selectExpr("gx", "gy", f"{fsx_e} AS fsx", f"{fsy_e} AS fsy")
     else:
+        # target pixel center -> web-mercator meters
+        cmx = f"((gx + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT} - {_ORIGIN_SHIFT})"
+        cmy = f"({_ORIGIN_SHIFT} - (gy + 0.5D) / {world} * {2.0 * _ORIGIN_SHIFT})"
         # projected source: mercator -> lon/lat -> Snyder forward
         tgt = tgt.withColumn(
             "_lon", F.expr(f"{cmx} / {_ORIGIN_SHIFT} * 180.0D")
@@ -1596,42 +1836,26 @@ def _resampled_pixels(
         for name, expr in fsteps:
             tgt = tgt.withColumn(name, F.expr(expr))
         mox, moy = x_e, y_e
-    # fractional source sample coords (sample i's center sits at i + 0.5)
-    u, v = f"({mox} - {ox})", f"({moy} - {oy})"
-    tgt = tgt.selectExpr(
-        "gx",
-        "gy",
-        f"({u} * {d} - {b} * {v}) / {det} AS fsx",
-        f"({-c} * {u} + {a} * {v}) / {det} AS fsy",
-    )
+        # fractional source sample coords (sample i's center sits at i + 0.5)
+        u, v = f"({mox} - {ox})", f"({moy} - {oy})"
+        tgt = tgt.selectExpr(
+            "gx",
+            "gy",
+            f"({u} * {d} - {b} * {v}) / {det} AS fsx",
+            f"({-c} * {u} + {a} * {v}) / {det} AS fsy",
+        )
     lat_centers = info.get("lat_centers")
     if lat_centers is not None:
         # IRREGULAR row latitudes (Gaussian grids, GRIB 3.40): row →
         # lat is not affine, so the per-target-ROW fractional source
         # row is computed on the driver (row center i sits at fsy =
         # i + 0.5, piecewise-linear between centers, linear beyond the
-        # outer centers like the affine path) and broadcast-joined on
+        # outer centers like the affine path — _fsy_rows_interp, shared
+        # with the fused separable index) and broadcast-joined on
         # gy — npy entries, O(thousands); everything else (the x
         # affine, the gather joins, the kernels) is untouched.
-        lc = np.asarray(lat_centers, dtype="f8")  # north → south
-        if len(lc) < 2 or not (np.diff(lc) < 0).all():
-            raise ValueError("lat_centers must be strictly north→south")
         gys = np.arange(gy0, gy0 + npy, dtype="f8")
-        merc_y = _ORIGIN_SHIFT - (gys + 0.5) / world * 2.0 * _ORIGIN_SHIFT
-        lat_t = np.degrees(
-            2.0 * np.arctan(np.exp(merc_y / _EARTH_R)) - math.pi / 2.0
-        )
-        xp = lc[::-1]
-        fp = (np.arange(len(lc), dtype="f8") + 0.5)[::-1]
-        fsy_t = np.interp(lat_t, xp, fp)
-        n_sl = (fp[-1] - fp[-2]) / (xp[-1] - xp[-2])
-        s_sl = (fp[1] - fp[0]) / (xp[1] - xp[0])
-        fsy_t = np.where(
-            lat_t > xp[-1], fp[-1] + (lat_t - xp[-1]) * n_sl, fsy_t
-        )
-        fsy_t = np.where(
-            lat_t < xp[0], fp[0] + (lat_t - xp[0]) * s_sl, fsy_t
-        )
+        fsy_t = _fsy_rows_interp(info, gy0, npy, world)
         row_ni = info.get("row_ni")  # reduced grids: ragged row widths
         if row_ni is not None:
             if resampling not in ("near", "bilinear", "cubic"):
@@ -1933,6 +2157,15 @@ def geotiff_to_raquet(
     )
 
     if resampling in ("near", "bilinear", "cubic"):
+        if _fused_gather_eligible(info, resampling):
+            # join-free separable gather (r18): broadcast the decoded
+            # grid + two index vectors, build tiles in one map-only
+            # pass over tile ids — no per-target-pixel rows at all
+            # (see _fused_gather_tiles)
+            return _assemble_tiles(
+                spark, None, info, z, block_size, compression, stats,
+                dense, (w, s, e, n), (tx0, ty0, tx1, ty1), fused_src=px,
+            )
         # target-driven inverse mapping: GDAL's warp semantics — every
         # covered target pixel gets a value (dense even when the target
         # out-resolves the source). Projected CRS go through the Snyder
@@ -1986,7 +2219,7 @@ def geotiff_to_raquet(
 
 def _assemble_tiles(
     spark: SparkSession,
-    pixels: DataFrame,
+    pixels: DataFrame | None,
     info: dict,
     z: int,
     block_size: int,
@@ -1996,9 +2229,13 @@ def _assemble_tiles(
     bounds: tuple[float, float, float, float],
     tile_ext: tuple[int, int, int, int],
     aligned: bool = False,
+    fused_src: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Warped (gx, gy, band_*) pixels → (tiles, metadata): shared tail
-    of the nearest and bilinear/cubic import paths."""
+    of the nearest and bilinear/cubic import paths. With ``fused_src``
+    (the SOURCE pixel table, r18) the separable join-free gather builds
+    the tiles directly — including the dense nodata fill, so the
+    anti-join below is skipped too."""
     w, s, e, n = bounds
     tx0, ty0, tx1, ty1 = tile_ext
 
@@ -2040,6 +2277,16 @@ def _assemble_tiles(
     )
     from raquet_spark.operators.tiling import from_pixel_table
 
+    if fused_src is not None:
+        tiles = _fused_gather_tiles(
+            spark, fused_src, info, z, block_size, tile_ext, meta,
+            compression, dense=dense,
+        )
+        if stats:
+            from raquet_spark.operators.tile_stats import with_tile_stats
+
+            tiles = with_tile_stats(tiles, meta)
+        return tiles, meta
     tiles = from_pixel_table(
         pixels, meta, compression=compression, aligned=aligned
     )
