@@ -264,19 +264,32 @@ def netcdf_pixel_table(
     nc: dict,
     var: str,
     rows_per_chunk: int = 128,
+    local: bool = False,
 ) -> DataFrame:
     """Distributed decode of ``var`` to ``(time_cf?, sx, sy, band_1)``
     source-grid rows. One task per (step, row-range) chunk;
     ``scale_factor``/``add_offset`` applied, ``_FillValue``/
     ``missing_value`` → the scaled nodata value (kept as a value, like
-    the TIFF path keeps nodata pixels)."""
+    the TIFF path keeps nodata pixels).
+
+    ``local=True`` (r18): run the SAME decode generator over the same
+    task list on the driver and return one pandas DataFrame — for the
+    fused gather path, whose next step is a driver collect anyway
+    (`_fused_gather_tiles`). Classic-format slabs are raw byte ranges
+    (no compression), so a ≤100 MB broadcast-class decode is
+    memcpy-speed; values are identical by construction (same
+    function). NetCDF-4/HDF5 stays distributed (chunk decompression
+    is real CPU)."""
     if nc.get("format") == "hdf5":
+        if local:
+            raise ValueError("local decode is classic-format only")
         from raquet_spark.sources.hdf5 import h5_pixel_table
 
         return h5_pixel_table(spark, nc, var, rows_per_chunk)
     from raquet_spark.session import ensure_package_shipped
 
-    ensure_package_shipped(spark)
+    if not local:
+        ensure_package_shipped(spark)
     v = nc["variables"][var]
     path = nc["path"]
     time_name, lat, lon = _find_coords(nc)
@@ -309,10 +322,7 @@ def netcdf_pixel_table(
         for row0 in range(0, nlat, rows_per_chunk):
             nrows = min(rows_per_chunk, nlat - row0)
             tasks.append((tval, base + row0 * nlon * dt.itemsize, row0, nrows))
-    n_part = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
-    task_df = spark.createDataFrame(
-        pd.DataFrame(tasks, columns=["time_cf", "off", "row0", "nrows"])
-    ).repartition(n_part)
+    task_pdf = pd.DataFrame(tasks, columns=["time_cf", "off", "row0", "nrows"])
 
     dts = str(dt)
 
@@ -343,6 +353,14 @@ def netcdf_pixel_table(
                     "band_1": vals,
                 })
 
+    if local:
+        parts = list(decode(iter([task_pdf])))
+        return (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1 else parts[0]
+        )
+    n_part = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+    task_df = spark.createDataFrame(task_pdf).repartition(n_part)
     return task_df.mapInPandas(
         decode, schema="time_cf double, sx bigint, sy bigint, band_1 double"
     )
@@ -419,7 +437,6 @@ def netcdf_to_raquet(
     }
     z = zoom if zoom is not None else _pick_zoom(info, block_size, zoom_strategy)
 
-    px = netcdf_pixel_table(spark, nc, var)
     has_time = time_name is not None and (
         v["record"] or (v["dims"] and v["dims"][0] == _short(time_name))
     )
@@ -454,12 +471,22 @@ def netcdf_to_raquet(
     )
     if _fused_gather_eligible(info, resampling, n_steps):
         # join-free separable gather (r18): broadcast grid + index
-        # vectors, one map-only tile build (see _fused_gather_tiles)
+        # vectors, one map-only tile build (see _fused_gather_tiles).
+        # Classic slabs decode on the DRIVER (raw byte ranges, no
+        # compression — the fused path collects them there anyway;
+        # NetCDF-4 keeps the distributed decode: chunk decompression
+        # is real CPU)
+        px_in = (
+            netcdf_pixel_table(spark, nc, var, local=True)
+            if nc.get("format") != "hdf5"
+            else netcdf_pixel_table(spark, nc, var)
+        )
         tiles = _fused_gather_tiles(
-            spark, px, info, z, block_size, (tx0, ty0, tx1, ty1), meta,
+            spark, px_in, info, z, block_size, (tx0, ty0, tx1, ty1), meta,
             compression, extra_key="time_cf" if has_time else None,
         )
     else:
+        px = netcdf_pixel_table(spark, nc, var)
         pixels = _resampled_pixels(
             spark, px, info, z, block_size, resampling, (tx0, ty0, tx1, ty1),
             extra_cols=extra, n_steps=n_steps,

@@ -1680,7 +1680,10 @@ def _fused_gather_tiles(
     ]
     sxn, syn = _separable_src_index(spark, info, z, bs, tile_ext)
 
-    pdf = px.toPandas()
+    # `px` may arrive pre-collected (a driver-local decode, e.g. the
+    # classic-NetCDF fast path) — this function's next step is the
+    # driver collect either way
+    pdf = px if isinstance(px, pd.DataFrame) else px.toPandas()
     sx = pdf["sx"].to_numpy(dtype="int64")
     sy = pdf["sy"].to_numpy(dtype="int64")
     if extra_key is not None:
