@@ -420,13 +420,28 @@ def read_tiff_structure(path: str) -> dict:
 
 
 def tiff_pixel_table(
-    spark: SparkSession, info: dict, band_prefix: str = "band_"
+    spark: SparkSession, info: dict, band_prefix: str = "band_",
+    local: bool = False,
 ) -> DataFrame:
     """Distributed decode: one task per group of segments → (sx, sy,
-    band_1..band_n double) rows in the SOURCE pixel grid."""
+    band_1..band_n double) rows in the SOURCE pixel grid.
+
+    ``local=True`` (r18): run the SAME chunky decode generator over the
+    same segment list on the driver and return one pandas DataFrame —
+    for the fused gather path, whose next step is a driver collect
+    anyway. Callers gate it to UNCOMPRESSED chunky sources
+    (compression 1, planar 1): those segments are raw byte ranges, so
+    a ≤100 MB broadcast-class decode is memcpy-speed; compressed and
+    planar layouts keep the distributed decode."""
     from raquet_spark.session import ensure_package_shipped
 
-    ensure_package_shipped(spark)
+    if local:
+        if info["compression"] != 1 or (
+            info.get("planar", 1) == 2 and info["n_bands"] > 1
+        ):
+            raise ValueError("local decode is uncompressed-chunky only")
+    else:
+        ensure_package_shipped(spark)
     path = info["path"]
     seg_w, seg_h = info["seg_width"], info["seg_height"]
     segs_across = info["segs_across"]
@@ -442,10 +457,10 @@ def tiff_pixel_table(
     segs = [
         (i, off, cnt) for i, (off, cnt) in enumerate(info["segments"]) if cnt > 0
     ]
-    n_part = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
-    seg_df = spark.createDataFrame(
-        pd.DataFrame(segs, columns=["seg", "off", "cnt"])
-    ).repartition(n_part)
+    seg_pdf = pd.DataFrame(segs, columns=["seg", "off", "cnt"])
+    if not local:
+        n_part = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
+        seg_df = spark.createDataFrame(seg_pdf).repartition(n_part)
 
     if planar:
         # band-separate layout (PlanarConfiguration=2): segments are
@@ -557,6 +572,12 @@ def tiff_pixel_table(
                     )
                 yield pd.DataFrame(out)
 
+    if local:
+        parts = list(decode(iter([seg_pdf])))
+        return (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1 else parts[0]
+        )
     schema = "sx bigint, sy bigint, " + ", ".join(
         f"{band_prefix}{b + 1} double" for b in range(info["n_bands"])
     )
@@ -2164,7 +2185,14 @@ def geotiff_to_raquet(
             # join-free separable gather (r18): broadcast the decoded
             # grid + two index vectors, build tiles in one map-only
             # pass over tile ids — no per-target-pixel rows at all
-            # (see _fused_gather_tiles)
+            # (see _fused_gather_tiles). Uncompressed chunky sources
+            # decode on the driver (raw byte ranges — the fused path
+            # collects them there anyway); compressed/planar keep the
+            # distributed decode.
+            if info["compression"] == 1 and not (
+                info.get("planar", 1) == 2 and info["n_bands"] > 1
+            ):
+                px = tiff_pixel_table(spark, info, local=True)
             return _assemble_tiles(
                 spark, None, info, z, block_size, compression, stats,
                 dense, (w, s, e, n), (tx0, ty0, tx1, ty1), fused_src=px,
