@@ -7005,6 +7005,14 @@ _VERIFY_PRIORITY: dict[str, int] = {
     "dedup_minhash_collapse": 17,  # eager->lazy checkpoint (r17 #4)
     "raster_histogram": 17,       # band_decode single-eval (r17 #7)
     "quality_classifier_filter": 18,  # HashAggregate carry keys (r18)
+    # r18 session 3: the fused separable gather rewrote the near-import
+    # plan these queries execute (join+aligned assembly -> Range ->
+    # MapInPandas tile build; byte-identity pinned by
+    # tests/test_fused_gather.py and the committed full-registry drive)
+    "geotiff_import_lzw_stats": 18,
+    "geotiff_cog_roundtrip": 18,
+    "geotiff_sharded_roundtrip": 18,
+    "geotiff_overview_roundtrip": 18,
 }
 
 
