@@ -7013,6 +7013,11 @@ _VERIFY_PRIORITY: dict[str, int] = {
     "geotiff_cog_roundtrip": 18,
     "geotiff_sharded_roundtrip": 18,
     "geotiff_overview_roundtrip": 18,
+    # r18 session 4: the fused separable KERNEL gather rewrote the
+    # bilinear/cubic import plan (gather join + blend groupBy ->
+    # Range -> MapInPandas numpy blend; byte-identity pinned by the
+    # kernel cases of tests/test_fused_gather.py)
+    "warp_bilinear_stats": 18,
 }
 
 

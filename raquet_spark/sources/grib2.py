@@ -1867,6 +1867,7 @@ def grib2_to_raquet(
         tiles = _fused_gather_tiles(
             spark, px, info, z, block_size, (tx0, ty0, tx1, ty1), meta,
             compression, extra_key="time_cf" if len(times) > 1 else None,
+            resampling=resampling,
         )
     else:
         pixels = _resampled_pixels(

@@ -484,6 +484,7 @@ def netcdf_to_raquet(
         tiles = _fused_gather_tiles(
             spark, px_in, info, z, block_size, (tx0, ty0, tx1, ty1), meta,
             compression, extra_key="time_cf" if has_time else None,
+            resampling=resampling,
         )
     else:
         px = netcdf_pixel_table(spark, nc, var)

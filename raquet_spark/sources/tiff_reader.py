@@ -1597,19 +1597,23 @@ def _fsy_rows_interp(info: dict, gy0: int, npy: int, world: float):
 
 def _fused_gather_eligible(info: dict, resampling: str, n_steps: int = 1) -> bool:
     """Whether the import can skip the warp JOIN entirely (r18): for a
-    nearest-resampled, broadcast-class source on a NORTH-UP affine
-    grid (no rotation terms) in 4326/3857, the containing-cell map is
-    SEPARABLE — ``syn`` depends only on ``gy`` and ``sxn`` only on
-    ``gx`` — so two tiny index vectors plus a broadcast of the decoded
-    source replace the per-pixel broadcast hash join AND the per-pixel
-    Python boundary of the aligned assembly (guide §2.4/§8: decide
-    with small rows, move big rows once — here the per-pixel rows stop
-    existing at all). Staggered, ragged-row and projected sources keep
-    the join path; Gaussian (irregular-lat) grids qualify because
-    their fsy is already a driver-computed per-row vector."""
+    broadcast-class source on a NORTH-UP affine grid (no rotation
+    terms) in 4326/3857, the source-coordinate map is SEPARABLE —
+    ``fsy`` depends only on ``gy`` and ``fsx`` only on ``gx`` — so two
+    tiny per-axis vectors plus a broadcast of the decoded source
+    replace the per-pixel broadcast hash join AND the per-pixel Python
+    boundary of the aligned assembly (guide §2.4/§8: decide with small
+    rows, move big rows once — here the per-pixel rows stop existing
+    at all). ``near`` gathers the containing cell; ``bilinear``/
+    ``cubic`` (r18 session 4) blend the separable 2×2/4×4 kernel
+    neighborhood in numpy, bit-identically to the join path's SQL
+    blend (see the kernel branch of :func:`_fused_gather_tiles`).
+    Staggered, ragged-row and projected sources keep the join path;
+    Gaussian (irregular-lat) grids qualify because their fsy is
+    already a driver-computed per-row vector."""
     ox, a, b, oy, c, d = info["transform"]
     return (
-        resampling == "near"
+        resampling in ("near", "bilinear", "cubic")
         and gather_is_broadcast(info, n_steps)
         and b == 0.0
         and c == 0.0
@@ -1619,20 +1623,22 @@ def _fused_gather_eligible(info: dict, resampling: str, n_steps: int = 1) -> boo
     )
 
 
-def _separable_src_index(
+def _separable_src_fs(
     spark: SparkSession,
     info: dict,
     z: int,
     block_size: int,
     tile_ext: tuple[int, int, int, int],
 ):
-    """(sxn_by_gx, syn_by_gy) int64 vectors over the target extent —
-    the same ``floor(fsx)``/``floor(fsy)`` the join path computes, from
+    """(fsx_by_gx, fsy_by_gy) float64 vectors over the target extent —
+    the same fractional source coordinates the join path computes, from
     the same expressions, evaluated by the same JVM engine (one tiny
-    job over npx+npy rows, so transcendental bit-identity with the
-    join path is by construction, not by numpy-vs-JVM luck).
+    job over max(npx, npy) rows, so transcendental bit-identity with
+    the join path is by construction, not by numpy-vs-JVM luck).
     ``lat_centers`` grids take fsy from the identical driver-side
-    interp the join path's rowmap uses."""
+    interp the join path's rowmap uses. Downstream ``floor``/kernel
+    arithmetic on these doubles is plain IEEE-754 — bit-identical
+    between numpy and the JVM given identical inputs."""
     tx0, ty0, tx1, ty1 = tile_ext
     bs = block_size
     gx0, gy0 = tx0 * bs, ty0 * bs
@@ -1647,18 +1653,85 @@ def _separable_src_index(
             f"{gx0} + least(id, {npx - 1}) AS gx",
             f"{gy0} + least(id, {npy - 1}) AS gy",
         )
-        .selectExpr(
-            f"CAST(floor({fsx_e}) AS BIGINT) AS sxn",
-            f"CAST(floor({fsy_e}) AS BIGINT) AS syn",
-        )
+        .selectExpr(f"{fsx_e} AS fsx", f"{fsy_e} AS fsy")
         .toPandas()
     )
-    sxn = pdf["sxn"].to_numpy(dtype="int64")[:npx]
+    fsx = pdf["fsx"].to_numpy(dtype="float64")[:npx]
     if info.get("lat_centers") is not None:
-        syn = np.floor(_fsy_rows_interp(info, gy0, npy, world)).astype("int64")
+        fsy = _fsy_rows_interp(info, gy0, npy, world)
     else:
-        syn = pdf["syn"].to_numpy(dtype="int64")[:npy]
-    return sxn, syn
+        fsy = pdf["fsy"].to_numpy(dtype="float64")[:npy]
+    return fsx, fsy
+
+
+def _separable_src_index(
+    spark: SparkSession,
+    info: dict,
+    z: int,
+    block_size: int,
+    tile_ext: tuple[int, int, int, int],
+):
+    """(sxn_by_gx, syn_by_gy) int64 vectors over the target extent —
+    ``floor`` of the JVM-computed fractional coordinates
+    (:func:`_separable_src_fs`); ``floor`` of a double is exact in
+    both engines, so these are the same containing-cell indices the
+    join path's ``CAST(floor(fsx) AS BIGINT)`` produces."""
+    fsx, fsy = _separable_src_fs(spark, info, z, block_size, tile_ext)
+    return (
+        np.floor(fsx).astype("int64"),
+        np.floor(fsy).astype("int64"),
+    )
+
+
+def _kernel_np(d: np.ndarray, resampling: str) -> np.ndarray:
+    """Separable resampling kernel weight — the numpy twin of
+    :func:`_kernel_sql`, op-for-op (same literals, same left-assoc
+    evaluation order), so identical float64 inputs produce identical
+    bits in either engine."""
+    t = np.abs(d)
+    if resampling == "bilinear":
+        return 1.0 - t
+    if resampling == "cubic":
+        inner = ((1.5 * t - 2.5) * t) * t + 1.0
+        outer = (((-0.5) * t + 2.5) * t - 4.0) * t + 2.0
+        return np.where(t <= 1.0, inner, outer)
+    raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def _round_half_up_spark(x: np.ndarray) -> np.ndarray:
+    """Spark's ``round(double)`` (scale 0) replicated exactly. Spark
+    rounds HALF_UP on ``BigDecimal(Double.toString(v))`` — the
+    SHORTEST round-trip decimal representation — not on the binary
+    value. The vectorized fast path (ties-away-from-zero on the binary
+    fraction) agrees everywhere except within a few ULP of a ``k.5``
+    boundary, where the shortest decimal repr can sit on the other
+    side of the tie; those (rare) elements are re-done through
+    ``decimal.Decimal(repr(v))`` — Python's repr is the same shortest
+    round-trip decimal as Java's Double.toString — with
+    ROUND_HALF_UP, the exact BigDecimal semantics. NaN/±inf pass
+    through like Spark's special case. Sign-of-zero differences are
+    irrelevant downstream (the rounded value feeds an integer-band
+    astype)."""
+    import decimal
+
+    with np.errstate(invalid="ignore"):
+        ax = np.abs(x)
+        fl = np.floor(ax)
+        frac = ax - fl  # inf - inf → NaN, masked by the isfinite below
+        mag = np.where(frac >= 0.5, fl + 1.0, fl)
+        out = np.where(x < 0, -mag, mag)
+        out = np.where(np.isfinite(x), out, x)
+        tol = 4.0 * np.finfo(np.float64).eps * np.maximum(ax, 1.0)
+        amb = np.abs(frac - 0.5) <= tol
+    if amb.any():
+        flat = out.reshape(-1)
+        xf = np.asarray(x, dtype="float64").reshape(-1)
+        for i in np.flatnonzero(amb.reshape(-1)):
+            d = decimal.Decimal(repr(float(xf[i]))).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+            flat[i] = float(d)
+    return out
 
 
 def _fused_gather_tiles(
@@ -1672,6 +1745,7 @@ def _fused_gather_tiles(
     compression: str | None,
     extra_key: str | None = None,
     dense: bool = False,
+    resampling: str = "near",
 ) -> DataFrame:
     """Join-free nearest-warp import for the separable broadcast class
     (:func:`_fused_gather_eligible`): collect the decoded source grid
@@ -1685,7 +1759,22 @@ def _fused_gather_tiles(
     to ``_resampled_pixels(near) → from_pixel_table(aligned=True)``
     (+ the dense nodata fill when ``dense``): same JVM-floored indices,
     same verbatim value copies, same fill/astype/encode semantics —
-    pinned by test_fused_gather_matches_join_path."""
+    pinned by test_fused_gather_matches_join_path.
+
+    ``resampling='bilinear'``/``'cubic'`` (r18 session 4): the kernel
+    neighborhood is separable too — per-axis neighbor-index and
+    kernel-weight vectors (``floor(fs - 0.5) + k`` and the
+    :func:`_kernel_np` weights, every op IEEE float64 on the
+    JVM-computed ``fs`` doubles, so bit-identical to the join path's
+    SQL). Each tile blends its 2×2/4×4 gathered planes with the SAME
+    accumulation semantics as the SQL ``SUM(CASE WHEN valid …)``:
+    contributions in the join path's (kx, ky) explode order,
+    nodata/out-of-bounds terms SKIPPED (not added as zero — the
+    running sum's bits, including signed zeros, match exactly),
+    ``num/den`` guarded by ``den <> 0``, and Spark's HALF_UP
+    ``round()`` replicated by :func:`_round_half_up_spark` for integer
+    bands — pinned by the bilinear/cubic cases of
+    test_fused_gather.py."""
     from raquet_spark.core.metadata import parse_nodata
     from raquet_spark.functions import quadbin as qb
     from raquet_spark.functions.bands import DTYPES, encode_block
@@ -1699,7 +1788,28 @@ def _fused_gather_tiles(
         (b["name"], b["type"], parse_nodata(b.get("nodata")))
         for b in metadata["bands"]
     ]
-    sxn, syn = _separable_src_index(spark, info, z, bs, tile_ext)
+    kernel = resampling in ("bilinear", "cubic")
+    if kernel:
+        fsx, fsy = _separable_src_fs(spark, info, z, bs, tile_ext)
+        klo, khi = (0, 1) if resampling == "bilinear" else (-1, 2)
+        # per-axis neighbor indices + kernel weights, precomputed for
+        # the whole extent exactly as the join path's SQL evaluates
+        # them: ib = floor(fs - 0.5); neighbor k is ib + k with weight
+        # kernel(fs - (neighbor + 0.5))
+        ibx, iby = np.floor(fsx - 0.5), np.floor(fsy - 0.5)
+        xk = [ibx + k for k in range(klo, khi + 1)]
+        yk = [iby + k for k in range(klo, khi + 1)]
+        kern = (
+            [s.astype("int64") for s in xk],
+            [s.astype("int64") for s in yk],
+            [_kernel_np(fsx - (s + 0.5), resampling) for s in xk],
+            [_kernel_np(fsy - (s + 0.5), resampling) for s in yk],
+        )
+        int_out = np.dtype(info["dtype"]).kind in "iu"
+        sxn = syn = None
+    else:
+        kern, int_out = None, False
+        sxn, syn = _separable_src_index(spark, info, z, bs, tile_ext)
 
     # `px` may arrive pre-collected (a driver-local decode, e.g. the
     # classic-NetCDF fast path) — this function's next step is the
@@ -1715,19 +1825,33 @@ def _fused_gather_tiles(
     grids: dict[str, np.ndarray] = {}
     for name, btype, nodata in bands:
         fill = 0 if nodata is None else nodata
-        # storage dtype now = the same elementwise astype the assembly
-        # applies after the join (float64→float32 is one IEEE
-        # round-to-nearest either place); absent source cells (e.g.
-        # GRIB bitmap-omitted points) stay at the fill value — exactly
-        # what a no-match target pixel gets from the join path
-        g = np.full(
-            (len(tvals) if tvals is not None else 1, h, w),
-            fill,
-            dtype=DTYPES[btype],
-        )
-        g[ti, sy, sx] = pdf[name].to_numpy().astype(DTYPES[btype])
+        vals = pdf[name].to_numpy()
+        if kernel:
+            # the kernel blend consumes the PX-TABLE values (the join
+            # path's SUM sees the pixel-table column cast to DOUBLE,
+            # BEFORE any storage narrowing) — keep the native dtype so
+            # the later astype(float64) is the same exact cast
+            g = np.full(
+                (len(tvals) if tvals is not None else 1, h, w),
+                fill,
+                dtype=vals.dtype,
+            )
+            g[ti, sy, sx] = vals
+        else:
+            # storage dtype now = the same elementwise astype the
+            # assembly applies after the join (float64→float32 is one
+            # IEEE round-to-nearest either place); absent source cells
+            # (e.g. GRIB bitmap-omitted points) stay at the fill value
+            # — exactly what a no-match target pixel gets from the
+            # join path
+            g = np.full(
+                (len(tvals) if tvals is not None else 1, h, w),
+                fill,
+                dtype=DTYPES[btype],
+            )
+            g[ti, sy, sx] = vals.astype(DTYPES[btype])
         grids[name] = g
-    bvar = spark.sparkContext.broadcast((sxn, syn, tvals, grids))
+    bvar = spark.sparkContext.broadcast((sxn, syn, tvals, grids, kern))
 
     ntx = tx1 - tx0 + 1
     n_tiles = ntx * (ty1 - ty0 + 1)
@@ -1744,7 +1868,7 @@ def _fused_gather_tiles(
     ) + "".join(f", {name} binary" for name, _, _ in bands)
 
     def build(batches):
-        sxn_b, syn_b, tvals_b, grids_b = bvar.value
+        sxn_b, syn_b, tvals_b, grids_b, kern_b = bvar.value
         nt = len(tvals_b) if tvals_b is not None else 1
         for task_pdf in batches:
             out: dict[str, list] = {"block": []}
@@ -1755,8 +1879,84 @@ def _fused_gather_tiles(
             for tid in task_pdf["id"].tolist():
                 tx = tx0 + tid % ntx
                 ty = ty0 + tid // ntx
-                cols = sxn_b[(tx - tx0) * bs:(tx - tx0) * bs + bs]
-                rows_ = syn_b[(ty - ty0) * bs:(ty - ty0) * bs + bs]
+                x0 = (tx - tx0) * bs
+                y0 = (ty - ty0) * bs
+                if kern_b is not None:
+                    # kernel blend branch — the numpy twin of the join
+                    # path's SUM(CASE WHEN valid THEN w*v)/SUM(w) with
+                    # contributions in the (kx, ky) explode order and
+                    # invalid terms SKIPPED, never added as zero
+                    sxk_b, syk_b, wxk_b, wyk_b = kern_b
+                    cxs = [s[x0:x0 + bs] for s in sxk_b]
+                    rys = [s[y0:y0 + bs] for s in syk_b]
+                    wxs = [v[x0:x0 + bs] for v in wxk_b]
+                    wys = [v[y0:y0 + bs] for v in wyk_b]
+                    okx = [(s >= 0) & (s < w) for s in cxs]
+                    oky = [(s >= 0) & (s < h) for s in rys]
+                    ccx = [np.clip(s, 0, w - 1) for s in cxs]
+                    ccy = [np.clip(s, 0, h - 1) for s in rys]
+                    block = qb.py_tile_to_cell(tx, ty, z)
+                    for si in range(nt):
+                        blobs: dict[str, bytes] = {}
+                        any_valid = False
+                        for name, btype, nodata in bands:
+                            fill = 0 if nodata is None else nodata
+                            gband = grids_b[name][si]
+                            num = np.zeros((bs, bs))
+                            den = np.zeros((bs, bs))
+                            started = np.zeros((bs, bs), dtype=bool)
+                            for ix in range(len(cxs)):
+                                if not okx[ix].any():
+                                    continue
+                                for iy in range(len(rys)):
+                                    m2 = oky[iy][:, None] & okx[ix][None, :]
+                                    if not m2.any():
+                                        continue
+                                    v = gband[
+                                        ccy[iy][:, None], ccx[ix][None, :]
+                                    ].astype("float64")
+                                    if nodata is not None:
+                                        if nodata != nodata:  # NaN
+                                            m2 = m2 & ~np.isnan(v)
+                                        else:
+                                            m2 = m2 & (v != float(nodata))
+                                    w2 = wys[iy][:, None] * wxs[ix][None, :]
+                                    t = w2 * v
+                                    num = np.where(
+                                        m2,
+                                        np.where(started, num + t, t),
+                                        num,
+                                    )
+                                    den = np.where(
+                                        m2,
+                                        np.where(started, den + w2, w2),
+                                        den,
+                                    )
+                                    started |= m2
+                            okp = started & (den != 0.0)
+                            tile = np.full((bs, bs), fill, dtype=DTYPES[btype])
+                            if okp.any():
+                                any_valid = True
+                                blend = num[okp] / den[okp]
+                                if int_out:
+                                    blend = _round_half_up_spark(blend)
+                                tile[okp] = blend.astype(DTYPES[btype])
+                            blobs[name] = encode_block(
+                                tile.reshape(-1), btype, compression
+                            )
+                        # the join path emits a (tile, step) row only
+                        # when at least one pixel blended non-NULL;
+                        # dense callers get the all-fill tile (the
+                        # anti-join literal's byte-identical twin)
+                        if any_valid or dense:
+                            out["block"].append(block)
+                            if extra_key is not None:
+                                out[extra_key].append(float(tvals_b[si]))
+                            for name, _, _ in bands:
+                                out[name].append(blobs[name])
+                    continue
+                cols = sxn_b[x0:x0 + bs]
+                rows_ = syn_b[y0:y0 + bs]
                 okc = (cols >= 0) & (cols < w)
                 okr = (rows_ >= 0) & (rows_ < h)
                 covered = bool(okr.any() and okc.any())
@@ -2203,6 +2403,7 @@ def geotiff_to_raquet(
             return _assemble_tiles(
                 spark, None, info, z, block_size, compression, stats,
                 dense, (w, s, e, n), (tx0, ty0, tx1, ty1), fused_src=px,
+                resampling=resampling,
             )
         # target-driven inverse mapping: GDAL's warp semantics — every
         # covered target pixel gets a value (dense even when the target
@@ -2268,6 +2469,7 @@ def _assemble_tiles(
     tile_ext: tuple[int, int, int, int],
     aligned: bool = False,
     fused_src: DataFrame | None = None,
+    resampling: str = "near",
 ) -> tuple[DataFrame, dict]:
     """Warped (gx, gy, band_*) pixels → (tiles, metadata): shared tail
     of the nearest and bilinear/cubic import paths. With ``fused_src``
@@ -2318,7 +2520,7 @@ def _assemble_tiles(
     if fused_src is not None:
         tiles = _fused_gather_tiles(
             spark, fused_src, info, z, block_size, tile_ext, meta,
-            compression, dense=dense,
+            compression, dense=dense, resampling=resampling,
         )
         if stats:
             from raquet_spark.operators.tile_stats import with_tile_stats

@@ -322,11 +322,10 @@ def test_geotiff_import_shuffle_budget(spark):
     assert count_exchanges(tiles3) == 2
 
 
-def test_bilinear_import_three_shuffles_no_bnlj(spark):
-    """The resampled import is exactly three exchanges — the (sx, sy)
-    neighborhood gather join, the blend groupBy(target pixel), and the
-    tiling groupBy(block) — with NO nested-loop join anywhere (the
-    4x-contribution explode is map-side) and no Python row UDFs."""
+def test_bilinear_import_fused_exchange_free(spark):
+    """The broadcast-class bilinear import takes the fused separable
+    kernel gather (r18 session 4): NO exchange, NO join — one
+    MapInPandas over tile ids (the near import's plan shape)."""
     import os
 
     import pytest as _pytest
@@ -342,6 +341,36 @@ def test_bilinear_import_three_shuffles_no_bnlj(spark):
     from raquet_spark.sources.tiff_reader import geotiff_to_raquet
 
     tiles, _ = geotiff_to_raquet(
+        spark, path, block_size=128, dense=False, stats=False,
+        resampling="bilinear",
+    )
+    assert no_nested_loops(tiles)
+    assert no_python_udfs(tiles)
+    assert count_exchanges(tiles) == 0
+
+
+def test_bilinear_import_join_path_three_shuffles_no_bnlj(spark, monkeypatch):
+    """The JOIN-path resampled import (what non-separable / SHJ-class
+    sources still run) is exactly three exchanges — the (sx, sy)
+    neighborhood gather join, the blend groupBy(target pixel), and the
+    tiling groupBy(block) — with NO nested-loop join anywhere (the
+    4x-contribution explode is map-side) and no Python row UDFs."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/reference/tests/n37_w123_1arc_v2.tif"
+    if not os.path.exists(path):
+        _pytest.skip("reference raster not available")
+    import raquet_spark.sources.tiff_reader as tr
+    from raquet_spark.plans.inspect import (
+        count_exchanges,
+        no_nested_loops,
+        no_python_udfs,
+    )
+
+    monkeypatch.setattr(tr, "_fused_gather_eligible", lambda *a, **k: False)
+    tiles, _ = tr.geotiff_to_raquet(
         spark, path, block_size=128, dense=False, stats=False,
         resampling="bilinear",
     )
